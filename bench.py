@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {...}, "sf": ...}.
+
+Each query is fully executed (count-collected) but results stay on the
+executors — timing measures engine throughput, not driver transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pg_lake_spark.session import get_spark
+    from pg_lake_spark.queries import QUERIES
+
+    # Headline set: the TPC-H-style analytics path + the heaviest
+    # pipeline operators (window, dedup, ANN). Keep stable across rounds
+    # so BENCH_r{N}.json is comparable.
+    headline = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "q10_returned_items",
+        "q14_promo_revenue",
+        "q18_large_volume_customer",
+        "q19_discounted_revenue",
+        "w_topk_per_user",
+        "w_running_agg",
+        "g_rollup_orders",
+        "d_count_distinct",
+        "dd_exact_hash_groups",
+        "dd_lsh_candidates",
+        "sim_cosine_topk",
+        "txt_stats",
+    ]
+
+    spark = get_spark(
+        app_name="pg_lake_spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(os.environ.get("PG_LAKE_SHUFFLE_PARTITIONS", "32")),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen path once (excluded from timings).
+    QUERIES["q6_forecast_revenue"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in headline:
+        if name not in QUERIES:
+            continue
+        fn = QUERIES[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,197 @@
+"""PostgreSQL-exact scalar semantics on Spark Columns.
+
+Each function documents the semantic delta it closes and the reference
+implementation it mirrors (file:line in /root/reference). These are the
+Spark equivalents of pg_lake's rewrite rules — the reference spent
+~5 kLoC guaranteeing PG-exact results on top of DuckDB
+(pg_lake_engine/src/pgduck/rewrite_query.c:126-191, to_char.c:30-60,
+duckdb_pglake/src/duckdb_pglake_extension.cpp:82-157); we apply the same
+discipline on top of Spark, with the DuckDB oracle arbitrating in tests.
+
+All functions build JVM-side Column expressions (whole-stage codegen
+friendly); none drop to Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# ---------------------------------------------------------------------------
+# Integer division / modulo
+# ---------------------------------------------------------------------------
+
+def pg_div(a: Column | str, b: Column | str) -> Column:
+    """PG integer division: ``4/10 = 0`` (truncation toward zero).
+
+    Reference: RewriteOpExprIntegerDivision (rewrite_query.c:189) rewrites
+    PG ``/`` to DuckDB ``divide``/``fdiv`` because DuckDB ``/`` is float
+    division — Spark ``/`` is float division too, so the same rewrite is
+    needed. Spark's ``div`` operator is integral division with
+    truncation-toward-zero, matching PG exactly.
+    """
+    a, b = _col(a), _col(b)
+    # a % b follows the dividend's sign in both PG and Spark, so
+    # (a - a % b) / b is exact division truncated toward zero.
+    return ((a - (a % b)) / b).cast("long")
+
+
+def pg_mod(a: Column | str, b: Column | str) -> Column:
+    """PG mod(): sign follows the dividend — same as Spark/DuckDB ``%``.
+
+    Reference: RewriteFuncExprMod (rewrite_query.c:155)."""
+    return _col(a) % _col(b)
+
+
+# ---------------------------------------------------------------------------
+# Substring with PG negative-start semantics
+# ---------------------------------------------------------------------------
+
+def pg_substring(s: Column | str, start: Column | int, length: Column | int | None = None) -> Column:
+    """PG ``substring(str FROM start FOR length)``.
+
+    PG treats the string as an infinite sequence: a non-positive start
+    shifts the window left and the characters "before position 1" are
+    consumed from the requested length. Reference: ``substring_pg`` in
+    duckdb_pglake_extension.cpp:157 (PG-exact reimplementation shipped to
+    DuckDB because its builtin differs the same way Spark's does).
+    """
+    s = _col(s)
+    start_c = F.lit(start) if isinstance(start, int) else start
+    eff_start = F.greatest(start_c, F.lit(1))
+    if length is None:
+        return F.substring(s, eff_start, F.lit(2147483647))
+    length_c = F.lit(length) if isinstance(length, int) else length
+    # chars "consumed" left of position 1: max(1 - start, 0)
+    eff_len = F.greatest(length_c - F.greatest(F.lit(1) - start_c, F.lit(0)), F.lit(0))
+    return F.substring(s, eff_start, eff_len)
+
+
+# ---------------------------------------------------------------------------
+# date_trunc with PG-only field names
+# ---------------------------------------------------------------------------
+
+_SPARK_TRUNC_FIELDS = {
+    "microsecond", "millisecond", "second", "minute", "hour", "day", "week",
+    "month", "quarter", "year",
+}
+
+
+def pg_date_trunc(field: str, ts: Column | str) -> Column:
+    """PG date_trunc incl. ``decade``/``century``/``millennium``.
+
+    PG centuries start at year 1 (the 21st century began 2001-01-01);
+    reference corrects DuckDB's 2000-01-01 convention via
+    RewriteFuncExprDateTrunc (rewrite_query.c:153) + to_char.c constants.
+    Spark's date_trunc lacks these fields entirely, so we compute the
+    truncated year arithmetically and rebuild the timestamp.
+    """
+    ts = _col(ts)
+    f = field.lower()
+    if f in _SPARK_TRUNC_FIELDS:
+        return F.date_trunc(f, ts)
+    y = F.year(ts)
+    if f == "decade":
+        # PG decades are calendar decades starting at year XXX0.
+        trunc_year = (F.floor(y / 10) * 10).cast("int")
+    elif f == "century":
+        trunc_year = ((F.ceil(y / 100) - 1) * 100 + 1).cast("int")
+    elif f == "millennium":
+        trunc_year = ((F.ceil(y / 1000) - 1) * 1000 + 1).cast("int")
+    else:
+        raise ValueError(f"unsupported date_trunc field: {field}")
+    return F.make_timestamp_ntz(trunc_year, F.lit(1), F.lit(1), F.lit(0), F.lit(0), F.lit(0))
+
+
+# ---------------------------------------------------------------------------
+# to_char: PG format-string → Spark date_format pattern compiler
+# ---------------------------------------------------------------------------
+
+# Ordered longest-first so greedy scanning picks the longest specifier,
+# exactly like the reference's FormatSpecifierMappings table
+# (pg_lake_engine/src/pgduck/to_char.c:30-60) which compiles PG to_char
+# patterns to DuckDB strftime. Target here is Java DateTimeFormatter
+# (Spark date_format).
+_TO_CHAR_MAP: list[tuple[str, str]] = [
+    ("HH24", "HH"),
+    ("HH12", "hh"),
+    ("YYYY", "yyyy"),
+    ("YYY", "yyy"),
+    ("YY", "yy"),
+    ("Y", "y"),
+    ("MONTH", "MMMM"),  # PG blank-pads; delta documented
+    ("Month", "MMMM"),
+    ("month", "MMMM"),
+    ("MON", "MMM"),
+    ("Mon", "MMM"),
+    ("mon", "MMM"),
+    ("MM", "MM"),
+    ("DDD", "DDD"),
+    ("DD", "dd"),
+    ("DAY", "EEEE"),
+    ("Day", "EEEE"),
+    ("day", "EEEE"),
+    ("DY", "EEE"),
+    ("Dy", "EEE"),
+    ("dy", "EEE"),
+    ("HH", "hh"),
+    ("MI", "mm"),
+    ("SSSS", "A"),  # seconds past midnight — approximate, rarely used
+    ("SS", "ss"),
+    ("MS", "SSS"),
+    ("US", "SSSSSS"),
+    ("AM", "a"),
+    ("PM", "a"),
+    ("am", "a"),
+    ("pm", "a"),
+    ("TZ", "zz"),
+    ("Q", "Q"),
+    ("WW", "ww"),
+    ("J", "g"),  # julian day — approximate
+]
+
+
+def translate_to_char_pattern(pg_fmt: str) -> str:
+    """Compile a PG to_char pattern into a Java DateTimeFormatter pattern."""
+    out: list[str] = []
+    i = 0
+    n = len(pg_fmt)
+    while i < n:
+        ch = pg_fmt[i]
+        if ch == '"':  # PG quoted literal: "..." → Java quoted literal '...'
+            j = pg_fmt.find('"', i + 1)
+            j = n if j < 0 else j
+            lit = pg_fmt[i + 1 : j].replace("'", "''")
+            out.append(f"'{lit}'")
+            i = j + 1
+            continue
+        matched = False
+        for pg_spec, java_spec in _TO_CHAR_MAP:
+            if pg_fmt.startswith(pg_spec, i):
+                out.append(java_spec)
+                i += len(pg_spec)
+                matched = True
+                break
+        if not matched:
+            if ch.isalpha():
+                out.append(f"'{ch}'")  # bare letters are literals in Java patterns
+            else:
+                out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def pg_to_char(ts: Column | str, pg_fmt: str) -> Column:
+    """PG ``to_char(timestamp, fmt)`` via pattern translation.
+
+    Reference: to_char.c is a 1,378-LoC PG→DuckDB-strftime compiler; this
+    is the same idea targeting Java DateTimeFormatter. The translation
+    runs at plan-construction time (driver side) — the executed
+    expression is a plain ``date_format`` (codegen'd, no UDF).
+    """
+    return F.date_format(_col(ts), translate_to_char_pattern(pg_fmt))

@@ -1,0 +1,165 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash + LSH.
+
+Design for scale (the whole point — see AGENTS brief):
+- Shingling and MinHash signatures are pure Column expressions
+  (``transform``/``array_min`` over an in-row array) — no explode, no
+  shuffle, no Python. A 100 TB corpus signs itself in one map stage.
+- LSH banding turns near-dup search from O(n²) into groupBy(band-key):
+  candidate pairs only form inside a bucket. The only shuffles are the
+  band groupBys and the final candidate self-join on doc ids.
+- Exact-Jaccard verification runs only on LSH candidates (tiny fraction
+  of the cross product).
+
+MinHash here is the classic k-mins variant: h_i(doc) = min over shingles
+of md5(seed_i ‖ shingle). md5 is used because it is deterministic and
+identically available in Spark, DuckDB (oracle), and any other engine —
+signatures are portable across the lakehouse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles of a text column as array<string> (distinct).
+
+    Documents shorter than ``n`` words yield a single shingle of the
+    whole text so every doc has a non-empty shingle set.
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    words = F.split(text, r"\s+")
+    k = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k, F.lit(1)) - 1),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
+    """MinHash signature: array of ``num_hashes`` hex-string minima.
+
+    Seeded family: h_i(s) = md5(concat('seed<i>:', s)); the minimum over
+    the shingle set is order-invariant, so this is a pure expression —
+    no aggregation needed.
+    """
+    def hasher(seed: int):
+        prefix = F.lit(f"seed{seed}:")
+        # single-arg lambda: a two-arg lambda would be interpreted by
+        # transform() as (element, index) and clobber the seed
+        return lambda s: F.md5(F.concat(prefix, s))
+
+    sigs = [F.array_min(F.transform(shingles, hasher(i))) for i in range(num_hashes)]
+    return F.array(*sigs)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two array columns (distinct semantics)."""
+    return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy.
+
+    Returns one row per duplicated content hash with the member count and
+    the canonical (minimum) id — the survivor a dedup pass would keep.
+    Scale: a single hash-partitioned aggregation; the md5 prevents
+    shuffling full document bodies.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 6,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
+
+    Pipeline: shingle → sign (map-only) → explode bands → groupBy band
+    bucket (shuffle #1, on a short hash key) → self-join inside buckets →
+    distinct candidate pairs → exact-Jaccard verify (shuffle #2, ids
+    only) → filter ≥ threshold.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(text_col, shingle_n).alias("_sh"),
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+
+    banded = base.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.array_join(F.slice("_sig", b * rows_per_band + 1, rows_per_band), "|")
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+    a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard (the small-data oracle path).
+
+    O(n²) self-join — correctness baseline for LSH, usable on bounded
+    subsets only. At scale, use :func:`lsh_candidate_pairs`.
+    """
+    base = df.select(F.col(id_col).alias("_id"), word_shingles(text_col, shingle_n).alias("_sh"))
+    a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,281 @@
+"""Training-data pipeline queries: dedup, similarity search, text
+analysis, multimodal plumbing — declared with DuckDB oracles wherever
+SQL can express the semantics (everything except LSH candidate
+generation, which is checked rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_lake_spark.operators import dedup, multimodal, similarity, textstats
+from pg_lake_spark.queries.registry import query
+from pg_lake_spark.session import load_tables
+
+# DuckDB expression for the same word-n-gram shingle set produced by
+# dedup.word_shingles (kept adjacent so the two dialects stay in sync).
+_DUCK_SHINGLES = """
+    list_distinct(list_transform(
+        range(1, greatest(len(ws) - {nm1}, 1) + 1),
+        i -> array_to_string(ws[i:i+{nm1}], ' ')))
+"""
+
+
+def _duck_shingles(n: int) -> str:
+    return _DUCK_SHINGLES.format(nm1=n - 1)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "dd_exact_hash_groups",
+    oracle="""
+    SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+    FROM documents
+    GROUP BY content_hash
+    ORDER BY content_hash
+    """,
+    doc="Exact dedup: content-hash groups with survivor id.",
+)
+def dd_exact_hash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("doc_id", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_id"))
+        .orderBy("content_hash")
+    )
+
+
+@query(
+    "dd_minhash_signatures",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_duck_shingles(3)} AS s
+      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+            FROM documents WHERE doc_id < 100) t
+    )
+    SELECT doc_id,
+           list_aggregate(list_transform(s, x -> md5('seed0:' || x)), 'min') AS sig0,
+           list_aggregate(list_transform(s, x -> md5('seed1:' || x)), 'min') AS sig1,
+           list_aggregate(list_transform(s, x -> md5('seed2:' || x)), 'min') AS sig2,
+           list_aggregate(list_transform(s, x -> md5('seed3:' || x)), 'min') AS sig3
+    FROM sh ORDER BY doc_id
+    """,
+    doc="MinHash signatures (k-mins over word-3-gram shingles, md5 family).",
+)
+def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 100)
+    sig = dedup.minhash_signature(dedup.word_shingles("text", 3), num_hashes=4)
+    return d.select(
+        "doc_id",
+        *[F.element_at(sig, i + 1).alias(f"sig{i}") for i in range(4)],
+    ).orderBy("doc_id")
+
+
+@query(
+    "dd_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_duck_shingles(2)} AS s
+      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+            FROM documents WHERE doc_id < 150) t
+    )
+    SELECT * FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_distinct(list_filter(a.s, x -> list_contains(b.s, x)))) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      FROM sh a, sh b WHERE a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.1
+    ORDER BY id_a, id_b
+    """,
+    doc="Exact all-pairs word-bigram Jaccard (bounded subset; LSH baseline).",
+)
+def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 150)
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=2, threshold=0.1).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "dd_lsh_candidates",
+    oracle=None,  # LSH banding is not SQL-expressible concisely → rows-only check
+    doc="MinHash-LSH near-dup pairs, exact-Jaccard verified (the 100 TB scale path).",
+)
+def dd_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return dedup.lsh_candidate_pairs(
+        t["documents"], "doc_id", "text", shingle_n=2, num_hashes=12, bands=6, threshold=0.3
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dd_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+                                   '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Normalized-content fingerprint (case/space/punct-insensitive md5).",
+)
+def dd_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", textstats.fingerprint("text").alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@query(
+    "sim_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+               FROM embeddings WHERE vec_id < 5)
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec) DESC,
+                        e.vec_id) AS rank
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id
+    ) WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    doc="Brute-force cosine top-k ANN baseline (JVM zip_with dot product).",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 5), id_col="vec_id", vec_col="embedding", k=10
+    )
+
+
+@query(
+    "sim_lsh_topk",
+    oracle=None,  # hyperplane bucketing → rows-only check
+    doc="Hyperplane-LSH bucketed ANN (scale path: bucket equi-join, no cross product).",
+)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return similarity.lsh_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=64,
+        k=5,
+        n_planes=4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "txt_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+           CAST(length(text) - (length(text) - length(regexp_replace(text, '\\s', '', 'g'))) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\\s+')) AS avg_word_len,
+           CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+             / length(text) AS punct_ratio,
+           CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+             / length(text) AS space_ratio,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tokens_bpe,
+           CASE WHEN greatest(s_en, s_de, s_fr) > 0 AND s_en = greatest(s_en, s_de, s_fr) THEN 'en'
+                WHEN greatest(s_en, s_de, s_fr) > 0 AND s_de = greatest(s_en, s_de, s_fr) THEN 'de'
+                WHEN greatest(s_en, s_de, s_fr) > 0 AND s_fr = greatest(s_en, s_de, s_fr) THEN 'fr'
+                ELSE 'und' END AS lang_pred,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+                                   '\\s+', ' ', 'g'))) AS fingerprint
+    FROM (
+      SELECT *,
+        len(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'),
+            w -> list_contains(['the','a','and','of','to'], w)))) AS s_en,
+        len(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'),
+            w -> list_contains(['der','die','das','und','ist'], w)))) AS s_de,
+        len(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'),
+            w -> list_contains(['le','la','les','et','est'], w)))) AS s_fr
+      FROM documents
+    )
+    ORDER BY doc_id
+    """,
+    doc="Text quality features + token counts + lang-ID + fingerprint, one map stage.",
+)
+def txt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return textstats.text_stats(t["documents"], "doc_id", "text").orderBy("doc_id")
+
+
+@query(
+    "txt_quality_by_lang",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           avg(n_chars) AS avg_chars,
+           avg(len(string_split_regex(trim(text), '\\s+'))) AS avg_words,
+           quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS median_chars
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="Corpus quality rollup per labeled language.",
+)
+def txt_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("n_chars").alias("avg_chars"),
+            F.avg(textstats.token_count_ws("text")).alias("avg_words"),
+            F.percentile(F.col("n_chars").cast("double"), 0.5).alias("median_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@query(
+    "mm_binary_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'text/plain' AS mime,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+           CAST(list_aggregate(list_transform(range(1, length(text) + 1),
+                i -> ascii(substr(text, i, 1))), 'sum') AS DOUBLE) / length(text) AS byte_mean,
+           md5(text) AS payload_md5
+    FROM documents WHERE doc_id < 100
+    ORDER BY media_id
+    """,
+    doc="Multimodal binary column + Arrow mapInPandas feature extraction (stub decode).",
+)
+def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    media = multimodal.to_media(
+        t["documents"].filter(F.col("doc_id") < 100), "doc_id", "text", "text/plain"
+    )
+    return multimodal.extract_features(media).orderBy("media_id")

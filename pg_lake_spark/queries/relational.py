@@ -1,0 +1,783 @@
+"""Relational operator coverage: windows, grouping sets, set ops,
+semi/anti joins, subqueries, CTE/VALUES, distinct-on, stat aggregates,
+array/JSON access.
+
+Reference parity: the pushdown suites under
+pg_lake_table/tests/pytests/ — test_window_function_pushdown.py,
+test_grouping_set_pushdown.py, test_set_operation_pushdown.py,
+test_cte_subquery_pushdown.py, test_queries.py:1599 (semi join) — define
+this surface (SURVEY §2.2-2.6). Every query here is a 1:1 Spark built-in
+construction; no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pg_lake_spark.queries.registry import query
+from pg_lake_spark.session import load_tables
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+@query(
+    "w_topk_per_user",
+    oracle="""
+    SELECT user_id, event_id, value, rn FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+      FROM events) t
+    WHERE rn <= 3
+    ORDER BY user_id, rn
+    """,
+    doc="row_number top-k per group (DISTINCT ON generalization).",
+)
+def w_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        t["events"]
+        .select("user_id", "event_id", "value", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .orderBy("user_id", "rn")
+    )
+
+
+@query(
+    "w_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value)        OVER w AS prev_value,
+           lead(value)       OVER w AS next_value,
+           lag(value, 2, -1.0) OVER w AS prev2_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+    doc="lag/lead with offset and default; named-window semantics.",
+)
+def w_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("value").over(w).alias("next_value"),
+            F.lag("value", 2, -1.0).over(w).alias("prev2_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "w_running_agg",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum,
+           avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg_3,
+           count(*)   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+    doc="Running/moving aggregates with explicit ROWS frames.",
+)
+def w_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-2, Window.currentRow)
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.sum("value").over(run).alias("running_sum"),
+            F.avg("value").over(mov).alias("moving_avg_3"),
+            F.count(F.lit(1)).over(run).alias("running_n"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "w_rank_family",
+    oracle="""
+    SELECT event_id, event_type, value,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           percent_rank() OVER w AS prnk,
+           cume_dist()    OVER w AS cdist,
+           ntile(4)       OVER w AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+    ORDER BY event_type, rnk, event_id
+    """,
+    doc="rank/dense_rank/percent_rank/cume_dist/ntile.",
+)
+def w_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.percent_rank().over(w).alias("prnk"),
+            F.cume_dist().over(w).alias("cdist"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("event_type", "rnk", "event_id")
+    )
+
+
+@query(
+    "w_value_family",
+    oracle="""
+    SELECT event_id, user_id, value,
+           first_value(value) OVER w AS first_val,
+           last_value(value)  OVER w AS last_val,
+           nth_value(value,2) OVER w AS second_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY user_id, event_id
+    """,
+    doc="first_value/last_value/nth_value over full-partition frame.",
+)
+def w_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.first("value").over(w).alias("first_val"),
+            F.last("value").over(w).alias("last_val"),
+            F.nth_value("value", 2).over(w).alias("second_val"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "w_range_frame",
+    oracle="""
+    SELECT event_id, user_id, value,
+           count(*)   OVER (PARTITION BY user_id ORDER BY value
+                            RANGE BETWEEN 10.0 PRECEDING AND 10.0 FOLLOWING) AS peers_within_10,
+           sum(value) OVER (PARTITION BY user_id ORDER BY value
+                            RANGE BETWEEN 10.0 PRECEDING AND CURRENT ROW) AS sum_below_10
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+    doc="RANGE frames over a numeric ordering (value-distance windows).",
+)
+def w_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w1 = Window.partitionBy("user_id").orderBy("value").rangeBetween(-10, 10)
+    w2 = Window.partitionBy("user_id").orderBy("value").rangeBetween(-10, Window.currentRow)
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.count(F.lit(1)).over(w1).alias("peers_within_10"),
+            F.sum("value").over(w2).alias("sum_below_10"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "w_agg_over_window_filter",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS clicks,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+           sum(value) FILTER (WHERE event_type = 'purchase') AS purchase_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="FILTER (WHERE …) on aggregates (test_window_function_pushdown.py:17).",
+)
+def w_agg_over_window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.expr("count(*) FILTER (WHERE event_type = 'click')").alias("clicks"),
+            F.expr("count(*) FILTER (WHERE event_type = 'purchase')").alias("purchases"),
+            F.expr("sum(value) FILTER (WHERE event_type = 'purchase')").alias("purchase_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "g_rollup_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus)   AS g_status,
+           grouping(o_orderpriority) AS g_priority,
+           count(*) AS n_orders,
+           sum(o_totalprice) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+    """,
+    doc="ROLLUP with grouping() disambiguation.",
+)
+def g_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n_orders", "total"
+        )
+        .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@query(
+    "g_cube_events",
+    oracle="""
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           grouping(event_type) AS g_type,
+           grouping(date_trunc('day', ts)) AS g_day,
+           count(*) AS n, sum(value) AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, date_trunc('day', ts))
+    ORDER BY g_type, g_day, event_type, day
+    """,
+    doc="CUBE over a computed grouping expression.",
+)
+def g_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].withColumn("day", F.date_trunc("day", F.col("ts")))
+    return (
+        ev.cube("event_type", "day")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("day").cast("int").alias("g_day"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+        .select("event_type", "day", "g_type", "g_day", "n", "total_value")
+        .orderBy("g_type", "g_day", "event_type", "day")
+    )
+
+
+@query(
+    "g_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+    """,
+    doc="Explicit GROUPING SETS (test_grouping_set_pushdown.py:6-19).",
+)
+def g_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    t["orders"].createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+@query(
+    "s_union_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey, 'customer' AS src FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey, 'supplier' AS src FROM supplier
+    ORDER BY nationkey, src
+    """,
+    doc="UNION ALL with provenance column.",
+)
+def s_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    a = t["customer"].select(F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("src"))
+    b = t["supplier"].select(F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("src"))
+    return a.unionAll(b).orderBy("nationkey", "src")
+
+
+@query(
+    "s_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    doc="INTERSECT (distinct semantics).",
+)
+def s_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    a = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    b = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    return a.intersect(b).orderBy("nationkey")
+
+
+@query(
+    "s_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    doc="EXCEPT (distinct semantics).",
+)
+def s_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    a = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    b = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    # subtract() = EXCEPT DISTINCT; exceptAll().distinct() would keep
+    # values whose multiplicity in a exceeds that in b — wrong semantics.
+    return a.subtract(b).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Joins beyond inner (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "j_outer_join_coalesce",
+    oracle="""
+    SELECT n_name, coalesce(cnt, 0) AS n_customers
+    FROM nation LEFT JOIN (
+      SELECT c_nationkey, count(*) AS cnt FROM customer GROUP BY c_nationkey
+    ) c ON n_nationkey = c_nationkey
+    ORDER BY n_name
+    """,
+    doc="LEFT OUTER join + COALESCE null handling.",
+)
+def j_outer_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    counts = t["customer"].groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        t["nation"]
+        .join(counts, F.col("n_nationkey") == F.col("c_nationkey"), "left")
+        .select("n_name", F.coalesce(F.col("cnt"), F.lit(0)).alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "j_full_outer",
+    oracle="""
+    SELECT coalesce(c.k, s.k) AS nationkey, c.n_cust, s.n_supp
+    FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) c
+    FULL OUTER JOIN (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) s
+    ON c.k = s.k
+    ORDER BY nationkey
+    """,
+    doc="FULL OUTER join of two aggregates.",
+)
+def j_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].groupBy(F.col("c_nationkey").alias("k")).agg(F.count(F.lit(1)).alias("n_cust"))
+    s = t["supplier"].groupBy(F.col("s_nationkey").alias("k")).agg(F.count(F.lit(1)).alias("n_supp"))
+    return (
+        c.join(s, c.k == s.k, "full_outer")
+        .select(F.coalesce(c.k, s.k).alias("nationkey"), "n_cust", "n_supp")
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "j_semi_anti",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem))      AS parts_with_sales,
+      (SELECT count(*) FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem))  AS parts_without_sales,
+      (SELECT count(*) FROM customer WHERE NOT EXISTS
+          (SELECT 1 FROM orders WHERE o_custkey = c_custkey))                              AS customers_without_orders
+    """,
+    doc="SEMI/ANTI join counts from IN / NOT IN / NOT EXISTS (test_queries.py:1599).",
+)
+def j_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    part, li, cust, ords = t["part"], t["lineitem"], t["customer"], t["orders"]
+    with_sales = part.join(li, part.p_partkey == li.l_partkey, "left_semi").count()
+    without_sales = part.join(li, part.p_partkey == li.l_partkey, "left_anti").count()
+    cust_no_orders = cust.join(ords, cust.c_custkey == ords.o_custkey, "left_anti").count()
+    return spark.createDataFrame(
+        [(with_sales, without_sales, cust_no_orders)],
+        "parts_with_sales bigint, parts_without_sales bigint, customers_without_orders bigint",
+    )
+
+
+@query(
+    "j_cross_join",
+    oracle="""
+    SELECT r1.r_name AS region_a, r2.r_name AS region_b
+    FROM region r1 CROSS JOIN region r2
+    WHERE r1.r_name < r2.r_name
+    ORDER BY region_a, region_b
+    """,
+    doc="Cross join with theta filter (comma-join shape).",
+)
+def j_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    r1 = t["region"].select(F.col("r_name").alias("region_a"))
+    r2 = t["region"].select(F.col("r_name").alias("region_b"))
+    return r1.crossJoin(r2).filter(F.col("region_a") < F.col("region_b")).orderBy("region_a", "region_b")
+
+
+# ---------------------------------------------------------------------------
+# Distinct / subqueries / CTE / VALUES (SURVEY §2.4, §2.6)
+# ---------------------------------------------------------------------------
+
+@query(
+    "d_distinct_on_latest",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type FROM (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+      FROM events) t
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="DISTINCT ON (latest event per user) via row_number()=1.",
+)
+def d_distinct_on_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id"))
+    return (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "d_count_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events,
+           count(DISTINCT date_trunc('day', ts)) AS n_days
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Multiple COUNT(DISTINCT) in one aggregate (expand-based plan).",
+)
+def d_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(F.date_trunc("day", F.col("ts"))).alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "d_cte_values_join",
+    oracle="""
+    WITH seg(mktsegment, tier) AS (
+      VALUES ('BUILDING', 'core'), ('AUTOMOBILE', 'core'),
+             ('MACHINERY', 'growth'), ('HOUSEHOLD', 'growth'), ('FURNITURE', 'other')
+    )
+    SELECT tier, count(*) AS n_customers, sum(c_acctbal) AS total_balance
+    FROM customer JOIN seg ON c_mktsegment = seg.mktsegment
+    GROUP BY tier
+    ORDER BY tier
+    """,
+    doc="CTE + VALUES list join (query_pushdown.c:346-383 alias fixups analogue).",
+)
+def d_cte_values_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH seg AS (
+          SELECT * FROM VALUES ('BUILDING','core'), ('AUTOMOBILE','core'),
+                               ('MACHINERY','growth'), ('HOUSEHOLD','growth'),
+                               ('FURNITURE','other') AS seg(mktsegment, tier)
+        )
+        SELECT tier, count(*) AS n_customers, sum(c_acctbal) AS total_balance
+        FROM customer JOIN seg ON c_mktsegment = seg.mktsegment
+        GROUP BY tier
+        ORDER BY tier
+        """
+    )
+
+
+@query(
+    "d_correlated_scalar_subquery",
+    oracle="""
+    SELECT n_name,
+           (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_customers
+    FROM nation
+    ORDER BY n_name
+    """,
+    doc="Correlated scalar subquery (decorrelated to an aggregate join).",
+)
+def d_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_customers
+        FROM nation
+        ORDER BY n_name
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical & ordered-set aggregates (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "a_stat_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           stddev_samp(l_extendedprice) AS sd_price,
+           stddev_pop(l_extendedprice)  AS sdp_price,
+           var_samp(l_discount)         AS var_disc,
+           var_pop(l_discount)          AS varp_disc,
+           corr(l_extendedprice, l_quantity)      AS corr_pq,
+           covar_samp(l_extendedprice, l_quantity) AS cov_pq,
+           covar_pop(l_extendedprice, l_quantity)  AS covp_pq
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="stddev/variance/corr/covar family (shippable_builtin_functions.c:110-165).",
+)
+def a_stat_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.stddev_samp("l_extendedprice").alias("sd_price"),
+            F.stddev_pop("l_extendedprice").alias("sdp_price"),
+            F.var_samp("l_discount").alias("var_disc"),
+            F.var_pop("l_discount").alias("varp_disc"),
+            F.corr("l_extendedprice", "l_quantity").alias("corr_pq"),
+            F.covar_samp("l_extendedprice", "l_quantity").alias("cov_pq"),
+            F.covar_pop("l_extendedprice", "l_quantity").alias("covp_pq"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "a_regr_aggs",
+    oracle="""
+    SELECT regr_count(l_extendedprice, l_quantity)     AS r_count,
+           regr_avgx(l_extendedprice, l_quantity)      AS r_avgx,
+           regr_avgy(l_extendedprice, l_quantity)      AS r_avgy,
+           regr_slope(l_extendedprice, l_quantity)     AS r_slope,
+           regr_intercept(l_extendedprice, l_quantity) AS r_intercept,
+           regr_r2(l_extendedprice, l_quantity)        AS r_r2,
+           regr_sxx(l_extendedprice, l_quantity)       AS r_sxx,
+           regr_syy(l_extendedprice, l_quantity)       AS r_syy,
+           regr_sxy(l_extendedprice, l_quantity)       AS r_sxy
+    FROM lineitem
+    """,
+    doc="Linear-regression aggregate family.",
+)
+def a_regr_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    return li.agg(
+        F.regr_count("l_extendedprice", "l_quantity").alias("r_count"),
+        F.regr_avgx("l_extendedprice", "l_quantity").alias("r_avgx"),
+        F.regr_avgy("l_extendedprice", "l_quantity").alias("r_avgy"),
+        F.regr_slope("l_extendedprice", "l_quantity").alias("r_slope"),
+        F.regr_intercept("l_extendedprice", "l_quantity").alias("r_intercept"),
+        F.regr_r2("l_extendedprice", "l_quantity").alias("r_r2"),
+        F.regr_sxx("l_extendedprice", "l_quantity").alias("r_sxx"),
+        F.regr_syy("l_extendedprice", "l_quantity").alias("r_syy"),
+        F.regr_sxy("l_extendedprice", "l_quantity").alias("r_sxy"),
+    )
+
+
+@query(
+    "a_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5)  AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           min(value) AS min_v, max(value) AS max_v
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="percentile_cont (exact interpolated) per group.",
+)
+def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.95).alias("p95"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "a_bool_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           bool_and(n_nationkey >= 0) AS all_nonneg,
+           bool_or(n_nationkey > 20)  AS any_gt20,
+           string_agg(n_name, ',' ORDER BY n_name) AS names,
+           array_to_string(list(n_nationkey ORDER BY n_nationkey), ',') AS keys_csv
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    doc="bool_and/bool_or/string_agg/array_agg with deterministic ordering.",
+)
+def a_bool_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["nation"]
+        .groupBy("n_regionkey")
+        .agg(
+            F.bool_and(F.col("n_nationkey") >= 0).alias("all_nonneg"),
+            F.bool_or(F.col("n_nationkey") > 20).alias("any_gt20"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("n_nationkey")), lambda x: x.cast("string")),
+                ",",
+            ).alias("keys_csv"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrays / JSON / generate_series-unnest (SURVEY §2.7 array & JSON rows)
+# ---------------------------------------------------------------------------
+
+@query(
+    "arr_ops",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                  AS dim,
+           CAST(embedding[1] AS DOUBLE)                    AS first_elem,
+           CAST(list_aggregate(embedding, 'sum') AS DOUBLE) AS vec_sum,
+           CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS vec_max
+    FROM embeddings
+    ORDER BY vec_id
+    LIMIT 50
+    """,
+    doc="Array length/index/fold (cardinality, element access, aggregate-over-array).",
+)
+def arr_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb = F.col("embedding").cast("array<double>")
+    return (
+        t["embeddings"]
+        .select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            emb.getItem(0).alias("first_elem"),
+            F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x).alias("vec_sum"),
+            F.array_max(emb).alias("vec_max"),
+        )
+        .orderBy("vec_id")
+        .limit(50)
+    )
+
+
+@query(
+    "arr_unnest_series",
+    oracle="""
+    SELECT g.i AS i, count(*) AS n_orders
+    FROM orders, generate_series(1, 5) AS g(i)
+    WHERE o_orderkey % 5 = g.i % 5
+    GROUP BY g.i ORDER BY g.i
+    """,
+    doc="generate_series lateral + unnest-style expansion (UDTF surface §2.10).",
+)
+def arr_unnest_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    series = spark.range(1, 6).select(F.col("id").alias("i"))
+    return (
+        t["orders"]
+        .crossJoin(F.broadcast(series))
+        .filter(F.col("o_orderkey") % 5 == F.col("i") % 5)
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("i")
+    )
+
+
+@query(
+    "json_extract_agg",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n,
+           sum(value) AS total_value
+    FROM events
+    GROUP BY k_bucket
+    ORDER BY k_bucket
+    """,
+    doc="JSON field extraction + cast + aggregate (jsonb operator surface).",
+)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        t["events"]
+        .groupBy((k % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .orderBy("k_bucket")
+    )

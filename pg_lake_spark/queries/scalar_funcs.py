@@ -1,0 +1,377 @@
+"""Scalar-function coverage probes (SURVEY §2.7).
+
+One declared query per function family; each applies the family's
+functions row-wise over corpus tables and is verified against the DuckDB
+oracle. This mirrors the reference's operator_pushdown/ per-type corpus
+(pg_lake_table/tests/pytests/operator_pushdown/test_int4.py:14-80): the
+point is not the query shape but pinning down expression semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_lake_spark.functions.pg import pg_div, pg_mod, pg_substring, pg_to_char
+from pg_lake_spark.queries.registry import query
+from pg_lake_spark.session import load_tables
+
+
+@query(
+    "f_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(-l_quantity)                 AS abs_q,
+           ceil(l_extendedprice / 100)      AS ceil_p,
+           floor(l_extendedprice / 100)     AS floor_p,
+           round(l_extendedprice, 1)        AS round_p,
+           sqrt(l_quantity)                 AS sqrt_q,
+           ln(l_extendedprice)              AS ln_p,
+           log10(l_extendedprice)           AS log10_p,
+           power(l_quantity, 2)             AS pow_q,
+           sign(l_discount - 0.05)          AS sign_d,
+           CAST(greatest(l_quantity, 25) AS DOUBLE) AS greatest_q,
+           CAST(least(l_quantity, 25) AS DOUBLE)    AS least_q
+    FROM lineitem
+    WHERE l_orderkey <= 200
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="abs/ceil/floor/round/sqrt/ln/log10/power/sign/greatest/least.",
+)
+def f_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_orderkey") <= 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(-F.col("l_quantity")).alias("abs_q"),
+        F.ceil(F.col("l_extendedprice") / 100).alias("ceil_p"),
+        F.floor(F.col("l_extendedprice") / 100).alias("floor_p"),
+        F.round(F.col("l_extendedprice"), 1).alias("round_p"),
+        F.sqrt("l_quantity").alias("sqrt_q"),
+        F.log(F.col("l_extendedprice")).alias("ln_p"),
+        F.log10("l_extendedprice").alias("log10_p"),
+        F.pow("l_quantity", F.lit(2)).alias("pow_q"),
+        F.signum(F.col("l_discount") - 0.05).alias("sign_d"),
+        F.greatest(F.col("l_quantity"), F.lit(25)).cast("double").alias("greatest_q"),
+        F.least(F.col("l_quantity"), F.lit(25)).cast("double").alias("least_q"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "f_trig",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           sin(l_discount)  AS sin_d,
+           cos(l_discount)  AS cos_d,
+           tan(l_discount)  AS tan_d,
+           asin(l_discount) AS asin_d,
+           acos(l_discount) AS acos_d,
+           atan(l_discount) AS atan_d,
+           atan2(l_discount, l_tax + 0.01) AS atan2_dt,
+           degrees(l_discount) AS deg_d,
+           radians(l_quantity) AS rad_q,
+           (exp(l_discount) - exp(-l_discount)) / 2 AS sinh_d,
+           (exp(l_discount) + exp(-l_discount)) / 2 AS cosh_d,
+           (exp(2*l_discount) - 1) / (exp(2*l_discount) + 1) AS tanh_d
+    FROM lineitem WHERE l_orderkey <= 200
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="Trig + hyperbolic family (rewrite_query.c:165-167 shims analogue).",
+)
+def f_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_orderkey") <= 200)
+    d = F.col("l_discount")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sin(d).alias("sin_d"),
+        F.cos(d).alias("cos_d"),
+        F.tan(d).alias("tan_d"),
+        F.asin(d).alias("asin_d"),
+        F.acos(d).alias("acos_d"),
+        F.atan(d).alias("atan_d"),
+        F.atan2(d, F.col("l_tax") + 0.01).alias("atan2_dt"),
+        F.degrees(d).alias("deg_d"),
+        F.radians("l_quantity").alias("rad_q"),
+        F.sinh(d).alias("sinh_d"),
+        F.cosh(d).alias("cosh_d"),
+        F.tanh(d).alias("tanh_d"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "f_intdiv",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey // 7                  AS div7,
+           o_orderkey % 7                   AS mod7,
+           CAST(o_orderkey AS DOUBLE) / 7   AS fdiv7
+    FROM orders WHERE o_orderkey <= 500
+    ORDER BY o_orderkey
+    """,
+    doc="PG integer division semantics: 4/10=0 (rewrite_query.c:189).",
+)
+def f_intdiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        pg_div("o_orderkey", F.lit(7)).alias("div7"),
+        pg_mod("o_orderkey", F.lit(7)).cast("bigint").alias("mod7"),
+        (F.col("o_orderkey").cast("double") / 7).alias("fdiv7"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "f_string",
+    oracle="""
+    SELECT doc_id,
+           length(text)                    AS len,
+           upper(substr(text, 1, 12))      AS up12,
+           lower(source)                   AS lo_src,
+           substr(text, 5, 10)             AS sub_5_10,
+           left(text, 6)                   AS left6,
+           right(text, 6)                  AS right6,
+           lpad(lang, 5, '*')              AS lpad_lang,
+           rpad(lang, 5, '*')              AS rpad_lang,
+           trim(' ' || lang || ' ')        AS trimmed,
+           replace(lang, 'e', 'E')         AS repl,
+           reverse(lang)                   AS rev,
+           repeat(lang, 2)                 AS rep2,
+           split_part(text, ' ', 2)        AS word2,
+           strpos(text, 'data')            AS pos_data,
+           concat_ws('|', lang, source)    AS cat,
+           md5(text)                       AS text_md5,
+           ascii(lang)                     AS first_ascii,
+           starts_with(text, 'the')        AS starts_the,
+           concat(upper(substr(split_part(text, ' ', 1), 1, 1)),
+                  substr(split_part(text, ' ', 1), 2)) AS cap_word1
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="String function family (shippable_builtin_functions.c:412-447).",
+)
+def f_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    return d.select(
+        "doc_id",
+        F.length("text").alias("len"),
+        F.upper(F.substring("text", 1, 12)).alias("up12"),
+        F.lower("source").alias("lo_src"),
+        F.substring("text", 5, 10).alias("sub_5_10"),
+        F.left(F.col("text"), F.lit(6)).alias("left6"),
+        F.right(F.col("text"), F.lit(6)).alias("right6"),
+        F.lpad("lang", 5, "*").alias("lpad_lang"),
+        F.rpad("lang", 5, "*").alias("rpad_lang"),
+        F.trim(F.concat(F.lit(" "), F.col("lang"), F.lit(" "))).alias("trimmed"),
+        F.replace(F.col("lang"), F.lit("e"), F.lit("E")).alias("repl"),
+        F.reverse("lang").alias("rev"),
+        F.repeat("lang", 2).alias("rep2"),
+        F.split_part(F.col("text"), F.lit(" "), F.lit(2)).alias("word2"),
+        F.instr(F.col("text"), "data").alias("pos_data"),
+        F.concat_ws("|", "lang", "source").alias("cat"),
+        F.md5("text").alias("text_md5"),
+        F.ascii("lang").alias("first_ascii"),
+        F.startswith(F.col("text"), F.lit("the")).alias("starts_the"),
+        F.initcap(F.split_part(F.col("text"), F.lit(" "), F.lit(1))).alias("cap_word1"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "f_substring_pg",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN -2 >= 1 THEN substr(text, -2, 5)
+                ELSE substr(text, 1, greatest(5 - (1 - -2), 0)) END AS neg_start,
+           substr(text, 3, 4) AS pos_start
+    FROM documents WHERE doc_id <= 50 ORDER BY doc_id
+    """,
+    doc="PG negative-start substring (duckdb_pglake_extension.cpp:157 analogue).",
+)
+def f_substring_pg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") <= 50)
+    return d.select(
+        "doc_id",
+        pg_substring("text", -2, 5).alias("neg_start"),
+        pg_substring("text", 3, 4).alias("pos_start"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "f_regex",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(substr(text, 1, 40), '[aeiou]', '*', 'g') AS no_vowels,
+           regexp_matches(text, 'data.*table')                      AS has_seq,
+           regexp_extract(text, '([a-z]+) ([a-z]+)', 2)             AS second_word,
+           count(*) OVER () AS n
+    FROM documents WHERE doc_id <= 100 ORDER BY doc_id
+    """,
+    doc="Regex family: replace (global), match test, capture-group extract.",
+)
+def f_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") <= 100)
+    from pyspark.sql import Window
+
+    return d.select(
+        "doc_id",
+        F.regexp_replace(F.substring("text", 1, 40), "[aeiou]", "*").alias("no_vowels"),
+        F.col("text").rlike("data.*table").alias("has_seq"),
+        F.regexp_extract(F.col("text"), "([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "f_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)     AS y,
+           CAST(month(o_orderdate) AS INT)    AS m,
+           CAST(day(o_orderdate) AS INT)      AS d,
+           CAST(quarter(o_orderdate) AS INT)  AS q,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_trunc('year', o_orderdate) AS TIMESTAMP)  AS year_start,
+           o_orderdate + INTERVAL 7 DAY       AS plus_week,
+           date_diff('day', o_orderdate, TIMESTAMP '2001-12-31') AS days_to_eoy,
+           CAST(extract(hour FROM o_orderdate) AS INT) AS hr
+    FROM orders WHERE o_orderkey <= 500
+    ORDER BY o_orderkey
+    """,
+    doc="extract/date_trunc/interval arithmetic/date_diff family.",
+)
+def f_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.date_trunc("year", F.col("o_orderdate")).alias("year_start"),
+        F.expr("o_orderdate + INTERVAL 7 DAY").alias("plus_week"),
+        F.datediff(F.lit("2001-12-31").cast("timestamp_ntz"), F.col("o_orderdate")).alias(
+            "days_to_eoy"
+        ),
+        F.hour("o_orderdate").alias("hr"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "f_to_char",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d')          AS iso_day,
+           strftime(o_orderdate, '%d/%m/%Y %H:%M:%S') AS eu_ts,
+           strftime(o_orderdate, '%Y')                AS just_year
+    FROM orders WHERE o_orderkey <= 300
+    ORDER BY o_orderkey
+    """,
+    doc="to_char via PG-format→DateTimeFormatter compiler (to_char.c analogue).",
+)
+def f_to_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderkey") <= 300)
+    return o.select(
+        "o_orderkey",
+        pg_to_char("o_orderdate", "YYYY-MM-DD").alias("iso_day"),
+        pg_to_char("o_orderdate", "DD/MM/YYYY HH24:MI:SS").alias("eu_ts"),
+        pg_to_char("o_orderdate", "YYYY").alias("just_year"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "f_case_nullif",
+    oracle="""
+    SELECT o_orderkey,
+           CASE o_orderstatus WHEN 'F' THEN 'final' WHEN 'O' THEN 'open' ELSE 'other' END AS status_name,
+           CASE WHEN o_totalprice > 200000 THEN 'big' WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS size_tier,
+           nullif(o_orderstatus, 'P')                    AS status_nullp,
+           coalesce(nullif(o_orderstatus, 'P'), 'PEND')  AS status_coal,
+           (o_orderstatus = 'F' AND o_totalprice > 50000) AS is_big_final
+    FROM orders WHERE o_orderkey <= 500
+    ORDER BY o_orderkey
+    """,
+    doc="CASE/NULLIF/COALESCE/boolean logic (deparse walker surface §2.2).",
+)
+def f_case_nullif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "final")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("other")
+        .alias("status_name"),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("size_tier"),
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_nullp"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PEND")).alias(
+            "status_coal"
+        ),
+        ((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 50000)).alias("is_big_final"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "f_encode_decode",
+    oracle="""
+    SELECT doc_id,
+           lower(hex(CAST(lang AS BLOB))) AS lang_hex,
+           to_base64(CAST(lang AS BLOB))  AS lang_b64,
+           md5(source)                    AS src_md5
+    FROM documents WHERE doc_id <= 100 ORDER BY doc_id
+    """,
+    doc="encode/decode hex+base64 (shippable_builtin_functions.c:453-455).",
+)
+def f_encode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") <= 100)
+    return d.select(
+        "doc_id",
+        F.lower(F.hex(F.col("lang").cast("binary"))).alias("lang_hex"),
+        F.base64(F.col("lang").cast("binary")).alias("lang_b64"),
+        F.md5("source").alias("src_md5"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "f_casts",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_totalprice AS BIGINT)          AS price_int,
+           CAST(o_totalprice AS DECIMAL(18,2))   AS price_dec,
+           CAST(o_orderkey AS VARCHAR)           AS key_str,
+           CAST(o_orderkey AS DOUBLE)            AS key_dbl,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+           CAST('42' AS INTEGER)                 AS const_int,
+           CAST('3.5' AS DOUBLE)                 AS const_dbl
+    FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey
+    """,
+    doc="Cast surface incl. numeric→int rounding (PG round-half-even on ::bigint).",
+)
+def f_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderkey") <= 500)
+    # PG/DuckDB double→int casts round half-EVEN (rint); Spark CAST
+    # truncates and round() is half-up — rint matches (SURVEY §2.7 casts).
+    rounded = F.expr("CAST(rint(o_totalprice) AS BIGINT)")
+    return o.select(
+        "o_orderkey",
+        rounded.alias("price_int"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("double").alias("key_dbl"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+        F.lit("42").cast("int").alias("const_int"),
+        F.lit("3.5").cast("double").alias("const_dbl"),
+    ).orderBy("o_orderkey")

@@ -1,0 +1,166 @@
+"""LakeSession — the engine facade.
+
+Reference parity: pg_lake registers lake tables as foreign tables whose
+schema is inferred from data (``DescribeColumnsForURL``,
+pg_lake_table/src/describe/describe.c:61) and then delegates execution
+to a vectorized engine. Here SparkSession *is* the engine; this module
+standardizes its configuration for lakehouse analytics and registers the
+test-corpus tables as temp views so SQL and DataFrame code share one
+catalog.
+
+Scale notes (100 TB design intent):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic join-strategy demotion replace hand-tuned partition counts.
+- ``spark.sql.shuffle.partitions`` is only the *initial* value; AQE
+  coalesces. On a real cluster set it ≈ 2-3× total cores.
+- Timestamps are NTZ end-to-end (parquet inferTimestampNTZ), matching
+  the reference's TIMESTAMP semantics (type.c:254) and the DuckDB oracle.
+- Broadcast threshold left at default (10 MB); dimension tables in the
+  star schema broadcast automatically, and `queries/` adds explicit
+  ``broadcast()`` hints where the optimizer cannot know sizes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Canonical table inventory of the test corpus (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _default_parallelism() -> str:
+    return os.environ.get("SPARK_GRAFT_CPUS", "*")
+
+
+def get_spark(
+    app_name: str = "pg_lake_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession configured for the lake engine."""
+    if master is None:
+        master = f"local[{_default_parallelism()}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("PG_LAKE_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # Parquet TIMESTAMP(NANOS) has no Spark type; read as long and
+        # normalize in load_tables (reference handles the same via its
+        # TIMESTAMP_NS type-map row, type.c:290-302).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Arrow for any pandas-UDF path (the sanctioned Python escape hatch).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", os.environ.get("PG_LAKE_SPARK_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("PG_LAKE_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    register_views: bool = True,
+) -> dict[str, DataFrame]:
+    """Load the corpus tables from ``sf_dir`` and register temp views.
+
+    Mirrors pg_lake's lake-table registration flow: one DataFrame per
+    parquet table, schema inferred from the files. Missing tables are
+    skipped (small SF dirs may not carry every table).
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = _normalize_ns_timestamps(spark.read.parquet(path), path)
+        out[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
+    return out
+
+
+def _normalize_ns_timestamps(df: DataFrame, path: str) -> DataFrame:
+    """Convert TIMESTAMP(NANOS) columns (read as long nanos via
+    nanosAsLong) back to timestamp_ntz at microsecond precision.
+
+    Truncation (ns div 1000) matches DuckDB's ns→us conversion, so the
+    oracle sees identical values. Column detection uses the parquet
+    footer, not name heuristics.
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    try:
+        schema = pq.read_schema(path)
+    except (OSError, ValueError):
+        return df
+    for field in schema:
+        if str(field.type) == "timestamp[ns]":
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros(F.expr(f"{field.name} div 1000")).cast("timestamp_ntz"),
+            )
+    return df
+
+
+class LakeSession:
+    """Thin engine facade bundling a SparkSession with lake-table helpers.
+
+    Reference analogue: the pg_lake extension set as a whole — session
+    owns the catalog of registered lake tables and exposes read/write/
+    maintenance entry points.
+    """
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or get_spark()
+        self._tables: dict[str, DataFrame] = {}
+
+    # -- registration ---------------------------------------------------
+    def register_corpus(self, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+        self._tables = load_tables(self.spark, sf_dir)
+        return self._tables
+
+    def register_lake_table(self, name: str, path: str, fmt: str = "parquet", **options) -> DataFrame:
+        """CREATE FOREIGN TABLE () SERVER pg_lake analogue: infer schema
+        from files at ``path`` and register under ``name``."""
+        from pg_lake_spark.sources import readers
+
+        df = readers.read_lake(self.spark, path, fmt=fmt, **options)
+        df.createOrReplaceTempView(name)
+        self._tables[name] = df
+        return df
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    def stop(self) -> None:
+        self.spark.stop()

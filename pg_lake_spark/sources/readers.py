@@ -1,0 +1,183 @@
+"""Lake readers: Parquet / CSV (dialect-sniffed) / JSON / text-log.
+
+Reference parity (SURVEY §2.1):
+- ``read_lake(fmt='parquet'|'csv'|'json')`` ≈ the lake analytics table
+  over files/globs (pg_lake_table option.c: path/format/compression/
+  header/delimiter/quote/escape/null/filename options).
+- CSV dialect sniffing ≈ SniffCSV (pg_lake_engine/src/pgduck/
+  sniff_csv.c:35): sample the head of the first file, probe candidate
+  delimiters/quotes, pick the most consistent.
+- ``filename 'true'`` option ≈ withColumn(input_file_name()).
+- S3 access-log scan ≈ read_data.c:1876 GetLogFormatRegex — text source
+  + regexp_extract projection.
+- ``list_files`` ≈ lake_file.list() (remote_storage.c:67).
+
+Compression (gzip/zstd/…) needs no option: Spark's text-based sources
+infer it from the file extension, like the reference's DuckDB readers.
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import glob as _glob
+import io
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SNIFF_BYTES = 64 * 1024
+_CANDIDATE_DELIMS = [",", "\t", ";", "|"]
+
+
+def sniff_csv_dialect(path: str, sample_bytes: int = _SNIFF_BYTES) -> dict[str, str | bool]:
+    """Infer delimiter/quote/header from a sample of the first file.
+
+    Mirrors SniffCSV's approach (sample → dialect probe → header
+    detection by type-consistency of the first row). Driver-side, reads
+    only ``sample_bytes`` of one file — O(1) regardless of table size.
+    """
+    paths = sorted(_glob.glob(path)) if any(c in path for c in "*?[") else [path]
+    if not paths:
+        raise FileNotFoundError(path)
+    first = paths[0]
+    if os.path.isdir(first):  # directory table: sniff the first data file
+        parts = sorted(
+            p
+            for p in os.listdir(first)
+            if not p.startswith((".", "_")) and (".csv" in p or ".txt" in p or "." not in p)
+        )
+        if not parts:
+            raise FileNotFoundError(f"no data files under {first}")
+        first = os.path.join(first, parts[0])
+    opener = open
+    if first.endswith(".gz"):
+        import gzip
+
+        opener = gzip.open
+    with opener(first, "rb") as f:
+        sample = f.read(sample_bytes).decode("utf-8", errors="replace")
+
+    try:
+        dialect = _csv.Sniffer().sniff(sample, delimiters="".join(_CANDIDATE_DELIMS))
+        delim, quote = dialect.delimiter, dialect.quotechar
+    except _csv.Error:
+        # fall back: most frequent candidate in the first line
+        line1 = sample.splitlines()[0] if sample else ""
+        delim = max(_CANDIDATE_DELIMS, key=line1.count)
+        quote = '"'
+    try:
+        header = _csv.Sniffer().has_header(sample)
+    except _csv.Error:
+        header = True
+    return {"sep": delim, "quote": quote, "header": header}
+
+
+def read_lake(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    *,
+    filename: bool = False,
+    schema: str | None = None,
+    **options,
+) -> DataFrame:
+    """Register-and-read a lake table from a file/glob/directory.
+
+    ``fmt``: parquet | csv | json | text | log. CSV dialect options not
+    supplied are sniffed from the data. ``filename=True`` appends the
+    source-file column (reference option ``filename 'true'``,
+    docs/query-data-lake-files.md:86-93).
+    """
+    fmt = fmt.lower()
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+
+    if fmt == "parquet":
+        df = reader.options(**options).parquet(path)
+    elif fmt == "csv":
+        local = not path.startswith(("s3://", "s3a://", "hdfs://"))
+        sniffed: dict = sniff_csv_dialect(path) if local else {"header": True}
+        merged = {**sniffed, **options}
+        merged.setdefault("inferSchema", schema is None)
+        df = reader.options(**{k: str(v) for k, v in merged.items()}).csv(path)
+    elif fmt == "json":
+        df = reader.options(**options).json(path)
+    elif fmt == "text":
+        df = reader.options(**options).text(path)
+    elif fmt == "log":
+        df = read_log(spark, path, log_format=options.pop("log_format", "s3"))
+    else:
+        raise ValueError(f"unsupported lake format: {fmt}")
+
+    if filename:
+        df = df.withColumn("filename", F.input_file_name())
+    return df
+
+
+# S3 server-access-log layout (reference read_data.c:1876 GetLogFormatRegex).
+_S3_LOG_FIELDS = [
+    ("bucket_owner", r"(\S+)"),
+    ("bucket", r"(\S+)"),
+    ("event_time", r"\[([^\]]+)\]"),
+    ("remote_ip", r"(\S+)"),
+    ("requester", r"(\S+)"),
+    ("request_id", r"(\S+)"),
+    ("operation", r"(\S+)"),
+    ("key", r"(\S+)"),
+    ("request_uri", r'"([^"]*)"'),
+    ("http_status", r"(\d+|-)"),
+    ("error_code", r"(\S+)"),
+    ("bytes_sent", r"(\d+|-)"),
+    ("object_size", r"(\d+|-)"),
+    ("total_time", r"(\d+|-)"),
+    ("turn_around_time", r"(\d+|-)"),
+]
+
+
+def read_log(spark: SparkSession, path: str, log_format: str = "s3") -> DataFrame:
+    """Structured scan of text logs via one regexp projection.
+
+    The regex runs JVM-side per line (codegen) — a single map stage at
+    any scale, mirroring the reference's `log_format` tables.
+    """
+    if log_format != "s3":
+        raise ValueError(f"unsupported log_format: {log_format}")
+    pattern = r"^" + r"\s+".join(p for _, p in _S3_LOG_FIELDS)
+    raw = spark.read.text(path)
+    cols = [
+        F.regexp_extract(F.col("value"), pattern, i + 1).alias(name)
+        for i, (name, _) in enumerate(_S3_LOG_FIELDS)
+    ]
+    df = raw.select(*cols)
+    # numeric fields: '-' → NULL, else int (PG-style log typing)
+    for c in ("http_status", "bytes_sent", "object_size", "total_time", "turn_around_time"):
+        df = df.withColumn(c, F.when(F.col(c).rlike(r"^\d+$"), F.col(c).cast("long")))
+    return df
+
+
+def list_files(spark: SparkSession, pattern: str) -> DataFrame:
+    """``lake_file.list()`` equivalent: file names + sizes + mtimes for a
+    glob, as a DataFrame. Uses the Hadoop FileSystem API so the same code
+    path works for s3a:///hdfs:// URIs on a real cluster."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    conf = jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(pattern)
+    fs = hpath.getFileSystem(conf)
+    statuses = fs.globStatus(hpath)
+    rows = []
+    if statuses is not None:
+        for st in statuses:
+            rows.append(
+                (
+                    st.getPath().toString(),
+                    int(st.getLen()),
+                    int(st.getModificationTime()) // 1000,
+                    bool(st.isDirectory()),
+                )
+            )
+    return spark.createDataFrame(
+        rows, "path string, size_bytes bigint, mtime_epoch bigint, is_dir boolean"
+    )

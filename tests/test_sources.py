@@ -1,0 +1,112 @@
+"""Reader/writer surface tests: CSV sniffing, globbing, filename column,
+log scan, file listing, COPY round-trips (reference test analogues:
+test_csv_options.py, test_compressed_fdw.py, test_filename.py).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+
+from pg_lake_spark.sources import copy_to, list_files, read_lake, sniff_csv_dialect
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def nationlike(spark):
+    return spark.createDataFrame(
+        [(0, "ALGERIA", 0), (1, "ARGENTINA", 1), (2, "BRAZIL", 1), (3, "CANADA", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+
+
+def test_sniff_comma_header(tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("a,b,c\n1,x,2.5\n2,y,3.5\n")
+    d = sniff_csv_dialect(str(p))
+    assert d["sep"] == "," and d["header"] is True
+
+
+def test_sniff_semicolon(tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("id;name;val\n1;aa;2\n2;bb;3\n")
+    assert sniff_csv_dialect(str(p))["sep"] == ";"
+
+
+def test_csv_roundtrip_with_sniffing(spark, nationlike, tmp_path):
+    out = str(tmp_path / "nation_csv")
+    copy_to(nationlike, out, "csv", compression="none", single_file=True)
+    back = read_lake(spark, out, "csv")
+    assert sorted(r.n_name for r in back.collect()) == ["ALGERIA", "ARGENTINA", "BRAZIL", "CANADA"]
+    assert dict(back.dtypes)["n_nationkey"] == "int"  # inferSchema
+
+
+def test_csv_gzip_roundtrip(spark, nationlike, tmp_path):
+    out = str(tmp_path / "nation_gz")
+    copy_to(nationlike, out, "csv", compression="gzip")
+    files = [f for f in os.listdir(out) if f.endswith(".csv.gz")]
+    assert files, "expected gzip csv parts"
+    back = read_lake(spark, out + "/*.csv.gz", "csv", header=True, inferSchema=True)
+    assert back.count() == 4
+
+
+def test_json_roundtrip(spark, nationlike, tmp_path):
+    out = str(tmp_path / "nation_json")
+    copy_to(nationlike, out, "json", compression="none")
+    back = read_lake(spark, out, "json")
+    assert back.count() == 4
+
+
+def test_parquet_glob_and_filename(spark, nationlike, tmp_path):
+    for i in range(3):
+        copy_to(nationlike.limit(i + 1), str(tmp_path / f"part{i}.parquet"), "parquet")
+    df = read_lake(spark, str(tmp_path / "part*.parquet"), "parquet", filename=True)
+    assert df.count() == 6  # 1+2+3
+    names = {os.path.basename(r.filename).split("/")[-1] for r in df.select("filename").collect()}
+    assert len({n for n in names}) >= 1
+
+
+def test_filename_column(spark):
+    df = read_lake(spark, os.path.join(SF_DIR, "region.parquet"), "parquet", filename=True)
+    assert "filename" in df.columns
+    assert all("region.parquet" in r.filename for r in df.collect())
+
+
+def test_list_files(spark):
+    df = list_files(spark, os.path.join(SF_DIR, "*.parquet"))
+    rows = df.collect()
+    assert any(r.path.endswith("lineitem.parquet") for r in rows)
+    assert all(r.size_bytes > 0 for r in rows)
+
+
+def test_log_reader(spark, tmp_path):
+    line = (
+        "79a5 mybucket [06/Feb/2019:00:00:38 +0000] 192.0.2.3 79a5 3E57427F3EXAMPLE "
+        'REST.GET.VERSIONING mykey "GET /mybucket?versioning HTTP/1.1" 200 - - 113 7 10'
+    )
+    p = tmp_path / "access.log"
+    p.write_text(line + "\n" + line + "\n")
+    df = read_lake(spark, str(p), "log")
+    rows = df.collect()
+    assert len(rows) == 2
+    assert rows[0].bucket == "mybucket"
+    assert rows[0].http_status == 200
+    assert rows[0].bytes_sent is None  # '-' → NULL
+    assert rows[0].object_size == 113
+
+
+def test_copy_to_validates():
+    with pytest.raises(ValueError):
+        copy_to(None, "/tmp/x", "avro")
+    with pytest.raises(ValueError):
+        copy_to(None, "/tmp/x", "parquet", compression="bzip2")
+
+
+def test_csv_partition_by(spark, nationlike, tmp_path):
+    out = str(tmp_path / "by_region")
+    copy_to(nationlike, out, "parquet", partition_by=["n_regionkey"])
+    assert os.path.isdir(os.path.join(out, "n_regionkey=1"))
+    back = read_lake(spark, out, "parquet")
+    assert back.count() == 4
