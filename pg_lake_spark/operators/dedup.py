@@ -55,6 +55,40 @@ def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
     return F.array(*sigs)
 
 
+def minhash_signature_agg(
+    df: DataFrame, id_col: str, text_col: str, *, shingle_n: int = 3, num_hashes: int = 12
+) -> DataFrame:
+    """MinHash signatures via explode + min-aggregate: (_id, _h0.._hk).
+
+    Preferred over :func:`minhash_signature` inside larger pipelines:
+    the expression version duplicates the whole shingle subexpression
+    per hash after Catalyst's CollapseProject, which bloats codegen
+    (observed 60 s+ JIT on a 12-hash tree). Here each shingle is
+    hashed once per seed and min() combines map-side, so the shuffle
+    carries only num_hashes values per doc.
+    """
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    # The hash fan-out is CPU-bound; if the source has fewer partitions
+    # than cores (single-row-group files, small tables), spread it. The
+    # pre-explode shuffle moves only (id, text) — cheap relative to the
+    # hash work it parallelizes; skipped when the scan is already wide.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        base = base.repartition(par, "_id")
+    ex = base.select("_id", F.explode(word_shingles("_t", shingle_n)).alias("_s"))
+    # One md5 per shingle → 32-bit base hash; the k-hash family is the
+    # standard linear-permutation trick h_i(x) = (a_i·h + b_i) mod p,
+    # which is k cheap codegen'd integer ops instead of k digests.
+    h = F.conv(F.substring(F.md5("_s"), 1, 8), 16, 10).cast("bigint")
+    ex = ex.select("_id", h.alias("_h"))
+    p = 4294967311  # smallest prime > 2^32; a·h+b < 2^52 — no overflow
+    aggs = [
+        F.min((F.lit(2 * i + 1) * F.col("_h") + F.lit(7919 * i + 1)) % p).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy("_id").agg(*aggs)
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two array columns (distinct semantics)."""
     return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
@@ -96,12 +130,15 @@ def lsh_candidate_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(text_col, shingle_n).alias("_sh"),
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+    # One signing pass over the corpus (explode + min-agg; see
+    # minhash_signature_agg for why not the pure-expression form);
+    # shingle arrays are NOT kept — they are recomputed later only for
+    # candidate docs (a tiny fraction of the corpus at scale).
+    sigs = minhash_signature_agg(
+        df, id_col, text_col, shingle_n=shingle_n, num_hashes=num_hashes
+    )
 
-    banded = base.select(
+    banded = sigs.select(
         "_id",
         F.explode(
             F.array(
@@ -109,7 +146,15 @@ def lsh_candidate_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.md5(
-                            F.array_join(F.slice("_sig", b * rows_per_band + 1, rows_per_band), "|")
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    f"_h{i}"
+                                    for i in range(
+                                        b * rows_per_band, (b + 1) * rows_per_band
+                                    )
+                                ],
+                            )
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -120,6 +165,9 @@ def lsh_candidate_pairs(
 
     left = banded.alias("l")
     right = banded.alias("r")
+    # Candidate pairs are tiny relative to the corpus; persist them so
+    # the verify stage (which references cand three times) computes the
+    # banding join exactly once.
     cand = (
         left.join(
             right,
@@ -129,10 +177,25 @@ def lsh_candidate_pairs(
         )
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
+        .persist()
+    )
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_id"))
+        .union(cand.select(F.col("id_b").alias("_id")))
+        .distinct()
     )
 
-    a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    # Shingle ONLY candidate docs (semi-join pushfilter): shingling is
+    # an interpreted higher-order expression — the most expensive step
+    # per row — so restricting it to candidates is the main saving at
+    # scale (and locally: full-corpus shingling measured ~3.5 s vs
+    # milliseconds for the candidate subset).
+    needed = df.join(F.broadcast(cand_ids), df[id_col] == cand_ids["_id"], "left_semi")
+    shingled = needed.select(
+        F.col(id_col).alias("_id"), word_shingles(text_col, shingle_n).alias("_sh")
+    )
+    a = shingled.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = shingled.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
