@@ -1,0 +1,284 @@
+"""Table metadata: versions, snapshots, manifests, commit protocol.
+
+Models the reference's system catalogs (SURVEY §1.3) as JSON under the
+table location — the pure-PySpark stand-in for Iceberg metadata:
+
+- ``lake_table.files``                  → manifest entries (path, rows, size)
+- ``lake_table.data_file_column_stats`` → per-entry ``stats`` (min/max/nulls)
+- ``partition_specs`` / ``data_file_partition_values`` → ``partition_spec``
+  in metadata + per-entry ``partition`` dict
+- Iceberg metadata.json / snapshots     → ``v{N}.metadata.json`` + immutable
+  ``snap-*.json`` manifests; ``version-hint.text`` points at the current
+  version (HadoopCatalog-style)
+- ``lake_engine.deletion_queue``        → ``deletion_queue`` list in metadata
+  (path + enqueue timestamp, purged by vacuum after retention)
+
+Scale note: metadata.json stays O(#snapshots); file lists live in
+per-snapshot manifest files so a 100 TB table with millions of files
+never loads into one JSON blob unless a scan touches it — and scans
+stream manifests per snapshot. Commit is single-writer via an O_EXCL
+lock file + atomic rename, mirroring the reference's per-table writer
+lock ("An update/delete command locks the table",
+docs/iceberg-tables.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+
+METADATA_DIR = "_lake_metadata"
+VERSION_HINT = "version-hint.text"
+LOCK_FILE = "commit.lock"
+
+
+@dataclass
+class DataFile:
+    path: str
+    row_count: int
+    size_bytes: int
+    partition: dict[str, object] = field(default_factory=dict)
+    # col → {"min": v, "max": v, "null_count": n} (JSON-encodable values)
+    stats: dict[str, dict] = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "path": self.path,
+            "row_count": self.row_count,
+            "size_bytes": self.size_bytes,
+            "partition": self.partition,
+            "stats": self.stats,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "DataFile":
+        return DataFile(
+            path=d["path"],
+            row_count=d["row_count"],
+            size_bytes=d["size_bytes"],
+            partition=d.get("partition", {}),
+            stats=d.get("stats", {}),
+        )
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    timestamp_ms: int
+    operation: str  # append | delete | overwrite | compact
+    manifests: list[str]  # relative paths under _lake_metadata
+    summary: dict = field(default_factory=dict)
+
+
+class TableMetadata:
+    """In-memory image of one metadata version."""
+
+    def __init__(
+        self,
+        location: str,
+        schema_ddl: str,
+        partition_spec: list[dict] | None = None,
+        properties: dict | None = None,
+    ):
+        self.location = location
+        self.table_uuid = str(uuid.uuid4())
+        self.schema_ddl = schema_ddl
+        self.partition_spec = partition_spec or []  # [{transform,param,column}]
+        self.properties = properties or {}
+        self.snapshots: list[Snapshot] = []
+        self.current_snapshot_id: int | None = None
+        self.deletion_queue: list[dict] = []  # {"path":…, "enqueued_ms":…}
+        self.version = 0
+
+    # -- serialization ---------------------------------------------------
+    def to_json(self) -> dict:
+        return {
+            "format_version": 1,
+            "table_uuid": self.table_uuid,
+            "location": self.location,
+            "schema_ddl": self.schema_ddl,
+            "partition_spec": self.partition_spec,
+            "properties": self.properties,
+            "current_snapshot_id": self.current_snapshot_id,
+            "snapshots": [
+                {
+                    "snapshot_id": s.snapshot_id,
+                    "timestamp_ms": s.timestamp_ms,
+                    "operation": s.operation,
+                    "manifests": s.manifests,
+                    "summary": s.summary,
+                }
+                for s in self.snapshots
+            ],
+            "deletion_queue": self.deletion_queue,
+            "version": self.version,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "TableMetadata":
+        md = TableMetadata(d["location"], d["schema_ddl"], d.get("partition_spec"), d.get("properties"))
+        md.table_uuid = d["table_uuid"]
+        md.current_snapshot_id = d.get("current_snapshot_id")
+        md.snapshots = [
+            Snapshot(
+                snapshot_id=s["snapshot_id"],
+                timestamp_ms=s["timestamp_ms"],
+                operation=s["operation"],
+                manifests=s["manifests"],
+                summary=s.get("summary", {}),
+            )
+            for s in d.get("snapshots", [])
+        ]
+        md.deletion_queue = d.get("deletion_queue", [])
+        md.version = d.get("version", 0)
+        return md
+
+    # -- snapshot helpers -------------------------------------------------
+    def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
+        for s in self.snapshots:
+            if s.snapshot_id == snapshot_id:
+                return s
+        raise KeyError(f"snapshot {snapshot_id} not found")
+
+    def snapshot_as_of(self, ts_ms: int) -> Snapshot:
+        eligible = [s for s in self.snapshots if s.timestamp_ms <= ts_ms]
+        if not eligible:
+            raise KeyError(f"no snapshot at or before {ts_ms}")
+        return max(eligible, key=lambda s: s.timestamp_ms)
+
+    def current_snapshot(self) -> Snapshot | None:
+        if self.current_snapshot_id is None:
+            return None
+        return self.snapshot_by_id(self.current_snapshot_id)
+
+
+# ---------------------------------------------------------------------------
+# Filesystem catalog operations (local / any fsspec-mountable path)
+# ---------------------------------------------------------------------------
+
+def _meta_dir(location: str) -> str:
+    return os.path.join(location, METADATA_DIR)
+
+
+def _atomic_write(path: str, data: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+def table_exists(location: str) -> bool:
+    return os.path.exists(os.path.join(_meta_dir(location), VERSION_HINT))
+
+
+def read_current_metadata(location: str) -> TableMetadata:
+    mdir = _meta_dir(location)
+    with open(os.path.join(mdir, VERSION_HINT)) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(mdir, f"v{version}.metadata.json")) as f:
+        md = TableMetadata.from_json(json.load(f))
+    md.version = version
+    return md
+
+
+def write_manifest(location: str, files: list[DataFile]) -> str:
+    """Write an immutable manifest; returns its metadata-relative name."""
+    name = f"snap-{uuid.uuid4().hex}.json"
+    _atomic_write(
+        os.path.join(_meta_dir(location), name),
+        json.dumps([f.to_json() for f in files]),
+    )
+    return name
+
+
+def read_manifest(location: str, name: str) -> list[DataFile]:
+    with open(os.path.join(_meta_dir(location), name)) as f:
+        return [DataFile.from_json(d) for d in json.load(f)]
+
+
+def read_snapshot_files(location: str, md: TableMetadata, snapshot: Snapshot) -> list[DataFile]:
+    out: list[DataFile] = []
+    for m in snapshot.manifests:
+        out.extend(read_manifest(location, m))
+    return out
+
+
+class CommitLock:
+    """Single-writer-per-table lock (O_EXCL create), with staleness
+    takeover — the reference serializes writers the same way via table
+    locks; readers never take it (snapshot isolation is free)."""
+
+    def __init__(self, location: str, timeout_s: float = 30.0, stale_s: float = 300.0):
+        self.path = os.path.join(_meta_dir(location), LOCK_FILE)
+        self.timeout_s = timeout_s
+        self.stale_s = stale_s
+
+    def __enter__(self):
+        deadline = time.time() + self.timeout_s
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(self.path) > self.stale_s:
+                        os.unlink(self.path)  # stale writer crashed
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(f"could not acquire table lock {self.path}")
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass
+
+
+def commit_metadata(location: str, md: TableMetadata) -> TableMetadata:
+    """Write v{N+1}.metadata.json and flip the version hint atomically.
+
+    Caller must hold :class:`CommitLock`. Optimistic-concurrency check:
+    the on-disk version must still equal the version ``md`` was loaded
+    from (reference: snapshot-based conflict detection at commit,
+    track_iceberg_metadata_changes.c).
+    """
+    mdir = _meta_dir(location)
+    hint = os.path.join(mdir, VERSION_HINT)
+    if os.path.exists(hint):
+        with open(hint) as f:
+            disk_version = int(f.read().strip())
+        if disk_version != md.version:
+            raise RuntimeError(
+                f"concurrent commit detected: metadata v{disk_version} on disk, "
+                f"expected v{md.version}"
+            )
+    new_version = md.version + 1
+    md.version = new_version
+    _atomic_write(os.path.join(mdir, f"v{new_version}.metadata.json"), json.dumps(md.to_json()))
+    _atomic_write(hint, str(new_version))
+    return md
+
+
+def create_table_metadata(
+    location: str,
+    schema_ddl: str,
+    partition_spec: list[dict] | None = None,
+    properties: dict | None = None,
+) -> TableMetadata:
+    os.makedirs(_meta_dir(location), exist_ok=True)
+    if table_exists(location):
+        raise FileExistsError(f"table already exists at {location}")
+    md = TableMetadata(location, schema_ddl, partition_spec, properties)
+    with CommitLock(location):
+        return commit_metadata(location, md)

@@ -1,0 +1,142 @@
+"""VACUUM: compaction, snapshot expiry, deletion-queue purge.
+
+Reference: pg_lake_table/src/ddl/vacuum.c —
+``VacuumCompactDataFiles`` (:670, merge small files up to target size),
+``VacuumCompactMetadata`` (:808, expire snapshots older than
+``max_snapshot_age``), ``VacuumRemoveDeletionQueueRecords`` (:891,
+physically delete queued files after the retention window; default
+10-day retention per docs). Defaults below mirror the reference GUCs.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pg_lake_spark.lakehouse import catalog as cat
+from pg_lake_spark.lakehouse.catalog import DataFile
+from pg_lake_spark.lakehouse.table import LakeTable
+
+DEFAULT_TARGET_FILE_SIZE_MB = 128
+DEFAULT_MAX_SNAPSHOT_AGE_S = 1800  # pg_lake_iceberg.max_snapshot_age default
+DEFAULT_DELETION_RETENTION_S = 10 * 24 * 3600  # 10-day deletion queue
+DEFAULT_COMPACT_MIN_INPUT_FILES = 4  # vacuum_compact_min_input_files
+
+
+def compact_data_files(
+    table: LakeTable,
+    target_file_size_mb: int = DEFAULT_TARGET_FILE_SIZE_MB,
+    min_input_files: int = DEFAULT_COMPACT_MIN_INPUT_FILES,
+) -> dict:
+    """Merge small files (per partition tuple) into ~target-size files.
+
+    Only groups with ≥ ``min_input_files`` small files are rewritten;
+    large files are left alone (rewrite_data_files semantics).
+    """
+    snap = table.metadata.current_snapshot()
+    if snap is None:
+        return {"compacted_groups": 0, "removed_files": 0, "added_files": 0}
+    files = cat.read_snapshot_files(table.location, table.metadata, snap)
+    threshold = target_file_size_mb * 1024 * 1024
+
+    groups: dict[tuple, list[DataFile]] = {}
+    for f in files:
+        if f.size_bytes < threshold:
+            groups.setdefault(tuple(sorted(f.partition.items())), []).append(f)
+
+    to_rewrite = [g for g in groups.values() if len(g) >= min_input_files]
+    if not to_rewrite:
+        return {"compacted_groups": 0, "removed_files": 0, "added_files": 0}
+
+    removed: set[str] = set()
+    added: list[DataFile] = []
+    for group in to_rewrite:
+        paths = [f.path for f in group]
+        total = sum(f.size_bytes for f in group)
+        n_out = max(1, total // threshold)
+        df = table.spark.read.schema(table.metadata.schema_ddl).parquet(*paths)
+        added.extend(table._write_data_files(df.coalesce(int(n_out))))
+        removed.update(paths)
+
+    table._commit(
+        operation="compact",
+        added=added,
+        removed_paths=removed,
+        summary={"compacted_groups": len(to_rewrite), "removed_files": len(removed)},
+    )
+    return {
+        "compacted_groups": len(to_rewrite),
+        "removed_files": len(removed),
+        "added_files": len(added),
+    }
+
+
+def expire_snapshots(table: LakeTable, max_age_s: int = DEFAULT_MAX_SNAPSHOT_AGE_S) -> dict:
+    """Drop snapshots older than the retention window (always keeping
+    the current one); files referenced ONLY by expired snapshots go to
+    the deletion queue."""
+    with cat.CommitLock(table.location):
+        md = cat.read_current_metadata(table.location)
+        now_ms = int(time.time() * 1000)
+        cutoff = now_ms - max_age_s * 1000
+        keep, expire = [], []
+        for s in md.snapshots:
+            if s.snapshot_id == md.current_snapshot_id or s.timestamp_ms >= cutoff:
+                keep.append(s)
+            else:
+                expire.append(s)
+        if not expire:
+            return {"expired": 0, "queued_files": 0}
+        live_paths: set[str] = {e["path"] for e in md.deletion_queue}  # no dup queue entries
+        for s in keep:
+            for f in cat.read_snapshot_files(table.location, md, s):
+                live_paths.add(f.path)
+        queued = 0
+        for s in expire:
+            for f in cat.read_snapshot_files(table.location, md, s):
+                if f.path not in live_paths:
+                    md.deletion_queue.append({"path": f.path, "enqueued_ms": now_ms})
+                    live_paths.add(f.path)  # avoid duplicate queue entries
+                    queued += 1
+        md.snapshots = keep
+        cat.commit_metadata(table.location, md)
+        table.metadata = md
+        return {"expired": len(expire), "queued_files": queued}
+
+
+def purge_deletion_queue(
+    table: LakeTable, retention_s: int = DEFAULT_DELETION_RETENTION_S
+) -> dict:
+    """Physically delete queued files older than the retention window."""
+    with cat.CommitLock(table.location):
+        md = cat.read_current_metadata(table.location)
+        cutoff_ms = int(time.time() * 1000) - retention_s * 1000
+        keep, purge = [], []
+        for entry in md.deletion_queue:
+            (purge if entry["enqueued_ms"] <= cutoff_ms else keep).append(entry)
+        deleted = 0
+        for entry in purge:
+            try:
+                os.unlink(entry["path"])
+                deleted += 1
+            except FileNotFoundError:
+                pass
+        md.deletion_queue = keep
+        cat.commit_metadata(table.location, md)
+        table.metadata = md
+        return {"purged": deleted, "still_queued": len(keep)}
+
+
+def vacuum(
+    table: LakeTable,
+    target_file_size_mb: int = DEFAULT_TARGET_FILE_SIZE_MB,
+    max_snapshot_age_s: int = DEFAULT_MAX_SNAPSHOT_AGE_S,
+    deletion_retention_s: int = DEFAULT_DELETION_RETENTION_S,
+) -> dict:
+    """Full VACUUM: compact → expire snapshots → purge deletion queue
+    (the reference's three vacuum phases, vacuum.c:670-891)."""
+    out = {}
+    out["compact"] = compact_data_files(table, target_file_size_mb)
+    out["expire"] = expire_snapshots(table, max_snapshot_age_s)
+    out["purge"] = purge_deletion_queue(table, deletion_retention_s)
+    return out

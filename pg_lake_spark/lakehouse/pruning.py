@@ -1,0 +1,225 @@
+"""File-level pruning: min/max column stats + partition transforms.
+
+Reference: data_file_pruning.c — ``PruneDataFiles`` (:186) evaluates
+restriction clauses against per-file column bounds
+(``GetColumnBoundConstraintsFromColumnStats`` :599) and against
+partition-transform values (:746-1228, one bound-constraint derivation
+per transform; ``bucket`` prunes on equality only). This module is the
+same design: a conjunction of simple predicates is checked per file;
+any unprovable predicate keeps the file (pruning must be sound, never
+complete).
+
+Predicates are ``(column, op, value)`` tuples with ops
+``= != < <= > >= in between is_null not_null``; ``parse_where`` builds
+them from a simple SQL-ish conjunction for ergonomic call sites.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import date, datetime
+
+from pg_lake_spark.lakehouse.catalog import DataFile
+from pg_lake_spark.lakehouse.transforms import TRANSFORMS
+
+Predicate = tuple  # (col, op, value)
+
+_MONOTONIC = {"identity", "year", "month", "day", "hour", "truncate"}
+
+
+def parse_where(where: str) -> list[Predicate] | None:
+    """Parse ``"a >= 5 AND b = 'x' AND c BETWEEN 1 AND 2"`` into
+    predicates. Returns None when any conjunct is unparseable — callers
+    must then skip pruning (sound fallback), mirroring the reference's
+    behavior for non-shippable clauses."""
+    preds: list[Predicate] = []
+    # Mask the AND that belongs to BETWEEN before splitting conjuncts.
+    masked = re.sub(r"(?i)(BETWEEN\s+\S+)\s+AND\s+", r"\1 __BETWEEN_AND__ ", where.strip())
+    for part in re.split(r"(?i)\s+AND\s+", masked):
+        part = part.replace("__BETWEEN_AND__", "AND").strip().rstrip(";")
+        m = re.match(r"(?i)^(\w+)\s+BETWEEN\s+(\S+)\s+AND\s+(\S+)$", part)
+        if m:
+            preds.append((m.group(1), "between", (_lit(m.group(2)), _lit(m.group(3)))))
+            continue
+        m = re.match(r"(?i)^(\w+)\s+IS\s+NULL$", part)
+        if m:
+            preds.append((m.group(1), "is_null", None))
+            continue
+        m = re.match(r"(?i)^(\w+)\s+IS\s+NOT\s+NULL$", part)
+        if m:
+            preds.append((m.group(1), "not_null", None))
+            continue
+        m = re.match(r"(?i)^(\w+)\s+IN\s*\((.+)\)$", part)
+        if m:
+            vals = tuple(_lit(v.strip()) for v in m.group(2).split(","))
+            preds.append((m.group(1), "in", vals))
+            continue
+        m = re.match(r"^(\w+)\s*(=|!=|<>|<=|>=|<|>)\s*(.+)$", part)
+        if m:
+            op = "!=" if m.group(2) == "<>" else m.group(2)
+            preds.append((m.group(1), op, _lit(m.group(3).strip())))
+            continue
+        return None
+    return preds
+
+
+def _lit(tok: str):
+    if tok.startswith("'") and tok.endswith("'"):
+        s = tok[1:-1]
+        return _coerce_temporal(s)
+    low = tok.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low == "null":
+        return None
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        pass
+    return tok
+
+
+def _coerce_temporal(s: str):
+    for fmt, conv in (
+        ("%Y-%m-%d %H:%M:%S", datetime.strptime),
+        ("%Y-%m-%dT%H:%M:%S", datetime.strptime),
+        ("%Y-%m-%d", lambda v, f: datetime.strptime(v, f).date()),
+    ):
+        try:
+            return conv(s, fmt)
+        except ValueError:
+            continue
+    return s
+
+
+def _comparable(a, b):
+    """Best-effort align types (date vs datetime, int vs float)."""
+    if isinstance(a, datetime) and isinstance(b, date) and not isinstance(b, datetime):
+        b = datetime(b.year, b.month, b.day)
+    elif isinstance(b, datetime) and isinstance(a, date) and not isinstance(a, datetime):
+        a = datetime(a.year, a.month, a.day)
+    return a, b
+
+
+def _cmp_ok(lo, hi, op, v) -> bool:
+    """Could any value in [lo, hi] satisfy ``x op v``?"""
+    try:
+        lo, v1 = _comparable(lo, v)
+        hi, v2 = _comparable(hi, v)
+    except TypeError:
+        return True
+    try:
+        if op == "=":
+            return lo <= v1 <= hi
+        if op == "<":
+            return lo < v1
+        if op == "<=":
+            return lo <= v1
+        if op == ">":
+            return hi > v2
+        if op == ">=":
+            return hi >= v2
+        if op == "!=":
+            return not (lo == hi == v1)
+    except TypeError:
+        return True
+    return True
+
+
+def file_matches(f: DataFile, preds: list[Predicate], spec: list[dict]) -> bool:
+    """Sound check: False only when stats/partition values PROVE no row
+    in ``f`` can satisfy all predicates."""
+    for col, op, val in preds:
+        # --- column min/max stats ---------------------------------------
+        st = f.stats.get(col)
+        if st is not None:
+            nulls = st.get("null_count")
+            if op == "is_null":
+                if nulls == 0:
+                    return False
+                continue
+            if op == "not_null":
+                if nulls is not None and nulls == f.row_count:
+                    return False
+                continue
+            lo, hi = st.get("min"), st.get("max")
+            if lo is not None and hi is not None:
+                lo, hi = _revive(lo), _revive(hi)
+                if op == "in":
+                    if not any(_cmp_ok(lo, hi, "=", v) for v in val):
+                        return False
+                elif op == "between":
+                    vlo, vhi = val
+                    if not (_cmp_ok(lo, hi, ">=", vlo) and _cmp_ok(lo, hi, "<=", vhi)):
+                        return False
+                elif not _cmp_ok(lo, hi, op, val):
+                    return False
+        # --- partition transform values ---------------------------------
+        for pf in spec:
+            if pf["column"] != col:
+                continue
+            pname = _pfield_name(pf)
+            if pname not in f.partition:
+                continue
+            pv = f.partition[pname]
+            t, param = pf["transform"], pf.get("param")
+            _, py_eval = TRANSFORMS[t]
+            if op in ("is_null", "not_null"):
+                continue
+            if t == "bucket":
+                if op == "=":
+                    if pv != py_eval(_revive(val), param):
+                        return False
+                elif op == "in":
+                    if pv not in {py_eval(_revive(v), param) for v in val}:
+                        return False
+                continue
+            if t in _MONOTONIC:
+                if op == "between":
+                    tlo, thi = py_eval(_revive(val[0]), param), py_eval(_revive(val[1]), param)
+                    if tlo is not None and pv < tlo:
+                        return False
+                    if thi is not None and pv > thi:
+                        return False
+                    continue
+                tv = py_eval(_revive(val), param) if op != "in" else None
+                if op == "=" and pv != tv:
+                    return False
+                if op in ("<", "<=") and tv is not None and pv > tv:
+                    return False
+                if op in (">", ">=") and tv is not None and pv < tv:
+                    return False
+                if op == "in" and pv not in {py_eval(_revive(v), param) for v in val}:
+                    return False
+    return True
+
+
+def _pfield_name(pf: dict) -> str:
+    t = pf["transform"]
+    if t == "identity":
+        return pf["column"]
+    if pf.get("param") is not None:
+        return f"{pf['column']}_{t}{pf['param']}"
+    return f"{pf['column']}_{t}"
+
+
+def _revive(v):
+    """JSON round-trip revives ISO strings back to temporals."""
+    if isinstance(v, str):
+        return _coerce_temporal(v)
+    return v
+
+
+def prune_files(
+    files: list[DataFile], preds: list[Predicate] | None, spec: list[dict]
+) -> tuple[list[DataFile], int]:
+    """Returns (kept_files, skipped_count) — the reference's
+    ``Data Files Scanned / Skipped`` EXPLAIN observability."""
+    if not preds:
+        return files, 0
+    kept = [f for f in files if file_matches(f, preds, spec)]
+    return kept, len(files) - len(kept)

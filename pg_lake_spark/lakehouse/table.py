@@ -1,0 +1,498 @@
+"""LakeTable: transactional Iceberg-style tables over Parquet.
+
+Write surface (SURVEY §2.8): CREATE/CTAS, INSERT-append, DELETE
+(metadata-only fast path + copy-on-write rewrite), UPDATE (CoW),
+snapshot reads + time travel, schema add/drop column, hidden
+partitioning with transform fan-out, per-file column stats, and the
+``Data Files Scanned/Skipped`` scan report.
+
+Reference lifecycle parity (§3.3): each statement writes new Parquet
+file(s), registers them with stats in the catalog, and commits a new
+snapshot atomically; readers pin a snapshot and never block writers.
+
+Scale design: the driver only touches *metadata* (file lists, stats,
+footers); all row movement is Spark jobs. Footer-stat collection is the
+one driver-side loop — O(#new files per commit), each a local footer
+read, the same cost the reference pays in GetRemoteParquetColumnStats.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import urllib.parse
+import uuid
+from dataclasses import dataclass
+from datetime import date, datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_lake_spark.lakehouse import catalog as cat
+from pg_lake_spark.lakehouse import pruning
+from pg_lake_spark.lakehouse.catalog import DataFile, Snapshot, TableMetadata
+from pg_lake_spark.lakehouse.pruning import _pfield_name, parse_where
+from pg_lake_spark.lakehouse.transforms import TRANSFORMS, parse_transform
+
+_DERIVED_PREFIX = "__p_"
+
+
+@dataclass
+class ScanReport:
+    """Observability equivalent of the reference's EXPLAIN decoration
+    ``Data Files Scanned: N / Data Files Skipped: M``."""
+
+    snapshot_id: int | None
+    files_scanned: int
+    files_skipped: int
+    rows_scanned_max: int  # sum of row counts of scanned files
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, location: str, metadata: TableMetadata):
+        self.spark = spark
+        self.location = location
+        self.metadata = metadata
+        self.last_scan_report: ScanReport | None = None
+
+    # ------------------------------------------------------------------
+    # DDL
+    # ------------------------------------------------------------------
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        location: str,
+        schema_ddl: str,
+        partition_by: list[str] | None = None,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        """CREATE TABLE … USING iceberg [PARTITIONED BY (…)] analogue
+        (create_table.c; docs/iceberg-tables.md:1-75)."""
+        spec = []
+        for s in partition_by or []:
+            t, param, col = parse_transform(s)
+            spec.append({"transform": t, "param": param, "column": col})
+        md = cat.create_table_metadata(location, schema_ddl, spec, properties)
+        return LakeTable(spark, location, md)
+
+    @staticmethod
+    def create_from_dataframe(
+        spark: SparkSession,
+        location: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        """CTAS / ``load_from``-style creation: schema inferred from the
+        source (describe.c:61 DescribeColumnsForURL analogue)."""
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        t = LakeTable.create(spark, location, ddl, partition_by, properties)
+        t.append(df)
+        return t
+
+    @staticmethod
+    def load(spark: SparkSession, location: str) -> "LakeTable":
+        return LakeTable(spark, location, cat.read_current_metadata(location))
+
+    def refresh(self) -> "LakeTable":
+        self.metadata = cat.read_current_metadata(self.location)
+        return self
+
+    # ------------------------------------------------------------------
+    # Write path
+    # ------------------------------------------------------------------
+    def append(self, df: DataFrame) -> Snapshot:
+        """INSERT: new parquet files + stats + snapshot commit."""
+        new_files = self._write_data_files(df)
+        return self._commit(
+            operation="append",
+            added=new_files,
+            removed_paths=set(),
+            summary={"added_files": len(new_files), "added_rows": sum(f.row_count for f in new_files)},
+        )
+
+    def _write_data_files(self, df: DataFrame) -> list[DataFile]:
+        staging = os.path.join(self.location, "data", uuid.uuid4().hex)
+        spec = self.metadata.partition_spec
+        if spec:
+            out = df
+            derived = []
+            for pf in spec:
+                col_builder, _ = TRANSFORMS[pf["transform"]]
+                dtype = dict(df.dtypes).get(pf["column"], "bigint")
+                dname = _DERIVED_PREFIX + _pfield_name(pf)
+                out = out.withColumn(
+                    dname, col_builder(F.col(pf["column"]), pf.get("param"), dtype)
+                )
+                derived.append(dname)
+            # Fan-out discipline: cluster rows of the same partition into
+            # the same task before the partitioned write so each task
+            # holds O(1) open files, the Spark analogue of the
+            # max_open_files_for_partitioned_write staging design
+            # (multi_data_file_dest.c).
+            out = out.repartition(*[F.col(d) for d in derived])
+            out.write.partitionBy(*derived).parquet(staging)
+        else:
+            df.write.parquet(staging)
+        return self._collect_datafiles(staging)
+
+    def _collect_datafiles(self, root: str) -> list[DataFile]:
+        import pyarrow.parquet as pq
+
+        spec = self.metadata.partition_spec
+        out: list[DataFile] = []
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                path = os.path.join(dirpath, fn)
+                partition = {}
+                rel = os.path.relpath(dirpath, root)
+                if rel != ".":
+                    for comp in rel.split(os.sep):
+                        if "=" not in comp:
+                            continue
+                        k, v = comp.split("=", 1)
+                        k = k.removeprefix(_DERIVED_PREFIX)
+                        partition[k] = _parse_partition_value(v)
+                meta = pq.ParquetFile(path).metadata
+                stats = _footer_stats(meta)
+                out.append(
+                    DataFile(
+                        path=path,
+                        row_count=meta.num_rows,
+                        size_bytes=os.path.getsize(path),
+                        partition=partition,
+                        stats=stats,
+                    )
+                )
+        # keep spec field names stable even for identity transforms
+        if spec:
+            for f in out:
+                f.partition = {
+                    _pfield_name(pf): f.partition.get(_pfield_name(pf))
+                    for pf in spec
+                }
+        return out
+
+    def _commit(
+        self,
+        operation: str,
+        added: list[DataFile],
+        removed_paths: set[str],
+        summary: dict,
+        schema_ddl: str | None = None,
+    ) -> Snapshot:
+        with cat.CommitLock(self.location):
+            md = cat.read_current_metadata(self.location)
+            current = md.current_snapshot()
+            kept: list[DataFile] = []
+            if current is not None:
+                kept = [
+                    f
+                    for f in cat.read_snapshot_files(self.location, md, current)
+                    if f.path not in removed_paths
+                ]
+            manifests = []
+            if kept or added:
+                manifests = [cat.write_manifest(self.location, kept + added)]
+            snap = Snapshot(
+                snapshot_id=(current.snapshot_id + 1) if current else 1,
+                timestamp_ms=int(time.time() * 1000),
+                operation=operation,
+                manifests=manifests,
+                summary=summary,
+            )
+            md.snapshots.append(snap)
+            md.current_snapshot_id = snap.snapshot_id
+            for p in removed_paths:
+                md.deletion_queue.append({"path": p, "enqueued_ms": snap.timestamp_ms})
+            if schema_ddl is not None:
+                md.schema_ddl = schema_ddl
+            cat.commit_metadata(self.location, md)
+            self.metadata = md
+            return snap
+
+    # ------------------------------------------------------------------
+    # Read path
+    # ------------------------------------------------------------------
+    def _resolve_snapshot(self, snapshot_id: int | None, as_of_ms: int | None) -> Snapshot | None:
+        md = self.metadata
+        if snapshot_id is not None:
+            return md.snapshot_by_id(snapshot_id)
+        if as_of_ms is not None:
+            return md.snapshot_as_of(as_of_ms)
+        return md.current_snapshot()
+
+    def scan(
+        self,
+        where: str | None = None,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+    ) -> DataFrame:
+        """Snapshot read with file-level pruning.
+
+        ``where`` (optional, simple conjunction) is used twice: to prune
+        the file list via stats/partitions (driver-side) AND as a normal
+        Spark filter (so semantics never depend on pruning accuracy —
+        pruning is purely a performance layer, exactly like the
+        reference where DuckDB re-filters pruned scans).
+        """
+        snap = self._resolve_snapshot(snapshot_id, as_of_ms)
+        files = (
+            cat.read_snapshot_files(self.location, self.metadata, snap) if snap else []
+        )
+        preds = parse_where(where) if where else None
+        kept, skipped = pruning.prune_files(files, preds, self.metadata.partition_spec)
+        self.last_scan_report = ScanReport(
+            snapshot_id=snap.snapshot_id if snap else None,
+            files_scanned=len(kept),
+            files_skipped=skipped,
+            rows_scanned_max=sum(f.row_count for f in kept),
+        )
+        if not kept:
+            return self.spark.createDataFrame([], self.metadata.schema_ddl)
+        df = self.spark.read.schema(self.metadata.schema_ddl).parquet(*[f.path for f in kept])
+        if where:
+            df = df.filter(where)
+        return df
+
+    def to_df(self, **kwargs) -> DataFrame:
+        return self.scan(**kwargs)
+
+    # -- metadata tables (table.files / table.snapshots analogues) ------
+    def files(self) -> DataFrame:
+        snap = self.metadata.current_snapshot()
+        rows = []
+        if snap:
+            for f in cat.read_snapshot_files(self.location, self.metadata, snap):
+                rows.append((f.path, f.row_count, f.size_bytes, str(f.partition)))
+        return self.spark.createDataFrame(
+            rows, "path string, row_count bigint, size_bytes bigint, partition string"
+        )
+
+    def snapshots(self) -> DataFrame:
+        rows = [
+            (s.snapshot_id, s.timestamp_ms, s.operation, str(s.summary))
+            for s in self.metadata.snapshots
+        ]
+        return self.spark.createDataFrame(
+            rows, "snapshot_id bigint, timestamp_ms bigint, operation string, summary string"
+        )
+
+    # ------------------------------------------------------------------
+    # DML: DELETE / UPDATE (metadata-only + copy-on-write)
+    # ------------------------------------------------------------------
+    def delete(self, where: str) -> dict:
+        """DELETE FROM t WHERE …  (writes.md:15-44).
+
+        Three file classes per the reference's design:
+        - untouched: stats/partitions prove no row matches → kept as-is
+        - fully-matching: stats prove ALL rows match → dropped from
+          metadata only (``Data Files Skipped`` fast delete)
+        - partial: copy-on-write rewrite without matching rows
+        """
+        snap = self.metadata.current_snapshot()
+        if snap is None:
+            return {"deleted_rows": 0, "dropped_files": 0, "rewritten_files": 0}
+        files = cat.read_snapshot_files(self.location, self.metadata, snap)
+        preds = parse_where(where)
+        spec = self.metadata.partition_spec
+
+        if preds is None:
+            candidates, untouched = files, []
+        else:
+            candidates = [f for f in files if pruning.file_matches(f, preds, spec)]
+            cand_paths = {f.path for f in candidates}
+            untouched = [f for f in files if f.path not in cand_paths]
+
+        full = [f for f in candidates if preds and _file_fully_matches(f, preds)]
+        full_paths = {f.path for f in full}
+        partial = [f for f in candidates if f.path not in full_paths]
+
+        rewritten: list[DataFile] = []
+        deleted_rows = sum(f.row_count for f in full)
+        if partial:
+            src = self.spark.read.schema(self.metadata.schema_ddl).parquet(
+                *[f.path for f in partial]
+            )
+            before = src.count()
+            remaining = src.filter(f"NOT ({where})")
+            after = remaining.count()
+            deleted_rows += before - after
+            if after > 0:
+                rewritten = self._write_data_files(remaining)
+
+        removed = full_paths | {f.path for f in partial}
+        self._commit(
+            operation="delete",
+            added=rewritten,
+            removed_paths=removed,
+            summary={
+                "deleted_rows": deleted_rows,
+                "dropped_files": len(full),
+                "rewritten_files": len(rewritten),
+            },
+        )
+        return {
+            "deleted_rows": deleted_rows,
+            "dropped_files": len(full),
+            "rewritten_files": len(rewritten),
+        }
+
+    def update(self, assignments: dict[str, str], where: str | None = None) -> dict:
+        """UPDATE t SET col = expr [WHERE …] — copy-on-write rewrite of
+        candidate files (writes.md:15-31; CoW branch of
+        writable_table.c:543-599)."""
+        snap = self.metadata.current_snapshot()
+        if snap is None:
+            return {"updated_rows": 0, "rewritten_files": 0}
+        files = cat.read_snapshot_files(self.location, self.metadata, snap)
+        preds = parse_where(where) if where else None
+        spec = self.metadata.partition_spec
+        candidates = (
+            [f for f in files if pruning.file_matches(f, preds, spec)] if preds else files
+        )
+        if not candidates:
+            return {"updated_rows": 0, "rewritten_files": 0}
+        src = self.spark.read.schema(self.metadata.schema_ddl).parquet(
+            *[f.path for f in candidates]
+        )
+        cond = F.expr(where) if where else F.lit(True)
+        updated_rows = src.filter(cond).count()
+        out = src
+        for colname, expr_sql in assignments.items():
+            out = out.withColumn(
+                colname, F.when(cond, F.expr(expr_sql)).otherwise(F.col(colname))
+            )
+        rewritten = self._write_data_files(out)
+        self._commit(
+            operation="overwrite",
+            added=rewritten,
+            removed_paths={f.path for f in candidates},
+            summary={"updated_rows": updated_rows, "rewritten_files": len(rewritten)},
+        )
+        return {"updated_rows": updated_rows, "rewritten_files": len(rewritten)}
+
+    # ------------------------------------------------------------------
+    # Schema evolution (alter_table.c analogue — add/drop)
+    # ------------------------------------------------------------------
+    def add_column(self, name: str, dtype: str) -> None:
+        fields = [f.strip() for f in self.metadata.schema_ddl.split(",")]
+        if any(f.split()[0] == name for f in fields):
+            raise ValueError(f"column {name} already exists")
+        new_ddl = self.metadata.schema_ddl + f", {name} {dtype}"
+        self._commit("alter", [], set(), {"add_column": name}, schema_ddl=new_ddl)
+
+    def drop_column(self, name: str) -> None:
+        fields = [f.strip() for f in self.metadata.schema_ddl.split(",")]
+        kept = [f for f in fields if f.split()[0] != name]
+        if len(kept) == len(fields):
+            raise ValueError(f"column {name} not found")
+        self._commit("alter", [], set(), {"drop_column": name}, schema_ddl=", ".join(kept))
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _parse_partition_value(v: str):
+    v = urllib.parse.unquote(v)
+    if v == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    try:
+        return int(v)
+    except ValueError:
+        return v
+
+
+def _footer_stats(meta) -> dict[str, dict]:
+    """Aggregate parquet row-group statistics into per-column
+    min/max/null_count (data_file_stats.c:612 FetchRowGroupStats)."""
+    agg: dict[str, dict] = {}
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested — skip (leaf pruning only on top level)
+                continue
+            st = col.statistics
+            if st is None:
+                continue
+            entry = agg.setdefault(name, {"min": None, "max": None, "null_count": 0})
+            if st.has_min_max:
+                mn, mx = _jsonable(st.min), _jsonable(st.max)
+                if mn is not None and (entry["min"] is None or mn < entry["min"]):
+                    entry["min"] = mn
+                if mx is not None and (entry["max"] is None or mx > entry["max"]):
+                    entry["max"] = mx
+            if st.null_count is not None and entry["null_count"] is not None:
+                entry["null_count"] += st.null_count
+            else:
+                entry["null_count"] = None
+    return agg
+
+
+def _jsonable(v):
+    if isinstance(v, (datetime, date)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime) else v.isoformat()
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, float) and (v != v):  # NaN never prunes
+        return None
+    return v
+
+
+def _file_fully_matches(f: DataFile, preds: list) -> bool:
+    """Prove every row of ``f`` satisfies all predicates (→ metadata-only
+    delete). Conservative: any doubt returns False."""
+    from pg_lake_spark.lakehouse.pruning import _comparable, _revive
+
+    for col, op, val in preds:
+        st = f.stats.get(col)
+        if st is None:
+            return False
+        lo, hi, nulls = st.get("min"), st.get("max"), st.get("null_count")
+        if lo is None or hi is None or nulls is None or nulls > 0:
+            return False  # NULL rows never satisfy comparison predicates
+        lo, hi = _revive(lo), _revive(hi)
+        try:
+            if op == "=":
+                lo2, v = _comparable(lo, val)
+                hi2, _ = _comparable(hi, val)
+                if not (lo2 == hi2 == v):
+                    return False
+            elif op == "<":
+                hi2, v = _comparable(hi, val)
+                if not hi2 < v:
+                    return False
+            elif op == "<=":
+                hi2, v = _comparable(hi, val)
+                if not hi2 <= v:
+                    return False
+            elif op == ">":
+                lo2, v = _comparable(lo, val)
+                if not lo2 > v:
+                    return False
+            elif op == ">=":
+                lo2, v = _comparable(lo, val)
+                if not lo2 >= v:
+                    return False
+            elif op == "between":
+                lo2, vlo = _comparable(lo, _revive(val[0]))
+                hi2, vhi = _comparable(hi, _revive(val[1]))
+                if not (lo2 >= vlo and hi2 <= vhi):
+                    return False
+            elif op == "in":
+                lo2, _ = _comparable(lo, _revive(val[0]))
+                if not (lo == hi and any(_comparable(lo, _revive(v))[0] == _comparable(lo, _revive(v))[1] for v in val)):
+                    return False
+            else:
+                return False
+        except TypeError:
+            return False
+    return True

@@ -99,11 +99,8 @@ def bucket_py(value, n: int) -> int | None:
 # murmur3_x86_32 — Spark Column expression (for long inputs)
 # ---------------------------------------------------------------------------
 
-_M32 = F.lit(0xFFFFFFFF)
-
-
 def _and32(c: Column) -> Column:
-    return c.bitwiseAND(_M32)
+    return c.bitwiseAND(F.lit(0xFFFFFFFF))
 
 
 def _rotl32_col(c: Column, r: int) -> Column:

@@ -1,0 +1,306 @@
+"""Lakehouse layer tests: transforms (spec vectors), DDL/DML lifecycle,
+snapshots/time travel, partition + stats pruning, vacuum.
+
+Reference test analogues: test_data_file_pruning.py,
+test_partition_pruning.py, iceberg spec appendix test vectors for
+bucket hashing, writes.md lifecycle, FIXTURES.md §6 scenario.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_lake_spark.lakehouse import maintenance
+from pg_lake_spark.lakehouse.catalog import DataFile
+from pg_lake_spark.lakehouse.pruning import parse_where, prune_files
+from pg_lake_spark.lakehouse.table import LakeTable
+from pg_lake_spark.lakehouse.transforms import (
+    bucket_col,
+    bucket_py,
+    day_py,
+    month_py,
+    murmur3_32,
+    murmur3_32_long_col,
+    parse_transform,
+    truncate_py,
+    year_py,
+)
+
+
+# ---------------------------------------------------------------------------
+# Transforms
+# ---------------------------------------------------------------------------
+
+def test_murmur3_spec_vectors():
+    """Iceberg spec appendix B: hash results the bucket transform must
+    produce (int/long 34 → 2017239379, string 'iceberg' → 1210000089)."""
+    import struct
+
+    assert murmur3_32(struct.pack("<q", 34)) == 2017239379
+    assert murmur3_32(b"iceberg") == 1210000089
+
+
+def test_bucket_py_matches_spec():
+    assert bucket_py(34, 100) == 2017239379 % 100
+    assert bucket_py("iceberg", 16) == 1210000089 % 16
+
+
+def test_murmur3_col_matches_python(spark):
+    vals = [0, 1, -1, 34, 12345678901234, -987654321, 2**62, -(2**62)]
+    df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+    got = {r.v: r.h for r in df.select("v", murmur3_32_long_col(F.col("v")).alias("h")).collect()}
+    import struct
+
+    for v in vals:
+        assert got[v] == murmur3_32(struct.pack("<q", v)), f"mismatch for {v}"
+
+
+def test_bucket_col_matches_python(spark):
+    df = spark.createDataFrame([(v,) for v in range(-50, 50)], "v bigint")
+    rows = df.select("v", bucket_col(F.col("v"), 8).alias("b")).collect()
+    for r in rows:
+        assert r.b == bucket_py(r.v, 8)
+        assert 0 <= r.b < 8
+
+
+def test_temporal_transforms():
+    from datetime import date, datetime
+
+    ts = datetime(2024, 3, 15, 7, 30)
+    assert year_py(ts) == 54
+    assert month_py(ts) == 54 * 12 + 2
+    assert day_py(date(1970, 1, 2)) == 1
+    assert truncate_py(17, 10) == 10
+    assert truncate_py(-7, 10) == -10
+    assert truncate_py("hello world", 5) == "hello"
+
+
+def test_parse_transform():
+    assert parse_transform("day(ts)") == ("day", None, "ts")
+    assert parse_transform("bucket(8, id)") == ("bucket", 8, "id")
+    assert parse_transform("plain_col") == ("identity", None, "plain_col")
+    assert parse_transform("years(ts)") == ("year", None, "ts")
+
+
+# ---------------------------------------------------------------------------
+# Pruning unit tests
+# ---------------------------------------------------------------------------
+
+def _df(path, lo, hi, nulls=0, rows=100, partition=None):
+    return DataFile(
+        path=path,
+        row_count=rows,
+        size_bytes=1000,
+        partition=partition or {},
+        stats={"x": {"min": lo, "max": hi, "null_count": nulls}},
+    )
+
+
+def test_stats_pruning():
+    files = [_df("a", 0, 10), _df("b", 11, 20), _df("c", 21, 30)]
+    kept, skipped = prune_files(files, parse_where("x > 15"), [])
+    assert {f.path for f in kept} == {"b", "c"} and skipped == 1
+    kept, _ = prune_files(files, parse_where("x = 5"), [])
+    assert {f.path for f in kept} == {"a"}
+    kept, _ = prune_files(files, parse_where("x BETWEEN 8 AND 12"), [])
+    assert {f.path for f in kept} == {"a", "b"}
+    kept, _ = prune_files(files, parse_where("x IN (25, 99)"), [])
+    assert {f.path for f in kept} == {"c"}
+
+
+def test_null_pruning():
+    files = [_df("no_nulls", 0, 10, nulls=0), _df("all_nulls", None, None, nulls=100)]
+    files[1].stats["x"] = {"min": None, "max": None, "null_count": 100}
+    kept, _ = prune_files(files, [("x", "is_null", None)], [])
+    assert {f.path for f in kept} == {"all_nulls"}
+    kept, _ = prune_files(files, [("x", "not_null", None)], [])
+    assert {f.path for f in kept} == {"no_nulls"}
+
+
+def test_partition_bucket_pruning():
+    spec = [{"transform": "bucket", "param": 8, "column": "x"}]
+    files = [
+        DataFile(path=f"b{b}", row_count=10, size_bytes=1, partition={"x_bucket8": b}, stats={})
+        for b in range(8)
+    ]
+    kept, skipped = prune_files(files, [("x", "=", 34)], spec)
+    assert len(kept) == 1 and kept[0].partition["x_bucket8"] == bucket_py(34, 8)
+    assert skipped == 7
+
+
+def test_partition_day_pruning():
+    from datetime import datetime
+
+    spec = [{"transform": "day", "param": None, "column": "ts"}]
+    files = [
+        DataFile(path=f"d{d}", row_count=10, size_bytes=1, partition={"ts_day": d}, stats={})
+        for d in (19700, 19701, 19702)
+    ]
+    cutoff = datetime(2023, 12, 10)  # day 19701
+    kept, _ = prune_files(files, [("ts", ">=", cutoff)], spec)
+    assert {f.path for f in kept} == {"d19701", "d19702"}
+
+
+def test_unparseable_where_keeps_all():
+    assert parse_where("x > 5 AND (y = 1 OR z = 2)") is None
+    files = [_df("a", 0, 10)]
+    kept, skipped = prune_files(files, None, [])
+    assert len(kept) == 1 and skipped == 0
+
+
+# ---------------------------------------------------------------------------
+# Table lifecycle
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def events_df(spark):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(days=i % 3, hours=i % 5), i % 7, f"type{i % 4}", float(i))
+        for i in range(200)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, value double"
+    )
+
+
+def test_create_append_read(spark, events_df, tmp_path):
+    loc = str(tmp_path / "t1")
+    t = LakeTable.create_from_dataframe(spark, loc, events_df)
+    assert t.to_df().count() == 200
+    t.append(events_df.limit(50))
+    assert t.refresh().to_df().count() == 250
+    # reload from disk
+    t2 = LakeTable.load(spark, loc)
+    assert t2.to_df().count() == 250
+    assert [s.operation for s in t2.metadata.snapshots] == ["append", "append"]
+
+
+def test_snapshot_time_travel(spark, events_df, tmp_path):
+    loc = str(tmp_path / "t2")
+    t = LakeTable.create_from_dataframe(spark, loc, events_df.limit(100))
+    t.append(events_df.limit(30))
+    assert t.to_df(snapshot_id=1).count() == 100
+    assert t.to_df(snapshot_id=2).count() == 130
+    snap1 = t.metadata.snapshot_by_id(1)
+    assert t.to_df(as_of_ms=snap1.timestamp_ms).count() == 100
+
+
+def test_partitioned_write_and_pruning(spark, events_df, tmp_path):
+    loc = str(tmp_path / "t3")
+    t = LakeTable.create(
+        spark,
+        loc,
+        "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, value double",
+        partition_by=["day(ts)", "bucket(4, user_id)"],
+    )
+    t.append(events_df)
+    # 3 days × ≤4 buckets
+    files = t.files().collect()
+    assert len(files) >= 3
+    df = t.scan(where="ts >= '2024-01-03'")
+    rep = t.last_scan_report
+    assert rep.files_skipped > 0, "day partition must prune older days"
+    expected = events_df.filter(F.col("ts") >= F.lit("2024-01-03").cast("timestamp_ntz")).count()
+    assert df.count() == expected
+    # bucket equality pruning
+    t.scan(where="user_id = 3")
+    rep2 = t.last_scan_report
+    assert rep2.files_skipped > 0, "bucket partition must prune other buckets"
+
+
+def test_delete_metadata_only_and_cow(spark, events_df, tmp_path):
+    loc = str(tmp_path / "t4")
+    t = LakeTable.create(
+        spark,
+        loc,
+        "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, value double",
+        partition_by=["day(ts)"],
+    )
+    t.append(events_df)
+    total = events_df.count()
+    day1 = events_df.filter(F.col("ts") < F.lit("2024-01-02").cast("timestamp_ntz")).count()
+    # whole-day delete → metadata-only (file stats prove full match)
+    res = t.delete("ts < '2024-01-02'")
+    assert res["deleted_rows"] == day1
+    assert res["dropped_files"] >= 1 and res["rewritten_files"] == 0
+    assert t.to_df().count() == total - day1
+    # partial delete → copy-on-write
+    res2 = t.delete("event_id = 100")
+    assert res2["deleted_rows"] in (0, 1)
+    if res2["deleted_rows"]:
+        assert res2["rewritten_files"] >= 1
+    assert t.to_df().count() == total - day1 - res2["deleted_rows"]
+
+
+def test_update_cow(spark, events_df, tmp_path):
+    loc = str(tmp_path / "t5")
+    t = LakeTable.create_from_dataframe(spark, loc, events_df)
+    res = t.update({"value": "value * 10"}, where="user_id = 3")
+    n3 = events_df.filter("user_id = 3").count()
+    assert res["updated_rows"] == n3
+    got = t.to_df().filter("user_id = 3").agg(F.sum("value")).collect()[0][0]
+    want = (
+        events_df.filter("user_id = 3").agg(F.sum(F.col("value") * 10)).collect()[0][0]
+    )
+    assert abs(got - want) < 1e-6
+    # untouched rows unchanged
+    got_other = t.to_df().filter("user_id = 0").agg(F.sum("value")).collect()[0][0]
+    want_other = events_df.filter("user_id = 0").agg(F.sum("value")).collect()[0][0]
+    assert abs(got_other - want_other) < 1e-6
+
+
+def test_schema_evolution(spark, events_df, tmp_path):
+    loc = str(tmp_path / "t6")
+    t = LakeTable.create_from_dataframe(spark, loc, events_df.select("event_id", "value"))
+    t.add_column("tag", "string")
+    df = t.to_df()
+    assert "tag" in df.columns
+    assert df.filter(F.col("tag").isNull()).count() == 200  # backfilled NULL
+    t.drop_column("value")
+    assert "value" not in t.to_df().columns
+    with pytest.raises(ValueError):
+        t.add_column("tag", "string")
+
+
+def test_vacuum(spark, events_df, tmp_path):
+    loc = str(tmp_path / "t7")
+    t = LakeTable.create(
+        spark, loc, "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, value double"
+    )
+    for i in range(5):  # 5 tiny appends → 5+ small files
+        t.append(events_df.limit(20))
+    n_before = len(t.files().collect())
+    assert n_before >= 5
+    res = maintenance.compact_data_files(t, target_file_size_mb=64, min_input_files=2)
+    assert res["removed_files"] >= 5 and res["added_files"] >= 1
+    assert t.to_df().count() == 100  # data preserved
+    # expire everything but current → old files queue up
+    res2 = maintenance.expire_snapshots(t, max_age_s=0)
+    assert res2["expired"] >= 1
+    assert len(t.metadata.deletion_queue) > 0
+    # purge with zero retention physically deletes
+    import os
+
+    queued = [e["path"] for e in t.metadata.deletion_queue]
+    res3 = maintenance.purge_deletion_queue(t, retention_s=0)
+    assert res3["purged"] == len(queued)
+    assert all(not os.path.exists(p) for p in queued)
+    assert t.to_df().count() == 100  # current snapshot untouched
+
+
+def test_concurrent_commit_conflict(spark, events_df, tmp_path):
+    from pg_lake_spark.lakehouse import catalog as cat
+
+    loc = str(tmp_path / "t8")
+    t = LakeTable.create_from_dataframe(spark, loc, events_df.limit(10))
+    stale = cat.read_current_metadata(loc)
+    t.append(events_df.limit(5))  # advances version
+    stale.snapshots = stale.snapshots[:1]
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        cat.commit_metadata(loc, stale)
