@@ -226,3 +226,105 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_agg(
+    df: DataFrame, id_col: str, text_col: str, *, shingle_n: int = 2, bits: int = 32
+) -> DataFrame:
+    """Per-document SimHash over word shingles → (_id, simhash bigint).
+
+    Classic Charikar construction: each shingle contributes +1/-1 to every
+    bit position according to its hash's bit; the sign of the per-bit sum
+    is the fingerprint bit. Near-duplicate docs differ in few bits, so
+    Hamming distance ≈ dissimilarity.
+
+    Scale: explode + one hash-partitioned aggregation (the per-bit sign
+    sums combine map-side); the shuffle carries ``bits`` ints per doc.
+    The base hash is the first 8 hex chars of md5 — deterministic and
+    engine-portable (same value computable in DuckDB/any SQL engine).
+    """
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    ex = base.select("_id", F.explode(word_shingles("_t", shingle_n)).alias("_s"))
+    h = F.conv(F.substring(F.md5("_s"), 1, 8), 16, 10).cast("bigint")
+    ex = ex.select("_id", h.alias("_h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{j}")
+        for j in range(bits)
+    ]
+    per_bit = ex.groupBy("_id").agg(*aggs)
+    simhash = None
+    for j in range(bits):
+        term = F.when(F.col(f"_b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return per_bit.select("_id", simhash.cast("bigint").alias("simhash"))
+
+
+def hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two integer fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 2,
+    bits: int = 32,
+    bands: int = 4,
+    max_dist: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ ``max_dist``.
+
+    Banding: the ``bits``-bit fingerprint splits into ``bands`` equal
+    slices; a pair differing in ≤ max_dist bits must agree on at least
+    one slice whenever ``max_dist < bands`` (pigeonhole), so the
+    band-bucket equi-join finds EVERY qualifying pair — this is an exact
+    algorithm, not approximate, while only ever joining within buckets.
+
+    Output: (id_a, id_b, hamming_dist), id_a < id_b.
+    """
+    assert max_dist < bands, "completeness requires max_dist < bands (pigeonhole)"
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sigs = simhash_agg(df, id_col, text_col, shingle_n=shingle_n, bits=bits)
+    banded = sigs.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            hamming(F.col("l.simhash"), F.col("r.simhash")).alias("hamming_dist"),
+        )
+        .filter(F.col("hamming_dist") <= max_dist)
+        .distinct()
+    )

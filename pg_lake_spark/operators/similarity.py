@@ -117,3 +117,26 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, *, threshold: float = 0.9
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos_sim ≥ t).
+
+    Brute-force O(n²) block product — the exactness baseline. At corpus
+    scale, run :func:`lsh_topk`'s hyperplane bucketing first and verify
+    only bucket-mates; this full variant is for bounded slices and as
+    the recall oracle for the LSH path.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -279,3 +279,96 @@ def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["documents"].filter(F.col("doc_id") < 100), "doc_id", "text", "text/plain"
     )
     return multimodal.extract_features(media).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# SimHash dedup
+# ---------------------------------------------------------------------------
+
+def _duck_simhash(subset_pred: str, shingle_n: int, bits: int = 32) -> str:
+    """DuckDB CTE computing the same SimHash as operators.dedup.simhash_agg.
+
+    The base hash (first 8 md5 hex chars as a 32-bit int) is rebuilt
+    digit-by-digit so both engines agree exactly.
+    """
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    recon = " + ".join(f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits))
+    return f"""
+    sh AS (SELECT doc_id, {_duck_shingles(shingle_n)} AS s
+           FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+                 FROM documents WHERE {subset_pred}) t),
+    ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+    hh AS (SELECT doc_id,
+                  CAST(list_sum(list_transform(range(1, 9),
+                       k -> (strpos('0123456789abcdef', substr(md5(sg), k, 1)) - 1)
+                            * power(16, 8 - k))) AS BIGINT) AS h
+           FROM ex),
+    bs AS (SELECT doc_id, {bit_sums} FROM hh GROUP BY doc_id),
+    sims AS (SELECT doc_id, CAST({recon} AS BIGINT) AS simhash FROM bs)
+    """
+
+
+@query(
+    "dd_simhash",
+    oracle=f"""
+    WITH {_duck_simhash('TRUE', 2)}
+    SELECT doc_id, simhash FROM sims ORDER BY doc_id
+    """,
+    doc="Per-doc 32-bit SimHash fingerprint (Charikar; bit-exact vs oracle).",
+)
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        dedup.simhash_agg(t["documents"], "doc_id", "text", shingle_n=2)
+        .select(F.col("_id").alias("doc_id"), "simhash")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dd_simhash_pairs",
+    oracle=f"""
+    WITH {_duck_simhash('TRUE', 2)}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming_dist
+    FROM sims a, sims b
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY id_a, id_b
+    """,
+    doc="SimHash near-dup pairs, Hamming ≤ 3 via exact band-bucket join "
+    "(pigeonhole-complete: 4 bands > 3 differing bits).",
+)
+def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        dedup.simhash_pairs(
+            t["documents"], "doc_id", "text", shingle_n=2, bands=4, max_dist=3
+        )
+        .withColumn("hamming_dist", F.col("hamming_dist").cast("long"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "dd_embedding_neardup",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(a.v, b.v) AS cos_sim
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(a.v, b.v) >= 0.40
+    ORDER BY id_a, id_b
+    """,
+    doc="Embedding-cosine near-duplicate pairs (brute-force exactness baseline; "
+    "LSH-bucketed variant is the scale path).",
+)
+def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return similarity.cosine_neardup_pairs(
+        t["embeddings"], "vec_id", "embedding", threshold=0.40
+    ).orderBy("id_a", "id_b")

@@ -375,3 +375,52 @@ def f_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("42").cast("int").alias("const_int"),
         F.lit("3.5").cast("double").alias("const_dbl"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "f_map_ops",
+    oracle="""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k_val,
+           2 AS m_card,
+           'k,uid' AS m_keys,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS first_val,
+           concat('k=', regexp_extract(props, '"k": (\\d+)', 1),
+                  ';uid=', CAST(user_id AS VARCHAR)) AS entries_str,
+           user_id AS uid_val
+    FROM events
+    WHERE event_id < 500
+    ORDER BY event_id
+    """,
+    doc="Map-type surface (pg_map parity: pg_map/src/map.c:809-1046): "
+    "construction, element_at, cardinality, keys/values, entries, "
+    "map_from_entries round-trip — all native MapType ops in Spark.",
+)
+def f_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    m = F.create_map(
+        F.lit("k"),
+        F.get_json_object("props", "$.k").cast("long"),
+        F.lit("uid"),
+        F.col("user_id"),
+    )
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 500)
+        .select(
+            "event_id",
+            F.element_at(m, F.lit("k")).alias("k_val"),
+            F.size(m).alias("m_card"),
+            F.array_join(F.map_keys(m), ",").alias("m_keys"),
+            F.element_at(F.map_values(m), 1).alias("first_val"),
+            F.array_join(
+                F.transform(
+                    F.map_entries(m),
+                    lambda e: F.concat(e["key"], F.lit("="), e["value"].cast("string")),
+                ),
+                ";",
+            ).alias("entries_str"),
+            F.element_at(F.map_from_entries(F.map_entries(m)), F.lit("uid")).alias("uid_val"),
+        )
+        .orderBy("event_id")
+    )
