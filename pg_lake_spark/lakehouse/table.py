@@ -101,14 +101,25 @@ class LakeTable:
     # ------------------------------------------------------------------
     # Write path
     # ------------------------------------------------------------------
-    def append(self, df: DataFrame) -> Snapshot:
-        """INSERT: new parquet files + stats + snapshot commit."""
+    def append(self, df: DataFrame, extra_summary: dict | None = None) -> Snapshot:
+        """INSERT: new parquet files + stats + snapshot commit.
+
+        ``extra_summary`` lets callers stamp commit provenance into the
+        snapshot (the streaming ingest path records its micro-batch id
+        here for exactly-once replay protection).
+        """
         new_files = self._write_data_files(df)
+        summary = {
+            "added_files": len(new_files),
+            "added_rows": sum(f.row_count for f in new_files),
+        }
+        if extra_summary:
+            summary.update(extra_summary)
         return self._commit(
             operation="append",
             added=new_files,
             removed_paths=set(),
-            summary={"added_files": len(new_files), "added_rows": sum(f.row_count for f in new_files)},
+            summary=summary,
         )
 
     def _write_data_files(self, df: DataFrame) -> list[DataFile]:

@@ -15,5 +15,6 @@ from pg_lake_spark.queries import tpch  # noqa: E402,F401
 from pg_lake_spark.queries import relational  # noqa: E402,F401
 from pg_lake_spark.queries import scalar_funcs  # noqa: E402,F401
 from pg_lake_spark.queries import datapipe  # noqa: E402,F401
+from pg_lake_spark.queries import streaming_q  # noqa: E402,F401
 
 __all__ = ["QUERIES", "QuerySpec", "query"]

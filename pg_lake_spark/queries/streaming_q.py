@@ -1,0 +1,88 @@
+"""Streaming queries (SURVEY §2.11 north-star; no reference analogue).
+
+Each runs a real Structured Streaming pipeline (file source → watermark
+→ windowed/stateful aggregation → memory sink, availableNow trigger)
+over the bounded events table, so the result is deterministic and a
+batch SQL oracle can verify it value-level:
+
+- tumbling 1h windows  ↔ date_trunc('hour', ts)
+- session windows      ↔ lag-gap-islands over (user_id, ts)
+- stateful totals      ↔ plain groupBy
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_lake_spark.queries.registry import query
+from pg_lake_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    running_user_totals,
+    session_window_agg,
+    tumbling_window_agg,
+)
+
+
+@query(
+    "st_tumbling_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           sum(value) AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+    doc="Streaming tumbling-window counts (watermark + window agg, availableNow).",
+)
+def st_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = tumbling_window_agg(read_events_stream(spark, sf_dir), window="1 hour")
+    return run_available_now(sdf, spark).orderBy("window_start", "event_type")
+
+
+@query(
+    "st_session_windows",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT min(ts) AS session_start, user_id, count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+    doc="Streaming session windows (30 min gap) vs batch lag-gap-islands oracle.",
+)
+def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = session_window_agg(read_events_stream(spark, sf_dir), gap="30 minutes")
+    return run_available_now(sdf, spark).orderBy("user_id", "session_start")
+
+
+@query(
+    "st_stateful_user_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, sum(value) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Custom stateful operator (applyInPandasWithState running totals); "
+    "bounded single-batch source makes it equal the batch groupBy.",
+)
+def st_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = running_user_totals(read_events_stream(spark, sf_dir))
+    return run_available_now(sdf, spark, output_mode="update").orderBy("user_id")

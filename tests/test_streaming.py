@@ -1,0 +1,134 @@
+"""Streaming surface tests: windowed aggs vs batch/oracle, exactly-once
+LakeTable ingestion, stateful operator.
+
+The sources are bounded (the corpus events table), so every streaming
+result has an exact batch twin — the same differential discipline as
+the rest of the suite.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pg_lake_spark.lakehouse.table import LakeTable
+from pg_lake_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    session_window_agg,
+    sliding_window_agg,
+    stream_ingest_to_lake,
+    tumbling_window_agg,
+)
+from tests.conftest import SF_DIR, assert_matches
+
+
+def test_tumbling_matches_oracle(spark, duck):
+    got = run_available_now(
+        tumbling_window_agg(read_events_stream(spark, SF_DIR), window="1 hour"), spark
+    )
+    assert_matches(
+        got,
+        duck,
+        """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events, sum(value) AS sum_value
+        FROM events GROUP BY window_start, event_type
+        """,
+    )
+
+
+def test_sliding_matches_batch(spark):
+    """Streaming sliding windows equal the batch window() aggregation."""
+    got = run_available_now(
+        sliding_window_agg(read_events_stream(spark, SF_DIR), window="2 hours", slide="1 hour"),
+        spark,
+    )
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    want = (
+        events.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_session_windows_match_islands_oracle(spark, duck):
+    got = run_available_now(
+        session_window_agg(read_events_stream(spark, SF_DIR), gap="30 minutes"), spark
+    )
+    assert_matches(
+        got,
+        duck,
+        """
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM marked
+        )
+        SELECT min(ts) AS session_start, user_id, count(*) AS n_events
+        FROM numbered GROUP BY user_id, session_no
+        """,
+    )
+
+
+def test_stream_ingest_exactly_once(spark, tmp_path):
+    """foreachBatch ingestion commits each micro-batch once; replaying
+    the same batch ids (fresh checkpoint, same source) must be a no-op."""
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    n_src = events.count()
+
+    loc = str(tmp_path / "events_lake")
+    table = LakeTable.create(
+        spark, loc, ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in events.schema.fields)
+    )
+
+    q = stream_ingest_to_lake(
+        read_events_stream(spark, SF_DIR), table, str(tmp_path / "ckpt1")
+    )
+    q.awaitTermination()
+    table.refresh()
+    assert table.to_df().count() == n_src
+    snap = table.metadata.current_snapshot()
+    assert snap.summary["streaming-batch-id"] == 0
+
+    # Fresh checkpoint restarts batch ids at 0 → the dedup guard must
+    # drop the replay instead of appending the data twice.
+    q2 = stream_ingest_to_lake(
+        read_events_stream(spark, SF_DIR), table, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination()
+    table.refresh()
+    assert table.to_df().count() == n_src
+    assert table.metadata.current_snapshot().snapshot_id == snap.snapshot_id
+
+
+def test_stateful_running_totals(spark, duck):
+    from pg_lake_spark.streaming import running_user_totals
+
+    got = run_available_now(
+        running_user_totals(read_events_stream(spark, SF_DIR)), spark, output_mode="update"
+    )
+    assert_matches(
+        got,
+        duck,
+        """
+        SELECT user_id, count(*) AS n_events, sum(value) AS total_value
+        FROM events GROUP BY user_id
+        """,
+    )
