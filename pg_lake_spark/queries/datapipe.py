@@ -112,7 +112,7 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return dedup.lsh_candidate_pairs(
-        t["documents"], "doc_id", "text", shingle_n=2, num_hashes=12, bands=6, threshold=0.3
+        t["documents"], "doc_id", "text", shingle_n=2, num_hashes=12, bands=4, threshold=0.3
     ).orderBy("id_a", "id_b")
 
 
