@@ -385,6 +385,124 @@ class LakeTable:
         )
         return {"updated_rows": updated_rows, "rewritten_files": len(rewritten)}
 
+    def merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        *,
+        when_matched_update: dict[str, str] | None = None,
+        when_matched_delete: bool = False,
+        when_not_matched_insert: bool = True,
+    ) -> dict:
+        """MERGE INTO (upsert) — additive over the reference, which
+        documents MERGE as unsupported (docs/iceberg-tables.md
+        update/delete limitations); Iceberg-on-Spark supports it, so we
+        do too.
+
+        ``on`` lists equi-join key columns. ``when_matched_update`` maps
+        target column → SQL expression over aliases ``t`` (target) and
+        ``s`` (source). Source must be key-unique (standard MERGE
+        cardinality rule; duplicates would multiply target rows).
+
+        Copy-on-write with key-range pruning: the source's min/max per
+        join key bound which data files can contain matches; files
+        outside those bounds survive untouched (metadata-only), the
+        rest are rewritten — the same candidate-file discipline as
+        delete()/update().
+        """
+        if when_matched_update and when_matched_delete:
+            raise ValueError("choose one of when_matched_update / when_matched_delete")
+        snap = self.metadata.current_snapshot()
+        files = (
+            cat.read_snapshot_files(self.location, self.metadata, snap) if snap else []
+        )
+        spec = self.metadata.partition_spec
+        target_cols = [f.strip().split()[0] for f in self.metadata.schema_ddl.split(",")]
+
+        # Key-range pruning: one tiny agg on the source (driver-side
+        # collect of 2×len(on) scalars), then stats-based file filter.
+        bounds = source.agg(
+            *[F.min(k).alias(f"lo_{k}") for k in on],
+            *[F.max(k).alias(f"hi_{k}") for k in on],
+        ).collect()[0]
+        preds = []
+        for k in on:
+            lo, hi = bounds[f"lo_{k}"], bounds[f"hi_{k}"]
+            if lo is not None:
+                preds.append((k, ">=", lo))
+            if hi is not None:
+                preds.append((k, "<=", hi))
+        candidates = [f for f in files if pruning.file_matches(f, preds, spec)]
+        cand_paths = {f.path for f in candidates}
+
+        if candidates:
+            cand_df = self.spark.read.schema(self.metadata.schema_ddl).parquet(
+                *[f.path for f in candidates]
+            )
+        else:
+            cand_df = self.spark.createDataFrame([], self.metadata.schema_ddl)
+
+        t = cand_df.alias("t")
+        s = source.alias("s")
+        key_cond = None
+        for k in on:
+            c = F.col(f"t.{k}") == F.col(f"s.{k}")
+            key_cond = c if key_cond is None else (key_cond & c)
+
+        survivors = t.join(s, key_cond, "left_anti")
+        matched = t.join(s, key_cond, "inner")
+        matched_rows = matched.count()
+
+        pieces = [survivors]
+        updated_rows = deleted_rows = 0
+        if when_matched_delete:
+            deleted_rows = matched_rows
+        else:
+            updated_rows = matched_rows
+            assignments = when_matched_update or {}
+            pieces.append(
+                matched.select(
+                    *[
+                        F.expr(assignments[c]).alias(c)
+                        if c in assignments
+                        else F.col(f"t.{c}")
+                        for c in target_cols
+                    ]
+                )
+            )
+
+        inserted_rows = 0
+        if when_not_matched_insert:
+            inserts = s.join(t, key_cond, "left_anti").select(
+                *[F.col(f"s.{c}") for c in target_cols]
+            )
+            inserted_rows = inserts.count()
+            pieces.append(inserts)
+
+        new_data = pieces[0]
+        for p in pieces[1:]:
+            new_data = new_data.unionByName(p)
+        added = self._write_data_files(new_data) if candidates or inserted_rows else []
+        self._commit(
+            operation="merge",
+            added=added,
+            removed_paths=cand_paths,
+            summary={
+                "updated_rows": updated_rows,
+                "deleted_rows": deleted_rows,
+                "inserted_rows": inserted_rows,
+                "untouched_files": len(files) - len(candidates),
+                "rewritten_files": len(candidates),
+            },
+        )
+        return {
+            "updated_rows": updated_rows,
+            "deleted_rows": deleted_rows,
+            "inserted_rows": inserted_rows,
+            "untouched_files": len(files) - len(candidates),
+            "rewritten_files": len(candidates),
+        }
+
     # ------------------------------------------------------------------
     # Schema evolution (alter_table.c analogue — add/drop)
     # ------------------------------------------------------------------

@@ -106,3 +106,90 @@ def decode_image(media: DataFrame) -> DataFrame:
         "image decode requires PIL/opencv, not present in this environment; "
         "the mapInPandas plumbing to slot it into is extract_features()"
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("thumb", BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, *, width: int = 64, height: int = 64) -> DataFrame:
+    """Image resize plumbing (decode → resample → re-encode per batch).
+
+    The resample itself is a deterministic STUB (payload truncated/
+    cycled to width*height bytes — a stand-in for PIL's
+    ``Image.resize``); the mapInPandas contract is the real thing: a
+    map-only Arrow stage emitting fixed-size thumbnails whose schema a
+    downstream training pipeline consumes. Swap ``_fake_resample`` for
+    a codec call and nothing else changes.
+    """
+    target = width * height
+
+    def _fake_resample(p: bytes | None) -> bytes | None:
+        if p is None:
+            return None
+        if not p:
+            return bytes(target)
+        reps = (target // len(p)) + 1
+        return (p * reps)[:target]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "width": width,
+                    "height": height,
+                    "thumb": pdf["payload"].map(_fake_resample),
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_no", LongType()),
+        StructField("frame_offset", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, *, every_n_bytes: int = 256, max_frames: int = 8) -> DataFrame:
+    """Video frame-sampling plumbing: one input row → N frame rows.
+
+    A real implementation seeks keyframes with libav; the STUB slices
+    the payload every ``every_n_bytes`` as deterministic fake frames.
+    The plumbing exercised here is the fan-out shape (mapInPandas
+    emitting more rows than it consumes) that frame extraction needs —
+    still shuffle-free, output partitioning follows the input.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, offs, frames = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                for i in range(max_frames):
+                    off = i * every_n_bytes
+                    if off >= len(payload):
+                        break
+                    ids.append(mid)
+                    nos.append(i)
+                    offs.append(off)
+                    frames.append(bytes(payload[off : off + every_n_bytes]))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": nos, "frame_offset": offs, "frame": frames}
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)

@@ -781,3 +781,74 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
         .orderBy("k_bucket")
     )
+
+
+@query(
+    "w_exclude_current_row",
+    oracle="""
+    SELECT event_id, user_id, value,
+           sum(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                             EXCLUDE CURRENT ROW) AS sum_others,
+           count(*)    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                             EXCLUDE CURRENT ROW) AS n_others,
+           avg(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                             EXCLUDE CURRENT ROW) AS avg_neighbors
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+    doc="EXCLUDE CURRENT ROW frames (SURVEY §2.5 hard part — no Spark "
+    "support, emulated by subtracting the current row's contribution "
+    "from the inclusive frame; the oracle uses DuckDB's native EXCLUDE).",
+)
+def w_exclude_current_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    near = w.rowsBetween(-3, 3)
+    n_near_excl = F.count(F.lit(1)).over(near) - 1
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            (F.sum("value").over(full) - F.col("value")).alias("sum_others"),
+            (F.count(F.lit(1)).over(full) - 1).alias("n_others"),
+            # avg EXCLUDE CURRENT ROW = (frame_sum - value) / (frame_n - 1);
+            # NULL when the row is alone in its frame, matching the spec.
+            F.when(
+                n_near_excl > 0,
+                (F.sum("value").over(near) - F.col("value")) / n_near_excl,
+            ).alias("avg_neighbors"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "d_limit_with_ties",
+    oracle="""
+    SELECT o_totalprice, o_orderkey FROM (
+        SELECT o_totalprice, o_orderkey,
+               rank() OVER (ORDER BY o_totalprice DESC) AS rnk
+        FROM orders
+    ) WHERE rnk <= 10
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+    doc="LIMIT WITH TIES (reference declares it not-shippable, "
+    "query_pushdown.c NOT_SHIPPABLE_SQL_LIMIT_WITH_TIES; we support it "
+    "via the standard rank()<=n rewrite).",
+)
+def d_limit_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.orderBy(F.col("o_totalprice").desc())
+    return (
+        t["orders"]
+        .select("o_totalprice", "o_orderkey", F.rank().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 10)
+        .select("o_totalprice", "o_orderkey")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    )

@@ -304,3 +304,84 @@ def test_concurrent_commit_conflict(spark, events_df, tmp_path):
     stale.snapshots = stale.snapshots[:1]
     with pytest.raises(RuntimeError, match="concurrent commit"):
         cat.commit_metadata(loc, stale)
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO
+# ---------------------------------------------------------------------------
+
+def _mk_kv_table(spark, tmp_path, name="merge_t"):
+    df = spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(1, 11)], "id bigint, name string, val double"
+    )
+    return LakeTable.create_from_dataframe(spark, str(tmp_path / name), df)
+
+
+def test_merge_upsert(spark, tmp_path):
+    t = _mk_kv_table(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(5, "five", 50.0), (10, "ten", 100.0), (11, "new", 11.0), (12, "new", 12.0)],
+        "id bigint, name string, val double",
+    )
+    res = t.merge(
+        src, on=["id"], when_matched_update={"name": "s.name", "val": "t.val + s.val"}
+    )
+    assert res["updated_rows"] == 2
+    assert res["inserted_rows"] == 2
+    rows = {r.id: (r.name, r.val) for r in t.to_df().collect()}
+    assert len(rows) == 12
+    assert rows[5] == ("five", 55.0)
+    assert rows[10] == ("ten", 110.0)
+    assert rows[11] == ("new", 11.0)
+    assert rows[1] == ("v1", 1.0)  # untouched row survives
+
+
+def test_merge_delete_matched(spark, tmp_path):
+    t = _mk_kv_table(spark, tmp_path)
+    src = spark.createDataFrame([(3,), (4,), (99,)], "id bigint")
+    # delete matched, no insert (source lacks non-key columns anyway)
+    res = t.merge(
+        src.selectExpr("id", "'x' AS name", "0.0 AS val"),
+        on=["id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    assert res["deleted_rows"] == 2
+    assert res["inserted_rows"] == 0
+    ids = {r.id for r in t.to_df().collect()}
+    assert ids == {1, 2, 5, 6, 7, 8, 9, 10}
+
+
+def test_merge_prunes_untouched_files(spark, tmp_path):
+    """Files whose key range cannot match the source stay untouched
+    (metadata-only), mirroring the delete() fast path."""
+    loc = str(tmp_path / "pruned_merge")
+    t = LakeTable.create(spark, loc, "id bigint, val double")
+    # three appends → three files with disjoint id ranges
+    for lo in (0, 100, 200):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, float(i)) for i in range(10)], "id bigint, val double"
+            ).coalesce(1)
+        )
+    src = spark.createDataFrame([(205, 5000.0), (206, 6000.0)], "id bigint, val double")
+    res = t.merge(src, on=["id"], when_matched_update={"val": "s.val"})
+    assert res["updated_rows"] == 2
+    assert res["untouched_files"] >= 2  # 0-9 and 100-109 files not rewritten
+    rows = {r.id: r.val for r in t.to_df().collect()}
+    assert rows[205] == 5000.0 and rows[206] == 6000.0
+    assert rows[0] == 0.0 and rows[100] == 0.0
+    assert len(rows) == 30
+
+
+def test_merge_snapshot_isolation(spark, tmp_path):
+    """Old snapshot still reads pre-merge data (time travel)."""
+    t = _mk_kv_table(spark, tmp_path)
+    pre = t.metadata.current_snapshot().snapshot_id
+    t.merge(
+        spark.createDataFrame([(1, "one", -1.0)], "id bigint, name string, val double"),
+        on=["id"],
+        when_matched_update={"val": "s.val"},
+    )
+    assert {r.val for r in t.to_df(snapshot_id=pre).filter("id = 1").collect()} == {1.0}
+    assert {r.val for r in t.to_df().filter("id = 1").collect()} == {-1.0}
