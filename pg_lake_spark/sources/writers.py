@@ -52,3 +52,32 @@ def copy_to(
     for k, v in options.items():
         writer = writer.option(k, str(v))
     getattr(writer, fmt)(url)
+
+
+def copy_from(
+    spark,
+    url: str,
+    table,
+    fmt: str = "csv",
+    **options,
+):
+    """``COPY t FROM 'url'`` — import lake files into a LakeTable.
+
+    Reference parity: ProcessPgLakeCopyFrom (pg_lake_copy/src/copy/
+    copy.c:390) — the pushdown path reads the URL in the engine and
+    lands Parquet + a snapshot commit in one statement. Here that is a
+    ``read_lake`` (schema inference / CSV sniffing included) followed
+    by ``LakeTable.append``; column order is aligned to the table
+    schema by name.
+
+    Returns the commit snapshot.
+    """
+    from pg_lake_spark.sources import readers
+
+    df = readers.read_lake(spark, url, fmt=fmt, **options)
+    target_cols = [f.strip().split()[0] for f in table.metadata.schema_ddl.split(",")]
+    missing = [c for c in target_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"COPY FROM source lacks table columns: {missing}")
+    aligned = df.select(*target_cols)
+    return table.append(aligned)

@@ -1,0 +1,41 @@
+"""Plan-observability tests: pushed filters, column pruning, broadcast
+choice, and codegen attribution must be visible through plan_summary —
+the engine-side EXPLAIN transparency the reference provides via its
+Vectorized SQL / Not Vectorized Constructs decoration."""
+
+from __future__ import annotations
+
+from pg_lake_spark.plans import explain_report, plan_summary
+from pg_lake_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_q3_plan_shape(spark):
+    df = QUERIES["q3_shipping_priority"].fn(spark, SF_DIR)
+    s = plan_summary(df, execute=True)
+    assert len(s.scans) == 3
+    # every scan pushes its filter and prunes columns
+    assert all(sc.pushed_filters for sc in s.scans)
+    li = next(sc for sc in s.scans if "l_shipdate" in sc.read_schema)
+    assert "l_comment" not in li.read_schema and "l_tax" not in li.read_schema
+    assert s.broadcast_joins == 2 and s.shuffle_joins == 0
+    assert s.codegen_stages and s.codegen_stages >= 2
+    # the only interpreted operator should be the top-k sink
+    assert set(s.interpreted_ops) <= {"TakeOrderedAndProject"}
+
+
+def test_q6_pushes_all_predicates(spark):
+    df = QUERIES["q6_forecast_revenue"].fn(spark, SF_DIR)
+    s = plan_summary(df)
+    (scan,) = s.scans
+    txt = " ".join(scan.pushed_filters)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in txt
+    # projection pruned to the 4 referenced columns
+    assert scan.read_schema.count(":") == 4
+
+
+def test_report_renders(spark):
+    df = QUERIES["q1_pricing_summary"].fn(spark, SF_DIR)
+    rep = explain_report(df)
+    assert "pushed=" in rep and "exchanges" in rep

@@ -110,3 +110,22 @@ def test_csv_partition_by(spark, nationlike, tmp_path):
     assert os.path.isdir(os.path.join(out, "n_regionkey=1"))
     back = read_lake(spark, out, "parquet")
     assert back.count() == 4
+
+
+def test_copy_from_csv_into_lake_table(spark, nationlike, tmp_path):
+    from pg_lake_spark.lakehouse.table import LakeTable
+    from pg_lake_spark.sources.writers import copy_from, copy_to
+
+    csv_url = str(tmp_path / "nation_csv")
+    copy_to(nationlike, csv_url, fmt="csv", compression="none")
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "nation_lake"),
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in nationlike.schema.fields),
+    )
+    snap = copy_from(spark, csv_url, t, fmt="csv", header=True, inferSchema=True)
+    assert snap.operation == "append"
+    got = sorted(tuple(r) for r in t.to_df().collect())
+    want = sorted(tuple(r) for r in nationlike.collect())
+    assert got == want
