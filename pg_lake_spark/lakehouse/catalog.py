@@ -92,6 +92,11 @@ class TableMetadata:
         self.snapshots: list[Snapshot] = []
         self.current_snapshot_id: int | None = None
         self.deletion_queue: list[dict] = []  # {"path":…, "enqueued_ms":…}
+        # Merge-on-read delete predicates (position-delete analogue,
+        # writes.md:15-31): {"predicate": sql, "added_snapshot_id": id,
+        # "materialized_snapshot_id": id | None}. Readers of snapshot S
+        # apply a predicate iff added ≤ S < materialized.
+        self.delete_predicates: list[dict] = []
         self.version = 0
 
     # -- serialization ---------------------------------------------------
@@ -115,6 +120,7 @@ class TableMetadata:
                 for s in self.snapshots
             ],
             "deletion_queue": self.deletion_queue,
+            "delete_predicates": self.delete_predicates,
             "version": self.version,
         }
 
@@ -134,6 +140,7 @@ class TableMetadata:
             for s in d.get("snapshots", [])
         ]
         md.deletion_queue = d.get("deletion_queue", [])
+        md.delete_predicates = d.get("delete_predicates", [])
         md.version = d.get("version", 0)
         return md
 

@@ -133,9 +133,11 @@ def vacuum(
     max_snapshot_age_s: int = DEFAULT_MAX_SNAPSHOT_AGE_S,
     deletion_retention_s: int = DEFAULT_DELETION_RETENTION_S,
 ) -> dict:
-    """Full VACUUM: compact → expire snapshots → purge deletion queue
-    (the reference's three vacuum phases, vacuum.c:670-891)."""
+    """Full VACUUM: materialize MoR deletes → compact → expire
+    snapshots → purge deletion queue (the reference's vacuum phases,
+    vacuum.c:670-891, plus the position-delete merge step)."""
     out = {}
+    out["materialize_deletes"] = table.materialize_deletes()
     out["compact"] = compact_data_files(table, target_file_size_mb)
     out["expire"] = expire_snapshots(table, max_snapshot_age_s)
     out["purge"] = purge_deletion_queue(table, deletion_retention_s)

@@ -64,6 +64,10 @@ def parse_where(where: str) -> list[Predicate] | None:
 
 
 def _lit(tok: str):
+    # typed literals: TIMESTAMP '…' / DATE '…'
+    m = re.match(r"(?i)^(?:TIMESTAMP|DATE)\s+'(.+)'$", tok)
+    if m:
+        return _coerce_temporal(m.group(1))
     if tok.startswith("'") and tok.endswith("'"):
         s = tok[1:-1]
         return _coerce_temporal(s)
@@ -170,31 +174,37 @@ def file_matches(f: DataFile, preds: list[Predicate], spec: list[dict]) -> bool:
             _, py_eval = TRANSFORMS[t]
             if op in ("is_null", "not_null"):
                 continue
-            if t == "bucket":
-                if op == "=":
-                    if pv != py_eval(_revive(val), param):
-                        return False
-                elif op == "in":
-                    if pv not in {py_eval(_revive(v), param) for v in val}:
-                        return False
-                continue
-            if t in _MONOTONIC:
-                if op == "between":
-                    tlo, thi = py_eval(_revive(val[0]), param), py_eval(_revive(val[1]), param)
-                    if tlo is not None and pv < tlo:
-                        return False
-                    if thi is not None and pv > thi:
-                        return False
+            # Any evaluation failure (un-coerced literal, type mismatch)
+            # must keep the file — pruning is sound, never complete.
+            try:
+                if t == "bucket":
+                    if op == "=":
+                        if pv != py_eval(_revive(val), param):
+                            return False
+                    elif op == "in":
+                        if pv not in {py_eval(_revive(v), param) for v in val}:
+                            return False
                     continue
-                tv = py_eval(_revive(val), param) if op != "in" else None
-                if op == "=" and pv != tv:
-                    return False
-                if op in ("<", "<=") and tv is not None and pv > tv:
-                    return False
-                if op in (">", ">=") and tv is not None and pv < tv:
-                    return False
-                if op == "in" and pv not in {py_eval(_revive(v), param) for v in val}:
-                    return False
+                if t in _MONOTONIC:
+                    if op == "between":
+                        tlo = py_eval(_revive(val[0]), param)
+                        thi = py_eval(_revive(val[1]), param)
+                        if tlo is not None and pv < tlo:
+                            return False
+                        if thi is not None and pv > thi:
+                            return False
+                        continue
+                    tv = py_eval(_revive(val), param) if op != "in" else None
+                    if op == "=" and pv != tv:
+                        return False
+                    if op in ("<", "<=") and tv is not None and pv > tv:
+                        return False
+                    if op in (">", ">=") and tv is not None and pv < tv:
+                        return False
+                    if op == "in" and pv not in {py_eval(_revive(v), param) for v in val}:
+                        return False
+            except (TypeError, AttributeError, ValueError):
+                continue
     return True
 
 

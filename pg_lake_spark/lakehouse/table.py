@@ -264,6 +264,17 @@ class LakeTable:
         if not kept:
             return self.spark.createDataFrame([], self.metadata.schema_ddl)
         df = self.spark.read.schema(self.metadata.schema_ddl).parquet(*[f.path for f in kept])
+        # Merge-on-read: apply delete predicates active for this snapshot
+        # (added at-or-before it, not yet materialized at its time). The
+        # NULL-safe form keeps rows where the predicate is NULL — SQL
+        # DELETE only removes rows where it is TRUE.
+        if snap is not None:
+            for e in self.metadata.delete_predicates:
+                mat = e.get("materialized_snapshot_id")
+                if e["added_snapshot_id"] <= snap.snapshot_id and (
+                    mat is None or snap.snapshot_id < mat
+                ):
+                    df = df.filter(~F.coalesce(F.expr(e["predicate"]), F.lit(False)))
         if where:
             df = df.filter(where)
         return df
@@ -294,15 +305,30 @@ class LakeTable:
     # ------------------------------------------------------------------
     # DML: DELETE / UPDATE (metadata-only + copy-on-write)
     # ------------------------------------------------------------------
-    def delete(self, where: str) -> dict:
+    def delete(self, where: str, mode: str = "cow", cow_threshold: float = 0.05) -> dict:
         """DELETE FROM t WHERE …  (writes.md:15-44).
 
-        Three file classes per the reference's design:
-        - untouched: stats/partitions prove no row matches → kept as-is
-        - fully-matching: stats prove ALL rows match → dropped from
-          metadata only (``Data Files Skipped`` fast delete)
-        - partial: copy-on-write rewrite without matching rows
+        ``mode``:
+        - ``"cow"`` — copy-on-write (default). Three file classes per
+          the reference's design: untouched (stats prove no match),
+          fully-matching (metadata-only drop, the ``Data Files
+          Skipped`` fast path), partial (rewrite without matches).
+        - ``"mor"`` — merge-on-read: record the predicate in table
+          metadata (the predicate-delete analogue of the reference's
+          position-delete files, position_delete_dest.c); readers apply
+          it, VACUUM materializes it. O(metadata) write cost.
+        - ``"auto"`` — count matched rows on candidate files and pick:
+          below ``cow_threshold`` fraction → MoR (cheap write, tiny
+          read tax), else CoW — the copy_on_write_threshold policy
+          (writable_table.c:543-599) at statement granularity.
         """
+        if mode == "mor":
+            return self._delete_mor(where)
+        if mode == "auto":
+            frac = self._matched_fraction(where)
+            if frac is not None and 0 < frac < cow_threshold:
+                return self._delete_mor(where)
+            # fall through to CoW (also when nothing matches: no-op cost)
         snap = self.metadata.current_snapshot()
         if snap is None:
             return {"deleted_rows": 0, "dropped_files": 0, "rewritten_files": 0}
@@ -328,7 +354,9 @@ class LakeTable:
                 *[f.path for f in partial]
             )
             before = src.count()
-            remaining = src.filter(f"NOT ({where})")
+            # NULL-safe: DELETE removes only rows where the predicate is
+            # TRUE; rows where it evaluates NULL must survive.
+            remaining = src.filter(~F.coalesce(F.expr(where), F.lit(False)))
             after = remaining.count()
             deleted_rows += before - after
             if after > 0:
@@ -351,10 +379,93 @@ class LakeTable:
             "rewritten_files": len(rewritten),
         }
 
+    def _matched_fraction(self, where: str) -> float | None:
+        """Matched-row fraction over candidate files (auto-mode policy
+        input). Returns None for an empty table."""
+        snap = self.metadata.current_snapshot()
+        if snap is None:
+            return None
+        files = cat.read_snapshot_files(self.location, self.metadata, snap)
+        preds = parse_where(where)
+        spec = self.metadata.partition_spec
+        candidates = (
+            [f for f in files if pruning.file_matches(f, preds, spec)] if preds else files
+        )
+        total = sum(f.row_count for f in candidates)
+        if total == 0:
+            return 0.0
+        src = self.spark.read.schema(self.metadata.schema_ddl).parquet(
+            *[f.path for f in candidates]
+        )
+        return src.filter(where).count() / total
+
+    def _delete_mor(self, where: str) -> dict:
+        """Merge-on-read delete: metadata-only predicate commit."""
+        with cat.CommitLock(self.location):
+            md = cat.read_current_metadata(self.location)
+            current = md.current_snapshot()
+            sid = (current.snapshot_id + 1) if current else 1
+            snap = Snapshot(
+                snapshot_id=sid,
+                timestamp_ms=int(time.time() * 1000),
+                operation="delete",
+                manifests=list(current.manifests) if current else [],
+                summary={"mode": "mor", "predicate": where},
+            )
+            md.snapshots.append(snap)
+            md.current_snapshot_id = sid
+            md.delete_predicates.append(
+                {
+                    "predicate": where,
+                    "added_snapshot_id": sid,
+                    "materialized_snapshot_id": None,
+                }
+            )
+            cat.commit_metadata(self.location, md)
+            self.metadata = md
+        return {"mode": "mor", "predicate": where, "snapshot_id": sid}
+
+    def active_delete_predicates(self) -> list[str]:
+        snap = self.metadata.current_snapshot()
+        if snap is None:
+            return []
+        return [
+            e["predicate"]
+            for e in self.metadata.delete_predicates
+            if e["added_snapshot_id"] <= snap.snapshot_id
+            and (
+                e.get("materialized_snapshot_id") is None
+                or snap.snapshot_id < e["materialized_snapshot_id"]
+            )
+        ]
+
+    def materialize_deletes(self) -> dict:
+        """Physically apply pending MoR delete predicates (CoW rewrite)
+        and mark them materialized — VACUUM's read-tax-removal step,
+        the analogue of compacting position-delete files away."""
+        preds = self.active_delete_predicates()
+        if not preds:
+            return {"materialized": 0}
+        combined = " OR ".join(f"({p})" for p in preds)
+        self.delete(combined, mode="cow")
+        applied_snapshot = self.metadata.current_snapshot_id
+        with cat.CommitLock(self.location):
+            md = cat.read_current_metadata(self.location)
+            for e in md.delete_predicates:
+                if e.get("materialized_snapshot_id") is None:
+                    e["materialized_snapshot_id"] = applied_snapshot
+            cat.commit_metadata(self.location, md)
+            self.metadata = md
+        return {"materialized": len(preds), "snapshot_id": applied_snapshot}
+
     def update(self, assignments: dict[str, str], where: str | None = None) -> dict:
         """UPDATE t SET col = expr [WHERE …] — copy-on-write rewrite of
         candidate files (writes.md:15-31; CoW branch of
         writable_table.c:543-599)."""
+        # Pending MoR deletes must be physical before a rewrite touches
+        # the same rows (an update could otherwise resurrect a deleted
+        # row by changing a predicate column).
+        self.materialize_deletes()
         snap = self.metadata.current_snapshot()
         if snap is None:
             return {"updated_rows": 0, "rewritten_files": 0}
@@ -412,6 +523,7 @@ class LakeTable:
         """
         if when_matched_update and when_matched_delete:
             raise ValueError("choose one of when_matched_update / when_matched_delete")
+        self.materialize_deletes()  # same resurrect hazard as update()
         snap = self.metadata.current_snapshot()
         files = (
             cat.read_snapshot_files(self.location, self.metadata, snap) if snap else []

@@ -385,3 +385,79 @@ def test_merge_snapshot_isolation(spark, tmp_path):
     )
     assert {r.val for r in t.to_df(snapshot_id=pre).filter("id = 1").collect()} == {1.0}
     assert {r.val for r in t.to_df().filter("id = 1").collect()} == {-1.0}
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read deletes
+# ---------------------------------------------------------------------------
+
+def test_mor_delete_is_metadata_only(spark, tmp_path):
+    t = _mk_kv_table(spark, tmp_path, "mor1")
+    files_before = {r.path for r in t.files().collect()}
+    res = t.delete("id <= 3", mode="mor")
+    assert res["mode"] == "mor"
+    # no data files touched, but readers see the rows gone
+    assert {r.path for r in t.files().collect()} == files_before
+    assert {r.id for r in t.to_df().collect()} == set(range(4, 11))
+
+
+def test_mor_delete_time_travel(spark, tmp_path):
+    t = _mk_kv_table(spark, tmp_path, "mor2")
+    pre = t.metadata.current_snapshot().snapshot_id
+    t.delete("id > 8", mode="mor")
+    assert t.to_df().count() == 8
+    assert t.to_df(snapshot_id=pre).count() == 10  # pre-delete snapshot unaffected
+
+
+def test_mor_materialize_preserves_history(spark, tmp_path):
+    t = _mk_kv_table(spark, tmp_path, "mor3")
+    t.delete("id IN (1, 2)", mode="mor")
+    mor_snap = t.metadata.current_snapshot().snapshot_id
+    out = t.materialize_deletes()
+    assert out["materialized"] == 1
+    assert t.to_df().count() == 8                       # physical now
+    assert t.active_delete_predicates() == []           # predicate retired
+    assert t.to_df(snapshot_id=mor_snap).count() == 8   # MoR-era read still filtered
+
+
+def test_auto_mode_picks_mor_for_selective_delete(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "id bigint, val double"
+    )
+    t = LakeTable.create_from_dataframe(spark, str(tmp_path / "auto1"), df)
+    res = t.delete("id = 7", mode="auto")          # 0.1% selectivity → MoR
+    assert res.get("mode") == "mor"
+    res2 = t.delete("id < 900", mode="auto")       # 90% → CoW rewrite
+    assert "rewritten_files" in res2
+    # CoW removed ids 0-899 physically (id=7 among them); the MoR
+    # predicate stays active but now matches nothing → 100 rows left.
+    assert t.to_df().count() == 100
+
+
+def test_delete_null_predicate_rows_survive(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id bigint, tag string"
+    )
+    t = LakeTable.create_from_dataframe(spark, str(tmp_path / "nulldel"), df)
+    t.delete("tag = 'a'")  # NULL tag row must NOT be deleted
+    assert {r.id for r in t.to_df().collect()} == {2, 3}
+
+
+def test_update_materializes_pending_mor(spark, tmp_path):
+    t = _mk_kv_table(spark, tmp_path, "mor4")
+    t.delete("val >= 9.0", mode="mor")            # deletes ids 9, 10
+    # this update would have "resurrected" ids 9,10 by changing val
+    t.update({"val": "0.0"}, where="id >= 5")
+    ids = {r.id for r in t.to_df().collect()}
+    assert ids == {1, 2, 3, 4, 5, 6, 7, 8}
+    assert all(r.val == 0.0 for r in t.to_df().filter("id >= 5").collect())
+
+
+def test_parse_where_typed_literals():
+    from datetime import date, datetime
+
+    preds = parse_where("o_orderdate >= TIMESTAMP '2000-01-01'")
+    assert preds == [("o_orderdate", ">=", date(2000, 1, 1))]
+    preds = parse_where("d = DATE '1999-06-15' AND ts < TIMESTAMP '2001-02-03 04:05:06'")
+    assert preds[0] == ("d", "=", date(1999, 6, 15))
+    assert preds[1] == ("ts", "<", datetime(2001, 2, 3, 4, 5, 6))
