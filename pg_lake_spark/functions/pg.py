@@ -195,3 +195,71 @@ def pg_to_char(ts: Column | str, pg_fmt: str) -> Column:
     expression is a plain ``date_format`` (codegen'd, no UDF).
     """
     return F.date_format(_col(ts), translate_to_char_pattern(pg_fmt))
+
+
+# ---------------------------------------------------------------------------
+# INTERVAL persistence encoding (months/days/microseconds struct)
+# ---------------------------------------------------------------------------
+
+def interval_struct(
+    months: Column | int = 0, days: Column | int = 0, microseconds: Column | int = 0
+) -> Column:
+    """Build the reference's INTERVAL storage struct.
+
+    Spark's CalendarIntervalType cannot be a Parquet column; the
+    reference stores intervals as STRUCT(months BIGINT, days BIGINT,
+    microseconds BIGINT) (type.c:519-523; docs/iceberg-tables.md:111).
+    Persist this struct and convert at the edges with
+    :func:`add_interval` — files stay readable by the reference, DuckDB,
+    and pyiceberg.
+    """
+    def lift(v):
+        return F.lit(v).cast("bigint") if isinstance(v, int) else v.cast("bigint")
+
+    return F.struct(
+        lift(months).alias("months"),
+        lift(days).alias("days"),
+        lift(microseconds).alias("microseconds"),
+    )
+
+
+def add_interval(ts: Column | str, ivl: Column) -> Column:
+    """``timestamp + interval-struct`` with PG month/day/micros semantics
+    (months first, then days, then microseconds — each component applied
+    separately so month arithmetic clamps to end-of-month like PG)."""
+    ts = _col(ts)
+    zero = F.lit(0)
+    # month-interval addition clamps to end-of-month (Jan 31 + 1 mon =
+    # Feb 29) exactly like PG, and preserves the time of day
+    return (
+        ts
+        + F.make_interval(zero, ivl["months"].cast("int"), zero, zero, zero, zero, F.lit(0))
+        + F.make_interval(zero, zero, zero, ivl["days"].cast("int"), zero, zero, F.lit(0))
+        + (ivl["microseconds"] * F.expr("INTERVAL 1 MICROSECOND"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TIME / TIMETZ encoding (microseconds since midnight)
+# ---------------------------------------------------------------------------
+
+def time_to_micros(ts: Column | str) -> Column:
+    """Encode the time-of-day of a timestamp as micros-since-midnight.
+
+    Spark has no TIME type (SURVEY §1.2: TIME → LongType); the reference
+    maps PG TIME to DuckDB TIME (type.c:259-264) — here the stored form
+    is the int64 the Parquet TIME logical type uses, so files written
+    this way read back as TIME in DuckDB/the reference.
+    """
+    ts = _col(ts).cast("timestamp")  # NTZ → TZ is value-preserving (UTC session)
+    return F.unix_micros(ts) - F.unix_micros(F.date_trunc("day", ts))
+
+
+def micros_to_time_string(micros: Column | str) -> Column:
+    """Render micros-since-midnight as ``HH:MM:SS.ffffff`` (PG text form)."""
+    m = _col(micros).cast("bigint")
+    h = (m / 3600000000).cast("bigint")
+    mi = ((m % 3600000000) / 60000000).cast("bigint")
+    s = ((m % 60000000) / 1000000).cast("bigint")
+    us = m % 1000000
+    return F.format_string("%02d:%02d:%02d.%06d", h, mi, s, us)

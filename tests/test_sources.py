@@ -129,3 +129,39 @@ def test_copy_from_csv_into_lake_table(spark, nationlike, tmp_path):
     got = sorted(tuple(r) for r in t.to_df().collect())
     want = sorted(tuple(r) for r in nationlike.collect())
     assert got == want
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from pg_lake_spark.plans import plan_summary
+    from pg_lake_spark.sources.bucketed import co_located_join, write_bucketed
+
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "k"), "b_orders", ["k"], 8,
+        path=str(tmp_path / "b_orders"),
+    )
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "k"), "b_lineitem", ["k"], 8,
+        path=str(tmp_path / "b_lineitem"),
+    )
+    # at test scale the planner would broadcast instead and ignore the
+    # buckets; force the (at-scale) shuffle-join path to show it needs
+    # no exchange over pre-bucketed inputs
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = co_located_join(spark, "b_orders", "b_lineitem", on=["k"])
+        # correctness: same as the plain join
+        plain = orders.join(li, orders.o_orderkey == li.l_orderkey)
+        assert joined.count() == plain.count()
+        # the point: no exchange on either side of the join
+        s = plan_summary(joined, execute=True)
+        assert s.exchanges == 0, f"bucketed join must not shuffle (got {s.exchanges})"
+        assert s.shuffle_joins == 1  # SMJ over pre-bucketed inputs
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
