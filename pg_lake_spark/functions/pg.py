@@ -263,3 +263,41 @@ def micros_to_time_string(micros: Column | str) -> Column:
     s = ((m % 60000000) / 1000000).cast("bigint")
     us = m % 1000000
     return F.format_string("%02d:%02d:%02d.%06d", h, mi, s, us)
+
+
+# ---------------------------------------------------------------------------
+# date_bin
+# ---------------------------------------------------------------------------
+
+_UNIT_MICROS = {
+    "microsecond": 1,
+    "millisecond": 1000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 7 * 86_400_000_000,
+}
+
+
+def pg_date_bin(stride: str, ts: Column | str, origin: str) -> Column:
+    """PG ``date_bin(stride, ts, origin)`` — align timestamps into
+    stride-sized bins anchored at ``origin``.
+
+    Shippable in the reference (shippable_builtin_functions.c date_bin
+    row); Spark has no built-in, so this is pure micros arithmetic:
+    ``origin + floor((ts - origin) / stride) * stride`` — stays in
+    whole-stage codegen. ``stride`` is ``"<n> <unit>"`` with units
+    microsecond/millisecond/second/minute/hour/day/week (fixed-width
+    units only, exactly like PG's date_bin, which rejects months/years).
+    """
+    n_str, unit = stride.strip().split()
+    unit = unit.rstrip("s").lower()
+    if unit not in _UNIT_MICROS:
+        raise ValueError(f"date_bin stride unit must be fixed-width, got {unit!r}")
+    stride_us = int(n_str) * _UNIT_MICROS[unit]
+    ts = _col(ts).cast("timestamp")
+    origin_us = F.unix_micros(F.lit(origin).cast("timestamp"))
+    delta = F.unix_micros(ts) - origin_us
+    binned = origin_us + F.floor(delta / stride_us).cast("bigint") * stride_us
+    return F.timestamp_micros(binned).cast("timestamp_ntz")

@@ -424,3 +424,32 @@ def f_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "f_date_bin",
+    oracle="""
+    SELECT event_id,
+           time_bucket(INTERVAL 15 MINUTE, ts, TIMESTAMP '1970-01-01 00:00:00') AS bin_15m,
+           time_bucket(INTERVAL 1 HOUR,    ts, TIMESTAMP '1970-01-01 00:30:00') AS bin_1h_off
+    FROM events
+    WHERE event_id < 2000
+    ORDER BY event_id
+    """,
+    doc="date_bin (shippable_builtin_functions.c date_bin row): stride "
+    "binning with an anchored origin, as codegen'd micros arithmetic.",
+)
+def f_date_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_lake_spark.functions.pg import pg_date_bin
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 2000)
+        .select(
+            "event_id",
+            pg_date_bin("15 minutes", "ts", "1970-01-01 00:00:00").alias("bin_15m"),
+            pg_date_bin("1 hour", "ts", "1970-01-01 00:30:00").alias("bin_1h_off"),
+        )
+        .orderBy("event_id")
+    )

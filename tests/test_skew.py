@@ -1,0 +1,30 @@
+"""Salted-join equivalence: result must match the plain join on skewed
+data (one key holding most rows)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pg_lake_spark.operators.skew import salted_join
+
+
+def test_salted_join_matches_plain(spark):
+    # 90% of fact rows share key 1 (pathological skew)
+    fact = spark.range(0, 5000).select(
+        F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.createDataFrame([(1, "hot"), (10, "a"), (20, "b")], "k bigint, name string")
+    plain = fact.join(dim, on=["k"]).select("k", "v", "name")
+    salted = salted_join(fact, dim, on=["k"], salt_factor=4).select("k", "v", "name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join(spark):
+    fact = spark.range(0, 100).select((F.col("id") % 5).alias("k"), F.col("id").alias("v"))
+    dim = spark.createDataFrame([(0, "x"), (1, "y")], "k bigint, name string")
+    plain = fact.join(dim, on=["k"], how="left").select("k", "v", "name")
+    salted = salted_join(fact, dim, on=["k"], how="left", salt_factor=3).select("k", "v", "name")
+    assert sorted(map(tuple, plain.collect()), key=str) == sorted(
+        map(tuple, salted.collect()), key=str
+    )
