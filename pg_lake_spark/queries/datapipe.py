@@ -142,7 +142,7 @@ def dd_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
                FROM embeddings WHERE vec_id < 5)
-    SELECT query_id, vec_id, cos_sim, rank FROM (
+    SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim, rank FROM (
       SELECT q.query_id, e.vec_id,
              list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec) AS cos_sim,
              row_number() OVER (
@@ -161,7 +161,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t["embeddings"]
     return similarity.brute_force_topk(
         emb, emb.filter(F.col("vec_id") < 5), id_col="vec_id", vec_col="embedding", k=10
-    )
+    ).withColumn("cos_sim", F.round("cos_sim", 6))
 
 
 @query(
@@ -358,7 +358,7 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_cosine_similarity(a.v, b.v) AS cos_sim
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
     FROM e a, e b
     WHERE a.vec_id < b.vec_id
       AND list_cosine_similarity(a.v, b.v) >= 0.40
@@ -369,6 +369,12 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    return similarity.cosine_neardup_pairs(
-        t["embeddings"], "vec_id", "embedding", threshold=0.40
-    ).orderBy("id_a", "id_b")
+    return (
+        similarity.cosine_neardup_pairs(
+            t["embeddings"], "vec_id", "embedding", threshold=0.40
+        )
+        # rounded: dot products associate differently per engine; see
+        # w_exclude_current_row for the comparator-ordering rationale
+        .withColumn("cos_sim", F.round("cos_sim", 6))
+        .orderBy("id_a", "id_b")
+    )

@@ -793,9 +793,9 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)    OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
                              EXCLUDE CURRENT ROW) AS n_others,
-           avg(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
-                             EXCLUDE CURRENT ROW) AS avg_neighbors
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                                  EXCLUDE CURRENT ROW), 6) AS avg_neighbors
     FROM events
     ORDER BY user_id, event_id
     """,
@@ -819,9 +819,15 @@ def w_exclude_current_row(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)).over(full) - 1).alias("n_others"),
             # avg EXCLUDE CURRENT ROW = (frame_sum - value) / (frame_n - 1);
             # NULL when the row is alone in its frame, matching the spec.
-            F.when(
-                n_near_excl > 0,
-                (F.sum("value").over(near) - F.col("value")) / n_near_excl,
+            # rounded: windowed sums associate differently per engine, and
+            # this float is the comparator's first sort column — 6-decimal
+            # rounding makes the cross-engine ordering deterministic
+            F.round(
+                F.when(
+                    n_near_excl > 0,
+                    (F.sum("value").over(near) - F.col("value")) / n_near_excl,
+                ),
+                6,
             ).alias("avg_neighbors"),
         )
         .orderBy("user_id", "event_id")
