@@ -453,3 +453,79 @@ def f_date_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "arr_operators",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           list_has_all(ws, ['the', 'a'])                  AS contains_both,
+           list_has_any(ws, ['data', 'model'])             AS overlaps_terms,
+           CAST(list_position(ws, 'the') AS INT)           AS pos_the,
+           len(list_concat(ws, ['<eos>']))                 AS len_appended,
+           list_sort(list_distinct(ws[1:4]))               AS head_sorted,
+           ws[1] || '+' || ws[len(ws)]                     AS first_last
+    FROM w
+    ORDER BY doc_id
+    """,
+    doc="PG array operators @> <@/&& || plus position/append/distinct/sort "
+    "(shippable_builtin_functions.c:378-384; operators @> <@ && ||).",
+)
+def arr_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            # @> containment: ws contains all of ['the','a']
+            F.forall(F.array(F.lit("the"), F.lit("a")), lambda x: F.array_contains(ws, x)).alias(
+                "contains_both"
+            ),
+            # && overlap
+            F.arrays_overlap(ws, F.array(F.lit("data"), F.lit("model"))).alias("overlaps_terms"),
+            F.array_position(ws, "the").cast("int").alias("pos_the"),
+            # || concat + cardinality
+            F.size(F.concat(ws, F.array(F.lit("<eos>")))).alias("len_appended"),
+            F.array_sort(F.array_distinct(F.slice(ws, 1, 4))).alias("head_sorted"),
+            F.concat(F.element_at(ws, 1), F.lit("+"), F.element_at(ws, -1)).alias("first_last"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "f_json_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'k' AS BIGINT)  AS k_long,
+           CAST(props->>'k' AS DOUBLE)  AS k_double,
+           props->>'k'                  AS k_string,
+           CAST(json_array_length(json('[1,2,3]')) AS INT) AS arr_len
+    FROM events
+    WHERE event_id < 1000
+    ORDER BY event_id
+    """,
+    doc="JSON via Spark 4 VariantType (SURVEY §1.2 JSON↔jsonb row): "
+    "parse_json + typed variant_get, with json_array_length.",
+)
+def f_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    v = F.parse_json("props")
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 1000)
+        .select(
+            "event_id",
+            F.variant_get(v, "$.k", "bigint").alias("k_long"),
+            F.variant_get(v, "$.k", "double").alias("k_double"),
+            F.variant_get(v, "$.k", "string").alias("k_string"),
+            F.json_array_length(F.lit("[1,2,3]")).alias("arr_len"),
+        )
+        .orderBy("event_id")
+    )
