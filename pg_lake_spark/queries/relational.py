@@ -858,3 +858,73 @@ def d_limit_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_totalprice", "o_orderkey")
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     )
+
+
+@query(
+    "g_grouping_fn",
+    oracle="""
+    SELECT CAST(grouping(o_orderstatus) AS INT)   AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+           o_orderstatus, o_orderpriority,
+           count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY g_status, g_prio, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+    """,
+    doc="GROUPING() marker function distinguishing rollup NULLs from data "
+    "NULLs (shippable aggregate surface; test_grouping_set_pushdown.py).",
+)
+def g_grouping_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("g_status", "g_prio", "o_orderstatus", "o_orderpriority", "n")
+        .orderBy(
+            "g_status",
+            "g_prio",
+            F.col("o_orderstatus").asc_nulls_last(),
+            F.col("o_orderpriority").asc_nulls_last(),
+        )
+    )
+
+
+@query(
+    "d_not_in_three_valued",
+    oracle="""
+    SELECT count(*) AS n_not_in_with_null,
+           (SELECT count(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+           ) AS n_not_in_no_null
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                                        ELSE o_custkey END
+                            FROM orders)
+    """,
+    doc="NOT IN three-valued logic: a NULL in the subquery list makes "
+    "NOT IN never-true (count 0), while the NULL-free variant anti-joins "
+    "— the PG semantics Catalyst's RewritePredicateSubquery must preserve.",
+)
+def d_not_in_three_valued(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    t["customer"].createOrReplaceTempView("customer")
+    t["orders"].createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT count(*) AS n_not_in_with_null,
+               (SELECT count(*) FROM customer
+                WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                        WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+               ) AS n_not_in_no_null
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                                            ELSE o_custkey END
+                                FROM orders)
+        """
+    )
