@@ -35,14 +35,20 @@ def main() -> None:
         "q14_promo_revenue",
         "q18_large_volume_customer",
         "q19_discounted_revenue",
+        "q9_product_profit",
+        "q13_customer_distribution",
+        "q21_waiting_suppliers",
         "w_topk_per_user",
         "w_running_agg",
         "g_rollup_orders",
         "d_count_distinct",
         "dd_exact_hash_groups",
         "dd_lsh_candidates",
+        "dd_simhash_pairs",
+        "dd_embedding_neardup",
         "sim_cosine_topk",
         "txt_stats",
+        "st_tumbling_counts",
     ]
 
     spark = get_spark(
