@@ -1,0 +1,51 @@
+"""Warehouse-level catalog view (`iceberg_tables` analogue).
+
+Reference: the ``iceberg_tables`` SQL-catalog view that JDBC/pyiceberg/
+iceberg-rust clients read (docs/iceberg-tables.md, "Viewing the Iceberg
+catalog") — one row per table with its current metadata pointer. Here a
+warehouse is any directory whose children are LakeTable locations.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pg_lake_spark.lakehouse import catalog as cat
+
+_SCHEMA = (
+    "table_name string, location string, current_snapshot_id bigint, "
+    "n_snapshots int, last_updated_ms bigint, schema_ddl string, "
+    "partition_spec string, metadata_version int"
+)
+
+
+def list_tables(spark: SparkSession, warehouse_dir: str) -> DataFrame:
+    """One row per LakeTable under ``warehouse_dir`` (non-recursive).
+
+    Driver-side metadata reads only — O(#tables) small JSON files, the
+    same cost any Iceberg catalog listing pays.
+    """
+    rows = []
+    if os.path.isdir(warehouse_dir):
+        for name in sorted(os.listdir(warehouse_dir)):
+            loc = os.path.join(warehouse_dir, name)
+            if not cat.table_exists(loc):
+                continue
+            md = cat.read_current_metadata(loc)
+            snap = md.current_snapshot()
+            rows.append(
+                (
+                    name,
+                    loc,
+                    md.current_snapshot_id,
+                    len(md.snapshots),
+                    snap.timestamp_ms if snap else None,
+                    md.schema_ddl,
+                    json.dumps(md.partition_spec),
+                    md.version,
+                )
+            )
+    return spark.createDataFrame(rows, _SCHEMA)

@@ -928,3 +928,39 @@ def d_not_in_three_valued(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 FROM orders)
         """
     )
+
+
+@query(
+    "j_lateral_topn",
+    oracle="""
+    SELECT n_name, t.top_custkey, t.top_acctbal
+    FROM nation, LATERAL (
+        SELECT c_custkey AS top_custkey, c_acctbal AS top_acctbal
+        FROM customer
+        WHERE c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2
+    ) t
+    ORDER BY n_name, top_acctbal DESC, top_custkey
+    """,
+    doc="Correlated LATERAL re-scan (test_queries.py:96-103 cursor "
+    "re-scan shape): top-2 customers per nation via a lateral subquery "
+    "— Catalyst decorrelates it into a ranked window join.",
+)
+def j_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    t["nation"].createOrReplaceTempView("nation")
+    t["customer"].createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n_name, t.top_custkey, t.top_acctbal
+        FROM nation, LATERAL (
+            SELECT c_custkey AS top_custkey, c_acctbal AS top_acctbal
+            FROM customer
+            WHERE c_nationkey = n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) t
+        ORDER BY n_name, top_acctbal DESC, top_custkey
+        """
+    )

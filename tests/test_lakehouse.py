@@ -461,3 +461,22 @@ def test_parse_where_typed_literals():
     preds = parse_where("d = DATE '1999-06-15' AND ts < TIMESTAMP '2001-02-03 04:05:06'")
     assert preds[0] == ("d", "=", date(1999, 6, 15))
     assert preds[1] == ("ts", "<", datetime(2001, 2, 3, 4, 5, 6))
+
+
+def test_catalog_view_lists_tables(spark, tmp_path):
+    from pg_lake_spark.lakehouse.catalog_view import list_tables
+
+    wh = tmp_path / "warehouse"
+    wh.mkdir()
+    for name in ("alpha", "beta"):
+        LakeTable.create_from_dataframe(
+            spark, str(wh / name),
+            spark.createDataFrame([(1, "x")], "id bigint, s string"),
+        )
+    (wh / "not_a_table").mkdir()
+    got = list_tables(spark, str(wh))
+    rows = {r.table_name: r for r in got.collect()}
+    assert set(rows) == {"alpha", "beta"}
+    assert rows["alpha"].current_snapshot_id == 1
+    assert rows["alpha"].n_snapshots == 1
+    assert "id bigint" in rows["alpha"].schema_ddl
