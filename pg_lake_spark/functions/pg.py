@@ -194,7 +194,15 @@ def pg_to_char(ts: Column | str, pg_fmt: str) -> Column:
     runs at plan-construction time (driver side) — the executed
     expression is a plain ``date_format`` (codegen'd, no UDF).
     """
-    return F.date_format(_col(ts), translate_to_char_pattern(pg_fmt))
+    out = F.date_format(_col(ts), translate_to_char_pattern(pg_fmt))
+    # PG's lowercase am/pm specifiers render lowercase; Java's 'a' is
+    # always uppercase — post-lowercase when the pattern asked for it
+    # (found by differential fuzz, test_fuzz_pg_semantics.py).
+    import re as _re
+
+    if _re.search(r"(?<![A-Za-z\"])(am|pm)(?![A-Za-z])", pg_fmt):
+        out = F.regexp_replace(F.regexp_replace(out, "AM", "am"), "PM", "pm")
+    return out
 
 
 # ---------------------------------------------------------------------------
