@@ -337,3 +337,32 @@ def simhash_pairs(
         .filter(F.col("hamming_dist") <= max_dist)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch
+# ---------------------------------------------------------------------------
+
+def kmv_distinct_estimate(df: DataFrame, col: str, *, k: int = 256) -> DataFrame:
+    """K-minimum-values distinct-count sketch → 1-row (est, k).
+
+    The classic bottom-k sketch: hash every value to [0,1); if the k-th
+    smallest distinct hash is h_k, the distinct count ≈ (k-1)/h_k.
+    Deterministic (md5-based, no randomness), so the estimate is
+    engine-portable — the oracle recomputes it exactly in SQL, unlike
+    HLL whose register layout is implementation-private.
+
+    Scale: one hash-partitioned distinct of ~k·P candidates after a
+    map-side per-partition bottom-k (Catalyst's TakeOrderedAndProject
+    does the global k); no full materialization of the distinct set.
+    The 13-hex-digit (52-bit) hash keeps values exactly representable
+    in doubles so both engines divide identically.
+    """
+    h = (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 13), 16, 10).cast("bigint")
+        / F.lit(float(1 << 52))
+    ).alias("h")
+    bottom = df.select(h).distinct().orderBy("h").limit(k)
+    return bottom.agg(
+        (F.lit(float(k - 1)) / F.max("h")).alias("est_distinct"), F.lit(k).alias("k")
+    )

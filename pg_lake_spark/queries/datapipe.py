@@ -378,3 +378,26 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos_sim", F.round("cos_sim", 6))
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "sk_kmv_distinct",
+    oracle="""
+    WITH bottom AS (
+        SELECT DISTINCT CAST(list_sum(list_transform(range(1, 14),
+                   i -> (strpos('0123456789abcdef',
+                                substr(md5(CAST(l_partkey AS VARCHAR)), i, 1)) - 1)
+                        * power(16, 13 - i))) AS BIGINT)
+               / CAST(power(2, 52) AS DOUBLE) AS h
+        FROM lineitem
+        ORDER BY h LIMIT 256
+    )
+    SELECT 255.0 / max(h) AS est_distinct, 256 AS k FROM bottom
+    """,
+    doc="KMV bottom-k distinct sketch over l_partkey — deterministic and "
+    "engine-portable (the 'novel sketch' custom-operator slot; estimate "
+    "reproduced exactly by the SQL oracle).",
+)
+def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return dedup.kmv_distinct_estimate(t["lineitem"], "l_partkey", k=256)

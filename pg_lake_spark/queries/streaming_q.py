@@ -86,3 +86,28 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def st_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = running_user_totals(read_events_stream(spark, sf_dir))
     return run_available_now(sdf, spark, output_mode="update").orderBy("user_id")
+
+
+@query(
+    "st_sliding_counts",
+    oracle="""
+    SELECT pane AS window_start, event_type, count(*) AS n_events
+    FROM (
+        SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                       date_trunc('hour', ts)]) AS pane,
+               event_type
+        FROM events
+    ) panes
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+    doc="Streaming sliding windows (2h window, 1h slide): every event "
+    "lands in two panes; the oracle unnests both pane starts.",
+)
+def st_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_lake_spark.streaming import sliding_window_agg
+
+    sdf = sliding_window_agg(
+        read_events_stream(spark, sf_dir), window="2 hours", slide="1 hour"
+    )
+    return run_available_now(sdf, spark).orderBy("window_start", "event_type")
