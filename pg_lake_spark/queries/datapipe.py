@@ -401,3 +401,102 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return dedup.kmv_distinct_estimate(t["lineitem"], "l_partkey", k=256)
+
+
+# ---------------------------------------------------------------------------
+# Dataset assembly: deterministic splits + sequence packing
+# ---------------------------------------------------------------------------
+
+# md5-derived uniform hash in [0,1): 13 hex digits = 52 bits, exactly
+# representable in a double → both engines divide identically.
+_DUCK_HASH01 = """
+    (CAST(list_sum(list_transform(range(1, 14),
+        i -> (strpos('0123456789abcdef', substr(md5(CAST({col} AS VARCHAR)), i, 1)) - 1)
+             * power(16, 13 - i))) AS BIGINT) / CAST(power(2, 52) AS DOUBLE))
+"""
+
+
+def _spark_hash01(col):
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 13), 16, 10).cast("bigint")
+        / F.lit(float(1 << 52))
+    )
+
+
+@query(
+    "ds_train_val_split",
+    oracle=f"""
+    SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM (
+        SELECT CASE WHEN h < 0.8 THEN 'train'
+                    WHEN h < 0.9 THEN 'val'
+                    ELSE 'test' END AS split,
+               n_chars
+        FROM (SELECT {_DUCK_HASH01.format(col='doc_id')} AS h, n_chars FROM documents) t
+    ) s
+    GROUP BY split
+    ORDER BY split
+    """,
+    doc="Deterministic 80/10/10 train/val/test split by content-stable "
+    "hash — reproducible across runs/engines, no sampling state; the "
+    "standard split primitive for training-data pipelines.",
+)
+def ds_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    h = _spark_hash01("doc_id")
+    return (
+        t["documents"]
+        .select(
+            F.when(h < 0.8, "train").when(h < 0.9, "val").otherwise("test").alias("split"),
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split")
+    )
+
+
+@query(
+    "ds_pack_sequences",
+    oracle="""
+    SELECT bucket, pack_id, count(*) AS n_docs, sum(n_tokens) AS pack_tokens
+    FROM (
+        SELECT bucket, doc_id, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                               ROWS UNBOUNDED PRECEDING) - n_tokens)
+                          / 2048.0) AS BIGINT) AS pack_id
+        FROM (
+            SELECT doc_id % 16 AS bucket, doc_id,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+            FROM documents
+        ) tok
+    ) packed
+    GROUP BY bucket, pack_id
+    ORDER BY bucket, pack_id
+    """,
+    doc="Greedy sequence packing to a 2048-token budget: docs stream in "
+    "stable order within hash buckets, a running token cumsum assigns "
+    "pack ids. Buckets bound window-state and parallelize packing — "
+    "the contiguous-fill packing used for LLM pretraining batches.",
+)
+def ds_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    tok = t["documents"].select(
+        (F.col("doc_id") % 16).alias("bucket"),
+        "doc_id",
+        textstats.token_count_ws("text").cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = tok.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048.0).cast("bigint"),
+    )
+    return (
+        packed.groupBy("bucket", "pack_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("pack_tokens"))
+        .orderBy("bucket", "pack_id")
+    )
