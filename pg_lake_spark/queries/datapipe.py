@@ -179,7 +179,6 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         dim=64,
         k=5,
-        n_planes=4,
     )
 
 
