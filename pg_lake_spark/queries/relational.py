@@ -964,3 +964,82 @@ def j_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_name, top_acctbal DESC, top_custkey
         """
     )
+
+
+@query(
+    "e_funnel",
+    oracle="""
+    SELECT
+        count(*) FILTER (t_view IS NOT NULL) AS n_viewed,
+        count(*) FILTER (t_view IS NOT NULL AND t_click > t_view) AS n_clicked_after,
+        count(*) FILTER (t_view IS NOT NULL AND t_click > t_view
+                         AND t_buy > t_click) AS n_purchased_after
+    FROM (
+        SELECT user_id,
+               min(ts) FILTER (event_type = 'view')     AS t_view,
+               min(ts) FILTER (event_type = 'click')    AS t_click,
+               min(ts) FILTER (event_type = 'purchase') AS t_buy
+        FROM events
+        GROUP BY user_id
+    ) u
+    """,
+    doc="Event funnel (view → click → purchase, strictly ordered first "
+    "timestamps per user) — one grouped pass with FILTERed min aggs.",
+)
+def e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    per_user = t["events"].groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    bought = clicked & (F.col("t_buy") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.when(viewed, 1)).alias("n_viewed"),
+        F.count(F.when(clicked, 1)).alias("n_clicked_after"),
+        F.count(F.when(bought, 1)).alias("n_purchased_after"),
+    )
+
+
+@query(
+    "e_retention",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    )
+    SELECT a.d AS cohort_day,
+           count(DISTINCT a.user_id) AS n_active,
+           count(DISTINCT b.user_id) AS n_retained_next_day
+    FROM active a
+    LEFT JOIN active b ON b.user_id = a.user_id AND b.d = a.d + INTERVAL 1 DAY
+    GROUP BY a.d
+    ORDER BY cohort_day
+    """,
+    doc="Day-over-day retention: distinct active users per day self-joined "
+    "to the next day — the cohort-retention primitive for event analytics.",
+)
+def e_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    active = (
+        t["events"]
+        .select("user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"))
+        .distinct()
+    )
+    nxt = active.select(F.col("user_id").alias("b_user"), F.col("d").alias("b_d"))
+    return (
+        active.join(
+            nxt,
+            (F.col("b_user") == F.col("user_id"))
+            & (F.col("b_d") == F.date_add(F.col("d"), 1)),
+            "left_outer",
+        )
+        .groupBy(F.col("d").alias("cohort_day"))
+        .agg(
+            F.countDistinct("user_id").alias("n_active"),
+            F.countDistinct("b_user").alias("n_retained_next_day"),
+        )
+        .orderBy("cohort_day")
+    )

@@ -264,19 +264,20 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    li = t["lineitem"]
+    # One aggregation of lineitem serves both the HAVING filter and the
+    # output sum (the groupBy keys are order-level attributes, so the
+    # per-order total IS the group's sum) — the naive form re-aggregates
+    # every lineitem row a second time after the semi join.
     big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("q"))
-        .filter(F.col("q") > 150)
-        .select("l_orderkey")
-    )
-    ords = t["orders"].join(big, t["orders"].o_orderkey == big.l_orderkey, "left_semi")
-    return (
-        li.join(ords, li.l_orderkey == ords.o_orderkey)
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        t["lineitem"]
+        .groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
