@@ -108,6 +108,11 @@ class LakeTable:
         snapshot (the streaming ingest path records its micro-batch id
         here for exactly-once replay protection).
         """
+        from pg_lake_spark.lakehouse import validation
+
+        policy = self.metadata.properties.get("out_of_range_values", validation.ERROR)
+        if policy != "none":
+            df = validation.validate_for_write(df, policy)
         new_files = self._write_data_files(df)
         summary = {
             "added_files": len(new_files),

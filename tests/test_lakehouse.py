@@ -480,3 +480,41 @@ def test_catalog_view_lists_tables(spark, tmp_path):
     assert rows["alpha"].current_snapshot_id == 1
     assert rows["alpha"].n_snapshots == 1
     assert "id bigint" in rows["alpha"].schema_ddl
+
+
+# ---------------------------------------------------------------------------
+# out_of_range_values policy
+# ---------------------------------------------------------------------------
+
+def test_out_of_range_error_default(spark, tmp_path):
+    from datetime import datetime
+
+    t = LakeTable.create(spark, str(tmp_path / "oor1"), "id bigint, ts timestamp_ntz")
+    ok = spark.createDataFrame([(1, datetime(2024, 1, 1))], "id bigint, ts timestamp_ntz")
+    t.append(ok)
+    bad = spark.sql(
+        "SELECT CAST(2 AS BIGINT) AS id, CAST('0000-12-31 00:00:00' AS TIMESTAMP_NTZ) AS ts"
+    )
+    import py4j.protocol
+
+    with pytest.raises(Exception, match="out of range|USER_RAISED"):
+        t.append(bad)
+    assert t.to_df().count() == 1  # failed write committed nothing
+
+
+def test_out_of_range_clamp(spark, tmp_path):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "oor2"),
+        "id bigint, ts timestamp_ntz, v double",
+        properties={"out_of_range_values": "clamp"},
+    )
+    bad = spark.sql(
+        """SELECT CAST(1 AS BIGINT) AS id,
+                  CAST('0000-12-31 00:00:00' AS TIMESTAMP_NTZ) AS ts,
+                  CAST('NaN' AS DOUBLE) AS v"""
+    )
+    t.append(bad)
+    row = t.to_df().collect()[0]
+    assert str(row.ts).startswith("0001-01-01")  # clamped to bound
+    assert row.v is None  # NaN → NULL
