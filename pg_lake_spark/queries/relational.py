@@ -1043,3 +1043,104 @@ def e_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day")
     )
+
+
+@query(
+    "j_asof_prior_view",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts AS view_ts, min(event_id) AS view_id
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, ts
+    ),
+    p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, v.view_ts AS ts_r, v.view_id AS view_id_r
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.view_ts
+    ORDER BY p.event_id
+    """,
+    doc="As-of join (operator Spark lacks; built as union + carry-forward "
+    "window, one shuffle on the key) — each purchase joined to the user's "
+    "most recent prior-or-same view; oracle uses DuckDB's native ASOF JOIN.",
+)
+def j_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_lake_spark.operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    # dedup right side per (user, ts) so the as-of pick is deterministic
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("view_ts"))
+        .agg(F.min("event_id").alias("view_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="view_ts",
+        right_cols=["view_id"],
+        suffix="_r",
+    )
+    return (
+        out.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("view_ts_r").alias("ts_r"),
+            F.col("view_id_r"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "j_range_within_hour",
+    oracle="""
+    SELECT v.user_id, count(*) AS n_pairs,
+           sum(epoch_us(p.ts) - epoch_us(v.ts)) AS total_gap_us
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
+    GROUP BY v.user_id
+    ORDER BY v.user_id
+    """,
+    doc="Keyed range join: view→purchase pairs within one hour per user "
+    "— equi key carries the shuffle, the range predicate filters in the "
+    "join (SMJ post-filter); the additive operator class SURVEY §2.3 "
+    "notes is absent from the reference.",
+)
+def j_range_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("ts").alias("v_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.unix_micros(F.col("p_ts").cast("timestamp"))
+                - F.unix_micros(F.col("v_ts").cast("timestamp"))
+            ).alias("total_gap_us"),
+        )
+        .orderBy("user_id")
+    )
