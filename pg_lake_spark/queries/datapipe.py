@@ -499,3 +499,89 @@ def ds_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("pack_tokens"))
         .orderBy("bucket", "pack_id")
     )
+
+
+@query(
+    "ts_gapfill_rollup",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day, et.event_type
+        FROM bounds, (SELECT DISTINCT event_type FROM events) et
+    ),
+    agg AS (
+        SELECT date_trunc('day', ts) AS day, event_type,
+               count(*) AS n, sum(value) AS sum_value
+        FROM events GROUP BY day, event_type
+    )
+    SELECT g.day, g.event_type,
+           coalesce(a.n, 0) AS n,
+           coalesce(a.sum_value, 0.0) AS sum_value
+    FROM grid g LEFT JOIN agg a ON a.day = g.day AND a.event_type = g.event_type
+    ORDER BY g.day, g.event_type
+    """,
+    doc="Hypertable-style rollup with gap filling: a generated day×type "
+    "grid left-joined to the aggregate so empty buckets appear as zero "
+    "rows (the time_bucket_gapfill pattern; grid via sequence(), no UDF).",
+)
+def ts_gapfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"), F.date_trunc("day", F.max("ts")).alias("hi")
+    )
+    grid = (
+        bounds.select(
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+        )
+        .crossJoin(ev.select("event_type").distinct())
+    )
+    agg = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("a_day"),
+        F.col("event_type").alias("a_type"),
+    ).agg(F.count(F.lit(1)).alias("a_n"), F.sum("value").alias("a_sum"))
+    return (
+        grid.join(
+            agg,
+            (F.col("a_day") == F.col("day")) & (F.col("a_type") == F.col("event_type")),
+            "left_outer",
+        )
+        .select(
+            "day",
+            "event_type",
+            F.coalesce(F.col("a_n"), F.lit(0)).alias("n"),
+            F.coalesce(F.col("a_sum"), F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@query(
+    "ds_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, n_chars
+    FROM (
+        SELECT doc_id, n_chars,
+               pow({_DUCK_HASH01.format(col='doc_id')}, 1.0 / n_chars) AS key
+        FROM documents
+    ) t
+    ORDER BY key DESC, doc_id
+    LIMIT 100
+    """,
+    doc="Weighted sampling without replacement (Efraimidis-Spirakis A-ES: "
+    "top-k by u^(1/w) with a content-stable uniform u) — deterministic, "
+    "single top-k pass, the standard quality-weighted corpus sampler.",
+)
+def ds_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    key = F.pow(_spark_hash01("doc_id"), F.lit(1.0) / F.col("n_chars"))
+    return (
+        t["documents"]
+        .select("doc_id", "n_chars", key.alias("key"))
+        .orderBy(F.col("key").desc(), "doc_id")
+        .limit(100)
+        .select("doc_id", "n_chars")
+    )
