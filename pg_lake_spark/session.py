@@ -162,5 +162,47 @@ class LakeSession:
     def sql(self, query: str) -> DataFrame:
         return self.spark.sql(query)
 
+    # -- lakehouse tables (transactional write surface) -----------------
+    def create_lake_table(
+        self,
+        name: str,
+        location: str,
+        df: DataFrame | None = None,
+        schema_ddl: str | None = None,
+        partition_by: list[str] | None = None,
+        properties: dict | None = None,
+    ):
+        """CREATE TABLE … USING iceberg analogue; with ``df`` it is CTAS.
+
+        The table registers as a temp view under ``name`` (refreshed
+        reads require re-calling :meth:`lake_table`)."""
+        from pg_lake_spark.lakehouse.table import LakeTable
+
+        if df is not None:
+            t = LakeTable.create_from_dataframe(
+                self.spark, location, df, partition_by, properties
+            )
+        elif schema_ddl is not None:
+            t = LakeTable.create(self.spark, location, schema_ddl, partition_by, properties)
+        else:
+            raise ValueError("provide df (CTAS) or schema_ddl")
+        t.to_df().createOrReplaceTempView(name)
+        return t
+
+    def lake_table(self, location: str, name: str | None = None):
+        """Load an existing LakeTable; optionally (re)register its view."""
+        from pg_lake_spark.lakehouse.table import LakeTable
+
+        t = LakeTable.load(self.spark, location)
+        if name:
+            t.to_df().createOrReplaceTempView(name)
+        return t
+
+    def vacuum(self, location: str, **kwargs) -> dict:
+        from pg_lake_spark.lakehouse import maintenance
+        from pg_lake_spark.lakehouse.table import LakeTable
+
+        return maintenance.vacuum(LakeTable.load(self.spark, location), **kwargs)
+
     def stop(self) -> None:
         self.spark.stop()

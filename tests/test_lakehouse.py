@@ -518,3 +518,17 @@ def test_out_of_range_clamp(spark, tmp_path):
     row = t.to_df().collect()[0]
     assert str(row.ts).startswith("0001-01-01")  # clamped to bound
     assert row.v is None  # NaN → NULL
+
+
+def test_lake_session_facade(spark, tmp_path):
+    from pg_lake_spark.session import LakeSession
+
+    sess = LakeSession(spark)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, s string")
+    t = sess.create_lake_table("facade_t", str(tmp_path / "facade"), df=df)
+    assert sess.sql("SELECT count(*) AS n FROM facade_t").collect()[0].n == 2
+    t.append(spark.createDataFrame([(3, "c")], "id bigint, s string"))
+    t2 = sess.lake_table(str(tmp_path / "facade"), name="facade_t")
+    assert sess.sql("SELECT count(*) AS n FROM facade_t").collect()[0].n == 3
+    out = sess.vacuum(str(tmp_path / "facade"), max_snapshot_age_s=10**9)
+    assert "compact" in out and "materialize_deletes" in out
