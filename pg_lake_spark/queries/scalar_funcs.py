@@ -529,3 +529,61 @@ def f_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "f_width_bucket",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 60000 THEN 11
+                ELSE CAST(floor(o_totalprice / 60000.0 * 10) AS BIGINT) + 1
+           END AS price_bucket
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    doc="width_bucket — THE reference example of a non-shippable function "
+    "that forced partial pushdown (docs/iceberg-tables.md partial-pushdown "
+    "section); here it runs natively in the vectorized engine. DuckDB "
+    "lacks it, so the oracle computes the histogram arithmetic directly.",
+)
+def f_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(60000.0), F.lit(10))
+            .cast("bigint")
+            .alias("price_bucket"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "g_pivot_event_types",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'view')     AS view,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'error')    AS error
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="PIVOT: per-user counts fanned to one column per event type "
+    "(Spark relational pivot; oracle uses FILTERed aggregates).",
+)
+def g_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+        .orderBy("user_id")
+    )
