@@ -587,3 +587,50 @@ def g_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0)
         .orderBy("user_id")
     )
+
+
+@query(
+    "f_hyperbolic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           (exp(x) - exp(-x)) / 2                 AS sinh_x,
+           (exp(x) + exp(-x)) / 2                 AS cosh_x,
+           (exp(x) - exp(-x)) / (exp(x) + exp(-x)) AS tanh_x,
+           ln(x + sqrt(x * x + 1))               AS asinh_x,
+           ln(y + sqrt(y * y - 1))               AS acosh_y,
+           0.5 * ln((1 + z) / (1 - z))           AS atanh_z
+    FROM (
+        SELECT l_orderkey, l_linenumber,
+               l_discount * 10 - 0.5  AS x,
+               1 + l_tax * 10          AS y,
+               l_discount * 2 - 0.1    AS z
+        FROM lineitem WHERE l_orderkey < 1000
+    ) t
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="Hyperbolics incl. inverses (shippable list sinh..atanh + the "
+    "acosh_pg/atanh_pg shims, duckdb_pglake_extension.cpp:82-116); the "
+    "DuckDB 1.0 oracle lacks the builtins so it evaluates the exp/ln "
+    "identities — also pinning the functions' definitions, not just "
+    "engine agreement.",
+)
+def f_hyperbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    x = F.col("l_discount") * 10 - 0.5
+    y = 1 + F.col("l_tax") * 10
+    z = F.col("l_discount") * 2 - 0.1
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") < 1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.sinh(x).alias("sinh_x"),
+            F.cosh(x).alias("cosh_x"),
+            F.tanh(x).alias("tanh_x"),
+            F.asinh(x).alias("asinh_x"),
+            F.acosh(y).alias("acosh_y"),
+            F.atanh(z).alias("atanh_z"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
