@@ -1144,3 +1144,29 @@ def j_range_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "s_except_intersect_all",
+    oracle="""
+    SELECT nationkey, count(*) AS n FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey FROM supplier
+    ) e
+    GROUP BY nationkey
+    ORDER BY nationkey
+    """,
+    doc="EXCEPT ALL (bag semantics — each supplier occurrence cancels one "
+    "customer occurrence), distinct-variant twin of s_except.",
+)
+def s_except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    s = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    return (
+        c.exceptAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("nationkey")
+    )

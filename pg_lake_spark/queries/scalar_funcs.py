@@ -634,3 +634,41 @@ def f_hyperbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@query(
+    "f_bit_ops",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255                        AS and_mask,
+           o_orderkey | 4096                       AS or_flag,
+           xor(o_orderkey, o_custkey)              AS xor_keys,
+           o_orderkey << 2                         AS shl2,
+           o_orderkey >> 3                         AS shr3,
+           CAST(bit_count(o_orderkey) AS BIGINT)   AS popcount,
+           ~o_orderkey                             AS bnot
+    FROM orders
+    WHERE o_orderkey < 5000
+    ORDER BY o_orderkey
+    """,
+    doc="Bitwise operator family (& | # << >> ~ and bit_count) from the "
+    "shippable operator table's integer rows.",
+)
+def f_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    k = F.col("o_orderkey")
+    return (
+        t["orders"]
+        .filter(k < 5000)
+        .select(
+            "o_orderkey",
+            k.bitwiseAND(F.lit(255)).alias("and_mask"),
+            k.bitwiseOR(F.lit(4096)).alias("or_flag"),
+            k.bitwiseXOR(F.col("o_custkey")).alias("xor_keys"),
+            F.shiftleft(k, 2).alias("shl2"),
+            F.shiftright(k, 3).alias("shr3"),
+            F.bit_count(k).cast("bigint").alias("popcount"),
+            F.bitwise_not(k).alias("bnot"),
+        )
+        .orderBy("o_orderkey")
+    )
