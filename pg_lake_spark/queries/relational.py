@@ -1147,7 +1147,7 @@ def j_range_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "s_except_intersect_all",
+    "s_except_all",
     oracle="""
     SELECT nationkey, count(*) AS n FROM (
         SELECT c_nationkey AS nationkey FROM customer
@@ -1160,7 +1160,7 @@ def j_range_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="EXCEPT ALL (bag semantics — each supplier occurrence cancels one "
     "customer occurrence), distinct-variant twin of s_except.",
 )
-def s_except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     c = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
     s = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
