@@ -23,6 +23,7 @@ Scale notes (100 TB design intent):
 from __future__ import annotations
 
 import os
+from collections.abc import Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -82,27 +83,94 @@ def get_spark(
     return builder.getOrCreate()
 
 
+#: SQL confs the engine depends on that are runtime-settable, so queries
+#: work even when the caller (e.g. the correctness driver) built its own
+#: vanilla SparkSession instead of calling :func:`get_spark`.
+_RUNTIME_CONFS = {
+    # Parquet TIMESTAMP(NANOS) has no Spark type; read as long and
+    # normalize in _normalize_ns_timestamps (reference handles the same
+    # via its TIMESTAMP_NS type-map row, type.c:290-302).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+    # NTZ semantics end-to-end; matches the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Apply the engine's required runtime-settable SQL confs idempotently."""
+    for k, v in _RUNTIME_CONFS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+
+
+class LazyTables(Mapping):
+    """Lazy per-table view of the corpus directory.
+
+    Tables load (and register as temp views) on first access, so a query
+    touching ``lineitem`` never pays schema inference — or a read error —
+    for the nine tables it doesn't use. At 100 TB the eager alternative is
+    ten parquet footer reads per query; here it also isolates failures
+    (a corrupt ``events`` table can no longer sink a TPC-H query).
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str, register_views: bool = True):
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._register_views = register_views
+        self._cache: dict[str, DataFrame] = {}
+        ensure_runtime_confs(spark)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self._sf_dir, f"{name}.parquet")
+
+    def __getitem__(self, name: str) -> DataFrame:
+        df = self._cache.get(name)
+        if df is None:
+            path = self._path(name)
+            if not os.path.exists(path):
+                raise KeyError(name)
+            ensure_runtime_confs(self._spark)
+            df = _normalize_ns_timestamps(self._spark.read.parquet(path), path)
+            self._cache[name] = df
+        if self._register_views:
+            # Re-register every access: another sf_dir's LazyTables may have
+            # claimed the view name since we last did.
+            df.createOrReplaceTempView(name)
+        return df
+
+    def __iter__(self):
+        return (n for n in TABLES if os.path.exists(self._path(n)))
+
+    def __len__(self) -> int:
+        return sum(1 for _ in self)
+
+    def __contains__(self, name) -> bool:
+        return name in TABLES and os.path.exists(self._path(name))
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str = DEFAULT_SF_DIR,
     register_views: bool = True,
-) -> dict[str, DataFrame]:
-    """Load the corpus tables from ``sf_dir`` and register temp views.
+) -> LazyTables:
+    """Lazy mapping of corpus tables from ``sf_dir``; views register on access.
 
     Mirrors pg_lake's lake-table registration flow: one DataFrame per
-    parquet table, schema inferred from the files. Missing tables are
-    skipped (small SF dirs may not carry every table).
+    parquet table, schema inferred from the files. Loading is lazy and
+    cached per ``(SparkSession, sf_dir)`` so repeated query calls in one
+    session share DataFrames and pay schema inference once per table.
     """
-    out: dict[str, DataFrame] = {}
-    for name in TABLES:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if not os.path.exists(path):
-            continue
-        df = _normalize_ns_timestamps(spark.read.parquet(path), path)
-        out[name] = df
-        if register_views:
-            df.createOrReplaceTempView(name)
-    return out
+    cache = getattr(spark, "_pg_lake_tables", None)
+    if cache is None:
+        cache = {}
+        spark._pg_lake_tables = cache
+    key = (sf_dir, register_views)
+    tables = cache.get(key)
+    if tables is None:
+        tables = LazyTables(spark, sf_dir, register_views)
+        cache[key] = tables
+    return tables
 
 
 def _normalize_ns_timestamps(df: DataFrame, path: str) -> DataFrame:
@@ -142,7 +210,7 @@ class LakeSession:
         self._tables: dict[str, DataFrame] = {}
 
     # -- registration ---------------------------------------------------
-    def register_corpus(self, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    def register_corpus(self, sf_dir: str = DEFAULT_SF_DIR) -> LazyTables:
         self._tables = load_tables(self.spark, sf_dir)
         return self._tables
 
