@@ -44,6 +44,13 @@ class DataFile:
     partition: dict[str, object] = field(default_factory=dict)
     # col → {"min": v, "max": v, "null_count": n} (JSON-encodable values)
     stats: dict[str, dict] = field(default_factory=dict)
+    # Snapshot that added this file — the data-sequence-number analogue
+    # of the Iceberg spec. MoR delete predicates apply only to files
+    # added strictly before the delete's snapshot, so later appends are
+    # never hidden by an earlier delete. None = not yet committed
+    # (stamped by the commit); legacy manifests deserialize as 0
+    # (oldest, so every predicate applies — the pre-field behavior).
+    added_snapshot_id: int | None = None
 
     def to_json(self) -> dict:
         return {
@@ -52,6 +59,7 @@ class DataFile:
             "size_bytes": self.size_bytes,
             "partition": self.partition,
             "stats": self.stats,
+            "added_snapshot_id": self.added_snapshot_id or 0,
         }
 
     @staticmethod
@@ -62,6 +70,7 @@ class DataFile:
             size_bytes=d["size_bytes"],
             partition=d.get("partition", {}),
             stats=d.get("stats", {}),
+            added_snapshot_id=d.get("added_snapshot_id", 0),
         )
 
 

@@ -33,6 +33,10 @@ def compact_data_files(
     Only groups with ≥ ``min_input_files`` small files are rewritten;
     large files are left alone (rewrite_data_files semantics).
     """
+    # Compaction re-stamps rows with a new file sequence; pending MoR
+    # delete predicates scoped to older sequences would stop applying to
+    # them (resurrecting deleted rows) — make deletes physical first.
+    table.materialize_deletes()
     snap = table.metadata.current_snapshot()
     if snap is None:
         return {"compacted_groups": 0, "removed_files": 0, "added_files": 0}
@@ -107,13 +111,27 @@ def expire_snapshots(table: LakeTable, max_age_s: int = DEFAULT_MAX_SNAPSHOT_AGE
 def purge_deletion_queue(
     table: LakeTable, retention_s: int = DEFAULT_DELETION_RETENTION_S
 ) -> dict:
-    """Physically delete queued files older than the retention window."""
+    """Physically delete queued files older than the retention window.
+
+    Files are enqueued at the commit that removed them, while older
+    retained snapshots may still reference them — unlinking on age alone
+    would break time travel. A file is purged only when no retained
+    snapshot's manifests reference it; still-referenced entries stay
+    queued (expire_snapshots eventually releases them).
+    """
     with cat.CommitLock(table.location):
         md = cat.read_current_metadata(table.location)
         cutoff_ms = int(time.time() * 1000) - retention_s * 1000
+        referenced: set[str] = set()
+        for s in md.snapshots:
+            for f in cat.read_snapshot_files(table.location, md, s):
+                referenced.add(f.path)
         keep, purge = [], []
         for entry in md.deletion_queue:
-            (purge if entry["enqueued_ms"] <= cutoff_ms else keep).append(entry)
+            if entry["enqueued_ms"] <= cutoff_ms and entry["path"] not in referenced:
+                purge.append(entry)
+            else:
+                keep.append(entry)
         deleted = 0
         for entry in purge:
             try:

@@ -127,6 +127,50 @@ class LakeTable:
             summary=summary,
         )
 
+    def append_streaming_batch(
+        self, df: DataFrame, stream_key: str, batch_id: int
+    ) -> Snapshot | None:
+        """Exactly-once micro-batch append.
+
+        The per-stream high-water batch id lives in table *properties*
+        keyed by ``stream_key`` and is checked and advanced inside the
+        commit lock — so interleaved commits by other writers (manual
+        appends, deletes, compaction, a second stream) cannot reset it,
+        unlike stamping the latest snapshot's summary. A replayed batch
+        is detected at commit time; its staged files are unlinked and
+        no snapshot is produced. Returns None for a skipped replay.
+        """
+        from pg_lake_spark.lakehouse import validation
+
+        prop_key = f"streaming.high-water.{stream_key}"
+        # Cheap pre-check against our metadata image to skip the write.
+        if batch_id <= int(self.metadata.properties.get(prop_key, -1)):
+            return None
+        policy = self.metadata.properties.get("out_of_range_values", validation.ERROR)
+        if policy != "none":
+            df = validation.validate_for_write(df, policy)
+        new_files = self._write_data_files(df)
+        snap = self._commit(
+            operation="append",
+            added=new_files,
+            removed_paths=set(),
+            summary={
+                "added_files": len(new_files),
+                "added_rows": sum(f.row_count for f in new_files),
+                "streaming-batch-id": batch_id,
+                "stream-key": stream_key,
+            },
+            properties_update={prop_key: batch_id},
+            precondition=lambda md: batch_id > int(md.properties.get(prop_key, -1)),
+        )
+        if snap is None:  # lost the race to a concurrent replay — clean up
+            for f in new_files:
+                try:
+                    os.unlink(f.path)
+                except FileNotFoundError:
+                    pass
+        return snap
+
     def _write_data_files(self, df: DataFrame) -> list[DataFile]:
         staging = os.path.join(self.location, "data", uuid.uuid4().hex)
         spec = self.metadata.partition_spec
@@ -198,10 +242,29 @@ class LakeTable:
         removed_paths: set[str],
         summary: dict,
         schema_ddl: str | None = None,
-    ) -> Snapshot:
+        properties_update: dict | None = None,
+        precondition=None,
+    ) -> Snapshot | None:
+        """Atomic snapshot commit.
+
+        ``precondition(md)`` runs inside the commit lock against the
+        freshest metadata; returning False aborts the commit (returns
+        None) — callers own cleanup of any files they staged.
+        ``properties_update`` merges into table properties in the same
+        commit (used by streaming high-water marks).
+        """
         with cat.CommitLock(self.location):
             md = cat.read_current_metadata(self.location)
+            if precondition is not None and not precondition(md):
+                self.metadata = md
+                return None
             current = md.current_snapshot()
+            sid = (current.snapshot_id + 1) if current else 1
+            # Stamp the data-sequence number; files carrying an explicit
+            # id (e.g. compaction preserving its inputs' age) keep it.
+            for f in added:
+                if f.added_snapshot_id is None:
+                    f.added_snapshot_id = sid
             kept: list[DataFile] = []
             if current is not None:
                 kept = [
@@ -213,7 +276,7 @@ class LakeTable:
             if kept or added:
                 manifests = [cat.write_manifest(self.location, kept + added)]
             snap = Snapshot(
-                snapshot_id=(current.snapshot_id + 1) if current else 1,
+                snapshot_id=sid,
                 timestamp_ms=int(time.time() * 1000),
                 operation=operation,
                 manifests=manifests,
@@ -225,6 +288,8 @@ class LakeTable:
                 md.deletion_queue.append({"path": p, "enqueued_ms": snap.timestamp_ms})
             if schema_ddl is not None:
                 md.schema_ddl = schema_ddl
+            if properties_update:
+                md.properties.update(properties_update)
             cat.commit_metadata(self.location, md)
             self.metadata = md
             return snap
@@ -268,18 +333,22 @@ class LakeTable:
         )
         if not kept:
             return self.spark.createDataFrame([], self.metadata.schema_ddl)
-        df = self.spark.read.schema(self.metadata.schema_ddl).parquet(*[f.path for f in kept])
         # Merge-on-read: apply delete predicates active for this snapshot
-        # (added at-or-before it, not yet materialized at its time). The
-        # NULL-safe form keeps rows where the predicate is NULL — SQL
-        # DELETE only removes rows where it is TRUE.
-        if snap is not None:
-            for e in self.metadata.delete_predicates:
-                mat = e.get("materialized_snapshot_id")
-                if e["added_snapshot_id"] <= snap.snapshot_id and (
-                    mat is None or snap.snapshot_id < mat
-                ):
-                    df = df.filter(~F.coalesce(F.expr(e["predicate"]), F.lit(False)))
+        # (added at-or-before it, not yet materialized at its time) — but
+        # only to files that already existed when the delete committed
+        # (file sequence < delete sequence, Iceberg semantics): rows
+        # appended after a MoR delete are never hidden by it. Files are
+        # grouped by their applicable-predicate set; each group is one
+        # scan, unioned — in practice 1-2 groups. The NULL-safe filter
+        # keeps rows where the predicate is NULL (SQL DELETE removes only
+        # rows where it is TRUE).
+        active = self._active_delete_entries(snap)
+        df = None
+        for key, paths in _group_by_applicable(kept, active).items():
+            g = self.spark.read.schema(self.metadata.schema_ddl).parquet(*paths)
+            for i in key:
+                g = g.filter(~F.coalesce(F.expr(active[i]["predicate"]), F.lit(False)))
+            df = g if df is None else df.unionByName(g)
         if where:
             df = df.filter(where)
         return df
@@ -334,6 +403,10 @@ class LakeTable:
             if frac is not None and 0 < frac < cow_threshold:
                 return self._delete_mor(where)
             # fall through to CoW (also when nothing matches: no-op cost)
+        # A CoW rewrite re-stamps surviving rows with a new file sequence,
+        # which would lift them out of any pending MoR predicate's scope —
+        # make pending deletes physical first (same hazard as update()).
+        self.materialize_deletes()
         snap = self.metadata.current_snapshot()
         if snap is None:
             return {"deleted_rows": 0, "dropped_files": 0, "rewritten_files": 0}
@@ -430,12 +503,12 @@ class LakeTable:
             self.metadata = md
         return {"mode": "mor", "predicate": where, "snapshot_id": sid}
 
-    def active_delete_predicates(self) -> list[str]:
-        snap = self.metadata.current_snapshot()
+    def _active_delete_entries(self, snap: Snapshot | None) -> list[dict]:
+        """MoR delete entries a reader of ``snap`` must consider."""
         if snap is None:
             return []
         return [
-            e["predicate"]
+            e
             for e in self.metadata.delete_predicates
             if e["added_snapshot_id"] <= snap.snapshot_id
             and (
@@ -444,15 +517,55 @@ class LakeTable:
             )
         ]
 
+    def active_delete_predicates(self) -> list[str]:
+        return [
+            e["predicate"]
+            for e in self._active_delete_entries(self.metadata.current_snapshot())
+        ]
+
     def materialize_deletes(self) -> dict:
         """Physically apply pending MoR delete predicates (CoW rewrite)
         and mark them materialized — VACUUM's read-tax-removal step,
-        the analogue of compacting position-delete files away."""
-        preds = self.active_delete_predicates()
-        if not preds:
+        the analogue of compacting position-delete files away.
+
+        Scoping matches the read path: each predicate rewrites only
+        files that existed when it was added, so rows appended after a
+        MoR delete are never physically deleted by it.
+        """
+        snap = self.metadata.current_snapshot()
+        active = self._active_delete_entries(snap)
+        if not active:
             return {"materialized": 0}
-        combined = " OR ".join(f"({p})" for p in preds)
-        self.delete(combined, mode="cow")
+        files = cat.read_snapshot_files(self.location, self.metadata, snap)
+        rewritten: list[DataFile] = []
+        removed: set[str] = set()
+        deleted_rows = 0
+        for key, paths in _group_by_applicable(files, active).items():
+            if not key:
+                continue  # appended after every pending delete — untouched
+            combined = " OR ".join(f"({active[i]['predicate']})" for i in key)
+            src = self.spark.read.schema(self.metadata.schema_ddl).parquet(*paths)
+            before = src.count()
+            remaining = src.filter(~F.coalesce(F.expr(combined), F.lit(False)))
+            after = remaining.count()
+            deleted_rows += before - after
+            if after > 0:
+                # Surviving rows keep their group's oldest sequence so
+                # later-added (still-pending) predicates in other groups
+                # cannot be dodged by the rewrite.
+                oldest = min(
+                    (f.added_snapshot_id or 0) for f in files if f.path in set(paths)
+                )
+                for nf in self._write_data_files(remaining):
+                    nf.added_snapshot_id = oldest
+                    rewritten.append(nf)
+            removed.update(paths)
+        self._commit(
+            operation="delete",
+            added=rewritten,
+            removed_paths=removed,
+            summary={"deleted_rows": deleted_rows, "materialized": len(active)},
+        )
         applied_snapshot = self.metadata.current_snapshot_id
         with cat.CommitLock(self.location):
             md = cat.read_current_metadata(self.location)
@@ -461,7 +574,11 @@ class LakeTable:
                     e["materialized_snapshot_id"] = applied_snapshot
             cat.commit_metadata(self.location, md)
             self.metadata = md
-        return {"materialized": len(preds), "snapshot_id": applied_snapshot}
+        return {
+            "materialized": len(active),
+            "deleted_rows": deleted_rows,
+            "snapshot_id": applied_snapshot,
+        }
 
     def update(self, assignments: dict[str, str], where: str | None = None) -> dict:
         """UPDATE t SET col = expr [WHERE …] — copy-on-write rewrite of
@@ -534,7 +651,7 @@ class LakeTable:
             cat.read_snapshot_files(self.location, self.metadata, snap) if snap else []
         )
         spec = self.metadata.partition_spec
-        target_cols = [f.strip().split()[0] for f in self.metadata.schema_ddl.split(",")]
+        target_cols = ddl_field_names(self.metadata.schema_ddl)
 
         # Key-range pruning: one tiny agg on the source (driver-side
         # collect of 2×len(on) scalars), then stats-based file filter.
@@ -624,23 +741,58 @@ class LakeTable:
     # Schema evolution (alter_table.c analogue — add/drop)
     # ------------------------------------------------------------------
     def add_column(self, name: str, dtype: str) -> None:
-        fields = [f.strip() for f in self.metadata.schema_ddl.split(",")]
-        if any(f.split()[0] == name for f in fields):
+        if name in ddl_field_names(self.metadata.schema_ddl):
             raise ValueError(f"column {name} already exists")
         new_ddl = self.metadata.schema_ddl + f", {name} {dtype}"
         self._commit("alter", [], set(), {"add_column": name}, schema_ddl=new_ddl)
 
     def drop_column(self, name: str) -> None:
-        fields = [f.strip() for f in self.metadata.schema_ddl.split(",")]
-        kept = [f for f in fields if f.split()[0] != name]
+        fields = ddl_fields(self.metadata.schema_ddl)
+        kept = [(n, t) for n, t in fields if n != name]
         if len(kept) == len(fields):
             raise ValueError(f"column {name} not found")
-        self._commit("alter", [], set(), {"drop_column": name}, schema_ddl=", ".join(kept))
+        self._commit(
+            "alter",
+            [],
+            set(),
+            {"drop_column": name},
+            schema_ddl=", ".join(f"{n} {t}" for n, t in kept),
+        )
 
 
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
+
+def _group_by_applicable(files: list[DataFile], active: list[dict]) -> dict[tuple, list[str]]:
+    """Group file paths by which active MoR delete entries apply to them
+    (file sequence strictly before the delete's sequence)."""
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        key = tuple(
+            i
+            for i, e in enumerate(active)
+            if (f.added_snapshot_id or 0) < e["added_snapshot_id"]
+        )
+        groups.setdefault(key, []).append(f.path)
+    return groups
+
+
+def ddl_fields(schema_ddl: str) -> list[tuple[str, str]]:
+    """Parse a comma-joined DDL schema into (name, type) pairs.
+
+    Naive ``split(",")`` breaks on comma-bearing types — decimal(12,2),
+    struct<...>, map<...> — all producible by create_from_dataframe;
+    use Spark's DDL parser instead.
+    """
+    from pyspark.sql.types import StructType
+
+    return [(f.name, f.dataType.simpleString()) for f in StructType.fromDDL(schema_ddl).fields]
+
+
+def ddl_field_names(schema_ddl: str) -> list[str]:
+    return [name for name, _ in ddl_fields(schema_ddl)]
+
 
 def _parse_partition_value(v: str):
     v = urllib.parse.unquote(v)
@@ -668,7 +820,13 @@ def _footer_stats(meta) -> dict[str, dict]:
                 continue
             entry = agg.setdefault(name, {"min": None, "max": None, "null_count": 0})
             if st.has_min_max:
-                mn, mx = _jsonable(st.min), _jsonable(st.max)
+                try:
+                    mn, mx = _jsonable(st.min), _jsonable(st.max)
+                except NotImplementedError:
+                    # pyarrow can't extract stats for some physical types
+                    # (e.g. fixed-len-byte-array decimals) — no stats, no
+                    # pruning for this column; correctness is unaffected.
+                    mn = mx = None
                 if mn is not None and (entry["min"] is None or mn < entry["min"]):
                     entry["min"] = mn
                 if mx is not None and (entry["max"] is None or mx > entry["max"]):

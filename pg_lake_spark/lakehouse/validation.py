@@ -5,8 +5,10 @@ Reference: per-table option ``out_of_range_values = error | clamp``
 with check/clamp expressions (iceberg_query_validation.c:17-45; datum
 twin iceberg_datum_validation.c). Bounds are the Iceberg-representable
 ranges: DATE in [-4712-01-01, 9999-12-31], TIMESTAMP in
-[0001-01-01, 9999-12-31 23:59:59.999999]; NaN in double columns maps
-to NULL under clamp (bounded-decimal NaN rule generalized).
+[0001-01-01, 9999-12-31 23:59:59.999999]. NaN and infinity are valid
+in double/float columns and are NOT subject to this policy (the
+reference's NaN rule covers only bounded decimals, which this engine
+does not bound-check).
 
 Same design here: a validation projection inserted before the writer —
 ``when(col < lo, lo/error)...`` — pure Column expressions, one map
@@ -36,12 +38,13 @@ def _bounds(dtype: str) -> tuple[Column, Column] | None:
 
 
 def validate_for_write(df: DataFrame, mode: str = ERROR) -> DataFrame:
-    """Apply the out-of-range policy to every temporal/double column.
+    """Apply the out-of-range policy to every temporal column.
 
     ``error``: any out-of-range value fails the write with a message
     naming the column (the reference's default; write aborts before any
-    file is committed). ``clamp``: silently adjust to the boundary;
-    NaN doubles become NULL.
+    file is committed). ``clamp``: silently adjust to the boundary.
+    NaN/infinity doubles pass through untouched — they are valid values
+    per the reference's documented scope.
     """
     if mode not in (ERROR, CLAMP):
         raise ValueError(f"out_of_range_values mode must be error|clamp, got {mode!r}")
@@ -64,17 +67,4 @@ def validate_for_write(df: DataFrame, mode: str = ERROR) -> DataFrame:
                     ).cast(dtype),
                 ).otherwise(col)
             out = out.withColumn(name, fixed)
-        elif dtype in ("double", "float"):
-            if mode == CLAMP:
-                out = out.withColumn(name, F.when(F.isnan(col), F.lit(None)).otherwise(col))
-            else:
-                out = out.withColumn(
-                    name,
-                    F.when(
-                        F.isnan(col),
-                        F.raise_error(F.lit(f"NaN not representable in column {name}")).cast(
-                            dtype
-                        ),
-                    ).otherwise(col),
-                )
     return out

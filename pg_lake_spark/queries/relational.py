@@ -537,7 +537,8 @@ def d_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="CTE + VALUES list join (query_pushdown.c:346-383 alias fixups analogue).",
 )
 def d_cte_values_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    t["customer"]  # registers the view (loading is lazy)
     return spark.sql(
         """
         WITH seg AS (
@@ -564,7 +565,8 @@ def d_cte_values_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Correlated scalar subquery (decorrelated to an aggregate join).",
 )
 def d_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    t["customer"], t["nation"]  # register views (loading is lazy)
     return spark.sql(
         """
         SELECT n_name,

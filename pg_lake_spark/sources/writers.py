@@ -75,7 +75,9 @@ def copy_from(
     from pg_lake_spark.sources import readers
 
     df = readers.read_lake(spark, url, fmt=fmt, **options)
-    target_cols = [f.strip().split()[0] for f in table.metadata.schema_ddl.split(",")]
+    from pg_lake_spark.lakehouse.table import ddl_field_names
+
+    target_cols = ddl_field_names(table.metadata.schema_ddl)
     missing = [c for c in target_cols if c not in df.columns]
     if missing:
         raise ValueError(f"COPY FROM source lacks table columns: {missing}")

@@ -54,22 +54,24 @@ def stream_ingest_to_lake(
     """Ingest a streaming DataFrame into a LakeTable, exactly once.
 
     foreachBatch gives at-least-once replay on failure; idempotency
-    comes from stamping each snapshot with its micro-batch id and
-    skipping batches at-or-below the last committed id — the replayed
-    batch is recognized and dropped instead of double-appended. This is
-    the pure-metadata equivalent of Iceberg's commit-dedup for the
-    Spark streaming sink.
+    comes from a per-stream high-water batch id in table properties
+    (keyed by the checkpoint location), checked and advanced inside the
+    commit lock by ``LakeTable.append_streaming_batch``. Tracking it in
+    properties rather than the latest snapshot's summary means commits
+    interleaved by other writers (manual appends, deletes, compaction,
+    a second stream on the same table) can never reset the mark and let
+    a replayed micro-batch append twice. This is the pure-metadata
+    equivalent of Iceberg's commit-dedup for the Spark streaming sink.
     """
+    import hashlib
+
+    stream_key = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode("utf-8")
+    ).hexdigest()[:12]
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         table.refresh()
-        snap = table.metadata.current_snapshot()
-        last = -1
-        if snap is not None:
-            last = int(snap.summary.get(BATCH_ID_KEY, -1))
-        if batch_id <= last:
-            return  # replayed batch — already committed
-        table.append(batch_df, extra_summary={BATCH_ID_KEY: batch_id})
+        table.append_streaming_batch(batch_df, stream_key, batch_id)
 
     writer = source.writeStream.foreachBatch(commit_batch).option(
         "checkpointLocation", checkpoint_dir

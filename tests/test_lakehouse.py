@@ -517,7 +517,21 @@ def test_out_of_range_clamp(spark, tmp_path):
     t.append(bad)
     row = t.to_df().collect()[0]
     assert str(row.ts).startswith("0001-01-01")  # clamped to bound
-    assert row.v is None  # NaN → NULL
+    assert row.v != row.v  # NaN is a valid double — passes through unmodified
+
+
+def test_nan_and_infinity_are_valid_doubles(spark, tmp_path):
+    """NaN/inf in double columns are legal per the reference's
+    iceberg-tables.md and must not trip the default error policy."""
+    t = LakeTable.create(spark, str(tmp_path / "oor3"), "id bigint, v double")
+    df = spark.sql(
+        "SELECT * FROM VALUES (CAST(1 AS BIGINT), CAST('NaN' AS DOUBLE)),"
+        " (CAST(2 AS BIGINT), CAST('Infinity' AS DOUBLE)) AS t(id, v)"
+    )
+    t.append(df)  # default policy = error; must not raise
+    vals = {r.id: r.v for r in t.to_df().collect()}
+    assert vals[1] != vals[1]  # NaN
+    assert vals[2] == float("inf")
 
 
 def test_lake_session_facade(spark, tmp_path):
@@ -532,3 +546,99 @@ def test_lake_session_facade(spark, tmp_path):
     assert sess.sql("SELECT count(*) AS n FROM facade_t").collect()[0].n == 3
     out = sess.vacuum(str(tmp_path / "facade"), max_snapshot_age_s=10**9)
     assert "compact" in out and "materialize_deletes" in out
+
+
+# ---------------------------------------------------------------------------
+# MoR delete sequence scoping (Iceberg sequence-number semantics)
+# ---------------------------------------------------------------------------
+
+def test_mor_delete_scopes_to_preexisting_files(spark, tmp_path):
+    """A MoR delete predicate applies only to rows that existed when it
+    committed; rows appended afterwards — even ones matching the
+    predicate — stay visible and survive materialization/vacuum."""
+    t = LakeTable.create(spark, str(tmp_path / "mor_scope"), "id bigint, val double")
+    t.append(spark.createDataFrame([(i, 1.0) for i in range(5)], "id bigint, val double"))
+    t.delete("val = 1.0", mode="mor")
+    assert t.to_df().count() == 0
+    # appended after the delete: matching rows must NOT be hidden
+    t.append(spark.createDataFrame([(10, 1.0), (11, 2.0)], "id bigint, val double"))
+    assert {r.id for r in t.to_df().collect()} == {10, 11}
+    # materialization physically deletes only the pre-delete rows
+    t.materialize_deletes()
+    assert {r.id for r in t.to_df().collect()} == {10, 11}
+
+
+def test_mor_scoping_survives_compaction(spark, tmp_path):
+    """Compaction must not resurrect MoR-deleted rows (it materializes
+    pending deletes before re-stamping file sequences)."""
+    t = LakeTable.create(spark, str(tmp_path / "mor_compact"), "id bigint, val double")
+    for i in range(4):
+        t.append(spark.createDataFrame([(i, float(i % 2))], "id bigint, val double"))
+    t.delete("val = 1.0", mode="mor")  # hides ids 1, 3
+    t.append(spark.createDataFrame([(7, 1.0)], "id bigint, val double"))
+    maintenance.compact_data_files(t, target_file_size_mb=64, min_input_files=2)
+    assert {r.id for r in t.to_df().collect()} == {0, 2, 7}
+
+
+# ---------------------------------------------------------------------------
+# Deletion-queue purge safety (time travel preserved)
+# ---------------------------------------------------------------------------
+
+def test_purge_keeps_files_referenced_by_retained_snapshots(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "purge_safe"), "id bigint")
+    t.append(spark.createDataFrame([(i,) for i in range(10)], "id bigint"))
+    pre = t.metadata.current_snapshot_id
+    t.delete("id < 5")  # CoW: removed paths enqueue while snapshot `pre` lives
+    res = maintenance.purge_deletion_queue(t, retention_s=0)
+    assert res["purged"] == 0  # still referenced by the retained snapshot
+    assert t.to_df(snapshot_id=pre).count() == 10  # time travel intact
+    maintenance.expire_snapshots(t, max_age_s=0)
+    res2 = maintenance.purge_deletion_queue(t, retention_s=0)
+    assert res2["purged"] >= 1  # released once no snapshot references them
+    assert t.to_df().count() == 5
+
+
+# ---------------------------------------------------------------------------
+# Comma-bearing types (decimal/struct) through DDL-derived column lists
+# ---------------------------------------------------------------------------
+
+def test_comma_bearing_types_in_ddl_and_dml(spark, tmp_path):
+    df = spark.sql(
+        "SELECT CAST(1 AS BIGINT) AS id, CAST(12.34 AS DECIMAL(12,2)) AS amt,"
+        " named_struct('a', 1, 'b', 'x') AS s"
+    )
+    t = LakeTable.create_from_dataframe(spark, str(tmp_path / "dec"), df)
+    t.add_column("note", "string")
+    t.drop_column("note")
+    assert t.to_df().columns == ["id", "amt", "s"]
+    src = spark.sql(
+        "SELECT CAST(1 AS BIGINT) AS id, CAST(99.99 AS DECIMAL(12,2)) AS amt,"
+        " named_struct('a', 2, 'b', 'y') AS s"
+        " UNION ALL SELECT CAST(2 AS BIGINT), CAST(5.00 AS DECIMAL(12,2)),"
+        " named_struct('a', 3, 'b', 'z')"
+    )
+    t.merge(src, on=["id"], when_matched_update={"amt": "s.amt"})
+    rows = {r.id: r for r in t.to_df().collect()}
+    assert float(rows[1].amt) == 99.99  # matched update
+    assert float(rows[2].amt) == 5.00  # not-matched insert
+
+
+# ---------------------------------------------------------------------------
+# Streaming exactly-once: high-water mark survives interleaved commits
+# ---------------------------------------------------------------------------
+
+def test_streaming_replay_skipped_after_interleaved_commit(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "stream_hw"), "id bigint")
+    b0 = spark.createDataFrame([(1,), (2,)], "id bigint")
+    assert t.append_streaming_batch(b0, "ck1", 0) is not None
+    # Interleaved manual commit produces a snapshot without the batch id.
+    t.append(spark.createDataFrame([(99,)], "id bigint"))
+    # Replay of batch 0 must still be recognized and skipped.
+    assert t.append_streaming_batch(b0, "ck1", 0) is None
+    assert sorted(r.id for r in t.to_df().collect()) == [1, 2, 99]
+    # A second stream on the same table has its own high-water mark.
+    assert t.append_streaming_batch(b0, "ck2", 0) is not None
+    # And the next batch of stream 1 proceeds.
+    b1 = spark.createDataFrame([(3,)], "id bigint")
+    assert t.append_streaming_batch(b1, "ck1", 1) is not None
+    assert sorted(r.id for r in t.to_df().collect()) == [1, 1, 2, 2, 3, 99]

