@@ -738,6 +738,18 @@ class LakeTable:
         }
 
     # ------------------------------------------------------------------
+    # Iceberg interop
+    # ------------------------------------------------------------------
+    def export_iceberg(self) -> str:
+        """Write genuine Iceberg v2 metadata (metadata.json + Avro
+        manifests) over this table's data files so external Iceberg
+        readers can scan it; returns the metadata.json path. See
+        :mod:`pg_lake_spark.lakehouse.iceberg_meta`."""
+        from pg_lake_spark.lakehouse import iceberg_meta
+
+        return iceberg_meta.export_iceberg(self)
+
+    # ------------------------------------------------------------------
     # Schema evolution (alter_table.c analogue — add/drop)
     # ------------------------------------------------------------------
     def add_column(self, name: str, dtype: str) -> None:

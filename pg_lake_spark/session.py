@@ -266,6 +266,20 @@ class LakeSession:
             t.to_df().createOrReplaceTempView(name)
         return t
 
+    def register_iceberg_table(
+        self, name: str, location: str, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Register an *external* Iceberg table (its metadata.json, table
+        root, or metadata/ dir) as a view — the analogue of the
+        reference's foreign Iceberg snapshot scan
+        (describe.c:167 DescribeColumnsFromIcebergMetadataURI)."""
+        from pg_lake_spark.lakehouse import iceberg_meta
+
+        df = iceberg_meta.scan_iceberg(self.spark, location, snapshot_id=snapshot_id)
+        df.createOrReplaceTempView(name)
+        self._tables[name] = df
+        return df
+
     def vacuum(self, location: str, **kwargs) -> dict:
         from pg_lake_spark.lakehouse import maintenance
         from pg_lake_spark.lakehouse.table import LakeTable

@@ -1,0 +1,280 @@
+"""Iceberg metadata interop tests.
+
+In the spirit of the reference's
+pg_lake_iceberg/tests/pytests/test_iceberg_metadata_via_pyiceberg.py /
+test_iceberg_metadata_via_spark.py: a LakeTable's exported metadata must
+be readable as a real Iceberg table (here via our independent
+spec-reader, since neither pyiceberg nor an Iceberg runtime jar is
+available in this environment), and foreign Iceberg metadata must scan.
+The Avro manifests are written AND re-read through the Apache Avro Java
+library, so the container format is genuinely spec-Avro, and headers
+carry the key/value metadata pyiceberg requires.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pg_lake_spark.lakehouse import iceberg_meta
+from pg_lake_spark.lakehouse.table import LakeTable
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def small_table(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "ice1"), "id bigint, name string, val double")
+    t.append(
+        spark.createDataFrame(
+            [(i, f"n{i}", float(i) / 2) for i in range(20)],
+            "id bigint, name string, val double",
+        )
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, f"n{i}", float(i)) for i in range(20, 30)],
+            "id bigint, name string, val double",
+        )
+    )
+    return t
+
+
+def test_export_then_scan_roundtrip(spark, small_table):
+    meta_path = small_table.export_iceberg()
+    assert os.path.basename(meta_path) == "v1.metadata.json"
+    got = iceberg_meta.scan_iceberg(spark, meta_path)
+    assert _rows(got) == _rows(small_table.to_df())
+    assert got.columns == ["id", "name", "val"]
+
+
+def test_scan_accepts_root_and_metadata_dir(spark, small_table):
+    small_table.export_iceberg()
+    for loc in (small_table.location, os.path.join(small_table.location, "metadata")):
+        got = iceberg_meta.scan_iceberg(spark, loc)
+        assert got.count() == 30
+
+
+def test_export_time_travel(spark, small_table):
+    small_table.export_iceberg()
+    got1 = iceberg_meta.scan_iceberg(spark, small_table.location, snapshot_id=1)
+    assert _rows(got1) == _rows(small_table.to_df(snapshot_id=1))
+    got2 = iceberg_meta.scan_iceberg(spark, small_table.location, snapshot_id=2)
+    assert got2.count() == 30
+
+
+def test_export_after_delete_matches(spark, small_table):
+    small_table.delete("id >= 25")
+    small_table.export_iceberg()
+    got = iceberg_meta.scan_iceberg(spark, small_table.location)
+    assert _rows(got) == _rows(small_table.to_df())
+    assert got.count() == 25
+
+
+def test_export_materializes_pending_mor(spark, small_table):
+    small_table.delete("id < 5", mode="mor")
+    small_table.export_iceberg()
+    got = iceberg_meta.scan_iceberg(spark, small_table.location)
+    assert _rows(got) == _rows(small_table.to_df())
+    assert got.count() == 25
+
+
+def test_partitioned_export(spark, tmp_path):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "ice_part"),
+        "id bigint, cat string, val double",
+        partition_by=["cat", "bucket(4, id)"],
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, "ab"[i % 2], float(i)) for i in range(40)],
+            "id bigint, cat string, val double",
+        )
+    )
+    meta_path = t.export_iceberg()
+    got = iceberg_meta.scan_iceberg(spark, meta_path)
+    assert _rows(got) == _rows(t.to_df())
+    meta = json.load(open(meta_path))
+    fields = meta["partition-specs"][0]["fields"]
+    assert [f["transform"] for f in fields] == ["identity", "bucket[4]"]
+    assert [f["field-id"] for f in fields] == [1000, 1001]
+    assert fields[0]["source-id"] == 2  # cat is the 2nd column
+
+
+def test_metadata_json_spec_shape(spark, small_table):
+    meta_path = small_table.export_iceberg()
+    meta = json.load(open(meta_path))
+    # Required v2 fields per the public spec.
+    for key in (
+        "format-version",
+        "table-uuid",
+        "location",
+        "last-sequence-number",
+        "last-updated-ms",
+        "last-column-id",
+        "schemas",
+        "current-schema-id",
+        "partition-specs",
+        "default-spec-id",
+        "last-partition-id",
+        "sort-orders",
+        "default-sort-order-id",
+    ):
+        assert key in meta, key
+    assert meta["format-version"] == 2
+    assert meta["current-snapshot-id"] == 2
+    snap = meta["snapshots"][-1]
+    assert snap["sequence-number"] == 2
+    assert os.path.exists(snap["manifest-list"])
+    schema = meta["schemas"][0]
+    assert [f["id"] for f in schema["fields"]] == [1, 2, 3]
+    assert [f["type"] for f in schema["fields"]] == ["long", "string", "double"]
+
+
+def test_manifest_avro_headers_and_entries(spark, small_table):
+    """Manifests carry the OCF header metadata pyiceberg requires, and
+    entries carry spec statuses/sequence numbers."""
+    meta_path = small_table.export_iceberg()
+    meta = json.load(open(meta_path))
+    snap2 = meta["snapshots"][-1]
+    lists, list_hdr = iceberg_meta.read_avro_records(spark, snap2["manifest-list"])
+    assert list_hdr["format-version"] == "2"
+    assert len(lists) == 1
+    m = lists[0]
+    assert m["content"] == 0 and m["sequence_number"] == 2
+    assert m["added_files_count"] >= 1 and m["existing_files_count"] >= 1
+    entries, hdr = iceberg_meta.read_avro_records(spark, m["manifest_path"])
+    for key in ("schema", "partition-spec", "partition-spec-id", "format-version", "content"):
+        assert key in hdr, key
+    assert hdr["content"] == "data"
+    json.loads(hdr["schema"])  # valid JSON schema
+    statuses = {e["status"] for e in entries}
+    assert statuses == {0, 1}  # EXISTING (snapshot-1 files) + ADDED
+    for e in entries:
+        seq = e["sequence_number"]
+        assert seq in (1, 2)
+        assert (e["status"] == 1) == (seq == 2)
+        assert e["data_file"]["file_format"] == "PARQUET"
+        assert e["data_file"]["record_count"] > 0
+
+
+def test_scan_foreign_iceberg_v1_layout(spark, tmp_path):
+    """Reader handles metadata not produced by our writer: a v1-style
+    metadata.json (single 'schema' key, no sequence numbers) with a
+    manifest containing only EXISTING entries."""
+    # Build data with plain Spark, no LakeTable.
+    data_dir = tmp_path / "foreign" / "data"
+    df = spark.createDataFrame([(i, f"x{i}") for i in range(7)], "k bigint, s string")
+    df.coalesce(1).write.parquet(str(data_dir))
+    pq = [str(data_dir / f) for f in os.listdir(data_dir) if f.endswith(".parquet")]
+    assert len(pq) == 1
+
+    meta_dir = tmp_path / "foreign" / "metadata"
+    os.makedirs(meta_dir)
+    entry_schema = json.dumps(
+        iceberg_meta._manifest_entry_schema([], "k bigint, s string")
+    )
+    entry = json.dumps(
+        {
+            "status": 0,
+            "snapshot_id": {"long": 99},
+            "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": {
+                "content": 0,
+                "file_path": "file://" + pq[0],
+                "file_format": "parquet",
+                "partition": {},
+                "record_count": 7,
+                "file_size_in_bytes": os.path.getsize(pq[0]),
+            },
+        }
+    )
+    manifest = str(meta_dir / "m1.avro")
+    iceberg_meta.write_avro_file(spark, manifest, entry_schema, [entry], {})
+    list_schema = json.dumps(iceberg_meta._manifest_list_schema())
+    lst = json.dumps(
+        {
+            "manifest_path": manifest,
+            "manifest_length": os.path.getsize(manifest),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": 1,
+            "min_sequence_number": 1,
+            "added_snapshot_id": 99,
+            "added_files_count": 0,
+            "existing_files_count": 1,
+            "deleted_files_count": 0,
+            "added_rows_count": 0,
+            "existing_rows_count": 7,
+            "deleted_rows_count": 0,
+        }
+    )
+    mlist = str(meta_dir / "snap-99.avro")
+    iceberg_meta.write_avro_file(spark, mlist, list_schema, [lst], {})
+    metadata = {
+        "format-version": 1,
+        "table-uuid": "00000000-0000-0000-0000-000000000001",
+        "location": str(tmp_path / "foreign"),
+        "last-updated-ms": 0,
+        "last-column-id": 2,
+        "schema": {
+            "type": "struct",
+            "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"},
+                {"id": 2, "name": "s", "required": False, "type": "string"},
+            ],
+        },
+        "partition-spec": [],
+        "current-snapshot-id": 99,
+        "snapshots": [
+            {"snapshot-id": 99, "timestamp-ms": 0, "manifest-list": mlist}
+        ],
+    }
+    with open(meta_dir / "v1.metadata.json", "w") as fh:
+        json.dump(metadata, fh)
+
+    got = iceberg_meta.scan_iceberg(spark, str(tmp_path / "foreign"))
+    assert _rows(got) == _rows(df)
+    assert got.columns == ["k", "s"]
+
+
+def test_register_iceberg_table_facade(spark, small_table):
+    from pg_lake_spark.session import LakeSession
+
+    small_table.export_iceberg()
+    sess = LakeSession(spark)
+    sess.register_iceberg_table("ext_ice", small_table.location)
+    n = sess.sql("SELECT count(*) AS n FROM ext_ice").collect()[0].n
+    assert n == 30
+
+
+def test_repeated_export_bumps_version(spark, small_table):
+    p1 = small_table.export_iceberg()
+    small_table.append(
+        spark.createDataFrame([(100, "z", 0.0)], "id bigint, name string, val double")
+    )
+    p2 = small_table.export_iceberg()
+    assert p1.endswith("v1.metadata.json") and p2.endswith("v2.metadata.json")
+    hint = os.path.join(small_table.location, "metadata", "version-hint.text")
+    assert open(hint).read().strip() == "2"
+    assert iceberg_meta.scan_iceberg(spark, small_table.location).count() == 31
+
+
+def test_schema_type_mapping_roundtrip():
+    schema, last_id = iceberg_meta.iceberg_schema_from_ddl(
+        "a bigint, b string, c decimal(12,2), d array<double>, e timestamp_ntz, f date"
+    )
+    types = [f["type"] for f in schema["fields"]]
+    assert types[0] == "long" and types[1] == "string"
+    assert types[2] == "decimal(12, 2)"
+    assert types[3]["type"] == "list" and types[3]["element"] == "double"
+    assert types[4] == "timestamp" and types[5] == "date"
+    assert last_id == 7  # 6 columns + 1 list element id
+    ddl = iceberg_meta.spark_schema_from_iceberg(schema)
+    assert "decimal(12,2)" in ddl and "array<double>" in ddl
