@@ -51,6 +51,9 @@ class DataFile:
     # (stamped by the commit); legacy manifests deserialize as 0
     # (oldest, so every predicate applies — the pre-field behavior).
     added_snapshot_id: int | None = None
+    # Partition spec this file was written under (spec evolution: new
+    # specs apply to new files only; pruning consults the file's spec).
+    spec_id: int = 0
 
     def to_json(self) -> dict:
         return {
@@ -60,6 +63,7 @@ class DataFile:
             "partition": self.partition,
             "stats": self.stats,
             "added_snapshot_id": self.added_snapshot_id or 0,
+            "spec_id": self.spec_id,
         }
 
     @staticmethod
@@ -71,6 +75,7 @@ class DataFile:
             partition=d.get("partition", {}),
             stats=d.get("stats", {}),
             added_snapshot_id=d.get("added_snapshot_id", 0),
+            spec_id=d.get("spec_id", 0),
         )
 
 
@@ -96,7 +101,11 @@ class TableMetadata:
         self.location = location
         self.table_uuid = str(uuid.uuid4())
         self.schema_ddl = schema_ddl
-        self.partition_spec = partition_spec or []  # [{transform,param,column}]
+        # Partition-spec evolution: spec_id → [{transform,param,column}].
+        # New files are written under default_spec_id; each file records
+        # its own spec for pruning (alter_table.c spec-evolution rows).
+        self.partition_specs: dict[int, list[dict]] = {0: partition_spec or []}
+        self.default_spec_id: int = 0
         self.properties = properties or {}
         self.snapshots: list[Snapshot] = []
         self.current_snapshot_id: int | None = None
@@ -106,7 +115,20 @@ class TableMetadata:
         # "materialized_snapshot_id": id | None}. Readers of snapshot S
         # apply a predicate iff added ≤ S < materialized.
         self.delete_predicates: list[dict] = []
+        # Read-era schema events (rename / add-with-backfill / drop),
+        # each scoped by the snapshot that committed it — files written
+        # before an event read through its inverse (old physical name,
+        # constant backfill). Analogue of Iceberg field-id resolution.
+        self.schema_log: list[dict] = []
+        # Current write-time defaults: column → SQL literal (PG "SET
+        # DEFAULT" semantics — applies to future inserts only).
+        self.column_defaults: dict[str, str] = {}
         self.version = 0
+
+    @property
+    def partition_spec(self) -> list[dict]:
+        """The default (current-write) partition spec."""
+        return self.partition_specs[self.default_spec_id]
 
     # -- serialization ---------------------------------------------------
     def to_json(self) -> dict:
@@ -116,6 +138,10 @@ class TableMetadata:
             "location": self.location,
             "schema_ddl": self.schema_ddl,
             "partition_spec": self.partition_spec,
+            "partition_specs": {str(k): v for k, v in self.partition_specs.items()},
+            "default_spec_id": self.default_spec_id,
+            "schema_log": self.schema_log,
+            "column_defaults": self.column_defaults,
             "properties": self.properties,
             "current_snapshot_id": self.current_snapshot_id,
             "snapshots": [
@@ -136,6 +162,11 @@ class TableMetadata:
     @staticmethod
     def from_json(d: dict) -> "TableMetadata":
         md = TableMetadata(d["location"], d["schema_ddl"], d.get("partition_spec"), d.get("properties"))
+        if "partition_specs" in d:
+            md.partition_specs = {int(k): v for k, v in d["partition_specs"].items()}
+            md.default_spec_id = d.get("default_spec_id", 0)
+        md.schema_log = d.get("schema_log", [])
+        md.column_defaults = d.get("column_defaults", {})
         md.table_uuid = d["table_uuid"]
         md.current_snapshot_id = d.get("current_snapshot_id")
         md.snapshots = [

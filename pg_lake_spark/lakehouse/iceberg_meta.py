@@ -400,6 +400,17 @@ def export_iceberg(table) -> str:
         table.materialize_deletes()
     spark = table.spark
     md = table.metadata
+    cur = md.current_snapshot()
+    cur_files = cat.read_snapshot_files(table.location, md, cur) if cur else []
+    if any(table._era_key(f) for f in cur_files) or any(
+        f.spec_id != md.default_spec_id for f in cur_files
+    ):
+        raise NotImplementedError(
+            "export after partition-spec evolution or column rename/backfill "
+            "is not supported while files of older schema/spec eras remain — "
+            "compact/rewrite the table first so all files share the current "
+            "spec and schema (Iceberg field-id mapping is not emitted yet)"
+        )
     meta_dir = os.path.join(table.location, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
 

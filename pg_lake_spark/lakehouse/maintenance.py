@@ -58,7 +58,7 @@ def compact_data_files(
         paths = [f.path for f in group]
         total = sum(f.size_bytes for f in group)
         n_out = max(1, total // threshold)
-        df = table.spark.read.schema(table.metadata.schema_ddl).parquet(*paths)
+        df = table._read_files(group)  # era-aware: renames/backfills resolve
         added.extend(table._write_data_files(df.coalesce(int(n_out))))
         removed.update(paths)
 

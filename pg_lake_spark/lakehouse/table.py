@@ -108,11 +108,7 @@ class LakeTable:
         snapshot (the streaming ingest path records its micro-batch id
         here for exactly-once replay protection).
         """
-        from pg_lake_spark.lakehouse import validation
-
-        policy = self.metadata.properties.get("out_of_range_values", validation.ERROR)
-        if policy != "none":
-            df = validation.validate_for_write(df, policy)
+        df = self._align_for_write(df)
         new_files = self._write_data_files(df)
         summary = {
             "added_files": len(new_files),
@@ -127,6 +123,24 @@ class LakeTable:
             summary=summary,
         )
 
+    def _align_for_write(self, df: DataFrame) -> DataFrame:
+        """Fill columns absent from ``df`` with their current write-time
+        default (NULL when none — PG DEFAULT semantics on INSERT), order
+        columns to the table schema, and apply the out-of-range policy."""
+        from pg_lake_spark.lakehouse import validation
+
+        fields = ddl_fields(self.metadata.schema_ddl)
+        missing = [(n, t) for n, t in fields if n not in df.columns]
+        if missing:
+            for n, t in missing:
+                d = self.metadata.column_defaults.get(n)
+                df = df.withColumn(n, F.expr(d if d is not None else "NULL").cast(t))
+            df = df.select(*[n for n, _ in fields])
+        policy = self.metadata.properties.get("out_of_range_values", validation.ERROR)
+        if policy != "none":
+            df = validation.validate_for_write(df, policy)
+        return df
+
     def append_streaming_batch(
         self, df: DataFrame, stream_key: str, batch_id: int
     ) -> Snapshot | None:
@@ -140,15 +154,11 @@ class LakeTable:
         is detected at commit time; its staged files are unlinked and
         no snapshot is produced. Returns None for a skipped replay.
         """
-        from pg_lake_spark.lakehouse import validation
-
         prop_key = f"streaming.high-water.{stream_key}"
         # Cheap pre-check against our metadata image to skip the write.
         if batch_id <= int(self.metadata.properties.get(prop_key, -1)):
             return None
-        policy = self.metadata.properties.get("out_of_range_values", validation.ERROR)
-        if policy != "none":
-            df = validation.validate_for_write(df, policy)
+        df = self._align_for_write(df)
         new_files = self._write_data_files(df)
         snap = self._commit(
             operation="append",
@@ -200,6 +210,7 @@ class LakeTable:
         import pyarrow.parquet as pq
 
         spec = self.metadata.partition_spec
+        spec_id = self.metadata.default_spec_id
         out: list[DataFile] = []
         for dirpath, _dirs, files in os.walk(root):
             for fn in files:
@@ -224,6 +235,7 @@ class LakeTable:
                         size_bytes=os.path.getsize(path),
                         partition=partition,
                         stats=stats,
+                        spec_id=spec_id,
                     )
                 )
         # keep spec field names stable even for identity transforms
@@ -244,6 +256,7 @@ class LakeTable:
         schema_ddl: str | None = None,
         properties_update: dict | None = None,
         precondition=None,
+        mutate=None,
     ) -> Snapshot | None:
         """Atomic snapshot commit.
 
@@ -251,7 +264,9 @@ class LakeTable:
         freshest metadata; returning False aborts the commit (returns
         None) — callers own cleanup of any files they staged.
         ``properties_update`` merges into table properties in the same
-        commit (used by streaming high-water marks).
+        commit (used by streaming high-water marks). ``mutate(md, sid)``
+        applies arbitrary metadata changes (schema log, partition specs,
+        defaults) inside the lock, with the new snapshot id.
         """
         with cat.CommitLock(self.location):
             md = cat.read_current_metadata(self.location)
@@ -290,9 +305,107 @@ class LakeTable:
                 md.schema_ddl = schema_ddl
             if properties_update:
                 md.properties.update(properties_update)
+            if mutate is not None:
+                mutate(md, sid)
             cat.commit_metadata(self.location, md)
             self.metadata = md
             return snap
+
+    # ------------------------------------------------------------------
+    # Schema eras (rename / backfill resolution per file generation)
+    # ------------------------------------------------------------------
+    def _era_key(self, f: DataFile) -> tuple[int, ...]:
+        """Indexes of schema-log events that post-date ``f`` (a file
+        written before a rename carries the old physical column name;
+        one written before an add-with-default lacks the column)."""
+        s = f.added_snapshot_id or 0
+        return tuple(
+            i for i, e in enumerate(self.metadata.schema_log) if s < e["snapshot_id"]
+        )
+
+    def _era_info(self, era_key: tuple[int, ...]):
+        """For one era: (logical→physical name map, logical→default-SQL
+        backfills). Walks the applicable events newest-first, so rename
+        chains (a→b→c) and rename-after-backfill compose correctly."""
+        cache = getattr(self, "_era_cache", None)
+        ck = (self.metadata.version, self.metadata.schema_ddl, era_key)
+        if cache is not None and cache.get("key") == ck[:2] and era_key in cache["eras"]:
+            return cache["eras"][era_key]
+        fields = ddl_fields(self.metadata.schema_ddl)
+        phys = {n: n for n, _ in fields}
+        backfills: dict[str, str | None] = {}
+        for i in reversed(era_key):
+            e = self.metadata.schema_log[i]
+            if e["op"] == "rename":
+                for lg, p in phys.items():
+                    if p == e["to"]:
+                        phys[lg] = e["from"]
+                        break
+            elif e["op"] == "backfill":
+                lg = next((l for l, p in phys.items() if p == e["column"]), None)
+                if lg is not None:
+                    backfills[lg] = e.get("default")
+            # "drop" events need no read-time action: a re-added column
+            # always records a backfill, which shields stale values.
+        info = (phys, backfills)
+        if cache is None or cache.get("key") != ck[:2]:
+            self._era_cache = {"key": ck[:2], "eras": {}}
+        self._era_cache["eras"][era_key] = info
+        return info
+
+    def _read_era(self, paths: list[str], era_key: tuple[int, ...]) -> DataFrame:
+        """Read files of one era and present them in the current schema:
+        physical columns renamed to logical, backfilled columns filled
+        with their add-time constant (NULL when none)."""
+        fields = ddl_fields(self.metadata.schema_ddl)
+        phys, backfills = self._era_info(era_key)
+        read_fields = [(phys[n], t) for n, t in fields if n not in backfills]
+        ddl = ", ".join(f"{p} {t}" for p, t in read_fields)
+        g = self.spark.read.schema(ddl).parquet(*paths)
+        for n, t in fields:
+            if n in backfills:
+                d = backfills[n]
+                g = g.withColumn(n, F.expr(d if d is not None else "NULL").cast(t))
+            elif phys[n] != n:
+                g = g.withColumnRenamed(phys[n], n)
+        return g.select(*[n for n, _ in fields])
+
+    def _read_files(self, files: list[DataFile]) -> DataFrame:
+        """Era-grouped read of a file set in the current logical schema
+        (no delete-predicate application — DML internals use this)."""
+        groups: dict[tuple, list[str]] = {}
+        for f in files:
+            groups.setdefault(self._era_key(f), []).append(f.path)
+        df = None
+        for era_key, paths in groups.items():
+            g = self._read_era(paths, era_key)
+            df = g if df is None else df.unionByName(g)
+        if df is None:
+            return self.spark.createDataFrame([], self.metadata.schema_ddl)
+        return df
+
+    def _file_matches(self, f: DataFile, preds) -> bool:
+        """Era- and spec-aware pruning check: predicates (in logical
+        names) are translated to the file's physical names; the file's
+        own partition spec applies (spec evolution). Sound: untranslat-
+        able predicates keep the file."""
+        if preds is None:
+            return True
+        phys, backfills = self._era_info(self._era_key(f))
+        tpreds = []
+        for col, op, val in preds:
+            if col in backfills:
+                continue  # constant column for this era — keep (sound)
+            tpreds.append((phys.get(col, col), op, val))
+        spec = self.metadata.partition_specs.get(f.spec_id, [])
+        return pruning.file_matches(f, tpreds, spec)
+
+    def _file_fully_matches(self, f: DataFile, preds) -> bool:
+        phys, backfills = self._era_info(self._era_key(f))
+        if any(col in backfills for col, _, _ in preds):
+            return False  # cannot prove over constant columns
+        tpreds = [(phys.get(col, col), op, val) for col, op, val in preds]
+        return _file_fully_matches(f, tpreds)
 
     # ------------------------------------------------------------------
     # Read path
@@ -324,11 +437,11 @@ class LakeTable:
             cat.read_snapshot_files(self.location, self.metadata, snap) if snap else []
         )
         preds = parse_where(where) if where else None
-        kept, skipped = pruning.prune_files(files, preds, self.metadata.partition_spec)
+        kept = [f for f in files if self._file_matches(f, preds)] if preds else files
         self.last_scan_report = ScanReport(
             snapshot_id=snap.snapshot_id if snap else None,
             files_scanned=len(kept),
-            files_skipped=skipped,
+            files_skipped=len(files) - len(kept),
             rows_scanned_max=sum(f.row_count for f in kept),
         )
         if not kept:
@@ -337,16 +450,24 @@ class LakeTable:
         # (added at-or-before it, not yet materialized at its time) — but
         # only to files that already existed when the delete committed
         # (file sequence < delete sequence, Iceberg semantics): rows
-        # appended after a MoR delete are never hidden by it. Files are
-        # grouped by their applicable-predicate set; each group is one
-        # scan, unioned — in practice 1-2 groups. The NULL-safe filter
-        # keeps rows where the predicate is NULL (SQL DELETE removes only
-        # rows where it is TRUE).
+        # appended after a MoR delete are never hidden by it. Files group
+        # by (applicable-predicate set, schema era); each group is one
+        # scan presented in the current schema, unioned — in practice
+        # 1-2 groups. The NULL-safe filter keeps rows where the predicate
+        # is NULL (SQL DELETE removes only rows where it is TRUE).
         active = self._active_delete_entries(snap)
+        groups: dict[tuple, list[DataFile]] = {}
+        for f in kept:
+            dk = tuple(
+                i
+                for i, e in enumerate(active)
+                if (f.added_snapshot_id or 0) < e["added_snapshot_id"]
+            )
+            groups.setdefault((dk, self._era_key(f)), []).append(f)
         df = None
-        for key, paths in _group_by_applicable(kept, active).items():
-            g = self.spark.read.schema(self.metadata.schema_ddl).parquet(*paths)
-            for i in key:
+        for (dk, era_key), gfiles in groups.items():
+            g = self._read_era([f.path for f in gfiles], era_key)
+            for i in dk:
                 g = g.filter(~F.coalesce(F.expr(active[i]["predicate"]), F.lit(False)))
             df = g if df is None else df.unionByName(g)
         if where:
@@ -412,25 +533,22 @@ class LakeTable:
             return {"deleted_rows": 0, "dropped_files": 0, "rewritten_files": 0}
         files = cat.read_snapshot_files(self.location, self.metadata, snap)
         preds = parse_where(where)
-        spec = self.metadata.partition_spec
 
         if preds is None:
             candidates, untouched = files, []
         else:
-            candidates = [f for f in files if pruning.file_matches(f, preds, spec)]
+            candidates = [f for f in files if self._file_matches(f, preds)]
             cand_paths = {f.path for f in candidates}
             untouched = [f for f in files if f.path not in cand_paths]
 
-        full = [f for f in candidates if preds and _file_fully_matches(f, preds)]
+        full = [f for f in candidates if preds and self._file_fully_matches(f, preds)]
         full_paths = {f.path for f in full}
         partial = [f for f in candidates if f.path not in full_paths]
 
         rewritten: list[DataFile] = []
         deleted_rows = sum(f.row_count for f in full)
         if partial:
-            src = self.spark.read.schema(self.metadata.schema_ddl).parquet(
-                *[f.path for f in partial]
-            )
+            src = self._read_files(partial)
             before = src.count()
             # NULL-safe: DELETE removes only rows where the predicate is
             # TRUE; rows where it evaluates NULL must survive.
@@ -465,17 +583,11 @@ class LakeTable:
             return None
         files = cat.read_snapshot_files(self.location, self.metadata, snap)
         preds = parse_where(where)
-        spec = self.metadata.partition_spec
-        candidates = (
-            [f for f in files if pruning.file_matches(f, preds, spec)] if preds else files
-        )
+        candidates = [f for f in files if self._file_matches(f, preds)] if preds else files
         total = sum(f.row_count for f in candidates)
         if total == 0:
             return 0.0
-        src = self.spark.read.schema(self.metadata.schema_ddl).parquet(
-            *[f.path for f in candidates]
-        )
-        return src.filter(where).count() / total
+        return self._read_files(candidates).filter(where).count() / total
 
     def _delete_mor(self, where: str) -> dict:
         """Merge-on-read delete: metadata-only predicate commit."""
@@ -537,14 +649,22 @@ class LakeTable:
         if not active:
             return {"materialized": 0}
         files = cat.read_snapshot_files(self.location, self.metadata, snap)
+        groups: dict[tuple, list[DataFile]] = {}
+        for f in files:
+            dk = tuple(
+                i
+                for i, e in enumerate(active)
+                if (f.added_snapshot_id or 0) < e["added_snapshot_id"]
+            )
+            groups.setdefault((dk, self._era_key(f)), []).append(f)
         rewritten: list[DataFile] = []
         removed: set[str] = set()
         deleted_rows = 0
-        for key, paths in _group_by_applicable(files, active).items():
-            if not key:
+        for (dk, era_key), gfiles in groups.items():
+            if not dk:
                 continue  # appended after every pending delete — untouched
-            combined = " OR ".join(f"({active[i]['predicate']})" for i in key)
-            src = self.spark.read.schema(self.metadata.schema_ddl).parquet(*paths)
+            combined = " OR ".join(f"({active[i]['predicate']})" for i in dk)
+            src = self._read_era([f.path for f in gfiles], era_key)
             before = src.count()
             remaining = src.filter(~F.coalesce(F.expr(combined), F.lit(False)))
             after = remaining.count()
@@ -553,13 +673,11 @@ class LakeTable:
                 # Surviving rows keep their group's oldest sequence so
                 # later-added (still-pending) predicates in other groups
                 # cannot be dodged by the rewrite.
-                oldest = min(
-                    (f.added_snapshot_id or 0) for f in files if f.path in set(paths)
-                )
+                oldest = min((f.added_snapshot_id or 0) for f in gfiles)
                 for nf in self._write_data_files(remaining):
                     nf.added_snapshot_id = oldest
                     rewritten.append(nf)
-            removed.update(paths)
+            removed.update(f.path for f in gfiles)
         self._commit(
             operation="delete",
             added=rewritten,
@@ -593,15 +711,10 @@ class LakeTable:
             return {"updated_rows": 0, "rewritten_files": 0}
         files = cat.read_snapshot_files(self.location, self.metadata, snap)
         preds = parse_where(where) if where else None
-        spec = self.metadata.partition_spec
-        candidates = (
-            [f for f in files if pruning.file_matches(f, preds, spec)] if preds else files
-        )
+        candidates = [f for f in files if self._file_matches(f, preds)] if preds else files
         if not candidates:
             return {"updated_rows": 0, "rewritten_files": 0}
-        src = self.spark.read.schema(self.metadata.schema_ddl).parquet(
-            *[f.path for f in candidates]
-        )
+        src = self._read_files(candidates)
         cond = F.expr(where) if where else F.lit(True)
         updated_rows = src.filter(cond).count()
         out = src
@@ -650,7 +763,6 @@ class LakeTable:
         files = (
             cat.read_snapshot_files(self.location, self.metadata, snap) if snap else []
         )
-        spec = self.metadata.partition_spec
         target_cols = ddl_field_names(self.metadata.schema_ddl)
 
         # Key-range pruning: one tiny agg on the source (driver-side
@@ -666,15 +778,9 @@ class LakeTable:
                 preds.append((k, ">=", lo))
             if hi is not None:
                 preds.append((k, "<=", hi))
-        candidates = [f for f in files if pruning.file_matches(f, preds, spec)]
+        candidates = [f for f in files if self._file_matches(f, preds)]
         cand_paths = {f.path for f in candidates}
-
-        if candidates:
-            cand_df = self.spark.read.schema(self.metadata.schema_ddl).parquet(
-                *[f.path for f in candidates]
-            )
-        else:
-            cand_df = self.spark.createDataFrame([], self.metadata.schema_ddl)
+        cand_df = self._read_files(candidates)
 
         t = cand_df.alias("t")
         s = source.alias("s")
@@ -750,45 +856,129 @@ class LakeTable:
         return iceberg_meta.export_iceberg(self)
 
     # ------------------------------------------------------------------
-    # Schema evolution (alter_table.c analogue — add/drop)
+    # Schema evolution (alter_table.c analogue — add/drop/rename/
+    # default/partition-spec; docs/iceberg-tables.md §Altering)
     # ------------------------------------------------------------------
-    def add_column(self, name: str, dtype: str) -> None:
+    def add_column(self, name: str, dtype: str, default: str | None = None) -> None:
+        """ADD COLUMN [DEFAULT const]. With a default, existing rows
+        read the constant without any rewrite (PG's const-backfill-on-
+        read for ADD COLUMN .. DEFAULT); without one they read NULL. A
+        backfill event is always logged so a re-added column name can
+        never resurrect values from files written before a prior drop."""
         if name in ddl_field_names(self.metadata.schema_ddl):
             raise ValueError(f"column {name} already exists")
         new_ddl = self.metadata.schema_ddl + f", {name} {dtype}"
-        self._commit("alter", [], set(), {"add_column": name}, schema_ddl=new_ddl)
+
+        def mutate(md, sid):
+            md.schema_log.append(
+                {"op": "backfill", "column": name, "default": default, "snapshot_id": sid}
+            )
+            if default is not None:
+                md.column_defaults[name] = default
+
+        self._commit(
+            "alter", [], set(), {"add_column": name}, schema_ddl=new_ddl, mutate=mutate
+        )
 
     def drop_column(self, name: str) -> None:
         fields = ddl_fields(self.metadata.schema_ddl)
         kept = [(n, t) for n, t in fields if n != name]
         if len(kept) == len(fields):
             raise ValueError(f"column {name} not found")
+        for spec in self.metadata.partition_specs.values():
+            if any(pf["column"] == name for pf in spec):
+                raise ValueError(f"column {name} is referenced by a partition spec")
+
+        def mutate(md, sid):
+            md.schema_log.append({"op": "drop", "column": name, "snapshot_id": sid})
+            md.column_defaults.pop(name, None)
+
         self._commit(
             "alter",
             [],
             set(),
             {"drop_column": name},
             schema_ddl=", ".join(f"{n} {t}" for n, t in kept),
+            mutate=mutate,
         )
+
+    def rename_column(self, old: str, new: str) -> None:
+        """RENAME COLUMN — metadata-only; files written before the
+        rename keep the old physical name and are resolved per era at
+        read time (the field-id indirection Iceberg gets for free)."""
+        fields = ddl_fields(self.metadata.schema_ddl)
+        names = [n for n, _ in fields]
+        if old not in names:
+            raise ValueError(f"column {old} not found")
+        if new in names:
+            raise ValueError(f"column {new} already exists")
+        new_ddl = ", ".join(f"{new if n == old else n} {t}" for n, t in fields)
+
+        def mutate(md, sid):
+            md.schema_log.append(
+                {"op": "rename", "from": old, "to": new, "snapshot_id": sid}
+            )
+            for spec in md.partition_specs.values():
+                for pf in spec:
+                    if pf["column"] == old:
+                        pf["column"] = new
+            if old in md.column_defaults:
+                md.column_defaults[new] = md.column_defaults.pop(old)
+
+        self._commit(
+            "alter",
+            [],
+            set(),
+            {"rename_column": f"{old}->{new}"},
+            schema_ddl=new_ddl,
+            mutate=mutate,
+        )
+
+    def set_column_default(self, name: str, default: str | None) -> None:
+        """SET/DROP DEFAULT — affects future inserts only (PG ALTER
+        COLUMN semantics; existing rows are untouched)."""
+        if name not in ddl_field_names(self.metadata.schema_ddl):
+            raise ValueError(f"column {name} not found")
+
+        def mutate(md, sid):
+            if default is None:
+                md.column_defaults.pop(name, None)
+            else:
+                md.column_defaults[name] = default
+
+        self._commit("alter", [], set(), {"set_default": name}, mutate=mutate)
+
+    def set_partition_spec(self, partition_by: list[str] | None) -> int:
+        """Partition-spec evolution: the new spec applies to files
+        written from now on; existing files keep (and are pruned by)
+        the spec they were written under. Returns the new spec id."""
+        spec = []
+        for s in partition_by or []:
+            t, param, col = parse_transform(s)
+            spec.append({"transform": t, "param": param, "column": col})
+        names = ddl_field_names(self.metadata.schema_ddl)
+        for pf in spec:
+            if pf["column"] not in names:
+                raise ValueError(f"partition column {pf['column']} not found")
+
+        def mutate(md, sid):
+            new_id = max(md.partition_specs) + 1
+            md.partition_specs[new_id] = spec
+            md.default_spec_id = new_id
+
+        self._commit(
+            "alter",
+            [],
+            set(),
+            {"set_partition_spec": ",".join(partition_by or [])},
+            mutate=mutate,
+        )
+        return self.metadata.default_spec_id
 
 
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
-
-def _group_by_applicable(files: list[DataFile], active: list[dict]) -> dict[tuple, list[str]]:
-    """Group file paths by which active MoR delete entries apply to them
-    (file sequence strictly before the delete's sequence)."""
-    groups: dict[tuple, list[str]] = {}
-    for f in files:
-        key = tuple(
-            i
-            for i, e in enumerate(active)
-            if (f.added_snapshot_id or 0) < e["added_snapshot_id"]
-        )
-        groups.setdefault(key, []).append(f.path)
-    return groups
-
 
 def ddl_fields(schema_ddl: str) -> list[tuple[str, str]]:
     """Parse a comma-joined DDL schema into (name, type) pairs.

@@ -170,10 +170,10 @@ def day_col(col: Column) -> Column:
 
 
 def hour_col(col: Column) -> Column:
-    # hours since epoch; inputs are NTZ timestamps treated as UTC
-    return F.floor(
-        F.unix_timestamp(F.date_format(col, "yyyy-MM-dd HH:mm:ss")) / 3600
-    ).cast("int")
+    # hours since epoch; inputs are NTZ timestamps treated as UTC (the
+    # session runs UTC, so the cast is value-preserving). Pure integer
+    # arithmetic — no per-row string formatting/parsing round-trip.
+    return F.floor(F.unix_micros(col.cast("timestamp")) / F.lit(3_600_000_000)).cast("int")
 
 
 def truncate_col(col: Column, width: int, dtype: str) -> Column:
@@ -184,7 +184,7 @@ def truncate_col(col: Column, width: int, dtype: str) -> Column:
     if dtype == "string":
         return F.substring(col, 1, width)
     if dtype == "binary":
-        return F.expr(f"substring({'%s' % col._jc.toString()}, 1, {width})")
+        return F.substring(col, 1, width)  # substring operates on binary natively
     raise TypeError(f"truncate unsupported for {dtype}")
 
 

@@ -68,12 +68,15 @@ def minhash_signature_agg(
     carries only num_hashes values per doc.
     """
     base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
-    # The hash fan-out is CPU-bound; if the source has fewer partitions
+    # The hash fan-out is CPU-bound; if the source has fewer input files
     # than cores (single-row-group files, small tables), spread it. The
     # pre-explode shuffle moves only (id, text) — cheap relative to the
     # hash work it parallelizes; skipped when the scan is already wide.
+    # inputFiles() is driver-side file-listing metadata — unlike
+    # df.rdd.getNumPartitions() it does not force an RDD conversion of
+    # the whole plan. Non-file sources report 0 files → repartition.
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    if len(df.inputFiles()) < par:
         base = base.repartition(par, "_id")
     ex = base.select("_id", F.explode(word_shingles("_t", shingle_n)).alias("_s"))
     # One xxhash64 per shingle (JVM-native, no string materialization —
@@ -186,7 +189,10 @@ def lsh_candidate_pairs(
         )
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
-        .persist()
+        # no persist(): the result is one lazy plan, so the two uses of
+        # `cand` below dedupe into a ReusedExchange at execution time —
+        # a persist here would leak cache memory across queries in a
+        # shared session (nothing ever unpersisted it).
     )
     cand_ids = (
         cand.select(F.col("id_a").alias("_id"))

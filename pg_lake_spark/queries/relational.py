@@ -441,15 +441,21 @@ def j_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="SEMI/ANTI join counts from IN / NOT IN / NOT EXISTS (test_queries.py:1599).",
 )
 def j_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One lazy plan, one job: three single-row aggregates cross-joined
+    # (no driver-side .count() round-trips; the semi and anti scans of
+    # part⋈lineitem share their shuffle via ReusedExchange).
     t = load_tables(spark, sf_dir)
     part, li, cust, ords = t["part"], t["lineitem"], t["customer"], t["orders"]
-    with_sales = part.join(li, part.p_partkey == li.l_partkey, "left_semi").count()
-    without_sales = part.join(li, part.p_partkey == li.l_partkey, "left_anti").count()
-    cust_no_orders = cust.join(ords, cust.c_custkey == ords.o_custkey, "left_anti").count()
-    return spark.createDataFrame(
-        [(with_sales, without_sales, cust_no_orders)],
-        "parts_with_sales bigint, parts_without_sales bigint, customers_without_orders bigint",
+    with_sales = part.join(li, part.p_partkey == li.l_partkey, "left_semi").agg(
+        F.count("*").alias("parts_with_sales")
     )
+    without_sales = part.join(li, part.p_partkey == li.l_partkey, "left_anti").agg(
+        F.count("*").alias("parts_without_sales")
+    )
+    cust_no_orders = cust.join(ords, cust.c_custkey == ords.o_custkey, "left_anti").agg(
+        F.count("*").alias("customers_without_orders")
+    )
+    return with_sales.crossJoin(without_sales).crossJoin(cust_no_orders)
 
 
 @query(
@@ -669,6 +675,43 @@ def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile("value", 0.95).alias("p95"),
             F.min("value").alias("min_v"),
             F.max("value").alias("max_v"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "a_mode_disc",
+    oracle="""
+    WITH c AS (SELECT event_type, value, count(*) AS n
+               FROM events GROUP BY event_type, value),
+    m AS (SELECT event_type, value AS mode_v FROM (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY n DESC, value) AS rn
+            FROM c) WHERE rn = 1),
+    p AS (SELECT event_type,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50_disc,
+                 percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90_disc
+          FROM events GROUP BY event_type)
+    SELECT p.event_type, m.mode_v, p.p50_disc, p.p90_disc
+    FROM p JOIN m USING (event_type)
+    ORDER BY event_type
+    """,
+    doc="mode() ordered-set aggregate + percentile_disc "
+    "(shippable_builtin_functions.c:166-171). Spark's deterministic "
+    "mode breaks count ties by lowest value; the oracle reproduces that "
+    "tie-break explicitly since DuckDB's mode() tie order is arbitrary.",
+)
+def a_mode_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.mode("value", True).alias("mode_v"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50_disc"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("p90_disc"),
         )
         .orderBy("event_type")
     )

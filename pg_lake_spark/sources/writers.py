@@ -17,6 +17,64 @@ _COMPRESSION = {
     "json": {"none", "gzip", "bzip2", "lz4", "deflate"},
 }
 
+# PG COPY option surface → Spark reader/writer option names, per format
+# (copy.c FindCopyToReadOptions:1045, FindCopyFromWriteOptions:737).
+# A mapping to None means "accepted, no Spark translation needed":
+# null_padding is Spark CSV's PERMISSIVE default (short rows pad with
+# NULL), auto_detect is the sniffing default, freeze is a Postgres heap
+# hint with no lake meaning. Unknown options raise, mirroring the
+# reference's `invalid option "%s" for COPY <verb> with <fmt> format`.
+_PG_CSV_COMMON = {
+    "header": "header",
+    "quote": "quote",
+    "escape": "escape",
+    "delimiter": "sep",
+    "null": "nullValue",
+}
+_COPY_TO_OPTS: dict[str, dict[str, str | None]] = {
+    "csv": {**_PG_CSV_COMMON, "force_quote": "quoteAll"},
+    "parquet": {},
+    "json": {},
+}
+_COPY_FROM_OPTS: dict[str, dict[str, str | None]] = {
+    "csv": {
+        **_PG_CSV_COMMON,
+        "null_padding": None,
+        "auto_detect": None,
+        "freeze": None,
+    },
+    "parquet": {"freeze": None},
+    "json": {"maximum_object_size": None, "freeze": None},
+}
+
+
+def translate_copy_options(
+    fmt: str, options: dict, *, verb: str
+) -> dict[str, str]:
+    """Validate PG COPY options for ``fmt`` and translate to Spark names.
+
+    ``verb`` is ``"TO"`` or ``"FROM"`` (the two sides accept different
+    sets, e.g. force_quote is TO-only, null_padding FROM-only)."""
+    table = (_COPY_TO_OPTS if verb == "TO" else _COPY_FROM_OPTS)[fmt]
+    out: dict[str, str] = {}
+    for k, v in options.items():
+        if k not in table:
+            raise ValueError(
+                f"invalid option {k!r} for COPY {verb} with {fmt} format"
+            )
+        spark_key = table[k]
+        if spark_key is None:
+            continue
+        if k == "force_quote":
+            # PG takes a column list or *; Spark quotes all-or-nothing.
+            if v not in ("*", True):
+                raise NotImplementedError(
+                    "force_quote supports only '*' (quote every column)"
+                )
+            v = True
+        out[spark_key] = str(v).lower() if isinstance(v, bool) else str(v)
+    return out
+
 
 def copy_to(
     df: DataFrame,
@@ -43,14 +101,15 @@ def copy_to(
     if compression not in _COMPRESSION[fmt]:
         raise ValueError(f"compression {compression!r} unsupported for {fmt}")
 
+    if fmt == "csv":
+        options.setdefault("header", True)
+    spark_opts = translate_copy_options(fmt, options, verb="TO")
     out = df.coalesce(1) if single_file else df
     writer = out.write.mode(mode).option("compression", compression)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    if fmt == "csv":
-        options.setdefault("header", "true")
-    for k, v in options.items():
-        writer = writer.option(k, str(v))
+    for k, v in spark_opts.items():
+        writer = writer.option(k, v)
     getattr(writer, fmt)(url)
 
 

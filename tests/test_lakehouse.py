@@ -642,3 +642,110 @@ def test_streaming_replay_skipped_after_interleaved_commit(spark, tmp_path):
     b1 = spark.createDataFrame([(3,)], "id bigint")
     assert t.append_streaming_batch(b1, "ck1", 1) is not None
     assert sorted(r.id for r in t.to_df().collect()) == [1, 1, 2, 2, 3, 99]
+
+
+# ---------------------------------------------------------------------------
+# ALTER surface: rename / default backfill / partition-spec evolution
+# ---------------------------------------------------------------------------
+
+def test_rename_column_reads_old_files(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "ren"), "id bigint, val double")
+    t.append(spark.createDataFrame([(1, 1.5), (2, 2.5)], "id bigint, val double"))
+    pre = t.metadata.current_snapshot_id
+    t.rename_column("val", "amount")
+    assert t.to_df().columns == ["id", "amount"]
+    # old files (physical name `val`) resolve through the rename
+    assert {r.amount for r in t.to_df().collect()} == {1.5, 2.5}
+    # new writes use the new name; both eras read in one scan
+    t.append(spark.createDataFrame([(3, 3.5)], "id bigint, amount double"))
+    assert {r.amount for r in t.to_df().collect()} == {1.5, 2.5, 3.5}
+    # predicates prune/filter correctly across eras (old file stats are
+    # keyed by the old physical name)
+    assert {r.id for r in t.scan(where="amount > 2.0").collect()} == {2, 3}
+    # time travel across the rename presents the current schema
+    assert t.to_df(snapshot_id=pre).columns == ["id", "amount"]
+
+
+def test_rename_chain(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "ren2"), "id bigint, a double")
+    t.append(spark.createDataFrame([(1, 1.0)], "id bigint, a double"))
+    t.rename_column("a", "b")
+    t.append(spark.createDataFrame([(2, 2.0)], "id bigint, b double"))
+    t.rename_column("b", "c")
+    t.append(spark.createDataFrame([(3, 3.0)], "id bigint, c double"))
+    rows = {r.id: r.c for r in t.to_df().collect()}
+    assert rows == {1: 1.0, 2: 2.0, 3: 3.0}
+
+
+def test_add_column_with_default_backfills_on_read(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "dflt"), "id bigint")
+    t.append(spark.createDataFrame([(1,), (2,)], "id bigint"))
+    t.add_column("status", "string", default="'active'")
+    # existing rows read the constant — no rewrite happened
+    assert {r.status for r in t.to_df().collect()} == {"active"}
+    # inserts missing the column get the write-time default
+    t.append(spark.createDataFrame([(3,)], "id bigint"))
+    # explicit values win
+    t.append(spark.createDataFrame([(4, "closed")], "id bigint, status string"))
+    rows = {r.id: r.status for r in t.to_df().collect()}
+    assert rows == {1: "active", 2: "active", 3: "active", 4: "closed"}
+    # DROP DEFAULT: future inserts get NULL, old rows keep the backfill
+    t.set_column_default("status", None)
+    t.append(spark.createDataFrame([(5,)], "id bigint"))
+    rows = {r.id: r.status for r in t.to_df().collect()}
+    assert rows[5] is None and rows[1] == "active"
+
+
+def test_add_column_without_default_reads_null(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "dflt2"), "id bigint")
+    t.append(spark.createDataFrame([(1,)], "id bigint"))
+    t.add_column("note", "string")
+    assert [r.note for r in t.to_df().collect()] == [None]
+
+
+def test_readd_after_drop_does_not_resurrect(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "readd"), "id bigint, v string")
+    t.append(spark.createDataFrame([(1, "old-secret")], "id bigint, v string"))
+    t.drop_column("v")
+    t.add_column("v", "string")
+    # the old file still physically contains v='old-secret'; the re-added
+    # column must NOT expose it
+    assert [r.v for r in t.to_df().collect()] == [None]
+
+
+def test_rename_then_update_and_delete(spark, tmp_path):
+    """DML after a rename reads old-era files correctly (CoW rewrite
+    upgrades them to the current schema)."""
+    t = LakeTable.create(spark, str(tmp_path / "rendml"), "id bigint, val double")
+    t.append(spark.createDataFrame([(i, float(i)) for i in range(6)], "id bigint, val double"))
+    t.rename_column("val", "amount")
+    t.update({"amount": "amount * 10"}, where="id >= 4")
+    rows = {r.id: r.amount for r in t.to_df().collect()}
+    assert rows[5] == 50.0 and rows[1] == 1.0
+    t.delete("amount >= 40.0")
+    assert {r.id for r in t.to_df().collect()} == {0, 1, 2, 3}
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "specevo"), "id bigint, cat string, v double",
+        partition_by=["cat"],
+    )
+    t.append(spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(20)], "id bigint, cat string, v double"))
+    new_id = t.set_partition_spec(["bucket(4, id)"])
+    assert new_id == 1
+    t.append(spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(20, 40)], "id bigint, cat string, v double"))
+    # all rows visible across both spec generations
+    assert t.to_df().count() == 40
+    # old files prune by cat (their spec), new files cannot — scan stays correct
+    df = t.scan(where="cat = 'a'")
+    assert df.count() == 20
+    rep = t.last_scan_report
+    assert rep.files_skipped >= 1  # old-spec 'b' files pruned
+    # new files prune by bucket(id); old files keep (no id partition value)
+    files = {f.path: f for f in __import__("pg_lake_spark.lakehouse.catalog", fromlist=["x"]).read_snapshot_files(t.location, t.metadata, t.metadata.current_snapshot())}
+    assert {f.spec_id for f in files.values()} == {0, 1}
+    got = t.scan(where="id = 25")
+    assert got.count() == 1
