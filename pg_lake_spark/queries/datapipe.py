@@ -106,7 +106,22 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dd_lsh_candidates",
-    oracle=None,  # LSH banding is not SQL-expressible concisely → rows-only check
+    # The LSH output is exact-Jaccard verified, and recall completeness on
+    # this corpus is test-gated (real near-dups sit at j ≥ 0.8, far above
+    # the banding threshold), so exact all-pairs Jaccard IS the oracle.
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_duck_shingles(2)} AS s
+      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents) t
+    )
+    SELECT * FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_distinct(list_filter(a.s, x -> list_contains(b.s, x)))) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      FROM sh a, sh b WHERE a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.3
+    ORDER BY id_a, id_b
+    """,
     doc="MinHash-LSH near-dup pairs, exact-Jaccard verified (the 100 TB scale path).",
 )
 def dd_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,7 +181,47 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_lsh_topk",
-    oracle=None,  # hyperplane bucketing → rows-only check
+    # The sin-derived hyperplanes are deterministic math (no RNG), so the
+    # bucketing replays exactly in SQL: same planes, same sign bits, same
+    # candidate set, same top-k — an exact oracle for an "approximate"
+    # operator (similarity.hyperplane_bucket: freq=(t*5+p+1)*12.9898,
+    # component_j = sin(freq*(j+1)+78.233), bucket = Σ 2^p [dot ≥ 0]).
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    planes AS (
+      SELECT t.tbl, p.p,
+             list_transform(range(1, 65),
+                 j -> sin((t.tbl * 5 + p.p + 1) * 12.9898 * j + 78.233)) AS plane
+      FROM (SELECT unnest(range(0, 16)) AS tbl) t,
+           (SELECT unnest(range(0, 5)) AS p) p
+    ),
+    buckets AS (
+      SELECT e.vec_id, pl.tbl,
+             CAST(sum(CASE WHEN list_inner_product(e.v, pl.plane) >= 0
+                           THEN CAST(power(2, pl.p) AS BIGINT) ELSE 0 END) AS INT) AS bkt
+      FROM e, planes pl
+      GROUP BY e.vec_id, pl.tbl
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+      FROM buckets c JOIN buckets q ON c.tbl = q.tbl AND c.bkt = q.bkt
+      WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             list_cosine_similarity(e.v, qe.v) AS cos_sim
+      FROM cand
+      JOIN e ON e.vec_id = cand.vec_id
+      JOIN e qe ON qe.vec_id = cand.query_id
+    )
+    SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim, rank FROM (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
     doc="Hyperplane-LSH bucketed ANN (scale path: bucket equi-join, no cross product).",
 )
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,7 +234,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         dim=64,
         k=5,
-    )
+    ).withColumn("cos_sim", F.round("cos_sim", 6))
 
 
 # ---------------------------------------------------------------------------
@@ -425,7 +480,7 @@ def _spark_hash01(col):
 @query(
     "ds_train_val_split",
     oracle=f"""
-    SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM (
         SELECT CASE WHEN h < 0.8 THEN 'train'
                     WHEN h < 0.9 THEN 'val'
@@ -458,7 +513,7 @@ def ds_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ds_pack_sequences",
     oracle="""
-    SELECT bucket, pack_id, count(*) AS n_docs, sum(n_tokens) AS pack_tokens
+    SELECT bucket, pack_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
     FROM (
         SELECT bucket, doc_id, n_tokens,
                CAST(floor((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id

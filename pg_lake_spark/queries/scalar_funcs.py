@@ -22,14 +22,14 @@ from pg_lake_spark.session import load_tables
     oracle="""
     SELECT l_orderkey, l_linenumber,
            abs(-l_quantity)                 AS abs_q,
-           ceil(l_extendedprice / 100)      AS ceil_p,
-           floor(l_extendedprice / 100)     AS floor_p,
+           CAST(ceil(l_extendedprice / 100) AS BIGINT)  AS ceil_p,
+           CAST(floor(l_extendedprice / 100) AS BIGINT) AS floor_p,
            round(l_extendedprice, 1)        AS round_p,
            sqrt(l_quantity)                 AS sqrt_q,
-           ln(l_extendedprice)              AS ln_p,
-           log10(l_extendedprice)           AS log10_p,
+           round(ln(l_extendedprice), 9)    AS ln_p,
+           round(log10(l_extendedprice), 9) AS log10_p,
            power(l_quantity, 2)             AS pow_q,
-           sign(l_discount - 0.05)          AS sign_d,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_d,
            CAST(greatest(l_quantity, 25) AS DOUBLE) AS greatest_q,
            CAST(least(l_quantity, 25) AS DOUBLE)    AS least_q
     FROM lineitem
@@ -49,8 +49,10 @@ def f_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") / 100).alias("floor_p"),
         F.round(F.col("l_extendedprice"), 1).alias("round_p"),
         F.sqrt("l_quantity").alias("sqrt_q"),
-        F.log(F.col("l_extendedprice")).alias("ln_p"),
-        F.log10("l_extendedprice").alias("log10_p"),
+        # Rounded on BOTH sides: DuckDB and the JVM libm differ by 1 ulp on a
+        # handful of rows, which a bit-exact hash would flag (VERDICT r2).
+        F.round(F.log(F.col("l_extendedprice")), 9).alias("ln_p"),
+        F.round(F.log10("l_extendedprice"), 9).alias("log10_p"),
         F.pow("l_quantity", F.lit(2)).alias("pow_q"),
         F.signum(F.col("l_discount") - 0.05).alias("sign_d"),
         F.greatest(F.col("l_quantity"), F.lit(25)).cast("double").alias("greatest_q"),
@@ -349,7 +351,7 @@ def f_encode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            CAST(o_totalprice AS BIGINT)          AS price_int,
-           CAST(o_totalprice AS DECIMAL(18,2))   AS price_dec,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
            CAST(o_orderkey AS VARCHAR)           AS key_str,
            CAST(o_orderkey AS DOUBLE)            AS key_dbl,
            CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
@@ -368,7 +370,9 @@ def f_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         rounded.alias("price_int"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        # Compared as DOUBLE on both sides: the driver hashes the pandas
+        # repr, and Decimal('…60') vs float 205941.6 mismatch (VERDICT r2).
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price_dec"),
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.col("o_orderkey").cast("double").alias("key_dbl"),
         F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
@@ -466,8 +470,8 @@ def f_date_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_has_all(ws, ['the', 'a'])                  AS contains_both,
            list_has_any(ws, ['data', 'model'])             AS overlaps_terms,
            CAST(list_position(ws, 'the') AS INT)           AS pos_the,
-           len(list_concat(ws, ['<eos>']))                 AS len_appended,
-           list_sort(list_distinct(ws[1:4]))               AS head_sorted,
+           CAST(len(list_concat(ws, ['<eos>'])) AS INT)    AS len_appended,
+           array_to_string(list_sort(list_distinct(ws[1:4])), ',') AS head_sorted,
            ws[1] || '+' || ws[len(ws)]                     AS first_last
     FROM w
     ORDER BY doc_id
@@ -492,7 +496,11 @@ def arr_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_position(ws, "the").cast("int").alias("pos_the"),
             # || concat + cardinality
             F.size(F.concat(ws, F.array(F.lit("<eos>")))).alias("len_appended"),
-            F.array_sort(F.array_distinct(F.slice(ws, 1, 4))).alias("head_sorted"),
+            # Serialized to string: the driver's canonicalizer pandas-sorts
+            # the frame and raw list cells are unhashable (VERDICT r2).
+            F.array_join(F.array_sort(F.array_distinct(F.slice(ws, 1, 4))), ",").alias(
+                "head_sorted"
+            ),
             F.concat(F.element_at(ws, 1), F.lit("+"), F.element_at(ws, -1)).alias("first_last"),
         )
         .orderBy("doc_id")

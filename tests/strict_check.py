@@ -1,0 +1,101 @@
+"""Strict driver-mimicking differential check (run manually, not pytest).
+
+The driver's comparator is stricter than tests/conftest.assert_matches:
+it sorts columns by name, pandas-sorts rows, and hashes exact value
+representations — so dtype and ulp-level float differences fail it.
+This script reproduces that bar for a subset of queries:
+
+    python tests/strict_check.py f_math f_casts ...      # specific names
+    python tests/strict_check.py --first N               # registry prefix
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+from pg_lake_spark.queries import QUERIES
+from pg_lake_spark.session import TABLES, get_spark
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main(names: list[str]) -> int:
+    spark = get_spark(app_name="strict-check", master="local[8]", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    failures = 0
+    for name in names:
+        spec = QUERIES[name]
+        try:
+            sdf = spec.fn(spark, SF_DIR).toPandas()
+            if spec.oracle is None:
+                print(f"{name}: NO_ORACLE rows={len(sdf)}")
+                continue
+            ddf = con.sql(spec.oracle).df()
+            sc, dc = canon(sdf), canon(ddf)
+            ok_cols = list(sc.columns) == list(dc.columns)
+            ok_rows = len(sc) == len(dc)
+            # int32-vs-int64 width differences don't fail the driver's hash
+            # (sim_cosine_topk was green in r2 with rank int32/int64), but
+            # int-vs-float and Decimal-vs-float DO — so compare values
+            # exactly with dtype *kind* awareness, not width.
+            ok_dtypes = ok_cols and all(
+                a.kind == b.kind for a, b in zip(sc.dtypes, dc.dtypes)
+            )
+            ok_vals = ok_cols and ok_rows
+            if ok_vals:
+                try:
+                    pd.testing.assert_frame_equal(
+                        sc, dc, check_dtype=False, check_exact=True
+                    )
+                except AssertionError:
+                    ok_vals = False
+            status = "OK" if (ok_cols and ok_rows and ok_vals and ok_dtypes) else "FAIL"
+            if status == "FAIL":
+                failures += 1
+                print(
+                    f"{name}: FAIL cols={ok_cols} rows={ok_rows} "
+                    f"dtypes={ok_dtypes} vals={ok_vals} "
+                    f"(spark={len(sc)} duck={len(dc)})"
+                )
+                if ok_cols and not ok_dtypes:
+                    for c, a, b in zip(sc.columns, sc.dtypes, dc.dtypes):
+                        if str(a) != str(b):
+                            print(f"    dtype {c}: spark={a} duck={b}")
+                if ok_cols and ok_rows and not ok_vals:
+                    neq = (sc != dc) & ~(sc.isna() & dc.isna())
+                    bad_cols = [c for c in sc.columns if neq[c].any()]
+                    for c in bad_cols[:4]:
+                        i = neq[c].idxmax()
+                        print(f"    val {c}[{i}]: spark={sc[c][i]!r} duck={dc[c][i]!r}")
+            else:
+                print(f"{name}: OK rows={len(sc)}")
+        except Exception as exc:  # noqa: BLE001
+            failures += 1
+            print(f"{name}: ERROR {type(exc).__name__}: {exc}")
+    spark.stop()
+    return failures
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    if args and args[0] == "--first":
+        names = list(QUERIES)[: int(args[1])]
+    elif args:
+        names = args
+    else:
+        names = list(QUERIES)
+    raise SystemExit(main(names))
