@@ -1,0 +1,180 @@
+"""DML/DDL lifecycle queries — the §2.8 write surface, driver-visible.
+
+Each query creates a scratch LakeTable from corpus data, runs a write
+lifecycle (CoW/MoR DELETE, MERGE, schema evolution), and returns the
+final table scan; the oracle is plain SQL computing the same end state
+directly from the same parquet. This makes the lakehouse write path —
+the reference's core (writable_table.c 1,822 LoC, alter_table.c 1,866
+LoC, writes.md:15-44) — verifiable by the external correctness driver,
+not only by local tests.
+
+Scratch tables live in a fresh tmp dir per call; the returned DataFrame
+stays valid because the files are never deleted within the process
+lifetime.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_lake_spark.lakehouse.table import LakeTable
+from pg_lake_spark.queries.registry import query
+from pg_lake_spark.session import load_tables
+
+
+def _scratch() -> str:
+    return tempfile.mkdtemp(prefix="pg_lake_dml_")
+
+
+@query(
+    "dml_cow_delete",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey <= 2000
+      AND NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+      AND NOT (o_orderstatus = 'P')
+    ORDER BY o_orderkey
+    """,
+    doc="Copy-on-write DELETE lifecycle (writes.md:15-31): a partitioned "
+    "scratch table takes a partial-rewrite delete (stats-pruned to the "
+    "'F' partition files) then a full-partition delete (metadata-only "
+    "drop, the Data Files Skipped fast path); final scan is the oracle-"
+    "checked end state.",
+)
+def dml_cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    src = (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    lt = LakeTable.create_from_dataframe(
+        spark, _scratch(), src, partition_by=["o_orderstatus"]
+    )
+    # Partial CoW: only 'F'-partition files are candidates (partition
+    # pruning), and survivors inside them are rewritten.
+    lt.delete("o_orderstatus = 'F' AND o_totalprice < 100000", mode="cow")
+    # Full-file fast path: the whole 'P' partition drops without reading
+    # a single data row.
+    lt.delete("o_orderstatus = 'P'", mode="cow")
+    return lt.scan().orderBy("o_orderkey")
+
+
+@query(
+    "dml_mor_lifecycle",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+    FROM lineitem
+    WHERE (l_orderkey <= 1000 AND NOT (l_discount > 0.08) AND NOT (l_quantity <= 5))
+       OR (l_orderkey > 1000 AND l_orderkey <= 2000 AND NOT (l_quantity <= 5))
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="Merge-on-read DELETE lifecycle (position_delete_dest.c analogue, "
+    "predicate-scoped): MoR delete #1 applies only to pre-existing "
+    "files, a subsequent append is NOT hidden by it, MoR delete #2 "
+    "covers both batches, then VACUUM-style materialization rewrites "
+    "physically — the sequence-scoping semantics fixed in round 2.",
+)
+def dml_mor_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"]
+    li = t["lineitem"]
+    batch1 = li.filter(F.col("l_orderkey") <= 1000).select(*cols)
+    batch2 = li.filter(
+        (F.col("l_orderkey") > 1000) & (F.col("l_orderkey") <= 2000)
+    ).select(*cols)
+    lt = LakeTable.create_from_dataframe(spark, _scratch(), batch1)
+    lt.delete("l_discount > 0.08", mode="mor")  # scoped to batch1's files
+    lt.append(batch2)  # appended after the delete — never hidden by it
+    lt.delete("l_quantity <= 5", mode="mor")  # scoped to both batches
+    lt.materialize_deletes()  # physical rewrite; scan must be unchanged
+    return lt.scan().orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "dml_merge_upsert",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey > 200 THEN c_acctbal + 1000 ELSE c_acctbal END AS c_acctbal
+    FROM customer
+    WHERE c_custkey <= 400
+    ORDER BY c_custkey
+    """,
+    doc="MERGE INTO upsert (additive over the reference, which documents "
+    "MERGE as unsupported — docs/iceberg-tables.md): matched keys "
+    "update, unmatched source keys insert, files outside the source key "
+    "range survive untouched via stats pruning.",
+)
+def dml_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"]
+    target = cust.filter(F.col("c_custkey") <= 300).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    source = (
+        cust.filter((F.col("c_custkey") > 200) & (F.col("c_custkey") <= 400))
+        .select("c_custkey", "c_name", (F.col("c_acctbal") + 1000).alias("c_acctbal"))
+    )
+    lt = LakeTable.create_from_dataframe(spark, _scratch(), target)
+    lt.merge(
+        source,
+        on=["c_custkey"],
+        when_matched_update={"c_acctbal": "s.c_acctbal"},
+        when_not_matched_insert=True,
+    )
+    return lt.scan().orderBy("c_custkey")
+
+
+@query(
+    "ddl_schema_evolution",
+    oracle="""
+    SELECT n_nationkey, n_name AS n_label, 'unassigned' AS n_zone
+    FROM nation
+    UNION ALL
+    SELECT r_regionkey + 100, upper(r_name),
+           concat('zone-', CAST(r_regionkey AS VARCHAR))
+    FROM region
+    UNION ALL
+    SELECT r_regionkey + 200, lower(r_name), 'floating'
+    FROM region
+    ORDER BY n_nationkey
+    """,
+    doc="Full ALTER lifecycle (alter_table.c analogue): ADD COLUMN with "
+    "const default (backfill-on-read, no rewrite), insert with the new "
+    "column, RENAME COLUMN (metadata-only, per-file schema eras), SET "
+    "DEFAULT (future inserts only), insert relying on the new default, "
+    "DROP COLUMN — then one scan presenting every file era in the "
+    "current logical schema.",
+)
+def ddl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    nation, region = t["nation"], t["region"]
+    lt = LakeTable.create_from_dataframe(
+        spark,
+        _scratch(),
+        nation.select("n_nationkey", "n_name", "n_regionkey"),
+    )
+    lt.add_column("n_zone", "string", default="'unassigned'")
+    lt.append(
+        region.select(
+            (F.col("r_regionkey") + 100).alias("n_nationkey"),
+            F.upper("r_name").alias("n_name"),
+            F.col("r_regionkey").alias("n_regionkey"),
+            F.concat(F.lit("zone-"), F.col("r_regionkey").cast("string")).alias("n_zone"),
+        )
+    )
+    lt.rename_column("n_name", "n_label")
+    lt.set_column_default("n_zone", "'floating'")
+    lt.append(  # n_zone omitted → write-time default 'floating'
+        region.select(
+            (F.col("r_regionkey") + 200).alias("n_nationkey"),
+            F.lower("r_name").alias("n_label"),
+            F.col("r_regionkey").alias("n_regionkey"),
+        )
+    )
+    lt.drop_column("n_regionkey")
+    return lt.scan().orderBy("n_nationkey")

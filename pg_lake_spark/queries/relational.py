@@ -832,9 +832,9 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w_exclude_current_row",
     oracle="""
     SELECT event_id, user_id, value,
-           sum(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
-                             EXCLUDE CURRENT ROW) AS sum_others,
+                             EXCLUDE CURRENT ROW), 6) AS sum_others,
            count(*)    OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
                              EXCLUDE CURRENT ROW) AS n_others,
@@ -860,7 +860,9 @@ def w_exclude_current_row(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             "value",
-            (F.sum("value").over(full) - F.col("value")).alias("sum_others"),
+            # rounded like avg_neighbors: partition-wide double sums
+            # associate differently per engine (ulp-level)
+            F.round(F.sum("value").over(full) - F.col("value"), 6).alias("sum_others"),
             (F.count(F.lit(1)).over(full) - 1).alias("n_others"),
             # avg EXCLUDE CURRENT ROW = (frame_sum - value) / (frame_n - 1);
             # NULL when the row is alone in its frame, matching the spec.
@@ -1055,7 +1057,7 @@ def e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
         FROM events
     )
-    SELECT a.d AS cohort_day,
+    SELECT CAST(a.d AS TIMESTAMP) AS cohort_day,
            count(DISTINCT a.user_id) AS n_active,
            count(DISTINCT b.user_id) AS n_retained_next_day
     FROM active a
@@ -1081,7 +1083,10 @@ def e_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("b_d") == F.date_add(F.col("d"), 1)),
             "left_outer",
         )
-        .groupBy(F.col("d").alias("cohort_day"))
+        # cohort_day as TIMESTAMP on both sides: a DATE column reaches
+        # pandas as object-dtype date cells on the Spark side but
+        # datetime64 from DuckDB — different reprs, failed hash
+        .groupBy(F.col("d").cast("timestamp_ntz").alias("cohort_day"))
         .agg(
             F.countDistinct("user_id").alias("n_active"),
             F.countDistinct("b_user").alias("n_retained_next_day"),
@@ -1149,7 +1154,7 @@ def j_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j_range_within_hour",
     oracle="""
     SELECT v.user_id, count(*) AS n_pairs,
-           sum(epoch_us(p.ts) - epoch_us(v.ts)) AS total_gap_us
+           CAST(sum(epoch_us(p.ts) - epoch_us(v.ts)) AS BIGINT) AS total_gap_us
     FROM events v
     JOIN events p
       ON v.user_id = p.user_id

@@ -67,7 +67,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
            o_orderdate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -92,7 +92,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == ords.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        # rounded on both sides: parallel double sums differ at ulp level
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -103,7 +104,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -142,7 +143,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
@@ -286,7 +287,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_discounted_revenue",
     oracle="""
-    SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
@@ -304,7 +305,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40))
     )
     return joined.filter(cond).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue")
     )
 
 
@@ -447,7 +448,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q7_volume_shipping",
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 6) AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
@@ -491,7 +492,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair)
         .withColumn("l_year", F.year("l_shipdate").cast("long"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -561,7 +562,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q9_product_profit",
     oracle="""
-    SELECT nation, o_year, sum(amount) AS sum_profit
+    SELECT nation, o_year, round(sum(amount), 6) AS sum_profit
     FROM (
         SELECT n_name AS nation,
                CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
@@ -594,7 +595,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
         .withColumnRenamed("n_name", "nation")
         .groupBy("nation", "o_year")
-        .agg(F.sum(amount).alias("sum_profit"))
+        .agg(F.round(F.sum(amount), 6).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -650,10 +651,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_late_lineitems",
     oracle="""
     SELECT delay_bucket,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM (
         SELECT o_orderpriority,
                CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 'late'
@@ -799,7 +800,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_qty_revenue",
     oracle="""
-    SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+    SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#3' AND p_type = 'MEDIUM'
@@ -824,7 +825,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(avgq), F.col("l_partkey") == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
-        .agg((F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 6).alias("avg_yearly"))
     )
 
 
@@ -949,7 +950,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey AS cntrycode,
            count(*) AS numcust,
-           sum(c_acctbal) AS totacctbal
+           round(sum(c_acctbal), 6) AS totacctbal
     FROM customer
     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders
@@ -977,6 +978,6 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         )
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
-        .agg(F.count(F.lit(1)).alias("numcust"), F.sum("c_acctbal").alias("totacctbal"))
+        .agg(F.count(F.lit(1)).alias("numcust"), F.round(F.sum("c_acctbal"), 6).alias("totacctbal"))
         .orderBy("cntrycode")
     )

@@ -24,6 +24,11 @@ SF_DIR = "/root/testdata/sf0.01"
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
+    # ns-vs-us timestamp resolution is driver-safe (f_datetime was green
+    # in r2 with Spark ns vs DuckDB us) — normalize before comparing.
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
