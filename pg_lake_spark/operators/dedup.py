@@ -285,49 +285,115 @@ def hamming(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash64_agg(
+    df: DataFrame, id_col: str, text_col: str, *, shingle_n: int = 2
+) -> DataFrame:
+    """64-bit SimHash as TWO 32-bit words → (_id, sim_a, sim_b).
+
+    The wider fingerprint exists for banding (see :func:`simhash_pairs`):
+    16-bit bands need 64 bits to keep 4 bands. It is held as two 32-bit
+    words — never materialized as one int64 — because the base hash is
+    the two md5 halves and both engines (Spark, DuckDB oracle) can do
+    all of the arithmetic below 2^32 without signed-overflow divergence;
+    a single unsigned-64 value would overflow BIGINT differently per
+    engine (Spark wraps, DuckDB raises).
+
+    Scale: explode + one hash-partitioned aggregation with map-side
+    combine; the shuffle carries 64 small ints per doc. Like
+    minhash_signature_agg, the CPU-bound hash fan-out is spread over all
+    cores when the source has fewer input files than parallelism.
+    """
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if len(df.inputFiles()) < par:
+        base = base.repartition(par, "_id")
+    ex = base.select("_id", F.explode(word_shingles("_t", shingle_n)).alias("_s"))
+    md = F.md5("_s")
+    ha = F.conv(F.substring(md, 1, 8), 16, 10).cast("bigint")
+    hb = F.conv(F.substring(md, 9, 8), 16, 10).cast("bigint")
+    ex = ex.select("_id", ha.alias("_ha"), hb.alias("_hb"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("_ha"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_a{j}")
+        for j in range(32)
+    ] + [
+        F.sum(
+            F.when(F.shiftright(F.col("_hb"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{j}")
+        for j in range(32)
+    ]
+    per_bit = ex.groupBy("_id").agg(*aggs)
+    sim_a = sim_b = None
+    for j in range(32):
+        ta = F.when(F.col(f"_a{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        tb = F.when(F.col(f"_b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim_a = ta if sim_a is None else sim_a + ta
+        sim_b = tb if sim_b is None else sim_b + tb
+    return per_bit.select(
+        "_id", sim_a.cast("bigint").alias("sim_a"), sim_b.cast("bigint").alias("sim_b")
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     *,
     shingle_n: int = 2,
-    bits: int = 32,
     bands: int = 4,
     max_dist: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup pairs with Hamming distance ≤ ``max_dist``.
+    """SimHash near-dup pairs with Hamming distance ≤ ``max_dist`` over a
+    64-bit fingerprint.
 
-    Banding: the ``bits``-bit fingerprint splits into ``bands`` equal
-    slices; a pair differing in ≤ max_dist bits must agree on at least
-    one slice whenever ``max_dist < bands`` (pigeonhole), so the
-    band-bucket equi-join finds EVERY qualifying pair — this is an exact
-    algorithm, not approximate, while only ever joining within buckets.
+    Banding: the 64 fingerprint bits split into ``bands`` equal slices;
+    a pair differing in ≤ max_dist bits must agree on at least one slice
+    whenever ``max_dist < bands`` (pigeonhole), so the band-bucket
+    equi-join finds EVERY qualifying pair — exact, not approximate,
+    while only ever joining within buckets. Default 4 bands of 16 bits
+    ⇒ 65,536 buckets per band: expected candidate pairs grow
+    O(N²/65536), not r2's O(N²/256) — the named 100 TB scale risk.
+
+    The signature frame (1 row/doc, 2 ints) is localCheckpoint'ed so
+    the banded self-join computes the explode+md5 aggregation exactly
+    once; blocks free when the result is dereferenced. At extreme scale
+    swap for an explicit temp-table write.
 
     Output: (id_a, id_b, hamming_dist), id_a < id_b.
     """
     assert max_dist < bands, "completeness requires max_dist < bands (pigeonhole)"
-    band_bits = bits // bands
+    assert 64 % bands == 0 and (64 // bands) <= 32 and 32 % (64 // bands) == 0
+    band_bits = 64 // bands
     mask = (1 << band_bits) - 1
-    sigs = simhash_agg(df, id_col, text_col, shingle_n=shingle_n, bits=bits)
+    per_word = 32 // band_bits  # bands carved from each 32-bit word
+    sigs = simhash64_agg(
+        df, id_col, text_col, shingle_n=shingle_n
+    ).localCheckpoint(eager=True)
+
+    def bucket(b: int) -> Column:
+        word = F.col("sim_a") if b < per_word else F.col("sim_b")
+        shift = (b % per_word) * band_bits
+        return F.shiftright(word, shift).bitwiseAND(F.lit(mask))
+
     banded = sigs.select(
         "_id",
-        "simhash",
+        "sim_a",
+        "sim_b",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select("_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("_id", "sim_a", "sim_b", "bb.band", "bb.bucket")
     left = banded.alias("l")
     right = banded.alias("r")
+    ham = hamming(F.col("l.sim_a"), F.col("r.sim_a")) + hamming(
+        F.col("l.sim_b"), F.col("r.sim_b")
+    )
     return (
         left.join(
             right,
@@ -338,7 +404,7 @@ def simhash_pairs(
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            hamming(F.col("l.simhash"), F.col("r.simhash")).alias("hamming_dist"),
+            ham.alias("hamming_dist"),
         )
         .filter(F.col("hamming_dist") <= max_dist)
         .distinct()

@@ -161,7 +161,13 @@ def lsh_topk(
 
 
 def cosine_neardup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, *, threshold: float = 0.9, n_blocks: int = 4
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.9,
+    n_blocks: int | None = None,
+    task_mem_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos_sim ≥ t).
 
@@ -179,10 +185,27 @@ def cosine_neardup_pairs(
     :func:`lsh_topk`'s hyperplane bucketing first and verify only
     bucket-mates — this exact kernel is then the per-bucket verifier.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
     spark = df.sparkSession
+    if n_blocks is None:
+        # Memory model: a gemm task holds two blocks ≈ 2·(N/B)·dim·8 B,
+        # so B_mem = ceil(2·N·dim·8 / task_mem_bytes) bounds per-task
+        # memory regardless of corpus size; B_par keeps B(B+1)/2 block
+        # pairs ≥ the cluster's parallelism so the stage isn't capped at
+        # a handful of tasks (the r2 finding: fixed B=4 ⇒ max 10 tasks).
+        # Replication cost is O(N·B) rows through one shuffle.
+        stats = df.select(
+            F.count(F.lit(1)).alias("n"), F.first(F.size(F.col(vec_col))).alias("dim")
+        ).first()
+        n, dim = stats["n"] or 0, stats["dim"] or 0
+        par = spark.sparkContext.defaultParallelism
+        b_mem = math.ceil(2 * n * dim * 8 / task_mem_bytes)
+        b_par = math.ceil((math.sqrt(8 * par + 1) - 1) / 2)  # B(B+1)/2 >= par
+        n_blocks = max(b_mem, b_par, 2)
     src = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
     ).withColumn("blk", F.pmod(F.hash(F.col("vid")), F.lit(n_blocks)))

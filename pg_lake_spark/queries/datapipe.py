@@ -382,19 +382,55 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_simhash64(subset_pred: str, shingle_n: int) -> str:
+    """DuckDB CTE computing the same 64-bit two-word SimHash as
+    operators.dedup.simhash64_agg: base hash = the two md5 halves as
+    32-bit ints (every intermediate stays below 2^32 so both engines
+    agree exactly; a single int64 would overflow differently)."""
+    sum_a = ", ".join(
+        f"sum(CASE WHEN (ha // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS a{j}"
+        for j in range(32)
+    )
+    sum_b = ", ".join(
+        f"sum(CASE WHEN (hb // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(32)
+    )
+    rec_a = " + ".join(f"CASE WHEN a{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(32))
+    rec_b = " + ".join(f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(32))
+    return f"""
+    sh AS (SELECT doc_id, {_duck_shingles(shingle_n)} AS s
+           FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+                 FROM documents WHERE {subset_pred}) t),
+    ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+    hh AS (SELECT doc_id,
+                  CAST(list_sum(list_transform(range(1, 9),
+                       k -> (strpos('0123456789abcdef', substr(md5(sg), k, 1)) - 1)
+                            * power(16, 8 - k))) AS BIGINT) AS ha,
+                  CAST(list_sum(list_transform(range(9, 17),
+                       k -> (strpos('0123456789abcdef', substr(md5(sg), k, 1)) - 1)
+                            * power(16, 16 - k))) AS BIGINT) AS hb
+           FROM ex),
+    bs AS (SELECT doc_id, {sum_a}, {sum_b} FROM hh GROUP BY doc_id),
+    sims AS (SELECT doc_id, CAST({rec_a} AS BIGINT) AS sim_a,
+                    CAST({rec_b} AS BIGINT) AS sim_b FROM bs)
+    """
+
+
 @query(
     "dd_simhash_pairs",
     oracle=f"""
-    WITH {_duck_simhash('TRUE', 2)}
+    WITH {_duck_simhash64('TRUE', 2)}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming_dist
+           CAST(bit_count(xor(a.sim_a, b.sim_a))
+              + bit_count(xor(a.sim_b, b.sim_b)) AS BIGINT) AS hamming_dist
     FROM sims a, sims b
     WHERE a.doc_id < b.doc_id
-      AND bit_count(xor(a.simhash, b.simhash)) <= 3
+      AND bit_count(xor(a.sim_a, b.sim_a)) + bit_count(xor(a.sim_b, b.sim_b)) <= 3
     ORDER BY id_a, id_b
     """,
-    doc="SimHash near-dup pairs, Hamming ≤ 3 via exact band-bucket join "
-    "(pigeonhole-complete: 4 bands > 3 differing bits).",
+    doc="SimHash near-dup pairs, Hamming ≤ 3 over a 64-bit fingerprint via "
+    "exact band-bucket join (pigeonhole-complete: 4 bands > 3 differing "
+    "bits; 16-bit bands ⇒ 65,536 buckets — the r2 scale fix).",
 )
 def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
