@@ -411,6 +411,25 @@ def export_iceberg(table) -> str:
             "compact/rewrite the table first so all files share the current "
             "spec and schema (Iceberg field-id mapping is not emitted yet)"
         )
+    # The same guard must cover HISTORY, not just the head (round-2
+    # ADVICE): manifests below are written with the current schema and
+    # spec for every snapshot, so after rename/backfill/spec-evolution
+    # followed by compaction the head exports fine while pre-evolution
+    # snapshots would get name-mismatched columns and null partition
+    # values — external engines time-traveling them could mis-prune.
+    # When older eras/specs exist anywhere in history, export only the
+    # current snapshot's lineage.
+    snap_files = {
+        s.snapshot_id: cat.read_snapshot_files(table.location, md, s)
+        for s in md.snapshots
+    }
+    export_snaps = list(md.snapshots)
+    if any(
+        table._era_key(f) or f.spec_id != md.default_spec_id
+        for files in snap_files.values()
+        for f in files
+    ):
+        export_snaps = [cur] if cur is not None else []
     meta_dir = os.path.join(table.location, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
 
@@ -430,8 +449,8 @@ def export_iceberg(table) -> str:
 
     snapshots_json = []
     snapshot_log = []
-    for snap in md.snapshots:
-        files = cat.read_snapshot_files(table.location, md, snap)
+    for snap in export_snaps:
+        files = snap_files[snap.snapshot_id]
         entries = [
             _entry_json(f, snap.snapshot_id, md.partition_spec) for f in files
         ]

@@ -155,8 +155,24 @@ class LakeTable:
         no snapshot is produced. Returns None for a skipped replay.
         """
         prop_key = f"streaming.high-water.{stream_key}"
+
+        def high_water(md: "TableMetadata") -> int:
+            v = md.properties.get(prop_key)
+            if v is not None:
+                return int(v)
+            # One-time migration read: earlier versions tracked the mark
+            # only in the newest snapshot's summary ("streaming-batch-id")
+            # with no stream key. Without this fallback, a table written
+            # by the old version replaying its last micro-batch after
+            # upgrade sees -1 and double-appends it once (round-2 ADVICE).
+            for snap in reversed(md.snapshots):
+                s = snap.summary or {}
+                if "streaming-batch-id" in s and s.get("stream-key") in (None, stream_key):
+                    return int(s["streaming-batch-id"])
+            return -1
+
         # Cheap pre-check against our metadata image to skip the write.
-        if batch_id <= int(self.metadata.properties.get(prop_key, -1)):
+        if batch_id <= high_water(self.metadata):
             return None
         df = self._align_for_write(df)
         new_files = self._write_data_files(df)
@@ -171,7 +187,7 @@ class LakeTable:
                 "stream-key": stream_key,
             },
             properties_update={prop_key: batch_id},
-            precondition=lambda md: batch_id > int(md.properties.get(prop_key, -1)),
+            precondition=lambda md: batch_id > high_water(md),
         )
         if snap is None:  # lost the race to a concurrent replay — clean up
             for f in new_files:
@@ -678,24 +694,32 @@ class LakeTable:
                     nf.added_snapshot_id = oldest
                     rewritten.append(nf)
             removed.update(f.path for f in gfiles)
-        self._commit(
+        # Mark ONLY the entries this pass actually applied, in the SAME
+        # commit as the rewrite (round-2 ADVICE: a second lock window let
+        # a concurrent MoR delete land between rewrite and marking, get
+        # stamped materialized_snapshot_id < its added_snapshot_id, and
+        # silently never apply — resurrecting its rows).
+        applied = {(e["predicate"], e["added_snapshot_id"]) for e in active}
+
+        def mark(md, sid):
+            for e in md.delete_predicates:
+                if (
+                    (e["predicate"], e["added_snapshot_id"]) in applied
+                    and e.get("materialized_snapshot_id") is None
+                ):
+                    e["materialized_snapshot_id"] = sid
+
+        snap = self._commit(
             operation="delete",
             added=rewritten,
             removed_paths=removed,
             summary={"deleted_rows": deleted_rows, "materialized": len(active)},
+            mutate=mark,
         )
-        applied_snapshot = self.metadata.current_snapshot_id
-        with cat.CommitLock(self.location):
-            md = cat.read_current_metadata(self.location)
-            for e in md.delete_predicates:
-                if e.get("materialized_snapshot_id") is None:
-                    e["materialized_snapshot_id"] = applied_snapshot
-            cat.commit_metadata(self.location, md)
-            self.metadata = md
         return {
             "materialized": len(active),
             "deleted_rows": deleted_rows,
-            "snapshot_id": applied_snapshot,
+            "snapshot_id": snap.snapshot_id,
         }
 
     def update(self, assignments: dict[str, str], where: str | None = None) -> dict:

@@ -207,12 +207,27 @@ class LakeSession:
 
     def __init__(self, spark: SparkSession | None = None):
         self.spark = spark or get_spark()
-        self._tables: dict[str, DataFrame] = {}
+        # Manual registrations live apart from the (read-only) corpus
+        # mapping: register_corpus stores a LazyTables, which has no
+        # __setitem__ — overlaying in one dict broke register_lake_table
+        # after register_corpus (round-2 ADVICE).
+        self._corpus: Mapping[str, DataFrame] = {}
+        self._manual: dict[str, DataFrame] = {}
 
     # -- registration ---------------------------------------------------
     def register_corpus(self, sf_dir: str = DEFAULT_SF_DIR) -> LazyTables:
-        self._tables = load_tables(self.spark, sf_dir)
-        return self._tables
+        tables = load_tables(self.spark, sf_dir)
+        self._corpus = tables
+        return tables
+
+    @property
+    def tables(self) -> dict[str, DataFrame]:
+        """Merged registry snapshot: manual registrations shadow corpus."""
+        merged: dict[str, DataFrame] = {}
+        for n in self._corpus:
+            merged[n] = self._corpus[n]
+        merged.update(self._manual)
+        return merged
 
     def register_lake_table(self, name: str, path: str, fmt: str = "parquet", **options) -> DataFrame:
         """CREATE FOREIGN TABLE () SERVER pg_lake analogue: infer schema
@@ -221,7 +236,7 @@ class LakeSession:
 
         df = readers.read_lake(self.spark, path, fmt=fmt, **options)
         df.createOrReplaceTempView(name)
-        self._tables[name] = df
+        self._manual[name] = df
         return df
 
     def table(self, name: str) -> DataFrame:
@@ -277,7 +292,7 @@ class LakeSession:
 
         df = iceberg_meta.scan_iceberg(self.spark, location, snapshot_id=snapshot_id)
         df.createOrReplaceTempView(name)
-        self._tables[name] = df
+        self._manual[name] = df
         return df
 
     def vacuum(self, location: str, **kwargs) -> dict:

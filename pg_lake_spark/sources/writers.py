@@ -133,7 +133,11 @@ def copy_from(
     """
     from pg_lake_spark.sources import readers
 
-    df = readers.read_lake(spark, url, fmt=fmt, **options)
+    # Same PG-option surface as COPY TO: validate + translate (e.g.
+    # null → nullValue so NULL markers don't load as literal strings;
+    # unknown FROM options raise like the reference's copy.c errors).
+    spark_opts = translate_copy_options(fmt, options, verb="FROM")
+    df = readers.read_lake(spark, url, fmt=fmt, **spark_opts)
     from pg_lake_spark.lakehouse.table import ddl_field_names
 
     target_cols = ddl_field_names(table.metadata.schema_ddl)

@@ -278,3 +278,26 @@ def test_schema_type_mapping_roundtrip():
     assert last_id == 7  # 6 columns + 1 list element id
     ddl = iceberg_meta.spark_schema_from_iceberg(schema)
     assert "decimal(12,2)" in ddl and "array<double>" in ddl
+
+
+def test_export_drops_history_when_older_eras_exist(spark, tmp_path):
+    """After a rename + compaction the head exports, but pre-evolution
+    snapshots would be written with the current schema and mis-read by
+    external time travelers — the export must restrict itself to the
+    current snapshot's lineage (r2 ADVICE)."""
+    from pg_lake_spark.lakehouse.maintenance import compact_data_files
+
+    t = LakeTable.create(spark, str(tmp_path / "era_exp"), "id bigint, s string")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, s string"))
+    t.rename_column("s", "label")
+    # head still carries a pre-rename-era file → guard raises
+    with pytest.raises(NotImplementedError):
+        t.export_iceberg()
+    compact_data_files(t, min_input_files=1)
+    path = t.export_iceberg()
+    meta = json.load(open(path))
+    assert len(meta["snapshots"]) == 1
+    assert meta["snapshots"][0]["snapshot-id"] == meta["current-snapshot-id"]
+    # and the exported head scans correctly through the spec reader
+    got = _rows(iceberg_meta.scan_iceberg(spark, path))
+    assert got == [(1, "a"), (2, "b")]

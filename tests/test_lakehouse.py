@@ -749,3 +749,67 @@ def test_partition_spec_evolution(spark, tmp_path):
     assert {f.spec_id for f in files.values()} == {0, 1}
     got = t.scan(where="id = 25")
     assert got.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Round-3 ADVICE regression tests
+# ---------------------------------------------------------------------------
+
+def test_session_manual_registration_after_corpus(spark, tmp_path):
+    """register_lake_table must work after register_corpus (r2 ADVICE:
+    the corpus LazyTables has no __setitem__ and broke manual adds)."""
+    from pg_lake_spark.session import DEFAULT_SF_DIR, LakeSession
+    from pg_lake_spark.sources import copy_to
+
+    sess = LakeSession(spark)
+    sess.register_corpus(DEFAULT_SF_DIR)
+    out = str(tmp_path / "manual_pq")
+    copy_to(spark.createDataFrame([(1, "x")], "id bigint, s string"), out, "parquet")
+    df = sess.register_lake_table("manual_t", out)
+    assert df.count() == 1
+    assert "manual_t" in sess.tables
+    assert "lineitem" in sess.tables  # corpus still visible through the merge
+
+
+def test_materialize_marks_only_applied_predicates_atomically(spark, tmp_path):
+    """Predicate marking happens in the SAME commit as the rewrite and
+    touches only the entries that pass applied (r2 ADVICE: a second lock
+    window could stamp a concurrent MoR delete as already-materialized,
+    silently resurrecting its rows)."""
+    t = _mk_kv_table(spark, tmp_path, "mor_atomic")
+    t.delete("id IN (1, 2)", mode="mor")
+    n_before = len(t.metadata.snapshots)
+    out = t.materialize_deletes()
+    t.refresh()
+    # exactly ONE new snapshot: rewrite + marking are one commit
+    assert len(t.metadata.snapshots) == n_before + 1
+    entry = t.metadata.delete_predicates[-1]
+    assert entry["materialized_snapshot_id"] == out["snapshot_id"]
+    assert entry["materialized_snapshot_id"] == t.metadata.current_snapshot_id
+
+
+def test_streaming_high_water_migrates_from_legacy_summary(spark, tmp_path):
+    """A table whose high-water mark lives only in a legacy snapshot
+    summary (pre-properties versions) must not double-append the last
+    replayed micro-batch (r2 ADVICE)."""
+    t = LakeTable.create(spark, str(tmp_path / "hw_legacy"), "id bigint")
+    # legacy-style commit: batch id stamped in the summary, no stream-key,
+    # no properties entry
+    t.append(
+        spark.createDataFrame([(1,), (2,)], "id bigint"),
+        extra_summary={"streaming-batch-id": 5},
+    )
+    assert "streaming.high-water.ck" not in t.metadata.properties
+    # replay of batch 5 after upgrade → skipped via the migration read
+    skipped = t.append_streaming_batch(
+        spark.createDataFrame([(1,), (2,)], "id bigint"), "ck", 5
+    )
+    assert skipped is None
+    assert t.to_df().count() == 2
+    # the next batch commits and seeds the property
+    snap = t.append_streaming_batch(
+        spark.createDataFrame([(3,)], "id bigint"), "ck", 6
+    )
+    assert snap is not None
+    assert int(t.metadata.properties["streaming.high-water.ck"]) == 6
+    assert t.to_df().count() == 3

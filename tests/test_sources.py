@@ -124,11 +124,32 @@ def test_copy_from_csv_into_lake_table(spark, nationlike, tmp_path):
         str(tmp_path / "nation_lake"),
         ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in nationlike.schema.fields),
     )
-    snap = copy_from(spark, csv_url, t, fmt="csv", header=True, inferSchema=True)
+    snap = copy_from(spark, csv_url, t, fmt="csv", header=True, auto_detect=True)
     assert snap.operation == "append"
     got = sorted(tuple(r) for r in t.to_df().collect())
     want = sorted(tuple(r) for r in nationlike.collect())
     assert got == want
+
+    # Spark-only names are NOT part of the PG COPY surface and must raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="invalid option"):
+        copy_from(spark, csv_url, t, fmt="csv", inferSchema=True)
+
+
+def test_copy_from_translates_null_marker(spark, tmp_path):
+    """PG `null` option must reach the CSV reader as nullValue (round-2
+    ADVICE: it was silently dropped and markers loaded as strings)."""
+    from pg_lake_spark.lakehouse.table import LakeTable
+    from pg_lake_spark.sources.writers import copy_from
+
+    src_csv = tmp_path / "null_marker"
+    src_csv.mkdir()
+    (src_csv / "part.csv").write_text("k,v\n1,alpha\n2,\\N\n3,beta\n")
+    t = LakeTable.create(spark, str(tmp_path / "null_lake"), "k int, v string")
+    copy_from(spark, str(src_csv), t, fmt="csv", header=True, null="\\N")
+    rows = {r["k"]: r["v"] for r in t.to_df().collect()}
+    assert rows == {1: "alpha", 2: None, 3: "beta"}
 
 
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
