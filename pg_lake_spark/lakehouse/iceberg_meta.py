@@ -190,6 +190,29 @@ def spark_schema_from_iceberg(schema: dict) -> str:
     )
 
 
+def build_name_mapping(schema_log: list[dict], schema: dict) -> list[dict]:
+    """Iceberg ``schema.name-mapping.default`` for this table's files.
+
+    Our parquet files carry no Iceberg field ids (they are written by a
+    plain Spark writer), so the spec's name-mapping is how external
+    readers resolve columns — and it is also what makes RENAME eras
+    exportable: each field id lists its current name first, then every
+    historical physical name from the schema log, newest first
+    (spec: 'Column mapping' — one field-id, many names).
+    """
+    renames = [e for e in schema_log if e.get("op") == "rename"]
+    mapping = []
+    for f in schema["fields"]:
+        names = [f["name"]]
+        cur = f["name"]
+        for e in reversed(renames):
+            if e["to"] == cur:
+                cur = e["from"]
+                names.append(cur)
+        mapping.append({"field-id": f["id"], "names": names})
+    return mapping
+
+
 # ---------------------------------------------------------------------------
 # Avro plumbing (Java Avro via py4j; records cross as Avro-JSON)
 # ---------------------------------------------------------------------------
@@ -402,33 +425,52 @@ def export_iceberg(table) -> str:
     md = table.metadata
     cur = md.current_snapshot()
     cur_files = cat.read_snapshot_files(table.location, md, cur) if cur else []
-    if any(table._era_key(f) for f in cur_files) or any(
-        f.spec_id != md.default_spec_id for f in cur_files
-    ):
+
+    def exportable(f: DataFile) -> bool:
+        """Can this file be represented faithfully in the v2 export?
+
+        Rename eras ARE exportable: the emitted name-mapping (below)
+        resolves old physical column names to field ids. Plain ADD
+        COLUMN (null backfill) is exportable: a name absent from the
+        file reads NULL through the mapping. NOT exportable: constant
+        DEFAULT backfills (v2 has no initial-default), files written
+        under an older partition spec, and files whose partition keys
+        no longer match the current spec's names (a renamed partition
+        column) — entries would carry null partition values and
+        external engines could mis-prune.
+        """
+        if f.spec_id != md.default_spec_id:
+            return False
+        _, backfills = table._era_info(table._era_key(f))
+        if any(d is not None for d in backfills.values()):
+            return False
+        expected = {_pfield_name(pf) for pf in md.partition_spec}
+        if expected and set(f.partition) != expected:
+            return False
+        return True
+
+    if not all(exportable(f) for f in cur_files):
         raise NotImplementedError(
-            "export after partition-spec evolution or column rename/backfill "
-            "is not supported while files of older schema/spec eras remain — "
-            "compact/rewrite the table first so all files share the current "
-            "spec and schema (Iceberg field-id mapping is not emitted yet)"
+            "export is not supported while current files carry a constant "
+            "ADD COLUMN DEFAULT backfill, an older partition spec, or "
+            "pre-rename partition keys — compact/rewrite the table first "
+            "(Iceberg v2 cannot represent constant backfills or mixed "
+            "partition layouts in this export)"
         )
     # The same guard must cover HISTORY, not just the head (round-2
     # ADVICE): manifests below are written with the current schema and
-    # spec for every snapshot, so after rename/backfill/spec-evolution
+    # spec for every snapshot, so after a non-representable evolution
     # followed by compaction the head exports fine while pre-evolution
-    # snapshots would get name-mismatched columns and null partition
-    # values — external engines time-traveling them could mis-prune.
-    # When older eras/specs exist anywhere in history, export only the
-    # current snapshot's lineage.
+    # snapshots would get wrong columns or null partition values —
+    # external engines time-traveling them could mis-prune. When such
+    # files exist anywhere in history, export only the current
+    # snapshot's lineage.
     snap_files = {
         s.snapshot_id: cat.read_snapshot_files(table.location, md, s)
         for s in md.snapshots
     }
     export_snaps = list(md.snapshots)
-    if any(
-        table._era_key(f) or f.spec_id != md.default_spec_id
-        for files in snap_files.values()
-        for f in files
-    ):
+    if any(not exportable(f) for files in snap_files.values() for f in files):
         export_snaps = [cur] if cur is not None else []
     meta_dir = os.path.join(table.location, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
@@ -517,7 +559,14 @@ def export_iceberg(table) -> str:
         "last-partition-id": 999 + len(spec_fields),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
-        "properties": {str(k): str(v) for k, v in md.properties.items()},
+        "properties": {
+            **{str(k): str(v) for k, v in md.properties.items()},
+            # always emitted: our parquet has no field ids, so readers
+            # need the mapping; it also resolves pre-rename physical names
+            "schema.name-mapping.default": json.dumps(
+                build_name_mapping(md.schema_log, schema)
+            ),
+        },
         "current-snapshot-id": md.current_snapshot_id
         if md.current_snapshot_id is not None
         else -1,
@@ -630,11 +679,24 @@ def scan_iceberg(
     ``location`` may be the ``metadata.json`` itself, the table root, or
     its ``metadata/`` dir (version-hint resolution, HadoopCatalog
     layout). Reads the current snapshot unless ``snapshot_id`` pins one.
-    Tables carrying live position/equality delete files are rejected
-    (this engine's MoR representation is predicate-based).
+
+    v2 **position delete files** are applied: deleted (file, row)
+    positions anti-join the data scan on ``_metadata.file_path`` /
+    ``_metadata.row_index`` — the Spark expression of the reference's
+    position-delete anti-join (pg_lake_iceberg snapshot.c:556,612).
+    Position deletes name their target file explicitly, so path+pos is
+    exact scoping; no sequence-number check is needed (Iceberg never
+    reuses a data-file path). Equality deletes remain unsupported.
+
+    A ``schema.name-mapping.default`` table property is honored for
+    files without parquet field ids: per field id, the first mapped
+    name present in a file resolves the column (files written before a
+    rename keep working); absent names read NULL (plain ADD COLUMN).
 
     Reference: describe.c:167 DescribeColumnsFromIcebergMetadataURI.
     """
+    from pyspark.sql import functions as F
+
     meta_path = _resolve_metadata_path(_localize(location))
     with open(meta_path) as fh:
         meta = json.load(fh)
@@ -649,13 +711,99 @@ def scan_iceberg(
     if snap is None:
         return spark.createDataFrame([], ddl)
 
-    paths = _snapshot_data_paths(spark, snap)
+    paths, delete_paths = _snapshot_files(spark, snap)
     if not paths:
         return spark.createDataFrame([], ddl)
-    df = spark.read.schema(ddl).parquet(*paths)
+
+    nm_raw = (meta.get("properties") or {}).get("schema.name-mapping.default")
+    mapping = json.loads(nm_raw) if nm_raw else None
+    with_pos = bool(delete_paths)
+    if mapping:
+        df = _read_with_name_mapping(spark, paths, ddl, schema, mapping, with_pos)
+    else:
+        df = spark.read.schema(ddl).parquet(*paths)
+        if with_pos:
+            df = df.select(
+                "*",
+                _norm_path(F.col("_metadata.file_path")).alias("__fp"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+
+    if with_pos:
+        # Position-delete parquet layout (spec): file_path string, pos long.
+        dels = spark.read.parquet(*delete_paths).select(
+            _norm_path(F.col("file_path")).alias("__fp"),
+            F.col("pos").alias("__pos"),
+        )
+        # AQE broadcasts the (typically tiny) delete set; at scale the
+        # anti-join shuffles on (path, pos) — both sides pre-hashed.
+        df = df.join(dels, ["__fp", "__pos"], "left_anti").drop("__fp", "__pos")
+
     if where:
         df = df.filter(where)
     return df
+
+
+def _norm_path(col):
+    """Strip a file: scheme so delete-file paths and _metadata.file_path
+    compare equal regardless of how the writer spelled the URI."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(col, "^file:(//)?", "")
+
+
+def _read_with_name_mapping(
+    spark: SparkSession,
+    paths: list[str],
+    ddl: str,
+    schema: dict,
+    mapping: list[dict],
+    with_pos: bool,
+) -> DataFrame:
+    """Read data files honoring an Iceberg name-mapping.
+
+    Files group by their resolved (physical-name per field) tuple —
+    computed from parquet footers, a driver-side O(files) planning step
+    exactly like the reference's manifest planning — and each group is
+    one typed scan presented in the current names; groups union.
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    st = spark.createDataFrame([], ddl).schema
+    types = {f.name: f.dataType.simpleString() for f in st.fields}
+    by_id = {m["field-id"]: m.get("names", []) for m in mapping}
+    field_names = [(f["name"], by_id.get(f["id"], [f["name"]])) for f in schema["fields"]]
+
+    groups: dict[tuple, list[str]] = {}
+    for p in paths:
+        cols = set(pq.read_schema(p).names)
+        resolution = tuple(
+            next((n for n in names or [logical] if n in cols), None)
+            for logical, names in field_names
+        )
+        groups.setdefault(resolution, []).append(p)
+
+    out = None
+    for resolution, ps in groups.items():
+        read_ddl = ", ".join(
+            f"{phys} {types[logical]}"
+            for (logical, _), phys in zip(field_names, resolution)
+            if phys is not None
+        )
+        g = spark.read.schema(read_ddl).parquet(*ps)
+        cols = []
+        for (logical, _), phys in zip(field_names, resolution):
+            if phys is None:
+                cols.append(F.lit(None).cast(types[logical]).alias(logical))
+            else:
+                cols.append(F.col(phys).alias(logical))
+        if with_pos:
+            cols.append(_norm_path(F.col("_metadata.file_path")).alias("__fp"))
+            cols.append(F.col("_metadata.row_index").alias("__pos"))
+        g = g.select(*cols)
+        out = g if out is None else out.unionByName(g)
+    return out
 
 
 def _current_schema(meta: dict) -> dict:
@@ -668,7 +816,14 @@ def _current_schema(meta: dict) -> dict:
     return meta["schema"]  # format v1
 
 
-def _snapshot_data_paths(spark: SparkSession, snap: dict) -> list[str]:
+def _snapshot_files(spark: SparkSession, snap: dict) -> tuple[list[str], list[str]]:
+    """Data-file and position-delete-file paths for one snapshot.
+
+    Delete manifests (manifest-list ``content``=1 / manifest header
+    ``content``="deletes") are walked like data manifests; entries with
+    ``data_file.content``=1 are position deletes (applied by the
+    caller's anti-join), ``content``=2 (equality deletes) raise.
+    """
     manifests: list[dict] = []
     if "manifest-list" in snap:
         records, _ = read_avro_records(spark, _localize(snap["manifest-list"]))
@@ -677,16 +832,9 @@ def _snapshot_data_paths(spark: SparkSession, snap: dict) -> list[str]:
         manifests = [{"manifest_path": p, "content": 0} for p in snap.get("manifests", [])]
 
     paths: list[str] = []
+    delete_paths: list[str] = []
     for m in manifests:
-        if m.get("content", 0) == 1:
-            raise NotImplementedError(
-                "Iceberg delete manifests (position/equality deletes) are not supported"
-            )
         entries, header = read_avro_records(spark, _localize(m["manifest_path"]))
-        if header.get("content", "data") == "deletes":
-            raise NotImplementedError(
-                "Iceberg delete manifests (position/equality deletes) are not supported"
-            )
         for e in entries:
             if e.get("status") == 2:  # DELETED
                 continue
@@ -694,13 +842,26 @@ def _snapshot_data_paths(spark: SparkSession, snap: dict) -> list[str]:
             fmt = str(df.get("file_format", "PARQUET")).upper()
             if fmt != "PARQUET":
                 raise NotImplementedError(f"data file format {fmt} not supported")
-            paths.append(_localize(df["file_path"]))
+            content = df.get("content", 0) or (
+                1 if m.get("content", 0) == 1 or header.get("content") == "deletes" else 0
+            )
+            if content == 0:
+                paths.append(_localize(df["file_path"]))
+            elif content == 1:
+                delete_paths.append(_localize(df["file_path"]))
+            else:
+                raise NotImplementedError(
+                    "Iceberg equality delete files are not supported"
+                )
     # An entry may appear as ADDED in one manifest and EXISTING in
     # another within the same snapshot; de-dup preserving order.
-    seen: set[str] = set()
-    out = []
-    for p in paths:
-        if p not in seen:
-            seen.add(p)
-            out.append(p)
-    return out
+    def dedup(ps: list[str]) -> list[str]:
+        seen: set[str] = set()
+        out = []
+        for p in ps:
+            if p not in seen:
+                seen.add(p)
+                out.append(p)
+        return out
+
+    return dedup(paths), dedup(delete_paths)

@@ -281,16 +281,17 @@ def test_schema_type_mapping_roundtrip():
 
 
 def test_export_drops_history_when_older_eras_exist(spark, tmp_path):
-    """After a rename + compaction the head exports, but pre-evolution
-    snapshots would be written with the current schema and mis-read by
-    external time travelers — the export must restrict itself to the
-    current snapshot's lineage (r2 ADVICE)."""
+    """A constant ADD COLUMN DEFAULT backfill cannot be represented in a
+    v2 export. With such files at the head the export raises; after
+    compaction the head exports, but pre-evolution snapshots would
+    mis-read for external time travelers — the export must restrict
+    itself to the current snapshot's lineage (r2 ADVICE)."""
     from pg_lake_spark.lakehouse.maintenance import compact_data_files
 
     t = LakeTable.create(spark, str(tmp_path / "era_exp"), "id bigint, s string")
     t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, s string"))
-    t.rename_column("s", "label")
-    # head still carries a pre-rename-era file → guard raises
+    t.add_column("zone", "string", default="'z0'")
+    # head still carries a constant-backfill-era file → guard raises
     with pytest.raises(NotImplementedError):
         t.export_iceberg()
     compact_data_files(t, min_input_files=1)
@@ -300,4 +301,147 @@ def test_export_drops_history_when_older_eras_exist(spark, tmp_path):
     assert meta["snapshots"][0]["snapshot-id"] == meta["current-snapshot-id"]
     # and the exported head scans correctly through the spec reader
     got = _rows(iceberg_meta.scan_iceberg(spark, path))
-    assert got == [(1, "a"), (2, "b")]
+    assert got == [(1, "a", "z0"), (2, "b", "z0")]
+
+
+def test_export_rename_era_via_name_mapping(spark, tmp_path):
+    """RENAME COLUMN no longer blocks export: the emitted
+    schema.name-mapping.default resolves the old physical name, full
+    history is retained, and the spec reader scans pre-rename files
+    under the current name."""
+    t = LakeTable.create(spark, str(tmp_path / "nm_exp"), "id bigint, s string")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, s string"))
+    t.rename_column("s", "label")
+    t.append(spark.createDataFrame([(3, "c")], "id bigint, label string"))
+    path = t.export_iceberg()
+    meta = json.load(open(path))
+    nm = json.loads(meta["properties"]["schema.name-mapping.default"])
+    assert {"field-id": 2, "names": ["label", "s"]} in nm
+    # every snapshot exported (no history restriction for renames)
+    assert len(meta["snapshots"]) == len(t.metadata.snapshots)
+    got = iceberg_meta.scan_iceberg(spark, path)
+    assert got.columns == ["id", "label"]
+    assert _rows(got) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_scan_foreign_v2_with_position_deletes(spark, tmp_path):
+    """A foreign v2 table carrying position delete files scans with the
+    deleted (file, pos) rows anti-joined away (reference reads position
+    deletes natively, snapshot.c:556,612)."""
+    root = tmp_path / "posdel"
+    data_dir = root / "data"
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(10)], "k bigint, s string"
+    )
+    df.coalesce(1).write.parquet(str(data_dir))
+    pq_files = [str(data_dir / f) for f in os.listdir(data_dir) if f.endswith(".parquet")]
+    assert len(pq_files) == 1
+    data_path = pq_files[0]
+    # row order inside the single parquet file defines positions
+    file_order = [
+        r.k
+        for r in spark.read.parquet(data_path).select("k").collect()
+    ]
+    drop_pos = [2, 5]
+    dropped_keys = {file_order[p] for p in drop_pos}
+
+    del_dir = root / "deletes"
+    spark.createDataFrame(
+        [("file://" + data_path, p) for p in drop_pos], "file_path string, pos bigint"
+    ).coalesce(1).write.parquet(str(del_dir))
+    del_path = [
+        str(del_dir / f) for f in os.listdir(del_dir) if f.endswith(".parquet")
+    ][0]
+
+    meta_dir = root / "metadata"
+    os.makedirs(meta_dir)
+    entry_schema = json.dumps(
+        iceberg_meta._manifest_entry_schema([], "k bigint, s string")
+    )
+
+    def entry(path, content, n):
+        return json.dumps(
+            {
+                "status": 1,
+                "snapshot_id": {"long": 7},
+                "sequence_number": {"long": 1},
+                "file_sequence_number": {"long": 1},
+                "data_file": {
+                    "content": content,
+                    "file_path": "file://" + path,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n,
+                    "file_size_in_bytes": os.path.getsize(path),
+                },
+            }
+        )
+
+    data_manifest = str(meta_dir / "m-data.avro")
+    iceberg_meta.write_avro_file(
+        spark, data_manifest, entry_schema, [entry(data_path, 0, 10)], {"content": "data"}
+    )
+    del_manifest = str(meta_dir / "m-del.avro")
+    iceberg_meta.write_avro_file(
+        spark, del_manifest, entry_schema, [entry(del_path, 1, 2)], {"content": "deletes"}
+    )
+    list_schema = json.dumps(iceberg_meta._manifest_list_schema())
+
+    def list_rec(mpath, content):
+        return json.dumps(
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": content,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": 7,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": 10,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+
+    mlist = str(meta_dir / "snap-7.avro")
+    iceberg_meta.write_avro_file(
+        spark,
+        mlist,
+        list_schema,
+        [list_rec(data_manifest, 0), list_rec(del_manifest, 1)],
+        {"format-version": "2"},
+    )
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-00000000000d",
+        "location": str(root),
+        "last-sequence-number": 1,
+        "last-updated-ms": 0,
+        "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "k", "required": False, "type": "long"},
+                    {"id": 2, "name": "s", "required": False, "type": "string"},
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "current-snapshot-id": 7,
+        "snapshots": [{"snapshot-id": 7, "timestamp-ms": 0, "manifest-list": mlist}],
+    }
+    with open(meta_dir / "v1.metadata.json", "w") as fh:
+        json.dump(metadata, fh)
+
+    got = iceberg_meta.scan_iceberg(spark, str(root))
+    assert got.columns == ["k", "s"]
+    keys = {r.k for r in got.collect()}
+    assert keys == set(range(10)) - dropped_keys
+    assert got.count() == 8
