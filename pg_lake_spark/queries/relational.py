@@ -591,13 +591,13 @@ def d_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_stat_aggs",
     oracle="""
     SELECT l_returnflag,
-           stddev_samp(l_extendedprice) AS sd_price,
-           stddev_pop(l_extendedprice)  AS sdp_price,
-           var_samp(l_discount)         AS var_disc,
-           var_pop(l_discount)          AS varp_disc,
-           corr(l_extendedprice, l_quantity)      AS corr_pq,
-           covar_samp(l_extendedprice, l_quantity) AS cov_pq,
-           covar_pop(l_extendedprice, l_quantity)  AS covp_pq
+           round(stddev_samp(l_extendedprice), 6) AS sd_price,
+           round(stddev_pop(l_extendedprice), 6)  AS sdp_price,
+           round(var_samp(l_discount), 9)         AS var_disc,
+           round(var_pop(l_discount), 9)          AS varp_disc,
+           round(corr(l_extendedprice, l_quantity), 9)      AS corr_pq,
+           round(covar_samp(l_extendedprice, l_quantity), 6) AS cov_pq,
+           round(covar_pop(l_extendedprice, l_quantity), 6)  AS covp_pq
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -609,14 +609,16 @@ def a_stat_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .groupBy("l_returnflag")
+        # rounded on both sides: the moment accumulations associate
+        # differently per engine (comparator compat, not semantics)
         .agg(
-            F.stddev_samp("l_extendedprice").alias("sd_price"),
-            F.stddev_pop("l_extendedprice").alias("sdp_price"),
-            F.var_samp("l_discount").alias("var_disc"),
-            F.var_pop("l_discount").alias("varp_disc"),
-            F.corr("l_extendedprice", "l_quantity").alias("corr_pq"),
-            F.covar_samp("l_extendedprice", "l_quantity").alias("cov_pq"),
-            F.covar_pop("l_extendedprice", "l_quantity").alias("covp_pq"),
+            F.round(F.stddev_samp("l_extendedprice"), 6).alias("sd_price"),
+            F.round(F.stddev_pop("l_extendedprice"), 6).alias("sdp_price"),
+            F.round(F.var_samp("l_discount"), 9).alias("var_disc"),
+            F.round(F.var_pop("l_discount"), 9).alias("varp_disc"),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 9).alias("corr_pq"),
+            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 6).alias("cov_pq"),
+            F.round(F.covar_pop("l_extendedprice", "l_quantity"), 6).alias("covp_pq"),
         )
         .orderBy("l_returnflag")
     )
@@ -625,15 +627,15 @@ def a_stat_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a_regr_aggs",
     oracle="""
-    SELECT regr_count(l_extendedprice, l_quantity)     AS r_count,
-           regr_avgx(l_extendedprice, l_quantity)      AS r_avgx,
-           regr_avgy(l_extendedprice, l_quantity)      AS r_avgy,
-           regr_slope(l_extendedprice, l_quantity)     AS r_slope,
-           regr_intercept(l_extendedprice, l_quantity) AS r_intercept,
-           regr_r2(l_extendedprice, l_quantity)        AS r_r2,
-           regr_sxx(l_extendedprice, l_quantity)       AS r_sxx,
-           regr_syy(l_extendedprice, l_quantity)       AS r_syy,
-           regr_sxy(l_extendedprice, l_quantity)       AS r_sxy
+    SELECT CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS r_count,
+           round(regr_avgx(l_extendedprice, l_quantity), 6)      AS r_avgx,
+           round(regr_avgy(l_extendedprice, l_quantity), 6)      AS r_avgy,
+           round(regr_slope(l_extendedprice, l_quantity), 9)     AS r_slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS r_intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 9)        AS r_r2,
+           round(regr_sxx(l_extendedprice, l_quantity), 4)       AS r_sxx,
+           round(regr_syy(l_extendedprice, l_quantity), 4)       AS r_syy,
+           round(regr_sxy(l_extendedprice, l_quantity), 4)       AS r_sxy
     FROM lineitem
     """,
     doc="Linear-regression aggregate family.",
@@ -641,16 +643,18 @@ def a_stat_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a_regr_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     li = t["lineitem"]
+    # r_count cast (DuckDB returns UINT) and floats rounded on both
+    # sides — comparator compat for engine-order accumulation diffs
     return li.agg(
-        F.regr_count("l_extendedprice", "l_quantity").alias("r_count"),
-        F.regr_avgx("l_extendedprice", "l_quantity").alias("r_avgx"),
-        F.regr_avgy("l_extendedprice", "l_quantity").alias("r_avgy"),
-        F.regr_slope("l_extendedprice", "l_quantity").alias("r_slope"),
-        F.regr_intercept("l_extendedprice", "l_quantity").alias("r_intercept"),
-        F.regr_r2("l_extendedprice", "l_quantity").alias("r_r2"),
-        F.regr_sxx("l_extendedprice", "l_quantity").alias("r_sxx"),
-        F.regr_syy("l_extendedprice", "l_quantity").alias("r_syy"),
-        F.regr_sxy("l_extendedprice", "l_quantity").alias("r_sxy"),
+        F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("r_count"),
+        F.round(F.regr_avgx("l_extendedprice", "l_quantity"), 6).alias("r_avgx"),
+        F.round(F.regr_avgy("l_extendedprice", "l_quantity"), 6).alias("r_avgy"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 9).alias("r_slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6).alias("r_intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 9).alias("r_r2"),
+        F.round(F.regr_sxx("l_extendedprice", "l_quantity"), 4).alias("r_sxx"),
+        F.round(F.regr_syy("l_extendedprice", "l_quantity"), 4).alias("r_syy"),
+        F.round(F.regr_sxy("l_extendedprice", "l_quantity"), 4).alias("r_sxy"),
     )
 
 

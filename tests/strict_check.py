@@ -61,6 +61,7 @@ def main(names: list[str]) -> int:
                 a.kind == b.kind for a, b in zip(sc.dtypes, dc.dtypes)
             )
             ok_vals = ok_cols and ok_rows
+            ulp_only = False
             if ok_vals:
                 try:
                     pd.testing.assert_frame_equal(
@@ -68,6 +69,19 @@ def main(names: list[str]) -> int:
                     )
                 except AssertionError:
                     ok_vals = False
+                    # r2 evidence: the driver hash tolerates ulp-level
+                    # float diffs (f_trig/w_running_agg were green with
+                    # 1e-15-relative mismatches) — classify those.
+                    try:
+                        pd.testing.assert_frame_equal(
+                            sc, dc, check_dtype=False, rtol=1e-9, atol=1e-12
+                        )
+                        ulp_only = True
+                    except AssertionError:
+                        pass
+            if ok_cols and ok_rows and ok_dtypes and ulp_only:
+                print(f"{name}: OK_ULP rows={len(sc)} (float diffs < 1e-9 rel)")
+                continue
             status = "OK" if (ok_cols and ok_rows and ok_vals and ok_dtypes) else "FAIL"
             if status == "FAIL":
                 failures += 1
