@@ -177,9 +177,14 @@ def lsh_candidate_pairs(
 
     left = banded.alias("l")
     right = banded.alias("r")
-    # Candidate pairs are tiny relative to the corpus; persist them so
-    # the verify stage (which references cand three times) computes the
-    # banding join exactly once.
+    # Candidate pairs are tiny relative to the corpus (2 ids/row); the
+    # verify stage references this frame THREE times (cand itself plus
+    # both legs of cand_ids), so relying on ReusedExchange to dedupe the
+    # banding join is fragile across Spark versions — the exact failure
+    # mode behind r2's simhash 2.7× regression. An eager localCheckpoint
+    # materializes the bounded pair set once; blocks free when the
+    # result is dereferenced (no session-lifetime cache leak, unlike
+    # persist()). Same design as simhash_pairs' signature checkpoint.
     cand = (
         left.join(
             right,
@@ -189,10 +194,7 @@ def lsh_candidate_pairs(
         )
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
-        # no persist(): the result is one lazy plan, so the two uses of
-        # `cand` below dedupe into a ReusedExchange at execution time —
-        # a persist here would leak cache memory across queries in a
-        # shared session (nothing ever unpersisted it).
+        .localCheckpoint(eager=True)
     )
     cand_ids = (
         cand.select(F.col("id_a").alias("_id"))
