@@ -6,12 +6,19 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is fully executed (count-collected) but results stay on the
 executors — timing measures engine throughput, not driver transfer.
+
+Each query is timed PG_LAKE_BENCH_REPEATS times (default 3) and the
+MEDIAN is reported, so a single contended scheduling window cannot
+contaminate the round's number. A second metric, dml_suite_seconds,
+times the lakehouse write path (CoW/MoR delete, MERGE, ALTER
+lifecycle) the same way; both ride in the one JSON line.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -51,6 +58,17 @@ def main() -> None:
         "st_tumbling_counts",
     ]
 
+    # Write-path suite: the §2.8 lakehouse lifecycle queries. Scratch
+    # hygiene in queries/dml.py makes repeated runs safe (one root).
+    dml_suite = [
+        "dml_cow_delete",
+        "dml_mor_lifecycle",
+        "dml_merge_upsert",
+        "ddl_schema_evolution",
+    ]
+
+    repeats = int(os.environ.get("PG_LAKE_BENCH_REPEATS", "3"))
+
     spark = get_spark(
         app_name="pg_lake_spark-bench",
         master=f"local[{cpus}]",
@@ -59,28 +77,36 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/codegen path (excluded from timings): run every
-    # headline query once at the smallest SF so whole-stage-codegen
-    # compilation is amortized and timings measure engine throughput —
-    # first-run JIT cost was measured at 2-7 s on the heavier trees.
+    # query once at the smallest SF so whole-stage-codegen compilation
+    # is amortized and timings measure engine throughput — first-run
+    # JIT cost was measured at 2-7 s on the heavier trees.
     warm_dir = "/root/testdata/sf0.001"
-    for name in headline:
+    for name in headline + dml_suite:
         if name in QUERIES:
             try:
                 QUERIES[name].fn(spark, warm_dir).count()
             except Exception:
                 pass
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in headline:
-        if name not in QUERIES:
-            continue
-        fn = QUERIES[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
-        total += dt
+    def run_suite(names: list[str]) -> tuple[dict[str, float], float]:
+        timings: dict[str, float] = {}
+        total = 0.0
+        for name in names:
+            if name not in QUERIES:
+                continue
+            fn = QUERIES[name].fn
+            samples = []
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                samples.append(time.perf_counter() - t0)
+            med = statistics.median(samples)
+            timings[name] = round(med, 4)
+            total += med
+        return timings, total
+
+    timings, total = run_suite(headline)
+    dml_timings, dml_total = run_suite(dml_suite)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -91,6 +117,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+                "repeats": repeats,
+                "dml_suite_seconds": round(dml_total, 4),
+                "dml_queries": dml_timings,
             }
         )
     )

@@ -210,6 +210,32 @@ def build_name_mapping(schema_log: list[dict], schema: dict) -> list[dict]:
                 cur = e["from"]
                 names.append(cur)
         mapping.append({"field-id": f["id"], "names": names})
+    # Safety (spec: a mapped name resolves to exactly ONE field id): a
+    # physical name reused across eras — a rename freeing a name later
+    # taken by a new column, or drop-then-re-add under the same name —
+    # would make external readers resolve the OLD physical column in
+    # pre-reuse files and silently resurrect dropped/renamed data. Such
+    # tables cannot be exported faithfully without a rewrite; refuse.
+    owner: dict[str, int] = {}
+    for m in mapping:
+        for n in m["names"]:
+            if n in owner and owner[n] != m["field-id"]:
+                raise ValueError(
+                    f"name-mapping conflict: physical column {n!r} maps to "
+                    f"field ids {owner[n]} and {m['field-id']} (a rename era "
+                    "reused the name) — compact/rewrite the table before "
+                    "export, or external readers would resolve stale data"
+                )
+            owner[n] = m["field-id"]
+    dropped = {e["column"] for e in schema_log if e.get("op") == "drop"}
+    reused = dropped & set(owner)
+    if reused:
+        raise ValueError(
+            f"name-mapping conflict: column name(s) {sorted(reused)} were "
+            "dropped and later reused — pre-drop files still carry the old "
+            "physical column, and a name-mapping would resurrect its data "
+            "into the new field; compact/rewrite the table before export"
+        )
     return mapping
 
 
@@ -762,7 +788,11 @@ def _read_with_name_mapping(
 ) -> DataFrame:
     """Read data files honoring an Iceberg name-mapping.
 
-    Files group by their resolved (physical-name per field) tuple —
+    Per the spec, ``schema.name-mapping.default`` applies ONLY to files
+    WITHOUT parquet field ids; a file whose footer carries
+    ``PARQUET:field_id`` metadata resolves by id, and the mapping —
+    which may be stale for id-evolved foreign tables — is ignored for
+    it. Files group by their resolved (physical-name per field) tuple —
     computed from parquet footers, a driver-side O(files) planning step
     exactly like the reference's manifest planning — and each group is
     one typed scan presented in the current names; groups union.
@@ -774,14 +804,26 @@ def _read_with_name_mapping(
     types = {f.name: f.dataType.simpleString() for f in st.fields}
     by_id = {m["field-id"]: m.get("names", []) for m in mapping}
     field_names = [(f["name"], by_id.get(f["id"], [f["name"]])) for f in schema["fields"]]
+    field_ids = [f["id"] for f in schema["fields"]]
 
     groups: dict[tuple, list[str]] = {}
     for p in paths:
-        cols = set(pq.read_schema(p).names)
-        resolution = tuple(
-            next((n for n in names or [logical] if n in cols), None)
-            for logical, names in field_names
-        )
+        fsch = pq.read_schema(p)
+        ids_in_file: dict[int, str] = {}
+        for i, name in enumerate(fsch.names):
+            fmeta = fsch.field(i).metadata or {}
+            fid = fmeta.get(b"PARQUET:field_id")
+            if fid is not None:
+                ids_in_file[int(fid)] = name
+        if ids_in_file:
+            # Field-id resolution wins; absent ids read NULL.
+            resolution = tuple(ids_in_file.get(fid) for fid in field_ids)
+        else:
+            cols = set(fsch.names)
+            resolution = tuple(
+                next((n for n in names or [logical] if n in cols), None)
+                for logical, names in field_names
+            )
         groups.setdefault(resolution, []).append(p)
 
     out = None

@@ -5,12 +5,24 @@ skew at runtime; salting is the explicit fallback for pathological keys
 — e.g. a null-like sentinel holding 30% of a 100 TB fact table — where
 even a split partition exceeds executor memory.
 
-Design: the skewed (probe) side gets a uniform random salt in
+Design: the skewed (probe) side gets a deterministic salt in
 [0, salt_factor); the build side replicates each row once per salt
 value. The join key becomes (key, salt), spreading one hot key over
 ``salt_factor`` reducers at the cost of replicating the build side —
 only acceptable when the build side is the smaller one, which is also
 when it helps.
+
+The salt must be DETERMINISTIC per row, not ``F.rand``: Spark
+re-evaluates nondeterministic expressions on task retry, so a retried
+task could re-bucket a row mid-join and, for outer joins, emit it
+twice or drop it. Hashing only the join key would put every row of the
+hot key in one bucket (no spread), and ``monotonically_increasing_id``
+is itself retry-unstable — so the salt is ``xxhash64`` over ALL probe
+columns plus the seed: a pure function of row content, stable across
+retries, spreading a hot key's rows as uniformly as their non-key
+content varies. Fully identical rows share a bucket; they are
+indistinguishable, so co-locating them costs spread only when a hot
+key is dominated by exact duplicates.
 """
 
 from __future__ import annotations
@@ -32,7 +44,12 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the skewed side salted and the build side
     replicated ``salt_factor``×. Result equals the plain join."""
-    l = skewed.withColumn(_SALT, (F.rand(seed) * salt_factor).cast("int"))
+    l = skewed.withColumn(
+        _SALT,
+        F.pmod(F.xxhash64(*skewed.columns, F.lit(seed)), F.lit(salt_factor)).cast(
+            "int"
+        ),
+    )
     r = build.withColumn(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(salt_factor)]))
     )

@@ -8,13 +8,17 @@ the reference's core (writable_table.c 1,822 LoC, alter_table.c 1,866
 LoC, writes.md:15-44) — verifiable by the external correctness driver,
 not only by local tests.
 
-Scratch tables live in a fresh tmp dir per call; the returned DataFrame
-stays valid because the files are never deleted within the process
-lifetime.
+Scratch tables live under ONE session-scoped root (cleaned at process
+exit); re-running a query replaces its own subdirectory, so any number
+of re-runs leaves exactly one root on disk. The returned DataFrame
+stays valid until the same query runs again in this process.
 """
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,9 +28,20 @@ from pg_lake_spark.lakehouse.table import LakeTable
 from pg_lake_spark.queries.registry import query
 from pg_lake_spark.session import load_tables
 
+_SCRATCH_ROOT: str | None = None
 
-def _scratch() -> str:
-    return tempfile.mkdtemp(prefix="pg_lake_dml_")
+
+def _scratch(name: str) -> str:
+    """Per-query scratch dir under a single session-scoped root."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="pg_lake_dml_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    path = os.path.join(_SCRATCH_ROOT, name)
+    if os.path.exists(path):
+        shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
 
 
 @query(
@@ -53,7 +68,7 @@ def dml_cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
     )
     lt = LakeTable.create_from_dataframe(
-        spark, _scratch(), src, partition_by=["o_orderstatus"]
+        spark, _scratch("dml_cow_delete"), src, partition_by=["o_orderstatus"]
     )
     # Partial CoW: only 'F'-partition files are candidates (partition
     # pruning), and survivors inside them are rewritten.
@@ -87,7 +102,7 @@ def dml_mor_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch2 = li.filter(
         (F.col("l_orderkey") > 1000) & (F.col("l_orderkey") <= 2000)
     ).select(*cols)
-    lt = LakeTable.create_from_dataframe(spark, _scratch(), batch1)
+    lt = LakeTable.create_from_dataframe(spark, _scratch("dml_mor_lifecycle"), batch1)
     lt.delete("l_discount > 0.08", mode="mor")  # scoped to batch1's files
     lt.append(batch2)  # appended after the delete — never hidden by it
     lt.delete("l_quantity <= 5", mode="mor")  # scoped to both batches
@@ -119,7 +134,7 @@ def dml_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.filter((F.col("c_custkey") > 200) & (F.col("c_custkey") <= 400))
         .select("c_custkey", "c_name", (F.col("c_acctbal") + 1000).alias("c_acctbal"))
     )
-    lt = LakeTable.create_from_dataframe(spark, _scratch(), target)
+    lt = LakeTable.create_from_dataframe(spark, _scratch("dml_merge_upsert"), target)
     lt.merge(
         source,
         on=["c_custkey"],
@@ -155,7 +170,7 @@ def ddl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation, region = t["nation"], t["region"]
     lt = LakeTable.create_from_dataframe(
         spark,
-        _scratch(),
+        _scratch("ddl_schema_evolution"),
         nation.select("n_nationkey", "n_name", "n_regionkey"),
     )
     lt.add_column("n_zone", "string", default="'unassigned'")

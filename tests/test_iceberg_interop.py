@@ -445,3 +445,113 @@ def test_scan_foreign_v2_with_position_deletes(spark, tmp_path):
     keys = {r.k for r in got.collect()}
     assert keys == set(range(10)) - dropped_keys
     assert got.count() == 8
+
+
+def test_export_refuses_reused_column_name(spark, tmp_path):
+    """A physical column name reused across schema eras (rename frees a
+    name later taken by a new column, or drop-then-re-add) cannot be
+    represented in a name-mapping: spec-compliant readers would resolve
+    the OLD physical column in pre-reuse files and resurrect stale data.
+    Export must refuse loudly instead of diverging silently."""
+    # rename-freed name reused by a new column
+    t = LakeTable.create(spark, str(tmp_path / "reuse1"), "id bigint, s string")
+    t.append(spark.createDataFrame([(1, "a")], "id bigint, s string"))
+    t.rename_column("s", "label")
+    t.add_column("s", "string")
+    with pytest.raises(ValueError, match="name-mapping conflict"):
+        t.export_iceberg()
+
+    # drop-then-re-add under the same name
+    t2 = LakeTable.create(spark, str(tmp_path / "reuse2"), "id bigint, s string")
+    t2.append(spark.createDataFrame([(1, "a")], "id bigint, s string"))
+    t2.drop_column("s")
+    t2.add_column("s", "string")
+    with pytest.raises(ValueError, match="dropped and later reused"):
+        t2.export_iceberg()
+
+
+def test_scan_field_id_file_beats_stale_name_mapping(spark, tmp_path):
+    """Per the Iceberg spec, schema.name-mapping.default applies only to
+    files WITHOUT parquet field ids. A file whose footer carries
+    PARQUET:field_id metadata must resolve by id even when a stale
+    mapping would resolve different (here: swapped) columns by name; a
+    sibling file without ids still resolves through the mapping."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    root = tmp_path / "fid"
+    data_dir = root / "data"
+    os.makedirs(data_dir)
+
+    # file1: physical names SWAPPED relative to logical, ids authoritative
+    f1 = str(data_dir / "withids.parquet")
+    sch1 = pa.schema(
+        [
+            pa.field("y", pa.string(), metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("x", pa.string(), metadata={b"PARQUET:field_id": b"2"}),
+        ]
+    )
+    papq.write_table(
+        pa.table({"y": ["id1-val"], "x": ["id2-val"]}, schema=sch1), f1
+    )
+    # file2: no ids; physical names match the mapping's names
+    f2 = str(data_dir / "noids.parquet")
+    papq.write_table(pa.table({"x": ["f2-id1"], "y": ["f2-id2"]}), f2)
+
+    meta_dir = root / "metadata"
+    os.makedirs(meta_dir)
+    entry_schema = json.dumps(
+        iceberg_meta._manifest_entry_schema([], "x string, y string")
+    )
+    entries = [
+        json.dumps(
+            {
+                "status": 0,
+                "snapshot_id": {"long": 7},
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": 1,
+                    "file_size_in_bytes": os.path.getsize(p),
+                },
+            }
+        )
+        for p in (f1, f2)
+    ]
+    manifest = str(meta_dir / "m1.avro")
+    iceberg_meta.write_avro_file(spark, manifest, entry_schema, entries, {})
+    metadata = {
+        "format-version": 1,
+        "table-uuid": "00000000-0000-0000-0000-000000000002",
+        "location": str(root),
+        "last-updated-ms": 0,
+        "last-column-id": 2,
+        "schema": {
+            "type": "struct",
+            "fields": [
+                {"id": 1, "name": "x", "required": False, "type": "string"},
+                {"id": 2, "name": "y", "required": False, "type": "string"},
+            ],
+        },
+        "partition-spec": [],
+        "properties": {
+            "schema.name-mapping.default": json.dumps(
+                [
+                    {"field-id": 1, "names": ["x"]},
+                    {"field-id": 2, "names": ["y"]},
+                ]
+            )
+        },
+        "current-snapshot-id": 7,
+        "snapshots": [{"snapshot-id": 7, "timestamp-ms": 0, "manifests": [manifest]}],
+    }
+    with open(meta_dir / "v1.metadata.json", "w") as fh:
+        json.dump(metadata, fh)
+
+    got = iceberg_meta.scan_iceberg(spark, str(root))
+    assert got.columns == ["x", "y"]
+    assert _rows(got) == [("f2-id1", "f2-id2"), ("id1-val", "id2-val")]

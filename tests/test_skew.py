@@ -20,6 +20,23 @@ def test_salted_join_matches_plain(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salt_is_deterministic_and_spreads(spark):
+    """The salt is a pure function of row content (retry-stable), and a
+    hot key with varying payload actually spreads across buckets."""
+    from pg_lake_spark.operators.skew import _SALT
+
+    fact = spark.range(0, 2000).select(
+        F.lit(1).alias("k"), F.col("id").alias("v")
+    )
+    salted = fact.withColumn(
+        _SALT, F.pmod(F.xxhash64(*fact.columns, F.lit(42)), F.lit(8)).cast("int")
+    )
+    first = {r["v"]: r[_SALT] for r in salted.collect()}
+    second = {r["v"]: r[_SALT] for r in salted.collect()}
+    assert first == second  # same expression, same rows → same buckets
+    assert len(set(first.values())) == 8  # hot key spread over all buckets
+
+
 def test_salted_left_join(spark):
     fact = spark.range(0, 100).select((F.col("id") % 5).alias("k"), F.col("id").alias("v"))
     dim = spark.createDataFrame([(0, "x"), (1, "y")], "k bigint, name string")

@@ -45,9 +45,11 @@ def test_sliding_matches_batch(spark):
         sliding_window_agg(read_events_stream(spark, SF_DIR), window="2 hours", slide="1 hour"),
         spark,
     )
-    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    # Same dtype guard as streaming/ingest.py:37-42 — `ts` arrives as
+    # bigint nanos under nanosAsLong sessions, or directly as NTZ.
+    if dict(events.dtypes).get("ts") == "bigint":
+        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     want = (
         events.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
