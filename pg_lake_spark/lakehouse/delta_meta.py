@@ -1,0 +1,472 @@
+"""Delta Lake read support: pure-metadata ``_delta_log`` scan.
+
+The reference reads Delta tables behind a compile flag
+(docs/file-formats-reference.md:34-37, PG_LAKE_DELTA_SUPPORT) by
+resolving the transaction log to a file list and scanning the parquet
+directly — no Delta runtime. This module is the same idea Spark-first,
+mirroring ``iceberg_meta.scan_iceberg``:
+
+- :func:`scan_delta`: replay the JSON commits (optionally seeded from a
+  ``.checkpoint.parquet``) of the public Delta protocol
+  (https://github.com/delta-io/delta/blob/master/PROTOCOL.md) into the
+  active add-file set, then run ONE Spark parquet scan over those files.
+  Partition columns — Delta stores them in the log, not the data files —
+  come back via a broadcast join of the (file → partition values) map
+  against ``_metadata.file_path``, so the scan stays a single
+  distributed read at any file count. Time travel via ``version=``.
+- :func:`write_delta_table` / :func:`append_delta` /
+  :func:`remove_delta_files` / :func:`write_delta_checkpoint`: a
+  minimal log writer (create / append / delete / checkpoint) used by
+  tests and queries to produce genuine protocol-shaped logs; the engine
+  feature is the reader.
+
+Unsupported protocol features fail loudly: deletion vectors, column
+mapping, multi-part checkpoints, reader versions above what plain
+parquet-by-name resolution can honor.
+
+Scale: log replay is a driver-side O(log) planning step — exactly the
+reference's model and the same altitude as Iceberg manifest planning.
+The data path is one ``spark.read.parquet`` over N files plus one
+broadcast of the (path, partition-values) map: pushdown, pruning and
+whole-stage codegen all apply. ``partition_filter`` prunes the file
+list itself before the scan (the Delta equivalent of partition
+pruning, applied where Delta keeps partition values: in the log).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+import uuid
+from typing import Callable
+from urllib.parse import quote, unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_COMMIT_RE = re.compile(r"(\d{20})\.json$")
+_CHECKPOINT_RE = re.compile(r"(\d{20})\.checkpoint\.parquet$")
+
+#: Reader features we can honor with plain parquet-by-name resolution.
+_SUPPORTED_READER_FEATURES = {"timestampNtz"}
+
+
+def _log_dir(location: str) -> str:
+    return os.path.join(location, "_delta_log")
+
+
+class _DeltaState:
+    """Replayed log state: active adds plus the governing metadata."""
+
+    def __init__(self) -> None:
+        self.version: int = -1
+        self.metadata: dict | None = None
+        self.protocol: dict | None = None
+        self.adds: dict[str, dict] = {}  # decoded path -> add action
+
+    def apply(self, action: dict) -> None:
+        if "metaData" in action:
+            self.metadata = action["metaData"]
+        elif "protocol" in action:
+            self.protocol = action["protocol"]
+        elif "add" in action:
+            ad = action["add"]
+            if ad.get("deletionVector"):
+                raise NotImplementedError(
+                    "Delta deletion vectors are not supported"
+                )
+            self.adds[unquote(ad["path"])] = ad
+        elif "remove" in action:
+            self.adds.pop(unquote(action["remove"]["path"]), None)
+        # commitInfo / txn / cdc / domainMetadata are no-ops for a scan
+
+
+def _read_checkpoint_actions(path: str) -> list[dict]:
+    """Checkpoint parquet rows → action dicts (one non-null per row)."""
+    import pyarrow.parquet as pq
+
+    out: list[dict] = []
+    for row in pq.read_table(path).to_pylist():
+        for key in ("protocol", "metaData", "add", "remove"):
+            v = row.get(key)
+            if v is None:
+                continue
+            # pyarrow returns map<string,string> as (k, v) pairs
+            if key in ("add", "remove") and isinstance(
+                v.get("partitionValues"), list
+            ):
+                v = {**v, "partitionValues": dict(v["partitionValues"])}
+            if key == "metaData" and isinstance(v.get("configuration"), list):
+                v = {**v, "configuration": dict(v["configuration"])}
+            out.append({key: v})
+    return out
+
+
+def _replay(location: str, version: int | None = None) -> _DeltaState:
+    log_dir = _log_dir(location)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"no _delta_log under {location}")
+    names = os.listdir(log_dir)
+    commits = {
+        int(m.group(1)): os.path.join(log_dir, n)
+        for n in names
+        if (m := _COMMIT_RE.fullmatch(n))
+    }
+    checkpoints = {
+        int(m.group(1)): os.path.join(log_dir, n)
+        for n in names
+        if (m := _CHECKPOINT_RE.fullmatch(n))
+    }
+    if any(".checkpoint." in n and not _CHECKPOINT_RE.fullmatch(n) and n.endswith(".parquet") for n in names):
+        raise NotImplementedError("multi-part Delta checkpoints are not supported")
+    if not commits and not checkpoints:
+        raise FileNotFoundError(f"empty _delta_log under {location}")
+
+    latest = max([*commits, *checkpoints])
+    target = latest if version is None else version
+    if target > latest:
+        raise ValueError(f"requested version {target}, log ends at {latest}")
+
+    state = _DeltaState()
+    start = 0
+    usable_cp = [v for v in checkpoints if v <= target]
+    if usable_cp:
+        cpv = max(usable_cp)
+        # Only seed from the checkpoint if the JSON tail from it is
+        # complete; otherwise fall back to full JSON replay (time travel
+        # to a version older than the earliest retained checkpoint needs
+        # the early commits anyway).
+        if all(v in commits for v in range(cpv + 1, target + 1)):
+            for a in _read_checkpoint_actions(checkpoints[cpv]):
+                state.apply(a)
+            state.version = cpv
+            start = cpv + 1
+    missing = [v for v in range(start, target + 1) if v not in commits]
+    if missing:
+        raise FileNotFoundError(
+            f"missing Delta commits {missing} under {log_dir} "
+            "(vacuumed log without a usable checkpoint?)"
+        )
+    for v in range(start, target + 1):
+        with open(commits[v]) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    state.apply(json.loads(line))
+        state.version = v
+    return state
+
+
+def _check_protocol(state: _DeltaState) -> None:
+    proto = state.protocol or {"minReaderVersion": 1}
+    mrv = proto.get("minReaderVersion", 1)
+    conf = (state.metadata or {}).get("configuration") or {}
+    cmap = conf.get("delta.columnMapping.mode", "none")
+    if cmap not in (None, "", "none"):
+        raise NotImplementedError(
+            f"Delta column mapping mode {cmap!r} is not supported"
+        )
+    if mrv >= 3:
+        feats = set(proto.get("readerFeatures") or [])
+        unsupported = feats - _SUPPORTED_READER_FEATURES
+        if unsupported:
+            raise NotImplementedError(
+                f"Delta reader features not supported: {sorted(unsupported)}"
+            )
+    elif mrv > 2:
+        raise NotImplementedError(f"Delta minReaderVersion {mrv} not supported")
+
+
+def _abs_path(location: str, decoded_rel: str) -> str:
+    if decoded_rel.startswith("/") or "://" in decoded_rel:
+        return re.sub(r"^file:(//)?", "", decoded_rel)
+    return os.path.join(location, decoded_rel)
+
+
+def _uri_key(spark: SparkSession, path: str) -> str:
+    """The exact string ``_metadata.file_path`` yields for ``path``:
+    Hadoop's own Path→URI encoding (spaces → %20 etc.), so the
+    partition-map join key can never drift from Spark's encoder."""
+    if "://" not in path:
+        path = "file:" + os.path.abspath(path)
+    return spark._jvm.org.apache.hadoop.fs.Path(path).toUri().toString()
+
+
+def scan_delta(
+    spark: SparkSession,
+    location: str,
+    version: int | None = None,
+    where: str | None = None,
+    partition_filter: Callable[[dict[str, str | None]], bool] | None = None,
+) -> DataFrame:
+    """Scan a Delta table root into a DataFrame.
+
+    ``version`` pins a historical snapshot (time travel); ``where`` is a
+    post-scan SQL predicate (Catalyst pushes it into the parquet scan);
+    ``partition_filter`` receives each file's partitionValues dict and
+    prunes the FILE LIST driver-side before any data is read — use it
+    for partition pruning, which Delta can only do from the log.
+
+    Reference: docs/file-formats-reference.md:34-37 (Delta read support).
+    """
+    state = _replay(location, version)
+    if state.metadata is None:
+        raise ValueError(f"Delta log under {location} has no metaData action")
+    _check_protocol(state)
+
+    schema = StructType.fromJson(json.loads(state.metadata["schemaString"]))
+    pcols: list[str] = state.metadata.get("partitionColumns") or []
+
+    adds = state.adds
+    if partition_filter is not None:
+        adds = {
+            p: a
+            for p, a in adds.items()
+            if partition_filter(a.get("partitionValues") or {})
+        }
+
+    data_fields = [f for f in schema.fields if f.name not in pcols]
+    if not adds:
+        return spark.createDataFrame([], schema)
+
+    paths = [_abs_path(location, p) for p in adds]
+    df = spark.read.schema(StructType(data_fields)).parquet(*paths)
+
+    if pcols:
+        # Partition values live in the log, not the files: broadcast the
+        # (file → values) map and join on the scan's _metadata.file_path.
+        rows = [
+            (
+                _uri_key(spark, _abs_path(location, p)),
+                *[(a.get("partitionValues") or {}).get(c) for c in pcols],
+            )
+            for p, a in adds.items()
+        ]
+        pmap = spark.createDataFrame(
+            rows, "__fp string, " + ", ".join(f"`{c}` string" for c in pcols)
+        )
+        df = df.withColumn("__fp", F.col("_metadata.file_path")).join(
+            F.broadcast(pmap), "__fp"
+        )
+
+    out = df.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in pcols
+            else F.col(f.name)
+            for f in schema.fields
+        ]
+    )
+    if where:
+        out = out.filter(where)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Minimal log writer (create / append / remove / checkpoint)
+# ---------------------------------------------------------------------------
+
+
+def _next_version(location: str) -> int:
+    log_dir = _log_dir(location)
+    if not os.path.isdir(log_dir):
+        return 0
+    vs = [
+        int(m.group(1))
+        for n in os.listdir(log_dir)
+        if (m := (_COMMIT_RE.fullmatch(n) or _CHECKPOINT_RE.fullmatch(n)))
+    ]
+    return max(vs) + 1 if vs else 0
+
+
+def _write_commit(location: str, version: int, actions: list[dict]) -> str:
+    log_dir = _log_dir(location)
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(log_dir, f"{version:020d}.json")
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    os.rename(tmp, path)
+    return path
+
+
+def _write_data_files(
+    spark: SparkSession, location: str, df: DataFrame, partition_by: list[str]
+) -> list[dict]:
+    """Write df's data under the table root, hive-layout for partitions;
+    return the corresponding ``add`` actions (paths URL-encoded per the
+    protocol, partition values decoded from the hive dirs)."""
+    staging = os.path.join(location, f"_staging-{uuid.uuid4().hex}")
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(staging)
+    adds: list[dict] = []
+    try:
+        for root, _dirs, files in os.walk(staging):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, fn)
+                rel = os.path.relpath(src, staging)
+                dst = os.path.join(location, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(src, dst)
+                pvals: dict[str, str | None] = {}
+                head = os.path.dirname(rel)
+                for comp in head.split(os.sep) if head else []:
+                    if "=" in comp:
+                        k, v = comp.split("=", 1)
+                        pvals[k] = (
+                            None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+                        )
+                adds.append(
+                    {
+                        "add": {
+                            "path": quote(rel.replace(os.sep, "/")),
+                            "partitionValues": pvals,
+                            "size": os.path.getsize(dst),
+                            "modificationTime": int(os.path.getmtime(dst) * 1000),
+                            "dataChange": True,
+                        }
+                    }
+                )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return adds
+
+
+def write_delta_table(
+    spark: SparkSession,
+    location: str,
+    df: DataFrame,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Create a Delta table at ``location`` (commit 0: protocol +
+    metaData + adds)."""
+    partition_by = partition_by or []
+    os.makedirs(location, exist_ok=True)
+    actions: list[dict] = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": df.schema.json(),
+                "partitionColumns": partition_by,
+                "configuration": {},
+                "createdTime": int(time.time() * 1000),
+            }
+        },
+    ]
+    actions += _write_data_files(spark, location, df, partition_by)
+    _write_commit(location, 0, actions)
+
+
+def append_delta(spark: SparkSession, location: str, df: DataFrame) -> None:
+    """Append ``df`` as the next commit, under the table's partitioning."""
+    state = _replay(location)
+    assert state.metadata is not None
+    pcols = state.metadata.get("partitionColumns") or []
+    actions = _write_data_files(spark, location, df, pcols)
+    _write_commit(location, state.version + 1, actions)
+
+
+def remove_delta_files(
+    location: str, pred: Callable[[dict[str, str | None]], bool]
+) -> int:
+    """Commit ``remove`` actions for active files whose partitionValues
+    satisfy ``pred``; returns the number of files removed."""
+    state = _replay(location)
+    now = int(time.time() * 1000)
+    removes = [
+        {
+            "remove": {
+                "path": a["path"],
+                "deletionTimestamp": now,
+                "dataChange": True,
+                "partitionValues": a.get("partitionValues") or {},
+            }
+        }
+        for a in state.adds.values()
+        if pred(a.get("partitionValues") or {})
+    ]
+    _write_commit(location, state.version + 1, removes)
+    return len(removes)
+
+
+def write_delta_checkpoint(spark: SparkSession, location: str) -> str:
+    """Write a classic single-file checkpoint at the latest version and
+    point ``_last_checkpoint`` at it."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    state = _replay(location)
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    md = state.metadata or {}
+    rows = [
+        {
+            "protocol": state.protocol
+            or {"minReaderVersion": 1, "minWriterVersion": 2},
+            "metaData": None,
+            "add": None,
+        },
+        {
+            "protocol": None,
+            "metaData": {
+                "id": md.get("id"),
+                "schemaString": md.get("schemaString"),
+                "partitionColumns": md.get("partitionColumns") or [],
+                "configuration": list((md.get("configuration") or {}).items()),
+                "createdTime": md.get("createdTime"),
+            },
+            "add": None,
+        },
+    ] + [
+        {
+            "protocol": None,
+            "metaData": None,
+            "add": {
+                "path": a["path"],
+                "partitionValues": list((a.get("partitionValues") or {}).items()),
+                "size": a.get("size"),
+                "modificationTime": a.get("modificationTime"),
+                "dataChange": False,
+            },
+        }
+        for a in state.adds.values()
+    ]
+    table = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema([("protocol", proto_t), ("metaData", meta_t), ("add", add_t)]),
+    )
+    path = os.path.join(_log_dir(location), f"{state.version:020d}.checkpoint.parquet")
+    papq.write_table(table, path)
+    with open(os.path.join(_log_dir(location), "_last_checkpoint"), "w") as fh:
+        json.dump({"version": state.version, "size": len(rows)}, fh)
+    return path

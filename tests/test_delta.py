@@ -1,0 +1,229 @@
+"""Delta Lake scan tests: log replay, partition recovery, time travel,
+checkpoints, hand-written foreign logs, and loud unsupported-feature
+failures.
+
+Reference parity target: docs/file-formats-reference.md:34-37 — Delta
+read-only support resolving the transaction log to a parquet file list.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_lake_spark.lakehouse.delta_meta import (
+    append_delta,
+    remove_delta_files,
+    scan_delta,
+    write_delta_checkpoint,
+    write_delta_table,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def delta_table(spark, tmp_path):
+    """Partitioned table with three commits: create, append, remove."""
+    loc = str(tmp_path / "dl")
+    df1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)], "k bigint, p string, v double"
+    )
+    write_delta_table(spark, loc, df1, partition_by=["p"])
+    df2 = spark.createDataFrame(
+        [(4, "b", 40.0), (5, "c", 50.0)], "k bigint, p string, v double"
+    )
+    append_delta(spark, loc, df2)
+    n = remove_delta_files(loc, lambda pv: pv.get("p") == "a")
+    assert n >= 1
+    return loc
+
+
+def test_scan_replays_adds_and_removes(spark, delta_table):
+    got = scan_delta(spark, delta_table)
+    assert got.columns == ["k", "p", "v"]  # schema order incl. partition col
+    assert dict(got.dtypes)["p"] == "string"
+    assert _rows(got.select("k", "p", "v")) == [
+        (3, "b", 30.0),
+        (4, "b", 40.0),
+        (5, "c", 50.0),
+    ]
+
+
+def test_time_travel(spark, delta_table):
+    v0 = scan_delta(spark, delta_table, version=0)
+    assert _rows(v0.select("k")) == [(1,), (2,), (3,)]
+    v1 = scan_delta(spark, delta_table, version=1)
+    assert _rows(v1.select("k")) == [(1,), (2,), (3,), (4,), (5,)]
+    with pytest.raises(ValueError, match="log ends at"):
+        scan_delta(spark, delta_table, version=9)
+
+
+def test_partition_filter_prunes_file_list(spark, delta_table):
+    got = scan_delta(spark, delta_table, partition_filter=lambda pv: pv["p"] == "c")
+    assert _rows(got.select("k", "p")) == [(5, "c")]
+    # pruning happens before the scan: only 'c' files are inputs
+    files = [f for f in got.inputFiles() if f.endswith(".parquet")]
+    assert files and all("p=c" in f for f in files)
+
+
+def test_where_pushdown(spark, delta_table):
+    got = scan_delta(spark, delta_table, where="k >= 4")
+    assert _rows(got.select("k")) == [(4,), (5,)]
+
+
+def test_checkpoint_seeds_replay(spark, delta_table):
+    write_delta_checkpoint(spark, delta_table)
+    log_dir = os.path.join(delta_table, "_delta_log")
+    assert os.path.exists(os.path.join(log_dir, "_last_checkpoint"))
+    before = _rows(scan_delta(spark, delta_table).select("k", "p", "v"))
+    # drop all JSON commits: replay must seed purely from the checkpoint
+    for n in os.listdir(log_dir):
+        if n.endswith(".json") and not n.startswith("_"):
+            os.remove(os.path.join(log_dir, n))
+    append_delta(
+        spark,
+        delta_table,
+        spark.createDataFrame([(6, "d", 60.0)], "k bigint, p string, v double"),
+    )
+    got = _rows(scan_delta(spark, delta_table).select("k", "p", "v"))
+    assert got == before + [(6, "d", 60.0)]
+    # but time travel past the vacuumed tail fails loudly
+    with pytest.raises(FileNotFoundError, match="missing Delta commits"):
+        scan_delta(spark, delta_table, version=1)
+
+
+def test_unpartitioned_roundtrip(spark, tmp_path):
+    loc = str(tmp_path / "flat")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    write_delta_table(spark, loc, df)
+    got = scan_delta(spark, loc)
+    assert got.count() == 100
+    assert _rows(got.filter("k < 3")) == [(0, 0.0), (1, 2.0), (2, 4.0)]
+
+
+def test_url_encoded_partition_value(spark, tmp_path):
+    loc = str(tmp_path / "enc")
+    df = spark.createDataFrame(
+        [(1, "has space"), (2, "plain")], "k bigint, p string"
+    )
+    write_delta_table(spark, loc, df, partition_by=["p"])
+    got = scan_delta(spark, loc)
+    assert _rows(got) == [(1, "has space"), (2, "plain")]
+
+
+def test_typed_partition_column(spark, tmp_path):
+    """Partition values are strings in the log; the scan casts them back
+    to the schema type."""
+    loc = str(tmp_path / "typed")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k bigint, bucket int")
+    write_delta_table(spark, loc, df, partition_by=["bucket"])
+    got = scan_delta(spark, loc)
+    assert dict(got.dtypes)["bucket"] == "int"
+    assert _rows(got) == [(1, 10), (2, 20)]
+
+
+def test_scan_foreign_handwritten_log(spark, tmp_path):
+    """A log written by hand (absolute file paths, single commit, extra
+    commitInfo noise) — the shape another writer would produce."""
+    root = tmp_path / "foreign"
+    data_dir = root / "data"
+    df = spark.createDataFrame([(i, f"s{i}") for i in range(6)], "k bigint, s string")
+    df.coalesce(1).write.parquet(str(data_dir))
+    pq = [str(data_dir / f) for f in os.listdir(data_dir) if f.endswith(".parquet")]
+    assert len(pq) == 1
+    log_dir = root / "_delta_log"
+    os.makedirs(log_dir)
+    actions = [
+        {"commitInfo": {"operation": "WRITE", "engineInfo": "handwritten"}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "0000-foreign",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": df.schema.json(),
+                "partitionColumns": [],
+                "configuration": {},
+            }
+        },
+        {
+            "add": {
+                "path": "file://" + pq[0],
+                "partitionValues": {},
+                "size": os.path.getsize(pq[0]),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    with open(log_dir / f"{0:020d}.json", "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    got = scan_delta(spark, str(root))
+    assert _rows(got) == _rows(df)
+
+
+def test_unsupported_features_fail_loudly(spark, tmp_path):
+    loc = str(tmp_path / "unsup")
+    df = spark.createDataFrame([(1, "a")], "k bigint, s string")
+    write_delta_table(spark, loc, df)
+    log_dir = os.path.join(loc, "_delta_log")
+
+    # deletion vector on an add
+    with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": "x.parquet",
+                        "partitionValues": {},
+                        "size": 1,
+                        "modificationTime": 0,
+                        "dataChange": True,
+                        "deletionVector": {"storageType": "u", "pathOrInlineDv": "z"},
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        scan_delta(spark, loc)
+    os.remove(os.path.join(log_dir, f"{1:020d}.json"))
+
+    # column mapping via configuration
+    with open(os.path.join(log_dir, f"{0:020d}.json")) as fh:
+        lines = [json.loads(ln) for ln in fh if ln.strip()]
+    for a in lines:
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
+    with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as fh:
+        for a in lines:
+            if "metaData" in a:
+                fh.write(json.dumps(a) + "\n")
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        scan_delta(spark, loc)
+    os.remove(os.path.join(log_dir, f"{1:020d}.json"))
+
+    # reader features beyond our surface
+    with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(NotImplementedError, match="reader features"):
+        scan_delta(spark, loc)
