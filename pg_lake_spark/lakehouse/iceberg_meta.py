@@ -364,6 +364,13 @@ def _manifest_entry_schema(spec: list[dict], schema_ddl: str) -> dict:
             {"name": "partition", "type": partition_record, "field-id": 102},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            # spec field 135: equality field ids (null for data files)
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+                "default": None,
+                "field-id": 135,
+            },
         ],
     }
     return {
@@ -651,6 +658,7 @@ def _entry_json(f: DataFile, snapshot_id: int, spec: list[dict]) -> str:
                 "partition": partition,
                 "record_count": f.row_count,
                 "file_size_in_bytes": f.size_bytes,
+                "equality_ids": None,
             },
         }
     )
@@ -712,7 +720,16 @@ def scan_iceberg(
     position-delete anti-join (pg_lake_iceberg snapshot.c:556,612).
     Position deletes name their target file explicitly, so path+pos is
     exact scoping; no sequence-number check is needed (Iceberg never
-    reuses a data-file path). Equality deletes remain unsupported.
+    reuses a data-file path).
+
+    v2 **equality delete files** (the common Flink CDC output; the
+    reference parses their ``equality_ids`` in read_manifest.c:305-306)
+    are applied per the spec's sequence-number scoping: a delete with
+    sequence number S removes rows whose equality columns match
+    null-safely (``<=>``) from data files with sequence number < S.
+    Data-file sequence numbers ride a broadcast (path → seq) map joined
+    on ``_metadata.file_path``; each distinct equality_ids group is one
+    distributed anti-join — no driver-side row work at any scale.
 
     A ``schema.name-mapping.default`` table property is honored for
     files without parquet field ids: per field id, the first mapped
@@ -737,13 +754,14 @@ def scan_iceberg(
     if snap is None:
         return spark.createDataFrame([], ddl)
 
-    paths, delete_paths = _snapshot_files(spark, snap)
+    data_entries, delete_paths, eq_deletes = _snapshot_files(spark, snap)
+    paths = [p for p, _seq in data_entries]
     if not paths:
         return spark.createDataFrame([], ddl)
 
     nm_raw = (meta.get("properties") or {}).get("schema.name-mapping.default")
     mapping = json.loads(nm_raw) if nm_raw else None
-    with_pos = bool(delete_paths)
+    with_pos = bool(delete_paths) or bool(eq_deletes)
     if mapping:
         df = _read_with_name_mapping(spark, paths, ddl, schema, mapping, with_pos)
     else:
@@ -755,7 +773,7 @@ def scan_iceberg(
                 F.col("_metadata.row_index").alias("__pos"),
             )
 
-    if with_pos:
+    if delete_paths:
         # Position-delete parquet layout (spec): file_path string, pos long.
         dels = spark.read.parquet(*delete_paths).select(
             _norm_path(F.col("file_path")).alias("__fp"),
@@ -763,11 +781,72 @@ def scan_iceberg(
         )
         # AQE broadcasts the (typically tiny) delete set; at scale the
         # anti-join shuffles on (path, pos) — both sides pre-hashed.
-        df = df.join(dels, ["__fp", "__pos"], "left_anti").drop("__fp", "__pos")
+        df = df.join(dels, ["__fp", "__pos"], "left_anti")
 
+    if eq_deletes:
+        df = _apply_equality_deletes(spark, df, schema, data_entries, eq_deletes)
+
+    if with_pos:
+        df = df.drop("__fp", "__pos")
     if where:
         df = df.filter(where)
     return df
+
+
+def _apply_equality_deletes(
+    spark: SparkSession,
+    df: DataFrame,
+    schema: dict,
+    data_entries: list[tuple[str, int]],
+    eq_deletes: list[tuple[str, int, tuple[int, ...]]],
+) -> DataFrame:
+    """Sequence-scoped equality-delete anti-joins (spec: 'Equality
+    deletes ... applied to data files with a sequence number strictly
+    less than the delete file's'). Null-safe column equality per spec
+    (a null delete value matches null data values)."""
+    from pyspark.sql import functions as F
+
+    field_by_id = {f["id"]: f["name"] for f in schema["fields"]}
+    type_by_name = {}
+    for f in schema["fields"]:
+        type_by_name[f["name"]] = _iceberg_type_to_spark_ddl(f["type"])
+
+    # Attach each data row's file sequence number via a broadcast map on
+    # the already-computed __fp (normalized _metadata.file_path).
+    seq_rows = [(os.path.abspath(p), int(s)) for p, s in data_entries]
+    seq_map = spark.createDataFrame(seq_rows, "__fp string, __dataseq long")
+    df = df.join(F.broadcast(seq_map), "__fp")
+
+    groups: dict[tuple[int, ...], list[tuple[str, int]]] = {}
+    for p, s, ids in eq_deletes:
+        groups.setdefault(ids, []).append((p, s))
+
+    for ids, files in groups.items():
+        try:
+            cols = [field_by_id[i] for i in ids]
+        except KeyError as e:
+            raise ValueError(f"equality_ids reference unknown field id: {e}") from e
+        read_ddl = ", ".join(f"`{c}` {type_by_name[c]}" for c in cols)
+        dmap = spark.createDataFrame(
+            [(os.path.abspath(p), int(s)) for p, s in files],
+            "__dfp string, __delseq long",
+        )
+        dels = (
+            spark.read.schema(read_ddl)
+            .parquet(*[p for p, _s in files])
+            .select(
+                *[F.col(c).alias(f"__del_{c}") for c in cols],
+                _norm_path(F.col("_metadata.file_path")).alias("__dfp"),
+            )
+            .join(F.broadcast(dmap), "__dfp")
+            .drop("__dfp")
+        )
+        cond = F.col("__dataseq") < F.col("__delseq")
+        for c in cols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__del_{c}"))
+        df = df.join(dels, cond, "left_anti")
+
+    return df.drop("__dataseq")
 
 
 def _norm_path(col):
@@ -858,13 +937,27 @@ def _current_schema(meta: dict) -> dict:
     return meta["schema"]  # format v1
 
 
-def _snapshot_files(spark: SparkSession, snap: dict) -> tuple[list[str], list[str]]:
-    """Data-file and position-delete-file paths for one snapshot.
+def _unwrap(v):
+    """Avro-JSON union values may arrive as {"long": 5}; unwrap them."""
+    if isinstance(v, dict) and len(v) == 1:
+        return next(iter(v.values()))
+    return v
+
+
+def _snapshot_files(
+    spark: SparkSession, snap: dict
+) -> tuple[list[tuple[str, int]], list[str], list[tuple[str, int, tuple[int, ...]]]]:
+    """File inventory for one snapshot: ``(data, pos_deletes,
+    eq_deletes)`` where data = [(path, data_sequence_number)],
+    pos_deletes = [path], eq_deletes = [(path, sequence_number,
+    equality_ids)].
 
     Delete manifests (manifest-list ``content``=1 / manifest header
     ``content``="deletes") are walked like data manifests; entries with
-    ``data_file.content``=1 are position deletes (applied by the
-    caller's anti-join), ``content``=2 (equality deletes) raise.
+    ``data_file.content``=1 are position deletes, ``content``=2 are
+    equality deletes — both applied by the caller's anti-joins.
+    Sequence numbers default to 0 (v1 metadata has none; equality
+    deletes cannot exist there, so scoping is vacuous).
     """
     manifests: list[dict] = []
     if "manifest-list" in snap:
@@ -873,8 +966,9 @@ def _snapshot_files(spark: SparkSession, snap: dict) -> tuple[list[str], list[st
     else:  # v1 inline manifest list
         manifests = [{"manifest_path": p, "content": 0} for p in snap.get("manifests", [])]
 
-    paths: list[str] = []
-    delete_paths: list[str] = []
+    data: list[tuple[str, int]] = []
+    pos_deletes: list[str] = []
+    eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []
     for m in manifests:
         entries, header = read_avro_records(spark, _localize(m["manifest_path"]))
         for e in entries:
@@ -884,26 +978,32 @@ def _snapshot_files(spark: SparkSession, snap: dict) -> tuple[list[str], list[st
             fmt = str(df.get("file_format", "PARQUET")).upper()
             if fmt != "PARQUET":
                 raise NotImplementedError(f"data file format {fmt} not supported")
+            seq = int(_unwrap(e.get("sequence_number")) or 0)
             content = df.get("content", 0) or (
                 1 if m.get("content", 0) == 1 or header.get("content") == "deletes" else 0
             )
             if content == 0:
-                paths.append(_localize(df["file_path"]))
+                data.append((_localize(df["file_path"]), seq))
             elif content == 1:
-                delete_paths.append(_localize(df["file_path"]))
+                pos_deletes.append(_localize(df["file_path"]))
             else:
-                raise NotImplementedError(
-                    "Iceberg equality delete files are not supported"
-                )
+                ids = tuple(int(i) for i in (_unwrap(df.get("equality_ids")) or []))
+                if not ids:
+                    raise ValueError(
+                        f"equality delete file {df['file_path']} has no equality_ids"
+                    )
+                eq_deletes.append((_localize(df["file_path"]), seq, ids))
+
     # An entry may appear as ADDED in one manifest and EXISTING in
     # another within the same snapshot; de-dup preserving order.
-    def dedup(ps: list[str]) -> list[str]:
-        seen: set[str] = set()
+    def dedup(items: list) -> list:
+        seen: set = set()
         out = []
-        for p in ps:
-            if p not in seen:
-                seen.add(p)
-                out.append(p)
+        for it in items:
+            key = it[0] if isinstance(it, tuple) else it
+            if key not in seen:
+                seen.add(key)
+                out.append(it)
         return out
 
-    return dedup(paths), dedup(delete_paths)
+    return dedup(data), dedup(pos_deletes), dedup(eq_deletes)

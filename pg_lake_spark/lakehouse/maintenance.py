@@ -11,6 +11,7 @@ physically delete queued files after the retention window; default
 from __future__ import annotations
 
 import os
+import threading
 import time
 
 from pg_lake_spark.lakehouse import catalog as cat
@@ -160,3 +161,80 @@ def vacuum(
     out["expire"] = expire_snapshots(table, max_snapshot_age_s)
     out["purge"] = purge_deletion_queue(table, deletion_retention_s)
     return out
+
+
+DEFAULT_AUTOVACUUM_INTERVAL_S = 600  # reference: vacuum every 10 min per table
+
+
+class Autovacuum:
+    """Cadenced VACUUM over a set of tables.
+
+    The reference runs vacuum on a ~10-minute cadence per table via a
+    background worker (pg_lake_table/tests/pytests/test_autovacuum.py);
+    this is the driver-side equivalent: each registered table is
+    vacuumed when at least ``interval_s`` has elapsed since its last
+    run. Use :meth:`run_pending` from your own scheduler loop, or
+    :meth:`start` for a daemon thread that polls. The clock is
+    injectable so cadence logic is testable without sleeping.
+
+    Vacuum already takes the table's commit lock internally, so a
+    cadence firing concurrently with user DML is safe — same contract
+    as the reference's background worker.
+    """
+
+    def __init__(
+        self,
+        tables: list[LakeTable],
+        interval_s: float = DEFAULT_AUTOVACUUM_INTERVAL_S,
+        *,
+        clock=time.monotonic,
+        **vacuum_kwargs,
+    ) -> None:
+        self._tables = list(tables)
+        self.interval_s = interval_s
+        self._clock = clock
+        self._kw = vacuum_kwargs
+        self._last_run: dict[str, float] = {}
+        self._thread: threading.Thread | None = None
+        self._stop = threading.Event()
+
+    def register(self, table: LakeTable) -> None:
+        self._tables.append(table)
+
+    def due(self) -> list[LakeTable]:
+        now = self._clock()
+        return [
+            t
+            for t in self._tables
+            if t.location not in self._last_run
+            or now - self._last_run[t.location] >= self.interval_s
+        ]
+
+    def run_pending(self) -> dict[str, dict]:
+        """Vacuum every due table (a just-registered table is due
+        immediately); returns per-location vacuum stats."""
+        out: dict[str, dict] = {}
+        for t in self.due():
+            t.refresh()
+            out[t.location] = vacuum(t, **self._kw)
+            self._last_run[t.location] = self._clock()
+        return out
+
+    def start(self, poll_s: float = 1.0) -> None:
+        """Run the cadence on a daemon thread until :meth:`stop`."""
+        if self._thread is not None:
+            raise RuntimeError("autovacuum already started")
+        self._stop.clear()
+
+        def loop() -> None:
+            while not self._stop.wait(poll_s):
+                self.run_pending()
+
+        self._thread = threading.Thread(target=loop, daemon=True, name="autovacuum")
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None

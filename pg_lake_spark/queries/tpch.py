@@ -900,24 +900,35 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY numwait DESC, s_name
     LIMIT 100
     """,
-    doc="TPC-H Q21 shape: EXISTS + NOT EXISTS → semi then anti self-joins.",
+    doc="TPC-H Q21 shape: EXISTS + NOT EXISTS, rewritten as per-order "
+    "window aggregates — a row qualifies iff its order has ≥2 distinct "
+    "suppliers (EXISTS another supplier) and exactly 1 distinct LATE "
+    "supplier (NOT EXISTS another late one). One lineitem scan and one "
+    "l_orderkey shuffle replace the naive plan's three scans and "
+    "semi+anti self-joins; the window reuses the orders-join "
+    "partitioning, so no extra exchange.",
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     t = load_tables(spark, sf_dir)
     ords_f = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
-    late1 = (
-        t["lineitem"]
-        .select("l_orderkey", "l_suppkey", "l_shipdate")
-        .join(ords_f, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey")
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
+    # All lineitems of 'F' orders, flagged late — the EXISTS subqueries
+    # only ever look within the same order, so per-order window
+    # aggregates over this one frame answer both.
+    joined = li.join(ords_f, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "is_late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     )
-    others = t["lineitem"].select(
-        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key")
-    )
-    late_others = late1.select(
-        F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key")
-    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = joined.select(
+        "l_suppkey",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)
+        ).alias("n_late_supp"),
+    ).filter(F.col("is_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     supp = (
         t["supplier"]
         .join(
@@ -927,17 +938,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        late1.join(
-            others,
-            (F.col("l_orderkey") == F.col("o2_key")) & (F.col("l_suppkey") != F.col("s2_key")),
-            "left_semi",
-        )
-        .join(
-            late_others,
-            (F.col("l_orderkey") == F.col("o3_key")) & (F.col("l_suppkey") != F.col("s3_key")),
-            "left_anti",
-        )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        flagged.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

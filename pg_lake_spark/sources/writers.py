@@ -66,14 +66,73 @@ def translate_copy_options(
         if spark_key is None:
             continue
         if k == "force_quote":
-            # PG takes a column list or *; Spark quotes all-or-nothing.
+            # '*'/True → Spark's quoteAll; a column list is handled by
+            # copy_to's manual quoting pass (popped before we get here).
             if v not in ("*", True):
                 raise NotImplementedError(
-                    "force_quote supports only '*' (quote every column)"
+                    "force_quote takes '*' or a column list (list/tuple)"
                 )
             v = True
         out[spark_key] = str(v).lower() if isinstance(v, bool) else str(v)
     return out
+
+
+#: Delimiter handed to the CSV writer on the force-quote path: it never
+#: occurs in the (single, pre-formatted) output column, so univocity's
+#: own needs-quoting detection can never fire.
+_FQ_WRITER_DELIM = "\x01"
+
+
+def _force_quote_lines(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    quote: str = '"',
+    sep: str = ",",
+    null_marker: str = "",
+) -> DataFrame:
+    """PG ``FORCE_QUOTE (col, ...)`` semantics, built JVM-side.
+
+    Spark's CSV writer quotes all-or-nothing (and re-quotes anything
+    containing the separator even when told not to), so per-column
+    forcing is done in the plan: each column is cast to string; forced
+    columns are always wrapped in quotes (embedded quotes doubled per
+    CSV), others only when they need it (separator / quote / newline)
+    or when equal to the null marker (PG quotes values that would
+    otherwise read back as NULL — e.g. empty strings under the default
+    marker); NULLs become the marker unquoted (FORCE_QUOTE does not
+    apply to NULLs).
+    The fields then concatenate into ONE line column whose NAME is the
+    CSV header line, and the caller writes it with a delimiter that
+    cannot appear — whole-stage-codegen string exprs end to end.
+    """
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"force_quote columns not in result: {missing}")
+    needs = "[" + _re.escape(sep + quote) + "\r\n]"
+
+    def field(name: str) -> "F.Column":
+        c = F.col(name).cast("string")
+        quoted = F.concat(
+            F.lit(quote), F.replace(c, F.lit(quote), F.lit(quote * 2)), F.lit(quote)
+        )
+        if name in cols:
+            v = quoted
+        else:
+            v = F.when(c.rlike(needs) | (c == null_marker), quoted).otherwise(c)
+        return F.coalesce(v, F.lit(null_marker))
+
+    def header_field(name: str) -> str:
+        if _re.search(needs, name):
+            return quote + name.replace(quote, quote * 2) + quote
+        return name
+
+    header = sep.join(header_field(n) for n in df.columns)
+    return df.select(F.concat_ws(sep, *[field(n) for n in df.columns]).alias(header))
 
 
 def copy_to(
@@ -103,7 +162,27 @@ def copy_to(
 
     if fmt == "csv":
         options.setdefault("header", True)
+    force_cols = None
+    if isinstance(options.get("force_quote"), (list, tuple)):
+        if fmt != "csv":
+            raise ValueError(f"invalid option 'force_quote' for COPY TO with {fmt} format")
+        if partition_by:
+            raise ValueError("force_quote column list cannot combine with partition_by")
+        force_cols = list(options.pop("force_quote"))
     spark_opts = translate_copy_options(fmt, options, verb="TO")
+    if force_cols is not None:
+        df = _force_quote_lines(
+            df,
+            force_cols,
+            quote=str(options.get("quote", '"')),
+            sep=str(options.get("delimiter", ",")),
+            null_marker=str(options.get("null", "")),
+        )
+        # the single line column is fully formatted; give the writer a
+        # delimiter/quote surface it can never trigger on
+        spark_opts.update(
+            {"delimiter": _FQ_WRITER_DELIM, "quote": "", "escape": "", "sep": _FQ_WRITER_DELIM}
+        )
     out = df.coalesce(1) if single_file else df
     writer = out.write.mode(mode).option("compression", compression)
     if partition_by:

@@ -192,6 +192,7 @@ def test_scan_foreign_iceberg_v1_layout(spark, tmp_path):
                 "partition": {},
                 "record_count": 7,
                 "file_size_in_bytes": os.path.getsize(pq[0]),
+                "equality_ids": None,
             },
         }
     )
@@ -373,6 +374,7 @@ def test_scan_foreign_v2_with_position_deletes(spark, tmp_path):
                     "partition": {},
                     "record_count": n,
                     "file_size_in_bytes": os.path.getsize(path),
+                    "equality_ids": None,
                 },
             }
         )
@@ -517,6 +519,7 @@ def test_scan_field_id_file_beats_stale_name_mapping(spark, tmp_path):
                     "partition": {},
                     "record_count": 1,
                     "file_size_in_bytes": os.path.getsize(p),
+                    "equality_ids": None,
                 },
             }
         )
@@ -555,3 +558,141 @@ def test_scan_field_id_file_beats_stale_name_mapping(spark, tmp_path):
     got = iceberg_meta.scan_iceberg(spark, str(root))
     assert got.columns == ["x", "y"]
     assert _rows(got) == [("f2-id1", "f2-id2"), ("id1-val", "id2-val")]
+
+
+def test_scan_foreign_v2_with_equality_deletes(spark, tmp_path):
+    """A foreign v2 table carrying equality delete files (the Flink CDC
+    shape; reference parses equality_ids in read_manifest.c:305-306)
+    scans with spec semantics: a delete at sequence number S removes
+    null-safe-matching rows ONLY from data files with sequence < S."""
+    root = tmp_path / "eqdel"
+    os.makedirs(root / "data")
+
+    def write_one(df, sub):
+        d = root / "data" / sub
+        df.coalesce(1).write.parquet(str(d))
+        return next(
+            str(d / f) for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    # data file A at seq 1: keys 0-4 (key 3 has NULL s); data file B at
+    # seq 3: keys 10-12 including s='x' rows the delete must NOT touch
+    dfa = spark.createDataFrame(
+        [(0, "x"), (1, "y"), (2, "x"), (3, None), (4, "z")], "k bigint, s string"
+    )
+    dfb = spark.createDataFrame(
+        [(10, "x"), (11, "y"), (12, None)], "k bigint, s string"
+    )
+    pa_ = write_one(dfa, "a")
+    pb = write_one(dfb, "b")
+    # equality delete at seq 2 on field id 2 (s): deletes s='x' and s NULL
+    dd = spark.createDataFrame([("x",), (None,)], "s string")
+    pd_ = write_one(dd, "d")
+
+    meta_dir = root / "metadata"
+    os.makedirs(meta_dir)
+    entry_schema = json.dumps(
+        iceberg_meta._manifest_entry_schema([], "k bigint, s string")
+    )
+
+    def entry(path, content, seq, eq_ids=None):
+        return json.dumps(
+            {
+                "status": 1,
+                "snapshot_id": {"long": 9},
+                "sequence_number": {"long": seq},
+                "file_sequence_number": {"long": seq},
+                "data_file": {
+                    "content": content,
+                    "file_path": "file://" + path,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": 1,
+                    "file_size_in_bytes": os.path.getsize(path),
+                    "equality_ids": {"array": eq_ids} if eq_ids else None,
+                },
+            }
+        )
+
+    data_manifest = str(meta_dir / "m-data.avro")
+    iceberg_meta.write_avro_file(
+        spark,
+        data_manifest,
+        entry_schema,
+        [entry(pa_, 0, 1), entry(pb, 0, 3)],
+        {"content": "data"},
+    )
+    del_manifest = str(meta_dir / "m-del.avro")
+    iceberg_meta.write_avro_file(
+        spark,
+        del_manifest,
+        entry_schema,
+        [entry(pd_, 2, 2, eq_ids=[2])],
+        {"content": "deletes"},
+    )
+    list_schema = json.dumps(iceberg_meta._manifest_list_schema())
+
+    def list_rec(mpath, content):
+        return json.dumps(
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": content,
+                "sequence_number": 2,
+                "min_sequence_number": 1,
+                "added_snapshot_id": 9,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": 1,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+
+    mlist = str(meta_dir / "snap-9.avro")
+    iceberg_meta.write_avro_file(
+        spark,
+        mlist,
+        list_schema,
+        [list_rec(data_manifest, 0), list_rec(del_manifest, 1)],
+        {"format-version": "2"},
+    )
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-00000000000e",
+        "location": str(root),
+        "last-sequence-number": 3,
+        "last-updated-ms": 0,
+        "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "k", "required": False, "type": "long"},
+                    {"id": 2, "name": "s", "required": False, "type": "string"},
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "current-snapshot-id": 9,
+        "snapshots": [{"snapshot-id": 9, "timestamp-ms": 0, "manifest-list": mlist}],
+    }
+    with open(meta_dir / "v1.metadata.json", "w") as fh:
+        json.dump(metadata, fh)
+
+    got = iceberg_meta.scan_iceberg(spark, str(root))
+    assert got.columns == ["k", "s"]
+    # seq-1 rows with s='x' (keys 0, 2) and s NULL (key 3) deleted;
+    # seq-3 file untouched (delete seq 2 < 3): keys 10-12 all survive
+    assert _rows(got) == [
+        (1, "y"),
+        (4, "z"),
+        (10, "x"),
+        (11, "y"),
+        (12, None),
+    ]

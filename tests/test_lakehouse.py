@@ -813,3 +813,66 @@ def test_streaming_high_water_migrates_from_legacy_summary(spark, tmp_path):
     assert snap is not None
     assert int(t.metadata.properties["streaming.high-water.ck"]) == 6
     assert t.to_df().count() == 3
+
+
+def test_autovacuum_cadence(spark, events_df, tmp_path):
+    """Autovacuum fires compaction + snapshot expiry on its cadence
+    (reference: the 10-min-per-table background worker,
+    test_autovacuum.py), with an injectable clock driving the interval
+    logic — no table is vacuumed again before interval_s elapses."""
+    loc = str(tmp_path / "av1")
+    t = LakeTable.create(
+        spark, loc, "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, value double"
+    )
+    for _ in range(4):
+        t.append(events_df.limit(20))
+
+    now = [1000.0]
+    av = maintenance.Autovacuum(
+        [t],
+        interval_s=600,
+        clock=lambda: now[0],
+        target_file_size_mb=64,
+        max_snapshot_age_s=0,
+        deletion_retention_s=0,
+    )
+    # first check: never-run table is due immediately; vacuum compacts
+    # the 4 small files and expires the non-current snapshots
+    out = av.run_pending()
+    assert out[loc]["compact"]["removed_files"] >= 4
+    assert out[loc]["expire"]["expired"] >= 1
+    assert t.to_df().count() == 80
+
+    # within the interval: nothing is due even after more appends
+    now[0] += 599
+    t.append(events_df.limit(20))
+    assert av.due() == [] and av.run_pending() == {}
+
+    # past the interval: fires again and compacts the accumulated small
+    # files (3 new appends + the first vacuum's output = 4 inputs,
+    # vacuum's min_input_files default)
+    now[0] += 2
+    t.append(events_df.limit(20))
+    t.append(events_df.limit(20))
+    out2 = av.run_pending()
+    assert loc in out2 and out2[loc]["compact"]["removed_files"] >= 4
+    assert t.to_df().count() == 140
+
+
+def test_autovacuum_thread_loop(spark, events_df, tmp_path):
+    """The daemon-thread scheduler drives run_pending on its poll."""
+    loc = str(tmp_path / "av2")
+    t = LakeTable.create_from_dataframe(spark, loc, events_df.limit(10))
+    for _ in range(2):
+        t.append(events_df.limit(10))
+    n_snaps_before = len(t.metadata.snapshots)
+    av = maintenance.Autovacuum([t], interval_s=0.01, max_snapshot_age_s=0)
+    av.start(poll_s=0.02)
+    try:
+        deadline = time.time() + 20
+        while len(t.metadata.snapshots) >= n_snaps_before and time.time() < deadline:
+            time.sleep(0.1)
+    finally:
+        av.stop()
+    assert len(t.metadata.snapshots) < n_snaps_before  # expiry fired
+    assert t.to_df().count() == 30

@@ -186,3 +186,50 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+def test_copy_to_force_quote_column_list(spark, tmp_path):
+    """PG FORCE_QUOTE (col, ...) semantics (reference copy.c:815 passes
+    the list through to the engine's CSV writer): forced columns are
+    always quoted, others only when needed, NULLs never, empty strings
+    written as \"\" like PG."""
+    from pg_lake_spark.sources.writers import copy_to
+
+    df = spark.createDataFrame(
+        [
+            (1, "plain", "x"),
+            (2, "has,comma", "y"),
+            (3, 'has"quote', None),
+            (4, "", "z"),
+        ],
+        "k int, a string, b string",
+    )
+    out = str(tmp_path / "fq")
+    copy_to(
+        df.coalesce(1), out, fmt="csv", compression="none", force_quote=["b"]
+    )
+    csv_file = next(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".csv")
+    )
+    lines = sorted(open(csv_file).read().splitlines())[:-1]  # drop header
+    assert lines == [
+        '1,plain,"x"',
+        '2,"has,comma","y"',
+        '3,"has""quote",',
+        '4,"","z"',
+    ]
+    # round-trips through a PG-dialect CSV reader (DuckDB) unchanged,
+    # including the NULL-vs-empty-string distinction
+    import duckdb
+
+    back = duckdb.sql(
+        f"SELECT * FROM read_csv('{csv_file}', header=true, allow_quoted_nulls=false)"
+    ).fetchall()
+    assert sorted(back) == sorted(map(tuple, df.collect()))
+
+    with pytest.raises(ValueError, match="not in result"):
+        copy_to(
+            df, str(tmp_path / "fq2"), fmt="csv", compression="none",
+            force_quote=["nope"],
+        )
+    with pytest.raises(ValueError, match="invalid option"):
+        copy_to(df, str(tmp_path / "fq3"), fmt="parquet", force_quote=["b"])
