@@ -295,6 +295,20 @@ class LakeSession:
         self._manual[name] = df
         return df
 
+    def register_delta_table(
+        self, name: str, location: str, version: int | None = None
+    ) -> DataFrame:
+        """Register an external Delta table root as a view — the
+        analogue of the reference's read-only Delta support
+        (docs/file-formats-reference.md:34-37), resolved by the
+        pure-metadata _delta_log reader."""
+        from pg_lake_spark.lakehouse import delta_meta
+
+        df = delta_meta.scan_delta(self.spark, location, version=version)
+        df.createOrReplaceTempView(name)
+        self._manual[name] = df
+        return df
+
     def vacuum(self, location: str, **kwargs) -> dict:
         from pg_lake_spark.lakehouse import maintenance
         from pg_lake_spark.lakehouse.table import LakeTable

@@ -227,3 +227,18 @@ def test_unsupported_features_fail_loudly(spark, tmp_path):
         )
     with pytest.raises(NotImplementedError, match="reader features"):
         scan_delta(spark, loc)
+
+
+def test_register_delta_table_facade(spark, tmp_path):
+    from pg_lake_spark.session import LakeSession
+
+    loc = str(tmp_path / "facade")
+    write_delta_table(
+        spark,
+        loc,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, s string"),
+    )
+    sess = LakeSession(spark)
+    sess.register_delta_table("ext_delta", loc)
+    rows = sess.sql("SELECT count(*) AS n, max(s) AS m FROM ext_delta").collect()
+    assert rows[0].n == 2 and rows[0].m == "b"
