@@ -738,11 +738,22 @@ def scan_iceberg(
 
     Reference: describe.c:167 DescribeColumnsFromIcebergMetadataURI.
     """
-    from pyspark.sql import functions as F
-
     meta_path = _resolve_metadata_path(_localize(location))
     with open(meta_path) as fh:
         meta = json.load(fh)
+    return scan_iceberg_metadata(spark, meta, snapshot_id=snapshot_id, where=where)
+
+
+def scan_iceberg_metadata(
+    spark: SparkSession,
+    meta: dict,
+    snapshot_id: int | None = None,
+    where: str | None = None,
+) -> DataFrame:
+    """Scan from an already-parsed metadata document — the entry point
+    for catalogs that serve metadata over an API (REST catalog
+    ``LoadTableResult.metadata``) rather than a file path."""
+    from pyspark.sql import functions as F
 
     schema = _current_schema(meta)
     ddl = spark_schema_from_iceberg(schema)

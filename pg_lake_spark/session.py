@@ -309,6 +309,27 @@ class LakeSession:
         self._manual[name] = df
         return df
 
+    def register_rest_table(
+        self,
+        name: str,
+        catalog_uri: str,
+        namespace: str,
+        table: str,
+        *,
+        token: str | None = None,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Register a table served by an Iceberg REST catalog as a view
+        (reference interop: pg_lake_iceberg/src/test/rest_catalog.c)."""
+        from pg_lake_spark.lakehouse.rest_catalog import RestCatalog
+
+        df = RestCatalog(catalog_uri, token=token).scan(
+            self.spark, namespace, table, snapshot_id=snapshot_id
+        )
+        df.createOrReplaceTempView(name)
+        self._manual[name] = df
+        return df
+
     def vacuum(self, location: str, **kwargs) -> dict:
         from pg_lake_spark.lakehouse import maintenance
         from pg_lake_spark.lakehouse.table import LakeTable
