@@ -187,6 +187,65 @@ def _abs_path(location: str, decoded_rel: str) -> str:
     return os.path.join(location, decoded_rel)
 
 
+def _prune_adds_by_predicate(
+    spark: SparkSession,
+    adds: dict[str, dict],
+    pcols: list[str],
+    schema: StructType,
+    where: str,
+) -> dict[str, dict]:
+    """Partition pruning from the scan predicate — applied where Delta
+    keeps partition values: in the log, driver-side, before any data is
+    touched (at scale this shrinks the scan's file list the way hive
+    partition pruning would).
+
+    ``where`` is split into top-level AND conjuncts with Spark's own
+    SQL parser; each conjunct that analyzes against the partition
+    columns alone filters the (file → typed partition values) frame.
+    Conjuncts referencing data columns are skipped — sound, because
+    every kept conjunct is a necessary condition constant across a
+    file, and the full ``where`` still applies row-wise afterwards.
+    Any parse/analysis surprise degrades to no pruning, never to a
+    wrong answer.
+    """
+    try:
+        jexpr = spark._jsparkSession.sessionState().sqlParser().parseExpression(where)
+    except Exception:
+        return adds
+    conjuncts = []
+    stack = [jexpr]
+    while stack:
+        e = stack.pop()
+        if e.getClass().getSimpleName() == "And":
+            stack.append(e.left())
+            stack.append(e.right())
+        else:
+            conjuncts.append(e)
+
+    rows = [
+        (p, *[(a.get("partitionValues") or {}).get(c) for c in pcols])
+        for p, a in adds.items()
+    ]
+    pdf = spark.createDataFrame(
+        rows, "__path string, " + ", ".join(f"`{c}` string" for c in pcols)
+    )
+    kept = pdf.select(
+        "__path", *[F.col(c).cast(schema[c].dataType).alias(c) for c in pcols]
+    )
+    applied = False
+    for e in conjuncts:
+        try:
+            candidate = kept.filter(e.sql())  # analysis runs eagerly here
+        except Exception:
+            continue
+        kept = candidate
+        applied = True
+    if not applied:
+        return adds
+    surviving = {r["__path"] for r in kept.select("__path").collect()}
+    return {p: a for p, a in adds.items() if p in surviving}
+
+
 def _uri_key(spark: SparkSession, path: str) -> str:
     """The exact string ``_metadata.file_path`` yields for ``path``:
     Hadoop's own Path→URI encoding (spaces → %20 etc.), so the
@@ -228,6 +287,8 @@ def scan_delta(
             for p, a in adds.items()
             if partition_filter(a.get("partitionValues") or {})
         }
+    if where and pcols and adds:
+        adds = _prune_adds_by_predicate(spark, adds, pcols, schema, where)
 
     data_fields = [f for f in schema.fields if f.name not in pcols]
     if not adds:

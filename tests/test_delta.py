@@ -242,3 +242,23 @@ def test_register_delta_table_facade(spark, tmp_path):
     sess.register_delta_table("ext_delta", loc)
     rows = sess.sql("SELECT count(*) AS n, max(s) AS m FROM ext_delta").collect()
     assert rows[0].n == 2 and rows[0].m == "b"
+
+
+def test_where_prunes_partition_files(spark, delta_table):
+    """A mixed predicate prunes the file list on its partition-column
+    conjunct (driver-side, before the scan) and still applies fully
+    row-wise; data-column conjuncts degrade gracefully to no pruning."""
+    got = scan_delta(spark, delta_table, where="v > 0 AND p = 'b'")
+    files = [f for f in got.inputFiles() if f.endswith(".parquet")]
+    assert files and all("p=b" in f for f in files)
+    assert _rows(got.select("k", "p")) == [(3, "b"), (4, "b")]
+
+    # IN-list conjunct prunes too
+    got2 = scan_delta(spark, delta_table, where="p IN ('c')")
+    files2 = [f for f in got2.inputFiles() if f.endswith(".parquet")]
+    assert files2 and all("p=c" in f for f in files2)
+    assert _rows(got2.select("k")) == [(5,)]
+
+    # data-column-only predicate: no pruning, correct result
+    got3 = scan_delta(spark, delta_table, where="k >= 4")
+    assert _rows(got3.select("k")) == [(4,), (5,)]
