@@ -20,9 +20,9 @@ mirroring ``iceberg_meta.scan_iceberg``:
   tests and queries to produce genuine protocol-shaped logs; the engine
   feature is the reader.
 
-Unsupported protocol features fail loudly: deletion vectors, column
-mapping, multi-part checkpoints, reader versions above what plain
-parquet-by-name resolution can honor.
+Classic and multi-part checkpoints both replay; unsupported protocol
+features fail loudly: deletion vectors, column mapping, reader
+versions above what plain parquet-by-name resolution can honor.
 
 Scale: log replay is a driver-side O(log) planning step — exactly the
 reference's model and the same altitude as Iceberg manifest planning.
@@ -50,6 +50,7 @@ from pyspark.sql.types import StructType
 
 _COMMIT_RE = re.compile(r"(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"(\d{20})\.checkpoint\.parquet$")
+_CHECKPOINT_PART_RE = re.compile(r"(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
 
 #: Reader features we can honor with plain parquet-by-name resolution.
 _SUPPORTED_READER_FEATURES = {"timestampNtz"}
@@ -116,13 +117,25 @@ def _replay(location: str, version: int | None = None) -> _DeltaState:
         for n in names
         if (m := _COMMIT_RE.fullmatch(n))
     }
-    checkpoints = {
-        int(m.group(1)): os.path.join(log_dir, n)
+    # classic single-file checkpoints, plus multi-part ones (the parts
+    # of version V are V.checkpoint.<i>.<n>.parquet; a version is usable
+    # only when all n parts are present)
+    checkpoints: dict[int, list[str]] = {
+        int(m.group(1)): [os.path.join(log_dir, n)]
         for n in names
         if (m := _CHECKPOINT_RE.fullmatch(n))
     }
-    if any(".checkpoint." in n and not _CHECKPOINT_RE.fullmatch(n) and n.endswith(".parquet") for n in names):
-        raise NotImplementedError("multi-part Delta checkpoints are not supported")
+    multiparts: dict[int, dict[int, str]] = {}
+    declared_parts: dict[int, int] = {}
+    for n in names:
+        m = _CHECKPOINT_PART_RE.fullmatch(n)
+        if m:
+            v, i, total = int(m.group(1)), int(m.group(2)), int(m.group(3))
+            multiparts.setdefault(v, {})[i] = os.path.join(log_dir, n)
+            declared_parts[v] = total
+    for v, parts in multiparts.items():
+        if len(parts) == declared_parts[v] and v not in checkpoints:
+            checkpoints[v] = [p for _i, p in sorted(parts.items())]
     if not commits and not checkpoints:
         raise FileNotFoundError(f"empty _delta_log under {location}")
 
@@ -141,8 +154,9 @@ def _replay(location: str, version: int | None = None) -> _DeltaState:
         # to a version older than the earliest retained checkpoint needs
         # the early commits anyway).
         if all(v in commits for v in range(cpv + 1, target + 1)):
-            for a in _read_checkpoint_actions(checkpoints[cpv]):
-                state.apply(a)
+            for part in checkpoints[cpv]:
+                for a in _read_checkpoint_actions(part):
+                    state.apply(a)
             state.version = cpv
             start = cpv + 1
     missing = [v for v in range(start, target + 1) if v not in commits]
@@ -339,7 +353,13 @@ def _next_version(location: str) -> int:
     vs = [
         int(m.group(1))
         for n in os.listdir(log_dir)
-        if (m := (_COMMIT_RE.fullmatch(n) or _CHECKPOINT_RE.fullmatch(n)))
+        if (
+            m := (
+                _COMMIT_RE.fullmatch(n)
+                or _CHECKPOINT_RE.fullmatch(n)
+                or _CHECKPOINT_PART_RE.fullmatch(n)
+            )
+        )
     ]
     return max(vs) + 1 if vs else 0
 

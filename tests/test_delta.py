@@ -262,3 +262,41 @@ def test_where_prunes_partition_files(spark, delta_table):
     # data-column-only predicate: no pruning, correct result
     got3 = scan_delta(spark, delta_table, where="k >= 4")
     assert _rows(got3.select("k")) == [(4,), (5,)]
+
+
+def test_multipart_checkpoint(spark, delta_table):
+    """Multi-part checkpoints (V.checkpoint.<i>.<n>.parquet) replay like
+    classic ones; an incomplete part set is ignored."""
+    import pyarrow.parquet as papq
+
+    write_delta_checkpoint(spark, delta_table)
+    log_dir = os.path.join(delta_table, "_delta_log")
+    classic = next(
+        os.path.join(log_dir, n)
+        for n in os.listdir(log_dir)
+        if n.endswith(".checkpoint.parquet")
+    )
+    version = int(os.path.basename(classic)[:20])
+    t = papq.read_table(classic)
+    mid = max(1, t.num_rows // 2)
+    papq.write_table(
+        t.slice(0, mid),
+        os.path.join(log_dir, f"{version:020d}.checkpoint.{1:010d}.{2:010d}.parquet"),
+    )
+    papq.write_table(
+        t.slice(mid),
+        os.path.join(log_dir, f"{version:020d}.checkpoint.{2:010d}.{2:010d}.parquet"),
+    )
+    before = _rows(scan_delta(spark, delta_table).select("k", "p", "v"))
+    os.remove(classic)
+    for n in os.listdir(log_dir):
+        if n.endswith(".json") and not n.startswith("_"):
+            os.remove(os.path.join(log_dir, n))
+    assert _rows(scan_delta(spark, delta_table).select("k", "p", "v")) == before
+
+    # drop one part: the checkpoint is unusable and replay fails loudly
+    os.remove(
+        os.path.join(log_dir, f"{version:020d}.checkpoint.{2:010d}.{2:010d}.parquet")
+    )
+    with pytest.raises(FileNotFoundError):
+        scan_delta(spark, delta_table)
