@@ -222,19 +222,7 @@ def _prune_adds_by_predicate(
     Any parse/analysis surprise degrades to no pruning, never to a
     wrong answer.
     """
-    try:
-        jexpr = spark._jsparkSession.sessionState().sqlParser().parseExpression(where)
-    except Exception:
-        return adds
-    conjuncts = []
-    stack = [jexpr]
-    while stack:
-        e = stack.pop()
-        if e.getClass().getSimpleName() == "And":
-            stack.append(e.left())
-            stack.append(e.right())
-        else:
-            conjuncts.append(e)
+    from pg_lake_spark.lakehouse.pruning import conjunct_filter_paths
 
     rows = [
         (p, *[(a.get("partitionValues") or {}).get(c) for c in pcols])
@@ -243,20 +231,12 @@ def _prune_adds_by_predicate(
     pdf = spark.createDataFrame(
         rows, "__path string, " + ", ".join(f"`{c}` string" for c in pcols)
     )
-    kept = pdf.select(
+    frame = pdf.select(
         "__path", *[F.col(c).cast(schema[c].dataType).alias(c) for c in pcols]
     )
-    applied = False
-    for e in conjuncts:
-        try:
-            candidate = kept.filter(e.sql())  # analysis runs eagerly here
-        except Exception:
-            continue
-        kept = candidate
-        applied = True
-    if not applied:
+    surviving = conjunct_filter_paths(spark, frame, where)
+    if surviving is None:
         return adds
-    surviving = {r["__path"] for r in kept.select("__path").collect()}
     return {p: a for p, a in adds.items() if p in surviving}
 
 

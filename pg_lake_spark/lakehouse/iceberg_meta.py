@@ -766,7 +766,9 @@ def scan_iceberg_metadata(
         return spark.createDataFrame([], ddl)
 
     data_entries, delete_paths, eq_deletes = _snapshot_files(spark, snap)
-    paths = [p for p, _seq in data_entries]
+    if where and data_entries:
+        data_entries = _prune_data_entries(spark, data_entries, meta, schema, where)
+    paths = [p for p, _seq, _part in data_entries]
     if not paths:
         return spark.createDataFrame([], ddl)
 
@@ -804,11 +806,77 @@ def scan_iceberg_metadata(
     return df
 
 
+def _prune_data_entries(
+    spark: SparkSession,
+    data_entries: list[tuple[str, int, dict]],
+    meta: dict,
+    schema: dict,
+    where: str,
+) -> list[tuple[str, int, dict]]:
+    """Partition pruning for foreign snapshots: manifests carry each
+    data file's partition values, so identity-transform fields prune the
+    file list against the predicate's AND conjuncts — the same planning
+    step the reference runs in PruneDataFiles (data_file_pruning.c:186),
+    here shared with the Delta scanner (pruning.conjunct_filter_paths).
+
+    Sound by restriction: only identity fields whose source type casts
+    faithfully from the manifest's JSON value (ints/strings/doubles/
+    booleans — not date/timestamp, which Iceberg encodes as epoch
+    ordinals) participate, and only when every file carries the same
+    partition keys (single-spec tables); anything else keeps all files.
+    """
+    from pyspark.sql import functions as F
+
+    from pg_lake_spark.lakehouse.pruning import conjunct_filter_paths
+
+    if "partition-specs" in meta:
+        sid = meta.get("default-spec-id", 0)
+        fields = next(
+            (s["fields"] for s in meta["partition-specs"] if s.get("spec-id") == sid),
+            [],
+        )
+    else:  # v1
+        fields = meta.get("partition-spec", [])
+    by_id = {f["id"]: f for f in schema["fields"]}
+    safe = {"int", "long", "string", "double", "float", "boolean"}
+    cols: list[tuple[str, str, str]] = []  # (pfield name, column name, spark type)
+    for pf in fields:
+        if pf.get("transform") != "identity":
+            continue
+        src = by_id.get(pf.get("source-id"))
+        if not src or not isinstance(src["type"], str) or src["type"] not in safe:
+            continue
+        cols.append((pf["name"], src["name"], _iceberg_type_to_spark_ddl(src["type"])))
+    if not cols:
+        return data_entries
+    keysets = {frozenset((part or {}).keys()) for _p, _s, part in data_entries}
+    if len(keysets) != 1 or not {c[0] for c in cols} <= next(iter(keysets)):
+        return data_entries
+
+    rows = []
+    for path, _seq, part in data_entries:
+        vals = []
+        for pname, _cname, _t in cols:
+            v = _unwrap(part.get(pname))
+            vals.append(None if v is None else str(v))
+        rows.append((path, *vals))
+    pdf = spark.createDataFrame(
+        rows, "__path string, " + ", ".join(f"`{c}` string" for _p, c, _t in cols)
+    )
+    frame = pdf.select(
+        "__path", *[F.col(c).cast(t).alias(c) for _p, c, t in cols]
+    )
+    surviving = conjunct_filter_paths(spark, frame, where)
+    if surviving is None:
+        return data_entries
+    return [e for e in data_entries if e[0] in surviving]
+
+
 def _apply_equality_deletes(
     spark: SparkSession,
     df: DataFrame,
     schema: dict,
-    data_entries: list[tuple[str, int]],
+    data_entries: list[tuple[str, int, dict]],
     eq_deletes: list[tuple[str, int, tuple[int, ...]]],
 ) -> DataFrame:
     """Sequence-scoped equality-delete anti-joins (spec: 'Equality
@@ -824,7 +892,7 @@ def _apply_equality_deletes(
 
     # Attach each data row's file sequence number via a broadcast map on
     # the already-computed __fp (normalized _metadata.file_path).
-    seq_rows = [(os.path.abspath(p), int(s)) for p, s in data_entries]
+    seq_rows = [(os.path.abspath(p), int(s)) for p, s, _part in data_entries]
     seq_map = spark.createDataFrame(seq_rows, "__fp string, __dataseq long")
     df = df.join(F.broadcast(seq_map), "__fp")
 
@@ -957,11 +1025,13 @@ def _unwrap(v):
 
 def _snapshot_files(
     spark: SparkSession, snap: dict
-) -> tuple[list[tuple[str, int]], list[str], list[tuple[str, int, tuple[int, ...]]]]:
+) -> tuple[
+    list[tuple[str, int, dict]], list[str], list[tuple[str, int, tuple[int, ...]]]
+]:
     """File inventory for one snapshot: ``(data, pos_deletes,
-    eq_deletes)`` where data = [(path, data_sequence_number)],
-    pos_deletes = [path], eq_deletes = [(path, sequence_number,
-    equality_ids)].
+    eq_deletes)`` where data = [(path, data_sequence_number,
+    partition_values)], pos_deletes = [path], eq_deletes = [(path,
+    sequence_number, equality_ids)].
 
     Delete manifests (manifest-list ``content``=1 / manifest header
     ``content``="deletes") are walked like data manifests; entries with
@@ -977,7 +1047,7 @@ def _snapshot_files(
     else:  # v1 inline manifest list
         manifests = [{"manifest_path": p, "content": 0} for p in snap.get("manifests", [])]
 
-    data: list[tuple[str, int]] = []
+    data: list[tuple[str, int, dict]] = []
     pos_deletes: list[str] = []
     eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []
     for m in manifests:
@@ -994,7 +1064,7 @@ def _snapshot_files(
                 1 if m.get("content", 0) == 1 or header.get("content") == "deletes" else 0
             )
             if content == 0:
-                data.append((_localize(df["file_path"]), seq))
+                data.append((_localize(df["file_path"]), seq, df.get("partition") or {}))
             elif content == 1:
                 pos_deletes.append(_localize(df["file_path"]))
             else:

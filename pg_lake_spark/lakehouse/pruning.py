@@ -233,3 +233,40 @@ def prune_files(
         return files, 0
     kept = [f for f in files if file_matches(f, preds, spec)]
     return kept, len(files) - len(kept)
+
+
+def conjunct_filter_paths(spark, frame, where: str) -> set[str] | None:
+    """Shared driver-side file-list pruning core for the foreign-format
+    scanners (Delta `_delta_log`, foreign Iceberg manifests): split
+    ``where`` into top-level AND conjuncts with Spark's SQL parser and
+    filter ``frame`` — a small (``__path``, typed partition columns)
+    DataFrame — by every conjunct that analyzes against it. Returns the
+    surviving path set, or None when no conjunct applied (callers skip
+    pruning). Sound by construction: each applied conjunct is a
+    necessary condition constant across a file, and the caller still
+    applies the full predicate row-wise after the scan.
+    """
+    try:
+        jexpr = spark._jsparkSession.sessionState().sqlParser().parseExpression(where)
+    except Exception:
+        return None
+    conjuncts = []
+    stack = [jexpr]
+    while stack:
+        e = stack.pop()
+        if e.getClass().getSimpleName() == "And":
+            stack.append(e.left())
+            stack.append(e.right())
+        else:
+            conjuncts.append(e)
+    applied = False
+    for e in conjuncts:
+        try:
+            candidate = frame.filter(e.sql())  # analysis runs eagerly here
+        except Exception:
+            continue
+        frame = candidate
+        applied = True
+    if not applied:
+        return None
+    return {r["__path"] for r in frame.select("__path").collect()}

@@ -696,3 +696,33 @@ def test_scan_foreign_v2_with_equality_deletes(spark, tmp_path):
         (11, "y"),
         (12, None),
     ]
+
+
+def test_scan_prunes_on_identity_partition(spark, tmp_path):
+    """scan_iceberg prunes the file list on identity-partition conjuncts
+    of the where predicate (manifest partition values, driver-side) —
+    the foreign-snapshot analogue of PruneDataFiles."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "prune_exp"),
+        "id bigint, cat string, val double",
+        partition_by=["cat"],
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, "abc"[i % 3], float(i)) for i in range(30)],
+            "id bigint, cat string, val double",
+        )
+    )
+    t.export_iceberg()
+    got = iceberg_meta.scan_iceberg(
+        spark, t.location, where="cat = 'b' AND val >= 0"
+    )
+    files = [f for f in got.inputFiles() if f.endswith(".parquet")]
+    assert files and all("cat=b" in f for f in files)
+    assert _rows(got.select("id", "cat")) == [
+        (i, "b") for i in range(30) if i % 3 == 1
+    ]
+    # non-partition predicate: unpruned but correct
+    got2 = iceberg_meta.scan_iceberg(spark, t.location, where="id < 3")
+    assert got2.count() == 3
