@@ -249,23 +249,66 @@ def _uri_key(spark: SparkSession, path: str) -> str:
     return spark._jvm.org.apache.hadoop.fs.Path(path).toUri().toString()
 
 
+def version_at_timestamp(location: str, timestamp_ms: int) -> int:
+    """Latest commit version at or before ``timestamp_ms`` — Delta's
+    timestamp time travel. Each commit's time comes from its
+    commitInfo.timestamp action when present, else the log file's
+    modification time (the same fallback Delta readers use)."""
+    log_dir = _log_dir(location)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"no _delta_log under {location}")
+    best = None
+    for n in os.listdir(log_dir):
+        m = _COMMIT_RE.fullmatch(n)
+        if not m:
+            continue
+        v = int(m.group(1))
+        path = os.path.join(log_dir, n)
+        ts = None
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if "commitInfo" in a and a["commitInfo"].get("timestamp"):
+                    ts = int(a["commitInfo"]["timestamp"])
+                    break
+        if ts is None:
+            ts = int(os.path.getmtime(path) * 1000)
+        if ts <= timestamp_ms and (best is None or v > best):
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no Delta commit at or before timestamp {timestamp_ms} under {location}"
+        )
+    return best
+
+
 def scan_delta(
     spark: SparkSession,
     location: str,
     version: int | None = None,
     where: str | None = None,
     partition_filter: Callable[[dict[str, str | None]], bool] | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Scan a Delta table root into a DataFrame.
 
-    ``version`` pins a historical snapshot (time travel); ``where`` is a
-    post-scan SQL predicate (Catalyst pushes it into the parquet scan);
+    ``version`` pins a historical snapshot (time travel);
+    ``timestamp_ms`` resolves the version current at that epoch-millis
+    time instead (mutually exclusive). ``where`` is a post-scan SQL
+    predicate (Catalyst pushes it into the parquet scan, and its
+    partition-column conjuncts prune the file list driver-side);
     ``partition_filter`` receives each file's partitionValues dict and
-    prunes the FILE LIST driver-side before any data is read — use it
-    for partition pruning, which Delta can only do from the log.
+    prunes the FILE LIST driver-side before any data is read.
 
     Reference: docs/file-formats-reference.md:34-37 (Delta read support).
     """
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version or timestamp_ms, not both")
+        version = version_at_timestamp(location, timestamp_ms)
     state = _replay(location, version)
     if state.metadata is None:
         raise ValueError(f"Delta log under {location} has no metaData action")
@@ -345,6 +388,16 @@ def _next_version(location: str) -> int:
 
 
 def _write_commit(location: str, version: int, actions: list[dict]) -> str:
+    if not any("commitInfo" in a for a in actions):
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "WRITE",
+                    "engineInfo": "pg_lake_spark",
+                }
+            }
+        ] + actions
     log_dir = _log_dir(location)
     os.makedirs(log_dir, exist_ok=True)
     path = os.path.join(log_dir, f"{version:020d}.json")

@@ -707,6 +707,7 @@ def scan_iceberg(
     location: str,
     snapshot_id: int | None = None,
     where: str | None = None,
+    as_of_ms: int | None = None,
 ) -> DataFrame:
     """Scan an Iceberg table (v1 or v2) from its metadata location.
 
@@ -741,7 +742,9 @@ def scan_iceberg(
     meta_path = _resolve_metadata_path(_localize(location))
     with open(meta_path) as fh:
         meta = json.load(fh)
-    return scan_iceberg_metadata(spark, meta, snapshot_id=snapshot_id, where=where)
+    return scan_iceberg_metadata(
+        spark, meta, snapshot_id=snapshot_id, where=where, as_of_ms=as_of_ms
+    )
 
 
 def scan_iceberg_metadata(
@@ -749,16 +752,31 @@ def scan_iceberg_metadata(
     meta: dict,
     snapshot_id: int | None = None,
     where: str | None = None,
+    as_of_ms: int | None = None,
 ) -> DataFrame:
     """Scan from an already-parsed metadata document — the entry point
     for catalogs that serve metadata over an API (REST catalog
-    ``LoadTableResult.metadata``) rather than a file path."""
+    ``LoadTableResult.metadata``) rather than a file path.
+
+    ``as_of_ms`` resolves the latest snapshot at or before the given
+    epoch-millis timestamp (spec snapshot-log semantics); mutually
+    exclusive with ``snapshot_id``.
+    """
     from pyspark.sql import functions as F
 
     schema = _current_schema(meta)
     ddl = spark_schema_from_iceberg(schema)
 
     snaps = meta.get("snapshots", [])
+    if as_of_ms is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id or as_of_ms, not both")
+        eligible = [s for s in snaps if s.get("timestamp-ms", 0) <= as_of_ms]
+        if not eligible:
+            return spark.createDataFrame([], ddl)
+        snapshot_id = max(eligible, key=lambda s: s.get("timestamp-ms", 0)).get(
+            "snapshot-id"
+        )
     if snapshot_id is None:
         snapshot_id = meta.get("current-snapshot-id")
     snap = next((s for s in snaps if s.get("snapshot-id") == snapshot_id), None)

@@ -300,3 +300,37 @@ def test_multipart_checkpoint(spark, delta_table):
     )
     with pytest.raises(FileNotFoundError):
         scan_delta(spark, delta_table)
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """timestamp_ms resolves the version current at that time, from
+    commitInfo timestamps (file-mtime fallback per Delta convention)."""
+    from pg_lake_spark.lakehouse.delta_meta import version_at_timestamp
+
+    loc = str(tmp_path / "ts")
+    write_delta_table(
+        spark, loc, spark.createDataFrame([(1,)], "k bigint")
+    )
+    append_delta(spark, loc, spark.createDataFrame([(2,)], "k bigint"))
+    append_delta(spark, loc, spark.createDataFrame([(3,)], "k bigint"))
+    # rewrite commitInfo timestamps to known values 1000/2000/3000
+    log_dir = os.path.join(loc, "_delta_log")
+    for v, ts in [(0, 1000), (1, 2000), (2, 3000)]:
+        p = os.path.join(log_dir, f"{v:020d}.json")
+        lines = [json.loads(ln) for ln in open(p) if ln.strip()]
+        for a in lines:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = ts
+        with open(p, "w") as fh:
+            for a in lines:
+                fh.write(json.dumps(a) + "\n")
+
+    assert version_at_timestamp(loc, 1000) == 0
+    assert version_at_timestamp(loc, 2500) == 1
+    assert version_at_timestamp(loc, 99999) == 2
+    with pytest.raises(ValueError, match="no Delta commit"):
+        version_at_timestamp(loc, 500)
+    got = scan_delta(spark, loc, timestamp_ms=2500)
+    assert _rows(got) == [(1,), (2,)]
+    with pytest.raises(ValueError, match="not both"):
+        scan_delta(spark, loc, version=1, timestamp_ms=2500)

@@ -726,3 +726,23 @@ def test_scan_prunes_on_identity_partition(spark, tmp_path):
     # non-partition predicate: unpruned but correct
     got2 = iceberg_meta.scan_iceberg(spark, t.location, where="id < 3")
     assert got2.count() == 3
+
+
+def test_scan_as_of_timestamp(spark, small_table):
+    """as_of_ms resolves the latest snapshot at or before the timestamp
+    (snapshot-log semantics), matching LakeTable.scan's surface."""
+    small_table.export_iceberg()
+    snaps = small_table.metadata.snapshots
+    t1, t2 = snaps[0].timestamp_ms, snaps[1].timestamp_ms
+    if t2 > t1:  # same-millisecond appends make snapshot 1 unaddressable
+        got1 = iceberg_meta.scan_iceberg(spark, small_table.location, as_of_ms=t1)
+        assert got1.count() == 20
+    got2 = iceberg_meta.scan_iceberg(spark, small_table.location, as_of_ms=t2 + 10)
+    assert got2.count() == 30
+    # before any snapshot → empty frame with the right schema
+    got0 = iceberg_meta.scan_iceberg(spark, small_table.location, as_of_ms=t1 - 10)
+    assert got0.count() == 0 and got0.columns == ["id", "name", "val"]
+    with pytest.raises(ValueError, match="not both"):
+        iceberg_meta.scan_iceberg(
+            spark, small_table.location, snapshot_id=1, as_of_ms=t1
+        )
