@@ -330,6 +330,14 @@ class LakeSession:
         self._manual[name] = df
         return df
 
+    def read_transaction(self):
+        """Repeatable-read multi-statement reads over LakeTables
+        (reference isolation parity: isolation_iceberg_repeatable_read
+        .spec) — ``with sess.read_transaction() as txn: txn.scan(loc)``."""
+        from pg_lake_spark.lakehouse.isolation import read_transaction
+
+        return read_transaction(self.spark)
+
     def vacuum(self, location: str, **kwargs) -> dict:
         from pg_lake_spark.lakehouse import maintenance
         from pg_lake_spark.lakehouse.table import LakeTable

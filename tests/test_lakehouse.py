@@ -876,3 +876,47 @@ def test_autovacuum_thread_loop(spark, events_df, tmp_path):
         av.stop()
     assert len(t.metadata.snapshots) < n_snaps_before  # expiry fired
     assert t.to_df().count() == 30
+
+
+def test_read_transaction_repeatable_read(spark, events_df, tmp_path):
+    """Reference isolation parity (isolation_iceberg_repeatable_read
+    .spec): a transaction's scans see the snapshot pinned at first
+    access, across statements, while concurrent writers commit appends
+    and deletes; a new transaction sees the new state."""
+    from pg_lake_spark.lakehouse.isolation import read_transaction
+
+    loc = str(tmp_path / "iso1")
+    t = LakeTable.create_from_dataframe(spark, loc, events_df.limit(10))
+
+    with read_transaction(spark) as txn:
+        assert txn.scan(loc).count() == 10
+        # concurrent writer: append then CoW-delete through its own handle
+        writer = LakeTable.load(spark, loc)
+        writer.append(events_df.limit(5))
+        writer.delete("value IS NOT NULL OR value IS NULL")  # delete all
+        assert writer.scan().count() == 0
+        # the transaction still sees its pinned snapshot — repeatedly
+        assert txn.scan(loc).count() == 10
+        assert txn.scan(loc, where="event_id >= 0").count() == 10
+        assert txn.pins[loc] == 1
+
+    with read_transaction(spark) as txn2:
+        assert txn2.scan(loc).count() == 0  # new txn, new snapshot
+
+
+def test_read_transaction_pins_per_table_at_first_access(spark, events_df, tmp_path):
+    from pg_lake_spark.lakehouse.isolation import read_transaction
+
+    loc_a = str(tmp_path / "iso_a")
+    loc_b = str(tmp_path / "iso_b")
+    LakeTable.create_from_dataframe(spark, loc_a, events_df.limit(3))
+    tb = LakeTable.create_from_dataframe(spark, loc_b, events_df.limit(4))
+
+    with read_transaction(spark) as txn:
+        assert txn.scan(loc_a).count() == 3
+        # b is written AFTER the txn began but BEFORE first access →
+        # first access pins the newer state (PG: snapshot per first use)
+        tb.append(events_df.limit(2))
+        assert txn.scan(loc_b).count() == 6
+        tb.append(events_df.limit(2))
+        assert txn.scan(loc_b).count() == 6  # pinned from first access on
