@@ -193,3 +193,27 @@ def ddl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lt.drop_column("n_regionkey")
     return lt.scan().orderBy("n_nationkey")
+
+
+@query(
+    "dml_incremental_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_orderkey > 1000 AND l_orderkey <= 2000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="Incremental append scan (Iceberg incremental-read contract, "
+    "additive over the reference): two appends land as snapshots 1 and "
+    "2; the delta from snapshot 1 is exactly the second batch's rows — "
+    "the natural feed for downstream ETL/streaming consumers.",
+)
+def dml_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cols = ["l_orderkey", "l_linenumber", "l_quantity"]
+    li = t["lineitem"].select(*cols)
+    batch1 = li.filter(F.col("l_orderkey") <= 1000)
+    batch2 = li.filter((F.col("l_orderkey") > 1000) & (F.col("l_orderkey") <= 2000))
+    lt = LakeTable.create_from_dataframe(spark, _scratch("dml_incremental_scan"), batch1)
+    lt.append(batch2)
+    return lt.incremental_scan(1).orderBy("l_orderkey", "l_linenumber")

@@ -920,3 +920,26 @@ def test_read_transaction_pins_per_table_at_first_access(spark, events_df, tmp_p
         assert txn.scan(loc_b).count() == 6
         tb.append(events_df.limit(2))
         assert txn.scan(loc_b).count() == 6  # pinned from first access on
+
+
+def test_incremental_scan(spark, events_df, tmp_path):
+    """Incremental append scan: exactly the rows of the in-range
+    appends; non-append ranges refuse loudly."""
+    loc = str(tmp_path / "inc1")
+    t = LakeTable.create_from_dataframe(spark, loc, events_df.limit(50))  # snap 1
+    t.append(events_df.filter(F.col("event_id").between(50, 79)))  # snap 2
+    t.append(events_df.filter(F.col("event_id").between(80, 99)))  # snap 3
+
+    delta = t.incremental_scan(1)
+    assert delta.count() == 50
+    assert {r.event_id for r in delta.select("event_id").collect()} == set(range(50, 100))
+    assert t.incremental_scan(1, to_snapshot_id=2).count() == 30
+    assert t.incremental_scan(3).count() == 0
+
+    t.delete("event_id < 10")  # snap 4: not an append
+    with pytest.raises(ValueError, match="non-append"):
+        t.incremental_scan(1)
+    # a range that stops before the delete still works
+    assert t.incremental_scan(1, to_snapshot_id=3).count() == 50
+    with pytest.raises(ValueError, match="not found"):
+        t.incremental_scan(99)
