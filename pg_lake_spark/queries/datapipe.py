@@ -180,6 +180,46 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ivf_topk",
+    # Exhaustive probe (n_probe = n_centroids) makes IVF exact, so the
+    # brute-force top-k is a true oracle for the full index pipeline —
+    # deterministic spherical-k-means training, inverted-list assignment,
+    # probe join, scoring. (Partial-probe recall is pinned in pytest.)
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+               FROM embeddings WHERE vec_id < 8)
+    SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim, rank FROM (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec) DESC,
+                        e.vec_id) AS rank
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="IVF inverted-file ANN (second scale path beside LSH): corpus "
+    "vectors live in one centroid list each (no corpus explosion), "
+    "queries probe their nearest lists via an equi-join on centroid id.",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return similarity.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        n_centroids=8,
+        n_probe=8,
+        train_iters=2,
+    ).withColumn("cos_sim", F.round("cos_sim", 6))
+
+
+@query(
     "sim_lsh_topk",
     # The sin-derived hyperplanes are deterministic math (no RNG), so the
     # bucketing replays exactly in SQL: same planes, same sign bits, same

@@ -32,3 +32,37 @@ def test_lsh_subset_of_corpus_ids(spark):
     rows = out.collect()
     assert all(r.rank <= 3 for r in rows)
     assert all(r.query_id != r.vec_id for r in rows)
+
+
+def test_ivf_full_probe_is_exact(spark):
+    """n_probe = n_centroids degenerates IVF to exact brute force."""
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    qs = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.brute_force_topk(emb, qs, k=5)
+    full = similarity.ivf_topk(
+        emb, qs, k=5, n_centroids=8, n_probe=8, train_iters=2
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_ivf_partial_probe_recall(spark):
+    """Partial probing keeps high recall at a fraction of the work (the
+    IVF contract); training is deterministic so the bound is stable."""
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    qs = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.brute_force_topk(emb, qs, k=5)
+    part = similarity.ivf_topk(
+        emb, qs, k=5, n_centroids=8, n_probe=3, train_iters=2
+    )
+    want = {(r.query_id, r.vec_id) for r in exact.collect()}
+    got = {(r.query_id, r.vec_id) for r in part.collect()}
+    assert len(got & want) / len(want) >= 0.7
+
+
+def test_ivf_reuses_pretrained_centroids(spark):
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    cents = similarity.train_ivf_centroids(emb, n_centroids=4, iters=1)
+    assert len(cents) == 4 and all(len(c) == 64 for c in cents)
+    qs = emb.filter(F.col("vec_id") < 3)
+    out = similarity.ivf_topk(emb, qs, k=3, centroids=cents, n_probe=4)
+    assert out.count() == 9
