@@ -440,3 +440,91 @@ def kmv_distinct_estimate(df: DataFrame, col: str, *, k: int = 256) -> DataFrame
     return bottom.agg(
         (F.lit(float(k - 1)) / F.max("h")).alias("est_distinct"), F.lit(k).alias("k")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components of an undirected edge set by min-label
+    propagation: (id, component) where component = the minimum id in
+    the node's component.
+
+    Each round is one join + groupBy (label = min of own and neighbor
+    labels) and converges in O(component diameter) rounds — near-dup
+    graphs are shallow (dups of dups of X are dups of X), so a handful
+    of rounds closes them at any corpus size. Lineage is truncated with
+    an eager localCheckpoint per round (the iterative-algorithm pattern
+    — without it the plan doubles every iteration), and the driver-side
+    convergence check reads one count per round, never the data.
+    """
+    sym = edges.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("new_component"),
+                "component",
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.filter(F.col("new_component") != F.col("component")).count()
+        labels = updated.select("id", F.col("new_component").alias("component"))
+        if changed == 0:
+            break
+    return labels
+
+
+def neardup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cluster ids for near-duplicate documents: every doc gets a
+    cluster_id = the minimum doc id of its near-dup component (its own
+    id if it has no near-dups) — the canonical-survivor assignment a
+    dedup pipeline keys its keep/drop decision on.
+
+    Pipeline: LSH candidate pairs (the 100 TB path) → connected
+    components over the verified pair graph → left join back to the
+    corpus so singletons keep themselves.
+    """
+    pairs = lsh_candidate_pairs(
+        df,
+        id_col,
+        text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+    )
+    cc = connected_components(pairs)
+    ids = df.select(F.col(id_col))
+    return ids.join(cc, ids[id_col] == cc["id"], "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+    )

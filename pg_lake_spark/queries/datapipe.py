@@ -132,6 +132,54 @@ def dd_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd_neardup_clusters",
+    # Oracle: exact all-pairs Jaccard edges (as in dd_lsh_candidates,
+    # whose recall completeness is test-gated) closed transitively with
+    # a recursive CTE; component id = min doc id reachable. Singletons
+    # keep their own id.
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, {_duck_shingles(2)} AS s
+      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents) t
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_distinct(list_filter(a.s, x -> list_contains(b.s, x)))) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        FROM sh a, sh b WHERE a.doc_id < b.doc_id
+      ) WHERE jaccard >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="Near-dup clustering: connected components over the LSH pair "
+    "graph assign each doc the min id of its component — the canonical-"
+    "survivor keep/drop key of a dedup pipeline.",
+)
+def dd_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return dedup.neardup_clusters(
+        t["documents"], "doc_id", "text",
+        shingle_n=2, num_hashes=12, bands=4, threshold=0.3,
+    ).orderBy("doc_id")
+
+
+@query(
     "dd_fingerprint",
     oracle="""
     SELECT doc_id,

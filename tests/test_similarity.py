@@ -66,3 +66,16 @@ def test_ivf_reuses_pretrained_centroids(spark):
     qs = emb.filter(F.col("vec_id") < 3)
     out = similarity.ivf_topk(emb, qs, k=3, centroids=cents, n_probe=4)
     assert out.count() == 9
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation closes chains longer than one hop and keeps
+    disjoint components apart."""
+    from pg_lake_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r.id: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
