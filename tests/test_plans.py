@@ -39,3 +39,28 @@ def test_report_renders(spark):
     df = QUERIES["q1_pricing_summary"].fn(spark, SF_DIR)
     rep = explain_report(df)
     assert "pushed=" in rep and "exchanges" in rep
+
+
+def test_q21_single_lineitem_scan(spark):
+    """The window rewrite must keep q21 at ONE lineitem scan (the naive
+    EXISTS/NOT-EXISTS plan reads it three times) with the supplier side
+    broadcast."""
+    df = QUERIES["q21_waiting_suppliers"].fn(spark, SF_DIR)
+    s = plan_summary(df)  # initial plan: AQE's final tree hides scans inside stages
+    li_scans = [sc for sc in s.scans if "l_suppkey" in sc.read_schema]
+    assert len(li_scans) == 1, "q21 regressed to multiple lineitem scans"
+    assert s.broadcast_joins >= 1
+
+
+def test_delta_scan_broadcasts_partition_map(spark, tmp_path):
+    """The Delta partition-value recovery must stay a broadcast join —
+    a shuffle join here would shuffle the whole corpus at scale."""
+    from pg_lake_spark.lakehouse.delta_meta import scan_delta, write_delta_table
+
+    loc = str(tmp_path / "dplan")
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(20)], "k bigint, p string, v double"
+    )
+    write_delta_table(spark, loc, df, partition_by=["p"])
+    s = plan_summary(scan_delta(spark, loc))
+    assert s.broadcast_joins >= 1 and s.shuffle_joins == 0
