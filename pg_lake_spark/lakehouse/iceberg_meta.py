@@ -445,15 +445,20 @@ def export_iceberg(table) -> str:
     Iceberg tracks file lineage. The current schema applies to all
     snapshots (schema evolution history is not retained in export).
 
-    Pending MoR delete predicates have no Iceberg equivalent in this
-    export (we use predicate deletes, not position/equality delete
-    files) — they must be materialized first; this function does that.
+    Pending MoR delete predicates export as genuine **v2 position
+    delete files** (spec layout: ``file_path``/``pos`` with the
+    reserved field ids, sorted; entries carry ``content``=1 at the
+    delete's sequence number in a ``content``="deletes" manifest) — the
+    same artifact the reference's position_delete_dest.c writes. No
+    data rewrite: the deleted positions are enumerated with one
+    distributed job per predicate (``_metadata.row_index`` over the
+    files the predicate scopes), so snapshots before the delete time-
+    travel to the undeleted rows and later snapshots anti-join exactly
+    the right positions.
 
     Reference: metadata_operations.c:159 (WriteMetadataFile),
     docs/iceberg-tables.md (metadata layout).
     """
-    if table.active_delete_predicates():
-        table.materialize_deletes()
     spark = table.spark
     md = table.metadata
     cur = md.current_snapshot()
@@ -508,6 +513,9 @@ def export_iceberg(table) -> str:
     meta_dir = os.path.join(table.location, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
 
+    # Pending MoR deletes → position delete files (path, size, rows, seq).
+    pos_delete_files = _write_position_deletes(table, cur, cur_files)
+
     schema, last_column_id = iceberg_schema_from_ddl(md.schema_ddl)
     spec_fields = _partition_spec_json(md.partition_spec, schema)
     entry_schema = json.dumps(_manifest_entry_schema(md.partition_spec, md.schema_ddl))
@@ -536,30 +544,70 @@ def export_iceberg(table) -> str:
 
         added = [f for f in files if (f.added_snapshot_id or 0) == snap.snapshot_id]
         existing_n = len(files) - len(added)
-        list_record = json.dumps(
-            {
-                "manifest_path": manifest_path,
-                "manifest_length": os.path.getsize(manifest_path),
-                "partition_spec_id": 0,
-                "content": 0,
-                "sequence_number": snap.snapshot_id,
-                "min_sequence_number": min(
-                    ((f.added_snapshot_id or 0) for f in files), default=snap.snapshot_id
-                ),
-                "added_snapshot_id": snap.snapshot_id,
-                "added_files_count": len(added),
-                "existing_files_count": existing_n,
-                "deleted_files_count": 0,
-                "added_rows_count": sum(f.row_count for f in added),
-                "existing_rows_count": sum(f.row_count for f in files) - sum(f.row_count for f in added),
-                "deleted_rows_count": 0,
-            }
-        )
+        list_records = [
+            json.dumps(
+                {
+                    "manifest_path": manifest_path,
+                    "manifest_length": os.path.getsize(manifest_path),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "sequence_number": snap.snapshot_id,
+                    "min_sequence_number": min(
+                        ((f.added_snapshot_id or 0) for f in files), default=snap.snapshot_id
+                    ),
+                    "added_snapshot_id": snap.snapshot_id,
+                    "added_files_count": len(added),
+                    "existing_files_count": existing_n,
+                    "deleted_files_count": 0,
+                    "added_rows_count": sum(f.row_count for f in added),
+                    "existing_rows_count": sum(f.row_count for f in files) - sum(f.row_count for f in added),
+                    "deleted_rows_count": 0,
+                }
+            )
+        ]
+        applicable = [d for d in pos_delete_files if d[3] <= snap.snapshot_id]
+        if applicable:
+            del_entries = [
+                _delete_entry_json(
+                    path, size, rows, seq, snap.snapshot_id, md.partition_spec
+                )
+                for path, size, rows, seq in applicable
+            ]
+            del_manifest = os.path.join(
+                meta_dir, f"manifest-del-{snap.snapshot_id}-{uuid.uuid4().hex}.avro"
+            )
+            write_avro_file(
+                spark,
+                del_manifest,
+                entry_schema,
+                del_entries,
+                {**manifest_header, "content": "deletes"},
+            )
+            n_added = sum(1 for d in applicable if d[3] == snap.snapshot_id)
+            list_records.append(
+                json.dumps(
+                    {
+                        "manifest_path": del_manifest,
+                        "manifest_length": os.path.getsize(del_manifest),
+                        "partition_spec_id": 0,
+                        "content": 1,
+                        "sequence_number": snap.snapshot_id,
+                        "min_sequence_number": min(d[3] for d in applicable),
+                        "added_snapshot_id": snap.snapshot_id,
+                        "added_files_count": n_added,
+                        "existing_files_count": len(applicable) - n_added,
+                        "deleted_files_count": 0,
+                        "added_rows_count": sum(d[2] for d in applicable if d[3] == snap.snapshot_id),
+                        "existing_rows_count": sum(d[2] for d in applicable if d[3] != snap.snapshot_id),
+                        "deleted_rows_count": 0,
+                    }
+                )
+            )
         list_path = os.path.join(
             meta_dir, f"snap-{snap.snapshot_id}-1-{uuid.uuid4().hex}.avro"
         )
         write_avro_file(
-            spark, list_path, list_schema, [list_record], {"format-version": "2"}
+            spark, list_path, list_schema, list_records, {"format-version": "2"}
         )
         snapshots_json.append(
             {
@@ -624,6 +672,112 @@ def export_iceberg(table) -> str:
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
     return out_path
+
+
+def _write_position_deletes(table, cur, cur_files) -> list[tuple[str, int, int, int]]:
+    """Enumerate each pending MoR predicate's deleted (file, pos) rows
+    and write one spec position-delete parquet per predicate. Returns
+    [(path, size_bytes, row_count, sequence_number)].
+
+    The enumeration is one distributed job per predicate over the files
+    the predicate scopes (added before it — the read path's scoping),
+    selecting ``_metadata.row_index``; the parquet carries the spec's
+    reserved field ids (2147483546 file_path / 2147483545 pos, written
+    via Spark's field-id metadata) with rows sorted by (path, pos).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    if cur is None:
+        return []
+    entries = table._active_delete_entries(cur)
+    if not entries:
+        return []
+    spark = table.spark
+    out: list[tuple[str, int, int, int]] = []
+    delete_schema = StructType(
+        [
+            StructField("file_path", StringType(), True, {"parquet.field.id": 2147483546}),
+            StructField("pos", LongType(), True, {"parquet.field.id": 2147483545}),
+        ]
+    )
+    for e in entries:
+        seq = e["added_snapshot_id"]
+        scoped = [f for f in cur_files if (f.added_snapshot_id or 0) < seq]
+        if not scoped:
+            continue
+        groups: dict[tuple, list] = {}
+        for f in scoped:
+            groups.setdefault(table._era_key(f), []).append(f)
+        rows = None
+        for era_key, gfiles in groups.items():
+            g = table._read_era([f.path for f in gfiles], era_key, with_meta=True)
+            g = g.filter(F.coalesce(F.expr(e["predicate"]), F.lit(False)))
+            g = g.select("_meta_file_path", "_meta_pos")
+            rows = g if rows is None else rows.unionByName(g)
+        # Map the scan's file URI back to the exact path string the data
+        # manifest entries carry (broadcast — the map is O(files)).
+        pmap = spark.createDataFrame(
+            [(os.path.abspath(f.path), f.path) for f in scoped], "np string, file_path string"
+        )
+        dels = (
+            rows.select(
+                F.regexp_replace("_meta_file_path", "^file:(//)?", "").alias("np"),
+                F.col("_meta_pos").alias("pos"),
+            )
+            .join(F.broadcast(pmap), "np")
+            .select("file_path", "pos")
+            .orderBy("file_path", "pos")
+            .to(delete_schema)
+        )
+        staging = os.path.join(table.location, f"_del_staging-{uuid.uuid4().hex}")
+        # coalesce(1): one delete file per predicate (this export's
+        # delete sets are bounded; at larger scale drop the coalesce and
+        # emit one manifest entry per part file).
+        dels.coalesce(1).write.parquet(staging)
+        part = next(
+            os.path.join(staging, n)
+            for n in os.listdir(staging)
+            if n.endswith(".parquet")
+        )
+        n_rows = spark.read.parquet(part).count()
+        if n_rows == 0:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+            continue
+        dest = os.path.join(table.location, f"delete-{seq}-{uuid.uuid4().hex}.parquet")
+        os.rename(part, dest)
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        out.append((dest, os.path.getsize(dest), n_rows, seq))
+    return out
+
+
+def _delete_entry_json(
+    path: str, size: int, rows: int, seq: int, snapshot_id: int, spec: list[dict]
+) -> str:
+    status = 1 if seq == snapshot_id else 0  # ADDED at its own snapshot
+    return json.dumps(
+        {
+            "status": status,
+            "snapshot_id": {"long": seq},
+            "sequence_number": {"long": seq},
+            "file_sequence_number": {"long": seq},
+            "data_file": {
+                "content": 1,
+                "file_path": path,
+                "file_format": "PARQUET",
+                # path-scoped deletes carry no partition values (null per
+                # spec field); the entry schema still needs every field
+                "partition": {_pfield_name(pf): None for pf in spec},
+                "record_count": rows,
+                "file_size_in_bytes": size,
+                "equality_ids": None,
+            },
+        }
+    )
 
 
 def _entry_json(f: DataFile, snapshot_id: int, spec: list[dict]) -> str:

@@ -369,10 +369,14 @@ class LakeTable:
         self._era_cache["eras"][era_key] = info
         return info
 
-    def _read_era(self, paths: list[str], era_key: tuple[int, ...]) -> DataFrame:
+    def _read_era(
+        self, paths: list[str], era_key: tuple[int, ...], with_meta: bool = False
+    ) -> DataFrame:
         """Read files of one era and present them in the current schema:
         physical columns renamed to logical, backfilled columns filled
-        with their add-time constant (NULL when none)."""
+        with their add-time constant (NULL when none). ``with_meta``
+        appends ``_meta_file_path``/``_meta_pos`` (the scan's file URI
+        and row index) for position-level consumers."""
         fields = ddl_fields(self.metadata.schema_ddl)
         phys, backfills = self._era_info(era_key)
         read_fields = [(phys[n], t) for n, t in fields if n not in backfills]
@@ -384,7 +388,11 @@ class LakeTable:
                 g = g.withColumn(n, F.expr(d if d is not None else "NULL").cast(t))
             elif phys[n] != n:
                 g = g.withColumnRenamed(phys[n], n)
-        return g.select(*[n for n, _ in fields])
+        cols = [F.col(n) for n, _ in fields]
+        if with_meta:
+            cols.append(F.col("_metadata.file_path").alias("_meta_file_path"))
+            cols.append(F.col("_metadata.row_index").alias("_meta_pos"))
+        return g.select(*cols)
 
     def _read_files(self, files: list[DataFile]) -> DataFrame:
         """Era-grouped read of a file set in the current logical schema

@@ -75,12 +75,35 @@ def test_export_after_delete_matches(spark, small_table):
     assert got.count() == 25
 
 
-def test_export_materializes_pending_mor(spark, small_table):
+def test_export_emits_position_deletes_for_pending_mor(spark, small_table):
+    """A pending MoR predicate exports as a v2 position delete file —
+    no data rewrite, no forced materialization — and the spec reader
+    anti-joins exactly the deleted rows; pre-delete snapshots time-
+    travel to the undeleted state."""
     small_table.delete("id < 5", mode="mor")
-    small_table.export_iceberg()
+    path = small_table.export_iceberg()
+    # still pending: export must not have materialized
+    assert small_table.active_delete_predicates() == ["id < 5"]
     got = iceberg_meta.scan_iceberg(spark, small_table.location)
     assert _rows(got) == _rows(small_table.to_df())
     assert got.count() == 25
+    # a delete manifest with a content=1 entry exists for the head
+    meta = json.load(open(path))
+    lists, _ = iceberg_meta.read_avro_records(
+        spark, meta["snapshots"][-1]["manifest-list"]
+    )
+    del_manifests = [m for m in lists if m["content"] == 1]
+    assert len(del_manifests) == 1
+    entries, hdr = iceberg_meta.read_avro_records(
+        spark, del_manifests[0]["manifest_path"]
+    )
+    assert hdr["content"] == "deletes"
+    assert [e["data_file"]["content"] for e in entries] == [1]
+    assert entries[0]["data_file"]["record_count"] == 5
+    # snapshots before the delete see all rows
+    assert iceberg_meta.scan_iceberg(
+        spark, small_table.location, snapshot_id=2
+    ).count() == 30
 
 
 def test_partitioned_export(spark, tmp_path):
