@@ -1224,3 +1224,54 @@ def s_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("nationkey")
     )
+
+
+@query(
+    "g_rollup_rank_hierarchy",
+    oracle="""
+    WITH agg AS (
+      SELECT n_name, o_orderstatus,
+             round(sum(o_totalprice), 2) AS revenue,
+             CAST(grouping(n_name) + grouping(o_orderstatus) AS INT) AS lochier
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY ROLLUP (n_name, o_orderstatus)
+    )
+    SELECT n_name, o_orderstatus, revenue, lochier,
+           CAST(rank() OVER (
+             PARTITION BY lochier, CASE WHEN lochier = 0 THEN n_name END
+             ORDER BY revenue DESC, n_name, o_orderstatus) AS INT) AS rank_in_parent
+    FROM agg
+    ORDER BY lochier DESC, n_name NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+    doc="TPC-DS q36 shape: rank within a rollup hierarchy — ROLLUP + "
+    "GROUPING() feeding a window partitioned by hierarchy level. The "
+    "window runs over the already-aggregated (tiny) frame, so the only "
+    "full-data work is the rollup's one shuffle.",
+)
+def g_rollup_rank_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    base = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = base.rollup("n_name", "o_orderstatus").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        (F.grouping("n_name") + F.grouping("o_orderstatus")).cast("int").alias("lochier"),
+    )
+    w = Window.partitionBy(
+        "lochier", F.when(F.col("lochier") == 0, F.col("n_name"))
+    ).orderBy(F.col("revenue").desc(), "n_name", "o_orderstatus")
+    return (
+        agg.withColumn("rank_in_parent", F.rank().over(w).cast("int"))
+        .select("n_name", "o_orderstatus", "revenue", "lochier", "rank_in_parent")
+        .orderBy(
+            F.col("lochier").desc(),
+            F.col("n_name").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
