@@ -7,6 +7,7 @@ file/stream sources → watermarked windowed aggregations → exactly-once
 ingestion into LakeTable snapshots.
 """
 
+from pg_lake_spark.streaming.feed import AppendFeed
 from pg_lake_spark.streaming.ingest import read_events_stream, stream_ingest_to_lake
 from pg_lake_spark.streaming.stateful import running_user_totals
 from pg_lake_spark.streaming.windows import (
@@ -17,6 +18,7 @@ from pg_lake_spark.streaming.windows import (
 )
 
 __all__ = [
+    "AppendFeed",
     "read_events_stream",
     "stream_ingest_to_lake",
     "running_user_totals",

@@ -150,3 +150,40 @@ def test_stateful_running_totals(spark, duck):
         FROM events GROUP BY user_id
         """,
     )
+
+
+def test_append_feed_at_least_once(spark, tmp_path):
+    """AppendFeed tails appends with a durable bookmark: uncommitted
+    deltas re-deliver after restart, committed ones don't, and a
+    non-append snapshot in the range fails loudly until reset."""
+    from pg_lake_spark.streaming import AppendFeed
+
+    loc = str(tmp_path / "feed_t")
+    ckpt = str(tmp_path / "feed.ckpt")
+    t = LakeTable.create_from_dataframe(
+        spark, loc, spark.createDataFrame([(1, "a")], "k bigint, s string")
+    )
+    feed = AppendFeed(t, ckpt)  # starts "now": snapshot 1
+    assert feed.poll() is None
+
+    t.append(spark.createDataFrame([(2, "b"), (3, "c")], "k bigint, s string"))
+    batch = feed.poll()
+    assert sorted(r.k for r in batch.collect()) == [2, 3]
+    # crash before commit: a new consumer re-reads the same delta
+    feed2 = AppendFeed(t, ckpt)
+    again = feed2.poll()
+    assert sorted(r.k for r in again.collect()) == [2, 3]
+    feed2.commit()
+    assert feed2.poll() is None
+    # restart after commit: caught up
+    assert AppendFeed(t, ckpt).poll() is None
+
+    t.append(spark.createDataFrame([(4, "d")], "k bigint, s string"))
+    t.delete("k = 1")  # non-append snapshot
+    feed3 = AppendFeed(t, ckpt)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-append"):
+        feed3.poll()
+    feed3.reset(t.metadata.current_snapshot_id)
+    assert feed3.poll() is None
