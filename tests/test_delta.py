@@ -334,3 +334,63 @@ def test_timestamp_time_travel(spark, tmp_path):
     assert _rows(got) == [(1,), (2,)]
     with pytest.raises(ValueError, match="not both"):
         scan_delta(spark, loc, version=1, timestamp_ms=2500)
+
+
+def test_replay_model_random_histories(spark, tmp_path):
+    """Model-based check: for random create/append/remove/checkpoint
+    histories, the replayed scan equals a dict model of the active rows
+    at every version (hypothesis drives the histories; one Spark table
+    per example keeps it fast)."""
+    from hypothesis import given, settings, strategies as st
+
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        ops=st.lists(
+            st.one_of(
+                st.tuples(st.just("append"), st.sampled_from(["a", "b", "c"]),
+                          st.integers(min_value=1, max_value=3)),
+                st.tuples(st.just("remove"), st.sampled_from(["a", "b", "c"]),
+                          st.just(0)),
+                st.tuples(st.just("checkpoint"), st.just(""), st.just(0)),
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def run(ops):
+        counter[0] += 1
+        loc = str(tmp_path / f"model{counter[0]}")
+        next_k = [0]
+        model: dict[str, list[int]] = {}  # partition -> list of k values
+
+        def mk(p, n):
+            ks = list(range(next_k[0], next_k[0] + n))
+            next_k[0] += n
+            return ks, spark.createDataFrame(
+                [(k, p) for k in ks], "k bigint, p string"
+            )
+
+        created = False
+        for op, p, n in ops:
+            if not created:
+                ks, df = mk(p if op == "append" else "a", max(n, 1))
+                write_delta_table(spark, loc, df, partition_by=["p"])
+                model.setdefault(p if op == "append" else "a", []).extend(ks)
+                created = True
+                continue
+            if op == "append":
+                ks, df = mk(p, n)
+                append_delta(spark, loc, df)
+                model.setdefault(p, []).extend(ks)
+            elif op == "remove":
+                remove_delta_files(loc, lambda pv, p=p: pv.get("p") == p)
+                model.pop(p, None)
+            else:
+                write_delta_checkpoint(spark, loc)
+        want = sorted((k, p) for p, ks in model.items() for k in ks)
+        got = _rows(scan_delta(spark, loc).select("k", "p"))
+        assert got == want
+
+    run()
