@@ -1275,3 +1275,80 @@ def g_rollup_rank_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus").asc_nulls_first(),
         )
     )
+
+
+@query(
+    "j_bucketed_colocated",
+    oracle="""
+    SELECT c_custkey AS ckey, c_name, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY ckey
+    """,
+    doc="Co-located bucketed join (sources/bucketed.py): both sides are "
+    "bucket-written on the join key with equal bucket counts, so the "
+    "join itself runs with zero Exchange (asserted in test_sources.py); "
+    "this row proves the RESULT equals the plain join through the "
+    "external oracle.",
+)
+def j_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pg_lake_spark.queries.dml import _scratch
+    from pg_lake_spark.sources.bucketed import co_located_join, write_bucketed
+
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("ckey"), "c_name"
+    )
+    ords = t["orders"].select(
+        F.col("o_custkey").alias("ckey"), "o_totalprice"
+    )
+    # Session-scoped scratch locations + drop-if-exists make the query
+    # re-runnable across sessions (a stale warehouse dir would otherwise
+    # fail saveAsTable with LOCATION_ALREADY_EXISTS).
+    root = _scratch("j_bucketed_colocated")
+    for name in ("q_bkt_customer", "q_bkt_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    write_bucketed(cust, "q_bkt_customer", ["ckey"], 8, path=os.path.join(root, "cust"))
+    write_bucketed(ords, "q_bkt_orders", ["ckey"], 8, path=os.path.join(root, "ords"))
+    return (
+        co_located_join(spark, "q_bkt_customer", "q_bkt_orders", on=["ckey"])
+        .groupBy("ckey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("ckey")
+    )
+
+
+@query(
+    "j_salted_skew",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    doc="Salted skew join (operators/skew.py): the fact side gets a "
+    "deterministic xxhash64 salt, the dim side replicates per salt, and "
+    "the (key, salt) join spreads any hot key over salt_factor "
+    "reducers; the result must equal the plain join.",
+)
+def j_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_lake_spark.operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir)
+    fact = t["orders"].select(F.col("o_custkey").alias("ckey"), "o_totalprice")
+    dim = t["customer"].select(F.col("c_custkey").alias("ckey"), "c_nationkey")
+    return (
+        salted_join(fact, dim, on=["ckey"], salt_factor=8)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("c_nationkey")
+    )
