@@ -769,3 +769,58 @@ def test_scan_as_of_timestamp(spark, small_table):
         iceberg_meta.scan_iceberg(
             spark, small_table.location, snapshot_id=1, as_of_ms=t1
         )
+
+
+def test_export_scan_roundtrip_random_histories(spark, tmp_path):
+    """Model-based: random append/MoR-delete/rename/add-column histories
+    must export and scan back exactly as the table reads itself (or
+    refuse loudly for the documented non-representable cases)."""
+    from hypothesis import given, settings, strategies as st
+
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        ops=st.lists(
+            st.one_of(
+                st.tuples(st.just("append"), st.integers(1, 3)),
+                st.tuples(st.just("delete"), st.integers(0, 9)),
+                st.tuples(st.just("rename"), st.just(0)),
+                st.tuples(st.just("addcol"), st.just(0)),
+            ),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def run(ops):
+        counter[0] += 1
+        loc = str(tmp_path / f"rt{counter[0]}")
+        t = LakeTable.create(spark, loc, "id bigint, v bigint")
+        next_id = [0]
+        renamed = [False]
+        added = [False]
+
+        for op, arg in ops:
+            vcol = "w" if renamed[0] else "v"
+            if op == "append":
+                rows = [(next_id[0] + i, (next_id[0] + i) % 10) for i in range(arg)]
+                next_id[0] += arg
+                cols = f"id bigint, {vcol} bigint" + (", z string" if added[0] else "")
+                if added[0]:
+                    rows = [(*r, f"z{r[0]}") for r in rows]
+                t.append(spark.createDataFrame(rows, cols))
+            elif op == "delete":
+                t.delete(f"{vcol} = {arg}", mode="mor")
+            elif op == "rename" and not renamed[0]:
+                t.rename_column("v", "w")
+                renamed[0] = True
+            elif op == "addcol" and not added[0]:
+                t.add_column("z", "string")
+                added[0] = True
+
+        want = _rows(t.to_df())
+        path = t.export_iceberg()
+        got = _rows(iceberg_meta.scan_iceberg(spark, path))
+        assert got == want
+
+    run()
