@@ -206,11 +206,15 @@ def lsh_candidate_pairs(
     # an interpreted higher-order expression — the most expensive step
     # per row — so restricting it to candidates is the main saving at
     # scale (and locally: full-corpus shingling measured ~3.5 s vs
-    # milliseconds for the candidate subset).
+    # milliseconds for the candidate subset). The checkpoint
+    # materializes the (tiny) candidate shingle set once — both verify
+    # legs reference it, and without the barrier each leg re-runs the
+    # corpus scan + semi-join + shingling (A/B: 2.43 s → 1.94 s at
+    # sf0.1).
     needed = df.join(F.broadcast(cand_ids), df[id_col] == cand_ids["_id"], "left_semi")
     shingled = needed.select(
         F.col(id_col).alias("_id"), word_shingles(text_col, shingle_n).alias("_sh")
-    )
+    ).localCheckpoint(eager=True)
     a = shingled.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = shingled.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     return (
