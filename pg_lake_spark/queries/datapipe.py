@@ -423,6 +423,44 @@ def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media).orderBy("media_id")
 
 
+@query(
+    "mm_frame_sample",
+    # The frame-sampling STUB slices the payload every 256 bytes (the
+    # corpus is ASCII, so DuckDB's char offsets equal byte offsets);
+    # frames compare as md5 + length so binary never crosses engines.
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 50),
+    f AS (
+      SELECT media_id, CAST(i AS BIGINT) AS frame_no,
+             CAST(i * 256 AS BIGINT) AS frame_offset,
+             md5(substr(text, i * 256 + 1, 256)) AS frame_md5,
+             CAST(octet_length(CAST(substr(text, i * 256 + 1, 256) AS BLOB)) AS BIGINT)
+               AS frame_bytes
+      FROM m, (SELECT unnest(range(0, 8)) AS i)
+      WHERE i * 256 < length(text)
+    )
+    SELECT media_id, frame_no, frame_offset, frame_md5, frame_bytes
+    FROM f ORDER BY media_id, frame_no
+    """,
+    doc="Video frame-sampling plumbing: one media row fans out to N "
+    "frame rows through Arrow mapInPandas (shuffle-free; the decode is "
+    "the documented deterministic stub — no libav in this env).",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    media = multimodal.to_media(
+        t["documents"].filter(F.col("doc_id") < 50), "doc_id", "text", "video/fake"
+    )
+    frames = multimodal.sample_frames(media, every_n_bytes=256, max_frames=8)
+    return frames.select(
+        "media_id",
+        "frame_no",
+        "frame_offset",
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").cast("bigint").alias("frame_bytes"),
+    ).orderBy("media_id", "frame_no")
+
+
 # ---------------------------------------------------------------------------
 # SimHash dedup
 # ---------------------------------------------------------------------------
