@@ -217,3 +217,31 @@ def dml_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     lt = LakeTable.create_from_dataframe(spark, _scratch("dml_incremental_scan"), batch1)
     lt.append(batch2)
     return lt.incremental_scan(1).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "dml_update_set",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           round(CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END, 2) AS c_acctbal
+    FROM customer
+    WHERE c_custkey <= 500
+    ORDER BY c_custkey
+    """,
+    doc="Copy-on-write UPDATE (writes.md:15-31, writable_table.c CoW "
+    "branch): SET clamps negative balances to zero WHERE they are "
+    "negative; files with no matching rows survive untouched via stats "
+    "pruning and the final scan is the oracle-checked end state.",
+)
+def dml_update_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    src = (
+        t["customer"]
+        .filter(F.col("c_custkey") <= 500)
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    lt = LakeTable.create_from_dataframe(spark, _scratch("dml_update_set"), src)
+    lt.update({"c_acctbal": "0.0"}, where="c_acctbal < 0")
+    return lt.scan().select(
+        "c_custkey", "c_nationkey", F.round("c_acctbal", 2).alias("c_acctbal")
+    ).orderBy("c_custkey")
