@@ -48,6 +48,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+#: Diagnostics for the most recent scan_delta call in this process:
+#: {"files_total", "files_scanned", "files_skipped"} — the same
+#: observability LakeTable.last_scan_report gives its own scans.
+last_scan_report: dict | None = None
+
 _COMMIT_RE = re.compile(r"(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"(\d{20})\.checkpoint\.parquet$")
 _CHECKPOINT_PART_RE = re.compile(r"(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
@@ -326,6 +331,13 @@ def scan_delta(
         }
     if where and pcols and adds:
         adds = _prune_adds_by_predicate(spark, adds, pcols, schema, where)
+
+    global last_scan_report
+    last_scan_report = {
+        "files_total": len(state.adds),
+        "files_scanned": len(adds),
+        "files_skipped": len(state.adds) - len(adds),
+    }
 
     data_fields = [f for f in schema.fields if f.name not in pcols]
     if not adds:

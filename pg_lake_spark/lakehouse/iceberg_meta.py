@@ -901,6 +901,11 @@ def scan_iceberg(
     )
 
 
+#: Diagnostics for the most recent scan_iceberg call in this process:
+#: {"files_total", "files_scanned", "files_skipped"}.
+last_scan_report: dict | None = None
+
+
 def scan_iceberg_metadata(
     spark: SparkSession,
     meta: dict,
@@ -938,8 +943,15 @@ def scan_iceberg_metadata(
         return spark.createDataFrame([], ddl)
 
     data_entries, delete_paths, eq_deletes = _snapshot_files(spark, snap)
+    n_total = len(data_entries)
     if where and data_entries:
         data_entries = _prune_data_entries(spark, data_entries, meta, schema, where)
+    global last_scan_report
+    last_scan_report = {
+        "files_total": n_total,
+        "files_scanned": len(data_entries),
+        "files_skipped": n_total - len(data_entries),
+    }
     paths = [p for p, _seq, _part in data_entries]
     if not paths:
         return spark.createDataFrame([], ddl)

@@ -394,3 +394,14 @@ def test_replay_model_random_histories(spark, tmp_path):
         assert got == want
 
     run()
+
+
+def test_scan_report_records_pruning(spark, delta_table):
+    from pg_lake_spark.lakehouse import delta_meta
+
+    scan_delta(spark, delta_table, where="p = 'c'").count()
+    rep = delta_meta.last_scan_report
+    assert rep["files_total"] >= 2
+    assert rep["files_scanned"] >= 1
+    assert rep["files_skipped"] >= 1
+    assert rep["files_total"] == rep["files_scanned"] + rep["files_skipped"]

@@ -824,3 +824,19 @@ def test_export_scan_roundtrip_random_histories(spark, tmp_path):
         assert got == want
 
     run()
+
+
+def test_foreign_scan_report_records_pruning(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "rep"), "id bigint, cat string", partition_by=["cat"]
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, "ab"[i % 2]) for i in range(20)], "id bigint, cat string"
+        )
+    )
+    t.export_iceberg()
+    iceberg_meta.scan_iceberg(spark, t.location, where="cat = 'a'").count()
+    rep = iceberg_meta.last_scan_report
+    assert rep["files_skipped"] >= 1
+    assert rep["files_total"] == rep["files_scanned"] + rep["files_skipped"]
