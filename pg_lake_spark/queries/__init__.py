@@ -26,12 +26,12 @@ from pg_lake_spark.queries import delta_q  # noqa: E402,F401
 # queries newly declared THIS round (never driver-checked), then the
 # queries whose newest official evidence is oldest — the round-3 rows,
 # in their CORRECTNESS_r03 order (the r2 rows were all re-confirmed in
-# round 4). The last nine r3 TPC-H rows are bumped to make room and
+# round 4). The last ten r3 TPC-H rows are bumped to make room and
 # rotate back next round.
 _R5_NEW = ["d_delta_scan", "dml_incremental_scan", "sim_ivf_topk",
            "dd_neardup_clusters", "g_rollup_rank_hierarchy",
            "j_bucketed_colocated", "j_salted_skew", "mm_frame_sample",
-           "dml_update_set"]
+           "dml_update_set", "mm_resize_thumbs"]
 _R3_GREENS = [
     "f_math", "f_casts", "arr_operators", "ds_train_val_split",
     "ds_pack_sequences", "dd_lsh_candidates", "sim_lsh_topk", "a_mode_disc",

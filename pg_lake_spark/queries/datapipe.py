@@ -461,6 +461,41 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id", "frame_no")
 
 
+@query(
+    "mm_resize_thumbs",
+    # The resample STUB cycles the payload to width*height bytes; the
+    # oracle replays it with repeat+substr (ASCII corpus: char = byte),
+    # thumbs compare as md5 + length so binary never crosses engines.
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 50)
+    SELECT media_id, 'image/fake' AS mime,
+           CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+           md5(substr(repeat(text, CAST(1024 / length(text) AS INT) + 1), 1, 1024))
+             AS thumb_md5,
+           CAST(1024 AS BIGINT) AS thumb_bytes
+    FROM m ORDER BY media_id
+    """,
+    doc="Image resize plumbing: decode-resample-reencode as a map-only "
+    "Arrow stage emitting fixed-size thumbnails (deterministic stub "
+    "resample — no PIL in this env; swap the codec call, nothing else "
+    "changes).",
+)
+def mm_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    media = multimodal.to_media(
+        t["documents"].filter(F.col("doc_id") < 50), "doc_id", "text", "image/fake"
+    )
+    thumbs = multimodal.resize_images(media, width=32, height=32)
+    return thumbs.select(
+        "media_id",
+        "mime",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.md5("thumb").alias("thumb_md5"),
+        F.length("thumb").cast("bigint").alias("thumb_bytes"),
+    ).orderBy("media_id")
+
+
 # ---------------------------------------------------------------------------
 # SimHash dedup
 # ---------------------------------------------------------------------------
