@@ -65,6 +65,10 @@ def _log_dir(location: str) -> str:
     return os.path.join(location, "_delta_log")
 
 
+class ConcurrentDeltaCommitError(RuntimeError):
+    """Another writer committed this version first (put-if-absent lost)."""
+
+
 class _DeltaState:
     """Replayed log state: active adds plus the governing metadata."""
 
@@ -417,7 +421,19 @@ def _write_commit(location: str, version: int, actions: list[dict]) -> str:
     with open(tmp, "w") as fh:
         for a in actions:
             fh.write(json.dumps(a) + "\n")
-    os.rename(tmp, path)
+    # Delta's protocol requires put-if-absent on the commit file: two
+    # writers racing to the same version must see exactly one win.
+    # os.link fails with EEXIST on POSIX where os.rename would silently
+    # overwrite the loser over the winner.
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise ConcurrentDeltaCommitError(
+            f"commit version {version} already exists at {path}; "
+            "reload the log and retry at the next version"
+        ) from None
+    os.unlink(tmp)
     return path
 
 

@@ -718,7 +718,7 @@ def _write_position_deletes(table, cur, cur_files) -> list[tuple[str, int, int, 
         # Map the scan's file URI back to the exact path string the data
         # manifest entries carry (broadcast — the map is O(files)).
         pmap = spark.createDataFrame(
-            [(os.path.abspath(f.path), f.path) for f in scoped], "np string, file_path string"
+            [(_fp_key(spark, f.path), f.path) for f in scoped], "np string, file_path string"
         )
         dels = (
             rows.select(
@@ -942,7 +942,9 @@ def scan_iceberg_metadata(
     if snap is None:
         return spark.createDataFrame([], ddl)
 
-    data_entries, delete_paths, eq_deletes = _snapshot_files(spark, snap)
+    data_entries, delete_paths, eq_deletes = _snapshot_files(
+        spark, snap, int(meta.get("format-version", 1))
+    )
     n_total = len(data_entries)
     if where and data_entries:
         data_entries = _prune_data_entries(spark, data_entries, meta, schema, where)
@@ -1075,8 +1077,9 @@ def _apply_equality_deletes(
         type_by_name[f["name"]] = _iceberg_type_to_spark_ddl(f["type"])
 
     # Attach each data row's file sequence number via a broadcast map on
-    # the already-computed __fp (normalized _metadata.file_path).
-    seq_rows = [(os.path.abspath(p), int(s)) for p, s, _part in data_entries]
+    # the already-computed __fp (normalized _metadata.file_path). Keys use
+    # _fp_key (Hadoop URI encoding) so paths with special characters match.
+    seq_rows = [(_fp_key(spark, p), int(s)) for p, s, _part in data_entries]
     seq_map = spark.createDataFrame(seq_rows, "__fp string, __dataseq long")
     df = df.join(F.broadcast(seq_map), "__fp")
 
@@ -1091,7 +1094,7 @@ def _apply_equality_deletes(
             raise ValueError(f"equality_ids reference unknown field id: {e}") from e
         read_ddl = ", ".join(f"`{c}` {type_by_name[c]}" for c in cols)
         dmap = spark.createDataFrame(
-            [(os.path.abspath(p), int(s)) for p, s in files],
+            [(_fp_key(spark, p), int(s)) for p, s in files],
             "__dfp string, __delseq long",
         )
         dels = (
@@ -1118,6 +1121,17 @@ def _norm_path(col):
     from pyspark.sql import functions as F
 
     return F.regexp_replace(col, "^file:(//)?", "")
+
+
+def _fp_key(spark: SparkSession, path: str) -> str:
+    """The string ``_norm_path(_metadata.file_path)`` yields for a local
+    ``path``: Hadoop's own Path→URI encoding (space → %20 etc.) minus the
+    ``file:`` scheme. Driver-built maps joined against the scan's file-path
+    column MUST use this key — ``os.path.abspath`` drifts on any special
+    character and an inner join would silently drop those files' rows."""
+    from pg_lake_spark.lakehouse.delta_meta import _uri_key
+
+    return re.sub(r"^file:(//)?", "", _uri_key(spark, path))
 
 
 def _read_with_name_mapping(
@@ -1208,7 +1222,7 @@ def _unwrap(v):
 
 
 def _snapshot_files(
-    spark: SparkSession, snap: dict
+    spark: SparkSession, snap: dict, format_version: int = 2
 ) -> tuple[
     list[tuple[str, int, dict]], list[str], list[tuple[str, int, tuple[int, ...]]]
 ]:
@@ -1221,8 +1235,14 @@ def _snapshot_files(
     ``content``="deletes") are walked like data manifests; entries with
     ``data_file.content``=1 are position deletes, ``content``=2 are
     equality deletes — both applied by the caller's anti-joins.
-    Sequence numbers default to 0 (v1 metadata has none; equality
-    deletes cannot exist there, so scoping is vacuous).
+
+    Sequence-number inheritance (v2 spec): real writers (Spark, Flink
+    CDC) write ``sequence_number = null`` on ADDED entries — the value
+    is inherited from the manifest-list entry's ``sequence_number``.
+    An EXISTING/DELETED entry with a null seq in a v2 manifest list is
+    a spec violation and raises. v1 metadata (manifest list carries no
+    sequence numbers) defaults to 0 — equality deletes cannot exist
+    there, so scoping is vacuous.
     """
     manifests: list[dict] = []
     if "manifest-list" in snap:
@@ -1243,7 +1263,23 @@ def _snapshot_files(
             fmt = str(df.get("file_format", "PARQUET")).upper()
             if fmt != "PARQUET":
                 raise NotImplementedError(f"data file format {fmt} not supported")
-            seq = int(_unwrap(e.get("sequence_number")) or 0)
+            raw_seq = _unwrap(e.get("sequence_number"))
+            if raw_seq is not None:
+                seq = int(raw_seq)
+            elif format_version < 2:
+                seq = 0  # v1: no sequence numbers anywhere; scoping vacuous
+            else:
+                m_seq = _unwrap(m.get("sequence_number"))
+                if m_seq is None:
+                    seq = 0  # inline v1-style manifest list in v2 metadata
+                elif e.get("status") == 1:  # ADDED inherits (v2 spec)
+                    seq = int(m_seq)
+                else:
+                    raise ValueError(
+                        f"manifest {m['manifest_path']}: EXISTING entry for "
+                        f"{e['data_file'].get('file_path')} has no explicit "
+                        "sequence_number (required by the Iceberg v2 spec)"
+                    )
             content = df.get("content", 0) or (
                 1 if m.get("content", 0) == 1 or header.get("content") == "deletes" else 0
             )

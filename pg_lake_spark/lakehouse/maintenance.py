@@ -197,6 +197,7 @@ class Autovacuum:
         self._last_run: dict[str, float] = {}
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
+        self.last_error: Exception | None = None
 
     def register(self, table: LakeTable) -> None:
         self._tables.append(table)
@@ -227,8 +228,13 @@ class Autovacuum:
         self._stop.clear()
 
         def loop() -> None:
+            # One failing vacuum (transient commit-lock/IO error) must not
+            # kill the cadence: record it and keep polling.
             while not self._stop.wait(poll_s):
-                self.run_pending()
+                try:
+                    self.run_pending()
+                except Exception as exc:  # noqa: BLE001
+                    self.last_error = exc
 
         self._thread = threading.Thread(target=loop, daemon=True, name="autovacuum")
         self._thread.start()

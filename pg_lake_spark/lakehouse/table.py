@@ -521,7 +521,10 @@ class LakeTable:
         if to_id is None:
             return self.spark.createDataFrame([], md.schema_ddl)
         known = {s.snapshot_id for s in md.snapshots}
-        for sid in (from_snapshot_id, to_id):
+        # from=0 is the pre-table state ("replay everything") — always a
+        # valid lower bound, never a real snapshot id (ids start at 1).
+        check_ids = [to_id] if from_snapshot_id == 0 else [from_snapshot_id, to_id]
+        for sid in check_ids:
             if sid not in known:
                 raise ValueError(f"snapshot {sid} not found (expired?)")
         if from_snapshot_id >= to_id:

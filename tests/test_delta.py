@@ -405,3 +405,23 @@ def test_scan_report_records_pruning(spark, delta_table):
     assert rep["files_scanned"] >= 1
     assert rep["files_skipped"] >= 1
     assert rep["files_total"] == rep["files_scanned"] + rep["files_skipped"]
+
+
+def test_commit_put_if_absent(spark, tmp_path):
+    """Delta's protocol requires atomic create-if-absent on commit files:
+    two writers racing to the same version must see exactly one win, not
+    a silent overwrite (delta_meta._write_commit uses os.link, which
+    fails with EEXIST where os.rename would clobber)."""
+    from pg_lake_spark.lakehouse import delta_meta
+
+    loc = str(tmp_path / "race")
+    df = spark.range(5).withColumnRenamed("id", "k")
+    write_delta_table(spark, loc, df)
+    v_path = os.path.join(loc, "_delta_log", f"{1:020d}.json")
+    delta_meta._write_commit(loc, 1, [{"commitInfo": {"timestamp": 1}}])
+    before = open(v_path).read()
+    with pytest.raises(delta_meta.ConcurrentDeltaCommitError, match="version 1"):
+        delta_meta._write_commit(loc, 1, [{"commitInfo": {"timestamp": 2}}])
+    assert open(v_path).read() == before  # winner untouched
+    # loser's tmp file cleaned up
+    assert not [n for n in os.listdir(os.path.join(loc, "_delta_log")) if ".tmp-" in n]

@@ -840,3 +840,163 @@ def test_foreign_scan_report_records_pruning(spark, tmp_path):
     rep = iceberg_meta.last_scan_report
     assert rep["files_skipped"] >= 1
     assert rep["files_total"] == rep["files_scanned"] + rep["files_skipped"]
+
+
+def _build_foreign_v2_eqdel(spark, root, *, entry_seqs, list_seqs, space_dir=False,
+                            statuses=(1, 1, 1)):
+    """Hand-build a foreign v2 table: data file A (keys 0-2, incl. s='x'),
+    data file B (keys 10-11), equality delete on field id 2 (s='x').
+    ``entry_seqs`` = (seqA, seqB, seqDel) written on the manifest ENTRIES
+    (None → null, the real-writer inheritance shape); ``list_seqs`` =
+    (data-manifest seq... , delete-manifest seq) on the manifest-LIST rows.
+    Returns the table root path."""
+    dname = "da ta" if space_dir else "data"
+    os.makedirs(root / dname)
+
+    def write_one(df, sub):
+        d = root / dname / sub
+        df.coalesce(1).write.parquet(str(d))
+        return next(str(d / f) for f in os.listdir(d) if f.endswith(".parquet"))
+
+    pa_ = write_one(
+        spark.createDataFrame([(0, "x"), (1, "y"), (2, "x")], "k bigint, s string"), "a"
+    )
+    pb = write_one(
+        spark.createDataFrame([(10, "x"), (11, "y")], "k bigint, s string"), "b"
+    )
+    pd_ = write_one(spark.createDataFrame([("x",)], "s string"), "d")
+
+    meta_dir = root / "metadata"
+    os.makedirs(meta_dir)
+    entry_schema = json.dumps(
+        iceberg_meta._manifest_entry_schema([], "k bigint, s string")
+    )
+
+    def entry(path, content, seq, status, eq_ids=None):
+        return json.dumps(
+            {
+                "status": status,
+                "snapshot_id": {"long": 9},
+                "sequence_number": None if seq is None else {"long": seq},
+                "file_sequence_number": None if seq is None else {"long": seq},
+                "data_file": {
+                    "content": content,
+                    "file_path": "file://" + path,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": 1,
+                    "file_size_in_bytes": os.path.getsize(path),
+                    "equality_ids": {"array": eq_ids} if eq_ids else None,
+                },
+            }
+        )
+
+    ma = str(meta_dir / "m-a.avro")
+    iceberg_meta.write_avro_file(
+        spark, ma, entry_schema, [entry(pa_, 0, entry_seqs[0], statuses[0])],
+        {"content": "data"},
+    )
+    mb = str(meta_dir / "m-b.avro")
+    iceberg_meta.write_avro_file(
+        spark, mb, entry_schema, [entry(pb, 0, entry_seqs[1], statuses[1])],
+        {"content": "data"},
+    )
+    md = str(meta_dir / "m-d.avro")
+    iceberg_meta.write_avro_file(
+        spark, md, entry_schema,
+        [entry(pd_, 2, entry_seqs[2], statuses[2], eq_ids=[2])],
+        {"content": "deletes"},
+    )
+    list_schema = json.dumps(iceberg_meta._manifest_list_schema())
+
+    def list_rec(mpath, content, seq):
+        return json.dumps(
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": content,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": 9,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": 1,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+
+    mlist = str(meta_dir / "snap-9.avro")
+    iceberg_meta.write_avro_file(
+        spark, mlist, list_schema,
+        [list_rec(ma, 0, list_seqs[0]), list_rec(mb, 0, list_seqs[1]),
+         list_rec(md, 1, list_seqs[2])],
+        {"format-version": "2"},
+    )
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-00000000001e",
+        "location": str(root),
+        "last-sequence-number": max(list_seqs),
+        "last-updated-ms": 0,
+        "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "k", "required": False, "type": "long"},
+                    {"id": 2, "name": "s", "required": False, "type": "string"},
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "current-snapshot-id": 9,
+        "snapshots": [{"snapshot-id": 9, "timestamp-ms": 0, "manifest-list": mlist}],
+    }
+    with open(meta_dir / "v1.metadata.json", "w") as fh:
+        json.dump(metadata, fh)
+    return str(root)
+
+
+def test_scan_inherits_null_entry_sequence_numbers(spark, tmp_path):
+    """Real v2 writers (Spark, Flink CDC) leave sequence_number null on
+    ADDED entries; the value inherits from the manifest-list row (spec
+    'Sequence Number Inheritance'). Data A at list-seq 1 must be scoped
+    by the delete at list-seq 2; data B at list-seq 3 must not."""
+    loc = _build_foreign_v2_eqdel(
+        spark, tmp_path / "inh",
+        entry_seqs=(None, None, None), list_seqs=(1, 3, 2),
+    )
+    got = iceberg_meta.scan_iceberg(spark, loc)
+    # A's s='x' rows (keys 0, 2) deleted; B untouched (3 >= 2)
+    assert _rows(got) == [(1, "y"), (10, "x"), (11, "y")]
+
+
+def test_scan_rejects_existing_entry_without_sequence(spark, tmp_path):
+    """An EXISTING entry must carry its original explicit seq (it cannot
+    inherit the new manifest-list seq) — a null there is a spec
+    violation and must fail loudly, not default to 0."""
+    loc = _build_foreign_v2_eqdel(
+        spark, tmp_path / "exst",
+        entry_seqs=(None, None, None), list_seqs=(1, 3, 2),
+        statuses=(0, 1, 1),  # A is EXISTING with null seq
+    )
+    with pytest.raises(ValueError, match="EXISTING entry"):
+        iceberg_meta.scan_iceberg(spark, loc)
+
+
+def test_equality_deletes_on_path_with_space(spark, tmp_path):
+    """_metadata.file_path is Hadoop-URI-encoded (space → %20); the
+    data-seq broadcast map must use the same encoding or the inner join
+    silently drops every row of files under such paths."""
+    loc = _build_foreign_v2_eqdel(
+        spark, tmp_path / "sp",
+        entry_seqs=(1, 3, 2), list_seqs=(1, 3, 2), space_dir=True,
+    )
+    got = iceberg_meta.scan_iceberg(spark, loc)
+    assert _rows(got) == [(1, "y"), (10, "x"), (11, "y")]

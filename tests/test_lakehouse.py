@@ -943,3 +943,31 @@ def test_incremental_scan(spark, events_df, tmp_path):
     assert t.incremental_scan(1, to_snapshot_id=3).count() == 50
     with pytest.raises(ValueError, match="not found"):
         t.incremental_scan(99)
+
+
+def test_autovacuum_survives_vacuum_errors(spark, events_df, tmp_path, monkeypatch):
+    """One failing vacuum must not kill the daemon thread: the loop
+    records last_error and keeps polling (reference's background worker
+    keeps its cadence through transient lock/IO errors)."""
+    loc = str(tmp_path / "av3")
+    t = LakeTable.create_from_dataframe(spark, loc, events_df.limit(10))
+    av = maintenance.Autovacuum([t], interval_s=0.01)
+    calls = {"n": 0}
+    real = maintenance.vacuum
+
+    def flaky(table, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("transient IO failure")
+        return real(table, **kw)
+
+    monkeypatch.setattr(maintenance, "vacuum", flaky)
+    av.start(poll_s=0.02)
+    try:
+        deadline = time.time() + 20
+        while calls["n"] < 2 and time.time() < deadline:
+            time.sleep(0.05)
+    finally:
+        av.stop()
+    assert calls["n"] >= 2  # loop survived the first failure
+    assert isinstance(av.last_error, OSError)

@@ -187,3 +187,24 @@ def test_append_feed_at_least_once(spark, tmp_path):
         feed3.poll()
     feed3.reset(t.metadata.current_snapshot_id)
     assert feed3.poll() is None
+
+
+def test_append_feed_full_replay_from_zero(spark, tmp_path):
+    """start_from=0 is the documented full-replay bookmark: the first
+    poll after the first append on an initially-empty-then-written table
+    must return everything, not raise 'snapshot 0 not found'."""
+    from pg_lake_spark.streaming import AppendFeed
+
+    loc = str(tmp_path / "feed_z")
+    ckpt = str(tmp_path / "feed_z.ckpt")
+    t = LakeTable.create_from_dataframe(
+        spark, loc, spark.createDataFrame([(1, "a")], "k bigint, s string")
+    )
+    t.append(spark.createDataFrame([(2, "b")], "k bigint, s string"))
+    feed = AppendFeed(t, ckpt, start_from=0)
+    batch = feed.poll()
+    assert sorted(r.k for r in batch.collect()) == [1, 2]
+    feed.commit()
+    assert feed.poll() is None
+    # incremental_scan(0) directly is the same contract
+    assert sorted(r.k for r in t.incremental_scan(0).collect()) == [1, 2]
