@@ -1,0 +1,614 @@
+"""Dependency-free spatial slice over WKB geometries.
+
+The reference ships ~90 shippable ``st_*`` functions by delegating to
+DuckDB's spatial extension (pg_lake_engine/src/pgduck/
+shippable_spatial_functions.c:56-455, shippable_spatial_operators.c) and
+detects GeoParquet geometry columns (pg_lake_engine/src/parquet/
+geoparquet.c). No geometry library exists in this environment, so this
+module re-implements the geometry-library-free subset directly over the
+WKB wire format (the same representation the reference's type uses):
+
+- constructors: st_point, st_makeline, st_geomfromtext, st_geomfromwkb,
+  st_makeenvelope
+- accessors: st_x, st_y, st_astext, st_asbinary, st_geometrytype,
+  st_npoints/st_numpoints, st_startpoint, st_endpoint, st_pointn,
+  st_srid, st_dimension, st_isempty, st_isclosed
+- measures: st_length, st_distance (point-point), st_dwithin, st_area
+  (envelope), st_centroid
+- envelope/bbox: st_envelope (struct xmin/ymin/xmax/ymax — the same
+  bbox the reference reads from GeoParquet covering metadata,
+  pg_lake_table/src/describe/describe.c:225), plus pure-expression
+  predicates bbox_contains / bbox_intersects / bbox_within /
+  bbox_disjoint and bbox_contains_point.
+- transforms: st_reverse, st_flipcoordinates
+
+Execution model: WKB pack/parse cannot be expressed with built-in
+Column functions (no IEEE-754 byte access), so the kernels are
+Arrow-batched pandas UDFs with numpy-vectorized fast paths for the
+dominant all-points case; every predicate/measure that CAN be a plain
+Column expression (bbox logic, distance given coordinates) is one, so
+joins and filters stay JVM-side and Catalyst-visible. Geometry values
+are opaque ``binary`` columns — partitioning, stats, and shuffles treat
+them like any other binary payload, which is exactly how the reference
+stores geometry in parquet.
+
+Supported geometry types: POINT (1), LINESTRING (2), POLYGON (3);
+2D, both WKB byte orders on read, little-endian on write, SRID-less
+(st_srid returns 0 as PostGIS does for unset SRID).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# pandas_udf return types as DataType objects: DDL-string parsing needs an
+# active SparkContext, which doesn't exist at module import time.
+_XY_T = StructType([StructField("x", DoubleType()), StructField("y", DoubleType())])
+_ENV_T = StructType(
+    [
+        StructField("xmin", DoubleType()),
+        StructField("ymin", DoubleType()),
+        StructField("xmax", DoubleType()),
+        StructField("ymax", DoubleType()),
+    ]
+)
+_INFO_T = StructType(
+    [
+        StructField("gtype", StringType()),
+        StructField("npoints", IntegerType()),
+        StructField("length", DoubleType()),
+        StructField("closed", BooleanType()),
+        StructField("dim", IntegerType()),
+        StructField("empty", BooleanType()),
+    ]
+)
+
+WKB_POINT = 1
+WKB_LINESTRING = 2
+WKB_POLYGON = 3
+
+_TYPE_NAMES = {WKB_POINT: "ST_Point", WKB_LINESTRING: "ST_LineString", WKB_POLYGON: "ST_Polygon"}
+# PostGIS GeometryType()/ST_GeometryType naming
+_WKT_NAMES = {WKB_POINT: "POINT", WKB_LINESTRING: "LINESTRING", WKB_POLYGON: "POLYGON"}
+
+
+# ---------------------------------------------------------------------------
+# python-side WKB codec (runs inside Arrow batches)
+# ---------------------------------------------------------------------------
+
+def _pack_point(x: float, y: float) -> bytes:
+    return struct.pack("<BIdd", 1, WKB_POINT, x, y)
+
+
+def _pack_linestring(coords: list[tuple[float, float]]) -> bytes:
+    out = struct.pack("<BII", 1, WKB_LINESTRING, len(coords))
+    for x, y in coords:
+        out += struct.pack("<dd", x, y)
+    return out
+
+
+def _pack_polygon(rings: list[list[tuple[float, float]]]) -> bytes:
+    out = struct.pack("<BII", 1, WKB_POLYGON, len(rings))
+    for ring in rings:
+        out += struct.pack("<I", len(ring))
+        for x, y in ring:
+            out += struct.pack("<dd", x, y)
+    return out
+
+
+def _parse(b: bytes) -> tuple[int, list]:
+    """→ (geom_type, coords) where coords is [(x,y)] for point/linestring
+    and [[(x,y)]] (rings) for polygon. Raises on malformed/unsupported."""
+    if len(b) < 5:
+        raise ValueError("WKB too short")
+    bo = "<" if b[0] == 1 else ">"
+    (gtype,) = struct.unpack_from(bo + "I", b, 1)
+    gtype = gtype & 0xFF  # mask any EWKB flag bits
+    if gtype == WKB_POINT:
+        x, y = struct.unpack_from(bo + "dd", b, 5)
+        return gtype, [(x, y)]
+    if gtype == WKB_LINESTRING:
+        (n,) = struct.unpack_from(bo + "I", b, 5)
+        vals = struct.unpack_from(bo + f"{2 * n}d", b, 9)
+        return gtype, [(vals[2 * i], vals[2 * i + 1]) for i in range(n)]
+    if gtype == WKB_POLYGON:
+        (nr,) = struct.unpack_from(bo + "I", b, 5)
+        off = 9
+        rings = []
+        for _ in range(nr):
+            (n,) = struct.unpack_from(bo + "I", b, off)
+            off += 4
+            vals = struct.unpack_from(bo + f"{2 * n}d", b, off)
+            off += 16 * n
+            rings.append([(vals[2 * i], vals[2 * i + 1]) for i in range(n)])
+        return gtype, rings
+    raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+def _flat_coords(gtype: int, coords: list) -> list[tuple[float, float]]:
+    if gtype == WKB_POLYGON:
+        return [p for ring in coords for p in ring]
+    return coords
+
+
+def _fmt_num(v: float) -> str:
+    # PostGIS prints integral coordinates without the trailing .0
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return repr(v)
+
+
+def _to_wkt(b: bytes) -> str:
+    gtype, coords = _parse(b)
+    if gtype == WKB_POINT:
+        (x, y) = coords[0]
+        return f"POINT({_fmt_num(x)} {_fmt_num(y)})"
+    if gtype == WKB_LINESTRING:
+        inner = ",".join(f"{_fmt_num(x)} {_fmt_num(y)}" for x, y in coords)
+        return f"LINESTRING({inner})"
+    inner = ",".join(
+        "(" + ",".join(f"{_fmt_num(x)} {_fmt_num(y)}" for x, y in ring) + ")"
+        for ring in coords
+    )
+    return f"POLYGON({inner})"
+
+
+def _from_wkt(s: str) -> bytes:
+    s = s.strip()
+    up = s.upper()
+
+    def coords_of(body: str) -> list[tuple[float, float]]:
+        return [
+            (float(p.split()[0]), float(p.split()[1]))
+            for p in body.split(",")
+            if p.strip()
+        ]
+
+    if up.startswith("POINT"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        x, y = body.split()[:2]
+        return _pack_point(float(x), float(y))
+    if up.startswith("LINESTRING"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        return _pack_linestring(coords_of(body))
+    if up.startswith("POLYGON"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        rings = []
+        depth = 0
+        start = None
+        for i, ch in enumerate(body):
+            if ch == "(":
+                depth += 1
+                start = i + 1
+            elif ch == ")":
+                depth -= 1
+                rings.append(coords_of(body[start:i]))
+        return _pack_polygon(rings)
+    raise ValueError(f"unsupported WKT: {s[:40]}")
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched kernels
+# ---------------------------------------------------------------------------
+
+@pandas_udf(BinaryType())
+def _k_point(x: pd.Series, y: pd.Series) -> pd.Series:
+    n = len(x)
+    if n == 0:
+        return pd.Series([], dtype=object)
+    xv = pd.to_numeric(x, errors="coerce").to_numpy(dtype="f8", na_value=np.nan)
+    yv = pd.to_numeric(y, errors="coerce").to_numpy(dtype="f8", na_value=np.nan)
+    buf = np.empty((n, 21), dtype=np.uint8)
+    buf[:, 0] = 1
+    buf[:, 1:5] = np.array([WKB_POINT, 0, 0, 0], dtype=np.uint8)
+    buf[:, 5:13] = xv.astype("<f8").view(np.uint8).reshape(n, 8)
+    buf[:, 13:21] = yv.astype("<f8").view(np.uint8).reshape(n, 8)
+    null = np.isnan(xv) | np.isnan(yv)
+    rows = buf.tobytes()
+    out = [None if null[i] else rows[21 * i : 21 * i + 21] for i in range(n)]
+    return pd.Series(out, dtype=object)
+
+
+def _all_le_points(vals: list) -> bool:
+    return all(len(b) == 21 and b[0] == 1 and b[1] == WKB_POINT for b in vals if b is not None) and any(
+        b is not None for b in vals
+    )
+
+
+@pandas_udf(_XY_T)
+def _k_xy(g: pd.Series) -> pd.DataFrame:
+    vals = list(g)
+    n = len(vals)
+    xs = np.full(n, np.nan)
+    ys = np.full(n, np.nan)
+    if n and _all_le_points(vals):
+        # vectorized fast path: every non-null value is a LE WKB point
+        idx = [i for i, b in enumerate(vals) if b is not None]
+        mat = np.frombuffer(b"".join(vals[i] for i in idx), dtype=np.uint8).reshape(len(idx), 21)
+        xs[idx] = mat[:, 5:13].copy().view("<f8").ravel()
+        ys[idx] = mat[:, 13:21].copy().view("<f8").ravel()
+    else:
+        for i, b in enumerate(vals):
+            if b is None:
+                continue
+            gtype, coords = _parse(bytes(b))
+            if gtype != WKB_POINT:
+                raise ValueError("st_x/st_y expect a POINT")
+            xs[i], ys[i] = coords[0]
+    return pd.DataFrame({"x": xs, "y": ys})
+
+
+@pandas_udf(StringType())
+def _k_astext(g: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if b is None else _to_wkt(bytes(b)) for b in g], dtype=object
+    )
+
+
+@pandas_udf(BinaryType())
+def _k_fromtext(s: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if v is None else _from_wkt(str(v)) for v in s], dtype=object
+    )
+
+
+@pandas_udf(_ENV_T)
+def _k_envelope(g: pd.Series) -> pd.DataFrame:
+    n = len(g)
+    out = np.full((n, 4), np.nan)
+    for i, b in enumerate(g):
+        if b is None:
+            continue
+        gtype, coords = _parse(bytes(b))
+        pts = _flat_coords(gtype, coords)
+        if pts:
+            xs = [p[0] for p in pts]
+            ys = [p[1] for p in pts]
+            out[i] = (min(xs), min(ys), max(xs), max(ys))
+    return pd.DataFrame(
+        {"xmin": out[:, 0], "ymin": out[:, 1], "xmax": out[:, 2], "ymax": out[:, 3]}
+    )
+
+
+@pandas_udf(_INFO_T)
+def _k_info(g: pd.Series) -> pd.DataFrame:
+    rows = []
+    for b in g:
+        if b is None:
+            rows.append((None, None, None, None, None, None))
+            continue
+        gtype, coords = _parse(bytes(b))
+        pts = _flat_coords(gtype, coords)
+        length = 0.0
+        if gtype in (WKB_LINESTRING, WKB_POLYGON):
+            seqs = coords if gtype == WKB_POLYGON else [coords]
+            for seq in seqs:
+                for (x0, y0), (x1, y1) in zip(seq, seq[1:]):
+                    length += math.hypot(x1 - x0, y1 - y0)
+        closed = (
+            bool(pts) and coords[0] == coords[-1]
+            if gtype == WKB_LINESTRING
+            else (gtype == WKB_POLYGON if pts else None)
+        )
+        dim = {WKB_POINT: 0, WKB_LINESTRING: 1, WKB_POLYGON: 2}[gtype]
+        rows.append(
+            (_TYPE_NAMES[gtype], len(pts), length, closed, dim, len(pts) == 0)
+        )
+    return pd.DataFrame(
+        rows, columns=["gtype", "npoints", "length", "closed", "dim", "empty"]
+    )
+
+
+@pandas_udf(BinaryType())
+def _k_makeline(arr: pd.Series) -> pd.Series:
+    out = []
+    for pts in arr:
+        if pts is None:
+            out.append(None)
+            continue
+        coords = []
+        for b in pts:
+            if b is None:
+                continue
+            gtype, c = _parse(bytes(b))
+            if gtype != WKB_POINT:
+                raise ValueError("st_makeline expects POINT inputs")
+            coords.append(c[0])
+        out.append(_pack_linestring(coords) if coords else None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _k_pointn(g: pd.Series, n: pd.Series) -> pd.Series:
+    out = []
+    for b, k in zip(g, n):
+        if b is None or k is None:
+            out.append(None)
+            continue
+        gtype, coords = _parse(bytes(b))
+        if gtype != WKB_LINESTRING:
+            out.append(None)  # PostGIS: NULL for non-linestring
+            continue
+        k = int(k)
+        idx = k - 1 if k > 0 else len(coords) + k  # 1-based; negative from end
+        if 0 <= idx < len(coords):
+            out.append(_pack_point(*coords[idx]))
+        else:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _k_centroid(g: pd.Series) -> pd.Series:
+    out = []
+    for b in g:
+        if b is None:
+            out.append(None)
+            continue
+        gtype, coords = _parse(bytes(b))
+        if gtype == WKB_POINT:
+            out.append(_pack_point(*coords[0]))
+        elif gtype == WKB_LINESTRING:
+            # length-weighted segment midpoints (PostGIS semantics)
+            tw = cx = cy = 0.0
+            for (x0, y0), (x1, y1) in zip(coords, coords[1:]):
+                w = math.hypot(x1 - x0, y1 - y0)
+                tw += w
+                cx += w * (x0 + x1) / 2
+                cy += w * (y0 + y1) / 2
+            if tw == 0:
+                xs = [p[0] for p in coords]
+                ys = [p[1] for p in coords]
+                out.append(_pack_point(sum(xs) / len(xs), sum(ys) / len(ys)))
+            else:
+                out.append(_pack_point(cx / tw, cy / tw))
+        else:
+            # shoelace centroid of the exterior ring
+            ring = coords[0]
+            a = cx = cy = 0.0
+            for (x0, y0), (x1, y1) in zip(ring, ring[1:]):
+                cross = x0 * y1 - x1 * y0
+                a += cross
+                cx += (x0 + x1) * cross
+                cy += (y0 + y1) * cross
+            if a == 0:
+                xs = [p[0] for p in ring]
+                ys = [p[1] for p in ring]
+                out.append(_pack_point(sum(xs) / len(xs), sum(ys) / len(ys)))
+            else:
+                out.append(_pack_point(cx / (3 * a), cy / (3 * a)))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _k_reverse(g: pd.Series) -> pd.Series:
+    out = []
+    for b in g:
+        if b is None:
+            out.append(None)
+            continue
+        gtype, coords = _parse(bytes(b))
+        if gtype == WKB_POINT:
+            out.append(_pack_point(*coords[0]))
+        elif gtype == WKB_LINESTRING:
+            out.append(_pack_linestring(coords[::-1]))
+        else:
+            out.append(_pack_polygon([r[::-1] for r in coords]))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _k_flip(g: pd.Series) -> pd.Series:
+    out = []
+    for b in g:
+        if b is None:
+            out.append(None)
+            continue
+        gtype, coords = _parse(bytes(b))
+        if gtype == WKB_POINT:
+            x, y = coords[0]
+            out.append(_pack_point(y, x))
+        elif gtype == WKB_LINESTRING:
+            out.append(_pack_linestring([(y, x) for x, y in coords]))
+        else:
+            out.append(_pack_polygon([[(y, x) for x, y in r] for r in coords]))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _k_validate_wkb(g: pd.Series) -> pd.Series:
+    out = []
+    for b in g:
+        if b is None:
+            out.append(None)
+            continue
+        _parse(bytes(b))  # raises on malformed
+        out.append(bytes(b))
+    return pd.Series(out, dtype=object)
+
+
+# ---------------------------------------------------------------------------
+# public column API (PostGIS names)
+# ---------------------------------------------------------------------------
+
+def st_point(x, y) -> Column:
+    return _k_point(F.col(x) if isinstance(x, str) else x, F.col(y) if isinstance(y, str) else y)
+
+
+def st_x(g) -> Column:
+    return _k_xy(g)["x"]
+
+
+def st_y(g) -> Column:
+    return _k_xy(g)["y"]
+
+
+def st_astext(g) -> Column:
+    return _k_astext(g)
+
+
+def st_asbinary(g) -> Column:
+    # geometry already IS little-endian WKB; identity projection
+    return F.col(g) if isinstance(g, str) else g
+
+
+def st_geomfromwkb(b) -> Column:
+    return _k_validate_wkb(b)
+
+
+def st_geomfromtext(s) -> Column:
+    return _k_fromtext(F.col(s) if isinstance(s, str) else s)
+
+
+st_geometryfromtext = st_geomfromtext
+
+
+def st_envelope(g) -> Column:
+    """bbox struct (xmin,ymin,xmax,ymax) — feed bbox_* predicates."""
+    return _k_envelope(g)
+
+
+st_extent = st_envelope
+
+
+def st_geometrytype(g) -> Column:
+    return _k_info(g)["gtype"]
+
+
+def st_npoints(g) -> Column:
+    return _k_info(g)["npoints"]
+
+
+st_numpoints = st_npoints
+
+
+def st_length(g) -> Column:
+    return _k_info(g)["length"]
+
+
+def st_isclosed(g) -> Column:
+    return _k_info(g)["closed"]
+
+
+def st_dimension(g) -> Column:
+    return _k_info(g)["dim"]
+
+
+def st_isempty(g) -> Column:
+    return _k_info(g)["empty"]
+
+
+def st_srid(g) -> Column:
+    # SRID-less storage (like PostGIS unset SRID)
+    col = F.col(g) if isinstance(g, str) else g
+    return F.when(col.isNotNull(), F.lit(0)).cast("int")
+
+
+def st_makeline(points_array) -> Column:
+    return _k_makeline(points_array)
+
+
+def st_pointn(g, n) -> Column:
+    n = F.lit(n) if isinstance(n, int) else n
+    return _k_pointn(g, n)
+
+
+def st_startpoint(g) -> Column:
+    return st_pointn(g, 1)
+
+
+def st_endpoint(g) -> Column:
+    return st_pointn(g, -1)
+
+
+def st_centroid(g) -> Column:
+    return _k_centroid(g)
+
+
+def st_reverse(g) -> Column:
+    return _k_reverse(g)
+
+
+def st_flipcoordinates(g) -> Column:
+    return _k_flip(g)
+
+
+def st_distance(a, b) -> Column:
+    """Euclidean point-point distance. Parses each side once (one kernel
+    call per side); the arithmetic stays a JVM expression."""
+    pa_, pb = _k_xy(a), _k_xy(b)
+    return F.sqrt(
+        F.pow(pa_["x"] - pb["x"], F.lit(2)) + F.pow(pa_["y"] - pb["y"], F.lit(2))
+    )
+
+
+def st_dwithin(a, b, d) -> Column:
+    return st_distance(a, b) <= F.lit(d)
+
+
+def st_makeenvelope(xmin, ymin, xmax, ymax) -> Column:
+    """bbox struct from plain expressions — no kernel needed."""
+    c = lambda v: F.lit(v) if not isinstance(v, Column) else v  # noqa: E731
+    return F.struct(
+        c(xmin).cast("double").alias("xmin"),
+        c(ymin).cast("double").alias("ymin"),
+        c(xmax).cast("double").alias("xmax"),
+        c(ymax).cast("double").alias("ymax"),
+    )
+
+
+def st_area(box) -> Column:
+    """Area of a bbox struct (envelope algebra — the slice's polygon
+    surface is envelope-based, like GeoParquet row-group pruning)."""
+    return (box["xmax"] - box["xmin"]) * (box["ymax"] - box["ymin"])
+
+
+# --- pure-expression bbox predicates (JVM-side; Catalyst can push them) ----
+
+def bbox_contains_point(box, x, y) -> Column:
+    return (
+        (x >= box["xmin"]) & (x <= box["xmax"]) & (y >= box["ymin"]) & (y <= box["ymax"])
+    )
+
+
+def bbox_contains(a, b) -> Column:
+    """box a contains box b (st_contains on envelopes)."""
+    return (
+        (b["xmin"] >= a["xmin"])
+        & (b["xmax"] <= a["xmax"])
+        & (b["ymin"] >= a["ymin"])
+        & (b["ymax"] <= a["ymax"])
+    )
+
+
+def bbox_within(a, b) -> Column:
+    return bbox_contains(b, a)
+
+
+def bbox_intersects(a, b) -> Column:
+    return ~(
+        (a["xmax"] < b["xmin"])
+        | (b["xmax"] < a["xmin"])
+        | (a["ymax"] < b["ymin"])
+        | (b["ymax"] < a["ymin"])
+    )
+
+
+def bbox_disjoint(a, b) -> Column:
+    return ~bbox_intersects(a, b)

@@ -18,50 +18,54 @@ from pg_lake_spark.queries import relational  # noqa: E402,F401
 from pg_lake_spark.queries import tpch  # noqa: E402,F401
 from pg_lake_spark.queries import dml  # noqa: E402,F401
 from pg_lake_spark.queries import delta_q  # noqa: E402,F401
+from pg_lake_spark.queries import spatial_q  # noqa: E402,F401
 
 # Registration order is driver-visible: the correctness driver checks the
 # FIRST 50 registry entries each round, so queries without an official
-# green row yet rotate to the front. After round 4 every declared query
-# has had an official green row at least once; the round-5 window is the
-# queries newly declared THIS round (never driver-checked), then the
-# queries whose newest official evidence is oldest — the round-3 rows,
-# in their CORRECTNESS_r03 order (the r2 rows were all re-confirmed in
-# round 4). The last ten r3 TPC-H rows are bumped to make room and
-# rotate back next round.
-_R5_NEW = ["d_delta_scan", "dml_incremental_scan", "sim_ivf_topk",
-           "dd_neardup_clusters", "g_rollup_rank_hierarchy",
-           "j_bucketed_colocated", "j_salted_skew", "mm_frame_sample",
-           "dml_update_set", "mm_resize_thumbs"]
-_R3_GREENS = [
-    "f_math", "f_casts", "arr_operators", "ds_train_val_split",
-    "ds_pack_sequences", "dd_lsh_candidates", "sim_lsh_topk", "a_mode_disc",
-    "json_extract_agg", "w_exclude_current_row", "d_limit_with_ties",
-    "g_grouping_fn", "d_not_in_three_valued", "j_lateral_topn", "e_funnel",
-    "e_retention", "j_asof_prior_view", "j_range_within_hour",
-    "s_except_all", "g_grouping_sets", "s_union_all", "s_intersect",
-    "s_except", "dml_cow_delete", "dml_mor_lifecycle", "dml_merge_upsert",
-    "ddl_schema_evolution", "q1_pricing_summary", "q2_min_cost_supplier",
-    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "q10_returned_items", "q11_important_stock",
-    "q12_late_lineitems", "q13_customer_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_part_counts", "q17_small_qty_revenue",
-    "q18_large_volume_customer", "q19_discounted_revenue",
-    "q20_excess_suppliers", "q21_waiting_suppliers", "q22_dormant_customers",
-    "q_top_parts_by_revenue",
+# green row yet rotate to the front. Round-6 window: queries newly
+# declared THIS round, then the 17 rows whose newest official green is
+# r2/r3 (they fell off the r5 window's tail), then backfill with the
+# oldest re-confirmations (r4 rows, in CORRECTNESS_r04 order) up to 50.
+_R6_NEW: list[str] = [
+    "f_spatial_point", "j_spatial_bbox_join", "f_spatial_measures",
+    "dml_drop_restore", "d_delta_column_mapping",
 ]
-_R5_WINDOW = (_R5_NEW + _R3_GREENS)[:50]
+_STALE_R2R3 = [
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_qty_revenue", "q18_large_volume_customer",
+    "q19_discounted_revenue", "q20_excess_suppliers",
+    "q21_waiting_suppliers", "q22_dormant_customers",
+    "q_top_parts_by_revenue", "g_cube_events", "g_rollup_orders",
+    "w_agg_over_window_filter", "w_range_frame", "w_rank_family",
+    "w_running_agg", "w_value_family",
+]
+_R4_GREENS = [
+    "j_outer_join_coalesce", "j_full_outer", "j_semi_anti", "j_cross_join",
+    "d_distinct_on_latest", "d_count_distinct", "d_cte_values_join",
+    "d_correlated_scalar_subquery", "a_stat_aggs", "a_regr_aggs",
+    "a_percentiles", "a_bool_string_agg", "arr_ops", "arr_unnest_series",
+    "f_trig", "f_intdiv", "f_string", "f_substring_pg", "f_regex",
+    "f_datetime", "f_to_char", "f_case_nullif", "f_encode_decode",
+    "f_map_ops", "f_date_bin", "f_json_variant", "f_width_bucket",
+    "g_pivot_event_types", "f_hyperbolic", "f_bit_ops",
+    "dd_exact_hash_groups", "dd_minhash_signatures",
+    "dd_ngram_jaccard_pairs", "dd_fingerprint", "sim_cosine_topk",
+    "txt_stats", "txt_quality_by_lang", "mm_binary_features",
+]
+_R6_WINDOW = (_R6_NEW + _STALE_R2R3 + _R4_GREENS)[:50]
 
 
 def _rotate(front: list[str]) -> None:
-    missing = [n for n in front if n not in QUERIES]
+    # _R6_NEW entries may not be registered yet mid-round; skip those,
+    # but a stale/backfill name missing from the registry is a bug.
+    missing = [n for n in front if n not in QUERIES and n not in _R6_NEW]
     assert not missing, f"rotation names not in registry: {missing}"
-    ordered = {n: QUERIES[n] for n in front}
+    ordered = {n: QUERIES[n] for n in front if n in QUERIES}
     ordered.update((n, s) for n, s in QUERIES.items() if n not in ordered)
     QUERIES.clear()
     QUERIES.update(ordered)
 
 
-_rotate(_R5_WINDOW)
+_rotate(_R6_WINDOW)
 
 __all__ = ["QUERIES", "QuerySpec", "query"]

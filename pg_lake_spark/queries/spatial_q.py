@@ -1,0 +1,184 @@
+"""Spatial slice queries (WKB geometry over TPC-H-derived coordinates).
+
+Mirrors the reference's shippable spatial surface
+(pg_lake_engine/src/pgduck/shippable_spatial_functions.c:56-455) on the
+dependency-free subset in ``functions/spatial.py``. DuckDB 1.0.0's
+spatial extension is not loadable in this sandbox, so the oracles are
+computed SQL: every geometry here is built from integer-valued doubles,
+making pack→parse roundtrips exact and the oracle plain arithmetic —
+the WKB layout itself is pinned against golden byte vectors in
+``tests/test_spatial.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_lake_spark.functions import spatial as S
+from pg_lake_spark.operators.spatial_join import bbox_point_join
+from pg_lake_spark.queries.registry import query
+from pg_lake_spark.session import load_tables
+
+
+@query(
+    "f_spatial_point",
+    oracle="""
+    SELECT c_custkey,
+           CAST(c_custkey % 997 AS DOUBLE)        AS px,
+           CAST((c_custkey * 7) % 997 AS DOUBLE)  AS py,
+           'ST_Point'                             AS gtype,
+           1                                      AS npts,
+           0                                      AS srid,
+           CAST(c_custkey % 997 AS DOUBLE)        AS wx,
+           'POINT(' || CAST(c_custkey % 997 AS VARCHAR) || ' '
+                    || CAST((c_custkey * 7) % 997 AS VARCHAR) || ')' AS wkt
+    FROM customer
+    WHERE c_custkey <= 500
+    ORDER BY c_custkey
+    """,
+    doc="st_point/st_x/st_y/st_geometrytype/st_npoints/st_srid/"
+    "st_geomfromtext/st_astext roundtrips on integer-exact coordinates.",
+)
+def f_spatial_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = (
+        t["customer"]
+        .filter(F.col("c_custkey") <= 500)
+        .select(
+            "c_custkey",
+            (F.col("c_custkey") % 997).cast("double").alias("x"),
+            ((F.col("c_custkey") * 7) % 997).cast("double").alias("y"),
+        )
+    )
+    pt = S.st_point("x", "y")
+    # WKT roundtrip: format POINT(x y) from the integer coords, parse it
+    # back, take st_x — proves the text codec against the binary one.
+    wkt_in = F.concat(
+        F.lit("POINT("),
+        (F.col("c_custkey") % 997).cast("long").cast("string"),
+        F.lit(" "),
+        ((F.col("c_custkey") * 7) % 997).cast("long").cast("string"),
+        F.lit(")"),
+    )
+    g = c.select(
+        "c_custkey",
+        pt.alias("pt"),
+        S.st_geomfromtext(wkt_in).alias("wpt"),
+    )
+    return g.select(
+        "c_custkey",
+        S.st_x("pt").alias("px"),
+        S.st_y("pt").alias("py"),
+        S.st_geometrytype("pt").alias("gtype"),
+        S.st_npoints("pt").alias("npts"),
+        S.st_srid("pt").alias("srid"),
+        S.st_x("wpt").alias("wx"),
+        S.st_astext("pt").alias("wkt"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "f_spatial_measures",
+    oracle="""
+    SELECT c_custkey,
+           round(sqrt(
+               (CAST(c_custkey % 997 AS DOUBLE) - CAST(c_nationkey * 40 AS DOUBLE)) ^ 2
+             + (CAST((c_custkey * 7) % 997 AS DOUBLE) - CAST(c_nationkey * 40 AS DOUBLE)) ^ 2
+           ), 6) AS dist,
+           sqrt(
+               (CAST(c_custkey % 997 AS DOUBLE) - CAST(c_nationkey * 40 AS DOUBLE)) ^ 2
+             + (CAST((c_custkey * 7) % 997 AS DOUBLE) - CAST(c_nationkey * 40 AS DOUBLE)) ^ 2
+           ) <= 300.0 AS within,
+           round((CAST(c_custkey % 997 AS DOUBLE) + CAST(c_nationkey * 40 AS DOUBLE)) / 2, 6) AS cx,
+           round((CAST((c_custkey * 7) % 997 AS DOUBLE) + CAST(c_nationkey * 40 AS DOUBLE)) / 2, 6) AS cy
+    FROM customer
+    WHERE c_custkey <= 500
+    ORDER BY c_custkey
+    """,
+    doc="st_distance/st_dwithin/st_makeline/st_length/st_centroid: the "
+    "2-point line's length equals the distance and its centroid is the "
+    "midpoint — both checked against arithmetic SQL.",
+)
+def f_spatial_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = (
+        t["customer"]
+        .filter(F.col("c_custkey") <= 500)
+        .select(
+            "c_custkey",
+            (F.col("c_custkey") % 997).cast("double").alias("x"),
+            ((F.col("c_custkey") * 7) % 997).cast("double").alias("y"),
+            (F.col("c_nationkey") * 40).cast("double").alias("ax"),
+            (F.col("c_nationkey") * 40).cast("double").alias("ay"),
+        )
+    )
+    g = c.select(
+        "c_custkey",
+        S.st_point("x", "y").alias("p"),
+        S.st_point("ax", "ay").alias("anchor"),
+    ).select(
+        "c_custkey",
+        "p",
+        "anchor",
+        S.st_makeline(F.array("p", "anchor")).alias("line"),
+    )
+    # st_length(2-point line) == st_distance(endpoints); centroid of the
+    # line == midpoint: tie the three operators together in one query.
+    cen = g.select(
+        "c_custkey",
+        S.st_distance("p", "anchor").alias("rawdist"),
+        S.st_dwithin("p", "anchor", 300.0).alias("within"),
+        S.st_centroid("line").alias("c"),
+        S.st_length("line").alias("llen"),
+    )
+    return cen.select(
+        "c_custkey",
+        F.round((F.col("rawdist") + F.col("llen")) / 2, 6).alias("dist"),
+        "within",
+        F.round(S.st_x("c"), 6).alias("cx"),
+        F.round(S.st_y("c"), 6).alias("cy"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "j_spatial_bbox_join",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, count(*) AS pts
+    FROM nation n
+    JOIN customer c
+      ON CAST(c.c_custkey % 997 AS DOUBLE)
+           BETWEEN n.n_nationkey * 37.0 AND n.n_nationkey * 37.0 + 150.0
+     AND CAST((c.c_custkey * 7) % 997 AS DOUBLE)
+           BETWEEN n.n_nationkey * 31.0 AND n.n_nationkey * 31.0 + 200.0
+    GROUP BY n.n_nationkey, n.n_name
+    ORDER BY n.n_nationkey
+    """,
+    doc="Grid-bucketed bbox⋈point join (operators/spatial_join.py): "
+    "boxes explode to covered grid cells, points hash to one cell, "
+    "equi-join + exact predicate — an equi-shuffle, not a cross "
+    "product, per the reference's pushed st_contains joins.",
+)
+def j_spatial_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    boxes = t["nation"].select(
+        "n_nationkey",
+        "n_name",
+        S.st_makeenvelope(
+            F.col("n_nationkey") * 37.0,
+            F.col("n_nationkey") * 31.0,
+            F.col("n_nationkey") * 37.0 + 150.0,
+            F.col("n_nationkey") * 31.0 + 200.0,
+        ).alias("box"),
+    )
+    points = t["customer"].select(
+        "c_custkey",
+        (F.col("c_custkey") % 997).cast("double").alias("x"),
+        ((F.col("c_custkey") * 7) % 997).cast("double").alias("y"),
+    )
+    joined = bbox_point_join(boxes, points, cell=128.0)
+    return (
+        joined.groupBy("n_nationkey", "n_name")
+        .agg(F.count("*").alias("pts"))
+        .orderBy("n_nationkey")
+    )

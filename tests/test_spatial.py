@@ -1,0 +1,241 @@
+"""Spatial slice tests.
+
+Golden-vector WKB checks (the oracle queries can only prove arithmetic
+roundtrips — these pin the wire format to the spec), WKT codec, geometry
+accessors/measures, bbox predicate truth table, and the grid-bucketed
+join vs a naive cross-join oracle plus a no-cross-product plan assert.
+Mirrors pg_lake_spatial/tests' basic cases from the reference.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_lake_spark.functions import spatial as S
+from pg_lake_spark.operators.spatial_join import bbox_point_join
+
+
+def _one(df):
+    return df.collect()[0][0]
+
+
+def _geo_df(spark, rows, schema="x double, y double"):
+    return spark.createDataFrame(rows, schema)
+
+
+# --- golden WKB vectors -----------------------------------------------------
+
+
+def test_st_point_wkb_is_spec_exact(spark):
+    got = _one(_geo_df(spark, [(1.5, 2.5)]).select(S.st_point("x", "y")))
+    assert bytes(got) == struct.pack("<BIdd", 1, 1, 1.5, 2.5)
+    assert bytes(got).hex() == "0101000000000000000000f83f0000000000000440"
+
+
+def test_st_x_y_roundtrip_and_big_endian_read(spark):
+    le = struct.pack("<BIdd", 1, 1, -3.25, 7.0)
+    be = struct.pack(">BIdd", 0, 1, -3.25, 7.0)
+    df = spark.createDataFrame([(le,), (be,)], "g binary")
+    rows = df.select(S.st_x("g").alias("x"), S.st_y("g").alias("y")).collect()
+    assert [(r.x, r.y) for r in rows] == [(-3.25, 7.0), (-3.25, 7.0)]
+
+
+def test_null_propagation(spark):
+    df = spark.createDataFrame([(None, 1.0), (1.0, None), (2.0, 3.0)], "x double, y double")
+    out = df.select(S.st_point("x", "y").alias("g")).select(
+        S.st_x("g").alias("x"), S.st_astext("g").alias("t")
+    ).collect()
+    assert [r.x for r in out] == [None, None, 2.0]
+    assert [r.t for r in out] == [None, None, "POINT(2 3)"]
+
+
+# --- WKT codec --------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "wkt",
+    [
+        "POINT(1 2)",
+        "POINT(-1.5 0.25)",
+        "LINESTRING(0 0,1 1,2 0)",
+        "POLYGON((0 0,4 0,4 4,0 4,0 0))",
+        "POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))",
+    ],
+)
+def test_wkt_roundtrip(spark, wkt):
+    df = spark.createDataFrame([(wkt,)], "w string")
+    got = _one(df.select(S.st_astext(S.st_geomfromtext("w"))))
+    assert got == wkt
+
+
+def test_geomfromwkb_validates(spark):
+    df = spark.createDataFrame([(b"\x01\x09\x00\x00\x00",)], "g binary")
+    with pytest.raises(Exception, match="unsupported WKB|WKB too short"):
+        df.select(S.st_geomfromwkb("g")).collect()
+
+
+# --- accessors / measures ---------------------------------------------------
+
+
+def test_info_accessors_linestring(spark):
+    df = spark.createDataFrame([("LINESTRING(0 0,3 4,3 8)",)], "w string")
+    g = df.select(S.st_geomfromtext("w").alias("g"))
+    r = g.select(
+        S.st_geometrytype("g").alias("t"),
+        S.st_npoints("g").alias("n"),
+        S.st_length("g").alias("len"),
+        S.st_isclosed("g").alias("closed"),
+        S.st_dimension("g").alias("dim"),
+        S.st_isempty("g").alias("empty"),
+        S.st_srid("g").alias("srid"),
+    ).collect()[0]
+    assert (r.t, r.n, r.len, r.closed, r.dim, r.empty, r.srid) == (
+        "ST_LineString", 3, 9.0, False, 1, False, 0,
+    )
+
+
+def test_start_end_pointn(spark):
+    df = spark.createDataFrame([("LINESTRING(0 0,1 1,2 0)",)], "w string")
+    g = df.select(S.st_geomfromtext("w").alias("g"))
+    r = g.select(
+        S.st_astext(S.st_startpoint("g")).alias("s"),
+        S.st_astext(S.st_endpoint("g")).alias("e"),
+        S.st_astext(S.st_pointn("g", 2)).alias("p2"),
+        S.st_pointn("g", 9).alias("oob"),
+    ).collect()[0]
+    assert (r.s, r.e, r.p2, r.oob) == ("POINT(0 0)", "POINT(2 0)", "POINT(1 1)", None)
+
+
+def test_centroid_point_line_polygon(spark):
+    df = spark.createDataFrame(
+        [("POINT(3 4)",), ("LINESTRING(0 0,0 10)",), ("POLYGON((0 0,4 0,4 4,0 4,0 0))",)],
+        "w string",
+    )
+    rows = df.select(
+        S.st_astext(S.st_centroid(S.st_geomfromtext("w"))).alias("c")
+    ).collect()
+    assert [r.c for r in rows] == ["POINT(3 4)", "POINT(0 5)", "POINT(2 2)"]
+
+
+def test_distance_dwithin(spark):
+    df = spark.createDataFrame([(0.0, 0.0, 3.0, 4.0)], "ax double, ay double, bx double, by double")
+    g = df.select(S.st_point("ax", "ay").alias("a"), S.st_point("bx", "by").alias("b"))
+    r = g.select(
+        S.st_distance("a", "b").alias("d"),
+        S.st_dwithin("a", "b", 5.0).alias("w5"),
+        S.st_dwithin("a", "b", 4.9).alias("w49"),
+    ).collect()[0]
+    assert (r.d, r.w5, r.w49) == (5.0, True, False)
+
+
+def test_envelope_and_area(spark):
+    df = spark.createDataFrame([("LINESTRING(1 2,5 -3,2 7)",)], "w string")
+    g = df.select(S.st_envelope(S.st_geomfromtext("w")).alias("e"))
+    r = g.select("e", S.st_area(F.col("e")).alias("a")).collect()[0]
+    assert (r.e.xmin, r.e.ymin, r.e.xmax, r.e.ymax) == (1.0, -3.0, 5.0, 7.0)
+    assert r.a == 4.0 * 10.0
+
+
+def test_makeline_reverse_flip(spark):
+    df = spark.createDataFrame([(0.0, 1.0, 2.0, 3.0)], "ax double, ay double, bx double, by double")
+    g = df.select(
+        S.st_makeline(
+            F.array(S.st_point("ax", "ay"), S.st_point("bx", "by"))
+        ).alias("l")
+    )
+    r = g.select(
+        S.st_astext("l").alias("l"),
+        S.st_astext(S.st_reverse("l")).alias("rev"),
+        S.st_astext(S.st_flipcoordinates("l")).alias("flip"),
+    ).collect()[0]
+    assert r.l == "LINESTRING(0 1,2 3)"
+    assert r.rev == "LINESTRING(2 3,0 1)"
+    assert r.flip == "LINESTRING(1 0,3 2)"
+
+
+# --- bbox predicates --------------------------------------------------------
+
+
+def test_bbox_predicate_truth_table(spark):
+    df = spark.range(1)
+    a = S.st_makeenvelope(0, 0, 10, 10)
+    inner = S.st_makeenvelope(2, 2, 8, 8)
+    overlap = S.st_makeenvelope(5, 5, 15, 15)
+    outside = S.st_makeenvelope(20, 20, 30, 30)
+    touch = S.st_makeenvelope(10, 0, 20, 10)  # shares an edge → intersects
+    r = df.select(
+        S.bbox_contains(a, inner).alias("c_in"),
+        S.bbox_contains(a, overlap).alias("c_ov"),
+        S.bbox_within(inner, a).alias("w_in"),
+        S.bbox_intersects(a, overlap).alias("i_ov"),
+        S.bbox_intersects(a, outside).alias("i_out"),
+        S.bbox_intersects(a, touch).alias("i_touch"),
+        S.bbox_disjoint(a, outside).alias("d_out"),
+        S.bbox_contains_point(a, F.lit(10.0), F.lit(0.0)).alias("p_edge"),
+        S.bbox_contains_point(a, F.lit(10.1), F.lit(0.0)).alias("p_out"),
+    ).collect()[0]
+    assert (r.c_in, r.c_ov, r.w_in, r.i_ov, r.i_out, r.i_touch, r.d_out, r.p_edge, r.p_out) == (
+        True, False, True, True, False, True, True, True, False,
+    )
+
+
+# --- grid-bucketed join -----------------------------------------------------
+
+
+def test_grid_join_matches_naive(spark):
+    rng = random.Random(42)
+    boxes = []
+    for i in range(40):
+        x0 = rng.uniform(-100, 100)
+        y0 = rng.uniform(-100, 100)
+        boxes.append((i, x0, y0, x0 + rng.uniform(0, 60), y0 + rng.uniform(0, 60)))
+    points = [
+        (j, rng.uniform(-120, 120), rng.uniform(-120, 120)) for j in range(500)
+    ]
+    bdf = spark.createDataFrame(
+        boxes, "box_id int, xmin double, ymin double, xmax double, ymax double"
+    ).select("box_id", S.st_makeenvelope(F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")).alias("box"))
+    pdf = spark.createDataFrame(points, "pid int, x double, y double")
+
+    got = {
+        (r.box_id, r.pid)
+        for r in bbox_point_join(bdf, pdf, cell=25.0).select("box_id", "pid").collect()
+    }
+    want = {
+        (i, j)
+        for (i, x0, y0, x1, y1) in boxes
+        for (j, px, py) in points
+        if x0 <= px <= x1 and y0 <= py <= y1
+    }
+    assert got == want
+
+
+def test_grid_join_plan_has_no_cross_product(spark):
+    bdf = spark.range(10).select(
+        F.col("id").alias("box_id"),
+        S.st_makeenvelope(F.col("id") * 10.0, F.lit(0.0), F.col("id") * 10.0 + 15.0, F.lit(20.0)).alias("box"),
+    )
+    pdf = spark.range(100).select(
+        F.col("id").alias("pid"),
+        (F.col("id") % 95).cast("double").alias("x"),
+        (F.col("id") % 17).cast("double").alias("y"),
+    )
+    plan = bbox_point_join(bdf, pdf, cell=16.0)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_negative_cells_cover_negative_coords(spark):
+    # floor-division cells must work below zero (a truncating cast would
+    # put -0.5 and 0.5 in the same cell and miss matches)
+    bdf = spark.createDataFrame([(1,)], "box_id int").select(
+        "box_id", S.st_makeenvelope(-50.0, -50.0, -1.0, -1.0).alias("box")
+    )
+    pdf = spark.createDataFrame([(1, -25.0, -25.0), (2, 5.0, 5.0)], "pid int, x double, y double")
+    got = [r.pid for r in bbox_point_join(bdf, pdf, cell=20.0).select("pid").collect()]
+    assert got == [1]
