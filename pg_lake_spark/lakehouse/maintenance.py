@@ -244,3 +244,125 @@ class Autovacuum:
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+
+
+# ---------------------------------------------------------------------------
+# DROP TABLE → deletion queue, restore, purge
+# ---------------------------------------------------------------------------
+
+DROPPED_HINT = "dropped-hint.text"
+
+
+def drop_table(location: str) -> dict:
+    """DROP TABLE with the reference's soft-delete lifecycle
+    (pg_lake_table/src/ddl/drop_table.c; docs/iceberg-tables.md:845):
+    every data file referenced by any retained snapshot is enqueued on
+    the deletion queue (retention-governed, default 10 days), the final
+    metadata version records the drop, and the version hint is retired
+    so the table no longer "exists" — but all metadata.json versions
+    remain on disk for point-in-time restore until purge."""
+    with cat.CommitLock(location):
+        md = cat.read_current_metadata(location)
+        now_ms = int(time.time() * 1000)
+        queued = {e["path"] for e in md.deletion_queue}
+        n = 0
+        for s in md.snapshots:
+            for f in cat.read_snapshot_files(location, md, s):
+                if f.path not in queued:
+                    md.deletion_queue.append({"path": f.path, "enqueued_ms": now_ms})
+                    queued.add(f.path)
+                    n += 1
+        md.properties["dropped_ms"] = now_ms
+        cat.commit_metadata(location, md)
+        mdir = cat._meta_dir(location)
+        # Retire the hint atomically: table_exists() → False, while the
+        # dropped-hint remembers the final version for restore/purge.
+        os.rename(
+            os.path.join(mdir, cat.VERSION_HINT), os.path.join(mdir, DROPPED_HINT)
+        )
+    return {"queued_files": n, "dropped_version": md.version}
+
+
+def restore_table(spark, location: str, metadata_version: int | None = None) -> LakeTable:
+    """Restore a dropped table from a retained metadata.json — the
+    docs' "create an external Iceberg table from an old (dereferenced)
+    metadata.json" recovery (iceberg-tables.md:850), made first-class.
+
+    ``metadata_version`` defaults to the version just before the drop
+    (full un-drop); any older retained version gives point-in-time
+    recovery. The chosen content is re-committed as a NEW version so
+    the metadata version line stays monotonic."""
+    import json as _json
+
+    mdir = cat._meta_dir(location)
+    if cat.table_exists(location):
+        raise FileExistsError(f"table at {location} is not dropped")
+    dh = os.path.join(mdir, DROPPED_HINT)
+    if not os.path.exists(dh):
+        raise FileNotFoundError(f"no dropped table at {location}")
+    with open(dh) as f:
+        dropped_version = int(f.read().strip())
+    target = metadata_version if metadata_version is not None else dropped_version - 1
+    if target >= dropped_version or target < 1:
+        raise ValueError(
+            f"restore target v{target} must be an existing pre-drop version "
+            f"(1..{dropped_version - 1})"
+        )
+    with open(os.path.join(mdir, f"v{target}.metadata.json")) as f:
+        md = cat.TableMetadata.from_json(_json.load(f))
+    with open(os.path.join(mdir, f"v{dropped_version}.metadata.json")) as f:
+        dropped_md = cat.TableMetadata.from_json(_json.load(f))
+    md.properties.pop("dropped_ms", None)
+    # Reconcile the deletion queue against the restored state: files the
+    # restored snapshots reference are live again (drop their queue
+    # entries so purge can never take them); files only newer versions
+    # referenced stay queued from the drop, or a PIT restore would leak
+    # them forever.
+    restored_refs: set[str] = set()
+    for s in md.snapshots:
+        for f in cat.read_snapshot_files(location, md, s):
+            restored_refs.add(f.path)
+    queued = {e["path"] for e in md.deletion_queue}
+    md.deletion_queue = [e for e in md.deletion_queue if e["path"] not in restored_refs]
+    for e in dropped_md.deletion_queue:
+        if e["path"] not in queued and e["path"] not in restored_refs:
+            md.deletion_queue.append(e)
+    md.version = dropped_version  # next commit becomes dropped_version + 1
+    with cat.CommitLock(location):
+        md = cat.commit_metadata(location, md)
+        os.unlink(dh)
+    return LakeTable(spark, location, md)
+
+
+def purge_dropped_table(
+    location: str, retention_s: int = DEFAULT_DELETION_RETENTION_S
+) -> dict:
+    """Physically remove a dropped table once its deletion-queue entries
+    pass the retention window (VacuumRemoveDeletionQueueRecords applied
+    to a dropped table): delete the queued data files, then the whole
+    table directory including all metadata versions. Before retention
+    expires this is a no-op — restore_table still works."""
+    import shutil
+
+    mdir = cat._meta_dir(location)
+    dh = os.path.join(mdir, DROPPED_HINT)
+    if not os.path.exists(dh):
+        raise FileNotFoundError(f"no dropped table at {location}")
+    with open(dh) as f:
+        dropped_version = int(f.read().strip())
+    with open(os.path.join(mdir, f"v{dropped_version}.metadata.json")) as f:
+        import json as _json
+
+        md = cat.TableMetadata.from_json(_json.load(f))
+    cutoff_ms = int(time.time() * 1000) - retention_s * 1000
+    if any(e["enqueued_ms"] > cutoff_ms for e in md.deletion_queue):
+        return {"purged": 0, "still_retained": len(md.deletion_queue)}
+    deleted = 0
+    for e in md.deletion_queue:
+        try:
+            os.unlink(e["path"])
+            deleted += 1
+        except FileNotFoundError:
+            pass
+    shutil.rmtree(location, ignore_errors=True)
+    return {"purged": deleted, "still_retained": 0}

@@ -245,3 +245,42 @@ def dml_update_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lt.scan().select(
         "c_custkey", "c_nationkey", F.round("c_acctbal", 2).alias("c_acctbal")
     ).orderBy("c_custkey")
+
+
+@query(
+    "dml_drop_restore",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey <= 2500
+      AND NOT (o_orderkey > 2000 AND o_orderstatus = 'O')
+    ORDER BY o_orderkey
+    """,
+    doc="DROP TABLE soft-delete lifecycle (drop_table.c; iceberg-"
+    "tables.md:845-850): create + append, drop (files to the deletion "
+    "queue, table hidden), restore from the retained pre-drop metadata, "
+    "then DELETE on the restored table proves it is fully writable; the "
+    "final scan is the oracle-checked end state.",
+)
+def dml_drop_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_lake_spark.lakehouse import catalog as cat
+    from pg_lake_spark.lakehouse import maintenance
+
+    t = load_tables(spark, sf_dir)
+    base = t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
+    loc = _scratch("dml_drop_restore")
+    lt = LakeTable.create_from_dataframe(
+        spark, loc, base.filter(F.col("o_orderkey") <= 2000)
+    )
+    lt.append(
+        base.filter((F.col("o_orderkey") > 2000) & (F.col("o_orderkey") <= 2500))
+    )
+    maintenance.drop_table(loc)
+    assert not cat.table_exists(loc)
+    lt = maintenance.restore_table(spark, loc)  # un-drop: both commits back
+    lt.delete("o_orderkey > 2000 AND o_orderstatus = 'O'")
+    return (
+        lt.scan()
+        .select("o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy("o_orderkey")
+    )

@@ -344,5 +344,19 @@ class LakeSession:
 
         return maintenance.vacuum(LakeTable.load(self.spark, location), **kwargs)
 
+    def drop_table(self, location: str) -> dict:
+        """DROP TABLE: files → deletion queue (10-day retention), table
+        hidden, metadata retained for restore (drop_table.c parity)."""
+        from pg_lake_spark.lakehouse import maintenance
+
+        return maintenance.drop_table(location)
+
+    def restore_table(self, location: str, metadata_version: int | None = None):
+        """Un-drop (default) or point-in-time restore from a retained
+        metadata version (docs/iceberg-tables.md:845-850)."""
+        from pg_lake_spark.lakehouse import maintenance
+
+        return maintenance.restore_table(self.spark, location, metadata_version)
+
     def stop(self) -> None:
         self.spark.stop()

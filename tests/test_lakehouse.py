@@ -8,6 +8,7 @@ bucket hashing, writes.md lifecycle, FIXTURES.md §6 scenario.
 
 from __future__ import annotations
 
+import os
 import time
 
 import pytest
@@ -971,3 +972,65 @@ def test_autovacuum_survives_vacuum_errors(spark, events_df, tmp_path, monkeypat
         av.stop()
     assert calls["n"] >= 2  # loop survived the first failure
     assert isinstance(av.last_error, OSError)
+
+
+def test_drop_restore_purge_lifecycle(spark, events_df, tmp_path):
+    """DROP TABLE parity (drop_table.c; iceberg-tables.md:845-850):
+    drop enqueues every referenced file and hides the table; restore
+    within retention brings back the exact pre-drop state (and PIT
+    restore an older version); purge after retention removes data files
+    and metadata alike."""
+    loc = str(tmp_path / "droppable")
+    t = LakeTable.create_from_dataframe(spark, loc, events_df.limit(30))
+    t.append(events_df.limit(10))
+    before = sorted(r.event_id for r in t.to_df().select("event_id").collect())
+
+    out = maintenance.drop_table(loc)
+    assert out["queued_files"] >= 2
+    from pg_lake_spark.lakehouse import catalog as cat
+
+    assert not cat.table_exists(loc)
+    with pytest.raises(FileNotFoundError):
+        LakeTable.load(spark, loc)
+    # double-drop fails loudly
+    with pytest.raises(FileNotFoundError):
+        maintenance.drop_table(loc)
+
+    # restore: full pre-drop state, data intact, table writable again
+    t2 = maintenance.restore_table(spark, loc)
+    got = sorted(r.event_id for r in t2.to_df().select("event_id").collect())
+    assert got == before
+    assert "dropped_ms" not in t2.metadata.properties
+    t2.append(events_df.limit(5))
+    assert t2.to_df().count() == 45
+
+    # drop again, then point-in-time restore to v2 (the initial 30-row
+    # commit; v1 is the bare CREATE)
+    maintenance.drop_table(loc)
+    t3 = maintenance.restore_table(spark, loc, metadata_version=2)
+    assert t3.to_df().count() == 30
+
+    # PIT restore carried the newer (now-unreferenced) files' queue
+    # entries forward — nothing leaks when the final purge runs
+    assert len(t3.metadata.deletion_queue) >= 2
+
+    # drop and purge: inside retention a no-op, retention 0 removes all
+    maintenance.drop_table(loc)
+    res = maintenance.purge_dropped_table(loc, retention_s=3600)
+    assert res["purged"] == 0 and os.path.isdir(loc)
+    res = maintenance.purge_dropped_table(loc, retention_s=0)
+    assert res["purged"] >= 3  # v2's file + the queued newer files
+    assert not os.path.exists(loc)
+
+
+def test_restore_rejects_bad_targets(spark, events_df, tmp_path):
+    loc = str(tmp_path / "badrestore")
+    t = LakeTable.create_from_dataframe(spark, loc, events_df.limit(5))
+    # not dropped yet
+    with pytest.raises(FileExistsError):
+        maintenance.restore_table(spark, loc)
+    dropped = maintenance.drop_table(loc)["dropped_version"]
+    with pytest.raises(ValueError):
+        maintenance.restore_table(spark, loc, metadata_version=dropped)
+    with pytest.raises(ValueError):
+        maintenance.restore_table(spark, loc, metadata_version=0)
