@@ -46,7 +46,7 @@ from urllib.parse import quote, unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 #: Diagnostics for the most recent scan_delta call in this process:
 #: {"files_total", "files_scanned", "files_skipped"} — the same
@@ -57,8 +57,9 @@ _COMMIT_RE = re.compile(r"(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"(\d{20})\.checkpoint\.parquet$")
 _CHECKPOINT_PART_RE = re.compile(r"(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
 
-#: Reader features we can honor with plain parquet-by-name resolution.
-_SUPPORTED_READER_FEATURES = {"timestampNtz"}
+#: Reader features we can honor with plain parquet-by-name resolution
+#: (columnMapping via physical-name resolution, see _physical_names).
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "columnMapping"}
 
 
 def _log_dir(location: str) -> str:
@@ -189,7 +190,7 @@ def _check_protocol(state: _DeltaState) -> None:
     mrv = proto.get("minReaderVersion", 1)
     conf = (state.metadata or {}).get("configuration") or {}
     cmap = conf.get("delta.columnMapping.mode", "none")
-    if cmap not in (None, "", "none"):
+    if cmap not in (None, "", "none", "name", "id"):
         raise NotImplementedError(
             f"Delta column mapping mode {cmap!r} is not supported"
         )
@@ -294,6 +295,26 @@ def version_at_timestamp(location: str, timestamp_ms: int) -> int:
     return best
 
 
+def _physical_names(metadata: dict, schema: StructType) -> dict[str, str]:
+    """logical → physical column names under delta.columnMapping.
+
+    Modes ``name`` and ``id`` both store data under each field's
+    ``delta.columnMapping.physicalName`` (``col-<uuid>``) — Delta
+    writers emit those physical names into the parquet files in either
+    mode (``id`` additionally tags parquet field ids for converted
+    tables); physical-name resolution therefore covers Delta-written
+    tables in both modes, the same widening the Iceberg reader got from
+    name mapping (iceberg_meta._read_with_name_mapping)."""
+    conf = metadata.get("configuration") or {}
+    mode = conf.get("delta.columnMapping.mode", "none")
+    if mode in (None, "", "none"):
+        return {f.name: f.name for f in schema.fields}
+    return {
+        f.name: (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+        for f in schema.fields
+    }
+
+
 def scan_delta(
     spark: SparkSession,
     location: str,
@@ -325,8 +346,25 @@ def scan_delta(
 
     schema = StructType.fromJson(json.loads(state.metadata["schemaString"]))
     pcols: list[str] = state.metadata.get("partitionColumns") or []
+    phys = _physical_names(state.metadata, schema)
 
     adds = state.adds
+    if any(phys[n] != n for n in phys) and pcols:
+        # Column mapping: add.partitionValues keys are PHYSICAL names
+        # (Delta protocol §column-mapping); normalize to logical so the
+        # pruning + partition-map code below stays name-agnostic.
+        adds = {
+            p: {
+                **a,
+                "partitionValues": {
+                    c: (a.get("partitionValues") or {}).get(
+                        phys[c], (a.get("partitionValues") or {}).get(c)
+                    )
+                    for c in pcols
+                },
+            }
+            for p, a in adds.items()
+        }
     if partition_filter is not None:
         adds = {
             p: a
@@ -348,7 +386,15 @@ def scan_delta(
         return spark.createDataFrame([], schema)
 
     paths = [_abs_path(location, p) for p in adds]
-    df = spark.read.schema(StructType(data_fields)).parquet(*paths)
+    read_schema = StructType(
+        [StructField(phys[f.name], f.dataType, True) for f in data_fields]
+    )
+    df = spark.read.schema(read_schema).parquet(*paths)
+    if any(phys[f.name] != f.name for f in data_fields):
+        df = df.select(
+            *[F.col(phys[f.name]).alias(f.name) for f in data_fields],
+            "_metadata",
+        )
 
     if pcols:
         # Partition values live in the log, not the files: broadcast the

@@ -197,12 +197,13 @@ def test_unsupported_features_fail_loudly(spark, tmp_path):
         scan_delta(spark, loc)
     os.remove(os.path.join(log_dir, f"{1:020d}.json"))
 
-    # column mapping via configuration
+    # unknown column-mapping mode still refuses loudly ("name"/"id" are
+    # supported — see test_column_mapping_name_mode_scan)
     with open(os.path.join(log_dir, f"{0:020d}.json")) as fh:
         lines = [json.loads(ln) for ln in fh if ln.strip()]
     for a in lines:
         if "metaData" in a:
-            a["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
+            a["metaData"]["configuration"] = {"delta.columnMapping.mode": "weird"}
     with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as fh:
         for a in lines:
             if "metaData" in a:
@@ -425,3 +426,106 @@ def test_commit_put_if_absent(spark, tmp_path):
     assert open(v_path).read() == before  # winner untouched
     # loser's tmp file cleaned up
     assert not [n for n in os.listdir(os.path.join(loc, "_delta_log")) if ".tmp-" in n]
+
+
+def _write_column_mapped_log(spark, loc, *, mode="name", partitioned=True):
+    """Hand-written column-mapped Delta table: logical columns (k, s,
+    part) stored under physical names col-aaa/col-bbb/col-ccc, add
+    actions keyed by physical partition names — the exact shape
+    delta-spark writes with delta.columnMapping.mode=name."""
+    os.makedirs(os.path.join(loc, "_delta_log"))
+    pdf = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "`col-aaa` bigint, `col-bbb` string"
+    )
+    d = os.path.join(loc, "d1")
+    pdf.coalesce(1).write.parquet(d)
+    f1 = next(n for n in os.listdir(d) if n.endswith(".parquet"))
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "k",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-aaa",
+                },
+            },
+            {
+                "name": "s",
+                "type": "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-bbb",
+                },
+            },
+        ]
+        + (
+            [
+                {
+                    "name": "part",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 3,
+                        "delta.columnMapping.physicalName": "col-ccc",
+                    },
+                }
+            ]
+            if partitioned
+            else []
+        ),
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "cm-test",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": ["part"] if partitioned else [],
+                "configuration": {
+                    "delta.columnMapping.mode": mode,
+                    "delta.columnMapping.maxColumnId": "3",
+                },
+            }
+        },
+        {
+            "add": {
+                "path": f"d1/{f1}",
+                "partitionValues": {"col-ccc": "p0"} if partitioned else {},
+                "size": os.path.getsize(os.path.join(d, f1)),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    with open(os.path.join(loc, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+@pytest.mark.parametrize("mode", ["name", "id"])
+def test_column_mapping_scan(spark, tmp_path, mode):
+    """delta.columnMapping (name and id modes): data lives under
+    physical col-<uuid> names, partitionValues are keyed by physical
+    names — the scan must surface logical names and typed values."""
+    loc = str(tmp_path / f"cmap_{mode}")
+    _write_column_mapped_log(spark, loc, mode=mode)
+    got = scan_delta(spark, loc)
+    assert got.columns == ["k", "s", "part"]
+    rows = sorted(tuple(r) for r in got.collect())
+    assert rows == [(1, "x", "p0"), (2, "y", "p0")]
+    # partition pruning still works on the logical name
+    assert scan_delta(spark, loc, where="part = 'nope'").count() == 0
+    assert scan_delta(spark, loc, where="part = 'p0' AND k = 2").count() == 1
+
+
+def test_column_mapping_unpartitioned(spark, tmp_path):
+    loc = str(tmp_path / "cmap_unpart")
+    _write_column_mapped_log(spark, loc, partitioned=False)
+    got = scan_delta(spark, loc)
+    assert got.columns == ["k", "s"]
+    assert sorted(tuple(r) for r in got.collect()) == [(1, "x"), (2, "y")]
