@@ -1,15 +1,25 @@
-"""Iceberg REST catalog client: list namespaces/tables, load, scan.
+"""Iceberg REST catalog client: list/load/scan plus write-through.
 
 The reference tests against a REST catalog server
-(pg_lake_iceberg/src/test/rest_catalog.c, test_common/rest_catalog/);
-this is the same interop Spark-side, speaking the public Iceberg REST
-Catalog OpenAPI surface (https://iceberg.apache.org/spec/ — rest
-catalog spec) with stdlib urllib:
+(pg_lake_iceberg/src/test/rest_catalog.c, test_common/rest_catalog/)
+and POSTs its commits through the catalog
+(pg_lake_iceberg/src/rest_catalog/); this is the same interop
+Spark-side, speaking the public Iceberg REST Catalog OpenAPI surface
+(https://iceberg.apache.org/spec/ — rest catalog spec) with stdlib
+urllib:
 
-- ``GET /v1/config``                                  → catalog defaults
-- ``GET /v1/namespaces``                              → namespace list
-- ``GET /v1/namespaces/{ns}/tables``                  → table identifiers
-- ``GET /v1/namespaces/{ns}/tables/{table}``          → LoadTableResult
+- ``GET  /v1/config``                                 → catalog defaults
+- ``GET  /v1/namespaces``                             → namespace list
+- ``POST /v1/namespaces``                             → create namespace
+- ``GET  /v1/namespaces/{ns}/tables``                 → table identifiers
+- ``GET  /v1/namespaces/{ns}/tables/{table}``         → LoadTableResult
+- ``POST /v1/namespaces/{ns}/tables``                 → CreateTableRequest
+- ``POST /v1/namespaces/{ns}/tables/{table}``         → CommitTableRequest
+  (``requirements`` [assert-table-uuid / assert-ref-snapshot-id] +
+  ``updates`` [add-snapshot / set-snapshot-ref / ...]; 409 on a failed
+  requirement is surfaced as :class:`RestCommitConflict`)
+- ``POST /v1/namespaces/{ns}/register``               → RegisterTableRequest
+- ``DELETE /v1/namespaces/{ns}/tables/{table}``       → drop
 
 ``LoadTableResult`` may carry the full ``metadata`` document inline or
 only a ``metadata-location``; both resolve to the same spec reader
@@ -28,6 +38,7 @@ Multi-level namespaces use the spec's ``%1F`` unit-separator encoding.
 from __future__ import annotations
 
 import json
+import urllib.error
 import urllib.parse
 import urllib.request
 
@@ -40,8 +51,13 @@ from pg_lake_spark.lakehouse import iceberg_meta
 _NS_SEP = "\x1f"
 
 
+class RestCommitConflict(RuntimeError):
+    """The catalog rejected a commit requirement (HTTP 409) — reload the
+    table and retry against its new state (spec: CommitFailedException)."""
+
+
 class RestCatalog:
-    """Minimal read-path client for an Iceberg REST catalog."""
+    """Iceberg REST catalog client (read path + write-through)."""
 
     def __init__(
         self,
@@ -68,13 +84,28 @@ class RestCatalog:
 
     # -- plumbing ----------------------------------------------------------
 
-    def _get(self, path: str) -> dict:
-        req = urllib.request.Request(self.uri + path)
+    def _req(self, method: str, path: str, body: dict | None = None) -> dict:
+        data = json.dumps(body).encode("utf-8") if body is not None else None
+        req = urllib.request.Request(self.uri + path, data=data, method=method)
         req.add_header("Accept", "application/json")
+        if data is not None:
+            req.add_header("Content-Type", "application/json")
         if self.token:
             req.add_header("Authorization", f"Bearer {self.token}")
-        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
-            return json.loads(resp.read().decode("utf-8"))
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                raw = resp.read()
+        except urllib.error.HTTPError as e:
+            if e.code == 409:
+                raise RestCommitConflict(
+                    f"{method} {path}: commit requirement failed "
+                    f"({e.read().decode('utf-8', 'replace')[:200]})"
+                ) from None
+            raise
+        return json.loads(raw.decode("utf-8")) if raw else {}
+
+    def _get(self, path: str) -> dict:
+        return self._req("GET", path)
 
     def _base(self) -> str:
         return f"/v1/{self.prefix}" if self.prefix else "/v1"
@@ -126,3 +157,168 @@ class RestCatalog:
         return iceberg_meta.scan_iceberg_metadata(
             spark, meta, snapshot_id=snapshot_id, where=where
         )
+
+    # -- write-through surface --------------------------------------------
+
+    def create_namespace(self, namespace: str | list[str], properties: dict | None = None) -> dict:
+        levels = (
+            namespace.split(".") if isinstance(namespace, str) else list(namespace)
+        )
+        return self._req(
+            "POST",
+            f"{self._base()}/namespaces",
+            {"namespace": levels, "properties": properties or {}},
+        )
+
+    def create_table(
+        self,
+        namespace: str | list[str],
+        name: str,
+        schema: dict,
+        *,
+        partition_spec: dict | None = None,
+        properties: dict | None = None,
+        location: str | None = None,
+        stage_create: bool = False,
+    ) -> dict:
+        """CreateTableRequest → LoadTableResult. ``schema`` is an
+        Iceberg struct-schema document (the same shape metadata.json's
+        ``schemas`` entries carry)."""
+        body: dict = {
+            "name": name,
+            "schema": schema,
+            "properties": properties or {},
+            "stage-create": stage_create,
+        }
+        if partition_spec is not None:
+            body["partition-spec"] = partition_spec
+        if location is not None:
+            body["location"] = location
+        return self._req(
+            "POST", f"{self._base()}/namespaces/{self._ns_path(namespace)}/tables", body
+        )
+
+    def register_table(
+        self, namespace: str | list[str], name: str, metadata_location: str
+    ) -> dict:
+        """RegisterTableRequest: adopt an existing metadata.json."""
+        return self._req(
+            "POST",
+            f"{self._base()}/namespaces/{self._ns_path(namespace)}/register",
+            {"name": name, "metadata-location": metadata_location},
+        )
+
+    def commit_table(
+        self,
+        namespace: str | list[str],
+        table: str,
+        requirements: list[dict],
+        updates: list[dict],
+    ) -> dict:
+        """CommitTableRequest (requirements + updates) → CommitTableResponse.
+
+        Raises :class:`RestCommitConflict` when the catalog rejects a
+        requirement (someone committed first) — reload and retry."""
+        return self._req(
+            "POST",
+            f"{self._base()}/namespaces/{self._ns_path(namespace)}/tables/"
+            f"{urllib.parse.quote(table, safe='')}",
+            {
+                "identifier": {
+                    "namespace": (
+                        namespace.split(".")
+                        if isinstance(namespace, str)
+                        else list(namespace)
+                    ),
+                    "name": table,
+                },
+                "requirements": requirements,
+                "updates": updates,
+            },
+        )
+
+    def drop_table(self, namespace: str | list[str], table: str) -> None:
+        self._req(
+            "DELETE",
+            f"{self._base()}/namespaces/{self._ns_path(namespace)}/tables/"
+            f"{urllib.parse.quote(table, safe='')}",
+        )
+
+    def publish(
+        self,
+        namespace: str | list[str],
+        name: str,
+        metadata: dict,
+    ) -> dict:
+        """Write-through an exported Iceberg metadata document (e.g.
+        ``LakeTable.export_iceberg()``'s output) into the catalog — the
+        reference's commit path (pg_lake_iceberg/src/rest_catalog/):
+
+        - table absent → CreateTableRequest carrying the current schema,
+          then commit every exported snapshot;
+        - table present → commit only the snapshots the catalog hasn't
+          seen, guarded by ``assert-ref-snapshot-id`` on ``main`` so a
+          concurrent writer's commit surfaces as RestCommitConflict
+          instead of a silent overwrite.
+        """
+        schemas = metadata.get("schemas") or [metadata.get("schema")]
+        current_schema = next(
+            (
+                s
+                for s in schemas
+                if s and s.get("schema-id", 0) == metadata.get("current-schema-id", 0)
+            ),
+            schemas[0],
+        )
+        try:
+            existing = self.load_table(namespace, name)
+        except urllib.error.HTTPError as e:
+            if e.code != 404:
+                raise
+            existing = None
+        if existing is None:
+            self.create_table(
+                namespace,
+                name,
+                current_schema,
+                properties=metadata.get("properties") or {},
+                location=metadata.get("location"),
+            )
+            known: set[int] = set()
+            base_ref: int | None = None
+        else:
+            served = existing.get("metadata") or {}
+            known = {s["snapshot-id"] for s in served.get("snapshots", [])}
+            base_ref = served.get("current-snapshot-id")
+
+        updates: list[dict] = []
+        for s in metadata.get("snapshots", []):
+            if s["snapshot-id"] not in known:
+                updates.append({"action": "add-snapshot", "snapshot": s})
+        cur = metadata.get("current-snapshot-id")
+        if cur is not None:
+            updates.append(
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "main",
+                    "type": "branch",
+                    "snapshot-id": cur,
+                }
+            )
+        if not updates:
+            return existing or {}
+        requirements: list[dict] = [
+            {
+                "type": "assert-ref-snapshot-id",
+                "ref": "main",
+                "snapshot-id": base_ref,
+            }
+        ]
+        if existing is not None and (existing.get("metadata") or {}).get("table-uuid"):
+            requirements.append(
+                {
+                    "type": "assert-table-uuid",
+                    "uuid": existing["metadata"]["table-uuid"],
+                }
+            )
+        return self.commit_table(namespace, name, requirements, updates)
