@@ -279,47 +279,65 @@ def train_ivf_centroids(
     """Spherical k-means centroids, fully deterministic.
 
     Init is Forgy with a deterministic choice (the ``n_centroids``
-    lowest-id vectors); each Lloyd iteration is one distributed
-    assign + per-position mean (posexplode → groupBy(cid, pos) avg —
-    a single shuffle of (cid, pos, val) triples), then a driver-side
-    renormalization of the C×dim centroid matrix (tiny). Empty
-    clusters keep their previous centroid. No RNG anywhere, so the
-    index is reproducible across runs and engines.
+    lowest-id vectors). The whole Lloyd loop runs in DataFrames — the
+    centroid set is a (cid, cvec) DataFrame carried across iterations,
+    assignment broadcasts it as ONE collected-list row (map-side argmax
+    via ``transform`` + ``array_max``, zero shuffle), and the update is
+    one shuffle of (cid, pos, val) triples re-assembled and renormalized
+    with array expressions. The driver touches centroid VALUES exactly
+    once: the final collect that returns them (so ``n_centroids·dim``
+    can grow without a per-iteration driver round-trip). Empty clusters
+    keep their previous centroid. No RNG anywhere, so the index is
+    reproducible across runs and engines.
     """
-    import math
-
     src = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
     )
 
-    def normalize(v: list[float]) -> list[float]:
-        n = math.sqrt(sum(x * x for x in v)) or 1.0
-        return [x / n for x in v]
+    def norm_expr(col: Column) -> Column:
+        n = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
+        n = F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+        return F.transform(col, lambda x: x / n)
 
-    cents = [
-        normalize(r["vec"])
-        for r in src.orderBy("vid").limit(n_centroids).collect()
-    ]
+    w = Window.orderBy("vid")
+    cents = (
+        src.orderBy("vid")
+        .limit(n_centroids)
+        .select((F.row_number().over(w) - 1).alias("cid"), norm_expr(F.col("vec")).alias("cvec"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(iters):
-        assigned = src.select(_nearest_centroid(F.col("vec"), cents).alias("cid"), "vec")
-        sums = (
+        # One-row broadcast of the whole centroid set → map-side argmax.
+        # array_max on struct(sc, -cid) = highest score, lowest cid on
+        # ties (the Forgy ordering's first-index-wins rule).
+        cents_row = cents.select(
+            F.collect_list(F.struct(F.col("cid"), F.col("cvec"))).alias("cs")
+        )
+        scored = F.expr(
+            "array_max(transform(cs, c -> struct("
+            "aggregate(zip_with(vec, c.cvec, (a, b) -> a * b), 0D, (s, x) -> s + x) AS sc,"
+            " -c.cid AS ncid)))"
+        )
+        assigned = src.crossJoin(F.broadcast(cents_row)).select(
+            (-scored["ncid"]).cast("int").alias("cid"), "vec"
+        )
+        means = (
             assigned.select("cid", F.posexplode("vec").alias("pos", "val"))
             .groupBy("cid", "pos")
             .agg(F.avg("val").alias("m"))
-            .collect()
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", norm_expr(F.transform("pm", lambda x: x["m"])).alias("nvec"))
         )
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in sums:
-            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
-        new = []
-        for i, old in enumerate(cents):
-            mean = by_cid.get(i)
-            if mean:
-                new.append(normalize([mean[p] for p in range(len(old))]))
-            else:
-                new.append(old)  # empty cluster: keep previous centroid
-        cents = new
-    return cents
+        cents = (
+            cents.join(means, "cid", "left")
+            .select("cid", F.coalesce("nvec", "cvec").alias("cvec"))
+            .localCheckpoint(eager=True)  # truncate lineage per iteration
+        )
+    return [
+        [float(x) for x in r["cvec"]]
+        for r in cents.orderBy("cid").collect()  # the ONE driver round-trip
+    ]
 
 
 def ivf_topk(
