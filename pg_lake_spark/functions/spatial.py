@@ -431,6 +431,52 @@ def _k_flip(g: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+def _geojson_to_wkb(obj: dict) -> bytes:
+    t = obj.get("type")
+    c = obj.get("coordinates")
+    if t == "Point":
+        return _pack_point(float(c[0]), float(c[1]))
+    if t == "LineString":
+        return _pack_linestring([(float(x), float(y)) for x, y, *_ in c])
+    if t == "Polygon":
+        return _pack_polygon(
+            [[(float(x), float(y)) for x, y, *_ in ring] for ring in c]
+        )
+    raise ValueError(f"unsupported GeoJSON geometry type: {t}")
+
+
+def _wkb_to_geojson(b: bytes) -> str:
+    import json as _json
+
+    gtype, coords = _parse(b)
+    if gtype == WKB_POINT:
+        return _json.dumps({"type": "Point", "coordinates": list(coords[0])})
+    if gtype == WKB_LINESTRING:
+        return _json.dumps(
+            {"type": "LineString", "coordinates": [list(p) for p in coords]}
+        )
+    return _json.dumps(
+        {"type": "Polygon", "coordinates": [[list(p) for p in r] for r in coords]}
+    )
+
+
+@pandas_udf(BinaryType())
+def _k_fromgeojson(s: pd.Series) -> pd.Series:
+    import json as _json
+
+    return pd.Series(
+        [None if v is None else _geojson_to_wkb(_json.loads(v)) for v in s],
+        dtype=object,
+    )
+
+
+@pandas_udf(StringType())
+def _k_asgeojson(g: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if b is None else _wkb_to_geojson(bytes(b)) for b in g], dtype=object
+    )
+
+
 @pandas_udf(BinaryType())
 def _k_validate_wkb(g: pd.Series) -> pd.Series:
     out = []
@@ -477,6 +523,15 @@ def st_geomfromtext(s) -> Column:
 
 
 st_geometryfromtext = st_geomfromtext
+
+
+def st_geomfromgeojson(s) -> Column:
+    """GeoJSON geometry document (string column) → WKB."""
+    return _k_fromgeojson(F.col(s) if isinstance(s, str) else s)
+
+
+def st_asgeojson(g) -> Column:
+    return _k_asgeojson(g)
 
 
 def st_envelope(g) -> Column:

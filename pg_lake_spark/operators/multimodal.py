@@ -96,16 +96,68 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
-def decode_image(media: DataFrame) -> DataFrame:
-    """Real image decode — intentionally unimplemented in this container.
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("mode", StringType()),
+        StructField("pixel_mean", DoubleType()),
+    ]
+)
 
-    Raises so callers fail loudly rather than silently producing fake
-    pixels; use :func:`extract_features` for the tested stub path.
-    """
-    raise NotImplementedError(
-        "image decode requires PIL/opencv, not present in this environment; "
-        "the mapInPandas plumbing to slot it into is extract_features()"
-    )
+
+def _pil():
+    """Optional-import hook: PIL when installed, None otherwise (this
+    container ships no image codec — the Spark-side plumbing is the
+    tested contract; tests/test_multimodal.py gates the real-decode test
+    on availability)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_image(media: DataFrame) -> DataFrame:
+    """Real image decode via PIL when importable — the same Arrow
+    map-only stage as :func:`extract_features`, emitting per-image
+    dimensions/mode/pixel-mean. Raises loudly at CALL time when no codec
+    exists so callers never get silently fake pixels; use
+    :func:`extract_features` for the codec-free stub path."""
+    if _pil() is None:
+        raise NotImplementedError(
+            "image decode requires PIL, not present in this environment; "
+            "the mapInPandas plumbing to slot it into is extract_features()"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as np
+
+        Image = _pil()
+        for pdf in batches:
+            rows = []
+            for mid, mime, payload in zip(
+                pdf["media_id"], pdf["mime"], pdf["payload"]
+            ):
+                if payload is None:
+                    rows.append((mid, mime, None, None, None, None))
+                    continue
+                img = Image.open(io.BytesIO(payload))
+                arr = np.asarray(img, dtype="float64")
+                rows.append(
+                    (mid, mime, img.width, img.height, img.mode, float(arr.mean()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "mime", "width", "height", "mode", "pixel_mean"],
+            )
+
+    return media.mapInPandas(run, DECODED_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType(

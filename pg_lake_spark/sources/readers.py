@@ -181,3 +181,83 @@ def list_files(spark: SparkSession, pattern: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "path string, size_bytes bigint, mtime_epoch bigint, is_dir boolean"
     )
+
+
+def read_geojson(spark: SparkSession, path: str) -> DataFrame:
+    """GeoJSON reader — the GDAL-reader slice feasible without GDAL
+    (reference: pg_lake_engine/src/pgduck/gdal.c; docs/file-formats-
+    reference.md GDAL section lists GeoJSON first).
+
+    Accepts both newline-delimited GeoJSON (one Feature per line — the
+    scale path: per-line parallelism like any NDJSON scan) and classic
+    ``FeatureCollection`` documents (parsed per FILE in a distributed
+    wholetext read — fine for the many-medium-files layout GDAL data
+    ships in). Output schema:
+
+    - ``geometry`` binary — WKB (functions/spatial.py's type; feed any
+      st_* accessor or the grid-bucketed bbox join)
+    - ``gtype`` string — ST_Point / ST_LineString / ST_Polygon
+    - ``properties`` string — the feature's properties as a JSON
+      document (schema-free; project with ``get_json_object`` /
+      ``from_json``)
+    """
+    import json as _json
+
+    from pyspark.sql.types import StringType as _Str
+    from pyspark.sql.types import StructField as _SF
+    from pyspark.sql.types import StructType as _ST
+
+    from pg_lake_spark.functions import spatial as S
+
+    first = sorted(_glob.glob(path))[0] if any(c in path for c in "*?[") else path
+    if os.path.isdir(first):
+        inner = sorted(
+            p for p in os.listdir(first) if not p.startswith((".", "_"))
+        )
+        if not inner:
+            raise FileNotFoundError(f"no files under {first}")
+        first = os.path.join(first, inner[0])
+    with open(first, "rb") as fh:
+        head = fh.read(_SNIFF_BYTES).decode("utf-8", errors="replace")
+    is_collection = '"FeatureCollection"' in head.split("\n", 1)[0]
+
+    feat_schema = _ST(
+        [_SF("__geom_json", _Str()), _SF("properties", _Str())]
+    )
+
+    if is_collection:
+        raw = spark.read.text(path, wholetext=True)
+
+        def explode_features(batches):
+            import pandas as _pd
+
+            for pdf in batches:
+                geoms, props = [], []
+                for doc in pdf["value"]:
+                    parsed = _json.loads(doc)
+                    feats = (
+                        parsed["features"]
+                        if parsed.get("type") == "FeatureCollection"
+                        else [parsed]
+                    )
+                    for f in feats:
+                        geoms.append(_json.dumps(f["geometry"]))
+                        props.append(_json.dumps(f.get("properties") or {}))
+                yield _pd.DataFrame({"__geom_json": geoms, "properties": props})
+
+        feats = raw.mapInPandas(explode_features, feat_schema)
+    else:
+        lines = spark.read.text(path).filter(F.trim("value") != "")
+        feats = lines.select(
+            F.get_json_object("value", "$.geometry").alias("__geom_json"),
+            F.coalesce(
+                F.get_json_object("value", "$.properties"), F.lit("{}")
+            ).alias("properties"),
+        )
+
+    g = S.st_geomfromgeojson(F.col("__geom_json"))
+    return feats.select(
+        g.alias("geometry"),
+        S.st_geometrytype(g).alias("gtype"),
+        "properties",
+    )

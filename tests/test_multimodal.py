@@ -68,3 +68,26 @@ def test_sample_frames_fanout(spark):
 def test_decode_image_raises(spark):
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(_media(spark))
+
+
+def test_decode_image_requires_codec_or_decodes(spark):
+    """Optional-import codec hook: with PIL present decode_image is a
+    real Arrow decode stage (proven on a generated PNG); without it the
+    call refuses loudly at call time. Either way the wiring is proven."""
+    from pg_lake_spark.operators import multimodal as mm
+
+    if mm._pil() is None:
+        with pytest.raises(NotImplementedError, match="requires PIL"):
+            mm.decode_image(spark.createDataFrame([], mm.MEDIA_SCHEMA))
+        return
+    import io
+
+    Image = mm._pil()
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 4), color=(255, 0, 0)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image/png", bytearray(buf.getvalue()))], mm.MEDIA_SCHEMA
+    )
+    row = mm.decode_image(media).collect()[0]
+    assert (row.width, row.height, row.mode) == (8, 4, "RGB")
+    assert row.pixel_mean == pytest.approx(255.0 / 3)

@@ -239,3 +239,62 @@ def test_negative_cells_cover_negative_coords(spark):
     pdf = spark.createDataFrame([(1, -25.0, -25.0), (2, 5.0, 5.0)], "pid int, x double, y double")
     got = [r.pid for r in bbox_point_join(bdf, pdf, cell=20.0).select("pid").collect()]
     assert got == [1]
+
+
+# --- GeoJSON ---------------------------------------------------------------
+
+
+def test_geojson_codec_roundtrip(spark):
+    df = spark.createDataFrame(
+        [('{"type": "Point", "coordinates": [1.5, 2]}',),
+         ('{"type": "LineString", "coordinates": [[0, 0], [1, 1]]}',),
+         ('{"type": "Polygon", "coordinates": [[[0, 0], [4, 0], [4, 4], [0, 0]]]}',)],
+        "j string",
+    )
+    rows = df.select(
+        S.st_astext(S.st_geomfromgeojson("j")).alias("wkt"),
+        S.st_asgeojson(S.st_geomfromgeojson("j")).alias("back"),
+    ).collect()
+    assert [r.wkt for r in rows] == [
+        "POINT(1.5 2)",
+        "LINESTRING(0 0,1 1)",
+        "POLYGON((0 0,4 0,4 4,0 0))",
+    ]
+    import json as _json
+
+    assert _json.loads(rows[0].back) == {"type": "Point", "coordinates": [1.5, 2.0]}
+
+
+def test_read_geojson_ndjson_and_collection(spark, tmp_path):
+    from pg_lake_spark.sources.readers import read_geojson
+
+    nd = tmp_path / "pts.ndjson"
+    nd.write_text(
+        '{"type": "Feature", "geometry": {"type": "Point", "coordinates": [1, 2]}, "properties": {"name": "a"}}\n'
+        '{"type": "Feature", "geometry": {"type": "LineString", "coordinates": [[0, 0], [3, 4]]}, "properties": {"name": "b"}}\n'
+    )
+    got = read_geojson(spark, str(nd))
+    assert got.columns == ["geometry", "gtype", "properties"]
+    rows = got.select(
+        "gtype",
+        S.st_astext("geometry").alias("wkt"),
+        F.get_json_object("properties", "$.name").alias("name"),
+    ).collect()
+    assert sorted((r.gtype, r.wkt, r.name) for r in rows) == [
+        ("ST_LineString", "LINESTRING(0 0,3 4)", "b"),
+        ("ST_Point", "POINT(1 2)", "a"),
+    ]
+
+    fc = tmp_path / "fc.geojson"
+    fc.write_text(
+        '{"type": "FeatureCollection", "features": ['
+        '{"type": "Feature", "geometry": {"type": "Point", "coordinates": [9, 9]}, "properties": {"k": 1}},'
+        '{"type": "Feature", "geometry": {"type": "Polygon", "coordinates": [[[0, 0], [2, 0], [2, 2], [0, 0]]]}, "properties": null}'
+        "]}"
+    )
+    got2 = read_geojson(spark, str(fc))
+    rows2 = got2.select("gtype", S.st_astext("geometry").alias("wkt")).collect()
+    assert sorted((r.gtype, r.wkt) for r in rows2) == [
+        ("ST_Point", "POINT(9 9)"),
+        ("ST_Polygon", "POLYGON((0 0,2 0,2 2,0 0))"),
+    ]
