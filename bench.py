@@ -67,6 +67,14 @@ def main() -> None:
         "ddl_schema_evolution",
     ]
 
+    # Spatial suite (added r6 as its own metric so the headline stays
+    # comparable across rounds): WKB kernels + the grid-bucketed join.
+    spatial_suite = [
+        "f_spatial_point",
+        "f_spatial_measures",
+        "j_spatial_bbox_join",
+    ]
+
     repeats = int(os.environ.get("PG_LAKE_BENCH_REPEATS", "3"))
 
     spark = get_spark(
@@ -81,7 +89,7 @@ def main() -> None:
     # is amortized and timings measure engine throughput — first-run
     # JIT cost was measured at 2-7 s on the heavier trees.
     warm_dir = "/root/testdata/sf0.001"
-    for name in headline + dml_suite:
+    for name in headline + dml_suite + spatial_suite:
         if name in QUERIES:
             try:
                 QUERIES[name].fn(spark, warm_dir).count()
@@ -107,6 +115,7 @@ def main() -> None:
 
     timings, total = run_suite(headline)
     dml_timings, dml_total = run_suite(dml_suite)
+    spatial_timings, spatial_total = run_suite(spatial_suite)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -120,6 +129,8 @@ def main() -> None:
                 "repeats": repeats,
                 "dml_suite_seconds": round(dml_total, 4),
                 "dml_queries": dml_timings,
+                "spatial_suite_seconds": round(spatial_total, 4),
+                "spatial_queries": spatial_timings,
             }
         )
     )

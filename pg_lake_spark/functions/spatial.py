@@ -82,10 +82,28 @@ _INFO_T = StructType(
 WKB_POINT = 1
 WKB_LINESTRING = 2
 WKB_POLYGON = 3
+WKB_MULTIPOINT = 4
+WKB_MULTILINESTRING = 5
+WKB_MULTIPOLYGON = 6
+_MULTI_TYPES = (WKB_MULTIPOINT, WKB_MULTILINESTRING, WKB_MULTIPOLYGON)
 
-_TYPE_NAMES = {WKB_POINT: "ST_Point", WKB_LINESTRING: "ST_LineString", WKB_POLYGON: "ST_Polygon"}
+_TYPE_NAMES = {
+    WKB_POINT: "ST_Point",
+    WKB_LINESTRING: "ST_LineString",
+    WKB_POLYGON: "ST_Polygon",
+    WKB_MULTIPOINT: "ST_MultiPoint",
+    WKB_MULTILINESTRING: "ST_MultiLineString",
+    WKB_MULTIPOLYGON: "ST_MultiPolygon",
+}
 # PostGIS GeometryType()/ST_GeometryType naming
-_WKT_NAMES = {WKB_POINT: "POINT", WKB_LINESTRING: "LINESTRING", WKB_POLYGON: "POLYGON"}
+_WKT_NAMES = {
+    WKB_POINT: "POINT",
+    WKB_LINESTRING: "LINESTRING",
+    WKB_POLYGON: "POLYGON",
+    WKB_MULTIPOINT: "MULTIPOINT",
+    WKB_MULTILINESTRING: "MULTILINESTRING",
+    WKB_MULTIPOLYGON: "MULTIPOLYGON",
+}
 
 
 # ---------------------------------------------------------------------------
@@ -112,24 +130,30 @@ def _pack_polygon(rings: list[list[tuple[float, float]]]) -> bytes:
     return out
 
 
-def _parse(b: bytes) -> tuple[int, list]:
-    """→ (geom_type, coords) where coords is [(x,y)] for point/linestring
-    and [[(x,y)]] (rings) for polygon. Raises on malformed/unsupported."""
-    if len(b) < 5:
+def _parse_at(b: bytes, off: int) -> tuple[int, list, int]:
+    """Parse one WKB geometry at ``off`` → (geom_type, coords, next_off).
+    coords: [(x,y)] for point/linestring, [[(x,y)]] for polygon, and a
+    list of (child_type, child_coords) for MULTI* collections."""
+    if len(b) < off + 5:
         raise ValueError("WKB too short")
-    bo = "<" if b[0] == 1 else ">"
-    (gtype,) = struct.unpack_from(bo + "I", b, 1)
+    bo = "<" if b[off] == 1 else ">"
+    (gtype,) = struct.unpack_from(bo + "I", b, off + 1)
     gtype = gtype & 0xFF  # mask any EWKB flag bits
+    off += 5
     if gtype == WKB_POINT:
-        x, y = struct.unpack_from(bo + "dd", b, 5)
-        return gtype, [(x, y)]
+        x, y = struct.unpack_from(bo + "dd", b, off)
+        return gtype, [(x, y)], off + 16
     if gtype == WKB_LINESTRING:
-        (n,) = struct.unpack_from(bo + "I", b, 5)
-        vals = struct.unpack_from(bo + f"{2 * n}d", b, 9)
-        return gtype, [(vals[2 * i], vals[2 * i + 1]) for i in range(n)]
+        (n,) = struct.unpack_from(bo + "I", b, off)
+        vals = struct.unpack_from(bo + f"{2 * n}d", b, off + 4)
+        return (
+            gtype,
+            [(vals[2 * i], vals[2 * i + 1]) for i in range(n)],
+            off + 4 + 16 * n,
+        )
     if gtype == WKB_POLYGON:
-        (nr,) = struct.unpack_from(bo + "I", b, 5)
-        off = 9
+        (nr,) = struct.unpack_from(bo + "I", b, off)
+        off += 4
         rings = []
         for _ in range(nr):
             (n,) = struct.unpack_from(bo + "I", b, off)
@@ -137,13 +161,41 @@ def _parse(b: bytes) -> tuple[int, list]:
             vals = struct.unpack_from(bo + f"{2 * n}d", b, off)
             off += 16 * n
             rings.append([(vals[2 * i], vals[2 * i + 1]) for i in range(n)])
-        return gtype, rings
+        return gtype, rings, off
+    if gtype in _MULTI_TYPES:
+        (n,) = struct.unpack_from(bo + "I", b, off)
+        off += 4
+        kids = []
+        for _ in range(n):
+            ktype, kcoords, off = _parse_at(b, off)
+            kids.append((ktype, kcoords))
+        return gtype, kids, off
     raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+def _parse(b: bytes) -> tuple[int, list]:
+    gtype, coords, _ = _parse_at(b, 0)
+    return gtype, coords
+
+
+def _pack(gtype: int, coords: list) -> bytes:
+    if gtype == WKB_POINT:
+        return _pack_point(*coords[0])
+    if gtype == WKB_LINESTRING:
+        return _pack_linestring(coords)
+    if gtype == WKB_POLYGON:
+        return _pack_polygon(coords)
+    out = struct.pack("<BII", 1, gtype, len(coords))
+    for ktype, kcoords in coords:
+        out += _pack(ktype, kcoords)
+    return out
 
 
 def _flat_coords(gtype: int, coords: list) -> list[tuple[float, float]]:
     if gtype == WKB_POLYGON:
         return [p for ring in coords for p in ring]
+    if gtype in _MULTI_TYPES:
+        return [p for kt, kc in coords for p in _flat_coords(kt, kc)]
     return coords
 
 
@@ -154,19 +206,24 @@ def _fmt_num(v: float) -> str:
     return repr(v)
 
 
+def _coords_wkt(gtype: int, coords: list) -> str:
+    """The parenthesized coordinate body (no type tag)."""
+    pts = lambda seq: ",".join(f"{_fmt_num(x)} {_fmt_num(y)}" for x, y in seq)  # noqa: E731
+    if gtype == WKB_POINT:
+        return f"({pts(coords)})"
+    if gtype == WKB_LINESTRING:
+        return f"({pts(coords)})"
+    if gtype == WKB_POLYGON:
+        return "(" + ",".join(f"({pts(r)})" for r in coords) + ")"
+    # MULTI*: children's bodies joined (MULTIPOINT prints bare pairs)
+    if gtype == WKB_MULTIPOINT:
+        return "(" + pts([kc[0] for _kt, kc in coords]) + ")"
+    return "(" + ",".join(_coords_wkt(kt, kc) for kt, kc in coords) + ")"
+
+
 def _to_wkt(b: bytes) -> str:
     gtype, coords = _parse(b)
-    if gtype == WKB_POINT:
-        (x, y) = coords[0]
-        return f"POINT({_fmt_num(x)} {_fmt_num(y)})"
-    if gtype == WKB_LINESTRING:
-        inner = ",".join(f"{_fmt_num(x)} {_fmt_num(y)}" for x, y in coords)
-        return f"LINESTRING({inner})"
-    inner = ",".join(
-        "(" + ",".join(f"{_fmt_num(x)} {_fmt_num(y)}" for x, y in ring) + ")"
-        for ring in coords
-    )
-    return f"POLYGON({inner})"
+    return _WKT_NAMES[gtype] + _coords_wkt(gtype, coords)
 
 
 def _from_wkt(s: str) -> bytes:
@@ -187,8 +244,7 @@ def _from_wkt(s: str) -> bytes:
     if up.startswith("LINESTRING"):
         body = s[s.index("(") + 1 : s.rindex(")")]
         return _pack_linestring(coords_of(body))
-    if up.startswith("POLYGON"):
-        body = s[s.index("(") + 1 : s.rindex(")")]
+    def rings_of(body: str) -> list[list[tuple[float, float]]]:
         rings = []
         depth = 0
         start = None
@@ -199,8 +255,78 @@ def _from_wkt(s: str) -> bytes:
             elif ch == ")":
                 depth -= 1
                 rings.append(coords_of(body[start:i]))
-        return _pack_polygon(rings)
+        return rings
+
+    def split_top(body: str) -> list[str]:
+        """Split on commas at paren depth 0."""
+        parts, depth, start = [], 0, 0
+        for i, ch in enumerate(body):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(body[start:i])
+                start = i + 1
+        parts.append(body[start:])
+        return [p.strip() for p in parts if p.strip()]
+
+    if up.startswith("POLYGON"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        return _pack_polygon(rings_of(body))
+    if up.startswith("MULTIPOINT"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        kids = [
+            (WKB_POINT, coords_of(p.strip("() ")))
+            for p in split_top(body)
+        ]
+        return _pack(WKB_MULTIPOINT, kids)
+    if up.startswith("MULTILINESTRING"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        return _pack(
+            WKB_MULTILINESTRING,
+            [(WKB_LINESTRING, r) for r in rings_of(body)],
+        )
+    if up.startswith("MULTIPOLYGON"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        kids = []
+        for poly in split_top(body):
+            kids.append((WKB_POLYGON, rings_of(poly.strip()[1:-1])))
+        return _pack(WKB_MULTIPOLYGON, kids)
     raise ValueError(f"unsupported WKT: {s[:40]}")
+
+
+_DIMS = {
+    WKB_POINT: 0,
+    WKB_LINESTRING: 1,
+    WKB_POLYGON: 2,
+    WKB_MULTIPOINT: 0,
+    WKB_MULTILINESTRING: 1,
+    WKB_MULTIPOLYGON: 2,
+}
+
+
+def _length_of(gtype: int, coords: list) -> float:
+    if gtype == WKB_POINT or gtype == WKB_MULTIPOINT:
+        return 0.0
+    if gtype == WKB_LINESTRING:
+        return sum(
+            math.hypot(x1 - x0, y1 - y0)
+            for (x0, y0), (x1, y1) in zip(coords, coords[1:])
+        )
+    if gtype == WKB_POLYGON:
+        return sum(_length_of(WKB_LINESTRING, r) for r in coords)
+    return sum(_length_of(kt, kc) for kt, kc in coords)
+
+
+def _closed_of(gtype: int, coords: list):
+    if gtype == WKB_LINESTRING:
+        return bool(coords) and coords[0] == coords[-1]
+    if gtype == WKB_MULTILINESTRING:
+        return all(_closed_of(kt, kc) for kt, kc in coords)
+    if gtype in (WKB_POLYGON, WKB_MULTIPOLYGON):
+        return True
+    return None  # points: PostGIS returns true, but undefined here → null
 
 
 # ---------------------------------------------------------------------------
@@ -295,20 +421,15 @@ def _k_info(g: pd.Series) -> pd.DataFrame:
             continue
         gtype, coords = _parse(bytes(b))
         pts = _flat_coords(gtype, coords)
-        length = 0.0
-        if gtype in (WKB_LINESTRING, WKB_POLYGON):
-            seqs = coords if gtype == WKB_POLYGON else [coords]
-            for seq in seqs:
-                for (x0, y0), (x1, y1) in zip(seq, seq[1:]):
-                    length += math.hypot(x1 - x0, y1 - y0)
-        closed = (
-            bool(pts) and coords[0] == coords[-1]
-            if gtype == WKB_LINESTRING
-            else (gtype == WKB_POLYGON if pts else None)
-        )
-        dim = {WKB_POINT: 0, WKB_LINESTRING: 1, WKB_POLYGON: 2}[gtype]
         rows.append(
-            (_TYPE_NAMES[gtype], len(pts), length, closed, dim, len(pts) == 0)
+            (
+                _TYPE_NAMES[gtype],
+                len(pts),
+                _length_of(gtype, coords),
+                _closed_of(gtype, coords) if pts else None,
+                _DIMS[gtype],
+                len(pts) == 0,
+            )
         )
     return pd.DataFrame(
         rows, columns=["gtype", "npoints", "length", "closed", "dim", "empty"]
@@ -477,6 +598,80 @@ def _k_asgeojson(g: pd.Series) -> pd.Series:
     )
 
 
+@pandas_udf(IntegerType())
+def _k_numgeom(g: pd.Series) -> pd.Series:
+    out = []
+    for b in g:
+        if b is None:
+            out.append(None)
+            continue
+        gtype, coords = _parse(bytes(b))
+        out.append(len(coords) if gtype in _MULTI_TYPES else 1)
+    return pd.Series(out, dtype="Int32")
+
+
+@pandas_udf(BinaryType())
+def _k_geometryn(g: pd.Series, n: pd.Series) -> pd.Series:
+    out = []
+    for b, k in zip(g, n):
+        if b is None or k is None:
+            out.append(None)
+            continue
+        gtype, coords = _parse(bytes(b))
+        k = int(k)
+        if gtype not in _MULTI_TYPES:
+            out.append(bytes(b) if k == 1 else None)  # PostGIS semantics
+            continue
+        if 1 <= k <= len(coords):
+            out.append(_pack(*coords[k - 1]))
+        else:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _k_collect(arr: pd.Series) -> pd.Series:
+    """ST_Collect over a pre-grouped array<binary>: homogeneous point/
+    linestring/polygon inputs become the matching MULTI geometry."""
+    out = []
+    for geoms in arr:
+        if geoms is None:
+            out.append(None)
+            continue
+        kids = [_parse(bytes(b))[:2] for b in geoms if b is not None]
+        if not kids:
+            out.append(None)
+            continue
+        kinds = {kt for kt, _ in kids}
+        if kinds <= {WKB_POINT}:
+            out.append(_pack(WKB_MULTIPOINT, kids))
+        elif kinds <= {WKB_LINESTRING}:
+            out.append(_pack(WKB_MULTILINESTRING, kids))
+        elif kinds <= {WKB_POLYGON}:
+            out.append(_pack(WKB_MULTIPOLYGON, kids))
+        else:
+            raise ValueError(
+                "st_collect supports homogeneous point/linestring/polygon inputs"
+            )
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _k_makepolygon(g: pd.Series) -> pd.Series:
+    out = []
+    for b in g:
+        if b is None:
+            out.append(None)
+            continue
+        gtype, coords = _parse(bytes(b))
+        if gtype != WKB_LINESTRING:
+            raise ValueError("st_makepolygon expects a LINESTRING shell")
+        if len(coords) < 4 or coords[0] != coords[-1]:
+            raise ValueError("st_makepolygon shell must be closed (>= 4 points)")
+        out.append(_pack_polygon([coords]))
+    return pd.Series(out, dtype=object)
+
+
 @pandas_udf(BinaryType())
 def _k_validate_wkb(g: pd.Series) -> pd.Series:
     out = []
@@ -577,6 +772,28 @@ def st_srid(g) -> Column:
 
 def st_makeline(points_array) -> Column:
     return _k_makeline(points_array)
+
+
+def st_numgeometries(g) -> Column:
+    return _k_numgeom(F.col(g) if isinstance(g, str) else g)
+
+
+def st_geometryn(g, n) -> Column:
+    n = F.lit(n) if isinstance(n, int) else n
+    return _k_geometryn(F.col(g) if isinstance(g, str) else g, n)
+
+
+def st_collect(geoms_array) -> Column:
+    """Aggregate form: ``st_collect(F.collect_list(geom))`` — homogeneous
+    inputs become the matching MULTI geometry (reference ships
+    st_collect as an aggregate, shippable_spatial_functions.c)."""
+    return _k_collect(geoms_array)
+
+
+def st_makepolygon(shell_line) -> Column:
+    return _k_makepolygon(
+        F.col(shell_line) if isinstance(shell_line, str) else shell_line
+    )
 
 
 def st_pointn(g, n) -> Column:

@@ -10,6 +10,7 @@ Mirrors pg_lake_spatial/tests' basic cases from the reference.
 from __future__ import annotations
 
 import math
+import os
 import random
 import struct
 
@@ -298,3 +299,136 @@ def test_read_geojson_ndjson_and_collection(spark, tmp_path):
         ("ST_Point", "POINT(9 9)"),
         ("ST_Polygon", "POLYGON((0 0,2 0,2 2,0 0))"),
     ]
+
+
+# --- GeoParquet -------------------------------------------------------------
+
+
+def test_geoparquet_roundtrip(spark, tmp_path):
+    """Export → detect → scan: attach_geo_metadata computes
+    geometry_types + bbox distributed and patches the 'geo' footer
+    (geoparquet.c export / describe.c:225 detection parity); the scan
+    validates WKB encoding and yields st_*-ready geometry."""
+    from pg_lake_spark.sources.geoparquet import (
+        attach_geo_metadata,
+        geo_metadata,
+        read_geoparquet,
+    )
+
+    out = str(tmp_path / "geo_pq")
+    df = spark.createDataFrame(
+        [(1, 1.0, 2.0), (2, -4.5, 7.0), (3, 10.0, -3.0)], "id bigint, x double, y double"
+    ).select("id", S.st_point("x", "y").alias("geom"))
+    df.write.parquet(out)
+    assert geo_metadata(out) is None
+
+    geo = attach_geo_metadata(spark, out, ["geom"])
+    assert geo["primary_column"] == "geom"
+    assert geo["columns"]["geom"]["encoding"] == "WKB"
+    assert geo["columns"]["geom"]["geometry_types"] == ["Point"]
+    assert geo["columns"]["geom"]["bbox"] == [-4.5, -3.0, 10.0, 7.0]
+    # detection reads it back from the footer
+    assert geo_metadata(out) == geo
+
+    got, meta = read_geoparquet(spark, out)
+    assert meta == geo
+    rows = got.select("id", S.st_x("geom").alias("x")).orderBy("id").collect()
+    assert [(r.id, r.x) for r in rows] == [(1, 1.0), (2, -4.5), (3, 10.0)]
+    # data unchanged by the footer patch
+    assert got.count() == 3
+
+
+def test_geoparquet_rejects_non_wkb(spark, tmp_path):
+    from pg_lake_spark.sources.geoparquet import GEO_KEY, read_geoparquet
+    import json as _json
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "native_geo")
+    spark.createDataFrame([(1,)], "id bigint").write.parquet(out)
+    part = next(
+        os.path.join(out, n) for n in os.listdir(out) if n.endswith(".parquet")
+    )
+    t = pq.read_table(part)
+    md = dict(t.schema.metadata or {})
+    md[GEO_KEY] = _json.dumps(
+        {"version": "1.1.0", "primary_column": "g",
+         "columns": {"g": {"encoding": "point"}}}
+    ).encode()
+    pq.write_table(t.replace_schema_metadata(md), part)
+    with pytest.raises(NotImplementedError, match="only WKB"):
+        read_geoparquet(spark, out)
+
+
+# --- multi-geometries --------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "wkt",
+    [
+        "MULTIPOINT(0 0,1 1,2 3)",
+        "MULTILINESTRING((0 0,1 1),(2 2,3 3,4 4))",
+        "MULTIPOLYGON(((0 0,4 0,4 4,0 0)),((10 10,12 10,12 12,10 10)))",
+    ],
+)
+def test_multi_wkt_roundtrip(spark, wkt):
+    df = spark.createDataFrame([(wkt,)], "w string")
+    got = _one(df.select(S.st_astext(S.st_geomfromtext("w"))))
+    assert got == wkt
+
+
+def test_multi_accessors(spark):
+    df = spark.createDataFrame(
+        [("MULTILINESTRING((0 0,3 4),(0 0,0 2))",)], "w string"
+    )
+    g = df.select(S.st_geomfromtext("w").alias("g"))
+    r = g.select(
+        S.st_geometrytype("g").alias("t"),
+        S.st_numgeometries("g").alias("ng"),
+        S.st_npoints("g").alias("np"),
+        S.st_length("g").alias("len"),
+        S.st_dimension("g").alias("dim"),
+        S.st_astext(S.st_geometryn("g", 2)).alias("g2"),
+        S.st_geometryn("g", 3).alias("oob"),
+    ).collect()[0]
+    assert (r.t, r.ng, r.np, r.len, r.dim, r.g2, r.oob) == (
+        "ST_MultiLineString", 2, 4, 7.0, 1, "LINESTRING(0 0,0 2)", None,
+    )
+    env = g.select(S.st_envelope("g").alias("e")).collect()[0].e
+    assert (env.xmin, env.ymin, env.xmax, env.ymax) == (0.0, 0.0, 3.0, 4.0)
+
+
+def test_st_collect_aggregate(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (1, 1.0, 1.0), (2, 5.0, 5.0)], "grp int, x double, y double"
+    )
+    agg = (
+        df.select("grp", S.st_point("x", "y").alias("p"))
+        .groupBy("grp")
+        .agg(F.sort_array(F.collect_list("p")).alias("ps"))
+        .select("grp", S.st_astext(S.st_collect("ps")).alias("mp"))
+        .orderBy("grp")
+    )
+    rows = agg.collect()
+    assert rows[0].mp == "MULTIPOINT(0 0,1 1)"
+    assert rows[1].mp == "MULTIPOINT(5 5)"
+    # geometryn on a single-geom multi and numgeometries on a simple geom
+    one = spark.createDataFrame([("POINT(9 9)",)], "w string").select(
+        S.st_geomfromtext("w").alias("g")
+    )
+    r = one.select(
+        S.st_numgeometries("g").alias("n"),
+        S.st_astext(S.st_geometryn("g", 1)).alias("g1"),
+        S.st_geometryn("g", 2).alias("g2"),
+    ).collect()[0]
+    assert (r.n, r.g1, r.g2) == (1, "POINT(9 9)", None)
+
+
+def test_st_makepolygon(spark):
+    df = spark.createDataFrame([("LINESTRING(0 0,4 0,4 4,0 0)",)], "w string")
+    got = _one(
+        df.select(S.st_astext(S.st_makepolygon(S.st_geomfromtext("w"))))
+    )
+    assert got == "POLYGON((0 0,4 0,4 4,0 0))"
+    open_line = spark.createDataFrame([("LINESTRING(0 0,4 0,4 4)",)], "w string")
+    with pytest.raises(Exception, match="closed"):
+        open_line.select(S.st_makepolygon(S.st_geomfromtext("w"))).collect()
