@@ -28,7 +28,7 @@ from pg_lake_spark.queries import spatial_q  # noqa: E402,F401
 # oldest re-confirmations (r4 rows, in CORRECTNESS_r04 order) up to 50.
 _R6_NEW: list[str] = [
     "f_spatial_point", "j_spatial_bbox_join", "f_spatial_measures",
-    "dml_drop_restore", "d_delta_column_mapping",
+    "f_geojson_scan", "dml_drop_restore", "d_delta_column_mapping",
 ]
 _STALE_R2R3 = [
     "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",

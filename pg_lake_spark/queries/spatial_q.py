@@ -182,3 +182,53 @@ def j_spatial_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("pts"))
         .orderBy("n_nationkey")
     )
+
+
+@query(
+    "f_geojson_scan",
+    oracle="""
+    SELECT c_custkey AS ck,
+           CAST(c_custkey % 360 AS DOUBLE) - 180.0 AS lon,
+           CAST(c_custkey % 180 AS DOUBLE) - 90.0  AS lat,
+           'ST_Point' AS gtype,
+           c_mktsegment AS segment
+    FROM customer
+    WHERE c_custkey <= 400
+    ORDER BY ck
+    """,
+    doc="GeoJSON lifecycle (gdal.c's GeoJSON slice): corpus rows are "
+    "written as newline-delimited GeoJSON Features (distributed Spark "
+    "write), read back through sources/readers.read_geojson into WKB "
+    "geometry + properties JSON, and unpacked with st_x/st_y/"
+    "get_json_object — the oracle recomputes the coordinates "
+    "arithmetically from customer.",
+)
+def f_geojson_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pg_lake_spark.queries.dml import _scratch
+    from pg_lake_spark.sources.readers import read_geojson
+
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].filter(F.col("c_custkey") <= 400)
+    feature = F.concat(
+        F.lit('{"type": "Feature", "geometry": {"type": "Point", "coordinates": ['),
+        ((F.col("c_custkey") % 360).cast("double") - 180.0).cast("string"),
+        F.lit(", "),
+        ((F.col("c_custkey") % 180).cast("double") - 90.0).cast("string"),
+        F.lit(']}, "properties": {"ck": '),
+        F.col("c_custkey").cast("string"),
+        F.lit(', "segment": "'),
+        F.col("c_mktsegment"),
+        F.lit('"}}'),
+    )
+    loc = os.path.join(_scratch("f_geojson_scan"), "pts.ndjson")
+    c.select(feature.alias("value")).coalesce(2).write.mode("overwrite").text(loc)
+    g = read_geojson(spark, loc)
+    return g.select(
+        F.get_json_object("properties", "$.ck").cast("bigint").alias("ck"),
+        S.st_x("geometry").alias("lon"),
+        S.st_y("geometry").alias("lat"),
+        S.st_geometrytype("geometry").alias("gtype"),
+        F.get_json_object("properties", "$.segment").alias("segment"),
+    ).orderBy("ck")

@@ -68,12 +68,29 @@ def read_geoparquet(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     return spark.read.parquet(path), geo
 
 
+def with_bbox_covering(df: DataFrame, geometry_col: str, covering_col: str | None = None) -> DataFrame:
+    """Add the spec v1.1 ``covering`` bbox column for a geometry column.
+
+    The bbox struct (xmin/ymin/xmax/ymax doubles) is a NATIVE parquet
+    column, so its per-row-group min/max statistics give bbox predicates
+    (``bbox_intersects``/``bbox_contains_point`` over the covering
+    column) parquet-level row-group pruning — the reference's GeoParquet
+    bbox trick (describe.c:225): spatial filters prune I/O without the
+    engine understanding WKB at scan time. Pass the covering name to
+    :func:`attach_geo_metadata` so readers discover it from the footer.
+    """
+    from pg_lake_spark.functions import spatial as S
+
+    return df.withColumn(covering_col or f"{geometry_col}_bbox", S.st_envelope(F.col(geometry_col)))
+
+
 def attach_geo_metadata(
     spark: SparkSession,
     path: str,
     geometry_cols: list[str],
     *,
     version: str = "1.1.0",
+    covering: dict[str, str] | None = None,
 ) -> dict:
     """Turn a written parquet dataset into GeoParquet: compute each
     geometry column's geometry_types + bbox (one distributed aggregate
@@ -114,6 +131,17 @@ def attach_geo_metadata(
                 row[f"__y1_{c}"],
             ],
         }
+        if covering and c in covering:
+            # spec v1.1 covering: bbox fields point at [column, field]
+            bc = covering[c]
+            columns[c]["covering"] = {
+                "bbox": {
+                    "xmin": [bc, "xmin"],
+                    "ymin": [bc, "ymin"],
+                    "xmax": [bc, "xmax"],
+                    "ymax": [bc, "ymax"],
+                }
+            }
     geo = {
         "version": version,
         "primary_column": geometry_cols[0],

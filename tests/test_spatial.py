@@ -345,8 +345,9 @@ def test_geoparquet_rejects_non_wkb(spark, tmp_path):
 
     out = str(tmp_path / "native_geo")
     spark.createDataFrame([(1,)], "id bigint").write.parquet(out)
-    part = next(
-        os.path.join(out, n) for n in os.listdir(out) if n.endswith(".parquet")
+    # patch the sorted-first part — the one geo_metadata reads
+    part = os.path.join(
+        out, sorted(n for n in os.listdir(out) if n.endswith(".parquet"))[0]
     )
     t = pq.read_table(part)
     md = dict(t.schema.metadata or {})
@@ -432,3 +433,37 @@ def test_st_makepolygon(spark):
     open_line = spark.createDataFrame([("LINESTRING(0 0,4 0,4 4)",)], "w string")
     with pytest.raises(Exception, match="closed"):
         open_line.select(S.st_makepolygon(S.st_geomfromtext("w"))).collect()
+
+
+def test_geoparquet_bbox_covering_pushes_down(spark, tmp_path):
+    """The covering bbox column is native parquet data, so bbox
+    predicates push into the scan (PushedFilters on the nested fields)
+    and prune row groups — the reference's GeoParquet bbox trick."""
+    from pg_lake_spark.sources.geoparquet import (
+        attach_geo_metadata,
+        geo_metadata,
+        with_bbox_covering,
+    )
+
+    out = str(tmp_path / "covered")
+    df = spark.range(1000).select(
+        F.col("id"),
+        S.st_point(
+            (F.col("id") % 100).cast("double"), (F.col("id") % 37).cast("double")
+        ).alias("geom"),
+    )
+    with_bbox_covering(df, "geom").repartition(4).write.parquet(out)
+    geo = attach_geo_metadata(spark, out, ["geom"], covering={"geom": "geom_bbox"})
+    assert geo["columns"]["geom"]["covering"]["bbox"]["xmin"] == ["geom_bbox", "xmin"]
+    assert geo_metadata(out)["columns"]["geom"]["covering"]
+
+    box = S.st_makeenvelope(10.0, 0.0, 20.0, 50.0)
+    scan = spark.read.parquet(out).filter(
+        S.bbox_intersects(F.col("geom_bbox"), box)
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "geom_bbox.xmax" in plan or "xmax" in plan  # nested pushdown reached the scan
+    got = scan.select("id").collect()
+    want = [i for i in range(1000) if 10 <= i % 100 <= 20]
+    assert sorted(r.id for r in got) == want
