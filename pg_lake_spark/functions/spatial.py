@@ -884,3 +884,50 @@ def bbox_intersects(a, b) -> Column:
 
 def bbox_disjoint(a, b) -> Column:
     return ~bbox_intersects(a, b)
+
+
+# ---------------------------------------------------------------------------
+# SQL surface registration
+# ---------------------------------------------------------------------------
+
+@pandas_udf(DoubleType())
+def _k_x(g: pd.Series) -> pd.Series:
+    return _k_xy.func(g)["x"]
+
+
+@pandas_udf(DoubleType())
+def _k_y(g: pd.Series) -> pd.Series:
+    return _k_xy.func(g)["y"]
+
+
+def register_spatial_sql(spark) -> list[str]:
+    """Expose the st_* surface to SQL (``spark.sql("SELECT st_astext(
+    st_point(x, y)) ..."``) — parity with the reference shipping st_*
+    as SQL functions (shippable_spatial_functions.c). Kernel-backed
+    functions register directly; measures/predicates that are plain
+    Column expressions stay Python-API-only (SQL can compose them from
+    st_x/st_y). Returns the registered names."""
+    regs = {
+        "st_point": _k_point,
+        "st_x": _k_x,
+        "st_y": _k_y,
+        "st_astext": _k_astext,
+        "st_geomfromtext": _k_fromtext,
+        "st_geometryfromtext": _k_fromtext,
+        "st_geomfromwkb": _k_validate_wkb,
+        "st_geomfromgeojson": _k_fromgeojson,
+        "st_asgeojson": _k_asgeojson,
+        "st_envelope": _k_envelope,
+        "st_makeline": _k_makeline,
+        "st_pointn": _k_pointn,
+        "st_centroid": _k_centroid,
+        "st_reverse": _k_reverse,
+        "st_flipcoordinates": _k_flip,
+        "st_numgeometries": _k_numgeom,
+        "st_geometryn": _k_geometryn,
+        "st_collect": _k_collect,
+        "st_makepolygon": _k_makepolygon,
+    }
+    for name, fn in regs.items():
+        spark.udf.register(name, fn)
+    return sorted(regs)

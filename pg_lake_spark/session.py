@@ -344,6 +344,31 @@ class LakeSession:
 
         return maintenance.vacuum(LakeTable.load(self.spark, location), **kwargs)
 
+    def enable_spatial_sql(self) -> list[str]:
+        """Register the st_* surface for ``sess.sql`` queries (the
+        reference ships spatial as SQL functions)."""
+        from pg_lake_spark.functions.spatial import register_spatial_sql
+
+        return register_spatial_sql(self.spark)
+
+    def register_geojson_table(self, name: str, path: str) -> DataFrame:
+        """GeoJSON (NDJSON features or FeatureCollection) as a view with
+        WKB geometry + properties JSON (GDAL-slice parity)."""
+        from pg_lake_spark.sources.readers import read_geojson
+
+        df = read_geojson(self.spark, path)
+        df.createOrReplaceTempView(name)
+        return df
+
+    def register_geoparquet_table(self, name: str, path: str) -> tuple[DataFrame, dict]:
+        """GeoParquet dataset as a view; returns (df, geo_metadata)
+        (describe.c:225 detection parity)."""
+        from pg_lake_spark.sources.geoparquet import read_geoparquet
+
+        df, geo = read_geoparquet(self.spark, path)
+        df.createOrReplaceTempView(name)
+        return df, geo
+
     def drop_table(self, location: str) -> dict:
         """DROP TABLE: files → deletion queue (10-day retention), table
         hidden, metadata retained for restore (drop_table.c parity)."""

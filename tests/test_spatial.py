@@ -467,3 +467,30 @@ def test_geoparquet_bbox_covering_pushes_down(spark, tmp_path):
     got = scan.select("id").collect()
     want = [i for i in range(1000) if 10 <= i % 100 <= 20]
     assert sorted(r.id for r in got) == want
+
+
+def test_spatial_sql_surface(spark, tmp_path):
+    """st_* registered as SQL functions + the session facades: the
+    reference's SQL-level spatial surface on LakeSession.sql."""
+    from pg_lake_spark.session import LakeSession
+
+    sess = LakeSession(spark)
+    names = sess.enable_spatial_sql()
+    assert "st_point" in names and "st_collect" in names
+    r = sess.sql(
+        "SELECT st_astext(st_point(1.5D, 2.5D)) AS t,"
+        "       st_x(st_geomfromtext('POINT(3 4)')) AS x,"
+        "       st_astext(st_geometryn(st_geomfromtext("
+        "           'MULTIPOINT(0 0,5 5)'), 2)) AS g2,"
+        "       st_envelope(st_geomfromtext('LINESTRING(0 1,4 -2)')) AS e"
+    ).collect()[0]
+    assert (r.t, r.x, r.g2) == ("POINT(1.5 2.5)", 3.0, "POINT(5 5)")
+    assert (r.e.xmin, r.e.ymin, r.e.xmax, r.e.ymax) == (0.0, -2.0, 4.0, 1.0)
+
+    nd = tmp_path / "f.ndjson"
+    nd.write_text(
+        '{"type": "Feature", "geometry": {"type": "Point", "coordinates": [7, 8]}, "properties": {}}\n'
+    )
+    sess.register_geojson_table("geo_v", str(nd))
+    got = sess.sql("SELECT st_x(geometry) AS x FROM geo_v").collect()
+    assert [r.x for r in got] == [7.0]
