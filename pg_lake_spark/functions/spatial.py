@@ -8,19 +8,24 @@ geoparquet.c). No geometry library exists in this environment, so this
 module re-implements the geometry-library-free subset directly over the
 WKB wire format (the same representation the reference's type uses):
 
-- constructors: st_point, st_makeline, st_geomfromtext, st_geomfromwkb,
-  st_makeenvelope
-- accessors: st_x, st_y, st_astext, st_asbinary, st_geometrytype,
-  st_npoints/st_numpoints, st_startpoint, st_endpoint, st_pointn,
-  st_srid, st_dimension, st_isempty, st_isclosed
-- measures: st_length, st_distance (point-point), st_dwithin, st_area
-  (envelope), st_centroid
-- envelope/bbox: st_envelope (struct xmin/ymin/xmax/ymax — the same
-  bbox the reference reads from GeoParquet covering metadata,
-  pg_lake_table/src/describe/describe.c:225), plus pure-expression
-  predicates bbox_contains / bbox_intersects / bbox_within /
-  bbox_disjoint and bbox_contains_point.
-- transforms: st_reverse, st_flipcoordinates
+- constructors: st_point, st_makeline, st_makepolygon, st_collect
+  (aggregate), st_geomfromtext, st_geomfromwkb, st_geomfromgeojson,
+  st_makeenvelope, st_buffer (point → regular polygon)
+- accessors: st_x, st_y, st_astext, st_asbinary, st_asgeojson,
+  st_geometrytype, st_npoints/st_numpoints, st_numgeometries,
+  st_geometryn, st_startpoint, st_endpoint, st_pointn, st_srid,
+  st_dimension, st_isempty, st_isclosed, st_isvalid (structural),
+  st_orderingequals
+- measures: st_length, st_perimeter, st_area (shoelace, holes
+  subtracted), st_distance (point-point), st_dwithin, st_centroid
+- envelope/bbox: st_envelope/st_extent (struct xmin/ymin/xmax/ymax —
+  the same bbox the reference reads from GeoParquet covering metadata,
+  pg_lake_table/src/describe/describe.c:225), st_expand, bbox_area,
+  plus pure-expression predicates bbox_contains / bbox_intersects /
+  bbox_within / bbox_disjoint and bbox_contains_point.
+- transforms: st_reverse, st_flipcoordinates, st_translate, st_force2d
+- SQL surface: :func:`register_spatial_sql` registers the kernel-backed
+  subset for ``spark.sql``.
 
 Execution model: WKB pack/parse cannot be expressed with built-in
 Column functions (no IEEE-754 byte access), so the kernels are
@@ -32,9 +37,10 @@ are opaque ``binary`` columns — partitioning, stats, and shuffles treat
 them like any other binary payload, which is exactly how the reference
 stores geometry in parquet.
 
-Supported geometry types: POINT (1), LINESTRING (2), POLYGON (3);
-2D, both WKB byte orders on read, little-endian on write, SRID-less
-(st_srid returns 0 as PostGIS does for unset SRID).
+Supported geometry types: POINT (1), LINESTRING (2), POLYGON (3),
+MULTIPOINT (4), MULTILINESTRING (5), MULTIPOLYGON (6); 2D, both WKB
+byte orders on read, little-endian on write, SRID-less (st_srid
+returns 0 as PostGIS does for unset SRID).
 """
 
 from __future__ import annotations
@@ -672,6 +678,137 @@ def _k_makepolygon(g: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+def _ring_area(ring: list[tuple[float, float]]) -> float:
+    """Signed shoelace area of one ring."""
+    a = 0.0
+    for (x0, y0), (x1, y1) in zip(ring, ring[1:]):
+        a += x0 * y1 - x1 * y0
+    return a / 2.0
+
+
+def _area_of(gtype: int, coords: list) -> float:
+    if gtype == WKB_POLYGON:
+        if not coords:
+            return 0.0
+        # exterior ring minus holes (absolute values, PostGIS semantics)
+        return abs(_ring_area(coords[0])) - sum(
+            abs(_ring_area(r)) for r in coords[1:]
+        )
+    if gtype in _MULTI_TYPES:
+        return sum(_area_of(kt, kc) for kt, kc in coords)
+    return 0.0
+
+
+def _perimeter_of(gtype: int, coords: list) -> float:
+    if gtype == WKB_POLYGON:
+        return sum(_length_of(WKB_LINESTRING, r) for r in coords)
+    if gtype in _MULTI_TYPES:
+        return sum(_perimeter_of(kt, kc) for kt, kc in coords)
+    return 0.0
+
+
+@pandas_udf(DoubleType())
+def _k_area(g: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if b is None else _area_of(*_parse(bytes(b))) for b in g],
+        dtype="float64",
+    )
+
+
+@pandas_udf(DoubleType())
+def _k_perimeter(g: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if b is None else _perimeter_of(*_parse(bytes(b))) for b in g],
+        dtype="float64",
+    )
+
+
+@pandas_udf(BinaryType())
+def _k_buffer(g: pd.Series, r: pd.Series, qs: pd.Series) -> pd.Series:
+    out = []
+    for b, radius, quad in zip(g, r, qs):
+        if b is None or radius is None:
+            out.append(None)
+            continue
+        gtype, coords = _parse(bytes(b))
+        if gtype != WKB_POINT:
+            raise ValueError("st_buffer supports POINT inputs only (no geometry lib)")
+        cx, cy = coords[0]
+        n = max(4, 4 * int(quad))
+        ring = [
+            (
+                cx + float(radius) * math.cos(2 * math.pi * i / n),
+                cy + float(radius) * math.sin(2 * math.pi * i / n),
+            )
+            for i in range(n)
+        ]
+        ring.append(ring[0])
+        out.append(_pack_polygon([ring]))
+    return pd.Series(out, dtype=object)
+
+
+def _map_coords(gtype: int, coords: list, fn):
+    if gtype == WKB_POINT or gtype == WKB_LINESTRING:
+        return [fn(p) for p in coords]
+    if gtype == WKB_POLYGON:
+        return [[fn(p) for p in ring] for ring in coords]
+    return [(kt, _map_coords(kt, kc, fn)) for kt, kc in coords]
+
+
+@pandas_udf(BinaryType())
+def _k_translate(g: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
+    out = []
+    for b, ddx, ddy in zip(g, dx, dy):
+        if b is None:
+            out.append(None)
+            continue
+        gtype, coords = _parse(bytes(b))
+        moved = _map_coords(
+            gtype, coords, lambda p: (p[0] + float(ddx), p[1] + float(ddy))
+        )
+        out.append(_pack(gtype, moved))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _k_normalize(g: pd.Series) -> pd.Series:
+    """Repack as little-endian WKB (canonical byte form for equality)."""
+    out = []
+    for b in g:
+        if b is None:
+            out.append(None)
+            continue
+        out.append(_pack(*_parse(bytes(b))))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BooleanType())
+def _k_isvalid(g: pd.Series) -> pd.Series:
+    def valid(b: bytes) -> bool:
+        try:
+            gtype, coords = _parse(b)
+        except ValueError:
+            return False
+        pts = _flat_coords(gtype, coords)
+        if any(not (math.isfinite(x) and math.isfinite(y)) for x, y in pts):
+            return False
+
+        def check(gt: int, cs: list) -> bool:
+            if gt == WKB_LINESTRING:
+                return len(cs) >= 2
+            if gt == WKB_POLYGON:
+                return all(len(r) >= 4 and r[0] == r[-1] for r in cs) and bool(cs)
+            if gt in _MULTI_TYPES:
+                return all(check(kt, kc) for kt, kc in cs)
+            return True
+
+        return check(gtype, coords)
+
+    return pd.Series(
+        [None if b is None else valid(bytes(b)) for b in g], dtype=object
+    )
+
+
 @pandas_udf(BinaryType())
 def _k_validate_wkb(g: pd.Series) -> pd.Series:
     out = []
@@ -845,10 +982,71 @@ def st_makeenvelope(xmin, ymin, xmax, ymax) -> Column:
     )
 
 
-def st_area(box) -> Column:
-    """Area of a bbox struct (envelope algebra — the slice's polygon
-    surface is envelope-based, like GeoParquet row-group pruning)."""
+def bbox_area(box) -> Column:
+    """Area of a bbox struct (envelope algebra, a pure expression)."""
     return (box["xmax"] - box["xmin"]) * (box["ymax"] - box["ymin"])
+
+
+def st_area(g) -> Column:
+    """Planar area of a geometry (shoelace over polygon rings, holes
+    subtracted; 0 for points/lines — PostGIS semantics). For the
+    envelope-algebra fast path over a bbox struct use :func:`bbox_area`."""
+    return _k_area(F.col(g) if isinstance(g, str) else g)
+
+
+def st_perimeter(g) -> Column:
+    """Ring length of polygon/multipolygon (0 for other types)."""
+    return _k_perimeter(F.col(g) if isinstance(g, str) else g)
+
+
+def st_buffer(g, radius: float, quad_segs: int = 8) -> Column:
+    """Point buffer → regular polygon approximation (4*quad_segs
+    vertices, PostGIS's quad_segs knob). Non-point inputs raise — a
+    general buffer needs a geometry library."""
+    return _k_buffer(
+        F.col(g) if isinstance(g, str) else g,
+        F.lit(float(radius)),
+        F.lit(int(quad_segs)),
+    )
+
+
+def st_translate(g, dx: float, dy: float) -> Column:
+    return _k_translate(
+        F.col(g) if isinstance(g, str) else g, F.lit(float(dx)), F.lit(float(dy))
+    )
+
+
+def st_expand(box, d) -> Column:
+    """Grow a bbox struct by ``d`` on every side (pure expression)."""
+    d = F.lit(float(d)) if not isinstance(d, Column) else d
+    return F.struct(
+        (box["xmin"] - d).alias("xmin"),
+        (box["ymin"] - d).alias("ymin"),
+        (box["xmax"] + d).alias("xmax"),
+        (box["ymax"] + d).alias("ymax"),
+    )
+
+
+def st_orderingequals(a, b) -> Column:
+    """Exact geometry equality: same type, same coordinates in the same
+    order (PostGIS ST_OrderingEquals). Byte compare after little-endian
+    normalization — both sides of this engine already store LE WKB, and
+    foreign BE inputs normalize through the kernel."""
+    an = _k_normalize(F.col(a) if isinstance(a, str) else a)
+    bn = _k_normalize(F.col(b) if isinstance(b, str) else b)
+    return an == bn
+
+
+def st_isvalid(g) -> Column:
+    """Structural validity: parseable WKB, linestrings >= 2 points,
+    polygon rings closed with >= 4 points, finite coordinates. (Full
+    OGC validity — self-intersection tests — needs a geometry library.)"""
+    return _k_isvalid(F.col(g) if isinstance(g, str) else g)
+
+
+def st_force2d(g) -> Column:
+    """Identity on this engine's 2D-only geometries (validates WKB)."""
+    return _k_validate_wkb(F.col(g) if isinstance(g, str) else g)
 
 
 # --- pure-expression bbox predicates (JVM-side; Catalyst can push them) ----
@@ -927,6 +1125,12 @@ def register_spatial_sql(spark) -> list[str]:
         "st_geometryn": _k_geometryn,
         "st_collect": _k_collect,
         "st_makepolygon": _k_makepolygon,
+        "st_area": _k_area,
+        "st_perimeter": _k_perimeter,
+        "st_buffer": _k_buffer,
+        "st_translate": _k_translate,
+        "st_isvalid": _k_isvalid,
+        "st_force2d": _k_validate_wkb,
     }
     for name, fn in regs.items():
         spark.udf.register(name, fn)

@@ -137,7 +137,7 @@ def test_distance_dwithin(spark):
 def test_envelope_and_area(spark):
     df = spark.createDataFrame([("LINESTRING(1 2,5 -3,2 7)",)], "w string")
     g = df.select(S.st_envelope(S.st_geomfromtext("w")).alias("e"))
-    r = g.select("e", S.st_area(F.col("e")).alias("a")).collect()[0]
+    r = g.select("e", S.bbox_area(F.col("e")).alias("a")).collect()[0]
     assert (r.e.xmin, r.e.ymin, r.e.xmax, r.e.ymax) == (1.0, -3.0, 5.0, 7.0)
     assert r.a == 4.0 * 10.0
 
@@ -494,3 +494,57 @@ def test_spatial_sql_surface(spark, tmp_path):
     sess.register_geojson_table("geo_v", str(nd))
     got = sess.sql("SELECT st_x(geometry) AS x FROM geo_v").collect()
     assert [r.x for r in got] == [7.0]
+
+
+def test_area_perimeter_buffer_translate(spark):
+    df = spark.createDataFrame(
+        [("POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))",)], "w string"
+    )
+    g = df.select(S.st_geomfromtext("w").alias("g"))
+    r = g.select(
+        S.st_area("g").alias("a"),
+        S.st_perimeter("g").alias("p"),
+        S.st_astext(S.st_translate("g", 10, 20)).alias("moved"),
+        S.st_isvalid("g").alias("v"),
+    ).collect()[0]
+    assert r.a == 16.0 - 1.0  # square minus the hole
+    assert r.p == 16.0 + 4.0
+    assert r.moved.startswith("POLYGON((10 20,14 20,14 24,10 24,10 20)")
+    assert r.v is True
+    # point buffer: area converges to pi*r^2 from below
+    pt = spark.createDataFrame([(0.0, 0.0)], "x double, y double").select(
+        S.st_point("x", "y").alias("p")
+    )
+    area = pt.select(S.st_area(S.st_buffer("p", 2.0, 16)).alias("a")).collect()[0].a
+    assert 0.98 * math.pi * 4 < area < math.pi * 4
+    # lines and points have zero area; polygon area via multipolygon sums
+    multi = spark.createDataFrame(
+        [("MULTIPOLYGON(((0 0,2 0,2 2,0 2,0 0)),((10 10,11 10,11 11,10 11,10 10)))",)],
+        "w string",
+    ).select(S.st_geomfromtext("w").alias("g"))
+    assert multi.select(S.st_area("g")).collect()[0][0] == 4.0 + 1.0
+
+
+def test_orderingequals_isvalid_expand(spark):
+    import struct as _struct
+
+    le = _struct.pack("<BIdd", 1, 1, 3.0, 4.0)
+    be = _struct.pack(">BIdd", 0, 1, 3.0, 4.0)
+    other = _struct.pack("<BIdd", 1, 1, 3.0, 5.0)
+    bad_line = S.st_geomfromtext(F.lit("LINESTRING(0 0,1 1)"))
+    df = spark.createDataFrame([(le, be, other)], "a binary, b binary, c binary")
+    r = df.select(
+        S.st_orderingequals("a", "b").alias("eq_endian"),
+        S.st_orderingequals("a", "c").alias("neq"),
+        S.st_isvalid("a").alias("va"),
+    ).collect()[0]
+    assert (r.eq_endian, r.neq, r.va) == (True, False, True)
+    # structurally invalid: open polygon ring
+    open_poly = S._pack_polygon([[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0)]])
+    inv = spark.createDataFrame([(open_poly,)], "g binary")
+    assert inv.select(S.st_isvalid("g")).collect()[0][0] is False
+    # st_expand grows the envelope
+    e = spark.range(1).select(
+        S.st_expand(S.st_makeenvelope(0, 0, 2, 2), 1.5).alias("e")
+    ).collect()[0].e
+    assert (e.xmin, e.ymin, e.xmax, e.ymax) == (-1.5, -1.5, 3.5, 3.5)
