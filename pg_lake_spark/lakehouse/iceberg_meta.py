@@ -1308,3 +1308,96 @@ def _snapshot_files(
         return out
 
     return dedup(data), dedup(pos_deletes), dedup(eq_deletes)
+
+
+# ---------------------------------------------------------------------------
+# Inspection table functions (lake_iceberg.metadata / lake_iceberg.files)
+# ---------------------------------------------------------------------------
+
+def iceberg_metadata(location: str) -> dict:
+    """The raw Iceberg metadata document for a table root / metadata
+    path — parity with ``lake_iceberg.metadata(url)`` returning the
+    spec JSONB (docs/iceberg-tables.md:601-636)."""
+    meta_path = _resolve_metadata_path(_localize(location))
+    with open(meta_path) as fh:
+        return json.load(fh)
+
+
+def iceberg_files(
+    spark: SparkSession, location: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """One row per manifest entry of the (current or pinned) snapshot —
+    parity with ``lake_iceberg.files(metadata_url)``
+    (docs/iceberg-tables.md:639-656): manifest_path, content (0=data,
+    1=position deletes, 2=equality deletes), file_path, file_format,
+    record_count, file_size_in_bytes, sequence_number, partition (JSON).
+
+    Metadata-only: walks the manifest list + manifests; no data files
+    are opened, so this is O(#files) driver work like the reference's
+    table function."""
+    meta = iceberg_metadata(location)
+    snaps = meta.get("snapshots", [])
+    sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
+    snap = next((s for s in snaps if s.get("snapshot-id") == sid), None)
+    rows: list[tuple] = []
+    if snap is not None:
+        fv = int(meta.get("format-version", 1))
+        if "manifest-list" in snap:
+            manifests, _ = read_avro_records(spark, _localize(snap["manifest-list"]))
+        else:
+            manifests = [
+                {"manifest_path": p, "content": 0} for p in snap.get("manifests", [])
+            ]
+        for m in manifests:
+            entries, header = read_avro_records(spark, _localize(m["manifest_path"]))
+            for e in entries:
+                if e.get("status") == 2:  # DELETED entries are not live
+                    continue
+                df_ = e["data_file"]
+                raw_seq = _unwrap(e.get("sequence_number"))
+                m_seq = _unwrap(m.get("sequence_number"))
+                seq = (
+                    int(raw_seq)
+                    if raw_seq is not None
+                    else (int(m_seq) if fv >= 2 and m_seq is not None else 0)
+                )
+                content = df_.get("content", 0) or (
+                    1
+                    if m.get("content", 0) == 1 or header.get("content") == "deletes"
+                    else 0
+                )
+                rows.append(
+                    (
+                        m["manifest_path"],
+                        int(content),
+                        df_["file_path"],
+                        str(df_.get("file_format", "PARQUET")).upper(),
+                        int(_unwrap(df_.get("record_count")) or 0),
+                        int(_unwrap(df_.get("file_size_in_bytes")) or 0),
+                        seq,
+                        json.dumps(df_.get("partition") or {}, default=str),
+                    )
+                )
+    return spark.createDataFrame(
+        rows,
+        "manifest_path string, content int, file_path string, "
+        "file_format string, record_count bigint, file_size_in_bytes bigint, "
+        "sequence_number bigint, partition string",
+    )
+
+
+def iceberg_snapshots(spark: SparkSession, location: str) -> DataFrame:
+    """Snapshot history as a DataFrame (snapshot-id, timestamp-ms,
+    summary JSON) — the metadata-table complement of iceberg_files."""
+    meta = iceberg_metadata(location)
+    rows = [
+        (
+            int(s.get("snapshot-id")),
+            int(s.get("timestamp-ms", 0)),
+            json.dumps(s.get("summary") or {}, default=str),
+        )
+        for s in meta.get("snapshots", [])
+    ]
+    return spark.createDataFrame(
+        rows, "snapshot_id bigint, timestamp_ms bigint, summary string"
+    )

@@ -1000,3 +1000,27 @@ def test_equality_deletes_on_path_with_space(spark, tmp_path):
     )
     got = iceberg_meta.scan_iceberg(spark, loc)
     assert _rows(got) == [(1, "y"), (10, "x"), (11, "y")]
+
+
+def test_inspection_functions(spark, small_table):
+    """lake_iceberg.metadata/files parity (iceberg-tables.md:601-656):
+    raw metadata document + one row per live manifest entry, metadata-
+    only (no data file opened)."""
+    meta_path = small_table.export_iceberg()
+    meta = iceberg_meta.iceberg_metadata(meta_path)
+    assert meta["format-version"] == 2
+    cur = meta["current-snapshot-id"]
+    assert any(s["snapshot-id"] == cur for s in meta["snapshots"])
+
+    files = iceberg_meta.iceberg_files(spark, meta_path)
+    assert files.columns == [
+        "manifest_path", "content", "file_path", "file_format",
+        "record_count", "file_size_in_bytes", "sequence_number", "partition",
+    ]
+    rows = files.collect()
+    assert rows and all(r.content == 0 for r in rows)
+    assert sum(r.record_count for r in rows) == 30
+    assert all(r.file_format == "PARQUET" and r.file_size_in_bytes > 0 for r in rows)
+
+    snaps = iceberg_meta.iceberg_snapshots(spark, meta_path)
+    assert snaps.count() == len(meta["snapshots"])
