@@ -532,7 +532,12 @@ class LakeTable:
         in_range = [
             s for s in md.snapshots if from_snapshot_id < s.snapshot_id <= to_id
         ]
-        non_append = [s.snapshot_id for s in in_range if s.operation != "append"]
+        # "alter" = pure metadata (schema evolution); the era-aware read
+        # below presents old files in the current schema, so only true
+        # row rewrites poison an append range.
+        non_append = [
+            s.snapshot_id for s in in_range if s.operation not in ("append", "alter")
+        ]
         if non_append:
             raise ValueError(
                 f"incremental scan range contains non-append snapshots "

@@ -1,0 +1,218 @@
+"""`lake_feed`: a real Structured Streaming source over LakeTable appends.
+
+The reference's CDC story is one-directional ingest (staging table →
+lake flush, docs/iceberg-tables.md:169-186) plus the read-side
+:class:`~pg_lake_spark.streaming.feed.AppendFeed` poller. This module
+upgrades the read side to a first-class Spark source using the Spark 4
+Python Data Source API: ``spark.readStream.format("lake_feed")
+.option("path", location).load()`` — offsets are snapshot ids, each
+micro-batch is exactly the files stamped with in-range snapshots, and
+Spark's own checkpointing replaces the hand-rolled bookmark file, giving
+exactly-once end-to-end when paired with an idempotent/transactional
+sink (the same contract as Iceberg's Spark streaming source).
+
+Scale/design notes:
+- ``latestOffset`` reads one small metadata JSON; ``partitions`` walks
+  manifests driver-side (O(#new files)) and emits ONE partition PER
+  DATA FILE, so batch parallelism tracks the append volume.
+- Executors read their file with pyarrow and emit Arrow record batches
+  — no Python row loops; era transforms (renames, constant backfills
+  from the schema log) are resolved driver-side into per-partition
+  rename/backfill instructions.
+- A DELETE/MERGE/compaction snapshot inside a batch range raises (an
+  append delta cannot represent a rewrite) — the stream fails loudly
+  and the consumer resyncs from a full scan, exactly like
+  ``incremental_scan``.
+
+Options:
+- ``path`` (required): LakeTable root.
+- ``startFrom``: ``"now"`` (default — tail from the current snapshot) or
+  a snapshot id (``"0"`` replays the full table, valid while the whole
+  history is retained).
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+
+def _load_meta(location: str):
+    from pg_lake_spark.lakehouse import catalog as cat
+
+    return cat.read_current_metadata(location)
+
+
+def _parse_default(sql_literal: str | None):
+    """SQL literal → python value for backfill columns. Supports the
+    constant defaults the engine writes (numbers, 'strings', NULL,
+    booleans); anything fancier fails loudly here, driver-side."""
+    if sql_literal is None:
+        return None
+    s = sql_literal.strip()
+    if s.upper() == "NULL":
+        return None
+    if s.upper() in ("TRUE", "FALSE"):
+        return s.upper() == "TRUE"
+    if s.startswith("'") and s.endswith("'"):
+        return s[1:-1].replace("''", "'")
+    try:
+        return ast.literal_eval(s)
+    except (ValueError, SyntaxError):
+        raise ValueError(
+            f"lake_feed cannot evaluate backfill default {sql_literal!r} "
+            "(constant literals only)"
+        ) from None
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str, phys: dict, backfills: dict):
+        self.path = path
+        self.phys = phys  # logical -> physical column name in this file
+        self.backfills = backfills  # logical -> constant python value
+
+
+class LakeFeedStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.location = options.get("path")
+        if not self.location:
+            raise ValueError("lake_feed requires .option('path', <table root>)")
+        self.schema = schema
+        start = str(options.get("startFrom", options.get("startfrom", "now")))
+        self._start = start
+
+    # -- offsets -----------------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        if self._start.lower() == "now":
+            md = _load_meta(self.location)
+            return {"snapshot_id": md.current_snapshot_id or 0}
+        return {"snapshot_id": int(self._start)}
+
+    def latestOffset(self) -> dict:
+        md = _load_meta(self.location)
+        return {"snapshot_id": md.current_snapshot_id or 0}
+
+    # -- planning ----------------------------------------------------------
+
+    def _era_info(self, schema_log: list[dict], era_key: tuple[int, ...]):
+        """Mirror of LakeTable._era_info, but driven by the reader's own
+        StructType — this planner runs in a context-free Python worker
+        where StructType.fromDDL (a py4j call) is unavailable."""
+        phys = {f.name: f.name for f in self.schema.fields}
+        backfills: dict[str, str | None] = {}
+        for i in reversed(era_key):
+            e = schema_log[i]
+            if e["op"] == "rename":
+                for lg, p in phys.items():
+                    if p == e["to"]:
+                        phys[lg] = e["from"]
+                        break
+            elif e["op"] == "backfill":
+                lg = next((lg for lg, p in phys.items() if p == e["column"]), None)
+                if lg is not None:
+                    backfills[lg] = e.get("default")
+            # "drop" events need no read-time action (re-adds backfill)
+        return phys, backfills
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        from pg_lake_spark.lakehouse import catalog as cat
+
+        s, e = int(start["snapshot_id"]), int(end["snapshot_id"])
+        if e <= s:
+            return []
+        md = _load_meta(self.location)
+        known = {sn.snapshot_id for sn in md.snapshots}
+        if e not in known:
+            raise ValueError(f"snapshot {e} not found (expired?)")
+        in_range = [sn for sn in md.snapshots if s < sn.snapshot_id <= e]
+        # "alter" commits are pure metadata (schema evolution, no file
+        # changes) — the era mapping absorbs them; row rewrites cannot
+        # be represented as an append delta and must fail loudly.
+        non_append = [
+            sn.snapshot_id for sn in in_range if sn.operation not in ("append", "alter")
+        ]
+        if non_append:
+            raise ValueError(
+                f"lake_feed range contains non-append snapshots {non_append}; "
+                "resync from a full scan"
+            )
+        to_snap = md.snapshot_by_id(e)
+        parts: list[InputPartition] = []
+        for f in cat.read_snapshot_files(self.location, md, to_snap):
+            if not (s < (f.added_snapshot_id or 0) <= e):
+                continue
+            era_key = tuple(
+                i
+                for i, ev in enumerate(md.schema_log)
+                if (f.added_snapshot_id or 0) < ev["snapshot_id"]
+            )
+            phys, backfills = self._era_info(md.schema_log, era_key)
+            parts.append(
+                _FilePartition(
+                    f.path,
+                    dict(phys),
+                    {k: _parse_default(v) for k, v in backfills.items()},
+                )
+            )
+        return parts
+
+    # -- execution (runs on executors) ------------------------------------
+
+    def read(self, partition: _FilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.schema)
+        logical_names = [f.name for f in self.schema.fields]
+        want_physical = [
+            partition.phys[n]
+            for n in logical_names
+            if n not in partition.backfills and n in partition.phys
+        ]
+        tbl = pq.read_table(partition.path, columns=want_physical)
+        n = tbl.num_rows
+        cols = []
+        for name, field in zip(logical_names, target):
+            if name in partition.backfills:
+                v = partition.backfills[name]
+                cols.append(pa.nulls(n, field.type) if v is None else pa.array([v] * n).cast(field.type))
+            else:
+                cols.append(tbl.column(partition.phys[name]).cast(field.type))
+        out = pa.table(cols, schema=target)
+        yield from out.to_batches(max_chunksize=1 << 16)
+
+    def commit(self, end: dict) -> None:
+        pass  # Spark's checkpoint holds the offset; nothing to persist
+
+
+class LakeFeedDataSource(DataSource):
+    """``spark.dataSource.register(LakeFeedDataSource)`` then
+    ``spark.readStream.format("lake_feed")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lake_feed"
+
+    def schema(self) -> str:
+        location = self.options.get("path")
+        if not location or not os.path.isdir(location):
+            raise ValueError(f"lake_feed: no table at {location!r}")
+        return _load_meta(location).schema_ddl
+
+    def streamReader(self, schema: StructType) -> LakeFeedStreamReader:
+        return LakeFeedStreamReader(schema, dict(self.options))
+
+
+def register_lake_feed(spark) -> None:
+    """Register the source on a session (idempotent)."""
+    spark.dataSource.register(LakeFeedDataSource)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from pg_lake_spark.lakehouse.table import LakeTable
@@ -208,3 +209,92 @@ def test_append_feed_full_replay_from_zero(spark, tmp_path):
     assert feed.poll() is None
     # incremental_scan(0) directly is the same contract
     assert sorted(r.k for r in t.incremental_scan(0).collect()) == [1, 2]
+
+
+def test_lake_feed_streaming_source(spark, tmp_path):
+    """lake_feed: LakeTable appends as a first-class Structured
+    Streaming source (Spark 4 Python Data Source API) — snapshot-id
+    offsets, one partition per new file, Spark checkpointing for
+    exactly-once delivery, loud failure on a rewrite in range."""
+    from pg_lake_spark.streaming.lake_source import register_lake_feed
+
+    register_lake_feed(spark)
+    loc = str(tmp_path / "feed_src")
+    ckpt = str(tmp_path / "feed_src_ckpt")
+    out = str(tmp_path / "feed_src_out")
+    t = LakeTable.create_from_dataframe(
+        spark, loc, spark.createDataFrame([(1, "a")], "k bigint, s string")
+    )
+    t.append(spark.createDataFrame([(2, "b"), (3, "c")], "k bigint, s string"))
+
+    def drain():
+        q = (
+            spark.readStream.format("lake_feed")
+            .option("path", loc)
+            .option("startFrom", "0")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r.k for r in spark.read.parquet(out).collect())
+
+    # full replay from snapshot 0 on first start
+    assert drain() == [1, 2, 3]
+    # restart from the SAME checkpoint: only the delta is appended
+    t.append(spark.createDataFrame([(4, "d")], "k bigint, s string"))
+    assert drain() == [1, 2, 3, 4]
+    # caught up: a third drain appends nothing
+    assert drain() == [1, 2, 3, 4]
+    # a rewrite inside the pending range fails loudly
+    t.delete("k = 1")
+    t.append(spark.createDataFrame([(5, "e")], "k bigint, s string"))
+    q = (
+        spark.readStream.format("lake_feed")
+        .option("path", loc)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="non-append"):
+        q.awaitTermination(120)
+
+
+def test_lake_feed_reads_through_schema_eras(spark, tmp_path):
+    """Files written before a rename/backfill resolve through the
+    schema log: the source rewrites old physical names and fills
+    constant defaults executor-side."""
+    from pg_lake_spark.streaming.lake_source import register_lake_feed
+
+    register_lake_feed(spark)
+    loc = str(tmp_path / "feed_era")
+    t = LakeTable.create_from_dataframe(
+        spark, loc, spark.createDataFrame([(1, 10.0)], "k bigint, v double")
+    )
+    t.rename_column("v", "value")
+    t.add_column("tag", "string", default="'legacy'")
+    t.append(
+        spark.createDataFrame([(2, 20.0, "new")], "k bigint, value double, tag string")
+    )
+    q = (
+        spark.readStream.format("lake_feed")
+        .option("path", loc)
+        .option("startFrom", "0")
+        .load()
+        .writeStream.format("memory")
+        .queryName("feed_era")
+        .option("checkpointLocation", str(tmp_path / "feed_era_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        tuple(r) for r in spark.sql("SELECT k, value, tag FROM feed_era").collect()
+    )
+    assert rows == [(1, 10.0, "legacy"), (2, 20.0, "new")]
