@@ -73,6 +73,56 @@ def sniff_csv_dialect(path: str, sample_bytes: int = _SNIFF_BYTES) -> dict[str, 
     return {"sep": delim, "quote": quote, "header": header}
 
 
+def _extract_zip_members(zip_file: str, zip_path: str | None) -> str:
+    """Extract (matching) members of a .zip into a content-addressed
+    scratch dir and return the read path — the reference's ``zip_path``
+    option (docs/file-formats-reference.md:118-126: 'Relative path
+    within a .zip file'). Extraction is driver-side and cached on the
+    archive's (path, mtime, size): zips aren't splittable, so the
+    reference's GDAL/DuckDB readers pay the same one-node unzip; at
+    scale, unzip-to-object-store once and scan the extracted files.
+    ``zip_path`` may be an exact member name or an fnmatch glob; None
+    extracts every member."""
+    import fnmatch
+    import hashlib
+    import tempfile
+    import zipfile
+
+    st = os.stat(zip_file)
+    key = hashlib.md5(
+        f"{os.path.abspath(zip_file)}|{st.st_mtime_ns}|{st.st_size}|{zip_path}".encode()
+    ).hexdigest()
+    out = os.path.join(tempfile.gettempdir(), f"pg_lake_zip_{key}")
+    done = os.path.join(out, ".extracted")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        with zipfile.ZipFile(zip_file) as zf:
+            members = [
+                m
+                for m in zf.namelist()
+                if not m.endswith("/")
+                and (
+                    zip_path is None
+                    or m == zip_path
+                    or fnmatch.fnmatch(m, zip_path)
+                )
+            ]
+            if not members:
+                raise FileNotFoundError(
+                    f"no member matching {zip_path!r} in {zip_file}"
+                )
+            for m in members:
+                zf.extract(m, out)
+        with open(done, "w") as fh:
+            fh.write("\n".join(members))
+    with open(done) as fh:
+        members = fh.read().splitlines()
+    if len(members) == 1:
+        return os.path.join(out, members[0])
+    common = os.path.commonpath([os.path.join(out, m) for m in members])
+    return common if os.path.isdir(common) else out
+
+
 def read_lake(
     spark: SparkSession,
     path: str,
@@ -80,6 +130,7 @@ def read_lake(
     *,
     filename: bool = False,
     schema: str | None = None,
+    zip_path: str | None = None,
     **options,
 ) -> DataFrame:
     """Register-and-read a lake table from a file/glob/directory.
@@ -87,9 +138,12 @@ def read_lake(
     ``fmt``: parquet | csv | json | text | log. CSV dialect options not
     supplied are sniffed from the data. ``filename=True`` appends the
     source-file column (reference option ``filename 'true'``,
-    docs/query-data-lake-files.md:86-93).
+    docs/query-data-lake-files.md:86-93). A ``.zip`` path (optionally
+    with ``zip_path`` selecting members) is extracted first.
     """
     fmt = fmt.lower()
+    if path.endswith(".zip") and os.path.isfile(path):
+        path = _extract_zip_members(path, zip_path)
     reader = spark.read
     if schema:
         reader = reader.schema(schema)

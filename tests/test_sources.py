@@ -233,3 +233,29 @@ def test_copy_to_force_quote_column_list(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="invalid option"):
         copy_to(df, str(tmp_path / "fq3"), fmt="parquet", force_quote=["b"])
+
+
+def test_zip_path_reader(spark, tmp_path):
+    """.zip archives read through the zip_path option (file-formats-
+    reference.md:118-126): exact member, glob member set, and the
+    no-match loud failure."""
+    import zipfile
+
+    from pg_lake_spark.sources.readers import read_lake
+
+    z = str(tmp_path / "bundle.zip")
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr("data/a.csv", "k,v\n1,10.5\n2,20.5\n")
+        zf.writestr("data/b.csv", "k,v\n3,30.5\n")
+        zf.writestr("other/ignore.txt", "nope")
+
+    one = read_lake(spark, z, fmt="csv", zip_path="data/a.csv")
+    assert sorted((r.k, r.v) for r in one.collect()) == [(1, 10.5), (2, 20.5)]
+
+    both = read_lake(spark, z, fmt="csv", zip_path="data/*.csv")
+    assert sorted(r.k for r in both.collect()) == [1, 2, 3]
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="no member matching"):
+        read_lake(spark, z, fmt="csv", zip_path="missing/*.csv")
