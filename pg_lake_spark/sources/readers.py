@@ -162,6 +162,16 @@ def read_lake(
         df = reader.options(**options).text(path)
     elif fmt == "log":
         df = read_log(spark, path, log_format=options.pop("log_format", "s3"))
+    elif fmt in ("shp", "shapefile"):
+        from pg_lake_spark.sources.shapefile import read_shapefile
+
+        if os.path.isdir(path):  # zip extraction may yield a directory
+            path = next(
+                os.path.join(path, n)
+                for n in sorted(os.listdir(path))
+                if n.lower().endswith(".shp")
+            )
+        df = read_shapefile(spark, path)
     else:
         raise ValueError(f"unsupported lake format: {fmt}")
 
