@@ -172,6 +172,16 @@ def read_lake(
                 if n.lower().endswith(".shp")
             )
         df = read_shapefile(spark, path)
+    elif fmt in ("gpkg", "geopackage"):
+        from pg_lake_spark.sources.geopackage import read_geopackage
+
+        df = read_geopackage(spark, path, table=options.pop("table", None))
+    elif fmt in ("kml", "kmz"):
+        from pg_lake_spark.sources.kml import read_kml
+
+        df = read_kml(spark, path)
+    elif fmt == "geojson":
+        df = read_geojson(spark, path)
     else:
         raise ValueError(f"unsupported lake format: {fmt}")
 
