@@ -182,6 +182,15 @@ def read_lake(
         df = read_kml(spark, path)
     elif fmt == "geojson":
         df = read_geojson(spark, path)
+    elif fmt == "xlsx":
+        from pg_lake_spark.sources.xlsx import read_xlsx
+
+        df = read_xlsx(
+            spark,
+            path,
+            sheet=options.pop("sheet", 1),
+            header=str(options.pop("header", "true")).lower() != "false",
+        )
     else:
         raise ValueError(f"unsupported lake format: {fmt}")
 
