@@ -837,3 +837,111 @@ def ds_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("doc_id", "n_chars")
     )
+
+
+@query(
+    "ds_chunk_documents",
+    oracle="""
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           md5(substr(text, CAST(i AS INT) * 150 + 1, 200)) AS chunk_md5,
+           length(substr(text, CAST(i AS INT) * 150 + 1, 200)) AS chunk_len,
+           CAST(n_chunks AS INT) AS n_chunks
+    FROM (
+        SELECT doc_id, text, n_chunks, unnest(range(0, n_chunks)) AS i
+        FROM (
+            SELECT doc_id, text,
+                   greatest(1, CAST(ceil((length(text) - 50) / 150.0) AS BIGINT)) AS n_chunks
+            FROM documents WHERE doc_id <= 300
+        ) d
+    ) e
+    ORDER BY doc_id, chunk_id
+    """,
+    doc="Sliding-window document chunking (200 chars, 50 overlap) — the "
+    "context-window/RAG chunking primitive. Map-only generator explode; "
+    "chunk content pinned via md5 against DuckDB's substr arithmetic.",
+)
+def ds_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_lake_spark.operators.chunking import chunk_documents
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") <= 300)
+    return (
+        chunk_documents(docs, size=200, overlap=50)
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.md5("chunk").alias("chunk_md5"),
+            F.length("chunk").cast("bigint").alias("chunk_len"),
+            "n_chunks",
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@query(
+    "ds_stratified_sample",
+    oracle="""
+    SELECT lang, doc_id
+    FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+               CAST(ceil(0.2 * count(*) OVER (PARTITION BY lang)) AS INT) AS keep
+        FROM documents
+    ) s
+    WHERE rk <= keep
+    ORDER BY lang, doc_id
+    """,
+    doc="Deterministic 20% stratified sample: every language stratum is "
+    "represented at the same rate via an md5-ranked per-stratum head — "
+    "no RNG, reproducible across engines, small strata never vanish "
+    "(plain hash-filter sampling loses them to variance).",
+)
+def ds_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_lake_spark.operators.chunking import stratified_sample
+
+    t = load_tables(spark, sf_dir)
+    out = stratified_sample(
+        t["documents"], stratum_col="lang", fraction=0.2, id_col="doc_id"
+    )
+    return out.select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
+@query(
+    "ds_mix_corpora",
+    oracle="""
+    SELECT lang, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (
+        SELECT lang, n_chars,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    ) s
+    WHERE rk <= CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 40 WHEN 'fr' THEN 30
+                          WHEN 'es' THEN 20 WHEN 'zh' THEN 10 ELSE 0 END
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Pretraining corpus mixing: a 200-row target mixed 50/20/15/10/5 "
+    "across languages, each source contributing its quota in md5(id) "
+    "order — the deterministic mixture-weights step of dataset assembly.",
+)
+def ds_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_lake_spark.operators.chunking import mix_corpora
+
+    t = load_tables(spark, sf_dir)
+    mixed = mix_corpora(
+        t["documents"],
+        source_col="lang",
+        weights={"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05},
+        target_rows=200,
+        id_col="doc_id",
+    )
+    return (
+        mixed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

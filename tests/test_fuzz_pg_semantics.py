@@ -115,3 +115,46 @@ def test_stale_lock_takeover(spark, tmp_path):
         pass  # takeover succeeded
     t.append(spark.createDataFrame([(2,)], "id bigint"))
     assert t.to_df().count() == 2
+
+
+def test_chunking_covers_every_character(spark):
+    """Every document character appears in some chunk; consecutive
+    chunks overlap by exactly `overlap` except possibly the last."""
+    from pg_lake_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 10), (2, "b" * 200), (3, "c" * 201), (4, "d" * 350), (5, "e" * 351)],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(docs, size=200, overlap=50).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    lens = {1: 10, 2: 200, 3: 201, 4: 350, 5: 351}
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        assert rows[0].n_chunks == len(rows)
+        covered = sum(len(r.chunk) for r in rows) - 50 * (len(rows) - 1)
+        assert covered == lens[doc_id]  # full coverage, exact overlap
+    assert [len(by_doc[d]) for d in sorted(by_doc)] == [1, 1, 2, 2, 3]  # 350 fits in 2, 351 needs 3
+
+
+def test_stratified_sample_rates_and_mix_quotas(spark):
+    from pg_lake_spark.operators.chunking import mix_corpora, stratified_sample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id bigint, grp string")
+    got = stratified_sample(df, stratum_col="grp", fraction=0.1, id_col="id")
+    counts = {r.grp: r.n for r in got.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 90, "small": 10}  # every stratum at the same rate
+    # determinism
+    again = stratified_sample(df, stratum_col="grp", fraction=0.1, id_col="id")
+    assert sorted(r.id for r in got.collect()) == sorted(r.id for r in again.collect())
+
+    mixed = mix_corpora(
+        df, source_col="grp", weights={"big": 0.5, "small": 0.5},
+        target_rows=300, id_col="id",
+    )
+    mcounts = {r.grp: r.n for r in mixed.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    # big meets its 150 quota; small has only 100 rows and contributes all
+    assert mcounts == {"big": 150, "small": 100}
