@@ -366,3 +366,52 @@ def purge_dropped_table(
             pass
     shutil.rmtree(location, ignore_errors=True)
     return {"purged": deleted, "still_retained": 0}
+
+
+def rewrite_sorted(
+    table: LakeTable,
+    columns: list[str],
+    *,
+    target_file_size_mb: int = DEFAULT_TARGET_FILE_SIZE_MB,
+    n_files: int | None = None,
+) -> dict:
+    """Cluster the table's data by ``columns`` (Iceberg sort-order /
+    rewrite_data_files(sort) analogue): range-repartition so each output
+    file owns a disjoint key range, then sort within files. Afterward
+    the per-file min/max stats on those columns are TIGHT, so predicate
+    pruning skips most files — the clustering step that makes stats
+    pruning effective at 100 TB (without it, every file's min/max spans
+    the whole domain and nothing prunes). The rewrite is one range
+    shuffle; the sort key is recorded in table properties.
+    """
+    from pyspark.sql import functions as F
+
+    table.materialize_deletes()
+    snap = table.metadata.current_snapshot()
+    if snap is None:
+        return {"rewritten_files": 0, "added_files": 0}
+    files = cat.read_snapshot_files(table.location, table.metadata, snap)
+    if not files:
+        return {"rewritten_files": 0, "added_files": 0}
+    total = sum(f.size_bytes for f in files)
+    n_out = n_files if n_files else max(
+        1, int(total // max(1, target_file_size_mb * 1024 * 1024))
+    )
+    df = table._read_files(files)
+    clustered = df.repartitionByRange(n_out, *[F.col(c) for c in columns]).sortWithinPartitions(
+        *columns
+    )
+    added = table._write_data_files(clustered)
+    table._commit(
+        operation="replace",
+        added=added,
+        removed_paths={f.path for f in files},
+        summary={"rewrite_sorted": ",".join(columns)},
+    )
+
+    with cat.CommitLock(table.location):
+        md = cat.read_current_metadata(table.location)
+        md.properties["sort-order"] = ",".join(columns)
+        cat.commit_metadata(table.location, md)
+        table.metadata = md
+    return {"rewritten_files": len(files), "added_files": len(added)}

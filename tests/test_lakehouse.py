@@ -1034,3 +1034,29 @@ def test_restore_rejects_bad_targets(spark, events_df, tmp_path):
         maintenance.restore_table(spark, loc, metadata_version=dropped)
     with pytest.raises(ValueError):
         maintenance.restore_table(spark, loc, metadata_version=0)
+
+
+def test_rewrite_sorted_tightens_pruning(spark, tmp_path):
+    """Sort-clustered rewrite (Iceberg rewrite_data_files(sort)
+    analogue): before, every file's event_id min/max spans the whole
+    domain and nothing prunes; after, files own disjoint ranges and a
+    point/range predicate skips most files."""
+    rows = [(i * 37 % 10000, float(i)) for i in range(10000)]  # shuffled key order
+    df = spark.createDataFrame(rows, "event_id bigint, value double").repartition(8)
+    loc = str(tmp_path / "sorted_t")
+    t = LakeTable.create_from_dataframe(spark, loc, df)
+
+    t.scan(where="event_id < 100").count()
+    before = t.last_scan_report
+    assert before.files_skipped == 0  # every file spans the domain
+
+    out = maintenance.rewrite_sorted(t, ["event_id"], n_files=8)
+    assert out["rewritten_files"] >= 8 and out["added_files"] >= 2
+    assert t.metadata.properties["sort-order"] == "event_id"
+    assert t.to_df().count() == 10000  # no rows gained or lost
+
+    got = t.scan(where="event_id < 100")
+    after = t.last_scan_report
+    assert got.count() == sum(1 for k, _v in rows if k < 100)
+    assert after.files_skipped > 0, "disjoint ranges must prune"
+    assert after.files_scanned < before.files_scanned
