@@ -1060,3 +1060,31 @@ def test_rewrite_sorted_tightens_pruning(spark, tmp_path):
     assert got.count() == sum(1 for k, _v in rows if k < 100)
     assert after.files_skipped > 0, "disjoint ranges must prune"
     assert after.files_scanned < before.files_scanned
+
+
+def test_rewrite_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering: after the rewrite, a predicate on EITHER
+    clustered column prunes files (single-column sort only helps its
+    own column — the multi-dimensional win is the point)."""
+    rows = [((i * 37) % 1000, (i * 61) % 1000, float(i)) for i in range(20000)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint, v double").repartition(8)
+    loc = str(tmp_path / "z_t")
+    t = LakeTable.create_from_dataframe(spark, loc, df)
+
+    t.scan(where="x < 50").count()
+    assert t.last_scan_report.files_skipped == 0
+    t.scan(where="y < 50").count()
+    assert t.last_scan_report.files_skipped == 0
+
+    out = maintenance.rewrite_zorder(t, ["x", "y"], n_files=16, bits=6)
+    assert out["added_files"] >= 8
+    assert t.metadata.properties["zorder-by"] == "x,y"
+    assert t.to_df().count() == 20000
+
+    nx = t.scan(where="x < 50")
+    assert nx.count() == sum(1 for x, _y, _v in rows if x < 50)
+    x_skipped = t.last_scan_report.files_skipped
+    ny = t.scan(where="y < 50")
+    assert ny.count() == sum(1 for _x, y, _v in rows if y < 50)
+    y_skipped = t.last_scan_report.files_skipped
+    assert x_skipped > 0 and y_skipped > 0, (x_skipped, y_skipped)
