@@ -945,3 +945,37 @@ def ds_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "sk_hll_bounded_error",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_distinct,
+           TRUE AS within_tolerance
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="HyperLogLog++ distinct sketch (Spark's native approx_count_"
+    "distinct at rsd=0.02) validated the only way an approximation can "
+    "be oracle-checked: the query emits the EXACT count plus a boolean "
+    "asserting |approx-exact|/exact < 3*rsd, and the oracle expects "
+    "TRUE — the sketch's error bound is the checked contract (companion "
+    "to the exact KMV sketch in sk_kmv_distinct).",
+)
+def sk_hll_bounded_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    agg = t["lineitem"].groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_distinct"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            < 0.06
+        ).alias("within_tolerance"),
+    ).orderBy("l_returnflag")

@@ -369,6 +369,27 @@ class LakeSession:
         df.createOrReplaceTempView(name)
         return df, geo
 
+    def optimize(
+        self,
+        location: str,
+        *,
+        sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        **kwargs,
+    ) -> dict:
+        """Clustering rewrite: ``sort_by`` range-clusters one key,
+        ``zorder_by`` Morton-clusters several (tight per-file stats in
+        every listed column). Exactly one must be given."""
+        from pg_lake_spark.lakehouse import maintenance
+        from pg_lake_spark.lakehouse.table import LakeTable
+
+        if bool(sort_by) == bool(zorder_by):
+            raise ValueError("pass exactly one of sort_by / zorder_by")
+        t = LakeTable.load(self.spark, location)
+        if sort_by:
+            return maintenance.rewrite_sorted(t, sort_by, **kwargs)
+        return maintenance.rewrite_zorder(t, zorder_by, **kwargs)
+
     def drop_table(self, location: str) -> dict:
         """DROP TABLE: files → deletion queue (10-day retention), table
         hidden, metadata retained for restore (drop_table.c parity)."""
