@@ -64,3 +64,18 @@ def test_delta_scan_broadcasts_partition_map(spark, tmp_path):
     write_delta_table(spark, loc, df, partition_by=["p"])
     s = plan_summary(scan_delta(spark, loc))
     assert s.broadcast_joins >= 1 and s.shuffle_joins == 0
+
+
+def test_chunking_is_map_only(spark):
+    """Document chunking must not shuffle: generator explode + substring
+    are map-side; the only Exchange allowed is none at all."""
+    from pg_lake_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame([(1, "x" * 500)], "doc_id bigint, text string")
+    plan = (
+        chunk_documents(docs, size=200, overlap=50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
