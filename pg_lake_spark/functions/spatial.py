@@ -1135,3 +1135,77 @@ def register_spatial_sql(spark) -> list[str]:
     for name, fn in regs.items():
         spark.udf.register(name, fn)
     return sorted(regs)
+
+
+# ---------------------------------------------------------------------------
+# exact point-in-polygon (ray casting)
+# ---------------------------------------------------------------------------
+
+def _point_in_ring(x: float, y: float, ring: list[tuple[float, float]]) -> bool:
+    """Even-odd ray casting; boundary points count as inside (PostGIS
+    ST_Covers-style edge inclusivity, deterministic for joins)."""
+    inside = False
+    n = len(ring)
+    for i in range(n - 1):
+        x0, y0 = ring[i]
+        x1, y1 = ring[i + 1]
+        # boundary: point exactly on the segment
+        if (min(x0, x1) <= x <= max(x0, x1)) and (min(y0, y1) <= y <= max(y0, y1)):
+            cross = (x1 - x0) * (y - y0) - (x - x0) * (y1 - y0)
+            if cross == 0:
+                return True
+        if (y0 > y) != (y1 > y):
+            xin = x0 + (y - y0) * (x1 - x0) / (y1 - y0)
+            if x < xin:
+                inside = not inside
+            elif x == xin:
+                return True
+    return inside
+
+
+def _contains_xy(b: bytes, x: float, y: float) -> bool:
+    gtype, coords = _parse(b)
+    if gtype == WKB_POLYGON:
+        if not coords or not _point_in_ring(x, y, coords[0]):
+            return False
+        for hole in coords[1:]:
+            if _point_in_ring(x, y, hole):
+                # on a hole's boundary still counts as covered
+                cross_on_edge = False
+                n = len(hole)
+                for i in range(n - 1):
+                    x0, y0 = hole[i]
+                    x1, y1 = hole[i + 1]
+                    if (
+                        min(x0, x1) <= x <= max(x0, x1)
+                        and min(y0, y1) <= y <= max(y0, y1)
+                        and (x1 - x0) * (y - y0) - (x - x0) * (y1 - y0) == 0
+                    ):
+                        cross_on_edge = True
+                        break
+                if not cross_on_edge:
+                    return False
+        return True
+    if gtype == WKB_MULTIPOLYGON:
+        return any(_contains_xy(_pack(kt, kc), x, y) for kt, kc in coords)
+    raise ValueError("st_contains_point expects a (MULTI)POLYGON geometry")
+
+
+@pandas_udf(BooleanType())
+def _k_contains_xy(g: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+    out = []
+    for b, px, py in zip(g, x, y):
+        if b is None or px is None or py is None:
+            out.append(None)
+        else:
+            out.append(_contains_xy(bytes(b), float(px), float(py)))
+    return pd.Series(out, dtype=object)
+
+
+def st_contains_point(polygon, x, y) -> Column:
+    """Exact (MULTI)POLYGON-covers-point via even-odd ray casting with
+    inclusive boundaries — the real st_contains/st_covers slice for the
+    polygon⋈point case (bbox_* are the cheap pre-filter; this is the
+    exact verify)."""
+    c = lambda v: F.col(v) if isinstance(v, str) else v  # noqa: E731
+    return _k_contains_xy(c(polygon), c(x), c(y))

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pg_lake_spark.functions.spatial import bbox_contains_point
+from pg_lake_spark.functions.spatial import bbox_contains_point, st_contains_point, st_envelope
 
 
 def _cell(v: Column, cell: float) -> Column:
@@ -71,3 +71,41 @@ def bbox_point_join(
         bbox_contains_point(F.col(box_col), F.col(x_col), F.col(y_col))
     )
     return joined.drop("__cx", "__cy")
+
+
+def polygon_point_join(
+    polygons: DataFrame,
+    points: DataFrame,
+    *,
+    geom_col: str = "geometry",
+    x_col: str = "x",
+    y_col: str = "y",
+    cell: float = 1.0,
+) -> DataFrame:
+    """Exact polygon⋈point containment at scale: the polygon's envelope
+    explodes to grid cells (equi-join pre-filter, identical machinery to
+    :func:`bbox_point_join`), then the surviving candidates take the
+    exact ray-cast test — the bbox stage discards the quadratic bulk,
+    the Arrow kernel only sees candidate pairs. This is the same
+    two-phase plan PostGIS executes (index on bbox, exact recheck)."""
+    b = polygons.withColumn("__env", st_envelope(F.col(geom_col)))
+    b = b.withColumn(
+        "__cx",
+        F.explode(
+            F.sequence(_cell(F.col("__env")["xmin"], cell), _cell(F.col("__env")["xmax"], cell))
+        ),
+    ).withColumn(
+        "__cy",
+        F.explode(
+            F.sequence(_cell(F.col("__env")["ymin"], cell), _cell(F.col("__env")["ymax"], cell))
+        ),
+    )
+    p = points.withColumn("__cx", _cell(F.col(x_col), cell)).withColumn(
+        "__cy", _cell(F.col(y_col), cell)
+    )
+    joined = (
+        b.join(p, ["__cx", "__cy"], "inner")
+        .filter(bbox_contains_point(F.col("__env"), F.col(x_col), F.col(y_col)))
+        .filter(st_contains_point(F.col(geom_col), F.col(x_col), F.col(y_col)))
+    )
+    return joined.drop("__cx", "__cy", "__env")

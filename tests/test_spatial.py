@@ -620,3 +620,58 @@ def test_wkb_codec_fuzz_roundtrip(spark):
         return out
 
     check()
+
+
+# --- exact point-in-polygon --------------------------------------------------
+
+
+def test_st_contains_point_exact(spark):
+    """Ray-cast containment with inclusive boundaries: inside, outside,
+    in a hole, on the outer edge, on a hole edge, and multipolygon."""
+    poly = "POLYGON((0 0,10 0,10 10,0 10,0 0),(4 4,6 4,6 6,4 6,4 4))"
+    mp = "MULTIPOLYGON(((0 0,2 0,2 2,0 2,0 0)),((10 10,12 10,12 12,10 12,10 10)))"
+    cases = [
+        (poly, 1.0, 1.0, True),     # inside outer
+        (poly, 11.0, 5.0, False),   # outside
+        (poly, 5.0, 5.0, False),    # inside hole → not covered
+        (poly, 0.0, 5.0, True),     # on outer edge
+        (poly, 4.0, 5.0, True),     # on hole edge → still covered
+        (mp, 1.0, 1.0, True),       # first part
+        (mp, 11.0, 11.0, True),     # second part
+        (mp, 5.0, 5.0, False),      # between parts
+    ]
+    df = spark.createDataFrame(cases, "w string, x double, y double, want boolean")
+    rows = df.select(
+        "want",
+        S.st_contains_point(S.st_geomfromtext("w"), "x", "y").alias("got"),
+    ).collect()
+    assert all(r.got == r.want for r in rows), [(r.want, r.got) for r in rows]
+
+
+def test_polygon_point_join_exact(spark):
+    """Two-phase polygon⋈point join: grid+bbox prefilter, exact ray-cast
+    verify — matches a naive exact cross join, and points inside a
+    polygon's bbox but outside the polygon are rejected."""
+    from pg_lake_spark.operators.spatial_join import polygon_point_join
+
+    # triangle (bbox 0..10 square, half the bbox is outside the polygon)
+    tri = "POLYGON((0 0,10 0,0 10,0 0))"
+    donut = "POLYGON((20 20,30 20,30 30,20 30,20 20),(23 23,27 23,27 27,23 27,23 23))"
+    polys = spark.createDataFrame(
+        [(1, tri), (2, donut)], "pid int, w string"
+    ).select("pid", S.st_geomfromtext("w").alias("geometry"))
+    pts = spark.createDataFrame(
+        [
+            (10, 2.0, 2.0),    # in triangle
+            (11, 8.0, 8.0),    # in triangle's bbox, NOT in triangle
+            (12, 21.0, 21.0),  # in donut ring
+            (13, 25.0, 25.0),  # in donut hole
+            (14, 50.0, 50.0),  # nowhere
+        ],
+        "pt int, x double, y double",
+    )
+    got = sorted(
+        (r.pid, r.pt)
+        for r in polygon_point_join(polys, pts, cell=8.0).select("pid", "pt").collect()
+    )
+    assert got == [(1, 10), (2, 12)]
