@@ -232,3 +232,54 @@ def f_geojson_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.st_geometrytype("geometry").alias("gtype"),
         F.get_json_object("properties", "$.segment").alias("segment"),
     ).orderBy("ck")
+
+
+@query(
+    "j_polygon_point_exact",
+    oracle="""
+    SELECT n.n_nationkey, count(*) AS pts
+    FROM nation n
+    JOIN customer c
+      ON CAST(c.c_custkey % 997 AS DOUBLE) >= n.n_nationkey * 37.0
+     AND CAST((c.c_custkey * 7) % 997 AS DOUBLE) >= n.n_nationkey * 31.0
+     AND (CAST(c.c_custkey % 997 AS DOUBLE) - n.n_nationkey * 37.0)
+       + (CAST((c.c_custkey * 7) % 997 AS DOUBLE) - n.n_nationkey * 31.0) <= 220.0
+    GROUP BY n.n_nationkey
+    ORDER BY n.n_nationkey
+    """,
+    doc="EXACT polygon⋈point join (two-phase: grid+bbox prefilter, "
+    "ray-cast verify — operators/spatial_join.polygon_point_join). The "
+    "polygons are right triangles so the oracle is pure half-plane "
+    "arithmetic; a bbox-only join would overcount by the triangle's "
+    "empty half, which this query's counts prove is excluded.",
+)
+def j_polygon_point_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_lake_spark.operators.spatial_join import polygon_point_join
+
+    t = load_tables(spark, sf_dir)
+    # right triangle with legs 220 anchored per nation
+    tri_wkt = F.concat(
+        F.lit("POLYGON(("),
+        (F.col("n_nationkey") * 37.0).cast("string"), F.lit(" "),
+        (F.col("n_nationkey") * 31.0).cast("string"), F.lit(","),
+        (F.col("n_nationkey") * 37.0 + 220.0).cast("string"), F.lit(" "),
+        (F.col("n_nationkey") * 31.0).cast("string"), F.lit(","),
+        (F.col("n_nationkey") * 37.0).cast("string"), F.lit(" "),
+        (F.col("n_nationkey") * 31.0 + 220.0).cast("string"), F.lit(","),
+        (F.col("n_nationkey") * 37.0).cast("string"), F.lit(" "),
+        (F.col("n_nationkey") * 31.0).cast("string"), F.lit("))"),
+    )
+    polys = t["nation"].select(
+        "n_nationkey", S.st_geomfromtext(tri_wkt).alias("geometry")
+    )
+    points = t["customer"].select(
+        "c_custkey",
+        (F.col("c_custkey") % 997).cast("double").alias("x"),
+        ((F.col("c_custkey") * 7) % 997).cast("double").alias("y"),
+    )
+    joined = polygon_point_join(polys, points, cell=128.0)
+    return (
+        joined.groupBy("n_nationkey")
+        .agg(F.count("*").alias("pts"))
+        .orderBy("n_nationkey")
+    )
