@@ -1209,3 +1209,106 @@ def st_contains_point(polygon, x, y) -> Column:
     exact verify)."""
     c = lambda v: F.col(v) if isinstance(v, str) else v  # noqa: E731
     return _k_contains_xy(c(polygon), c(x), c(y))
+
+
+# ---------------------------------------------------------------------------
+# exact st_intersects (orientation / segment tests)
+# ---------------------------------------------------------------------------
+
+def _orient(ax, ay, bx, by, cx, cy) -> float:
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def _on_segment(ax, ay, bx, by, px, py) -> bool:
+    return (
+        min(ax, bx) <= px <= max(ax, bx)
+        and min(ay, by) <= py <= max(ay, by)
+        and _orient(ax, ay, bx, by, px, py) == 0
+    )
+
+
+def _segments_intersect(p1, p2, p3, p4) -> bool:
+    d1 = _orient(*p3, *p4, *p1)
+    d2 = _orient(*p3, *p4, *p2)
+    d3 = _orient(*p1, *p2, *p3)
+    d4 = _orient(*p1, *p2, *p4)
+    if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)) and d1 != 0 and d2 != 0 and d3 != 0 and d4 != 0:
+        return True
+    return (
+        _on_segment(*p3, *p4, *p1)
+        or _on_segment(*p3, *p4, *p2)
+        or _on_segment(*p1, *p2, *p3)
+        or _on_segment(*p1, *p2, *p4)
+    )
+
+
+def _segments_of(gtype: int, coords: list):
+    if gtype == WKB_LINESTRING:
+        yield from zip(coords, coords[1:])
+    elif gtype == WKB_POLYGON:
+        for ring in coords:
+            yield from zip(ring, ring[1:])
+    elif gtype in _MULTI_TYPES:
+        for kt, kc in coords:
+            yield from _segments_of(kt, kc)
+
+
+def _geoms_intersect(a: bytes, b: bytes) -> bool:
+    ta, ca = _parse(a)
+    tb, cb = _parse(b)
+    # normalize: make multis recurse so the core logic sees simple types
+    if ta in _MULTI_TYPES:
+        return any(_geoms_intersect(_pack(kt, kc), b) for kt, kc in ca)
+    if tb in _MULTI_TYPES:
+        return any(_geoms_intersect(a, _pack(kt, kc)) for kt, kc in cb)
+
+    if ta == WKB_POINT and tb == WKB_POINT:
+        return ca[0] == cb[0]
+    if ta == WKB_POINT or tb == WKB_POINT:
+        (px, py) = ca[0] if ta == WKB_POINT else cb[0]
+        other_t, other_c = (tb, cb) if ta == WKB_POINT else (ta, ca)
+        other = _pack(other_t, other_c)
+        if other_t == WKB_POLYGON:
+            return _contains_xy(other, px, py)
+        return any(
+            _on_segment(*s, *e, px, py) for s, e in _segments_of(other_t, other_c)
+        )
+    # line/line, line/polygon, polygon/polygon: any boundary crossing...
+    for s1, e1 in _segments_of(ta, ca):
+        for s2, e2 in _segments_of(tb, cb):
+            if _segments_intersect(s1, e1, s2, e2):
+                return True
+    # ...or full containment of one inside the other (no edge touches)
+    if ta == WKB_POLYGON:
+        pts = _flat_coords(tb, cb)
+        if pts and _contains_xy(a, *pts[0]):
+            return True
+    if tb == WKB_POLYGON:
+        pts = _flat_coords(ta, ca)
+        if pts and _contains_xy(b, *pts[0]):
+            return True
+    return False
+
+
+@pandas_udf(BooleanType())
+def _k_intersects(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = []
+    for ba, bb in zip(a, b):
+        if ba is None or bb is None:
+            out.append(None)
+        else:
+            out.append(_geoms_intersect(bytes(ba), bytes(bb)))
+    return pd.Series(out, dtype=object)
+
+
+def st_intersects(a, b) -> Column:
+    """Exact geometry intersection across all supported type combos:
+    orientation-based segment tests plus containment fallbacks. O(n*m)
+    segments per pair — the exact-verify stage after a bbox prefilter
+    (bbox_intersects is the cheap, pushable pre-filter)."""
+    c = lambda v: F.col(v) if isinstance(v, str) else v  # noqa: E731
+    return _k_intersects(c(a), c(b))
+
+
+def st_disjoint(a, b) -> Column:
+    return ~st_intersects(a, b)

@@ -675,3 +675,34 @@ def test_polygon_point_join_exact(spark):
         for r in polygon_point_join(polys, pts, cell=8.0).select("pid", "pt").collect()
     )
     assert got == [(1, 10), (2, 12)]
+
+
+def test_st_intersects_exact(spark):
+    """Exact intersection across type combos: crossing/touching/
+    separate lines, line-polygon cross and full containment,
+    polygon-polygon overlap/nesting/disjoint, point-on-line."""
+    cases = [
+        ("LINESTRING(0 0,10 10)", "LINESTRING(0 10,10 0)", True),    # X cross
+        ("LINESTRING(0 0,1 0)", "LINESTRING(1 0,2 0)", True),        # touch at endpoint
+        ("LINESTRING(0 0,1 0)", "LINESTRING(0 1,1 1)", False),       # parallel apart
+        ("LINESTRING(0 0,4 0)", "LINESTRING(2 0,6 0)", True),        # collinear overlap
+        ("LINESTRING(-1 5,11 5)", "POLYGON((0 0,10 0,10 10,0 10,0 0))", True),  # crosses
+        ("LINESTRING(4 4,6 6)", "POLYGON((0 0,10 0,10 10,0 10,0 0))", True),    # fully inside
+        ("LINESTRING(20 20,30 30)", "POLYGON((0 0,10 0,10 10,0 10,0 0))", False),
+        ("POLYGON((0 0,10 0,10 10,0 10,0 0))", "POLYGON((5 5,15 5,15 15,5 15,5 5))", True),
+        ("POLYGON((0 0,10 0,10 10,0 10,0 0))", "POLYGON((2 2,3 2,3 3,2 3,2 2))", True),  # nested
+        ("POLYGON((0 0,1 0,1 1,0 1,0 0))", "POLYGON((5 5,6 5,6 6,5 6,5 5))", False),
+        ("POINT(5 0)", "LINESTRING(0 0,10 0)", True),
+        ("POINT(5 1)", "LINESTRING(0 0,10 0)", False),
+        ("POINT(1 1)", "POINT(1 1)", True),
+        ("MULTIPOINT(9 9,0 0)", "POLYGON((8 8,10 8,10 10,8 10,8 8))", True),
+    ]
+    df = spark.createDataFrame(cases, "wa string, wb string, want boolean")
+    rows = df.select(
+        "want",
+        S.st_intersects(S.st_geomfromtext("wa"), S.st_geomfromtext("wb")).alias("got"),
+        S.st_disjoint(S.st_geomfromtext("wa"), S.st_geomfromtext("wb")).alias("dis"),
+    ).collect()
+    assert all(r.got == r.want and r.dis == (not r.want) for r in rows), [
+        (r.want, r.got) for r in rows
+    ]
