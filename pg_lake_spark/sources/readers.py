@@ -180,6 +180,14 @@ def read_lake(
         from pg_lake_spark.sources.kml import read_kml
 
         df = read_kml(spark, path)
+    elif fmt == "gml":
+        from pg_lake_spark.sources.gml import read_gml
+
+        df = read_gml(spark, path)
+    elif fmt == "dxf":
+        from pg_lake_spark.sources.dxf import read_dxf
+
+        df = read_dxf(spark, path)
     elif fmt == "geojson":
         df = read_geojson(spark, path)
     elif fmt == "xlsx":

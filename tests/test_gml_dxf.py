@@ -1,0 +1,104 @@
+"""GML and DXF reader tests over hand-written spec documents."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pg_lake_spark.functions import spatial as S
+
+_GML = """<?xml version="1.0"?>
+<wfs:FeatureCollection xmlns:wfs="http://www.opengis.net/wfs"
+    xmlns:gml="http://www.opengis.net/gml" xmlns:app="http://example.com/app">
+ <gml:featureMember>
+  <app:City>
+   <app:name>ams</app:name>
+   <app:pop>900</app:pop>
+   <app:geom><gml:Point><gml:pos>4.9 52.4</gml:pos></gml:Point></app:geom>
+  </app:City>
+ </gml:featureMember>
+ <gml:featureMember>
+  <app:Road>
+   <app:name>a10</app:name>
+   <app:geom><gml:LineString><gml:posList>0 0 1 1 2 0</gml:posList></gml:LineString></app:geom>
+  </app:Road>
+ </gml:featureMember>
+ <gml:featureMember>
+  <app:Zone>
+   <app:name>ring</app:name>
+   <app:geom>
+    <gml:Polygon>
+     <gml:exterior><gml:LinearRing><gml:posList>0 0 4 0 4 4 0 4 0 0</gml:posList></gml:LinearRing></gml:exterior>
+     <gml:interior><gml:LinearRing><gml:posList>1 1 2 1 2 2 1 2 1 1</gml:posList></gml:LinearRing></gml:interior>
+    </gml:Polygon>
+   </app:geom>
+  </app:Zone>
+ </gml:featureMember>
+ <gml:featureMember>
+  <app:Old>
+   <app:geom><gml:Point><gml:coordinates>7,8</gml:coordinates></gml:Point></app:geom>
+  </app:Old>
+ </gml:featureMember>
+</wfs:FeatureCollection>
+"""
+
+
+def test_gml_features(spark, tmp_path):
+    from pg_lake_spark.sources.gml import read_gml
+
+    p = tmp_path / "doc.gml"
+    p.write_text(_GML)
+    df = read_gml(spark, str(p))
+    rows = {r.feature: r for r in df.select(
+        "feature",
+        S.st_astext("geometry").alias("wkt"),
+        F.get_json_object("properties", "$.name").alias("name"),
+        F.get_json_object("properties", "$.pop").alias("pop"),
+    ).collect()}
+    assert rows["City"].wkt == "POINT(4.9 52.4)"
+    assert rows["City"].name == "ams" and rows["City"].pop == "900"
+    assert rows["Road"].wkt == "LINESTRING(0 0,1 1,2 0)"
+    assert rows["Zone"].wkt == "POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))"
+    assert rows["Old"].wkt == "POINT(7 8)"  # GML2 coordinates syntax
+
+
+def _dxf_doc() -> str:
+    pairs = [
+        (0, "SECTION"), (2, "ENTITIES"),
+        (0, "POINT"), (8, "L1"), (10, "1.5"), (20, "2.5"),
+        (0, "LINE"), (8, "L1"), (10, "0"), (20, "0"), (11, "3"), (21, "4"),
+        (0, "LWPOLYLINE"), (8, "L2"), (70, "1"),
+        (10, "0"), (20, "0"), (10, "4"), (20, "0"), (10, "4"), (20, "4"),
+        (0, "LWPOLYLINE"), (8, "L2"), (70, "0"),
+        (10, "0"), (20, "0"), (10, "1"), (20, "1"),
+        (0, "POLYLINE"), (8, "L3"), (70, "0"),
+        (0, "VERTEX"), (10, "5"), (20, "5"),
+        (0, "VERTEX"), (10, "6"), (20, "7"),
+        (0, "SEQEND"),
+        (0, "CIRCLE"), (8, "L4"), (10, "0"), (20, "0"), (40, "2"),
+        (0, "ENDSEC"), (0, "EOF"),
+    ]
+    return "\n".join(f"{c}\n{v}" for c, v in pairs) + "\n"
+
+
+def test_dxf_entities(spark, tmp_path):
+    from pg_lake_spark.sources.dxf import read_dxf
+
+    p = tmp_path / "draw.dxf"
+    p.write_text(_dxf_doc())
+    df = read_dxf(spark, str(p))
+    rows = df.select(
+        "entity", "layer", S.st_astext("geometry").alias("wkt"),
+        S.st_area("geometry").alias("area"),
+    ).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.entity, []).append(r)
+    assert by["POINT"][0].wkt == "POINT(1.5 2.5)"
+    assert by["LINE"][0].wkt == "LINESTRING(0 0,3 4)"
+    lw = sorted(by["LWPOLYLINE"], key=lambda r: r.wkt)
+    assert lw[0].wkt == "LINESTRING(0 0,1 1)"           # open polyline
+    assert lw[1].wkt == "POLYGON((0 0,4 0,4 4,0 0))"    # closed → ring
+    assert by["POLYLINE"][0].wkt == "LINESTRING(5 5,6 7)"
+    import math
+    assert 0.98 * math.pi * 4 < by["CIRCLE"][0].area < math.pi * 4
+    assert by["CIRCLE"][0].layer == "L4"
