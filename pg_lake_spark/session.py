@@ -369,6 +369,45 @@ class LakeSession:
         df.createOrReplaceTempView(name)
         return df, geo
 
+    def describe(self, path: str, fmt: str = "parquet", **options) -> DataFrame:
+        """Column inventory of any lake source — the reference's
+        DESCRIBE path (pg_lake_table/src/describe/describe.c): resolve
+        the format's schema without scanning data where the format
+        allows (parquet/iceberg/delta are metadata-only) and return
+        (column, type) rows. GeoParquet geometry columns are typed
+        ``geometry(WKB)`` like the reference's describe (describe.c:225)."""
+        from pg_lake_spark.sources.readers import read_lake
+
+        fl = fmt.lower()
+        if fl == "iceberg":
+            from pg_lake_spark.lakehouse import iceberg_meta
+
+            meta = iceberg_meta.iceberg_metadata(path)
+            ddl = iceberg_meta.spark_schema_from_iceberg(
+                iceberg_meta._current_schema(meta)
+            )
+            from pyspark.sql.types import StructType
+
+            fields = [(f.name, f.dataType.simpleString()) for f in StructType.fromDDL(ddl).fields]
+        elif fl == "delta":
+            from pg_lake_spark.lakehouse.delta_meta import scan_delta
+
+            fields = [(n, t) for n, t in scan_delta(self.spark, path).dtypes]
+        else:
+            df = read_lake(self.spark, path, fmt=fl, **options)
+            fields = list(df.dtypes)
+            if fl == "parquet":
+                from pg_lake_spark.sources.geoparquet import geo_metadata
+
+                geo = geo_metadata(path) if "://" not in path else None
+                if geo:
+                    geom_cols = set((geo.get("columns") or {}).keys())
+                    fields = [
+                        (n, "geometry(WKB)" if n in geom_cols else t)
+                        for n, t in fields
+                    ]
+        return self.spark.createDataFrame(fields, "column string, type string")
+
     def optimize(
         self,
         location: str,

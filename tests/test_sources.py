@@ -259,3 +259,30 @@ def test_zip_path_reader(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="no member matching"):
         read_lake(spark, z, fmt="csv", zip_path="missing/*.csv")
+
+
+def test_session_describe(spark, tmp_path):
+    """DESCRIBE parity (describe.c): column/type rows per format,
+    GeoParquet geometry columns typed geometry(WKB) (describe.c:225)."""
+    from pg_lake_spark.functions import spatial as S
+    from pg_lake_spark.session import LakeSession
+    from pg_lake_spark.sources.geoparquet import attach_geo_metadata
+
+    sess = LakeSession(spark)
+    pq = str(tmp_path / "d.parquet")
+    spark.createDataFrame([(1, "a", 1.5)], "k bigint, s string, v double").write.parquet(pq)
+    rows = {r.column: r.type for r in sess.describe(pq).collect()}
+    assert rows == {"k": "bigint", "s": "string", "v": "double"}
+
+    gpq = str(tmp_path / "g.parquet")
+    spark.createDataFrame([(1, 2.0, 3.0)], "id bigint, x double, y double").select(
+        "id", S.st_point("x", "y").alias("geom")
+    ).write.parquet(gpq)
+    attach_geo_metadata(spark, gpq, ["geom"])
+    rows = {r.column: r.type for r in sess.describe(gpq).collect()}
+    assert rows == {"id": "bigint", "geom": "geometry(WKB)"}
+
+    csv = tmp_path / "d.csv"
+    csv.write_text("a,b\n1,2.5\n3,4.5\n")
+    rows = {r.column: r.type for r in sess.describe(str(csv), fmt="csv").collect()}
+    assert rows == {"a": "int", "b": "double"}
