@@ -831,6 +831,7 @@ class LakeTable:
         when_matched_update: dict[str, str] | None = None,
         when_matched_delete: bool = False,
         when_not_matched_insert: bool = True,
+        when_not_matched_by_source_delete: bool | str = False,
     ) -> dict:
         """MERGE INTO (upsert) — additive over the reference, which
         documents MERGE as unsupported (docs/iceberg-tables.md
@@ -841,6 +842,11 @@ class LakeTable:
         target column → SQL expression over aliases ``t`` (target) and
         ``s`` (source). Source must be key-unique (standard MERGE
         cardinality rule; duplicates would multiply target rows).
+        ``when_not_matched_by_source_delete`` removes target rows with
+        no source match (True, or a SQL condition over target columns)
+        — the full-sync MERGE shape. It disables key-range pruning:
+        unmatched rows live in EVERY file by definition, so all files
+        become rewrite candidates.
 
         Copy-on-write with key-range pruning: the source's min/max per
         join key bound which data files can contain matches; files
@@ -870,7 +876,10 @@ class LakeTable:
                 preds.append((k, ">=", lo))
             if hi is not None:
                 preds.append((k, "<=", hi))
-        candidates = [f for f in files if self._file_matches(f, preds)]
+        if when_not_matched_by_source_delete:
+            candidates = list(files)  # every file may hold unmatched rows
+        else:
+            candidates = [f for f in files if self._file_matches(f, preds)]
         cand_paths = {f.path for f in candidates}
         cand_df = self._read_files(candidates)
 
@@ -884,6 +893,20 @@ class LakeTable:
         survivors = t.join(s, key_cond, "left_anti")
         matched = t.join(s, key_cond, "inner")
         matched_rows = matched.count()
+
+        source_deleted_rows = 0
+        if when_not_matched_by_source_delete:
+            before = survivors.count()
+            if isinstance(when_not_matched_by_source_delete, str):
+                survivors = survivors.filter(
+                    ~F.coalesce(
+                        F.expr(when_not_matched_by_source_delete), F.lit(False)
+                    )
+                )
+                source_deleted_rows = before - survivors.count()
+            else:
+                survivors = survivors.limit(0)
+                source_deleted_rows = before
 
         pieces = [survivors]
         updated_rows = deleted_rows = 0
@@ -921,7 +944,7 @@ class LakeTable:
             removed_paths=cand_paths,
             summary={
                 "updated_rows": updated_rows,
-                "deleted_rows": deleted_rows,
+                "deleted_rows": deleted_rows + source_deleted_rows,
                 "inserted_rows": inserted_rows,
                 "untouched_files": len(files) - len(candidates),
                 "rewritten_files": len(candidates),
@@ -930,6 +953,7 @@ class LakeTable:
         return {
             "updated_rows": updated_rows,
             "deleted_rows": deleted_rows,
+            "source_deleted_rows": source_deleted_rows,
             "inserted_rows": inserted_rows,
             "untouched_files": len(files) - len(candidates),
             "rewritten_files": len(candidates),

@@ -1088,3 +1088,45 @@ def test_rewrite_zorder_prunes_both_dimensions(spark, tmp_path):
     assert ny.count() == sum(1 for _x, y, _v in rows if y < 50)
     y_skipped = t.last_scan_report.files_skipped
     assert x_skipped > 0 and y_skipped > 0, (x_skipped, y_skipped)
+
+
+def test_merge_not_matched_by_source_delete(spark, events_df, tmp_path):
+    """Full-sync MERGE: target rows with no source match are deleted
+    (unconditionally, or gated by a condition over target columns);
+    key-range pruning is disabled because unmatched rows are everywhere."""
+    loc = str(tmp_path / "sync_t")
+    t = LakeTable.create_from_dataframe(spark, loc, events_df.limit(100))
+    src = spark.createDataFrame(
+        [(i, None, i % 7, "typeX", float(i) + 0.5) for i in range(40, 120)],
+        "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, value double",
+    )
+    out = t.merge(
+        src,
+        ["event_id"],
+        when_matched_update={"value": "s.value"},
+        when_not_matched_by_source_delete=True,
+    )
+    # rows 0-39 deleted, 40-99 updated, 100-119 inserted → exactly src's keys
+    assert out["source_deleted_rows"] == 40
+    assert out["updated_rows"] == 60 and out["inserted_rows"] == 20
+    assert out["untouched_files"] == 0  # pruning disabled
+    got = sorted(r.event_id for r in t.to_df().select("event_id").collect())
+    assert got == list(range(40, 120))
+
+    # conditional variant: only delete unmatched rows with value > 110
+    t2 = LakeTable.create_from_dataframe(
+        spark, str(tmp_path / "sync_t2"), events_df.limit(120)
+    )
+    src2 = spark.createDataFrame(
+        [(i, None, 0, "t", 0.0) for i in range(50)],
+        "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, value double",
+    )
+    out2 = t2.merge(
+        src2,
+        ["event_id"],
+        when_matched_update={"value": "s.value"},
+        when_not_matched_insert=False,
+        when_not_matched_by_source_delete="value > 110",
+    )
+    assert out2["source_deleted_rows"] == 9  # events 111..119
+    assert t2.to_df().count() == 120 - 9
