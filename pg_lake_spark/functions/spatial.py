@@ -1312,3 +1312,150 @@ def st_intersects(a, b) -> Column:
 
 def st_disjoint(a, b) -> Column:
     return ~st_intersects(a, b)
+
+
+# ---------------------------------------------------------------------------
+# generalized distance + simplification
+# ---------------------------------------------------------------------------
+
+def _pt_seg_dist(px, py, ax, ay, bx, by) -> float:
+    dx, dy = bx - ax, by - ay
+    L2 = dx * dx + dy * dy
+    if L2 == 0:
+        return math.hypot(px - ax, py - ay)
+    t = max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / L2))
+    return math.hypot(px - (ax + t * dx), py - (ay + t * dy))
+
+
+def _seg_seg_dist(p1, p2, p3, p4) -> float:
+    if _segments_intersect(p1, p2, p3, p4):
+        return 0.0
+    return min(
+        _pt_seg_dist(*p1, *p3, *p4),
+        _pt_seg_dist(*p2, *p3, *p4),
+        _pt_seg_dist(*p3, *p1, *p2),
+        _pt_seg_dist(*p4, *p1, *p2),
+    )
+
+
+def _geoms_distance(a: bytes, b: bytes) -> float:
+    """Min Euclidean distance between any two supported geometries
+    (0 when they intersect — PostGIS ST_Distance semantics, including
+    a point INSIDE a polygon)."""
+    ta, ca = _parse(a)
+    tb, cb = _parse(b)
+    if ta in _MULTI_TYPES:
+        return min(_geoms_distance(_pack(kt, kc), b) for kt, kc in ca)
+    if tb in _MULTI_TYPES:
+        return min(_geoms_distance(a, _pack(kt, kc)) for kt, kc in cb)
+    if ta == WKB_POINT and tb == WKB_POINT:
+        (x1, y1), (x2, y2) = ca[0], cb[0]
+        return math.hypot(x1 - x2, y1 - y2)
+    if ta == WKB_POINT or tb == WKB_POINT:
+        (px, py) = ca[0] if ta == WKB_POINT else cb[0]
+        ot, oc = (tb, cb) if ta == WKB_POINT else (ta, ca)
+        if ot == WKB_POLYGON and _contains_xy(_pack(ot, oc), px, py):
+            return 0.0
+        return min(
+            _pt_seg_dist(px, py, *s, *e) for s, e in _segments_of(ot, oc)
+        )
+    if _geoms_intersect(a, b):
+        return 0.0
+    return min(
+        _seg_seg_dist(s1, e1, s2, e2)
+        for s1, e1 in _segments_of(ta, ca)
+        for s2, e2 in _segments_of(tb, cb)
+    )
+
+
+@pandas_udf(DoubleType())
+def _k_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = []
+    for ba, bb in zip(a, b):
+        if ba is None or bb is None:
+            out.append(None)
+        else:
+            out.append(_geoms_distance(bytes(ba), bytes(bb)))
+    return pd.Series(out, dtype="float64")
+
+
+def st_distance_geom(a, b) -> Column:
+    """General min-distance between geometries of ANY supported types
+    (0 on intersection). :func:`st_distance` stays the point-point fast
+    path; this is the full-surface kernel."""
+    c = lambda v: F.col(v) if isinstance(v, str) else v  # noqa: E731
+    return _k_distance(c(a), c(b))
+
+
+def st_dwithin_geom(a, b, d) -> Column:
+    return st_distance_geom(a, b) <= F.lit(float(d))
+
+
+def _dp_simplify(coords: list[tuple[float, float]], tol: float) -> list[tuple[float, float]]:
+    """Douglas–Peucker, iterative (no recursion-depth hazard)."""
+    n = len(coords)
+    if n <= 2:
+        return list(coords)
+    keep = [False] * n
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        ax, ay = coords[i]
+        bx, by = coords[j]
+        best, bi = -1.0, -1
+        for k in range(i + 1, j):
+            d = _pt_seg_dist(*coords[k], ax, ay, bx, by)
+            if d > best:
+                best, bi = d, k
+        if best > tol:
+            keep[bi] = True
+            stack.append((i, bi))
+            stack.append((bi, j))
+    return [c for c, k in zip(coords, keep) if k]
+
+
+@pandas_udf(BinaryType())
+def _k_simplify(g: pd.Series, tol: pd.Series) -> pd.Series:
+    out = []
+    for b, t in zip(g, tol):
+        if b is None or t is None:
+            out.append(None)
+            continue
+        gtype, coords = _parse(bytes(b))
+        t = float(t)
+        if gtype == WKB_POINT:
+            out.append(bytes(b))
+        elif gtype == WKB_LINESTRING:
+            out.append(_pack_linestring(_dp_simplify(coords, t)))
+        elif gtype == WKB_POLYGON:
+            rings = []
+            for r in coords:
+                s = _dp_simplify(r, t)
+                if len(s) >= 4:  # a ring must stay a ring
+                    rings.append(s)
+            out.append(_pack_polygon(rings) if rings else None)
+        else:  # multi: simplify children, drop degenerate ones
+            kids = []
+            for kt, kc in coords:
+                sb = None
+                if kt == WKB_POINT:
+                    kids.append((kt, kc))
+                elif kt == WKB_LINESTRING:
+                    kids.append((kt, _dp_simplify(kc, t)))
+                elif kt == WKB_POLYGON:
+                    rs = [r2 for r in kc if len(r2 := _dp_simplify(r, t)) >= 4]
+                    if rs:
+                        kids.append((kt, rs))
+            out.append(_pack(gtype, kids) if kids else None)
+    return pd.Series(out, dtype=object)
+
+
+def st_simplify(g, tolerance: float) -> Column:
+    """Douglas–Peucker simplification (PostGIS ST_Simplify): vertices
+    closer than ``tolerance`` to the simplified shape are dropped;
+    endpoints and ring validity are preserved (rings that collapse
+    below 4 points vanish, holes included)."""
+    return _k_simplify(
+        F.col(g) if isinstance(g, str) else g, F.lit(float(tolerance))
+    )

@@ -706,3 +706,53 @@ def test_st_intersects_exact(spark):
     assert all(r.got == r.want and r.dis == (not r.want) for r in rows), [
         (r.want, r.got) for r in rows
     ]
+
+
+def test_distance_geom_all_combos(spark):
+    cases = [
+        ("POINT(0 0)", "POINT(3 4)", 5.0),
+        ("POINT(5 5)", "LINESTRING(0 0,10 0)", 5.0),
+        ("POINT(5 0)", "LINESTRING(0 0,10 0)", 0.0),          # on the line
+        ("POINT(5 5)", "POLYGON((0 0,10 0,10 10,0 10,0 0))", 0.0),  # inside
+        ("POINT(15 0)", "POLYGON((0 0,10 0,10 10,0 10,0 0))", 5.0),
+        ("LINESTRING(0 0,0 10)", "LINESTRING(3 0,3 10)", 3.0),
+        ("LINESTRING(0 0,10 10)", "LINESTRING(0 10,10 0)", 0.0),    # cross
+        ("POLYGON((0 0,2 0,2 2,0 2,0 0))", "POLYGON((5 0,7 0,7 2,5 2,5 0))", 3.0),
+        ("MULTIPOINT(0 0,100 100)", "POINT(1 0)", 1.0),
+    ]
+    df = spark.createDataFrame(cases, "wa string, wb string, want double")
+    rows = df.select(
+        "want",
+        S.st_distance_geom(S.st_geomfromtext("wa"), S.st_geomfromtext("wb")).alias("got"),
+        S.st_dwithin_geom(
+            S.st_geomfromtext("wa"), S.st_geomfromtext("wb"), 3.5
+        ).alias("within"),
+    ).collect()
+    for r in rows:
+        assert abs(r.got - r.want) < 1e-9, (r.want, r.got)
+        assert r.within == (r.want <= 3.5)
+
+
+def test_st_simplify_douglas_peucker(spark):
+    cases = [
+        # collinear-ish middle vertex at distance 1 from the chord
+        ("LINESTRING(0 0,5 1,10 0)", 2.0, "LINESTRING(0 0,10 0)"),
+        ("LINESTRING(0 0,5 1,10 0)", 0.5, "LINESTRING(0 0,5 1,10 0)"),
+        # square with a tiny bump on one edge
+        ("POLYGON((0 0,5 0.2,10 0,10 10,0 10,0 0))", 1.0,
+         "POLYGON((0 0,10 0,10 10,0 10,0 0))"),
+        ("POINT(3 4)", 5.0, "POINT(3 4)"),
+    ]
+    df = spark.createDataFrame(cases, "w string, tol double, want string")
+    rows = df.select(
+        "want",
+        S.st_astext(S.st_simplify(S.st_geomfromtext("w"), 999)).alias("big"),
+        "w", "tol",
+    ).collect()
+    # per-row tolerance needs expr form; check with individual selects
+    for w, tol, want in [(c[0], c[1], c[2]) for c in cases]:
+        one = spark.createDataFrame([(w,)], "w string")
+        got = one.select(
+            S.st_astext(S.st_simplify(S.st_geomfromtext("w"), tol))
+        ).collect()[0][0]
+        assert got == want, (w, tol, got)
