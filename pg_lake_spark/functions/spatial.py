@@ -1459,3 +1459,137 @@ def st_simplify(g, tolerance: float) -> Column:
     return _k_simplify(
         F.col(g) if isinstance(g, str) else g, F.lit(float(tolerance))
     )
+
+
+# ---------------------------------------------------------------------------
+# clip-by-rectangle (ST_ClipByBox2D — the tiling primitive)
+# ---------------------------------------------------------------------------
+
+def _clip_ring_halfplane(ring, inside, intersect):
+    """Sutherland–Hodgman step against one half-plane."""
+    out = []
+    n = len(ring)
+    for i in range(n):
+        cur = ring[i]
+        prev = ring[i - 1]
+        cin, pin = inside(cur), inside(prev)
+        if cin:
+            if not pin:
+                out.append(intersect(prev, cur))
+            out.append(cur)
+        elif pin:
+            out.append(intersect(prev, cur))
+    return out
+
+
+def _clip_ring_box(ring, x0, y0, x1, y1):
+    """Clip a ring (closed or open list of vertices, no repeat point) to
+    the rectangle; returns a closed ring or []."""
+    r = ring[:-1] if len(ring) > 1 and ring[0] == ring[-1] else list(ring)
+    planes = [
+        (lambda p: p[0] >= x0, lambda a, b: (x0, a[1] + (b[1] - a[1]) * (x0 - a[0]) / (b[0] - a[0]))),
+        (lambda p: p[0] <= x1, lambda a, b: (x1, a[1] + (b[1] - a[1]) * (x1 - a[0]) / (b[0] - a[0]))),
+        (lambda p: p[1] >= y0, lambda a, b: (a[0] + (b[0] - a[0]) * (y0 - a[1]) / (b[1] - a[1]), y0)),
+        (lambda p: p[1] <= y1, lambda a, b: (a[0] + (b[0] - a[0]) * (y1 - a[1]) / (b[1] - a[1]), y1)),
+    ]
+    for inside, inter in planes:
+        if not r:
+            return []
+        r = _clip_ring_halfplane(r, inside, inter)
+    if len(r) < 3:
+        return []
+    return r + [r[0]]
+
+
+def _clip_line_box(coords, x0, y0, x1, y1):
+    """Clip a polyline to the rectangle → list of line pieces."""
+    def inside(p):
+        return x0 <= p[0] <= x1 and y0 <= p[1] <= y1
+
+    def clip_seg(a, b):
+        # Liang–Barsky
+        t0, t1 = 0.0, 1.0
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        for p, q in ((-dx, a[0] - x0), (dx, x1 - a[0]), (-dy, a[1] - y0), (dy, y1 - a[1])):
+            if p == 0:
+                if q < 0:
+                    return None
+            else:
+                t = q / p
+                if p < 0:
+                    if t > t1:
+                        return None
+                    t0 = max(t0, t)
+                else:
+                    if t < t0:
+                        return None
+                    t1 = min(t1, t)
+        return (
+            (a[0] + t0 * dx, a[1] + t0 * dy),
+            (a[0] + t1 * dx, a[1] + t1 * dy),
+        )
+
+    pieces = []
+    cur: list = []
+    for a, b in zip(coords, coords[1:]):
+        seg = clip_seg(a, b)
+        if seg is None:
+            if len(cur) >= 2:
+                pieces.append(cur)
+            cur = []
+            continue
+        s, e = seg
+        if cur and cur[-1] == s:
+            cur.append(e)
+        else:
+            if len(cur) >= 2:
+                pieces.append(cur)
+            cur = [s, e]
+    if len(cur) >= 2:
+        pieces.append(cur)
+    return pieces
+
+
+def _clip_geom_box(b: bytes, x0, y0, x1, y1) -> bytes | None:
+    gtype, coords = _parse(b)
+    if gtype == WKB_POINT:
+        (px, py) = coords[0]
+        return b if (x0 <= px <= x1 and y0 <= py <= y1) else None
+    if gtype == WKB_LINESTRING:
+        pieces = _clip_line_box(coords, x0, y0, x1, y1)
+        if not pieces:
+            return None
+        if len(pieces) == 1:
+            return _pack_linestring(pieces[0])
+        return _pack(WKB_MULTILINESTRING, [(WKB_LINESTRING, p) for p in pieces])
+    if gtype == WKB_POLYGON:
+        rings = [r for ring in coords if (r := _clip_ring_box(ring, x0, y0, x1, y1))]
+        return _pack_polygon(rings) if rings else None
+    if gtype in _MULTI_TYPES:
+        kids = []
+        for kt, kc in coords:
+            cb = _clip_geom_box(_pack(kt, kc), x0, y0, x1, y1)
+            if cb is not None:
+                kids.append(_parse(cb))
+        return _pack(gtype, kids) if kids else None
+    return None
+
+
+@pandas_udf(BinaryType())
+def _k_clipbybox(g: pd.Series, x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series) -> pd.Series:
+    out = []
+    for b, a0, b0, a1, b1 in zip(g, x0, y0, x1, y1):
+        if b is None or a0 is None:
+            out.append(None)
+        else:
+            out.append(_clip_geom_box(bytes(b), float(a0), float(b0), float(a1), float(b1)))
+    return pd.Series(out, dtype=object)
+
+
+def st_clipbybox2d(g, box) -> Column:
+    """Clip any geometry to a bbox struct (PostGIS ST_ClipByBox2D):
+    Sutherland–Hodgman for rings, Liang–Barsky for lines — the exact
+    construction every tiling/sharding pipeline needs, and the one
+    whose clip region (a rectangle) keeps the math dependency-free."""
+    c = F.col(g) if isinstance(g, str) else g
+    return _k_clipbybox(c, box["xmin"], box["ymin"], box["xmax"], box["ymax"])

@@ -756,3 +756,32 @@ def test_st_simplify_douglas_peucker(spark):
             S.st_astext(S.st_simplify(S.st_geomfromtext("w"), tol))
         ).collect()[0][0]
         assert got == want, (w, tol, got)
+
+
+def test_st_clipbybox2d(spark):
+    box = S.st_makeenvelope(0, 0, 10, 10)
+    cases = [
+        ("POINT(5 5)", "POINT(5 5)"),
+        ("POINT(15 5)", None),
+        ("LINESTRING(-5 5,15 5)", "LINESTRING(0 5,10 5)"),
+        # contiguous inside pieces merge at the shared vertex
+        ("LINESTRING(-5 -5,5 5,15 -5)", "LINESTRING(0 0,5 5,10 0)"),
+        # a true gap (exits and re-enters) yields two pieces
+        ("LINESTRING(2 2,2 15,8 15,8 2)", "MULTILINESTRING((2 2,2 10),(8 10,8 2))"),
+        # same square, ring starts at a different (still correct) vertex
+        ("POLYGON((5 5,15 5,15 15,5 15,5 5))", "POLYGON((5 10,5 5,10 5,10 10,5 10))"),
+        ("POLYGON((20 20,30 20,30 30,20 30,20 20))", None),
+        ("LINESTRING(2 2,8 8)", "LINESTRING(2 2,8 8)"),  # fully inside
+    ]
+    for w, want in cases:
+        one = spark.createDataFrame([(w,)], "w string")
+        got = one.select(
+            S.st_astext(S.st_clipbybox2d(S.st_geomfromtext("w"), box))
+        ).collect()[0][0]
+        assert got == want, (w, got, want)
+    # clipped polygon area = geometric intersection area with the box
+    sq = spark.createDataFrame([("POLYGON((5 5,15 5,15 15,5 15,5 5))",)], "w string")
+    a = sq.select(
+        S.st_area(S.st_clipbybox2d(S.st_geomfromtext("w"), box))
+    ).collect()[0][0]
+    assert a == 25.0
