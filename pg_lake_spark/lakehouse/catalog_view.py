@@ -49,3 +49,41 @@ def list_tables(spark: SparkSession, warehouse_dir: str) -> DataFrame:
                 )
             )
     return spark.createDataFrame(rows, _SCHEMA)
+
+
+def list_dropped_tables(spark: SparkSession, warehouse_dir: str) -> DataFrame:
+    """One row per DROPPED-but-restorable table under ``warehouse_dir``
+    (drop_table.c soft-delete observability): the dropped metadata
+    version, when it was dropped, how many files await purge, and the
+    restore target version — so an operator can see what
+    ``restore_table`` can still bring back before retention expires."""
+    from pg_lake_spark.lakehouse.maintenance import DROPPED_HINT
+
+    rows = []
+    if os.path.isdir(warehouse_dir):
+        for name in sorted(os.listdir(warehouse_dir)):
+            loc = os.path.join(warehouse_dir, name)
+            dh = os.path.join(cat._meta_dir(loc), DROPPED_HINT)
+            if not os.path.exists(dh):
+                continue
+            with open(dh) as fh:
+                dropped_version = int(fh.read().strip())
+            with open(
+                os.path.join(cat._meta_dir(loc), f"v{dropped_version}.metadata.json")
+            ) as fh:
+                md = cat.TableMetadata.from_json(json.load(fh))
+            rows.append(
+                (
+                    name,
+                    loc,
+                    dropped_version,
+                    int(md.properties.get("dropped_ms") or 0),
+                    len(md.deletion_queue),
+                    dropped_version - 1,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "table_name string, location string, dropped_version int, "
+        "dropped_ms bigint, queued_files int, restore_version int",
+    )

@@ -188,6 +188,10 @@ def read_lake(
         from pg_lake_spark.sources.dxf import read_dxf
 
         df = read_dxf(spark, path)
+    elif fmt == "mif":
+        from pg_lake_spark.sources.mif import read_mif
+
+        df = read_mif(spark, path)
     elif fmt == "geojson":
         df = read_geojson(spark, path)
     elif fmt == "xlsx":

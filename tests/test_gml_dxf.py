@@ -102,3 +102,56 @@ def test_dxf_entities(spark, tmp_path):
     import math
     assert 0.98 * math.pi * 4 < by["CIRCLE"][0].area < math.pi * 4
     assert by["CIRCLE"][0].layer == "L4"
+
+
+_MIF = """Version 300
+Charset "Neutral"
+Delimiter ","
+Columns 3
+  name Char(20)
+  pop Integer
+  ratio Float
+Data
+
+POINT 4.9 52.4
+LINE 0 0 3 4
+PLINE 3
+0 0
+1 1
+2 0
+REGION 2
+5
+0 0
+0 4
+4 4
+4 0
+0 0
+5
+1 1
+2 1
+2 2
+1 2
+1 1
+NONE
+"""
+
+_MID = '"ams",900,1.5\n"road",12,0.5\n"path",7,2.5\n"zone",3,3.5\n"ghost",,\n'
+
+
+def test_mif_mid(spark, tmp_path):
+    from pg_lake_spark.sources.mif import read_mif
+
+    (tmp_path / "m.mif").write_text(_MIF)
+    (tmp_path / "m.mid").write_text(_MID)
+    df = read_mif(spark, str(tmp_path / "m.mif"))
+    assert df.columns == ["name", "pop", "ratio", "geometry"]
+    assert dict(df.dtypes)["pop"] == "bigint" and dict(df.dtypes)["ratio"] == "double"
+    rows = {r.name: r for r in df.select(
+        "name", "pop", S.st_astext("geometry").alias("wkt")
+    ).collect()}
+    assert rows["ams"].wkt == "POINT(4.9 52.4)" and rows["ams"].pop == 900
+    assert rows["road"].wkt == "LINESTRING(0 0,3 4)"
+    assert rows["path"].wkt == "LINESTRING(0 0,1 1,2 0)"
+    # region: CW outer + CCW hole assemble into a holed polygon
+    assert rows["zone"].wkt == "POLYGON((0 0,0 4,4 4,4 0,0 0),(1 1,2 1,2 2,1 2,1 1))"
+    assert rows["ghost"].wkt is None and rows["ghost"].pop is None

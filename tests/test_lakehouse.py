@@ -1130,3 +1130,25 @@ def test_merge_not_matched_by_source_delete(spark, events_df, tmp_path):
     )
     assert out2["source_deleted_rows"] == 9  # events 111..119
     assert t2.to_df().count() == 120 - 9
+
+
+def test_list_dropped_tables(spark, events_df, tmp_path):
+    from pg_lake_spark.lakehouse import catalog_view
+
+    wh = tmp_path / "wh"
+    wh.mkdir()
+    t1 = LakeTable.create_from_dataframe(spark, str(wh / "alive"), events_df.limit(5))
+    t2 = LakeTable.create_from_dataframe(spark, str(wh / "gone"), events_df.limit(10))
+    maintenance.drop_table(str(wh / "gone"))
+
+    live = catalog_view.list_tables(spark, str(wh))
+    assert [r.table_name for r in live.collect()] == ["alive"]
+    dropped = catalog_view.list_dropped_tables(spark, str(wh)).collect()
+    assert len(dropped) == 1
+    r = dropped[0]
+    assert r.table_name == "gone" and r.queued_files >= 1
+    assert r.restore_version == r.dropped_version - 1 and r.dropped_ms > 0
+    # restore clears it from the dropped view
+    maintenance.restore_table(spark, str(wh / "gone"))
+    assert catalog_view.list_dropped_tables(spark, str(wh)).count() == 0
+    assert catalog_view.list_tables(spark, str(wh)).count() == 2
