@@ -785,3 +785,70 @@ def test_st_clipbybox2d(spark):
         S.st_area(S.st_clipbybox2d(S.st_geomfromtext("w"), box))
     ).collect()[0][0]
     assert a == 25.0
+
+
+def test_spatial_predicate_consistency_fuzz(spark):
+    """Cross-predicate invariants on random geometries (pure-python
+    kernel internals — no Spark round-trip needed for the math):
+    intersects is symmetric; distance==0 ⟺ intersects; contains(point)
+    ⟹ intersects; clip result stays inside the box and never gains
+    area; simplify never gains points and keeps endpoints."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import math as _math
+
+    coord = st.floats(min_value=-100, max_value=100, allow_nan=False,
+                      allow_infinity=False, width=32).map(float)
+    point = st.tuples(coord, coord)
+
+    def _simple_ring(ps):
+        # sort around the centroid → star-shaped (never self-intersecting);
+        # shoelace area and Sutherland-Hodgman clipping are only defined
+        # for simple rings
+        cx = sum(p[0] for p in ps) / len(ps)
+        cy = sum(p[1] for p in ps) / len(ps)
+        ordered = sorted(ps, key=lambda p: _math.atan2(p[1] - cy, p[0] - cx))
+        return ordered + [ordered[0]]
+
+    ring = st.lists(point, min_size=3, max_size=6, unique=True).map(_simple_ring)
+    geom = st.one_of(
+        point.map(lambda p: S._pack_point(*p)),
+        st.lists(point, min_size=2, max_size=6).map(S._pack_linestring),
+        ring.map(lambda r: S._pack_polygon([r])),
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(geom, geom, point)
+    def check(a, b, p):
+        ia, ib = S._geoms_intersect(a, b), S._geoms_intersect(b, a)
+        assert ia == ib  # symmetry
+        d = S._geoms_distance(a, b)
+        assert d >= 0
+        # distance/intersects agree up to float rounding: intersecting
+        # geometries measure (near-)zero, clearly-separated ones never
+        # measure zero (exact iff fails on ~1e-38 projection rounding)
+        if ia:
+            assert d <= 1e-9
+        if d > 1e-9:
+            assert not ia
+        # polygon containment implies intersection with the point
+        ta, ca = S._parse(a)
+        if ta == S.WKB_POLYGON and S._contains_xy(a, *p):
+            assert S._geoms_intersect(a, S._pack_point(*p))
+        # clip invariants
+        clipped = S._clip_geom_box(a, -50, -50, 50, 50)
+        if clipped is not None:
+            tc, cc = S._parse(clipped)
+            for x, y in S._flat_coords(tc, cc):
+                assert -50 - 1e-6 <= x <= 50 + 1e-6
+                assert -50 - 1e-6 <= y <= 50 + 1e-6
+            if ta == S.WKB_POLYGON:
+                assert S._area_of(tc, cc) <= S._area_of(ta, ca) + 1e-6
+        # simplify invariants
+        if ta == S.WKB_LINESTRING:
+            simp = S._dp_simplify(ca, 5.0)
+            assert len(simp) <= len(ca)
+            assert simp[0] == ca[0] and simp[-1] == ca[-1]
+
+    check()
