@@ -1593,3 +1593,17 @@ def st_clipbybox2d(g, box) -> Column:
     whose clip region (a rectangle) keeps the math dependency-free."""
     c = F.col(g) if isinstance(g, str) else g
     return _k_clipbybox(c, box["xmin"], box["ymin"], box["xmax"], box["ymax"])
+
+
+def st_extent_agg(g) -> Column:
+    """AGGREGATE bbox of a geometry column (PostGIS ST_Extent is an
+    aggregate; the per-row envelope is :func:`st_envelope`). Use inside
+    ``groupBy().agg(...)`` — composes from min/max over the envelope
+    struct, so it stays a plain hash aggregate with map-side combine."""
+    env = _k_envelope(F.col(g) if isinstance(g, str) else g)
+    return F.struct(
+        F.min(env["xmin"]).alias("xmin"),
+        F.min(env["ymin"]).alias("ymin"),
+        F.max(env["xmax"]).alias("xmax"),
+        F.max(env["ymax"]).alias("ymax"),
+    )

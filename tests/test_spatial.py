@@ -852,3 +852,15 @@ def test_spatial_predicate_consistency_fuzz(spark):
             assert simp[0] == ca[0] and simp[-1] == ca[-1]
 
     check()
+
+
+def test_st_extent_agg(spark):
+    df = spark.createDataFrame(
+        [(1, "POINT(1 2)"), (1, "LINESTRING(5 -3,0 8)"), (2, "POINT(100 100)")],
+        "grp int, w string",
+    ).select("grp", S.st_geomfromtext("w").alias("g"))
+    rows = {r.grp: r.e for r in df.groupBy("grp").agg(
+        S.st_extent_agg("g").alias("e")
+    ).collect()}
+    assert (rows[1].xmin, rows[1].ymin, rows[1].xmax, rows[1].ymax) == (0.0, -3.0, 5.0, 8.0)
+    assert (rows[2].xmin, rows[2].ymax) == (100.0, 100.0)
