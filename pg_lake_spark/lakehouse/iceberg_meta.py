@@ -638,8 +638,8 @@ def export_iceberg(table) -> str:
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "last-partition-id": 999 + len(spec_fields),
-        "default-sort-order-id": 0,
-        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": _sort_order_id(md, schema),
+        "sort-orders": _sort_orders(md, schema),
         "properties": {
             **{str(k): str(v) for k, v in md.properties.items()},
             # always emitted: our parquet has no field ids, so readers
@@ -1202,6 +1202,35 @@ def _read_with_name_mapping(
         g = g.select(*cols)
         out = g if out is None else out.unionByName(g)
     return out
+
+
+def _sort_orders(md, schema: dict) -> list[dict]:
+    """Spec sort-orders: order 0 is always the unsorted order; a table
+    clustered by maintenance.rewrite_sorted declares its key as order 1
+    (asc, nulls-first — the ordering repartitionByRange produced)."""
+    orders = [{"order-id": 0, "fields": []}]
+    cols = [c for c in (md.properties.get("sort-order") or "").split(",") if c]
+    ids = {f["name"]: f["id"] for f in schema["fields"]}
+    if cols and all(c in ids for c in cols):
+        orders.append(
+            {
+                "order-id": 1,
+                "fields": [
+                    {
+                        "transform": "identity",
+                        "source-id": ids[c],
+                        "direction": "asc",
+                        "null-order": "nulls-first",
+                    }
+                    for c in cols
+                ],
+            }
+        )
+    return orders
+
+
+def _sort_order_id(md, schema: dict) -> int:
+    return 1 if len(_sort_orders(md, schema)) > 1 else 0
 
 
 def _current_schema(meta: dict) -> dict:

@@ -1024,3 +1024,32 @@ def test_inspection_functions(spark, small_table):
 
     snaps = iceberg_meta.iceberg_snapshots(spark, meta_path)
     assert snaps.count() == len(meta["snapshots"])
+
+
+def test_export_declares_sort_order(spark, tmp_path):
+    """A sort-clustered table exports a real Iceberg sort order (spec
+    'Sort Orders'): order 1 with identity/asc fields on the cluster key,
+    default-sort-order-id pointing at it; an unclustered table keeps the
+    spec-required unsorted order 0."""
+    from pg_lake_spark.lakehouse import maintenance
+
+    loc = str(tmp_path / "sorted_exp")
+    t = LakeTable.create_from_dataframe(
+        spark,
+        loc,
+        spark.createDataFrame([(i, float(i)) for i in range(100)], "k bigint, v double"),
+    )
+    meta0 = json.load(open(t.export_iceberg()))
+    assert meta0["default-sort-order-id"] == 0
+    assert meta0["sort-orders"] == [{"order-id": 0, "fields": []}]
+
+    maintenance.rewrite_sorted(t, ["k"], n_files=2)
+    meta1 = json.load(open(t.export_iceberg()))
+    assert meta1["default-sort-order-id"] == 1
+    assert meta1["sort-orders"][1]["fields"] == [
+        {"transform": "identity", "source-id": 1, "direction": "asc",
+         "null-order": "nulls-first"}
+    ]
+    # the exported table still scans correctly through the spec reader
+    got = iceberg_meta.scan_iceberg(spark, loc)
+    assert got.count() == 100
