@@ -73,6 +73,8 @@ def main() -> None:
         "f_spatial_point",
         "f_spatial_measures",
         "j_spatial_bbox_join",
+        "j_polygon_point_exact",
+        "f_geojson_scan",
     ]
 
     repeats = int(os.environ.get("PG_LAKE_BENCH_REPEATS", "3"))
