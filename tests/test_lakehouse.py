@@ -1152,3 +1152,74 @@ def test_list_dropped_tables(spark, events_df, tmp_path):
     maintenance.restore_table(spark, str(wh / "gone"))
     assert catalog_view.list_dropped_tables(spark, str(wh)).count() == 0
     assert catalog_view.list_tables(spark, str(wh)).count() == 2
+
+
+def test_dml_model_fuzz(spark, tmp_path):
+    """Model-based write-path fuzz: a random sequence of append / CoW
+    delete / MoR delete / update / merge / compact against LakeTable,
+    mirrored on a plain in-memory model; the table must match the model
+    after every operation, and historical snapshots must stay frozen.
+    (The differential spine of the reference's test strategy applied to
+    the WRITE path, beyond the example-based lifecycle tests.)"""
+    import random as _random
+
+    rng = _random.Random(20240814)
+    loc = str(tmp_path / "fuzz_t")
+
+    def mk_rows(n, key_lo):
+        return [(key_lo + i, rng.randint(0, 9), round(rng.uniform(0, 100), 3))
+                for i in range(n)]
+
+    model: dict[int, tuple[int, float]] = {}  # k -> (grp, v)
+    rows0 = mk_rows(30, 0)
+    model.update({k: (g, v) for k, g, v in rows0})
+    t = LakeTable.create_from_dataframe(
+        spark, loc, spark.createDataFrame(rows0, "k bigint, grp int, v double")
+    )
+    next_key = 1000
+    history = []  # (snapshot_id, model_copy)
+
+    def check():
+        got = sorted(tuple(r) for r in t.to_df().collect())
+        want = sorted((k, g, v) for k, (g, v) in model.items())
+        assert got == want, f"divergence: {len(got)} vs {len(want)} rows"
+
+    for step in range(12):
+        op = rng.choice(["append", "cow_delete", "mor_delete", "update", "merge", "compact"])
+        if op == "append":
+            rows = mk_rows(rng.randint(1, 15), next_key)
+            next_key += 100
+            model.update({k: (g, v) for k, g, v in rows})
+            t.append(spark.createDataFrame(rows, "k bigint, grp int, v double"))
+        elif op in ("cow_delete", "mor_delete"):
+            g = rng.randint(0, 9)
+            t.delete(f"grp = {g}", mode="cow" if op == "cow_delete" else "mor")
+            model = {k: (gg, v) for k, (gg, v) in model.items() if gg != g}
+        elif op == "update":
+            g = rng.randint(0, 9)
+            t.update({"v": "v + 1000.0"}, where=f"grp = {g}")
+            # python and the JVM share IEEE doubles: v + 1000.0 is bit-identical
+            model = {
+                k: (gg, v + 1000.0 if gg == g else v)
+                for k, (gg, v) in model.items()
+            }
+        elif op == "merge":
+            src = mk_rows(rng.randint(1, 8), next_key - 50)  # overlap window
+            t.merge(
+                spark.createDataFrame(src, "k bigint, grp int, v double"),
+                ["k"],
+                when_matched_update={"v": "s.v", "grp": "s.grp"},
+            )
+            model.update({k: (g, v) for k, g, v in src})
+        else:
+            maintenance.compact_data_files(t, target_file_size_mb=1, min_input_files=2)
+        check()
+        snap = t.metadata.current_snapshot()
+        if snap and rng.random() < 0.4:
+            history.append((snap.snapshot_id, dict(model)))
+
+    # historical snapshots frozen (time travel differential)
+    for sid, m in history:
+        got = sorted(tuple(r) for r in t.to_df(snapshot_id=sid).collect())
+        want = sorted((k, g, v) for k, (g, v) in m.items())
+        assert got == want, f"snapshot {sid} drifted"
