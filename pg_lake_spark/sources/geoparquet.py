@@ -29,6 +29,18 @@ from pyspark.sql import functions as F
 GEO_KEY = b"geo"
 
 
+def _parquet_parts(path: str) -> list[str]:
+    """All part files under a dataset root, recursive — hive-partitioned
+    layouts keep their parts in key=value subdirectories."""
+    out = []
+    for root, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for n in sorted(names):
+            if n.endswith(".parquet") and not n.startswith((".", "_")):
+                out.append(os.path.join(root, n))
+    return sorted(out)
+
+
 def geo_metadata(path: str) -> dict | None:
     """The parquet footer's ``geo`` document, or None (describe.c:225).
 
@@ -39,12 +51,10 @@ def geo_metadata(path: str) -> dict | None:
 
     target = path
     if os.path.isdir(path):
-        parts = sorted(
-            n for n in os.listdir(path) if n.endswith(".parquet") and not n.startswith(".")
-        )
+        parts = _parquet_parts(path)
         if not parts:
             return None
-        target = os.path.join(path, parts[0])
+        target = parts[0]
     md = pq.read_schema(target).metadata or {}
     raw = md.get(GEO_KEY)
     return json.loads(raw.decode("utf-8")) if raw else None
@@ -149,15 +159,7 @@ def attach_geo_metadata(
     }
     payload = json.dumps(geo).encode("utf-8")
 
-    targets = (
-        [path]
-        if os.path.isfile(path)
-        else [
-            os.path.join(path, n)
-            for n in sorted(os.listdir(path))
-            if n.endswith(".parquet") and not n.startswith(".")
-        ]
-    )
+    targets = [path] if os.path.isfile(path) else _parquet_parts(path)
     for f in targets:
         t = pq.read_table(f)
         md = dict(t.schema.metadata or {})

@@ -864,3 +864,21 @@ def test_st_extent_agg(spark):
     ).collect()}
     assert (rows[1].xmin, rows[1].ymin, rows[1].xmax, rows[1].ymax) == (0.0, -3.0, 5.0, 8.0)
     assert (rows[2].xmin, rows[2].ymax) == (100.0, 100.0)
+
+
+def test_geoparquet_hive_partitioned(spark, tmp_path):
+    """Footer detection and patching recurse into hive key=value
+    subdirectories — partitioned GeoParquet datasets work end to end."""
+    from pg_lake_spark.sources.geoparquet import attach_geo_metadata, read_geoparquet
+
+    out = str(tmp_path / "part_geo")
+    df = spark.range(100).select(
+        (F.col("id") % 4).alias("part"),
+        S.st_point(F.col("id").cast("double"), (F.col("id") % 7).cast("double")).alias("geom"),
+    )
+    df.write.partitionBy("part").parquet(out)
+    geo = attach_geo_metadata(spark, out, ["geom"])
+    assert geo["columns"]["geom"]["bbox"] == [0.0, 0.0, 99.0, 6.0]
+    got, meta = read_geoparquet(spark, out)
+    assert meta == geo and got.count() == 100
+    assert got.agg(F.max(S.st_x("geom"))).collect()[0][0] == 99.0
