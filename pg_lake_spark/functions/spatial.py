@@ -1131,6 +1131,10 @@ def register_spatial_sql(spark) -> list[str]:
         "st_translate": _k_translate,
         "st_isvalid": _k_isvalid,
         "st_force2d": _k_validate_wkb,
+        "st_distance": _k_distance,
+        "st_intersects": _k_intersects,
+        "st_contains_point": _k_contains_xy,
+        "st_simplify": _k_simplify,
     }
     for name, fn in regs.items():
         spark.udf.register(name, fn)
