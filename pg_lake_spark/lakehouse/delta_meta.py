@@ -78,6 +78,7 @@ class _DeltaState:
         self.metadata: dict | None = None
         self.protocol: dict | None = None
         self.adds: dict[str, dict] = {}  # decoded path -> add action
+        self.txns: dict[str, int] = {}  # appId -> high-water version
 
     def apply(self, action: dict) -> None:
         if "metaData" in action:
@@ -93,7 +94,12 @@ class _DeltaState:
             self.adds[unquote(ad["path"])] = ad
         elif "remove" in action:
             self.adds.pop(unquote(action["remove"]["path"]), None)
-        # commitInfo / txn / cdc / domainMetadata are no-ops for a scan
+        elif "txn" in action:
+            t = action["txn"]
+            self.txns[t["appId"]] = max(
+                self.txns.get(t["appId"], -1), int(t["version"])
+            )
+        # commitInfo / cdc / domainMetadata are no-ops for a scan
 
 
 def _read_checkpoint_actions(path: str) -> list[dict]:
@@ -102,7 +108,7 @@ def _read_checkpoint_actions(path: str) -> list[dict]:
 
     out: list[dict] = []
     for row in pq.read_table(path).to_pylist():
-        for key in ("protocol", "metaData", "add", "remove"):
+        for key in ("protocol", "metaData", "add", "remove", "txn"):
             v = row.get(key)
             if v is None:
                 continue
@@ -565,6 +571,29 @@ def append_delta(spark: SparkSession, location: str, df: DataFrame) -> None:
     _write_commit(location, state.version + 1, actions)
 
 
+def append_delta_txn(
+    spark: SparkSession, location: str, df: DataFrame, app_id: str, version: int
+) -> bool:
+    """Idempotent append via the Delta protocol's ``txn`` action: the
+    commit carries {appId, version}, and a replay whose version is at or
+    below the app's recorded high-water is SKIPPED (returns False) —
+    exactly the dedup contract delta-spark's streaming sink relies on,
+    so foreign Delta readers see exactly-once ingest. A losing
+    put-if-absent race raises ConcurrentDeltaCommitError; the caller
+    re-invokes (the replayed state then reflects the winner)."""
+    state = _replay(location)
+    assert state.metadata is not None
+    if version <= state.txns.get(app_id, -1):
+        return False
+    pcols = state.metadata.get("partitionColumns") or []
+    actions = [
+        {"txn": {"appId": app_id, "version": int(version),
+                 "lastUpdated": int(time.time() * 1000)}}
+    ] + _write_data_files(spark, location, df, pcols)
+    _write_commit(location, state.version + 1, actions)
+    return True
+
+
 def remove_delta_files(
     location: str, pred: Callable[[dict[str, str | None]], bool]
 ) -> int:
@@ -616,6 +645,7 @@ def write_delta_checkpoint(spark: SparkSession, location: str) -> str:
             ("dataChange", pa.bool_()),
         ]
     )
+    txn_t = pa.struct([("appId", pa.string()), ("version", pa.int64())])
     md = state.metadata or {}
     rows = [
         {
@@ -623,6 +653,7 @@ def write_delta_checkpoint(spark: SparkSession, location: str) -> str:
             or {"minReaderVersion": 1, "minWriterVersion": 2},
             "metaData": None,
             "add": None,
+            "txn": None,
         },
         {
             "protocol": None,
@@ -634,11 +665,21 @@ def write_delta_checkpoint(spark: SparkSession, location: str) -> str:
                 "createdTime": md.get("createdTime"),
             },
             "add": None,
+            "txn": None,
         },
     ] + [
         {
             "protocol": None,
             "metaData": None,
+            "add": None,
+            "txn": {"appId": app, "version": v},
+        }
+        for app, v in sorted(state.txns.items())
+    ] + [
+        {
+            "protocol": None,
+            "metaData": None,
+            "txn": None,
             "add": {
                 "path": a["path"],
                 "partitionValues": list((a.get("partitionValues") or {}).items()),
@@ -651,7 +692,9 @@ def write_delta_checkpoint(spark: SparkSession, location: str) -> str:
     ]
     table = pa.Table.from_pylist(
         rows,
-        schema=pa.schema([("protocol", proto_t), ("metaData", meta_t), ("add", add_t)]),
+        schema=pa.schema(
+            [("protocol", proto_t), ("metaData", meta_t), ("add", add_t), ("txn", txn_t)]
+        ),
     )
     path = os.path.join(_log_dir(location), f"{state.version:020d}.checkpoint.parquet")
     papq.write_table(table, path)

@@ -79,3 +79,47 @@ def stream_ingest_to_lake(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ingest_to_delta(
+    source: DataFrame,
+    location: str,
+    checkpoint_dir: str,
+    *,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Exactly-once streaming ingest into a DELTA table via the
+    protocol's ``txn`` action (PROTOCOL.md 'Transaction Identifiers' —
+    the same dedup delta-spark's streaming sink uses): each micro-batch
+    commits with {appId: <checkpoint key>, version: batch_id}; a
+    replayed batch at or below the recorded high-water is skipped, and
+    the put-if-absent commit file makes the version race safe. Foreign
+    Delta readers (including our own scan_delta) therefore see each
+    batch exactly once."""
+    import hashlib
+
+    from pg_lake_spark.lakehouse.delta_meta import (
+        ConcurrentDeltaCommitError,
+        append_delta_txn,
+    )
+
+    app_id = "pg_lake_stream_" + hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode("utf-8")
+    ).hexdigest()[:12]
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        while True:
+            try:
+                append_delta_txn(
+                    batch_df.sparkSession, location, batch_df, app_id, batch_id
+                )
+                return
+            except ConcurrentDeltaCommitError:
+                continue  # re-replay picks up the winner, then retry/skip
+
+    writer = source.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

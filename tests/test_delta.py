@@ -529,3 +529,61 @@ def test_column_mapping_unpartitioned(spark, tmp_path):
     got = scan_delta(spark, loc)
     assert got.columns == ["k", "s"]
     assert sorted(tuple(r) for r in got.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_append_delta_txn_idempotent(spark, tmp_path):
+    """Protocol txn actions give exactly-once appends: a replayed
+    (appId, version) is skipped, distinct apps don't interfere, and the
+    high-water survives checkpoint-seeded replay."""
+    from pg_lake_spark.lakehouse.delta_meta import append_delta_txn
+
+    loc = str(tmp_path / "txn_t")
+    write_delta_table(spark, loc, spark.createDataFrame([(0,)], "k bigint"))
+
+    df1 = spark.createDataFrame([(1,), (2,)], "k bigint")
+    assert append_delta_txn(spark, loc, df1, "appA", 0) is True
+    assert append_delta_txn(spark, loc, df1, "appA", 0) is False  # replay skipped
+    assert scan_delta(spark, loc).count() == 3
+    assert append_delta_txn(spark, loc, df1, "appB", 0) is True  # other app
+    assert append_delta_txn(spark, loc, df1, "appA", 1) is True
+    assert scan_delta(spark, loc).count() == 7
+
+    # txn state persists through a checkpoint (commits then deleted)
+    write_delta_checkpoint(spark, loc)
+    log_dir = os.path.join(loc, "_delta_log")
+    for n in os.listdir(log_dir):
+        if n.endswith(".json") and not n.startswith("_"):
+            os.remove(os.path.join(log_dir, n))
+    assert append_delta_txn(spark, loc, df1, "appA", 1) is False  # still known
+    assert append_delta_txn(spark, loc, df1, "appA", 2) is True
+    assert scan_delta(spark, loc).count() == 9
+
+
+def test_stream_ingest_to_delta_exactly_once(spark, tmp_path):
+    """End-to-end: rate-limited file stream → Delta, restart from the
+    same checkpoint appends nothing new."""
+    import json as _json
+
+    from pg_lake_spark.streaming.ingest import stream_ingest_to_delta
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    for i in range(3):
+        (src_dir / f"{i}.json").write_text(
+            "\n".join(_json.dumps({"k": i * 10 + j}) for j in range(5)) + "\n"
+        )
+    loc = str(tmp_path / "delta_sink")
+    write_delta_table(
+        spark, loc, spark.createDataFrame([], "k bigint")
+    )
+    stream = spark.readStream.schema("k bigint").json(str(src_dir))
+    ckpt = str(tmp_path / "ck")
+    q = stream_ingest_to_delta(stream, loc, ckpt)
+    q.awaitTermination(120)
+    assert scan_delta(spark, loc).count() == 15
+    # restart: no new source data, no duplicate rows
+    q2 = stream_ingest_to_delta(
+        spark.readStream.schema("k bigint").json(str(src_dir)), loc, ckpt
+    )
+    q2.awaitTermination(120)
+    assert scan_delta(spark, loc).count() == 15
