@@ -314,7 +314,17 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
         first = os.path.join(first, inner[0])
     with open(first, "rb") as fh:
         head = fh.read(_SNIFF_BYTES).decode("utf-8", errors="replace")
-    is_collection = '"FeatureCollection"' in head.split("\n", 1)[0]
+    # NDJSON iff the first line is a COMPLETE JSON document; a pretty-
+    # printed FeatureCollection (type on a later line) must take the
+    # wholetext path or per-line parsing would silently yield nulls.
+    first_line = head.split("\n", 1)[0].strip()
+    try:
+        import json as _json
+
+        _json.loads(first_line)
+        is_collection = '"FeatureCollection"' in first_line
+    except ValueError:
+        is_collection = True
 
     feat_schema = _ST(
         [_SF("__geom_json", _Str()), _SF("properties", _Str())]

@@ -110,7 +110,9 @@ def read_xlsx(
         cols = [f"c{i}" for i in range(max(len(r) for r in rows))]
         data = rows
     width = len(cols)
-    data = [r + [None] * (width - len(r)) for r in data]
+    # pad short rows; truncate cells beyond the header width (a stray
+    # value right of the table would otherwise break row arity)
+    data = [(r + [None] * (width - len(r)))[:width] for r in data]
 
     def col_type(i: int) -> str:
         vals = [r[i] for r in data if r[i] is not None]

@@ -882,3 +882,19 @@ def test_geoparquet_hive_partitioned(spark, tmp_path):
     got, meta = read_geoparquet(spark, out)
     assert meta == geo and got.count() == 100
     assert got.agg(F.max(S.st_x("geom"))).collect()[0][0] == 99.0
+
+
+def test_read_geojson_pretty_printed_collection(spark, tmp_path):
+    """A pretty-printed FeatureCollection (type on a later line) must
+    take the wholetext path, not be misread as NDJSON."""
+    from pg_lake_spark.sources.readers import read_geojson
+
+    fc = tmp_path / "pretty.geojson"
+    fc.write_text(
+        '{\n  "type": "FeatureCollection",\n  "features": [\n'
+        '    {"type": "Feature", "geometry": {"type": "Point", '
+        '"coordinates": [3, 4]}, "properties": {"n": 1}}\n  ]\n}\n'
+    )
+    got = read_geojson(spark, str(fc))
+    rows = got.select(S.st_astext("geometry").alias("w")).collect()
+    assert [r.w for r in rows] == ["POINT(3 4)"]
