@@ -1611,3 +1611,68 @@ def st_extent_agg(g) -> Column:
         F.max(env["xmax"]).alias("xmax"),
         F.max(env["ymax"]).alias("ymax"),
     )
+
+
+def _closest_point_on(b: bytes, px: float, py: float) -> tuple[float, float]:
+    """Nearest point ON geometry ``b`` to (px, py)."""
+    gtype, coords = _parse(b)
+    if gtype == WKB_POINT:
+        return coords[0]
+    if gtype in _MULTI_TYPES:
+        best, bd = None, float("inf")
+        for kt, kc in coords:
+            c = _closest_point_on(_pack(kt, kc), px, py)
+            d = math.hypot(c[0] - px, c[1] - py)
+            if d < bd:
+                best, bd = c, d
+        return best
+    if gtype == WKB_POLYGON and _contains_xy(b, px, py):
+        return (px, py)
+    best, bd = None, float("inf")
+    for (ax, ay), (bx, by) in _segments_of(gtype, coords):
+        dx, dy = bx - ax, by - ay
+        L2 = dx * dx + dy * dy
+        t = 0.0 if L2 == 0 else max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / L2))
+        cx, cy = ax + t * dx, ay + t * dy
+        d = math.hypot(cx - px, cy - py)
+        if d < bd:
+            best, bd = (cx, cy), d
+    return best
+
+
+@pandas_udf(BinaryType())
+def _k_closestpoint(g: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+    out = []
+    for b, px, py in zip(g, x, y):
+        if b is None or px is None:
+            out.append(None)
+        else:
+            out.append(_pack_point(*_closest_point_on(bytes(b), float(px), float(py))))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _k_shortestline(g: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+    out = []
+    for b, px, py in zip(g, x, y):
+        if b is None or px is None:
+            out.append(None)
+        else:
+            cx, cy = _closest_point_on(bytes(b), float(px), float(py))
+            out.append(_pack_linestring([(float(px), float(py)), (cx, cy)]))
+    return pd.Series(out, dtype=object)
+
+
+def st_closestpoint(g, x, y) -> Column:
+    """Nearest point ON a geometry to the given coordinates (PostGIS
+    ST_ClosestPoint with a point second argument)."""
+    c = lambda v: F.col(v) if isinstance(v, str) else v  # noqa: E731
+    return _k_closestpoint(c(g), c(x), c(y))
+
+
+def st_shortestline(g, x, y) -> Column:
+    """2-point LINESTRING from (x, y) to its nearest point on the
+    geometry (PostGIS ST_ShortestLine, point second argument); its
+    st_length equals st_distance_geom."""
+    c = lambda v: F.col(v) if isinstance(v, str) else v  # noqa: E731
+    return _k_shortestline(c(g), c(x), c(y))

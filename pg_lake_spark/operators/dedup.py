@@ -532,3 +532,52 @@ def neardup_clusters(
         F.col(id_col),
         F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
     )
+
+
+def canonical_url(col) -> "Column":
+    """URL canonicalization as ONE Column expression (no UDF) — the
+    first dedup key every web-crawl pipeline applies before content
+    hashing: lowercase scheme+host, drop the scheme, strip a leading
+    ``www.``, drop fragments, drop common tracking query parameters
+    (utm_*, gclid, fbclid, ref), sort the surviving query parameters,
+    and trim a trailing slash. Two URLs that differ only in those
+    respects canonicalize identically."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    # strip scheme + fragment, lowercase the host part
+    no_scheme = F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    no_frag = F.regexp_replace(no_scheme, r"#.*$", "")
+    host = F.lower(F.regexp_extract(no_frag, r"^([^/?]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    rest = F.regexp_extract(no_frag, r"^[^/?]*(.*)$", 1)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    # drop tracking params, sort the remainder
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.rlike(r"^(utm_[a-zA-Z]+|gclid|fbclid|ref)="),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    path = F.when(
+        path.endswith("/"), F.substring(path, 1, F.length(path) - 1)
+    ).otherwise(path)  # '/x/' -> '/x'; bare '/' -> '' (root == no path)
+    return F.concat(
+        host,
+        path,
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup_groups(df, url_col: str, id_col: str):
+    """Group rows by canonical URL: (canonical_url, n_copies, keep_id) —
+    the same keep-lowest-id contract as exact_dedup_groups, one hash
+    aggregate at any scale."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(canonical_url(url_col).alias("canonical_url"), F.col(id_col))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keep_id"))
+    )

@@ -979,3 +979,51 @@ def sk_hll_bounded_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             < 0.06
         ).alias("within_tolerance"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "dd_url_canonical",
+    oracle="""
+    SELECT canonical_url, count(*) AS n_copies, min(doc_id) AS keep_id
+    FROM (
+        SELECT doc_id,
+               source || '.example.com/docs/' || CAST(doc_id % 50 AS VARCHAR)
+               || CASE WHEN doc_id % 4 = 3 THEN ''
+                       ELSE '?q=' || CAST(doc_id % 7 AS VARCHAR) END AS canonical_url
+        FROM documents
+    ) s
+    GROUP BY canonical_url
+    ORDER BY canonical_url
+    """,
+    doc="URL-canonicalization dedup (operators/dedup.canonical_url — "
+    "the first key every web-crawl pipeline applies): four synthetic "
+    "URL variants per doc (www + utm params / http + trailing slash / "
+    "reordered params + tracking / fragment) must all collapse to the "
+    "canonical form the oracle computes arithmetically from the same "
+    "components. Pure expressions, one hash aggregate.",
+)
+def dd_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_lake_spark.operators.dedup import url_dedup_groups
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    k = F.col("doc_id") % 50
+    q = F.col("doc_id") % 7
+    host = F.concat(F.col("source"), F.lit(".example.com/docs/"), k.cast("string"))
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://www."), host, F.lit("?utm_source=x&q="), q.cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("http://"), host, F.lit("/?q="), q.cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://"), host, F.lit("?q="), q.cast("string"), F.lit("&utm_campaign=y")),
+        )
+        .otherwise(F.concat(F.lit("https://"), host, F.lit("#top")))
+    )
+    docs = d.select("doc_id", url.alias("url"))
+    return url_dedup_groups(docs, "url", "doc_id").orderBy("canonical_url")

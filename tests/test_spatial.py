@@ -898,3 +898,23 @@ def test_read_geojson_pretty_printed_collection(spark, tmp_path):
     got = read_geojson(spark, str(fc))
     rows = got.select(S.st_astext("geometry").alias("w")).collect()
     assert [r.w for r in rows] == ["POINT(3 4)"]
+
+
+def test_closestpoint_shortestline(spark):
+    df = spark.createDataFrame(
+        [("LINESTRING(0 0,10 0)", 3.0, 4.0),
+         ("POLYGON((0 0,4 0,4 4,0 4,0 0))", 2.0, 2.0),   # inside → itself
+         ("POLYGON((0 0,4 0,4 4,0 4,0 0))", 6.0, 2.0),   # outside → edge
+         ("MULTIPOINT(0 0,10 0)", 7.0, 0.0)],
+        "w string, x double, y double",
+    )
+    rows = df.select(
+        S.st_astext(S.st_closestpoint(S.st_geomfromtext("w"), "x", "y")).alias("cp"),
+        S.st_length(S.st_shortestline(S.st_geomfromtext("w"), "x", "y")).alias("len"),
+        S.st_distance_geom(
+            S.st_geomfromtext("w"), S.st_point("x", "y")
+        ).alias("dist"),
+    ).collect()
+    assert [r.cp for r in rows] == ["POINT(3 0)", "POINT(2 2)", "POINT(4 2)", "POINT(10 0)"]
+    for r in rows:
+        assert abs(r.len - r.dist) < 1e-9  # shortest line length == distance
