@@ -99,3 +99,84 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lang_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+# --- PII scrubbing (training-data hygiene) ---------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"(?:\+?\d{1,3}[-. ])?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}"
+_IP_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Occurrence counts of the three workhorse PII patterns — emails,
+    phone numbers, IPv4 addresses — as JVM regexp_count expressions."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        "n_emails": F.regexp_count(c, F.lit(_EMAIL_RE)),
+        "n_phones": F.regexp_count(c, F.lit(_PHONE_RE)),
+        "n_ips": F.regexp_count(c, F.lit(_IP_RE)),
+    }
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails/phones/IPv4s with typed placeholder tokens — the
+    standard pre-training scrub, entirely in JVM regexp_replace (order
+    matters: emails first so user@host IPs don't half-match)."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, _EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, _IP_RE, "<IP>")
+    c = F.regexp_replace(c, _PHONE_RE, "<PHONE>")
+    return c
+
+
+# --- Gopher-style quality signals ------------------------------------------
+
+def gopher_signals(text: Column | str) -> dict[str, Column]:
+    """The document-quality heuristics of the Gopher/MassiveText rules
+    (public: Rae et al. 2021, 'Scaling Language Models', appendix A):
+    word count, mean word length, symbol-to-word ratio (# and ...),
+    fraction of lines starting with a bullet, fraction ending with an
+    ellipsis, and fraction of words containing an alphabetic character.
+    All plain Column expressions over split()."""
+    c = F.col(text) if isinstance(text, str) else text
+    ws = F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
+    n_words = F.size(ws)
+    lines = F.filter(F.split(c, r"\n"), lambda l: F.trim(l) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    nz = F.greatest(n_words, F.lit(1)).cast("double")
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.aggregate(
+            ws, F.lit(0.0), lambda a, w: a + F.length(w)
+        ) / nz,
+        "symbol_word_ratio": (
+            F.regexp_count(c, F.lit(r"#")) + F.regexp_count(c, F.lit(r"\.\.\."))
+        ).cast("double") / nz,
+        "bullet_line_frac": F.size(
+            F.filter(lines, lambda l: F.trim(l).rlike(r"^([-*•‣▪])"))
+        ).cast("double") / n_lines.cast("double"),
+        "ellipsis_line_frac": F.size(
+            F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$"))
+        ).cast("double") / n_lines.cast("double"),
+        "alpha_word_frac": F.size(
+            F.filter(ws, lambda w: w.rlike(r"[A-Za-z]"))
+        ).cast("double") / nz,
+    }
+
+
+def gopher_keep(text: Column | str) -> Column:
+    """The keep/drop verdict from the published thresholds: 50..100k
+    words, mean word length 3..10, symbol ratio <= 0.1, bullets <= 90%,
+    ellipses <= 30%, >= 80% alphabetic words."""
+    s = gopher_signals(text)
+    return (
+        (s["n_words"] >= 50)
+        & (s["n_words"] <= 100_000)
+        & (s["mean_word_len"] >= 3.0)
+        & (s["mean_word_len"] <= 10.0)
+        & (s["symbol_word_ratio"] <= 0.1)
+        & (s["bullet_line_frac"] <= 0.9)
+        & (s["ellipsis_line_frac"] <= 0.3)
+        & (s["alpha_word_frac"] >= 0.8)
+    )

@@ -1027,3 +1027,106 @@ def dd_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = d.select("doc_id", url.alias("url"))
     return url_dedup_groups(docs, "url", "doc_id").orderBy("canonical_url")
+
+
+@query(
+    "txt_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS n_emails,
+           CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS n_phones,
+           1 AS n_ips,
+           'Reach '
+             || CASE WHEN doc_id % 2 = 0 THEN '<EMAIL>' ELSE 'nobody' END
+             || CASE WHEN doc_id % 3 = 0 THEN ' call <PHONE>' ELSE '' END
+             || ' from <IP> now' AS redacted
+    FROM documents
+    WHERE doc_id <= 400
+    ORDER BY doc_id
+    """,
+    doc="PII scrub (operators/textstats.pii_counts/redact_pii): "
+    "deterministic synthesized emails/phones/IPv4s must be counted and "
+    "replaced by typed placeholders; the oracle reconstructs the ground "
+    "truth arithmetically from the same components, so the regex path "
+    "is checked against construction, not another regex engine.",
+)
+def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_lake_spark.operators import textstats as T
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") <= 400)
+    text = F.concat(
+        F.lit("Reach "),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("a"), F.col("doc_id").cast("string"), F.lit("@test.org")),
+        ).otherwise(F.lit("nobody")),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit(" call 555-123-4567")
+        ).otherwise(F.lit("")),
+        F.lit(" from 10.0.0."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(" now"),
+    )
+    src = d.select("doc_id", text.alias("t"))
+    counts = T.pii_counts("t")
+    return src.select(
+        "doc_id",
+        counts["n_emails"].cast("int").alias("n_emails"),
+        counts["n_phones"].cast("int").alias("n_phones"),
+        counts["n_ips"].cast("int").alias("n_ips"),
+        T.redact_pii("t").alias("redacted"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "txt_gopher_quality",
+    oracle="""
+    SELECT doc_id, n_words,
+           round(mean_word_len, 6) AS mean_word_len,
+           round(alpha_word_frac, 6) AS alpha_word_frac,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8) AS keep
+    FROM (
+        SELECT doc_id,
+               len(ws) AS n_words,
+               list_sum(list_transform(ws, w -> CAST(len(w) AS DOUBLE)))
+                   / greatest(len(ws), 1) AS mean_word_len,
+               CAST(len(regexp_extract_all(text, '#'))
+                    + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+                   / greatest(len(ws), 1) AS symbol_ratio,
+               CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                   / greatest(len(ws), 1) AS alpha_word_frac
+        FROM (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               w -> w != '') AS ws
+            FROM documents WHERE doc_id <= 500
+        ) w
+    ) s
+    ORDER BY doc_id
+    """,
+    doc="Gopher/MassiveText quality signals (Rae et al. 2021 appendix A "
+    "— public rules): word count, mean word length, symbol-to-word "
+    "ratio, alphabetic-word fraction and the keep verdict, computed as "
+    "pure Column expressions and cross-checked against DuckDB list "
+    "functions.",
+)
+def txt_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_lake_spark.operators import textstats as T
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") <= 500)
+    s = T.gopher_signals("text")
+    return d.select(
+        "doc_id",
+        s["n_words"].cast("bigint").alias("n_words"),
+        F.round(s["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(s["alpha_word_frac"], 6).alias("alpha_word_frac"),
+        (
+            (s["n_words"] >= 50) & (s["n_words"] <= 100_000)
+            & (s["mean_word_len"] >= 3.0) & (s["mean_word_len"] <= 10.0)
+            & (s["symbol_word_ratio"] <= 0.1) & (s["alpha_word_frac"] >= 0.8)
+        ).alias("keep"),
+    ).orderBy("doc_id")
