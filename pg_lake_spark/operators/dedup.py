@@ -581,3 +581,55 @@ def url_dedup_groups(df, url_col: str, id_col: str):
         .groupBy("canonical_url")
         .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keep_id"))
     )
+
+
+def decontaminate_flags(
+    train: "DataFrame",
+    evalset: "DataFrame",
+    *,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 8,
+) -> "DataFrame":
+    """Benchmark decontamination: flag training documents sharing any
+    word ``shingle_n``-gram with an eval/benchmark set (the public
+    GPT-3/PaLM contamination procedure — 8-13 gram overlap). Plan shape:
+    explode both sides to (shingle → id), equi-join on the shingle
+    (eval side is small and broadcasts), distinct train ids — candidate
+    generation is linear in corpus shingles, never all-pairs.
+
+    Output: (id_col, contaminated boolean) for every train row.
+    """
+    from pyspark.sql import functions as F
+
+    t = train.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh")
+    ).select(id_col, F.explode("__sh").alias("__s"))
+    e = evalset.select(
+        F.explode(word_shingles(text_col, shingle_n)).alias("__s")
+    ).distinct()
+    hits = t.join(F.broadcast(e), "__s").select(id_col).distinct()
+    return train.select(id_col).join(
+        hits.withColumn("__c", F.lit(True)), id_col, "left"
+    ).select(id_col, F.coalesce("__c", F.lit(False)).alias("contaminated"))
+
+
+def paragraph_dedup_groups(
+    df: "DataFrame", id_col: str, text_col: str
+) -> "DataFrame":
+    """Paragraph-level exact dedup: split on blank lines, hash each
+    non-empty paragraph, group across the corpus — the boilerplate
+    killer (headers/footers/licenses repeated across crawled pages).
+    Output: (para_hash, n_copies, n_docs, keep_doc) for paragraphs
+    occurring anywhere. One explode + one hash aggregate."""
+    from pyspark.sql import functions as F
+
+    paras = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\n\s*\n")).alias("p"),
+    ).select(id_col, F.trim("p").alias("p")).filter(F.col("p") != "")
+    return paras.groupBy(F.md5("p").alias("para_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.count_distinct(id_col).alias("n_docs"),
+        F.min(id_col).alias("keep_doc"),
+    )

@@ -1130,3 +1130,37 @@ def txt_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (s["symbol_word_ratio"] <= 0.1) & (s["alpha_word_frac"] >= 0.8)
         ).alias("keep"),
     ).orderBy("doc_id")
+
+
+@query(
+    "dd_decontaminate",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(ws) - 7, 1) + 1),
+                   i -> array_to_string(ws[i:i+7], ' ')))) AS s
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ws
+              FROM documents) t
+    ),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+    SELECT d.doc_id,
+           EXISTS (SELECT 1 FROM sh JOIN ev USING (s)
+                   WHERE sh.doc_id = d.doc_id) AS contaminated
+    FROM documents d
+    ORDER BY d.doc_id
+    """,
+    doc="Eval-set decontamination (the public GPT-3/PaLM 8-gram overlap "
+    "procedure): docs with doc_id % 97 = 0 stand in for the benchmark; "
+    "every training doc sharing any word 8-gram with them is flagged. "
+    "Broadcast shingle equi-join — linear in corpus shingles, no "
+    "all-pairs.",
+)
+def dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    evalset = docs.filter(F.col("doc_id") % 97 == 0)
+    return dedup.decontaminate_flags(
+        docs, evalset, id_col="doc_id", text_col="text", shingle_n=8
+    ).orderBy("doc_id")
