@@ -158,3 +158,40 @@ def test_stratified_sample_rates_and_mix_quotas(spark):
     mcounts = {r.grp: r.n for r in mixed.groupBy("grp").agg(F.count("*").alias("n")).collect()}
     # big meets its 150 quota; small has only 100 rows and contributes all
     assert mcounts == {"big": 150, "small": 100}
+
+
+def test_paragraph_dedup_and_decontaminate(spark):
+    from pg_lake_spark.operators.dedup import (
+        decontaminate_flags,
+        paragraph_dedup_groups,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text\n\nCOMMON FOOTER\n\nbody one"),
+            (2, "other intro\n\nCOMMON FOOTER"),
+            (3, "unique paragraph only"),
+        ],
+        "doc_id bigint, text string",
+    )
+    groups = {r.keep_doc: r for r in paragraph_dedup_groups(docs, "doc_id", "text").collect()}
+    # the shared footer appears twice across two docs, kept by doc 1
+    footer = [r for r in groups.values() if r.n_copies == 2]
+    assert len(footer) == 1 and footer[0].n_docs == 2 and footer[0].keep_doc == 1
+    assert sum(r.n_copies for r in groups.values()) == 6  # total paragraphs
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different words with no overlap at all here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    evalset = spark.createDataFrame(
+        [(99, "quick brown fox jumps over the lazy dog benchmark")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.contaminated for r in decontaminate_flags(
+        train, evalset, id_col="doc_id", text_col="text", shingle_n=8
+    ).collect()}
+    assert got == {1: True, 2: False}
