@@ -174,11 +174,12 @@ def test_paragraph_dedup_and_decontaminate(spark):
         ],
         "doc_id bigint, text string",
     )
-    groups = {r.keep_doc: r for r in paragraph_dedup_groups(docs, "doc_id", "text").collect()}
+    groups = paragraph_dedup_groups(docs, "doc_id", "text").collect()
     # the shared footer appears twice across two docs, kept by doc 1
-    footer = [r for r in groups.values() if r.n_copies == 2]
+    footer = [r for r in groups if r.n_copies == 2]
     assert len(footer) == 1 and footer[0].n_docs == 2 and footer[0].keep_doc == 1
-    assert sum(r.n_copies for r in groups.values()) == 6  # total paragraphs
+    assert sum(r.n_copies for r in groups) == 6  # total paragraphs
+    assert len(groups) == 5  # distinct paragraph texts
 
     train = spark.createDataFrame(
         [
