@@ -1676,3 +1676,116 @@ def st_shortestline(g, x, y) -> Column:
     st_length equals st_distance_geom."""
     c = lambda v: F.col(v) if isinstance(v, str) else v  # noqa: E731
     return _k_shortestline(c(g), c(x), c(y))
+
+
+@pandas_udf(BinaryType())
+def _k_removerepeated(g: pd.Series) -> pd.Series:
+    def dedupe(seq):
+        out = [seq[0]]
+        for p in seq[1:]:
+            if p != out[-1]:
+                out.append(p)
+        return out
+
+    out = []
+    for b in g:
+        if b is None:
+            out.append(None)
+            continue
+        gtype, coords = _parse(bytes(b))
+        if gtype == WKB_POINT:
+            out.append(bytes(b))
+        elif gtype == WKB_LINESTRING:
+            out.append(_pack_linestring(dedupe(coords)))
+        elif gtype == WKB_POLYGON:
+            out.append(_pack_polygon([dedupe(r) for r in coords]))
+        else:
+            kids = []
+            for kt, kc in coords:
+                if kt == WKB_POINT:
+                    kids.append((kt, kc))
+                elif kt == WKB_LINESTRING:
+                    kids.append((kt, dedupe(kc)))
+                else:
+                    kids.append((kt, [dedupe(r) for r in kc]))
+            out.append(_pack(gtype, kids))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _k_boundary(g: pd.Series) -> pd.Series:
+    out = []
+    for b in g:
+        if b is None:
+            out.append(None)
+            continue
+        gtype, coords = _parse(bytes(b))
+        if gtype == WKB_POINT or gtype == WKB_MULTIPOINT:
+            out.append(None)  # point boundary is empty (no collections here)
+        elif gtype == WKB_LINESTRING:
+            if coords and coords[0] == coords[-1]:
+                out.append(None)  # closed line: empty boundary
+            else:
+                out.append(
+                    _pack(
+                        WKB_MULTIPOINT,
+                        [(WKB_POINT, [coords[0]]), (WKB_POINT, [coords[-1]])],
+                    )
+                )
+        elif gtype == WKB_POLYGON:
+            if len(coords) == 1:
+                out.append(_pack_linestring(coords[0]))
+            else:
+                out.append(
+                    _pack(WKB_MULTILINESTRING, [(WKB_LINESTRING, r) for r in coords])
+                )
+        else:
+            rings = []
+            for kt, kc in coords:
+                if kt == WKB_POLYGON:
+                    rings += [(WKB_LINESTRING, r) for r in kc]
+            out.append(_pack(WKB_MULTILINESTRING, rings) if rings else None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BooleanType())
+def _k_isring(g: pd.Series) -> pd.Series:
+    def simple_closed(coords) -> bool:
+        if len(coords) < 4 or coords[0] != coords[-1]:
+            return False
+        segs = list(zip(coords, coords[1:]))
+        n = len(segs)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if j == i + 1 or (i == 0 and j == n - 1):
+                    continue  # adjacent segments share an endpoint by design
+                if _segments_intersect(*segs[i], *segs[j]):
+                    return False
+        return True
+
+    out = []
+    for b in g:
+        if b is None:
+            out.append(None)
+            continue
+        gtype, coords = _parse(bytes(b))
+        out.append(simple_closed(coords) if gtype == WKB_LINESTRING else False)
+    return pd.Series(out, dtype=object)
+
+
+def st_removerepeatedpoints(g) -> Column:
+    """Drop consecutive duplicate vertices (PostGIS name)."""
+    return _k_removerepeated(F.col(g) if isinstance(g, str) else g)
+
+
+def st_boundary(g) -> Column:
+    """Topological boundary: open linestring → MULTIPOINT(endpoints),
+    closed linestring / points → NULL (empty), polygon → its ring(s) as
+    (MULTI)LINESTRING."""
+    return _k_boundary(F.col(g) if isinstance(g, str) else g)
+
+
+def st_isring(g) -> Column:
+    """True for a closed AND simple (non-self-intersecting) linestring
+    — the PostGIS ring test, exact segment checks."""
+    return _k_isring(F.col(g) if isinstance(g, str) else g)

@@ -918,3 +918,31 @@ def test_closestpoint_shortestline(spark):
     assert [r.cp for r in rows] == ["POINT(3 0)", "POINT(2 2)", "POINT(4 2)", "POINT(10 0)"]
     for r in rows:
         assert abs(r.len - r.dist) < 1e-9  # shortest line length == distance
+
+
+def test_boundary_isring_removerepeated(spark):
+    df = spark.createDataFrame(
+        [("LINESTRING(0 0,5 5,9 0)",),
+         ("LINESTRING(0 0,4 0,4 4,0 0)",),       # closed + simple = ring
+         ("LINESTRING(0 0,4 4,4 0,0 4,0 0)",),   # closed, self-crossing
+         ("POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))",),
+         ("POINT(1 1)",)],
+        "w string",
+    )
+    rows = df.select(
+        S.st_astext(S.st_boundary(S.st_geomfromtext("w"))).alias("b"),
+        S.st_isring(S.st_geomfromtext("w")).alias("ring"),
+    ).collect()
+    assert rows[0].b == "MULTIPOINT(0 0,9 0)" and rows[0].ring is False
+    assert rows[1].b is None and rows[1].ring is True       # closed: empty boundary
+    assert rows[2].ring is False                            # bow-tie is no ring
+    assert rows[3].b == (
+        "MULTILINESTRING((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))"
+    )
+    assert rows[4].b is None
+
+    rep = spark.createDataFrame([("LINESTRING(0 0,0 0,1 1,1 1,2 2)",)], "w string")
+    got = rep.select(
+        S.st_astext(S.st_removerepeatedpoints(S.st_geomfromtext("w")))
+    ).collect()[0][0]
+    assert got == "LINESTRING(0 0,1 1,2 2)"
