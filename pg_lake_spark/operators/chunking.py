@@ -119,3 +119,52 @@ def mix_corpora(
         .filter(F.col("__rk") <= quota)
         .drop("__rk")
     )
+
+
+def chunk_documents_tokens(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Token-window chunking (whitespace tokens): the unit LLM context
+    budgets are denominated in. Same coverage contract as the char
+    variant — every token appears in some chunk, consecutive chunks
+    overlap by ``overlap`` tokens — built from split + slice + array_join
+    (map-only, no UDF, no shuffle)."""
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    step = size - overlap
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(step))
+    ).cast("int")
+    return (
+        docs.select(
+            id_col,
+            toks.alias("__toks"),
+            n_chunks.alias("n_chunks"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            F.posexplode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
+                "chunk_id", "_i"
+            ),
+            "__toks",
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("chunk_id") * step + 1, size), " "
+            ).alias("chunk"),
+            F.least(
+                F.lit(size),
+                F.size("__toks") - F.col("chunk_id") * step,
+            ).alias("n_tokens"),
+            "n_chunks",
+        )
+    )

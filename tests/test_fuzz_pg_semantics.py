@@ -196,3 +196,29 @@ def test_paragraph_dedup_and_decontaminate(spark):
         train, evalset, id_col="doc_id", text_col="text", shingle_n=8
     ).collect()}
     assert got == {1: True, 2: False}
+
+
+def test_token_chunking_coverage(spark):
+    from pg_lake_spark.operators.chunking import chunk_documents_tokens
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))),
+         (2, " ".join(f"w{i}" for i in range(100))),
+         (3, " ".join(f"w{i}" for i in range(101)))],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents_tokens(docs, size=50, overlap=10).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.doc_id, []).append(r)
+    for rows in by.values():
+        rows.sort(key=lambda r: r.chunk_id)
+    # 100 tokens needs 3 windows: two cover only 50+50-10=90
+    assert [len(by[d]) for d in sorted(by)] == [1, 3, 3]
+    # token coverage with exact overlap
+    lens = {1: 10, 2: 100, 3: 101}
+    for d, rows in by.items():
+        total = sum(r.n_tokens for r in rows) - 10 * (len(rows) - 1)
+        assert total == lens[d]
+        assert rows[0].chunk.startswith("w0 ")
+        assert rows[-1].chunk.endswith(f"w{lens[d]-1}")

@@ -79,3 +79,27 @@ def test_chunking_is_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_polygon_point_join_no_cross_product(spark):
+    from pg_lake_spark.functions import spatial as S
+    from pg_lake_spark.operators.spatial_join import polygon_point_join
+    from pyspark.sql import functions as F
+
+    polys = spark.range(5).select(
+        F.col("id").alias("pid"),
+        S.st_geomfromtext(
+            F.concat(F.lit("POLYGON((0 0,10 0,0 10,0 0))"))
+        ).alias("geometry"),
+    )
+    pts = spark.range(50).select(
+        F.col("id").alias("pt"),
+        (F.col("id") % 12).cast("double").alias("x"),
+        (F.col("id") % 7).cast("double").alias("y"),
+    )
+    plan = (
+        polygon_point_join(polys, pts, cell=8.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
