@@ -1135,6 +1135,11 @@ def register_spatial_sql(spark) -> list[str]:
         "st_intersects": _k_intersects,
         "st_contains_point": _k_contains_xy,
         "st_simplify": _k_simplify,
+        "st_closestpoint": _k_closestpoint,
+        "st_shortestline": _k_shortestline,
+        "st_boundary": _k_boundary,
+        "st_isring": _k_isring,
+        "st_removerepeatedpoints": _k_removerepeated,
     }
     for name, fn in regs.items():
         spark.udf.register(name, fn)
