@@ -180,3 +180,47 @@ def gopher_keep(text: Column | str) -> Column:
         & (s["ellipsis_line_frac"] <= 0.3)
         & (s["alpha_word_frac"] >= 0.8)
     )
+
+
+def compression_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """zlib compression ratio per document (compressed/raw bytes) — the
+    CCNet/RefinedWeb-style redundancy signal: highly repetitive or
+    templated text compresses far below ~0.4, random gibberish sits
+    near 1.0, natural prose in between. zlib isn't expressible in SQL,
+    so this is a legitimate Arrow kernel (mapInPandas, map-only).
+
+    Output: (id_col, n_bytes, ratio double) — empty/null text → null."""
+    import zlib
+    from typing import Iterator
+
+    import pandas as pd_
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("n_bytes", LongType()),
+            StructField("ratio", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd_.DataFrame]) -> Iterator[pd_.DataFrame]:
+        for pdf in batches:
+            ids, sizes, ratios = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                ids.append(i)
+                if t is None or t == "":
+                    sizes.append(None)
+                    ratios.append(None)
+                    continue
+                raw = t.encode("utf-8")
+                sizes.append(len(raw))
+                ratios.append(len(zlib.compress(raw, 6)) / len(raw))
+            yield pd_.DataFrame({id_col: ids, "n_bytes": sizes, "ratio": ratios})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)

@@ -222,3 +222,30 @@ def test_token_chunking_coverage(spark):
         assert total == lens[d]
         assert rows[0].chunk.startswith("w0 ")
         assert rows[-1].chunk.endswith(f"w{lens[d]-1}")
+
+
+def test_compression_ratio_signal(spark):
+    """Repetitive text compresses far below random text; natural-ish
+    prose lands between; empty text yields null."""
+    import random as _r
+    import string
+
+    rng = _r.Random(7)
+    rand_text = "".join(rng.choice(string.ascii_letters + " ") for _ in range(5000))
+    df = spark.createDataFrame(
+        [
+            (1, "spam " * 1000),
+            (2, rand_text),
+            (3, ("the quick brown fox jumps over the lazy dog. " * 40)[:1500]),
+            (4, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    from pg_lake_spark.operators.textstats import compression_ratio
+
+    got = {r.doc_id: r for r in compression_ratio(df, "doc_id", "text").collect()}
+    assert got[1].ratio < 0.05          # pure repetition
+    assert got[2].ratio > 0.6           # near-random
+    assert 0.01 < got[3].ratio < 0.3    # templated prose
+    assert got[4].ratio is None and got[4].n_bytes is None
+    assert got[2].n_bytes == 5000
