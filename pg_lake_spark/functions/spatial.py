@@ -136,6 +136,21 @@ def _pack_polygon(rings: list[list[tuple[float, float]]]) -> bytes:
     return out
 
 
+def _wkb_dims(raw_type: int) -> tuple[int, bool, bool]:
+    """Decode an ISO (type + 1000Z/2000M/3000ZM) or EWKB (0x80000000 Z,
+    0x40000000 M flag bits) type word → (base_type, has_z, has_m)."""
+    has_z = bool(raw_type & 0x80000000)
+    has_m = bool(raw_type & 0x40000000)
+    t = raw_type & 0x0FFFFFFF  # drop EWKB flag + srid-present bits
+    if t >= 3000:
+        return t - 3000, True, True
+    if t >= 2000:
+        return t - 2000, has_z, True
+    if t >= 1000:
+        return t - 1000, True, has_m
+    return t, has_z, has_m
+
+
 def _parse_at(b: bytes, off: int) -> tuple[int, list, int]:
     """Parse one WKB geometry at ``off`` → (geom_type, coords, next_off).
     coords: [(x,y)] for point/linestring, [[(x,y)]] for polygon, and a
@@ -143,19 +158,22 @@ def _parse_at(b: bytes, off: int) -> tuple[int, list, int]:
     if len(b) < off + 5:
         raise ValueError("WKB too short")
     bo = "<" if b[off] == 1 else ">"
-    (gtype,) = struct.unpack_from(bo + "I", b, off + 1)
-    gtype = gtype & 0xFF  # mask any EWKB flag bits
+    (raw,) = struct.unpack_from(bo + "I", b, off + 1)
+    gtype, has_z, has_m = _wkb_dims(raw)
     off += 5
+    if raw & 0x20000000:  # EWKB embedded SRID: skip the 4-byte srid
+        off += 4
+    nd = 2 + has_z + has_m  # extra dims are read and dropped (XY slice)
     if gtype == WKB_POINT:
-        x, y = struct.unpack_from(bo + "dd", b, off)
-        return gtype, [(x, y)], off + 16
+        vals = struct.unpack_from(bo + f"{nd}d", b, off)
+        return gtype, [(vals[0], vals[1])], off + 8 * nd
     if gtype == WKB_LINESTRING:
         (n,) = struct.unpack_from(bo + "I", b, off)
-        vals = struct.unpack_from(bo + f"{2 * n}d", b, off + 4)
+        vals = struct.unpack_from(bo + f"{nd * n}d", b, off + 4)
         return (
             gtype,
-            [(vals[2 * i], vals[2 * i + 1]) for i in range(n)],
-            off + 4 + 16 * n,
+            [(vals[nd * i], vals[nd * i + 1]) for i in range(n)],
+            off + 4 + 8 * nd * n,
         )
     if gtype == WKB_POLYGON:
         (nr,) = struct.unpack_from(bo + "I", b, off)
@@ -164,9 +182,9 @@ def _parse_at(b: bytes, off: int) -> tuple[int, list, int]:
         for _ in range(nr):
             (n,) = struct.unpack_from(bo + "I", b, off)
             off += 4
-            vals = struct.unpack_from(bo + f"{2 * n}d", b, off)
-            off += 16 * n
-            rings.append([(vals[2 * i], vals[2 * i + 1]) for i in range(n)])
+            vals = struct.unpack_from(bo + f"{nd * n}d", b, off)
+            off += 8 * nd * n
+            rings.append([(vals[nd * i], vals[nd * i + 1]) for i in range(n)])
         return gtype, rings, off
     if gtype in _MULTI_TYPES:
         (n,) = struct.unpack_from(bo + "I", b, off)
@@ -1045,8 +1063,8 @@ def st_isvalid(g) -> Column:
 
 
 def st_force2d(g) -> Column:
-    """Identity on this engine's 2D-only geometries (validates WKB)."""
-    return _k_validate_wkb(F.col(g) if isinstance(g, str) else g)
+    """Strip Z/M coordinates (identity for 2D input)."""
+    return _k_force2d_full(F.col(g) if isinstance(g, str) else g)
 
 
 # --- pure-expression bbox predicates (JVM-side; Catalyst can push them) ----
@@ -1130,7 +1148,7 @@ def register_spatial_sql(spark) -> list[str]:
         "st_buffer": _k_buffer,
         "st_translate": _k_translate,
         "st_isvalid": _k_isvalid,
-        "st_force2d": _k_validate_wkb,
+        "st_force2d": _k_force2d_full,
         "st_distance": _k_distance,
         "st_intersects": _k_intersects,
         "st_contains_point": _k_contains_xy,
@@ -1140,6 +1158,38 @@ def register_spatial_sql(spark) -> list[str]:
         "st_boundary": _k_boundary,
         "st_isring": _k_isring,
         "st_removerepeatedpoints": _k_removerepeated,
+        # DE-9IM-lite relations
+        "st_contains": _k_contains,
+        "st_within": _k_within,
+        "st_covers": _k_covers,
+        "st_coveredby": _k_coveredby,
+        "st_containsproperly": _k_containsproperly,
+        "st_equals": _k_equals,
+        "st_touches": _k_touches,
+        "st_crosses": _k_crosses,
+        "st_overlaps": _k_overlaps,
+        "st_issimple": _k_issimple,
+        # processing
+        "st_convexhull": _k_convexhull,
+        "st_pointonsurface": _k_pointonsurface,
+        "st_exteriorring": _k_exteriorring,
+        "st_numinteriorrings": _k_numinteriorrings,
+        "st_interiorringn": _k_interiorringn,
+        "st_numpoints": _k_numpoints,
+        "st_collectionextract": _k_collectionextract,
+        "st_linemerge": _k_linemerge,
+        "st_normalize": _k_normalize,
+        "st_makevalid": _k_makevalid,
+        "st_reduceprecision": _k_reduceprecision,
+        "st_simplifypreservetopology": _k_simplify_preserve,
+        # Z/M dims + reprojection
+        "st_z": _k_z,
+        "st_m": _k_m,
+        "st_zmflag": _k_zmflag,
+        "st_force3dz": _k_force3dz,
+        "st_force3dm": _k_force3dm,
+        "st_force4d": _k_force4d,
+        "st_transform": _k_transform,
     }
     for name, fn in regs.items():
         spark.udf.register(name, fn)
@@ -1794,3 +1844,1032 @@ def st_isring(g) -> Column:
     """True for a closed AND simple (non-self-intersecting) linestring
     — the PostGIS ring test, exact segment checks."""
     return _k_isring(F.col(g) if isinstance(g, str) else g)
+
+
+# ---------------------------------------------------------------------------
+# DE-9IM-lite relations (st_contains/within/covers/coveredby/equals/
+# touches/crosses/overlaps/containsproperly/issimple)
+#
+# The reference ships these by delegating to DuckDB spatial / GEOS
+# (shippable_spatial_functions.c:56-455, shippable_spatial_operators.c).
+# Here they are exact orientation-arithmetic tests over the WKB codec:
+# pointwise position tests (3-state ray casting) on vertex + segment-
+# midpoint samples combined with proper-crossing tests between segment
+# sets. This is exact for all non-degenerate inputs; the one documented
+# approximation: a segment that exits a concave region THROUGH a
+# boundary vertex and re-enters between two samples (no proper crossing,
+# both endpoints + midpoint covered) is reported covered. Valid OGC
+# inputs used in joins (point/line-in-polygon, polygon containment)
+# never hit that window.
+# ---------------------------------------------------------------------------
+
+def _ring_pos(x: float, y: float, ring: list) -> int:
+    """0 = outside, 1 = on boundary, 2 = strictly inside (even-odd)."""
+    inside = False
+    for i in range(len(ring) - 1):
+        x0, y0 = ring[i]
+        x1, y1 = ring[i + 1]
+        if (min(x0, x1) <= x <= max(x0, x1)) and (min(y0, y1) <= y <= max(y0, y1)):
+            if (x1 - x0) * (y - y0) - (x - x0) * (y1 - y0) == 0:
+                return 1
+        if (y0 > y) != (y1 > y):
+            xin = x0 + (y - y0) * (x1 - x0) / (y1 - y0)
+            if x < xin:
+                inside = not inside
+    return 2 if inside else 0
+
+
+def _poly_pos(rings: list, x: float, y: float) -> int:
+    pos = _ring_pos(x, y, rings[0]) if rings else 0
+    if pos != 2:
+        return pos
+    for hole in rings[1:]:
+        hp = _ring_pos(x, y, hole)
+        if hp == 1:
+            return 1
+        if hp == 2:
+            return 0
+    return 2
+
+
+def _geom_pos(gtype: int, coords: list, x: float, y: float) -> int:
+    """Position of (x,y) relative to one geometry: 0 outside / 1 on the
+    geometry's topological boundary / 2 in its interior. A linestring's
+    boundary is its two endpoints (DE-9IM); a point's interior is
+    itself."""
+    if gtype == WKB_POINT:
+        return 2 if coords[0] == (x, y) else 0
+    if gtype == WKB_LINESTRING:
+        closed = coords[0] == coords[-1]
+        if not closed and ((x, y) == coords[0] or (x, y) == coords[-1]):
+            return 1
+        for s, e in zip(coords, coords[1:]):
+            if _on_segment(*s, *e, x, y):
+                return 2
+        return 0
+    if gtype == WKB_POLYGON:
+        return _poly_pos(coords, x, y)
+    if gtype in _MULTI_TYPES:
+        return max(
+            (_geom_pos(kt, kc, x, y) for kt, kc in coords), default=0
+        )
+    raise ValueError(f"unsupported geometry type {gtype}")
+
+
+def _dim_of(gtype: int, coords: list) -> int:
+    if gtype in (WKB_POINT, WKB_MULTIPOINT):
+        return 0
+    if gtype in (WKB_LINESTRING, WKB_MULTILINESTRING):
+        return 1
+    if gtype == WKB_POLYGON:
+        return 2
+    return max((_dim_of(kt, kc) for kt, kc in coords), default=0)
+
+
+def _sample_points(gtype: int, coords: list) -> list:
+    """Vertices plus segment midpoints — the pointwise witnesses the
+    relation tests evaluate."""
+    pts = list(_flat_coords(gtype, coords))
+    for s, e in _segments_of(gtype, coords):
+        pts.append(((s[0] + e[0]) / 2.0, (s[1] + e[1]) / 2.0))
+    return pts
+
+
+def _proper_cross(p1, p2, p3, p4) -> bool:
+    d1 = _orient(*p3, *p4, *p1)
+    d2 = _orient(*p3, *p4, *p2)
+    d3 = _orient(*p1, *p2, *p3)
+    d4 = _orient(*p1, *p2, *p4)
+    return d1 * d2 < 0 and d3 * d4 < 0
+
+
+def _any_proper_cross(ta, ca, tb, cb) -> bool:
+    for s1, e1 in _segments_of(ta, ca):
+        for s2, e2 in _segments_of(tb, cb):
+            if _proper_cross(s1, e1, s2, e2):
+                return True
+    return False
+
+
+def _rel_covers(ta, ca, tb, cb) -> bool:
+    """Every point of b lies in a's closure."""
+    if _dim_of(ta, ca) < _dim_of(tb, cb):
+        return False
+    for p in _sample_points(tb, cb):
+        if _geom_pos(ta, ca, *p) == 0:
+            return False
+    # a 2D cover is violated by any proper boundary crossing
+    if _dim_of(ta, ca) == 2 and _any_proper_cross(ta, ca, tb, cb):
+        return False
+    return True
+
+
+def _rel_interiors_intersect(ta, ca, tb, cb) -> bool:
+    """Witness rules, each exact: (1) a proper segment crossing; (2) a
+    sample point interior to BOTH geometries; (3) a sample of one
+    geometry interior to the other when that other is 2-dimensional —
+    its interior is open in R² and the sampled geometry's interior is
+    dense in its closure, so the open neighborhood must meet it (the
+    converse shortcut is NOT valid for 1-dim interiors, e.g. a line
+    lying along a polygon's boundary ring)."""
+    if _any_proper_cross(ta, ca, tb, cb):
+        return True
+    da, db = _dim_of(ta, ca), _dim_of(tb, cb)
+    for p in _sample_points(tb, cb):
+        pa = _geom_pos(ta, ca, *p)
+        if pa == 2 and (da == 2 or _geom_pos(tb, cb, *p) == 2):
+            return True
+    for p in _sample_points(ta, ca):
+        pb = _geom_pos(tb, cb, *p)
+        if pb == 2 and (db == 2 or _geom_pos(ta, ca, *p) == 2):
+            return True
+    return False
+
+
+def _collinear_overlap(ta, ca, tb, cb) -> bool:
+    """True if some segment pair shares a positive-length collinear
+    stretch (a 1-dimensional intersection)."""
+    for s1, e1 in _segments_of(ta, ca):
+        for s2, e2 in _segments_of(tb, cb):
+            if (
+                _orient(*s1, *e1, *s2) == 0
+                and _orient(*s1, *e1, *e2) == 0
+            ):
+                # project onto the dominant axis and test interval overlap
+                if abs(e1[0] - s1[0]) >= abs(e1[1] - s1[1]):
+                    lo1, hi1 = sorted((s1[0], e1[0]))
+                    lo2, hi2 = sorted((s2[0], e2[0]))
+                else:
+                    lo1, hi1 = sorted((s1[1], e1[1]))
+                    lo2, hi2 = sorted((s2[1], e2[1]))
+                if min(hi1, hi2) - max(lo1, lo2) > 0:
+                    return True
+    return False
+
+
+def _rel_contains(ta, ca, tb, cb) -> bool:
+    return _rel_covers(ta, ca, tb, cb) and _rel_interiors_intersect(ta, ca, tb, cb)
+
+
+def _rel_containsproperly(ta, ca, tb, cb) -> bool:
+    """b ⊆ interior(a): every sample strictly interior and b's segments
+    never touch a's boundary."""
+    for p in _sample_points(tb, cb):
+        if _geom_pos(ta, ca, *p) != 2:
+            return False
+    if _dim_of(ta, ca) == 2:
+        for s1, e1 in _segments_of(ta, ca):
+            for s2, e2 in _segments_of(tb, cb):
+                if _segments_intersect(s1, e1, s2, e2):
+                    return False
+    return True
+
+
+def _rel_equals(ta, ca, tb, cb) -> bool:
+    return _rel_covers(ta, ca, tb, cb) and _rel_covers(tb, cb, ta, ca)
+
+
+def _rel_touches(ta, ca, tb, cb) -> bool:
+    a = _pack(ta, ca)
+    b = _pack(tb, cb)
+    return _geoms_intersect(a, b) and not _rel_interiors_intersect(ta, ca, tb, cb)
+
+
+def _rel_overlaps(ta, ca, tb, cb) -> bool:
+    da, db = _dim_of(ta, ca), _dim_of(tb, cb)
+    if da != db:
+        return False
+    if da == 1:
+        # 1D overlap requires a 1-dimensional intersection, not an X
+        if not _collinear_overlap(ta, ca, tb, cb):
+            return False
+    elif not _rel_interiors_intersect(ta, ca, tb, cb):
+        return False
+    return not _rel_covers(ta, ca, tb, cb) and not _rel_covers(tb, cb, ta, ca)
+
+
+def _rel_crosses(ta, ca, tb, cb) -> bool:
+    da, db = _dim_of(ta, ca), _dim_of(tb, cb)
+    if da == db == 1:
+        # line/line: interiors meet, and only at points (not collinearly)
+        return (
+            _rel_interiors_intersect(ta, ca, tb, cb)
+            and not _collinear_overlap(ta, ca, tb, cb)
+        )
+    if da == db:
+        return False
+    # mixed dims: lower-dim geometry has points both inside and outside
+    lo_t, lo_c, hi_t, hi_c = (ta, ca, tb, cb) if da < db else (tb, cb, ta, ca)
+    if not _rel_interiors_intersect(ta, ca, tb, cb):
+        return False
+    return any(_geom_pos(hi_t, hi_c, *p) == 0 for p in _sample_points(lo_t, lo_c))
+
+
+def _make_rel_kernel(rel):
+    @pandas_udf(BooleanType())
+    def k(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for ba, bb in zip(a, b):
+            if ba is None or bb is None:
+                out.append(None)
+            else:
+                ta, ca = _parse(bytes(ba))
+                tb, cb = _parse(bytes(bb))
+                out.append(rel(ta, ca, tb, cb))
+        return pd.Series(out, dtype=object)
+
+    return k
+
+
+_k_contains = _make_rel_kernel(_rel_contains)
+_k_covers = _make_rel_kernel(_rel_covers)
+_k_containsproperly = _make_rel_kernel(_rel_containsproperly)
+_k_equals = _make_rel_kernel(_rel_equals)
+_k_touches = _make_rel_kernel(_rel_touches)
+_k_overlaps = _make_rel_kernel(_rel_overlaps)
+_k_crosses = _make_rel_kernel(_rel_crosses)
+_k_within = _make_rel_kernel(lambda ta, ca, tb, cb: _rel_contains(tb, cb, ta, ca))
+_k_coveredby = _make_rel_kernel(lambda ta, ca, tb, cb: _rel_covers(tb, cb, ta, ca))
+
+
+def _colify(v):
+    return F.col(v) if isinstance(v, str) else v
+
+
+def st_contains(a, b) -> Column:
+    """a contains b: b in a's closure and their interiors meet. Exact
+    orientation tests; use bbox_contains as the pushable prefilter and
+    this as the verify stage (reference: st_contains via GEOS,
+    shippable_spatial_functions.c)."""
+    return _k_contains(_colify(a), _colify(b))
+
+
+def st_within(a, b) -> Column:
+    return _k_within(_colify(a), _colify(b))
+
+
+def st_covers(a, b) -> Column:
+    return _k_covers(_colify(a), _colify(b))
+
+
+def st_coveredby(a, b) -> Column:
+    return _k_coveredby(_colify(a), _colify(b))
+
+
+def st_containsproperly(a, b) -> Column:
+    return _k_containsproperly(_colify(a), _colify(b))
+
+
+def st_equals(a, b) -> Column:
+    """Topological equality (mutual cover) — TRUE for the same point set
+    regardless of vertex order/count, unlike st_orderingequals."""
+    return _k_equals(_colify(a), _colify(b))
+
+
+def st_touches(a, b) -> Column:
+    return _k_touches(_colify(a), _colify(b))
+
+
+def st_crosses(a, b) -> Column:
+    return _k_crosses(_colify(a), _colify(b))
+
+
+def st_overlaps(a, b) -> Column:
+    return _k_overlaps(_colify(a), _colify(b))
+
+
+@pandas_udf(BooleanType())
+def _k_issimple(g: pd.Series) -> pd.Series:
+    def line_simple(coords) -> bool:
+        segs = list(zip(coords, coords[1:]))
+        n = len(segs)
+        closed = len(coords) >= 3 and coords[0] == coords[-1]
+        for i in range(n):
+            for j in range(i + 1, n):
+                if j == i + 1 or (closed and i == 0 and j == n - 1):
+                    continue
+                if _segments_intersect(*segs[i], *segs[j]):
+                    return False
+        return True
+
+    def simple(gtype, coords) -> bool:
+        if gtype == WKB_POINT:
+            return True
+        if gtype == WKB_MULTIPOINT:
+            pts = [kc[0] for _, kc in coords]
+            return len(pts) == len(set(pts))
+        if gtype == WKB_LINESTRING:
+            return line_simple(coords)
+        if gtype == WKB_MULTILINESTRING:
+            return all(line_simple(kc) for _, kc in coords)
+        # polygons: valid structure implies simple for this slice
+        return True
+
+    return pd.Series(
+        [None if b is None else simple(*_parse(bytes(b))) for b in g],
+        dtype=object,
+    )
+
+
+def st_issimple(g) -> Column:
+    """No anomalous self-intersection: exact pairwise segment tests for
+    (multi)linestrings, duplicate-point test for multipoints."""
+    return _k_issimple(_colify(g))
+
+
+# ---------------------------------------------------------------------------
+# geometry processing: convex hull, point-on-surface, ring accessors,
+# collection extract, line merge, precision/validity repair
+# (reference: shippable_spatial_functions.c — st_convexhull,
+# st_pointonsurface, st_exteriorring, st_numinteriorrings, st_numpoints,
+# st_collectionextract, st_linemerge, st_normalize, st_makevalid,
+# st_reduceprecision, st_simplifypreservetopology)
+# ---------------------------------------------------------------------------
+
+def _convex_hull(pts: list) -> tuple[int, list]:
+    """Andrew's monotone chain. Returns (geom_type, coords) — degrades
+    to POINT/LINESTRING for <3 distinct/collinear inputs like PostGIS."""
+    pts = sorted(set(pts))
+    if len(pts) == 1:
+        return WKB_POINT, [pts[0]]
+    if len(pts) == 2:
+        return WKB_LINESTRING, pts
+
+    def half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2 and _orient(*out[-2], *out[-1], *p) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(reversed(pts))
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 3:  # all collinear
+        return WKB_LINESTRING, [pts[0], pts[-1]]
+    # counter-clockwise shell, closed
+    return WKB_POLYGON, [hull + [hull[0]]]
+
+
+@pandas_udf(BinaryType())
+def _k_convexhull(g: pd.Series) -> pd.Series:
+    out = []
+    for b in g:
+        if b is None:
+            out.append(None)
+            continue
+        gtype, coords = _parse(bytes(b))
+        out.append(_pack(*_convex_hull(_flat_coords(gtype, coords))))
+    return pd.Series(out, dtype=object)
+
+
+def _point_on_surface(gtype: int, coords: list) -> tuple[float, float]:
+    if gtype == WKB_POINT:
+        return coords[0]
+    if gtype == WKB_LINESTRING:
+        return coords[len(coords) // 2]
+    if gtype in _MULTI_TYPES:
+        # largest component (by area then length then first)
+        best, best_key = None, None
+        for kt, kc in coords:
+            key = (_area_of(kt, kc), _length_of(kt, kc))
+            if best is None or key > best_key:
+                best, best_key = (kt, kc), key
+        return _point_on_surface(*best)
+    # polygon: centroid when strictly interior, else a horizontal
+    # scanline through the interior — midpoint of the first inside span
+    rings = coords
+    _, c = _parse(_k_centroid_py(_pack(gtype, coords)))
+    cx, cy = c[0]
+    if _poly_pos(rings, cx, cy) == 2:
+        return (cx, cy)
+    ys = sorted({y for ring in rings for _, y in ring})
+    # scan between distinct vertex y's: guaranteed to avoid vertices
+    mid_i = (len(ys) - 1) // 2
+    y = (ys[mid_i] + ys[mid_i + 1]) / 2.0 if len(ys) > 1 else ys[0]
+    xs = []
+    for ring in rings:
+        for (x0, y0), (x1, y1) in zip(ring, ring[1:]):
+            if (y0 > y) != (y1 > y):
+                xs.append(x0 + (y - y0) * (x1 - x0) / (y1 - y0))
+    xs.sort()
+    best_x, best_w = None, -1.0
+    for lo, hi in zip(xs[0::2], xs[1::2]):
+        if hi - lo > best_w:
+            best_x, best_w = (lo + hi) / 2.0, hi - lo
+    return (best_x, y) if best_x is not None else (cx, cy)
+
+
+def _k_centroid_py(b: bytes) -> bytes:
+    """Driver-side reuse of the centroid kernel's math (weighted by
+    dimension, matching _k_centroid)."""
+    gtype, coords = _parse(b)
+    pts = _flat_coords(gtype, coords)
+    if gtype == WKB_POLYGON:
+        # area-weighted centroid of the shell minus holes
+        ax = ay = aa = 0.0
+        for ri, ring in enumerate(coords):
+            a2 = cx = cy = 0.0
+            for (x0, y0), (x1, y1) in zip(ring, ring[1:]):
+                w = x0 * y1 - x1 * y0
+                a2 += w
+                cx += (x0 + x1) * w
+                cy += (y0 + y1) * w
+            sign = 1.0 if ri == 0 else -1.0
+            aa += sign * abs(a2)
+            if a2 != 0:
+                cx, cy = cx / (3 * a2), cy / (3 * a2)
+                ax += sign * abs(a2) * cx
+                ay += sign * abs(a2) * cy
+        if aa != 0:
+            return _pack_point(ax / aa, ay / aa)
+    x = sum(p[0] for p in pts) / len(pts)
+    y = sum(p[1] for p in pts) / len(pts)
+    return _pack_point(x, y)
+
+
+@pandas_udf(BinaryType())
+def _k_pointonsurface(g: pd.Series) -> pd.Series:
+    out = []
+    for b in g:
+        if b is None:
+            out.append(None)
+            continue
+        gtype, coords = _parse(bytes(b))
+        out.append(_pack_point(*_point_on_surface(gtype, coords)))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _k_exteriorring(g: pd.Series) -> pd.Series:
+    out = []
+    for b in g:
+        if b is None:
+            out.append(None)
+            continue
+        gtype, coords = _parse(bytes(b))
+        out.append(
+            _pack_linestring(coords[0]) if gtype == WKB_POLYGON else None
+        )
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(IntegerType())
+def _k_numinteriorrings(g: pd.Series) -> pd.Series:
+    out = []
+    for b in g:
+        if b is None:
+            out.append(None)
+            continue
+        gtype, coords = _parse(bytes(b))
+        out.append(len(coords) - 1 if gtype == WKB_POLYGON else None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _k_interiorringn(g: pd.Series, n: pd.Series) -> pd.Series:
+    out = []
+    for b, i in zip(g, n):
+        if b is None or i is None:
+            out.append(None)
+            continue
+        gtype, coords = _parse(bytes(b))
+        i = int(i)  # 1-based, PostGIS
+        if gtype == WKB_POLYGON and 1 <= i <= len(coords) - 1:
+            out.append(_pack_linestring(coords[i]))
+        else:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(IntegerType())
+def _k_numpoints(g: pd.Series) -> pd.Series:
+    # PostGIS ST_NumPoints: LINESTRING only, else NULL (st_npoints is
+    # the every-type count)
+    out = []
+    for b in g:
+        if b is None:
+            out.append(None)
+            continue
+        gtype, coords = _parse(bytes(b))
+        out.append(len(coords) if gtype == WKB_LINESTRING else None)
+    return pd.Series(out, dtype=object)
+
+
+_EXTRACT_TO_MULTI = {1: WKB_MULTIPOINT, 2: WKB_MULTILINESTRING, 3: WKB_MULTIPOLYGON}
+
+
+@pandas_udf(BinaryType())
+def _k_collectionextract(g: pd.Series, want: pd.Series) -> pd.Series:
+    out = []
+    for b, t in zip(g, want):
+        if b is None or t is None:
+            out.append(None)
+            continue
+        t = int(t)  # 1=point, 2=line, 3=polygon (PostGIS)
+        mtype = _EXTRACT_TO_MULTI[t]
+        gtype, coords = _parse(bytes(b))
+        if gtype in _MULTI_TYPES:
+            kids = [(kt, kc) for kt, kc in coords if kt == t]
+        else:
+            kids = [(gtype, coords)] if gtype == t else []
+        out.append(_pack(mtype, kids) if kids else None)
+    return pd.Series(out, dtype=object)
+
+
+def _line_merge(parts: list) -> list:
+    """Stitch linestrings that share endpoints into maximal lines
+    (greedy; direction-insensitive like GEOS LineMerger)."""
+    parts = [list(p) for p in parts]
+    merged = True
+    while merged:
+        merged = False
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                a, b = parts[i], parts[j]
+                if a[-1] == b[0]:
+                    parts[i] = a + b[1:]
+                elif a[-1] == b[-1]:
+                    parts[i] = a + b[::-1][1:]
+                elif a[0] == b[-1]:
+                    parts[i] = b + a[1:]
+                elif a[0] == b[0]:
+                    parts[i] = b[::-1] + a[1:]
+                else:
+                    continue
+                parts.pop(j)
+                merged = True
+                break
+            if merged:
+                break
+    return parts
+
+
+@pandas_udf(BinaryType())
+def _k_linemerge(g: pd.Series) -> pd.Series:
+    out = []
+    for b in g:
+        if b is None:
+            out.append(None)
+            continue
+        gtype, coords = _parse(bytes(b))
+        if gtype == WKB_LINESTRING:
+            out.append(bytes(b))
+            continue
+        if gtype != WKB_MULTILINESTRING:
+            out.append(None)
+            continue
+        parts = _line_merge([kc for _, kc in coords])
+        if len(parts) == 1:
+            out.append(_pack_linestring(parts[0]))
+        else:
+            out.append(
+                _pack(WKB_MULTILINESTRING, [(WKB_LINESTRING, p) for p in parts])
+            )
+    return pd.Series(out, dtype=object)
+
+
+def _dedupe_consecutive(coords: list) -> list:
+    out = [coords[0]]
+    for p in coords[1:]:
+        if p != out[-1]:
+            out.append(p)
+    return out
+
+
+@pandas_udf(BinaryType())
+def _k_reduceprecision(g: pd.Series, grid: pd.Series) -> pd.Series:
+    out = []
+    for b, gs in zip(g, grid):
+        if b is None or gs is None:
+            out.append(None)
+            continue
+        gs = float(gs)
+
+        def snap(x, y):
+            return (round(x / gs) * gs, round(y / gs) * gs)
+
+        gtype, coords = _parse(bytes(b))
+
+        def fix(gt, cs):
+            if gt == WKB_POINT:
+                return gt, [snap(*cs[0])]
+            if gt == WKB_LINESTRING:
+                c = _dedupe_consecutive([snap(*p) for p in cs])
+                return (gt, c) if len(c) >= 2 else (None, None)
+            if gt == WKB_POLYGON:
+                rings = []
+                for r in cs:
+                    c = _dedupe_consecutive([snap(*p) for p in r])
+                    if c[0] != c[-1]:
+                        c.append(c[0])
+                    if len(c) >= 4:
+                        rings.append(c)
+                return (gt, rings) if rings else (None, None)
+            kids = []
+            for kt, kc in cs:
+                ft, fc = fix(kt, kc)
+                if ft is not None:
+                    kids.append((ft, fc))
+            return (gt, kids) if kids else (None, None)
+
+        ft, fc = fix(gtype, coords)
+        out.append(None if ft is None else _pack(ft, fc))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _k_makevalid(g: pd.Series) -> pd.Series:
+    """Structural repair: close open rings, drop consecutive duplicate
+    vertices, drop rings/lines that collapse below the minimum point
+    count. (GEOS MakeValid's node-and-rebuild is out of scope; this is
+    the repair the structural st_isvalid checks for.)"""
+    out = []
+    for b in g:
+        if b is None:
+            out.append(None)
+            continue
+        gtype, coords = _parse(bytes(b))
+
+        def fix(gt, cs):
+            if gt == WKB_POINT:
+                return gt, cs
+            if gt == WKB_LINESTRING:
+                c = _dedupe_consecutive(cs)
+                return (gt, c) if len(c) >= 2 else (None, None)
+            if gt == WKB_POLYGON:
+                rings = []
+                for r in cs:
+                    c = _dedupe_consecutive(r)
+                    if c[0] != c[-1]:
+                        c.append(c[0])
+                    if len(c) >= 4:
+                        rings.append(c)
+                return (gt, rings) if rings else (None, None)
+            kids = []
+            for kt, kc in cs:
+                ft, fc = fix(kt, kc)
+                if ft is not None:
+                    kids.append((ft, fc))
+            return (gt, kids) if kids else (None, None)
+
+        ft, fc = fix(gtype, coords)
+        out.append(None if ft is None else _pack(ft, fc))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BinaryType())
+def _k_simplify_preserve(g: pd.Series, tol: pd.Series) -> pd.Series:
+    """Douglas-Peucker that never collapses a geometry: rings keep >= 4
+    points, lines keep their endpoints — the st_simplifypreservetopology
+    contract (vs st_simplify, which may drop small rings)."""
+    out = []
+    for b, t in zip(g, tol):
+        if b is None or t is None:
+            out.append(None)
+            continue
+        t = float(t)
+        gtype, coords = _parse(bytes(b))
+
+        def simp_ring(r):
+            s = _dp_simplify(r, t)
+            # never collapse: a ring that would degenerate keeps its
+            # original vertices (the "preserve topology" contract)
+            return s if len(s) >= 4 else r
+
+        def simp(gt, cs):
+            if gt == WKB_POINT:
+                return gt, cs
+            if gt == WKB_LINESTRING:
+                return gt, _dp_simplify(cs, t)
+            if gt == WKB_POLYGON:
+                return gt, [simp_ring(r) for r in cs]
+            return gt, [simp(kt, kc) for kt, kc in cs]
+
+        out.append(_pack(*simp(gtype, coords)))
+    return pd.Series(out, dtype=object)
+
+
+def st_convexhull(g) -> Column:
+    """Exact convex hull (Andrew's monotone chain over all vertices);
+    degrades to POINT/LINESTRING for degenerate input like PostGIS."""
+    return _k_convexhull(_colify(g))
+
+
+def st_pointonsurface(g) -> Column:
+    """A point guaranteed on the geometry: centroid when interior, else
+    the midpoint of the widest interior span of a vertex-free scanline."""
+    return _k_pointonsurface(_colify(g))
+
+
+def st_exteriorring(g) -> Column:
+    return _k_exteriorring(_colify(g))
+
+
+def st_numinteriorrings(g) -> Column:
+    return _k_numinteriorrings(_colify(g))
+
+
+def st_interiorringn(g, n) -> Column:
+    n = F.lit(n) if isinstance(n, int) else _colify(n)
+    return _k_interiorringn(_colify(g), n)
+
+
+def st_numpoints(g) -> Column:
+    """PostGIS ST_NumPoints: vertex count for LINESTRING, NULL otherwise
+    (use st_npoints for the any-type count)."""
+    return _k_numpoints(_colify(g))
+
+
+def st_collectionextract(g, gtype: int) -> Column:
+    """Extract components of the given dimension type (1=point, 2=line,
+    3=polygon) as the corresponding MULTI geometry; NULL when none."""
+    t = F.lit(gtype) if isinstance(gtype, int) else _colify(gtype)
+    return _k_collectionextract(_colify(g), t)
+
+
+def st_linemerge(g) -> Column:
+    """Stitch a MULTILINESTRING's touching components into maximal
+    linestrings (greedy endpoint matching, direction-insensitive)."""
+    return _k_linemerge(_colify(g))
+
+
+def st_normalize(g) -> Column:
+    """Canonical little-endian WKB byte form (stable for equality and
+    grouping on the binary column)."""
+    return _k_normalize(_colify(g))
+
+
+def st_makevalid(g) -> Column:
+    return _k_makevalid(_colify(g))
+
+
+def st_reduceprecision(g, gridsize) -> Column:
+    gs = F.lit(gridsize) if isinstance(gridsize, (int, float)) else _colify(gridsize)
+    return _k_reduceprecision(_colify(g), gs)
+
+
+def st_simplifypreservetopology(g, tolerance) -> Column:
+    t = F.lit(tolerance) if isinstance(tolerance, (int, float)) else _colify(tolerance)
+    return _k_simplify_preserve(_colify(g), t)
+
+
+def st_extent(g) -> Column:
+    """PostGIS ST_Extent is the aggregate bbox — alias of st_extent_agg."""
+    return st_extent_agg(g)
+
+
+# ---------------------------------------------------------------------------
+# Z/M coordinate dimensions (st_z/st_m/st_zmflag/st_force3dz/st_force3dm/
+# st_force4d + a dimension-preserving st_force2d) and st_transform.
+# The 2D codec above reads Z/M WKB by slicing XY; these kernels keep the
+# full tuples. Output is ISO WKB (type + 1000Z + 2000M).
+# ---------------------------------------------------------------------------
+
+def _parse_full_at(b: bytes, off: int):
+    bo = "<" if b[off] == 1 else ">"
+    (raw,) = struct.unpack_from(bo + "I", b, off + 1)
+    gtype, has_z, has_m = _wkb_dims(raw)
+    off += 5
+    if raw & 0x20000000:
+        off += 4
+    nd = 2 + has_z + has_m
+
+    def pts(n, o):
+        vals = struct.unpack_from(bo + f"{nd * n}d", b, o)
+        return (
+            [tuple(vals[nd * i : nd * i + nd]) for i in range(n)],
+            o + 8 * nd * n,
+        )
+
+    if gtype == WKB_POINT:
+        coords, off = pts(1, off)
+        return gtype, has_z, has_m, coords, off
+    if gtype == WKB_LINESTRING:
+        (n,) = struct.unpack_from(bo + "I", b, off)
+        coords, off = pts(n, off + 4)
+        return gtype, has_z, has_m, coords, off
+    if gtype == WKB_POLYGON:
+        (nr,) = struct.unpack_from(bo + "I", b, off)
+        off += 4
+        rings = []
+        for _ in range(nr):
+            (n,) = struct.unpack_from(bo + "I", b, off)
+            ring, off = pts(n, off + 4)
+            rings.append(ring)
+        return gtype, has_z, has_m, rings, off
+    if gtype in _MULTI_TYPES:
+        (n,) = struct.unpack_from(bo + "I", b, off)
+        off += 4
+        kids = []
+        hz = hm = False
+        for _ in range(n):
+            kt, kz, km, kc, off = _parse_full_at(b, off)
+            hz, hm = hz or kz, hm or km
+            kids.append((kt, kz, km, kc))
+        return gtype, hz, hm, kids, off
+    raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+def _parse_full(b: bytes):
+    gtype, has_z, has_m, coords, _ = _parse_full_at(b, 0)
+    return gtype, has_z, has_m, coords
+
+
+def _iso_type(gtype: int, has_z: bool, has_m: bool) -> int:
+    return gtype + (1000 if has_z else 0) + (2000 if has_m else 0)
+
+
+def _pack_full(gtype: int, has_z: bool, has_m: bool, coords: list) -> bytes:
+    t = _iso_type(gtype, has_z, has_m)
+    if gtype == WKB_POINT:
+        return struct.pack("<BI", 1, t) + struct.pack(
+            f"<{len(coords[0])}d", *coords[0]
+        )
+    if gtype == WKB_LINESTRING:
+        out = struct.pack("<BII", 1, t, len(coords))
+        for p in coords:
+            out += struct.pack(f"<{len(p)}d", *p)
+        return out
+    if gtype == WKB_POLYGON:
+        out = struct.pack("<BII", 1, t, len(coords))
+        for ring in coords:
+            out += struct.pack("<I", len(ring))
+            for p in ring:
+                out += struct.pack(f"<{len(p)}d", *p)
+        return out
+    out = struct.pack("<BII", 1, t, len(coords))
+    for kt, kz, km, kc in coords:
+        out += _pack_full(kt, kz, km, kc)
+    return out
+
+
+def _retuple(p: tuple, has_z: bool, has_m: bool, to_z: bool, to_m: bool,
+             z0: float, m0: float) -> tuple:
+    x, y = p[0], p[1]
+    z = p[2] if has_z else z0
+    m = (p[3] if has_z else p[2]) if has_m else m0
+    out = [x, y]
+    if to_z:
+        out.append(z)
+    if to_m:
+        out.append(m)
+    return tuple(out)
+
+
+def _force_dims(b: bytes, to_z: bool, to_m: bool, z0: float = 0.0,
+                m0: float = 0.0) -> bytes:
+    def conv(gt, hz, hm, cs):
+        if gt == WKB_POINT:
+            return gt, to_z, to_m, [_retuple(cs[0], hz, hm, to_z, to_m, z0, m0)]
+        if gt == WKB_LINESTRING:
+            return gt, to_z, to_m, [
+                _retuple(p, hz, hm, to_z, to_m, z0, m0) for p in cs
+            ]
+        if gt == WKB_POLYGON:
+            return gt, to_z, to_m, [
+                [_retuple(p, hz, hm, to_z, to_m, z0, m0) for p in r] for r in cs
+            ]
+        return gt, to_z, to_m, [conv(kt, kz, km, kc) for kt, kz, km, kc in cs]
+
+    return _pack_full(*conv(*_parse_full(b)))
+
+
+def _make_force_kernel(to_z: bool, to_m: bool):
+    @pandas_udf(BinaryType())
+    def k(g: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if b is None else _force_dims(bytes(b), to_z, to_m) for b in g],
+            dtype=object,
+        )
+
+    return k
+
+
+_k_force3dz = _make_force_kernel(True, False)
+_k_force3dm = _make_force_kernel(False, True)
+_k_force4d = _make_force_kernel(True, True)
+_k_force2d_full = _make_force_kernel(False, False)
+
+
+@pandas_udf(DoubleType())
+def _k_z(g: pd.Series) -> pd.Series:
+    out = []
+    for b in g:
+        if b is None:
+            out.append(None)
+            continue
+        gt, hz, hm, cs = _parse_full(bytes(b))
+        out.append(cs[0][2] if gt == WKB_POINT and hz else None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(DoubleType())
+def _k_m(g: pd.Series) -> pd.Series:
+    out = []
+    for b in g:
+        if b is None:
+            out.append(None)
+            continue
+        gt, hz, hm, cs = _parse_full(bytes(b))
+        if gt == WKB_POINT and hm:
+            out.append(cs[0][3] if hz else cs[0][2])
+        else:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(IntegerType())
+def _k_zmflag(g: pd.Series) -> pd.Series:
+    out = []
+    for b in g:
+        if b is None:
+            out.append(None)
+            continue
+        _, hz, hm, _ = _parse_full(bytes(b))
+        out.append((2 if hz else 0) + (1 if hm else 0))
+    return pd.Series(out, dtype=object)
+
+
+def st_z(g) -> Column:
+    """Z of a 3D point; NULL for 2D input or non-points."""
+    return _k_z(_colify(g))
+
+
+def st_m(g) -> Column:
+    return _k_m(_colify(g))
+
+
+def st_zmflag(g) -> Column:
+    """PostGIS ST_Zmflag: 0=2D, 1=XYM, 2=XYZ, 3=XYZM."""
+    return _k_zmflag(_colify(g))
+
+
+def st_force3dz(g) -> Column:
+    """XYZ output (missing Z filled with 0, M dropped); ISO WKB type."""
+    return _k_force3dz(_colify(g))
+
+
+def st_force3dm(g) -> Column:
+    return _k_force3dm(_colify(g))
+
+
+def st_force4d(g) -> Column:
+    return _k_force4d(_colify(g))
+
+
+# ---------------------------------------------------------------------------
+# st_transform: WGS84 lon/lat (EPSG:4326) <-> spherical Web Mercator
+# (EPSG:3857), the closed-form pair. The reference delegates arbitrary
+# SRID pairs to PROJ; anything else raises loudly here.
+# ---------------------------------------------------------------------------
+
+_WEB_MERCATOR_R = 6378137.0
+
+
+def _tx_4326_3857(x: float, y: float) -> tuple[float, float]:
+    mx = math.radians(x) * _WEB_MERCATOR_R
+    my = math.log(math.tan(math.pi / 4 + math.radians(y) / 2)) * _WEB_MERCATOR_R
+    return mx, my
+
+
+def _tx_3857_4326(x: float, y: float) -> tuple[float, float]:
+    lon = math.degrees(x / _WEB_MERCATOR_R)
+    lat = math.degrees(2 * math.atan(math.exp(y / _WEB_MERCATOR_R)) - math.pi / 2)
+    return lon, lat
+
+
+_TRANSFORMS = {(4326, 3857): _tx_4326_3857, (3857, 4326): _tx_3857_4326}
+
+
+@pandas_udf(BinaryType())
+def _k_transform(g: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
+    out = []
+    for b, s, d in zip(g, src, dst):
+        if b is None or s is None or d is None:
+            out.append(None)
+            continue
+        s, d = int(s), int(d)
+        if s == d:
+            out.append(bytes(b))
+            continue
+        fn = _TRANSFORMS.get((s, d))
+        if fn is None:
+            raise NotImplementedError(
+                f"st_transform supports EPSG:4326<->3857 only, got {s}->{d} "
+                "(the reference delegates other pairs to PROJ)"
+            )
+        gtype, coords = _parse(bytes(b))
+        out.append(_pack(gtype, _map_coords(gtype, coords, lambda p: fn(*p))))
+    return pd.Series(out, dtype=object)
+
+
+def st_transform(g, src_srid, dst_srid) -> Column:
+    """Reproject between EPSG:4326 (lon/lat) and EPSG:3857 (spherical
+    Web Mercator) — closed-form; other SRID pairs raise. SRIDs are
+    explicit arguments because this WKB slice stores geometries
+    SRID-less."""
+    s = F.lit(src_srid) if isinstance(src_srid, int) else _colify(src_srid)
+    d = F.lit(dst_srid) if isinstance(dst_srid, int) else _colify(dst_srid)
+    return _k_transform(_colify(g), s, d)

@@ -1,0 +1,262 @@
+"""DE-9IM-lite relations, geometry processing, Z/M dims, st_transform.
+
+Reference surface: pg_lake_engine/src/pgduck/shippable_spatial_functions.c
+(st_contains/within/covers/coveredby/containsproperly/equals/touches/
+crosses/overlaps/issimple, st_convexhull/pointonsurface/exteriorring/
+numinteriorrings/numpoints/collectionextract/linemerge/normalize/
+makevalid/reduceprecision/simplifypreservetopology, st_z/st_m/st_zmflag/
+st_force3dz/st_force3dm/st_force4d, st_transform). All cases are
+integer-exact so orientation arithmetic is exact.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_lake_spark.functions import spatial as S
+
+
+SQ = "POLYGON((0 0,10 0,10 10,0 10,0 0))"
+INNER = "POLYGON((2 2,4 2,4 4,2 4,2 2))"
+ADJ = "POLYGON((10 0,20 0,20 10,10 10,10 0))"
+OVERLAP = "POLYGON((5 5,15 5,15 15,5 15,5 5))"
+HOLED = "POLYGON((0 0,10 0,10 10,0 10,0 0),(4 4,6 4,6 6,4 6,4 4))"
+
+
+def _rel(spark, fn, a, b):
+    df = spark.createDataFrame([(a, b)], "wa string, wb string")
+    return df.select(
+        fn(S.st_geomfromtext("wa"), S.st_geomfromtext("wb")).alias("r")
+    ).collect()[0].r
+
+
+@pytest.mark.parametrize(
+    "fn,a,b,want",
+    [
+        (S.st_contains, SQ, INNER, True),
+        (S.st_contains, SQ, "POINT(5 5)", True),
+        (S.st_contains, SQ, "POINT(0 5)", False),  # boundary not contained
+        (S.st_covers, SQ, "POINT(0 5)", True),
+        (S.st_contains, SQ, "POINT(15 5)", False),
+        (S.st_contains, SQ, "LINESTRING(1 1,9 9)", True),
+        (S.st_contains, SQ, "LINESTRING(-5 5,15 5)", False),
+        (S.st_contains, SQ, "LINESTRING(0 0,0 10)", False),  # on boundary
+        (S.st_covers, SQ, "LINESTRING(0 0,0 10)", True),
+        (S.st_within, INNER, SQ, True),
+        (S.st_within, OVERLAP, SQ, False),
+        (S.st_coveredby, "POINT(0 5)", SQ, True),
+        (S.st_containsproperly, SQ, INNER, True),
+        (S.st_containsproperly, SQ, "LINESTRING(0 0,0 10)", False),
+        (S.st_containsproperly, SQ, "POINT(0 5)", False),
+        # equality is topological: extra collinear vertex / reversed ring
+        (S.st_equals, SQ, "POLYGON((0 0,5 0,10 0,10 10,0 10,0 0))", True),
+        (S.st_equals, SQ, "POLYGON((0 0,0 10,10 10,10 0,0 0))", True),
+        (S.st_equals, SQ, INNER, False),
+        (S.st_touches, SQ, ADJ, True),
+        (S.st_touches, SQ, OVERLAP, False),
+        (S.st_touches, SQ, INNER, False),
+        # line along the boundary ring: touches, not contained
+        (S.st_touches, SQ, "LINESTRING(0 0,10 0)", True),
+        (S.st_touches, "LINESTRING(0 0,5 5)", "LINESTRING(5 5,10 0)", True),
+        (S.st_overlaps, SQ, OVERLAP, True),
+        (S.st_overlaps, SQ, ADJ, False),
+        (S.st_overlaps, SQ, INNER, False),  # containment is not overlap
+        (S.st_overlaps, "LINESTRING(0 0,6 0)", "LINESTRING(4 0,10 0)", True),
+        (S.st_overlaps, "LINESTRING(0 0,10 10)", "LINESTRING(0 10,10 0)", False),
+        (S.st_crosses, "LINESTRING(-5 5,15 5)", SQ, True),
+        (S.st_crosses, "LINESTRING(1 1,9 9)", SQ, False),
+        (S.st_crosses, "LINESTRING(0 0,10 10)", "LINESTRING(0 10,10 0)", True),
+        (S.st_crosses, "LINESTRING(0 0,6 0)", "LINESTRING(4 0,10 0)", False),
+        # hole semantics: point in the hole is not covered
+        (S.st_covers, HOLED, "POINT(5 5)", False),
+        (S.st_covers, HOLED, "POINT(4 5)", True),  # on hole edge
+        (S.st_contains, HOLED, "POINT(4 5)", False),
+    ],
+)
+def test_relation_predicates(spark, fn, a, b, want):
+    assert _rel(spark, fn, a, b) is want
+
+
+def test_issimple(spark):
+    cases = [
+        ("LINESTRING(0 0,10 10)", True),
+        ("LINESTRING(0 0,10 10,0 10,10 0)", False),  # bowtie self-cross
+        ("LINESTRING(0 0,10 0,10 10,0 10,0 0)", True),  # closed ring
+        ("POINT(1 1)", True),
+        ("MULTIPOINT(1 1,2 2)", True),
+        ("MULTIPOINT(1 1,1 1)", False),  # repeated point
+    ]
+    df = spark.createDataFrame(cases, "w string, want boolean")
+    rows = df.select("want", S.st_issimple(S.st_geomfromtext("w")).alias("got")).collect()
+    assert all(r.got == r.want for r in rows), [(r.want, r.got) for r in rows]
+
+
+def test_convexhull(spark):
+    df = spark.createDataFrame(
+        [("MULTIPOINT(0 0,10 0,10 10,0 10,5 5,2 3)",), ("LINESTRING(0 0,5 5,10 10)",)],
+        "w string",
+    )
+    got = [
+        r.h
+        for r in df.select(
+            S.st_astext(S.st_convexhull(S.st_geomfromtext("w"))).alias("h")
+        ).collect()
+    ]
+    assert got[0] == "POLYGON((0 0,10 0,10 10,0 10,0 0))"
+    assert got[1] == "LINESTRING(0 0,10 10)"
+
+
+def test_pointonsurface_always_inside(spark):
+    # C-shape and holed polygon: centroid falls outside/in-hole, the
+    # scanline fallback must still land strictly inside
+    shapes = [
+        "POLYGON((0 0,10 0,10 2,2 2,2 8,10 8,10 10,0 10,0 0))",
+        HOLED,
+        SQ,
+        "LINESTRING(0 0,4 4,10 0)",
+        "POINT(3 3)",
+    ]
+    df = spark.createDataFrame([(s,) for s in shapes], "w string")
+    g = S.st_geomfromtext("w")
+    rows = df.select(
+        S.st_covers(g, S.st_pointonsurface(g)).alias("on")
+    ).collect()
+    assert all(r.on for r in rows)
+
+
+def test_ring_accessors(spark):
+    df = spark.createDataFrame([(HOLED,)], "w string")
+    g = S.st_geomfromtext("w")
+    row = df.select(
+        S.st_astext(S.st_exteriorring(g)).alias("ext"),
+        S.st_numinteriorrings(g).alias("n"),
+        S.st_astext(S.st_interiorringn(g, 1)).alias("hole"),
+        S.st_interiorringn(g, 2).alias("missing"),
+        S.st_numpoints(S.st_exteriorring(g)).alias("np_line"),
+        S.st_numpoints(g).alias("np_poly"),
+    ).collect()[0]
+    assert row.ext == "LINESTRING(0 0,10 0,10 10,0 10,0 0)"
+    assert row.n == 1
+    assert row.hole == "LINESTRING(4 4,6 4,6 6,4 6,4 4)"
+    assert row.missing is None
+    assert row.np_line == 5
+    assert row.np_poly is None  # ST_NumPoints is linestring-only
+
+
+def test_collectionextract_linemerge(spark):
+    df = spark.createDataFrame(
+        [("MULTILINESTRING((0 0,5 5),(10 10,5 5),(20 20,30 30))",)], "w string"
+    )
+    g = S.st_geomfromtext("w")
+    row = df.select(
+        S.st_astext(S.st_linemerge(g)).alias("merged"),
+        S.st_astext(S.st_collectionextract(g, 2)).alias("lines"),
+        S.st_collectionextract(g, 1).alias("pts"),
+    ).collect()[0]
+    assert row.merged == "MULTILINESTRING((0 0,5 5,10 10),(20 20,30 30))"
+    assert row.lines.startswith("MULTILINESTRING")
+    assert row.pts is None
+    # full merge down to a single linestring
+    df2 = spark.createDataFrame([("MULTILINESTRING((0 0,5 5),(5 5,9 9))",)], "w string")
+    assert (
+        df2.select(S.st_astext(S.st_linemerge(S.st_geomfromtext("w")))).collect()[0][0]
+        == "LINESTRING(0 0,5 5,9 9)"
+    )
+
+
+def test_makevalid_reduceprecision_simplifypreserve(spark):
+    open_ring = S._pack(S.WKB_POLYGON, [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]])
+    df = spark.createDataFrame([(open_ring,)], "g binary")
+    fixed = df.select(S.st_astext(S.st_makevalid("g"))).collect()[0][0]
+    assert fixed == "POLYGON((0 0,4 0,4 4,0 4,0 0))"
+
+    df2 = spark.createDataFrame([("LINESTRING(0 0,1.04 0.97,2.02 2.04)",)], "w string")
+    snapped = df2.select(
+        S.st_astext(S.st_reduceprecision(S.st_geomfromtext("w"), 1.0))
+    ).collect()[0][0]
+    assert snapped == "LINESTRING(0 0,1 1,2 2)"
+
+    # preserve-topology: a small ring DP would collapse stays intact
+    df3 = spark.createDataFrame([("POLYGON((0 0,1 0,1 1,0 1,0 0))",)], "w string")
+    kept = df3.select(
+        S.st_astext(S.st_simplifypreservetopology(S.st_geomfromtext("w"), 100.0))
+    ).collect()[0][0]
+    assert kept == "POLYGON((0 0,1 0,1 1,0 1,0 0))"
+
+
+def test_normalize_canonical_bytes(spark):
+    le = S._from_wkt("LINESTRING(1 2,3 4)")
+    be = struct.pack(">BII", 0, 2, 2) + struct.pack(">dddd", 1, 2, 3, 4)
+    df = spark.createDataFrame([(le,), (be,)], "g binary")
+    got = {bytes(r[0]) for r in df.select(S.st_normalize("g")).collect()}
+    assert got == {le}  # both byte orders normalize to the same LE form
+
+
+def test_zm_roundtrip_and_accessors(spark):
+    df = spark.createDataFrame([("POINT(3 4)",)], "w string")
+    g = S.st_geomfromtext("w")
+    row = df.select(
+        S.st_zmflag(g).alias("f2d"),
+        S.st_z(g).alias("z_none"),
+        S.st_zmflag(S.st_force3dz(g)).alias("fz"),
+        S.st_z(S.st_force3dz(g)).alias("z0"),
+        S.st_zmflag(S.st_force3dm(g)).alias("fm"),
+        S.st_m(S.st_force3dm(g)).alias("m0"),
+        S.st_zmflag(S.st_force4d(g)).alias("fzm"),
+        S.st_x(S.st_force2d(S.st_force4d(g))).alias("x_back"),
+    ).collect()[0]
+    assert (row.f2d, row.fz, row.fm, row.fzm) == (0, 2, 1, 3)
+    assert row.z_none is None and row.z0 == 0.0 and row.m0 == 0.0
+    assert row.x_back == 3.0
+
+
+def test_2d_codec_reads_iso_and_ewkb_z(spark):
+    iso_z = struct.pack("<BIddd", 1, 1001, 3.0, 4.0, 9.0)
+    ewkb_z = struct.pack("<BIddd", 1, 0x80000001, 3.0, 4.0, 9.0)
+    ewkb_srid_z = struct.pack("<BIIddd", 1, 0xA0000001, 4326, 3.0, 4.0, 9.0)
+    df = spark.createDataFrame([(iso_z,), (ewkb_z,), (ewkb_srid_z,)], "g binary")
+    rows = df.select(S.st_x("g").alias("x"), S.st_y("g").alias("y")).collect()
+    assert all(r.x == 3.0 and r.y == 4.0 for r in rows)
+    # and the full-dim accessors see the Z
+    rows = df.select(S.st_z("g").alias("z")).collect()
+    assert all(r.z == 9.0 for r in rows)
+
+
+def test_transform_web_mercator(spark):
+    df = spark.createDataFrame([(2.3522, 48.8566)], "lon double, lat double")
+    g = S.st_point("lon", "lat")
+    row = df.select(
+        S.st_x(S.st_transform(g, 4326, 3857)).alias("mx"),
+        S.st_y(S.st_transform(g, 4326, 3857)).alias("my"),
+        S.st_x(S.st_transform(S.st_transform(g, 4326, 3857), 3857, 4326)).alias("lon2"),
+    ).collect()[0]
+    assert math.isclose(row.mx, 261845.70624393807, rel_tol=1e-12)
+    assert math.isclose(row.my, 6250564.349543127, rel_tol=1e-12)
+    assert math.isclose(row.lon2, 2.3522, rel_tol=1e-12)
+
+
+def test_transform_unsupported_pair_raises(spark):
+    df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+    with pytest.raises(Exception, match="4326<->3857"):
+        df.select(S.st_transform(S.st_point("x", "y"), 4326, 2154)).collect()
+
+
+def test_sql_surface_new_functions(spark):
+    names = S.register_spatial_sql(spark)
+    for n in [
+        "st_contains", "st_within", "st_covers", "st_equals", "st_touches",
+        "st_crosses", "st_overlaps", "st_issimple", "st_convexhull",
+        "st_pointonsurface", "st_linemerge", "st_z", "st_zmflag",
+        "st_force3dz", "st_transform", "st_collectionextract",
+    ]:
+        assert n in names
+    got = spark.sql(
+        "SELECT st_contains(st_geomfromtext('POLYGON((0 0,10 0,10 10,0 10,0 0))'), "
+        "st_geomfromtext('POINT(5 5)')) AS c, "
+        "st_z(st_force3dz(st_point(1.0D, 2.0D))) AS z"
+    ).collect()[0]
+    assert got.c is True and got.z == 0.0
