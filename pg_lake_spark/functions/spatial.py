@@ -1190,6 +1190,10 @@ def register_spatial_sql(spark) -> list[str]:
         "st_force3dm": _k_force3dm,
         "st_force4d": _k_force4d,
         "st_transform": _k_transform,
+        # overlay
+        "st_intersection": _k_intersection,
+        "st_union": _k_union,
+        "st_difference": _k_difference,
     }
     for name, fn in regs.items():
         spark.udf.register(name, fn)
@@ -2873,3 +2877,469 @@ def st_transform(g, src_srid, dst_srid) -> Column:
     s = F.lit(src_srid) if isinstance(src_srid, int) else _colify(src_srid)
     d = F.lit(dst_srid) if isinstance(dst_srid, int) else _colify(dst_srid)
     return _k_transform(_colify(g), s, d)
+
+
+# ---------------------------------------------------------------------------
+# Overlay operations: st_intersection / st_union / st_difference
+# (reference: shippable_spatial_functions.c delegates to GEOS overlay)
+#
+# polygon/polygon uses Greiner-Hormann clipping on simple shells —
+# exact for polygons in general position. Degenerate configurations
+# (shared vertices, collinear overlapping edges, a vertex of one on the
+# other's boundary) raise loudly with a pointer at st_reduceprecision;
+# boundary-touching inputs are exactly the cases GEOS's snap-rounding
+# exists for and are out of scope for this dependency-free slice.
+# Lower-dimension combos (point/line with anything) are computed
+# directly and exactly.
+# ---------------------------------------------------------------------------
+
+class _GHV:
+    __slots__ = ("x", "y", "nxt", "prv", "neighbor", "intersect", "entry",
+                 "alpha", "visited")
+
+    def __init__(self, x, y, intersect=False, alpha=0.0):
+        self.x, self.y = x, y
+        self.nxt = self.prv = self.neighbor = None
+        self.intersect = intersect
+        self.entry = False
+        self.alpha = alpha
+        self.visited = False
+
+
+def _gh_ring(ring):
+    verts = [_GHV(x, y) for x, y in ring[:-1]]
+    for i, v in enumerate(verts):
+        v.nxt = verts[(i + 1) % len(verts)]
+        v.prv = verts[(i - 1) % len(verts)]
+    return verts[0]
+
+
+def _gh_vertices(first):
+    v = first
+    while True:
+        yield v
+        v = v.nxt
+        if v is first:
+            break
+
+
+def _gh_edges(first):
+    """(start, end) pairs over ORIGINAL vertices, skipping inserted
+    intersection vertices."""
+    orig = [v for v in _gh_vertices(first) if not v.intersect]
+    for i, v in enumerate(orig):
+        yield v, orig[(i + 1) % len(orig)]
+
+
+def _gh_insert(v_new, start, end):
+    """Insert between start and end, keeping alpha order."""
+    cur = start
+    while cur.nxt is not end and cur.nxt.alpha < v_new.alpha:
+        cur = cur.nxt
+    v_new.nxt = cur.nxt
+    v_new.prv = cur
+    cur.nxt.prv = v_new
+    cur.nxt = v_new
+
+
+class SpatialDegeneracyError(NotImplementedError):
+    pass
+
+
+def _gh_intersections(fa, fb) -> int:
+    n = 0
+    for a0, a1 in list(_gh_edges(fa)):
+        for b0, b1 in list(_gh_edges(fb)):
+            d = (a1.x - a0.x) * (b1.y - b0.y) - (a1.y - a0.y) * (b1.x - b0.x)
+            if d == 0:
+                if _orient(a0.x, a0.y, a1.x, a1.y, b0.x, b0.y) == 0:
+                    # collinear: any positive-length overlap is degenerate
+                    if abs(a1.x - a0.x) >= abs(a1.y - a0.y):
+                        lo1, hi1 = sorted((a0.x, a1.x))
+                        lo2, hi2 = sorted((b0.x, b1.x))
+                    else:
+                        lo1, hi1 = sorted((a0.y, a1.y))
+                        lo2, hi2 = sorted((b0.y, b1.y))
+                    if min(hi1, hi2) - max(lo1, lo2) > 0:
+                        raise SpatialDegeneracyError(
+                            "overlay: collinear overlapping edges; "
+                            "perturb or st_reduceprecision the input"
+                        )
+                continue
+            s = ((b0.x - a0.x) * (b1.y - b0.y) - (b0.y - a0.y) * (b1.x - b0.x)) / d
+            t = ((b0.x - a0.x) * (a1.y - a0.y) - (b0.y - a0.y) * (a1.x - a0.x)) / d
+            if 0 <= s <= 1 and 0 <= t <= 1:
+                if s in (0.0, 1.0) or t in (0.0, 1.0):
+                    raise SpatialDegeneracyError(
+                        "overlay: intersection at a vertex / on an edge "
+                        "endpoint; perturb or st_reduceprecision the input"
+                    )
+                ix = a0.x + s * (a1.x - a0.x)
+                iy = a0.y + s * (a1.y - a0.y)
+                va = _GHV(ix, iy, True, s)
+                vb = _GHV(ix, iy, True, t)
+                va.neighbor, vb.neighbor = vb, va
+                _gh_insert(va, a0, a1)
+                _gh_insert(vb, b0, b1)
+                n += 1
+    return n
+
+
+def _gh_mark_entries(first, other_ring, invert: bool):
+    pos = _poly_pos([other_ring], first.x, first.y)
+    if pos == 1:
+        raise SpatialDegeneracyError(
+            "overlay: polygon vertex on the other polygon's boundary"
+        )
+    entry = pos == 0  # next crossing enters the other polygon
+    if invert:
+        entry = not entry
+    for v in _gh_vertices(first):
+        if v.intersect:
+            v.entry = entry
+            entry = not entry
+
+
+def _gh_traverse(fa) -> list:
+    rings = []
+    for start in _gh_vertices(fa):
+        if not start.intersect or start.visited:
+            continue
+        ring = []
+        cur = start
+        while True:
+            cur.visited = True
+            if cur.neighbor is not None:
+                cur.neighbor.visited = True
+            if cur.entry:
+                while True:
+                    ring.append((cur.x, cur.y))
+                    cur = cur.nxt
+                    if cur.intersect:
+                        break
+            else:
+                while True:
+                    ring.append((cur.x, cur.y))
+                    cur = cur.prv
+                    if cur.intersect:
+                        break
+            cur = cur.neighbor
+            if cur is start or cur.visited and cur is not start:
+                break
+        ring.append(ring[0])
+        rings.append(ring)
+    return rings
+
+
+def _gh_overlay(ring_a, ring_b, op: str) -> list:
+    """Overlay two simple closed rings. op: 'inter' | 'union' | 'diff'.
+    Returns a list of closed result rings ([] = empty result)."""
+    fa, fb = _gh_ring(ring_a), _gh_ring(ring_b)
+    n = _gh_intersections(fa, fb)
+    if n == 0:
+        a_in_b = _poly_pos([ring_b], *ring_a[0]) == 2
+        b_in_a = _poly_pos([ring_a], *ring_b[0]) == 2
+        if op == "inter":
+            return [ring_b] if b_in_a else ([ring_a] if a_in_b else [])
+        if op == "union":
+            if b_in_a:
+                return [ring_a]
+            if a_in_b:
+                return [ring_b]
+            return [ring_a, ring_b]
+        # diff
+        if b_in_a:
+            return [ring_a, ring_b[::-1]]  # hole
+        if a_in_b:
+            return []
+        return [ring_a]
+    # entry-flag convention: intersection inverts neither list, union
+    # inverts both, difference a-b inverts a's only
+    _gh_mark_entries(fa, ring_b, invert=op in ("union", "diff"))
+    _gh_mark_entries(fb, ring_a, invert=op == "union")
+    return _gh_traverse(fa)
+
+
+def _assemble_polygons(rings: list) -> bytes | None:
+    """Classify overlay result rings into shells and holes (even-odd
+    nesting depth) and pack as (MULTI)POLYGON."""
+    if not rings:
+        return None
+    depth = []
+    for i, r in enumerate(rings):
+        d = sum(
+            1
+            for j, o in enumerate(rings)
+            if j != i and _ring_pos(r[0][0], r[0][1], o) == 2
+        )
+        depth.append(d)
+    shells = [(i, r) for i, r in enumerate(rings) if depth[i] % 2 == 0]
+    holes = [(i, r) for i, r in enumerate(rings) if depth[i] % 2 == 1]
+    polys = {i: [r] for i, r in shells}
+    for _, hr in holes:
+        # attach to the smallest containing shell
+        cands = [
+            (abs(_ring_area(sr)), i)
+            for i, sr in shells
+            if _ring_pos(hr[0][0], hr[0][1], sr) == 2
+        ]
+        polys[min(cands)[1]].append(hr)
+    out = list(polys.values())
+    if len(out) == 1:
+        return _pack(WKB_POLYGON, out[0])
+    return _pack(WKB_MULTIPOLYGON, [(WKB_POLYGON, p) for p in out])
+
+
+def _points_of(gtype, coords) -> list:
+    if gtype == WKB_POINT:
+        return [coords[0]]
+    if gtype == WKB_MULTIPOINT:
+        return [kc[0] for _, kc in coords]
+    raise ValueError("expected (MULTI)POINT")
+
+
+def _pack_points(pts: list) -> bytes | None:
+    pts = list(dict.fromkeys(pts))
+    if not pts:
+        return None
+    if len(pts) == 1:
+        return _pack_point(*pts[0])
+    return _pack(WKB_MULTIPOINT, [(WKB_POINT, [p]) for p in pts])
+
+
+def _pack_lines(pieces: list) -> bytes | None:
+    pieces = [p for p in pieces if len(p) >= 2]
+    if not pieces:
+        return None
+    if len(pieces) == 1:
+        return _pack_linestring(pieces[0])
+    return _pack(WKB_MULTILINESTRING, [(WKB_LINESTRING, p) for p in pieces])
+
+
+def _line_parts(gtype, coords) -> list:
+    if gtype == WKB_LINESTRING:
+        return [coords]
+    if gtype == WKB_MULTILINESTRING:
+        return [kc for _, kc in coords]
+    raise ValueError("expected (MULTI)LINESTRING")
+
+
+def _poly_rings_pos(parsed, x, y) -> int:
+    """Position against a (MULTI)POLYGON's union (max over parts)."""
+    gt, cs = parsed
+    if gt == WKB_POLYGON:
+        return _poly_pos(cs, x, y)
+    return max((_poly_pos(kc, x, y) for kt, kc in cs), default=0)
+
+
+def _clip_line_by_polygon(parts: list, poly_parsed, keep_inside: bool) -> list:
+    """Split line parts at polygon-boundary crossings; keep the pieces
+    whose midpoints are covered (keep_inside) or outside."""
+    gt, cs = poly_parsed
+    boundary = list(_segments_of(gt, cs))
+    pieces = []
+    for part in parts:
+        cur = []
+        for p, q in zip(part, part[1:]):
+            ts = {0.0, 1.0}
+            for b0, b1 in boundary:
+                d = (q[0] - p[0]) * (b1[1] - b0[1]) - (q[1] - p[1]) * (b1[0] - b0[0])
+                if d == 0:
+                    continue
+                s = ((b0[0] - p[0]) * (b1[1] - b0[1]) - (b0[1] - p[1]) * (b1[0] - b0[0])) / d
+                t = ((b0[0] - p[0]) * (q[1] - p[1]) - (b0[1] - p[1]) * (q[0] - p[0])) / d
+                if 0 <= s <= 1 and 0 <= t <= 1:
+                    ts.add(s)
+            ts = sorted(ts)
+            for t0, t1 in zip(ts, ts[1:]):
+                if t1 - t0 <= 0:
+                    continue
+                mid = (
+                    p[0] + (t0 + t1) / 2 * (q[0] - p[0]),
+                    p[1] + (t0 + t1) / 2 * (q[1] - p[1]),
+                )
+                inside = _poly_rings_pos(poly_parsed, *mid) != 0
+                a = (p[0] + t0 * (q[0] - p[0]), p[1] + t0 * (q[1] - p[1]))
+                b = (p[0] + t1 * (q[0] - p[0]), p[1] + t1 * (q[1] - p[1]))
+                if inside == keep_inside:
+                    if cur and cur[-1] == a:
+                        cur.append(b)
+                    else:
+                        if len(cur) >= 2:
+                            pieces.append(cur)
+                        cur = [a, b]
+                else:
+                    if len(cur) >= 2:
+                        pieces.append(cur)
+                    cur = []
+        if len(cur) >= 2:
+            pieces.append(cur)
+    return pieces
+
+
+def _line_line_points(pa: list, pb: list) -> list:
+    """Intersection points of two line-part sets (inclusive endpoints);
+    collinear overlap raises (1-dim intersection of lines)."""
+    pts = []
+    for part_a in pa:
+        for part_b in pb:
+            for p, q in zip(part_a, part_a[1:]):
+                for b0, b1 in zip(part_b, part_b[1:]):
+                    d = (q[0] - p[0]) * (b1[1] - b0[1]) - (q[1] - p[1]) * (b1[0] - b0[0])
+                    if d == 0:
+                        if (
+                            _orient(*p, *q, *b0) == 0
+                            and _collinear_overlap(
+                                WKB_LINESTRING, [p, q], WKB_LINESTRING, [b0, b1]
+                            )
+                        ):
+                            raise SpatialDegeneracyError(
+                                "st_intersection: collinear overlapping "
+                                "line segments (1-dim intersection)"
+                            )
+                        continue
+                    s = ((b0[0] - p[0]) * (b1[1] - b0[1]) - (b0[1] - p[1]) * (b1[0] - b0[0])) / d
+                    t = ((b0[0] - p[0]) * (q[1] - p[1]) - (b0[1] - p[1]) * (q[0] - p[0])) / d
+                    if 0 <= s <= 1 and 0 <= t <= 1:
+                        pts.append(
+                            (p[0] + s * (q[0] - p[0]), p[1] + s * (q[1] - p[1]))
+                        )
+    return pts
+
+
+def _shells_only(parsed) -> list:
+    """Shell rings of a (MULTI)POLYGON; raises on holes (GH slice)."""
+    gt, cs = parsed
+    polys = [cs] if gt == WKB_POLYGON else [kc for _, kc in cs]
+    for p in polys:
+        if len(p) > 1:
+            raise SpatialDegeneracyError(
+                "overlay on polygons with interior rings is only "
+                "supported for disjoint/nested cases"
+            )
+    return [p[0] for p in polys]
+
+
+def _overlay_polys(a: bytes, b: bytes, op: str) -> bytes | None:
+    pa, pb = _parse(a), _parse(b)
+    ta, ca = pa
+    tb, cb = pb
+    # hole-aware fast paths first (exact via covers/intersects)
+    if not _geoms_intersect(a, b):
+        if op == "inter":
+            return None
+        if op == "diff":
+            return a
+        polys = ([ca] if ta == WKB_POLYGON else [kc for _, kc in ca]) + (
+            [cb] if tb == WKB_POLYGON else [kc for _, kc in cb]
+        )
+        return _pack(WKB_MULTIPOLYGON, [(WKB_POLYGON, p) for p in polys])
+    if _rel_covers(tb, cb, ta, ca):  # b covers a
+        if op == "inter":
+            return a
+        if op == "union":
+            return b
+        return None
+    if _rel_covers(ta, ca, tb, cb):  # a covers b
+        if op == "inter":
+            return b
+        if op == "union":
+            return a
+        # a minus nested hole-free b: punch b's shell as a hole
+        if ta == WKB_POLYGON and tb == WKB_POLYGON and len(cb) == 1:
+            return _pack(WKB_POLYGON, list(ca) + [cb[0][::-1]])
+        raise SpatialDegeneracyError(
+            "st_difference: nested multipolygon/holed difference "
+            "not supported"
+        )
+    shells_a, shells_b = _shells_only(pa), _shells_only(pb)
+    if len(shells_a) > 1 or len(shells_b) > 1:
+        raise SpatialDegeneracyError(
+            "overlay on overlapping multipolygons is not supported"
+        )
+    return _assemble_polygons(_gh_overlay(shells_a[0], shells_b[0], op))
+
+
+def _overlay_geoms(a: bytes, b: bytes, op: str) -> bytes | None:
+    pa, pb = _parse(a), _parse(b)
+    da, db = _dim_of(*pa), _dim_of(*pb)
+    if op == "union" and da != db:
+        raise NotImplementedError(
+            "st_union of mixed-dimension geometries (GEOMETRYCOLLECTION "
+            "results) is not supported"
+        )
+    if da == 0:
+        pts = _points_of(*pa)
+        if op == "inter":
+            keep = [p for p in pts if _geom_pos(*pb, *p) != 0]
+            return _pack_points(keep)
+        if op == "diff":
+            return _pack_points([p for p in pts if _geom_pos(*pb, *p) == 0])
+        return _pack_points(pts + _points_of(*pb))
+    if db == 0:
+        pts = _points_of(*pb)
+        if op == "inter":
+            return _pack_points([p for p in pts if _geom_pos(*pa, *p) != 0])
+        # removing a measure-zero set leaves a unchanged
+        return a
+    if da == 1 and db == 1:
+        if op == "inter":
+            return _pack_points(
+                _line_line_points(_line_parts(*pa), _line_parts(*pb))
+            )
+        if op == "diff":
+            return a  # measure-zero removal
+        raise NotImplementedError(
+            "st_union of lines (noded MULTILINESTRING) is not supported"
+        )
+    if da == 1:  # line vs polygon
+        parts = _line_parts(*pa)
+        if op == "inter":
+            return _pack_lines(_clip_line_by_polygon(parts, pb, True))
+        if op == "diff":
+            return _pack_lines(_clip_line_by_polygon(parts, pb, False))
+        raise NotImplementedError("st_union line/polygon is not supported")
+    if db == 1:  # polygon vs line
+        if op == "inter":
+            return _pack_lines(_clip_line_by_polygon(_line_parts(*pb), pa, True))
+        return a  # diff: measure-zero removal
+    return _overlay_polys(a, b, op)
+
+
+def _make_overlay_kernel(op):
+    @pandas_udf(BinaryType())
+    def k(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for ba, bb in zip(a, b):
+            if ba is None or bb is None:
+                out.append(None)
+            else:
+                out.append(_overlay_geoms(bytes(ba), bytes(bb), op))
+        return pd.Series(out, dtype=object)
+
+    return k
+
+
+_k_intersection = _make_overlay_kernel("inter")
+_k_union = _make_overlay_kernel("union")
+_k_difference = _make_overlay_kernel("diff")
+
+
+def st_intersection(a, b) -> Column:
+    """Exact overlay intersection: Greiner-Hormann clipping for
+    polygon/polygon in general position, direct splitting/filtering for
+    point and line combos; NULL for an empty result. Degenerate
+    boundary-sharing inputs raise (see SpatialDegeneracyError)."""
+    return _k_intersection(_colify(a), _colify(b))
+
+
+def st_union(a, b) -> Column:
+    """Two-geometry union (dissolves shared borders for polygons in
+    general position; collects disjoint parts into a MULTI)."""
+    return _k_union(_colify(a), _colify(b))
+
+
+def st_difference(a, b) -> Column:
+    """a minus b; removing a lower-dimension b returns a unchanged
+    (measure-zero removal, as in GEOS)."""
+    return _k_difference(_colify(a), _colify(b))

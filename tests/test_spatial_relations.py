@@ -260,3 +260,96 @@ def test_sql_surface_new_functions(spark):
         "st_z(st_force3dz(st_point(1.0D, 2.0D))) AS z"
     ).collect()[0]
     assert got.c is True and got.z == 0.0
+
+
+# --- overlay ---------------------------------------------------------------
+
+
+def _ov(spark, fn, a, b):
+    df = spark.createDataFrame([(a, b)], "wa string, wb string")
+    r = df.select(fn(S.st_geomfromtext("wa"), S.st_geomfromtext("wb")).alias("g")).collect()[0].g
+    return None if r is None else S._to_wkt(bytes(r))
+
+
+def test_intersection_polygons(spark):
+    got = _ov(spark, S.st_intersection, SQ, OVERLAP)
+    assert got == "POLYGON((10 5,10 10,5 10,5 5,10 5))"
+    assert _ov(spark, S.st_intersection, SQ, "POLYGON((100 0,110 0,110 10,100 10,100 0))") is None
+
+
+def test_union_difference_polygons(spark):
+    # areas are exact for integer coordinates
+    df = spark.createDataFrame([(SQ, OVERLAP)], "wa string, wb string")
+    row = df.select(
+        S.st_area(S.st_union(S.st_geomfromtext("wa"), S.st_geomfromtext("wb"))).alias("u"),
+        S.st_area(S.st_difference(S.st_geomfromtext("wa"), S.st_geomfromtext("wb"))).alias("d"),
+        S.st_area(S.st_intersection(S.st_geomfromtext("wa"), S.st_geomfromtext("wb"))).alias("i"),
+    ).collect()[0]
+    assert (row.u, row.d, row.i) == (175.0, 75.0, 25.0)
+    # inclusion-exclusion holds
+    assert row.u == 100.0 + 100.0 - row.i
+
+
+def test_difference_punches_hole(spark):
+    got = _ov(spark, S.st_difference, SQ, INNER)
+    assert got == "POLYGON((0 0,10 0,10 10,0 10,0 0),(2 2,2 4,4 4,4 2,2 2))"
+    # and the hole is respected by containment
+    df = spark.createDataFrame([(SQ, INNER)], "wa string, wb string")
+    d = S.st_difference(S.st_geomfromtext("wa"), S.st_geomfromtext("wb"))
+    row = df.select(
+        S.st_contains_point(d, F.lit(3.0), F.lit(3.0)).alias("in_hole"),
+        S.st_contains_point(d, F.lit(1.0), F.lit(1.0)).alias("in_body"),
+    ).collect()[0]
+    assert row.in_hole is False and row.in_body is True
+
+
+def test_line_polygon_clip(spark):
+    assert _ov(spark, S.st_intersection, "LINESTRING(-5 5,15 5)", SQ) == "LINESTRING(0 5,10 5)"
+    assert (
+        _ov(spark, S.st_difference, "LINESTRING(-5 5,15 5)", SQ)
+        == "MULTILINESTRING((-5 5,0 5),(10 5,15 5))"
+    )
+    # line through the hole of a holed polygon: three inside pieces split out
+    got = _ov(spark, S.st_intersection, "LINESTRING(-5 5,15 5)", HOLED)
+    assert got == "MULTILINESTRING((0 5,4 5),(6 5,10 5))"
+
+
+def test_point_line_overlays(spark):
+    assert _ov(spark, S.st_intersection, "MULTIPOINT(5 5,50 5)", SQ) == "POINT(5 5)"
+    assert _ov(spark, S.st_difference, "MULTIPOINT(5 5,50 5)", SQ) == "POINT(50 5)"
+    assert (
+        _ov(spark, S.st_intersection, "LINESTRING(0 0,10 10)", "LINESTRING(0 10,10 0)")
+        == "POINT(5 5)"
+    )
+    assert _ov(spark, S.st_union, "POINT(1 1)", "POINT(2 2)") == "MULTIPOINT(1 1,2 2)"
+    # diff by a lower-dimension geometry is measure-zero removal
+    assert _ov(spark, S.st_difference, SQ, "LINESTRING(-5 5,15 5)") == SQ
+
+
+def test_union_disjoint_collects(spark):
+    got = _ov(spark, S.st_union, SQ, "POLYGON((100 0,110 0,110 10,100 10,100 0))")
+    assert got == (
+        "MULTIPOLYGON(((0 0,10 0,10 10,0 10,0 0)),"
+        "((100 0,110 0,110 10,100 10,100 0)))"
+    )
+
+
+def test_overlay_degenerate_raises(spark):
+    # shared corner vertex is a documented degeneracy
+    df = spark.createDataFrame(
+        [(SQ, "POLYGON((10 10,20 10,20 20,10 20,10 10))")], "wa string, wb string"
+    )
+    with pytest.raises(Exception, match="(?i)vertex|degener|perturb"):
+        df.select(
+            S.st_intersection(S.st_geomfromtext("wa"), S.st_geomfromtext("wb"))
+        ).collect()
+
+
+def test_overlay_sql_surface(spark):
+    S.register_spatial_sql(spark)
+    got = spark.sql(
+        "SELECT st_area(st_intersection("
+        "st_geomfromtext('POLYGON((0 0,10 0,10 10,0 10,0 0))'), "
+        "st_geomfromtext('POLYGON((5 5,15 5,15 15,5 15,5 5))'))) AS a"
+    ).collect()[0].a
+    assert got == 25.0
