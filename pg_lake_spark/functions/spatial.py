@@ -875,6 +875,12 @@ def st_geomfromtext(s) -> Column:
 st_geometryfromtext = st_geomfromtext
 
 
+def st_geometryfromtext(s) -> Column:
+    """PostGIS alias of st_geomfromtext (shippable_spatial_functions.c
+    registers both names)."""
+    return st_geomfromtext(s)
+
+
 def st_geomfromgeojson(s) -> Column:
     """GeoJSON geometry document (string column) → WKB."""
     return _k_fromgeojson(F.col(s) if isinstance(s, str) else s)

@@ -283,3 +283,122 @@ def j_polygon_point_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("pts"))
         .orderBy("n_nationkey")
     )
+
+
+@query(
+    "f_spatial_relations",
+    oracle="""
+    SELECT c_custkey,
+           (px > x0 AND px < x0 + 8 AND py > y0 AND py < y0 + 8) AS contains,
+           (px >= x0 AND px <= x0 + 8 AND py >= y0 AND py <= y0 + 8) AS covers,
+           (((px = x0 OR px = x0 + 8) AND py >= y0 AND py <= y0 + 8)
+            OR ((py = y0 OR py = y0 + 8) AND px >= x0 AND px <= x0 + 8)) AS touches
+    FROM (
+        SELECT c_custkey,
+               CAST(c_custkey % 23 AS DOUBLE)        AS px,
+               CAST((c_custkey * 7) % 23 AS DOUBLE)  AS py,
+               CAST((c_custkey % 5) * 2 AS DOUBLE)   AS x0,
+               CAST((c_custkey % 7) * 2 AS DOUBLE)   AS y0
+        FROM customer WHERE c_custkey <= 300
+    )
+    ORDER BY c_custkey
+    """,
+    doc="DE-9IM-lite relation predicates (st_contains/st_covers/"
+    "st_touches) between per-row squares and points; the oracle is the "
+    "strict/inclusive interval arithmetic the predicates must reduce to "
+    "on axis-aligned squares. Reference: shippable_spatial_functions.c "
+    "st_contains/st_covers/st_touches rows.",
+)
+def f_spatial_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    base = (
+        t["customer"]
+        .filter(F.col("c_custkey") <= 300)
+        .select(
+            "c_custkey",
+            (F.col("c_custkey") % 23).cast("double").alias("px"),
+            ((F.col("c_custkey") * 7) % 23).cast("double").alias("py"),
+            ((F.col("c_custkey") % 5) * 2).cast("double").alias("x0"),
+            ((F.col("c_custkey") % 7) * 2).cast("double").alias("y0"),
+        )
+    )
+
+    def num(c):
+        return c.cast("long").cast("string")
+
+    sq_wkt = F.concat(
+        F.lit("POLYGON(("),
+        num(F.col("x0")), F.lit(" "), num(F.col("y0")), F.lit(","),
+        num(F.col("x0") + 8), F.lit(" "), num(F.col("y0")), F.lit(","),
+        num(F.col("x0") + 8), F.lit(" "), num(F.col("y0") + 8), F.lit(","),
+        num(F.col("x0")), F.lit(" "), num(F.col("y0") + 8), F.lit(","),
+        num(F.col("x0")), F.lit(" "), num(F.col("y0")), F.lit("))"),
+    )
+    g = base.select(
+        "c_custkey",
+        S.st_geomfromtext(sq_wkt).alias("sq"),
+        S.st_point("px", "py").alias("pt"),
+    )
+    return g.select(
+        "c_custkey",
+        S.st_contains("sq", "pt").alias("contains"),
+        S.st_covers("sq", "pt").alias("covers"),
+        S.st_touches("sq", "pt").alias("touches"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "f_spatial_overlay",
+    oracle="""
+    SELECT c_custkey,
+           CAST((10 - dx) * (10 - dy) AS DOUBLE)       AS inter_area,
+           CAST(200 - (10 - dx) * (10 - dy) AS DOUBLE) AS union_area,
+           CAST(100 - (10 - dx) * (10 - dy) AS DOUBLE) AS diff_area
+    FROM (
+        SELECT c_custkey, 1 + c_custkey % 4 AS dx, 1 + (c_custkey * 3) % 4 AS dy
+        FROM customer WHERE c_custkey <= 200
+    )
+    ORDER BY c_custkey
+    """,
+    doc="Greiner-Hormann overlay (st_intersection/st_union/"
+    "st_difference areas) of two 10x10 squares offset by (dx,dy) in "
+    "1..4 — proper crossings only, and the oracle is the closed-form "
+    "overlap rectangle plus inclusion-exclusion. Reference: GEOS "
+    "overlay delegation in shippable_spatial_functions.c.",
+)
+def f_spatial_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    base = (
+        t["customer"]
+        .filter(F.col("c_custkey") <= 200)
+        .select(
+            "c_custkey",
+            (1 + F.col("c_custkey") % 4).cast("double").alias("dx"),
+            (1 + (F.col("c_custkey") * 3) % 4).cast("double").alias("dy"),
+        )
+    )
+
+    def num(c):
+        return c.cast("long").cast("string")
+
+    def square(x0, y0):
+        return F.concat(
+            F.lit("POLYGON(("),
+            num(x0), F.lit(" "), num(y0), F.lit(","),
+            num(x0 + 10), F.lit(" "), num(y0), F.lit(","),
+            num(x0 + 10), F.lit(" "), num(y0 + 10), F.lit(","),
+            num(x0), F.lit(" "), num(y0 + 10), F.lit(","),
+            num(x0), F.lit(" "), num(y0), F.lit("))"),
+        )
+
+    g = base.select(
+        "c_custkey",
+        S.st_geomfromtext(square(F.lit(0.0), F.lit(0.0))).alias("a"),
+        S.st_geomfromtext(square(F.col("dx"), F.col("dy"))).alias("b"),
+    )
+    return g.select(
+        "c_custkey",
+        S.st_area(S.st_intersection("a", "b")).alias("inter_area"),
+        S.st_area(S.st_union("a", "b")).alias("union_area"),
+        S.st_area(S.st_difference("a", "b")).alias("diff_area"),
+    ).orderBy("c_custkey")
