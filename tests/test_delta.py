@@ -176,27 +176,6 @@ def test_unsupported_features_fail_loudly(spark, tmp_path):
     write_delta_table(spark, loc, df)
     log_dir = os.path.join(loc, "_delta_log")
 
-    # deletion vector on an add
-    with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as fh:
-        fh.write(
-            json.dumps(
-                {
-                    "add": {
-                        "path": "x.parquet",
-                        "partitionValues": {},
-                        "size": 1,
-                        "modificationTime": 0,
-                        "dataChange": True,
-                        "deletionVector": {"storageType": "u", "pathOrInlineDv": "z"},
-                    }
-                }
-            )
-            + "\n"
-        )
-    with pytest.raises(NotImplementedError, match="deletion vectors"):
-        scan_delta(spark, loc)
-    os.remove(os.path.join(log_dir, f"{1:020d}.json"))
-
     # unknown column-mapping mode still refuses loudly ("name"/"id" are
     # supported — see test_column_mapping_name_mode_scan)
     with open(os.path.join(log_dir, f"{0:020d}.json")) as fh:
@@ -220,7 +199,7 @@ def test_unsupported_features_fail_loudly(spark, tmp_path):
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["deletionVectors"],
+                        "readerFeatures": ["v2Checkpoint"],
                     }
                 }
             )
@@ -587,3 +566,231 @@ def test_stream_ingest_to_delta_exactly_once(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert scan_delta(spark, loc).count() == 15
+
+
+# --- deletion vectors -------------------------------------------------------
+
+
+def _write_parquet_file(spark, path, rows, schema):
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    cols = list(zip(*rows)) if rows else [[] for _ in schema]
+    table = pa.table({name: list(c) for (name, _), c in zip(schema, cols)})
+    papq.write_table(table, path)
+
+
+def _dv_log(root, schema_json, adds, partition_cols=()):
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "dv-test",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_json,
+                "partitionColumns": list(partition_cols),
+                "configuration": {},
+            }
+        },
+        *adds,
+    ]
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def _make_dv_file(root, positions):
+    """Write a protocol-shaped DV .bin (version byte, [size][data][crc])
+    and return the descriptor fields."""
+    import struct
+    import uuid as _uuid
+    import zlib
+
+    from pg_lake_spark.lakehouse import delta_meta as dm
+
+    data = dm._encode_dv_data(positions)
+    u = _uuid.uuid4()
+    blob = b"\x01" + struct.pack(">I", len(data)) + data + struct.pack(
+        ">I", zlib.crc32(data)
+    )
+    with open(os.path.join(root, f"deletion_vector_{u}.bin"), "wb") as f:
+        f.write(blob)
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": dm._z85_encode(u.bytes),
+        "offset": 1,
+        "sizeInBytes": len(data),
+        "cardinality": len(positions),
+    }
+
+
+def test_deletion_vector_file_scan(spark, tmp_path):
+    """storageType 'u': rows at the DV's positions disappear from the
+    scan (Delta protocol 'Deletion Vectors'; z85 uuid + roaring decode)."""
+    root = str(tmp_path / "dvu")
+    os.makedirs(root)
+    pq_path = os.path.join(root, "part-0.parquet")
+    schema = [("k", "long"), ("s", "string")]
+    _write_parquet_file(spark, pq_path, [(i, f"s{i}") for i in range(10)], schema)
+    dv = _make_dv_file(root, [1, 3, 5])
+    schema_json = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "s", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    _dv_log(
+        root,
+        schema_json,
+        [
+            {
+                "add": {
+                    "path": "part-0.parquet",
+                    "partitionValues": {},
+                    "size": os.path.getsize(pq_path),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "deletionVector": dv,
+                }
+            }
+        ],
+    )
+    got = scan_delta(spark, root)
+    assert _rows(got.select("k")) == [(0,), (2,), (4,), (6,), (7,), (8,), (9,)]
+
+
+def test_deletion_vector_inline_scan(spark, tmp_path):
+    """storageType 'i': the bitmap rides z85-encoded in the log itself."""
+    from pg_lake_spark.lakehouse import delta_meta as dm
+
+    root = str(tmp_path / "dvi")
+    os.makedirs(root)
+    pq_path = os.path.join(root, "part-0.parquet")
+    _write_parquet_file(spark, pq_path, [(i, f"s{i}") for i in range(6)], [("k", "long"), ("s", "string")])
+    data = dm._encode_dv_data([0, 5])
+    data += b"\x00" * (-len(data) % 4)  # z85 needs 4-byte alignment
+    dv = {
+        "storageType": "i",
+        "pathOrInlineDv": dm._z85_encode(data),
+        "sizeInBytes": len(data),
+        "cardinality": 2,
+    }
+    schema_json = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "s", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    _dv_log(root, schema_json, [{
+        "add": {
+            "path": "part-0.parquet", "partitionValues": {},
+            "size": os.path.getsize(pq_path), "modificationTime": 0,
+            "dataChange": True, "deletionVector": dv,
+        }
+    }])
+    got = scan_delta(spark, root)
+    assert _rows(got.select("k")) == [(1,), (2,), (3,), (4,)]
+
+
+def test_deletion_vector_partitioned_mixed(spark, tmp_path):
+    """Two partition files, one with a DV, one without: partition-value
+    recovery (broadcast map) and the DV anti-join compose."""
+    root = str(tmp_path / "dvp")
+    os.makedirs(root)
+    f_a = os.path.join(root, "a.parquet")
+    f_b = os.path.join(root, "b.parquet")
+    _write_parquet_file(spark, f_a, [(i,) for i in range(5)], [("k", "long")])
+    _write_parquet_file(spark, f_b, [(i,) for i in range(5, 10)], [("k", "long")])
+    dv = _make_dv_file(root, [0, 4])  # kills k=0 and k=4 in partition a
+    schema_json = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "p", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    _dv_log(
+        root,
+        schema_json,
+        [
+            {"add": {"path": "a.parquet", "partitionValues": {"p": "a"},
+                     "size": os.path.getsize(f_a), "modificationTime": 0,
+                     "dataChange": True, "deletionVector": dv}},
+            {"add": {"path": "b.parquet", "partitionValues": {"p": "b"},
+                     "size": os.path.getsize(f_b), "modificationTime": 0,
+                     "dataChange": True}},
+        ],
+        partition_cols=["p"],
+    )
+    got = scan_delta(spark, root)
+    assert _rows(got.select("k", "p")) == [
+        (1, "a"), (2, "a"), (3, "a"),
+        (5, "b"), (6, "b"), (7, "b"), (8, "b"), (9, "b"),
+    ]
+    # and partition pruning still applies with the DV in play
+    only_a = scan_delta(spark, root, partition_filter=lambda pv: pv["p"] == "a")
+    assert _rows(only_a.select("k")) == [(1,), (2,), (3,)]
+
+
+def test_roaring_container_kinds():
+    """Decoder handles array, bitmap, and run containers plus the
+    64-bit multi-bitmap index (RoaringFormatSpec)."""
+    import struct
+
+    from pg_lake_spark.lakehouse import delta_meta as dm
+
+    # run container: cookie 12347, 1 container, run flag set
+    run = struct.pack("<I", 12347 | (0 << 16)) + b"\x01"
+    run += struct.pack("<HH", 0, 5)  # key 0, cardinality 6
+    run += struct.pack("<H", 1) + struct.pack("<HH", 10, 5)  # 10..15
+    vals, _ = dm._roaring32_positions(run, 0)
+    assert vals == [10, 11, 12, 13, 14, 15]
+
+    # bitmap container: card 5000 (> 4096) in key 1
+    members = set(range(0, 10000, 2))
+    words = [0] * 1024
+    for v in members:
+        words[v >> 6] |= 1 << (v & 63)
+    bm = struct.pack("<II", 12346, 1)
+    bm += struct.pack("<HH", 1, len(members) - 1)
+    bm += struct.pack("<I", 16)  # offset header (unused)
+    bm += struct.pack("<1024Q", *words)
+    vals, _ = dm._roaring32_positions(bm, 0)
+    assert vals == sorted((1 << 16) + v for v in members)
+
+    # 64-bit: bitmap index 1 shifts by 2^32
+    data = dm._encode_dv_data([3, (1 << 32) + 7])
+    assert dm._decode_dv_data(data) == [3, (1 << 32) + 7]
+
+
+def test_dv_codec_roundtrip_fuzz():
+    import random
+
+    from pg_lake_spark.lakehouse import delta_meta as dm
+
+    rng = random.Random(42)
+    for _ in range(20):
+        n = rng.randrange(0, 500)
+        pos = sorted(rng.sample(range(200_000), n)) if n else []
+        assert dm._decode_dv_data(dm._encode_dv_data(pos)) == pos
+    # z85 roundtrip
+    for _ in range(20):
+        b = bytes(rng.randrange(256) for _ in range(4 * rng.randrange(1, 9)))
+        assert dm._z85_decode(dm._z85_encode(b)) == b
