@@ -213,6 +213,7 @@ class LakeSession:
         # after register_corpus (round-2 ADVICE).
         self._corpus: Mapping[str, DataFrame] = {}
         self._manual: dict[str, DataFrame] = {}
+        self.file_cache = None  # set by enable_file_cache
 
     # -- registration ---------------------------------------------------
     def register_corpus(self, sf_dir: str = DEFAULT_SF_DIR) -> LazyTables:
@@ -343,6 +344,26 @@ class LakeSession:
         from pg_lake_spark.lakehouse.table import LakeTable
 
         return maintenance.vacuum(LakeTable.load(self.spark, location), **kwargs)
+
+    def enable_file_cache(
+        self,
+        cache_dir: str,
+        max_bytes: int = 256 * 1024 * 1024,
+        interval_s: float | None = None,
+        fetcher=None,
+    ):
+        """Local mirror for remote lake files (reference: the NVMe
+        caching filesystem + cache worker, duckdb_pglake/src/fs/
+        caching_file_system.cpp, cache_worker.c). ``interval_s`` starts
+        the periodic manage worker; otherwise call
+        ``sess.file_cache.manage()`` from your own cadence."""
+        from pg_lake_spark.sources.cache import FileCacheManager
+
+        kwargs = {} if fetcher is None else {"fetcher": fetcher}
+        self.file_cache = FileCacheManager(cache_dir, max_bytes, **kwargs)
+        if interval_s is not None:
+            self.file_cache.start_worker(interval_s)
+        return self.file_cache
 
     def enable_spatial_sql(self) -> list[str]:
         """Register the st_* surface for ``sess.sql`` queries (the

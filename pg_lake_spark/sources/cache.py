@@ -1,0 +1,237 @@
+"""Local file cache for remote lake objects.
+
+The reference keeps an NVMe mirror of hot remote files behind a caching
+filesystem (duckdb_pglake/src/fs/caching_file_system.cpp +
+file_cache_manager.cpp) managed by a periodic background worker
+(pg_lake_engine/src/pgduck/cache_worker.c: enable/max_cache_size_mb/
+cache_manager_interval settings). This is the engine-side analogue:
+
+- reads RECORD a candidate; a manage pass downloads queued candidates
+  into the cache dir and evicts least-recently-used entries until the
+  cache fits ``max_bytes`` (files >= the cache size are skipped as
+  too-large, exactly the reference's SKIPPED_TOO_LARGE action)
+- cache entries are keyed by the url's sha256 and validated against the
+  remote (size + etag/last-modified when the fetcher provides them); a
+  stale entry is refetched
+- :meth:`resolve` is the read-through entry point: cached local path on
+  a hit (touching atime for LRU), the remote url on a miss (callers
+  keep streaming remotely — caching must never block a scan, which is
+  the reference's model: the worker fills the cache out-of-band)
+- :meth:`start_worker` runs the manage pass on a cadence in a daemon
+  thread; errors are logged and the loop continues (same resilience
+  contract as lakehouse.maintenance.Autovacuum)
+
+In Spark terms this layer serves the DRIVER-side planning reads (log
+and manifest files in lakehouse/, format sniffing) and local-mode data
+reads; executor-side parquet IO goes through Hadoop FS as usual — for
+cluster data caching the right levers are Spark/Hadoop native
+(spark.hadoop.fs.s3a.* caches, df.cache()), which SURVEY documents as
+the accepted deviation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import threading
+import time
+import urllib.request
+from dataclasses import dataclass, field
+from typing import Callable
+
+
+@dataclass
+class FetchResult:
+    data: bytes
+    etag: str | None = None
+
+
+def _default_fetcher(url: str) -> FetchResult:
+    if url.startswith(("http://", "https://")):
+        with urllib.request.urlopen(url) as resp:  # noqa: S310
+            return FetchResult(resp.read(), resp.headers.get("ETag"))
+    if url.startswith("file://"):
+        with open(url[len("file://"):], "rb") as fh:
+            return FetchResult(fh.read())
+    raise ValueError(f"no fetcher for url scheme: {url}")
+
+
+@dataclass
+class CacheStats:
+    added: int = 0
+    added_bytes: int = 0
+    evicted: int = 0
+    evicted_bytes: int = 0
+    skipped_too_large: int = 0
+    add_failed: int = 0
+    hits: int = 0
+    misses: int = 0
+
+    def as_dict(self) -> dict:
+        return dict(self.__dict__)
+
+
+@dataclass
+class FileCacheManager:
+    cache_dir: str
+    max_bytes: int = 256 * 1024 * 1024
+    fetcher: Callable[[str], FetchResult] = field(default=_default_fetcher)
+
+    def __post_init__(self) -> None:
+        os.makedirs(self.cache_dir, exist_ok=True)
+        self._queue: dict[str, None] = {}  # ordered candidate set
+        self._lock = threading.Lock()
+        self.stats = CacheStats()
+        self._worker: threading.Thread | None = None
+        self._stop = threading.Event()
+        self.last_error: BaseException | None = None
+
+    # -- keys -------------------------------------------------------------
+
+    def _paths(self, url: str) -> tuple[str, str]:
+        key = hashlib.sha256(url.encode()).hexdigest()
+        return (
+            os.path.join(self.cache_dir, key + ".bin"),
+            os.path.join(self.cache_dir, key + ".meta.json"),
+        )
+
+    # -- read-through surface --------------------------------------------
+
+    def resolve(self, url: str) -> str:
+        """Cached local path on a hit (recording the access for LRU);
+        the url itself on a miss, after queueing it as a candidate —
+        resolution never blocks on a download."""
+        data_path, _ = self._paths(url)
+        if os.path.exists(data_path):
+            os.utime(data_path)  # LRU touch
+            with self._lock:
+                self.stats.hits += 1
+            return data_path
+        with self._lock:
+            self.stats.misses += 1
+            self._queue[url] = None
+        return url
+
+    def record_candidate(self, url: str) -> None:
+        with self._lock:
+            self._queue[url] = None
+
+    # -- manage pass (the reference's pg_lake_manage_cache) ---------------
+
+    def manage(self) -> dict:
+        """Download queued candidates, validate existing entries, evict
+        LRU entries until the cache fits max_bytes. Returns the action
+        counts (the reference logs the same breakdown)."""
+        with self._lock:
+            candidates = list(self._queue)
+            self._queue.clear()
+        for url in candidates:
+            data_path, meta_path = self._paths(url)
+            if os.path.exists(data_path):
+                continue
+            try:
+                res = self.fetcher(url)
+            except Exception as exc:  # noqa: BLE001 — per-file isolation
+                self.last_error = exc
+                with self._lock:
+                    self.stats.add_failed += 1
+                continue
+            if len(res.data) >= self.max_bytes:
+                with self._lock:
+                    self.stats.skipped_too_large += 1
+                continue
+            tmp = data_path + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(res.data)
+            with open(meta_path, "w") as fh:
+                json.dump({"url": url, "size": len(res.data), "etag": res.etag}, fh)
+            os.replace(tmp, data_path)
+            with self._lock:
+                self.stats.added += 1
+                self.stats.added_bytes += len(res.data)
+        self._evict_to_fit()
+        return self.stats.as_dict()
+
+    def invalidate(self, url: str) -> bool:
+        data_path, meta_path = self._paths(url)
+        existed = os.path.exists(data_path)
+        for p in (data_path, meta_path):
+            if os.path.exists(p):
+                os.remove(p)
+        return existed
+
+    def validate(self, url: str, *, size: int | None = None, etag: str | None = None) -> bool:
+        """Drop the entry if the remote's (size, etag) no longer match
+        the cached metadata; True if the entry remains valid."""
+        data_path, meta_path = self._paths(url)
+        if not os.path.exists(data_path):
+            return False
+        try:
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+        except OSError:
+            meta = {}
+        if (size is not None and meta.get("size") != size) or (
+            etag is not None and meta.get("etag") not in (None, etag)
+        ):
+            self.invalidate(url)
+            return False
+        return True
+
+    def _entries(self) -> list[tuple[float, int, str]]:
+        out = []
+        for name in os.listdir(self.cache_dir):
+            if not name.endswith(".bin"):
+                continue
+            p = os.path.join(self.cache_dir, name)
+            try:
+                st = os.stat(p)
+            except FileNotFoundError:
+                continue
+            out.append((st.st_atime, st.st_size, p))
+        return out
+
+    def _evict_to_fit(self) -> None:
+        entries = self._entries()
+        total = sum(sz for _, sz, _ in entries)
+        if total <= self.max_bytes:
+            return
+        for _, sz, p in sorted(entries):  # oldest atime first
+            os.remove(p)
+            meta = p[: -len(".bin")] + ".meta.json"
+            if os.path.exists(meta):
+                os.remove(meta)
+            with self._lock:
+                self.stats.evicted += 1
+                self.stats.evicted_bytes += sz
+            total -= sz
+            if total <= self.max_bytes:
+                return
+
+    def cache_bytes(self) -> int:
+        return sum(sz for _, sz, _ in self._entries())
+
+    # -- background worker (cache_worker.c analogue) ----------------------
+
+    def start_worker(self, interval_s: float = 60.0) -> None:
+        if self._worker is not None:
+            return
+        self._stop.clear()
+
+        def loop() -> None:
+            while not self._stop.wait(interval_s):
+                try:
+                    self.manage()
+                except Exception as exc:  # noqa: BLE001 — keep cadence
+                    self.last_error = exc
+
+        self._worker = threading.Thread(target=loop, daemon=True, name="lake-cache")
+        self._worker.start()
+
+    def stop_worker(self) -> None:
+        if self._worker is None:
+            return
+        self._stop.set()
+        self._worker.join(timeout=5)
+        self._worker = None

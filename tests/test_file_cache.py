@@ -1,0 +1,145 @@
+"""Local file cache for remote lake objects (reference parity:
+duckdb_pglake/src/fs/file_cache_manager.cpp + cache_worker.c —
+candidate queue, manage pass, LRU eviction, too-large skip, periodic
+worker)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from pg_lake_spark.sources.cache import FetchResult, FileCacheManager
+
+
+class CountingFetcher:
+    def __init__(self, blobs: dict[str, bytes]):
+        self.blobs = blobs
+        self.calls: list[str] = []
+
+    def __call__(self, url: str) -> FetchResult:
+        self.calls.append(url)
+        if url not in self.blobs:
+            raise FileNotFoundError(url)
+        return FetchResult(self.blobs[url], etag=f"et-{len(self.blobs[url])}")
+
+
+def test_read_through_and_hit(tmp_path):
+    f = CountingFetcher({"remote://a": b"x" * 100})
+    c = FileCacheManager(str(tmp_path / "c"), max_bytes=1000, fetcher=f)
+    # miss: resolve returns the url (non-blocking) and queues it
+    assert c.resolve("remote://a") == "remote://a"
+    assert c.stats.misses == 1
+    stats = c.manage()
+    assert stats["added"] == 1 and stats["added_bytes"] == 100
+    # hit: resolve returns a local path with the exact bytes
+    local = c.resolve("remote://a")
+    assert os.path.isfile(local)
+    assert open(local, "rb").read() == b"x" * 100
+    assert c.stats.hits == 1
+    # the fetcher ran exactly once
+    assert f.calls == ["remote://a"]
+
+
+def test_lru_eviction_under_pressure(tmp_path):
+    blobs = {f"remote://{i}": bytes([i]) * 100 for i in range(5)}
+    f = CountingFetcher(blobs)
+    c = FileCacheManager(str(tmp_path / "c"), max_bytes=250, fetcher=f)
+    for i in range(5):
+        c.record_candidate(f"remote://{i}")
+    c.manage()
+    # only ~2 files fit; eviction was LRU so the cache is within budget
+    assert c.cache_bytes() <= 250
+    assert c.stats.evicted >= 3
+    # touch a survivor then add pressure: the touched one survives again
+    # (probe by path existence — resolve() would re-queue the misses)
+    survivors = [u for u in blobs if os.path.exists(c._paths(u)[0])]
+    assert survivors
+    keep = survivors[0]
+    time.sleep(0.05)
+    os.utime(c._paths(keep)[0])
+    c.record_candidate("remote://new")
+    f.blobs["remote://new"] = b"n" * 100
+    c.manage()
+    assert os.path.exists(c._paths(keep)[0])  # still cached
+
+
+def test_too_large_skipped(tmp_path):
+    f = CountingFetcher({"remote://big": b"b" * 5000})
+    c = FileCacheManager(str(tmp_path / "c"), max_bytes=1000, fetcher=f)
+    c.record_candidate("remote://big")
+    stats = c.manage()
+    assert stats["skipped_too_large"] == 1 and stats["added"] == 0
+    assert c.resolve("remote://big") == "remote://big"
+
+
+def test_fetch_failure_isolated(tmp_path):
+    f = CountingFetcher({"remote://ok": b"o" * 10})
+    c = FileCacheManager(str(tmp_path / "c"), max_bytes=1000, fetcher=f)
+    c.record_candidate("remote://gone")
+    c.record_candidate("remote://ok")
+    stats = c.manage()
+    assert stats["add_failed"] == 1 and stats["added"] == 1
+    assert isinstance(c.last_error, FileNotFoundError)
+
+
+def test_validate_and_invalidate(tmp_path):
+    f = CountingFetcher({"remote://a": b"x" * 100})
+    c = FileCacheManager(str(tmp_path / "c"), max_bytes=1000, fetcher=f)
+    c.record_candidate("remote://a")
+    c.manage()
+    assert c.validate("remote://a", size=100, etag="et-100") is True
+    # size drift drops the entry
+    assert c.validate("remote://a", size=101) is False
+    assert c.resolve("remote://a") == "remote://a"  # miss again
+
+
+def test_worker_runs_and_survives_errors(tmp_path):
+    calls = []
+
+    class FlakyFetcher:
+        def __call__(self, url):
+            calls.append(url)
+            if len(calls) == 1:
+                raise RuntimeError("transient")
+            return FetchResult(b"d" * 10)
+
+    c = FileCacheManager(str(tmp_path / "c"), max_bytes=1000, fetcher=FlakyFetcher())
+    c.record_candidate("remote://x")
+    c.start_worker(interval_s=0.05)
+    try:
+        deadline = time.time() + 5
+        while time.time() < deadline and c.stats.add_failed == 0:
+            time.sleep(0.02)
+        assert c.stats.add_failed == 1
+        # re-queue: the worker keeps running after the failure
+        c.record_candidate("remote://x")
+        while time.time() < deadline and c.stats.added == 0:
+            time.sleep(0.02)
+        assert c.stats.added == 1
+    finally:
+        c.stop_worker()
+
+
+def test_file_url_default_fetcher(tmp_path):
+    src = tmp_path / "src.bin"
+    src.write_bytes(b"hello lake")
+    c = FileCacheManager(str(tmp_path / "c"), max_bytes=1000)
+    url = "file://" + str(src)
+    c.record_candidate(url)
+    c.manage()
+    local = c.resolve(url)
+    assert local != url and open(local, "rb").read() == b"hello lake"
+
+
+def test_session_facade(tmp_path, spark):
+    from pg_lake_spark.session import LakeSession
+
+    sess = LakeSession(spark)
+    f = CountingFetcher({"remote://a": b"z" * 8})
+    cache = sess.enable_file_cache(str(tmp_path / "c"), max_bytes=100, fetcher=f)
+    assert sess.file_cache is cache
+    cache.record_candidate("remote://a")
+    cache.manage()
+    assert cache.resolve("remote://a") != "remote://a"
