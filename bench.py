@@ -75,6 +75,8 @@ def main() -> None:
         "j_spatial_bbox_join",
         "j_polygon_point_exact",
         "f_geojson_scan",
+        "f_spatial_relations",
+        "f_spatial_overlay",
     ]
 
     repeats = int(os.environ.get("PG_LAKE_BENCH_REPEATS", "3"))

@@ -91,7 +91,15 @@ WKB_POLYGON = 3
 WKB_MULTIPOINT = 4
 WKB_MULTILINESTRING = 5
 WKB_MULTIPOLYGON = 6
-_MULTI_TYPES = (WKB_MULTIPOINT, WKB_MULTILINESTRING, WKB_MULTIPOLYGON)
+WKB_GEOMETRYCOLLECTION = 7
+# collection-shaped types: coords = [(child_type, child_coords), ...] —
+# GEOMETRYCOLLECTION (heterogeneous children) rides the same recursion
+_MULTI_TYPES = (
+    WKB_MULTIPOINT,
+    WKB_MULTILINESTRING,
+    WKB_MULTIPOLYGON,
+    WKB_GEOMETRYCOLLECTION,
+)
 
 _TYPE_NAMES = {
     WKB_POINT: "ST_Point",
@@ -100,6 +108,7 @@ _TYPE_NAMES = {
     WKB_MULTIPOINT: "ST_MultiPoint",
     WKB_MULTILINESTRING: "ST_MultiLineString",
     WKB_MULTIPOLYGON: "ST_MultiPolygon",
+    WKB_GEOMETRYCOLLECTION: "ST_GeometryCollection",
 }
 # PostGIS GeometryType()/ST_GeometryType naming
 _WKT_NAMES = {
@@ -109,6 +118,7 @@ _WKT_NAMES = {
     WKB_MULTIPOINT: "MULTIPOINT",
     WKB_MULTILINESTRING: "MULTILINESTRING",
     WKB_MULTIPOLYGON: "MULTIPOLYGON",
+    WKB_GEOMETRYCOLLECTION: "GEOMETRYCOLLECTION",
 }
 
 
@@ -242,6 +252,12 @@ def _coords_wkt(gtype: int, coords: list) -> str:
     # MULTI*: children's bodies joined (MULTIPOINT prints bare pairs)
     if gtype == WKB_MULTIPOINT:
         return "(" + pts([kc[0] for _kt, kc in coords]) + ")"
+    if gtype == WKB_GEOMETRYCOLLECTION:
+        return (
+            "("
+            + ",".join(_WKT_NAMES[kt] + _coords_wkt(kt, kc) for kt, kc in coords)
+            + ")"
+        )
     return "(" + ",".join(_coords_wkt(kt, kc) for kt, kc in coords) + ")"
 
 
@@ -317,6 +333,10 @@ def _from_wkt(s: str) -> bytes:
         for poly in split_top(body):
             kids.append((WKB_POLYGON, rings_of(poly.strip()[1:-1])))
         return _pack(WKB_MULTIPOLYGON, kids)
+    if up.startswith("GEOMETRYCOLLECTION"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        kids = [_parse(_from_wkt(child)) for child in split_top(body)]
+        return _pack(WKB_GEOMETRYCOLLECTION, kids)
     raise ValueError(f"unsupported WKT: {s[:40]}")
 
 
@@ -327,6 +347,7 @@ _DIMS = {
     WKB_MULTIPOINT: 0,
     WKB_MULTILINESTRING: 1,
     WKB_MULTIPOLYGON: 2,
+    # GEOMETRYCOLLECTION: computed as max over children (see _k_info)
 }
 
 
@@ -451,7 +472,7 @@ def _k_info(g: pd.Series) -> pd.DataFrame:
                 len(pts),
                 _length_of(gtype, coords),
                 _closed_of(gtype, coords) if pts else None,
-                _DIMS[gtype],
+                _DIMS.get(gtype, _dim_of(gtype, coords)),
                 len(pts) == 0,
             )
         )
@@ -674,9 +695,9 @@ def _k_collect(arr: pd.Series) -> pd.Series:
         elif kinds <= {WKB_POLYGON}:
             out.append(_pack(WKB_MULTIPOLYGON, kids))
         else:
-            raise ValueError(
-                "st_collect supports homogeneous point/linestring/polygon inputs"
-            )
+            # heterogeneous inputs collect into a GEOMETRYCOLLECTION
+            # (PostGIS ST_Collect semantics)
+            out.append(_pack(WKB_GEOMETRYCOLLECTION, kids))
     return pd.Series(out, dtype=object)
 
 

@@ -353,3 +353,62 @@ def test_overlay_sql_surface(spark):
         "st_geomfromtext('POLYGON((5 5,15 5,15 15,5 15,5 5))'))) AS a"
     ).collect()[0].a
     assert got == 25.0
+
+
+# --- GEOMETRYCOLLECTION ----------------------------------------------------
+
+
+def test_geometrycollection_roundtrip_and_accessors(spark):
+    w = (
+        "GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,5 5),"
+        "POLYGON((0 0,4 0,4 4,0 4,0 0)))"
+    )
+    df = spark.createDataFrame([(w,)], "w string")
+    g = S.st_geomfromtext("w")
+    row = df.select(
+        S.st_astext(g).alias("wkt"),
+        S.st_geometrytype(g).alias("t"),
+        S.st_numgeometries(g).alias("n"),
+        S.st_astext(S.st_geometryn(g, 2)).alias("second"),
+        S.st_dimension(g).alias("dim"),
+        S.st_npoints(g).alias("np"),
+    ).collect()[0]
+    assert row.wkt == w
+    assert row.t == "ST_GeometryCollection"
+    assert row.n == 3
+    assert row.second == "LINESTRING(0 0,5 5)"
+    assert row.dim == 2  # max over children
+    assert row.np == 1 + 2 + 5
+
+
+def test_collect_mixed_makes_collection(spark):
+    df = spark.createDataFrame([(1, 0.0, 0.0), (1, 1.0, 1.0)], "g int, x double, y double")
+    pts_and_line = df.groupBy("g").agg(
+        S.st_collect(F.collect_list(S.st_point("x", "y"))).alias("mp")
+    )
+    # collect a point with a linestring → GEOMETRYCOLLECTION
+    mixed = pts_and_line.select(
+        S.st_collect(
+            F.array(
+                S.st_geomfromtext(F.lit("POINT(9 9)")),
+                S.st_geomfromtext(F.lit("LINESTRING(0 0,2 2)")),
+            )
+        ).alias("gc")
+    )
+    row = mixed.select(
+        S.st_geometrytype("gc").alias("t"),
+        S.st_astext(S.st_collectionextract("gc", 1)).alias("pts"),
+        S.st_astext(S.st_collectionextract("gc", 2)).alias("lines"),
+    ).collect()[0]
+    assert row.t == "ST_GeometryCollection"
+    assert row.pts == "MULTIPOINT(9 9)"
+    assert row.lines == "MULTILINESTRING((0 0,2 2))"
+
+
+def test_collection_relations(spark):
+    gc = "GEOMETRYCOLLECTION(POINT(1 1),LINESTRING(2 2,3 3))"
+    assert _rel(spark, S.st_covers, SQ, gc) is True
+    assert _rel(spark, S.st_intersects, gc, SQ) is True
+    assert (
+        _rel(spark, S.st_covers, INNER, gc) is False
+    )  # point (1,1) outside INNER
