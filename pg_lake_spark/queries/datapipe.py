@@ -1164,3 +1164,39 @@ def dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.decontaminate_flags(
         docs, evalset, id_col="doc_id", text_col="text", shingle_n=8
     ).orderBy("doc_id")
+
+
+@query(
+    "dd_bloom_semi_join",
+    oracle="""
+    SELECT b.doc_id
+    FROM documents b
+    WHERE b.doc_id % 3 <> 0
+      AND md5(substr(b.text, 1, 40)) IN (
+        SELECT md5(substr(a.text, 1, 40)) FROM documents a WHERE a.doc_id % 3 = 0
+      )
+    ORDER BY b.doc_id
+    """,
+    doc="Cross-corpus membership: which probe docs duplicate a corpus "
+    "doc's content. Runs as a Bloom-prefiltered EXACT semi join "
+    "(operators/membership.py): the filter is a distributed (word, "
+    "bits) bit_or aggregation, probing is a broadcast join — only "
+    "bloom-positive rows (matches + ~1% FPs) reach the exact join, so "
+    "at 100 TB the big shuffle moves a fraction of the probe corpus. "
+    "No false negatives, hence the exact SQL oracle.",
+)
+def dd_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_lake_spark.operators.membership import bloom_semi_join
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    # fingerprint = content-prefix hash, so the corpus's engineered
+    # near-dup families produce genuine cross-split hits
+    fp = F.md5(F.substring("text", 1, 40))
+    corpus = docs.filter(F.col("doc_id") % 3 == 0).select(fp.alias("h"))
+    probe = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", fp.alias("h"))
+    return (
+        bloom_semi_join(probe, corpus, "h", fpp=0.01)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,37 @@
+"""Distributed Bloom membership operator."""
+from pyspark.sql import functions as F
+
+from pg_lake_spark.operators.membership import (
+    bloom_filter_maybe,
+    bloom_params,
+    bloom_semi_join,
+    build_bloom,
+)
+
+
+def test_no_false_negatives_and_fp_rate(spark):
+    corpus = spark.range(0, 2000).select(F.concat(F.lit("k"), "id").alias("key"))
+    m, k = bloom_params(2000, 0.01)
+    bloom = build_bloom(corpus, "key", m, k)
+    # members: every one of the 2000 keys must survive
+    members = bloom_filter_maybe(corpus, "key", bloom, m, k)
+    assert members.count() == 2000
+    # non-members: FP rate near the design point (1% of 10000 ± slack)
+    probe = spark.range(10_000, 20_000).select(F.concat(F.lit("k"), "id").alias("key"))
+    fps = bloom_filter_maybe(probe, "key", bloom, m, k).count()
+    assert fps < 10_000 * 0.03, fps
+
+
+def test_bloom_semi_join_exact(spark):
+    corpus = spark.range(0, 500).select((F.col("id") * 3).alias("v"))
+    probe = spark.range(0, 3000).select(F.col("id").alias("v"))
+    got = sorted(r.v for r in bloom_semi_join(probe, corpus, "v").collect())
+    want = sorted(r.v for r in probe.join(corpus, "v", "left_semi").collect())
+    assert got == want
+
+
+def test_filter_is_distributed_and_small(spark):
+    corpus = spark.range(0, 1000).select(F.col("id").alias("v"))
+    m, k = bloom_params(1000, 0.01)
+    bloom = build_bloom(corpus, "v", m, k)
+    assert bloom.count() <= m // 64  # packed words, not positions
