@@ -235,6 +235,7 @@ class LakeSession:
         from files at ``path`` and register under ``name``."""
         from pg_lake_spark.sources import readers
 
+        options.setdefault("cache", self.file_cache)
         df = readers.read_lake(self.spark, path, fmt=fmt, **options)
         df.createOrReplaceTempView(name)
         self._manual[name] = df

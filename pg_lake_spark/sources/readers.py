@@ -123,6 +123,70 @@ def _extract_zip_members(zip_file: str, zip_path: str | None) -> str:
     return common if os.path.isdir(common) else out
 
 
+def hf_to_https(path: str) -> str:
+    """Translate an ``hf://`` url to the huggingface.co resolve url
+    (reference: docs/file-formats-reference.md "Hugging Face" — the
+    hf:// prefix replaces s3 and the /blob/main/ segment is dropped).
+
+    ``hf://datasets/{org}/{name}/{file}`` →
+    ``https://huggingface.co/datasets/{org}/{name}/resolve/main/{file}``;
+    an ``@revision`` suffix on the repo (incl. the ``@~parquet``
+    auto-conversion branch) selects that revision."""
+    if not path.startswith("hf://"):
+        return path
+    rest = path[len("hf://"):]
+    parts = rest.split("/", 3)
+    if len(parts) < 4 or parts[0] not in ("datasets", "spaces", "models"):
+        raise ValueError(f"unsupported hf:// path: {path}")
+    kind, org, name, file = parts
+    revision = "main"
+    if "@" in name:
+        name, revision = name.split("@", 1)
+        if revision == "~parquet":
+            revision = "refs%2Fconvert%2Fparquet"
+    return f"https://huggingface.co/{kind}/{org}/{name}/resolve/{revision}/{file}"
+
+
+def fetch_remote(path: str, cache=None) -> str:
+    """Materialize a remote (hf:// or http(s)://) file locally and
+    return the local path; local paths pass through unchanged.
+
+    With a :class:`~pg_lake_spark.sources.cache.FileCacheManager` the
+    file lands in (and revalidates from) the cache — the reference
+    routes remote reads through its caching filesystem the same way,
+    except hf:// which it documents as uncached; here the cache is
+    orthogonal to the scheme. Without one, a one-shot download goes to
+    a content-addressed temp file."""
+    path = hf_to_https(path)
+    if not path.startswith(("http://", "https://")):
+        return path
+    if cache is not None:
+        local = cache.resolve(path)
+        if local == path:  # miss: fill synchronously, then re-resolve
+            cache.manage()
+            local = cache.resolve(path)
+        if local != path:
+            return local
+        raise IOError(f"failed to fetch {path}: {cache.last_error}")
+    import hashlib
+    import tempfile
+    import urllib.request
+
+    key = hashlib.sha256(path.encode()).hexdigest()[:24]
+    suffix = os.path.splitext(path.split("?")[0])[1] or ".bin"
+    local = os.path.join(tempfile.gettempdir(), f"lake_dl_{key}{suffix}")
+    if not os.path.exists(local):
+        tmp = local + ".part"
+        with urllib.request.urlopen(path) as resp, open(tmp, "wb") as out:  # noqa: S310
+            while True:
+                chunk = resp.read(1 << 20)
+                if not chunk:
+                    break
+                out.write(chunk)
+        os.replace(tmp, local)
+    return local
+
+
 def read_lake(
     spark: SparkSession,
     path: str,
@@ -131,6 +195,7 @@ def read_lake(
     filename: bool = False,
     schema: str | None = None,
     zip_path: str | None = None,
+    cache=None,
     **options,
 ) -> DataFrame:
     """Register-and-read a lake table from a file/glob/directory.
@@ -142,6 +207,8 @@ def read_lake(
     with ``zip_path`` selecting members) is extracted first.
     """
     fmt = fmt.lower()
+    if path.startswith(("hf://", "http://", "https://")):
+        path = fetch_remote(path, cache=cache)
     if path.endswith(".zip") and os.path.isfile(path):
         path = _extract_zip_members(path, zip_path)
     reader = spark.read

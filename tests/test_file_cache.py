@@ -143,3 +143,50 @@ def test_session_facade(tmp_path, spark):
     cache.record_candidate("remote://a")
     cache.manage()
     assert cache.resolve("remote://a") != "remote://a"
+
+
+# --- remote read-through (hf:// + http) ------------------------------------
+
+
+def test_hf_url_translation():
+    from pg_lake_spark.sources.readers import hf_to_https
+
+    assert hf_to_https(
+        "hf://datasets/org/proj/data/train-00000-of-00001.parquet"
+    ) == "https://huggingface.co/datasets/org/proj/resolve/main/data/train-00000-of-00001.parquet"
+    assert hf_to_https("hf://datasets/org/proj@v2/f.parquet") == (
+        "https://huggingface.co/datasets/org/proj/resolve/v2/f.parquet"
+    )
+    assert "refs%2Fconvert%2Fparquet" in hf_to_https(
+        "hf://datasets/org/proj@~parquet/f.parquet"
+    )
+    assert hf_to_https("/local/path.parquet") == "/local/path.parquet"
+    with pytest.raises(ValueError, match="hf://"):
+        hf_to_https("hf://bogus")
+
+
+def test_read_lake_remote_through_cache(spark, tmp_path):
+    """An hf:// table read lands through the injected cache fetcher —
+    the full foreign-table-over-HF plumbing with no network."""
+    from pg_lake_spark.sources.readers import read_lake
+
+    src = tmp_path / "src.parquet"
+    spark.range(5).toPandas().to_parquet(src)
+    blob = src.read_bytes()
+    url = "https://huggingface.co/datasets/org/proj/resolve/main/train.parquet"
+    f = CountingFetcher({url: blob})
+    c = FileCacheManager(str(tmp_path / "cache"), max_bytes=10_000_000, fetcher=f)
+    df = read_lake(spark, "hf://datasets/org/proj/train.parquet", cache=c)
+    assert df.count() == 5
+    # second read is a cache hit: the fetcher is not called again
+    df2 = read_lake(spark, "hf://datasets/org/proj/train.parquet", cache=c)
+    assert df2.count() == 5 and f.calls == [url]
+
+
+def test_read_lake_remote_fetch_failure(spark, tmp_path):
+    from pg_lake_spark.sources.readers import read_lake
+
+    f = CountingFetcher({})
+    c = FileCacheManager(str(tmp_path / "cache"), max_bytes=1000, fetcher=f)
+    with pytest.raises(IOError, match="failed to fetch"):
+        read_lake(spark, "hf://datasets/org/proj/missing.parquet", cache=c)
