@@ -274,6 +274,43 @@ class LakeSession:
         t.to_df().createOrReplaceTempView(name)
         return t
 
+    def create_table_from(
+        self,
+        name: str,
+        location: str,
+        *,
+        load_from: str | None = None,
+        definition_from: str | None = None,
+        fmt: str | None = None,
+        partition_by: list[str] | None = None,
+        **read_options,
+    ):
+        """``CREATE TABLE t () WITH (load_from = '…')`` parity
+        (docs/data-lake-import-export.md:13-36): ``load_from`` infers
+        the schema from the file AND loads its rows into a new lake
+        table; ``definition_from`` takes only the schema (empty table).
+        The source may be any read_lake format/scheme, including
+        ``hf://``/http(s) through the session file cache."""
+        src = load_from or definition_from
+        if not src or (load_from and definition_from):
+            raise ValueError("provide exactly one of load_from / definition_from")
+        if fmt is None:
+            base = src.split("?")[0]
+            for ext in (".gz", ".zst", ".bz2", ".zip"):
+                if base.endswith(ext):
+                    base = base[: -len(ext)]
+            ext = os.path.splitext(base)[1].lstrip(".").lower()
+            fmt = {"ndjson": "json", "": "parquet"}.get(ext, ext or "parquet")
+        from pg_lake_spark.sources import readers
+
+        read_options.setdefault("cache", self.file_cache)
+        df = readers.read_lake(self.spark, src, fmt=fmt, **read_options)
+        if definition_from:
+            df = df.limit(0)
+        return self.create_lake_table(
+            name, location, df=df, partition_by=partition_by
+        )
+
     def lake_table(self, location: str, name: str | None = None):
         """Load an existing LakeTable; optionally (re)register its view."""
         from pg_lake_spark.lakehouse.table import LakeTable

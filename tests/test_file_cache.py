@@ -190,3 +190,25 @@ def test_read_lake_remote_fetch_failure(spark, tmp_path):
     c = FileCacheManager(str(tmp_path / "cache"), max_bytes=1000, fetcher=f)
     with pytest.raises(IOError, match="failed to fetch"):
         read_lake(spark, "hf://datasets/org/proj/missing.parquet", cache=c)
+
+
+def test_create_table_from_load_and_definition(spark, tmp_path):
+    """CREATE TABLE () WITH (load_from/definition_from) parity — schema
+    inferred from the source file; load_from also loads the rows."""
+    from pg_lake_spark.session import LakeSession
+
+    src = tmp_path / "src.csv"
+    src.write_text("k,v,w\n1,a,0.5\n2,b,1.5\n3,c,2.5\n")
+    sess = LakeSession(spark)
+    t = sess.create_table_from("t_loaded", str(tmp_path / "loc1"), load_from=str(src))
+    got = sorted(tuple(r) for r in spark.table("t_loaded").collect())
+    assert got == [(1, "a", 0.5), (2, "b", 1.5), (3, "c", 2.5)]
+
+    t2 = sess.create_table_from(
+        "t_empty", str(tmp_path / "loc2"), definition_from=str(src)
+    )
+    df = spark.table("t_empty")
+    assert df.count() == 0 and df.columns == ["k", "v", "w"]
+
+    with pytest.raises(ValueError, match="exactly one"):
+        sess.create_table_from("x", str(tmp_path / "loc3"))
