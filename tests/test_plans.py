@@ -103,3 +103,27 @@ def test_polygon_point_join_no_cross_product(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_membership_broadcast_no_udf(spark):
+    """The Bloom prefilter probes via BROADCAST joins and stays
+    UDF-free: filter build is one shuffle (bit_or agg), probing never
+    shuffles the probe side before the prefilter."""
+    from pyspark.sql import functions as F
+
+    from pg_lake_spark.operators.membership import (
+        bloom_filter_maybe,
+        bloom_params,
+        build_bloom,
+    )
+
+    corpus = spark.range(0, 2000).select(F.col("id").alias("v"))
+    m, k = bloom_params(2000, 0.01)
+    bloom = build_bloom(corpus, "v", m, k)
+    maybe = bloom_filter_maybe(
+        spark.range(0, 5000).select(F.col("id").alias("v")), "v", bloom, m, k
+    )
+    s = plan_summary(maybe, execute=True)
+    assert s.broadcast_joins >= 2  # filter-word join + semi join back
+    plan = maybe._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
