@@ -412,3 +412,102 @@ def test_collection_relations(spark):
     assert (
         _rel(spark, S.st_covers, INNER, gc) is False
     )  # point (1,1) outside INNER
+
+
+def test_relation_invariants_fuzz():
+    """Cross-relation invariants on random simple geometries (python
+    kernel internals, no Spark round-trip): contains ⟹ covers ⟹
+    intersects; equals ⟺ mutual covers; touches ⟹ intersects and ¬
+    overlaps/¬contains; within/coveredby are the converses; overlay
+    areas respect inclusion-exclusion when defined."""
+    import math as _math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    coord = st.integers(min_value=-50, max_value=50).map(float)
+    point = st.tuples(coord, coord)
+
+    def _simple_ring(ps):
+        cx = sum(p[0] for p in ps) / len(ps)
+        cy = sum(p[1] for p in ps) / len(ps)
+        ordered = sorted(ps, key=lambda p: _math.atan2(p[1] - cy, p[0] - cx))
+        return ordered + [ordered[0]]
+
+    ring = st.lists(point, min_size=3, max_size=6, unique=True).map(_simple_ring)
+    geom = st.one_of(
+        point.map(lambda p: S._pack_point(*p)),
+        st.lists(point, min_size=2, max_size=5, unique=True).map(S._pack_linestring),
+        ring.map(lambda r: S._pack_polygon([r])),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(geom, geom)
+    def check(a, b):
+        pa, pb = S._parse(a), S._parse(b)
+        contains = S._rel_contains(*pa, *pb)
+        covers = S._rel_covers(*pa, *pb)
+        within = S._rel_contains(*pb, *pa)
+        coveredby = S._rel_covers(*pb, *pa)
+        equals = S._rel_equals(*pa, *pb)
+        touches = S._rel_touches(*pa, *pb)
+        overlaps = S._rel_overlaps(*pa, *pb)
+        inter = S._geoms_intersect(a, b)
+        if contains:
+            assert covers and inter
+        if equals:
+            assert covers and coveredby
+        if covers and coveredby:
+            assert equals
+        if touches:
+            assert inter and not overlaps and not contains and not within
+        if overlaps:
+            assert inter and not covers and not coveredby
+        # symmetry of the symmetric relations
+        assert equals == S._rel_equals(*pb, *pa)
+        assert touches == S._rel_touches(*pb, *pa)
+        assert overlaps == S._rel_overlaps(*pb, *pa)
+
+    check()
+
+
+def test_overlay_area_invariants_fuzz():
+    """For random CONVEX polygon pairs in general position:
+    area(inter) + area(union) == area(a) + area(b), diff ⊆ a, and
+    inter ⊆ both (degenerate configurations are skipped — they raise
+    SpatialDegeneracyError by contract)."""
+    import math as _math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    coord = st.integers(min_value=-30, max_value=30).map(float)
+    point = st.tuples(coord, coord)
+
+    def hull_ring(ps):
+        t, c = S._convex_hull(list(ps))
+        return c[0] if t == S.WKB_POLYGON else None
+
+    ring = st.lists(point, min_size=5, max_size=9, unique=True).map(hull_ring)
+
+    @settings(max_examples=150, deadline=None)
+    @given(ring, ring)
+    def check(ra, rb):
+        if ra is None or rb is None:
+            return
+        try:
+            ri = S._gh_overlay(ra, rb, "inter")
+            ru = S._gh_overlay(ra, rb, "union")
+            rd = S._gh_overlay(ra, rb, "diff")
+        except S.SpatialDegeneracyError:
+            return
+        area = lambda rings: sum(abs(S._ring_area(r)) for r in rings)  # noqa: E731
+        aa, ab = abs(S._ring_area(ra)), abs(S._ring_area(rb))
+        ai, au, ad = area(ri), area(ru), area(rd)
+        # diff of nested case returns shell+hole: subtract hole area
+        if rd and len(rd) == 2 and S._ring_pos(*rd[1][0], rd[0]) == 2:
+            ad = abs(S._ring_area(rd[0])) - abs(S._ring_area(rd[1]))
+        assert _math.isclose(ai + au, aa + ab, rel_tol=1e-9, abs_tol=1e-6)
+        assert _math.isclose(ad, aa - ai, rel_tol=1e-9, abs_tol=1e-6)
+
+    check()
