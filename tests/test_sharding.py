@@ -1,0 +1,91 @@
+"""Deterministic training-shard writer (two-pass global index: no
+single-partition sort, partition-local windows only)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_lake_spark.operators.sharding import assign_shards, write_training_shards
+
+
+def _df(spark, n=1000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.xxhash64("id") % 97 + 97).alias("n_tokens"),
+    )
+
+
+def test_row_sharding_exact_and_deterministic(spark):
+    df = _df(spark)
+    a = assign_shards(df, ["doc_id"], shard_rows=100, num_partitions=7)
+    rows = a.groupBy("shard_id").count().orderBy("shard_id").collect()
+    assert [r["count"] for r in rows] == [100] * 10
+    # global order respected: shard of a row == doc_id // 100
+    bad = a.filter(F.col("shard_id") != (F.col("doc_id") / 100).cast("long")).count()
+    assert bad == 0
+    # rerun-stable (different partition count, same assignment)
+    b = assign_shards(df, ["doc_id"], shard_rows=100, num_partitions=3)
+    assert (
+        a.select("doc_id", "shard_id")
+        .exceptAll(b.select("doc_id", "shard_id"))
+        .count()
+        == 0
+    )
+
+
+def test_token_budget_sharding(spark):
+    df = _df(spark, 500)
+    budget = 5000
+    a = assign_shards(
+        df, ["doc_id"], token_col="n_tokens", tokens_per_shard=budget,
+        num_partitions=5,
+    )
+    stats = (
+        a.groupBy("shard_id")
+        .agg(F.sum("n_tokens").alias("tok"))
+        .orderBy("shard_id")
+        .collect()
+    )
+    # every closed shard lands within one document of the budget
+    max_doc = 97 + 96
+    for r in stats[:-1]:
+        assert budget - max_doc < r.tok <= budget + max_doc, (r.shard_id, r.tok)
+    # exact global cumulative semantics: shard boundaries are the
+    # running-total partition of the ordered corpus
+    pdf = df.orderBy("doc_id").toPandas()
+    pdf["cum"] = pdf["n_tokens"].cumsum()
+    want = ((pdf["cum"] - 1) // budget).astype(int).tolist()
+    got = [r.shard_id for r in a.orderBy("doc_id").select("shard_id").collect()]
+    assert got == want
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    df = _df(spark, 300)
+    manifest = write_training_shards(df, out, ["doc_id"], shard_rows=100)
+    assert {k: v["rows"] for k, v in manifest.items()} == {0: 100, 1: 100, 2: 100}
+    dirs = sorted(os.path.basename(d) for d in glob.glob(os.path.join(out, "shard_id=*")))
+    assert dirs == ["shard_id=0", "shard_id=1", "shard_id=2"]
+    # one data file per shard
+    for d in dirs:
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+        assert len(files) == 1
+    # manifest persisted alongside
+    disk = json.load(open(os.path.join(out, "_shard_manifest.json")))
+    assert disk == {str(k): v for k, v in manifest.items()}
+    # reading back preserves content
+    back = spark.read.parquet(out)
+    assert back.count() == 300
+
+
+def test_arg_validation(spark):
+    df = _df(spark, 10)
+    with pytest.raises(ValueError, match="exactly one"):
+        assign_shards(df, ["doc_id"])
+    with pytest.raises(ValueError, match="token_col"):
+        assign_shards(df, ["doc_id"], tokens_per_shard=10)
