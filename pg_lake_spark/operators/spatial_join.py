@@ -109,3 +109,73 @@ def polygon_point_join(
         .filter(st_contains_point(F.col(geom_col), F.col(x_col), F.col(y_col)))
     )
     return joined.drop("__cx", "__cy", "__env")
+
+
+def polygon_polygon_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_geom: str = "geometry",
+    right_geom: str = "geometry",
+    cell: float = 1.0,
+    predicate: str = "intersects",
+) -> DataFrame:
+    """Exact polygon⋈polygon join at scale (predicate: ``intersects``
+    or ``contains`` = left covers right's intersection test refined to
+    st_contains).
+
+    Both envelopes explode to covered grid cells and hash-join on the
+    cell key. Unlike the point joins, a candidate pair can share MANY
+    cells; the **reference-point rule** keeps the join duplicate-free
+    without a distinct: a pair is emitted only from the single cell
+    that contains the min-corner of the two envelopes' intersection —
+    pure Column arithmetic, no dedup shuffle. Survivors take the exact
+    orientation-arithmetic predicate kernel. Column names of the two
+    inputs must not collide (alias/prefix beforehand), matching
+    Spark's own join hygiene."""
+    from pg_lake_spark.functions.spatial import (
+        bbox_intersects,
+        st_contains,
+        st_intersects,
+    )
+
+    if predicate not in ("intersects", "contains"):
+        raise ValueError("predicate must be 'intersects' or 'contains'")
+
+    def cells(df: DataFrame, geom: str, env: str) -> DataFrame:
+        df = df.withColumn(env, st_envelope(F.col(geom)))
+        return df.withColumn(
+            "__cx",
+            F.explode(
+                F.sequence(
+                    _cell(F.col(env)["xmin"], cell), _cell(F.col(env)["xmax"], cell)
+                )
+            ),
+        ).withColumn(
+            "__cy",
+            F.explode(
+                F.sequence(
+                    _cell(F.col(env)["ymin"], cell), _cell(F.col(env)["ymax"], cell)
+                )
+            ),
+        )
+
+    a = cells(left, left_geom, "__env_l")
+    b = cells(right, right_geom, "__env_r")
+    joined = a.join(b, ["__cx", "__cy"], "inner")
+    # reference point: the intersection bbox's min corner picks ONE cell
+    ref_x = F.greatest(F.col("__env_l")["xmin"], F.col("__env_r")["xmin"])
+    ref_y = F.greatest(F.col("__env_l")["ymin"], F.col("__env_r")["ymin"])
+    joined = (
+        joined.filter(
+            (F.col("__cx") == _cell(ref_x, cell))
+            & (F.col("__cy") == _cell(ref_y, cell))
+        )
+        .filter(bbox_intersects(F.col("__env_l"), F.col("__env_r")))
+    )
+    exact = (
+        st_intersects(F.col(left_geom), F.col(right_geom))
+        if predicate == "intersects"
+        else st_contains(F.col(left_geom), F.col(right_geom))
+    )
+    return joined.filter(exact).drop("__cx", "__cy", "__env_l", "__env_r")

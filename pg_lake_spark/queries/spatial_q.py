@@ -402,3 +402,76 @@ def f_spatial_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.st_area(S.st_union("a", "b")).alias("union_area"),
         S.st_area(S.st_difference("a", "b")).alias("diff_area"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "j_polygon_overlap_join",
+    oracle="""
+    SELECT n.n_nationkey, count(*) AS overlaps
+    FROM nation n
+    JOIN (
+        SELECT c_custkey,
+               CAST((c_custkey % 50) * 7 AS DOUBLE)       AS bx0,
+               CAST(((c_custkey * 3) % 50) * 7 AS DOUBLE) AS by0
+        FROM customer WHERE c_custkey <= 300
+    ) b
+      ON n.n_nationkey * 13.0       <= b.bx0 + 10
+     AND b.bx0                      <= n.n_nationkey * 13.0 + 30
+     AND n.n_nationkey * 17.0       <= b.by0 + 10
+     AND b.by0                      <= n.n_nationkey * 17.0 + 30
+    GROUP BY n.n_nationkey
+    ORDER BY n.n_nationkey
+    """,
+    doc="Polygon⋈polygon intersect join via the grid-bucketed "
+    "reference-point plan (operators/spatial_join.polygon_polygon_join"
+    "): envelopes explode to cells, each candidate pair is emitted from "
+    "exactly one cell (no dedup shuffle), exact st_intersects verify. "
+    "Axis-aligned squares make the oracle pure interval arithmetic "
+    "(st_intersects includes boundary touch, hence <=).",
+)
+def j_polygon_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_lake_spark.operators.spatial_join import polygon_polygon_join
+
+    t = load_tables(spark, sf_dir)
+
+    def num(c):
+        return c.cast("long").cast("string")
+
+    def square(x0, y0, side):
+        return F.concat(
+            F.lit("POLYGON(("),
+            num(x0), F.lit(" "), num(y0), F.lit(","),
+            num(x0 + side), F.lit(" "), num(y0), F.lit(","),
+            num(x0 + side), F.lit(" "), num(y0 + side), F.lit(","),
+            num(x0), F.lit(" "), num(y0 + side), F.lit(","),
+            num(x0), F.lit(" "), num(y0), F.lit("))"),
+        )
+
+    nations = t["nation"].select(
+        "n_nationkey",
+        S.st_geomfromtext(
+            square(F.col("n_nationkey") * 13.0, F.col("n_nationkey") * 17.0, 30)
+        ).alias("ngeom"),
+    )
+    custs = (
+        t["customer"]
+        .filter(F.col("c_custkey") <= 300)
+        .select(
+            "c_custkey",
+            S.st_geomfromtext(
+                square(
+                    (F.col("c_custkey") % 50) * 7.0,
+                    ((F.col("c_custkey") * 3) % 50) * 7.0,
+                    10,
+                )
+            ).alias("cgeom"),
+        )
+    )
+    joined = polygon_polygon_join(
+        nations, custs, left_geom="ngeom", right_geom="cgeom", cell=32.0
+    )
+    return (
+        joined.groupBy("n_nationkey")
+        .agg(F.count(F.lit(1)).alias("overlaps"))
+        .orderBy("n_nationkey")
+    )

@@ -511,3 +511,67 @@ def test_overlay_area_invariants_fuzz():
         assert _math.isclose(ad, aa - ai, rel_tol=1e-9, abs_tol=1e-6)
 
     check()
+
+
+def test_polygon_polygon_join_matches_brute_force(spark):
+    """Grid + reference-point join == naive cross join with
+    st_intersects, on mixed shapes (triangles vs squares) where bbox
+    overlap ≠ geometry overlap — proving the exact verify stage."""
+    from pg_lake_spark.operators.spatial_join import polygon_polygon_join
+
+    tris = spark.createDataFrame(
+        [(i,) for i in range(12)], "tid int"
+    ).select(
+        "tid",
+        S.st_geomfromtext(
+            F.concat(
+                F.lit("POLYGON(("),
+                (F.col("tid") * 5).cast("string"), F.lit(" 0,"),
+                (F.col("tid") * 5 + 12).cast("string"), F.lit(" 0,"),
+                (F.col("tid") * 5).cast("string"), F.lit(" 12,"),
+                (F.col("tid") * 5).cast("string"), F.lit(" 0))"),
+            )
+        ).alias("tg"),
+    )
+    sqs = spark.createDataFrame(
+        [(j,) for j in range(15)], "sid int"
+    ).select(
+        "sid",
+        S.st_geomfromtext(
+            F.concat(
+                F.lit("POLYGON(("),
+                (F.col("sid") * 4 + 1).cast("string"), F.lit(" 6,"),
+                (F.col("sid") * 4 + 7).cast("string"), F.lit(" 6,"),
+                (F.col("sid") * 4 + 7).cast("string"), F.lit(" 11,"),
+                (F.col("sid") * 4 + 1).cast("string"), F.lit(" 11,"),
+                (F.col("sid") * 4 + 1).cast("string"), F.lit(" 6))"),
+            )
+        ).alias("sg"),
+    )
+    got = sorted(
+        (r.tid, r.sid)
+        for r in polygon_polygon_join(
+            tris, sqs, left_geom="tg", right_geom="sg", cell=6.0
+        ).collect()
+    )
+    want = sorted(
+        (r.tid, r.sid)
+        for r in tris.crossJoin(sqs)
+        .filter(S.st_intersects("tg", "sg"))
+        .collect()
+    )
+    assert got == want and got  # non-empty and identical
+    # bbox-only would overcount: some square overlaps the triangle's
+    # bbox but not the triangle
+    bbox_pairs = tris.crossJoin(sqs).filter(
+        S.bbox_intersects(S.st_envelope("tg"), S.st_envelope("sg"))
+    ).count()
+    assert bbox_pairs > len(got)
+    # contains variant: triangles containing a small square
+    small = sqs.select("sid", S.st_geomfromtext(F.lit("POLYGON((1 1,2 1,2 2,1 2,1 1))")).alias("sg"))
+    got_c = polygon_polygon_join(
+        tris, small.limit(1), left_geom="tg", right_geom="sg",
+        cell=6.0, predicate="contains",
+    ).count()
+    want_c = tris.crossJoin(small.limit(1)).filter(S.st_contains("tg", "sg")).count()
+    assert got_c == want_c == 1
