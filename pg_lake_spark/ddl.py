@@ -1,0 +1,152 @@
+"""SQL front-end for the reference's statement surface.
+
+The reference's primary UX is SQL DDL (docs/query-data-lake-files.md,
+data-lake-import-export.md):
+
+- ``CREATE FOREIGN TABLE t () SERVER pg_lake OPTIONS (path '…',
+  format '…', filename 'true', …)`` — lake file table
+- ``CREATE TABLE t () WITH (load_from = '…')`` /
+  ``(definition_from = '…')`` — schema-inferring create (+ load)
+- ``COPY t TO '…' (FORMAT …, COMPRESSION …)`` and
+  ``COPY t FROM '…' (…)``
+- ``DROP FOREIGN TABLE t``
+
+``execute_lake_sql`` recognizes exactly these shapes (tolerant,
+regex-based — the reference delegates real SQL parsing to PostgreSQL,
+which Spark's parser plays here) and routes them onto the LakeSession
+facades; anything else passes through to ``spark.sql`` unchanged, so
+one entry point serves both DDL and queries. Doc examples run
+verbatim.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def _parse_options(blob: str) -> dict[str, str]:
+    """FDW ``key 'value'`` and WITH ``key = 'value'`` pairs (also bare
+    ``key = value`` for numbers/booleans)."""
+    out: dict[str, str] = {}
+    for m in re.finditer(
+        r"(\w+)\s*(?:=\s*)?(?:'((?:[^']|'')*)'|([^,()\s]+))", blob
+    ):
+        key, quoted, bare = m.groups()
+        out[key.lower()] = (quoted.replace("''", "'") if quoted is not None else bare)
+    return out
+
+
+_CREATE_FOREIGN = re.compile(
+    r"^\s*CREATE\s+FOREIGN\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*"
+    r"\((?P<cols>[^)]*)\)\s*SERVER\s+pg_lake\s*(?:OPTIONS\s*\((?P<opts>.*)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_WITH = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*"
+    r"\((?P<cols>[^)]*)\)\s*WITH\s*\((?P<opts>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_FOREIGN = re.compile(
+    r"^\s*DROP\s+FOREIGN\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_COPY = re.compile(
+    r"^\s*COPY\s+(?P<src>\([^)]+\)|[\w.\"]+)\s+(?P<dir>TO|FROM)\s+"
+    r"'(?P<url>[^']+)'\s*(?:\((?P<opts>.*)\)|WITH\s*\((?P<wopts>.*)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_READ_OPTION_KEYS = {
+    "filename", "header", "delimiter", "quote", "escape", "nullstr",
+    "compression", "zip_path", "log_format",
+}
+
+
+def _fmt_from_options(opts: dict, path: str, default: str = "parquet") -> str:
+    if "format" in opts:
+        return opts["format"].lower()
+    base = path.split("?")[0]
+    for ext in (".gz", ".zst", ".bz2", ".zip"):
+        if base.endswith(ext):
+            base = base[: -len(ext)]
+    ext = base.rsplit(".", 1)[-1].lower() if "." in base else ""
+    return {"ndjson": "json"}.get(ext, ext) or default
+
+
+def execute_lake_sql(sess, sql: str) -> DataFrame | None:
+    """Execute one statement through the lake DDL surface; returns a
+    DataFrame for passthrough queries / foreign-table creates, None for
+    pure DDL effects."""
+    m = _CREATE_FOREIGN.match(sql)
+    if m:
+        name = m.group("name").strip('"')
+        opts = _parse_options(m.group("opts") or "")
+        if "path" not in opts:
+            raise ValueError("CREATE FOREIGN TABLE needs a path option")
+        path = opts.pop("path")
+        fmt = _fmt_from_options(opts, path)
+        opts.pop("format", None)
+        cols = (m.group("cols") or "").strip()
+        kwargs = {k: v for k, v in opts.items() if k in _READ_OPTION_KEYS}
+        if "filename" in kwargs:
+            kwargs["filename"] = kwargs["filename"].lower() == "true"
+        if cols:
+            kwargs["schema"] = cols
+        return sess.register_lake_table(name, path, fmt=fmt, **kwargs)
+
+    m = _CREATE_WITH.match(sql)
+    if m:
+        opts = _parse_options(m.group("opts"))
+        if "load_from" not in opts and "definition_from" not in opts:
+            # plain CREATE TABLE ... WITH: not ours
+            return sess.spark.sql(sql)
+        name = m.group("name").strip('"')
+        src = opts.get("load_from") or opts.get("definition_from")
+        location = opts.get("location") or sess.default_table_location(name)
+        read_opts = {k: v for k, v in opts.items() if k in _READ_OPTION_KEYS}
+        sess.create_table_from(
+            name,
+            location,
+            load_from=src if "load_from" in opts else None,
+            definition_from=src if "definition_from" in opts else None,
+            fmt=opts.get("format"),
+            **read_opts,
+        )
+        return None
+
+    m = _DROP_FOREIGN.match(sql)
+    if m:
+        name = m.group("name").strip('"')
+        sess.spark.catalog.dropTempView(name)
+        sess._manual.pop(name, None)
+        return None
+
+    m = _COPY.match(sql)
+    if m:
+        from pg_lake_spark.sources.writers import copy_from, copy_to
+
+        src, direction, url = m.group("src"), m.group("dir").upper(), m.group("url")
+        opts = _parse_options(m.group("opts") or m.group("wopts") or "")
+        fmt = _fmt_from_options(opts, url, default="csv" if "." not in url else "parquet")
+        if direction == "TO":
+            df = (
+                sess.spark.sql(src[1:-1])
+                if src.startswith("(")
+                else sess.spark.table(src.strip('"'))
+            )
+            kwargs = {}
+            if "compression" in opts:
+                kwargs["compression"] = opts["compression"]
+            if "partition_by" in opts:
+                kwargs["partition_by"] = [
+                    c.strip() for c in opts["partition_by"].split(",")
+                ]
+            copy_to(df, url, fmt=fmt, **kwargs)
+            return None
+        table = sess.lake_table_handle(src.strip('"'))
+        copy_from(sess.spark, url, table, fmt=fmt)
+        return None
+
+    return sess.spark.sql(sql)

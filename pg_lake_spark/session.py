@@ -213,7 +213,9 @@ class LakeSession:
         # after register_corpus (round-2 ADVICE).
         self._corpus: Mapping[str, DataFrame] = {}
         self._manual: dict[str, DataFrame] = {}
+        self._lake_tables: dict[str, object] = {}  # name -> LakeTable
         self.file_cache = None  # set by enable_file_cache
+        self.warehouse: str | None = None  # default location root for DDL
 
     # -- registration ---------------------------------------------------
     def register_corpus(self, sf_dir: str = DEFAULT_SF_DIR) -> LazyTables:
@@ -272,7 +274,34 @@ class LakeSession:
         else:
             raise ValueError("provide df (CTAS) or schema_ddl")
         t.to_df().createOrReplaceTempView(name)
+        self._lake_tables[name] = t
         return t
+
+    def default_table_location(self, name: str) -> str:
+        """Location for DDL-created tables without an explicit
+        ``location`` option: ``<warehouse>/<name>`` (set
+        ``sess.warehouse``; defaults to a per-session temp dir)."""
+        import tempfile
+
+        if self.warehouse is None:
+            self.warehouse = tempfile.mkdtemp(prefix="pg_lake_wh_")
+        return os.path.join(self.warehouse, name)
+
+    def lake_table_handle(self, name: str):
+        """The LakeTable behind a session-registered table name."""
+        try:
+            return self._lake_tables[name]
+        except KeyError:
+            raise KeyError(f"{name!r} is not a lake table in this session") from None
+
+    def execute(self, sql: str):
+        """One SQL entry point for the reference's statement surface:
+        CREATE FOREIGN TABLE / CREATE TABLE WITH (load_from=...) /
+        COPY TO / COPY FROM / DROP FOREIGN TABLE are routed to the lake
+        facades; everything else runs as a Spark SQL query."""
+        from pg_lake_spark.ddl import execute_lake_sql
+
+        return execute_lake_sql(self, sql)
 
     def create_table_from(
         self,
