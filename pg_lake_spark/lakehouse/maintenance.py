@@ -504,3 +504,48 @@ def rewrite_zorder(
         cat.commit_metadata(table.location, md)
         table.metadata = md
     return {"rewritten_files": len(files), "added_files": len(added)}
+
+
+def find_all_referenced_files(table: LakeTable) -> set[str]:
+    """Every data file referenced by any retained snapshot — parity
+    with the reference's ``lake.find_all_referenced_files`` (vacuum.c's
+    reachability walk). Driver-side metadata scan."""
+    from pg_lake_spark.lakehouse import catalog as cat
+
+    referenced: set[str] = set()
+    for snap in table.metadata.snapshots:
+        for f in cat.read_snapshot_files(table.location, table.metadata, snap):
+            referenced.add(f.path)
+    return referenced
+
+
+def find_unreferenced_files(table: LakeTable) -> list[str]:
+    """Files physically under the table's data directory that no
+    retained snapshot references (candidates for deletion-queue
+    enqueue) — ``lake.find_unreferenced_files`` parity."""
+    import glob as _glob
+
+    referenced = {os.path.abspath(p) for p in find_all_referenced_files(table)}
+    on_disk = [
+        os.path.abspath(p)
+        for p in _glob.glob(
+            os.path.join(table.location, "data", "**", "*.parquet"), recursive=True
+        )
+    ]
+    return sorted(p for p in on_disk if p not in referenced)
+
+
+def table_size(table: LakeTable) -> dict:
+    """Current-snapshot logical size — ``pg_lake_table_size`` parity:
+    total bytes / file count / row count from file metadata (no scan)."""
+    from pg_lake_spark.lakehouse import catalog as cat
+
+    snap = table.metadata.current_snapshot()
+    files = (
+        cat.read_snapshot_files(table.location, table.metadata, snap) if snap else []
+    )
+    return {
+        "bytes": sum(f.size_bytes for f in files),
+        "files": len(files),
+        "rows": sum(f.row_count for f in files),
+    }

@@ -433,3 +433,55 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
         S.st_geometrytype(g).alias("gtype"),
         "properties",
     )
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def file_exists(spark: SparkSession, path: str) -> bool:
+    """``lake_file.exists`` parity (pg_lake_file_exists) over Hadoop FS
+    so s3a:///hdfs:// work identically on a cluster."""
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def file_size(spark: SparkSession, path: str) -> int:
+    """``lake_file.size`` parity (pg_lake_file_size)."""
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    return int(fs.getFileStatus(hpath).getLen())
+
+
+def file_preview(spark: SparkSession, path: str, length: int = 8192) -> bytes:
+    """First ``length`` bytes of a file (pg_lake_file_preview) — the
+    peek-before-you-scan utility the docs use to eyeball lake files."""
+    fs, hpath, jvm = _hadoop_fs(spark, path)
+    n = min(length, file_size(spark, path))
+    stream = fs.open(hpath)
+    try:
+        # py4j passes byte[] ARGUMENTS by value (a readFully(buf) call
+        # can't mutate back), so have the JVM build and RETURN the
+        # array — commons-io ships with Spark
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream, n)
+    finally:
+        stream.close()
+    return bytes(data)
+
+
+def copy_file(spark: SparkSession, src: str, dst: str) -> None:
+    """``lake_file.copy`` parity (pg_lake_copy_file)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    s = jvm.org.apache.hadoop.fs.Path(src)
+    d = jvm.org.apache.hadoop.fs.Path(dst)
+    jvm.org.apache.hadoop.fs.FileUtil.copy(
+        s.getFileSystem(conf), s, d.getFileSystem(conf), d, False, conf
+    )
+
+
+def delete_file(spark: SparkSession, path: str, recursive: bool = False) -> bool:
+    """``lake_file.delete`` parity (pg_lake_delete_file)."""
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    return bool(fs.delete(hpath, recursive))

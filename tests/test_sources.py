@@ -286,3 +286,49 @@ def test_session_describe(spark, tmp_path):
     csv.write_text("a,b\n1,2.5\n3,4.5\n")
     rows = {r.column: r.type for r in sess.describe(str(csv), fmt="csv").collect()}
     assert rows == {"a": "int", "b": "double"}
+
+
+def test_lake_file_utilities(spark, tmp_path):
+    """lake_file.exists/size/preview/copy/delete parity
+    (pg_lake_file_* SQL utilities) over the Hadoop FS API."""
+    from pg_lake_spark.sources.readers import (
+        copy_file,
+        delete_file,
+        file_exists,
+        file_preview,
+        file_size,
+    )
+
+    p = tmp_path / "blob.bin"
+    p.write_bytes(b"pg_lake preview bytes" + b"\x00" * 100)
+    path = str(p)
+    assert file_exists(spark, path) is True
+    assert file_exists(spark, path + ".nope") is False
+    assert file_size(spark, path) == 121
+    assert file_preview(spark, path, 7) == b"pg_lake"
+    dst = str(tmp_path / "copy.bin")
+    copy_file(spark, path, dst)
+    assert file_size(spark, dst) == 121
+    assert delete_file(spark, dst) is True
+    assert file_exists(spark, dst) is False
+
+
+def test_table_size_and_unreferenced(spark, tmp_path):
+    from pg_lake_spark.lakehouse.maintenance import (
+        find_all_referenced_files,
+        find_unreferenced_files,
+        table_size,
+    )
+    from pg_lake_spark.lakehouse.table import LakeTable
+
+    loc = str(tmp_path / "t")
+    t = LakeTable.create_from_dataframe(spark, loc, spark.range(50).selectExpr("id AS k"))
+    s = table_size(t)
+    assert s["rows"] == 50 and s["files"] >= 1 and s["bytes"] > 0
+    assert len(find_all_referenced_files(t)) == s["files"]
+    assert find_unreferenced_files(t) == []
+    import os as _os
+
+    orphan = _os.path.join(loc, "data", "orphan.parquet")
+    open(orphan, "wb").write(b"zz")
+    assert [_os.path.basename(f) for f in find_unreferenced_files(t)] == ["orphan.parquet"]
