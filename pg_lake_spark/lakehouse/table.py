@@ -18,6 +18,7 @@ read, the same cost the reference pays in GetRemoteParquetColumnStats.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 import urllib.parse
@@ -570,6 +571,44 @@ class LakeTable:
                 rows.append((f.path, f.row_count, f.size_bytes, str(f.partition)))
         return self.spark.createDataFrame(
             rows, "path string, row_count bigint, size_bytes bigint, partition string"
+        )
+
+    def partitions(self) -> DataFrame:
+        """Per-partition-tuple summary (files / rows / bytes) — the
+        Iceberg ``partitions`` metadata table and the reference's
+        ``get_partition_summary`` in one view. Metadata-only."""
+        from pg_lake_spark.lakehouse import catalog as cat
+
+        snap = self.metadata.current_snapshot()
+        agg: dict[str, list[int]] = {}
+        if snap:
+            for f in cat.read_snapshot_files(self.location, self.metadata, snap):
+                key = json.dumps(f.partition, sort_keys=True, default=str)
+                a = agg.setdefault(key, [0, 0, 0])
+                a[0] += 1
+                a[1] += f.row_count
+                a[2] += f.size_bytes
+        rows = [(k, v[0], v[1], v[2]) for k, v in sorted(agg.items())]
+        return self.spark.createDataFrame(
+            rows, "partition string, file_count bigint, row_count bigint, size_bytes bigint"
+        )
+
+    def file_stats(self) -> DataFrame:
+        """Per-file column stats (min/max/null_count as JSON) — the
+        reference's ``pg_lake_read_data_file_stats`` surface; these are
+        the same footer stats pruning consults."""
+        from pg_lake_spark.lakehouse import catalog as cat
+
+        snap = self.metadata.current_snapshot()
+        rows = []
+        if snap:
+            for f in cat.read_snapshot_files(self.location, self.metadata, snap):
+                rows.append(
+                    (f.path, f.row_count, f.size_bytes,
+                     json.dumps(f.stats, sort_keys=True, default=str))
+                )
+        return self.spark.createDataFrame(
+            rows, "path string, row_count bigint, size_bytes bigint, stats string"
         )
 
     def snapshots(self) -> DataFrame:

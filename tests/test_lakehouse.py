@@ -1223,3 +1223,25 @@ def test_dml_model_fuzz(spark, tmp_path):
         got = sorted(tuple(r) for r in t.to_df(snapshot_id=sid).collect())
         want = sorted((k, g, v) for k, (g, v) in m.items())
         assert got == want, f"snapshot {sid} drifted"
+
+
+def test_partitions_and_file_stats_metadata_tables(spark, tmp_path):
+    """table.partitions() (get_partition_summary / Iceberg partitions
+    metadata table) and table.file_stats()
+    (pg_lake_read_data_file_stats) — metadata-only views."""
+    import json as _json
+
+    from pg_lake_spark.lakehouse.table import LakeTable
+
+    loc = str(tmp_path / "pt")
+    df = spark.range(90).selectExpr("id AS k", "CAST(id % 3 AS STRING) AS p")
+    t = LakeTable.create_from_dataframe(spark, loc, df, partition_by=["p"])
+    parts = {r.partition: (r.file_count, r.row_count) for r in t.partitions().collect()}
+    assert len(parts) == 3
+    assert sum(v[1] for v in parts.values()) == 90
+    assert {_json.loads(k)["p"] for k in parts} == {0, 1, 2}
+
+    stats = t.file_stats().collect()
+    assert len(stats) == sum(v[0] for v in parts.values())
+    one = _json.loads(stats[0].stats)
+    assert "k" in one and {"min", "max", "null_count"} <= set(one["k"])
