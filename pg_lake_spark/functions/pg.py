@@ -205,6 +205,19 @@ def pg_to_char(ts: Column | str, pg_fmt: str) -> Column:
     return out
 
 
+def pg_to_date(s: Column | str, pg_fmt: str) -> Column:
+    """PG ``to_date(text, fmt)`` — the same pattern compiler as
+    :func:`pg_to_char` driving ``to_date`` (reference:
+    pg_lake_to_date in the engine's PG-compat function set). Plain
+    codegen'd expression, no UDF."""
+    return F.to_date(_col(s), translate_to_char_pattern(pg_fmt))
+
+
+def pg_to_timestamp(s: Column | str, pg_fmt: str) -> Column:
+    """PG ``to_timestamp(text, fmt)`` via the shared pattern compiler."""
+    return F.to_timestamp(_col(s), translate_to_char_pattern(pg_fmt))
+
+
 # ---------------------------------------------------------------------------
 # INTERVAL persistence encoding (months/days/microseconds struct)
 # ---------------------------------------------------------------------------

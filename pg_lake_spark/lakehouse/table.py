@@ -198,6 +198,55 @@ class LakeTable:
                     pass
         return snap
 
+    def add_files(self, paths: list[str], partition_values: dict | None = None) -> Snapshot:
+        """Register EXISTING parquet files into the table as an append
+        snapshot — no data rewrite (the reference's
+        ``lake.add_files_to_table``; Iceberg's ``add_files`` procedure).
+
+        Footer stats are collected per file so pruning works exactly as
+        for engine-written files; schemas must be by-name compatible
+        with the table (extra columns rejected, missing ones read as
+        NULL). For a partitioned table, ``partition_values`` supplies
+        the partition tuple the files belong to (one call per tuple)."""
+        import pyarrow.parquet as pq
+
+        table_cols = {n for n, _ in ddl_fields(self.metadata.schema_ddl)}
+        spec = self.metadata.partition_spec
+        if spec and partition_values is None:
+            raise ValueError("partitioned table: pass partition_values")
+        new_files: list[DataFile] = []
+        for path in paths:
+            meta = pq.ParquetFile(path).metadata
+            file_cols = {meta.schema.column(i).name for i in range(meta.num_columns)}
+            extra = file_cols - table_cols
+            if extra:
+                raise ValueError(
+                    f"{path}: columns {sorted(extra)} not in table schema"
+                )
+            partition = dict(partition_values or {})
+            if spec:
+                partition = {_pfield_name(pf): partition.get(_pfield_name(pf)) for pf in spec}
+            new_files.append(
+                DataFile(
+                    path=os.path.abspath(path),
+                    row_count=meta.num_rows,
+                    size_bytes=os.path.getsize(path),
+                    partition=partition,
+                    stats=_footer_stats(meta),
+                    spec_id=self.metadata.default_spec_id,
+                )
+            )
+        return self._commit(
+            operation="append",
+            added=new_files,
+            removed_paths=set(),
+            summary={
+                "added_files": len(new_files),
+                "added_rows": sum(f.row_count for f in new_files),
+                "add-files": True,
+            },
+        )
+
     def _write_data_files(self, df: DataFrame) -> list[DataFile]:
         staging = os.path.join(self.location, "data", uuid.uuid4().hex)
         spec = self.metadata.partition_spec

@@ -680,3 +680,41 @@ def f_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "f_to_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(strptime(
+             lpad(CAST(day(o_orderdate) AS VARCHAR), 2, '0') || '/' ||
+             lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0') || '/' ||
+             CAST(year(o_orderdate) AS VARCHAR), '%d/%m/%Y') AS DATE) AS parsed
+    FROM orders
+    WHERE o_orderkey <= 500
+    ORDER BY o_orderkey
+    """,
+    doc="PG to_date(text, fmt) via the shared to_char pattern compiler "
+    "(functions/pg.pg_to_date): format each order date as DD/MM/YYYY "
+    "text and parse it back — proves the PG->Java pattern translation "
+    "against DuckDB's strptime. Roundtrip identity makes the oracle "
+    "exact.",
+)
+def f_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_lake_spark.functions.pg import pg_to_date
+
+    t = load_tables(spark, sf_dir)
+    txt = F.concat(
+        F.lpad(F.dayofmonth("o_orderdate").cast("string"), 2, "0"), F.lit("/"),
+        F.lpad(F.month("o_orderdate").cast("string"), 2, "0"), F.lit("/"),
+        F.year("o_orderdate").cast("string"),
+    )
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 500)
+        .select(
+            "o_orderkey",
+            pg_to_date(txt, "DD/MM/YYYY").alias("parsed"),
+        )
+        .orderBy("o_orderkey")
+    )

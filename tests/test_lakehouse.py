@@ -1245,3 +1245,35 @@ def test_partitions_and_file_stats_metadata_tables(spark, tmp_path):
     assert len(stats) == sum(v[0] for v in parts.values())
     one = _json.loads(stats[0].stats)
     assert "k" in one and {"min", "max", "null_count"} <= set(one["k"])
+
+
+def test_add_files_registers_without_rewrite(spark, tmp_path):
+    """lake.add_files_to_table / Iceberg add_files parity: existing
+    parquet registers as an append snapshot, stats collected, pruning
+    and reads work; the file is NOT copied."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from pg_lake_spark.lakehouse.table import LakeTable
+
+    loc = str(tmp_path / "t")
+    t = LakeTable.create(spark, loc, "k bigint, v string")
+    ext = str(tmp_path / "external.parquet")
+    papq.write_table(pa.table({"k": [1, 2, 3], "v": ["a", "b", "c"]}), ext)
+    before = t.snapshots().count()
+    snap = t.add_files([ext])
+    assert t.snapshots().count() == before + 1
+    got = sorted(tuple(r) for r in t.to_df().collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    # registered in place (no copy), stats present for pruning
+    files = {r.path for r in t.files().collect()}
+    assert ext in files or any(p.endswith("external.parquet") for p in files)
+    stats = t.file_stats().collect()
+    assert any('"k"' in r.stats for r in stats)
+    # schema-mismatch file rejected loudly
+    bad = str(tmp_path / "bad.parquet")
+    papq.write_table(pa.table({"zz": [1]}), bad)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in table schema"):
+        t.add_files([bad])
