@@ -1430,3 +1430,29 @@ def iceberg_snapshots(spark: SparkSession, location: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "snapshot_id bigint, timestamp_ms bigint, summary string"
     )
+
+
+def iceberg_field_ids(location: str) -> dict[str, int]:
+    """Leaf name → field-id mapping of the table's current schema —
+    parity with the reference's ``iceberg_table_fieldids`` /
+    ``pg_lake_get_leaf_field_ids`` introspection (field ids drive
+    column resolution for foreign readers and name-mapping export).
+    Nested fields flatten with dotted paths."""
+    md = iceberg_metadata(location)
+    schemas = {s["schema-id"]: s for s in md.get("schemas", [])}
+    schema = schemas.get(md.get("current-schema-id"), md.get("schema"))
+    if schema is None:
+        raise ValueError(f"no schema in metadata under {location}")
+
+    out: dict[str, int] = {}
+
+    def walk(fields: list, prefix: str) -> None:
+        for f in fields:
+            name = prefix + f["name"]
+            out[name] = int(f["id"])
+            t = f.get("type")
+            if isinstance(t, dict) and t.get("type") == "struct":
+                walk(t["fields"], name + ".")
+
+    walk(schema["fields"], "")
+    return out
