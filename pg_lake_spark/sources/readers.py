@@ -259,6 +259,10 @@ def read_lake(
         from pg_lake_spark.sources.mif import read_mif
 
         df = read_mif(spark, path)
+    elif fmt in ("map", "wasp"):
+        from pg_lake_spark.sources.wasp import read_wasp_map
+
+        df = read_wasp_map(spark, path)
     elif fmt == "geojson":
         df = read_geojson(spark, path)
     elif fmt == "xlsx":

@@ -332,3 +332,29 @@ def test_table_size_and_unreferenced(spark, tmp_path):
     orphan = _os.path.join(loc, "data", "orphan.parquet")
     open(orphan, "wb").write(b"zz")
     assert [_os.path.basename(f) for f in find_unreferenced_files(t)] == ["orphan.parquet"]
+
+
+def test_wasp_map_reader(spark, tmp_path):
+    """GDAL-funnel WAsP .map parity: header + (left right n) records
+    with wrapped coordinate lines -> LINESTRING rows."""
+    from pg_lake_spark.functions.spatial import _to_wkt
+    from pg_lake_spark.sources.readers import read_lake
+
+    p = tmp_path / "rough.map"
+    p.write_text(
+        "Test roughness map\n"
+        "0.0 0.0 1.0 0.0\n"
+        "0.0 90.0\n"
+        "0.0 1000.0 0.0 1000.0\n"
+        "0.03 0.1 3\n"
+        "0 0 500 250\n"
+        "1000 500\n"
+        "5.0 5.0 2 0 1000 1000 0\n"
+    )
+    df = read_lake(spark, str(p), fmt="map")
+    rows = df.orderBy("left").collect()
+    assert len(rows) == 2
+    assert (rows[0].left, rows[0].right) == (0.03, 0.1)
+    assert _to_wkt(bytes(rows[0].geometry)) == "LINESTRING(0 0,500 250,1000 500)"
+    assert (rows[1].left, rows[1].right) == (5.0, 5.0)
+    assert _to_wkt(bytes(rows[1].geometry)) == "LINESTRING(0 1000,1000 0)"
