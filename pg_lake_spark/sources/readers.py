@@ -263,6 +263,10 @@ def read_lake(
         from pg_lake_spark.sources.wasp import read_wasp_map
 
         df = read_wasp_map(spark, path)
+    elif fmt == "xodr":
+        from pg_lake_spark.sources.xodr import read_xodr
+
+        df = read_xodr(spark, path)
     elif fmt == "geojson":
         df = read_geojson(spark, path)
     elif fmt == "xlsx":

@@ -358,3 +358,36 @@ def test_wasp_map_reader(spark, tmp_path):
     assert _to_wkt(bytes(rows[0].geometry)) == "LINESTRING(0 0,500 250,1000 500)"
     assert (rows[1].left, rows[1].right) == (5.0, 5.0)
     assert _to_wkt(bytes(rows[1].geometry)) == "LINESTRING(0 1000,1000 0)"
+
+
+def test_xodr_reader(spark, tmp_path):
+    """OpenDRIVE .xodr: line + arc reference-line geometry sampled to a
+    LINESTRING; arc endpoints land on the exact circle."""
+    import math
+
+    from pg_lake_spark.functions.spatial import _parse
+    from pg_lake_spark.sources.readers import read_lake
+
+    p = tmp_path / "road.xodr"
+    p.write_text(
+        """<?xml version="1.0"?>
+<OpenDRIVE>
+ <road id="r1" name="Main" length="120">
+  <planView>
+   <geometry s="0" x="0" y="0" hdg="0" length="100"><line/></geometry>
+   <geometry s="100" x="100" y="0" hdg="0" length="20">
+     <arc curvature="0.05"/></geometry>
+  </planView>
+ </road>
+</OpenDRIVE>"""
+    )
+    df = read_lake(spark, str(p), fmt="xodr")
+    row = df.collect()[0]
+    assert row.road_id == "r1" and row.name == "Main" and row.length == 120.0
+    _, coords = _parse(bytes(row.geometry))
+    assert coords[0] == (0.0, 0.0) and (100.0, 0.0) in coords
+    # arc end: R=20, arc angle = length*k = 1 rad from (100,0) heading 0
+    ex = 100 + math.sin(1.0) / 0.05
+    ey = -(math.cos(1.0) - 1) / 0.05
+    gx, gy = coords[-1]
+    assert abs(gx - ex) < 1e-9 and abs(gy - ey) < 1e-9
