@@ -1084,6 +1084,53 @@ class LakeTable:
             "alter", [], set(), {"add_column": name}, schema_ddl=new_ddl, mutate=mutate
         )
 
+    #: Iceberg-safe type promotions (spec "Schema Evolution": widenings
+    #: readable over files written with the old physical type).
+    _TYPE_PROMOTIONS = {
+        ("smallint", "int"), ("smallint", "bigint"), ("int", "bigint"),
+        ("float", "double"),
+    }
+
+    def alter_column_type(self, name: str, new_type: str) -> None:
+        """ALTER COLUMN TYPE restricted to Iceberg's safe promotions
+        (int→bigint, float→double, smallint widenings, decimal
+        precision increase at equal scale). Metadata-only: Spark's
+        parquet reader widens the old files' physical type into the new
+        logical schema at scan time — no rewrite, same contract as the
+        reference's Iceberg schema evolution (docs/iceberg-tables.md
+        "Altering an Iceberg table")."""
+        new_type = new_type.strip().lower()
+        fields = ddl_fields(self.metadata.schema_ddl)
+        types = dict(fields)
+        if name not in types:
+            raise ValueError(f"column {name} not found")
+        old = types[name].strip().lower()
+        ok = (old, new_type) in self._TYPE_PROMOTIONS
+        if not ok and old.startswith("decimal(") and new_type.startswith("decimal("):
+            op, osc = map(int, old[8:-1].split(","))
+            np_, nsc = map(int, new_type[8:-1].split(","))
+            ok = nsc == osc and np_ >= op
+        if not ok:
+            raise ValueError(
+                f"unsafe type change {old} -> {new_type}; allowed: "
+                "int->bigint, smallint->int/bigint, float->double, "
+                "decimal precision widening at equal scale"
+            )
+        new_ddl = ", ".join(
+            f"{n} {new_type if n == name else t}" for n, t in fields
+        )
+
+        def mutate(md, sid):
+            md.schema_log.append(
+                {"op": "retype", "column": name, "from": old, "to": new_type,
+                 "snapshot_id": sid}
+            )
+
+        self._commit(
+            "alter", [], set(), {"alter_column_type": f"{name}:{new_type}"},
+            schema_ddl=new_ddl, mutate=mutate,
+        )
+
     def drop_column(self, name: str) -> None:
         fields = ddl_fields(self.metadata.schema_ddl)
         kept = [(n, t) for n, t in fields if n != name]

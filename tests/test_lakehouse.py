@@ -1277,3 +1277,42 @@ def test_add_files_registers_without_rewrite(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not in table schema"):
         t.add_files([bad])
+
+
+def test_alter_column_type_promotion(spark, tmp_path):
+    """Iceberg-safe type promotion (int->bigint, float->double,
+    decimal precision widen): metadata-only, mixed-era files scan
+    under the widened schema; unsafe changes refuse loudly."""
+    from pg_lake_spark.lakehouse.table import LakeTable
+
+    loc = str(tmp_path / "t")
+    t = LakeTable.create(spark, loc, "k int, v float, d decimal(8,2)")
+    t.append(
+        spark.sql(
+            "SELECT * FROM VALUES (CAST(1 AS INT), CAST(1.5 AS FLOAT), "
+            "CAST(10.25 AS DECIMAL(8,2))), (2, CAST(2.5 AS FLOAT), "
+            "CAST(20.50 AS DECIMAL(8,2))) AS t(k, v, d)"
+        )
+    )
+    t.alter_column_type("k", "bigint")
+    t.alter_column_type("v", "double")
+    t.alter_column_type("d", "decimal(12,2)")
+    t.append(
+        spark.sql("SELECT CAST(3000000000000 AS BIGINT) k, CAST(3.25 AS DOUBLE) v, "
+                  "CAST(999999999.99 AS DECIMAL(12,2)) d")
+    )
+    df = t.to_df()
+    assert dict(df.dtypes) == {"k": "bigint", "v": "double", "d": "decimal(12,2)"}
+    got = sorted((r.k, r.v, str(r.d)) for r in df.collect())
+    assert got == [
+        (1, 1.5, "10.25"), (2, 2.5, "20.50"), (3000000000000, 3.25, "999999999.99"),
+    ]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsafe type change"):
+        t.alter_column_type("k", "int")  # narrowing
+    with _pytest.raises(ValueError, match="unsafe type change"):
+        t.alter_column_type("d", "decimal(12,4)")  # scale change
+    with _pytest.raises(ValueError, match="not found"):
+        t.alter_column_type("zz", "bigint")
