@@ -267,6 +267,10 @@ def read_lake(
         from pg_lake_spark.sources.xodr import read_xodr
 
         df = read_xodr(spark, path)
+    elif fmt in ("fgb", "flatgeobuf"):
+        from pg_lake_spark.sources.flatgeobuf import read_flatgeobuf
+
+        df = read_flatgeobuf(spark, path)
     elif fmt == "geojson":
         df = read_geojson(spark, path)
     elif fmt == "xlsx":

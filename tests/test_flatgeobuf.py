@@ -1,0 +1,120 @@
+"""FlatGeobuf reader/writer (dependency-free flatbuffers subset).
+
+Structure is verified by independent manual byte decoding (not just
+writer->reader roundtrip): magic, size-prefixed frames, vtable slots,
+column tables, and the packed-R-tree skip formula."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from pg_lake_spark.functions.spatial import _from_wkt, _to_wkt
+from pg_lake_spark.sources import flatgeobuf as fgb
+
+
+ROWS = [
+    {"id": 1, "name": "a", "score": 1.5, "flag": True,
+     "geometry": _from_wkt("POINT(1 2)")},
+    {"id": 2, "name": "b", "score": 2.5, "flag": False,
+     "geometry": _from_wkt("LINESTRING(0 0,5 5,10 0)")},
+    {"id": 3, "name": "c", "score": 3.5, "flag": True,
+     "geometry": _from_wkt(
+         "POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))")},
+    {"id": 4, "name": "d", "score": 4.5, "flag": False,
+     "geometry": _from_wkt("MULTIPOINT(1 1,2 2)")},
+]
+
+
+def test_roundtrip_via_read_lake(spark, tmp_path):
+    from pg_lake_spark.sources.readers import read_lake
+
+    p = str(tmp_path / "t.fgb")
+    fgb.write_flatgeobuf(p, ROWS, name="layer1")
+    df = read_lake(spark, p, fmt="fgb")
+    got = df.orderBy("id").collect()
+    assert [r.id for r in got] == [1, 2, 3, 4]
+    assert [r.name for r in got] == ["a", "b", "c", "d"]
+    assert got[0].score == 1.5 and got[0].flag is True
+    wkts = [_to_wkt(bytes(r.geometry)) for r in got]
+    assert wkts == [
+        "POINT(1 2)",
+        "LINESTRING(0 0,5 5,10 0)",
+        "POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))",
+        "MULTIPOINT(1 1,2 2)",
+    ]
+
+
+def test_wire_structure_manual_decode(tmp_path):
+    """Decode the header frame by hand (no reader classes) to pin the
+    wire layout: magic, frame size, root uoffset, negative soffset to a
+    trailing vtable, string field."""
+    p = str(tmp_path / "t.fgb")
+    fgb.write_flatgeobuf(p, ROWS, name="layer1")
+    buf = open(p, "rb").read()
+    assert buf[:8] == fgb.MAGIC
+    (hsize,) = struct.unpack_from("<I", buf, 8)
+    (root,) = struct.unpack_from("<I", buf, 12)
+    tpos = 12 + root
+    (soff,) = struct.unpack_from("<i", buf, tpos)
+    assert soff < 0  # vtable after table (builder invariant)
+    vt = tpos - soff
+    vt_len, tbl_len = struct.unpack_from("<HH", buf, vt)
+    assert vt_len >= 4 + 2 and tbl_len >= 4
+    # slot 0 = name: follow the uoffset to a length-prefixed string
+    (voff,) = struct.unpack_from("<H", buf, vt + 4)
+    fpos = tpos + voff
+    (u,) = struct.unpack_from("<I", buf, fpos)
+    (slen,) = struct.unpack_from("<I", buf, fpos + u)
+    assert buf[fpos + u + 4 : fpos + u + 4 + slen] == b"layer1"
+    # features start right after the header frame (no index)
+    (f0,) = struct.unpack_from("<I", buf, 12 + hsize)
+    assert 0 < f0 < len(buf)
+
+
+def test_rtree_index_skip(spark, tmp_path):
+    """A file carrying a packed Hilbert R-tree is read by skipping
+    exactly the level-sum node bytes."""
+    p = str(tmp_path / "plain.fgb")
+    fgb.write_flatgeobuf(p, ROWS)
+    buf = open(p, "rb").read()
+    (hsize,) = struct.unpack_from("<I", buf, 8)
+    header_frame = bytearray(buf[8 : 12 + hsize])
+    # patch index_node_size (slot 9) from 0 to 2 in the header table
+    (root,) = struct.unpack_from("<I", header_frame, 4)
+    tpos = 4 + root
+    (soff,) = struct.unpack_from("<i", header_frame, tpos)
+    vt = tpos - soff
+    (voff,) = struct.unpack_from("<H", header_frame, vt + 4 + 2 * 9)
+    assert voff
+    struct.pack_into("<H", header_frame, tpos + voff, 2)
+    index = b"\xab" * fgb._rtree_size(len(ROWS), 2)
+    patched = buf[:8] + bytes(header_frame) + index + buf[12 + hsize :]
+    p2 = str(tmp_path / "indexed.fgb")
+    open(p2, "wb").write(patched)
+    df = fgb.read_flatgeobuf(spark, p2)
+    assert sorted(r.id for r in df.collect()) == [1, 2, 3, 4]
+
+
+def test_rtree_size_formula():
+    # upstream packedrtree level-sum: 4 items @ node 2 -> 4+2+1 nodes
+    assert fgb._rtree_size(4, 2) == (4 + 2 + 1) * 40
+    assert fgb._rtree_size(0, 16) == 0
+    assert fgb._rtree_size(10, 0) == 0  # index-free
+    assert fgb._rtree_size(1, 16) == 1 * 40 == 40
+
+
+def test_null_properties_and_bad_magic(spark, tmp_path):
+    p = str(tmp_path / "n.fgb")
+    rows = [
+        {"id": 1, "name": None, "geometry": _from_wkt("POINT(0 0)")},
+        {"id": 2, "name": "x", "geometry": _from_wkt("POINT(1 1)")},
+    ]
+    fgb.write_flatgeobuf(p, rows)
+    got = {r.id: r.name for r in fgb.read_flatgeobuf(spark, p).collect()}
+    assert got == {1: None, 2: "x"}
+    bad = str(tmp_path / "bad.fgb")
+    open(bad, "wb").write(b"not a flatgeobuf")
+    with pytest.raises(ValueError, match="not a FlatGeobuf"):
+        fgb.read_flatgeobuf(spark, bad)
