@@ -111,3 +111,27 @@ def st_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_stream(spark, sf_dir), window="2 hours", slide="1 hour"
     )
     return run_available_now(sdf, spark).orderBy("window_start", "event_type")
+
+
+@query(
+    "st_stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    ORDER BY user_id, event_type
+    """,
+    doc="Streaming exact dedup: Structured Streaming dropDuplicates "
+    "keeps per-key state across micro-batches and emits each key once "
+    "(append mode) — the streaming arm of the exact-dedup operator "
+    "family; equals batch DISTINCT on the key columns for a bounded "
+    "source.",
+)
+def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = (
+        read_events_stream(spark, sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    return run_available_now(sdf, spark, output_mode="append").orderBy(
+        "user_id", "event_type"
+    )

@@ -155,6 +155,19 @@ def copy_to(
     PARTITION_BY analogue).
     """
     fmt = fmt.lower()
+    if fmt in ("fgb", "flatgeobuf"):
+        # geo export: single-object vector file (the reference's GDAL
+        # COPY TO writes one file too); driver-side collect — sized for
+        # map layers, not fact tables
+        from pg_lake_spark.sources.flatgeobuf import write_flatgeobuf
+
+        geom_col = options.pop("geometry", "geometry")
+        rows = [r.asDict() for r in df.collect()]
+        for r in rows:
+            if r.get(geom_col) is not None:
+                r[geom_col] = bytes(r[geom_col])
+        write_flatgeobuf(url, rows, geom_col=geom_col, **options)
+        return
     if fmt not in _FORMATS:
         raise ValueError(f"unsupported COPY format: {fmt} (use one of {sorted(_FORMATS)})")
     if compression not in _COMPRESSION[fmt]:

@@ -118,3 +118,18 @@ def test_null_properties_and_bad_magic(spark, tmp_path):
     open(bad, "wb").write(b"not a flatgeobuf")
     with pytest.raises(ValueError, match="not a FlatGeobuf"):
         fgb.read_flatgeobuf(spark, bad)
+
+
+def test_copy_to_fgb(spark, tmp_path):
+    """COPY ... TO 'x.fgb' (FORMAT fgb) writes a readable FlatGeobuf."""
+    from pg_lake_spark.sources.writers import copy_to
+
+    df = spark.createDataFrame(
+        [(i, _from_wkt(f"POINT({i} {i * 2})")) for i in range(5)],
+        "id bigint, geometry binary",
+    )
+    out = str(tmp_path / "pts.fgb")
+    copy_to(df, out, fmt="fgb")
+    back = fgb.read_flatgeobuf(spark, out)
+    got = sorted((r.id, _to_wkt(bytes(r.geometry))) for r in back.collect())
+    assert got[0] == (0, "POINT(0 0)") and len(got) == 5
