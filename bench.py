@@ -79,6 +79,17 @@ def main() -> None:
         "f_spatial_overlay",
     ]
 
+    # Pipeline suite (added late r6): the round's new data-pipeline
+    # operators get their own trend line without touching the headline.
+    pipeline_suite = [
+        "dd_bloom_semi_join",
+        "ds_chunk_documents",
+        "dd_decontaminate",
+        "txt_gopher_quality",
+        "dd_url_canonical",
+        "st_stream_dedup",
+    ]
+
     repeats = int(os.environ.get("PG_LAKE_BENCH_REPEATS", "3"))
 
     spark = get_spark(
@@ -93,7 +104,7 @@ def main() -> None:
     # is amortized and timings measure engine throughput — first-run
     # JIT cost was measured at 2-7 s on the heavier trees.
     warm_dir = "/root/testdata/sf0.001"
-    for name in headline + dml_suite + spatial_suite:
+    for name in headline + dml_suite + spatial_suite + pipeline_suite:
         if name in QUERIES:
             try:
                 QUERIES[name].fn(spark, warm_dir).count()
@@ -120,6 +131,7 @@ def main() -> None:
     timings, total = run_suite(headline)
     dml_timings, dml_total = run_suite(dml_suite)
     spatial_timings, spatial_total = run_suite(spatial_suite)
+    pipeline_timings, pipeline_total = run_suite(pipeline_suite)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -135,6 +147,8 @@ def main() -> None:
                 "dml_queries": dml_timings,
                 "spatial_suite_seconds": round(spatial_total, 4),
                 "spatial_queries": spatial_timings,
+                "pipeline_suite_seconds": round(pipeline_total, 4),
+                "pipeline_queries": pipeline_timings,
             }
         )
     )
