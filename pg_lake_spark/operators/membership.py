@@ -118,3 +118,68 @@ def bloom_semi_join(
     bloom = build_bloom(corpus, key, m, k)
     maybe = bloom_filter_maybe(probe, key, bloom, m, k)
     return maybe.join(corpus.select(key).distinct(), key, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Count-min frequency sketch (heavy-hitter estimation)
+# ---------------------------------------------------------------------------
+
+def build_count_min(
+    df: DataFrame, key: str | Column, *, width: int = 2048, depth: int = 5
+) -> DataFrame:
+    """Count-min sketch over ``df[key]`` as a (row, col, n) DataFrame
+    with at most depth*width cells — the frequency companion to the
+    Bloom filter above (same seeded-hash explode + one aggregation;
+    mergeable across corpora by summing cell counts). Standard CMS
+    guarantee: estimate >= true count, overestimate <= 2N/width with
+    probability 1 - 2^-depth."""
+    key = F.col(key) if isinstance(key, str) else key
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("row"),
+                        F.pmod(F.xxhash64(key, F.lit(d)), F.lit(width)).alias("col"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return (
+        cells.select("c.row", "c.col")
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def count_min_estimate(
+    probe: DataFrame, key: str | Column, sketch: DataFrame, *,
+    width: int = 2048, depth: int = 5, out_col: str = "est_count"
+) -> DataFrame:
+    """Point-frequency estimates for probe keys: min over the key's
+    depth cells (broadcast join against the sketch; absent cells read
+    as 0)."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    lookups = probe.select(
+        key_col.alias("__key"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("row"),
+                        F.pmod(F.xxhash64(key_col, F.lit(d)), F.lit(width)).alias("col"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select("__key", "c.row", "c.col")
+    est = (
+        lookups.join(F.broadcast(sketch), ["row", "col"], "left")
+        .fillna(0, subset=["n"])
+        .groupBy("__key")
+        .agg(F.min("n").alias(out_col))
+    )
+    return est.withColumnRenamed("__key", key if isinstance(key, str) else "key")

@@ -35,3 +35,40 @@ def test_filter_is_distributed_and_small(spark):
     m, k = bloom_params(1000, 0.01)
     bloom = build_bloom(corpus, "v", m, k)
     assert bloom.count() <= m // 64  # packed words, not positions
+
+
+def test_count_min_sketch_bounds(spark):
+    """CMS properties: never underestimates; heavy hitters estimated
+    exactly or near-exactly at this width; sketch size bounded by
+    depth*width cells."""
+    from pg_lake_spark.operators.membership import (
+        build_count_min,
+        count_min_estimate,
+    )
+
+    # skewed corpus: key k appears (k+1)^2 times for k in 0..19
+    rows = [(f"k{k}",) for k in range(20) for _ in range((k + 1) ** 2)]
+    df = spark.createDataFrame(rows, "key string")
+    width, depth = 1024, 5
+    sk = build_count_min(df, "key", width=width, depth=depth)
+    assert sk.count() <= width * depth
+    probe = spark.createDataFrame([(f"k{k}",) for k in range(20)], "key string")
+    est = {
+        r.key: r.est_count
+        for r in count_min_estimate(probe, "key", sk, width=width, depth=depth).collect()
+    }
+    true = {f"k{k}": (k + 1) ** 2 for k in range(20)}
+    n_total = len(rows)
+    for k, t in true.items():
+        assert est[k] >= t  # CMS never underestimates
+        assert est[k] <= t + 2 * n_total / width + 1
+    # merged sketches (union corpus) = summed cells
+    sk2 = build_count_min(df, "key", width=width, depth=depth)
+    merged = (
+        sk.unionByName(sk2).groupBy("row", "col").agg(F.sum("n").alias("n"))
+    )
+    est2 = {
+        r.key: r.est_count
+        for r in count_min_estimate(probe, "key", merged, width=width, depth=depth).collect()
+    }
+    assert all(est2[k] >= 2 * true[k] for k in true)
