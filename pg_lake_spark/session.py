@@ -432,6 +432,18 @@ class LakeSession:
             self.file_cache.start_worker(interval_s)
         return self.file_cache
 
+    def enable_object_store_catalog(
+        self, root: str, name: str = "pg_lake", max_age_s: float = 60.0
+    ):
+        """Publish this session's lake tables for other engines via a
+        catalog.json in object storage (reference:
+        object_store_catalog.c; the discovery counterpart is
+        ``ObjectStoreCatalog.list_tables/scan`` on any engine)."""
+        from pg_lake_spark.lakehouse.object_store_catalog import ObjectStoreCatalog
+
+        self.object_store_catalog = ObjectStoreCatalog(root, name, max_age_s)
+        return self.object_store_catalog
+
     def enable_spatial_sql(self) -> list[str]:
         """Register the st_* surface for ``sess.sql`` queries (the
         reference ships spatial as SQL functions)."""
