@@ -1,0 +1,41 @@
+"""Generate PLANS.md: executed-plan evidence for the flagship queries."""
+import io, sys
+from pg_lake_spark.session import get_spark
+from pg_lake_spark.plans.explain import explain_report, plan_summary
+from pg_lake_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.01"
+spark = get_spark(master="local[8]", shuffle_partitions=16)
+spark.sparkContext.setLogLevel("ERROR")
+
+PICKS = [
+    ("q3_shipping_priority", "3-table star join: both dims broadcast, zero shuffle joins, top-k fused into TakeOrderedAndProject."),
+    ("q6_forecast_revenue", "All three predicates pushed to the parquet scan; 4-column read schema on a 16-column table."),
+    ("q21_waiting_suppliers", "One lineitem scan with per-order window aggregates replacing both EXISTS subqueries (2 shuffles total)."),
+    ("q9_product_profit", "5-way join: dimension sides broadcast; the one fact-fact join shuffles on its key."),
+    ("dd_lsh_candidates", "Banded MinHash-LSH: candidate generation is a groupBy on short band keys (no cross join anywhere)."),
+    ("dd_bloom_semi_join", "Bloom prefilter: packed-word filter broadcast to the probe side; no Python eval in the plan."),
+    ("j_polygon_overlap_join", "Grid-bucketed polygon join: cell equi-join + reference-point dedup; the exact kernel only sees candidates."),
+    ("sim_cosine_topk", "Broadcast query matrix over the corpus scan; map-side dot products, one top-k reduction."),
+    ("st_stream_dedup", None),  # streaming: plan shape not comparable; skipped
+]
+
+out = ["""# PLANS — executed-plan evidence (generated at sf0.01, local mode)
+
+`.explain()`-level proof that the flagship plans have the shape the
+100 TB design calls for: filters pushed into scans, pruned read
+schemas, broadcast-vs-shuffle chosen correctly, and Python kept out of
+the hot path. Produced by `tools/gen_plans.py` via `plans.explain`
+(the reference's EXPLAIN `Vectorized SQL` analogue); the same
+assertions are pinned by `tests/test_plans.py` so regressions fail CI,
+not just this document.
+"""]
+for name, note in PICKS:
+    if note is None:
+        continue
+    df = QUERIES[name].fn(spark, SF)
+    rep = explain_report(df, execute=True)
+    out.append(f"## {name}\n\n{note}\n\n```\n{rep}\n```\n")
+open("PLANS.md", "w").write("\n".join(out))
+print("written")
+spark.stop()
