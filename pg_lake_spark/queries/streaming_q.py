@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pg_lake_spark.queries.registry import query
+from pg_lake_spark.session import load_tables
 from pg_lake_spark.streaming import (
     read_events_stream,
     run_available_now,
@@ -134,4 +135,70 @@ def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return run_available_now(sdf, spark, output_mode="append").orderBy(
         "user_id", "event_type"
+    )
+
+
+@query(
+    "st_stream_lsh_neardup",
+    # Same oracle as dd_lsh_candidates: the streaming banding computes
+    # bit-identical signatures/buckets (streaming/neardup.py parity), so
+    # the candidate set equals the batch pipeline's and the exact
+    # all-pairs Jaccard is the oracle.
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_transform(range(len(ws) - 1),
+                            i -> ws[i + 1] || ' ' || ws[i + 2]) AS s
+      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents) t
+    )
+    SELECT * FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_distinct(list_filter(a.s, x -> list_contains(b.s, x)))) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      FROM sh a, sh b WHERE a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.3
+    ORDER BY id_a, id_b
+    """,
+    doc="STREAMING MinHash-LSH near-dup: applyInPandasWithState keeps "
+    "per-(band,bucket) id lists and emits candidate pairs as docs "
+    "arrive; candidates are then exact-Jaccard verified batch-side. "
+    "Signatures are bit-identical to the batch pipeline, so the batch "
+    "query's oracle transfers.",
+)
+def st_stream_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pg_lake_spark.operators.dedup import jaccard, word_shingles
+    from pg_lake_spark.streaming.neardup import stream_lsh_candidates
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(
+        os.path.join(sf_dir, "documents.[p]arquet")
+    )
+    pairs_stream = stream_lsh_candidates(
+        stream, "doc_id", "text", shingle_n=2, num_hashes=12, bands=4
+    )
+    cand = run_available_now(pairs_stream, spark, output_mode="append").distinct()
+    # exact-Jaccard verify (batch side, candidates only) — identical to
+    # the batch pipeline's verify stage
+    docs = load_tables(spark, sf_dir)["documents"]
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    shingled = (
+        docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .select(F.col("doc_id"), word_shingles("text", 2).alias("_sh"))
+        .localCheckpoint(eager=True)
+    )
+    a = shingled.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = shingled.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.3)
+        .orderBy("id_a", "id_b")
     )

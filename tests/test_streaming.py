@@ -298,3 +298,46 @@ def test_lake_feed_reads_through_schema_eras(spark, tmp_path):
         tuple(r) for r in spark.sql("SELECT k, value, tag FROM feed_era").collect()
     )
     assert rows == [(1, 10.0, "legacy"), (2, 20.0, "new")]
+
+
+def test_stream_lsh_candidates_equal_batch(spark, tmp_path):
+    """The streaming banding+state pipeline emits exactly the batch
+    pipeline's candidate set (signature parity is bit-exact)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pg_lake_spark.operators import dedup
+    from pg_lake_spark.streaming.neardup import (
+        stream_lsh_candidates,
+        streaming_band_keys,
+    )
+    from pg_lake_spark.streaming.windows import run_available_now
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    # batch candidates: self-join of the SAME band keys
+    banded = streaming_band_keys(docs, "doc_id", "text", shingle_n=2)
+    l, r = banded.alias("l"), banded.alias("r")
+    batch_cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    schema = docs.schema
+    stream = spark.readStream.schema(schema).parquet(
+        os.path.join(SF_DIR, "documents.[p]arquet")
+    )
+    stream_cand = run_available_now(
+        stream_lsh_candidates(stream, "doc_id", "text", shingle_n=2),
+        spark,
+        output_mode="append",
+    ).distinct()
+    a = set(map(tuple, batch_cand.collect()))
+    b = set(map(tuple, stream_cand.collect()))
+    assert a == b and a  # identical and non-empty
