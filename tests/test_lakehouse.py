@@ -1184,9 +1184,37 @@ def test_dml_model_fuzz(spark, tmp_path):
         want = sorted((k, g, v) for k, (g, v) in model.items())
         assert got == want, f"divergence: {len(got)} vs {len(want)} rows"
 
-    for step in range(12):
-        op = rng.choice(["append", "cow_delete", "mor_delete", "update", "merge", "compact"])
-        if op == "append":
+    promoted = False
+    for step in range(14):
+        ops = ["append", "cow_delete", "mor_delete", "update", "merge", "compact"]
+        if not promoted:
+            ops.append("alter_type")
+        else:
+            ops.append("add_files")  # int64-typed files need the promotion
+        op = rng.choice(ops)
+        if op == "alter_type":
+            t.alter_column_type("grp", "bigint")
+            promoted = True
+        elif op == "add_files":
+            import pyarrow as _pa
+            import pyarrow.parquet as _papq
+
+            rows = mk_rows(rng.randint(1, 10), next_key)
+            next_key += 100
+            ext = str(tmp_path / f"ext_{step}.parquet")
+            _papq.write_table(
+                _pa.table(
+                    {
+                        "k": _pa.array([r[0] for r in rows], _pa.int64()),
+                        "grp": _pa.array([r[1] for r in rows], _pa.int64()),
+                        "v": _pa.array([r[2] for r in rows], _pa.float64()),
+                    }
+                ),
+                ext,
+            )
+            model.update({k: (g, v) for k, g, v in rows})
+            t.add_files([ext])
+        elif op == "append":
             rows = mk_rows(rng.randint(1, 15), next_key)
             next_key += 100
             model.update({k: (g, v) for k, g, v in rows})
