@@ -56,14 +56,74 @@ class RestCommitConflict(RuntimeError):
     table and retry against its new state (spec: CommitFailedException)."""
 
 
+class OAuthClientCredentials:
+    """OAuth2 client-credentials token source (reference:
+    rest_catalog_auth.c — Basic(client_id:client_secret) POST to the
+    oauth endpoint with ``grant_type=client_credentials&scope=…``;
+    the access token is cached until shortly before ``expires_in``
+    and refetched on expiry)."""
+
+    def __init__(
+        self,
+        token_url: str,
+        client_id: str,
+        client_secret: str,
+        scope: str = "catalog",
+        refresh_margin_s: float = 30.0,
+    ) -> None:
+        self.token_url = token_url
+        self.client_id = client_id
+        self.client_secret = client_secret
+        self.scope = scope
+        self.refresh_margin_s = refresh_margin_s
+        self._token: str | None = None
+        self._expiry: float = 0.0
+
+    def invalidate(self) -> None:
+        """Drop the cached token (the reference resets its cache on any
+        server/user-mapping change)."""
+        self._token, self._expiry = None, 0.0
+
+    def __call__(self) -> str:
+        import base64
+        import time as _time
+
+        if self._token is not None and _time.monotonic() < self._expiry:
+            return self._token
+        basic = base64.b64encode(
+            f"{self.client_id}:{self.client_secret}".encode()
+        ).decode()
+        body = urllib.parse.urlencode(
+            {"grant_type": "client_credentials", "scope": self.scope}
+        ).encode()
+        req = urllib.request.Request(self.token_url, data=body, method="POST")
+        req.add_header("Authorization", f"Basic {basic}")
+        req.add_header("Content-Type", "application/x-www-form-urlencoded")
+        with urllib.request.urlopen(req) as resp:
+            doc = json.loads(resp.read().decode("utf-8"))
+        if "access_token" not in doc:
+            raise ValueError('key "access_token" missing in oauth response')
+        if "expires_in" not in doc:
+            raise ValueError('key "expires_in" missing in oauth response')
+        self._token = doc["access_token"]
+        self._expiry = (
+            _time.monotonic() + float(doc["expires_in"]) - self.refresh_margin_s
+        )
+        return self._token
+
+
 class RestCatalog:
-    """Iceberg REST catalog client (read path + write-through)."""
+    """Iceberg REST catalog client (read path + write-through).
+
+    ``token`` may be a static bearer string or a CALLABLE returning the
+    current token (e.g. :class:`OAuthClientCredentials`) — evaluated per
+    request so expiry-driven refresh is transparent."""
 
     def __init__(
         self,
         uri: str,
         *,
-        token: str | None = None,
+        token=None,
         prefix: str | None = None,
         timeout_s: float = 30.0,
     ) -> None:
@@ -91,7 +151,8 @@ class RestCatalog:
         if data is not None:
             req.add_header("Content-Type", "application/json")
         if self.token:
-            req.add_header("Authorization", f"Bearer {self.token}")
+            tok = self.token() if callable(self.token) else self.token
+            req.add_header("Authorization", f"Bearer {tok}")
         try:
             with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
                 raw = resp.read()

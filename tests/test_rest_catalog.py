@@ -321,3 +321,91 @@ def test_register_table_adopts_metadata(spark, tmp_path, writable_server):
     cat.register_table("adopted", "ext", loc)
     got = cat.scan(spark, "adopted", "ext")
     assert _rows(got) == _rows(t.to_df())
+
+
+class _OAuthCatalogHandler(BaseHTTPRequestHandler):
+    """Server requiring a short-lived OAuth token: /oauth/tokens issues
+    them (client-credentials, Basic auth), API paths verify them."""
+
+    issued: list = []
+    ttl = 3600
+
+    def _send(self, code, body):
+        raw = json.dumps(body).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(raw)))
+        self.end_headers()
+        self.wfile.write(raw)
+
+    def do_POST(self):  # noqa: N802
+        if self.path == "/oauth/tokens":
+            import base64
+
+            auth = self.headers.get("Authorization", "")
+            creds = base64.b64decode(auth.split(" ", 1)[1]).decode()
+            if creds != "svc:hunter2":
+                self._send(401, {"error": "bad client credentials"})
+                return
+            n = len(type(self).issued)
+            tok = f"tok-{n}"
+            type(self).issued.append(tok)
+            self._send(200, {"access_token": tok, "expires_in": type(self).ttl})
+            return
+        self._send(404, {})
+
+    def do_GET(self):  # noqa: N802
+        auth = self.headers.get("Authorization", "")
+        if not (auth.startswith("Bearer tok-") and auth[7:] in type(self).issued):
+            self._send(401, {"error": "missing/invalid token"})
+            return
+        if self.path == "/v1/config":
+            self._send(200, {"defaults": {}, "overrides": {}})
+        elif self.path == "/v1/namespaces":
+            self._send(200, {"namespaces": [["ns1"]]})
+        else:
+            self._send(404, {})
+
+    def log_message(self, *args):
+        pass
+
+
+def test_oauth_client_credentials_flow():
+    from http.server import HTTPServer
+    from threading import Thread
+
+    from pg_lake_spark.lakehouse.rest_catalog import (
+        OAuthClientCredentials,
+        RestCatalog,
+    )
+
+    _OAuthCatalogHandler.issued = []
+    srv = HTTPServer(("127.0.0.1", 0), _OAuthCatalogHandler)
+    Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        auth = OAuthClientCredentials(
+            f"{base}/oauth/tokens", "svc", "hunter2", refresh_margin_s=0.0
+        )
+        cat = RestCatalog(base, token=auth)
+        assert cat.list_namespaces() == ["ns1"]
+        assert len(_OAuthCatalogHandler.issued) == 1
+        # cached token reused across calls
+        cat.list_namespaces()
+        assert len(_OAuthCatalogHandler.issued) == 1
+        # expiry → transparent refetch
+        auth._expiry = 0.0
+        cat.list_namespaces()
+        assert len(_OAuthCatalogHandler.issued) == 2
+        # invalidate() drops the cache like the reference's syscache hook
+        auth.invalidate()
+        cat.list_namespaces()
+        assert len(_OAuthCatalogHandler.issued) == 3
+        # wrong secret fails loudly
+        bad = OAuthClientCredentials(f"{base}/oauth/tokens", "svc", "wrong")
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError):
+            RestCatalog(base, token=bad, prefix="").list_namespaces()
+    finally:
+        srv.shutdown()
