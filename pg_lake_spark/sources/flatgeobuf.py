@@ -250,12 +250,17 @@ def _geom_to_flat(gtype: int, coords) -> tuple[list[float], list[int]]:
         if len(coords) == 1:
             ends.clear()
     elif gtype == WKB_MULTIPOLYGON:
-        # FlatGeobuf writes multipolygons via parts; this single-level
-        # writer flattens ring ends (readable for solid polygons per
-        # part; one-ring-per-part corpus)
+        # FlatGeobuf writes multipolygons via nested parts; this
+        # single-level writer flattens ring ends, which is only
+        # faithful when every part is a solid (hole-free) polygon —
+        # a holed part would decode as separate polygons, so refuse
         for _kt, kc in coords:
-            for ring in kc:
-                put(ring)
+            if len(kc) > 1:
+                raise ValueError(
+                    "flatgeobuf writer: multipolygon parts with interior "
+                    "rings are not supported (needs nested parts)"
+                )
+            put(kc[0])
     else:
         raise ValueError(f"unsupported geometry type {gtype}")
     return xy, ends

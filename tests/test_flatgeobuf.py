@@ -133,3 +133,10 @@ def test_copy_to_fgb(spark, tmp_path):
     back = fgb.read_flatgeobuf(spark, out)
     got = sorted((r.id, _to_wkt(bytes(r.geometry))) for r in back.collect())
     assert got[0] == (0, "POINT(0 0)") and len(got) == 5
+
+
+def test_holed_multipolygon_refused(tmp_path):
+    rows = [{"id": 1, "geometry": _from_wkt(
+        "MULTIPOLYGON(((0 0,9 0,9 9,0 9,0 0),(3 3,6 3,6 6,3 6,3 3)))")}]
+    with pytest.raises(ValueError, match="interior rings"):
+        fgb.write_flatgeobuf(str(tmp_path / "x.fgb"), rows)
