@@ -53,7 +53,9 @@ _DROP_FOREIGN = re.compile(
     re.IGNORECASE,
 )
 _COPY = re.compile(
-    r"^\s*COPY\s+(?P<src>\([^)]+\)|[\w.\"]+)\s+(?P<dir>TO|FROM)\s+"
+    # greedy src group + backtracking handles nested parens in the
+    # query form (COPY (SELECT count(*) ...) TO ...)
+    r"^\s*COPY\s+(?P<src>\(.*\)|[\w.\"]+)\s+(?P<dir>TO|FROM)\s+"
     r"'(?P<url>[^']+)'\s*(?:\((?P<opts>.*)\)|WITH\s*\((?P<wopts>.*)\))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )

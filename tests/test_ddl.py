@@ -101,3 +101,17 @@ def test_options_parser_edge_cases():
     assert got["format"] == "csv"
     assert got["header"] == "true"
     assert got["n"] == "5"
+
+
+def test_copy_query_with_nested_parens(sess, spark, tmp_path):
+    path = _write_csv(tmp_path)
+    sess.execute(
+        f"CREATE FOREIGN TABLE np () SERVER pg_lake OPTIONS (path '{path}', format 'csv')"
+    )
+    out = str(tmp_path / "agg_out")
+    sess.execute(
+        f"COPY (SELECT count(*) AS n, sum(coalesce(w, 0.0)) AS s FROM np) "
+        f"TO '{out}' (FORMAT parquet)"
+    )
+    row = spark.read.parquet(out).collect()[0]
+    assert row.n == 3 and abs(row.s - 4.5) < 1e-9
