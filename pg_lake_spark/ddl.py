@@ -40,12 +40,12 @@ def _parse_options(blob: str) -> dict[str, str]:
 
 _CREATE_FOREIGN = re.compile(
     r"^\s*CREATE\s+FOREIGN\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*"
-    r"\((?P<cols>[^)]*)\)\s*SERVER\s+pg_lake\s*(?:OPTIONS\s*\((?P<opts>.*)\))?\s*;?\s*$",
+    r"\((?P<cols>.*?)\)\s*SERVER\s+pg_lake\s*(?:OPTIONS\s*\((?P<opts>.*)\))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _CREATE_WITH = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*"
-    r"\((?P<cols>[^)]*)\)\s*WITH\s*\((?P<opts>.*)\)\s*;?\s*$",
+    r"\((?P<cols>.*?)\)\s*WITH\s*\((?P<opts>.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_FOREIGN = re.compile(
@@ -77,6 +77,26 @@ def _fmt_from_options(opts: dict, path: str, default: str = "parquet") -> str:
     return {"ndjson": "json"}.get(ext, ext) or default
 
 
+def _normalize_pg_types(cols: str) -> str:
+    """PG column-type spellings → Spark DDL (varchar(n)/char(n)/text →
+    string, integer → int, float8/double precision → double, …), so doc
+    statements with PG types run verbatim."""
+    out = cols
+    out = re.sub(r"(?i)\b(?:var)?char\s*\(\s*\d+\s*\)", "string", out)
+    out = re.sub(r"(?i)\btext\b", "string", out)
+    out = re.sub(r"(?i)\binteger\b", "int", out)
+    out = re.sub(r"(?i)\bint8\b", "bigint", out)
+    out = re.sub(r"(?i)\bint4\b", "int", out)
+    out = re.sub(r"(?i)\bint2\b", "smallint", out)
+    out = re.sub(r"(?i)\bdouble\s+precision\b", "double", out)
+    out = re.sub(r"(?i)\bfloat8\b", "double", out)
+    out = re.sub(r"(?i)\bfloat4\b", "float", out)
+    out = re.sub(r"(?i)\bnumeric\b", "decimal", out)
+    out = re.sub(r"(?i)\bbytea\b", "binary", out)
+    out = re.sub(r"(?i)\bbool\b", "boolean", out)
+    return out
+
+
 def execute_lake_sql(sess, sql: str) -> DataFrame | None:
     """Execute one statement through the lake DDL surface; returns a
     DataFrame for passthrough queries / foreign-table creates, None for
@@ -95,7 +115,7 @@ def execute_lake_sql(sess, sql: str) -> DataFrame | None:
         if "filename" in kwargs:
             kwargs["filename"] = kwargs["filename"].lower() == "true"
         if cols:
-            kwargs["schema"] = cols
+            kwargs["schema"] = _normalize_pg_types(cols)
         return sess.register_lake_table(name, path, fmt=fmt, **kwargs)
 
     m = _CREATE_WITH.match(sql)

@@ -115,3 +115,15 @@ def test_copy_query_with_nested_parens(sess, spark, tmp_path):
     )
     row = spark.read.parquet(out).collect()[0]
     assert row.n == 3 and abs(row.s - 4.5) < 1e-9
+
+
+def test_typed_columns_with_parens(sess, tmp_path):
+    """Doc example shape: CREATE TABLE t (id integer, name VARCHAR(50))
+    WITH (load_from = ...) — typed parens in the column list parse."""
+    path = _write_csv(tmp_path)
+    sess.execute(
+        f"CREATE FOREIGN TABLE tp (k int, v varchar(50), w decimal(6,2)) "
+        f"SERVER pg_lake OPTIONS (path '{path}', format 'csv')"
+    )
+    row = sess.execute("SELECT k, v, w FROM tp ORDER BY k").collect()[0]
+    assert row.k == 1 and row.v == "a" and float(row.w) == 0.5
