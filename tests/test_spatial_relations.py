@@ -575,3 +575,39 @@ def test_polygon_polygon_join_matches_brute_force(spark):
     ).count()
     want_c = tris.crossJoin(small.limit(1)).filter(S.st_contains("tg", "sg")).count()
     assert got_c == want_c == 1
+
+
+def test_geometrycollection_codec_fuzz():
+    """Randomized (possibly nested) GEOMETRYCOLLECTIONs: pack→parse
+    identity and WKT roundtrip stability."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    coord = st.integers(min_value=-1000, max_value=1000).map(float)
+    point = st.tuples(coord, coord)
+    ring = st.lists(point, min_size=3, max_size=5, unique=True).map(
+        lambda ps: ps + [ps[0]]
+    )
+    simple = st.one_of(
+        point.map(lambda p: (S.WKB_POINT, [p])),
+        st.lists(point, min_size=2, max_size=5).map(lambda ps: (S.WKB_LINESTRING, ps)),
+        ring.map(lambda r: (S.WKB_POLYGON, [r])),
+    )
+    gc = st.recursive(
+        simple,
+        lambda children: st.lists(children, min_size=1, max_size=3).map(
+            lambda kids: (S.WKB_GEOMETRYCOLLECTION, kids)
+        ),
+        max_leaves=6,
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(gc)
+    def check(g):
+        gtype, coords = g
+        wkb = S._pack(gtype, coords)
+        assert S._parse(wkb) == (gtype, coords)
+        wkt = S._to_wkt(wkb)
+        assert S._to_wkt(S._from_wkt(wkt)) == wkt
+
+    check()
