@@ -211,6 +211,32 @@ def read_lake(
         path = fetch_remote(path, cache=cache)
     if path.endswith(".zip") and os.path.isfile(path):
         path = _extract_zip_members(path, zip_path)
+
+    # Single-file geo/office formats accept globs by fan-out: one
+    # driver-side parse per match unioned by name (real-world vector
+    # datasets ship as many files). ``filename=True`` stamps the source
+    # path per file (input_file_name() is empty for parsed frames).
+    _SINGLE_FILE_FMTS = {
+        "shp", "shapefile", "gpkg", "geopackage", "kml", "kmz", "gml",
+        "dxf", "mif", "map", "wasp", "xodr", "fgb", "flatgeobuf",
+        "geojson", "xlsx",
+    }
+    if fmt in _SINGLE_FILE_FMTS and any(c in path for c in "*?["):
+        matches = sorted(_glob.glob(path))
+        if not matches:
+            raise FileNotFoundError(path)
+        parts = []
+        for p in matches:
+            part = read_lake(
+                spark, p, fmt=fmt, schema=schema, cache=cache, **dict(options)
+            )
+            if filename:
+                part = part.withColumn("filename", F.lit(p))
+            parts.append(part)
+        out = parts[0]
+        for part in parts[1:]:
+            out = out.unionByName(part, allowMissingColumns=True)
+        return out
     reader = spark.read
     if schema:
         reader = reader.schema(schema)

@@ -391,3 +391,22 @@ def test_xodr_reader(spark, tmp_path):
     ey = -(math.cos(1.0) - 1) / 0.05
     gx, gy = coords[-1]
     assert abs(gx - ex) < 1e-9 and abs(gy - ey) < 1e-9
+
+
+def test_geo_format_glob_fanout(spark, tmp_path):
+    """Single-file geo formats accept globs: per-file parse, unioned,
+    with filename stamping."""
+    from pg_lake_spark.functions.spatial import _from_wkt
+    from pg_lake_spark.sources import flatgeobuf as fgb
+    from pg_lake_spark.sources.readers import read_lake
+
+    for i in range(3):
+        fgb.write_flatgeobuf(
+            str(tmp_path / f"part{i}.fgb"),
+            [{"id": i * 10 + j, "geometry": _from_wkt(f"POINT({j} {i})")}
+             for j in range(2)],
+        )
+    df = read_lake(spark, str(tmp_path / "part*.fgb"), fmt="fgb", filename=True)
+    assert df.count() == 6
+    assert df.select("filename").distinct().count() == 3
+    assert sorted(r.id for r in df.collect()) == [0, 1, 10, 11, 20, 21]
