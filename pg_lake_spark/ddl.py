@@ -48,6 +48,12 @@ _CREATE_WITH = re.compile(
     r"\((?P<cols>.*?)\)\s*WITH\s*\((?P<opts>.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_CREATE_LIKE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*"
+    r"\(\s*LIKE\s+(?P<src>[\w.\"]+)\s*\)\s*(?:USING\s+iceberg\s*)?"
+    r"(?:WITH\s*\((?P<opts>.*)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DROP_FOREIGN = re.compile(
     r"^\s*DROP\s+FOREIGN\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*;?\s*$",
     re.IGNORECASE,
@@ -135,6 +141,19 @@ def execute_lake_sql(sess, sql: str) -> DataFrame | None:
             definition_from=src if "definition_from" in opts else None,
             fmt=opts.get("format"),
             **read_opts,
+        )
+        return None
+
+    m = _CREATE_LIKE.match(sql)
+    if m:
+        # docs/use-case-log-management.md: CREATE TABLE t (LIKE other)
+        # [USING iceberg] — copy the schema, start empty
+        name = m.group("name").strip('"')
+        src = m.group("src").strip('"')
+        opts = _parse_options(m.group("opts") or "")
+        location = opts.get("location") or sess.default_table_location(name)
+        sess.create_lake_table(
+            name, location, df=sess.spark.table(src).limit(0)
         )
         return None
 

@@ -127,3 +127,26 @@ def test_typed_columns_with_parens(sess, tmp_path):
     )
     row = sess.execute("SELECT k, v, w FROM tp ORDER BY k").collect()[0]
     assert row.k == 1 and row.v == "a" and float(row.w) == 0.5
+
+
+def test_create_table_like(sess, spark, tmp_path):
+    """docs/use-case-log-management.md: create table t (like other)
+    copies the foreign table's inferred schema into an empty lake
+    table — the logs-to-iceberg setup step."""
+    path = _write_csv(tmp_path)
+    sess.warehouse = str(tmp_path / "wh")
+    sess.execute(
+        f"CREATE FOREIGN TABLE logs_csv () SERVER pg_lake OPTIONS (path '{path}', format 'csv')"
+    )
+    sess.execute("CREATE TABLE logs_iceberg (LIKE logs_csv) USING iceberg")
+    df = spark.table("logs_iceberg")
+    assert df.count() == 0 and df.columns == ["k", "v", "w"]
+    # and the pipeline workflow lands rows into it
+    t = sess.lake_table_handle("logs_iceberg")
+    from pg_lake_spark.streaming.file_pipeline import FileListPipeline
+
+    pipe = FileListPipeline(
+        "ddl-logs", str(tmp_path / "*.csv"), t, fmt="csv",
+        reader_options={"header": True, "inferSchema": True},
+    )
+    assert pipe.run_pending(spark)["rows"] == 3
