@@ -26,7 +26,6 @@ import tempfile
 def tour(spark, scratch: str) -> dict:
     from pyspark.sql import functions as F
 
-    from pg_lake_spark.functions import spatial as S
     from pg_lake_spark.session import LakeSession
 
     out: dict = {}
