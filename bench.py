@@ -77,6 +77,7 @@ def main() -> None:
         "f_geojson_scan",
         "f_spatial_relations",
         "f_spatial_overlay",
+        "j_polygon_overlap_join",
     ]
 
     # Pipeline suite (added late r6): the round's new data-pipeline
