@@ -60,6 +60,12 @@ _R4_GREENS = [
 ]
 _R6_WINDOW = (_R6_NEW + _STALE_R2R3 + _R4_GREENS)[:50]
 
+# r7 rotation note: after this round the oldest official greens are the
+# r4 rows beyond position 50 of this window (the tail of _R4_GREENS —
+# arr_ops onward) plus the r5-only rows (q1-q13, s_* set ops, a_mode,
+# json_extract_agg, w_exclude_current_row, d_limit_with_ties, lifecycle
+# dml_* rows). Put r7-new queries first, then those, keep [:50].
+
 
 def _rotate(front: list[str]) -> None:
     # _R6_NEW entries may not be registered yet mid-round; skip those,
