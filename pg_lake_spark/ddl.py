@@ -83,6 +83,26 @@ def _fmt_from_options(opts: dict, path: str, default: str = "parquet") -> str:
     return {"ndjson": "json"}.get(ext, ext) or default
 
 
+_LAKE_FILE_LIST = re.compile(r"lake_file\.list\('([^']+)'\)", re.IGNORECASE)
+
+
+def _expand_lake_file_list(sess, sql: str) -> str:
+    """Rewrite ``lake_file.list('pattern')`` table-function calls into
+    temp views backed by the Hadoop-FS listing, so the docs' file
+    exploration statement (query-data-lake-files.md:45) runs verbatim
+    through ``sess.execute``."""
+
+    def repl(m):
+        from pg_lake_spark.sources.readers import list_files
+
+        pattern = m.group(1)
+        name = f"__lake_file_list_{abs(hash(pattern)) % 10**8}"
+        list_files(sess.spark, pattern).createOrReplaceTempView(name)
+        return name
+
+    return _LAKE_FILE_LIST.sub(repl, sql)
+
+
 def _normalize_pg_types(cols: str) -> str:
     """PG column-type spellings → Spark DDL (varchar(n)/char(n)/text →
     string, integer → int, float8/double precision → double, …), so doc
@@ -129,7 +149,7 @@ def execute_lake_sql(sess, sql: str) -> DataFrame | None:
         opts = _parse_options(m.group("opts"))
         if "load_from" not in opts and "definition_from" not in opts:
             # plain CREATE TABLE ... WITH: not ours
-            return sess.spark.sql(sql)
+            return sess.spark.sql(_expand_lake_file_list(sess, sql))
         name = m.group("name").strip('"')
         src = opts.get("load_from") or opts.get("definition_from")
         location = opts.get("location") or sess.default_table_location(name)
@@ -190,4 +210,4 @@ def execute_lake_sql(sess, sql: str) -> DataFrame | None:
         copy_from(sess.spark, url, table, fmt=fmt)
         return None
 
-    return sess.spark.sql(sql)
+    return sess.spark.sql(_expand_lake_file_list(sess, sql))

@@ -150,3 +150,14 @@ def test_create_table_like(sess, spark, tmp_path):
         reader_options={"header": True, "inferSchema": True},
     )
     assert pipe.run_pending(spark)["rows"] == 3
+
+
+def test_lake_file_list_table_function(sess, tmp_path):
+    """Doc statement: SELECT path FROM lake_file.list('pattern')."""
+    for i in range(3):
+        (tmp_path / f"f{i}.parquet").write_bytes(b"x" * (10 + i))
+    rows = sess.execute(
+        f"SELECT path, size_bytes FROM lake_file.list('{tmp_path}/*.parquet') ORDER BY path"
+    ).collect()
+    assert len(rows) == 3
+    assert rows[0].path.endswith("f0.parquet") and rows[0].size_bytes == 10
