@@ -58,6 +58,11 @@ _DROP_FOREIGN = re.compile(
     r"^\s*DROP\s+FOREIGN\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_ALTER_FOREIGN = re.compile(
+    r"^\s*ALTER\s+FOREIGN\s+TABLE\s+(?P<name>[\w.\"]+)\s+"
+    r"OPTIONS\s*\(\s*SET\s+(?P<opts>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _COPY = re.compile(
     # greedy src group + backtracking handles nested parens in the
     # query form (COPY (SELECT count(*) ...) TO ...)
@@ -183,6 +188,20 @@ def execute_lake_sql(sess, sql: str) -> DataFrame | None:
         sess.spark.catalog.dropTempView(name)
         sess._manual.pop(name, None)
         return None
+
+    m = _ALTER_FOREIGN.match(sql)
+    if m:
+        # iceberg-tables.md "Altering external Iceberg tables": SET path
+        # re-points the foreign table (snapshot redirect); re-register
+        # with the previous format inferred from the new path
+        name = m.group("name").strip('"')
+        opts = _parse_options(m.group("opts"))
+        if "path" not in opts:
+            raise ValueError("ALTER FOREIGN TABLE supports OPTIONS (SET path '...')")
+        path = opts.pop("path")
+        fmt = _fmt_from_options(opts, path)
+        kwargs = {k: v for k, v in opts.items() if k in _READ_OPTION_KEYS}
+        return sess.register_lake_table(name, path, fmt=fmt, **kwargs)
 
     m = _COPY.match(sql)
     if m:

@@ -161,3 +161,18 @@ def test_lake_file_list_table_function(sess, tmp_path):
     ).collect()
     assert len(rows) == 3
     assert rows[0].path.endswith("f0.parquet") and rows[0].size_bytes == 10
+
+
+def test_alter_foreign_table_set_path(sess, spark, tmp_path):
+    """iceberg-tables.md snapshot-redirect statement: ALTER FOREIGN
+    TABLE t OPTIONS (SET path '...') re-points the table."""
+    p1 = _write_csv(tmp_path, "one.csv")
+    p2 = tmp_path / "two.csv"
+    p2.write_text("k,v,w\n9,z,9.5\n")
+    sess.execute(
+        f"CREATE FOREIGN TABLE redir () SERVER pg_lake OPTIONS (path '{p1}', format 'csv')"
+    )
+    assert sess.execute("SELECT count(*) n FROM redir").collect()[0].n == 3
+    sess.execute(f"ALTER FOREIGN TABLE redir OPTIONS (SET path '{p2}', format 'csv')")
+    rows = sess.execute("SELECT * FROM redir").collect()
+    assert len(rows) == 1 and rows[0].k == 9
