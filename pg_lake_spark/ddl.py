@@ -73,7 +73,8 @@ _COPY = re.compile(
 
 _READ_OPTION_KEYS = {
     "filename", "header", "delimiter", "quote", "escape", "nullstr",
-    "compression", "zip_path", "log_format",
+    "compression", "zip_path", "log_format", "snapshot_id", "as_of_ms",
+    "version", "table",
 }
 
 
@@ -81,6 +82,8 @@ def _fmt_from_options(opts: dict, path: str, default: str = "parquet") -> str:
     if "format" in opts:
         return opts["format"].lower()
     base = path.split("?")[0]
+    if base.endswith("metadata.json") or base.rstrip("/").endswith("/metadata"):
+        return "iceberg"  # external Iceberg table path (iceberg-tables.md)
     for ext in (".gz", ".zst", ".bz2", ".zip"):
         if base.endswith(ext):
             base = base[: -len(ext)]

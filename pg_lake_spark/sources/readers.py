@@ -308,6 +308,20 @@ def read_lake(
             sheet=options.pop("sheet", 1),
             header=str(options.pop("header", "true")).lower() != "false",
         )
+    elif fmt == "iceberg":
+        from pg_lake_spark.lakehouse.iceberg_meta import scan_iceberg
+
+        df = scan_iceberg(
+            spark,
+            path,
+            snapshot_id=options.pop("snapshot_id", None),
+            as_of_ms=options.pop("as_of_ms", None),
+        )
+    elif fmt == "delta":
+        from pg_lake_spark.lakehouse.delta_meta import scan_delta
+
+        v = options.pop("version", None)
+        df = scan_delta(spark, path, version=int(v) if v is not None else None)
     else:
         raise ValueError(f"unsupported lake format: {fmt}")
 

@@ -176,3 +176,28 @@ def test_alter_foreign_table_set_path(sess, spark, tmp_path):
     sess.execute(f"ALTER FOREIGN TABLE redir OPTIONS (SET path '{p2}', format 'csv')")
     rows = sess.execute("SELECT * FROM redir").collect()
     assert len(rows) == 1 and rows[0].k == 9
+
+
+def test_foreign_table_over_external_iceberg(sess, spark, tmp_path):
+    """CREATE FOREIGN TABLE over an Iceberg metadata path — format
+    inferred from the *.metadata.json suffix — plus the doc's snapshot
+    redirect via ALTER ... SET path to an older metadata version."""
+    import glob as _glob
+
+    from pg_lake_spark.lakehouse.iceberg_meta import export_iceberg
+    from pg_lake_spark.lakehouse.table import LakeTable
+
+    loc = str(tmp_path / "ice")
+    t = LakeTable.create_from_dataframe(spark, loc, spark.range(5).selectExpr("id AS k"))
+    export_iceberg(t)  # v1: 5 rows
+    t.append(spark.range(5, 8).selectExpr("id AS k"))
+    export_iceberg(t)  # v2: 8 rows
+    metas = sorted(_glob.glob(loc + "/metadata/*.metadata.json"))
+    assert len(metas) >= 2
+    sess.execute(
+        f"CREATE FOREIGN TABLE ext_ice () SERVER pg_lake OPTIONS (path '{metas[-1]}')"
+    )
+    assert sess.execute("SELECT count(*) n FROM ext_ice").collect()[0].n == 8
+    # redirect to the older snapshot's metadata
+    sess.execute(f"ALTER FOREIGN TABLE ext_ice OPTIONS (SET path '{metas[-2]}')")
+    assert sess.execute("SELECT count(*) n FROM ext_ice").collect()[0].n == 5
