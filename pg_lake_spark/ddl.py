@@ -58,6 +58,11 @@ _DROP_FOREIGN = re.compile(
     r"^\s*DROP\s+FOREIGN\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_ALTER_TABLE_OPTS = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.\"]+)\s+"
+    r"OPTIONS\s*\(\s*(?:ADD|SET)\s+(?P<opts>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _ALTER_FOREIGN = re.compile(
     r"^\s*ALTER\s+FOREIGN\s+TABLE\s+(?P<name>[\w.\"]+)\s+"
     r"OPTIONS\s*\(\s*SET\s+(?P<opts>.*)\)\s*;?\s*$",
@@ -190,6 +195,22 @@ def execute_lake_sql(sess, sql: str) -> DataFrame | None:
         name = m.group("name").strip('"')
         sess.spark.catalog.dropTempView(name)
         sess._manual.pop(name, None)
+        return None
+
+    m = _ALTER_TABLE_OPTS.match(sql)
+    if m:
+        # iceberg-tables.md:176 — ALTER TABLE t OPTIONS (ADD
+        # out_of_range_values 'error'); partition_by routes to spec
+        # evolution, everything else merges into table properties
+        name = m.group("name").strip('"')
+        opts = _parse_options(m.group("opts"))
+        t = sess.lake_table_handle(name)
+        pb = opts.pop("partition_by", None)
+        if pb is not None:
+            t.set_partition_spec([c.strip() for c in pb.split(",")] if pb else None)
+        if opts:
+            t.set_properties(opts)
+        t.to_df().createOrReplaceTempView(name)
         return None
 
     m = _ALTER_FOREIGN.match(sql)

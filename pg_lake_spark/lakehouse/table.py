@@ -1199,6 +1199,16 @@ class LakeTable:
 
         self._commit("alter", [], set(), {"set_default": name}, mutate=mutate)
 
+    def set_properties(self, props: dict) -> None:
+        """``ALTER TABLE … OPTIONS (ADD/SET key 'value')`` — metadata-
+        only property merge (out_of_range_values, max_snapshot_age,
+        retention knobs; iceberg-tables.md:176)."""
+        self._commit(
+            "alter", [], set(),
+            {"set_properties": ",".join(sorted(props))},
+            properties_update=dict(props),
+        )
+
     def set_partition_spec(self, partition_by: list[str] | None) -> int:
         """Partition-spec evolution: the new spec applies to files
         written from now on; existing files keep (and are pruned by)

@@ -201,3 +201,16 @@ def test_foreign_table_over_external_iceberg(sess, spark, tmp_path):
     # redirect to the older snapshot's metadata
     sess.execute(f"ALTER FOREIGN TABLE ext_ice OPTIONS (SET path '{metas[-2]}')")
     assert sess.execute("SELECT count(*) n FROM ext_ice").collect()[0].n == 5
+
+
+def test_alter_table_options(sess, spark, tmp_path):
+    """iceberg-tables.md: ALTER TABLE t OPTIONS (ADD out_of_range_values
+    'error') merges properties; partition_by evolves the spec."""
+    path = _write_csv(tmp_path)
+    sess.warehouse = str(tmp_path / "wh")
+    sess.execute(f"CREATE TABLE opt_t () WITH (load_from = '{path}')")
+    sess.execute("ALTER TABLE opt_t OPTIONS (ADD out_of_range_values 'error')")
+    t = sess.lake_table_handle("opt_t")
+    assert t.metadata.properties["out_of_range_values"] == "error"
+    sess.execute("ALTER TABLE opt_t OPTIONS (SET partition_by 'v')")
+    assert [pf["column"] for pf in t.metadata.partition_spec] == ["v"]
