@@ -45,7 +45,7 @@ _CREATE_FOREIGN = re.compile(
 )
 _CREATE_WITH = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*"
-    r"\((?P<cols>.*?)\)\s*WITH\s*\((?P<opts>.*)\)\s*;?\s*$",
+    r"\((?P<cols>.*?)\)\s*(?:USING\s+iceberg\s*)?WITH\s*\((?P<opts>.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _CREATE_LIKE = re.compile(
@@ -167,12 +167,14 @@ def execute_lake_sql(sess, sql: str) -> DataFrame | None:
         src = opts.get("load_from") or opts.get("definition_from")
         location = opts.get("location") or sess.default_table_location(name)
         read_opts = {k: v for k, v in opts.items() if k in _READ_OPTION_KEYS}
+        pb = opts.get("partition_by")
         sess.create_table_from(
             name,
             location,
             load_from=src if "load_from" in opts else None,
             definition_from=src if "definition_from" in opts else None,
             fmt=opts.get("format"),
+            partition_by=[c.strip() for c in pb.split(",")] if pb else None,
             **read_opts,
         )
         return None

@@ -214,3 +214,17 @@ def test_alter_table_options(sess, spark, tmp_path):
     assert t.metadata.properties["out_of_range_values"] == "error"
     sess.execute("ALTER TABLE opt_t OPTIONS (SET partition_by 'v')")
     assert [pf["column"] for pf in t.metadata.partition_spec] == ["v"]
+
+
+def test_create_using_iceberg_with_load_from(sess, spark, tmp_path):
+    """file-formats-reference.md GDAL example shape: create table t ()
+    using iceberg with (load_from = '...'), plus partition_by option."""
+    path = _write_csv(tmp_path)
+    sess.warehouse = str(tmp_path / "wh")
+    sess.execute(
+        f"CREATE TABLE iceberg_loaded () USING iceberg "
+        f"WITH (load_from = '{path}', partition_by = 'v')"
+    )
+    t = sess.lake_table_handle("iceberg_loaded")
+    assert spark.table("iceberg_loaded").count() == 3
+    assert [pf["column"] for pf in t.metadata.partition_spec] == ["v"]
