@@ -58,6 +58,10 @@ _DROP_FOREIGN = re.compile(
     r"^\s*DROP\s+FOREIGN\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_VACUUM = re.compile(
+    r"^\s*VACUUM\s+(?:\(\s*FULL\s*\)\s+)?(?P<name>[\w.\"]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _ALTER_TABLE_OPTS = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.\"]+)\s+"
     r"OPTIONS\s*\(\s*(?:ADD|SET)\s+(?P<opts>.*)\)\s*;?\s*$",
@@ -197,6 +201,17 @@ def execute_lake_sql(sess, sql: str) -> DataFrame | None:
         name = m.group("name").strip('"')
         sess.spark.catalog.dropTempView(name)
         sess._manual.pop(name, None)
+        return None
+
+    m = _VACUUM.match(sql)
+    if m:
+        # iceberg-tables.md "Vacuuming an Iceberg table": materialize
+        # pending deletes, compact, expire snapshots, purge
+        from pg_lake_spark.lakehouse import maintenance
+
+        t = sess.lake_table_handle(m.group("name").strip('"'))
+        maintenance.vacuum(t)
+        t.to_df().createOrReplaceTempView(m.group("name").strip('"'))
         return None
 
     m = _ALTER_TABLE_OPTS.match(sql)

@@ -228,3 +228,14 @@ def test_create_using_iceberg_with_load_from(sess, spark, tmp_path):
     t = sess.lake_table_handle("iceberg_loaded")
     assert spark.table("iceberg_loaded").count() == 3
     assert [pf["column"] for pf in t.metadata.partition_spec] == ["v"]
+
+
+def test_vacuum_statement(sess, spark, tmp_path):
+    path = _write_csv(tmp_path)
+    sess.warehouse = str(tmp_path / "wh")
+    sess.execute(f"CREATE TABLE vac_t () WITH (load_from = '{path}')")
+    t = sess.lake_table_handle("vac_t")
+    t.delete("k = 1", mode="mor")
+    sess.execute("VACUUM vac_t")
+    # MoR delete materialized; data still correct
+    assert sorted(r.k for r in spark.table("vac_t").collect()) == [2, 3]
