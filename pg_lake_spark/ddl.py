@@ -203,6 +203,9 @@ def execute_lake_sql(sess, sql: str) -> DataFrame | None:
         sess._manual.pop(name, None)
         return None
 
+    if execute_lake_dml(sess, sql):
+        return None
+
     m = _VACUUM.match(sql)
     if m:
         # iceberg-tables.md "Vacuuming an Iceberg table": materialize
@@ -271,3 +274,137 @@ def execute_lake_sql(sess, sql: str) -> DataFrame | None:
         return None
 
     return sess.spark.sql(_expand_lake_file_list(sess, sql))
+
+
+# ---------------------------------------------------------------------------
+# DML statements on lake tables (docs/iceberg-tables.md "Loading data
+# into an Iceberg table" / "Update/delete on an Iceberg table")
+# ---------------------------------------------------------------------------
+
+_INSERT = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<name>[\w.\"]+)\s*(?:\((?P<cols>[^)]*)\)\s*)?"
+    r"(?P<q>(?:SELECT|VALUES|WITH|TABLE)\b.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<name>[\w.\"]+)\s*(?:WHERE\s+(?P<pred>.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE = re.compile(
+    r"^\s*UPDATE\s+(?P<name>[\w.\"]+)\s+SET\s+(?P<assigns>.*?)"
+    r"(?:\s+WHERE\s+(?P<pred>.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<name>[\w.\"]+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?\s+"
+    r"USING\s+(?P<src>\(.*?\)|[\w.\"]+)(?:\s+(?:AS\s+)?(?P<salias>\w+))?\s+"
+    r"ON\s+(?P<cond>.*?)\s+"
+    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?P<assigns>.*?)\s+"
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_top(blob: str) -> list[str]:
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(blob):
+        if ch in "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(blob[start:i])
+            start = i + 1
+    parts.append(blob[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _parse_assignments(blob: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for part in _split_top(blob):
+        col, _, expr = part.partition("=")
+        out[col.strip().strip('"')] = expr.strip()
+    return out
+
+
+def _align_positional(df: DataFrame, table) -> DataFrame:
+    """VALUES inserts carry col1/col2… names; align positionally when
+    the arity matches and names don't."""
+    from pg_lake_spark.lakehouse.table import ddl_fields
+
+    fields = [n for n, _ in ddl_fields(table.metadata.schema_ddl)]
+    if set(df.columns) & set(fields):
+        return df
+    if len(df.columns) != len(fields):
+        raise ValueError(
+            f"INSERT arity {len(df.columns)} != table arity {len(fields)}"
+        )
+    return df.toDF(*fields)
+
+
+def _handle_or_none(sess, name: str):
+    """Lake table for ``name``, or None when the statement should pass
+    through to spark.sql (DML over non-lake relations)."""
+    try:
+        return sess.lake_table_handle(name.strip('"'))
+    except KeyError:
+        return None
+
+
+def execute_lake_dml(sess, sql: str) -> bool:
+    """Try the DML statement shapes; True if the statement was handled."""
+    m = _INSERT.match(sql)
+    if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
+        name = m.group("name").strip('"')
+        df = sess.spark.sql(_expand_lake_file_list(sess, m.group("q")))
+        if m.group("cols"):
+            names = [c.strip().strip('"') for c in m.group("cols").split(",")]
+            df = df.toDF(*names)
+        t.append(_align_positional(df, t))
+        t.to_df().createOrReplaceTempView(name)
+        return True
+    m = _DELETE.match(sql)
+    if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
+        name = m.group("name").strip('"')
+        t.delete(m.group("pred") or "true")
+        t.to_df().createOrReplaceTempView(name)
+        return True
+    m = _UPDATE.match(sql)
+    if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
+        name = m.group("name").strip('"')
+        t.update(_parse_assignments(m.group("assigns")), where=m.group("pred"))
+        t.to_df().createOrReplaceTempView(name)
+        return True
+    m = _MERGE.match(sql)
+    if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
+        name = m.group("name").strip('"')
+        src = m.group("src")
+        src_df = (
+            sess.spark.sql(src[1:-1])
+            if src.startswith("(")
+            else sess.spark.table(src.strip('"'))
+        )
+        salias = m.group("salias") or src.strip('"')
+        talias = m.group("talias") or name
+        # ON: conjunction of alias-qualified equalities over shared keys
+        keys = []
+        for conj in re.split(r"(?i)\s+AND\s+", m.group("cond")):
+            lhs, _, rhs = conj.partition("=")
+            lcol = lhs.strip().split(".")[-1].strip('" ')
+            rcol = rhs.strip().split(".")[-1].strip('" ')
+            if lcol != rcol:
+                raise ValueError(
+                    f"MERGE ON supports same-name key equality, got {conj.strip()}"
+                )
+            keys.append(lcol)
+        assigns = {
+            col: re.sub(rf"(?i)\b{re.escape(salias)}\.", "s.", expr).strip()
+            for col, expr in _parse_assignments(m.group("assigns")).items()
+        }
+        assigns = {
+            col.split(".")[-1]: expr for col, expr in assigns.items()
+        }
+        t.merge(src_df, keys, when_matched_update=assigns)
+        t.to_df().createOrReplaceTempView(name)
+        return True
+    return False

@@ -136,7 +136,13 @@ class LakeTable:
             for n, t in missing:
                 d = self.metadata.column_defaults.get(n)
                 df = df.withColumn(n, F.expr(d if d is not None else "NULL").cast(t))
-            df = df.select(*[n for n, _ in fields])
+        # Assignment casts (PG INSERT semantics): every column lands in
+        # its DECLARED type so data files always carry the table schema.
+        # Without this, an input with a near-miss type (decimal literal
+        # into a double column) writes its own physical type and the
+        # schema-pinned scan misreads it (decimal unscaled ints read as
+        # doubles).
+        df = df.select(*[F.col(n).cast(t).alias(n) for n, t in fields])
         policy = self.metadata.properties.get("out_of_range_values", validation.ERROR)
         if policy != "none":
             df = validation.validate_for_write(df, policy)

@@ -239,3 +239,42 @@ def test_vacuum_statement(sess, spark, tmp_path):
     sess.execute("VACUUM vac_t")
     # MoR delete materialized; data still correct
     assert sorted(r.k for r in spark.table("vac_t").collect()) == [2, 3]
+
+
+def test_dml_statements(sess, spark, tmp_path):
+    """iceberg-tables.md DML section verbatim: INSERT (query, VALUES,
+    column list), DELETE WHERE, UPDATE SET, MERGE upsert."""
+    path = _write_csv(tmp_path)
+    sess.warehouse = str(tmp_path / "wh")
+    sess.execute(f"CREATE TABLE dml_t () WITH (load_from = '{path}')")
+
+    sess.execute("INSERT INTO dml_t VALUES (10, 'j', 9.5), (11, 'k', 10.5)")
+    assert spark.table("dml_t").count() == 5
+    sess.execute("INSERT INTO dml_t (k, v, w) SELECT k + 100, v, w FROM dml_t WHERE k = 1")
+    assert spark.table("dml_t").count() == 6
+
+    sess.execute("UPDATE dml_t SET w = w * 2 WHERE k = 10")
+    assert spark.table("dml_t").filter("k = 10").collect()[0].w == 19.0
+
+    sess.execute("DELETE FROM dml_t WHERE k >= 100")
+    assert spark.table("dml_t").count() == 5
+
+    # MERGE upsert: update one existing key, insert one new key
+    spark.createDataFrame([(10, "J", 0.0), (42, "new", 1.0)], "k int, v string, w double") \
+        .createOrReplaceTempView("dml_src")
+    sess.execute(
+        "MERGE INTO dml_t USING dml_src AS s ON dml_t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v, w = s.w "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r.k: (r.v, r.w) for r in spark.table("dml_t").collect()}
+    assert got[10] == ("J", 0.0) and got[42] == ("new", 1.0)
+    assert len(got) == 6
+
+    # DML over a non-lake relation passes through (and errors in Spark,
+    # not with a KeyError from our router)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as exc:
+        sess.execute("DELETE FROM dml_src WHERE k = 1")
+    assert "KeyError" not in str(exc.typename)
