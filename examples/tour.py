@@ -52,6 +52,10 @@ def tour(spark, scratch: str) -> dict:
     out["lake_rows"] = spark.table("events_lake").count()
 
     # -- 3. lakehouse lifecycle (iceberg-tables.md) ----------------------
+    # DML runs as SQL statements, verbatim from the docs
+    sess.execute("INSERT INTO events_lake VALUES (99, 'k9', 123.0)")
+    sess.execute("UPDATE events_lake SET amount = amount + 1 WHERE user_id = 99")
+    sess.execute("DELETE FROM events_lake WHERE user_id = 99")
     t = sess.lake_table_handle("events_lake")
     t.delete("kind = 'k2'")
     v_before_update = t.metadata.current_snapshot().snapshot_id
