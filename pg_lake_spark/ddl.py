@@ -48,6 +48,12 @@ _CREATE_WITH = re.compile(
     r"\((?P<cols>.*?)\)\s*(?:USING\s+iceberg\s*)?WITH\s*\((?P<opts>.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_CTAS = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s+"
+    r"(?:USING\s+iceberg\s+)?(?:WITH\s*\((?P<opts>.*?)\)\s+)?"
+    r"AS\s+(?P<q>(?:SELECT|VALUES|WITH|TABLE)\b.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _CREATE_LIKE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*"
     r"\(\s*LIKE\s+(?P<src>[\w.\"]+)\s*\)\s*(?:USING\s+iceberg\s*)?"
@@ -180,6 +186,22 @@ def execute_lake_sql(sess, sql: str) -> DataFrame | None:
             fmt=opts.get("format"),
             partition_by=[c.strip() for c in pb.split(",")] if pb else None,
             **read_opts,
+        )
+        return None
+
+    m = _CTAS.match(sql)
+    if m:
+        # iceberg-tables.md CTAS: CREATE TABLE t USING iceberg
+        # [WITH (partition_by/location)] AS SELECT ...
+        name = m.group("name").strip('"')
+        opts = _parse_options(m.group("opts") or "")
+        location = opts.get("location") or sess.default_table_location(name)
+        pb = opts.get("partition_by")
+        sess.create_lake_table(
+            name,
+            location,
+            df=sess.spark.sql(_expand_lake_file_list(sess, m.group("q"))),
+            partition_by=[c.strip() for c in pb.split(",")] if pb else None,
         )
         return None
 

@@ -278,3 +278,19 @@ def test_dml_statements(sess, spark, tmp_path):
     with _pytest.raises(Exception) as exc:
         sess.execute("DELETE FROM dml_src WHERE k = 1")
     assert "KeyError" not in str(exc.typename)
+
+
+def test_ctas(sess, spark, tmp_path):
+    """iceberg-tables.md CTAS statement with hidden partitioning."""
+    path = _write_csv(tmp_path)
+    sess.warehouse = str(tmp_path / "wh")
+    sess.execute(
+        f"CREATE FOREIGN TABLE ctas_src () SERVER pg_lake OPTIONS (path '{path}', format 'csv')"
+    )
+    sess.execute(
+        "CREATE TABLE ctas_t USING iceberg WITH (partition_by = 'v') "
+        "AS SELECT k, v FROM ctas_src WHERE k >= 2"
+    )
+    assert sorted(r.k for r in spark.table("ctas_t").collect()) == [2, 3]
+    t = sess.lake_table_handle("ctas_t")
+    assert [pf["column"] for pf in t.metadata.partition_spec] == ["v"]
