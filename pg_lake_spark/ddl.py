@@ -64,6 +64,10 @@ _DROP_FOREIGN = re.compile(
     r"^\s*DROP\s+FOREIGN\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_DROP_TABLE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _VACUUM = re.compile(
     r"^\s*VACUUM\s+(?:\(\s*FULL\s*\)\s+)?(?P<name>[\w.\"]+)\s*;?\s*$",
     re.IGNORECASE,
@@ -223,6 +227,21 @@ def execute_lake_sql(sess, sql: str) -> DataFrame | None:
         name = m.group("name").strip('"')
         sess.spark.catalog.dropTempView(name)
         sess._manual.pop(name, None)
+        return None
+
+    m = _DROP_TABLE.match(sql)
+    if m:
+        name = m.group("name").strip('"')
+        t = _handle_or_none(sess, name)
+        if t is None:
+            return sess.spark.sql(sql)  # non-lake relation: Spark's DROP
+        # drop_table.c parity: files to the deletion queue (retention-
+        # governed, restorable), view unregistered
+        from pg_lake_spark.lakehouse import maintenance
+
+        maintenance.drop_table(t.location)
+        sess.spark.catalog.dropTempView(name)
+        sess._lake_tables.pop(name, None)
         return None
 
     if execute_lake_dml(sess, sql):

@@ -294,3 +294,24 @@ def test_ctas(sess, spark, tmp_path):
     assert sorted(r.k for r in spark.table("ctas_t").collect()) == [2, 3]
     t = sess.lake_table_handle("ctas_t")
     assert [pf["column"] for pf in t.metadata.partition_spec] == ["v"]
+
+
+def test_drop_table_soft_delete(sess, spark, tmp_path):
+    """DROP TABLE on a lake table goes through the soft-delete lifecycle
+    (deletion queue, restorable) and unregisters the view."""
+    import pytest as _pytest
+
+    from pg_lake_spark.lakehouse import maintenance
+    from pg_lake_spark.lakehouse.table import LakeTable
+
+    path = _write_csv(tmp_path)
+    sess.warehouse = str(tmp_path / "wh")
+    sess.execute(f"CREATE TABLE droppable () WITH (load_from = '{path}')")
+    loc = sess.lake_table_handle("droppable").location
+    sess.execute("DROP TABLE droppable")
+    with _pytest.raises(Exception):
+        spark.table("droppable")
+    # restorable: data comes back
+    maintenance.restore_table(spark, loc)
+    t = LakeTable.load(spark, loc)
+    assert t.to_df().count() == 3
