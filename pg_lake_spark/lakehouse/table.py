@@ -557,6 +557,52 @@ class LakeTable:
     def to_df(self, **kwargs) -> DataFrame:
         return self.scan(**kwargs)
 
+    def changelog(
+        self,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Net row-level changes between two snapshots: each changed row
+        appears once with ``_change_type`` = 'insert' or 'delete' (an
+        UPDATE contributes one of each; rows merely rewritten by CoW or
+        compaction cancel out). The Iceberg-changelog-view analogue
+        (pg_lake_table/tests/pytests/test_iceberg_changelog.py), and the
+        general-DML complement of :meth:`incremental_scan`'s
+        append-only feed.
+
+        Semantics are the multiset diff of the two snapshot scans —
+        exact for every operation mix (CoW, MoR predicates, merges,
+        compaction). Scale: when no MoR delete predicate is pending at
+        either endpoint, both scans are first restricted to the files
+        NOT shared by the endpoints (shared files contribute identical
+        row multisets to both sides and cancel in EXCEPT ALL), so a
+        small commit range reads only its touched files."""
+        md = self.metadata
+        to_id = to_snapshot_id or (md.current_snapshot().snapshot_id
+                                   if md.current_snapshot() else 0)
+        old = self.scan(snapshot_id=from_snapshot_id)
+        new = self.scan(snapshot_id=to_id)
+        if not md.delete_predicates:
+            from_snap = md.snapshot_by_id(from_snapshot_id)
+            to_snap = md.snapshot_by_id(to_id)
+            f_from = {f.path for f in cat.read_snapshot_files(self.location, md, from_snap)}
+            f_to = {f.path for f in cat.read_snapshot_files(self.location, md, to_snap)}
+            shared = f_from & f_to
+            if shared:
+                keep_old = sorted(f_from - shared)
+                keep_new = sorted(f_to - shared)
+                old = self._read_files(
+                    [f for f in cat.read_snapshot_files(self.location, md, from_snap)
+                     if f.path not in shared]
+                ) if keep_old else old.limit(0)
+                new = self._read_files(
+                    [f for f in cat.read_snapshot_files(self.location, md, to_snap)
+                     if f.path not in shared]
+                ) if keep_new else new.limit(0)
+        inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+        deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+        return inserts.unionByName(deletes)
+
     def incremental_scan(
         self, from_snapshot_id: int, to_snapshot_id: int | None = None
     ) -> DataFrame:

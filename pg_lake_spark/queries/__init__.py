@@ -34,7 +34,7 @@ _R6_NEW: list[str] = [
     "txt_pii_scrub", "txt_gopher_quality", "dd_decontaminate",
     "f_spatial_relations", "f_spatial_overlay", "dd_bloom_semi_join",
     "j_polygon_overlap_join", "f_to_date", "st_stream_dedup",
-    "st_stream_lsh_neardup",
+    "st_stream_lsh_neardup", "dml_changelog",
 ]
 _STALE_R2R3 = [
     "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",

@@ -284,3 +284,41 @@ def dml_drop_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice"))
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "dml_changelog",
+    oracle="""
+    SELECT 'delete' AS _change_type, c_custkey, round(c_acctbal, 2) AS bal
+    FROM customer WHERE c_custkey <= 400 AND c_custkey % 7 = 0
+    UNION ALL
+    SELECT 'insert', c_custkey, round(c_acctbal + 100.0, 2)
+    FROM customer WHERE c_custkey <= 400 AND c_custkey % 7 = 0
+    ORDER BY _change_type, c_custkey
+    """,
+    doc="Row-level changelog between snapshots (Iceberg changelog-view "
+    "parity, test_iceberg_changelog.py): a CoW UPDATE reports each "
+    "changed row once as delete(old)+insert(new); rows merely copied "
+    "by the rewrite cancel out (net-changes multiset diff, shared "
+    "files pruned from both sides).",
+)
+def dml_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    src = (
+        t["customer"]
+        .filter(F.col("c_custkey") <= 400)
+        .select("c_custkey", "c_acctbal")
+    )
+    lt = LakeTable.create_from_dataframe(spark, _scratch("dml_changelog"), src)
+    s1 = lt.metadata.current_snapshot().snapshot_id
+    lt.update({"c_acctbal": "c_acctbal + 100.0"}, where="c_custkey % 7 = 0")
+    s2 = lt.metadata.current_snapshot().snapshot_id
+    return (
+        lt.changelog(s1, s2)
+        .select(
+            "_change_type",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("bal"),
+        )
+        .orderBy("_change_type", "c_custkey")
+    )

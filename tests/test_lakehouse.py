@@ -1344,3 +1344,35 @@ def test_alter_column_type_promotion(spark, tmp_path):
         t.alter_column_type("d", "decimal(12,4)")  # scale change
     with _pytest.raises(ValueError, match="not found"):
         t.alter_column_type("zz", "bigint")
+
+
+def test_changelog_net_changes(spark, tmp_path):
+    """changelog(): UPDATE → delete(old)+insert(new) per changed row;
+    copied-but-unchanged rows cancel; appends are pure inserts; the
+    MoR-predicate fallback path stays exact."""
+    from pg_lake_spark.lakehouse.table import LakeTable
+
+    loc = str(tmp_path / "cl")
+    t = LakeTable.create_from_dataframe(
+        spark, loc, spark.range(20).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    )
+    s1 = t.metadata.current_snapshot().snapshot_id
+    t.update({"v": "v + 1.0"}, where="k < 5")
+    s2 = t.metadata.current_snapshot().snapshot_id
+    cl = t.changelog(s1, s2)
+    by_type = {r[0]: r[1] for r in cl.groupBy("_change_type").count().collect()}
+    assert by_type == {"insert": 5, "delete": 5}
+    # appends: inserts only
+    t.append(spark.range(100, 103).selectExpr("id AS k", "CAST(0 AS DOUBLE) AS v"))
+    s3 = t.metadata.current_snapshot().snapshot_id
+    cl2 = t.changelog(s2, s3)
+    assert {r[0] for r in cl2.select("_change_type").distinct().collect()} == {"insert"}
+    assert cl2.count() == 3
+    # MoR delete pending (fallback path, no shared-file pruning): exact
+    t.delete("k >= 100", mode="mor")
+    s4 = t.metadata.current_snapshot().snapshot_id
+    cl3 = t.changelog(s3, s4)
+    assert {r[0] for r in cl3.select("_change_type").distinct().collect()} == {"delete"}
+    assert cl3.count() == 3
+    # full-range diff composes
+    assert t.changelog(s1, s4).count() == 10  # 5 del + 5 ins (updates)
