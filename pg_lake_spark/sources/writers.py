@@ -30,7 +30,28 @@ _PG_CSV_COMMON = {
     "escape": "escape",
     "delimiter": "sep",
     "null": "nullValue",
+    # DuckDB COPY dateformat/timestampformat (strftime codes) → Spark
+    # Java patterns; translated in translate_copy_options
+    "date_format": "dateFormat",
+    "timestamp_format": "timestampFormat",
 }
+
+#: strftime → Java DateTimeFormatter (the subset DuckDB's COPY docs use)
+_STRFTIME_TO_JAVA = [
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
+    ("%H", "HH"), ("%I", "hh"), ("%M", "mm"), ("%S", "ss"),
+    ("%f", "SSSSSS"), ("%g", "SSS"), ("%p", "a"), ("%j", "DDD"),
+    ("%%", "%"),
+]
+
+
+def strftime_to_java(fmt: str) -> str:
+    out = fmt
+    for pg, java in _STRFTIME_TO_JAVA:
+        out = out.replace(pg, java)
+    if "%" in out:
+        raise ValueError(f"unsupported strftime code in {fmt!r}")
+    return out
 _COPY_TO_OPTS: dict[str, dict[str, str | None]] = {
     "csv": {**_PG_CSV_COMMON, "force_quote": "quoteAll"},
     "parquet": {},
@@ -65,6 +86,8 @@ def translate_copy_options(
         spark_key = table[k]
         if spark_key is None:
             continue
+        if k in ("date_format", "timestamp_format"):
+            v = strftime_to_java(str(v))
         if k == "force_quote":
             # '*'/True → Spark's quoteAll; a column list is handled by
             # copy_to's manual quoting pass (popped before we get here).

@@ -410,3 +410,30 @@ def test_geo_format_glob_fanout(spark, tmp_path):
     assert df.count() == 6
     assert df.select("filename").distinct().count() == 3
     assert sorted(r.id for r in df.collect()) == [0, 1, 10, 11, 20, 21]
+
+
+def test_copy_csv_date_format_option(spark, tmp_path):
+    """DuckDB-style COPY dateformat option (strftime codes) translates
+    to Spark patterns on both COPY TO and the read side — a text column
+    that LOOKS like a US date never corrupts a real date column
+    (reference regression test_csv_date_format.py)."""
+    from pg_lake_spark.sources.writers import copy_to, strftime_to_java
+
+    assert strftime_to_java("%d/%m/%Y") == "dd/MM/yyyy"
+    assert strftime_to_java("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss"
+
+    df = spark.sql(
+        "SELECT '12/25/2020' AS txt, DATE'2021-03-10' AS d"
+    )
+    out = str(tmp_path / "dates")
+    copy_to(df, out, fmt="csv", compression="gzip", date_format="%d/%m/%Y")
+    back = (
+        spark.read.option("header", True)
+        .option("dateFormat", "dd/MM/yyyy")
+        .schema("txt string, d date")
+        .csv(out)
+        .collect()[0]
+    )
+    import datetime
+
+    assert back.txt == "12/25/2020" and back.d == datetime.date(2021, 3, 10)
