@@ -549,3 +549,46 @@ def table_size(table: LakeTable) -> dict:
         "files": len(files),
         "rows": sum(f.row_count for f in files),
     }
+
+
+def flush_in_progress_queue(table: LakeTable, older_than_s: float = 3600.0) -> dict:
+    """Reclaim staging files from crashed (uncommitted) writes —
+    ``pg_lake_flush_in_progress_queue`` parity (in_progress_files.c:
+    writers register a prefix before writing and remove the entry on
+    commit, so a surviving entry older than the grace window whose
+    files no snapshot references is a dead write). Returns counts."""
+    import glob as _glob
+    import json as _json
+    import shutil as _shutil
+
+    d = os.path.join(table.location, "_lake_metadata", "in_progress")
+    if not os.path.isdir(d):
+        return {"flushed": 0, "kept": 0, "bytes": 0}
+    referenced = {os.path.abspath(p) for p in find_all_referenced_files(table)}
+    cutoff_ms = (time.time() - older_than_s) * 1000
+    flushed = kept = freed = 0
+    for entry in sorted(_glob.glob(os.path.join(d, "*.json"))):
+        try:
+            with open(entry) as fh:
+                rec = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if rec.get("ts_ms", 0) > cutoff_ms:
+            kept += 1
+            continue
+        prefix = rec["prefix"]
+        live = any(f.startswith(os.path.abspath(prefix)) for f in referenced)
+        if live:
+            # committed by a writer that died before clearing its entry
+            os.remove(entry)
+            continue
+        if os.path.isdir(prefix):
+            freed += sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _dirs, files in os.walk(prefix)
+                for f in files
+            )
+            _shutil.rmtree(prefix, ignore_errors=True)
+        os.remove(entry)
+        flushed += 1
+    return {"flushed": flushed, "kept": kept, "bytes": freed}

@@ -253,8 +253,30 @@ class LakeTable:
             },
         )
 
+    def _register_in_progress(self, staging: str) -> str:
+        """Record a staging prefix BEFORE writing (reference:
+        in_progress_files.c — committed transactions remove their
+        entries; crashed ones are reclaimed by VACUUM's flush)."""
+        d = os.path.join(self.location, "_lake_metadata", "in_progress")
+        os.makedirs(d, exist_ok=True)
+        entry = os.path.join(d, uuid.uuid4().hex + ".json")
+        with open(entry, "w") as fh:
+            json.dump({"prefix": staging, "ts_ms": int(time.time() * 1000)}, fh)
+        self._pending_in_progress = getattr(self, "_pending_in_progress", [])
+        self._pending_in_progress.append(entry)
+        return entry
+
+    def _clear_in_progress(self) -> None:
+        for entry in getattr(self, "_pending_in_progress", []):
+            try:
+                os.remove(entry)
+            except FileNotFoundError:
+                pass
+        self._pending_in_progress = []
+
     def _write_data_files(self, df: DataFrame) -> list[DataFile]:
         staging = os.path.join(self.location, "data", uuid.uuid4().hex)
+        self._register_in_progress(staging)
         spec = self.metadata.partition_spec
         if spec:
             out = df
@@ -381,6 +403,7 @@ class LakeTable:
                 mutate(md, sid)
             cat.commit_metadata(self.location, md)
             self.metadata = md
+            self._clear_in_progress()  # committed: staged files are live
             return snap
 
     # ------------------------------------------------------------------

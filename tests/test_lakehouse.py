@@ -1376,3 +1376,39 @@ def test_changelog_net_changes(spark, tmp_path):
     assert cl3.count() == 3
     # full-range diff composes
     assert t.changelog(s1, s4).count() == 10  # 5 del + 5 ins (updates)
+
+
+def test_in_progress_queue_flush(spark, tmp_path):
+    """Crashed-write reclamation (in_progress_files.c parity): staging
+    prefixes register before writing and clear on commit; a stale
+    uncommitted entry's files are flushed, fresh or committed ones kept."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    from pg_lake_spark.lakehouse import maintenance
+    from pg_lake_spark.lakehouse.table import LakeTable
+
+    loc = str(tmp_path / "t")
+    t = LakeTable.create_from_dataframe(spark, loc, spark.range(10).selectExpr("id AS k"))
+    ip_dir = _os.path.join(loc, "_lake_metadata", "in_progress")
+    # committed write cleared its entry
+    assert _glob.glob(ip_dir + "/*.json") == []
+
+    # simulate a crash: files staged + entry registered, no commit
+    staging = _os.path.join(loc, "data", "deadbeef")
+    _os.makedirs(staging)
+    open(_os.path.join(staging, "part-0.parquet"), "wb").write(b"x" * 100)
+    entry = t._register_in_progress(staging)
+    _json.dump({"prefix": staging, "ts_ms": 0}, open(entry, "w"))  # age it
+    t._pending_in_progress = []  # the "crash": this writer is gone
+
+    stats = maintenance.flush_in_progress_queue(t, older_than_s=60)
+    assert stats["flushed"] == 1 and stats["bytes"] == 100
+    assert not _os.path.exists(staging)
+    assert t.to_df().count() == 10  # live data untouched
+
+    # fresh entries survive the grace window
+    t._register_in_progress(_os.path.join(loc, "data", "fresh"))
+    t._pending_in_progress = []
+    assert maintenance.flush_in_progress_queue(t, older_than_s=3600)["kept"] == 1
