@@ -160,6 +160,9 @@ def vacuum(
     out["compact"] = compact_data_files(table, target_file_size_mb)
     out["expire"] = expire_snapshots(table, max_snapshot_age_s)
     out["purge"] = purge_deletion_queue(table, deletion_retention_s)
+    # crashed-write reclamation rides the vacuum cadence, like the
+    # reference (VACUUM removes uncommitted in-progress files)
+    out["in_progress"] = flush_in_progress_queue(table)
     return out
 
 
