@@ -64,6 +64,10 @@ _DROP_FOREIGN = re.compile(
     r"^\s*DROP\s+FOREIGN\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_SHOW_CREATE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<name>[\w.\"]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _DROP_TABLE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*;?\s*$",
     re.IGNORECASE,
@@ -228,6 +232,42 @@ def execute_lake_sql(sess, sql: str) -> DataFrame | None:
         sess.spark.catalog.dropTempView(name)
         sess._manual.pop(name, None)
         return None
+
+    m = _SHOW_CREATE.match(sql)
+    if m:
+        name = m.group("name").strip('"')
+        t = _handle_or_none(sess, name)
+        if t is None:
+            return sess.spark.sql(sql)
+        md = t.metadata
+        parts = [f"CREATE TABLE {name} ("]
+        from pg_lake_spark.lakehouse.table import ddl_fields
+
+        cols = []
+        for n, ty in ddl_fields(md.schema_ddl):
+            default = md.column_defaults.get(n)
+            cols.append(
+                f"  {n} {ty}" + (f" DEFAULT {default}" if default is not None else "")
+            )
+        parts.append(",\n".join(cols))
+        parts.append(") USING iceberg")
+        opts = [f"location = '{t.location}'"]
+        spec = md.partition_spec
+        if spec:
+            rendered = []
+            for pf in spec:
+                tr, param, col = pf["transform"], pf.get("param"), pf["column"]
+                rendered.append(
+                    col if tr == "identity"
+                    else (f"{tr}({param}, {col})" if param is not None else f"{tr}({col})")
+                )
+            opts.append("partition_by = '" + ", ".join(rendered) + "'")
+        for k, v in sorted(md.properties.items()):
+            if not str(k).startswith("streaming."):
+                opts.append(f"{k} = '{v}'")
+        parts.append("WITH (" + ", ".join(opts) + ")")
+        ddl_text = "\n".join(parts)
+        return sess.spark.createDataFrame([(ddl_text,)], "createtab_stmt string")
 
     m = _DROP_TABLE.match(sql)
     if m:

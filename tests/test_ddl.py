@@ -315,3 +315,18 @@ def test_drop_table_soft_delete(sess, spark, tmp_path):
     maintenance.restore_table(spark, loc)
     t = LakeTable.load(spark, loc)
     assert t.to_df().count() == 3
+
+
+def test_show_create_table(sess, spark, tmp_path):
+    path = _write_csv(tmp_path)
+    sess.warehouse = str(tmp_path / "wh")
+    sess.execute(
+        f"CREATE TABLE sct () USING iceberg WITH (load_from = '{path}', partition_by = 'v')"
+    )
+    sess.lake_table_handle("sct").set_properties({"out_of_range_values": "clamp"})
+    stmt = sess.execute("SHOW CREATE TABLE sct").collect()[0].createtab_stmt
+    assert "CREATE TABLE sct (" in stmt
+    assert "k int" in stmt and "v string" in stmt
+    assert "partition_by = 'v'" in stmt
+    assert "out_of_range_values = 'clamp'" in stmt
+    assert "USING iceberg" in stmt
