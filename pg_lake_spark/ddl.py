@@ -179,8 +179,24 @@ def execute_lake_sql(sess, sql: str) -> DataFrame | None:
     if m:
         opts = _parse_options(m.group("opts"))
         if "load_from" not in opts and "definition_from" not in opts:
-            # plain CREATE TABLE ... WITH: not ours
-            return sess.spark.sql(_expand_lake_file_list(sess, sql))
+            cols = (m.group("cols") or "").strip()
+            if not cols:
+                return sess.spark.sql(_expand_lake_file_list(sess, sql))
+            # docs "Creating an Iceberg table": CREATE TABLE t (cols)
+            # USING iceberg WITH (location/partition_by/...) — empty
+            # table with an explicit schema
+            name = m.group("name").strip('"')
+            location = opts.pop("location", None) or sess.default_table_location(name)
+            pb = opts.pop("partition_by", None)
+            t = sess.create_lake_table(
+                name,
+                location,
+                schema_ddl=_normalize_pg_types(cols),
+                partition_by=[c.strip() for c in pb.split(",")] if pb else None,
+            )
+            if opts:
+                t.set_properties(opts)
+            return None
         name = m.group("name").strip('"')
         src = opts.get("load_from") or opts.get("definition_from")
         location = opts.get("location") or sess.default_table_location(name)

@@ -330,3 +330,28 @@ def test_show_create_table(sess, spark, tmp_path):
     assert "partition_by = 'v'" in stmt
     assert "out_of_range_values = 'clamp'" in stmt
     assert "USING iceberg" in stmt
+
+
+def test_plain_create_iceberg_table(sess, spark, tmp_path):
+    """docs 'Creating an Iceberg table': CREATE TABLE t (cols) USING
+    iceberg WITH (location, partition_by, out_of_range_values) — and a
+    SHOW CREATE TABLE roundtrip re-executes."""
+    loc = str(tmp_path / "plain")
+    sess.execute(
+        f"CREATE TABLE plain_t (id integer, name VARCHAR(50), ts timestamp) "
+        f"USING iceberg WITH (location = '{loc}', partition_by = 'name', "
+        f"out_of_range_values = 'clamp')"
+    )
+    df = spark.table("plain_t")
+    assert df.count() == 0 and df.columns == ["id", "name", "ts"]
+    t = sess.lake_table_handle("plain_t")
+    assert [pf["column"] for pf in t.metadata.partition_spec] == ["name"]
+    assert t.metadata.properties["out_of_range_values"] == "clamp"
+    sess.execute("INSERT INTO plain_t VALUES (1, 'a', TIMESTAMP'2024-01-01 00:00:00')")
+    assert spark.table("plain_t").count() == 1
+
+    # SHOW CREATE roundtrip: the emitted statement re-executes
+    stmt = sess.execute("SHOW CREATE TABLE plain_t").collect()[0].createtab_stmt
+    stmt2 = stmt.replace("plain_t", "plain_t2").replace(loc, str(tmp_path / "p2"))
+    sess.execute(stmt2)
+    assert spark.table("plain_t2").columns == ["id", "name", "ts"]
