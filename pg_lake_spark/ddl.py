@@ -64,6 +64,10 @@ _DROP_FOREIGN = re.compile(
     r"^\s*DROP\s+FOREIGN\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_TRUNCATE = re.compile(
+    r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?P<name>[\w.\"]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _SHOW_CREATE = re.compile(
     r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<name>[\w.\"]+)\s*;?\s*$",
     re.IGNORECASE,
@@ -247,6 +251,13 @@ def execute_lake_sql(sess, sql: str) -> DataFrame | None:
         name = m.group("name").strip('"')
         sess.spark.catalog.dropTempView(name)
         sess._manual.pop(name, None)
+        return None
+
+    m = _TRUNCATE.match(sql)
+    if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
+        name = m.group("name").strip('"')
+        t.delete("true")  # snapshot-versioned: time travel still sees old rows
+        t.to_df().createOrReplaceTempView(name)
         return None
 
     m = _SHOW_CREATE.match(sql)

@@ -355,3 +355,15 @@ def test_plain_create_iceberg_table(sess, spark, tmp_path):
     stmt2 = stmt.replace("plain_t", "plain_t2").replace(loc, str(tmp_path / "p2"))
     sess.execute(stmt2)
     assert spark.table("plain_t2").columns == ["id", "name", "ts"]
+
+
+def test_truncate_table(sess, spark, tmp_path):
+    path = _write_csv(tmp_path)
+    sess.warehouse = str(tmp_path / "wh")
+    sess.execute(f"CREATE TABLE trunc_t () WITH (load_from = '{path}')")
+    t = sess.lake_table_handle("trunc_t")
+    pre = t.metadata.current_snapshot().snapshot_id
+    sess.execute("TRUNCATE TABLE trunc_t")
+    assert spark.table("trunc_t").count() == 0
+    # snapshot-versioned: the pre-truncate snapshot still reads
+    assert t.to_df(snapshot_id=pre).count() == 3
