@@ -554,6 +554,24 @@ def table_size(table: LakeTable) -> dict:
     }
 
 
+def _writer_alive(rec: dict) -> bool:
+    """True iff the registering writer can be PROVEN still alive: entry
+    carries a pid on THIS host and that process exists. Entries from
+    other hosts (or legacy entries without pid) fall back to the age
+    heuristic — callers should size ``older_than_s`` above the longest
+    plausible write in multi-host deployments."""
+    import socket
+
+    pid = rec.get("pid")
+    if not pid or rec.get("host") != socket.gethostname():
+        return False
+    try:
+        os.kill(int(pid), 0)
+        return True
+    except (OSError, ValueError):
+        return False
+
+
 def flush_in_progress_queue(table: LakeTable, older_than_s: float = 3600.0) -> dict:
     """Reclaim staging files from crashed (uncommitted) writes —
     ``pg_lake_flush_in_progress_queue`` parity (in_progress_files.c:
@@ -577,6 +595,11 @@ def flush_in_progress_queue(table: LakeTable, older_than_s: float = 3600.0) -> d
         except (OSError, ValueError):
             continue
         if rec.get("ts_ms", 0) > cutoff_ms:
+            kept += 1
+            continue
+        if _writer_alive(rec):
+            # Entry is old but its writer process still runs (a long
+            # write, not a crash) — liveness beats wall-clock age.
             kept += 1
             continue
         prefix = rec["prefix"]

@@ -260,8 +260,22 @@ class LakeTable:
         d = os.path.join(self.location, "_lake_metadata", "in_progress")
         os.makedirs(d, exist_ok=True)
         entry = os.path.join(d, uuid.uuid4().hex + ".json")
+        import socket
+
         with open(entry, "w") as fh:
-            json.dump({"prefix": staging, "ts_ms": int(time.time() * 1000)}, fh)
+            # pid/host let VACUUM key liveness to the writing process
+            # (reference keys to transaction state), not just wall-clock
+            # age — a >1h write must not have its staging reclaimed
+            # mid-flight by a concurrent vacuum.
+            json.dump(
+                {
+                    "prefix": staging,
+                    "ts_ms": int(time.time() * 1000),
+                    "pid": os.getpid(),
+                    "host": socket.gethostname(),
+                },
+                fh,
+            )
         self._pending_in_progress = getattr(self, "_pending_in_progress", [])
         self._pending_in_progress.append(entry)
         return entry

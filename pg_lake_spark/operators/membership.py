@@ -76,28 +76,40 @@ def bloom_filter_maybe(
 ) -> DataFrame:
     """Rows of ``probe`` that MIGHT be members (no false negatives).
 
-    The probe side explodes to k (word, bit) lookups against the
-    broadcast filter; a row survives iff all k bits are set. Adds no
+    The DISTINCT probe keys explode to k (word, bit) lookups against
+    the broadcast filter; a key survives iff all k bits are set, and
+    the surviving key set semi-joins back to the probe. Keyed on the
+    probe value itself — NOT a generated row id — so the two
+    evaluations of the probe plan (lookup side and output side) cannot
+    disagree after a shuffle or task retry: identical keys hash to
+    identical positions by construction, preserving the
+    no-false-negatives contract. Deduping keys first also shrinks the
+    lookup explode from k*|probe| to k*|distinct keys|. Adds no
     columns; preserves probe's schema.
     """
     key = F.col(key) if isinstance(key, str) else key
-    probe = probe.withColumn("__rid", F.monotonically_increasing_id())
-    lookups = probe.select(
-        "__rid", F.explode(_positions(key, m_bits, k)).alias("__pos")
+    keys = probe.select(key.alias("__key")).distinct()
+    lookups = keys.select(
+        "__key", F.explode(_positions(F.col("__key"), m_bits, k)).alias("__pos")
     ).select(
-        "__rid",
+        "__key",
         (F.col("__pos") / 64).cast("long").alias("word"),
         (F.col("__pos") % 64).cast("int").alias("__bit"),
     )
-    hits = (
+    hit_keys = (
         lookups.join(F.broadcast(bloom), "word")
         .filter(F.expr("(shiftright(bits, __bit) & 1) = 1"))
-        .groupBy("__rid")
+        .groupBy("__key")
         .agg(F.count("*").alias("__nset"))
         .filter(F.col("__nset") == k)
-        .select("__rid")
+        .select("__key")
     )
-    return probe.join(F.broadcast(hits), "__rid", "left_semi").drop("__rid")
+    # Bloom-positive keys are true matches + ~fpp noise — small by the
+    # same assumption that makes the prefilter worthwhile — so the
+    # semi join broadcasts and the probe side never shuffles.
+    return probe.join(
+        F.broadcast(hit_keys), key.eqNullSafe(F.col("__key")), "left_semi"
+    )
 
 
 def bloom_semi_join(

@@ -72,11 +72,32 @@ class CacheStats:
         return dict(self.__dict__)
 
 
+def _head_remote(url: str) -> tuple[int | None, str | None]:
+    """(content-length, etag) from a HEAD request; (None, None) when
+    the scheme has no cheap metadata probe."""
+    if url.startswith(("http://", "https://")):
+        req = urllib.request.Request(url, method="HEAD")  # noqa: S310
+        with urllib.request.urlopen(req) as resp:  # noqa: S310
+            cl = resp.headers.get("Content-Length")
+            return (int(cl) if cl is not None else None, resp.headers.get("ETag"))
+    if url.startswith("file://"):
+        return os.path.getsize(url[len("file://"):]), None
+    return None, None
+
+
 @dataclass
 class FileCacheManager:
     cache_dir: str
     max_bytes: int = 256 * 1024 * 1024
     fetcher: Callable[[str], FetchResult] = field(default=_default_fetcher)
+    #: hits older than this re-check the remote's (size, etag) via a
+    #: HEAD probe before being served — an hf:// dataset updated in
+    #: place is re-fetched within this window, never served stale
+    #: forever. <= 0 disables revalidation.
+    revalidate_after_s: float = 300.0
+    prober: Callable[[str], tuple[int | None, str | None]] = field(
+        default=_head_remote
+    )
 
     def __post_init__(self) -> None:
         os.makedirs(self.cache_dir, exist_ok=True)
@@ -101,9 +122,16 @@ class FileCacheManager:
     def resolve(self, url: str) -> str:
         """Cached local path on a hit (recording the access for LRU);
         the url itself on a miss, after queueing it as a candidate —
-        resolution never blocks on a download."""
+        resolution never blocks on a download. Hits whose last remote
+        check is older than ``revalidate_after_s`` re-probe the remote
+        (size/etag) and fall through to the miss path if stale."""
         data_path, _ = self._paths(url)
         if os.path.exists(data_path):
+            if not self._revalidate_if_due(url):
+                with self._lock:
+                    self.stats.misses += 1
+                    self._queue[url] = None
+                return url
             os.utime(data_path)  # LRU touch
             with self._lock:
                 self.stats.hits += 1
@@ -112,6 +140,36 @@ class FileCacheManager:
             self.stats.misses += 1
             self._queue[url] = None
         return url
+
+    def _revalidate_if_due(self, url: str) -> bool:
+        """True if the cached entry may be served; False if it was
+        found stale and invalidated. A probe failure (offline, HEAD
+        unsupported) keeps the entry — availability over freshness,
+        matching the reference's cache-worker resilience contract."""
+        if self.revalidate_after_s <= 0:
+            return True
+        data_path, meta_path = self._paths(url)
+        try:
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+        except (OSError, ValueError):
+            return True  # legacy entry without metadata: serve as-is
+        if time.time() - meta.get("checked_at", 0) < self.revalidate_after_s:
+            return True
+        try:
+            size, etag = self.prober(url)
+        except Exception as exc:  # noqa: BLE001
+            self.last_error = exc
+            return True
+        if not self.validate(url, size=size, etag=etag):
+            return False
+        meta["checked_at"] = time.time()
+        try:
+            with open(meta_path, "w") as fh:
+                json.dump(meta, fh)
+        except OSError:
+            pass
+        return os.path.exists(data_path)
 
     def record_candidate(self, url: str) -> None:
         with self._lock:
@@ -145,7 +203,15 @@ class FileCacheManager:
             with open(tmp, "wb") as fh:
                 fh.write(res.data)
             with open(meta_path, "w") as fh:
-                json.dump({"url": url, "size": len(res.data), "etag": res.etag}, fh)
+                json.dump(
+                    {
+                        "url": url,
+                        "size": len(res.data),
+                        "etag": res.etag,
+                        "checked_at": time.time(),
+                    },
+                    fh,
+                )
             os.replace(tmp, data_path)
             with self._lock:
                 self.stats.added += 1

@@ -26,6 +26,7 @@ Single-node parse like the other GDAL-funnel formats.
 from __future__ import annotations
 
 import math
+import os
 import struct
 
 from pyspark.sql import DataFrame, SparkSession
@@ -359,57 +360,174 @@ def _rtree_size(num_items: int, node_size: int) -> int:
     return total * 40
 
 
-def write_flatgeobuf(path: str, rows: list[dict], *, geom_col: str = "geometry",
-                     name: str = "layer") -> None:
-    """Write rows (dicts with a WKB ``geom_col`` plus scalar
-    properties) as an index-free .fgb."""
-    if not rows:
-        raise ValueError("flatgeobuf writer needs at least one feature")
-    gtype0, _ = _parse(rows[0][geom_col])
-    # column schema from the first row's non-geometry values
-    schema: list[tuple[str, int]] = []
-    for k, v in rows[0].items():
-        if k == geom_col:
-            continue
-        if isinstance(v, bool):
-            ct = _CT_BOOL
-        elif isinstance(v, int):
-            ct = _CT_LONG
-        elif isinstance(v, float):
-            ct = _CT_DOUBLE
-        else:
-            ct = _CT_STRING
-        schema.append((k, ct))
+def _infer_schema(rows: list[dict], geom_col: str) -> list[tuple[str, int]]:
+    """Column schema from the UNION of keys across all rows, each
+    typed by its first non-None value (a None in row 0 must not
+    string-type the column; a key absent from row 0 must not vanish).
+    Mixed types in one column raise."""
+    order: list[str] = []
+    types: dict[str, int | None] = {}
+    for row in rows:
+        for k, v in row.items():
+            if k == geom_col:
+                continue
+            if k not in types:
+                types[k] = None
+                order.append(k)
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                ct = _CT_BOOL
+            elif isinstance(v, int):
+                ct = _CT_LONG
+            elif isinstance(v, float):
+                ct = _CT_DOUBLE
+            else:
+                ct = _CT_STRING
+            if types[k] is None:
+                types[k] = ct
+            elif types[k] != ct:
+                raise ValueError(
+                    f"mixed types in column {k!r}: "
+                    f"{types[k]} vs {ct} — cast upstream"
+                )
+    # an all-None column still needs a slot; type it string
+    return [(k, types[k] if types[k] is not None else _CT_STRING) for k in order]
 
+
+def _feature_frame(schema: list[tuple[str, int]], row: dict, geom_col: str) -> tuple[int, bytes]:
+    """(gtype, size-prefixed feature frame) for one row."""
+    gtype, coords = _parse(row[geom_col])
+    if gtype not in _SUPPORTED_GEOM:
+        raise ValueError(f"unsupported geometry type {gtype}")
+    xy, ends = _geom_to_flat(gtype, coords)
+    gfields = [(_G_XY, "vec_f64", xy), (_G_TYPE, "u8", gtype)]
+    if ends:
+        gfields.insert(0, (_G_ENDS, "vec_u32", ends))
+    geom_tbl = _build_table(gfields)
+    props = _encode_props(schema, row)
+    ffields = [(_F_GEOMETRY, "tbl", geom_tbl)]
+    if props:
+        ffields.append((_F_PROPERTIES, "vec_u8", props))
+    return gtype, _frame(_build_table(ffields))
+
+
+def _header_bytes(name: str, gtype: int, schema: list[tuple[str, int]], nfeat: int) -> bytes:
     cols = [
         _build_table([(_C_NAME, "str", n), (_C_TYPE, "u8", ct)])
         for n, ct in schema
     ]
     header = _build_table([
         (_H_NAME, "str", name),
-        (_H_GTYPE, "u8", gtype0),
+        (_H_GTYPE, "u8", gtype),
         (_H_COLUMNS, "vec_tbl", cols),
-        (_H_FEATURES_COUNT, "u64", len(rows)),
+        (_H_FEATURES_COUNT, "u64", nfeat),
         (_H_INDEX_NODE_SIZE, "u16", 0),
     ])
-    out = bytearray(MAGIC)
-    out += _frame(header)
+    return MAGIC + _frame(header)
+
+
+def write_flatgeobuf(path: str, rows: list[dict], *, geom_col: str = "geometry",
+                     name: str = "layer") -> None:
+    """Write rows (dicts with a WKB ``geom_col`` plus scalar
+    properties) as an index-free .fgb."""
+    if not rows:
+        raise ValueError("flatgeobuf writer needs at least one feature")
+    schema = _infer_schema(rows, geom_col)
+    gtypes: set[int] = set()
+    frames: list[bytes] = []
     for row in rows:
-        gtype, coords = _parse(row[geom_col])
-        if gtype not in _SUPPORTED_GEOM:
-            raise ValueError(f"unsupported geometry type {gtype}")
-        xy, ends = _geom_to_flat(gtype, coords)
-        gfields = [(_G_XY, "vec_f64", xy), (_G_TYPE, "u8", gtype)]
-        if ends:
-            gfields.insert(0, (_G_ENDS, "vec_u32", ends))
-        geom_tbl = _build_table(gfields)
-        props = _encode_props(schema, row)
-        ffields = [(_F_GEOMETRY, "tbl", geom_tbl)]
-        if props:
-            ffields.append((_F_PROPERTIES, "vec_u8", props))
-        out += _frame(_build_table(ffields))
+        gtype, frame = _feature_frame(schema, row, geom_col)
+        gtypes.add(gtype)
+        frames.append(frame)
+    # mixed geometry types → header gtype Unknown (0), per FGB spec;
+    # the per-feature geometry tables carry their own type.
+    hdr_gtype = gtypes.pop() if len(gtypes) == 1 else 0
     with open(path, "wb") as fh:
-        fh.write(bytes(out))
+        fh.write(_header_bytes(name, hdr_gtype, schema, len(frames)))
+        for frame in frames:
+            fh.write(frame)
+
+
+#: Spark type name → FGB column type, for the DataFrame export path
+_SPARK_TO_CT = {
+    "boolean": _CT_BOOL, "int": _CT_INT, "integer": _CT_INT,
+    "smallint": _CT_INT, "bigint": _CT_LONG, "long": _CT_LONG,
+    "float": _CT_DOUBLE, "double": _CT_DOUBLE, "string": _CT_STRING,
+    "date": _CT_STRING, "timestamp": _CT_STRING,
+}
+
+
+def write_flatgeobuf_df(df, path: str, *, geom_col: str = "geometry",
+                        name: str = "layer") -> int:
+    """Distributed .fgb export: feature frames are ENCODED executor-side
+    (mapInPandas over each partition — the expensive WKB parse and
+    flatbuffer build never touch the driver), then streamed to the
+    single output object via ``toLocalIterator`` so driver memory is
+    one partition's frames, not the dataset. The column schema comes
+    from the DataFrame schema (exact — no row sniffing). Returns the
+    feature count.
+
+    Single-object output is inherent to the format (reference GDAL COPY
+    TO writes one file per URL too); the driver does sequential IO only.
+    """
+    import pandas as pd
+
+    schema = []
+    for f in df.schema.fields:
+        if f.name == geom_col:
+            continue
+        ct = _SPARK_TO_CT.get(f.dataType.simpleString())
+        if ct is None:
+            raise ValueError(
+                f"column {f.name!r} type {f.dataType.simpleString()} has no "
+                "FlatGeobuf mapping — cast or drop before COPY TO fgb"
+            )
+        schema.append((f.name, ct))
+    str_cols = {n for n, ct in schema if ct == _CT_STRING}
+
+    def encode(batches):
+        for pdf in batches:
+            out_g, out_f = [], []
+            for row in pdf.to_dict("records"):
+                wkb = row[geom_col]
+                row[geom_col] = bytes(wkb) if wkb is not None else None
+                for k in str_cols:  # dates/timestamps serialize as text
+                    if row[k] is not None and not isinstance(row[k], str):
+                        row[k] = str(row[k])
+                for k, v in row.items():
+                    if v is not None and isinstance(v, float) and pd.isna(v):
+                        row[k] = None
+                g, frame = _feature_frame(schema, row, geom_col)
+                out_g.append(g)
+                out_f.append(frame)
+            yield pd.DataFrame({"gtype": pd.array(out_g, dtype="int32"),
+                                "frame": out_f})
+
+    frames = df.mapInPandas(encode, "gtype int, frame binary")
+    import tempfile
+
+    nfeat = 0
+    gtypes: set[int] = set()
+    with tempfile.NamedTemporaryFile(delete=False) as body:
+        for r in frames.toLocalIterator():
+            gtypes.add(r.gtype)
+            body.write(bytes(r.frame))
+            nfeat += 1
+        body_path = body.name
+    if nfeat == 0:
+        os.remove(body_path)
+        raise ValueError("flatgeobuf writer needs at least one feature")
+    hdr_gtype = gtypes.pop() if len(gtypes) == 1 else 0
+    with open(path, "wb") as out, open(body_path, "rb") as body_fh:
+        out.write(_header_bytes(name, hdr_gtype, schema, nfeat))
+        while True:
+            chunk = body_fh.read(1 << 20)
+            if not chunk:
+                break
+            out.write(chunk)
+    os.remove(body_path)
+    return nfeat
 
 
 def read_flatgeobuf(spark: SparkSession, path: str) -> DataFrame:

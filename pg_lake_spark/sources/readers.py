@@ -22,6 +22,7 @@ import csv as _csv
 import glob as _glob
 import io
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -175,7 +176,23 @@ def fetch_remote(path: str, cache=None) -> str:
     key = hashlib.sha256(path.encode()).hexdigest()[:24]
     suffix = os.path.splitext(path.split("?")[0])[1] or ".bin"
     local = os.path.join(tempfile.gettempdir(), f"lake_dl_{key}{suffix}")
-    if not os.path.exists(local):
+    fetch = not os.path.exists(local)
+    if not fetch and time.time() - os.path.getmtime(local) > 300:
+        # Revalidate a stale-ish copy against the remote's size — an
+        # in-place update (e.g. an hf:// dataset) must not be served
+        # forever. Probe failures keep the local copy (availability
+        # over freshness, same contract as FileCacheManager).
+        from pg_lake_spark.sources.cache import _head_remote
+
+        try:
+            size, _etag = _head_remote(path)
+            if size is not None and size != os.path.getsize(local):
+                fetch = True
+            else:
+                os.utime(local)  # checked: restart the TTL window
+        except Exception:  # noqa: BLE001
+            pass
+    if fetch:
         tmp = local + ".part"
         with urllib.request.urlopen(path) as resp, open(tmp, "wb") as out:  # noqa: S310
             while True:

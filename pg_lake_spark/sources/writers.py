@@ -37,21 +37,53 @@ _PG_CSV_COMMON = {
 }
 
 #: strftime → Java DateTimeFormatter (the subset DuckDB's COPY docs use)
-_STRFTIME_TO_JAVA = [
-    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
-    ("%H", "HH"), ("%I", "hh"), ("%M", "mm"), ("%S", "ss"),
-    ("%f", "SSSSSS"), ("%g", "SSS"), ("%p", "a"), ("%j", "DDD"),
-    ("%%", "%"),
-]
+_STRFTIME_TO_JAVA = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd",
+    "H": "HH", "I": "hh", "M": "mm", "S": "ss",
+    "f": "SSSSSS", "g": "SSS", "p": "a", "j": "DDD",
+}
 
 
 def strftime_to_java(fmt: str) -> str:
-    out = fmt
-    for pg, java in _STRFTIME_TO_JAVA:
-        out = out.replace(pg, java)
-    if "%" in out:
-        raise ValueError(f"unsupported strftime code in {fmt!r}")
-    return out
+    """Left-to-right scan so '%%' is consumed as one token (a literal
+    '%', which must be single-quoted for DateTimeFormatter) and never
+    half-eaten by a code replacement ('%%S' is literal-% then seconds,
+    not '%' + '%S')."""
+    out: list[str] = []
+    lit: list[str] = []  # pending literal run, flushed as ONE quoted chunk
+
+    def flush() -> None:
+        if lit:
+            run = "".join(lit)
+            # Letters (pattern chars to Java) and % must be quoted; a
+            # run of pure punctuation can stay bare. Embedded quotes
+            # escape as '' per DateTimeFormatter.
+            if any(c.isalpha() or c in "%'" for c in run):
+                out.append("'" + run.replace("'", "''") + "'")
+            else:
+                out.append(run)
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch != "%":
+            lit.append(ch)
+            i += 1
+            continue
+        if i + 1 >= len(fmt):
+            raise ValueError(f"trailing '%' in {fmt!r}")
+        code = fmt[i + 1]
+        if code == "%":
+            lit.append("%")
+        elif code in _STRFTIME_TO_JAVA:
+            flush()
+            out.append(_STRFTIME_TO_JAVA[code])
+        else:
+            raise ValueError(f"unsupported strftime code %{code} in {fmt!r}")
+        i += 2
+    flush()
+    return "".join(out)
 _COPY_TO_OPTS: dict[str, dict[str, str | None]] = {
     "csv": {**_PG_CSV_COMMON, "force_quote": "quoteAll"},
     "parquet": {},
@@ -180,16 +212,12 @@ def copy_to(
     fmt = fmt.lower()
     if fmt in ("fgb", "flatgeobuf"):
         # geo export: single-object vector file (the reference's GDAL
-        # COPY TO writes one file too); driver-side collect — sized for
-        # map layers, not fact tables
-        from pg_lake_spark.sources.flatgeobuf import write_flatgeobuf
+        # COPY TO writes one file too). Frames are encoded executor-side
+        # and streamed to the file — no driver-side collect of raw rows.
+        from pg_lake_spark.sources.flatgeobuf import write_flatgeobuf_df
 
         geom_col = options.pop("geometry", "geometry")
-        rows = [r.asDict() for r in df.collect()]
-        for r in rows:
-            if r.get(geom_col) is not None:
-                r[geom_col] = bytes(r[geom_col])
-        write_flatgeobuf(url, rows, geom_col=geom_col, **options)
+        write_flatgeobuf_df(df, url, geom_col=geom_col, **options)
         return
     if fmt not in _FORMATS:
         raise ValueError(f"unsupported COPY format: {fmt} (use one of {sorted(_FORMATS)})")

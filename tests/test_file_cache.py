@@ -212,3 +212,49 @@ def test_create_table_from_load_and_definition(spark, tmp_path):
 
     with pytest.raises(ValueError, match="exactly one"):
         sess.create_table_from("x", str(tmp_path / "loc3"))
+
+
+def test_stale_entry_revalidated_and_refetched(tmp_path):
+    """A hit older than revalidate_after_s HEAD-probes the remote; a
+    size change invalidates and re-queues (never served stale forever)."""
+    f = CountingFetcher({"remote://a": b"x" * 100})
+    probes: list[str] = []
+
+    def prober(url):
+        probes.append(url)
+        return len(f.blobs[url]), None
+
+    c = FileCacheManager(
+        str(tmp_path / "c"), max_bytes=1000, fetcher=f,
+        revalidate_after_s=0.01, prober=prober,
+    )
+    c.record_candidate("remote://a")
+    c.manage()
+    time.sleep(0.05)
+    # unchanged remote: probe happens, entry still served
+    local = c.resolve("remote://a")
+    assert local != "remote://a" and probes == ["remote://a"]
+    # remote changed in place → next due probe invalidates → miss
+    f.blobs["remote://a"] = b"y" * 250
+    time.sleep(0.05)
+    assert c.resolve("remote://a") == "remote://a"
+    c.manage()
+    local = c.resolve("remote://a")
+    assert local != "remote://a"
+    assert open(local, "rb").read() == b"y" * 250
+
+
+def test_probe_failure_keeps_entry(tmp_path):
+    f = CountingFetcher({"remote://a": b"x" * 100})
+
+    def prober(url):
+        raise OSError("offline")
+
+    c = FileCacheManager(
+        str(tmp_path / "c"), max_bytes=1000, fetcher=f,
+        revalidate_after_s=0.01, prober=prober,
+    )
+    c.record_candidate("remote://a")
+    c.manage()
+    time.sleep(0.05)
+    assert c.resolve("remote://a") != "remote://a"  # availability wins

@@ -140,3 +140,52 @@ def test_holed_multipolygon_refused(tmp_path):
         "MULTIPOLYGON(((0 0,9 0,9 9,0 9,0 0),(3 3,6 3,6 6,3 6,3 3)))")}]
     with pytest.raises(ValueError, match="interior rings"):
         fgb.write_flatgeobuf(str(tmp_path / "x.fgb"), rows)
+
+
+def test_schema_union_across_rows(spark, tmp_path):
+    """Schema = union of keys; type from first non-None value (a None
+    in row 0 or a key absent from row 0 must not drop/mistype cols)."""
+    p = str(tmp_path / "u.fgb")
+    rows = [
+        {"id": 1, "score": None, "geometry": _from_wkt("POINT(0 0)")},
+        {"id": 2, "score": 1.5, "tag": "a", "geometry": _from_wkt("POINT(1 1)")},
+    ]
+    fgb.write_flatgeobuf(p, rows)
+    back = {r.id: (r.score, r.tag) for r in fgb.read_flatgeobuf(spark, p).collect()}
+    assert back == {1: (None, None), 2: (1.5, "a")}
+
+
+def test_schema_mixed_types_raise(tmp_path):
+    rows = [
+        {"v": 1, "geometry": _from_wkt("POINT(0 0)")},
+        {"v": "x", "geometry": _from_wkt("POINT(1 1)")},
+    ]
+    with pytest.raises(ValueError, match="mixed types"):
+        fgb.write_flatgeobuf(str(tmp_path / "m.fgb"), rows)
+
+
+def test_distributed_export_multi_partition(spark, tmp_path):
+    """write_flatgeobuf_df encodes executor-side across >1 partition
+    (no driver collect of raw rows) and roundtrips."""
+    df = spark.createDataFrame(
+        [(i, f"n{i}", _from_wkt(f"POINT({i} {i})")) for i in range(200)],
+        "id bigint, name string, geometry binary",
+    ).repartition(8)
+    out = str(tmp_path / "big.fgb")
+    n = fgb.write_flatgeobuf_df(df, out)
+    assert n == 200
+    back = fgb.read_flatgeobuf(spark, out)
+    assert back.count() == 200
+    got = {r.id: r.name for r in back.collect()}
+    assert got[7] == "n7" and got[199] == "n199"
+
+
+def test_distributed_export_mixed_gtype_header_unknown(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, _from_wkt("POINT(0 0)")), (2, _from_wkt("LINESTRING(0 0,1 1)"))],
+        "id bigint, geometry binary",
+    )
+    out = str(tmp_path / "mix.fgb")
+    fgb.write_flatgeobuf_df(df, out)
+    rows = {r.id for r in fgb.read_flatgeobuf(spark, out).collect()}
+    assert rows == {1, 2}

@@ -1412,3 +1412,39 @@ def test_in_progress_queue_flush(spark, tmp_path):
     t._register_in_progress(_os.path.join(loc, "data", "fresh"))
     t._pending_in_progress = []
     assert maintenance.flush_in_progress_queue(t, older_than_s=3600)["kept"] == 1
+
+
+def test_in_progress_liveness_beats_age(spark, tmp_path):
+    """A long-running LIVE write is never reclaimed by age alone: the
+    entry's (pid, host) is checked before deletion, so only provably
+    dead writers are flushed (reference keys liveness to txn state)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import socket as _socket
+
+    from pg_lake_spark.lakehouse import maintenance
+    from pg_lake_spark.lakehouse.table import LakeTable
+
+    loc = str(tmp_path / "t")
+    t = LakeTable.create_from_dataframe(spark, loc, spark.range(5).selectExpr("id AS k"))
+
+    # aged entry, but the registering pid (this test process) is alive
+    staging = _os.path.join(loc, "data", "longwrite")
+    _os.makedirs(staging)
+    open(_os.path.join(staging, "f.parquet"), "wb").write(b"x" * 10)
+    entry = t._register_in_progress(staging)
+    rec = _json.load(open(entry))
+    rec["ts_ms"] = 0
+    _json.dump(rec, open(entry, "w"))
+    t._pending_in_progress = []
+    stats = maintenance.flush_in_progress_queue(t, older_than_s=1)
+    assert stats["kept"] == 1 and _os.path.exists(staging)
+
+    # same entry with a provably-dead pid → reclaimed
+    rec["pid"] = 2 ** 22 + 1  # beyond pid_max on this platform
+    _json.dump(rec, open(entry, "w"))
+    stats = maintenance.flush_in_progress_queue(t, older_than_s=1)
+    assert stats["flushed"] == 1 and not _os.path.exists(staging)
+    assert _glob.glob(_os.path.join(loc, "_lake_metadata", "in_progress", "*.json")) == []
+    assert rec["host"] == _socket.gethostname()

@@ -421,6 +421,16 @@ def test_copy_csv_date_format_option(spark, tmp_path):
 
     assert strftime_to_java("%d/%m/%Y") == "dd/MM/yyyy"
     assert strftime_to_java("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss"
+    # '%%' is one token (a literal %, quoted for Java) — never rejected,
+    # never half-eaten by a code ('%%S' is literal-% then seconds)
+    assert strftime_to_java("%Y%%") == "yyyy'%'"
+    assert strftime_to_java("%%S") == "'%S'"
+    # bare letters in the format are literals and must be quoted
+    assert strftime_to_java("T%HZ") == "'T'HH'Z'"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported"):
+        strftime_to_java("%Q")
 
     df = spark.sql(
         "SELECT '12/25/2020' AS txt, DATE'2021-03-10' AS d"
