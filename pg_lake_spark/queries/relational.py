@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pg_lake_spark.plans.broadcast import broadcast_if_small as _bcast
 from pg_lake_spark.queries.registry import query
 from pg_lake_spark.session import load_tables
 
@@ -1257,7 +1258,7 @@ def g_rollup_rank_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         t["orders"]
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(_bcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     agg = base.rollup("n_name", "o_orderstatus").agg(
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pg_lake_spark.plans.broadcast import broadcast_if_small as _bcast
 from pg_lake_spark.queries.registry import query
 from pg_lake_spark.session import load_tables
 
@@ -89,7 +90,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         # customer is the small side at every SF → broadcast it explicitly;
         # lineitem⋈orders shuffles on orderkey (both large), which AQE sizes.
-        ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        ords.join(_bcast(cust), ords.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == ords.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         # rounded on both sides: parallel double sums differ at ulp level
@@ -136,9 +137,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_bcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(dim),
+            _bcast(dim),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -202,7 +203,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"].filter(F.col("l_returnflag") == "R")
     return (
         li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_bcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
@@ -234,7 +235,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(_bcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
                 F.lit(100.0)
@@ -277,7 +278,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_bcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
@@ -298,7 +299,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    joined = t["lineitem"].join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+    joined = t["lineitem"].join(_bcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
     cond = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))
@@ -326,7 +327,7 @@ def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(_bcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type")
         .agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
@@ -397,13 +398,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Correlated "min supplycost for this part among EUROPE suppliers" is a
     # window min over the partkey — one shuffle on l_partkey, no re-scan.
     cand = (
-        ps.join(F.broadcast(eur_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        ps.join(_bcast(eur_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .withColumn("min_cost", F.min("supplycost").over(Window.partitionBy("l_partkey")))
         .filter(F.col("supplycost") == F.col("min_cost"))
     )
     parts = t["part"].filter((F.col("p_size") == 5) & (F.col("p_type") == "STANDARD"))
     return (
-        cand.join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        cand.join(_bcast(parts), F.col("p_partkey") == F.col("l_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -484,9 +485,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("supp_nation") == "NATION_2"
     ) & (F.col("cust_nation") == "NATION_1")
     return (
-        li.join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(_bcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(_bcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -538,11 +539,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         t["lineitem"]
-        .join(F.broadcast(t["part"].filter(F.col("p_type") == "ECONOMY")),
+        .join(_bcast(t["part"].filter(F.col("p_type") == "ECONOMY")),
               F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(_bcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_bcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(t["region"].filter(F.col("r_name") == "AMERICA")),
               F.col("n1_region") == F.col("r_regionkey"))
@@ -587,9 +588,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * F.col("l_quantity")
     return (
         t["lineitem"]
-        .join(F.broadcast(t["part"].filter(F.col("p_name").like("%red%"))),
+        .join(_bcast(t["part"].filter(F.col("p_name").like("%red%"))),
               F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(_bcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
@@ -632,7 +633,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vals = (
         t["lineitem"]
-        .join(F.broadcast(supp7), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_bcast(supp7), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value"))
     )
@@ -758,7 +759,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(_bcast(t["supplier"]), F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -789,8 +790,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_supp = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         t["lineitem"]
-        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(_bcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(_bcast(parts), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -822,8 +823,8 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = t["part"].filter((F.col("p_brand") == "Brand#3") & (F.col("p_type") == "MEDIUM"))
     return (
         t["lineitem"]
-        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(avgq), F.col("l_partkey") == F.col("pk"))
+        .join(_bcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(_bcast(avgq), F.col("l_partkey") == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 6).alias("avg_yearly"))
     )
@@ -857,7 +858,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
         )
         .join(
-            F.broadcast(t["part"].filter(F.col("p_type") == "SMALL")),
+            _bcast(t["part"].filter(F.col("p_type") == "SMALL")),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .groupBy("l_suppkey")
@@ -938,7 +939,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        flagged.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        flagged.join(_bcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
