@@ -18,8 +18,35 @@ signatures are portable across the lakehouse.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _cap_buckets(banded: DataFrame, cap: int | None, id_col: str = "_id") -> DataFrame:
+    """Sub-sample any (band, bucket) group wider than ``cap`` down to
+    its ``cap`` smallest ids (deterministic).
+
+    Standard LSH hygiene: a degenerate mega-bucket — e.g. millions of
+    empty or boilerplate-identical documents landing in one bucket —
+    makes the in-bucket self-join quadratic in that bucket's width,
+    which is the one way banded LSH degrades to O(N²) at 100 TB. The
+    cap bounds every bucket's join cost at cap² while keeping a
+    deterministic representative sample, so near-dup links among the
+    kept rows (and every pair in normal-width buckets) survive.
+    Identical documents are exact-dedup's job (dedup_exact), not LSH's.
+
+    The row_number window partitions on the same (band, bucket) keys
+    the self-join shuffles on, so the exchange is shared — the cap adds
+    a sort within each bucket, not an extra shuffle.
+    """
+    if cap is None:
+        return banded
+    w = Window.partitionBy("band", "bucket").orderBy(id_col)
+    return (
+        banded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
@@ -125,8 +152,13 @@ def lsh_candidate_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 5000,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
+
+    ``max_bucket_size`` caps any band bucket at that many (smallest-id)
+    members before the self-join — see :func:`_cap_buckets`; None
+    disables.
 
     Default banding is 3 rows/band (12 hashes, 4 bands): P(candidate) =
     1-(1-s^3)^4 keeps pairs at s ≥ 0.75 with ~90%+ probability while
@@ -174,6 +206,7 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
+    banded = _cap_buckets(banded, max_bucket_size)
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -349,9 +382,17 @@ def simhash_pairs(
     shingle_n: int = 2,
     bands: int = 4,
     max_dist: int = 3,
+    max_bucket_size: int | None = 5000,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ ``max_dist`` over a
     64-bit fingerprint.
+
+    ``max_bucket_size`` caps any band bucket at that many (smallest-id)
+    members before the self-join (:func:`_cap_buckets`); None disables.
+    The pigeonhole completeness guarantee below holds for every pair
+    whose agreeing bucket is under the cap — a degenerate mega-bucket
+    (identical boilerplate) is sub-sampled, which is exact-dedup
+    territory anyway.
 
     Banding: the 64 fingerprint bits split into ``bands`` equal slices;
     a pair differing in ≤ max_dist bits must agree on at least one slice
@@ -395,6 +436,7 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("_id", "sim_a", "sim_b", "bb.band", "bb.bucket")
+    banded = _cap_buckets(banded, max_bucket_size)
     left = banded.alias("l")
     right = banded.alias("r")
     ham = hamming(F.col("l.sim_a"), F.col("r.sim_a")) + hamming(

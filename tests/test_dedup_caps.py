@@ -1,0 +1,56 @@
+"""LSH/SimHash bucket-width caps (operators/dedup._cap_buckets).
+
+The one way banded LSH degrades to O(N^2) at scale is a degenerate
+mega-bucket (identical boilerplate docs all landing in one bucket).
+The cap bounds every in-bucket self-join at cap^2 rows while leaving
+normal-width buckets untouched.
+"""
+
+from __future__ import annotations
+
+from pg_lake_spark.operators.dedup import lsh_candidate_pairs, simhash_pairs
+
+
+def _adversarial(spark, n=2000):
+    # n identical docs: every band bucket is one mega-bucket of width n
+    return spark.createDataFrame(
+        [(i, "the same boilerplate text repeated for every document here") for i in range(n)],
+        "doc_id bigint, body string",
+    ).repartition(8)
+
+
+def test_lsh_mega_bucket_bounded(spark):
+    df = _adversarial(spark)
+    cap = 40
+    pairs = lsh_candidate_pairs(
+        df, "doc_id", "body", threshold=0.5, max_bucket_size=cap
+    )
+    n = pairs.count()
+    # pairs only among the cap kept ids (identical docs agree in every
+    # band, so all bands keep the SAME cap smallest ids)
+    assert 0 < n <= cap * (cap - 1) // 2
+    # uncapped on this corpus would be ~2M candidate pairs — ensure the
+    # capped run keeps the kept ids fully linked (sample check)
+    got = {(r.id_a, r.id_b) for r in pairs.limit(5).collect()}
+    assert all(a < b for a, b in got)
+
+
+def test_simhash_mega_bucket_bounded(spark):
+    df = _adversarial(spark)
+    cap = 40
+    pairs = simhash_pairs(df, "doc_id", "body", max_bucket_size=cap)
+    n = pairs.count()
+    assert 0 < n <= cap * (cap - 1) // 2
+
+
+def test_cap_leaves_normal_corpus_unchanged(spark):
+    """On a corpus with bucket widths under the cap the output is
+    bit-identical to the uncapped run (the oracle row's guarantee)."""
+    rows = [(i, f"document number {i} with some shared words {i % 7}") for i in range(300)]
+    rows += [(1000 + i, f"document number {i} with some shared words {i % 7} x") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id bigint, body string")
+    capped = lsh_candidate_pairs(df, "doc_id", "body", threshold=0.5, max_bucket_size=5000)
+    uncapped = lsh_candidate_pairs(df, "doc_id", "body", threshold=0.5, max_bucket_size=None)
+    a = {(r.id_a, r.id_b) for r in capped.collect()}
+    b = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    assert a == b and a
