@@ -1,0 +1,855 @@
+"""TPC-DS-shape query pack, adapted to the driver's star corpus.
+
+The reference treats TPC-DS as a first-class correctness+perf surface
+(pg_lake_benchmark/src/tpcds.c:1, pg_lake_benchmark/README.md:9-28 run
+all 99 queries). This corpus has no DS tables, so each entry here keeps
+a representative DS query's SHAPE — the plan-stressing construct TPC-H
+lacks — re-expressed over region/nation/customer/orders/lineitem/part/
+supplier/events. Each docstring names the DS query it mirrors.
+
+Shapes covered (the ones VERDICT r6 called out as the coverage gap):
+- multi-channel UNION ALL feeding a rollup (Q5/Q77)
+- grouping-sets/rollup feeding a ranked window over the hierarchy (Q67;
+  Q36's variant already exists as g_rollup_rank_hierarchy)
+- correlated-EXISTS chains with OR-of-EXISTS (Q10, Q35)
+- mutual-exclusion CASE aggregates in one scan (Q88)
+- correlated scalar subquery vs per-group average (Q1)
+- CTE-heavy semi-join composition (Q23), INTERSECT/EXCEPT channel
+  overlap (Q38/Q87), cumulative-series crossover (Q51), banded counts
+  (Q54), return-ratio ranking across channels (Q49), windowed deviation
+  from a partition mean (Q89), coefficient of variation (Q17),
+  year-over-year growth ratio (Q4/Q11), order-size bands (Q34/Q73),
+  net-of-returns top spenders (Q93), HAVING-gated dimension totals (Q15).
+
+Spark-first notes: every query aggregates BEFORE windowing/joining
+derived frames, so windows and self-joins run over grouped (tiny)
+frames; dims broadcast through the size gate; facts shuffle once per
+aggregation. No driver-side loops, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pg_lake_spark.plans.broadcast import broadcast_if_small as _bcast
+from pg_lake_spark.queries.registry import query
+from pg_lake_spark.session import load_tables
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp_ntz")
+
+
+@query(
+    "dsq05_channel_rollup",
+    oracle="""
+    WITH chan AS (
+      SELECT 'ship' AS channel, n_name,
+             l_extendedprice * (1 - l_discount) AS sales
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      UNION ALL
+      SELECT 'order' AS channel, n_name, o_totalprice AS sales
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT channel, n_name,
+           round(sum(sales), 2) AS total_sales,
+           count(*)             AS n_rows
+    FROM chan
+    GROUP BY ROLLUP (channel, n_name)
+    ORDER BY channel NULLS FIRST, n_name NULLS FIRST
+    """,
+    doc="TPC-DS Q5 shape: multi-channel UNION ALL (ship-side vs "
+    "order-side revenue, each with its own dimension path) feeding one "
+    "ROLLUP. Each channel aggregates map-side before the union's single "
+    "shuffle; dims broadcast.",
+)
+def dsq05_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ship = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .join(_bcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_bcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.lit("ship").alias("channel"),
+            "n_name",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sales"),
+        )
+    )
+    orderc = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= _ts("1997-01-01"))
+            & (F.col("o_orderdate") < _ts("1998-01-01"))
+        )
+        .join(_bcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_bcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.lit("order").alias("channel"), "n_name", F.col("o_totalprice").alias("sales"))
+    )
+    return (
+        ship.unionByName(orderc)
+        .rollup("channel", "n_name")
+        .agg(
+            F.round(F.sum("sales"), 2).alias("total_sales"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy(F.col("channel").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+@query(
+    "dsq77_channel_profit",
+    oracle="""
+    WITH per_chan AS (
+      SELECT l_linestatus AS channel,
+             sum(CASE WHEN l_returnflag <> 'R'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END) AS sales,
+             sum(CASE WHEN l_returnflag = 'R'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END) AS returns
+      FROM lineitem
+      GROUP BY l_linestatus
+    )
+    SELECT channel,
+           round(sum(sales), 2)               AS sales,
+           round(sum(returns), 2)             AS returns,
+           round(sum(sales) - sum(returns), 2) AS profit
+    FROM per_chan
+    GROUP BY ROLLUP (channel)
+    ORDER BY channel NULLS FIRST
+    """,
+    doc="TPC-DS Q77 shape: per-channel sales / returns / profit with a "
+    "grand-total rollup row. One scan, conditional aggregation, rollup "
+    "over the already-tiny per-channel frame.",
+)
+def dsq77_channel_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_chan = (
+        t["lineitem"]
+        .groupBy(F.col("l_linestatus").alias("channel"))
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") != "R", rev).otherwise(0.0)).alias("s"),
+            F.sum(F.when(F.col("l_returnflag") == "R", rev).otherwise(0.0)).alias("r"),
+        )
+    )
+    return (
+        per_chan.rollup("channel")
+        .agg(
+            F.round(F.sum("s"), 2).alias("sales"),
+            F.round(F.sum("r"), 2).alias("returns"),
+            F.round(F.sum("s") - F.sum("r"), 2).alias("profit"),
+        )
+        .orderBy(F.col("channel").asc_nulls_first())
+    )
+
+
+@query(
+    "dsq67_rollup_topk",
+    oracle="""
+    WITH agg AS (
+      SELECT p_brand, p_type,
+             CAST(month(l_shipdate) AS INT) AS ship_month,
+             round(sum(l_quantity * l_extendedprice), 2) AS sumsales
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      GROUP BY ROLLUP (p_brand, p_type, month(l_shipdate))
+    )
+    SELECT * FROM (
+      SELECT p_brand, p_type, ship_month, sumsales,
+             CAST(rank() OVER (PARTITION BY p_brand
+                               ORDER BY sumsales DESC,
+                                        p_type NULLS FIRST,
+                                        ship_month NULLS FIRST) AS INT) AS rk
+      FROM agg
+    )
+    WHERE rk <= 3
+    ORDER BY p_brand NULLS FIRST, rk, p_type NULLS FIRST, ship_month NULLS FIRST
+    """,
+    doc="TPC-DS Q67 shape: a 3-level ROLLUP feeding rank() partitioned "
+    "by the top grouping column, keeping each brand's top rows. The "
+    "window sees only rolled-up rows (|brands|*|types|*12), never the "
+    "fact table.",
+)
+def dsq67_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    agg = (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") >= _ts("1998-01-01"))
+        .join(_bcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .rollup("p_brand", "p_type", F.month("l_shipdate").cast("int").alias("ship_month"))
+        .agg(F.round(F.sum(F.col("l_quantity") * F.col("l_extendedprice")), 2).alias("sumsales"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("sumsales").desc(),
+        F.col("p_type").asc_nulls_first(),
+        F.col("ship_month").asc_nulls_first(),
+    )
+    return (
+        agg.withColumn("rk", F.rank().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .orderBy(
+            F.col("p_brand").asc_nulls_first(),
+            "rk",
+            F.col("p_type").asc_nulls_first(),
+            F.col("ship_month").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "dsq10_exists_chain",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(floor(c_acctbal / 2000) AS INT) AS bal_band,
+           count(*) AS cnt
+    FROM customer c
+    WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1998-01-01')
+      AND (EXISTS (
+             SELECT 1 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R')
+        OR EXISTS (
+             SELECT 1 FROM orders o
+             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000))
+    GROUP BY c_mktsegment, CAST(floor(c_acctbal / 2000) AS INT)
+    ORDER BY c_mktsegment, bal_band
+    """,
+    doc="TPC-DS Q10/Q35 shape: an EXISTS chain with an OR-of-EXISTS "
+    "branch — demographic counts over customers active in a window who "
+    "also returned something or placed a jumbo order. Each EXISTS plans "
+    "as a semi join on c_custkey; the OR branch is a semi join against "
+    "the union of the two inner key sets (disjunctive EXISTS cannot be "
+    "two stacked semi joins).",
+)
+def dsq10_exists_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    active = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= _ts("1997-01-01"))
+            & (F.col("o_orderdate") < _ts("1998-01-01"))
+        )
+        .select("o_custkey")
+    )
+    returned = (
+        t["orders"]
+        .join(
+            t["lineitem"].filter(F.col("l_returnflag") == "R").select("l_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .select("o_custkey")
+    )
+    jumbo = t["orders"].filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    either = returned.unionByName(jumbo)
+    return (
+        t["customer"]
+        .join(active, F.col("c_custkey") == active["o_custkey"], "left_semi")
+        .join(either, F.col("c_custkey") == either["o_custkey"], "left_semi")
+        .groupBy(
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 2000).cast("int").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("c_mktsegment", "bal_band")
+    )
+
+
+@query(
+    "dsq88_case_counts",
+    oracle="""
+    SELECT count(CASE WHEN h BETWEEN 0 AND 5   AND event_type = 'click'    THEN 1 END) AS night_clicks,
+           count(CASE WHEN h BETWEEN 6 AND 11  AND event_type = 'click'    THEN 1 END) AS morning_clicks,
+           count(CASE WHEN h BETWEEN 12 AND 17 AND event_type = 'click'    THEN 1 END) AS afternoon_clicks,
+           count(CASE WHEN h BETWEEN 18 AND 23 AND event_type = 'click'    THEN 1 END) AS evening_clicks,
+           count(CASE WHEN h BETWEEN 0 AND 11  AND event_type = 'view'     THEN 1 END) AS am_views,
+           count(CASE WHEN h BETWEEN 12 AND 23 AND event_type = 'view'     THEN 1 END) AS pm_views,
+           count(CASE WHEN event_type = 'purchase' AND value > 50          THEN 1 END) AS big_purchases,
+           count(CASE WHEN event_type = 'error'                            THEN 1 END) AS errors
+    FROM (SELECT CAST(hour(ts) AS INT) AS h, event_type, value FROM events)
+    """,
+    doc="TPC-DS Q88 shape: eight mutually-exclusive CASE count "
+    "aggregates over one scan — DS runs 8 subqueries and cross-joins "
+    "the 1-row results; expressed Spark-first it is a single pass with "
+    "map-side partial aggregation and zero joins.",
+)
+def dsq88_case_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    h = F.hour("ts")
+    et = F.col("event_type")
+
+    def cnt(cond):
+        return F.count(F.when(cond, 1))
+
+    return t["events"].agg(
+        cnt(h.between(0, 5) & (et == "click")).alias("night_clicks"),
+        cnt(h.between(6, 11) & (et == "click")).alias("morning_clicks"),
+        cnt(h.between(12, 17) & (et == "click")).alias("afternoon_clicks"),
+        cnt(h.between(18, 23) & (et == "click")).alias("evening_clicks"),
+        cnt(h.between(0, 11) & (et == "view")).alias("am_views"),
+        cnt(h.between(12, 23) & (et == "view")).alias("pm_views"),
+        cnt((et == "purchase") & (F.col("value") > 50)).alias("big_purchases"),
+        cnt(et == "error").alias("errors"),
+    )
+
+
+@query(
+    "dsq01_returns_above_avg",
+    oracle="""
+    WITH supp_returns AS (
+      SELECT l_suppkey, s_nationkey,
+             sum(l_extendedprice * (1 - l_discount)) AS ret_total
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE l_returnflag = 'R'
+      GROUP BY l_suppkey, s_nationkey
+    )
+    SELECT s_name, round(sr.ret_total, 2) AS ret_total
+    FROM supp_returns sr
+    JOIN supplier ON sr.l_suppkey = s_suppkey
+    WHERE sr.ret_total > (
+      SELECT avg(ret_total) * 1.2 FROM supp_returns sr2
+      WHERE sr2.s_nationkey = sr.s_nationkey)
+    ORDER BY s_name
+    """,
+    doc="TPC-DS Q1 shape: entities whose aggregate exceeds 1.2x the "
+    "average of their group, via a correlated scalar subquery over a "
+    "shared aggregated CTE. Planned as agg once + per-nation avg join — "
+    "the correlation de-correlates to a broadcast join of 25 rows.",
+)
+def dsq01_returns_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    sr = (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(_bcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_suppkey", "s_nationkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("ret_total"))
+    )
+    nat_avg = sr.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        (F.avg("ret_total") * 1.2).alias("bar")
+    )
+    return (
+        sr.join(F.broadcast(nat_avg), F.col("s_nationkey") == F.col("nk"))
+        .filter(F.col("ret_total") > F.col("bar"))
+        .join(
+            _bcast(t["supplier"].select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_name", F.round("ret_total", 2).alias("ret_total"))
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "dsq15_having_gate",
+    oracle="""
+    SELECT n_name, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE c_mktsegment = 'AUTOMOBILE'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+    GROUP BY n_name
+    HAVING sum(o_totalprice) > 500000
+    ORDER BY total DESC, n_name
+    """,
+    doc="TPC-DS Q15 shape: dimension-bucketed quarter totals gated by "
+    "HAVING. Filter pushes to the orders scan; customer/nation "
+    "broadcast; one shuffle on n_name.",
+)
+def dsq15_having_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= _ts("1997-01-01"))
+            & (F.col("o_orderdate") < _ts("1997-04-01"))
+        )
+        .join(
+            _bcast(t["customer"].filter(F.col("c_mktsegment") == "AUTOMOBILE")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(_bcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("_raw"))
+        .filter(F.col("_raw") > 500000)
+        .select("n_name", F.round("_raw", 2).alias("total"))
+        .orderBy(F.col("total").desc(), "n_name")
+    )
+
+
+@query(
+    "dsq23_frequent_best",
+    oracle="""
+    WITH frequent_parts AS (
+      SELECT l_partkey FROM lineitem
+      GROUP BY l_partkey HAVING count(*) > 40
+    ),
+    best_customers AS (
+      SELECT o_custkey FROM orders
+      GROUP BY o_custkey HAVING sum(o_totalprice) > 1000000
+    )
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_partkey IN (SELECT l_partkey FROM frequent_parts)
+      AND o_custkey IN (SELECT o_custkey FROM best_customers)
+    """,
+    doc="TPC-DS Q23 shape: revenue from BEST customers buying FREQUENT "
+    "items — two aggregated CTEs consumed as IN-subqueries. Both plans "
+    "as semi joins on short keys; the frequent/best sets are small "
+    "after HAVING so they broadcast.",
+)
+def dsq23_frequent_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    frequent = (
+        t["lineitem"].groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 40).select("l_partkey")
+    )
+    best = (
+        t["orders"].groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
+        .filter(F.col("s") > 1000000).select("o_custkey")
+    )
+    li = t["lineitem"].join(
+        frequent.withColumnRenamed("l_partkey", "fp"),
+        F.col("l_partkey") == F.col("fp"),
+        "left_semi",
+    )
+    ords = t["orders"].join(
+        best.withColumnRenamed("o_custkey", "bc"),
+        F.col("o_custkey") == F.col("bc"),
+        "left_semi",
+    )
+    return (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "dsq34_order_size_band",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT c_name, o_orderkey, n_items
+    FROM per_order
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    WHERE n_items BETWEEN 6 AND 7
+      AND o_orderpriority = '1-URGENT'
+    ORDER BY c_name, o_orderkey
+    """,
+    doc="TPC-DS Q34/Q73 shape: orders whose item count falls in a band, "
+    "joined back to the customer — count-aggregate as a join input, a "
+    "band predicate on the aggregate, then dimension fan-back.",
+)
+def dsq34_order_size_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    per_order = (
+        t["lineitem"].groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items").between(6, 7))
+    )
+    return (
+        per_order.join(
+            t["orders"].filter(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(_bcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_name", "o_orderkey", "n_items")
+        .orderBy("c_name", "o_orderkey")
+    )
+
+
+@query(
+    "dsq38_intersect_channels",
+    oracle="""
+    SELECT count(*) AS loyal_customers FROM (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      INTERSECT
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+      INTERSECT
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    )
+    """,
+    doc="TPC-DS Q38 shape: customers present in ALL periods via chained "
+    "INTERSECT of key sets (DS intersects store/catalog/web channels). "
+    "Each leg prunes to one column before the distinct shuffle.",
+)
+def dsq38_intersect_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+
+    def leg(lo, hi):
+        df = t["orders"]
+        cond = F.col("o_orderdate") >= _ts(lo)
+        if hi:
+            cond = cond & (F.col("o_orderdate") < _ts(hi))
+        return df.filter(cond).select("o_custkey")
+
+    loyal = (
+        leg("1995-01-01", "1997-01-01")
+        .intersect(leg("1997-01-01", "1999-01-01"))
+        .intersect(leg("1999-01-01", None))
+    )
+    return loyal.agg(F.count(F.lit(1)).alias("loyal_customers"))
+
+
+@query(
+    "dsq87_except_channels",
+    oracle="""
+    SELECT count(*) AS lapsed_customers FROM (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate <  TIMESTAMP '1997-01-01'
+      EXCEPT
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    )
+    """,
+    doc="TPC-DS Q87 shape: set difference of customer key sets across "
+    "channels/periods (early-period buyers who never returned).",
+)
+def dsq87_except_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    early = t["orders"].filter(F.col("o_orderdate") < _ts("1997-01-01")).select("o_custkey")
+    late = t["orders"].filter(F.col("o_orderdate") >= _ts("1997-01-01")).select("o_custkey")
+    # set-semantics EXCEPT (SQL EXCEPT = distinct difference) is
+    # subtract(); exceptAll keeps per-occurrence leftovers, which would
+    # wrongly retain a customer seen 5x early and 2x late
+    return early.subtract(late).agg(F.count(F.lit(1)).alias("lapsed_customers"))
+
+
+@query(
+    "dsq51_cumulative_crossover",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS ym,
+             round(sum(CASE WHEN l_linestatus = 'F'
+                            THEN l_extendedprice * (1 - l_discount) END), 2) AS f_sales,
+             round(sum(CASE WHEN l_linestatus = 'O'
+                            THEN l_extendedprice * (1 - l_discount) END), 2) AS o_sales
+      FROM lineitem
+      GROUP BY year(l_shipdate) * 100 + month(l_shipdate)
+    ),
+    cume AS (
+      SELECT ym,
+             round(sum(coalesce(f_sales, 0)) OVER (ORDER BY ym), 2) AS f_cume,
+             round(sum(coalesce(o_sales, 0)) OVER (ORDER BY ym), 2) AS o_cume
+      FROM monthly
+    )
+    SELECT ym, f_cume, o_cume
+    FROM cume
+    WHERE o_cume > f_cume
+    ORDER BY ym
+    """,
+    doc="TPC-DS Q51 shape: two channel series (here linestatus F vs O) "
+    "cumulated by running-sum windows, reporting the crossover months "
+    "where one channel's cumulative total overtakes the other. The "
+    "windows run over the monthly (tiny) frame; rounding both engines "
+    "to 2dp sidesteps ulp divergence in the running sums.",
+)
+def dsq51_cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    monthly = (
+        t["lineitem"]
+        .groupBy(
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("int").alias("ym")
+        )
+        .agg(
+            F.round(F.sum(F.when(F.col("l_linestatus") == "F", rev)), 2).alias("f_sales"),
+            F.round(F.sum(F.when(F.col("l_linestatus") == "O", rev)), 2).alias("o_sales"),
+        )
+    )
+    w = Window.orderBy("ym").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cume = monthly.select(
+        "ym",
+        F.round(F.sum(F.coalesce(F.col("f_sales"), F.lit(0.0))).over(w), 2).alias("f_cume"),
+        F.round(F.sum(F.coalesce(F.col("o_sales"), F.lit(0.0))).over(w), 2).alias("o_cume"),
+    )
+    return cume.filter(F.col("o_cume") > F.col("f_cume")).orderBy("ym")
+
+
+@query(
+    "dsq54_revenue_bands",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, sum(o_totalprice) AS revenue
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+      GROUP BY o_custkey
+    )
+    SELECT CAST(floor(revenue / 100000) AS INT) AS band,
+           count(*) AS n_customers
+    FROM per_cust
+    GROUP BY CAST(floor(revenue / 100000) AS INT)
+    ORDER BY band
+    """,
+    doc="TPC-DS Q54 shape: segment customers into fixed revenue bands — "
+    "aggregate per customer, bucket the aggregate, count per bucket. "
+    "Two shuffles, both on short keys; the second input is per-customer "
+    "(already small).",
+)
+def dsq54_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= _ts("1997-01-01"))
+            & (F.col("o_orderdate") < _ts("1998-01-01"))
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    return (
+        per_cust.groupBy(F.floor(F.col("revenue") / 100000).cast("int").alias("band"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("band")
+    )
+
+
+@query(
+    "dsq49_return_ratio_rank",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_linestatus AS channel, l_partkey,
+             sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END) AS ret_qty,
+             sum(l_quantity) AS tot_qty
+      FROM lineitem
+      GROUP BY l_linestatus, l_partkey
+      HAVING sum(l_quantity) >= 100
+    )
+    SELECT channel, l_partkey,
+           round(ret_qty / tot_qty, 6) AS return_ratio,
+           CAST(rank() OVER (PARTITION BY channel
+                             ORDER BY ret_qty / tot_qty DESC, l_partkey) AS INT) AS rk
+    FROM per_part
+    QUALIFY rk <= 10
+    ORDER BY channel, rk, l_partkey
+    """,
+    doc="TPC-DS Q49 shape: worst return ratios ranked per channel "
+    "(linestatus standing in for web/catalog/store), with a volume "
+    "floor. One grouped pass builds the ratio; the rank window runs on "
+    "the per-(channel,part) aggregate.",
+)
+def dsq49_return_ratio_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    per_part = (
+        t["lineitem"]
+        .groupBy(F.col("l_linestatus").alias("channel"), "l_partkey")
+        .agg(
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", F.col("l_quantity")).otherwise(0.0)
+            ).alias("ret_qty"),
+            F.sum("l_quantity").alias("tot_qty"),
+        )
+        .filter(F.col("tot_qty") >= 100)
+    )
+    ratio = F.col("ret_qty") / F.col("tot_qty")
+    w = Window.partitionBy("channel").orderBy(ratio.desc(), "l_partkey")
+    return (
+        per_part.withColumn("rk", F.rank().over(w).cast("int"))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "channel", "l_partkey", F.round(ratio, 6).alias("return_ratio"), "rk"
+        )
+        .orderBy("channel", "rk", "l_partkey")
+    )
+
+
+@query(
+    "dsq93_net_after_returns",
+    oracle="""
+    SELECT c_name,
+           round(sum(CASE WHEN l_returnflag = 'R'
+                          THEN -l_extendedprice * (1 - l_discount)
+                          ELSE  l_extendedprice * (1 - l_discount) END), 2) AS net_spend
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_name
+    ORDER BY net_spend DESC, c_name
+    LIMIT 10
+    """,
+    doc="TPC-DS Q93 shape: net sales after refunding returned lines "
+    "(returns contribute negatively), top spenders. The refund is an "
+    "expression inside one aggregation — no second scan of the returns "
+    "side, unlike DS's store_returns join.",
+)
+def dsq93_net_after_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    signed = F.when(F.col("l_returnflag") == "R", -rev).otherwise(rev)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(_bcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name")
+        .agg(F.round(F.sum(signed), 2).alias("net_spend"))
+        .orderBy(F.col("net_spend").desc(), "c_name")
+        .limit(10)
+    )
+
+
+@query(
+    "dsq89_monthly_deviation",
+    oracle="""
+    WITH monthly AS (
+      SELECT p_brand, CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS ym,
+             sum(l_extendedprice * (1 - l_discount)) AS sales
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      GROUP BY p_brand, year(l_shipdate) * 100 + month(l_shipdate)
+    )
+    SELECT p_brand, ym, round(sales, 2) AS sales,
+           round(avg_sales, 2) AS avg_sales
+    FROM (
+      SELECT p_brand, ym, sales,
+             avg(sales) OVER (PARTITION BY p_brand) AS avg_sales
+      FROM monthly
+    )
+    WHERE avg_sales > 0 AND abs(sales - avg_sales) / avg_sales > 0.3
+    ORDER BY p_brand, ym
+    """,
+    doc="TPC-DS Q89 shape: months deviating >30% from their brand's "
+    "mean monthly sales — an unbounded window mean over the grouped "
+    "frame, then a relative-deviation predicate. Filter on the RAW "
+    "window value, round only for display (rounding before the "
+    "predicate would flip borderline rows differently per engine).",
+)
+def dsq89_monthly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    monthly = (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") >= _ts("1998-01-01"))
+        .join(_bcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "p_brand",
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("int").alias("ym"),
+        )
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sales"))
+    )
+    w = Window.partitionBy("p_brand")
+    return (
+        monthly.withColumn("avg_sales", F.avg("sales").over(w))
+        .filter(
+            (F.col("avg_sales") > 0)
+            & (F.abs(F.col("sales") - F.col("avg_sales")) / F.col("avg_sales") > 0.3)
+        )
+        .select(
+            "p_brand", "ym",
+            F.round("sales", 2).alias("sales"),
+            F.round("avg_sales", 2).alias("avg_sales"),
+        )
+        .orderBy("p_brand", "ym")
+    )
+
+
+@query(
+    "dsq17_quantity_cov",
+    oracle="""
+    SELECT p_brand,
+           round(avg(l_quantity), 6) AS mean_qty,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(stddev_samp(l_quantity) / avg(l_quantity), 6) AS cov
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    HAVING stddev_samp(l_quantity) / avg(l_quantity) > 0.5
+    ORDER BY cov DESC, p_brand
+    """,
+    doc="TPC-DS Q17 shape: coefficient of variation of quantity per "
+    "brand, keeping volatile brands. Statistical aggregates compute in "
+    "the same single grouped pass as the mean.",
+)
+def dsq17_quantity_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cov = F.stddev_samp("l_quantity") / F.avg("l_quantity")
+    return (
+        t["lineitem"]
+        .join(_bcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.avg("l_quantity"), 6).alias("mean_qty"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(cov, 6).alias("cov"),
+        )
+        .filter(F.col("cov") > 0.5)
+        .orderBy(F.col("cov").desc(), "p_brand")
+    )
+
+
+@query(
+    "dsq04_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+      SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr,
+             sum(o_totalprice) AS total
+      FROM orders
+      GROUP BY o_custkey, year(o_orderdate)
+    )
+    SELECT c_name,
+           round(y1.total, 2) AS total_1997,
+           round(y2.total, 2) AS total_1998,
+           round(y2.total / y1.total, 6) AS growth
+    FROM yearly y1
+    JOIN yearly y2 ON y1.o_custkey = y2.o_custkey
+    JOIN customer ON c_custkey = y1.o_custkey
+    WHERE y1.yr = 1997 AND y2.yr = 1998
+      AND y1.total > 0 AND y2.total / y1.total > 2.0
+    ORDER BY growth DESC, c_name
+    """,
+    doc="TPC-DS Q4/Q11 shape: year-over-year growth per customer — the "
+    "yearly aggregate self-joined across consecutive years with a "
+    "growth-ratio predicate. The self-join runs on the per-(customer, "
+    "year) aggregate, not on orders.",
+)
+def dsq04_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    yearly = (
+        t["orders"]
+        .groupBy("o_custkey", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(F.sum("o_totalprice").alias("total"))
+    )
+    y1 = yearly.filter(F.col("yr") == 1997).select(
+        F.col("o_custkey").alias("ck"), F.col("total").alias("t1")
+    )
+    y2 = yearly.filter(F.col("yr") == 1998).select(
+        F.col("o_custkey").alias("ck2"), F.col("total").alias("t2")
+    )
+    return (
+        y1.join(y2, F.col("ck") == F.col("ck2"))
+        .filter((F.col("t1") > 0) & (F.col("t2") / F.col("t1") > 2.0))
+        .join(_bcast(t["customer"]), F.col("c_custkey") == F.col("ck"))
+        .select(
+            "c_name",
+            F.round("t1", 2).alias("total_1997"),
+            F.round("t2", 2).alias("total_1998"),
+            F.round(F.col("t2") / F.col("t1"), 6).alias("growth"),
+        )
+        .orderBy(F.col("growth").desc(), "c_name")
+    )
