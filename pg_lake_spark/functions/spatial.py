@@ -3370,3 +3370,149 @@ def st_difference(a, b) -> Column:
     """a minus b; removing a lower-dimension b returns a unchanged
     (measure-zero removal, as in GEOS)."""
     return _k_difference(_colify(a), _colify(b))
+
+
+# ---------------------------------------------------------------------------
+# Geography slice: spherical measures on EPSG:4326 lon/lat coordinates.
+#
+# The reference's geography variants come from DuckDB-spatial/PROJ
+# (pg_lake_engine/src/pgduck/shippable_spatial_functions.c geography
+# rows). This dependency-free slice covers the most-used calls with
+# closed-form spherical formulas on the IUGG mean Earth radius — the
+# same model PostGIS's st_distancesphere uses. Spheroid (ellipsoidal)
+# variants are out of scope and raise nowhere: the names say _sphere.
+#
+# - st_distance_sphere: haversine great-circle distance, point-point.
+#   Pure JVM expression over the extracted (x, y) — no Python in the
+#   hot path, safe in joins/filters at scale.
+# - st_length_sphere: per-segment haversine sum over (MULTI)LINESTRING.
+# - st_area_sphere: exact spherical polygon area via the signed
+#   spherical excess, fan-triangulated from the first vertex with the
+#   van Oosterom & Strackee tangent formula per triangle (signed, so
+#   concave fans cancel correctly); holes subtract.
+# ---------------------------------------------------------------------------
+
+#: IUGG mean Earth radius in meters (PostGIS st_distancesphere's model)
+EARTH_RADIUS_M = 6371008.8
+
+
+def _haversine_expr(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
+    """Great-circle distance in meters between lon/lat degree pairs —
+    plain Column arithmetic (whole-stage codegen applies)."""
+    lat1, lat2 = F.radians(y1), F.radians(y2)
+    dlat = lat2 - lat1
+    dlon = F.radians(x2) - F.radians(x1)
+    h = (
+        F.pow(F.sin(dlat / 2), F.lit(2.0))
+        + F.cos(lat1) * F.cos(lat2) * F.pow(F.sin(dlon / 2), F.lit(2.0))
+    )
+    # clamp against fp drift pushing sqrt(h) epsilon-above 1 at antipodes
+    return 2.0 * F.lit(EARTH_RADIUS_M) * F.asin(F.least(F.sqrt(h), F.lit(1.0)))
+
+
+def st_distance_sphere(a, b) -> Column:
+    """Great-circle point-point distance in meters (haversine on the
+    mean-radius sphere). Accurate to ~0.3% of the WGS84 geodesic —
+    PostGIS st_distancesphere parity."""
+    pa_, pb = _k_xy(a), _k_xy(b)
+    return _haversine_expr(pa_["x"], pa_["y"], pb["x"], pb["y"])
+
+
+def st_dwithin_sphere(a, b, meters) -> Column:
+    return st_distance_sphere(a, b) <= F.lit(float(meters))
+
+
+def _hav(x1: float, y1: float, x2: float, y2: float) -> float:
+    la1, la2 = math.radians(y1), math.radians(y2)
+    h = (
+        math.sin((la2 - la1) / 2) ** 2
+        + math.cos(la1) * math.cos(la2) * math.sin((math.radians(x2 - x1)) / 2) ** 2
+    )
+    return 2.0 * EARTH_RADIUS_M * math.asin(min(1.0, math.sqrt(h)))
+
+
+def _sphere_length_of(gtype: int, coords: list) -> float:
+    base = gtype % 1000
+    if base == 2:
+        pts = coords
+        return sum(_hav(*pts[i][:2], *pts[i + 1][:2]) for i in range(len(pts) - 1))
+    if base == 5:
+        return sum(_sphere_length_of(2, part) for part in coords)
+    return 0.0
+
+
+def _unit_vec(x: float, y: float) -> tuple[float, float, float]:
+    lon, lat = math.radians(x), math.radians(y)
+    cl = math.cos(lat)
+    return (cl * math.cos(lon), cl * math.sin(lon), math.sin(lat))
+
+
+def _triangle_excess(v0, v1, v2) -> float:
+    """Signed spherical excess of the triangle (v0, v1, v2) — van
+    Oosterom & Strackee 1983: tan(E/2) = v0.(v1 x v2) / (1 + dots)."""
+    cx = v1[1] * v2[2] - v1[2] * v2[1]
+    cy = v1[2] * v2[0] - v1[0] * v2[2]
+    cz = v1[0] * v2[1] - v1[1] * v2[0]
+    num = v0[0] * cx + v0[1] * cy + v0[2] * cz
+    dot = lambda a, b: a[0] * b[0] + a[1] * b[1] + a[2] * b[2]  # noqa: E731
+    den = 1.0 + dot(v0, v1) + dot(v1, v2) + dot(v2, v0)
+    return 2.0 * math.atan2(num, den)
+
+
+def _sphere_ring_area(ring: list) -> float:
+    """Unsigned spherical area of one ring (m^2): |sum of signed fan
+    excesses| * R^2. Exact for great-circle edges; sign cancellation
+    makes the fan correct for concave rings."""
+    pts = ring[:-1] if len(ring) > 1 and ring[0] == ring[-1] else ring
+    if len(pts) < 3:
+        return 0.0
+    vecs = [_unit_vec(p[0], p[1]) for p in pts]
+    excess = sum(
+        _triangle_excess(vecs[0], vecs[i], vecs[i + 1])
+        for i in range(1, len(vecs) - 1)
+    )
+    return abs(excess) * EARTH_RADIUS_M * EARTH_RADIUS_M
+
+
+def _sphere_area_of(gtype: int, coords: list) -> float:
+    base = gtype % 1000
+    if base == 3:
+        if not coords:
+            return 0.0
+        area = _sphere_ring_area(coords[0])
+        for hole in coords[1:]:
+            area -= _sphere_ring_area(hole)
+        return area
+    if base == 6:
+        return sum(_sphere_area_of(3, poly) for poly in coords)
+    return 0.0
+
+
+@pandas_udf(DoubleType())
+def _k_sphere_length(g: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if b is None else _sphere_length_of(*_parse(bytes(b))) for b in g],
+        dtype="float64",
+    )
+
+
+@pandas_udf(DoubleType())
+def _k_sphere_area(g: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if b is None else _sphere_area_of(*_parse(bytes(b))) for b in g],
+        dtype="float64",
+    )
+
+
+def st_length_sphere(g) -> Column:
+    """Great-circle length in meters of a (MULTI)LINESTRING whose
+    coordinates are lon/lat degrees; 0 for other types (PostGIS
+    geography length semantics on the sphere)."""
+    return _k_sphere_length(_colify(g))
+
+
+def st_area_sphere(g) -> Column:
+    """Spherical area in m^2 of a (MULTI)POLYGON on lon/lat degrees —
+    exact signed spherical excess (not the small-polygon approximation),
+    holes subtracted; 0 for points/lines."""
+    return _k_sphere_area(_colify(g))

@@ -38,6 +38,7 @@ _R7_NEW: list[str] = [
     "dsq89_monthly_deviation", "dsq17_quantity_cov", "dsq04_yoy_growth",
     "cb_user_activity_topn", "cb_regex_extract_quantiles",
     "cb_minute_timeseries", "cb_type_value_stats", "cb_funnel_like_filter",
+    "f_geodesic_sphere",
 ]
 #: rows whose latest official green is r4 (40 total; the first 27 fit
 #: this window, the tail rolls to r8's)

@@ -475,3 +475,55 @@ def j_polygon_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("overlaps"))
         .orderBy("n_nationkey")
     )
+
+
+@query(
+    "f_geodesic_sphere",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST(c_custkey % 360 AS DOUBLE) - 180.0      AS x1,
+             CAST((c_custkey * 7) % 120 AS DOUBLE) - 60.0 AS y1,
+             CAST((c_custkey * 13) % 360 AS DOUBLE) - 180.0 AS x2,
+             CAST((c_custkey * 29) % 120 AS DOUBLE) - 60.0  AS y2
+      FROM customer WHERE c_custkey <= 400
+    )
+    SELECT c_custkey,
+           round(2.0 * 6371008.8 * asin(least(1.0, sqrt(
+               sin(radians(y2 - y1) / 2) ^ 2
+             + cos(radians(y1)) * cos(radians(y2))
+               * sin(radians(x2 - x1) / 2) ^ 2))) / 1000.0, 3) AS dist_km,
+           2.0 * 6371008.8 * asin(least(1.0, sqrt(
+               sin(radians(y2 - y1) / 2) ^ 2
+             + cos(radians(y1)) * cos(radians(y2))
+               * sin(radians(x2 - x1) / 2) ^ 2))) <= 5000000.0 AS nearby
+    FROM pts
+    ORDER BY c_custkey
+    """,
+    doc="Geography slice: st_distance_sphere / st_dwithin_sphere "
+    "(haversine on the IUGG mean radius, PostGIS st_distancesphere "
+    "model) — the oracle recomputes the great-circle formula in plain "
+    "SQL, so values hash-match, not just row counts. Reference gets "
+    "geography variants via DuckDB-spatial/PROJ "
+    "(shippable_spatial_functions.c geography rows).",
+)
+def f_geodesic_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    pts = (
+        t["customer"]
+        .filter(F.col("c_custkey") <= 400)
+        .select(
+            "c_custkey",
+            ((F.col("c_custkey") % 360).cast("double") - 180.0).alias("x1"),
+            (((F.col("c_custkey") * 7) % 120).cast("double") - 60.0).alias("y1"),
+            (((F.col("c_custkey") * 13) % 360).cast("double") - 180.0).alias("x2"),
+            (((F.col("c_custkey") * 29) % 120).cast("double") - 60.0).alias("y2"),
+        )
+    )
+    a = S.st_point("x1", "y1")
+    b = S.st_point("x2", "y2")
+    return pts.select(
+        "c_custkey",
+        F.round(S.st_distance_sphere(a, b) / 1000.0, 3).alias("dist_km"),
+        S.st_dwithin_sphere(a, b, 5_000_000).alias("nearby"),
+    ).orderBy("c_custkey")

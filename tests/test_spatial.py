@@ -946,3 +946,76 @@ def test_boundary_isring_removerepeated(spark):
         S.st_astext(S.st_removerepeatedpoints(S.st_geomfromtext("w")))
     ).collect()[0][0]
     assert got == "LINESTRING(0 0,1 1,2 2)"
+
+
+# ---------------------------------------------------------------------------
+# geography slice: spherical measures (st_*_sphere)
+# ---------------------------------------------------------------------------
+
+def test_distance_sphere_known_values(spark):
+    """Haversine against published great-circle distances (PostGIS
+    st_distancesphere model, IUGG mean radius)."""
+    import math
+
+    from pg_lake_spark.functions.spatial import (
+        EARTH_RADIUS_M, st_distance_sphere, st_dwithin_sphere, st_point,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # (x1, y1, x2, y2, expected_m, tol_m)
+            (0.0, 0.0, 1.0, 0.0, math.pi / 180 * EARTH_RADIUS_M, 0.01),
+            (0.0, 0.0, 0.0, 90.0, math.pi / 2 * EARTH_RADIUS_M, 0.01),
+            # LA <-> NYC: published great-circle ~3,935.7 km
+            (-118.2437, 34.0522, -74.0060, 40.7128, 3_935_750.0, 4_000.0),
+            # Paris <-> London: published ~343.5 km
+            (2.3522, 48.8566, -0.1276, 51.5074, 343_500.0, 1_000.0),
+        ],
+        "x1 double, y1 double, x2 double, y2 double, want double, tol double",
+    )
+    got = df.select(
+        st_distance_sphere(st_point("x1", "y1"), st_point("x2", "y2")).alias("d"),
+        st_dwithin_sphere(st_point("x1", "y1"), st_point("x2", "y2"), 5_000_000).alias("w"),
+        "want", "tol",
+    ).collect()
+    for r in got:
+        assert abs(r.d - r.want) <= r.tol, (r.d, r.want)
+        assert r.w == (r.want <= 5_000_000)
+
+
+def test_area_sphere_exact_octant_and_holes(spark):
+    """Octant triangle covers exactly 1/8 of the sphere — the signed
+    spherical-excess area is exact, not the small-polygon formula."""
+    import math
+
+    from pg_lake_spark.functions.spatial import (
+        EARTH_RADIUS_M, _from_wkt, st_area_sphere,
+    )
+
+    octant = _from_wkt("POLYGON((0 0,90 0,0 90,0 0))")
+    small = _from_wkt("POLYGON((0 0,1 0,1 1,0 1,0 0))")
+    df = spark.createDataFrame([(octant, small)], "oc binary, sq binary")
+    r = df.select(
+        st_area_sphere("oc").alias("a8"), st_area_sphere("sq").alias("sq")
+    ).collect()[0]
+    assert abs(r.a8 - 4 * math.pi * EARTH_RADIUS_M**2 / 8) < 1.0
+    # 1x1 degree at the equator: published spherical value ~12,364 km^2
+    assert abs(r.sq / 1e6 - 12_364.0) < 5.0
+
+
+def test_length_sphere_segments(spark):
+    import math
+
+    from pg_lake_spark.functions.spatial import (
+        EARTH_RADIUS_M, _from_wkt, st_length_sphere,
+    )
+
+    # two 1-degree equator hops = 2 * R*pi/180; points/polygons -> 0
+    line = _from_wkt("LINESTRING(0 0,1 0,2 0)")
+    pt = _from_wkt("POINT(5 5)")
+    df = spark.createDataFrame([(line, pt)], "l binary, p binary")
+    r = df.select(
+        st_length_sphere("l").alias("ll"), st_length_sphere("p").alias("lp")
+    ).collect()[0]
+    assert abs(r.ll - 2 * math.pi / 180 * EARTH_RADIUS_M) < 0.01
+    assert r.lp == 0.0
