@@ -2913,9 +2913,12 @@ def st_transform(g, src_srid, dst_srid) -> Column:
 # polygon/polygon uses Greiner-Hormann clipping on simple shells —
 # exact for polygons in general position. Degenerate configurations
 # (shared vertices, collinear overlapping edges, a vertex of one on the
-# other's boundary) raise loudly with a pointer at st_reduceprecision;
-# boundary-touching inputs are exactly the cases GEOS's snap-rounding
-# exists for and are out of scope for this dependency-free slice.
+# other's boundary — adjacent parcels, T-joints) fall back to
+# _overlay_snap_fallback: a ppb dilation of one input breaks the
+# degeneracy, and the result snaps to a ~1e-6-of-scale grid so the
+# perturbation slivers collapse — the snap-rounding strategy GEOS
+# applies to the same inputs. Unresolvable cases still raise
+# SpatialDegeneracyError with a pointer at st_reduceprecision.
 # Lower-dimension combos (point/line with anything) are computed
 # directly and exactly.
 # ---------------------------------------------------------------------------
@@ -3247,6 +3250,50 @@ def _shells_only(parsed) -> list:
     return [p[0] for p in polys]
 
 
+def _overlay_snap_fallback(ring_a: list, ring_b: list, op: str) -> bytes | None:
+    """Overlay for degenerate (boundary-sharing) rings: dilate/shrink B
+    by parts-per-billion about its centroid to break the degeneracy,
+    run Greiner-Hormann on the perturbed pair, then SNAP the result to
+    a grid ~1e-6 of the geometry scale — perturbation artifacts (slivers
+    along the formerly-shared boundary) collapse to zero-area rings and
+    are dropped, so adjacent parcels union/difference cleanly. This is
+    the snap-rounding strategy GEOS applies to the same inputs; the
+    documented precision of this path is the snap grid. A boundary-only
+    intersection (adjacent parcels) comes back EMPTY here — this is
+    polygon-dimension overlay; measure-zero shared edges are dropped
+    (GEOS would return the LINESTRING).
+
+    Dilation (not translation) is direction-free: a shared edge always
+    becomes a proper crossing whichever side B sits on.
+    """
+    xs = [p[0] for p in ring_a] + [p[0] for p in ring_b]
+    ys = [p[1] for p in ring_a] + [p[1] for p in ring_b]
+    scale = max(max(xs) - min(xs), max(ys) - min(ys), 1e-30)
+    grid = scale * 1e-6
+    bx = sum(p[0] for p in ring_b[:-1]) / (len(ring_b) - 1)
+    by = sum(p[1] for p in ring_b[:-1]) / (len(ring_b) - 1)
+    for f in (1 + 1e-9, 1 - 1e-9, 1 + 7.3e-9, 1 - 7.3e-9):
+        ring_bp = [(bx + (x - bx) * f, by + (y - by) * f) for x, y in ring_b]
+        try:
+            rings = _gh_overlay(ring_a, ring_bp, op)
+        except SpatialDegeneracyError:
+            continue
+        snapped = []
+        for r in rings:
+            s = _dedupe_consecutive(
+                [(round(x / grid) * grid, round(y / grid) * grid) for x, y in r]
+            )
+            if s[0] != s[-1]:
+                s.append(s[0])
+            if len(s) >= 4 and abs(_ring_area(s)) > grid * grid:
+                snapped.append(s)
+        return _assemble_polygons(snapped)
+    raise SpatialDegeneracyError(
+        "overlay: degenerate input not resolved by snap-rounding; "
+        "perturb or st_reduceprecision the input"
+    )
+
+
 def _overlay_polys(a: bytes, b: bytes, op: str) -> bytes | None:
     pa, pb = _parse(a), _parse(b)
     ta, ca = pa
@@ -3284,7 +3331,12 @@ def _overlay_polys(a: bytes, b: bytes, op: str) -> bytes | None:
         raise SpatialDegeneracyError(
             "overlay on overlapping multipolygons is not supported"
         )
-    return _assemble_polygons(_gh_overlay(shells_a[0], shells_b[0], op))
+    try:
+        return _assemble_polygons(_gh_overlay(shells_a[0], shells_b[0], op))
+    except SpatialDegeneracyError:
+        # boundary-sharing inputs (shared parcel edges, vertex-on-edge
+        # T-joints): snap-rounding fallback, the GEOS strategy
+        return _overlay_snap_fallback(shells_a[0], shells_b[0], op)
 
 
 def _overlay_geoms(a: bytes, b: bytes, op: str) -> bytes | None:
