@@ -26,6 +26,83 @@ import re
 from pyspark.sql import DataFrame
 
 
+def strip_sql_comments(sql: str) -> str:
+    """Remove ``--`` line comments and ``/* */`` block comments,
+    respecting single-quoted literals ('' escapes) and double-quoted
+    identifiers — a path like ``'a--b.csv'`` or an identifier
+    ``"weird--name"`` survives intact. The regex recognizers below (and
+    Spark's parser on passthrough) then see clean statement text."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'" or c == '"':
+            q = c
+            out.append(c)
+            i += 1
+            while i < n:
+                out.append(sql[i])
+                if sql[i] == q:
+                    # '' / "" escape inside the quoted region
+                    if i + 1 < n and sql[i + 1] == q:
+                        out.append(q)
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                i += 1
+            continue
+        if c == "-" and sql[i : i + 2] == "--":
+            j = sql.find("\n", i)
+            i = n if j == -1 else j  # keep the newline as whitespace
+            continue
+        if c == "/" and sql[i : i + 2] == "/*":
+            j = sql.find("*/", i + 2)
+            if j == -1:
+                raise ValueError("unterminated /* comment in SQL")
+            out.append(" ")  # comment acts as a token separator
+            i = j + 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def split_sql_statements(sql: str) -> list[str]:
+    """Split a multi-statement string on ``;`` OUTSIDE quoted regions;
+    returns non-empty statements. A ``;`` inside a path literal or a
+    quoted identifier never splits."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'" or c == '"':
+            q = c
+            buf.append(c)
+            i += 1
+            while i < n:
+                buf.append(sql[i])
+                if sql[i] == q:
+                    if i + 1 < n and sql[i + 1] == q:
+                        buf.append(q)
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                i += 1
+            continue
+        if c == ";":
+            stmts.append("".join(buf))
+            buf = []
+            i += 1
+            continue
+        buf.append(c)
+        i += 1
+    stmts.append("".join(buf))
+    return [s for s in (x.strip() for x in stmts) if s]
+
+
 def _parse_options(blob: str) -> dict[str, str]:
     """FDW ``key 'value'`` and WITH ``key = 'value'`` pairs (also bare
     ``key = value`` for numbers/booleans)."""
@@ -159,9 +236,24 @@ def _normalize_pg_types(cols: str) -> str:
 
 
 def execute_lake_sql(sess, sql: str) -> DataFrame | None:
-    """Execute one statement through the lake DDL surface; returns a
-    DataFrame for passthrough queries / foreign-table creates, None for
-    pure DDL effects."""
+    """Execute SQL through the lake DDL surface; returns a DataFrame
+    for passthrough queries / foreign-table creates, None for pure DDL
+    effects. ``--`` and ``/* */`` comments are stripped (quote-aware);
+    a multi-statement string executes each statement in order and
+    returns the LAST statement's result — psql script semantics."""
+    sql = strip_sql_comments(sql)
+    stmts = split_sql_statements(sql)
+    if len(stmts) > 1:
+        result: DataFrame | None = None
+        for stmt in stmts:
+            result = _execute_one(sess, stmt)
+        return result
+    if not stmts:
+        return None
+    return _execute_one(sess, stmts[0])
+
+
+def _execute_one(sess, sql: str) -> DataFrame | None:
     m = _CREATE_FOREIGN.match(sql)
     if m:
         name = m.group("name").strip('"')

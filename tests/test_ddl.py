@@ -367,3 +367,69 @@ def test_truncate_table(sess, spark, tmp_path):
     assert spark.table("trunc_t").count() == 0
     # snapshot-versioned: the pre-truncate snapshot still reads
     assert t.to_df(snapshot_id=pre).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# front-end hardening: comments, multi-statement, quoted tokens
+# ---------------------------------------------------------------------------
+
+def test_strip_comments_quote_aware():
+    from pg_lake_spark.ddl import strip_sql_comments
+
+    assert strip_sql_comments("SELECT 1 -- trailing\n+ 2") == "SELECT 1 \n+ 2"
+    # a '--' inside a path literal is data, not a comment
+    s = "COPY t FROM 'a--b.csv' (FORMAT csv)"
+    assert strip_sql_comments(s) == s
+    # '' escape keeps the string region intact past the embedded quote
+    s2 = "SELECT 'it''s -- fine' -- gone"
+    assert strip_sql_comments(s2) == "SELECT 'it''s -- fine' "
+    # block comments vanish; inside quotes they don't
+    assert strip_sql_comments("SELECT /* x */ 1") == "SELECT   1"
+    s3 = "SELECT '/* not a comment */'"
+    assert strip_sql_comments(s3) == s3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unterminated"):
+        strip_sql_comments("SELECT /* oops")
+
+
+def test_split_statements_quote_aware():
+    from pg_lake_spark.ddl import split_sql_statements
+
+    assert split_sql_statements("SELECT 1; SELECT 2;") == ["SELECT 1", "SELECT 2"]
+    # ';' inside a literal or quoted identifier never splits
+    assert split_sql_statements("COPY t FROM 'a;b.csv'") == ["COPY t FROM 'a;b.csv'"]
+    assert split_sql_statements('SELECT 1 AS "a;b"') == ['SELECT 1 AS "a;b"']
+    assert split_sql_statements("  ;;  ") == []
+
+
+def test_multi_statement_executes_in_order(spark, tmp_path, sess):
+    """A script string (create + query) runs both statements; the last
+    statement's DataFrame comes back."""
+    from pg_lake_spark.ddl import execute_lake_sql
+
+    src = str(tmp_path / "s.csv")
+    open(src, "w").write("a,b\n1,x\n2,y\n")
+    out = execute_lake_sql(
+        sess,
+        f"""
+        -- create then immediately query, one script string
+        CREATE FOREIGN TABLE multi_t () SERVER pg_lake
+          OPTIONS (path '{src}', format 'csv', header 'true');
+        SELECT count(*) AS n FROM multi_t;  -- trailing comment
+        """,
+    )
+    assert out.collect()[0].n == 2
+
+
+def test_comment_before_ddl_statement(spark, tmp_path, sess):
+    from pg_lake_spark.ddl import execute_lake_sql
+
+    src = str(tmp_path / "c.csv")
+    open(src, "w").write("a\n1\n")
+    df = execute_lake_sql(
+        sess,
+        f"/* header comment */ CREATE FOREIGN TABLE cmt_t () SERVER pg_lake "
+        f"OPTIONS (path '{src}', format 'csv', header 'true')",
+    )
+    assert df.count() == 1
