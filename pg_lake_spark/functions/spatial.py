@@ -2873,6 +2873,128 @@ def _tx_3857_4326(x: float, y: float) -> tuple[float, float]:
 
 _TRANSFORMS = {(4326, 3857): _tx_4326_3857, (3857, 4326): _tx_3857_4326}
 
+# -- UTM (EPSG:326zz north / 327zz south) via the Krüger flattening
+# series on WGS84, the same order-n^6 expansion proj's tmerc uses —
+# sub-millimeter within a zone, dependency-free. Forward/inverse per
+# Krüger 1912 (coefficients as tabulated in the standard flattening-
+# series references).
+_WGS84_A = 6378137.0
+_WGS84_F = 1 / 298.257223563
+_TM_N = _WGS84_F / (2 - _WGS84_F)
+_TM_ABAR = _WGS84_A / (1 + _TM_N) * (
+    1 + _TM_N**2 / 4 + _TM_N**4 / 64 + _TM_N**6 / 256
+)
+_n = _TM_N
+_TM_ALPHA = (
+    _n / 2 - 2 * _n**2 / 3 + 5 * _n**3 / 16 + 41 * _n**4 / 180
+    - 127 * _n**5 / 288 + 7891 * _n**6 / 37800,
+    13 * _n**2 / 48 - 3 * _n**3 / 5 + 557 * _n**4 / 1440
+    + 281 * _n**5 / 630 - 1983433 * _n**6 / 1935360,
+    61 * _n**3 / 240 - 103 * _n**4 / 140 + 15061 * _n**5 / 26880
+    + 167603 * _n**6 / 181440,
+    49561 * _n**4 / 161280 - 179 * _n**5 / 168 + 6601661 * _n**6 / 7257600,
+    34729 * _n**5 / 80640 - 3418889 * _n**6 / 1995840,
+    212378941 * _n**6 / 319334400,
+)
+_TM_BETA = (
+    _n / 2 - 2 * _n**2 / 3 + 37 * _n**3 / 96 - _n**4 / 360
+    - 81 * _n**5 / 512 + 96199 * _n**6 / 604800,
+    _n**2 / 48 + _n**3 / 15 - 437 * _n**4 / 1440 + 46 * _n**5 / 105
+    - 1118711 * _n**6 / 3870720,
+    17 * _n**3 / 480 - 37 * _n**4 / 840 - 209 * _n**5 / 4480
+    + 5569 * _n**6 / 90720,
+    4397 * _n**4 / 161280 - 11 * _n**5 / 504 - 830251 * _n**6 / 7257600,
+    4583 * _n**5 / 161280 - 108847 * _n**6 / 3991680,
+    20648693 * _n**6 / 638668800,
+)
+_TM_DELTA = (
+    2 * _n - 2 * _n**2 / 3 - 2 * _n**3 + 116 * _n**4 / 45
+    + 26 * _n**5 / 45 - 2854 * _n**6 / 675,
+    7 * _n**2 / 3 - 8 * _n**3 / 5 - 227 * _n**4 / 45 + 2704 * _n**5 / 315
+    + 2323 * _n**6 / 945,
+    56 * _n**3 / 15 - 136 * _n**4 / 35 - 1262 * _n**5 / 105
+    + 73814 * _n**6 / 2835,
+    4279 * _n**4 / 630 - 332 * _n**5 / 35 - 399572 * _n**6 / 14175,
+    4174 * _n**5 / 315 - 144838 * _n**6 / 6237,
+    601676 * _n**6 / 22275,
+)
+del _n
+_UTM_K0 = 0.9996
+_UTM_FE = 500000.0
+_UTM_FN_SOUTH = 10000000.0
+
+
+def _utm_forward(zone: int, south: bool):
+    lam0 = math.radians(zone * 6 - 183)
+
+    def fn(x: float, y: float) -> tuple[float, float]:
+        lam, phi = math.radians(x), math.radians(y)
+        two_rtn = 2 * math.sqrt(_TM_N) / (1 + _TM_N)
+        t = math.sinh(
+            math.atanh(math.sin(phi))
+            - two_rtn * math.atanh(two_rtn * math.sin(phi))
+        )
+        dl = lam - lam0
+        xi = math.atan2(t, math.cos(dl))
+        eta = math.asinh(math.sin(dl) / math.hypot(t, math.cos(dl)))
+        xs, es = xi, eta
+        for j, a in enumerate(_TM_ALPHA, 1):
+            xs += a * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+            es += a * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+        E = _UTM_FE + _UTM_K0 * _TM_ABAR * es
+        N = (_UTM_FN_SOUTH if south else 0.0) + _UTM_K0 * _TM_ABAR * xs
+        return E, N
+
+    return fn
+
+
+def _utm_inverse(zone: int, south: bool):
+    lam0 = math.radians(zone * 6 - 183)
+
+    def fn(x: float, y: float) -> tuple[float, float]:
+        xi = (y - (_UTM_FN_SOUTH if south else 0.0)) / (_UTM_K0 * _TM_ABAR)
+        eta = (x - _UTM_FE) / (_UTM_K0 * _TM_ABAR)
+        xp, ep = xi, eta
+        for j, b in enumerate(_TM_BETA, 1):
+            xp -= b * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+            ep -= b * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+        chi = math.asin(math.sin(xp) / math.cosh(ep))
+        phi = chi
+        for j, d in enumerate(_TM_DELTA, 1):
+            phi += d * math.sin(2 * j * chi)
+        lam = lam0 + math.atan2(math.sinh(ep), math.cos(xp))
+        return math.degrees(lam), math.degrees(phi)
+
+    return fn
+
+
+def _utm_zone(srid: int) -> tuple[int, bool] | None:
+    """(zone, south) for EPSG:326zz/327zz, else None."""
+    if 32601 <= srid <= 32660:
+        return srid - 32600, False
+    if 32701 <= srid <= 32760:
+        return srid - 32700, True
+    return None
+
+
+def _resolve_transform(s: int, d: int):
+    """Point-transform callable for (s, d), composing through 4326 for
+    pairs like 3857<->UTM; None when unsupported."""
+    direct = _TRANSFORMS.get((s, d))
+    if direct is not None:
+        return direct
+    zs, zd = _utm_zone(s), _utm_zone(d)
+    if s == 4326 and zd:
+        return _utm_forward(*zd)
+    if zs and d == 4326:
+        return _utm_inverse(*zs)
+    # compose via 4326 (3857<->UTM, UTM<->UTM zone change)
+    if (zs or s == 3857) and (zd or d == 3857):
+        to_geo = _resolve_transform(s, 4326)
+        from_geo = _resolve_transform(4326, d)
+        return lambda x, y: from_geo(*to_geo(x, y))
+    return None
+
 
 @pandas_udf(BinaryType())
 def _k_transform(g: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
@@ -2885,10 +3007,11 @@ def _k_transform(g: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
         if s == d:
             out.append(bytes(b))
             continue
-        fn = _TRANSFORMS.get((s, d))
+        fn = _resolve_transform(s, d)
         if fn is None:
             raise NotImplementedError(
-                f"st_transform supports EPSG:4326<->3857 only, got {s}->{d} "
+                f"st_transform supports EPSG:4326<->3857 and 4326/3857<->"
+                f"UTM (326zz/327zz), got {s}->{d} "
                 "(the reference delegates other pairs to PROJ)"
             )
         gtype, coords = _parse(bytes(b))
@@ -2897,8 +3020,11 @@ def _k_transform(g: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
 
 
 def st_transform(g, src_srid, dst_srid) -> Column:
-    """Reproject between EPSG:4326 (lon/lat) and EPSG:3857 (spherical
-    Web Mercator) — closed-form; other SRID pairs raise. SRIDs are
+    """Reproject between EPSG:4326 (lon/lat), EPSG:3857 (spherical Web
+    Mercator) and the UTM zones (EPSG:326zz north / 327zz south, via
+    the order-n^6 Krüger flattening series on WGS84 — the expansion
+    proj's tmerc uses, sub-mm within a zone). 3857<->UTM and cross-zone
+    UTM compose through 4326. Other SRID pairs raise. SRIDs are
     explicit arguments because this WKB slice stores geometries
     SRID-less."""
     s = F.lit(src_srid) if isinstance(src_srid, int) else _colify(src_srid)

@@ -1019,3 +1019,58 @@ def test_length_sphere_segments(spark):
     ).collect()[0]
     assert abs(r.ll - 2 * math.pi / 180 * EARTH_RADIUS_M) < 0.01
     assert r.lp == 0.0
+
+
+def test_transform_utm_known_vector_and_roundtrip(spark):
+    """4326 -> UTM zone 17N against the published CN Tower grid
+    reference (630084 E, 4833439 N), plus exact inverse roundtrip and
+    the composed 3857 -> UTM path."""
+    from pg_lake_spark.functions.spatial import (
+        _from_wkt, st_transform, st_x, st_y,
+    )
+
+    pt = _from_wkt("POINT(-79.387139 43.642567)")
+    df = spark.createDataFrame([(pt,)], "g binary")
+    utm = df.select(
+        st_x(st_transform("g", 4326, 32617)).alias("e"),
+        st_y(st_transform("g", 4326, 32617)).alias("n"),
+    ).collect()[0]
+    assert abs(utm.e - 630084) < 1.0 and abs(utm.n - 4833439) < 1.0
+
+    back = df.select(
+        st_x(st_transform(st_transform("g", 4326, 32617), 32617, 4326)).alias("x"),
+        st_y(st_transform(st_transform("g", 4326, 32617), 32617, 4326)).alias("y"),
+    ).collect()[0]
+    assert abs(back.x - -79.387139) < 1e-9 and abs(back.y - 43.642567) < 1e-9
+
+    # composed: 3857 -> UTM goes through 4326
+    via = df.select(
+        st_x(
+            st_transform(st_transform("g", 4326, 3857), 3857, 32617)
+        ).alias("e")
+    ).collect()[0]
+    assert abs(via.e - 630084) < 1.0
+
+
+def test_transform_utm_south_roundtrip(spark):
+    from pg_lake_spark.functions.spatial import (
+        _from_wkt, st_transform, st_x, st_y,
+    )
+
+    pt = _from_wkt("POINT(151.2153 -33.8568)")  # Sydney, zone 56 south
+    df = spark.createDataFrame([(pt,)], "g binary")
+    r = df.select(
+        st_y(st_transform("g", 4326, 32756)).alias("n"),
+        st_x(st_transform(st_transform("g", 4326, 32756), 32756, 4326)).alias("x"),
+        st_y(st_transform(st_transform("g", 4326, 32756), 32756, 4326)).alias("y"),
+    ).collect()[0]
+    assert 0 < r.n < 10_000_000  # false northing applied
+    assert abs(r.x - 151.2153) < 1e-9 and abs(r.y - -33.8568) < 1e-9
+
+
+def test_transform_unsupported_pair_still_raises(spark):
+    from pg_lake_spark.functions.spatial import _from_wkt, st_transform
+
+    df = spark.createDataFrame([(_from_wkt("POINT(0 0)"),)], "g binary")
+    with pytest.raises(Exception, match="(?i)st_transform supports"):
+        df.select(st_transform("g", 4326, 2263)).collect()  # NY state-plane ft
