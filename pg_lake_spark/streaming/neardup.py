@@ -88,24 +88,39 @@ def streaming_band_keys(
     ).select("_id", "bb.band", "bb.bucket")
 
 
-def _emit_pairs(
-    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    seen: list[int] = list(state.get[0]) if state.exists else []
-    out_a: list[int] = []
-    out_b: list[int] = []
-    for pdf in pdfs:
-        for _id in pdf["_id"]:
-            _id = int(_id)
-            if _id in seen:
-                continue
-            for other in seen:
-                out_a.append(min(_id, other))
-                out_b.append(max(_id, other))
-            seen.append(_id)
-    state.update((seen,))
-    if out_a:
-        yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+def _make_emit_pairs(max_bucket_size: int | None):
+    """Per-bucket pair emitter with a width cap: once a bucket has
+    max_bucket_size members, later arrivals neither emit pairs nor grow
+    the state — the streaming analogue of the batch _cap_buckets
+    sub-sample (state stays bounded; a degenerate mega-bucket of
+    identical boilerplate cannot make per-batch work quadratic).
+    Identical documents are the exact-dedup stage's job."""
+
+    def _emit_pairs(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seen: list[int] = list(state.get[0]) if state.exists else []
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for pdf in pdfs:
+            for _id in pdf["_id"]:
+                if max_bucket_size is not None and len(seen) >= max_bucket_size:
+                    break
+                _id = int(_id)
+                if _id in seen:
+                    continue
+                for other in seen:
+                    out_a.append(min(_id, other))
+                    out_b.append(max(_id, other))
+                seen.append(_id)
+        state.update((seen,))
+        if out_a:
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    return _emit_pairs
+
+
+_emit_pairs = _make_emit_pairs(None)  # uncapped form (back-compat)
 
 
 def stream_lsh_candidates(
@@ -116,16 +131,18 @@ def stream_lsh_candidates(
     shingle_n: int = 3,
     num_hashes: int = 12,
     bands: int = 4,
+    max_bucket_size: int | None = 5000,
 ) -> DataFrame:
     """Streaming candidate-pair DataFrame (id_a < id_b; a pair may
     surface from several bands — distinct() downstream, exactly like
-    the batch pipeline's candidate stage)."""
+    the batch pipeline's candidate stage). ``max_bucket_size`` bounds
+    each bucket's state and pair fan-out (see _make_emit_pairs)."""
     banded = streaming_band_keys(
         stream_df, id_col, text_col,
         shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
     )
     return banded.groupBy("band", "bucket").applyInPandasWithState(
-        _emit_pairs,
+        _make_emit_pairs(max_bucket_size),
         outputStructType="id_a long, id_b long",
         stateStructType="ids array<long>",
         outputMode="append",

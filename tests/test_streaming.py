@@ -341,3 +341,38 @@ def test_stream_lsh_candidates_equal_batch(spark, tmp_path):
     a = set(map(tuple, batch_cand.collect()))
     b = set(map(tuple, stream_cand.collect()))
     assert a == b and a  # identical and non-empty
+
+
+def test_stream_lsh_bucket_cap_bounds_pairs(spark, tmp_path):
+    """A stream of identical docs (one mega-bucket per band) emits a
+    BOUNDED pair set under the cap — per-bucket state stops growing at
+    max_bucket_size, the streaming analogue of batch _cap_buckets."""
+    import pandas as pd
+
+    from pg_lake_spark.streaming.neardup import stream_lsh_candidates
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pd.DataFrame(
+        {"doc_id": range(200), "text": ["same boilerplate body here"] * 200}
+    ).to_parquet(src / "batch0.parquet")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .parquet(str(src))
+    )
+    cap = 10
+    pairs = stream_lsh_candidates(stream, "doc_id", "text", max_bucket_size=cap)
+    out = tmp_path / "out"
+    chk = tmp_path / "chk"
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(chk))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out)).distinct()
+    n = got.count()
+    assert 0 < n <= cap * (cap - 1) // 2
