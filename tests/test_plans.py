@@ -127,3 +127,37 @@ def test_bloom_membership_broadcast_no_udf(spark):
     assert s.broadcast_joins >= 2  # filter-word join + semi join back
     plan = maybe._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsq05_channel_rollup_plan(spark):
+    """Multi-channel UNION rollup: every dim broadcast at bench scale,
+    no shuffle joins; the union's rollup is the only wide stage."""
+    df = QUERIES["dsq05_channel_rollup"].fn(spark, SF_DIR)
+    s = plan_summary(df, execute=True)
+    assert s.broadcast_joins == 4 and s.shuffle_joins == 0
+    assert all(sc.pushed_filters for sc in s.scans if "l_shipdate" in sc.read_schema)
+
+
+def test_dsq88_single_scan_no_joins(spark):
+    """Eight CASE counts in ONE pass: zero joins (DS's 8-subquery
+    cross-join collapses into a single aggregation)."""
+    df = QUERIES["dsq88_case_counts"].fn(spark, SF_DIR)
+    s = plan_summary(df, execute=True)
+    assert s.broadcast_joins == 0 and s.shuffle_joins == 0
+    assert len(s.scans) == 1
+
+
+def test_dsq67_window_over_aggregate_only(spark):
+    """The rank window must consume the ROLLUP output, never the fact
+    table: exactly one lineitem scan, and the Window sits above the
+    aggregate in the executed plan."""
+    df = QUERIES["dsq67_rollup_topk"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 2  # lineitem + part, once each
+    assert "Window" in plan and "Expand" in plan  # rollup feeds the window
+
+
+def test_cb_topn_fuses_take_ordered(spark):
+    df = QUERIES["cb_user_activity_topn"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -17,6 +17,9 @@ PICKS = [
     ("dd_bloom_semi_join", "Bloom prefilter: packed-word filter broadcast to the probe side; no Python eval in the plan."),
     ("j_polygon_overlap_join", "Grid-bucketed polygon join: cell equi-join + reference-point dedup; the exact kernel only sees candidates."),
     ("sim_cosine_topk", "Broadcast query matrix over the corpus scan; map-side dot products, one top-k reduction."),
+    ("dsq05_channel_rollup", "TPC-DS Q5 shape: two channels union, four dims broadcast (size-gated), zero shuffle joins; one rollup shuffle."),
+    ("dsq88_case_counts", "TPC-DS Q88 shape: eight CASE counts in one scan, zero joins (DS runs 8 subqueries + cross join)."),
+    ("cb_user_activity_topn", "ClickBench shape: high-cardinality groupBy + tie-broken top-N fused to TakeOrderedAndProject."),
     ("st_stream_dedup", None),  # streaming: plan shape not comparable; skipped
 ]
 
