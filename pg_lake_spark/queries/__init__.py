@@ -39,6 +39,11 @@ _R7_NEW: list[str] = [
     "cb_user_activity_topn", "cb_regex_extract_quantiles",
     "cb_minute_timeseries", "cb_type_value_stats", "cb_funnel_like_filter",
     "f_geodesic_sphere",
+    # second DS wave
+    "dsq14_cross_channel_items", "dsq31_qoq_growth_compare",
+    "dsq48_band_disjunction", "dsq58_channel_tolerance",
+    "dsq90_am_pm_ratio", "dsq74_two_metric_growth",
+    "dsq96_multi_filter_count",
 ]
 #: rows whose latest official green is r4 (40 total; the first 27 fit
 #: this window, the tail rolls to r8's)

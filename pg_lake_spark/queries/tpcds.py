@@ -853,3 +853,320 @@ def dsq04_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("growth").desc(), "c_name")
     )
+
+
+@query(
+    "dsq14_cross_channel_items",
+    oracle="""
+    WITH both_chan AS (
+      SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F'
+      INTERSECT
+      SELECT l_partkey FROM lineitem WHERE l_linestatus = 'O'
+    )
+    SELECT p_brand,
+           count(*) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_partkey IN (SELECT l_partkey FROM both_chan)
+      AND l_shipdate >= TIMESTAMP '1998-01-01'
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    doc="TPC-DS Q14 shape: cross-channel item set (items sold in BOTH "
+    "channels via INTERSECT) gating a per-brand aggregate. The "
+    "intersect runs on pruned single-column key sets; the gate plans "
+    "as a semi join.",
+)
+def dsq14_cross_channel_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    f_parts = t["lineitem"].filter(F.col("l_linestatus") == "F").select("l_partkey")
+    o_parts = t["lineitem"].filter(F.col("l_linestatus") == "O").select("l_partkey")
+    both = f_parts.intersect(o_parts).withColumnRenamed("l_partkey", "bp")
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") >= _ts("1998-01-01"))
+        .join(both, F.col("l_partkey") == F.col("bp"), "left_semi")
+        .join(_bcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "dsq31_qoq_growth_compare",
+    oracle="""
+    WITH q AS (
+      SELECT n_name,
+             CAST(year(o_orderdate) * 10 + quarter(o_orderdate) AS INT) AS yq,
+             sum(o_totalprice) AS total
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+      GROUP BY n_name, year(o_orderdate) * 10 + quarter(o_orderdate)
+    )
+    SELECT q1.n_name,
+           round(q2.total / q1.total, 6) AS g_q1_q2,
+           round(q3.total / q2.total, 6) AS g_q2_q3
+    FROM q q1 JOIN q q2 ON q1.n_name = q2.n_name
+              JOIN q q3 ON q1.n_name = q3.n_name
+    WHERE q1.yq = 19971 AND q2.yq = 19972 AND q3.yq = 19973
+      AND q1.total > 0 AND q2.total > 0
+      AND q2.total / q1.total > q3.total / q2.total
+    ORDER BY q1.n_name
+    """,
+    doc="TPC-DS Q31 shape: quarter-over-quarter growth ratios compared "
+    "across consecutive quarters per region — the quarterly aggregate "
+    "self-joined twice, ratio predicate across the join. All joins run "
+    "on the per-(nation, quarter) aggregate (~100 rows).",
+)
+def dsq31_qoq_growth_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    q = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= _ts("1997-01-01"))
+            & (F.col("o_orderdate") < _ts("1998-01-01"))
+        )
+        .join(_bcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_bcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 10 + F.quarter("o_orderdate")).cast("int").alias("yq"),
+        )
+        .agg(F.sum("o_totalprice").alias("total"))
+    )
+    q1 = q.filter(F.col("yq") == 19971).select(F.col("n_name"), F.col("total").alias("t1"))
+    q2 = q.filter(F.col("yq") == 19972).select(F.col("n_name").alias("n2"), F.col("total").alias("t2"))
+    q3 = q.filter(F.col("yq") == 19973).select(F.col("n_name").alias("n3"), F.col("total").alias("t3"))
+    return (
+        q1.join(q2, F.col("n_name") == F.col("n2"))
+        .join(q3, F.col("n_name") == F.col("n3"))
+        .filter(
+            (F.col("t1") > 0) & (F.col("t2") > 0)
+            & (F.col("t2") / F.col("t1") > F.col("t3") / F.col("t2"))
+        )
+        .select(
+            "n_name",
+            F.round(F.col("t2") / F.col("t1"), 6).alias("g_q1_q2"),
+            F.round(F.col("t3") / F.col("t2"), 6).alias("g_q2_q3"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "dsq48_band_disjunction",
+    oracle="""
+    SELECT CAST(sum(l_quantity) AS DOUBLE) AS total_qty,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE (c_mktsegment = 'AUTOMOBILE' AND l_extendedprice BETWEEN 500 AND 20000 AND l_discount <= 0.05)
+       OR (c_mktsegment = 'BUILDING'   AND l_extendedprice BETWEEN 20000 AND 60000 AND l_quantity >= 10)
+       OR (c_mktsegment = 'MACHINERY'  AND l_extendedprice > 60000 AND l_tax < 0.05)
+    """,
+    doc="TPC-DS Q48 shape: a 3-arm OR of conjunctive band predicates "
+    "spanning fact and dimension columns — the disjunction survives as "
+    "one post-join filter; the per-arm range predicates cannot push to "
+    "the scan but the join keys still prune columns.",
+)
+def dsq48_band_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    seg = F.col("c_mktsegment")
+    arm1 = (seg == "AUTOMOBILE") & F.col("l_extendedprice").between(500, 20000) & (F.col("l_discount") <= 0.05)
+    arm2 = (seg == "BUILDING") & F.col("l_extendedprice").between(20000, 60000) & (F.col("l_quantity") >= 10)
+    arm3 = (seg == "MACHINERY") & (F.col("l_extendedprice") > 60000) & (F.col("l_tax") < 0.05)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(_bcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(arm1 | arm2 | arm3)
+        .agg(
+            F.sum("l_quantity").cast("double").alias("total_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "dsq58_channel_tolerance",
+    oracle="""
+    WITH per_chan AS (
+      SELECT l_partkey,
+             sum(CASE WHEN l_linestatus = 'F'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END) AS f_rev,
+             sum(CASE WHEN l_linestatus = 'O'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END) AS o_rev
+      FROM lineitem
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, f_rev, o_rev
+    FROM (SELECT l_partkey, round(f_rev, 0) AS f_rev, round(o_rev, 0) AS o_rev
+          FROM per_chan)
+    WHERE f_rev > 0 AND o_rev > 0
+      AND f_rev / o_rev BETWEEN 0.98 AND 1.02
+    ORDER BY l_partkey
+    """,
+    doc="TPC-DS Q58 shape: items whose revenue is balanced across "
+    "channels within a tolerance band. DS joins three per-channel CTEs; "
+    "expressed Spark-first both channels come out of ONE grouped scan "
+    "as conditional sums, and the tolerance is a plain filter.",
+)
+def dsq58_channel_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.when(F.col("l_linestatus") == "F", rev).otherwise(0.0)).alias("f"),
+            F.sum(F.when(F.col("l_linestatus") == "O", rev).otherwise(0.0)).alias("o"),
+        )
+    )
+    # round BEFORE the ratio predicate: the tolerance band must test
+    # the same (stable, 2dp) values in both engines, or ulp-level sum
+    # differences flip borderline rows
+    # whole currency units: cent-level rounding sits on engine ulp
+    # boundaries (786514.935 summed in different orders rounds .93/.94)
+    rounded = per.select(
+        "l_partkey", F.round("f", 0).alias("f_rev"), F.round("o", 0).alias("o_rev")
+    )
+    return (
+        rounded.filter(
+            (F.col("f_rev") > 0) & (F.col("o_rev") > 0)
+            & (F.col("f_rev") / F.col("o_rev")).between(0.98, 1.02)
+        )
+        .orderBy("l_partkey")
+    )
+
+
+@query(
+    "dsq90_am_pm_ratio",
+    oracle="""
+    SELECT round(
+             CAST(count(CASE WHEN hour(ts) < 12 THEN 1 END) AS DOUBLE)
+           / CAST(count(CASE WHEN hour(ts) >= 12 THEN 1 END) AS DOUBLE), 6) AS am_pm_ratio,
+           count(*) AS n_events
+    FROM events
+    WHERE event_type = 'view'
+    """,
+    doc="TPC-DS Q90 shape: am/pm activity ratio — DS divides two "
+    "subquery counts through a cross join; here both counts come from "
+    "one conditional aggregation pass.",
+)
+def dsq90_am_pm_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    am = F.count(F.when(F.hour("ts") < 12, 1)).cast("double")
+    pm = F.count(F.when(F.hour("ts") >= 12, 1)).cast("double")
+    return (
+        t["events"]
+        .filter(F.col("event_type") == "view")
+        .agg(
+            F.round(am / pm, 6).alias("am_pm_ratio"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "dsq74_two_metric_growth",
+    oracle="""
+    WITH o_year AS (
+      SELECT o_custkey AS ck, CAST(year(o_orderdate) AS INT) AS yr,
+             sum(o_totalprice) AS m
+      FROM orders GROUP BY o_custkey, year(o_orderdate)
+    ),
+    l_year AS (
+      SELECT o_custkey AS ck, CAST(year(l_shipdate) AS INT) AS yr,
+             sum(l_extendedprice * (1 - l_discount)) AS m
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey, year(l_shipdate)
+    )
+    SELECT c_name,
+           round(o2.m / o1.m, 6) AS order_growth,
+           round(l2.m / l1.m, 6) AS ship_growth
+    FROM o_year o1 JOIN o_year o2 ON o1.ck = o2.ck
+    JOIN l_year l1 ON l1.ck = o1.ck
+    JOIN l_year l2 ON l2.ck = o1.ck
+    JOIN customer ON c_custkey = o1.ck
+    WHERE o1.yr = 1997 AND o2.yr = 1998
+      AND l1.yr = 1997 AND l2.yr = 1998
+      AND o1.m > 0 AND l1.m > 0
+      AND o2.m / o1.m > l2.m / l1.m
+    ORDER BY c_name
+    """,
+    doc="TPC-DS Q74/Q4 shape: year-over-year growth computed on TWO "
+    "metrics (order totals vs shipped revenue) per customer, keeping "
+    "customers whose order growth outpaced ship growth. Four self-join "
+    "legs, all over per-(customer, year) aggregates.",
+)
+def dsq74_two_metric_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    o_year = (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("ck"), F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(F.sum("o_totalprice").alias("m"))
+    )
+    l_year = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_custkey").alias("ck"), F.year("l_shipdate").cast("int").alias("yr"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("m"))
+    )
+
+    def leg(df, yr, ck, m):
+        return df.filter(F.col("yr") == yr).select(
+            F.col("ck").alias(ck), F.col("m").alias(m)
+        )
+
+    return (
+        leg(o_year, 1997, "ck1", "o1")
+        .join(leg(o_year, 1998, "ck2", "o2"), F.col("ck1") == F.col("ck2"))
+        .join(leg(l_year, 1997, "ck3", "l1"), F.col("ck1") == F.col("ck3"))
+        .join(leg(l_year, 1998, "ck4", "l2"), F.col("ck1") == F.col("ck4"))
+        .filter(
+            (F.col("o1") > 0) & (F.col("l1") > 0)
+            & (F.col("o2") / F.col("o1") > F.col("l2") / F.col("l1"))
+        )
+        .join(_bcast(t["customer"]), F.col("c_custkey") == F.col("ck1"))
+        .select(
+            "c_name",
+            F.round(F.col("o2") / F.col("o1"), 6).alias("order_growth"),
+            F.round(F.col("l2") / F.col("l1"), 6).alias("ship_growth"),
+        )
+        .orderBy("c_name")
+    )
+
+
+@query(
+    "dsq96_multi_filter_count",
+    oracle="""
+    SELECT count(*) AS cnt
+    FROM events
+    WHERE hour(ts) BETWEEN 9 AND 11
+      AND event_type = 'click'
+      AND value BETWEEN 20 AND 80
+    """,
+    doc="TPC-DS Q96 shape: a bare count through three dimension-style "
+    "band filters — the canonical selectivity probe. All three "
+    "predicates sit on one scan.",
+)
+def dsq96_multi_filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(
+            F.hour("ts").between(9, 11)
+            & (F.col("event_type") == "click")
+            & F.col("value").between(20, 80)
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
