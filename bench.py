@@ -91,6 +91,20 @@ def main() -> None:
         "st_stream_dedup",
     ]
 
+    # TPC-DS/ClickBench-shape suite (added r7): the heaviest
+    # representatives of the new query packs, own metric so the
+    # headline stays round-comparable.
+    tpcds_suite = [
+        "dsq05_channel_rollup",
+        "dsq67_rollup_topk",
+        "dsq10_exists_chain",
+        "dsq93_net_after_returns",
+        "dsq74_two_metric_growth",
+        "dsq88_case_counts",
+        "cb_user_activity_topn",
+        "cb_regex_extract_quantiles",
+    ]
+
     repeats = int(os.environ.get("PG_LAKE_BENCH_REPEATS", "3"))
 
     spark = get_spark(
@@ -105,7 +119,7 @@ def main() -> None:
     # is amortized and timings measure engine throughput — first-run
     # JIT cost was measured at 2-7 s on the heavier trees.
     warm_dir = "/root/testdata/sf0.001"
-    for name in headline + dml_suite + spatial_suite + pipeline_suite:
+    for name in headline + dml_suite + spatial_suite + pipeline_suite + tpcds_suite:
         if name in QUERIES:
             try:
                 QUERIES[name].fn(spark, warm_dir).count()
@@ -138,6 +152,7 @@ def main() -> None:
     dml_timings, dml_total = run_suite(dml_suite)
     spatial_timings, spatial_total = run_suite(spatial_suite)
     pipeline_timings, pipeline_total = run_suite(pipeline_suite)
+    tpcds_timings, tpcds_total = run_suite(tpcds_suite)
 
     # --- sf1 section (10x scale proof in the driver artifact) ---------
     # tools/scale_gen.py materializes a 10x corpus from sf0.1 (consistent
@@ -188,6 +203,8 @@ def main() -> None:
                 "spatial_queries": spatial_timings,
                 "pipeline_suite_seconds": round(pipeline_total, 4),
                 "pipeline_queries": pipeline_timings,
+                "tpcds_suite_seconds": round(tpcds_total, 4),
+                "tpcds_queries": tpcds_timings,
                 **sf1_result,
             }
         )
