@@ -1209,6 +1209,11 @@ def register_spatial_sql(spark) -> list[str]:
         "st_makevalid": _k_makevalid,
         "st_reduceprecision": _k_reduceprecision,
         "st_simplifypreservetopology": _k_simplify_preserve,
+        # geography slice (kernel-backed; st_distance_sphere is a plain
+        # Column expression, composable in SQL via st_x/st_y)
+        "st_length_sphere": _k_sphere_length,
+        "st_area_sphere": _k_sphere_area,
+        "st_distance_spheroid_xy": _k_distance_spheroid,
         # Z/M dims + reprojection
         "st_z": _k_z,
         "st_m": _k_m,
@@ -3694,3 +3699,72 @@ def st_area_sphere(g) -> Column:
     exact signed spherical excess (not the small-polygon approximation),
     holes subtracted; 0 for points/lines."""
     return _k_sphere_area(_colify(g))
+
+
+# -- Spheroid (ellipsoidal) distance: Vincenty inverse on WGS84 with a
+# bounded iteration; near-antipodal non-convergence falls back to the
+# haversine sphere (documented ~0.5% there, exact-to-0.5mm elsewhere).
+# This is the st_distance(geography) ellipsoid the reference gets from
+# DuckDB-spatial; Karney's always-convergent method needs elliptic
+# integrals, out of scope for this dependency-free slice.
+
+def _vincenty_m(x1: float, y1: float, x2: float, y2: float) -> float:
+    if x1 == x2 and y1 == y2:
+        return 0.0
+    a, f = _WGS84_A, _WGS84_F
+    b = a * (1 - f)
+    L = math.radians(x2 - x1)
+    U1 = math.atan((1 - f) * math.tan(math.radians(y1)))
+    U2 = math.atan((1 - f) * math.tan(math.radians(y2)))
+    sU1, cU1 = math.sin(U1), math.cos(U1)
+    sU2, cU2 = math.sin(U2), math.cos(U2)
+    lam = L
+    for _ in range(100):
+        sl, cl = math.sin(lam), math.cos(lam)
+        s_sig = math.hypot(cU2 * sl, cU1 * sU2 - sU1 * cU2 * cl)
+        if s_sig == 0:
+            return 0.0  # coincident
+        c_sig = sU1 * sU2 + cU1 * cU2 * cl
+        sig = math.atan2(s_sig, c_sig)
+        s_alpha = cU1 * cU2 * sl / s_sig
+        cos2_alpha = 1 - s_alpha * s_alpha
+        c2sm = c_sig - 2 * sU1 * sU2 / cos2_alpha if cos2_alpha else 0.0
+        C = f / 16 * cos2_alpha * (4 + f * (4 - 3 * cos2_alpha))
+        lam_prev = lam
+        lam = L + (1 - C) * f * s_alpha * (
+            sig + C * s_sig * (c2sm + C * c_sig * (-1 + 2 * c2sm * c2sm))
+        )
+        if abs(lam - lam_prev) < 1e-12:
+            break
+    else:
+        return _hav(x1, y1, x2, y2)  # near-antipodal: sphere fallback
+    u2 = cos2_alpha * (a * a - b * b) / (b * b)
+    A_ = 1 + u2 / 16384 * (4096 + u2 * (-768 + u2 * (320 - 175 * u2)))
+    B_ = u2 / 1024 * (256 + u2 * (-128 + u2 * (74 - 47 * u2)))
+    d_sig = B_ * s_sig * (
+        c2sm
+        + B_ / 4 * (
+            c_sig * (-1 + 2 * c2sm * c2sm)
+            - B_ / 6 * c2sm * (-3 + 4 * s_sig * s_sig) * (-3 + 4 * c2sm * c2sm)
+        )
+    )
+    return b * A_ * (sig - d_sig)
+
+
+@pandas_udf(DoubleType())
+def _k_distance_spheroid(ax: pd.Series, ay: pd.Series, bx: pd.Series, by: pd.Series) -> pd.Series:
+    out = []
+    for x1, y1, x2, y2 in zip(ax, ay, bx, by):
+        if x1 is None or pd.isna(x1) or x2 is None or pd.isna(x2):
+            out.append(None)
+        else:
+            out.append(_vincenty_m(float(x1), float(y1), float(x2), float(y2)))
+    return pd.Series(out, dtype="float64")
+
+
+def st_distance_spheroid(a, b) -> Column:
+    """Ellipsoidal (WGS84) point-point distance in meters — Vincenty
+    inverse, 0.5mm-grade where it converges, sphere fallback at the
+    near-antipodal edge. PostGIS st_distance(geography) parity."""
+    pa_, pb = _k_xy(a), _k_xy(b)
+    return _k_distance_spheroid(pa_["x"], pa_["y"], pb["x"], pb["y"])

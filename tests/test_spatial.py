@@ -1074,3 +1074,36 @@ def test_transform_unsupported_pair_still_raises(spark):
     df = spark.createDataFrame([(_from_wkt("POINT(0 0)"),)], "g binary")
     with pytest.raises(Exception, match="(?i)st_transform supports"):
         df.select(st_transform("g", 4326, 2263)).collect()  # NY state-plane ft
+
+
+def test_distance_spheroid_published_vectors(spark):
+    """Vincenty inverse on WGS84 vs published geodesics: one degree of
+    longitude at the equator is exactly 2*pi*a/360 = 111,319.491 m, and
+    LA-NYC is ~3,944.4 km on the ellipsoid (vs 3,935.8 sphere)."""
+    from pg_lake_spark.functions.spatial import st_distance_spheroid, st_point
+
+    df = spark.createDataFrame(
+        [
+            (0.0, 0.0, 1.0, 0.0, 111_319.491, 0.01),
+            (0.0, 0.0, 0.0, 1.0, 110_574.389, 0.01),
+            (-118.2437, 34.0522, -74.0060, 40.7128, 3_944_422.0, 10.0),
+        ],
+        "x1 double, y1 double, x2 double, y2 double, want double, tol double",
+    )
+    got = df.select(
+        st_distance_spheroid(st_point("x1", "y1"), st_point("x2", "y2")).alias("d"),
+        "want", "tol",
+    ).collect()
+    for r in got:
+        assert abs(r.d - r.want) <= r.tol, (r.d, r.want)
+
+
+def test_geodesic_sql_surface(spark):
+    from pg_lake_spark.functions import spatial as S
+
+    S.register_spatial_sql(spark)
+    r = spark.sql(
+        "SELECT round(st_length_sphere(st_geomfromtext('LINESTRING(0 0,1 0)')), 1) AS l, "
+        "round(st_distance_spheroid_xy(0.0D, 0.0D, 1.0D, 0.0D), 1) AS d"
+    ).collect()[0]
+    assert r.l == 111_195.1 and r.d == 111_319.5
