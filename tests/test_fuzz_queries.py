@@ -1,0 +1,107 @@
+"""Differential relational-query fuzz: generated ANSI SQL runs through
+BOTH Spark (over the session's registered lake views) and the DuckDB
+oracle, results compared exactly.
+
+This extends the expression-level fuzz (test_fuzz_pg_semantics.py) to
+whole query plans — random projections, filters, joins, grouped
+aggregates, HAVING and ORDER BY over the corpus — the SQLancer-style
+discipline the reference applies via its differential suites. The
+grammar stays inside the ANSI subset both engines parse identically,
+and every query's output rows are uniquely keyed by their group-by /
+key columns, so rows sort deterministically and float columns compare
+with tight tolerance (no rounding-boundary flakes).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from pg_lake_spark.session import load_tables
+from tests.conftest import SF_DIR
+
+SEED = 20260814
+N_QUERIES = 60
+
+_NUM_L = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_KEY_L = ["l_returnflag", "l_linestatus", "l_linenumber"]
+_NUM_O = ["o_totalprice"]
+_KEY_O = ["o_orderstatus", "o_orderpriority"]
+
+
+def _agg(rng, col):
+    fn = rng.choice(["sum", "min", "max", "avg", "count"])
+    if fn == "count":
+        return f"count({col})", "bigint"
+    return f"{fn}({col})", "double"
+
+
+def gen_query(rng: random.Random) -> str:
+    kind = rng.choice(["agg_l", "agg_join", "proj_filter", "agg_having"])
+    if kind == "agg_l":
+        keys = rng.sample(_KEY_L, rng.randint(1, 2))
+        aggs = [_agg(rng, rng.choice(_NUM_L)) for _ in range(rng.randint(1, 3))]
+        sel = ", ".join(keys + [f"{a} AS agg{i}" for i, (a, _t) in enumerate(aggs)])
+        pred = f"l_quantity {rng.choice(['<', '>', '<='])} {rng.randint(5, 45)}"
+        return (
+            f"SELECT {sel} FROM lineitem WHERE {pred} "
+            f"GROUP BY {', '.join(keys)} ORDER BY {', '.join(keys)}"
+        )
+    if kind == "agg_join":
+        keys = [rng.choice(_KEY_O), rng.choice(_KEY_L)]
+        a, _ = _agg(rng, rng.choice(_NUM_L + _NUM_O))
+        lo = rng.randint(1995, 1999)
+        return (
+            f"SELECT {keys[0]}, {keys[1]}, {a} AS agg0, count(*) AS n "
+            f"FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            f"WHERE o_orderdate >= TIMESTAMP '{lo}-01-01' "
+            f"GROUP BY {keys[0]}, {keys[1]} ORDER BY {keys[0]}, {keys[1]}"
+        )
+    if kind == "proj_filter":
+        cols = ["o_orderkey"] + rng.sample(_NUM_O + _KEY_O, 2)
+        cmp_v = round(rng.uniform(1000, 400000), 2)
+        op = rng.choice(["<", ">", ">=", "<="])
+        extra = rng.choice(
+            ["", " AND o_orderstatus = 'F'", " AND o_orderpriority LIKE '1%'"]
+        )
+        return (
+            f"SELECT {', '.join(cols)} FROM orders "
+            f"WHERE o_totalprice {op} {cmp_v}{extra} ORDER BY o_orderkey"
+        )
+    # agg_having
+    key = rng.choice(["o_custkey", "o_orderpriority"])
+    thresh = rng.randint(2, 12)
+    return (
+        f"SELECT {key}, count(*) AS n, max(o_totalprice) AS mx "
+        f"FROM orders GROUP BY {key} HAVING count(*) >= {thresh} "
+        f"ORDER BY {key}"
+    )
+
+
+def _compare(sdf, drows, sql):
+    srows = [tuple(r) for r in sdf.collect()]
+    assert len(srows) == len(drows), f"{sql}\nrows {len(srows)} vs {len(drows)}"
+    for sr, dr in zip(srows, drows):
+        for sv, dv in zip(sr, dr):
+            if isinstance(sv, float) or isinstance(dv, float):
+                if sv is None or dv is None:
+                    assert sv is None and dv is None, (sql, sr, dr)
+                else:
+                    assert math.isclose(sv, dv, rel_tol=1e-9, abs_tol=1e-9), (sql, sr, dr)
+            else:
+                assert str(sv) == str(dv), (sql, sr, dr)
+
+
+@pytest.mark.parametrize("batch", range(4))
+def test_query_fuzz_differential(spark, duck, batch):
+    rng = random.Random(SEED + batch)
+    t = load_tables(spark, SF_DIR)
+    for name in ("lineitem", "orders"):  # view registration is on-access
+        t[name]
+    for _ in range(N_QUERIES // 4):
+        sql = gen_query(rng)
+        sdf = spark.sql(sql)
+        drows = duck.sql(sql).fetchall()
+        _compare(sdf, drows, sql)
