@@ -153,6 +153,26 @@ _DROP_TABLE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*;?\s*$",
     re.IGNORECASE,
 )
+# Materialized views over lake data: the reference's documented workflow
+# (docs/spatial.md:31-34 — "convert it into a regular PostgreSQL
+# materialized view ... periodically rebuild the view using pg_cron").
+# Here the materialization IS a lake table (snapshot-versioned, so a
+# REFRESH is time-travelable) with the defining query stored in table
+# properties.
+_CREATE_MATVIEW = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s+"
+    r"(?:USING\s+iceberg\s+)?(?:WITH\s*\((?P<opts>.*?)\)\s+)?"
+    r"AS\s+(?P<q>(?:SELECT|VALUES|WITH|TABLE)\b.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REFRESH_MATVIEW = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<name>[\w.\"]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_MATVIEW = re.compile(
+    r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _VACUUM = re.compile(
     r"^\s*VACUUM\s+(?:\(\s*FULL\s*\)\s+)?(?P<name>[\w.\"]+)\s*;?\s*$",
     re.IGNORECASE,
@@ -387,6 +407,56 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
         parts.append("WITH (" + ", ".join(opts) + ")")
         ddl_text = "\n".join(parts)
         return sess.spark.createDataFrame([(ddl_text,)], "createtab_stmt string")
+
+    m = _CREATE_MATVIEW.match(sql)
+    if m:
+        name = m.group("name").strip('"')
+        opts = _parse_options(m.group("opts") or "")
+        location = opts.get("location") or sess.default_table_location(name)
+        q = m.group("q").strip()
+        t = sess.create_lake_table(
+            name,
+            location,
+            df=sess.spark.sql(_expand_lake_file_list(sess, q)),
+            partition_by=(
+                [c.strip() for c in opts["partition_by"].split(",")]
+                if "partition_by" in opts
+                else None
+            ),
+        )
+        t.set_properties({"matview_sql": q})
+        return None
+
+    m = _REFRESH_MATVIEW.match(sql)
+    if m:
+        name = m.group("name").strip('"')
+        t = _handle_or_none(sess, name)
+        if t is None:
+            raise ValueError(f"{name!r} is not a lake materialized view")
+        q = t.metadata.properties.get("matview_sql")
+        if not q:
+            raise ValueError(f"{name!r} has no stored matview_sql — not a materialized view")
+        fresh = sess.spark.sql(_expand_lake_file_list(sess, q))
+        # truncate + append: two snapshots, so time travel still reads
+        # the pre-refresh contents (the pg_cron rebuild workflow, but
+        # with lakehouse versioning instead of a full swap)
+        t.delete("true")
+        t.append(fresh)
+        t.refresh().to_df().createOrReplaceTempView(name)
+        return None
+
+    m = _DROP_MATVIEW.match(sql)
+    if m:
+        name = m.group("name").strip('"')
+        t = _handle_or_none(sess, name)
+        if t is None:
+            return sess.spark.sql(sql)
+        from pg_lake_spark.lakehouse import maintenance
+
+        maintenance.drop_table(t.location)
+        sess.spark.catalog.dropTempView(name)
+        sess._lake_tables.pop(name, None)
+        return None
 
     m = _DROP_TABLE.match(sql)
     if m:

@@ -433,3 +433,44 @@ def test_comment_before_ddl_statement(spark, tmp_path, sess):
         f"OPTIONS (path '{src}', format 'csv', header 'true')",
     )
     assert df.count() == 1
+
+
+def test_materialized_view_lifecycle(spark, tmp_path, sess):
+    """CREATE MATERIALIZED VIEW ... AS SELECT materializes into a lake
+    table; REFRESH re-runs the stored query as truncate+append (time
+    travel still sees the pre-refresh rows); DROP removes it. Mirrors
+    the reference's documented matview workflow (docs/spatial.md:31-34)."""
+    src = str(tmp_path / "src.csv")
+    open(src, "w").write("k,v\n1,10\n2,20\n")
+    sess.execute(
+        f"CREATE FOREIGN TABLE mv_src () SERVER pg_lake "
+        f"OPTIONS (path '{src}', format 'csv', header 'true')"
+    )
+    sess.execute(
+        "CREATE MATERIALIZED VIEW mv_totals AS "
+        "SELECT k, sum(v) AS total FROM mv_src GROUP BY k"
+    )
+    got = {r.k: r.total for r in sess.execute("SELECT * FROM mv_totals").collect()}
+    assert got == {1: 10, 2: 20}
+
+    # source grows; matview is stale until REFRESH
+    open(src, "a").write("1,5\n")
+    sess.execute(
+        f"ALTER FOREIGN TABLE mv_src OPTIONS (SET path '{src}')"
+    )
+    assert {r.k: r.total for r in sess.execute("SELECT * FROM mv_totals").collect()} == got
+    sess.execute("REFRESH MATERIALIZED VIEW mv_totals")
+    got2 = {r.k: r.total for r in sess.execute("SELECT * FROM mv_totals").collect()}
+    assert got2 == {1: 15, 2: 20}
+
+    # versioned refresh: the pre-refresh snapshot still reads old rows
+    t = sess.lake_table_handle("mv_totals")
+    snaps = [r.snapshot_id for r in t.snapshots().orderBy("timestamp_ms", "snapshot_id").collect()]
+    old = t.scan(snapshot_id=snaps[0])
+    assert {r.k: r.total for r in old.collect()} == got
+
+    sess.execute("DROP MATERIALIZED VIEW mv_totals")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        sess.execute("SELECT * FROM mv_totals").collect()
