@@ -204,6 +204,53 @@ def fetch_remote(path: str, cache=None) -> str:
     return local
 
 
+#: extension → concrete reader format for the GDAL-umbrella dispatch
+_GDAL_EXTS = {
+    "shp": "shp", "gpkg": "gpkg", "kml": "kml", "kmz": "kmz",
+    "gml": "gml", "dxf": "dxf", "mif": "mif", "map": "map",
+    "xodr": "xodr", "fgb": "fgb", "geojson": "geojson",
+    "json": "geojson", "xlsx": "xlsx",
+}
+
+
+def _sniff_gdal_format(path: str) -> str:
+    """Concrete vector format for ``format 'gdal'`` (docs/spatial.md:
+    "the GDAL format will be inferred") — extension first, then file
+    magic; a directory (e.g. an extracted zip) infers from the first
+    recognizable member."""
+    first = sorted(_glob.glob(path))[0] if any(c in path for c in "*?[") else path
+    if os.path.isdir(first):
+        for name in sorted(os.listdir(first)):
+            ext = name.rsplit(".", 1)[-1].lower() if "." in name else ""
+            if ext in _GDAL_EXTS:
+                return _GDAL_EXTS[ext]
+        raise ValueError(f"format 'gdal': no recognizable vector file under {first}")
+    ext = first.rsplit(".", 1)[-1].lower() if "." in first else ""
+    if ext in _GDAL_EXTS and ext != "json":
+        return _GDAL_EXTS[ext]
+    with open(first, "rb") as fh:
+        head = fh.read(64)
+    if head[:8] == b"fgb\x03fgb\x01":
+        return "fgb"
+    if head[:16] == b"SQLite format 3\x00":
+        return "gpkg"
+    if head[:4] == b"\x00\x00\x27\x0a":  # shapefile file code 9994 BE
+        return "shp"
+    if head[:4] == b"PK\x03\x04":
+        return "xlsx" if ext == "xlsx" else "kmz"
+    text = head.decode("utf-8", errors="replace").lstrip("﻿ \t\r\n").lower()
+    if text.startswith("<?xml") or text.startswith("<"):
+        body = open(first, "rb").read(4096).decode("utf-8", errors="replace").lower()
+        if "<kml" in body:
+            return "kml"
+        if "opendrive" in body:
+            return "xodr"
+        return "gml"
+    if text.startswith("{") or text.startswith("["):
+        return "geojson"
+    raise ValueError(f"format 'gdal': cannot infer vector format of {first}")
+
+
 def read_lake(
     spark: SparkSession,
     path: str,
@@ -226,8 +273,18 @@ def read_lake(
     fmt = fmt.lower()
     if path.startswith(("hf://", "http://", "https://")):
         path = fetch_remote(path, cache=cache)
+    # docs/spatial.md: OPTIONS (compression 'zip') marks a zip archive
+    # whose name doesn't end in .zip (download endpoints)
+    if str(options.get("compression", "")).lower() == "zip":
+        options.pop("compression")  # consumed here; gzip/zstd pass through
+        if not path.endswith(".zip") and os.path.isfile(path):
+            path = _extract_zip_members(path, zip_path)
     if path.endswith(".zip") and os.path.isfile(path):
         path = _extract_zip_members(path, zip_path)
+    if fmt == "gdal":
+        # docs/spatial.md "the GDAL format will be inferred": pick the
+        # concrete vector reader from the file itself
+        fmt = _sniff_gdal_format(path)
 
     # Single-file geo/office formats accept globs by fan-out: one
     # driver-side parse per match unioned by name (real-world vector

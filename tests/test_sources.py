@@ -447,3 +447,47 @@ def test_copy_csv_date_format_option(spark, tmp_path):
     import datetime
 
     assert back.txt == "12/25/2020" and back.d == datetime.date(2021, 3, 10)
+
+
+def test_gdal_umbrella_format_inference(spark, tmp_path):
+    """format 'gdal' infers the concrete vector reader from the file
+    (docs/spatial.md: 'the GDAL format will be inferred'), including a
+    zip named without .zip via OPTIONS (compression 'zip')."""
+    import zipfile
+
+    from pg_lake_spark.functions.spatial import _from_wkt
+    from pg_lake_spark.sources import flatgeobuf as fgb
+    from pg_lake_spark.sources.readers import read_lake
+
+    # fgb by magic (no extension)
+    p = str(tmp_path / "layer.fgb")
+    fgb.write_flatgeobuf(p, [{"id": 1, "geometry": _from_wkt("POINT(1 2)")}])
+    assert read_lake(spark, p, fmt="gdal").count() == 1
+
+    # geojson by content
+    gj = str(tmp_path / "pts.geojson")
+    open(gj, "w").write(
+        '{"type":"FeatureCollection","features":[{"type":"Feature",'
+        '"geometry":{"type":"Point","coordinates":[3,4]},"properties":{"a":1}}]}'
+    )
+    assert read_lake(spark, gj, fmt="gdal").count() == 1
+
+    # zip without .zip extension + compression 'zip'
+    blob = str(tmp_path / "download")  # no extension, like a WFS endpoint
+    with zipfile.ZipFile(blob, "w") as z:
+        z.write(gj, "pts.geojson")
+    df = read_lake(spark, blob, fmt="gdal", compression="zip")
+    assert df.count() == 1
+
+
+def test_gdal_inference_kml(spark, tmp_path):
+    from pg_lake_spark.sources.readers import read_lake
+
+    p = str(tmp_path / "doc.noext")
+    open(p, "w").write(
+        '<?xml version="1.0"?><kml xmlns="http://www.opengis.net/kml/2.2">'
+        "<Document><Placemark><name>x</name>"
+        "<Point><coordinates>5,6</coordinates></Point>"
+        "</Placemark></Document></kml>"
+    )
+    assert read_lake(spark, p, fmt="gdal").count() == 1
