@@ -761,7 +761,27 @@ class LakeTable:
     # ------------------------------------------------------------------
     # DML: DELETE / UPDATE (metadata-only + copy-on-write)
     # ------------------------------------------------------------------
-    def delete(self, where: str, mode: str = "cow", cow_threshold: float = 0.05) -> dict:
+    def delete(
+        self,
+        where: str,
+        mode: str = "cow",
+        cow_threshold: float = 0.05,
+        returning: list[str] | None = None,
+    ) -> dict:
+        """DELETE with optional RETURNING: the pre-image of deleted rows
+        (captured from the visible scan BEFORE the write) rides in the
+        result dict — PG RETURNING semantics (writes.md:30-33)."""
+        returning_rows = None
+        if returning:
+            returning_rows = (
+                self.scan().filter(where).select(*returning).collect()
+            )
+        result = self._delete_impl(where, mode, cow_threshold)
+        if returning_rows is not None:
+            result["returning"] = returning_rows
+        return result
+
+    def _delete_impl(self, where: str, mode: str = "cow", cow_threshold: float = 0.05) -> dict:
         """DELETE FROM t WHERE …  (writes.md:15-44).
 
         ``mode``:
@@ -967,10 +987,16 @@ class LakeTable:
             "snapshot_id": snap.snapshot_id,
         }
 
-    def update(self, assignments: dict[str, str], where: str | None = None) -> dict:
+    def update(
+        self,
+        assignments: dict[str, str],
+        where: str | None = None,
+        returning: list[str] | None = None,
+    ) -> dict:
         """UPDATE t SET col = expr [WHERE …] — copy-on-write rewrite of
         candidate files (writes.md:15-31; CoW branch of
-        writable_table.c:543-599)."""
+        writable_table.c:543-599). ``returning`` captures the POST-image
+        of updated rows in the result dict (PG RETURNING semantics)."""
         # Pending MoR deletes must be physical before a rewrite touches
         # the same rows (an update could otherwise resurrect a deleted
         # row by changing a predicate column).
@@ -986,19 +1012,29 @@ class LakeTable:
         src = self._read_files(candidates)
         cond = F.expr(where) if where else F.lit(True)
         updated_rows = src.filter(cond).count()
-        out = src
+        # pin the match flag on the PRE-image: an assignment may change
+        # a predicate column, and RETURNING must still see those rows
+        flagged = src.withColumn("__upd", cond)
+        out = flagged
         for colname, expr_sql in assignments.items():
             out = out.withColumn(
-                colname, F.when(cond, F.expr(expr_sql)).otherwise(F.col(colname))
+                colname,
+                F.when(F.col("__upd"), F.expr(expr_sql)).otherwise(F.col(colname)),
             )
-        rewritten = self._write_data_files(out)
+        returning_rows = None
+        if returning:
+            returning_rows = out.filter("__upd").select(*returning).collect()
+        rewritten = self._write_data_files(out.drop("__upd"))
         self._commit(
             operation="overwrite",
             added=rewritten,
             removed_paths={f.path for f in candidates},
             summary={"updated_rows": updated_rows, "rewritten_files": len(rewritten)},
         )
-        return {"updated_rows": updated_rows, "rewritten_files": len(rewritten)}
+        result = {"updated_rows": updated_rows, "rewritten_files": len(rewritten)}
+        if returning_rows is not None:
+            result["returning"] = returning_rows
+        return result
 
     def merge(
         self,
@@ -1009,6 +1045,8 @@ class LakeTable:
         when_matched_delete: bool = False,
         when_not_matched_insert: bool = True,
         when_not_matched_by_source_delete: bool | str = False,
+        matched_condition: str | None = None,
+        returning: list[str] | None = None,
     ) -> dict:
         """MERGE INTO (upsert) — additive over the reference, which
         documents MERGE as unsupported (docs/iceberg-tables.md
@@ -1024,6 +1062,16 @@ class LakeTable:
         — the full-sync MERGE shape. It disables key-range pruning:
         unmatched rows live in EVERY file by definition, so all files
         become rewrite candidates.
+
+        ``matched_condition`` (SQL over aliases ``t``/``s``) ANDs into
+        the ON condition, ANSI-style — the extra predicate of
+        ``UPDATE ... FROM`` / ``DELETE ... USING``. ``returning`` lists
+        target columns to capture as rows in the result dict
+        (``"returning"``): the post-image for updates, the pre-image
+        for deletes — PG RETURNING semantics (writes.md:30-33 routes
+        RETURNING Vars through the plan slot; here the matched frame IS
+        that slot). Collected driver-side, like a client fetching
+        RETURNING.
 
         Copy-on-write with key-range pruning: the source's min/max per
         join key bound which data files can contain matches; files
@@ -1066,10 +1114,29 @@ class LakeTable:
         for k in on:
             c = F.col(f"t.{k}") == F.col(f"s.{k}")
             key_cond = c if key_cond is None else (key_cond & c)
+        full_cond = (
+            key_cond & F.expr(matched_condition) if matched_condition else key_cond
+        )
 
-        survivors = t.join(s, key_cond, "left_anti")
-        matched = t.join(s, key_cond, "inner")
+        survivors = t.join(s, full_cond, "left_anti")
+        matched = t.join(s, full_cond, "inner")
         matched_rows = matched.count()
+
+        returning_rows = None
+        if returning:
+            assigns = when_matched_update or {}
+            if when_matched_delete:  # pre-image
+                ret = matched.select(*[F.col(f"t.{c}").alias(c) for c in returning])
+            else:  # post-image
+                ret = matched.select(
+                    *[
+                        F.expr(assigns[c]).alias(c)
+                        if c in assigns
+                        else F.col(f"t.{c}").alias(c)
+                        for c in returning
+                    ]
+                )
+            returning_rows = ret.collect()
 
         source_deleted_rows = 0
         if when_not_matched_by_source_delete:
@@ -1105,7 +1172,7 @@ class LakeTable:
 
         inserted_rows = 0
         if when_not_matched_insert:
-            inserts = s.join(t, key_cond, "left_anti").select(
+            inserts = s.join(t, full_cond, "left_anti").select(
                 *[F.col(f"s.{c}") for c in target_cols]
             )
             inserted_rows = inserts.count()
@@ -1127,7 +1194,7 @@ class LakeTable:
                 "rewritten_files": len(candidates),
             },
         )
-        return {
+        out = {
             "updated_rows": updated_rows,
             "deleted_rows": deleted_rows,
             "source_deleted_rows": source_deleted_rows,
@@ -1135,6 +1202,54 @@ class LakeTable:
             "untouched_files": len(files) - len(candidates),
             "rewritten_files": len(candidates),
         }
+        if returning_rows is not None:
+            out["returning"] = returning_rows
+        return out
+
+    def update_from(
+        self,
+        source: DataFrame,
+        on: list[str],
+        assignments: dict[str, str],
+        *,
+        condition: str | None = None,
+        returning: list[str] | None = None,
+    ) -> dict:
+        """``UPDATE t SET ... FROM source WHERE t.k = s.k [AND cond]``
+        (writes.md:14-28: FROM entries become separate scans feeding the
+        tuple identification). ``assignments`` map target column → SQL
+        over aliases ``t``/``s`` — source columns usable on the right
+        side, exactly the FROM-update power. Rows with no source match
+        (or failing ``condition``) are untouched; ``returning`` captures
+        the post-image rows."""
+        return self.merge(
+            source,
+            on,
+            when_matched_update=assignments,
+            when_not_matched_insert=False,
+            matched_condition=condition,
+            returning=returning,
+        )
+
+    def delete_using(
+        self,
+        source: DataFrame,
+        on: list[str],
+        *,
+        condition: str | None = None,
+        returning: list[str] | None = None,
+    ) -> dict:
+        """``DELETE FROM t USING source WHERE t.k = s.k [AND cond]``
+        (writes.md:30-44: USING entries become separate scans; RETURNING
+        values come from the identified pre-image rows)."""
+        return self.merge(
+            source,
+            on,
+            when_matched_delete=True,
+            when_not_matched_insert=False,
+            matched_condition=condition,
+            returning=returning,
+        )
 
     # ------------------------------------------------------------------
     # Iceberg interop

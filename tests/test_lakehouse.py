@@ -1448,3 +1448,52 @@ def test_in_progress_liveness_beats_age(spark, tmp_path):
     assert stats["flushed"] == 1 and not _os.path.exists(staging)
     assert _glob.glob(_os.path.join(loc, "_lake_metadata", "in_progress", "*.json")) == []
     assert rec["host"] == _socket.gethostname()
+
+
+def test_update_from_delete_using_and_returning(spark, tmp_path):
+    """UPDATE ... FROM / DELETE ... USING (writes.md:14-44: FROM/USING
+    entries become separate scans feeding tuple identification) plus
+    RETURNING on update/delete/merge paths — post-image for updates,
+    pre-image for deletes."""
+    from pg_lake_spark.lakehouse.table import LakeTable
+
+    loc = str(tmp_path / "t")
+    t = LakeTable.create_from_dataframe(
+        spark,
+        loc,
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+            "k bigint, name string, v double",
+        ),
+    )
+
+    # UPDATE t SET v = t.v + s.bump FROM s WHERE t.k = s.k AND s.bump > 0
+    src = spark.createDataFrame([(1, 5.0), (3, -1.0), (9, 7.0)], "k bigint, bump double")
+    res = t.update_from(
+        src, ["k"], {"v": "t.v + s.bump"},
+        condition="s.bump > 0", returning=["k", "v"],
+    )
+    assert res["updated_rows"] == 1  # k=3 fails condition, k=9 unmatched
+    assert [(r.k, r.v) for r in res["returning"]] == [(1, 15.0)]
+    t = t.refresh()
+    got = {r.k: r.v for r in t.to_df().collect()}
+    assert got == {1: 15.0, 2: 20.0, 3: 30.0, 4: 40.0}
+
+    # DELETE FROM t USING s WHERE t.k = s.k — pre-image returning
+    res = t.delete_using(src.filter("k < 5"), ["k"], returning=["k", "name"])
+    assert res["deleted_rows"] == 2
+    assert sorted((r.k, r.name) for r in res["returning"]) == [(1, "a"), (3, "c")]
+    t = t.refresh()
+    assert {r.k for r in t.to_df().collect()} == {2, 4}
+
+    # plain UPDATE RETURNING sees post-image even when the SET changes
+    # the predicate column
+    res = t.update({"v": "0.0"}, where="v > 25", returning=["k", "v"])
+    assert res["updated_rows"] == 1 and [(r.k, r.v) for r in res["returning"]] == [(4, 0.0)]
+
+    # plain DELETE RETURNING: pre-image
+    t = t.refresh()
+    res = t.delete("k = 2", returning=["k", "v"])
+    assert res["deleted_rows"] == 1 and [(r.k, r.v) for r in res["returning"]] == [(2, 20.0)]
+    t = t.refresh()
+    assert {r.k for r in t.to_df().collect()} == {4}
