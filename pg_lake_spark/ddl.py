@@ -473,8 +473,9 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
         sess._lake_tables.pop(name, None)
         return None
 
-    if execute_lake_dml(sess, sql):
-        return None
+    dml = execute_lake_dml(sess, sql)
+    if dml is not False:
+        return dml if isinstance(dml, DataFrame) else None
 
     m = _VACUUM.match(sql)
     if m:
@@ -557,12 +558,30 @@ _INSERT = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(?P<name>[\w.\"]+)\s*(?:WHERE\s+(?P<pred>.*?))?\s*;?\s*$",
+    r"^\s*DELETE\s+FROM\s+(?P<name>[\w.\"]+)\s*(?:WHERE\s+(?P<pred>.*?))?"
+    r"(?:\s+RETURNING\s+(?P<ret>.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _UPDATE = re.compile(
     r"^\s*UPDATE\s+(?P<name>[\w.\"]+)\s+SET\s+(?P<assigns>.*?)"
-    r"(?:\s+WHERE\s+(?P<pred>.*?))?\s*;?\s*$",
+    r"(?:\s+WHERE\s+(?P<pred>.*?))?(?:\s+RETURNING\s+(?P<ret>.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+# writes.md:14-44 — UPDATE ... FROM and DELETE ... USING: the extra
+# relation becomes a separate scan joined for tuple identification.
+# These must be tried BEFORE the plain forms (whose lazy groups would
+# swallow the FROM/USING clause).
+_UPDATE_FROM = re.compile(
+    r"^\s*UPDATE\s+(?P<name>[\w.\"]+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?\s+"
+    r"SET\s+(?P<assigns>.*?)\s+"
+    r"FROM\s+(?P<src>\(.*?\)|[\w.\"]+)(?:\s+(?:AS\s+)?(?P<salias>\w+))?\s+"
+    r"WHERE\s+(?P<cond>.*?)(?:\s+RETURNING\s+(?P<ret>.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_USING = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<name>[\w.\"]+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?\s+"
+    r"USING\s+(?P<src>\(.*?\)|[\w.\"]+)(?:\s+(?:AS\s+)?(?P<salias>\w+))?\s+"
+    r"WHERE\s+(?P<cond>.*?)(?:\s+RETURNING\s+(?P<ret>.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _MERGE = re.compile(
@@ -621,8 +640,100 @@ def _handle_or_none(sess, name: str):
         return None
 
 
-def execute_lake_dml(sess, sql: str) -> bool:
-    """Try the DML statement shapes; True if the statement was handled."""
+def _split_where_join(cond: str, talias: str, salias: str) -> tuple[list[str], str | None]:
+    """Split an UPDATE-FROM/DELETE-USING WHERE into equi-join key
+    columns (``t.k = s.k`` style, same column name both sides) and a
+    residual condition rewritten onto the canonical ``t``/``s``
+    aliases. Mirrors the MERGE ON convention."""
+    keys: list[str] = []
+    extras: list[str] = []
+
+    def canon(expr: str) -> str:
+        expr = re.sub(rf"(?i)\b{re.escape(talias)}\.", "t.", expr)
+        return re.sub(rf"(?i)\b{re.escape(salias)}\.", "s.", expr)
+
+    for conj in re.split(r"(?i)\s+AND\s+", cond):
+        lhs, eq, rhs = conj.partition("=")
+        if eq and "=" not in (lhs[-1:], rhs[:1]):  # plain =, not >=/<=/!=
+            lc, rc = canon(lhs.strip()), canon(rhs.strip())
+            ldot, rdot = lc.split("."), rc.split(".")
+            if (
+                len(ldot) == 2 and len(rdot) == 2
+                and {ldot[0], rdot[0]} == {"t", "s"}
+                and ldot[1].strip('" ') == rdot[1].strip('" ')
+            ):
+                keys.append(ldot[1].strip('" '))
+                continue
+        extras.append(canon(conj.strip()))
+    if not keys:
+        raise ValueError(
+            "UPDATE ... FROM / DELETE ... USING needs at least one "
+            "t.col = s.col equality in WHERE"
+        )
+    return keys, " AND ".join(extras) if extras else None
+
+
+def _src_df(sess, src: str):
+    return (
+        sess.spark.sql(src[1:-1])
+        if src.startswith("(")
+        else sess.spark.table(src.strip('"'))
+    )
+
+
+def _ret_cols(ret: str, talias: str, name: str) -> list[str]:
+    cols = []
+    for c in ret.split(","):
+        c = c.strip().strip('"')
+        for prefix in (f"{talias}.", f"{name}.", "t."):
+            if c.lower().startswith(prefix.lower()):
+                c = c[len(prefix):]
+                break
+        cols.append(c.strip('"'))
+    return cols
+
+
+def _ret_df(sess, rows, cols):
+    if not rows:
+        return sess.spark.createDataFrame([], ", ".join(f"{c} string" for c in cols))
+    return sess.spark.createDataFrame(rows)
+
+
+def execute_lake_dml(sess, sql: str):
+    """Try the DML statement shapes. Returns False if unhandled, True
+    if handled with no result, or a DataFrame (RETURNING rows)."""
+    m = _UPDATE_FROM.match(sql)
+    if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
+        name = m.group("name").strip('"')
+        talias = m.group("talias") or name
+        salias = m.group("salias") or m.group("src").strip('"')
+        keys, extra = _split_where_join(m.group("cond"), talias, salias)
+        assigns = {}
+        for col, expr in _parse_assignments(m.group("assigns")).items():
+            expr = re.sub(rf"(?i)\b{re.escape(salias)}\.", "s.", expr)
+            expr = re.sub(rf"(?i)\b{re.escape(talias)}\.", "t.", expr)
+            assigns[col.split(".")[-1].strip('"')] = expr.strip()
+        ret = _ret_cols(m.group("ret"), talias, name) if m.group("ret") else None
+        res = t.update_from(
+            _src_df(sess, m.group("src")), keys, assigns,
+            condition=extra, returning=ret,
+        )
+        t.refresh().to_df().createOrReplaceTempView(name)
+        return _ret_df(sess, res["returning"], ret) if ret else True
+
+    m = _DELETE_USING.match(sql)
+    if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
+        name = m.group("name").strip('"')
+        talias = m.group("talias") or name
+        salias = m.group("salias") or m.group("src").strip('"')
+        keys, extra = _split_where_join(m.group("cond"), talias, salias)
+        ret = _ret_cols(m.group("ret"), talias, name) if m.group("ret") else None
+        res = t.delete_using(
+            _src_df(sess, m.group("src")), keys, condition=extra, returning=ret
+        )
+        t.refresh().to_df().createOrReplaceTempView(name)
+        return _ret_df(sess, res["returning"], ret) if ret else True
+
     m = _INSERT.match(sql)
     if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
         name = m.group("name").strip('"')
@@ -636,15 +747,21 @@ def execute_lake_dml(sess, sql: str) -> bool:
     m = _DELETE.match(sql)
     if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
         name = m.group("name").strip('"')
-        t.delete(m.group("pred") or "true")
+        ret = _ret_cols(m.group("ret"), name, name) if m.group("ret") else None
+        res = t.delete(m.group("pred") or "true", returning=ret)
         t.to_df().createOrReplaceTempView(name)
-        return True
+        return _ret_df(sess, res["returning"], ret) if ret else True
     m = _UPDATE.match(sql)
     if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
         name = m.group("name").strip('"')
-        t.update(_parse_assignments(m.group("assigns")), where=m.group("pred"))
+        ret = _ret_cols(m.group("ret"), name, name) if m.group("ret") else None
+        res = t.update(
+            _parse_assignments(m.group("assigns")),
+            where=m.group("pred"),
+            returning=ret,
+        )
         t.to_df().createOrReplaceTempView(name)
-        return True
+        return _ret_df(sess, res["returning"], ret) if ret else True
     m = _MERGE.match(sql)
     if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
         name = m.group("name").strip('"')

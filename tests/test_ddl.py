@@ -474,3 +474,35 @@ def test_materialized_view_lifecycle(spark, tmp_path, sess):
 
     with _pytest.raises(Exception):
         sess.execute("SELECT * FROM mv_totals").collect()
+
+
+def test_sql_update_from_delete_using_returning(spark, tmp_path, sess):
+    """The SQL surface for writes.md's FROM/USING/RETURNING shapes."""
+    sess.execute(
+        "CREATE TABLE uf_t (k bigint, v double) USING iceberg "
+        f"WITH (location = '{tmp_path}/uf_t')"
+    )
+    sess.execute("INSERT INTO uf_t VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+    spark.createDataFrame(
+        [(1, 5.0), (3, 100.0)], "k bigint, bump double"
+    ).createOrReplaceTempView("uf_src")
+
+    out = sess.execute(
+        "UPDATE uf_t SET v = t.v + s.bump FROM uf_src s "
+        "WHERE uf_t.k = s.k AND s.bump < 50 RETURNING k, v"
+    )
+    assert [(r.k, r.v) for r in out.collect()] == [(1, 15.0)]
+    got = {r.k: r.v for r in sess.execute("SELECT * FROM uf_t").collect()}
+    assert got == {1: 15.0, 2: 20.0, 3: 30.0}
+
+    out = sess.execute(
+        "DELETE FROM uf_t USING uf_src s WHERE uf_t.k = s.k RETURNING k"
+    )
+    assert sorted(r.k for r in out.collect()) == [1, 3]
+    assert {r.k for r in sess.execute("SELECT * FROM uf_t").collect()} == {2}
+
+    # plain forms with RETURNING
+    out = sess.execute("UPDATE uf_t SET v = 0.0 WHERE k = 2 RETURNING k, v")
+    assert [(r.k, r.v) for r in out.collect()] == [(2, 0.0)]
+    out = sess.execute("DELETE FROM uf_t WHERE k = 2 RETURNING v")
+    assert [r.v for r in out.collect()] == [0.0]
