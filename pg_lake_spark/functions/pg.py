@@ -14,6 +14,8 @@ friendly); none drop to Python UDFs.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -322,3 +324,47 @@ def pg_date_bin(stride: str, ts: Column | str, origin: str) -> Column:
     delta = F.unix_micros(ts) - origin_us
     binned = origin_us + F.floor(delta / stride_us).cast("bigint") * stride_us
     return F.timestamp_micros(binned).cast("timestamp_ntz")
+
+
+def pg_regexp_replace(
+    s: Column | str,
+    pattern: str,
+    replacement: str,
+    flags: str = "",
+) -> Column:
+    """PG ``regexp_replace(source, pattern, replacement [, flags])``.
+
+    The semantic trap: WITHOUT the ``g`` flag PG (and DuckDB) replace
+    only the FIRST match, while Spark's ``regexp_replace`` always
+    replaces every match. The reference ships the 3- and 4-arg text
+    forms (engineering-notes/pgduck_shippability.md regexp_replace
+    row); this shim reproduces both:
+
+    - ``g`` in flags → Spark's native replace-all.
+    - otherwise → first-match-only, built from regexp_instr/extract
+      splitting (prefix + replaced-first-match + untouched rest), all
+      JVM expressions. Group backreferences ($1/\\1) are applied by
+      re-running the anchored pattern on the extracted match.
+    - ``i`` in flags → case-insensitive via an inline ``(?i)``.
+
+    PG backreference spelling ``\\1`` is translated to Spark's ``$1``.
+    """
+    s = _col(s)
+    pat = pattern
+    if "i" in flags.replace("g", ""):
+        pat = f"(?i:{pat})"
+    repl = re.sub(r"\\(\d)", r"$\1", replacement)
+    if "g" in flags:
+        return F.regexp_replace(s, pat, repl)
+    matched = F.regexp_extract(s, f"({pat})", 1)
+    # position of the first match (1-based; 0 = no match)
+    pos = F.call_function("regexp_instr", s, F.lit(pat))
+    prefix = F.substring(s, F.lit(1), pos - 1)
+    rest = F.substring(s, pos + F.length(matched), F.length(s))
+    # apply backreferences by replacing within the matched text only,
+    # anchored so the groups bind exactly as they did in context
+    replaced = F.regexp_replace(matched, f"^(?:{pat})$", repl)
+    # fall back to plain anchored pattern when the anchored form fails
+    # to re-match (rare: context-dependent matches); then use repl as-is
+    replaced = F.when(replaced == matched, F.regexp_replace(matched, pat, repl)).otherwise(replaced)
+    return F.when(pos == 0, s).otherwise(F.concat(prefix, replaced, rest))

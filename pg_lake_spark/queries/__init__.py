@@ -43,7 +43,7 @@ _R7_NEW: list[str] = [
     "dsq14_cross_channel_items", "dsq31_qoq_growth_compare",
     "dsq48_band_disjunction", "dsq58_channel_tolerance",
     "dsq90_am_pm_ratio", "dsq74_two_metric_growth",
-    "dsq96_multi_filter_count",
+    "dsq96_multi_filter_count", "f_regexp_replace_pg",
 ]
 #: rows whose latest official green is r4 (40 total; the first 27 fit
 #: this window, the tail rolls to r8's)
@@ -62,8 +62,9 @@ _R4_STALE = [
 ]
 _R7_WINDOW = (_R7_NEW + _R4_STALE)[:50]
 
-# r8 rotation note: after this round the oldest official greens are the
-# _R4_STALE tail beyond position 50 (sk_kmv_distinct onward, 13 rows)
+# r8 rotation note: with 32 new rows this round only the first 18
+# stale names fit; after this round the oldest official greens are the
+# _R4_STALE tail beyond position 50 (f_encode_decode onward, 22 rows)
 # plus the r5-only rows (q1-q13, s_* set ops, a_mode, json_extract_agg,
 # w_exclude_current_row, d_limit_with_ties, lifecycle dml_* rows). Put
 # r8-new queries first, then those, keep [:50].

@@ -718,3 +718,41 @@ def f_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "f_regexp_replace_pg",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(substr(text, 1, 60), 'data', 'DATA')        AS first_only,
+           regexp_replace(substr(text, 1, 60), '[aeiou]', '_', 'g')   AS all_vowels,
+           regexp_replace(substr(text, 1, 60), '(\\w+) (\\w+)', '\\2 \\1') AS swap_pair,
+           regexp_replace(substr(text, 1, 60), 'THE', '##', 'i')      AS ci_first
+    FROM documents
+    WHERE doc_id <= 300
+    ORDER BY doc_id
+    """,
+    doc="PG regexp_replace semantics (pgduck_shippability.md: the 3- "
+    "and 4-arg text forms ship): WITHOUT 'g' only the FIRST match is "
+    "replaced (Spark natively replaces all — the shim rebuilds "
+    "first-only from regexp_instr/extract splitting), backreferences "
+    "use the \\1 spelling, 'i' is case-insensitive. DuckDB shares PG's "
+    "default, so the oracle is the plain function.",
+)
+def f_regexp_replace_pg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_lake_spark.functions.pg import pg_regexp_replace
+
+    t = load_tables(spark, sf_dir)
+    head = F.substring("text", 1, 60)
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") <= 300)
+        .select(
+            "doc_id",
+            pg_regexp_replace(head, "data", "DATA").alias("first_only"),
+            pg_regexp_replace(head, "[aeiou]", "_", "g").alias("all_vowels"),
+            pg_regexp_replace(head, "(\\w+) (\\w+)", "\\2 \\1").alias("swap_pair"),
+            pg_regexp_replace(head, "THE", "##", "i").alias("ci_first"),
+        )
+        .orderBy("doc_id")
+    )

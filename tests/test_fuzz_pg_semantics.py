@@ -249,3 +249,27 @@ def test_compression_ratio_signal(spark):
     assert 0.01 < got[3].ratio < 0.3    # templated prose
     assert got[4].ratio is None and got[4].n_bytes is None
     assert got[2].n_bytes == 5000
+
+
+def test_regexp_replace_first_only_fuzz(spark):
+    """PG/DuckDB replace only the FIRST match without 'g'; the shim
+    must agree with DuckDB across randomized texts and patterns."""
+    rng = random.Random(SEED)
+    from pg_lake_spark.functions.pg import pg_regexp_replace
+
+    alpha = "abc12 xy"
+    cases = ["".join(rng.choice(alpha) for _ in range(rng.randint(0, 20))) for _ in range(300)]
+    pats = ["a", "[abc]", "(\\d)", "x?y", "ab"]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    sel = []
+    for i, p in enumerate(pats):
+        sel.append(pg_regexp_replace("s", p, "<>").alias(f"f{i}"))
+        sel.append(pg_regexp_replace("s", p, "<>", "g").alias(f"g{i}"))
+    got = df.select(*sel).collect()
+    con = duckdb.connect()
+    for c, row in zip(cases, got):
+        for i, p in enumerate(pats):
+            want_f = con.sql("SELECT regexp_replace(?, ?, '<>')", params=[c, p]).fetchone()[0]
+            want_g = con.sql("SELECT regexp_replace(?, ?, '<>', 'g')", params=[c, p]).fetchone()[0]
+            assert row[f"f{i}"] == want_f, (c, p, row[f"f{i}"], want_f)
+            assert row[f"g{i}"] == want_g, (c, p, row[f"g{i}"], want_g)
