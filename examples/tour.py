@@ -91,6 +91,30 @@ def tour(spark, scratch: str) -> dict:
     ).collect()[0]
     out["intersection_area"], out["contains"] = row.a, row.c
 
+    # -- 4b. round-7 spatial additions: snap overlay, geodesy, UTM ------
+    row = sess.sql(
+        "SELECT st_area(st_union("  # shared-edge parcels dissolve (snap fallback)
+        "  st_geomfromtext('POLYGON((0 0,1 0,1 1,0 1,0 0))'),"
+        "  st_geomfromtext('POLYGON((1 0,2 0,2 1,1 1,1 0))'))) AS dissolved, "
+        "round(st_length_sphere(st_geomfromtext('LINESTRING(0 0,1 0)')), 0) AS deg_m, "
+        "round(st_x(st_transform("
+        "  st_geomfromtext('POINT(-79.387139 43.642567)'), 4326, 32617)), 0) AS utm_e"
+    ).collect()[0]
+    out["parcel_union_area"] = row.dissolved
+    out["equator_degree_m"], out["cn_tower_utm_e"] = row.deg_m, row.utm_e
+
+    # -- 4c. matview + UPDATE..FROM/RETURNING (round-7 write surface) ----
+    sess.execute(
+        "CREATE MATERIALIZED VIEW kind_totals AS "
+        "SELECT kind, sum(amount) AS total FROM raw_events GROUP BY kind"
+    )
+    out["matview_rows"] = sess.execute("SELECT * FROM kind_totals").count()
+    sess.execute("REFRESH MATERIALIZED VIEW kind_totals")
+    ret = sess.execute(
+        "UPDATE events_lake SET amount = amount * 2 WHERE user_id = 1 RETURNING user_id, amount"
+    )
+    out["update_returning_rows"] = ret.count() if ret is not None else 0
+
     # -- 5. pipeline operators (the 100 TB north star) -------------------
     from pg_lake_spark.operators.membership import bloom_semi_join
 
