@@ -39,7 +39,37 @@ def _agg(rng, col):
 
 
 def gen_query(rng: random.Random) -> str:
-    kind = rng.choice(["agg_l", "agg_join", "proj_filter", "agg_having"])
+    kind = rng.choice(
+        ["agg_l", "agg_join", "proj_filter", "agg_having", "window", "setop"]
+    )
+    if kind == "window":
+        # rank/row_number/running-sum over a keyed partition; the
+        # output is keyed by (o_orderkey) so rows sort deterministically
+        part = rng.choice(_KEY_O)
+        wfn = rng.choice(
+            [
+                f"rank() OVER (PARTITION BY {part} ORDER BY o_totalprice DESC, o_orderkey)",
+                f"row_number() OVER (PARTITION BY {part} ORDER BY o_orderkey)",
+                f"sum(o_totalprice) OVER (PARTITION BY {part} ORDER BY o_orderkey "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+            ]
+        )
+        cap = rng.randint(2, 6)
+        return (
+            f"SELECT o_orderkey, {part}, CAST(w AS DOUBLE) AS w FROM ("
+            f"  SELECT o_orderkey, {part}, {wfn} AS w FROM orders"
+            f") WHERE w <= {cap * 1000 if 'sum' in wfn else cap} "
+            f"ORDER BY o_orderkey"
+        )
+    if kind == "setop":
+        op = rng.choice(["INTERSECT", "EXCEPT", "UNION"])
+        lo1, lo2 = rng.randint(1995, 1998), rng.randint(1995, 1998)
+        return (
+            f"SELECT o_custkey FROM orders WHERE year(o_orderdate) = {lo1} "
+            f"{op} "
+            f"SELECT o_custkey FROM orders WHERE year(o_orderdate) = {lo2} "
+            f"ORDER BY o_custkey"
+        )
     if kind == "agg_l":
         keys = rng.sample(_KEY_L, rng.randint(1, 2))
         aggs = [_agg(rng, rng.choice(_NUM_L)) for _ in range(rng.randint(1, 3))]
