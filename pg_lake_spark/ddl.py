@@ -145,6 +145,23 @@ _TRUNCATE = re.compile(
     r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?P<name>[\w.\"]+)\s*;?\s*$",
     re.IGNORECASE,
 )
+# use-case-log-management.md:36-44 — the pg_incremental setup statement
+# runs verbatim: file pattern + a dollar-quoted insert..select command
+# whose `_filename = any($1)` filter is exactly FileListPipeline's
+# per-batch contract.
+_CREATE_PIPELINE = re.compile(
+    r"^\s*SELECT\s+incremental\.create_file_list_pipeline\s*\(\s*"
+    r"'(?P<name>[^']+)'\s*,(?P<args>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_RUN_PIPELINE = re.compile(
+    r"^\s*SELECT\s+incremental\.run_pipeline\s*\(\s*'(?P<name>[^']+)'\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_EXPLAIN = re.compile(
+    r"^\s*EXPLAIN\s+(?:ANALYZE\s+)?(?P<q>(?:SELECT|WITH|VALUES|TABLE)\b.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _SHOW_CREATE = re.compile(
     r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<name>[\w.\"]+)\s*;?\s*$",
     re.IGNORECASE,
@@ -472,6 +489,67 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
         sess.spark.catalog.dropTempView(name)
         sess._lake_tables.pop(name, None)
         return None
+
+    m = _EXPLAIN.match(sql)
+    if m:
+        # the reference decorates EXPLAIN with the deparsed Vectorized
+        # SQL / Not Vectorized Constructs (pg_lake_table explain.c);
+        # the analogue here is plans.explain_report — pushed filters,
+        # read schemas, join strategies, shuffles, codegen attribution
+        from pg_lake_spark.plans import explain_report
+
+        report = explain_report(
+            sess.spark.sql(_expand_lake_file_list(sess, m.group("q")))
+        )
+        return sess.spark.createDataFrame(
+            [(line,) for line in report.splitlines()], "plan string"
+        )
+
+    m = _CREATE_PIPELINE.match(sql)
+    if m:
+        args = m.group("args")
+        fp = re.search(r"(?i)file_pattern\s*:?=\s*'([^']+)'", args)
+        cmd = re.search(r"(?is)command\s*:?=\s*\$\$(.*?)\$\$", args)
+        if not fp or not cmd:
+            raise ValueError(
+                "create_file_list_pipeline needs file_pattern := '...' "
+                "and command := $$...$$"
+            )
+        tgt = re.search(r"(?i)insert\s+into\s+([\w.\"]+)", cmd.group(1))
+        src = re.search(r"(?i)from\s+([\w.\"]+)", cmd.group(1))
+        if not tgt:
+            raise ValueError("pipeline command must be an INSERT INTO ... SELECT")
+        from pg_lake_spark.streaming.file_pipeline import FileListPipeline
+
+        table = sess.lake_table_handle(tgt.group(1).strip('"'))
+        meta = sess._foreign_meta.get(src.group(1).strip('"')) if src else None
+        fmt = (meta or {}).get("fmt") or _fmt_from_options({}, fp.group(1), "csv")
+        reader_options = dict((meta or {}).get("options") or {})
+        reader_options.pop("filename", None)  # pipeline stamps _filename itself
+        if fmt == "csv":
+            reader_options.setdefault("header", True)
+            reader_options.setdefault("inferSchema", True)
+        pipe = FileListPipeline(
+            m.group("name"), fp.group(1), table, fmt=fmt,
+            reader_options=reader_options,
+        )
+        sess._pipelines[m.group("name")] = pipe
+        stats = pipe.run_pending(sess.spark)  # docs: existing files process immediately
+        return sess.spark.createDataFrame(
+            [(m.group("name"), stats.get("files", 0), stats.get("rows", 0))],
+            "pipeline string, files_processed bigint, rows bigint",
+        )
+
+    m = _RUN_PIPELINE.match(sql)
+    if m:
+        pipe = sess._pipelines.get(m.group("name"))
+        if pipe is None:
+            raise ValueError(f"no pipeline named {m.group('name')!r}")
+        stats = pipe.run_pending(sess.spark)
+        return sess.spark.createDataFrame(
+            [(m.group("name"), stats.get("files", 0), stats.get("rows", 0))],
+            "pipeline string, files_processed bigint, rows bigint",
+        )
 
     dml = execute_lake_dml(sess, sql)
     if dml is not False:

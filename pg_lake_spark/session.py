@@ -214,6 +214,8 @@ class LakeSession:
         self._corpus: Mapping[str, DataFrame] = {}
         self._manual: dict[str, DataFrame] = {}
         self._lake_tables: dict[str, object] = {}  # name -> LakeTable
+        self._foreign_meta: dict[str, dict] = {}  # name -> path/fmt/options
+        self._pipelines: dict[str, object] = {}  # name -> FileListPipeline
         self.file_cache = None  # set by enable_file_cache
         self.warehouse: str | None = None  # default location root for DDL
 
@@ -241,6 +243,13 @@ class LakeSession:
         df = readers.read_lake(self.spark, path, fmt=fmt, **options)
         df.createOrReplaceTempView(name)
         self._manual[name] = df
+        # remembered so pipeline statements can resolve "read like this
+        # foreign table" (use-case-log-management.md workflow)
+        self._foreign_meta[name] = {
+            "path": path,
+            "fmt": fmt,
+            "options": {k: v for k, v in options.items() if k != "cache"},
+        }
         return df
 
     def table(self, name: str) -> DataFrame:

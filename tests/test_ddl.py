@@ -506,3 +506,49 @@ def test_sql_update_from_delete_using_returning(spark, tmp_path, sess):
     assert [(r.k, r.v) for r in out.collect()] == [(2, 0.0)]
     out = sess.execute("DELETE FROM uf_t WHERE k = 2 RETURNING v")
     assert [r.v for r in out.collect()] == [0.0]
+
+
+def test_incremental_pipeline_statement_verbatim(spark, tmp_path, sess):
+    """use-case-log-management.md:36-44 runs verbatim: the
+    create_file_list_pipeline statement processes existing files
+    immediately and run_pipeline picks up late arrivals exactly once."""
+    d = tmp_path
+    (d / "a.csv").write_text("k,v,amt\n1,x,1.5\n2,y,2.5\n")
+    sess.warehouse = str(d / "wh")
+    os.makedirs(sess.warehouse, exist_ok=True)
+    sess.execute(
+        f"CREATE FOREIGN TABLE logs_csv2 () SERVER pg_lake "
+        f"OPTIONS (path '{d}/*.csv', format 'csv')"
+    )
+    sess.execute("CREATE TABLE logs_ice2 (LIKE logs_csv2) USING iceberg")
+    out = sess.execute(
+        f"""
+        SELECT incremental.create_file_list_pipeline('logs-pipe',
+           file_pattern := '{d}/*.csv',
+           batched := true,
+           command := $$
+               insert into logs_ice2 select * from logs_csv2 where _filename = any($1)
+           $$)
+        """
+    ).collect()[0]
+    assert out.pipeline == "logs-pipe" and out.rows == 2
+    (d / "b.csv").write_text("k,v,amt\n3,z,3.5\n")
+    out = sess.execute("SELECT incremental.run_pipeline('logs-pipe')").collect()[0]
+    assert out.files_processed == 1 and out.rows == 1
+    # exactly-once: nothing new → no rows
+    out = sess.execute("SELECT incremental.run_pipeline('logs-pipe')").collect()[0]
+    assert out.files_processed == 0
+    assert sess.lake_table_handle("logs_ice2").refresh().to_df().count() == 3
+
+
+def test_explain_decoration(spark, tmp_path, sess):
+    """EXPLAIN returns the engine's decorated plan report (pushed
+    filters / joins / shuffles), the reference's Vectorized-SQL
+    EXPLAIN analogue, not Spark's bare plan tree."""
+    p = _write_csv(tmp_path, "ex.csv")
+    sess.execute(
+        f"CREATE FOREIGN TABLE exp_t () SERVER pg_lake OPTIONS (path '{p}', format 'csv')"
+    )
+    rows = sess.execute("EXPLAIN SELECT k FROM exp_t WHERE k > 1").collect()
+    text = "\n".join(r.plan for r in rows)
+    assert "plan report" in text and "scan[0]" in text and "shuffles" in text
