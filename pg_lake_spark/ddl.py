@@ -632,7 +632,8 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
 
 _INSERT = re.compile(
     r"^\s*INSERT\s+INTO\s+(?P<name>[\w.\"]+)\s*(?:\((?P<cols>[^)]*)\)\s*)?"
-    r"(?P<q>(?:SELECT|VALUES|WITH|TABLE)\b.*?)\s*;?\s*$",
+    r"(?P<q>(?:SELECT|VALUES|WITH|TABLE)\b.*?)"
+    r"(?:\s+RETURNING\s+(?P<ret>.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE = re.compile(
@@ -819,9 +820,22 @@ def execute_lake_dml(sess, sql: str):
         if m.group("cols"):
             names = [c.strip().strip('"') for c in m.group("cols").split(",")]
             df = df.toDF(*names)
-        t.append(_align_positional(df, t))
+        aligned = _align_positional(df, t)
+        ret = None
+        if m.group("ret"):
+            # pin one evaluation: RETURNING must show exactly the rows
+            # the append writes
+            aligned = aligned.localCheckpoint(eager=True)
+            cols = _ret_cols(m.group("ret"), name, name)
+            rows = (
+                aligned.collect()
+                if m.group("ret").strip() == "*"
+                else aligned.select(*cols).collect()
+            )
+            ret = _ret_df(sess, rows, aligned.columns if m.group("ret").strip() == "*" else cols)
+        t.append(aligned)
         t.to_df().createOrReplaceTempView(name)
-        return True
+        return ret if ret is not None else True
     m = _DELETE.match(sql)
     if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
         name = m.group("name").strip('"')

@@ -552,3 +552,15 @@ def test_explain_decoration(spark, tmp_path, sess):
     rows = sess.execute("EXPLAIN SELECT k FROM exp_t WHERE k > 1").collect()
     text = "\n".join(r.plan for r in rows)
     assert "plan report" in text and "scan[0]" in text and "shuffles" in text
+
+
+def test_insert_returning(spark, tmp_path, sess):
+    sess.execute(
+        f"CREATE TABLE ir_t (k bigint, v string) USING iceberg "
+        f"WITH (location = '{tmp_path}/ir_t')"
+    )
+    out = sess.execute("INSERT INTO ir_t VALUES (1, 'a'), (2, 'b') RETURNING k")
+    assert sorted(r.k for r in out.collect()) == [1, 2]
+    out = sess.execute("INSERT INTO ir_t VALUES (3, 'c') RETURNING *")
+    assert [(r.k, r.v) for r in out.collect()] == [(3, "c")]
+    assert sess.execute("SELECT count(*) n FROM ir_t").collect()[0].n == 3
