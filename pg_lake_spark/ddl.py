@@ -28,14 +28,23 @@ from pyspark.sql import DataFrame
 
 def strip_sql_comments(sql: str) -> str:
     """Remove ``--`` line comments and ``/* */`` block comments,
-    respecting single-quoted literals ('' escapes) and double-quoted
-    identifiers — a path like ``'a--b.csv'`` or an identifier
-    ``"weird--name"`` survives intact. The regex recognizers below (and
-    Spark's parser on passthrough) then see clean statement text."""
+    respecting single-quoted literals ('' escapes), double-quoted
+    identifiers, and PG dollar-quoted blocks (``$$...$$``) — a path
+    like ``'a--b.csv'``, an identifier ``"weird--name"``, or a
+    pipeline command body survive intact. The regex recognizers below
+    (and Spark's parser on passthrough) then see clean statement
+    text."""
     out: list[str] = []
     i, n = 0, len(sql)
     while i < n:
         c = sql[i]
+        if c == "$" and sql[i : i + 2] == "$$":
+            j = sql.find("$$", i + 2)
+            if j == -1:
+                raise ValueError("unterminated $$ quote in SQL")
+            out.append(sql[i : j + 2])
+            i = j + 2
+            continue
         if c == "'" or c == '"':
             q = c
             out.append(c)
@@ -77,6 +86,13 @@ def split_sql_statements(sql: str) -> list[str]:
     i, n = 0, len(sql)
     while i < n:
         c = sql[i]
+        if c == "$" and sql[i : i + 2] == "$$":
+            j = sql.find("$$", i + 2)
+            if j == -1:
+                raise ValueError("unterminated $$ quote in SQL")
+            buf.append(sql[i : j + 2])
+            i = j + 2
+            continue
         if c == "'" or c == '"':
             q = c
             buf.append(c)

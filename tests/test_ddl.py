@@ -564,3 +564,16 @@ def test_insert_returning(spark, tmp_path, sess):
     out = sess.execute("INSERT INTO ir_t VALUES (3, 'c') RETURNING *")
     assert [(r.k, r.v) for r in out.collect()] == [(3, "c")]
     assert sess.execute("SELECT count(*) n FROM ir_t").collect()[0].n == 3
+
+
+def test_dollar_quoted_blocks_protected():
+    """$$...$$ bodies (pipeline commands) pass comment stripping and
+    statement splitting untouched — a ';' or '--' inside the command
+    must not mangle the statement."""
+    from pg_lake_spark.ddl import split_sql_statements, strip_sql_comments
+
+    s = "SELECT incremental.create_file_list_pipeline('p', command := $$ insert into t select * from s; -- not a comment $$)"
+    assert strip_sql_comments(s) == s
+    assert split_sql_statements(s) == [s]
+    two = s + "; SELECT 1"
+    assert len(split_sql_statements(two)) == 2
