@@ -231,7 +231,7 @@ _COPY = re.compile(
 _READ_OPTION_KEYS = {
     "filename", "header", "delimiter", "quote", "escape", "nullstr",
     "compression", "zip_path", "log_format", "snapshot_id", "as_of_ms",
-    "version", "table",
+    "version", "table", "layer",
 }
 
 

@@ -285,6 +285,19 @@ def read_lake(
         # docs/spatial.md "the GDAL format will be inferred": pick the
         # concrete vector reader from the file itself
         fmt = _sniff_gdal_format(path)
+    # docs/file-formats-reference.md GDAL option `layer`: a named layer
+    # within the file — the GeoPackage feature table or xlsx worksheet
+    if "layer" in options:
+        layer = options.pop("layer")
+        if fmt in ("gpkg", "geopackage"):
+            options["table"] = layer
+        elif fmt == "xlsx":
+            options["sheet"] = layer
+        else:
+            raise ValueError(
+                f"option 'layer' is not applicable to format {fmt!r} "
+                "(supported: gpkg, xlsx)"
+            )
 
     # Single-file geo/office formats accept globs by fan-out: one
     # driver-side parse per match unioned by name (real-world vector

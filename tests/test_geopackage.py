@@ -79,3 +79,29 @@ def test_geopackage_rejects_bad_blob(spark, tmp_path):
 
     with pytest.raises(ValueError, match="bad magic"):
         _gpkg_blob_to_wkb(b"XX\x00\x01aaaa....")
+
+
+def test_layer_option_selects_feature_table(spark, tmp_path):
+    """docs/file-formats-reference.md GDAL option `layer` routes to the
+    GeoPackage feature table through read_lake."""
+    import sqlite3 as _sq
+
+    from pg_lake_spark.sources.readers import read_lake
+
+    p = str(tmp_path / "two.gpkg")
+    _build_gpkg(p)
+    with _sq.connect(p) as con:
+        con.execute("CREATE TABLE beta AS SELECT * FROM cities WHERE fid = 1")
+        con.execute(
+            "INSERT INTO gpkg_contents VALUES ('beta', 'features', 'beta', 4326)"
+        )
+        con.execute(
+            "INSERT INTO gpkg_geometry_columns VALUES ('beta', 'geom', 'POINT', 4326, 0, 0)"
+        )
+        con.commit()
+    assert read_lake(spark, p, fmt="gpkg", layer="beta").count() == 1
+    assert read_lake(spark, p, fmt="gpkg", layer="cities").count() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="layer"):
+        read_lake(spark, p, fmt="parquet", layer="x")
