@@ -1,0 +1,242 @@
+"""Product quantization (PQ) for embedding search at scale.
+
+The standard 100-TB vector-search memory lever (Jégou, Douze, Schmid,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011): split
+a D-dim embedding into ``m`` subvectors, vector-quantize each against
+its own ``k``-entry codebook, and store only the m byte codes — a
+64-dim float32 vector (256 B) compresses to 8 bytes at m=8, so a
+billion-vector corpus fits where exact vectors cannot. Queries score
+against codes with an asymmetric distance computation (ADC): one
+m×k lookup table of query-subvector · codebook-entry inner products
+per query, then each corpus vector's score is m table lookups — no
+float vector ever read at query time.
+
+Division of labor, mirroring FAISS's:
+- **train** on a bounded deterministic sample, driver-side numpy
+  (standard practice — codebooks are tiny and training data need not
+  exceed ~100k rows regardless of corpus size; the sample bound makes
+  this O(1) in corpus scale)
+- **encode** distributed: one Arrow-batched ``mapInPandas`` pass,
+  vectorized argmin over each subspace's codebook
+- **score** distributed: the per-query LUT broadcasts (m·k floats per
+  query), codes score via numpy take+sum in ``mapInPandas``, partial
+  top-k per partition, exact top-k at the (tiny) reduce
+
+Composes with the IVF index (operators/similarity.py) the same way
+FAISS's IVFPQ does: IVF prunes to probed lists, PQ scores the
+survivors. Deterministic end to end — Forgy init on the lowest-id
+sample rows, no RNG — so results are reproducible across runs.
+
+Reference note: pg_lake ships no vector-search surface (its slice ends
+at array columns); this module is part of the training-data-pipeline
+mandate (embedding near-dup / similarity at corpus scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _kmeans_np(data, k: int, iters: int):
+    """Deterministic Lloyd on a numpy matrix: Forgy init = first k rows
+    (callers pass id-sorted samples), empty clusters keep their
+    previous centroid. Returns (k, dsub) float32 centroids."""
+    import numpy as np
+
+    cents = data[:k].astype("float32").copy()
+    for _ in range(iters):
+        # (n, k) distances via ||x||^2 - 2 x·c + ||c||^2 ; argmin per row
+        d2 = (
+            (data * data).sum(axis=1, keepdims=True)
+            - 2.0 * data @ cents.T
+            + (cents * cents).sum(axis=1)
+        )
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = data[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return cents
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    iters: int = 8,
+    train_rows: int = 4096,
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks as a plain nested list [m][k][D/m].
+
+    Trains on the ``train_rows`` lowest-id vectors (bounded,
+    deterministic — the driver-side cost is O(train_rows · D), constant
+    in corpus size). D must divide by m."""
+    import numpy as np
+
+    sample = (
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .orderBy("vid")
+        .limit(train_rows)
+        .collect()
+    )
+    if not sample:
+        raise ValueError("empty corpus")
+    mat = np.array([r.vec for r in sample], dtype="float32")
+    # L2-normalize: PQ here serves COSINE search, so codebooks live on
+    # the unit sphere and ADC inner products ARE cosines
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for s in range(m):
+        sub = mat[:, s * dsub : (s + 1) * dsub]
+        books.append(_kmeans_np(sub, k, iters).tolist())
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — each vector's m nearest-codeword ids.
+
+    One Arrow-batched pass; the codebooks ride to executors as a task
+    closure (m·k·dsub floats — a few KB)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    books = [np.array(b, dtype="float32") for b in codebooks]
+    dsub = books[0].shape[1]
+
+    src = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+
+    def encode(batches):
+        for pdf in batches:
+            mat = np.array(list(pdf["vec"]), dtype="float32")
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            mat = mat / norms
+            codes = np.empty((len(pdf), m), dtype="int32")
+            for s in range(m):
+                sub = mat[:, s * dsub : (s + 1) * dsub]
+                cb = books[s]
+                d2 = (
+                    (sub * sub).sum(axis=1, keepdims=True)
+                    - 2.0 * sub @ cb.T
+                    + (cb * cb).sum(axis=1)
+                )
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes)})
+
+    return src.mapInPandas(encode, "vec_id bigint, codes array<int>")
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank_with: DataFrame | None = None,
+    overfetch: int = 4,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Approximate top-k by ADC over PQ codes → (query_id, vec_id, score).
+
+    Each query contributes one m×k_codebook lookup table of
+    query-subvector inner products; corpus codes score via table
+    take+sum (numpy, Arrow-batched), keep a per-partition partial
+    top-(k·overfetch), then reduce globally. With ``rerank_with`` (the
+    raw-vector frame) the over-fetched candidates re-score exactly —
+    FAISS's IVFPQ+refine pattern; scores are then exact cosines for the
+    surviving k. Output ordered (query_id, rank)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    books = [np.array(b, dtype="float32") for b in codebooks]
+    dsub = books[0].shape[1]
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("vec")
+    ).collect()
+    if not qrows:
+        raise ValueError("no queries")
+    luts = {}
+    for r in qrows:
+        qv = np.array(r.vec, dtype="float32")
+        nrm = np.linalg.norm(qv)
+        qv = qv / (nrm if nrm else 1.0)
+        luts[int(r.qid)] = np.stack(
+            [books[s] @ qv[s * dsub : (s + 1) * dsub] for s in range(m)]
+        )  # (m, k_codebook)
+    fetch = k * (overfetch if rerank_with is not None else 1)
+
+    def score(batches):
+        for pdf in batches:
+            codes = np.array(list(pdf["codes"]), dtype="int64")  # (n, m)
+            ids = pdf["vec_id"].to_numpy()
+            out_q, out_v, out_s = [], [], []
+            rows = np.arange(m)
+            for qid, lut in luts.items():
+                sc = lut[rows, codes].sum(axis=1)  # (n,) ADC scores
+                top = np.argsort(-sc)[:fetch]
+                out_q.extend([qid] * len(top))
+                out_v.extend(ids[top])
+                out_s.extend(sc[top])
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_v, "score": out_s}
+            )
+
+    partial = codes_df.mapInPandas(score, "query_id bigint, vec_id bigint, score double")
+    if exclude_self:
+        partial = partial.filter(F.col("vec_id") != F.col("query_id"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
+    cand = partial.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= fetch
+    ).drop("rank")
+    if rerank_with is None:
+        w2 = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
+        return (
+            cand.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .orderBy("query_id", "rank")
+        )
+    from pg_lake_spark.operators.similarity import cosine
+
+    vecs = rerank_with.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("cvec")
+    )
+    qvecs_rows = [(int(r.qid), [float(x) for x in r.vec]) for r in qrows]
+    qvecs = codes_df.sparkSession.createDataFrame(
+        qvecs_rows, "query_id bigint, qvec array<double>"
+    )
+    exact = (
+        cand.join(vecs, "vec_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id", "vec_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("score"),
+        )
+    )
+    w3 = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w3))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
