@@ -675,3 +675,69 @@ def paragraph_dedup_groups(
         F.count_distinct(id_col).alias("n_docs"),
         F.min(id_col).alias("keep_doc"),
     )
+
+
+def dedupe_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    url_col: str | None = None,
+    near_dup: bool = True,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 5000,
+) -> tuple[DataFrame, dict]:
+    """One-call corpus deduplication: the composed pipeline a training
+    run actually wants, in the canonical order.
+
+    1. **exact** — content-hash groups, keep the minimum id;
+    2. **url** (when ``url_col`` given) — canonical-URL groups over the
+       exact survivors (tracking params dropped, params sorted);
+    3. **near-dup** (default on) — LSH pairs at ``threshold`` jaccard →
+       connected components → keep each cluster's minimum id.
+
+    Stage order matters at scale: exact dedup is one cheap hash
+    aggregate and removes the mass that would otherwise flood LSH
+    buckets (the cap in :func:`_cap_buckets` is the backstop, this is
+    the cure), so the expensive stage sees only distinct content.
+
+    Returns ``(clean_df, report)`` — the surviving rows with their
+    original columns, plus per-stage drop counts. Every stage is a
+    hash-partitioned aggregate or the banded-LSH path; nothing
+    quadratic, no driver-side data."""
+    report: dict = {"input_rows": df.count()}
+
+    hashes = exact_duplicates(df, text_col, id_col).select("content_hash", "keep_id")
+    keyed = df.withColumn("__h", F.md5(F.col(text_col)))
+    dupes = keyed.join(
+        F.broadcast(hashes), F.col("__h") == F.col("content_hash"), "inner"
+    ).filter(F.col(id_col) != F.col("keep_id")).select(F.col(id_col).alias("__drop"))
+    survivors = df.join(dupes, df[id_col] == dupes["__drop"], "left_anti")
+    report["exact_dropped"] = report["input_rows"] - survivors.count()
+
+    if url_col is not None:
+        groups = url_dedup_groups(survivors, url_col, id_col)
+        keep = groups.select(F.col("keep_id").alias("__keep"))
+        survivors = survivors.join(
+            keep, survivors[id_col] == keep["__keep"], "left_semi"
+        )
+        n = survivors.count()
+        report["url_dropped"] = report["input_rows"] - report["exact_dropped"] - n
+
+    if near_dup:
+        before = survivors.count()
+        clusters = neardup_clusters(
+            survivors, id_col, text_col,
+            shingle_n=shingle_n, threshold=threshold,
+        )
+        keep_ids = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(
+            F.col(id_col).alias("__keep")
+        )
+        survivors = survivors.join(
+            keep_ids, survivors[id_col] == keep_ids["__keep"], "left_semi"
+        )
+        report["neardup_dropped"] = before - survivors.count()
+
+    report["output_rows"] = survivors.count()
+    return survivors, report

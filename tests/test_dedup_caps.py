@@ -54,3 +54,29 @@ def test_cap_leaves_normal_corpus_unchanged(spark):
     a = {(r.id_a, r.id_b) for r in capped.collect()}
     b = {(r.id_a, r.id_b) for r in uncapped.collect()}
     assert a == b and a
+
+
+def test_dedupe_corpus_composition(spark):
+    """The one-call pipeline drops exact copies, URL copies, and
+    near-dup cluster members, keeping minimum-id survivors with all
+    original columns."""
+    from pg_lake_spark.operators.dedup import dedupe_corpus
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "http://a.com/x?utm_source=t"),
+        (2, "the quick brown fox jumps over the lazy dog", "http://b.com/y"),   # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dogs", "http://c.com/z"),  # near dup of 1
+        (4, "completely different content about databases", "http://a.com/x"),  # url dup of 1
+        (5, "another unrelated document entirely here now", "http://d.com/w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, url string")
+    clean, report = dedupe_corpus(
+        df, "doc_id", "text", url_col="url", threshold=0.5
+    )
+    kept = sorted(r.doc_id for r in clean.collect())
+    assert kept == [1, 5], (kept, report)
+    assert report["input_rows"] == 5 and report["output_rows"] == 2
+    assert report["exact_dropped"] == 1      # id 2
+    assert report["url_dropped"] == 1        # id 4 (same canonical url as 1)
+    assert report["neardup_dropped"] == 1    # id 3
+    assert set(clean.columns) == {"doc_id", "text", "url"}
