@@ -240,3 +240,164 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    k_codebook: int = 32,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    rerank_with: DataFrame | None = None,
+    overfetch: int = 4,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF + PQ composed — the FAISS IVFPQ index shape.
+
+    The coarse quantizer (spherical k-means from
+    ``similarity.train_ivf_centroids``) assigns every corpus vector to
+    ONE inverted list; queries probe their ``n_probe`` nearest lists;
+    ADC scoring over PQ codes runs ONLY on probed-list members (an
+    equi-join on the list id restricts the scan before any Python
+    executes). At 100 TB that is the full index discipline: list
+    pruning bounds IO, byte codes bound memory, and the optional exact
+    re-rank (``rerank_with``) restores recall on the short candidate
+    list. Train once, pass ``centroids``/``codebooks`` to reuse.
+    """
+    from pg_lake_spark.operators.similarity import (
+        _nearest_centroid,
+        dot,
+        train_ivf_centroids,
+    )
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
+        )
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, id_col=id_col, vec_col=vec_col, m=m, k=k_codebook
+        )
+    n_probe = min(n_probe, len(centroids))
+
+    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    lists = corpus.select(
+        F.col(id_col).alias("__lid"),
+        _nearest_centroid(F.col(vec_col).cast("array<double>"), centroids).alias("cid"),
+    )
+    coded = codes.join(lists, codes["vec_id"] == lists["__lid"]).select(
+        "vec_id", "codes", "cid"
+    )
+
+    scores = F.array(*[dot(F.col("qvec"), F.lit(cn)) for cn in centroids])
+    zipped = F.arrays_zip(
+        scores.alias("s"),
+        F.transform(F.sequence(F.lit(0), F.lit(len(centroids) - 1)), lambda i: i).alias("i"),
+    )
+    probes = F.transform(
+        F.slice(F.reverse(F.array_sort(zipped)), 1, n_probe), lambda x: x["i"]
+    )
+    probe_map = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qvec"),
+        )
+        .withColumn("cid", F.explode(probes))
+        .select("query_id", F.col("cid").cast("int").alias("cid"))
+    )
+    # restrict the code scan to probed lists BEFORE scoring: semi-join
+    # on the short list id — the IVF pruning step
+    probed_cids = probe_map.select("cid").distinct()
+    probed = coded.join(F.broadcast(probed_cids), "cid", "left_semi")
+    # per-query membership: only score codes in THAT query's lists
+    member = probed.join(F.broadcast(probe_map), "cid").select(
+        "query_id", "vec_id", "codes"
+    )
+
+    # score member codes via the same ADC kernel, restricted per query
+    import numpy as np
+    import pandas as pd
+
+    mm = len(codebooks)
+    books = [np.array(b, dtype="float32") for b in codebooks]
+    dsub = books[0].shape[1]
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("vec")
+    ).collect()
+    luts = {}
+    for r in qrows:
+        qv = np.array(r.vec, dtype="float32")
+        nrm = np.linalg.norm(qv)
+        qv = qv / (nrm if nrm else 1.0)
+        luts[int(r.qid)] = np.stack(
+            [books[s] @ qv[s * dsub : (s + 1) * dsub] for s in range(mm)]
+        )
+    fetch = k * (overfetch if rerank_with is not None else 1)
+
+    def score(batches):
+        rows = np.arange(mm)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for qid, grp in pdf.groupby("query_id"):
+                lut = luts.get(int(qid))
+                if lut is None:
+                    continue
+                codes_m = np.array(list(grp["codes"]), dtype="int64")
+                sc = lut[rows, codes_m].sum(axis=1)
+                top = np.argsort(-sc)[:fetch]
+                ids = grp["vec_id"].to_numpy()
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": int(qid), "vec_id": ids[top], "score": sc[top]}
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    partial = member.mapInPandas(score, "query_id bigint, vec_id bigint, score double")
+    if exclude_self:
+        partial = partial.filter(F.col("vec_id") != F.col("query_id"))
+    from pyspark.sql.window import Window
+
+    if rerank_with is None:
+        w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
+        return (
+            partial.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .orderBy("query_id", "rank")
+        )
+    from pg_lake_spark.operators.similarity import cosine
+
+    w0 = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
+    cand = partial.withColumn("rank", F.row_number().over(w0)).filter(
+        F.col("rank") <= fetch
+    ).drop("rank")
+    vecs = rerank_with.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("cvec")
+    )
+    qvecs = corpus.sparkSession.createDataFrame(
+        [(int(r.qid), [float(x) for x in r.vec]) for r in qrows],
+        "query_id bigint, qvec array<double>",
+    )
+    exact = (
+        cand.join(vecs, "vec_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id", "vec_id", cosine(F.col("qvec"), F.col("cvec")).alias("score")
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w1))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -64,3 +64,37 @@ def test_pq_recall_against_exact(spark, emb):
     )
     ref_recall = ref_hits / (10 * len(truth))
     assert ref_recall >= 0.9, ref_recall
+
+
+def test_ivfpq_composed_recall_and_pruning(spark, emb):
+    """IVF pruning + PQ codes + exact refine: with full probe the
+    composed index must recover near-exact top-k; with partial probe it
+    must only ever score probed-list members (subset property)."""
+    from pg_lake_spark.operators.quantization import ivfpq_topk
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=10)
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+
+    # exhaustive probe + refine: recall should be ~1
+    full = ivfpq_topk(
+        emb, queries, k=10, n_centroids=8, n_probe=8,
+        rerank_with=emb, overfetch=8, exclude_self=True,
+    )
+    hits = sum(1 for r in full.collect() if r.vec_id in truth.get(r.query_id, set()))
+    assert hits / (10 * len(truth)) >= 0.9
+
+    # partial probe: still k results per query, reasonable recall
+    part = ivfpq_topk(
+        emb, queries, k=10, n_centroids=8, n_probe=3,
+        rerank_with=emb, overfetch=8, exclude_self=True,
+    )
+    rows = part.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.vec_id)
+    assert all(len(v) == 10 for v in per_q.values())
+    hits = sum(1 for r in rows if r.vec_id in truth.get(r.query_id, set()))
+    assert hits / (10 * len(truth)) >= 0.5
