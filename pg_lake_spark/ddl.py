@@ -203,7 +203,7 @@ _REFRESH_MATVIEW = re.compile(
     re.IGNORECASE,
 )
 _DROP_MATVIEW = re.compile(
-    r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*;?\s*$",
+    r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*;?\s*$",
     re.IGNORECASE,
 )
 _VACUUM = re.compile(
@@ -483,7 +483,11 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
         name = m.group("name").strip('"')
         t = _handle_or_none(sess, name)
         if t is None:
-            return sess.spark.sql(sql)
+            # Spark cannot parse MATERIALIZED VIEW — IF EXISTS no-ops,
+            # a plain drop of an unknown matview is a clear error
+            if m.group("ifex"):
+                return None
+            raise ValueError(f"materialized view {name!r} does not exist")
         from pg_lake_spark.lakehouse import maintenance
 
         maintenance.drop_table(t.location)
@@ -648,18 +652,16 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
 
 _INSERT = re.compile(
     r"^\s*INSERT\s+INTO\s+(?P<name>[\w.\"]+)\s*(?:\((?P<cols>[^)]*)\)\s*)?"
-    r"(?P<q>(?:SELECT|VALUES|WITH|TABLE)\b.*?)"
-    r"(?:\s+RETURNING\s+(?P<ret>.*?))?\s*;?\s*$",
+    r"(?P<q>(?:SELECT|VALUES|WITH|TABLE)\b.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(?P<name>[\w.\"]+)\s*(?:WHERE\s+(?P<pred>.*?))?"
-    r"(?:\s+RETURNING\s+(?P<ret>.*?))?\s*;?\s*$",
+    r"^\s*DELETE\s+FROM\s+(?P<name>[\w.\"]+)\s*(?:WHERE\s+(?P<pred>.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _UPDATE = re.compile(
     r"^\s*UPDATE\s+(?P<name>[\w.\"]+)\s+SET\s+(?P<assigns>.*?)"
-    r"(?:\s+WHERE\s+(?P<pred>.*?))?(?:\s+RETURNING\s+(?P<ret>.*?))?\s*;?\s*$",
+    r"(?:\s+WHERE\s+(?P<pred>.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 # writes.md:14-44 — UPDATE ... FROM and DELETE ... USING: the extra
@@ -670,13 +672,13 @@ _UPDATE_FROM = re.compile(
     r"^\s*UPDATE\s+(?P<name>[\w.\"]+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?\s+"
     r"SET\s+(?P<assigns>.*?)\s+"
     r"FROM\s+(?P<src>\(.*?\)|[\w.\"]+)(?:\s+(?:AS\s+)?(?P<salias>\w+))?\s+"
-    r"WHERE\s+(?P<cond>.*?)(?:\s+RETURNING\s+(?P<ret>.*?))?\s*;?\s*$",
+    r"WHERE\s+(?P<cond>.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE_USING = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<name>[\w.\"]+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?\s+"
     r"USING\s+(?P<src>\(.*?\)|[\w.\"]+)(?:\s+(?:AS\s+)?(?P<salias>\w+))?\s+"
-    r"WHERE\s+(?P<cond>.*?)(?:\s+RETURNING\s+(?P<ret>.*?))?\s*;?\s*$",
+    r"WHERE\s+(?P<cond>.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _MERGE = re.compile(
@@ -733,6 +735,54 @@ def _handle_or_none(sess, name: str):
         return sess.lake_table_handle(name.strip('"'))
     except KeyError:
         return None
+
+
+_RET_WORD = re.compile(r"(?i)^RETURNING\b")
+
+
+def _extract_returning(sql: str) -> tuple[str, str | None]:
+    """Split a trailing top-level RETURNING clause off a DML statement,
+    quote- and paren-aware — the word inside a string literal (INSERT
+    VALUES ('now RETURNING home')) is data, not the clause."""
+    i, n = 0, len(sql)
+    depth = 0
+    found = None
+    while i < n:
+        c = sql[i]
+        if c == "$" and sql[i : i + 2] == "$$":
+            j = sql.find("$$", i + 2)
+            i = n if j == -1 else j + 2
+            continue
+        if c == "'" or c == '"':
+            q = c
+            i += 1
+            while i < n:
+                if sql[i] == q:
+                    if i + 1 < n and sql[i + 1] == q:
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                i += 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and c in "Rr"
+            and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_"))
+            and _RET_WORD.match(sql[i:])
+        ):
+            found = i  # keep scanning: the LAST top-level clause wins
+            i += len("RETURNING")
+            continue
+        i += 1
+    if found is None:
+        return sql, None
+    ret = sql[found + len("RETURNING"):].strip().rstrip(";").strip()
+    return sql[:found].rstrip(), ret or None
 
 
 def _split_where_join(cond: str, talias: str, salias: str) -> tuple[list[str], str | None]:
@@ -797,6 +847,11 @@ def _ret_df(sess, rows, cols):
 def execute_lake_dml(sess, sql: str):
     """Try the DML statement shapes. Returns False if unhandled, True
     if handled with no result, or a DataFrame (RETURNING rows)."""
+    # The trailing RETURNING clause is split off quote-aware up front —
+    # a regex group would also match the word inside a string literal
+    ret_clause = None
+    if re.match(r"(?i)\s*(INSERT|UPDATE|DELETE)\b", sql):
+        sql, ret_clause = _extract_returning(sql)
     m = _UPDATE_FROM.match(sql)
     if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
         name = m.group("name").strip('"')
@@ -808,7 +863,7 @@ def execute_lake_dml(sess, sql: str):
             expr = re.sub(rf"(?i)\b{re.escape(salias)}\.", "s.", expr)
             expr = re.sub(rf"(?i)\b{re.escape(talias)}\.", "t.", expr)
             assigns[col.split(".")[-1].strip('"')] = expr.strip()
-        ret = _ret_cols(m.group("ret"), talias, name) if m.group("ret") else None
+        ret = _ret_cols(ret_clause, talias, name) if ret_clause else None
         res = t.update_from(
             _src_df(sess, m.group("src")), keys, assigns,
             condition=extra, returning=ret,
@@ -822,7 +877,7 @@ def execute_lake_dml(sess, sql: str):
         talias = m.group("talias") or name
         salias = m.group("salias") or m.group("src").strip('"')
         keys, extra = _split_where_join(m.group("cond"), talias, salias)
-        ret = _ret_cols(m.group("ret"), talias, name) if m.group("ret") else None
+        ret = _ret_cols(ret_clause, talias, name) if ret_clause else None
         res = t.delete_using(
             _src_df(sess, m.group("src")), keys, condition=extra, returning=ret
         )
@@ -838,31 +893,31 @@ def execute_lake_dml(sess, sql: str):
             df = df.toDF(*names)
         aligned = _align_positional(df, t)
         ret = None
-        if m.group("ret"):
+        if ret_clause:
             # pin one evaluation: RETURNING must show exactly the rows
             # the append writes
             aligned = aligned.localCheckpoint(eager=True)
-            cols = _ret_cols(m.group("ret"), name, name)
+            cols = _ret_cols(ret_clause, name, name)
             rows = (
                 aligned.collect()
-                if m.group("ret").strip() == "*"
+                if ret_clause.strip() == "*"
                 else aligned.select(*cols).collect()
             )
-            ret = _ret_df(sess, rows, aligned.columns if m.group("ret").strip() == "*" else cols)
+            ret = _ret_df(sess, rows, aligned.columns if ret_clause.strip() == "*" else cols)
         t.append(aligned)
         t.to_df().createOrReplaceTempView(name)
         return ret if ret is not None else True
     m = _DELETE.match(sql)
     if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
         name = m.group("name").strip('"')
-        ret = _ret_cols(m.group("ret"), name, name) if m.group("ret") else None
+        ret = _ret_cols(ret_clause, name, name) if ret_clause else None
         res = t.delete(m.group("pred") or "true", returning=ret)
         t.to_df().createOrReplaceTempView(name)
         return _ret_df(sess, res["returning"], ret) if ret else True
     m = _UPDATE.match(sql)
     if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
         name = m.group("name").strip('"')
-        ret = _ret_cols(m.group("ret"), name, name) if m.group("ret") else None
+        ret = _ret_cols(ret_clause, name, name) if ret_clause else None
         res = t.update(
             _parse_assignments(m.group("assigns")),
             where=m.group("pred"),

@@ -326,6 +326,32 @@ def pg_date_bin(stride: str, ts: Column | str, origin: str) -> Column:
     return F.timestamp_micros(binned).cast("timestamp_ntz")
 
 
+def _pg_repl_to_java(replacement: str) -> str:
+    """PG replacement-string syntax → Java: ``\\1``..``\\9`` become
+    ``$1``..``$9``, ``\\\\`` a literal backslash, and a bare ``$`` —
+    literal in PG, a group reference in Java — is escaped."""
+    out = []
+    i, n = 0, len(replacement)
+    while i < n:
+        c = replacement[i]
+        if c == "\\" and i + 1 < n:
+            nxt = replacement[i + 1]
+            if nxt.isdigit():
+                out.append("$" + nxt)
+            elif nxt == "\\":
+                out.append("\\\\")  # literal backslash, Java-escaped
+            else:
+                out.append("\\" + nxt)
+            i += 2
+            continue
+        if c == "$":
+            out.append("\\$")
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def pg_regexp_replace(
     s: Column | str,
     pattern: str,
@@ -353,7 +379,7 @@ def pg_regexp_replace(
     pat = pattern
     if "i" in flags.replace("g", ""):
         pat = f"(?i:{pat})"
-    repl = re.sub(r"\\(\d)", r"$\1", replacement)
+    repl = _pg_repl_to_java(replacement)
     if "g" in flags:
         return F.regexp_replace(s, pat, repl)
     matched = F.regexp_extract(s, f"({pat})", 1)

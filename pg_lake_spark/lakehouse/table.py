@@ -26,7 +26,7 @@ import uuid
 from dataclasses import dataclass
 from datetime import date, datetime
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pg_lake_spark.lakehouse import catalog as cat
@@ -773,8 +773,9 @@ class LakeTable:
         result dict — PG RETURNING semantics (writes.md:30-33)."""
         returning_rows = None
         if returning:
+            sel = ["*"] if returning == ["*"] else returning
             returning_rows = (
-                self.scan().filter(where).select(*returning).collect()
+                self.scan().filter(where).select(*sel).collect()
             )
         result = self._delete_impl(where, mode, cow_threshold)
         if returning_rows is not None:
@@ -1023,7 +1024,12 @@ class LakeTable:
             )
         returning_rows = None
         if returning:
-            returning_rows = out.filter("__upd").select(*returning).collect()
+            cols = (
+                [c for c in out.columns if c != "__upd"]
+                if returning == ["*"]
+                else returning
+            )
+            returning_rows = out.filter("__upd").select(*cols).collect()
         rewritten = self._write_data_files(out.drop("__upd"))
         self._commit(
             operation="overwrite",
@@ -1106,7 +1112,16 @@ class LakeTable:
         else:
             candidates = [f for f in files if self._file_matches(f, preds)]
         cand_paths = {f.path for f in candidates}
-        cand_df = self._read_files(candidates)
+        # Pin a per-row id with an eager checkpoint: survivors and
+        # matched evaluate the candidate plan independently, and a
+        # target row matched by SEVERAL source rows must still be
+        # written exactly once (PG updates/deletes a row once; naive
+        # inner-join append would duplicate it).
+        cand_df = (
+            self._read_files(candidates)
+            .withColumn("__rid", F.monotonically_increasing_id())
+            .localCheckpoint(eager=True)
+        )
 
         t = cand_df.alias("t")
         s = source.alias("s")
@@ -1118,13 +1133,28 @@ class LakeTable:
             key_cond & F.expr(matched_condition) if matched_condition else key_cond
         )
 
-        survivors = t.join(s, full_cond, "left_anti")
-        matched = t.join(s, full_cond, "inner")
+        survivors = t.join(s, full_cond, "left_anti").drop("__rid")
+        # One source row per matched target row, winner chosen
+        # deterministically (lowest hash of the full source row) — the
+        # PG behaviour is "one arbitrary matching row"; ours is the
+        # same but reproducible.
+        src_cols = source.columns
+        win = Window.partitionBy("__rid").orderBy(
+            F.xxhash64(F.struct(*[F.col(f"s.{c}") for c in src_cols]))
+        )
+        matched = (
+            t.join(s, full_cond, "inner")
+            .withColumn("__mrn", F.row_number().over(win))
+            .filter(F.col("__mrn") == 1)
+            .drop("__mrn")
+        )
         matched_rows = matched.count()
 
         returning_rows = None
         if returning:
             assigns = when_matched_update or {}
+            if returning == ["*"]:
+                returning = list(target_cols)
             if when_matched_delete:  # pre-image
                 ret = matched.select(*[F.col(f"t.{c}").alias(c) for c in returning])
             else:  # post-image

@@ -549,6 +549,7 @@ def neardup_clusters(
     num_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 5000,
 ) -> DataFrame:
     """Cluster ids for near-duplicate documents: every doc gets a
     cluster_id = the minimum doc id of its near-dup component (its own
@@ -567,6 +568,7 @@ def neardup_clusters(
         num_hashes=num_hashes,
         bands=bands,
         threshold=threshold,
+        max_bucket_size=max_bucket_size,
     )
     cc = connected_components(pairs)
     ids = df.select(F.col(id_col))
@@ -717,11 +719,17 @@ def dedupe_corpus(
     report["exact_dropped"] = report["input_rows"] - survivors.count()
 
     if url_col is not None:
-        groups = url_dedup_groups(survivors, url_col, id_col)
+        # rows with NULL url have no URL identity — they pass through
+        # untouched (grouping them would collapse every NULL-url doc
+        # into one survivor)
+        with_url = survivors.filter(F.col(url_col).isNotNull())
+        no_url = survivors.filter(F.col(url_col).isNull())
+        groups = url_dedup_groups(with_url, url_col, id_col)
         keep = groups.select(F.col("keep_id").alias("__keep"))
-        survivors = survivors.join(
-            keep, survivors[id_col] == keep["__keep"], "left_semi"
+        kept_url = with_url.join(
+            keep, with_url[id_col] == keep["__keep"], "left_semi"
         )
+        survivors = kept_url.unionByName(no_url)
         n = survivors.count()
         report["url_dropped"] = report["input_rows"] - report["exact_dropped"] - n
 
@@ -730,6 +738,7 @@ def dedupe_corpus(
         clusters = neardup_clusters(
             survivors, id_col, text_col,
             shingle_n=shingle_n, threshold=threshold,
+            max_bucket_size=max_bucket_size,
         )
         keep_ids = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(
             F.col(id_col).alias("__keep")

@@ -193,17 +193,23 @@ def pq_topk(
             rows = np.arange(m)
             for qid, lut in luts.items():
                 sc = lut[rows, codes].sum(axis=1)  # (n,) ADC scores
-                top = np.argsort(-sc)[:fetch]
+                if exclude_self:
+                    # drop self BEFORE the partial top-fetch, or it
+                    # consumes a candidate slot and a true neighbor at
+                    # the fetch boundary is lost
+                    keep = ids != qid
+                    sc_k, ids_k = sc[keep], ids[keep]
+                else:
+                    sc_k, ids_k = sc, ids
+                top = np.argsort(-sc_k)[:fetch]
                 out_q.extend([qid] * len(top))
-                out_v.extend(ids[top])
-                out_s.extend(sc[top])
+                out_v.extend(ids_k[top])
+                out_s.extend(sc_k[top])
             yield pd.DataFrame(
                 {"query_id": out_q, "vec_id": out_v, "score": out_s}
             )
 
     partial = codes_df.mapInPandas(score, "query_id bigint, vec_id bigint, score double")
-    if exclude_self:
-        partial = partial.filter(F.col("vec_id") != F.col("query_id"))
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
@@ -353,8 +359,11 @@ def ivfpq_topk(
                     continue
                 codes_m = np.array(list(grp["codes"]), dtype="int64")
                 sc = lut[rows, codes_m].sum(axis=1)
-                top = np.argsort(-sc)[:fetch]
                 ids = grp["vec_id"].to_numpy()
+                if exclude_self:
+                    keep = ids != int(qid)  # before the top-fetch
+                    sc, ids = sc[keep], ids[keep]
+                top = np.argsort(-sc)[:fetch]
                 out.append(
                     pd.DataFrame(
                         {"query_id": int(qid), "vec_id": ids[top], "score": sc[top]}
@@ -364,8 +373,6 @@ def ivfpq_topk(
                 yield pd.concat(out)
 
     partial = member.mapInPandas(score, "query_id bigint, vec_id bigint, score double")
-    if exclude_self:
-        partial = partial.filter(F.col("vec_id") != F.col("query_id"))
     from pyspark.sql.window import Window
 
     if rerank_with is None:

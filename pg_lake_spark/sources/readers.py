@@ -218,7 +218,13 @@ def _sniff_gdal_format(path: str) -> str:
     "the GDAL format will be inferred") — extension first, then file
     magic; a directory (e.g. an extracted zip) infers from the first
     recognizable member."""
-    first = sorted(_glob.glob(path))[0] if any(c in path for c in "*?[") else path
+    if any(c in path for c in "*?["):
+        matches = sorted(_glob.glob(path))
+        if not matches:
+            raise FileNotFoundError(f"format 'gdal': no files match {path}")
+        first = matches[0]
+    else:
+        first = path
     if os.path.isdir(first):
         for name in sorted(os.listdir(first)):
             ext = name.rsplit(".", 1)[-1].lower() if "." in name else ""

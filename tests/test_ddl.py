@@ -577,3 +577,42 @@ def test_dollar_quoted_blocks_protected():
     assert split_sql_statements(s) == [s]
     two = s + "; SELECT 1"
     assert len(split_sql_statements(two)) == 2
+
+
+def test_returning_word_inside_literal_is_data(spark, tmp_path, sess):
+    """' RETURNING ' inside a string literal must not be parsed as the
+    clause (review finding: the regex group split the statement)."""
+    sess.execute(
+        f"CREATE TABLE lit_t (k bigint, v string) USING iceberg "
+        f"WITH (location = '{tmp_path}/lit_t')"
+    )
+    sess.execute("INSERT INTO lit_t VALUES (1, 'now RETURNING home')")
+    rows = sess.execute("SELECT v FROM lit_t").collect()
+    assert rows[0].v == "now RETURNING home"
+    # and the real clause still works after a literal containing the word
+    out = sess.execute(
+        "INSERT INTO lit_t VALUES (2, 'also RETURNING data') RETURNING k"
+    )
+    assert [r.k for r in out.collect()] == [2]
+
+
+def test_update_returning_star_no_internal_columns(spark, tmp_path, sess):
+    sess.execute(
+        f"CREATE TABLE star_t (k bigint, v double) USING iceberg "
+        f"WITH (location = '{tmp_path}/star_t')"
+    )
+    sess.execute("INSERT INTO star_t VALUES (1, 1.0), (2, 2.0)")
+    out = sess.execute("UPDATE star_t SET v = 9.0 WHERE k = 1 RETURNING *")
+    rows = out.collect()
+    assert len(rows) == 1 and set(rows[0].asDict()) == {"k", "v"}
+    out = sess.execute("DELETE FROM star_t USING star_t s WHERE star_t.k = s.k AND s.v > 5 RETURNING *")
+    rows = out.collect()
+    assert len(rows) == 1 and set(rows[0].asDict()) == {"k", "v"}
+
+
+def test_drop_matview_if_exists_noop(sess):
+    assert sess.execute("DROP MATERIALIZED VIEW IF EXISTS never_created") is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="does not exist"):
+        sess.execute("DROP MATERIALIZED VIEW never_created_2")

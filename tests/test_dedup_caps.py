@@ -80,3 +80,15 @@ def test_dedupe_corpus_composition(spark):
     assert report["url_dropped"] == 1        # id 4 (same canonical url as 1)
     assert report["neardup_dropped"] == 1    # id 3
     assert set(clean.columns) == {"doc_id", "text", "url"}
+
+
+def test_dedupe_corpus_null_urls_pass_through(spark):
+    from pg_lake_spark.operators.dedup import dedupe_corpus
+
+    rows = [
+        (i, f"unique document number {i} with words {i*7}", None)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, url string")
+    clean, report = dedupe_corpus(df, "doc_id", "text", url_col="url", near_dup=False)
+    assert report["output_rows"] == 20 and report["url_dropped"] == 0

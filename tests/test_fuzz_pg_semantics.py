@@ -273,3 +273,14 @@ def test_regexp_replace_first_only_fuzz(spark):
             want_g = con.sql("SELECT regexp_replace(?, ?, '<>', 'g')", params=[c, p]).fetchone()[0]
             assert row[f"f{i}"] == want_f, (c, p, row[f"f{i}"], want_f)
             assert row[f"g{i}"] == want_g, (c, p, row[f"g{i}"], want_g)
+
+
+def test_regexp_replace_literal_dollar_and_backslash(spark):
+    from pg_lake_spark.functions.pg import pg_regexp_replace
+
+    df = spark.createDataFrame([("price here",)], "s string")
+    r = df.select(
+        pg_regexp_replace("s", "price", "US$5").alias("a"),
+        pg_regexp_replace("s", "here", "US$5", "g").alias("b"),
+    ).collect()[0]
+    assert r.a == "US$5 here" and r.b == "price US$5"

@@ -1497,3 +1497,38 @@ def test_update_from_delete_using_and_returning(spark, tmp_path):
     assert res["deleted_rows"] == 1 and [(r.k, r.v) for r in res["returning"]] == [(2, 20.0)]
     t = t.refresh()
     assert {r.k for r in t.to_df().collect()} == {4}
+
+
+def test_update_from_multi_match_writes_row_once(spark, tmp_path):
+    """A target row matched by SEVERAL source rows updates/deletes
+    exactly once (PG semantics; the winner is deterministic here).
+    Regression: the naive inner-join append duplicated the row."""
+    from pg_lake_spark.lakehouse.table import LakeTable
+
+    loc = str(tmp_path / "t")
+    t = LakeTable.create_from_dataframe(
+        spark, loc,
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k bigint, v double"),
+    )
+    src = spark.createDataFrame(
+        [(1, 5.0), (1, 7.0), (1, 9.0)], "k bigint, bump double"
+    )
+    res = t.update_from(src, ["k"], {"v": "t.v + s.bump"}, returning=["k", "v"])
+    assert res["updated_rows"] == 1 and len(res["returning"]) == 1
+    t = t.refresh()
+    rows = t.to_df().collect()
+    assert len(rows) == 2  # row count must NOT grow on UPDATE
+    got = {r.k: r.v for r in rows}
+    assert got[2] == 20.0 and got[1] in (15.0, 17.0, 19.0)
+    # deterministic winner: re-running from the same base picks the same
+    t2 = LakeTable.create_from_dataframe(
+        spark, str(tmp_path / "t2"),
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k bigint, v double"),
+    )
+    t2.update_from(src, ["k"], {"v": "t.v + s.bump"})
+    assert {r.k: r.v for r in t2.refresh().to_df().collect()}[1] == got[1]
+
+    # DELETE ... USING with duplicate source keys deletes once
+    res = t.delete_using(src, ["k"], returning=["k"])
+    assert res["deleted_rows"] == 1 and [r.k for r in res["returning"]] == [1]
+    assert {r.k for r in t.refresh().to_df().collect()} == {2}
