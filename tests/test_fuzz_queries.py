@@ -40,8 +40,18 @@ def _agg(rng, col):
 
 def gen_query(rng: random.Random) -> str:
     kind = rng.choice(
-        ["agg_l", "agg_join", "proj_filter", "agg_having", "window", "setop"]
+        ["agg_l", "agg_join", "proj_filter", "agg_having", "window", "setop", "exists"]
     )
+    if kind == "exists":
+        qty = rng.randint(35, 49)
+        neg = rng.choice(["", "NOT "])
+        return (
+            f"SELECT o_orderkey, o_orderstatus FROM orders WHERE {neg}EXISTS ("
+            f"  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+            f"  AND l_quantity > {qty}"
+            f") AND o_totalprice > {rng.randint(100, 300) * 1000} "
+            f"ORDER BY o_orderkey"
+        )
     if kind == "window":
         # rank/row_number/running-sum over a keyed partition; the
         # output is keyed by (o_orderkey) so rows sort deterministically
