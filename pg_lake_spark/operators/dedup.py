@@ -215,48 +215,25 @@ def lsh_candidate_pairs(
     # materializes the bounded pair set once; blocks free when the
     # result is dereferenced (no session-lifetime cache leak, unlike
     # persist()). Same design as simhash_pairs' signature checkpoint.
-    if max_bucket_size is not None:
-        # Capped path: the window cap bounds every bucket at
-        # max_bucket_size ids, so collecting a bucket into ONE sorted
-        # array is memory-safe — and in-array combination generation
-        # replaces the self-join (one aggregation, no join, no second
-        # sort; measured ~25% off candidate generation at sf0.1).
-        banded = _cap_buckets(banded, max_bucket_size)
-        grouped = (
-            banded.groupBy("band", "bucket")
-            .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
-            .filter(F.size("ids") > 1)
+    banded = _cap_buckets(banded, max_bucket_size)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    # In-bucket self-join for pairs. (An in-array combination expansion
+    # per collected bucket was tried in r7 and is ~25% faster on
+    # narrow-bucket configs but SLOWER at this query's real parameters:
+    # wide buckets concentrate the O(w^2) expansion into one task,
+    # while the join spreads pairs across partitions.)
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
         )
-        cand = (
-            grouped.select(
-                F.explode(
-                    F.expr(
-                        "flatten(transform(ids, (a, i) -> "
-                        "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                        "b -> struct(a AS id_a, b AS id_b))))"
-                    )
-                ).alias("p")
-            )
-            .select("p.id_a", "p.id_b")
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-    else:
-        # Uncapped: bucket width is unbounded, so pairs must come from
-        # the streaming-friendly self-join, never a collected array.
-        left = banded.alias("l")
-        right = banded.alias("r")
-        cand = (
-            left.join(
-                right,
-                (F.col("l.band") == F.col("r.band"))
-                & (F.col("l.bucket") == F.col("r.bucket"))
-                & (F.col("l._id") < F.col("r._id")),
-            )
-            .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     cand_ids = (
         cand.select(F.col("id_a").alias("_id"))
         .union(cand.select(F.col("id_b").alias("_id")))
