@@ -82,3 +82,38 @@ def test_t_joint_union_area_property(h0, h1, w):
     u = _overlay_geoms(a, b, "union")
     want = 10 * 1 + w * (h1 - h0)
     assert abs(_area_of(*_parse(u)) - want) <= max(1e-6, want * 1e-4)
+
+
+def test_strftime_translation_end_to_end(spark):
+    """strftime_to_java validated at the OUTPUT level: Java's
+    DateTimeFormatter with the translated pattern must render the same
+    text Python's strftime renders for the original — including
+    literal-% and quoted-letter cases."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from pg_lake_spark.sources.writers import strftime_to_java
+
+    fmts = [
+        "%Y-%m-%d", "%d/%m/%Y %H:%M:%S", "%Y%%", "%%S", "T%HZ",
+        "%Y-%m-%dT%H:%M:%S", "%I %p", "%j", "%y.%m",
+    ]
+    dts = [
+        datetime.datetime(2021, 3, 7, 4, 5, 6),
+        datetime.datetime(1999, 12, 31, 23, 59, 58),
+        datetime.datetime(2024, 1, 1, 12, 0, 0),
+    ]
+    df = spark.createDataFrame([(d,) for d in dts], "ts timestamp")
+    sel = [
+        F.date_format("ts", strftime_to_java(f)).alias(f"f{i}")
+        for i, f in enumerate(fmts)
+    ]
+    rows = df.orderBy("ts").collect()
+    got = df.orderBy("ts").select(*sel).collect()
+    for d, row in zip(sorted(dts), got):
+        for i, f in enumerate(fmts):
+            want = d.strftime(f)
+            # Java uses locale AM/PM capitalization; PG/python lowercase
+            # handled by the to_char shim, not here — normalize
+            assert row[f"f{i}"].replace("AM", "AM").upper() == want.upper(), (f, row[f"f{i}"], want)
