@@ -111,6 +111,10 @@ def main() -> None:
         app_name="pg_lake_spark-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(os.environ.get("PG_LAKE_SHUFFLE_PARTITIONS", "32")),
+        # Console progress bars land on stdout and eat the driver's
+        # 2000-char tail-capture budget (visible in BENCH_r06 tail);
+        # keep stdout clean so the final JSON line survives.
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -188,27 +192,44 @@ def main() -> None:
                 sf1_result = {"sf1_skipped": f"{type(exc).__name__}: {exc}"[:200]}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-                "repeats": repeats,
-                "dml_suite_seconds": round(dml_total, 4),
-                "dml_queries": dml_timings,
-                "spatial_suite_seconds": round(spatial_total, 4),
-                "spatial_queries": spatial_timings,
-                "pipeline_suite_seconds": round(pipeline_total, 4),
-                "pipeline_queries": pipeline_timings,
-                "tpcds_suite_seconds": round(tpcds_total, 4),
-                "tpcds_queries": tpcds_timings,
-                **sf1_result,
-            }
-        )
-    )
+    # Two-line emission (r8 fix for BENCH_r07 parsed:null): the driver
+    # tail-captures stdout, so the per-query detail maps — which grew past
+    # the capture window in r7 and truncated the leading "value" field —
+    # now ride on a PRECEDING line (and a sidecar file), while the FINAL
+    # stdout line is the compact headline object the driver parses.
+    detail = {
+        "detail": "per_query_seconds",
+        "queries": timings,
+        "dml_queries": dml_timings,
+        "spatial_queries": spatial_timings,
+        "pipeline_queries": pipeline_timings,
+        "tpcds_queries": tpcds_timings,
+        **{k: v for k, v in sf1_result.items() if k == "sf1_queries"},
+    }
+    print(json.dumps(detail))
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    headline_obj = {
+        "metric": "headline_suite_seconds",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        "repeats": repeats,
+        "dml_suite_seconds": round(dml_total, 4),
+        "spatial_suite_seconds": round(spatial_total, 4),
+        "pipeline_suite_seconds": round(pipeline_total, 4),
+        "tpcds_suite_seconds": round(tpcds_total, 4),
+        **{k: v for k, v in sf1_result.items() if k != "sf1_queries"},
+    }
+    line = json.dumps(headline_obj)
+    if len(line) > 1700:  # driver tail-captures 2000 chars; keep margin
+        headline_obj.pop("queries", None)
+        line = json.dumps(headline_obj)
+    print(line)
     spark.stop()
 
 
