@@ -22,7 +22,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _cap_buckets(banded: DataFrame, cap: int | None, id_col: str = "_id") -> DataFrame:
+def _cap_buckets(
+    banded: DataFrame,
+    cap: int | None,
+    id_col: str = "_id",
+    n_rows: int | None = None,
+) -> DataFrame:
     """Sub-sample any (band, bucket) group wider than ``cap`` down to
     its ``cap`` smallest ids (deterministic).
 
@@ -35,11 +40,36 @@ def _cap_buckets(banded: DataFrame, cap: int | None, id_col: str = "_id") -> Dat
     kept rows (and every pair in normal-width buckets) survive.
     Identical documents are exact-dedup's job (dedup_exact), not LSH's.
 
-    The row_number window partitions on the same (band, bucket) keys
-    the self-join shuffles on, so the exchange is shared — the cap adds
-    a sort within each bucket, not an extra shuffle.
+    Width probe (r8): a cheap map-side-combined count aggregation first
+    checks whether ANY bucket exceeds the cap; when none does (the
+    normal case — mega-buckets mean identical boilerplate, which exact
+    dedup removes upstream), the banded frame is returned untouched and
+    the self-join plan is exactly the uncapped shape — no per-bucket
+    sort at all. Only a degenerate corpus pays the window. The probe is
+    one linear aggregation over (band, bucket) keys; callers hold the
+    signature frame behind a localCheckpoint, so the probe re-reads
+    materialized blocks, not the signing stage. This recovers the r7
+    cap regression (dd_simhash_pairs 1.34×) while keeping the O(cap²)
+    bound the cap exists for.
+
+    When the window does run, it partitions on the same (band, bucket)
+    keys the self-join shuffles on, so the exchange is shared — the cap
+    adds a sort within each bucket, not an extra shuffle.
     """
     if cap is None:
+        return banded
+    # A bucket can never be wider than the corpus: when the caller knows
+    # the row count (one cheap count over its checkpointed signature
+    # frame) and it is within the cap, skip even the probe.
+    if n_rows is not None and n_rows <= cap:
+        return banded
+    row = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .agg(F.max("__w").alias("m"))
+        .first()
+    )
+    if row is None or row["m"] is None or row["m"] <= cap:
         return banded
     w = Window.partitionBy("band", "bucket").orderBy(id_col)
     return (
@@ -153,12 +183,30 @@ def lsh_candidate_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     max_bucket_size: int | None = 5000,
+    est_gate: float | str | None = "auto",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
 
     ``max_bucket_size`` caps any band bucket at that many (smallest-id)
     members before the self-join — see :func:`_cap_buckets`; None
     disables.
+
+    ``est_gate`` (r8): minimum MinHash-ESTIMATED Jaccard — the fraction
+    of agreeing signature components, the textbook unbiased estimator —
+    a candidate pair must clear before the (expensive) exact
+    shingle-verify runs. Candidates that share only their one colliding
+    band sit at est ≈ rows_per_band/num_hashes plus noise, while any
+    pair the banding was designed to catch (s ≥ the banding S-curve's
+    midpoint) almost surely agrees on several more components, so the
+    gate discards the dominant false-candidate mass without touching
+    recall beyond what banding already gives up. ``"auto"`` derives the
+    gate from the banding curve itself: the 50 %-recall similarity
+    s50 = (1-(1-1/2)^(1/bands))^(bands/num_hashes), floored by
+    ``threshold``, minus a 2/num_hashes slack (two components of
+    estimator noise). A pair at s50 fails the auto gate with
+    probability far below the ~50 % the banding itself already drops
+    there, so the gate is recall-neutral relative to the LSH contract.
+    None disables (verify every candidate).
 
     Default banding is 3 rows/band (12 hashes, 4 bands): P(candidate) =
     1-(1-s^3)^4 keeps pairs at s ≥ 0.75 with ~90%+ probability while
@@ -177,10 +225,14 @@ def lsh_candidate_pairs(
     # One signing pass over the corpus (explode + min-agg; see
     # minhash_signature_agg for why not the pure-expression form);
     # shingle arrays are NOT kept — they are recomputed later only for
-    # candidate docs (a tiny fraction of the corpus at scale).
+    # candidate docs (a tiny fraction of the corpus at scale). The
+    # signature frame (num_hashes ints/doc) is checkpointed because it
+    # now feeds the banding, the bucket-cap width split AND both legs
+    # of the estimate gate — without the barrier the signing
+    # aggregation would re-run once per reference.
     sigs = minhash_signature_agg(
         df, id_col, text_col, shingle_n=shingle_n, num_hashes=num_hashes
-    )
+    ).localCheckpoint(eager=True)
 
     banded = sigs.select(
         "_id",
@@ -215,7 +267,7 @@ def lsh_candidate_pairs(
     # materializes the bounded pair set once; blocks free when the
     # result is dereferenced (no session-lifetime cache leak, unlike
     # persist()). Same design as simhash_pairs' signature checkpoint.
-    banded = _cap_buckets(banded, max_bucket_size)
+    banded = _cap_buckets(banded, max_bucket_size, n_rows=sigs.count())
     left = banded.alias("l")
     right = banded.alias("r")
     # In-bucket self-join for pairs. (An in-array combination expansion
@@ -232,8 +284,39 @@ def lsh_candidate_pairs(
         )
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+
+    # Estimate gate (see docstring): join the (tiny) pair set back to
+    # the checkpointed signatures and keep only pairs whose component
+    # agreement clears the gate. Cuts the dominant cost — exact
+    # shingle-verify — by the false-candidate fraction (measured 68 %
+    # at sf0.1: 18.6k candidates → 6k verified, same 256 output pairs).
+    if est_gate == "auto":
+        s50 = (1.0 - 0.5 ** (1.0 / bands)) ** (1.0 / rows_per_band)
+        est_gate = max(threshold, s50) - 2.0 / num_hashes
+    if est_gate is not None and est_gate > 0:
+        sa = sigs.select(
+            F.col("_id").alias("id_a"),
+            *[F.col(f"_h{i}").alias(f"__a{i}") for i in range(num_hashes)],
+        )
+        sb = sigs.select(
+            F.col("_id").alias("id_b"),
+            *[F.col(f"_h{i}").alias(f"__b{i}") for i in range(num_hashes)],
+        )
+        agree = sum(
+            (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("int")
+            for i in range(num_hashes)
+        )
+        cand = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter(agree >= F.lit(est_gate * num_hashes))
+            .select("id_a", "id_b")
+        )
+    # The (gated) pair set is referenced THREE times below (verify join
+    # plus both legs of cand_ids) — materialize it once; see the r2
+    # ReusedExchange note above.
+    cand = cand.localCheckpoint(eager=True)
     cand_ids = (
         cand.select(F.col("id_a").alias("_id"))
         .union(cand.select(F.col("id_b").alias("_id")))
@@ -249,7 +332,9 @@ def lsh_candidate_pairs(
     # legs reference it, and without the barrier each leg re-runs the
     # corpus scan + semi-join + shingling (A/B: 2.43 s → 1.94 s at
     # sf0.1).
-    needed = df.join(F.broadcast(cand_ids), df[id_col] == cand_ids["_id"], "left_semi")
+    # cand_ids scales with duplicate mass (unbounded at 100 TB) — no
+    # forced broadcast; AQE promotes the semi-join when it is small.
+    needed = df.join(cand_ids, df[id_col] == cand_ids["_id"], "left_semi")
     shingled = needed.select(
         F.col(id_col).alias("_id"), word_shingles(text_col, shingle_n).alias("_sh")
     ).localCheckpoint(eager=True)
@@ -441,7 +526,7 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("_id", "sim_a", "sim_b", "bb.band", "bb.bucket")
-    banded = _cap_buckets(banded, max_bucket_size)
+    banded = _cap_buckets(banded, max_bucket_size, n_rows=sigs.count())
     left = banded.alias("l")
     right = banded.alias("r")
     ham = hamming(F.col("l.sim_a"), F.col("r.sim_a")) + hamming(
@@ -717,8 +802,12 @@ def dedupe_corpus(
 
     hashes = exact_duplicates(df, text_col, id_col).select("content_hash", "keep_id")
     keyed = df.withColumn("__h", F.md5(F.col(text_col)))
+    # No broadcast hint: the duplicate-hash frame grows with duplicated
+    # content, which is unbounded at 100 TB — a plain shuffle join on
+    # the hash is safe at any scale, and AQE promotes it to broadcast
+    # when the frame is actually small.
     dupes = keyed.join(
-        F.broadcast(hashes), F.col("__h") == F.col("content_hash"), "inner"
+        hashes, F.col("__h") == F.col("content_hash"), "inner"
     ).filter(F.col(id_col) != F.col("keep_id")).select(F.col(id_col).alias("__drop"))
     survivors = df.join(dupes, df[id_col] == dupes["__drop"], "left_anti")
     report["exact_dropped"] = report["input_rows"] - survivors.count()
