@@ -469,10 +469,17 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
         q = t.metadata.properties.get("matview_sql")
         if not q:
             raise ValueError(f"{name!r} has no stored matview_sql — not a materialized view")
-        fresh = sess.spark.sql(_expand_lake_file_list(sess, q))
-        # truncate + append: two snapshots, so time travel still reads
-        # the pre-refresh contents (the pg_cron rebuild workflow, but
-        # with lakehouse versioning instead of a full swap)
+        # Materialize the defining query BEFORE touching the matview:
+        # PG's REFRESH is atomic — if the query fails at runtime
+        # (dropped source view, schema drift), prior contents must
+        # survive. The eager checkpoint evaluates the full query; only
+        # on success do we truncate + append (two snapshots, so time
+        # travel still reads the pre-refresh contents — the pg_cron
+        # rebuild workflow, but with lakehouse versioning instead of a
+        # full swap).
+        fresh = sess.spark.sql(_expand_lake_file_list(sess, q)).localCheckpoint(
+            eager=True
+        )
         t.delete("true")
         t.append(fresh)
         t.refresh().to_df().createOrReplaceTempView(name)
@@ -728,6 +735,21 @@ def _align_positional(df: DataFrame, table) -> DataFrame:
     return df.toDF(*fields)
 
 
+def _cast_to_table(df: DataFrame, table) -> DataFrame:
+    """Cast columns to the target table's declared types (PG semantics:
+    INSERT coerces to the column type, and RETURNING shows the column
+    type — not the literal's inferred type, e.g. int for VALUES (5))."""
+    from pyspark.sql import functions as F
+
+    by_name = {f.name: f.dataType for f in table.to_df().schema.fields}
+    return df.select(
+        *[
+            F.col(c).cast(by_name[c]).alias(c) if c in by_name else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 def _handle_or_none(sess, name: str):
     """Lake table for ``name``, or None when the statement should pass
     through to spark.sql (DML over non-lake relations)."""
@@ -838,8 +860,18 @@ def _ret_cols(ret: str, talias: str, name: str) -> list[str]:
     return cols
 
 
-def _ret_df(sess, rows, cols):
+def _ret_df(sess, rows, cols, t=None):
     if not rows:
+        # Empty RETURNING: derive the schema from the target table so
+        # the result schema is consistent with the non-empty case
+        # (previously fabricated all-string).
+        if t is not None:
+            from pyspark.sql.types import StructType
+
+            by_name = {f.name: f for f in t.to_df().schema.fields}
+            fields = [by_name[c] for c in cols if c in by_name]
+            if len(fields) == len(cols):
+                return sess.spark.createDataFrame([], StructType(fields))
         return sess.spark.createDataFrame([], ", ".join(f"{c} string" for c in cols))
     return sess.spark.createDataFrame(rows)
 
@@ -869,7 +901,7 @@ def execute_lake_dml(sess, sql: str):
             condition=extra, returning=ret,
         )
         t.refresh().to_df().createOrReplaceTempView(name)
-        return _ret_df(sess, res["returning"], ret) if ret else True
+        return _ret_df(sess, res.get("returning") or [], ret, t) if ret else True
 
     m = _DELETE_USING.match(sql)
     if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
@@ -882,7 +914,7 @@ def execute_lake_dml(sess, sql: str):
             _src_df(sess, m.group("src")), keys, condition=extra, returning=ret
         )
         t.refresh().to_df().createOrReplaceTempView(name)
-        return _ret_df(sess, res["returning"], ret) if ret else True
+        return _ret_df(sess, res.get("returning") or [], ret, t) if ret else True
 
     m = _INSERT.match(sql)
     if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
@@ -891,19 +923,19 @@ def execute_lake_dml(sess, sql: str):
         if m.group("cols"):
             names = [c.strip().strip('"') for c in m.group("cols").split(",")]
             df = df.toDF(*names)
-        aligned = _align_positional(df, t)
+        aligned = _cast_to_table(_align_positional(df, t), t)
         ret = None
         if ret_clause:
             # pin one evaluation: RETURNING must show exactly the rows
-            # the append writes
+            # the append writes. The result is a DataFrame view of the
+            # checkpointed frame — never collected on the driver (an
+            # INSERT...SELECT RETURNING can be arbitrarily large), and
+            # the schema is the true insert schema even when empty.
             aligned = aligned.localCheckpoint(eager=True)
-            cols = _ret_cols(ret_clause, name, name)
-            rows = (
-                aligned.collect()
-                if ret_clause.strip() == "*"
-                else aligned.select(*cols).collect()
-            )
-            ret = _ret_df(sess, rows, aligned.columns if ret_clause.strip() == "*" else cols)
+            if ret_clause.strip() == "*":
+                ret = aligned
+            else:
+                ret = aligned.select(*_ret_cols(ret_clause, name, name))
         t.append(aligned)
         t.to_df().createOrReplaceTempView(name)
         return ret if ret is not None else True
@@ -913,7 +945,7 @@ def execute_lake_dml(sess, sql: str):
         ret = _ret_cols(ret_clause, name, name) if ret_clause else None
         res = t.delete(m.group("pred") or "true", returning=ret)
         t.to_df().createOrReplaceTempView(name)
-        return _ret_df(sess, res["returning"], ret) if ret else True
+        return _ret_df(sess, res.get("returning") or [], ret, t) if ret else True
     m = _UPDATE.match(sql)
     if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
         name = m.group("name").strip('"')
@@ -924,7 +956,7 @@ def execute_lake_dml(sess, sql: str):
             returning=ret,
         )
         t.to_df().createOrReplaceTempView(name)
-        return _ret_df(sess, res["returning"], ret) if ret else True
+        return _ret_df(sess, res.get("returning") or [], ret, t) if ret else True
     m = _MERGE.match(sql)
     if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
         name = m.group("name").strip('"')

@@ -382,15 +382,16 @@ def pg_regexp_replace(
     repl = _pg_repl_to_java(replacement)
     if "g" in flags:
         return F.regexp_replace(s, pat, repl)
-    matched = F.regexp_extract(s, f"({pat})", 1)
+    # group 0 = whole match: wrapping the pattern in a new capturing
+    # group would shift group numbers and break patterns containing
+    # their own backreferences (e.g. '(\\w)\\1')
+    matched = F.regexp_extract(s, pat, 0)
     # position of the first match (1-based; 0 = no match)
     pos = F.call_function("regexp_instr", s, F.lit(pat))
     prefix = F.substring(s, F.lit(1), pos - 1)
     rest = F.substring(s, pos + F.length(matched), F.length(s))
     # apply backreferences by replacing within the matched text only,
-    # anchored so the groups bind exactly as they did in context
+    # anchored (non-capturing, so internal group numbering is
+    # preserved) so the groups bind exactly as they did in context
     replaced = F.regexp_replace(matched, f"^(?:{pat})$", repl)
-    # fall back to plain anchored pattern when the anchored form fails
-    # to re-match (rare: context-dependent matches); then use repl as-is
-    replaced = F.when(replaced == matched, F.regexp_replace(matched, pat, repl)).otherwise(replaced)
     return F.when(pos == 0, s).otherwise(F.concat(prefix, replaced, rest))

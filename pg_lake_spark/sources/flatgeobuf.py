@@ -493,8 +493,12 @@ def write_flatgeobuf_df(df, path: str, *, geom_col: str = "geometry",
                 wkb = row[geom_col]
                 row[geom_col] = bytes(wkb) if wkb is not None else None
                 for k in str_cols:  # dates/timestamps serialize as text
-                    if row[k] is not None and not isinstance(row[k], str):
-                        row[k] = str(row[k])
+                    v = row[k]
+                    if v is not None and not isinstance(v, str):
+                        # pandas NaT must become null, not the literal
+                        # string 'NaT' (the float-NaN loop below never
+                        # sees it once stringified)
+                        row[k] = None if pd.isna(v) else str(v)
                 for k, v in row.items():
                     if v is not None and isinstance(v, float) and pd.isna(v):
                         row[k] = None

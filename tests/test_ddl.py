@@ -616,3 +616,57 @@ def test_drop_matview_if_exists_noop(sess):
 
     with _pytest.raises(ValueError, match="does not exist"):
         sess.execute("DROP MATERIALIZED VIEW never_created_2")
+
+
+def test_refresh_matview_atomic_on_failure(spark, tmp_path, sess):
+    """REFRESH must keep prior contents when the defining query fails at
+    runtime (PG's REFRESH is atomic): the fresh result is materialized
+    BEFORE the truncate (review finding: delete-then-evaluate left the
+    matview committed-empty on error)."""
+    src = str(tmp_path / "am_src.csv")
+    open(src, "w").write("k,v\n1,10\n")
+    sess.execute(
+        f"CREATE FOREIGN TABLE am_src () SERVER pg_lake "
+        f"OPTIONS (path '{src}', format 'csv', header 'true')"
+    )
+    sess.execute("CREATE MATERIALIZED VIEW am_mv AS SELECT k, v FROM am_src")
+    assert sess.execute("SELECT * FROM am_mv").count() == 1
+    # break the source: drop the view the query reads
+    spark.catalog.dropTempView("am_src")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        sess.execute("REFRESH MATERIALIZED VIEW am_mv")
+    # prior contents intact
+    assert sess.execute("SELECT * FROM am_mv").count() == 1
+
+
+def test_insert_returning_empty_and_schema(spark, tmp_path, sess):
+    """INSERT ... RETURNING returns a DataFrame with the true insert
+    schema (not all-string), including when the source is empty; the
+    result is never driver-collected (review finding)."""
+    sess.execute(
+        f"CREATE TABLE ire_t (k bigint, v string) USING iceberg "
+        f"WITH (location = '{tmp_path}/ire_t')"
+    )
+    out = sess.execute(
+        "INSERT INTO ire_t SELECT CAST(1 AS bigint) k, 'x' v WHERE 1=0 RETURNING k"
+    )
+    assert out.schema["k"].dataType.simpleString() == "bigint"
+    assert out.count() == 0
+    out = sess.execute("INSERT INTO ire_t VALUES (5, 'e') RETURNING *")
+    assert out.schema["k"].dataType.simpleString() == "bigint"
+    assert [(r.k, r.v) for r in out.collect()] == [(5, "e")]
+
+
+def test_update_returning_empty_schema_from_table(spark, tmp_path, sess):
+    """Empty UPDATE ... RETURNING derives its schema from the target
+    table instead of fabricating all-string columns."""
+    sess.execute(
+        f"CREATE TABLE ure_t (k bigint, v string) USING iceberg "
+        f"WITH (location = '{tmp_path}/ure_t')"
+    )
+    sess.execute("INSERT INTO ure_t VALUES (1, 'a')")
+    out = sess.execute("UPDATE ure_t SET v = 'z' WHERE k = 999 RETURNING k")
+    assert out.count() == 0
+    assert out.schema["k"].dataType.simpleString() == "bigint"
