@@ -180,3 +180,214 @@ def cb_funnel_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type", "h")
     )
+
+
+@query(
+    "cb_url_domain_topn",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id, lang,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'https://www.' || source || '.example.com/docs/'
+                           || CAST(doc_id % 50 AS VARCHAR)
+               WHEN 1 THEN 'http://' || source || '.example.org/p/'
+                           || CAST(doc_id % 50 AS VARCHAR) || '?ref=home'
+               ELSE 'https://cdn.' || source || '.example.net/a/'
+                    || CAST(doc_id % 50 AS VARCHAR) || '#frag'
+             END AS url
+      FROM documents
+    )
+    SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+           count(*) AS n_pages,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM urls
+    GROUP BY regexp_extract(url, '^https?://([^/]+)', 1)
+    ORDER BY n_pages DESC, domain
+    LIMIT 20
+    """,
+    doc="ClickBench shape (hits Q: 'top domains'): regex domain "
+    "extraction from a URL column feeding a high-cardinality GROUP BY "
+    "with tie-broken top-N. The URL is synthesized deterministically "
+    "from (source, doc_id) identically in both engines; extraction and "
+    "grouping are pure JVM expressions, TopK fuses to "
+    "TakeOrderedAndProject.",
+)
+def cb_url_domain_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    k = (F.col("doc_id") % 50).cast("string")
+    url = (
+        F.when(
+            (F.col("doc_id") % 3).cast("int") == 0,
+            F.concat(F.lit("https://www."), F.col("source"),
+                     F.lit(".example.com/docs/"), k),
+        )
+        .when(
+            (F.col("doc_id") % 3).cast("int") == 1,
+            F.concat(F.lit("http://"), F.col("source"),
+                     F.lit(".example.org/p/"), k, F.lit("?ref=home")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://cdn."), F.col("source"),
+                     F.lit(".example.net/a/"), k, F.lit("#frag")),
+        )
+    )
+    domain = F.regexp_extract(url, r"^https?://([^/]+)", 1)
+    return (
+        t["documents"]
+        .groupBy(domain.alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .orderBy(F.col("n_pages").desc(), "domain")
+        .limit(20)
+    )
+
+
+@query(
+    "cb_multi_like_funnel",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN text LIKE '%join%' THEN 1 ELSE 0 END) AS BIGINT) AS has_join,
+           CAST(sum(CASE WHEN text LIKE '%join%' AND text LIKE '%merge%'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS join_merge,
+           CAST(sum(CASE WHEN text LIKE '%join%' AND text LIKE '%merge%'
+                         AND text NOT LIKE '%error%'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS join_merge_clean
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="ClickBench shape (hits Q: multi-term LIKE funnel over URL/"
+    "Title): successive LIKE-conjunction counts computed as CASE "
+    "aggregates in ONE scan — the funnel never rescans, each stage is "
+    "a tighter conjunction. All stages are substring predicates inside "
+    "whole-stage codegen.",
+)
+def cb_multi_like_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    has_join = F.col("text").like("%join%")
+    has_merge = F.col("text").like("%merge%")
+    has_error = F.col("text").like("%error%")
+    one = F.lit(1)
+    zero = F.lit(0)
+    return (
+        t["documents"]
+        .groupBy("lang")
+        .agg(
+            F.count(one).alias("n_docs"),
+            F.sum(F.when(has_join, one).otherwise(zero)).alias("has_join"),
+            F.sum(F.when(has_join & has_merge, one).otherwise(zero)).alias("join_merge"),
+            F.sum(
+                F.when(has_join & has_merge & ~has_error, one).otherwise(zero)
+            ).alias("join_merge_clean"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "cb_event_funnel_users",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_users
+    FROM (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'click'    THEN ts END) AS first_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    WHERE first_click IS NOT NULL
+      AND first_purchase IS NOT NULL
+      AND first_click < first_purchase
+    """,
+    doc="ClickBench/funnel shape (windowFunnel analogue): users whose "
+    "first click precedes their first purchase. The sequence condition "
+    "collapses to conditional MIN aggregates per user — one shuffle, "
+    "no self-join, no per-user sort.",
+)
+def cb_event_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    first = lambda typ: F.min(F.when(F.col("event_type") == typ, F.col("ts")))
+    per_user = t["events"].groupBy("user_id").agg(
+        first("click").alias("first_click"),
+        first("purchase").alias("first_purchase"),
+    )
+    return per_user.filter(
+        F.col("first_click").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_click") < F.col("first_purchase"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+
+
+@query(
+    "cb_hour_type_matrix",
+    oracle="""
+    SELECT CAST(hour(ts) AS INT) AS hr, event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY hour(ts), event_type
+    HAVING count(*) > 5
+    ORDER BY hr, event_type
+    """,
+    doc="ClickBench shape (hits Q: traffic by hour and type): "
+    "hour-of-day x event-type matrix with a distinct-user count and a "
+    "HAVING floor. Distinct count expands to a two-phase aggregate; "
+    "partials combine map-side.",
+)
+def cb_hour_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.hour("ts").cast("int").alias("hr"), "event_type")
+        .agg(
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .filter(F.col("n_events") > 5)
+        .orderBy("hr", "event_type")
+    )
+
+
+@query(
+    "cb_value_band_topsources",
+    oracle="""
+    SELECT source,
+           CASE WHEN n_chars < 0 THEN 0
+                WHEN n_chars >= 2000 THEN 9
+                ELSE CAST(floor(n_chars / 2000.0 * 8) AS INT) + 1
+           END AS len_band,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents
+    GROUP BY source,
+           CASE WHEN n_chars < 0 THEN 0
+                WHEN n_chars >= 2000 THEN 9
+                ELSE CAST(floor(n_chars / 2000.0 * 8) AS INT) + 1
+           END
+    ORDER BY n_docs DESC, source, len_band
+    LIMIT 25
+    """,
+    doc="ClickBench shape (hits Q: size-band histograms per referrer): "
+    "width_bucket banding of a measure crossed with a dimension, "
+    "tie-broken top-N of the densest cells.",
+)
+def cb_value_band_topsources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy(
+            "source",
+            F.width_bucket(
+                F.col("n_chars"), F.lit(0.0), F.lit(2000.0), F.lit(8)
+            ).cast("int").alias("len_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy(F.col("n_docs").desc(), "source", "len_band")
+        .limit(25)
+    )

@@ -1170,3 +1170,288 @@ def dsq96_multi_filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@query(
+    "dsq64_cross_year_wide_join",
+    oracle="""
+    WITH sales AS (
+      SELECT p_partkey, p_name, CAST(year(o_orderdate) AS INT) AS yr,
+             count(*) AS n_sales,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+                  AS BIGINT) AS revenue_cents
+      FROM lineitem
+      JOIN orders   ON l_orderkey  = o_orderkey
+      JOIN customer ON o_custkey   = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN part     ON l_partkey   = p_partkey
+      JOIN supplier ON l_suppkey   = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE p_size <= 25
+      GROUP BY p_partkey, p_name, year(o_orderdate)
+    )
+    SELECT s1.p_partkey AS p_partkey, s1.p_name AS p_name,
+           s1.n_sales AS n_1997, s2.n_sales AS n_1998,
+           s1.revenue_cents AS rev_1997_cents,
+           s2.revenue_cents AS rev_1998_cents
+    FROM sales s1 JOIN sales s2 ON s1.p_partkey = s2.p_partkey
+    WHERE s1.yr = 1997 AND s2.yr = 1998 AND s2.revenue_cents > s1.revenue_cents
+    ORDER BY p_partkey
+    """,
+    doc="TPC-DS Q64 shape: one wide multi-join CTE (fact + 6 dimension "
+    "hops, two nation roles) aggregated per (item, year), then "
+    "self-joined across two years keeping items whose revenue grew. "
+    "The CTE aggregates BEFORE the self-join, so the year-vs-year join "
+    "runs over the small grouped frame; all dims broadcast through the "
+    "size gate; the fact shuffles once for the aggregate.",
+)
+def dsq64_cross_year_wide_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cn = t["nation"].select(F.col("n_nationkey").alias("cn_key"))
+    sn = t["nation"].select(F.col("n_nationkey").alias("sn_key"))
+    # money as exact integer cents: per-line rounding is bit-identical
+    # across engines and the integer sum is order-independent, so the
+    # cross-engine compare cannot hit a .005 rounding boundary
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+        "bigint"
+    )
+    sales = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(_bcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_bcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(_bcast(t["part"].filter(F.col("p_size") <= 25)),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(_bcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_bcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy("p_partkey", "p_name", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sales"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+    )
+    s1 = sales.filter(F.col("yr") == 1997).alias("s1")
+    s2 = sales.filter(F.col("yr") == 1998).alias("s2")
+    return (
+        s1.join(s2, F.col("s1.p_partkey") == F.col("s2.p_partkey"))
+        .filter(F.col("s2.revenue_cents") > F.col("s1.revenue_cents"))
+        .select(
+            F.col("s1.p_partkey").alias("p_partkey"),
+            F.col("s1.p_name").alias("p_name"),
+            F.col("s1.n_sales").alias("n_1997"),
+            F.col("s2.n_sales").alias("n_1998"),
+            F.col("s1.revenue_cents").alias("rev_1997_cents"),
+            F.col("s2.revenue_cents").alias("rev_1998_cents"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "dsq72_late_ship_chain",
+    oracle="""
+    SELECT p_brand, count(*) AS n_late
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey  = p_partkey
+    JOIN supplier ON l_suppkey  = s_suppkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND o_orderpriority LIKE '%URGENT%'
+    GROUP BY p_brand
+    ORDER BY n_late DESC, p_brand
+    LIMIT 15
+    """,
+    doc="TPC-DS Q72 shape: a broadcast-dimension chain on the fact "
+    "with a date-window INEQUALITY inside the join predicate (DS joins "
+    "d1.d_date < d2.d_date across date-dim roles; here ship lag vs "
+    "order date) — the inequality rides the equi-join on the order "
+    "key, never a cross product. part/supplier broadcast; one shuffle "
+    "for the brand aggregate.",
+)
+def dsq72_late_ship_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+            & F.col("o_orderpriority").like("%URGENT%")
+        )
+        .join(_bcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(_bcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_late"))
+        .orderBy(F.col("n_late").desc(), "p_brand")
+        .limit(15)
+    )
+
+
+@query(
+    "dsq78_channel_fullouter_ratio",
+    oracle="""
+    WITH ship AS (
+      SELECT o_custkey AS custkey, CAST(year(l_shipdate) AS INT) AS yr,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+                  AS BIGINT) AS ship_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag <> 'R'
+      GROUP BY o_custkey, year(l_shipdate)
+    ), ret AS (
+      SELECT o_custkey AS custkey, CAST(year(l_shipdate) AS INT) AS yr,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+                  AS BIGINT) AS ret_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+      GROUP BY o_custkey, year(l_shipdate)
+    )
+    SELECT coalesce(s.custkey, r.custkey) AS custkey,
+           coalesce(s.yr, r.yr) AS yr,
+           CAST(coalesce(s.ship_cents, 0) AS BIGINT) AS ship_cents,
+           CAST(coalesce(r.ret_cents, 0) AS BIGINT) AS ret_cents
+    FROM ship s FULL OUTER JOIN ret r ON s.custkey = r.custkey AND s.yr = r.yr
+    WHERE coalesce(r.ret_cents, 0) > coalesce(s.ship_cents, 0)
+    ORDER BY custkey, yr
+    """,
+    doc="TPC-DS Q78 shape: two channel aggregates (kept vs returned "
+    "revenue per customer-year) FULL OUTER joined on the grouped keys, "
+    "COALESCE-merged, keeping customers whose returns exceed keeps — "
+    "customers present in only one channel must survive the outer "
+    "join. Both aggregates reduce the fact before the (small) "
+    "full-outer shuffle; the predicate compares RAW sums (rounding "
+    "only for display).",
+)
+def dsq78_channel_fullouter_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    # exact integer cents (see dsq64 note): order-independent sums, no
+    # cross-engine rounding-boundary flips in the 2.5k-row output
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+        "bigint"
+    )
+    base = t["lineitem"].join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+    ship = (
+        base.filter(F.col("l_returnflag") != "R")
+        .groupBy(
+            F.col("o_custkey").alias("s_custkey"),
+            F.year("l_shipdate").cast("int").alias("s_yr"),
+        )
+        .agg(F.sum(cents).alias("s_cents"))
+    )
+    ret = (
+        base.filter(F.col("l_returnflag") == "R")
+        .groupBy(
+            F.col("o_custkey").alias("r_custkey"),
+            F.year("l_shipdate").cast("int").alias("r_yr"),
+        )
+        .agg(F.sum(cents).alias("r_cents"))
+    )
+    return (
+        ship.join(
+            ret,
+            (F.col("s_custkey") == F.col("r_custkey")) & (F.col("s_yr") == F.col("r_yr")),
+            "full_outer",
+        )
+        .filter(
+            F.coalesce(F.col("r_cents"), F.lit(0)) > F.coalesce(F.col("s_cents"), F.lit(0))
+        )
+        .select(
+            F.coalesce(F.col("s_custkey"), F.col("r_custkey")).alias("custkey"),
+            F.coalesce(F.col("s_yr"), F.col("r_yr")).alias("yr"),
+            F.coalesce(F.col("s_cents"), F.lit(0)).alias("ship_cents"),
+            F.coalesce(F.col("r_cents"), F.lit(0)).alias("ret_cents"),
+        )
+        .orderBy("custkey", "yr")
+    )
+
+
+@query(
+    "dsq95_dual_semijoin",
+    oracle="""
+    WITH multi_supp AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) > 1
+    ), returned AS (
+      SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND o_orderkey IN (SELECT l_orderkey FROM multi_supp)
+      AND o_orderkey IN (SELECT l_orderkey FROM returned)
+    """,
+    doc="TPC-DS Q95 shape: TWO semi-join chains on the same key — "
+    "orders shipped by more than one supplier AND appearing among "
+    "returned lines (DS: ws_order_number in two-warehouse set and in "
+    "web_returns) — inside a date window, reduced to one summary row. "
+    "Both IN-subqueries become left-semi joins over pre-aggregated "
+    "key sets; the multi-supplier set is a HAVING over a distinct "
+    "count, computed once.",
+)
+def dsq95_dual_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("l_orderkey")
+    )
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    return (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= _ts("1996-01-01"))
+            & (F.col("o_orderdate") < _ts("1997-01-01"))
+        )
+        .join(multi, F.col("o_orderkey") == multi["l_orderkey"], "left_semi")
+        .join(returned, F.col("o_orderkey") == returned["l_orderkey"], "left_semi")
+        .agg(
+            F.count_distinct("o_custkey").cast("bigint").alias("n_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "dsq16_exists_notexists_window",
+    oracle="""
+    SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1995-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l1
+                  WHERE l1.l_orderkey = o.o_orderkey AND l1.l_discount > 0.05)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = o.o_orderkey AND l2.l_returnflag = 'R')
+    """,
+    doc="TPC-DS Q16 shape: date-window count with an EXISTS and a "
+    "NOT EXISTS against the same fact on the same correlation key "
+    "(DS: another catalog line from a different warehouse exists, no "
+    "return exists). Planned as one left-semi plus one left-anti join "
+    "over key sets reduced from a single lineitem scan each; the "
+    "window filter prunes orders before either join.",
+)
+def dsq16_exists_notexists_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    disc = li.filter(F.col("l_discount") > 0.05).select("l_orderkey")
+    ret = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= _ts("1995-01-01"))
+            & (F.col("o_orderdate") < _ts("1995-07-01"))
+        )
+        .join(disc, F.col("o_orderkey") == disc["l_orderkey"], "left_semi")
+        .join(ret, F.col("o_orderkey") == ret["l_orderkey"], "left_anti")
+        .agg(
+            F.count_distinct("o_custkey").cast("bigint").alias("n_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
