@@ -35,6 +35,7 @@ _R8_NEW: list[str] = [
     "dsq16_exists_notexists_window",
     "cb_url_domain_topn", "cb_multi_like_funnel", "cb_event_funnel_users",
     "cb_hour_type_matrix", "cb_value_band_topsources",
+    "f_geodesic_spheroid",
 ]
 #: the 22 rows whose latest official green is r4 (from CORRECTNESS_r0*)
 _R4_STALE = [

@@ -527,3 +527,65 @@ def f_geodesic_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(S.st_distance_sphere(a, b) / 1000.0, 3).alias("dist_km"),
         S.st_dwithin_sphere(a, b, 5_000_000).alias("nearby"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "f_geodesic_spheroid",
+    # Closed-form oracle: every expected value below is an
+    # independently-derived WGS84 constant, not an output of the
+    # implementation — quarter meridian 10001965.729 m (the metre's
+    # historical definition, to the mm), equator quarter arc
+    # pi*a/2 = 10018754.171 m, Flinders Peak-Buninyong 54972.271 m
+    # (Geoscience Australia's published Vincenty test vector), octant
+    # area = exact ellipsoid surface / 8 where
+    # S = 2*pi*a^2*(1 + (1-e^2)/e * atanh(e)) = 5.10065621724088e14 m^2,
+    # and the 1x1 degree equatorial quad 12308.7763 km^2
+    # (GeographicLib Planimeter). The implementation must reproduce
+    # them to the rounding below or the hash mismatches.
+    oracle="""
+    SELECT * FROM (VALUES
+      ('quarter_meridian_km',  round(10001.9657293, 3)),
+      ('equator_quarter_km',   round(10018.7541714, 3)),
+      ('flinders_buninyong_m', round(54972.271, 2)),
+      ('octant_area_mm2',      round(510065621724088.5 / 8 / 1e6, 1)),
+      ('deg_quad_area_km2',    round(12308.7763, 3))
+    ) AS t(measure, expected)
+    ORDER BY measure
+    """,
+    doc="Spheroid geography measures: st_length_spheroid / "
+    "st_perimeter_spheroid (per-segment Vincenty) and st_area_spheroid "
+    "(exact authalic-latitude mapping). The reference ships these via "
+    "DuckDB-spatial/PROJ (shippable_spatial_functions.c spheroid "
+    "rows); the oracle pins independently-published WGS84 constants, "
+    "so this checks the ellipsoid model itself, not implementation "
+    "agreement.",
+)
+def f_geodesic_spheroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [
+        ("quarter_meridian_km", "LINESTRING (0 0, 0 45, 0 90)", "length", 1e3, 3),
+        ("equator_quarter_km", "LINESTRING (0 0, 45 0, 90 0)", "length", 1e3, 3),
+        (
+            "flinders_buninyong_m",
+            "LINESTRING (144.42486788888888 -37.95103341666667, "
+            "143.92649552777777 -37.65282113888889)",
+            "length", 1.0, 2,
+        ),
+        ("octant_area_mm2", "POLYGON ((0 0, 90 0, 0 90, 0 0))", "area", 1e6, 1),
+        (
+            "deg_quad_area_km2",
+            "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+            "area", 1e6, 3,
+        ),
+    ]
+    df = spark.createDataFrame(rows, "measure string, wkt string, kind string, div double, nd int")
+    g = S.st_geomfromtext(F.col("wkt"))
+    raw = F.when(F.col("kind") == "length", S.st_length_spheroid(g)).otherwise(
+        S.st_area_spheroid(g)
+    )
+    # per-row rounding: F.round needs a literal scale, so branch on nd
+    val = (
+        F.when(F.col("nd") == 1, F.round(raw / F.col("div"), 1))
+        .when(F.col("nd") == 2, F.round(raw / F.col("div"), 2))
+        .otherwise(F.round(raw / F.col("div"), 3))
+    )
+    return df.select("measure", val.alias("expected")).orderBy("measure")

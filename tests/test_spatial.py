@@ -1107,3 +1107,122 @@ def test_geodesic_sql_surface(spark):
         "round(st_distance_spheroid_xy(0.0D, 0.0D, 1.0D, 0.0D), 1) AS d"
     ).collect()[0]
     assert r.l == 111_195.1 and r.d == 111_319.5
+
+
+def test_spheroid_measures_closed_form(spark):
+    """st_length_spheroid / st_perimeter_spheroid / st_area_spheroid vs
+    independently-published WGS84 constants: quarter meridian
+    10,001,965.729 m, equator quarter pi*a/2, exact ellipsoid surface
+    area S = 2*pi*a^2*(1+(1-e^2)/e*atanh(e)) for the octant polygon,
+    and GeographicLib's 12308.776 km^2 for the 1x1-degree equatorial
+    quad."""
+    import math
+
+    from pg_lake_spark.functions.spatial import (
+        _from_wkt,
+        st_area_spheroid,
+        st_length_spheroid,
+        st_perimeter_spheroid,
+    )
+
+    a_ax, f = 6378137.0, 1 / 298.257223563
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    s_tot = 2 * math.pi * a_ax * a_ax * (1 + (1 - e2) / e * math.atanh(e))
+    qm = 10_001_965.7293
+    eq = math.pi * a_ax / 2
+
+    df = spark.createDataFrame(
+        [
+            (
+                _from_wkt("LINESTRING(0 0, 0 45, 0 90)"),
+                _from_wkt("POLYGON((0 0, 90 0, 0 90, 0 0))"),
+                _from_wkt("POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))"),
+            )
+        ],
+        "meridian binary, octant binary, quad binary",
+    )
+    r = df.select(
+        st_length_spheroid("meridian").alias("qm"),
+        st_perimeter_spheroid("octant").alias("per"),
+        st_area_spheroid("octant").alias("oct_area"),
+        st_area_spheroid("quad").alias("quad_area"),
+    ).collect()[0]
+    assert abs(r.qm - qm) < 0.01
+    assert abs(r.per - (2 * qm + eq)) < 0.05
+    assert abs(r.oct_area - s_tot / 8) / (s_tot / 8) < 1e-12
+    assert abs(r.quad_area / 1e6 - 12308.7763) < 0.01
+
+
+def test_spheroid_measures_holes_and_multi(spark):
+    """Area subtracts holes; multipolygon sums parts; length covers
+    multilinestring; non-applicable types measure 0."""
+    from pg_lake_spark.functions.spatial import (
+        _from_wkt,
+        st_area_spheroid,
+        st_length_spheroid,
+        st_perimeter_spheroid,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (
+                _from_wkt(
+                    "POLYGON((0 0, 2 0, 2 2, 0 2, 0 0), (0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))"
+                ),
+                _from_wkt("MULTILINESTRING((0 0, 1 0), (0 0, 0 1))"),
+                _from_wkt("POINT(3 4)"),
+                _from_wkt("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))"),
+                _from_wkt("POLYGON((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))"),
+            )
+        ],
+        "holed binary, mline binary, pt binary, outer binary, inner binary",
+    )
+    r = df.select(
+        st_area_spheroid("holed").alias("holed"),
+        st_area_spheroid("outer").alias("outer"),
+        st_area_spheroid("inner").alias("inner"),
+        st_length_spheroid("mline").alias("ml"),
+        st_length_spheroid("pt").alias("pt_len"),
+        st_perimeter_spheroid("pt").alias("pt_per"),
+    ).collect()[0]
+    assert abs(r.holed - (r.outer - r.inner)) / r.outer < 1e-12
+    assert abs(r.ml - (111_319.491 + 110_574.389)) < 0.1
+    assert r.pt_len == 0.0 and r.pt_per == 0.0
+
+
+def test_sphere_measures_multi_parts(spark):
+    """st_length_sphere / st_area_sphere on MULTI geometries: parts are
+    (gtype, coords) tuples from the WKB parser (regression — the multi
+    branch used to index the header as a point)."""
+    from pg_lake_spark.functions.spatial import (
+        _from_wkt,
+        st_area_sphere,
+        st_length_sphere,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (
+                _from_wkt("MULTILINESTRING((0 0, 1 0), (0 0, 0 1))"),
+                _from_wkt(
+                    "MULTIPOLYGON(((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 2, 3 2, 3 3, 2 3, 2 2)))"
+                ),
+                _from_wkt("LINESTRING(0 0, 1 0)"),
+                _from_wkt("LINESTRING(0 0, 0 1)"),
+                _from_wkt("POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))"),
+                _from_wkt("POLYGON((2 2, 3 2, 3 3, 2 3, 2 2))"),
+            )
+        ],
+        "ml binary, mp binary, l1 binary, l2 binary, p1 binary, p2 binary",
+    )
+    r = df.select(
+        st_length_sphere("ml").alias("ml"),
+        st_length_sphere("l1").alias("l1"),
+        st_length_sphere("l2").alias("l2"),
+        st_area_sphere("mp").alias("mp"),
+        st_area_sphere("p1").alias("p1"),
+        st_area_sphere("p2").alias("p2"),
+    ).collect()[0]
+    assert abs(r.ml - (r.l1 + r.l2)) < 1e-6
+    assert abs(r.mp - (r.p1 + r.p2)) / r.mp < 1e-12
