@@ -2985,9 +2985,106 @@ def _utm_zone(srid: int) -> tuple[int, bool] | None:
     return None
 
 
+# -- Lambert Conformal Conic 2SP (EPSG method 9802) with an embedded
+# EPSG parameter subset — the most common projected-CRS family after
+# UTM/WebMercator (national grids, US State Plane). Formulas follow
+# EPSG Guidance Note 7-2 exactly (ellipsoidal t/m/n/F/r). Datum note:
+# RGF93/ETRS89/NAD83 are treated as coincident with WGS84 — the same
+# null-transform convention PROJ applies without a datum-shift grid
+# (≤ ~1-2 m, far below projection accuracy claims for analytics).
+_GRS80_A = 6378137.0
+_GRS80_F = 1 / 298.257222101
+#: 1 US survey foot in meters (1200/3937, exact)
+_US_FT = 1200.0 / 3937.0
+
+#: srid -> (a, f, lat0, lon0, sp1, sp2, false_easting_m, false_northing_m, unit_m)
+_LCC_PARAMS = {
+    # RGF93 / Lambert-93 (France national grid)
+    2154: (_GRS80_A, _GRS80_F, 46.5, 3.0, 49.0, 44.0, 700000.0, 6600000.0, 1.0),
+    # ETRS89-extended / LCC Europe
+    3034: (_GRS80_A, _GRS80_F, 52.0, 10.0, 35.0, 65.0, 4000000.0, 2800000.0, 1.0),
+    # NAD83 / New York Long Island (meters)
+    32118: (
+        _GRS80_A, _GRS80_F,
+        40.0 + 10.0 / 60.0, -74.0,
+        41.0 + 2.0 / 60.0, 40.0 + 40.0 / 60.0,
+        300000.0, 0.0, 1.0,
+    ),
+    # NAD83 / New York Long Island (US survey feet): same projection,
+    # coordinates expressed in ftUS (300000 m = 984250 ftUS exactly)
+    2263: (
+        _GRS80_A, _GRS80_F,
+        40.0 + 10.0 / 60.0, -74.0,
+        41.0 + 2.0 / 60.0, 40.0 + 40.0 / 60.0,
+        300000.0, 0.0, _US_FT,
+    ),
+}
+
+
+def _lcc_consts(p):
+    a, f, lat0, lon0, sp1, sp2, fe, fn_, unit = p
+    e = math.sqrt(f * (2 - f))
+
+    def m(phi):
+        s = math.sin(phi)
+        return math.cos(phi) / math.sqrt(1 - e * e * s * s)
+
+    def t(phi):
+        s = math.sin(phi)
+        return math.tan(math.pi / 4 - phi / 2) / (
+            (1 - e * s) / (1 + e * s)
+        ) ** (e / 2)
+
+    p1, p2, p0 = math.radians(sp1), math.radians(sp2), math.radians(lat0)
+    n = (math.log(m(p1)) - math.log(m(p2))) / (math.log(t(p1)) - math.log(t(p2)))
+    F_ = m(p1) / (n * t(p1) ** n)
+    r0 = a * F_ * t(p0) ** n
+    return a, e, math.radians(lon0), n, F_, r0, fe, fn_, unit, t
+
+
+def _lcc_forward(p):
+    a, e, lam0, n, F_, r0, fe, fn_, unit, t = _lcc_consts(p)
+
+    def fn(x: float, y: float) -> tuple[float, float]:
+        phi, lam = math.radians(y), math.radians(x)
+        r = a * F_ * t(phi) ** n if abs(y) < 90.0 else 0.0
+        th = n * (lam - lam0)
+        E = fe + r * math.sin(th)
+        N = fn_ + r0 - r * math.cos(th)
+        return E / unit, N / unit
+
+    return fn
+
+
+def _lcc_inverse(p):
+    a, e, lam0, n, F_, r0, fe, fn_, unit, _t = _lcc_consts(p)
+
+    def fn(x: float, y: float) -> tuple[float, float]:
+        dx = x * unit - fe
+        dy = r0 - (y * unit - fn_)
+        r = math.copysign(math.hypot(dx, dy), n)
+        tp = (r / (a * F_)) ** (1.0 / n)
+        # EPSG 9802: negate both atan2 operands when n is negative
+        th = math.atan2(-dx, -dy) if n < 0 else math.atan2(dx, dy)
+        lam = th / n + lam0
+        phi = math.pi / 2 - 2 * math.atan(tp)
+        for _ in range(15):
+            s = math.sin(phi)
+            new = math.pi / 2 - 2 * math.atan(
+                tp * ((1 - e * s) / (1 + e * s)) ** (e / 2)
+            )
+            if abs(new - phi) < 1e-13:
+                phi = new
+                break
+            phi = new
+        return math.degrees(lam), math.degrees(phi)
+
+    return fn
+
+
 def _resolve_transform(s: int, d: int):
     """Point-transform callable for (s, d), composing through 4326 for
-    pairs like 3857<->UTM; None when unsupported."""
+    pairs like 3857<->UTM or UTM<->LCC; None when unsupported."""
     direct = _TRANSFORMS.get((s, d))
     if direct is not None:
         return direct
@@ -2996,8 +3093,14 @@ def _resolve_transform(s: int, d: int):
         return _utm_forward(*zd)
     if zs and d == 4326:
         return _utm_inverse(*zs)
-    # compose via 4326 (3857<->UTM, UTM<->UTM zone change)
-    if (zs or s == 3857) and (zd or d == 3857):
+    if s == 4326 and d in _LCC_PARAMS:
+        return _lcc_forward(_LCC_PARAMS[d])
+    if s in _LCC_PARAMS and d == 4326:
+        return _lcc_inverse(_LCC_PARAMS[s])
+    # compose via 4326 (3857<->UTM, UTM<->UTM zone change, LCC<->any)
+    if (zs or s == 3857 or s in _LCC_PARAMS) and (
+        zd or d == 3857 or d in _LCC_PARAMS
+    ):
         to_geo = _resolve_transform(s, 4326)
         from_geo = _resolve_transform(4326, d)
         return lambda x, y: from_geo(*to_geo(x, y))
@@ -3018,8 +3121,9 @@ def _k_transform(g: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
         fn = _resolve_transform(s, d)
         if fn is None:
             raise NotImplementedError(
-                f"st_transform supports EPSG:4326<->3857 and 4326/3857<->"
-                f"UTM (326zz/327zz), got {s}->{d} "
+                f"st_transform supports EPSG:4326<->3857, 4326/3857<->"
+                f"UTM (326zz/327zz) and the embedded LCC set "
+                f"{sorted(_LCC_PARAMS)}, got {s}->{d} "
                 "(the reference delegates other pairs to PROJ)"
             )
         gtype, coords = _parse(bytes(b))

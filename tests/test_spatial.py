@@ -1073,7 +1073,7 @@ def test_transform_unsupported_pair_still_raises(spark):
 
     df = spark.createDataFrame([(_from_wkt("POINT(0 0)"),)], "g binary")
     with pytest.raises(Exception, match="(?i)st_transform supports"):
-        df.select(st_transform("g", 4326, 2263)).collect()  # NY state-plane ft
+        df.select(st_transform("g", 4326, 27700)).collect()  # OSGB, no datum grid
 
 
 def test_distance_spheroid_published_vectors(spark):
@@ -1226,3 +1226,77 @@ def test_sphere_measures_multi_parts(spark):
     ).collect()[0]
     assert abs(r.ml - (r.l1 + r.l2)) < 1e-6
     assert abs(r.mp - (r.p1 + r.p2)) / r.mp < 1e-12
+
+
+def test_lcc_transform_controls(spark):
+    """Lambert Conformal Conic (EPSG 9802) embedded-CRS set: the
+    projection origin maps to (FE, FN) exactly (definitional control
+    point), the scale factor on each standard parallel is 1 (the 2SP
+    defining property, checked against Vincenty), ftUS and metric
+    variants differ by exactly 1200/3937, and forward-inverse
+    round-trips are float-exact."""
+    import math
+
+    from pg_lake_spark.functions.spatial import (
+        _LCC_PARAMS,
+        _lcc_forward,
+        _lcc_inverse,
+        _vincenty_m,
+    )
+
+    for srid, p in _LCC_PARAMS.items():
+        _a, _f, lat0, lon0, sp1, sp2, fe, fn_, unit = p
+        fwd, inv = _lcc_forward(p), _lcc_inverse(p)
+        E, N = fwd(lon0, lat0)
+        assert abs(E - fe / unit) < 1e-6 and abs(N - fn_ / unit) < 1e-6, srid
+        for sp in (sp1, sp2):
+            x1, x2 = lon0, lon0 + 0.01
+            X1, Y1 = fwd(x1, sp)
+            X2, Y2 = fwd(x2, sp)
+            proj = math.hypot(X2 - X1, Y2 - Y1) * unit
+            geo = _vincenty_m(x1, sp, x2, sp)
+            assert abs(proj / geo - 1.0) < 1e-7, (srid, sp)
+        for x, y in [(lon0 + 2, lat0 - 1), (lon0 - 5, lat0 + 3)]:
+            X, Y = fwd(x, y)
+            x2, y2 = inv(X, Y)
+            assert abs(x2 - x) < 1e-11 and abs(y2 - y) < 1e-11, srid
+
+    fm = _lcc_forward(_LCC_PARAMS[32118])
+    ff = _lcc_forward(_LCC_PARAMS[2263])
+    Em, Nm = fm(-73.9857, 40.7484)
+    Ef, Nf = ff(-73.9857, 40.7484)
+    assert abs(Em / Ef - 1200.0 / 3937.0) < 1e-12
+
+
+def test_lcc_transform_dataframe_surface(spark):
+    """st_transform routes 4326<->LCC (and composes UTM<->LCC via
+    4326) through the kernel; Empire State Building lands inside the
+    plausible Long Island state-plane window."""
+    from pg_lake_spark.functions.spatial import (
+        _from_wkt,
+        st_point,
+        st_transform,
+        st_x,
+        st_y,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(-73.9857, 40.7484)], "x double, y double")
+    g = st_transform(st_point("x", "y"), 4326, 2263)
+    r = df.select(st_x(g).alias("e"), st_y(g).alias("n")).collect()[0]
+    # NY Long Island zone, ftUS: Manhattan ~ E 980k-1005k, N 195k-260k
+    assert 950_000 < r.e < 1_050_000 and 150_000 < r.n < 300_000
+
+    back = st_transform(st_transform(st_point("x", "y"), 4326, 2154), 2154, 4326)
+    r2 = df.select(st_x(back).alias("x2"), st_y(back).alias("y2")).collect()[0]
+    assert abs(r2.x2 + 73.9857) < 1e-9 and abs(r2.y2 - 40.7484) < 1e-9
+
+    # composition across families: UTM 18N -> LCC 32118
+    utm = st_transform(st_point("x", "y"), 4326, 32618)
+    both = st_transform(utm, 32618, 32118)
+    direct = st_transform(st_point("x", "y"), 4326, 32118)
+    r3 = df.select(
+        st_x(both).alias("bx"), st_x(direct).alias("dx"),
+        st_y(both).alias("by"), st_y(direct).alias("dy"),
+    ).collect()[0]
+    assert abs(r3.bx - r3.dx) < 1e-3 and abs(r3.by - r3.dy) < 1e-3
