@@ -3523,7 +3523,17 @@ def _overlay_snap_fallback(ring_a: list, ring_b: list, op: str) -> bytes | None:
             )
             if s[0] != s[-1]:
                 s.append(s[0])
-            if len(s) >= 4 and abs(_ring_area(s)) > grid * grid:
+            # Sliver filter at the path's documented precision: a
+            # perturbation artifact is at most one grid cell wide but
+            # can run the full extent, so its area is up to grid*scale
+            # — the old grid^2 threshold kept full-height slivers whose
+            # snapped coordinates straddled a grid midpoint (hypothesis
+            # r8: shared-edge rectangles, h=2.00001). Anything this
+            # path should keep is a product of two macroscopic
+            # dimensions, far above grid*scale.
+            # (2x margin: a one-cell sliver's area is exactly
+            # grid*scale up to float noise)
+            if len(s) >= 4 and abs(_ring_area(s)) > 2.0 * grid * scale:
                 snapped.append(s)
         return _assemble_polygons(snapped)
     raise SpatialDegeneracyError(

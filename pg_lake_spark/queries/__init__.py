@@ -36,6 +36,9 @@ _R8_NEW: list[str] = [
     "cb_url_domain_topn", "cb_multi_like_funnel", "cb_event_funnel_users",
     "cb_hour_type_matrix", "cb_value_band_topsources",
     "f_geodesic_spheroid",
+    "dsq47_moving_avg_deviation", "dsq35_segment_profile_exists",
+    "dsq21_before_after_pivot", "cb_text_prefix_topn",
+    "cb_top_type_per_user",
 ]
 #: the 22 rows whose latest official green is r4 (from CORRECTNESS_r0*)
 _R4_STALE = [

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pg_lake_spark.queries.registry import query
 from pg_lake_spark.session import load_tables
@@ -390,4 +391,69 @@ def cb_value_band_topsources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_docs").desc(), "source", "len_band")
         .limit(25)
+    )
+
+
+@query(
+    "cb_text_prefix_topn",
+    oracle="""
+    SELECT substr(text, 1, 16) AS prefix,
+           count(*) AS n,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    WHERE text <> ''
+    GROUP BY substr(text, 1, 16)
+    ORDER BY n DESC, prefix
+    LIMIT 15
+    """,
+    doc="ClickBench shape (hits: SELECT SearchPhrase ... LIMIT): "
+    "high-cardinality GROUP BY on a string prefix with a distinct "
+    "count, tie-broken top-N fused to TakeOrderedAndProject.",
+)
+def cb_text_prefix_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .filter(F.col("text") != "")
+        .groupBy(F.substring("text", 1, 16).alias("prefix"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .orderBy(F.col("n").desc(), "prefix")
+        .limit(15)
+    )
+
+
+@query(
+    "cb_top_type_per_user",
+    oracle="""
+    SELECT user_id, event_type, n FROM (
+      SELECT user_id, event_type, count(*) AS n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type) AS rk
+      FROM events
+      GROUP BY user_id, event_type
+    ) WHERE rk = 1 AND user_id < 40
+    ORDER BY user_id
+    """,
+    doc="ClickBench shape (hits: most-visited page per user): window "
+    "rank directly over the aggregate output — count per (user, type), "
+    "row_number per user with a deterministic tie-break, keep the top "
+    "type. The window partitions on the aggregate's own grouping "
+    "prefix, so it reuses the aggregation exchange.",
+)
+def cb_top_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    per = (
+        t["events"]
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        per.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") == 1) & (F.col("user_id") < 40))
+        .select("user_id", "event_type", "n")
+        .orderBy("user_id")
     )

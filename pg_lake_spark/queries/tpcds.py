@@ -1455,3 +1455,159 @@ def dsq16_exists_notexists_window(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@query(
+    "dsq47_moving_avg_deviation",
+    oracle="""
+    WITH monthly AS (
+      SELECT p_brand, CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS ym,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      GROUP BY p_brand, year(l_shipdate) * 100 + month(l_shipdate)
+    )
+    SELECT p_brand, ym, cents,
+           CAST(floor(avg(cents) OVER (PARTITION BY p_brand ORDER BY ym
+                                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+                AS BIGINT) AS mavg_cents
+    FROM monthly
+    QUALIFY abs(cents - avg(cents) OVER (PARTITION BY p_brand ORDER BY ym
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+            > 0.2 * avg(cents) OVER (PARTITION BY p_brand ORDER BY ym
+                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY p_brand, ym
+    """,
+    doc="TPC-DS Q47/Q57 shape: months deviating >20% from their "
+    "brand's trailing 3-month moving average — a bounded ROWS frame "
+    "over the grouped monthly series, with the deviation predicate on "
+    "the RAW window value (QUALIFY in the oracle). Aggregate before "
+    "window: the frame runs over brand-month rows, never the fact. "
+    "Money in exact integer cents; the 3-row average divides identical "
+    "integer sums, so both engines produce bit-identical doubles.",
+)
+def dsq47_moving_avg_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+        "bigint"
+    )
+    monthly = (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") >= _ts("1997-01-01"))
+        .join(_bcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "p_brand",
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("int").alias("ym"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = Window.partitionBy("p_brand").orderBy("ym").rowsBetween(-2, 0)
+    mavg = F.avg("cents").over(w)
+    return (
+        monthly.withColumn("__mavg", mavg)
+        .filter(F.abs(F.col("cents") - F.col("__mavg")) > 0.2 * F.col("__mavg"))
+        .select(
+            "p_brand", "ym", "cents",
+            F.floor("__mavg").cast("bigint").alias("mavg_cents"),
+        )
+        .orderBy("p_brand", "ym")
+    )
+
+
+@query(
+    "dsq35_segment_profile_exists",
+    oracle="""
+    SELECT n_name, c_mktsegment,
+           count(*) AS n_custs,
+           round(avg(c_acctbal), 6) AS avg_bal,
+           round(max(c_acctbal), 2) AS max_bal,
+           round(min(c_acctbal), 2) AS min_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1995-01-01'
+                    AND o_orderdate <  TIMESTAMP '1996-01-01')
+    GROUP BY n_name, c_mktsegment
+    ORDER BY n_name, c_mktsegment
+    """,
+    doc="TPC-DS Q35 shape: demographic profile (count/avg/max/min per "
+    "dimension pair) of customers gated by an EXISTS activity window "
+    "(DS: store_sales existence per demographic cell). The EXISTS is a "
+    "left-semi join against the date-pruned orders key set; nation "
+    "broadcasts; one aggregate shuffle over surviving customers.",
+)
+def dsq35_segment_profile_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    active = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= _ts("1995-01-01"))
+            & (F.col("o_orderdate") < _ts("1996-01-01"))
+        )
+        .select("o_custkey")
+    )
+    return (
+        t["customer"]
+        .join(active, F.col("c_custkey") == active["o_custkey"], "left_semi")
+        .join(_bcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        )
+        .orderBy("n_name", "c_mktsegment")
+    )
+
+
+@query(
+    "dsq21_before_after_pivot",
+    oracle="""
+    SELECT p_brand,
+           CAST(sum(CASE WHEN l_shipdate <  TIMESTAMP '1997-07-01' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_before,
+           CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-07-01' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY p_brand
+    HAVING sum(CASE WHEN l_shipdate <  TIMESTAMP '1997-07-01' THEN 1 ELSE 0 END) > 0
+       AND sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-07-01' THEN 1 ELSE 0 END) > 0
+       AND CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-07-01' THEN 1 ELSE 0 END) AS DOUBLE)
+           / sum(CASE WHEN l_shipdate < TIMESTAMP '1997-07-01' THEN 1 ELSE 0 END)
+           BETWEEN 2.0/3.0 AND 3.0/2.0
+    ORDER BY p_brand
+    """,
+    doc="TPC-DS Q21 shape: per-item activity counted before vs after a "
+    "pivot date inside one window, keeping items whose after/before "
+    "ratio stays within [2/3, 3/2] (DS counts inventory around a sales "
+    "date). Both counts are CASE aggregates in ONE scan — no "
+    "self-join; the HAVING ratio divides exact integer counts.",
+)
+def dsq21_before_after_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    pivot = _ts("1997-07-01")
+    before = F.sum(F.when(F.col("l_shipdate") < pivot, 1).otherwise(0))
+    after = F.sum(F.when(F.col("l_shipdate") >= pivot, 1).otherwise(0))
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .join(_bcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(before.cast("bigint").alias("n_before"), after.cast("bigint").alias("n_after"))
+        .filter(
+            (F.col("n_before") > 0)
+            & (F.col("n_after") > 0)
+            & (F.col("n_after").cast("double") / F.col("n_before")).between(
+                2.0 / 3.0, 3.0 / 2.0
+            )
+        )
+        .orderBy("p_brand")
+    )
