@@ -395,16 +395,16 @@ def simhash_agg(
     ex = base.select("_id", F.explode(word_shingles("_t", shingle_n)).alias("_s"))
     h = F.conv(F.substring(F.md5("_s"), 1, 8), 16, 10).cast("bigint")
     ex = ex.select("_id", h.alias("_h"))
+    # branchless tally: sign(sum ±1 per bit) == (2*sum(bit) > n); see
+    # simhash64_agg
     aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_b{j}")
+        F.sum(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1))).alias(f"_b{j}")
         for j in range(bits)
-    ]
+    ] + [F.count(F.lit(1)).alias("_n")]
     per_bit = ex.groupBy("_id").agg(*aggs)
     simhash = None
     for j in range(bits):
-        term = F.when(F.col(f"_b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        term = F.when(2 * F.col(f"_b{j}") > F.col("_n"), F.lit(1 << j)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
     return per_bit.select("_id", simhash.cast("bigint").alias("simhash"))
 
@@ -441,22 +441,27 @@ def simhash64_agg(
     ha = F.conv(F.substring(md, 1, 8), 16, 10).cast("bigint")
     hb = F.conv(F.substring(md, 9, 8), 16, 10).cast("bigint")
     ex = ex.select("_id", ha.alias("_ha"), hb.alias("_hb"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("_ha"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_a{j}")
-        for j in range(32)
-    ] + [
-        F.sum(
-            F.when(F.shiftright(F.col("_hb"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_b{j}")
-        for j in range(32)
-    ]
+    # Branchless per-bit tally (r8): sum(+1/-1 per bit) == 2*sum(bit)-n,
+    # so aggregate the raw bit (shift+mask, no CASE branch per row) plus
+    # one shared count, and compare 2*bitsum > n at the (tiny) grouped
+    # output — ~64 conditional branches per shingle row removed from
+    # the hot aggregation loop.
+    aggs = (
+        [
+            F.sum(F.shiftright(F.col("_ha"), j).bitwiseAND(F.lit(1))).alias(f"_a{j}")
+            for j in range(32)
+        ]
+        + [
+            F.sum(F.shiftright(F.col("_hb"), j).bitwiseAND(F.lit(1))).alias(f"_b{j}")
+            for j in range(32)
+        ]
+        + [F.count(F.lit(1)).alias("_n")]
+    )
     per_bit = ex.groupBy("_id").agg(*aggs)
     sim_a = sim_b = None
     for j in range(32):
-        ta = F.when(F.col(f"_a{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        tb = F.when(F.col(f"_b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        ta = F.when(2 * F.col(f"_a{j}") > F.col("_n"), F.lit(1 << j)).otherwise(F.lit(0))
+        tb = F.when(2 * F.col(f"_b{j}") > F.col("_n"), F.lit(1 << j)).otherwise(F.lit(0))
         sim_a = ta if sim_a is None else sim_a + ta
         sim_b = tb if sim_b is None else sim_b + tb
     return per_bit.select(

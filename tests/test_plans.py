@@ -161,3 +161,59 @@ def test_cb_topn_fuses_take_ordered(spark):
     df = QUERIES["cb_user_activity_topn"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dsq64_wide_join_broadcasts_dims(spark):
+    """The Q64-shape wide join must broadcast every dimension hop
+    (customer/nation/part/supplier) and scan lineitem exactly twice —
+    once per year leg of the CTE self-join — never more."""
+    df = QUERIES["dsq64_cross_year_wide_join"].fn(spark, SF_DIR)
+    s = plan_summary(df, execute=True)
+    li_scans = [sc for sc in s.scans if "l_partkey" in sc.read_schema]
+    assert len(li_scans) <= 2, "dsq64 regressed to >2 lineitem scans"
+    assert s.broadcast_joins >= 8  # 5 dims per leg, minus reuse
+    # the year-vs-year join runs over grouped frames: the join above the
+    # aggregates must not shuffle the fact again
+    assert all(sc.pushed_filters is not None for sc in s.scans)
+
+
+def test_dsq95_semi_joins_planned(spark):
+    """Both IN-subqueries must plan as semi joins (LeftSemi), not
+    inner-join + distinct."""
+    df = QUERIES["dsq95_dual_semijoin"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftSemi") >= 2
+
+
+def test_dsq16_semi_plus_anti(spark):
+    """EXISTS -> LeftSemi and NOT EXISTS -> LeftAnti in one plan; the
+    orders date filter pushes to the scan."""
+    df = QUERIES["dsq16_exists_notexists_window"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    s = plan_summary(df)
+    o_scan = next(sc for sc in s.scans if "o_orderdate" in sc.read_schema)
+    assert any("o_orderdate" in f for f in o_scan.pushed_filters)
+
+
+def test_cb_url_domain_topn_fuses_take_ordered(spark):
+    df = QUERIES["cb_url_domain_topn"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cb_top_type_window_over_grouped_frame(spark):
+    """The per-user rank window must consume the aggregate output, not
+    the fact: one scan, partial aggregation map-side (so the agg
+    exchange carries at most partitions x groups rows), and the window
+    exchange re-clusters only the tiny grouped frame. Three exchanges
+    total (agg, window, final sort) — all post-reduction."""
+    df = QUERIES["cb_top_type_per_user"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    n_exchanges = len(_re.findall(r"\bExchange (?:hash|range)partitioning", plan))
+    assert n_exchanges <= 3
+    assert plan.count("Scan parquet") == 1
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "Window" in plan
