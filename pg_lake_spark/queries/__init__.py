@@ -39,6 +39,8 @@ _R8_NEW: list[str] = [
     "dsq47_moving_avg_deviation", "dsq35_segment_profile_exists",
     "dsq21_before_after_pivot", "cb_text_prefix_topn",
     "cb_top_type_per_user",
+    "dsq39_cov_month_pairs", "dsq59_week_over_year_ratio",
+    "dsq76_channel_null_dims", "dsq66_monthly_pivot_wide",
 ]
 #: the 22 rows whose latest official green is r4 (from CORRECTNESS_r0*)
 _R4_STALE = [

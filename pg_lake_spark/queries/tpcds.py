@@ -1611,3 +1611,249 @@ def dsq21_before_after_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "dsq39_cov_month_pairs",
+    oracle="""
+    WITH stats AS (
+      SELECT p_brand, CAST(month(l_shipdate) AS INT) AS mo,
+             count(*) AS n,
+             avg(l_quantity) AS mu,
+             stddev_samp(l_quantity) AS sigma
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate <  TIMESTAMP '1999-01-01'
+      GROUP BY p_brand, month(l_shipdate)
+      HAVING count(*) > 1 AND avg(l_quantity) > 0
+    )
+    SELECT s1.p_brand AS p_brand, s1.mo AS mo1, s2.mo AS mo2,
+           round(s1.sigma / s1.mu, 6) AS cov1,
+           round(s2.sigma / s2.mu, 6) AS cov2
+    FROM stats s1 JOIN stats s2
+      ON s1.p_brand = s2.p_brand AND s1.mo + 1 = s2.mo
+    WHERE s1.sigma / s1.mu > 0.5 AND s2.sigma / s2.mu > 0.5
+    ORDER BY p_brand, mo1
+    """,
+    doc="TPC-DS Q39 shape: coefficient-of-variation per (item, month) "
+    "computed once, then a self-join pairs CONSECUTIVE months where "
+    "both sides exceed the volatility threshold (DS pairs warehouse "
+    "months). The join runs over the grouped stats frame, never the "
+    "fact; the cov predicate uses raw sums, rounding only for display.",
+)
+def dsq39_cov_month_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    stats = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1998-01-01"))
+            & (F.col("l_shipdate") < _ts("1999-01-01"))
+        )
+        .join(_bcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", F.month("l_shipdate").cast("int").alias("mo"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("l_quantity").alias("mu"),
+            F.stddev_samp("l_quantity").alias("sigma"),
+        )
+        .filter((F.col("n") > 1) & (F.col("mu") > 0))
+    )
+    s1 = stats.alias("s1")
+    s2 = stats.alias("s2")
+    return (
+        s1.join(
+            s2,
+            (F.col("s1.p_brand") == F.col("s2.p_brand"))
+            & (F.col("s1.mo") + 1 == F.col("s2.mo")),
+        )
+        .filter(
+            (F.col("s1.sigma") / F.col("s1.mu") > 0.5)
+            & (F.col("s2.sigma") / F.col("s2.mu") > 0.5)
+        )
+        .select(
+            F.col("s1.p_brand").alias("p_brand"),
+            F.col("s1.mo").alias("mo1"),
+            F.col("s2.mo").alias("mo2"),
+            F.round(F.col("s1.sigma") / F.col("s1.mu"), 6).alias("cov1"),
+            F.round(F.col("s2.sigma") / F.col("s2.mu"), 6).alias("cov2"),
+        )
+        .orderBy("p_brand", "mo1")
+    )
+
+
+@query(
+    "dsq59_week_over_year_ratio",
+    oracle="""
+    WITH weekly AS (
+      SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(week(o_orderdate) AS INT) AS wk,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1999-01-01'
+      GROUP BY n_name, year(o_orderdate), week(o_orderdate)
+    )
+    SELECT w1.n_name AS n_name, w1.wk AS wk,
+           w1.cents AS cents_1997, w2.cents AS cents_1998,
+           round(CAST(w2.cents AS DOUBLE) / w1.cents, 6) AS ratio
+    FROM weekly w1 JOIN weekly w2
+      ON w1.n_name = w2.n_name AND w1.wk = w2.wk
+    WHERE w1.yr = 1997 AND w2.yr = 1998 AND w1.cents > 0
+    ORDER BY n_name, wk
+    """,
+    doc="TPC-DS Q59 shape: weekly revenue per dimension, self-joined "
+    "same-week-across-years to a growth ratio (DS compares store weeks "
+    "y vs y+1). ISO week number must agree across engines (both "
+    "ISO-8601); money in exact cents so the compared values and the "
+    "ratio inputs are engine-identical.",
+)
+def dsq59_week_over_year_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    weekly = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= _ts("1997-01-01"))
+            & (F.col("o_orderdate") < _ts("1999-01-01"))
+        )
+        .join(_bcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_bcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.weekofyear("o_orderdate").cast("int").alias("wk"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w1 = weekly.filter(F.col("yr") == 1997).alias("w1")
+    w2 = weekly.filter(F.col("yr") == 1998).alias("w2")
+    return (
+        w1.join(
+            w2,
+            (F.col("w1.n_name") == F.col("w2.n_name")) & (F.col("w1.wk") == F.col("w2.wk")),
+        )
+        .filter(F.col("w1.cents") > 0)
+        .select(
+            F.col("w1.n_name").alias("n_name"),
+            F.col("w1.wk").alias("wk"),
+            F.col("w1.cents").alias("cents_1997"),
+            F.col("w2.cents").alias("cents_1998"),
+            F.round(F.col("w2.cents").cast("double") / F.col("w1.cents"), 6).alias("ratio"),
+        )
+        .orderBy("n_name", "wk")
+    )
+
+
+@query(
+    "dsq76_channel_null_dims",
+    oracle="""
+    WITH chan AS (
+      SELECT 'line' AS channel, l_returnflag AS flag, NULL AS prio,
+             CAST(year(l_shipdate) AS INT) AS yr,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      UNION ALL
+      SELECT 'order' AS channel, NULL AS flag, o_orderpriority AS prio,
+             CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    )
+    SELECT channel, flag, prio, yr,
+           count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM chan
+    GROUP BY channel, flag, prio, yr
+    ORDER BY channel, flag NULLS FIRST, prio NULLS FIRST, yr
+    """,
+    doc="TPC-DS Q76 shape: channels UNION ALL'd with deliberately-NULL "
+    "dimension columns (each channel lacks the other's dimension), "
+    "grouped across the union — NULL grouping keys must flow through "
+    "the union and group correctly (DS unions store/web/catalog with "
+    "null-filled columns). Each branch reduces map-side before the one "
+    "aggregate shuffle.",
+)
+def dsq76_channel_null_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    line = (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") >= _ts("1998-01-01"))
+        .select(
+            F.lit("line").alias("channel"),
+            F.col("l_returnflag").alias("flag"),
+            F.lit(None).cast("string").alias("prio"),
+            F.year("l_shipdate").cast("int").alias("yr"),
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+    order = (
+        t["orders"]
+        .filter(F.col("o_orderdate") >= _ts("1998-01-01"))
+        .select(
+            F.lit("order").alias("channel"),
+            F.lit(None).cast("string").alias("flag"),
+            F.col("o_orderpriority").alias("prio"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+    return (
+        line.unionByName(order)
+        .groupBy("channel", "flag", "prio", "yr")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total_cents"))
+        .orderBy("channel", F.col("flag").asc_nulls_first(), F.col("prio").asc_nulls_first(), "yr")
+    )
+
+
+@query(
+    "dsq66_monthly_pivot_wide",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CASE WHEN month(o_orderdate) = 1  THEN 1 ELSE 0 END) AS BIGINT) AS jan,
+           CAST(sum(CASE WHEN month(o_orderdate) = 2  THEN 1 ELSE 0 END) AS BIGINT) AS feb,
+           CAST(sum(CASE WHEN month(o_orderdate) = 3  THEN 1 ELSE 0 END) AS BIGINT) AS mar,
+           CAST(sum(CASE WHEN month(o_orderdate) = 4  THEN 1 ELSE 0 END) AS BIGINT) AS apr,
+           CAST(sum(CASE WHEN month(o_orderdate) = 5  THEN 1 ELSE 0 END) AS BIGINT) AS may,
+           CAST(sum(CASE WHEN month(o_orderdate) = 6  THEN 1 ELSE 0 END) AS BIGINT) AS jun,
+           CAST(sum(CASE WHEN month(o_orderdate) = 7  THEN 1 ELSE 0 END) AS BIGINT) AS jul,
+           CAST(sum(CASE WHEN month(o_orderdate) = 8  THEN 1 ELSE 0 END) AS BIGINT) AS aug,
+           CAST(sum(CASE WHEN month(o_orderdate) = 9  THEN 1 ELSE 0 END) AS BIGINT) AS sep,
+           CAST(sum(CASE WHEN month(o_orderdate) = 10 THEN 1 ELSE 0 END) AS BIGINT) AS oct,
+           CAST(sum(CASE WHEN month(o_orderdate) = 11 THEN 1 ELSE 0 END) AS BIGINT) AS nov,
+           CAST(sum(CASE WHEN month(o_orderdate) = 12 THEN 1 ELSE 0 END) AS BIGINT) AS dec_
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    doc="TPC-DS Q66 shape: 12 month-columns materialized as CASE "
+    "aggregates in ONE pass over the fact (DS pivots ship-mode monthly "
+    "totals the same way) — wide aggregate, no pivot shuffle, no "
+    "repeated scans.",
+)
+def dsq66_monthly_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    names = ["jan", "feb", "mar", "apr", "may", "jun",
+             "jul", "aug", "sep", "oct", "nov", "dec_"]
+    aggs = [
+        F.sum(F.when(F.month("o_orderdate") == m, 1).otherwise(0))
+        .cast("bigint")
+        .alias(names[m - 1])
+        for m in range(1, 13)
+    ]
+    return (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= _ts("1997-01-01"))
+            & (F.col("o_orderdate") < _ts("1998-01-01"))
+        )
+        .join(_bcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_bcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(*aggs)
+        .orderBy("n_name")
+    )
