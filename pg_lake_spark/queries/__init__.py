@@ -41,6 +41,8 @@ _R8_NEW: list[str] = [
     "cb_top_type_per_user",
     "dsq39_cov_month_pairs", "dsq59_week_over_year_ratio",
     "dsq76_channel_null_dims", "dsq66_monthly_pivot_wide",
+    "cb_type_share_of_total", "cb_power_users_histogram",
+    "cb_props_coverage_by_type",
 ]
 #: the 22 rows whose latest official green is r4 (from CORRECTNESS_r0*)
 _R4_STALE = [

@@ -457,3 +457,83 @@ def cb_top_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "n")
         .orderBy("user_id")
     )
+
+
+@query(
+    "cb_type_share_of_total",
+    oracle="""
+    SELECT event_type, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS share
+    FROM (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
+    ORDER BY event_type
+    """,
+    doc="ClickBench shape (hits: traffic share per segment): "
+    "share-of-total via an unpartitioned window over the aggregate "
+    "output — the window sees only the handful of grouped rows, never "
+    "the fact. Integer counts divide identically in both engines.",
+)
+def cb_type_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    per = t["events"].groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    return per.select(
+        "event_type", "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("share"),
+    ).orderBy("event_type")
+
+
+@query(
+    "cb_power_users_histogram",
+    oracle="""
+    SELECT n_events, CAST(count(*) AS BIGINT) AS n_users
+    FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+    GROUP BY n_events
+    HAVING count(*) > 1
+    ORDER BY n_events
+    """,
+    doc="ClickBench shape (hits: activity histogram): aggregation OF an "
+    "aggregation — events per user, then users per activity level with "
+    "a HAVING floor. Two shuffles, both over reduced frames.",
+)
+def cb_power_users_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    per_user = t["events"].groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        per_user.groupBy("n_events")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .filter(F.col("n_users") > 1)
+        .orderBy("n_events")
+    )
+
+
+@query(
+    "cb_props_coverage_by_type",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN props LIKE '%"k":%' THEN 1 ELSE 0 END) AS BIGINT) AS with_k,
+           round(CAST(sum(CASE WHEN props LIKE '%"k":%' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS coverage
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="ClickBench shape (hits: field-coverage profiling): per-segment "
+    "fraction of rows whose payload carries a key — LIKE predicate as "
+    "a CASE aggregate beside the total, one scan, exact integer ratio "
+    "inputs.",
+)
+def cb_props_coverage_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    has_k = F.col("props").like('%"k":%')
+    with_k = F.sum(F.when(has_k, 1).otherwise(0))
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            with_k.cast("bigint").alias("with_k"),
+            F.round(with_k.cast("double") / F.count(F.lit(1)), 6).alias("coverage"),
+        )
+        .orderBy("event_type")
+    )
