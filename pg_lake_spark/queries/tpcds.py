@@ -1215,9 +1215,17 @@ def dsq64_cross_year_wide_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
         "bigint"
     )
+    # only the 1997/1998 legs survive the self-join below — the date
+    # pre-filter is semantically redundant but pushes to the orders
+    # scan (the post-aggregation yr filter cannot), cutting the fact
+    # read to two of seven years
+    orders_win = t["orders"].filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01"))
+        & (F.col("o_orderdate") < _ts("1999-01-01"))
+    )
     sales = (
         t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(orders_win, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(_bcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .join(_bcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(_bcast(t["part"].filter(F.col("p_size") <= 25)),
