@@ -142,6 +142,10 @@ def minhash_signature_agg(
     # h_i(x) = (a_i·h + b_i) mod p — k cheap codegen'd integer ops
     # instead of k digests. Engine-portable md5 signatures remain
     # available via minhash_signature() for oracle-checked surfaces.
+    # (An r8 A/B tried hashing the n word columns directly inside the
+    # array transform to skip the join+distinct — 1.4x SLOWER: the
+    # per-element lambda interprets n element_at calls and the lost
+    # dedup inflates the explode; the string path stays.)
     h = F.pmod(F.xxhash64("_s"), F.lit(4294967296)).cast("bigint")
     ex = ex.select("_id", h.alias("_h"))
     p = 4294967311  # smallest prime > 2^32; a·h+b < 2^52 — no overflow
