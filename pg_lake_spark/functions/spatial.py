@@ -3082,6 +3082,82 @@ def _lcc_inverse(p):
     return fn
 
 
+# -- Albers Equal Area 2SP (EPSG method 9822) — the other common
+# conic national grid (CONUS Albers). EPSG Guidance Note 7-2 formulas;
+# same GRS80/WGS84 datum convention as the LCC set.
+
+#: srid -> (a, f, lat0, lon0, sp1, sp2, fe_m, fn_m, unit_m)
+_AEA_PARAMS = {
+    # NAD83 / Conus Albers
+    5070: (_GRS80_A, _GRS80_F, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0, 1.0),
+}
+
+
+def _aea_consts(p):
+    a, f, lat0, lon0, sp1, sp2, fe, fn_, unit = p
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+
+    def q_of(phi):
+        s = math.sin(phi)
+        return (1 - e2) * (
+            s / (1 - e2 * s * s)
+            - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))
+        )
+
+    def m_of(phi):
+        s = math.sin(phi)
+        return math.cos(phi) / math.sqrt(1 - e2 * s * s)
+
+    p0, p1, p2 = math.radians(lat0), math.radians(sp1), math.radians(sp2)
+    m1, m2 = m_of(p1), m_of(p2)
+    q0, q1, q2 = q_of(p0), q_of(p1), q_of(p2)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = a * math.sqrt(C - n * q0) / n
+    return a, e, e2, math.radians(lon0), n, C, rho0, fe, fn_, unit, q_of
+
+
+def _aea_forward(p):
+    a, e, e2, lam0, n, C, rho0, fe, fn_, unit, q_of = _aea_consts(p)
+
+    def fn(x: float, y: float) -> tuple[float, float]:
+        phi, lam = math.radians(y), math.radians(x)
+        rho = a * math.sqrt(max(C - n * q_of(phi), 0.0)) / n
+        th = n * (lam - lam0)
+        return (fe + rho * math.sin(th)) / unit, (fn_ + rho0 - rho * math.cos(th)) / unit
+
+    return fn
+
+
+def _aea_inverse(p):
+    a, e, e2, lam0, n, C, rho0, fe, fn_, unit, _q = _aea_consts(p)
+
+    def fn(x: float, y: float) -> tuple[float, float]:
+        dx = x * unit - fe
+        dy = rho0 - (y * unit - fn_)
+        rho = math.hypot(dx, dy)
+        qp = (C - rho * rho * n * n / (a * a)) / n
+        th = math.atan2(dx, dy) if n > 0 else math.atan2(-dx, -dy)
+        lam = lam0 + th / n
+        # iterate latitude from q (EPSG 9822 inverse series)
+        phi = math.asin(max(-1.0, min(1.0, qp / 2.0)))
+        for _ in range(15):
+            s = math.sin(phi)
+            den = 1 - e2 * s * s
+            corr = (den * den / (2 * math.cos(phi))) * (
+                qp / (1 - e2)
+                - s / den
+                + (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))
+            )
+            phi += corr
+            if abs(corr) < 1e-13:
+                break
+        return math.degrees(lam), math.degrees(phi)
+
+    return fn
+
+
 def _resolve_transform(s: int, d: int):
     """Point-transform callable for (s, d), composing through 4326 for
     pairs like 3857<->UTM or UTM<->LCC; None when unsupported."""
@@ -3097,9 +3173,13 @@ def _resolve_transform(s: int, d: int):
         return _lcc_forward(_LCC_PARAMS[d])
     if s in _LCC_PARAMS and d == 4326:
         return _lcc_inverse(_LCC_PARAMS[s])
-    # compose via 4326 (3857<->UTM, UTM<->UTM zone change, LCC<->any)
-    if (zs or s == 3857 or s in _LCC_PARAMS) and (
-        zd or d == 3857 or d in _LCC_PARAMS
+    if s == 4326 and d in _AEA_PARAMS:
+        return _aea_forward(_AEA_PARAMS[d])
+    if s in _AEA_PARAMS and d == 4326:
+        return _aea_inverse(_AEA_PARAMS[s])
+    # compose via 4326 (3857<->UTM, UTM<->UTM zone change, conic<->any)
+    if (zs or s == 3857 or s in _LCC_PARAMS or s in _AEA_PARAMS) and (
+        zd or d == 3857 or d in _LCC_PARAMS or d in _AEA_PARAMS
     ):
         to_geo = _resolve_transform(s, 4326)
         from_geo = _resolve_transform(4326, d)
@@ -3122,8 +3202,8 @@ def _k_transform(g: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
         if fn is None:
             raise NotImplementedError(
                 f"st_transform supports EPSG:4326<->3857, 4326/3857<->"
-                f"UTM (326zz/327zz) and the embedded LCC set "
-                f"{sorted(_LCC_PARAMS)}, got {s}->{d} "
+                f"UTM (326zz/327zz), the embedded LCC set {sorted(_LCC_PARAMS)} "
+                f"and Albers {sorted(_AEA_PARAMS)}, got {s}->{d} "
                 "(the reference delegates other pairs to PROJ)"
             )
         gtype, coords = _parse(bytes(b))

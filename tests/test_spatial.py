@@ -1300,3 +1300,57 @@ def test_lcc_transform_dataframe_surface(spark):
         st_y(both).alias("by"), st_y(direct).alias("dy"),
     ).collect()[0]
     assert abs(r3.bx - r3.dx) < 1e-3 and abs(r3.by - r3.dy) < 1e-3
+
+
+def test_aea_transform_controls(spark):
+    """Albers Equal Area (EPSG 9822, CONUS Albers 5070): origin ->
+    (FE, FN), unit scale along both standard parallels (the 2SP
+    defining property, vs Vincenty), float-exact round-trips, and the
+    EQUAL-AREA property itself — planar shoelace area of a projected
+    quad matches the independent ellipsoidal (authalic) area to the
+    edge-approximation bound."""
+    import math
+
+    from pg_lake_spark.functions.spatial import (
+        _AEA_PARAMS,
+        _aea_forward,
+        _aea_inverse,
+        _spheroid_area_of,
+        _vincenty_m,
+    )
+
+    p = _AEA_PARAMS[5070]
+    fwd, inv = _aea_forward(p), _aea_inverse(p)
+    E, N = fwd(-96.0, 23.0)
+    assert abs(E) < 1e-6 and abs(N) < 1e-6
+    for sp in (29.5, 45.5):
+        X1, Y1 = fwd(-96.0, sp)
+        X2, Y2 = fwd(-95.99, sp)
+        assert abs(math.hypot(X2 - X1, Y2 - Y1) / _vincenty_m(-96.0, sp, -95.99, sp) - 1) < 1e-7
+    for x, y in [(-122.33, 47.61), (-74.0, 40.7), (-87.65, 41.85)]:
+        X, Y = fwd(x, y)
+        x2, y2 = inv(X, Y)
+        assert abs(x2 - x) < 1e-11 and abs(y2 - y) < 1e-11
+    quad = [(-100.0, 35.0), (-99.0, 35.0), (-99.0, 36.0), (-100.0, 36.0), (-100.0, 35.0)]
+    ell = _spheroid_area_of(3, [quad])
+    pq = [fwd(x, y) for x, y in quad]
+    planar = abs(
+        sum(pq[i][0] * pq[i + 1][1] - pq[i + 1][0] * pq[i][1] for i in range(len(pq) - 1))
+    ) / 2
+    assert abs(planar / ell - 1) < 1e-4
+
+
+def test_aea_dataframe_surface(spark):
+    """st_transform 4326<->5070 and composition with UTM through 4326."""
+    from pg_lake_spark.functions.spatial import st_point, st_transform, st_x, st_y
+
+    df = spark.createDataFrame([(-87.65, 41.85)], "x double, y double")
+    g = st_transform(st_point("x", "y"), 4326, 5070)
+    back = st_transform(g, 5070, 4326)
+    r = df.select(
+        st_x(g).alias("e"), st_y(g).alias("n"),
+        st_x(back).alias("x2"), st_y(back).alias("y2"),
+    ).collect()[0]
+    # Chicago on CONUS Albers: ~ E 670-720 km, N 2100-2200 km
+    assert 500_000 < r.e < 900_000 and 2_000_000 < r.n < 2_400_000
+    assert abs(r.x2 + 87.65) < 1e-9 and abs(r.y2 - 41.85) < 1e-9
