@@ -43,6 +43,9 @@ _R8_NEW: list[str] = [
     "dsq76_channel_null_dims", "dsq66_monthly_pivot_wide",
     "cb_type_share_of_total", "cb_power_users_histogram",
     "cb_props_coverage_by_type",
+    "dsq50_ship_latency_buckets", "dsq33_category_union_sum",
+    "dsq65_min_share_brands", "dsq29_buy_return_rebuy",
+    "dsq45_disjunctive_semijoin",
 ]
 #: the 22 rows whose latest official green is r4 (from CORRECTNESS_r0*)
 _R4_STALE = [

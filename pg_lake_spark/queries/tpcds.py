@@ -1865,3 +1865,261 @@ def dsq66_monthly_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*aggs)
         .orderBy("n_name")
     )
+
+
+@query(
+    "dsq50_ship_latency_buckets",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 30
+                          AND datediff('day', o_orderdate, l_shipdate) <= 60
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+           CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 60
+                          AND datediff('day', o_orderdate, l_shipdate) <= 90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+           CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d90plus
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    doc="TPC-DS Q50 shape: order-to-ship latency banded into CASE "
+    "buckets per dimension in one pass (DS buckets days-to-return per "
+    "store). datediff runs identically in both engines on NTZ "
+    "timestamps; dims broadcast; one aggregate shuffle.",
+)
+def dsq50_ship_latency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    def band(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("o_orderdate") >= _ts("1997-01-01"))
+            & (F.col("o_orderdate") < _ts("1998-01-01"))
+        )
+        .join(_bcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_bcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            band(lag <= 30).alias("d30"),
+            band((lag > 30) & (lag <= 60)).alias("d60"),
+            band((lag > 60) & (lag <= 90)).alias("d90"),
+            band(lag > 90).alias("d90plus"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "dsq33_category_union_sum",
+    oracle="""
+    WITH hits AS (
+      SELECT p_brand,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_type LIKE '%PROMO%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-07-01'
+      UNION ALL
+      SELECT p_brand,
+             CAST(round(o_totalprice * 10, 0) AS BIGINT) AS cents
+      FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN part     ON l_partkey = p_partkey
+      WHERE p_type LIKE '%PROMO%'
+        AND o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-07-01'
+    )
+    SELECT p_brand, CAST(sum(cents) AS BIGINT) AS total_cents,
+           count(*) AS n
+    FROM hits
+    GROUP BY p_brand
+    ORDER BY total_cents DESC, p_brand
+    LIMIT 10
+    """,
+    doc="TPC-DS Q33/Q56/Q60 shape: the same category-restricted "
+    "aggregate computed per channel, UNION ALL'd, re-aggregated to a "
+    "cross-channel total, top-N (DS unions store/web/catalog manu "
+    "sums). The category filter lands on the part dimension in each "
+    "branch before its join.",
+)
+def dsq33_category_union_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    brass = _bcast(t["part"].filter(F.col("p_type").like("%PROMO%")))
+    line = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-07-01"))
+        )
+        .join(brass, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_brand",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    ords = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= _ts("1997-01-01"))
+            & (F.col("o_orderdate") < _ts("1997-07-01"))
+        )
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(brass, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_brand",
+            F.round(F.col("o_totalprice") * 10, 0).cast("bigint").alias("cents"),
+        )
+    )
+    return (
+        line.unionByName(ords)
+        .groupBy("p_brand")
+        .agg(F.sum("cents").cast("bigint").alias("total_cents"), F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("total_cents").desc(), "p_brand")
+        .limit(10)
+    )
+
+
+@query(
+    "dsq65_min_share_brands",
+    oracle="""
+    WITH brand_rev AS (
+      SELECT p_brand,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+    )
+    SELECT b.p_brand AS p_brand, b.cents AS cents,
+           m.max_cents AS max_cents
+    FROM brand_rev b
+    CROSS JOIN (SELECT max(cents) AS max_cents FROM brand_rev) m
+    WHERE b.cents * 10 <= m.max_cents * 8
+    ORDER BY p_brand
+    """,
+    doc="TPC-DS Q65 shape: dimension members whose total falls below a "
+    "fraction (80%) of the global best — an aggregate joined against the "
+    "aggregate-of-the-aggregate (DS: stores' items under 10% of avg). "
+    "The one-row max side cross-joins (broadcast) onto the grouped "
+    "frame; the fraction predicate multiplies exact integer cents, no "
+    "division.",
+)
+def dsq65_min_share_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+        "bigint"
+    )
+    brand_rev = (
+        t["lineitem"]
+        .join(_bcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+        .localCheckpoint(eager=True)  # referenced twice: rows + global max
+    )
+    mx = brand_rev.agg(F.max("cents").alias("max_cents"))
+    return (
+        brand_rev.crossJoin(F.broadcast(mx))  # one-row aggregate combine
+        .filter(F.col("cents") * 10 <= F.col("max_cents") * 8)
+        .select("p_brand", "cents", "max_cents")
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "dsq29_buy_return_rebuy",
+    oracle="""
+    WITH bought AS (
+      SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_returnflag <> 'R'
+    ), returned AS (
+      SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_returnflag = 'R'
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT b.ck) AS BIGINT) AS n_custs
+    FROM bought b JOIN returned r ON b.ck = r.ck AND b.pk = r.pk
+    """,
+    doc="TPC-DS Q29/Q25 shape: the sold -> returned -> re-bought chain "
+    "keyed on (customer, item) across fact passes (DS chains "
+    "store_sales/store_returns/catalog_sales). Two distinct key-set "
+    "reductions of the same fact join on the composite key; the count "
+    "summarizes the chain membership.",
+)
+def dsq29_buy_return_rebuy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    base = t["orders"].join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+    bought = (
+        base.filter(F.col("l_returnflag") != "R")
+        .select(F.col("o_custkey").alias("b_ck"), F.col("l_partkey").alias("b_pk"))
+        .distinct()
+    )
+    returned = (
+        base.filter(F.col("l_returnflag") == "R")
+        .select(F.col("o_custkey").alias("r_ck"), F.col("l_partkey").alias("r_pk"))
+        .distinct()
+    )
+    return (
+        bought.join(
+            returned,
+            (F.col("b_ck") == F.col("r_ck")) & (F.col("b_pk") == F.col("r_pk")),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.count_distinct("b_ck").cast("bigint").alias("n_custs"),
+        )
+    )
+
+
+@query(
+    "dsq45_disjunctive_semijoin",
+    oracle="""
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_custs,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_name IN ('FRANCE', 'GERMANY')
+       OR c_custkey IN (SELECT o_custkey FROM orders
+                        WHERE o_totalprice > 400000)
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    doc="TPC-DS Q45 shape: a dimension-membership predicate OR'd with "
+    "an IN-subquery (DS: zip in list OR item in set) — the disjunction "
+    "prevents a plain semi-join, so the subquery becomes a left join "
+    "with a match flag and the filter tests flag-or-membership. Money "
+    "rounded at 2 over a per-nation sum of base values (not a "
+    "computed product), safe against boundary flips.",
+)
+def dsq45_disjunctive_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("big_ck"))
+        .distinct()
+    )
+    return (
+        t["customer"]
+        .join(_bcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(big, F.col("c_custkey") == F.col("big_ck"), "left")
+        .filter(F.col("n_name").isin("FRANCE", "GERMANY") | F.col("big_ck").isNotNull())
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
