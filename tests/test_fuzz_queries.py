@@ -40,8 +40,36 @@ def _agg(rng, col):
 
 def gen_query(rng: random.Random) -> str:
     kind = rng.choice(
-        ["agg_l", "agg_join", "proj_filter", "agg_having", "window", "setop", "exists"]
+        ["agg_l", "agg_join", "proj_filter", "agg_having", "window", "setop", "exists",
+         "full_outer", "disjunct_semi"]
     )
+    if kind == "full_outer":
+        # two channel aggregates FULL OUTER joined + coalesce-merged
+        # (the dsq78 construct): members present in only one channel
+        # must survive with zero-filled counts
+        st = rng.choice(["F", "O", "P"])
+        price = rng.randint(150, 350) * 1000
+        return (
+            f"WITH a AS (SELECT o_custkey AS k, count(*) AS na FROM orders "
+            f"           WHERE o_orderstatus = '{st}' GROUP BY o_custkey), "
+            f"     b AS (SELECT o_custkey AS k, count(*) AS nb FROM orders "
+            f"           WHERE o_totalprice > {price} GROUP BY o_custkey) "
+            f"SELECT coalesce(a.k, b.k) AS k, coalesce(na, 0) AS na, "
+            f"       coalesce(nb, 0) AS nb "
+            f"FROM a FULL OUTER JOIN b ON a.k = b.k ORDER BY k"
+        )
+    if kind == "disjunct_semi":
+        # membership OR IN-subquery (the dsq45 construct): the
+        # disjunction blocks a plain semi-join rewrite
+        st = rng.choice(["F", "O"])
+        qty = rng.randint(40, 49)
+        return (
+            f"SELECT o_orderkey, o_custkey FROM orders "
+            f"WHERE o_orderstatus = '{st}' "
+            f"   OR o_orderkey IN (SELECT l_orderkey FROM lineitem "
+            f"                     WHERE l_quantity > {qty}) "
+            f"ORDER BY o_orderkey"
+        )
     if kind == "exists":
         qty = rng.randint(35, 49)
         neg = rng.choice(["", "NOT "])
