@@ -3082,6 +3082,182 @@ def _lcc_inverse(p):
     return fn
 
 
+# -- Generalized Transverse Mercator (any ellipsoid) + 7-parameter
+# Helmert datum shift: the two pieces that extend the Krüger series
+# beyond WGS84 — here powering OSGB British National Grid (EPSG:27700,
+# Airy 1830 ellipsoid + OSGB36 datum). Helmert without a distortion
+# grid is the standard PROJ/PostGIS fallback, published accuracy ~3.5 m
+# for OSGB36 (OSTN15-grid territory beyond that) — documented, and far
+# inside analytics tolerance.
+
+def _tm_consts(a: float, f: float):
+    """Krüger order-n^6 series coefficients for ellipsoid (a, f) —
+    same formulas as the WGS84 module constants above, parameterized."""
+    n = f / (2 - f)
+    abar = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64 + n**6 / 256)
+    alpha = (
+        n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180
+        - 127 * n**5 / 288 + 7891 * n**6 / 37800,
+        13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440
+        + 281 * n**5 / 630 - 1983433 * n**6 / 1935360,
+        61 * n**3 / 240 - 103 * n**4 / 140 + 15061 * n**5 / 26880
+        + 167603 * n**6 / 181440,
+        49561 * n**4 / 161280 - 179 * n**5 / 168 + 6601661 * n**6 / 7257600,
+        34729 * n**5 / 80640 - 3418889 * n**6 / 1995840,
+        212378941 * n**6 / 319334400,
+    )
+    beta = (
+        n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96 - n**4 / 360
+        - 81 * n**5 / 512 + 96199 * n**6 / 604800,
+        n**2 / 48 + n**3 / 15 - 437 * n**4 / 1440 + 46 * n**5 / 105
+        - 1118711 * n**6 / 3870720,
+        17 * n**3 / 480 - 37 * n**4 / 840 - 209 * n**5 / 4480
+        + 5569 * n**6 / 90720,
+        4397 * n**4 / 161280 - 11 * n**5 / 504 - 830251 * n**6 / 7257600,
+        4583 * n**5 / 161280 - 108847 * n**6 / 3991680,
+        20648693 * n**6 / 638668800,
+    )
+    delta = (
+        2 * n - 2 * n**2 / 3 - 2 * n**3 + 116 * n**4 / 45
+        + 26 * n**5 / 45 - 2854 * n**6 / 675,
+        7 * n**2 / 3 - 8 * n**3 / 5 - 227 * n**4 / 45 + 2704 * n**5 / 315
+        + 2323 * n**6 / 945,
+        56 * n**3 / 15 - 136 * n**4 / 35 - 1262 * n**5 / 105
+        + 73814 * n**6 / 2835,
+        4279 * n**4 / 630 - 332 * n**5 / 35 - 399572 * n**6 / 14175,
+        4174 * n**5 / 315 - 144838 * n**6 / 6237,
+        601676 * n**6 / 22275,
+    )
+    return n, abar, alpha, beta, delta
+
+
+def _tm_xi_eta(n: float, phi: float, dl: float):
+    two_rtn = 2 * math.sqrt(n) / (1 + n)
+    t = math.sinh(math.atanh(math.sin(phi)) - two_rtn * math.atanh(two_rtn * math.sin(phi)))
+    xi = math.atan2(t, math.cos(dl))
+    eta = math.asinh(math.sin(dl) / math.hypot(t, math.cos(dl)))
+    return xi, eta
+
+
+def _tm_forward_gen(a, f, lat0, lon0, k0, fe, fn_):
+    n, abar, alpha, _beta, _delta = _tm_consts(a, f)
+    lam0 = math.radians(lon0)
+    # meridian-arc offset of the latitude of origin (eta=0 path)
+    xi0, _ = _tm_xi_eta(n, math.radians(lat0), 0.0)
+    xs0 = xi0 + sum(al * math.sin(2 * j * xi0) for j, al in enumerate(alpha, 1))
+    m0 = abar * xs0
+
+    def fwd(x: float, y: float) -> tuple[float, float]:
+        phi, lam = math.radians(y), math.radians(x)
+        xi, eta = _tm_xi_eta(n, phi, lam - lam0)
+        xs, es = xi, eta
+        for j, al in enumerate(alpha, 1):
+            xs += al * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+            es += al * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+        return fe + k0 * abar * es, fn_ + k0 * (abar * xs - m0)
+
+    return fwd
+
+
+def _tm_inverse_gen(a, f, lat0, lon0, k0, fe, fn_):
+    n, abar, alpha, beta, delta = _tm_consts(a, f)
+    lam0 = math.radians(lon0)
+    xi0, _ = _tm_xi_eta(n, math.radians(lat0), 0.0)
+    xs0 = xi0 + sum(al * math.sin(2 * j * xi0) for j, al in enumerate(alpha, 1))
+    m0 = abar * xs0
+
+    def inv(x: float, y: float) -> tuple[float, float]:
+        xi = (y - fn_ + k0 * m0) / (k0 * abar)
+        eta = (x - fe) / (k0 * abar)
+        xp, ep = xi, eta
+        for j, b in enumerate(beta, 1):
+            xp -= b * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+            ep -= b * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+        chi = math.asin(max(-1.0, min(1.0, math.sin(xp) / math.cosh(ep))))
+        phi = chi
+        for j, d in enumerate(delta, 1):
+            phi += d * math.sin(2 * j * chi)
+        lam = lam0 + math.atan2(math.sinh(ep), math.cos(xp))
+        return math.degrees(lam), math.degrees(phi)
+
+    return inv
+
+
+#: Airy 1830 (OSGB36)
+_AIRY_A = 6377563.396
+_AIRY_F = 1 / 299.3249646
+
+#: WGS84 -> OSGB36 Helmert (reverse of the published OSGB36->WGS84
+#: EPSG:1314 set): translations m, rotations arcsec, scale ppm
+_HELMERT_WGS84_TO_OSGB36 = (-446.448, 125.157, -542.060,
+                            -0.1502, -0.2470, -0.8421, 20.4894)
+
+
+def _geodetic_to_cart(a, f, lon, lat, h=0.0):
+    e2 = f * (2 - f)
+    phi, lam = math.radians(lat), math.radians(lon)
+    s, c = math.sin(phi), math.cos(phi)
+    nu = a / math.sqrt(1 - e2 * s * s)
+    return ((nu + h) * c * math.cos(lam), (nu + h) * c * math.sin(lam),
+            (nu * (1 - e2) + h) * s)
+
+
+def _cart_to_geodetic(a, f, X, Y, Z):
+    e2 = f * (2 - f)
+    lam = math.atan2(Y, X)
+    p = math.hypot(X, Y)
+    phi = math.atan2(Z, p * (1 - e2))
+    for _ in range(10):
+        s = math.sin(phi)
+        nu = a / math.sqrt(1 - e2 * s * s)
+        phi_new = math.atan2(Z + e2 * nu * s, p)
+        if abs(phi_new - phi) < 1e-13:
+            phi = phi_new
+            break
+        phi = phi_new
+    return math.degrees(lam), math.degrees(phi)
+
+
+def _helmert(params, X, Y, Z, inverse=False):
+    tx, ty, tz, rx, ry, rz, s_ppm = params
+    rx, ry, rz = (math.radians(v / 3600.0) for v in (rx, ry, rz))
+    s = 1 + s_ppm * 1e-6
+    if not inverse:
+        return (tx + s * (X - rz * Y + ry * Z),
+                ty + s * (rz * X + Y - rx * Z),
+                tz + s * (-ry * X + rx * Y + Z))
+    X, Y, Z = X - tx, Y - ty, Z - tz
+    return ((X + rz * Y - ry * Z) / s,
+            (-rz * X + Y + rx * Z) / s,
+            (ry * X - rx * Y + Z) / s)
+
+
+def _osgb_forward():
+    tm = _tm_forward_gen(_AIRY_A, _AIRY_F, 49.0, -2.0, 0.9996012717,
+                         400000.0, -100000.0)
+
+    def fn(x: float, y: float) -> tuple[float, float]:
+        c = _geodetic_to_cart(_WGS84_A, _WGS84_F, x, y)
+        c = _helmert(_HELMERT_WGS84_TO_OSGB36, *c)
+        lon, lat = _cart_to_geodetic(_AIRY_A, _AIRY_F, *c)
+        return tm(lon, lat)
+
+    return fn
+
+
+def _osgb_inverse():
+    tm = _tm_inverse_gen(_AIRY_A, _AIRY_F, 49.0, -2.0, 0.9996012717,
+                         400000.0, -100000.0)
+
+    def fn(x: float, y: float) -> tuple[float, float]:
+        lon, lat = tm(x, y)
+        c = _geodetic_to_cart(_AIRY_A, _AIRY_F, lon, lat)
+        c = _helmert(_HELMERT_WGS84_TO_OSGB36, *c, inverse=True)
+        return _cart_to_geodetic(_WGS84_A, _WGS84_F, *c)
+
+    return fn
+
+
 # -- Albers Equal Area 2SP (EPSG method 9822) — the other common
 # conic national grid (CONUS Albers). EPSG Guidance Note 7-2 formulas;
 # same GRS80/WGS84 datum convention as the LCC set.
@@ -3177,9 +3353,13 @@ def _resolve_transform(s: int, d: int):
         return _aea_forward(_AEA_PARAMS[d])
     if s in _AEA_PARAMS and d == 4326:
         return _aea_inverse(_AEA_PARAMS[s])
+    if s == 4326 and d == 27700:
+        return _osgb_forward()
+    if s == 27700 and d == 4326:
+        return _osgb_inverse()
     # compose via 4326 (3857<->UTM, UTM<->UTM zone change, conic<->any)
-    if (zs or s == 3857 or s in _LCC_PARAMS or s in _AEA_PARAMS) and (
-        zd or d == 3857 or d in _LCC_PARAMS or d in _AEA_PARAMS
+    if (zs or s in (3857, 27700) or s in _LCC_PARAMS or s in _AEA_PARAMS) and (
+        zd or d in (3857, 27700) or d in _LCC_PARAMS or d in _AEA_PARAMS
     ):
         to_geo = _resolve_transform(s, 4326)
         from_geo = _resolve_transform(4326, d)
@@ -3203,7 +3383,7 @@ def _k_transform(g: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
             raise NotImplementedError(
                 f"st_transform supports EPSG:4326<->3857, 4326/3857<->"
                 f"UTM (326zz/327zz), the embedded LCC set {sorted(_LCC_PARAMS)} "
-                f"and Albers {sorted(_AEA_PARAMS)}, got {s}->{d} "
+                f"Albers {sorted(_AEA_PARAMS)} and OSGB 27700, got {s}->{d} "
                 "(the reference delegates other pairs to PROJ)"
             )
         gtype, coords = _parse(bytes(b))

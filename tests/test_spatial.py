@@ -1073,7 +1073,7 @@ def test_transform_unsupported_pair_still_raises(spark):
 
     df = spark.createDataFrame([(_from_wkt("POINT(0 0)"),)], "g binary")
     with pytest.raises(Exception, match="(?i)st_transform supports"):
-        df.select(st_transform("g", 4326, 27700)).collect()  # OSGB, no datum grid
+        df.select(st_transform("g", 4326, 2056)).collect()  # Swiss LV95 (oblique Mercator)
 
 
 def test_distance_spheroid_published_vectors(spark):
@@ -1354,3 +1354,43 @@ def test_aea_dataframe_surface(spark):
     # Chicago on CONUS Albers: ~ E 670-720 km, N 2100-2200 km
     assert 500_000 < r.e < 900_000 and 2_000_000 < r.n < 2_400_000
     assert abs(r.x2 + 87.65) < 1e-9 and abs(r.y2 - 41.85) < 1e-9
+
+
+def test_osgb_transform_worked_example(spark):
+    """EPSG:27700 British National Grid: the generalized Krüger TM on
+    Airy 1830 reproduces the Ordnance Survey worked example
+    (52°39'27.2531\"N 1°43'4.5177\"E OSGB36 -> E 651409.903
+    N 313177.270) to the millimeter, and the full WGS84 pipeline
+    (7-parameter Helmert datum shift) round-trips and lands London at
+    its published grid square."""
+    from pg_lake_spark.functions.spatial import (
+        _AIRY_A,
+        _AIRY_F,
+        _osgb_forward,
+        _osgb_inverse,
+        _tm_forward_gen,
+        st_point,
+        st_transform,
+        st_x,
+        st_y,
+    )
+
+    def dms(d, m, s):
+        return d + m / 60 + s / 3600
+
+    tm = _tm_forward_gen(_AIRY_A, _AIRY_F, 49.0, -2.0, 0.9996012717, 400000.0, -100000.0)
+    E, N = tm(dms(1, 43, 4.5177), dms(52, 39, 27.2531))
+    assert abs(E - 651409.903) < 2e-3 and abs(N - 313177.270) < 2e-3
+
+    fwd, inv = _osgb_forward(), _osgb_inverse()
+    X, Y = fwd(-0.1276, 51.5072)  # central London
+    # Charing Cross area: published BNG ~ E 530300 N 180500 (±Helmert)
+    assert 529_500 < X < 531_000 and 179_800 < Y < 181_200
+    x2, y2 = inv(X, Y)
+    assert abs(x2 + 0.1276) < 1e-7 and abs(y2 - 51.5072) < 1e-7
+
+    df = spark.createDataFrame([(-3.1883, 55.9533)], "x double, y double")  # Edinburgh
+    g = st_transform(st_point("x", "y"), 4326, 27700)
+    r = df.select(st_x(g).alias("e"), st_y(g).alias("n")).collect()[0]
+    # Edinburgh: published BNG ~ E 325900 N 673900
+    assert 325_000 < r.e < 327_000 and 673_000 < r.n < 675_000

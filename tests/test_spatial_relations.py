@@ -241,9 +241,9 @@ def test_transform_web_mercator(spark):
 
 def test_transform_unsupported_pair_raises(spark):
     df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
-    # 2154 gained LCC support in r8; OSGB (27700) stays PROJ territory
+    # 2154/27700 gained support in r8; Swiss LV95 stays PROJ territory
     with pytest.raises(Exception, match="4326<->3857"):
-        df.select(S.st_transform(S.st_point("x", "y"), 4326, 27700)).collect()
+        df.select(S.st_transform(S.st_point("x", "y"), 4326, 2056)).collect()
 
 
 def test_sql_surface_new_functions(spark):
