@@ -2123,3 +2123,64 @@ def dsq45_disjunctive_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "dsq70_rank_within_parent",
+    oracle="""
+    WITH agg AS (
+      SELECT r_name, n_name,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+             CAST(grouping(r_name) AS INT) AS g_r,
+             CAST(grouping(n_name) AS INT) AS g_n
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+      GROUP BY ROLLUP (r_name, n_name)
+    )
+    SELECT r_name, n_name, cents, g_r, g_n,
+           CAST(rank() OVER (PARTITION BY g_r, g_n, r_name
+                             ORDER BY cents DESC) AS BIGINT) AS rnk
+    FROM agg
+    ORDER BY g_r DESC, g_n DESC, r_name NULLS FIRST, rnk, n_name NULLS FIRST
+    """,
+    doc="TPC-DS Q70 shape: RANK WITHIN PARENT over a ROLLUP — nations "
+    "ranked inside their region on the detail rows, regions ranked "
+    "against each other on the subtotal rows, the grand total alone — "
+    "by partitioning the rank window on (grouping flags, parent key). "
+    "The window consumes only the rollup output; grouping() flags ride "
+    "as columns so both engines agree on level identity.",
+)
+def dsq70_rank_within_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    agg = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= _ts("1997-01-01"))
+            & (F.col("o_orderdate") < _ts("1998-01-01"))
+        )
+        .join(_bcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_bcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(_bcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(cents).cast("bigint").alias("cents"),
+            F.grouping("r_name").cast("int").alias("g_r"),
+            F.grouping("n_name").cast("int").alias("g_n"),
+        )
+    )
+    w = Window.partitionBy("g_r", "g_n", "r_name").orderBy(F.col("cents").desc())
+    return (
+        agg.withColumn("rnk", F.rank().over(w).cast("bigint"))
+        .orderBy(
+            F.col("g_r").desc(),
+            F.col("g_n").desc(),
+            F.col("r_name").asc_nulls_first(),
+            "rnk",
+            F.col("n_name").asc_nulls_first(),
+        )
+    )
