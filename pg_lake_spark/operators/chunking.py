@@ -168,3 +168,37 @@ def chunk_documents_tokens(
             "n_chunks",
         )
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    *,
+    source_col: str,
+    temperature: float,
+    target_rows: int,
+    id_col: str,
+) -> DataFrame:
+    """Temperature-scaled corpus mixing (the mT5/XLM-R multilingual
+    sampling rule): source ``s`` with ``n_s`` rows gets sampling weight
+    ``n_s^(1/T) / sum_s n_s^(1/T)`` — T=1 is proportional, T>1 flattens
+    the distribution toward uniform (upweighting low-resource sources),
+    T→inf is uniform. The derived weights feed :func:`mix_corpora`, so
+    row choice stays deterministic (md5(id) order per source).
+
+    Scale: one count aggregate collected to the driver — O(#sources)
+    rows, a bounded reduction — then a single window-filter pass.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    alpha = 1.0 / float(temperature)
+    total = sum(n ** alpha for n in counts.values())
+    weights = {s: (n ** alpha) / total for s, n in counts.items()}
+    return mix_corpora(
+        df,
+        source_col=source_col,
+        weights=weights,
+        target_rows=target_rows,
+        id_col=id_col,
+    )

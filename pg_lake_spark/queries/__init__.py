@@ -68,9 +68,9 @@ _R5_STALE = [
 ]
 _R8_WINDOW = (_R8_NEW + _R4_STALE + _R5_STALE)[:50]
 
-# r9 rotation note: dsq70_rank_within_parent was declared late in r8
-# and did NOT fit the 50-row window (28 r8-new + all 22 r4-stale) —
-# put it FIRST in r9. After it: r9-new queries, then the stalest rows —
+# r9 rotation note: dsq70_rank_within_parent and ds_temperature_mix
+# were declared late in r8 and did NOT fit the 50-row window (28
+# r8-new + all 22 r4-stale) — put them FIRST in r9. After it: r9-new queries, then the stalest rows —
 # the r5-only names (_R5_STALE plus q1-q13, s_* set ops,
 # w_exclude_current_row, remaining dml_*/j_* rows; compute from
 # CORRECTNESS_r0*.json latest-green as r8 did). Keep [:50].

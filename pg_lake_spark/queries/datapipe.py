@@ -1200,3 +1200,55 @@ def dd_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "ds_temperature_mix",
+    # Oracle recomputes the mT5/XLM-R temperature rule in SQL: weight
+    # n_s^(1/T) normalized, quota = round(w*target), rows chosen in
+    # md5(id) order per source. T=2, target=400 chosen so no quota
+    # lands near a .5 rounding boundary (engines round halves
+    # differently; the corpus is fixed, so this is deterministic).
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    w AS (SELECT lang, pow(n, 0.5) AS u FROM c),
+    q AS (SELECT lang, CAST(round(u / (SELECT sum(u) FROM w) * 400, 0) AS INT) AS quota
+          FROM w),
+    ranked AS (
+        SELECT d.lang, d.n_chars,
+               row_number() OVER (PARTITION BY d.lang
+                                  ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+        FROM documents d
+    )
+    SELECT r.lang, count(*) AS n_rows, CAST(sum(r.n_chars) AS BIGINT) AS total_chars
+    FROM ranked r JOIN q ON r.lang = q.lang
+    WHERE r.rk <= q.quota
+    GROUP BY r.lang
+    ORDER BY r.lang
+    """,
+    doc="Temperature-scaled corpus mixing (operators/chunking."
+    "temperature_mix — the mT5/XLM-R multilingual sampling rule): "
+    "source weights n^(1/T) normalized, T=2 flattening the language "
+    "distribution toward uniform before deterministic md5-order "
+    "selection. The per-source count collect is O(#sources), a bounded "
+    "reduction; selection is one window-filter pass.",
+)
+def ds_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_lake_spark.operators.chunking import temperature_mix
+
+    t = load_tables(spark, sf_dir)
+    mixed = temperature_mix(
+        t["documents"],
+        source_col="lang",
+        temperature=2.0,
+        target_rows=400,
+        id_col="doc_id",
+    )
+    return (
+        mixed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
