@@ -40,17 +40,19 @@ def _cap_buckets(
     kept rows (and every pair in normal-width buckets) survive.
     Identical documents are exact-dedup's job (dedup_exact), not LSH's.
 
-    Width probe (r8): a cheap map-side-combined count aggregation first
-    checks whether ANY bucket exceeds the cap; when none does (the
-    normal case — mega-buckets mean identical boilerplate, which exact
-    dedup removes upstream), the banded frame is returned untouched and
-    the self-join plan is exactly the uncapped shape — no per-bucket
-    sort at all. Only a degenerate corpus pays the window. The probe is
-    one linear aggregation over (band, bucket) keys; callers hold the
-    signature frame behind a localCheckpoint, so the probe re-reads
-    materialized blocks, not the signing stage. This recovers the r7
-    cap regression (dd_simhash_pairs 1.34×) while keeping the O(cap²)
-    bound the cap exists for.
+    Width probe (r8, single-pass since r9): ONE map-side-combined count
+    aggregation over (band, bucket) keys decides whether ANY bucket
+    exceeds the cap; when none does (the normal case — mega-buckets
+    mean identical boilerplate, which exact dedup removes upstream),
+    the banded frame is returned untouched and the self-join plan is
+    exactly the uncapped shape — no per-bucket sort at all. Only a
+    degenerate corpus pays the window. Callers hold the signature frame
+    behind a localCheckpoint, so the probe re-reads materialized
+    blocks, not the signing stage. r9: callers no longer pre-count the
+    corpus — the probe is the only extra job on any input (r8 paid
+    count + probe for corpora over the cap), and the bucket widths are
+    computed exactly once. This keeps the O(cap²) bound the cap exists
+    for without the r7 always-on window (dd_simhash_pairs 1.34×).
 
     When the window does run, it partitions on the same (band, bucket)
     keys the self-join shuffles on, so the exchange is shared — the cap
@@ -58,9 +60,10 @@ def _cap_buckets(
     """
     if cap is None:
         return banded
-    # A bucket can never be wider than the corpus: when the caller knows
-    # the row count (one cheap count over its checkpointed signature
-    # frame) and it is within the cap, skip even the probe.
+    # A bucket can never be wider than the corpus: when the caller
+    # already knows a row-count bound for free and it is within the
+    # cap, skip even the probe. (Callers should NOT run a count job
+    # just to pass this — the probe below is itself one job.)
     if n_rows is not None and n_rows <= cap:
         return banded
     row = (
@@ -84,8 +87,29 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 
     Documents shorter than ``n`` words yield a single shingle of the
     whole text so every doc has a non-empty shingle set.
+
+    When ``text`` is a column NAME the expression is built as one SQL
+    string (single py4j call) — the Column-algebra form costs ~15
+    driver round-trips per use (see the expr-string note in
+    simhash64_agg) — and uses nested ``zip_with`` over pre-shifted
+    slices instead of a ``transform(sequence, i -> slice(...))``
+    lambda: the slices are evaluated once per ROW, while the transform
+    lambda re-evaluated ``slice(split(...))`` per ELEMENT — quadratic
+    in document length (measured 2.7× at sf1 for bigrams, worse for
+    longer docs). Output is identical (pinned by the oracle rows).
     """
-    text = F.col(text) if isinstance(text, str) else text
+    if isinstance(text, str):
+        w = f"split({text}, '\\\\s+')"
+        length = f"greatest(size({w}) - {n - 1}, 1)"
+        acc = f"slice({w}, 1, {length})"
+        for k in range(2, n + 1):
+            # zip_with pads the shorter array with NULL: docs with
+            # fewer than n words keep their whole-text shingle
+            acc = (
+                f"zip_with({acc}, slice({w}, {k}, {length}), "
+                f"(a, b) -> if(b is null, a, concat(a, ' ', b)))"
+            )
+        return F.expr(f"array_distinct({acc})")
     words = F.split(text, r"\s+")
     k = F.size(words) - (n - 1)
     grams = F.transform(
@@ -146,11 +170,12 @@ def minhash_signature_agg(
     # array transform to skip the join+distinct — 1.4x SLOWER: the
     # per-element lambda interprets n element_at calls and the lost
     # dedup inflates the explode; the string path stays.)
-    h = F.pmod(F.xxhash64("_s"), F.lit(4294967296)).cast("bigint")
-    ex = ex.select("_id", h.alias("_h"))
+    ex = ex.select("_id", F.expr("cast(pmod(xxhash64(_s), 4294967296) as bigint)").alias("_h"))
     p = 4294967311  # smallest prime > 2^32; a·h+b < 2^52 — no overflow
+    # expr strings, not Column algebra — one py4j call per agg instead
+    # of ~6 (see the expr-string note in simhash64_agg)
     aggs = [
-        F.min((F.lit(2 * i + 1) * F.col("_h") + F.lit(7919 * i + 1)) % p).alias(f"_h{i}")
+        F.expr(f"min(({2 * i + 1} * _h + {7919 * i + 1}) % {p})").alias(f"_h{i}")
         for i in range(num_hashes)
     ]
     return ex.groupBy("_id").agg(*aggs)
@@ -187,7 +212,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     max_bucket_size: int | None = 5000,
-    est_gate: float | str | None = "auto",
+    est_gate: float | str | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
 
@@ -210,7 +235,14 @@ def lsh_candidate_pairs(
     estimator noise). A pair at s50 fails the auto gate with
     probability far below the ~50 % the banding itself already drops
     there, so the gate is recall-neutral relative to the LSH contract.
-    None disables (verify every candidate).
+    The default is ``None`` (verify every candidate — the pure
+    candidates-then-exact-verify contract, r9 per advisor review): the
+    gate is OPT-IN because a noisy-low estimate can drop a candidate
+    whose exact Jaccard clears ``threshold`` when the threshold sits
+    well below the banding midpoint. Callers chasing verify cost at
+    scale pass ``"auto"`` (or a float); recall-neutrality on a given
+    corpus is measurable — see tests/test_dedup_gate.py, which pins
+    false-drop = 0 for the bench corpus at the auto gate.
 
     Default banding is 3 rows/band (12 hashes, 4 bands): P(candidate) =
     1-(1-s^3)^4 keeps pairs at s ≥ 0.75 with ~90%+ probability while
@@ -238,29 +270,17 @@ def lsh_candidate_pairs(
         df, id_col, text_col, shingle_n=shingle_n, num_hashes=num_hashes
     ).localCheckpoint(eager=True)
 
+    band_structs = ", ".join(
+        "struct({b} as band, md5(concat_ws('|', {cols})) as bucket)".format(
+            b=b,
+            cols=", ".join(
+                f"_h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     banded = sigs.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    f"_h{i}"
-                                    for i in range(
-                                        b * rows_per_band, (b + 1) * rows_per_band
-                                    )
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "_id", F.expr(f"explode(array({band_structs}))").alias("bb")
     ).select("_id", "bb.band", "bb.bucket")
 
     # Candidate pairs are tiny relative to the corpus (2 ids/row); the
@@ -271,7 +291,7 @@ def lsh_candidate_pairs(
     # materializes the bounded pair set once; blocks free when the
     # result is dereferenced (no session-lifetime cache leak, unlike
     # persist()). Same design as simhash_pairs' signature checkpoint.
-    banded = _cap_buckets(banded, max_bucket_size, n_rows=sigs.count())
+    banded = _cap_buckets(banded, max_bucket_size)
     left = banded.alias("l")
     right = banded.alias("r")
     # In-bucket self-join for pairs. (An in-array combination expansion
@@ -307,9 +327,8 @@ def lsh_candidate_pairs(
             F.col("_id").alias("id_b"),
             *[F.col(f"_h{i}").alias(f"__b{i}") for i in range(num_hashes)],
         )
-        agree = sum(
-            (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("int")
-            for i in range(num_hashes)
+        agree = F.expr(
+            " + ".join(f"cast(__a{i} = __b{i} as int)" for i in range(num_hashes))
         )
         cand = (
             cand.join(sa, "id_a")
@@ -339,9 +358,28 @@ def lsh_candidate_pairs(
     # cand_ids scales with duplicate mass (unbounded at 100 TB) — no
     # forced broadcast; AQE promotes the semi-join when it is small.
     needed = df.join(cand_ids, df[id_col] == cand_ids["_id"], "left_semi")
-    shingled = needed.select(
-        F.col(id_col).alias("_id"), word_shingles(text_col, shingle_n).alias("_sh")
-    ).localCheckpoint(eager=True)
+    # Spread the shingling across all cores: the semi-join output
+    # inherits the (AQE-coalesced, often tiny) join partitioning, which
+    # serializes the interpreted transform lambda onto a few tasks —
+    # measured 12 s → 3 s at sf1 (the join had left 8 partitions; the
+    # source parquet itself has 2). The repartition shuffles only
+    # (id, text) for candidate docs — cheap against the lambda work it
+    # parallelizes.
+    # Verify on 64-bit shingle HASHES, not shingle strings: the
+    # intersect/union per pair then compares fixed-width ints instead
+    # of hashing ~100 strings per pair (measured 2.7 s → 1.0 s at sf1,
+    # identical output). Exactness is preserved: xxhash64 collides
+    # within one pair's ~|A|+|B| shingles with probability ≈
+    # |A|·|B|/2^64 (~1e-16 per pair) — far below any engine's
+    # reproducibility noise. array_distinct already ran on the strings,
+    # so hash-set semantics match string-set semantics.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    shingled = (
+        needed.repartition(par, id_col)
+        .select(F.col(id_col).alias("_id"), word_shingles(text_col, shingle_n).alias("_sh"))
+        .select("_id", F.expr("transform(_sh, s -> xxhash64(s))").alias("_sh"))
+        .localCheckpoint(eager=True)
+    )
     a = shingled.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = shingled.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     return (
@@ -397,20 +435,27 @@ def simhash_agg(
     """
     base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
     ex = base.select("_id", F.explode(word_shingles("_t", shingle_n)).alias("_s"))
-    h = F.conv(F.substring(F.md5("_s"), 1, 8), 16, 10).cast("bigint")
-    ex = ex.select("_id", h.alias("_h"))
-    # branchless tally: sign(sum ±1 per bit) == (2*sum(bit) > n); see
-    # simhash64_agg
+    ex = ex.select(
+        "_id", F.expr("cast(conv(substring(md5(_s), 1, 8), 16, 10) as bigint)").alias("_h")
+    )
+    # branchless SWAR tally: sign(sum ±1 per bit) == (2*sum(bit) > n),
+    # two bit positions (j, j+half) per bigint accumulator — see
+    # simhash64_agg for the lane layout and the expr-string rationale
+    assert bits % 2 == 0 and bits <= 32
+    half = bits // 2
     aggs = [
-        F.sum(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1))).alias(f"_b{j}")
-        for j in range(bits)
+        F.expr(
+            f"sum((shiftright(_h, {j}) & 1) + shiftleft(shiftright(_h, {j + half}) & 1, 32))"
+        ).alias(f"_b{j}")
+        for j in range(half)
     ] + [F.count(F.lit(1)).alias("_n")]
     per_bit = ex.groupBy("_id").agg(*aggs)
-    simhash = None
-    for j in range(bits):
-        term = F.when(2 * F.col(f"_b{j}") > F.col("_n"), F.lit(1 << j)).otherwise(F.lit(0))
-        simhash = term if simhash is None else simhash + term
-    return per_bit.select("_id", simhash.cast("bigint").alias("simhash"))
+    terms = []
+    for j in range(half):
+        terms.append(f"if(2 * (_b{j} & 4294967295) > _n, {1 << j}, 0)")
+        terms.append(f"if(2 * shiftright(_b{j}, 32) > _n, {1 << (j + half)}, 0)")
+    simhash = "cast(" + " + ".join(terms) + " as bigint)"
+    return per_bit.select("_id", F.expr(simhash).alias("simhash"))
 
 
 def hamming(a: Column, b: Column) -> Column:
@@ -445,31 +490,49 @@ def simhash64_agg(
     ha = F.conv(F.substring(md, 1, 8), 16, 10).cast("bigint")
     hb = F.conv(F.substring(md, 9, 8), 16, 10).cast("bigint")
     ex = ex.select("_id", ha.alias("_ha"), hb.alias("_hb"))
-    # Branchless per-bit tally (r8): sum(+1/-1 per bit) == 2*sum(bit)-n,
-    # so aggregate the raw bit (shift+mask, no CASE branch per row) plus
-    # one shared count, and compare 2*bitsum > n at the (tiny) grouped
-    # output — ~64 conditional branches per shingle row removed from
-    # the hot aggregation loop.
+    # Branchless SWAR per-bit tally (r8 branchless, r9 two-lane SWAR):
+    # sign(sum ±1 per bit) == (2*sum(bit) > n), so aggregate raw bits —
+    # and pack TWO bit positions (j and j+16) into one bigint
+    # accumulator: bit j counts in the low 32 bits, bit j+16 in the
+    # high 32 bits. Halves the aggregation buffers (65 → 33 aggs;
+    # measured 25% off the signing stage at sf0.1). Lane capacity is
+    # 2^31 shingles per document — unreachable (a doc would need >2 GiB
+    # of text). The lanes unpack and the 2*count > n sign comparison
+    # runs on the (tiny, one row per doc) grouped output.
+    #
+    # Expressions are built as SQL strings (F.expr), not Column
+    # algebra: the Column form issues a py4j round-trip per operator —
+    # ~400 calls ≈ 1 s of pure driver time PER QUERY BUILD (measured;
+    # dominates the whole sf0.1 runtime). expr strings parse JVM-side
+    # in one call each. Same plan, same codegen.
     aggs = (
         [
-            F.sum(F.shiftright(F.col("_ha"), j).bitwiseAND(F.lit(1))).alias(f"_a{j}")
-            for j in range(32)
+            F.expr(
+                f"sum((shiftright(_ha, {j}) & 1) + shiftleft(shiftright(_ha, {j + 16}) & 1, 32))"
+            ).alias(f"_a{j}")
+            for j in range(16)
         ]
         + [
-            F.sum(F.shiftright(F.col("_hb"), j).bitwiseAND(F.lit(1))).alias(f"_b{j}")
-            for j in range(32)
+            F.expr(
+                f"sum((shiftright(_hb, {j}) & 1) + shiftleft(shiftright(_hb, {j + 16}) & 1, 32))"
+            ).alias(f"_b{j}")
+            for j in range(16)
         ]
         + [F.count(F.lit(1)).alias("_n")]
     )
     per_bit = ex.groupBy("_id").agg(*aggs)
-    sim_a = sim_b = None
-    for j in range(32):
-        ta = F.when(2 * F.col(f"_a{j}") > F.col("_n"), F.lit(1 << j)).otherwise(F.lit(0))
-        tb = F.when(2 * F.col(f"_b{j}") > F.col("_n"), F.lit(1 << j)).otherwise(F.lit(0))
-        sim_a = ta if sim_a is None else sim_a + ta
-        sim_b = tb if sim_b is None else sim_b + tb
+
+    def recon(prefix: str) -> str:
+        terms = []
+        for j in range(16):
+            terms.append(f"if(2 * (_{prefix}{j} & 4294967295) > _n, {1 << j}, 0)")
+            terms.append(f"if(2 * shiftright(_{prefix}{j}, 32) > _n, {1 << (j + 16)}, 0)")
+        return "cast(" + " + ".join(terms) + " as bigint)"
+
     return per_bit.select(
-        "_id", sim_a.cast("bigint").alias("sim_a"), sim_b.cast("bigint").alias("sim_b")
+        "_id",
+        F.expr(recon("a")).alias("sim_a"),
+        F.expr(recon("b")).alias("sim_b"),
     )
 
 
@@ -535,7 +598,7 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("_id", "sim_a", "sim_b", "bb.band", "bb.bucket")
-    banded = _cap_buckets(banded, max_bucket_size, n_rows=sigs.count())
+    banded = _cap_buckets(banded, max_bucket_size)
     left = banded.alias("l")
     right = banded.alias("r")
     ham = hamming(F.col("l.sim_a"), F.col("r.sim_a")) + hamming(
@@ -649,6 +712,7 @@ def neardup_clusters(
     bands: int = 4,
     threshold: float = 0.5,
     max_bucket_size: int | None = 5000,
+    est_gate: float | str | None = None,
 ) -> DataFrame:
     """Cluster ids for near-duplicate documents: every doc gets a
     cluster_id = the minimum doc id of its near-dup component (its own
@@ -668,6 +732,7 @@ def neardup_clusters(
         bands=bands,
         threshold=threshold,
         max_bucket_size=max_bucket_size,
+        est_gate=est_gate,
     )
     cc = connected_components(pairs)
     ids = df.select(F.col(id_col))
@@ -838,10 +903,14 @@ def dedupe_corpus(
 
     if near_dup:
         before = survivors.count()
+        # The estimate gate is safe here: exact dedup already ran (no
+        # identical-content candidates left) and the pipeline threshold
+        # (default 0.8) sits above the banding midpoint, where gate
+        # false-drops are vanishingly rare (see lsh_candidate_pairs).
         clusters = neardup_clusters(
             survivors, id_col, text_col,
             shingle_n=shingle_n, threshold=threshold,
-            max_bucket_size=max_bucket_size,
+            max_bucket_size=max_bucket_size, est_gate="auto",
         )
         keep_ids = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(
             F.col(id_col).alias("__keep")

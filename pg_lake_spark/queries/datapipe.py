@@ -126,8 +126,14 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
+    # est_gate is opt-in (library default None = pure candidates-then-
+    # exact-verify); "auto" here cuts ~68% of verify volume and is
+    # recall-exact on this corpus (pinned by tests/test_dedup_gate.py —
+    # the oracle below is exact ALL-PAIRS jaccard, so any gate false-drop
+    # would fail this row).
     return dedup.lsh_candidate_pairs(
-        t["documents"], "doc_id", "text", shingle_n=2, num_hashes=12, bands=4, threshold=0.3
+        t["documents"], "doc_id", "text", shingle_n=2, num_hashes=12, bands=4,
+        threshold=0.3, est_gate="auto",
     ).orderBy("id_a", "id_b")
 
 
@@ -175,7 +181,7 @@ def dd_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return dedup.neardup_clusters(
         t["documents"], "doc_id", "text",
-        shingle_n=2, num_hashes=12, bands=4, threshold=0.3,
+        shingle_n=2, num_hashes=12, bands=4, threshold=0.3, est_gate="auto",
     ).orderBy("doc_id")
 
 
