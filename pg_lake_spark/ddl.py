@@ -738,16 +738,47 @@ def _align_positional(df: DataFrame, table) -> DataFrame:
 def _cast_to_table(df: DataFrame, table) -> DataFrame:
     """Cast columns to the target table's declared types (PG semantics:
     INSERT coerces to the column type, and RETURNING shows the column
-    type — not the literal's inferred type, e.g. int for VALUES (5))."""
+    type — not the literal's inferred type, e.g. int for VALUES (5)).
+
+    PG coercion, not Spark's lax cast: an invalid coercion RAISES
+    (PG errors on ``'abc'::int``; Spark's non-ANSI cast silently yields
+    NULL), and fractional numerics ROUND to nearest — ties away from
+    zero, PG's numeric→int rule — before integer casts (Spark's bare
+    cast truncates toward zero)."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     by_name = {f.name: f.dataType for f in table.to_df().schema.fields}
-    return df.select(
-        *[
-            F.col(c).cast(by_name[c]).alias(c) if c in by_name else F.col(c)
-            for c in df.columns
-        ]
-    )
+    int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    frac_types = (T.FloatType, T.DoubleType, T.DecimalType)
+    cols = []
+    for c in df.columns:
+        if c not in by_name:
+            cols.append(F.col(c))
+            continue
+        src, dst = df.schema[c].dataType, by_name[c]
+        col = F.col(c)
+        if isinstance(dst, int_types) and isinstance(src, frac_types):
+            # Spark round() is HALF_UP (away from zero) — matches PG
+            col = F.round(col, 0)
+        casted = col.cast(dst)
+        if src != dst:
+            # cast-produced NULL from a non-NULL input = invalid
+            # coercion ('abc'::int, overflow) — PG raises, so do we
+            casted = F.when(
+                F.col(c).isNotNull() & casted.isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f'invalid input for column "{c}" '
+                            f"({dst.simpleString()}): "
+                        ),
+                        F.col(c).cast("string"),
+                    )
+                ).cast(dst),
+            ).otherwise(casted)
+        cols.append(casted.alias(c))
+    return df.select(*cols)
 
 
 def _handle_or_none(sess, name: str):

@@ -3748,6 +3748,24 @@ def _shells_only(parsed) -> list:
     return [p[0] for p in polys]
 
 
+def _snapped_ring_is_sliver(ring: list, grid: float) -> bool:
+    """True when a snapped overlay ring is a one-grid-cell-wide snap
+    artifact. Width test (area/perimeter — half the mean width of a
+    long thin ring), not raw area: a legitimate thin overlay result
+    (a genuinely narrow intersection strip between boundary-sharing
+    parcels) is many grid cells wide no matter how short, while a
+    perturbation artifact is at most ~one cell wide no matter how
+    long. An area threshold can't separate the two (short real strips
+    have small areas; long artifacts have large ones)."""
+    area = abs(_ring_area(ring))
+    perim = sum(
+        ((ring[i + 1][0] - ring[i][0]) ** 2 + (ring[i + 1][1] - ring[i][1]) ** 2)
+        ** 0.5
+        for i in range(len(ring) - 1)
+    )
+    return perim <= 0.0 or area / perim <= grid
+
+
 def _overlay_snap_fallback(ring_a: list, ring_b: list, op: str) -> bytes | None:
     """Overlay for degenerate (boundary-sharing) rings: dilate/shrink B
     by parts-per-billion about its centroid to break the degeneracy,
@@ -3783,17 +3801,7 @@ def _overlay_snap_fallback(ring_a: list, ring_b: list, op: str) -> bytes | None:
             )
             if s[0] != s[-1]:
                 s.append(s[0])
-            # Sliver filter at the path's documented precision: a
-            # perturbation artifact is at most one grid cell wide but
-            # can run the full extent, so its area is up to grid*scale
-            # — the old grid^2 threshold kept full-height slivers whose
-            # snapped coordinates straddled a grid midpoint (hypothesis
-            # r8: shared-edge rectangles, h=2.00001). Anything this
-            # path should keep is a product of two macroscopic
-            # dimensions, far above grid*scale.
-            # (2x margin: a one-cell sliver's area is exactly
-            # grid*scale up to float noise)
-            if len(s) >= 4 and abs(_ring_area(s)) > 2.0 * grid * scale:
+            if len(s) >= 4 and not _snapped_ring_is_sliver(s, grid):
                 snapped.append(s)
         return _assemble_polygons(snapped)
     raise SpatialDegeneracyError(

@@ -2142,7 +2142,8 @@ def dsq45_disjunctive_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY ROLLUP (r_name, n_name)
     )
     SELECT r_name, n_name, cents, g_r, g_n,
-           CAST(rank() OVER (PARTITION BY g_r, g_n, r_name
+           CAST(rank() OVER (PARTITION BY g_r, g_n,
+                                          CASE WHEN g_n = 0 THEN r_name END
                              ORDER BY cents DESC) AS BIGINT) AS rnk
     FROM agg
     ORDER BY g_r DESC, g_n DESC, r_name NULLS FIRST, rnk, n_name NULLS FIRST
@@ -2173,7 +2174,12 @@ def dsq70_rank_within_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("n_name").cast("int").alias("g_n"),
         )
     )
-    w = Window.partitionBy("g_r", "g_n", "r_name").orderBy(F.col("cents").desc())
+    # Partition detail rows (g_n=0) per region; subtotal rows (g_n=1)
+    # share ONE partition (NULL key) so regions genuinely rank against
+    # each other — a constant r_name partition key would leave every
+    # subtotal row alone with rnk=1 (advisor r8 finding).
+    parent = F.when(F.col("g_n") == 0, F.col("r_name"))
+    w = Window.partitionBy("g_r", "g_n", parent).orderBy(F.col("cents").desc())
     return (
         agg.withColumn("rnk", F.rank().over(w).cast("bigint"))
         .orderBy(

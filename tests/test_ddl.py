@@ -670,3 +670,30 @@ def test_update_returning_empty_schema_from_table(spark, tmp_path, sess):
     out = sess.execute("UPDATE ure_t SET v = 'z' WHERE k = 999 RETURNING k")
     assert out.count() == 0
     assert out.schema["k"].dataType.simpleString() == "bigint"
+
+
+def test_insert_coercion_pg_semantics(sess, spark, tmp_path):
+    """PG INSERT coercion (pg_lake docs: INSERT coerces to column type):
+    fractional numerics ROUND to nearest integer (PG numeric->int rule,
+    ties away from zero) — not truncate — and an invalid string raises
+    instead of silently storing NULL (Spark's lax cast behavior)."""
+    sess.warehouse = str(tmp_path / "wh")
+    sess.execute("CREATE TABLE coerce_t (k int, v string) USING iceberg WITH (write_mode = 'copy_on_write')")
+
+    # 9.5 -> 10 (round, not truncate-to-9); -2.5 -> -3 (away from zero)
+    sess.execute("INSERT INTO coerce_t VALUES (9.5, 'a'), (-2.5, 'b'), (2.4, 'c')")
+    got = {r.v: r.k for r in spark.table("coerce_t").collect()}
+    assert got == {"a": 10, "b": -3, "c": 2}
+
+    # invalid coercion raises (PG: invalid input syntax for integer).
+    # Under Spark's default ANSI mode the cast itself raises
+    # (CAST_INVALID_INPUT); with ANSI off our raise_error guard fires
+    # ("invalid input for column").
+    with pytest.raises(Exception, match="invalid input|CAST_INVALID_INPUT"):
+        sess.execute("INSERT INTO coerce_t VALUES ('abc', 'd')")
+    # nothing was stored
+    assert spark.table("coerce_t").count() == 3
+
+    # NULL still inserts fine (NULL is not an invalid coercion)
+    sess.execute("INSERT INTO coerce_t VALUES (NULL, 'e')")
+    assert spark.table("coerce_t").filter("v = 'e'").collect()[0].k is None

@@ -672,3 +672,29 @@ def test_overlay_corner_touch_union_area():
     D = _from_wkt("POLYGON((1 1,2 1,2 2,1 2,1 1))")
     assert abs(_area_of(*_parse(_overlay_geoms(A, D, "union"))) - 2.0) < 1e-6
     assert _overlay_geoms(A, D, "inter") is None
+
+
+def test_sliver_filter_is_width_based_not_area_based():
+    """The snap-fallback sliver filter drops one-grid-cell-wide
+    artifacts but keeps legitimately thin overlay results regardless
+    of their area (advisor r8: an area threshold silently dropped a
+    genuinely narrow intersection strip between boundary-sharing
+    parcels)."""
+    from pg_lake_spark.functions.spatial import _snapped_ring_is_sliver
+
+    grid = 2e-6  # ~1e-6 of a scale-2 extent
+
+    def rect(w, h):
+        return [(0.0, 0.0), (w, 0.0), (w, h), (0.0, h), (0.0, 0.0)]
+
+    # one-cell-wide artifact running the FULL extent: large area,
+    # still a sliver
+    assert _snapped_ring_is_sliver(rect(grid, 2.0), grid)
+    # legitimate narrow strip: 10 cells wide, SHORT — its raw area
+    # (4e-6) is below the old 2*grid*scale = 8e-6 threshold, but it
+    # must be kept
+    assert not _snapped_ring_is_sliver(rect(10 * grid, 0.2), grid)
+    # macroscopic result ring: kept
+    assert not _snapped_ring_is_sliver(rect(1.0, 1.0), grid)
+    # degenerate zero-perimeter ring: dropped
+    assert _snapped_ring_is_sliver([(0.0, 0.0)] * 4, grid)
