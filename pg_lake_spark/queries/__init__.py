@@ -24,62 +24,65 @@ from pg_lake_spark.queries import clickbench  # noqa: E402,F401
 
 # Registration order is driver-visible: the correctness driver checks the
 # FIRST 50 registry entries each round, so queries without an official
-# green row yet rotate to the front. Round-8 window: the third TPC-DS
-# wave + new ClickBench shapes declared THIS round (never
-# driver-checked), then ALL 22 rows whose newest official green is r4
-# (f_intdiv..w_topk_per_user — after this round nothing is older than
-# r5), then the alphabetically-first r5-only rows up to 50.
-_R8_NEW: list[str] = [
-    "dsq64_cross_year_wide_join", "dsq72_late_ship_chain",
-    "dsq78_channel_fullouter_ratio", "dsq95_dual_semijoin",
-    "dsq16_exists_notexists_window",
-    "cb_url_domain_topn", "cb_multi_like_funnel", "cb_event_funnel_users",
-    "cb_hour_type_matrix", "cb_value_band_topsources",
-    "f_geodesic_spheroid",
-    "dsq47_moving_avg_deviation", "dsq35_segment_profile_exists",
-    "dsq21_before_after_pivot", "cb_text_prefix_topn",
-    "cb_top_type_per_user",
-    "dsq39_cov_month_pairs", "dsq59_week_over_year_ratio",
-    "dsq76_channel_null_dims", "dsq66_monthly_pivot_wide",
-    "cb_type_share_of_total", "cb_power_users_histogram",
-    "cb_props_coverage_by_type",
-    "dsq50_ship_latency_buckets", "dsq33_category_union_sum",
-    "dsq65_min_share_brands", "dsq29_buy_return_rebuy",
-    "dsq45_disjunctive_semijoin",
+# green row yet rotate to the front. Round-9 window, CHANGED-CODE-FIRST
+# (an official green must postdate the code it certifies):
+#   1. never-driver-checked rows (declared late in r8)
+#   2. rows whose IMPLEMENTATION changed in r8/r9 after their newest
+#      official green: every query touching operators/dedup.py's r9
+#      rewrite (word_shingles, minhash, simhash SWAR, est_gate) plus
+#      dsq70 (partition fix also lands in r9)
+#   3. r9-new queries (4th TPC-DS wave, 2 ClickBench shapes, polar
+#      stereographic CRS)
+#   4. stalest backfill: r5-last-green rows, alphabetical, up to 50.
+_NEVER_CHECKED: list[str] = [
+    "dsq70_rank_within_parent", "ds_temperature_mix",
 ]
-#: the 22 rows whose latest official green is r4 (from CORRECTNESS_r0*)
-_R4_STALE = [
-    "f_intdiv", "f_json_variant", "f_map_ops", "f_regex", "f_string",
-    "f_substring_pg", "f_to_char", "f_trig", "f_width_bucket",
-    "g_pivot_event_types", "mm_binary_features", "sim_cosine_topk",
-    "sk_kmv_distinct", "st_session_windows", "st_sliding_counts",
-    "st_stateful_user_totals", "st_tumbling_counts", "ts_gapfill_rollup",
-    "txt_quality_by_lang", "txt_stats", "w_lag_lead", "w_topk_per_user",
+#: newest official green predates the shipping implementation
+_CODE_CHANGED: list[str] = [
+    "dd_lsh_candidates", "dd_neardup_clusters",      # r5 green, r9 code
+    "dd_simhash_pairs", "dd_simhash",                # r7 green, r9 SWAR
+    "dd_minhash_signatures", "dd_ngram_jaccard_pairs",  # word_shingles r9
+    "dd_decontaminate",                               # word_shingles r9
+    "st_stream_lsh_neardup",                          # imports word_shingles
 ]
-#: r5-only rows, stalest-alphabetical; the first 18 fit this window
+_R9_NEW: list[str] = [
+    "dsq02_week_over_week", "dsq09_case_scalar_buckets",
+    "dsq22_inventory_hierarchy_avg", "dsq28_distinct_band_stats",
+    "dsq32_excess_discount", "dsq44_best_worst_items",
+    "dsq57_outlier_with_neighbors", "dsq97_channel_overlap_counts",
+    "dsq98_class_revenue_share",
+    "cb_url_strip_params_topn", "cb_bulk_arithmetic_sums",
+    "f_polar_stereographic",
+]
+#: r5-last-green rows (from CORRECTNESS_r0*.json), alphabetical, minus
+#: the two dd_* rows already in _CODE_CHANGED. 28 fit the r9 window;
+#: the remainder (q1-q13, s_* set ops, sim_ivf/lsh_topk,
+#: w_exclude_current_row) roll to r10.
 _R5_STALE = [
     "a_mode_disc", "arr_operators", "d_delta_scan", "d_limit_with_ties",
-    "d_not_in_three_valued", "dd_lsh_candidates", "dd_neardup_clusters",
+    "d_not_in_three_valued",
     "ddl_schema_evolution", "dml_cow_delete", "dml_incremental_scan",
     "dml_merge_upsert", "dml_mor_lifecycle", "dml_update_set",
     "ds_pack_sequences", "ds_train_val_split", "e_funnel", "e_retention",
     "f_casts", "f_math", "g_grouping_fn", "g_grouping_sets",
-    "g_rollup_rank_hierarchy", "j_asof_prior_view",
+    "g_rollup_rank_hierarchy", "j_asof_prior_view", "j_bucketed_colocated",
+    "j_lateral_topn", "j_range_within_hour", "j_salted_skew",
+    "json_extract_agg", "mm_frame_sample", "mm_resize_thumbs",
 ]
-_R8_WINDOW = (_R8_NEW + _R4_STALE + _R5_STALE)[:50]
+_R9_WINDOW = (_NEVER_CHECKED + _CODE_CHANGED + _R9_NEW + _R5_STALE)[:50]
 
-# r9 rotation note: dsq70_rank_within_parent and ds_temperature_mix
-# were declared late in r8 and did NOT fit the 50-row window (28
-# r8-new + all 22 r4-stale) — put them FIRST in r9. After it: r9-new queries, then the stalest rows —
-# the r5-only names (_R5_STALE plus q1-q13, s_* set ops,
-# w_exclude_current_row, remaining dml_*/j_* rows; compute from
-# CORRECTNESS_r0*.json latest-green as r8 did). Keep [:50].
+# r10 rotation note: backfill order after any never-checked /
+# changed-code / r10-new rows: the remaining r5-last-green rows
+# (q1_pricing_summary .. q13, s_except, s_except_all, s_intersect,
+# s_union_all, sim_ivf_topk, sim_lsh_topk, w_exclude_current_row —
+# 20 rows), then r6-last-green alphabetical. Recompute from
+# CORRECTNESS_r0*.json latest-green; don't trust this comment blindly.
 
 
 def _rotate(front: list[str]) -> None:
-    # _R8_NEW entries may not be registered yet mid-round; skip those,
+    # _R9_NEW entries may not be registered yet mid-round; skip those,
     # but a stale/backfill name missing from the registry is a bug.
-    missing = [n for n in front if n not in QUERIES and n not in _R8_NEW]
+    missing = [n for n in front if n not in QUERIES and n not in _R9_NEW]
     assert not missing, f"rotation names not in registry: {missing}"
     ordered = {n: QUERIES[n] for n in front if n in QUERIES}
     ordered.update((n, s) for n, s in QUERIES.items() if n not in ordered)
@@ -87,6 +90,6 @@ def _rotate(front: list[str]) -> None:
     QUERIES.update(ordered)
 
 
-_rotate(_R8_WINDOW)
+_rotate(_R9_WINDOW)
 
 __all__ = ["QUERIES", "QuerySpec", "query"]

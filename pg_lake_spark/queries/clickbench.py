@@ -537,3 +537,96 @@ def cb_props_coverage_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "cb_url_strip_params_topn",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'https://www.' || source || '.example.com/docs/'
+                           || CAST(doc_id % 50 AS VARCHAR)
+               WHEN 1 THEN 'http://' || source || '.example.org/p/'
+                           || CAST(doc_id % 50 AS VARCHAR) || '?ref=home'
+               ELSE 'https://cdn.' || source || '.example.net/a/'
+                    || CAST(doc_id % 50 AS VARCHAR) || '#frag'
+             END AS url
+      FROM documents
+    )
+    SELECT regexp_replace(url, '[?#].*$', '') AS clean_url,
+           count(*) AS n,
+           CAST(length(regexp_replace(url, '[?#].*$', ''))
+                - length(replace(regexp_replace(url, '[?#].*$', ''), '/', ''))
+                - 2 AS INT) AS path_depth
+    FROM urls
+    GROUP BY regexp_replace(url, '[?#].*$', '')
+    ORDER BY n DESC, clean_url
+    LIMIT 25
+    """,
+    doc="ClickBench shape (hits Q: 'URL without parameters'): "
+    "regexp_replace strips the query string / fragment, the cleaned "
+    "URL feeds a high-cardinality GROUP BY with a derived path-depth "
+    "column (slash count minus the protocol's two). regexp_replace + "
+    "replace + length are all JVM codegen expressions; top-N fuses to "
+    "TakeOrderedAndProject.",
+)
+def cb_url_strip_params_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    k = (F.col("doc_id") % 50).cast("string")
+    url = (
+        F.when(
+            (F.col("doc_id") % 3).cast("int") == 0,
+            F.concat(F.lit("https://www."), F.col("source"),
+                     F.lit(".example.com/docs/"), k),
+        )
+        .when(
+            (F.col("doc_id") % 3).cast("int") == 1,
+            F.concat(F.lit("http://"), F.col("source"),
+                     F.lit(".example.org/p/"), k, F.lit("?ref=home")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://cdn."), F.col("source"),
+                     F.lit(".example.net/a/"), k, F.lit("#frag")),
+        )
+    )
+    clean = F.regexp_replace(url, r"[?#].*$", "")
+    depth = (
+        F.length(clean) - F.length(F.regexp_replace(clean, r"/", "")) - 2
+    ).cast("int")
+    return (
+        t["documents"]
+        .groupBy(clean.alias("clean_url"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first(depth).alias("path_depth"),
+        )
+        .orderBy(F.col("n").desc(), "clean_url")
+        .limit(25)
+    )
+
+
+@query(
+    "cb_bulk_arithmetic_sums",
+    oracle="""
+    SELECT """ + ",\n           ".join(
+        f"round(sum(value + {k}), 4) AS s{k}" for k in range(20)
+    ) + """
+    FROM events
+    WHERE event_type <> 'error'
+    """,
+    doc="ClickBench shape (hits Q29: SUM(ResolutionWidth), "
+    "SUM(ResolutionWidth+1) ... +89 — ninety parallel arithmetic "
+    "aggregates in one scan): twenty sum(value+k) aggregates computed "
+    "in a single pass. Stresses whole-stage-codegen width: one scan, "
+    "one projection feeding 20 accumulators, no shuffle beyond the "
+    "final one-row combine. Rounded to 4dp because each sum folds "
+    "~10k doubles and engines order the adds differently.",
+)
+def cb_bulk_arithmetic_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("event_type") != "error")
+        .agg(*[F.round(F.sum(F.col("value") + k), 4).alias(f"s{k}") for k in range(20)])
+    )

@@ -2190,3 +2190,489 @@ def dsq70_rank_within_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").asc_nulls_first(),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fourth wave (r9): nine more DS families toward the reference's 99
+# (pg_lake_benchmark/src/tpcds.c runs all of them).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dsq02_week_over_week",
+    oracle="""
+    WITH wk AS (
+      SELECT CAST(year(l_shipdate) AS INT) AS yr,
+             CAST(CAST(date_diff('day', DATE '1995-01-01', l_shipdate) AS BIGINT) % 7 AS INT) AS dow,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem
+      GROUP BY year(l_shipdate),
+               CAST(date_diff('day', DATE '1995-01-01', l_shipdate) AS BIGINT) % 7
+    )
+    SELECT a.yr AS yr, a.dow AS dow,
+           a.cents AS cents, b.cents AS next_cents,
+           round(CAST(b.cents AS DOUBLE) / a.cents, 6) AS wow_ratio
+    FROM wk a JOIN wk b ON b.yr = a.yr + 1 AND b.dow = a.dow
+    ORDER BY yr, dow
+    """,
+    doc="TPC-DS Q2 shape: per-day-of-week revenue compared year over "
+    "year via a self-join of the SAME weekly CTE shifted by one year. "
+    "Day-of-week is computed portably as days-since-epoch mod 7 (both "
+    "engines disagree on dayofweek numbering, not on date arithmetic). "
+    "The self-join runs over the tiny grouped frame (years x 7), never "
+    "the fact.",
+)
+def dsq02_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+        "bigint"
+    )
+    wk = (
+        t["lineitem"]
+        .groupBy(
+            F.year("l_shipdate").cast("int").alias("yr"),
+            F.pmod(F.datediff(F.col("l_shipdate"), F.lit("1995-01-01")), F.lit(7))
+            .cast("int")
+            .alias("dow"),
+        )
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+    )
+    a, b = wk.alias("a"), wk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.yr") == F.col("a.yr") + 1) & (F.col("b.dow") == F.col("a.dow")),
+        )
+        .select(
+            F.col("a.yr").alias("yr"),
+            F.col("a.dow").alias("dow"),
+            F.col("a.cents").alias("cents"),
+            F.col("b.cents").alias("next_cents"),
+            F.round(F.col("b.cents").cast("double") / F.col("a.cents"), 6).alias(
+                "wow_ratio"
+            ),
+        )
+        .orderBy("yr", "dow")
+    )
+
+
+@query(
+    "dsq09_case_scalar_buckets",
+    oracle="""
+    SELECT
+      CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) > 11000
+           THEN (SELECT round(avg(l_extendedprice), 6) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10)
+           ELSE (SELECT round(avg(l_discount), 6)      FROM lineitem WHERE l_quantity BETWEEN 1 AND 10)
+      END AS bucket1,
+      CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) > 11000
+           THEN (SELECT round(avg(l_extendedprice), 6) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20)
+           ELSE (SELECT round(avg(l_discount), 6)      FROM lineitem WHERE l_quantity BETWEEN 11 AND 20)
+      END AS bucket2,
+      CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) > 11000
+           THEN (SELECT round(avg(l_extendedprice), 6) FROM lineitem WHERE l_quantity BETWEEN 21 AND 30)
+           ELSE (SELECT round(avg(l_discount), 6)      FROM lineitem WHERE l_quantity BETWEEN 21 AND 30)
+      END AS bucket3,
+      CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) > 11000
+           THEN (SELECT round(avg(l_extendedprice), 6) FROM lineitem WHERE l_quantity BETWEEN 31 AND 40)
+           ELSE (SELECT round(avg(l_discount), 6)      FROM lineitem WHERE l_quantity BETWEEN 31 AND 40)
+      END AS bucket4,
+      CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) > 11000
+           THEN (SELECT round(avg(l_extendedprice), 6) FROM lineitem WHERE l_quantity BETWEEN 41 AND 50)
+           ELSE (SELECT round(avg(l_discount), 6)      FROM lineitem WHERE l_quantity BETWEEN 41 AND 50)
+      END AS bucket5
+    """,
+    doc="TPC-DS Q9 shape: five CASE WHEN (scalar-count subquery) THEN "
+    "(scalar-avg subquery) ELSE (other scalar-avg) END projections. DS "
+    "runs 15 scalar subqueries over the same fact; here all bucket "
+    "counts and both candidate averages per bucket come from ONE "
+    "conditional-aggregation scan (avg(x) FILTER equivalent), then the "
+    "CASE picks among the aggregated scalars — 15 fact scans fused "
+    "into 1.",
+)
+def dsq09_case_scalar_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    aggs = []
+    for i, (lo, hi) in enumerate([(1, 10), (11, 20), (21, 30), (31, 40), (41, 50)], 1):
+        inb = F.col("l_quantity").between(lo, hi)
+        aggs += [
+            F.count(F.when(inb, 1)).alias(f"n{i}"),
+            F.avg(F.when(inb, F.col("l_extendedprice"))).alias(f"ep{i}"),
+            F.avg(F.when(inb, F.col("l_discount"))).alias(f"dc{i}"),
+        ]
+    one = li.agg(*aggs)
+    return one.select(
+        *[
+            F.when(F.col(f"n{i}") > 11000, F.round(F.col(f"ep{i}"), 6))
+            .otherwise(F.round(F.col(f"dc{i}"), 6))
+            .alias(f"bucket{i}")
+            for i in range(1, 6)
+        ]
+    )
+
+
+@query(
+    "dsq22_inventory_hierarchy_avg",
+    oracle="""
+    SELECT p_type, p_brand,
+           round(avg(l_quantity), 6) AS avg_qty,
+           CAST(count(*) AS BIGINT)  AS n,
+           CAST(grouping(p_type) AS INT)  AS g_t,
+           CAST(grouping(p_brand) AS INT) AS g_b
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate <  TIMESTAMP '2000-01-01'
+    GROUP BY ROLLUP (p_type, p_brand)
+    ORDER BY avg_qty, p_type NULLS FIRST, p_brand NULLS FIRST
+    """,
+    doc="TPC-DS Q22 shape: average quantity on hand over the product "
+    "hierarchy ROLLUP, ordered by the AVERAGE itself (not the "
+    "hierarchy) — subtotal rows interleave with detail rows in the "
+    "output. Quantities are integral doubles, so sum and count are "
+    "both exact and the avg is bit-identical across engines.",
+)
+def dsq22_inventory_hierarchy_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1998-01-01"))
+            & (F.col("l_shipdate") < _ts("2000-01-01"))
+        )
+        .join(_bcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .rollup("p_type", "p_brand")
+        .agg(
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("p_type").cast("int").alias("g_t"),
+            F.grouping("p_brand").cast("int").alias("g_b"),
+        )
+        .orderBy(
+            "avg_qty",
+            F.col("p_type").asc_nulls_first(),
+            F.col("p_brand").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "dsq28_distinct_band_stats",
+    oracle="""
+    SELECT CAST(floor(l_quantity / 10) AS INT) AS qty_band,
+           round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / (100.0 * count(*)), 6)      AS avg_price,
+           CAST(count(*) AS BIGINT)            AS n,
+           CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS n_prices,
+           CAST(count(DISTINCT l_partkey) AS BIGINT)       AS n_parts
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.02 AND 0.08
+    GROUP BY CAST(floor(l_quantity / 10) AS INT)
+    ORDER BY qty_band
+    """,
+    doc="TPC-DS Q28 shape: per-band average price plus TWO distinct "
+    "counts per band. DS writes six self-contained subqueries (one per "
+    "bucket) cross-joined into one row; the fused form is a single "
+    "scan with a band key — one shuffle carrying both count-distinct "
+    "states. avg is computed from the exact integer-cents sum so both "
+    "engines divide identical numbers.",
+)
+def dsq28_distinct_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    return (
+        t["lineitem"]
+        .filter(F.col("l_discount").between(0.02, 0.08))
+        .groupBy(F.floor(F.col("l_quantity") / 10).cast("int").alias("qty_band"))
+        .agg(
+            F.round(
+                F.sum(cents).cast("double") / (100.0 * F.count(F.lit(1))), 6
+            ).alias("avg_price"),
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("l_extendedprice").alias("n_prices"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+        .orderBy("qty_band")
+    )
+
+
+@query(
+    "dsq32_excess_discount",
+    oracle="""
+    SELECT CAST(sum(CAST(round(l1.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS excess_cents,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l1
+    JOIN part ON l1.l_partkey = p_partkey
+    WHERE p_type = 'PROMO'
+      AND l1.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l1.l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l1.l_discount > 1.3 * (
+            SELECT avg(l2.l_discount) FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey
+          )
+    """,
+    doc="TPC-DS Q32 shape: revenue on lines whose discount exceeds "
+    "1.3x the item's own average discount — a correlated scalar "
+    "aggregate over the SAME fact table. Planned as one per-part "
+    "aggregate (computed over the full fact, as the subquery demands) "
+    "joined back to the filtered probe side; the date/type filters "
+    "prune the probe scan only, and the one-row result is exact "
+    "integer cents.",
+)
+def dsq32_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    per_part = t["lineitem"].groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_discount").alias("avg_disc")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .join(_bcast(t["part"].filter(F.col("p_type") == "PROMO")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_discount") > 1.3 * F.col("avg_disc"))
+        .agg(
+            F.sum(cents).cast("bigint").alias("excess_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "dsq44_best_worst_items",
+    oracle="""
+    WITH perf AS (
+      SELECT p_name,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS DOUBLE)
+               / count(*) AS avg_cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_name
+    )
+    SELECT b.rnk AS rnk, b.p_name AS best_name, w.p_name AS worst_name
+    FROM (SELECT p_name, rank() OVER (ORDER BY avg_cents DESC, p_name) AS rnk FROM perf) b
+    JOIN (SELECT p_name, rank() OVER (ORDER BY avg_cents ASC,  p_name) AS rnk FROM perf) w
+      ON b.rnk = w.rnk
+    WHERE b.rnk <= 10
+    ORDER BY rnk
+    """,
+    doc="TPC-DS Q44 shape: best and worst performing items by average "
+    "net revenue, paired by rank position — TWO opposite-direction "
+    "rank windows over one grouped frame, joined on rank. The frame is "
+    "one row per part, so both windows and the join are negligible "
+    "next to the single fact aggregation. avg is exact-cents / count "
+    "(bit-identical division in both engines); p_name breaks ties.",
+)
+def dsq44_best_worst_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+        "bigint"
+    )
+    perf = (
+        t["lineitem"]
+        .join(_bcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_name")
+        .agg((F.sum(cents).cast("double") / F.count(F.lit(1))).alias("avg_cents"))
+    )
+    wb = Window.orderBy(F.col("avg_cents").desc(), "p_name")
+    ww = Window.orderBy(F.col("avg_cents").asc(), "p_name")
+    best = perf.select(F.col("p_name"), F.rank().over(wb).alias("rnk"))
+    worst = perf.select(F.col("p_name").alias("w_name"), F.rank().over(ww).alias("w_rnk"))
+    return (
+        best.filter(F.col("rnk") <= 10)
+        .join(worst, F.col("rnk") == F.col("w_rnk"))
+        .select(
+            "rnk",
+            F.col("p_name").alias("best_name"),
+            F.col("w_name").alias("worst_name"),
+        )
+        .orderBy("rnk")
+    )
+
+
+@query(
+    "dsq57_outlier_with_neighbors",
+    oracle="""
+    WITH monthly AS (
+      SELECT p_brand,
+             CAST(year(l_shipdate) AS INT)  AS yr,
+             CAST(month(l_shipdate) AS INT) AS mo,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand, year(l_shipdate), month(l_shipdate)
+    ), windowed AS (
+      SELECT p_brand, yr, mo, cents,
+             avg(CAST(cents AS DOUBLE)) OVER (PARTITION BY p_brand, yr) AS yr_avg,
+             lag(cents)  OVER (PARTITION BY p_brand ORDER BY yr, mo) AS prev_cents,
+             lead(cents) OVER (PARTITION BY p_brand ORDER BY yr, mo) AS next_cents
+      FROM monthly
+    )
+    SELECT p_brand, yr, mo, cents, round(yr_avg, 4) AS yr_avg,
+           prev_cents, next_cents
+    FROM windowed
+    WHERE yr_avg > 0 AND abs(cents - yr_avg) > 0.25 * yr_avg
+    ORDER BY p_brand, yr, mo
+    """,
+    doc="TPC-DS Q57 shape: monthly series outliers (>25% off the "
+    "brand-year mean) reported WITH their lag/lead neighbor values — "
+    "an unbounded avg window plus lag+lead over a second ordering, all "
+    "over the grouped monthly frame. The deviation predicate runs on "
+    "the raw window value; rounding is display-only.",
+)
+def dsq57_outlier_with_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+        "bigint"
+    )
+    monthly = (
+        t["lineitem"]
+        .join(_bcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "p_brand",
+            F.year("l_shipdate").cast("int").alias("yr"),
+            F.month("l_shipdate").cast("int").alias("mo"),
+        )
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+    )
+    wavg = Window.partitionBy("p_brand", "yr")
+    wseq = Window.partitionBy("p_brand").orderBy("yr", "mo")
+    out = monthly.select(
+        "p_brand",
+        "yr",
+        "mo",
+        "cents",
+        F.avg(F.col("cents").cast("double")).over(wavg).alias("yr_avg"),
+        F.lag("cents").over(wseq).alias("prev_cents"),
+        F.lead("cents").over(wseq).alias("next_cents"),
+    )
+    return (
+        out.filter(
+            (F.col("yr_avg") > 0)
+            & (F.abs(F.col("cents") - F.col("yr_avg")) > 0.25 * F.col("yr_avg"))
+        )
+        .select(
+            "p_brand", "yr", "mo", "cents",
+            F.round("yr_avg", 4).alias("yr_avg"),
+            "prev_cents", "next_cents",
+        )
+        .orderBy("p_brand", "yr", "mo")
+    )
+
+
+@query(
+    "dsq97_channel_overlap_counts",
+    oracle="""
+    WITH ret AS (
+      SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+    ), kept AS (
+      SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'N'
+    )
+    SELECT CAST(sum(CASE WHEN ret.ck IS NOT NULL AND kept.ck IS NULL  THEN 1 ELSE 0 END) AS BIGINT) AS only_returned,
+           CAST(sum(CASE WHEN ret.ck IS NULL  AND kept.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_kept,
+           CAST(sum(CASE WHEN ret.ck IS NOT NULL AND kept.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_channels
+    FROM ret FULL OUTER JOIN kept ON ret.ck = kept.ck AND ret.pk = kept.pk
+    """,
+    doc="TPC-DS Q97 shape: store/catalog customer-item overlap — two "
+    "DISTINCT (customer, item) sets FULL OUTER joined on the composite "
+    "key, reduced to exclusive-left / exclusive-right / intersection "
+    "cardinalities in one conditional aggregation. Both distincts and "
+    "the join shuffle on the same (ck, pk) key, so AQE can reuse the "
+    "exchange; output is one row.",
+)
+def dsq97_channel_overlap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    pairs = t["lineitem"].join(
+        t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+    )
+
+    def chan(flag: str, a: str, b: str) -> DataFrame:
+        return (
+            pairs.filter(F.col("l_returnflag") == flag)
+            .select(F.col("o_custkey").alias(a), F.col("l_partkey").alias(b))
+            .distinct()
+        )
+
+    ret = chan("R", "r_ck", "r_pk")
+    kept = chan("N", "k_ck", "k_pk")
+    j = ret.join(
+        kept,
+        (F.col("r_ck") == F.col("k_ck")) & (F.col("r_pk") == F.col("k_pk")),
+        "full_outer",
+    )
+    return j.agg(
+        F.sum(
+            F.when(F.col("r_ck").isNotNull() & F.col("k_ck").isNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("only_returned"),
+        F.sum(
+            F.when(F.col("r_ck").isNull() & F.col("k_ck").isNotNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("only_kept"),
+        F.sum(
+            F.when(F.col("r_ck").isNotNull() & F.col("k_ck").isNotNull(), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("both_channels"),
+    )
+
+
+@query(
+    "dsq98_class_revenue_share",
+    oracle="""
+    WITH agg AS (
+      SELECT p_type, p_brand,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate <  TIMESTAMP '1999-01-01'
+      GROUP BY p_type, p_brand
+    )
+    SELECT p_type, p_brand, cents,
+           round(100.0 * cents / sum(cents) OVER (PARTITION BY p_type), 6) AS class_share
+    FROM agg
+    ORDER BY p_type, class_share DESC, p_brand
+    """,
+    doc="TPC-DS Q98 shape: each item's revenue share of its class via "
+    "a windowed sum over the grouped frame (ratio_to_report). The "
+    "window input is exact integer cents, so the share division is "
+    "bit-identical across engines; ordering is by share within class "
+    "with a name tie-break.",
+)
+def dsq98_class_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+        "bigint"
+    )
+    agg = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1998-01-01"))
+            & (F.col("l_shipdate") < _ts("1999-01-01"))
+        )
+        .join(_bcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "p_brand")
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy("p_type")
+    return (
+        agg.select(
+            "p_type",
+            "p_brand",
+            "cents",
+            F.round(100.0 * F.col("cents") / F.sum("cents").over(w), 6).alias(
+                "class_share"
+            ),
+        )
+        .orderBy("p_type", F.col("class_share").desc(), "p_brand")
+    )

@@ -217,3 +217,46 @@ def test_cb_top_type_window_over_grouped_frame(spark):
     assert plan.count("Scan parquet") == 1
     assert "partial_count" in plan or "partial" in plan.lower()
     assert "Window" in plan
+
+
+def test_dsq44_windows_over_grouped_frame(spark):
+    """Q44 shape: both opposite-direction rank windows and the
+    rank-position join must consume the one-row-per-part aggregate, not
+    the fact — exactly one lineitem scan, part broadcast."""
+    df = QUERIES["dsq44_best_worst_items"].fn(spark, SF_DIR)
+    s = plan_summary(df, execute=True)
+    li_scans = [sc for sc in s.scans if "l_partkey" in sc.read_schema]
+    assert len(li_scans) == 1, "dsq44 must scan lineitem once"
+    assert s.broadcast_joins >= 1  # part dim through the size gate
+
+
+def test_dsq32_correlated_avg_single_probe_filter(spark):
+    """Q32 shape: the date+type filters must push to the probe-side
+    scan; the per-part average is its own aggregation over the full
+    fact (the subquery's semantics), so exactly two lineitem scans."""
+    df = QUERIES["dsq32_excess_discount"].fn(spark, SF_DIR)
+    s = plan_summary(df, execute=True)
+    li_scans = [sc for sc in s.scans if "l_partkey" in sc.read_schema]
+    assert len(li_scans) == 2
+    probe = next(sc for sc in li_scans if sc.pushed_filters and any("l_shipdate" in f for f in sc.pushed_filters))
+    assert probe is not None
+
+
+def test_dsq97_full_outer_on_composite_key(spark):
+    """Q97 shape: the channel overlap joins FULL OUTER on (ck, pk) and
+    the distincts aggregate before the join — no join above raw facts."""
+    df = QUERIES["dsq97_channel_overlap_counts"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan
+    # both inputs deduplicate (HashAggregate) below the join
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_dsq02_self_join_over_weekly_frame(spark):
+    """Q2 shape: the year-over-year self-join runs over the grouped
+    weekly frame (years x 7 rows) — one lineitem scan only (plus the
+    ReusedExchange for the second leg)."""
+    df = QUERIES["dsq02_week_over_week"].fn(spark, SF_DIR)
+    s = plan_summary(df, execute=True)
+    li_scans = [sc for sc in s.scans if "l_shipdate" in sc.read_schema]
+    assert len(li_scans) <= 2  # <=2: ReusedExchange may or may not fire
