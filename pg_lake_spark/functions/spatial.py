@@ -3268,6 +3268,96 @@ _AEA_PARAMS = {
     5070: (_GRS80_A, _GRS80_F, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0, 1.0),
 }
 
+# -- Polar Stereographic (EPSG method 9810, variants A and B) — the
+# arctic/antarctic earth-science grids. Formulas follow EPSG Guidance
+# Note 7-2 §Polar Stereographic exactly; variant B (standard parallel)
+# reduces to variant A through the effective scale factor
+# k0 = mF * sqrt((1+e)^(1+e) (1-e)^(1-e)) / (2 tF). The reference gets
+# these via DuckDB-spatial/PROJ (shippable_spatial_functions.c).
+_WGS84_A = 6378137.0
+_WGS84_F = 1 / 298.257223563
+
+#: srid -> (a, f, north, k0 | None, lat_ts | None, lon0, FE, FN)
+_PS_PARAMS = {
+    # NSIDC Sea Ice Polar Stereographic North (variant B, lat_ts 70N)
+    3413: (_WGS84_A, _WGS84_F, True, None, 70.0, -45.0, 0.0, 0.0),
+    # Antarctic Polar Stereographic (variant B, lat_ts 71S)
+    3031: (_WGS84_A, _WGS84_F, False, None, -71.0, 0.0, 0.0, 0.0),
+    # Australian Antarctic Polar Stereographic (variant B — the EPSG
+    # GN7-2 worked example for 9810-B)
+    3032: (_WGS84_A, _WGS84_F, False, None, -71.0, 70.0, 6000000.0, 6000000.0),
+    # Universal Polar Stereographic North / South (variant A, k0 .994 —
+    # the GN7-2 worked example for 9810-A uses exactly the UPS-N params)
+    5041: (_WGS84_A, _WGS84_F, True, 0.994, None, 0.0, 2000000.0, 2000000.0),
+    5042: (_WGS84_A, _WGS84_F, False, 0.994, None, 0.0, 2000000.0, 2000000.0),
+}
+
+
+def _ps_consts(p):
+    a, f, north, k0, lat_ts, lon0, fe, fn_ = p
+    e = math.sqrt(f * (2 - f))
+
+    def t_of(phi):
+        # GN7-2: t = tan(pi/4 - phi/2) * ((1+e sin phi)/(1-e sin phi))^(e/2)
+        # for the north aspect; the south aspect uses phi -> -phi
+        if not north:
+            phi = -phi
+        s = math.sin(phi)
+        return math.tan(math.pi / 4 - phi / 2) * (
+            (1 + e * s) / (1 - e * s)
+        ) ** (e / 2)
+
+    big = math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+    if k0 is None:
+        pf = math.radians(lat_ts)
+        sf = math.sin(pf)
+        mf = math.cos(pf) / math.sqrt(1 - e * e * sf * sf)
+        k0 = mf * big / (2 * t_of(pf))
+    return a, e, north, k0, math.radians(lon0), fe, fn_, big, t_of
+
+
+def _ps_forward(p):
+    a, e, north, k0, lam0, fe, fn_, big, t_of = _ps_consts(p)
+
+    def fn(x: float, y: float) -> tuple[float, float]:
+        phi, lam = math.radians(y), math.radians(x)
+        rho = 2 * a * k0 * t_of(phi) / big
+        dl = lam - lam0
+        E = fe + rho * math.sin(dl)
+        N = fn_ - rho * math.cos(dl) if north else fn_ + rho * math.cos(dl)
+        return E, N
+
+    return fn
+
+
+def _ps_inverse(p):
+    a, e, north, k0, lam0, fe, fn_, big, _t = _ps_consts(p)
+
+    def fn(x: float, y: float) -> tuple[float, float]:
+        dx, dy = x - fe, y - fn_
+        rho = math.hypot(dx, dy)
+        tp = rho * big / (2 * a * k0)
+        # chi = conformal latitude of the (north-aspect) point
+        phi = math.pi / 2 - 2 * math.atan(tp)
+        for _ in range(15):
+            s = math.sin(phi)
+            new = math.pi / 2 - 2 * math.atan(
+                tp * ((1 - e * s) / (1 + e * s)) ** (e / 2)
+            )
+            if abs(new - phi) < 1e-13:
+                phi = new
+                break
+            phi = new
+        if rho == 0.0:
+            return math.degrees(lam0), 90.0 if north else -90.0
+        if north:
+            lam = lam0 + math.atan2(dx, -dy)
+            return math.degrees(lam), math.degrees(phi)
+        lam = lam0 + math.atan2(dx, dy)
+        return math.degrees(lam), -math.degrees(phi)
+
+    return fn
+
 
 def _aea_consts(p):
     a, f, lat0, lon0, sp1, sp2, fe, fn_, unit = p
@@ -3353,13 +3443,21 @@ def _resolve_transform(s: int, d: int):
         return _aea_forward(_AEA_PARAMS[d])
     if s in _AEA_PARAMS and d == 4326:
         return _aea_inverse(_AEA_PARAMS[s])
+    if s == 4326 and d in _PS_PARAMS:
+        return _ps_forward(_PS_PARAMS[d])
+    if s in _PS_PARAMS and d == 4326:
+        return _ps_inverse(_PS_PARAMS[s])
     if s == 4326 and d == 27700:
         return _osgb_forward()
     if s == 27700 and d == 4326:
         return _osgb_inverse()
     # compose via 4326 (3857<->UTM, UTM<->UTM zone change, conic<->any)
-    if (zs or s in (3857, 27700) or s in _LCC_PARAMS or s in _AEA_PARAMS) and (
+    if (
+        zs or s in (3857, 27700) or s in _LCC_PARAMS or s in _AEA_PARAMS
+        or s in _PS_PARAMS
+    ) and (
         zd or d in (3857, 27700) or d in _LCC_PARAMS or d in _AEA_PARAMS
+        or d in _PS_PARAMS
     ):
         to_geo = _resolve_transform(s, 4326)
         from_geo = _resolve_transform(4326, d)
@@ -3383,7 +3481,8 @@ def _k_transform(g: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
             raise NotImplementedError(
                 f"st_transform supports EPSG:4326<->3857, 4326/3857<->"
                 f"UTM (326zz/327zz), the embedded LCC set {sorted(_LCC_PARAMS)} "
-                f"Albers {sorted(_AEA_PARAMS)} and OSGB 27700, got {s}->{d} "
+                f"Albers {sorted(_AEA_PARAMS)}, polar stereographic "
+                f"{sorted(_PS_PARAMS)} and OSGB 27700, got {s}->{d} "
                 "(the reference delegates other pairs to PROJ)"
             )
         gtype, coords = _parse(bytes(b))

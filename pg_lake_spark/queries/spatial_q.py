@@ -589,3 +589,76 @@ def f_geodesic_spheroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(raw / F.col("div"), 3))
     )
     return df.select("measure", val.alias("expected")).orderBy("measure")
+
+
+@query(
+    "f_polar_stereographic",
+    # Closed-form oracle: the expected values are EPSG Guidance Note
+    # 7-2's published worked examples for method 9810 (Polar
+    # Stereographic), NOT outputs of the implementation — variant A
+    # (UPS North parameters, EPSG:5041): (73N, 44E) ->
+    # E 3320416.75 / N 632668.43; variant B (Australian Antarctic,
+    # EPSG:3032): (75S, 120E) -> E 7255380.79 / N 7053389.56. Pole
+    # anchors: the north/south poles map to the false origin of
+    # EPSG:3413 / 3031 exactly. Round-trip rows pin the inverse to
+    # sub-mm at arctic/antarctic sample points.
+    oracle="""
+    SELECT * FROM (VALUES
+      ('ups_north_E_m',      3320416.75),
+      ('ups_north_N_m',       632668.43),
+      ('aus_antarctic_E_m',  7255380.79),
+      ('aus_antarctic_N_m',  7053389.56),
+      ('npole_3413_E_m',           0.00),
+      ('npole_3413_N_m',           0.00),
+      ('spole_3031_E_m',           0.00),
+      ('spole_3031_N_m',           0.00),
+      ('roundtrip_3413_mm',        0.00),
+      ('roundtrip_3031_mm',        0.00)
+    ) AS t(measure, expected)
+    ORDER BY measure
+    """,
+    doc="Polar stereographic CRS (EPSG method 9810, variants A and B: "
+    "EPSG 3413/3031/3032/5041/5042 — the arctic/antarctic grids). "
+    "st_transform implements the EPSG Guidance Note 7-2 formulas; the "
+    "oracle pins the guidance note's own worked examples and exact "
+    "pole anchors, so it checks the projection math against published "
+    "constants, not implementation agreement. The reference ships "
+    "arbitrary-EPSG via DuckDB-spatial/PROJ "
+    "(pg_lake_engine shippable_spatial_functions.c).",
+)
+def f_polar_stereographic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [
+        # (measure, lon, lat, src, dst, kind)
+        ("ups_north_E_m", 44.0, 73.0, 4326, 5041, "E"),
+        ("ups_north_N_m", 44.0, 73.0, 4326, 5041, "N"),
+        ("aus_antarctic_E_m", 120.0, -75.0, 4326, 3032, "E"),
+        ("aus_antarctic_N_m", 120.0, -75.0, 4326, 3032, "N"),
+        ("npole_3413_E_m", 0.0, 90.0, 4326, 3413, "E"),
+        ("npole_3413_N_m", 0.0, 90.0, 4326, 3413, "N"),
+        ("spole_3031_E_m", 0.0, -90.0, 4326, 3031, "E"),
+        ("spole_3031_N_m", 0.0, -90.0, 4326, 3031, "N"),
+        ("roundtrip_3413_mm", -150.0, 72.5, 4326, 3413, "RT"),
+        ("roundtrip_3031_mm", 45.0, -77.25, 4326, 3031, "RT"),
+    ]
+    df = spark.createDataFrame(
+        rows, "measure string, lon double, lat double, src int, dst int, kind string"
+    )
+    pt = S.st_point(F.col("lon"), F.col("lat"))
+    fwd = S.st_transform(pt, F.col("src"), F.col("dst"))
+    back = S.st_transform(fwd, F.col("dst"), F.col("src"))
+    # degrees -> mm at the worst case (~111.32 km/deg); rounded to 2dp
+    # of a millimeter, any inverse drift >5e-3 mm fails the row
+    rt_err_mm = F.round(
+        F.greatest(
+            F.abs(S.st_x(back) - F.col("lon")),
+            F.abs(S.st_y(back) - F.col("lat")),
+        )
+        * 111320.0 * 1000.0,
+        2,
+    )
+    val = (
+        F.when(F.col("kind") == "E", F.round(S.st_x(fwd), 2))
+        .when(F.col("kind") == "N", F.round(S.st_y(fwd), 2))
+        .otherwise(rt_err_mm)
+    )
+    return df.select("measure", val.alias("expected")).orderBy("measure")

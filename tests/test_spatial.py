@@ -1394,3 +1394,51 @@ def test_osgb_transform_worked_example(spark):
     r = df.select(st_x(g).alias("e"), st_y(g).alias("n")).collect()[0]
     # Edinburgh: published BNG ~ E 325900 N 673900
     assert 325_000 < r.e < 327_000 and 673_000 < r.n < 675_000
+
+
+def test_transform_polar_stereographic_known_vectors():
+    """EPSG GN7-2 method 9810 worked examples to the cm: variant A
+    (UPS North params = EPSG:5041) and variant B (Australian Antarctic
+    = EPSG:3032); pole anchors and sub-mm round-trips for the NSIDC
+    arctic (3413) / antarctic (3031) grids."""
+    import math
+    from pg_lake_spark.functions.spatial import (
+        _PS_PARAMS, _ps_forward, _ps_inverse,
+    )
+
+    E, N = _ps_forward(_PS_PARAMS[5041])(44.0, 73.0)
+    assert abs(E - 3320416.75) < 0.01 and abs(N - 632668.43) < 0.01
+    E, N = _ps_forward(_PS_PARAMS[3032])(120.0, -75.0)
+    assert abs(E - 7255380.79) < 0.01 and abs(N - 7053389.56) < 0.01
+
+    assert _ps_forward(_PS_PARAMS[3413])(0.0, 90.0) == (0.0, 0.0)
+    assert _ps_forward(_PS_PARAMS[3031])(0.0, -90.0) == (0.0, 0.0)
+    # pole inverse is exact (rho == 0 shortcut, no atan2(0,0))
+    assert _ps_inverse(_PS_PARAMS[3413])(0.0, 0.0) == (-45.0, 90.0)
+
+    for srid, lats in [(3413, range(60, 90, 5)), (3031, range(-89, -55, 5)),
+                       (5041, range(60, 90, 7)), (5042, range(-89, -60, 7))]:
+        f = _ps_forward(_PS_PARAMS[srid])
+        i = _ps_inverse(_PS_PARAMS[srid])
+        for lat in lats:
+            for lon in range(-180, 180, 30):
+                x, y = i(*f(float(lon), float(lat)))
+                dlon = abs((x - lon + 180) % 360 - 180) * math.cos(math.radians(lat))
+                assert dlon * 111320 < 1e-6 and abs(y - lat) * 110574 < 1e-6
+
+
+def test_transform_polar_composes_via_4326(spark):
+    """3413 <-> 3031 (arctic grid to antarctic grid, both hemispheres)
+    and 3413 <-> UTM compose through 4326 like the conic pairs."""
+    from pyspark.sql import functions as F
+    from pg_lake_spark.functions import spatial as S
+
+    df = spark.createDataFrame([(-150.0, 72.5)], "lon double, lat double")
+    pt = S.st_point(F.col("lon"), F.col("lat"))
+    utm = S.st_transform(S.st_transform(pt, 4326, 3413), 3413, 32605)
+    direct = S.st_transform(pt, 4326, 32605)
+    row = df.select(
+        (F.abs(S.st_x(utm) - S.st_x(direct))
+         + F.abs(S.st_y(utm) - S.st_y(direct))).alias("err")
+    ).collect()[0]
+    assert row.err < 1e-6
