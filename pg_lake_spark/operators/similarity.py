@@ -236,19 +236,37 @@ def cosine_neardup_pairs(
         b_mat = np.array(list(b["vec"]), dtype=np.float64)
         a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
         b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
-        sims = a_mat @ b_mat.T
-        if pdf["ba"].iat[0] == pdf["bb"].iat[0]:
-            # Diagonal block: every row is on both sides, so each pair
-            # shows up twice — id_a < id_b keeps one and drops selves.
-            ai, bi = np.nonzero((sims >= threshold) & (a_ids[:, None] < b_ids[None, :]))
-            lo, hi = a_ids[ai], b_ids[bi]
-        else:
-            # Off-diagonal: each cross pair appears exactly once, but id
-            # order doesn't follow block order — normalize to (min, max).
-            ai, bi = np.nonzero(sims >= threshold)
-            lo = np.minimum(a_ids[ai], b_ids[bi])
-            hi = np.maximum(a_ids[ai], b_ids[bi])
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": sims[ai, bi]})
+        diag = pdf["ba"].iat[0] == pdf["bb"].iat[0]
+        # Chunk the gemm over a_mat rows: a full sims matrix is
+        # (N/B)^2 doubles — 5 GB/task at 25k-row blocks (the r9 sf10
+        # OOM; the block sizing counts the two INPUT blocks, not the
+        # output). Chunking bounds peak memory at chunk*(N/B)*8 no
+        # matter how the block sizing lands; BLAS throughput is
+        # unaffected at >=1k-row chunks.
+        chunk = max(1024, int(task_mem_bytes // (8 * max(len(b_ids), 1))))
+        outs = []
+        for lo_i in range(0, len(a_ids), chunk):
+            sims = a_mat[lo_i : lo_i + chunk] @ b_mat.T
+            c_ids = a_ids[lo_i : lo_i + chunk]
+            if diag:
+                # Diagonal block: every row is on both sides, so each
+                # pair shows up twice — id_a < id_b keeps one and
+                # drops selves.
+                ai, bi = np.nonzero(
+                    (sims >= threshold) & (c_ids[:, None] < b_ids[None, :])
+                )
+                lo, hi = c_ids[ai], b_ids[bi]
+            else:
+                # Off-diagonal: each cross pair appears exactly once,
+                # but id order doesn't follow block order — normalize
+                # to (min, max).
+                ai, bi = np.nonzero(sims >= threshold)
+                lo = np.minimum(c_ids[ai], b_ids[bi])
+                hi = np.maximum(c_ids[ai], b_ids[bi])
+            outs.append(
+                pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": sims[ai, bi]})
+            )
+        return pd.concat(outs, ignore_index=True)
 
     return (
         left.unionByName(right)
