@@ -3232,6 +3232,129 @@ def _helmert(params, X, Y, Z, inverse=False):
             (ry * X - rx * Y + Z) / s)
 
 
+# -- Oblique Stereographic (EPSG method 9809) — the Netherlands
+# national grid (Amersfoort / RD New, EPSG:28992). EPSG Guidance Note
+# 7-2 formulas: project the ellipsoid to the conformal sphere at the
+# origin, then spherical oblique stereographic. Datum: Bessel 1841 +
+# the published Amersfoort->WGS84 position-vector Helmert (the
+# grid-free PROJ/PostGIS fallback, ~0.5 m vs NTv2 — documented, same
+# convention as OSGB above).
+_BESSEL_A = 6377397.155
+_BESSEL_F = 1 / 299.1528128
+
+#: Amersfoort -> WGS84 (EPSG:15934 position vector: m, arcsec, ppm)
+_HELMERT_AMERSFOORT_TO_WGS84 = (565.4171, 50.3319, 465.5524,
+                                -0.398957, 0.343988, -1.87740, 4.0725)
+
+#: RD New projection constants (EPSG:28992 on Bessel 1841)
+_RD_LAT0 = 52.0 + 9.0 / 60.0 + 22.178 / 3600.0
+_RD_LON0 = 5.0 + 23.0 / 60.0 + 15.500 / 3600.0
+_RD_K0 = 0.9999079
+_RD_FE, _RD_FN = 155000.0, 463000.0
+
+
+def _ostereo_consts():
+    a, f = _BESSEL_A, _BESSEL_F
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    phi0 = math.radians(_RD_LAT0)
+    s0, c0 = math.sin(phi0), math.cos(phi0)
+    rho0 = a * (1 - e2) / (1 - e2 * s0 * s0) ** 1.5
+    nu0 = a / math.sqrt(1 - e2 * s0 * s0)
+    R = math.sqrt(rho0 * nu0)
+    n = math.sqrt(1 + e2 * c0**4 / (1 - e2))
+    S1 = (1 + s0) / (1 - s0)
+    S2 = (1 - e * s0) / (1 + e * s0)
+    w1 = (S1 * S2**e) ** n
+    sin_chi00 = (w1 - 1) / (w1 + 1)
+    c = (n + s0) * (1 - sin_chi00) / ((n - s0) * (1 + sin_chi00))
+    w2 = c * w1
+    chi0 = math.asin((w2 - 1) / (w2 + 1))
+    lam0 = math.radians(_RD_LON0)
+    return a, e, R, n, c, chi0, lam0
+
+
+def _ostereo_fwd_bessel(lon: float, lat: float) -> tuple[float, float]:
+    """RD New forward from BESSEL geographic coords (GN7-2 9809)."""
+    a, e, R, n, c, chi0, lam0 = _ostereo_consts()
+    phi, lam = math.radians(lat), math.radians(lon)
+    s = math.sin(phi)
+    Sa = (1 + s) / (1 - s)
+    Sb = (1 - e * s) / (1 + e * s)
+    w = c * (Sa * Sb**e) ** n
+    chi = math.asin((w - 1) / (w + 1))
+    dL = n * (lam - lam0)
+    B = 1 + math.sin(chi) * math.sin(chi0) + math.cos(chi) * math.cos(chi0) * math.cos(dL)
+    k2R = 2 * R * _RD_K0
+    E = _RD_FE + k2R * math.cos(chi) * math.sin(dL) / B
+    N = _RD_FN + k2R * (
+        math.sin(chi) * math.cos(chi0) - math.cos(chi) * math.sin(chi0) * math.cos(dL)
+    ) / B
+    return E, N
+
+
+def _ostereo_inv_bessel(E: float, N: float) -> tuple[float, float]:
+    """RD New inverse to BESSEL geographic coords (spherical oblique
+    stereographic inverse on the conformal sphere, then conformal
+    latitude -> geodetic latitude fixed-point iteration)."""
+    a, e, R, n, c, chi0, lam0 = _ostereo_consts()
+    dx, dy = E - _RD_FE, N - _RD_FN
+    k2R = 2 * R * _RD_K0
+    rho = math.hypot(dx, dy)
+    if rho == 0.0:
+        chi, dL = chi0, 0.0
+    else:
+        ce = 2 * math.atan2(rho, k2R)
+        sc, cc = math.sin(ce), math.cos(ce)
+        chi = math.asin(cc * math.sin(chi0) + dy * sc * math.cos(chi0) / rho)
+        dL = math.atan2(
+            dx * sc, rho * math.cos(chi0) * cc - dy * math.sin(chi0) * sc
+        )
+    lam = lam0 + dL / n
+    # invert w = c*(Sa*Sb^e)^n for phi: iterate s -> (U-1)/(U+1) with
+    # U = T*((1+e s)/(1-e s))^e, T = ((1+sin chi)/(1-sin chi))/c)^(1/n)
+    T = (((1 + math.sin(chi)) / (1 - math.sin(chi))) / c) ** (1.0 / n)
+    s = math.sin(chi)
+    for _ in range(20):
+        U = T * ((1 + e * s) / (1 - e * s)) ** e
+        new = (U - 1) / (U + 1)
+        if abs(new - s) < 1e-15:
+            s = new
+            break
+        s = new
+    return math.degrees(lam), math.degrees(math.asin(s))
+
+
+def _rd_forward():
+    def fn(x: float, y: float) -> tuple[float, float]:
+        cart = _geodetic_to_cart(_WGS84_A, _WGS84_F, x, y)
+        cart = _helmert(_HELMERT_AMERSFOORT_TO_WGS84, *cart, inverse=True)
+        lon, lat = _cart_to_geodetic(_BESSEL_A, _BESSEL_F, *cart)
+        return _ostereo_fwd_bessel(lon, lat)
+
+    return fn
+
+
+def _rd_inverse():
+    def fn(x: float, y: float) -> tuple[float, float]:
+        lon, lat = _ostereo_inv_bessel(x, y)
+        cart = _geodetic_to_cart(_BESSEL_A, _BESSEL_F, lon, lat)
+        cart = _helmert(_HELMERT_AMERSFOORT_TO_WGS84, *cart)
+        return _cart_to_geodetic(_WGS84_A, _WGS84_F, *cart)
+
+    return fn
+
+
+#: Generic Transverse Mercator grids on WGS84-coincident datums:
+#: srid -> (a, f, lat0, lon0, k0, FE, FN). NZGD2000/GDA2020 are
+#: WGS84-coincident at analytics accuracy (same null-transform
+#: convention as the LCC set).
+_TM_PARAMS = {
+    # NZGD2000 / New Zealand Transverse Mercator 2000
+    2193: (_GRS80_A, _GRS80_F, 0.0, 173.0, 0.9996, 1600000.0, 10000000.0),
+}
+
+
 def _osgb_forward():
     tm = _tm_forward_gen(_AIRY_A, _AIRY_F, 49.0, -2.0, 0.9996012717,
                          400000.0, -100000.0)
@@ -3447,17 +3570,26 @@ def _resolve_transform(s: int, d: int):
         return _ps_forward(_PS_PARAMS[d])
     if s in _PS_PARAMS and d == 4326:
         return _ps_inverse(_PS_PARAMS[s])
+    if s == 4326 and d in _TM_PARAMS:
+        return _tm_forward_gen(*_TM_PARAMS[d])
+    if s in _TM_PARAMS and d == 4326:
+        return _tm_inverse_gen(*_TM_PARAMS[s])
     if s == 4326 and d == 27700:
         return _osgb_forward()
     if s == 27700 and d == 4326:
         return _osgb_inverse()
+    if s == 4326 and d == 28992:
+        return _rd_forward()
+    if s == 28992 and d == 4326:
+        return _rd_inverse()
     # compose via 4326 (3857<->UTM, UTM<->UTM zone change, conic<->any)
+    _named = (3857, 27700, 28992)
     if (
-        zs or s in (3857, 27700) or s in _LCC_PARAMS or s in _AEA_PARAMS
-        or s in _PS_PARAMS
+        zs or s in _named or s in _LCC_PARAMS or s in _AEA_PARAMS
+        or s in _PS_PARAMS or s in _TM_PARAMS
     ) and (
-        zd or d in (3857, 27700) or d in _LCC_PARAMS or d in _AEA_PARAMS
-        or d in _PS_PARAMS
+        zd or d in _named or d in _LCC_PARAMS or d in _AEA_PARAMS
+        or d in _PS_PARAMS or d in _TM_PARAMS
     ):
         to_geo = _resolve_transform(s, 4326)
         from_geo = _resolve_transform(4326, d)
@@ -3482,7 +3614,8 @@ def _k_transform(g: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
                 f"st_transform supports EPSG:4326<->3857, 4326/3857<->"
                 f"UTM (326zz/327zz), the embedded LCC set {sorted(_LCC_PARAMS)} "
                 f"Albers {sorted(_AEA_PARAMS)}, polar stereographic "
-                f"{sorted(_PS_PARAMS)} and OSGB 27700, got {s}->{d} "
+                f"{sorted(_PS_PARAMS)}, TM grids {sorted(_TM_PARAMS)}, "
+                f"OSGB 27700 and RD New 28992, got {s}->{d} "
                 "(the reference delegates other pairs to PROJ)"
             )
         gtype, coords = _parse(bytes(b))

@@ -1442,3 +1442,56 @@ def test_transform_polar_composes_via_4326(spark):
          + F.abs(S.st_y(utm) - S.st_y(direct))).alias("err")
     ).collect()[0]
     assert row.err < 1e-6
+
+
+def test_transform_rd_new_worked_example():
+    """EPSG GN7-2 method 9809 (Oblique Stereographic) worked example —
+    Amersfoort / RD New: Bessel geographic (53N, 6E) ->
+    E 196105.283 / N 557057.739, to the mm; projection origin maps to
+    the false origin exactly; WGS84 path round-trips sub-mm."""
+    import math
+    from pg_lake_spark.functions.spatial import (
+        _RD_LAT0, _RD_LON0, _ostereo_fwd_bessel, _ostereo_inv_bessel,
+        _rd_forward, _rd_inverse,
+    )
+
+    E, N = _ostereo_fwd_bessel(6.0, 53.0)
+    assert abs(E - 196105.283) < 1e-3 and abs(N - 557057.739) < 1e-3
+    lon, lat = _ostereo_inv_bessel(E, N)
+    assert abs(lon - 6.0) < 1e-11 and abs(lat - 53.0) < 1e-11
+
+    E, N = _ostereo_fwd_bessel(_RD_LON0, _RD_LAT0)
+    assert abs(E - 155000.0) < 1e-6 and abs(N - 463000.0) < 1e-6
+
+    f, i = _rd_forward(), _rd_inverse()
+    for lon, lat in [(4.9, 52.37), (5.387, 52.156), (6.57, 53.22), (3.61, 51.5)]:
+        x, y = i(*f(lon, lat))
+        assert abs(x - lon) * 111320 * math.cos(math.radians(lat)) < 1e-3
+        assert abs(y - lat) * 110574 < 1e-3
+
+
+def test_transform_nztm_controls():
+    """NZTM 2000 (EPSG:2193, generic TM on GRS80): the natural origin
+    maps to the false origin exactly, the central-meridian northing
+    equals FN - k0 * (meridian arc from the equator) within mm (arc
+    measured independently by the per-segment Vincenty spheroid length
+    — a cross-model consistency check, not self-agreement), and
+    round-trips are exact over the NZ extent."""
+    import math
+    from pg_lake_spark.functions.spatial import (
+        _resolve_transform, _vincenty_m,
+    )
+
+    f = _resolve_transform(4326, 2193)
+    i = _resolve_transform(2193, 4326)
+    assert f(173.0, 0.0) == (1600000.0, 10000000.0)
+
+    for lat in (-34.0, -41.0, -47.0):
+        E, N = f(173.0, lat)
+        assert abs(E - 1600000.0) < 1e-6  # on the central meridian
+        arc = _vincenty_m(173.0, 0.0, 173.0, lat)
+        assert abs((10000000.0 - N) - 0.9996 * arc) < 5e-3
+
+    for lon, lat in [(174.7633, -36.8485), (172.64, -43.53), (168.66, -45.03)]:
+        x, y = i(*f(lon, lat))
+        assert abs(x - lon) < 1e-9 and abs(y - lat) < 1e-9
