@@ -51,12 +51,14 @@ _R9_NEW: list[str] = [
     "dsq32_excess_discount", "dsq44_best_worst_items",
     "dsq57_outlier_with_neighbors", "dsq97_channel_overlap_counts",
     "dsq98_class_revenue_share",
+    "dsq75_yearly_decline", "dsq41_attr_disjunction",
     "cb_url_strip_params_topn", "cb_bulk_arithmetic_sums",
     "f_polar_stereographic",
 ]
 #: r5-last-green rows (from CORRECTNESS_r0*.json), alphabetical, minus
-#: the two dd_* rows already in _CODE_CHANGED. 28 fit the r9 window;
-#: the remainder (q1-q13, s_* set ops, sim_ivf/lsh_topk,
+#: the two dd_* rows already in _CODE_CHANGED. 26 fit the r9 window
+#: (the list's last two, mm_frame_sample/mm_resize_thumbs, roll off);
+#: the remainder (mm_*, q1-q13, s_* set ops, sim_ivf/lsh_topk,
 #: w_exclude_current_row) roll to r10.
 _R5_STALE = [
     "a_mode_disc", "arr_operators", "d_delta_scan", "d_limit_with_ties",
@@ -73,10 +75,11 @@ _R9_WINDOW = (_NEVER_CHECKED + _CODE_CHANGED + _R9_NEW + _R5_STALE)[:50]
 
 # r10 rotation note: backfill order after any never-checked /
 # changed-code / r10-new rows: the remaining r5-last-green rows
-# (q1_pricing_summary .. q13, s_except, s_except_all, s_intersect,
-# s_union_all, sim_ivf_topk, sim_lsh_topk, w_exclude_current_row —
-# 20 rows), then r6-last-green alphabetical. Recompute from
-# CORRECTNESS_r0*.json latest-green; don't trust this comment blindly.
+# (mm_frame_sample, mm_resize_thumbs, q1_pricing_summary .. q13,
+# s_except, s_except_all, s_intersect, s_union_all, sim_ivf_topk,
+# sim_lsh_topk, w_exclude_current_row — 22 rows), then r6-last-green
+# alphabetical. Recompute from CORRECTNESS_r0*.json latest-green;
+# don't trust this comment blindly.
 
 
 def _rotate(front: list[str]) -> None:

@@ -2676,3 +2676,145 @@ def dsq98_class_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_type", F.col("class_share").desc(), "p_brand")
     )
+
+
+@query(
+    "dsq75_yearly_decline",
+    oracle="""
+    WITH chan AS (
+      SELECT year(l_shipdate) AS yr, p_brand,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+               * (CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END) AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      UNION ALL
+      SELECT year(o_orderdate) AS yr, 'ORDERS#' || CAST(o_orderkey % 5 AS VARCHAR) AS p_brand,
+             CAST(round(o_totalprice * 10, 0) AS BIGINT) AS cents
+      FROM orders
+    ), yearly AS (
+      SELECT CAST(yr AS INT) AS yr, p_brand,
+             CAST(sum(cents) AS BIGINT) AS net_cents
+      FROM chan GROUP BY yr, p_brand
+    )
+    SELECT cur.p_brand AS p_brand, cur.yr AS yr,
+           prev.net_cents AS prev_cents, cur.net_cents AS cur_cents,
+           round(CAST(cur.net_cents AS DOUBLE) / prev.net_cents, 6) AS ratio
+    FROM yearly cur JOIN yearly prev
+      ON cur.p_brand = prev.p_brand AND cur.yr = prev.yr + 1
+    WHERE prev.net_cents > 0 AND cur.net_cents < prev.net_cents * 0.9
+    ORDER BY p_brand, yr
+    """,
+    doc="TPC-DS Q75 shape: net-of-returns sales UNION ALL'd across two "
+    "channels, aggregated per (year, brand), self-joined on "
+    "consecutive years, keeping brands whose sales DECLINED >10%. "
+    "Returns contribute negatively inside the union (one scan per "
+    "channel, no separate returns join); the YoY self-join runs over "
+    "the tiny grouped frame. Money is exact integer cents end-to-end; "
+    "the decline predicate compares raw bigints scaled by a DOUBLE "
+    "constant identically in both engines.",
+)
+def dsq75_yearly_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li_cents = (
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("bigint")
+        * F.when(F.col("l_returnflag") == "R", -1).otherwise(1)
+    )
+    ship = (
+        t["lineitem"]
+        .join(_bcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.year("l_shipdate").alias("yr"),
+            F.col("p_brand"),
+            li_cents.alias("cents"),
+        )
+    )
+    ord_chan = t["orders"].select(
+        F.year("o_orderdate").alias("yr"),
+        F.concat(F.lit("ORDERS#"), (F.col("o_orderkey") % 5).cast("string")).alias(
+            "p_brand"
+        ),
+        F.round(F.col("o_totalprice") * 10, 0).cast("bigint").alias("cents"),
+    )
+    yearly = (
+        ship.unionByName(ord_chan)
+        .groupBy(F.col("yr").cast("int").alias("yr"), "p_brand")
+        .agg(F.sum("cents").cast("bigint").alias("net_cents"))
+    )
+    cur, prev = yearly.alias("cur"), yearly.alias("prev")
+    return (
+        cur.join(
+            prev,
+            (F.col("cur.p_brand") == F.col("prev.p_brand"))
+            & (F.col("cur.yr") == F.col("prev.yr") + 1),
+        )
+        .filter(
+            (F.col("prev.net_cents") > 0)
+            & (F.col("cur.net_cents") < F.col("prev.net_cents") * 0.9)
+        )
+        .select(
+            F.col("cur.p_brand").alias("p_brand"),
+            F.col("cur.yr").alias("yr"),
+            F.col("prev.net_cents").alias("prev_cents"),
+            F.col("cur.net_cents").alias("cur_cents"),
+            F.round(
+                F.col("cur.net_cents").cast("double") / F.col("prev.net_cents"), 6
+            ).alias("ratio"),
+        )
+        .orderBy("p_brand", "yr")
+    )
+
+
+@query(
+    "dsq41_attr_disjunction",
+    oracle="""
+    SELECT DISTINCT p_name
+    FROM part
+    WHERE p_size BETWEEN 1 AND 40
+      AND (
+        (p_type IN ('PROMO', 'ECONOMY') AND p_brand LIKE 'Brand#1%'
+         AND p_retailprice BETWEEN 900 AND 1400 AND p_size BETWEEN 5 AND 25)
+        OR
+        (p_type IN ('SMALL', 'MEDIUM') AND p_brand LIKE 'Brand#2%'
+         AND p_retailprice BETWEEN 1200 AND 1800 AND p_size BETWEEN 10 AND 35)
+        OR
+        (p_type IN ('STANDARD', 'LARGE') AND p_brand LIKE 'Brand#3%'
+         AND p_retailprice BETWEEN 700 AND 1600 AND p_size BETWEEN 1 AND 20)
+      )
+    ORDER BY p_name
+    LIMIT 100
+    """,
+    doc="TPC-DS Q41 shape: a dimension-only query with a deep "
+    "disjunction of conjunctive attribute bands (three OR'd arms, each "
+    "constraining type x brand-prefix x price x size) feeding DISTINCT "
+    "+ ordered LIMIT. Stresses predicate normalization/pushdown of "
+    "multi-arm disjunctions into one dimension scan — no fact table, "
+    "no join; the whole query is scan -> filter -> distinct -> top-N.",
+)
+def dsq41_attr_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    arm1 = (
+        F.col("p_type").isin("PROMO", "ECONOMY")
+        & F.col("p_brand").like("Brand#1%")
+        & F.col("p_retailprice").between(900, 1400)
+        & F.col("p_size").between(5, 25)
+    )
+    arm2 = (
+        F.col("p_type").isin("SMALL", "MEDIUM")
+        & F.col("p_brand").like("Brand#2%")
+        & F.col("p_retailprice").between(1200, 1800)
+        & F.col("p_size").between(10, 35)
+    )
+    arm3 = (
+        F.col("p_type").isin("STANDARD", "LARGE")
+        & F.col("p_brand").like("Brand#3%")
+        & F.col("p_retailprice").between(700, 1600)
+        & F.col("p_size").between(1, 20)
+    )
+    return (
+        t["part"]
+        .filter(F.col("p_size").between(1, 40) & (arm1 | arm2 | arm3))
+        .select("p_name")
+        .distinct()
+        .orderBy("p_name")
+        .limit(100)
+    )
