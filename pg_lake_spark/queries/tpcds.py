@@ -21,6 +21,16 @@ Shapes covered (the ones VERDICT r6 called out as the coverage gap):
   year-over-year growth ratio (Q4/Q11), order-size bands (Q34/Q73),
   net-of-returns top spenders (Q93), HAVING-gated dimension totals (Q15).
 
+Fourth wave (r9) adds: week-over-week CTE self-join (Q2), CASE over
+scalar-count subqueries fused to one conditional scan (Q9), hierarchy
+ROLLUP ordered by its average measure (Q22), per-band distinct-count
+stats (Q28), correlated scalar aggregate against the same fact (Q32),
+best/worst rank pairing (Q44), series outliers with lag/lead
+neighbors (Q57), channel-union net-of-returns yearly decline (Q75),
+composite-key FULL OUTER channel overlap (Q97), windowed class
+revenue share (Q98), and a dimension-only deep attribute disjunction
+(Q41) — 54 DS shape families total.
+
 Spark-first notes: every query aggregates BEFORE windowing/joining
 derived frames, so windows and self-joins run over grouped (tiny)
 frames; dims broadcast through the size gate; facts shuffle once per
