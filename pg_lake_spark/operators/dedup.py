@@ -99,17 +99,7 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     longer docs). Output is identical (pinned by the oracle rows).
     """
     if isinstance(text, str):
-        w = f"split({text}, '\\\\s+')"
-        length = f"greatest(size({w}) - {n - 1}, 1)"
-        acc = f"slice({w}, 1, {length})"
-        for k in range(2, n + 1):
-            # zip_with pads the shorter array with NULL: docs with
-            # fewer than n words keep their whole-text shingle
-            acc = (
-                f"zip_with({acc}, slice({w}, {k}, {length}), "
-                f"(a, b) -> if(b is null, a, concat(a, ' ', b)))"
-            )
-        return F.expr(f"array_distinct({acc})")
+        return F.expr(f"array_distinct({_windows_expr(text, n)})")
     words = F.split(text, r"\s+")
     k = F.size(words) - (n - 1)
     grams = F.transform(
@@ -117,6 +107,75 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
         lambda i: F.array_join(F.slice(words, i + 1, n), " "),
     )
     return F.array_distinct(grams)
+
+
+def _windows_expr(text_col_name: str, n: int) -> str:
+    """SQL expr string: ALL overlapping word n-gram windows of a text
+    column (array<string>, order-preserving, duplicates kept). The
+    zip_with-over-pre-shifted-slices build from word_shingles — the
+    slices evaluate once per ROW where a transform(sequence, i ->
+    slice(...)) lambda re-evaluates per ELEMENT (quadratic in doc
+    length)."""
+    w = f"split({text_col_name}, '\\\\s+')"
+    length = f"greatest(size({w}) - {n - 1}, 1)"
+    acc = f"slice({w}, 1, {length})"
+    for k in range(2, n + 1):
+        # zip_with pads the shorter array with NULL: docs with fewer
+        # than n words keep their whole-text window
+        acc = (
+            f"zip_with({acc}, slice({w}, {k}, {length}), "
+            f"(a, b) -> if(b is null, a, concat(a, ' ', b)))"
+        )
+    return acc
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 8,
+    min_docs: int = 2,
+    hash_only: bool = True,
+) -> DataFrame:
+    """Cross-document repeated word spans — the exact-substring dedup
+    signal (Lee et al., *Deduplicating Training Data Makes Language
+    Models Better*: verbatim ≥k-token spans repeated across a corpus
+    are memorization fuel and should be deduplicated). Reference
+    parity: pg_lake has no span operator; this is part of the
+    beyond-reference training-pipeline surface.
+
+    Every overlapping ``window``-word span of every document is
+    emitted (positions preserved, duplicates kept — unlike shingles),
+    grouped corpus-wide, and spans appearing in at least ``min_docs``
+    distinct documents are returned with their document and occurrence
+    counts.
+
+    Scale: output of the explode is O(total corpus tokens) rows —
+    linear, one shuffle. With ``hash_only=True`` (the 100-TB path) the
+    groupBy key is the span's xxhash64, so the shuffle carries 8-byte
+    keys instead of span strings (~10-100 bytes/token saved); the
+    returned ``span`` column is then the hash rendered as hex. With
+    ``hash_only=False`` the span text itself is the key (exact,
+    oracle-friendly; pays string shuffle width).
+
+    Returns (span, n_docs, n_occ) sorted by (n_occ desc, span).
+    """
+    wins = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.expr(_windows_expr(text_col, window))).alias("_span"),
+    )
+    if hash_only:
+        wins = wins.select("_id", F.hex(F.xxhash64("_span")).alias("_span"))
+    return (
+        wins.groupBy(F.col("_span").alias("span"))
+        .agg(
+            F.countDistinct("_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_occ").desc(), "span")
+    )
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:

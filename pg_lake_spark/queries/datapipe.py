@@ -1258,3 +1258,39 @@ def ds_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "dd_repeated_spans",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ), wins AS (
+      SELECT doc_id, array_to_string(w[i:i+7], ' ') AS span
+      FROM words, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(w) - 7, 1))) AS i
+      ) t
+    )
+    SELECT span,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           count(*) AS n_occ
+    FROM wins
+    GROUP BY span
+    HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY n_occ DESC, span
+    LIMIT 50
+    """,
+    doc="Cross-document repeated 8-word spans (exact-substring dedup "
+    "signal, Lee et al. 'Deduplicating Training Data Makes LMs "
+    "Better'): operators/dedup.repeated_spans with hash_only=False so "
+    "the DuckDB oracle groups the identical span STRINGS. The scale "
+    "path (hash_only=True, default) shuffles 8-byte xxhash64 keys "
+    "instead — pinned equivalent by pytest.",
+)
+def dd_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return dedup.repeated_spans(
+        t["documents"], "doc_id", "text", window=8, min_docs=2, hash_only=False
+    ).limit(50)

@@ -92,3 +92,30 @@ def test_dedupe_corpus_null_urls_pass_through(spark):
     df = spark.createDataFrame(rows, "doc_id bigint, text string, url string")
     clean, report = dedupe_corpus(df, "doc_id", "text", url_col="url", near_dup=False)
     assert report["output_rows"] == 20 and report["url_dropped"] == 0
+
+
+def test_repeated_spans_hash_path_matches_string_path(spark):
+    """The scale path (xxhash64 keys) must produce the same
+    (n_docs, n_occ) multiset as the exact string-keyed path — xxhash64
+    collisions across a corpus' distinct spans are ~|spans|^2/2^64."""
+    from pg_lake_spark.operators.dedup import repeated_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    by_str = repeated_spans(docs, "doc_id", "text", window=8, hash_only=False)
+    by_hash = repeated_spans(docs, "doc_id", "text", window=8, hash_only=True)
+    a = sorted((r.n_docs, r.n_occ) for r in by_str.collect())
+    b = sorted((r.n_docs, r.n_occ) for r in by_hash.collect())
+    assert a == b and len(a) > 0
+
+
+def test_repeated_spans_short_doc_whole_text(spark):
+    """Documents shorter than the window contribute their whole text
+    as one span (same convention as word_shingles)."""
+    from pg_lake_spark.operators.dedup import repeated_spans
+
+    df = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc"), (3, "other text")],
+        "doc_id bigint, text string",
+    )
+    rows = repeated_spans(df, "doc_id", "text", window=8, hash_only=False).collect()
+    assert [(r.span, r.n_docs, r.n_occ) for r in rows] == [("tiny doc", 2, 2)]
