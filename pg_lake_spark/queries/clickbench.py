@@ -630,3 +630,35 @@ def cb_bulk_arithmetic_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") != "error")
         .agg(*[F.round(F.sum(F.col("value") + k), 4).alias(f"s{k}") for k in range(20)])
     )
+
+
+@query(
+    "cb_paginated_topn",
+    oracle="""
+    SELECT user_id, event_type, count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY n DESC, user_id, event_type
+    LIMIT 20 OFFSET 40
+    """,
+    doc="ClickBench shape (hits Q: paginated leaderboards — LIMIT 10 "
+    "OFFSET 10000 family): a grouped leaderboard page deep in the "
+    "ordering. Spark plans ORDER BY + LIMIT + OFFSET as a global "
+    "top-(limit+offset) then a drop — no full sort materialization; "
+    "the tie-broken ORDER BY makes the page deterministic in both "
+    "engines.",
+)
+def cb_paginated_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy(F.col("n").desc(), "user_id", "event_type")
+        .offset(40)
+        .limit(20)
+    )
