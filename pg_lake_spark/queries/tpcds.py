@@ -2828,3 +2828,123 @@ def dsq41_attr_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("p_name")
         .limit(100)
     )
+
+
+@query(
+    "dsq46_cross_nation_orders",
+    oracle="""
+    SELECT o_orderkey, c_name, s_nation, c_nation,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+             AS order_cents
+    FROM (
+      SELECT l_orderkey AS lok, n_name AS s_nation,
+             l_extendedprice, l_discount
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    ) ship
+    JOIN orders   ON lok = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN (SELECT n_nationkey AS cnk, n_name AS c_nation FROM nation) cn
+      ON c_nationkey = cnk
+    WHERE s_nation <> c_nation
+      AND o_orderdate >= TIMESTAMP '1998-01-01'
+    GROUP BY o_orderkey, c_name, s_nation, c_nation
+    ORDER BY order_cents DESC, o_orderkey, s_nation
+    LIMIT 50
+    """,
+    doc="TPC-DS Q46/Q68 shape: per-order amounts where a line's "
+    "supplier nation DIFFERS from the customer's nation (DS: current "
+    "city <> bought-in city) — an inequality between two dimension "
+    "attributes reached through different join paths, then a per-order "
+    "rollup with the customer fan-back. The nation dim broadcasts "
+    "twice under different roles; the inequality can only be applied "
+    "post-join (no pushdown), which is the shape's point.",
+)
+def dsq46_cross_nation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+        "bigint"
+    )
+    s_nat = t["nation"].select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("s_nation")
+    )
+    c_nat = t["nation"].select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("c_nation")
+    )
+    return (
+        t["lineitem"]
+        .join(_bcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_bcast(s_nat), F.col("s_nationkey") == F.col("snk"))
+        .join(
+            t["orders"].filter(F.col("o_orderdate") >= _ts("1998-01-01")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(_bcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_bcast(c_nat), F.col("c_nationkey") == F.col("cnk"))
+        .filter(F.col("s_nation") != F.col("c_nation"))
+        .groupBy("o_orderkey", "c_name", "s_nation", "c_nation")
+        .agg(F.sum(cents).cast("bigint").alias("order_cents"))
+        .orderBy(F.col("order_cents").desc(), "o_orderkey", "s_nation")
+        .limit(50)
+    )
+
+
+@query(
+    "dsq08_intersect_membership",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT c_nationkey AS nk
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+      INTERSECT
+      SELECT DISTINCT c_nationkey AS nk
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      WHERE o_totalprice > 150000
+    )
+    SELECT n_name,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE c_nationkey IN (SELECT nk FROM active)
+      AND o_orderdate >= TIMESTAMP '2000-06-01'
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    doc="TPC-DS Q8 shape: the filter list is itself the INTERSECT of "
+    "two subquery-derived key sets (DS: zip codes of preferred "
+    "customers INTERSECT store zips), consumed as an IN predicate by "
+    "the main aggregation. The INTERSECT runs over two tiny DISTINCT "
+    "key sets and the IN plans as a semi-join against the grouped "
+    "fact — three fact passes total, each aggregated before joining.",
+)
+def dsq08_intersect_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    co = t["customer"].join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+    a = (
+        co.filter(F.col("o_orderdate") >= _ts("2000-01-01"))
+        .select(F.col("c_nationkey").alias("nk"))
+        .distinct()
+    )
+    b = (
+        co.filter(F.col("o_totalprice") > 150000)
+        .select(F.col("c_nationkey").alias("nk"))
+        .distinct()
+    )
+    active = a.intersect(b)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    return (
+        t["orders"]
+        .filter(F.col("o_orderdate") >= _ts("2000-06-01"))
+        .join(_bcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(active, F.col("c_nationkey") == F.col("nk"), "left_semi")
+        .join(_bcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(cents).cast("bigint").alias("cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
