@@ -260,3 +260,22 @@ def test_dsq02_self_join_over_weekly_frame(spark):
     s = plan_summary(df, execute=True)
     li_scans = [sc for sc in s.scans if "l_shipdate" in sc.read_schema]
     assert len(li_scans) <= 2  # <=2: ReusedExchange may or may not fire
+
+
+def test_dsq46_dim_inequality_broadcasts(spark):
+    """Q46 shape: supplier/customer/nation(x2 roles) all broadcast;
+    exactly one lineitem scan; the nation<>nation inequality stays
+    above the joins (it cannot push to any scan)."""
+    df = QUERIES["dsq46_cross_nation_orders"].fn(spark, SF_DIR)
+    s = plan_summary(df, execute=True)
+    li_scans = [sc for sc in s.scans if "l_suppkey" in sc.read_schema]
+    assert len(li_scans) == 1
+    assert s.broadcast_joins >= 4  # supplier, nation x2, customer
+
+
+def test_dsq08_intersect_feeds_semi_join(spark):
+    """Q8 shape: the INTERSECT'd key set is consumed as a LeftSemi
+    against the aggregating fact pass."""
+    df = QUERIES["dsq08_intersect_membership"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
