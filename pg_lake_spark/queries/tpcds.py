@@ -2948,3 +2948,59 @@ def dsq08_intersect_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "dsq24_global_avg_gate",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_name, n_name,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_name, n_name
+    )
+    SELECT c_name, n_name, cents
+    FROM (
+      SELECT c_name, n_name, cents,
+             avg(CAST(cents AS DOUBLE)) OVER () AS global_avg
+      FROM per_cust
+    )
+    WHERE cents > 2.0 * global_avg
+    ORDER BY cents DESC, c_name
+    """,
+    doc="TPC-DS Q24 shape: per-customer totals gated by a multiple of "
+    "the GLOBAL average of those same totals (DS: paid > 0.05 * "
+    "avg-over-all) — DS writes HAVING sum(...) > (SELECT 0.05*avg(..) "
+    "FROM the same CTE); planned as an empty-frame window over the "
+    "grouped result, so the global statistic costs one single-partition "
+    "pass over customers, never a fact re-scan. Gate compares the raw "
+    "window value; cents are exact integers.",
+)
+def dsq24_global_avg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+        "bigint"
+    )
+    per_cust = (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(_bcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_bcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_name", "n_name")
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy()
+    return (
+        per_cust.withColumn(
+            "global_avg", F.avg(F.col("cents").cast("double")).over(w)
+        )
+        .filter(F.col("cents") > 2.0 * F.col("global_avg"))
+        .select("c_name", "n_name", "cents")
+        .orderBy(F.col("cents").desc(), "c_name")
+    )

@@ -41,8 +41,32 @@ def _agg(rng, col):
 def gen_query(rng: random.Random) -> str:
     kind = rng.choice(
         ["agg_l", "agg_join", "proj_filter", "agg_having", "window", "setop", "exists",
-         "full_outer", "disjunct_semi"]
+         "full_outer", "disjunct_semi", "rollup_rank"]
     )
+    if kind == "rollup_rank":
+        # rank-within-parent over a ROLLUP (the dsq70 construct, and
+        # the r8 advisor catch: subtotal rows must share ONE window
+        # partition — a constant parent key would leave each alone
+        # with rank 1)
+        parent, child = rng.choice(
+            [("o_orderstatus", "o_orderpriority"), ("o_orderpriority", "o_orderstatus")]
+        )
+        mfn = rng.choice(["sum(o_totalprice)", "count(*)", "max(o_totalprice)"])
+        return (
+            f"WITH agg AS ("
+            f"  SELECT {parent} AS p, {child} AS c, "
+            f"         CAST({mfn} AS DOUBLE) AS m, "
+            f"         CAST(grouping({parent}) AS INT) AS g_p, "
+            f"         CAST(grouping({child}) AS INT) AS g_c "
+            f"  FROM orders GROUP BY ROLLUP ({parent}, {child})"
+            f") "
+            f"SELECT p, c, m, g_p, g_c, "
+            f"       CAST(rank() OVER (PARTITION BY g_p, g_c, "
+            f"                         CASE WHEN g_c = 0 THEN p END "
+            f"                         ORDER BY m DESC, c NULLS FIRST) AS BIGINT) AS rnk "
+            f"FROM agg "
+            f"ORDER BY g_p DESC, g_c DESC, p NULLS FIRST, rnk, c NULLS FIRST"
+        )
     if kind == "full_outer":
         # two channel aggregates FULL OUTER joined + coalesce-merged
         # (the dsq78 construct): members present in only one channel
