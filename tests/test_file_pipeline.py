@@ -78,3 +78,25 @@ def test_batching_and_transform(spark, tmp_path):
     # a different pipeline name over the same table tracks independently
     other = FileListPipeline("other", str(logs / "*.csv"), t, fmt="csv")
     assert len(other.discover()) == 5
+
+
+def test_training_data_prep_example(spark, tmp_path):
+    """The end-to-end prep pipeline (dedup -> quality -> decontam ->
+    temperature mix -> token-budget shards) runs at sf0.001 and every
+    stage's report is consistent: counts only shrink through the
+    filters, the mix hits its target within one row per source, and
+    the shard manifest's row total equals the mixed row count."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    from training_data_prep import prepare_corpus
+
+    out = str(tmp_path / "prep")
+    r = prepare_corpus(spark, "/root/testdata/sf0.001", out)
+    assert r["input_rows"] >= r["dedup"]["output_rows"]
+    assert r["dedup"]["output_rows"] - r["quality_dropped"] >= r["decontaminated_rows"] >= r["mixed_rows"] > 0
+    manifest = json.load(open(os.path.join(out, "shards", "_shard_manifest.json")))
+    assert sum(v["rows"] for v in manifest.values()) == r["mixed_rows"]
+    assert len(manifest) == r["shards"]
