@@ -1225,6 +1225,7 @@ def register_spatial_sql(spark) -> list[str]:
         "st_force3dm": _k_force3dm,
         "st_force4d": _k_force4d,
         "st_transform": _k_transform,
+        "st_transform_def": _k_transform_def,
         # overlay
         "st_intersection": _k_intersection,
         "st_union": _k_union,
@@ -3253,11 +3254,10 @@ _RD_K0 = 0.9999079
 _RD_FE, _RD_FN = 155000.0, 463000.0
 
 
-def _ostereo_consts():
-    a, f = _BESSEL_A, _BESSEL_F
+def _ostereo_consts(a, f, lat0, lon0):
     e2 = f * (2 - f)
     e = math.sqrt(e2)
-    phi0 = math.radians(_RD_LAT0)
+    phi0 = math.radians(lat0)
     s0, c0 = math.sin(phi0), math.cos(phi0)
     rho0 = a * (1 - e2) / (1 - e2 * s0 * s0) ** 1.5
     nu0 = a / math.sqrt(1 - e2 * s0 * s0)
@@ -3270,59 +3270,85 @@ def _ostereo_consts():
     c = (n + s0) * (1 - sin_chi00) / ((n - s0) * (1 + sin_chi00))
     w2 = c * w1
     chi0 = math.asin((w2 - 1) / (w2 + 1))
-    lam0 = math.radians(_RD_LON0)
+    lam0 = math.radians(lon0)
     return a, e, R, n, c, chi0, lam0
+
+
+def _ostereo_forward_gen(a, f, lat0, lon0, k0, fe, fn_):
+    """Oblique stereographic forward (EPSG 9809, GN7-2 conformal-
+    sphere formulas) on the projection datum's geographic coords."""
+    a, e, R, n, c, chi0, lam0 = _ostereo_consts(a, f, lat0, lon0)
+    k2R = 2 * R * k0
+
+    def fn(lon: float, lat: float) -> tuple[float, float]:
+        phi, lam = math.radians(lat), math.radians(lon)
+        s = math.sin(phi)
+        Sa = (1 + s) / (1 - s)
+        Sb = (1 - e * s) / (1 + e * s)
+        w = c * (Sa * Sb**e) ** n
+        chi = math.asin((w - 1) / (w + 1))
+        dL = n * (lam - lam0)
+        B = (
+            1 + math.sin(chi) * math.sin(chi0)
+            + math.cos(chi) * math.cos(chi0) * math.cos(dL)
+        )
+        E = fe + k2R * math.cos(chi) * math.sin(dL) / B
+        N = fn_ + k2R * (
+            math.sin(chi) * math.cos(chi0)
+            - math.cos(chi) * math.sin(chi0) * math.cos(dL)
+        ) / B
+        return E, N
+
+    return fn
+
+
+def _ostereo_inverse_gen(a, f, lat0, lon0, k0, fe, fn_):
+    """Oblique stereographic inverse (spherical inverse on the
+    conformal sphere, then conformal->geodetic latitude fixed point)."""
+    a, e, R, n, c, chi0, lam0 = _ostereo_consts(a, f, lat0, lon0)
+    k2R = 2 * R * k0
+
+    def fn(E: float, N: float) -> tuple[float, float]:
+        dx, dy = E - fe, N - fn_
+        rho = math.hypot(dx, dy)
+        if rho == 0.0:
+            chi, dL = chi0, 0.0
+        else:
+            ce = 2 * math.atan2(rho, k2R)
+            sc, cc = math.sin(ce), math.cos(ce)
+            chi = math.asin(cc * math.sin(chi0) + dy * sc * math.cos(chi0) / rho)
+            dL = math.atan2(
+                dx * sc, rho * math.cos(chi0) * cc - dy * math.sin(chi0) * sc
+            )
+        lam = lam0 + dL / n
+        # invert w = c*(Sa*Sb^e)^n for phi: iterate s -> (U-1)/(U+1),
+        # U = T*((1+e s)/(1-e s))^e, T = (((1+sin chi)/(1-sin chi))/c)^(1/n)
+        T = (((1 + math.sin(chi)) / (1 - math.sin(chi))) / c) ** (1.0 / n)
+        s = math.sin(chi)
+        for _ in range(20):
+            U = T * ((1 + e * s) / (1 - e * s)) ** e
+            new = (U - 1) / (U + 1)
+            if abs(new - s) < 1e-15:
+                s = new
+                break
+            s = new
+        return math.degrees(lam), math.degrees(math.asin(s))
+
+    return fn
 
 
 def _ostereo_fwd_bessel(lon: float, lat: float) -> tuple[float, float]:
     """RD New forward from BESSEL geographic coords (GN7-2 9809)."""
-    a, e, R, n, c, chi0, lam0 = _ostereo_consts()
-    phi, lam = math.radians(lat), math.radians(lon)
-    s = math.sin(phi)
-    Sa = (1 + s) / (1 - s)
-    Sb = (1 - e * s) / (1 + e * s)
-    w = c * (Sa * Sb**e) ** n
-    chi = math.asin((w - 1) / (w + 1))
-    dL = n * (lam - lam0)
-    B = 1 + math.sin(chi) * math.sin(chi0) + math.cos(chi) * math.cos(chi0) * math.cos(dL)
-    k2R = 2 * R * _RD_K0
-    E = _RD_FE + k2R * math.cos(chi) * math.sin(dL) / B
-    N = _RD_FN + k2R * (
-        math.sin(chi) * math.cos(chi0) - math.cos(chi) * math.sin(chi0) * math.cos(dL)
-    ) / B
-    return E, N
+    return _ostereo_forward_gen(
+        _BESSEL_A, _BESSEL_F, _RD_LAT0, _RD_LON0, _RD_K0, _RD_FE, _RD_FN
+    )(lon, lat)
 
 
 def _ostereo_inv_bessel(E: float, N: float) -> tuple[float, float]:
-    """RD New inverse to BESSEL geographic coords (spherical oblique
-    stereographic inverse on the conformal sphere, then conformal
-    latitude -> geodetic latitude fixed-point iteration)."""
-    a, e, R, n, c, chi0, lam0 = _ostereo_consts()
-    dx, dy = E - _RD_FE, N - _RD_FN
-    k2R = 2 * R * _RD_K0
-    rho = math.hypot(dx, dy)
-    if rho == 0.0:
-        chi, dL = chi0, 0.0
-    else:
-        ce = 2 * math.atan2(rho, k2R)
-        sc, cc = math.sin(ce), math.cos(ce)
-        chi = math.asin(cc * math.sin(chi0) + dy * sc * math.cos(chi0) / rho)
-        dL = math.atan2(
-            dx * sc, rho * math.cos(chi0) * cc - dy * math.sin(chi0) * sc
-        )
-    lam = lam0 + dL / n
-    # invert w = c*(Sa*Sb^e)^n for phi: iterate s -> (U-1)/(U+1) with
-    # U = T*((1+e s)/(1-e s))^e, T = ((1+sin chi)/(1-sin chi))/c)^(1/n)
-    T = (((1 + math.sin(chi)) / (1 - math.sin(chi))) / c) ** (1.0 / n)
-    s = math.sin(chi)
-    for _ in range(20):
-        U = T * ((1 + e * s) / (1 - e * s)) ** e
-        new = (U - 1) / (U + 1)
-        if abs(new - s) < 1e-15:
-            s = new
-            break
-        s = new
-    return math.degrees(lam), math.degrees(math.asin(s))
+    """RD New inverse to BESSEL geographic coords."""
+    return _ostereo_inverse_gen(
+        _BESSEL_A, _BESSEL_F, _RD_LAT0, _RD_LON0, _RD_K0, _RD_FE, _RD_FN
+    )(E, N)
 
 
 def _rd_forward():
@@ -3345,14 +3371,199 @@ def _rd_inverse():
     return fn
 
 
+# -- proj-string front-end: any CRS whose projection METHOD is one of
+# the kernels above (tmerc/utm, lcc, aea, polar stere, sterea oblique
+# stereographic, webmerc, longlat) works by passing its parameters as
+# a proj4-style string — the long tail of EPSG codes without embedding
+# each one. +towgs84 (3 or 7 params, position vector) supplies the
+# datum shift; +ellps/+a/+rf the ellipsoid; +units/+to_meter the grid
+# unit. This is the honest scope of "arbitrary CRS" without PROJ:
+# datum GRIDS (OSTN15, NTv2) remain out and documented.
+
+_ELLPS = {
+    "WGS84": (6378137.0, 1 / 298.257223563),
+    "GRS80": (6378137.0, 1 / 298.257222101),
+    "bessel": (6377397.155, 1 / 299.1528128),
+    "airy": (6377563.396, 1 / 299.3249646),
+    "intl": (6378388.0, 1 / 297.0),
+    "clrk66": (6378206.4, 1 / 294.978698214),
+    "clrk80ign": (6378249.2, 1 / 293.466021294),
+    "krass": (6378245.0, 1 / 298.3),
+    "sphere": (6370997.0, 0.0),
+}
+
+_UNITS = {"m": 1.0, "us-ft": 1200.0 / 3937.0, "ft": 0.3048}
+
+
+def _parse_projdef(def_str: str) -> dict:
+    d: dict = {}
+    for tok in def_str.split():
+        tok = tok.lstrip("+")
+        if not tok:
+            continue
+        k, _, v = tok.partition("=")
+        d[k] = v if v != "" else True
+    return d
+
+
+def _projdef_ellipsoid(d: dict) -> tuple[float, float]:
+    if "ellps" in d:
+        try:
+            return _ELLPS[d["ellps"]]
+        except KeyError:
+            raise NotImplementedError(
+                f"+ellps={d['ellps']} not in the embedded set "
+                f"{sorted(_ELLPS)}; pass +a=/+rf= explicitly"
+            )
+    if "a" in d:
+        a = float(d["a"])
+        if "rf" in d:
+            return a, 1.0 / float(d["rf"])
+        if "b" in d:
+            return a, (a - float(d["b"])) / a
+        return a, 0.0
+    return _ELLPS["WGS84"]
+
+
+def _projdef_fns(d: dict):
+    """(forward, inverse) between the def's own geographic coords and
+    its projected grid, from a parsed proj dict."""
+    proj = d.get("proj")
+    a, f = _projdef_ellipsoid(d)
+    lat0 = float(d.get("lat_0", 0.0))
+    lon0 = float(d.get("lon_0", 0.0))
+    k0 = float(d.get("k", d.get("k_0", 1.0)))
+    x0, y0 = float(d.get("x_0", 0.0)), float(d.get("y_0", 0.0))
+    if proj in ("longlat", "latlong"):
+        ident = lambda x, y: (x, y)  # noqa: E731
+        return ident, ident
+    if proj == "utm":
+        zone = int(d["zone"])
+        lon0 = zone * 6 - 183
+        y0 = 10000000.0 if "south" in d else 0.0
+        return (
+            _tm_forward_gen(a, f, 0.0, lon0, 0.9996, 500000.0, y0),
+            _tm_inverse_gen(a, f, 0.0, lon0, 0.9996, 500000.0, y0),
+        )
+    if proj == "tmerc":
+        return (
+            _tm_forward_gen(a, f, lat0, lon0, k0, x0, y0),
+            _tm_inverse_gen(a, f, lat0, lon0, k0, x0, y0),
+        )
+    if proj == "lcc":
+        sp1 = float(d.get("lat_1", lat0))
+        sp2 = float(d.get("lat_2", sp1))
+        unit = _UNITS[d["units"]] if "units" in d else float(d.get("to_meter", 1.0))
+        p = (a, f, lat0, lon0, sp1, sp2, x0, y0, unit)
+        return _lcc_forward(p), _lcc_inverse(p)
+    if proj == "aea":
+        sp1 = float(d.get("lat_1", lat0))
+        sp2 = float(d.get("lat_2", sp1))
+        unit = _UNITS[d["units"]] if "units" in d else float(d.get("to_meter", 1.0))
+        p = (a, f, lat0, lon0, sp1, sp2, x0, y0, unit)
+        return _aea_forward(p), _aea_inverse(p)
+    if proj == "stere":
+        if abs(lat0) != 90.0:
+            raise NotImplementedError(
+                "stere: only the polar aspect (lat_0=±90) is embedded "
+                "(EPSG 9810); oblique needs +proj=sterea (EPSG 9809)"
+            )
+        north = lat0 > 0
+        lat_ts = float(d["lat_ts"]) if "lat_ts" in d else None
+        p = (a, f, north, None if lat_ts is not None else k0, lat_ts, lon0, x0, y0)
+        return _ps_forward(p), _ps_inverse(p)
+    if proj == "sterea":
+        return (
+            _ostereo_forward_gen(a, f, lat0, lon0, k0, x0, y0),
+            _ostereo_inverse_gen(a, f, lat0, lon0, k0, x0, y0),
+        )
+    if proj in ("merc", "webmerc"):
+        R = a
+
+        def m_fwd(x: float, y: float) -> tuple[float, float]:
+            return (
+                x0 + R * math.radians(x),
+                y0 + R * math.log(math.tan(math.pi / 4 + math.radians(y) / 2)),
+            )
+
+        def m_inv(x: float, y: float) -> tuple[float, float]:
+            return (
+                math.degrees((x - x0) / R),
+                math.degrees(2 * math.atan(math.exp((y - y0) / R)) - math.pi / 2),
+            )
+
+        return m_fwd, m_inv
+    raise NotImplementedError(
+        f"+proj={proj}: embedded methods are longlat, utm, tmerc, lcc, "
+        "aea, stere (polar), sterea, merc/webmerc (the reference "
+        "delegates the rest to PROJ)"
+    )
+
+
+def _projdef_transform(def_str: str):
+    """(to_wgs84, from_wgs84) callables for a proj4-style definition.
+
+    The datum leg uses +towgs84 (position-vector Helmert, 3 or 7
+    params, local->WGS84 as published); absent that, the def's datum
+    is treated as WGS84-coincident (the PROJ null-transform
+    convention without grids)."""
+    d = _parse_projdef(def_str)
+    a, f = _projdef_ellipsoid(d)
+    fwd, inv = _projdef_fns(d)
+    tw = d.get("towgs84")
+    helm = None
+    if tw and tw is not True:
+        vals = [float(v) for v in str(tw).split(",")]
+        if len(vals) == 3:
+            vals += [0.0, 0.0, 0.0, 0.0]
+        helm = tuple(vals)
+
+    def to_wgs84(x: float, y: float) -> tuple[float, float]:
+        lon, lat = inv(x, y)
+        if helm is None:
+            return lon, lat
+        cart = _geodetic_to_cart(a, f, lon, lat)
+        cart = _helmert(helm, *cart)
+        return _cart_to_geodetic(_WGS84_A, _WGS84_F, *cart)
+
+    def from_wgs84(lon: float, lat: float) -> tuple[float, float]:
+        if helm is not None:
+            cart = _geodetic_to_cart(_WGS84_A, _WGS84_F, lon, lat)
+            cart = _helmert(helm, *cart, inverse=True)
+            lon, lat = _cart_to_geodetic(a, f, *cart)
+        return fwd(lon, lat)
+
+    return to_wgs84, from_wgs84
+
+
 #: Generic Transverse Mercator grids on WGS84-coincident datums:
-#: srid -> (a, f, lat0, lon0, k0, FE, FN). NZGD2000/GDA2020 are
-#: WGS84-coincident at analytics accuracy (same null-transform
-#: convention as the LCC set).
+#: srid -> (a, f, lat0, lon0, k0, FE, FN). NZGD2000/GDA2020/ETRS89/
+#: NAD83/GDA94 are WGS84-coincident at analytics accuracy (same
+#: null-transform convention as the LCC set).
 _TM_PARAMS = {
     # NZGD2000 / New Zealand Transverse Mercator 2000
     2193: (_GRS80_A, _GRS80_F, 0.0, 173.0, 0.9996, 1600000.0, 10000000.0),
 }
+# ETRS89 / UTM zones 28-38N (EU datasets), NAD83 / UTM zones 1-23N,
+# and GDA94/GDA2020 MGA zones 49-56S — the GRS80 UTM families. Same
+# Krüger series as WGS84 UTM but on the GRS80 ellipsoid (the two
+# differ only in flattening's 12th digit; kept exact anyway).
+for _z in range(28, 39):
+    _TM_PARAMS[25800 + _z] = (
+        _GRS80_A, _GRS80_F, 0.0, float(_z * 6 - 183), 0.9996, 500000.0, 0.0,
+    )
+for _z in range(1, 24):
+    _TM_PARAMS[26900 + _z] = (
+        _GRS80_A, _GRS80_F, 0.0, float(_z * 6 - 183), 0.9996, 500000.0, 0.0,
+    )
+for _z in range(49, 57):
+    # MGA94 (283xx) and MGA2020 (78xx): south zones, FN 10,000,000
+    for _base in (28300, 7800):
+        _TM_PARAMS[_base + _z] = (
+            _GRS80_A, _GRS80_F, 0.0, float(_z * 6 - 183), 0.9996,
+            500000.0, 10000000.0,
+        )
+del _z, _base
 
 
 def _osgb_forward():
@@ -3634,6 +3845,64 @@ def st_transform(g, src_srid, dst_srid) -> Column:
     s = F.lit(src_srid) if isinstance(src_srid, int) else _colify(src_srid)
     d = F.lit(dst_srid) if isinstance(dst_srid, int) else _colify(dst_srid)
     return _k_transform(_colify(g), s, d)
+
+
+def _resolve_def_pair(src_def: str, dst_def: str):
+    """Point transform for a pair of CRS definitions, each either
+    'epsg:NNNN' (embedded-code path) or a proj4-style '+proj=...'
+    string (method-kernel path). Composes through WGS84 geographic."""
+
+    def leg(defn: str):
+        defn = defn.strip()
+        if defn.lower().startswith("epsg:"):
+            code = int(defn.split(":", 1)[1])
+            if code == 4326:
+                ident = lambda x, y: (x, y)  # noqa: E731
+                return ident, ident
+            to_geo = _resolve_transform(code, 4326)
+            from_geo = _resolve_transform(4326, code)
+            if to_geo is None or from_geo is None:
+                raise NotImplementedError(
+                    f"epsg:{code} is not in the embedded set; pass its "
+                    "proj4 definition (+proj=...) instead"
+                )
+            return to_geo, from_geo
+        return _projdef_transform(defn)
+
+    s_to, _ = leg(src_def)
+    _, d_from = leg(dst_def)
+    return lambda x, y: d_from(*s_to(x, y))
+
+
+@pandas_udf(BinaryType())
+def _k_transform_def(g: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
+    out = []
+    cache: dict = {}
+    for b, s, d in zip(g, src, dst):
+        if b is None or s is None or d is None:
+            out.append(None)
+            continue
+        key = (s, d)
+        fn = cache.get(key)
+        if fn is None:
+            fn = cache[key] = _resolve_def_pair(str(s), str(d))
+        gtype, coords = _parse(bytes(b))
+        out.append(_pack(gtype, _map_coords(gtype, coords, lambda p: fn(*p))))
+    return pd.Series(out, dtype=object)
+
+
+def st_transform_def(g, src_def, dst_def) -> Column:
+    """Reproject between CRS *definitions*: each side is either
+    'epsg:NNNN' (the embedded-code fast path) or a proj4-style string
+    ('+proj=lcc +lat_1=49 +lat_2=77 +lat_0=49 +lon_0=-95 +ellps=GRS80
+    +towgs84=0,0,0'), covering any EPSG code whose method is an
+    embedded kernel (utm/tmerc, lcc, aea, polar stere, sterea,
+    merc/webmerc, longlat) — the PROJ long tail minus datum grids.
+    The reference gets this via DuckDB-spatial/PROJ
+    (pg_lake_engine shippable_spatial_functions.c st_transform)."""
+    s = F.lit(src_def) if isinstance(src_def, str) else _colify(src_def)
+    d = F.lit(dst_def) if isinstance(dst_def, str) else _colify(dst_def)
+    return _k_transform_def(_colify(g), s, d)
 
 
 # ---------------------------------------------------------------------------

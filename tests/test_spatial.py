@@ -1495,3 +1495,79 @@ def test_transform_nztm_controls():
     for lon, lat in [(174.7633, -36.8485), (172.64, -43.53), (168.66, -45.03)]:
         x, y = i(*f(lon, lat))
         assert abs(x - lon) < 1e-9 and abs(y - lat) < 1e-9
+
+
+def test_transform_def_proj_string_front_end(spark):
+    """st_transform_def accepts proj4-style definitions: a def whose
+    method is an embedded kernel must agree exactly with the embedded
+    EPSG code (sterea/RD New incl. Helmert; stere/3413; utm/32632),
+    and a NON-embedded code (EPSG:3347 StatsCan Lambert) works from
+    its published parameters with exact round-trips."""
+    from pg_lake_spark.functions.spatial import _resolve_def_pair
+
+    rd_def = (
+        "+proj=sterea +lat_0=52.15616055555555 +lon_0=5.38763888888889 "
+        "+k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel "
+        "+towgs84=565.4171,50.3319,465.5524,-0.398957,0.343988,-1.8774,4.0725"
+    )
+    a = _resolve_def_pair("epsg:4326", rd_def)(4.9, 52.37)
+    b = _resolve_def_pair("epsg:4326", "epsg:28992")(4.9, 52.37)
+    assert abs(a[0] - b[0]) < 1e-6 and abs(a[1] - b[1]) < 1e-6
+
+    ps_def = "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +ellps=WGS84"
+    a = _resolve_def_pair("epsg:4326", ps_def)(-150.0, 72.5)
+    b = _resolve_def_pair("epsg:4326", "epsg:3413")(-150.0, 72.5)
+    assert a == b
+
+    a = _resolve_def_pair("epsg:4326", "+proj=utm +zone=32 +ellps=WGS84")(9.0, 52.0)
+    b = _resolve_def_pair("epsg:4326", "epsg:32632")(9.0, 52.0)
+    assert a == b
+
+    lcc3347 = (
+        "+proj=lcc +lat_1=49 +lat_2=77 +lat_0=63.390675 "
+        "+lon_0=-91.86666666666666 +x_0=6200000 +y_0=3000000 +ellps=GRS80"
+    )
+    fwd = _resolve_def_pair("epsg:4326", lcc3347)
+    inv = _resolve_def_pair(lcc3347, "epsg:4326")
+    E, N = fwd(-75.7, 45.42)
+    x, y = inv(E, N)
+    assert abs(x + 75.7) < 1e-9 and abs(y - 45.42) < 1e-9
+
+    # Column API + SQL registration
+    from pyspark.sql import functions as F
+    from pg_lake_spark.functions import spatial as S
+
+    df = spark.createDataFrame([(-75.7, 45.42)], "lon double, lat double")
+    pt = S.st_point(F.col("lon"), F.col("lat"))
+    row = df.select(
+        S.st_x(S.st_transform_def(pt, "epsg:4326", lcc3347)).alias("e")
+    ).collect()[0]
+    assert abs(row.e - E) < 1e-6
+
+    # unknown method raises loudly
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="proj=krovak"):
+        _resolve_def_pair("epsg:4326", "+proj=krovak +ellps=bessel")(1.0, 1.0)
+
+
+def test_transform_grs80_utm_families():
+    """ETRS89 (258xx), NAD83 (269xx) and MGA94/MGA2020 (283xx/78xx)
+    UTM grids: GRS80 Krüger, exact round-trips, and the ETRS89 grid
+    differs from WGS84 UTM by under a millimeter (the two ellipsoids'
+    flattenings differ in the 12th digit)."""
+    from pg_lake_spark.functions.spatial import _resolve_transform
+
+    e1, n1 = _resolve_transform(4326, 25832)(9.0, 52.0)
+    e2, n2 = _resolve_transform(4326, 32632)(9.0, 52.0)
+    assert abs(e1 - e2) < 1e-3 and abs(n1 - n2) < 1e-3
+
+    for srid, lon, lat in [(25832, 9.0, 52.0), (26910, -122.42, 37.77),
+                           (7855, 144.96, -37.81), (28355, 144.96, -37.81)]:
+        f = _resolve_transform(4326, srid)
+        i = _resolve_transform(srid, 4326)
+        x, y = i(*f(lon, lat))
+        assert abs(x - lon) < 1e-9 and abs(y - lat) < 1e-9
+    # MGA94 and MGA2020 share the projection (datums coincide at
+    # analytics accuracy)
+    assert _resolve_transform(4326, 7855)(144.96, -37.81) == \
+           _resolve_transform(4326, 28355)(144.96, -37.81)
