@@ -24,6 +24,10 @@ PICKS = [
     ("dsq95_dual_semijoin", "TPC-DS Q95 shape: both IN-subqueries plan as LeftSemi joins over pre-aggregated key sets; date filter pushed to the orders scan."),
     ("dsq16_exists_notexists_window", "TPC-DS Q16 shape: EXISTS -> LeftSemi and NOT EXISTS -> LeftAnti in one plan, window filter pruning orders before either join."),
     ("cb_top_type_per_user", "ClickBench shape: per-user rank window over the aggregate output only — one scan, map-side partials, every exchange post-reduction."),
+    ("dsq44_best_worst_items", "TPC-DS Q44 shape (r9): one lineitem scan feeds one grouped frame; both opposite-direction rank windows and the rank-position join run above the aggregate."),
+    ("dsq97_channel_overlap_counts", "TPC-DS Q97 shape (r9): two DISTINCT channel key-sets FULL OUTER joined on the composite key; both distincts aggregate below the join."),
+    ("dsq08_intersect_membership", "TPC-DS Q8 shape (r9): INTERSECT of two subquery key sets consumed as a LeftSemi by the aggregating fact pass."),
+    ("dd_repeated_spans", "Repeated-span dedup (r9): explode -> one groupBy; linear in corpus tokens; hash-keyed shuffle on the scale path."),
     ("st_stream_dedup", None),  # streaming: plan shape not comparable; skipped
 ]
 
