@@ -202,3 +202,37 @@ def st_stream_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.3)
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "st_stream_interval_join",
+    oracle="""
+    SELECT c.user_id AS user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND c.user_id % 7 = 0
+    ORDER BY user_id, purchase_ts, click_ts, click_id, purchase_id
+    """,
+    doc="Stream-stream interval join (attribution: clicks within 1h "
+    "before each purchase, same user) with watermarks bounding the "
+    "join state on BOTH sides — inner stream-stream joins emit "
+    "eagerly in append mode, so the bounded availableNow run equals "
+    "the batch interval join. State is O(lookback horizon), not "
+    "O(stream).",
+)
+def st_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_lake_spark.streaming.windows import stream_interval_join
+
+    src = read_events_stream(spark, sf_dir).filter(F.col("user_id") % 7 == 0)
+    sdf = stream_interval_join(src, lookback="1 hour")
+    return run_available_now(sdf, spark, output_mode="append").orderBy(
+        "user_id", "purchase_ts", "click_ts", "click_id", "purchase_id"
+    )

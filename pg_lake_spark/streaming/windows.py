@@ -110,3 +110,56 @@ def run_available_now(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_interval_join(
+    events: DataFrame,
+    *,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    lookback: str = "1 hour",
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream interval join: each ``right_type`` event matched
+    to the same user's ``left_type`` events in the preceding
+    ``lookback`` (the attribution join — click before purchase).
+
+    Both sides carry watermarks so Spark bounds the join STATE: a
+    buffered left row is dropped once the right watermark passes
+    l_ts + lookback — state is O(events in the lookback horizon), not
+    O(stream). Inner stream-stream joins emit eagerly in append mode,
+    so with a bounded (availableNow) source the result equals the
+    batch interval join exactly. Reference parity: none — pg_lake has
+    no streaming; this is the beyond-reference surface
+    (SURVEY.md Phase 5)."""
+    left = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col(ts_col).alias("l_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col(ts_col).alias("r_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("l_ts") <= F.col("r_ts"))
+        & (F.col("l_ts") >= F.col("r_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return left.join(right, cond, "inner").select(
+        F.col("l_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.col("l_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("r_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )
