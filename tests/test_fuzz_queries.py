@@ -41,8 +41,24 @@ def _agg(rng, col):
 def gen_query(rng: random.Random) -> str:
     kind = rng.choice(
         ["agg_l", "agg_join", "proj_filter", "agg_having", "window", "setop", "exists",
-         "full_outer", "disjunct_semi", "rollup_rank"]
+         "full_outer", "disjunct_semi", "rollup_rank", "interval_join"]
     )
+    if kind == "interval_join":
+        # keyed time-range self-join (the as-of / attribution family):
+        # same-key pairs within a bounded interval, both engines
+        # evaluate the BETWEEN on identical timestamp arithmetic
+        days = rng.randint(2, 15)
+        mod = rng.choice([13, 17, 23])
+        return (
+            f"SELECT a.o_orderkey AS a_id, b.o_orderkey AS b_id "
+            f"FROM orders a JOIN orders b "
+            f"  ON a.o_custkey = b.o_custkey "
+            f" AND b.o_orderdate >= a.o_orderdate "
+            f" AND b.o_orderdate <= a.o_orderdate + INTERVAL {days} DAY "
+            f" AND a.o_orderkey <> b.o_orderkey "
+            f"WHERE a.o_custkey % {mod} = 0 "
+            f"ORDER BY a_id, b_id"
+        )
     if kind == "rollup_rank":
         # rank-within-parent over a ROLLUP (the dsq70 construct, and
         # the r8 advisor catch: subtotal rows must share ONE window
