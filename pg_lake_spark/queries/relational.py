@@ -1353,3 +1353,50 @@ def j_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "d_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT doc_id AS child, CAST(floor(doc_id / 2) AS BIGINT) AS parent
+      FROM documents WHERE doc_id > 1
+    ), walk AS (
+      SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+      UNION ALL
+      SELECT e.child, w.depth + 1
+      FROM walk w JOIN edges e ON e.parent = w.node
+      WHERE w.depth < 30
+    )
+    SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(max(node) AS BIGINT) AS max_node
+    FROM walk GROUP BY depth ORDER BY depth
+    """,
+    doc="WITH RECURSIVE over a data-derived edge set (binary-tree "
+    "parent = floor(id/2) over documents): per-depth node counts of "
+    "the traversal from the root. PG runs recursive CTEs natively and "
+    "the reference delegates them to the PG executor; Spark 4 grants "
+    "the same surface (recursion depth bounded by the WHERE guard). "
+    "floor() before the cast on BOTH engines — DuckDB CASTs round "
+    "while Spark CASTs truncate, the classic cross-engine trap.",
+)
+def d_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    t["documents"]
+    return spark.sql("""
+    WITH RECURSIVE edges AS (
+      SELECT doc_id AS child, CAST(floor(doc_id / 2) AS BIGINT) AS parent
+      FROM documents WHERE doc_id > 1
+    ), walk AS (
+      SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+      UNION ALL
+      SELECT e.child, w.depth + 1
+      FROM walk w JOIN edges e ON e.parent = w.node
+      WHERE w.depth < 30
+    )
+    SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(max(node) AS BIGINT) AS max_node
+    FROM walk GROUP BY depth ORDER BY depth
+    """)
