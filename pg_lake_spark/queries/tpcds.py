@@ -28,8 +28,10 @@ stats (Q28), correlated scalar aggregate against the same fact (Q32),
 best/worst rank pairing (Q44), series outliers with lag/lead
 neighbors (Q57), channel-union net-of-returns yearly decline (Q75),
 composite-key FULL OUTER channel overlap (Q97), windowed class
-revenue share (Q98), and a dimension-only deep attribute disjunction
-(Q41) — 54 DS shape families total.
+revenue share (Q98), channel-union yearly decline (Q75), a
+dimension-only deep attribute disjunction (Q41), cross-nation
+per-order rollup (Q46), IN-of-INTERSECT membership (Q8), and a
+global-average HAVING gate (Q24) — 57 DS shape families total.
 
 Spark-first notes: every query aggregates BEFORE windowing/joining
 derived frames, so windows and self-joins run over grouped (tiny)
