@@ -161,10 +161,37 @@ def repeated_spans(
 
     Returns (span, n_docs, n_occ) sorted by (n_occ desc, span).
     """
-    wins = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.expr(_windows_expr(text_col, window))).alias("_span"),
+    from pyspark.sql.window import Window as W
+
+    # Window GENERATION via posexplode + lead(), not the zip_with
+    # array chain: zip_with is an interpreted higher-order lambda and
+    # n-1 chained passes cost ~23 µs/doc at window=8 (measured 11.4 s
+    # vs 2.5 s at sf1 for the same 2.4M spans). lead() is a codegen'd
+    # window function; the (doc, pos) sort it needs is a local sort
+    # after one token-stream shuffle — the same magnitude the
+    # span-groupBy shuffle pays anyway. Docs shorter than ``window``
+    # contribute their whole (whitespace-normalized) text, same
+    # convention as word_shingles.
+    words = F.split(F.col(text_col), r"\s+")
+    base = df.select(F.col(id_col).alias("_id"), words.alias("_w"))
+    tok = base.filter(F.size("_w") >= window).select(
+        "_id", F.posexplode("_w").alias("_pos", "_t")
     )
+    win = W.partitionBy("_id").orderBy("_pos")
+    leads = [F.col("_t")] + [F.lead("_t", k).over(win) for k in range(1, window)]
+    long_spans = (
+        tok.select(
+            "_id",
+            F.concat_ws(" ", *leads).alias("_span"),
+            F.lead("_t", window - 1).over(win).alias("_end"),
+        )
+        .filter(F.col("_end").isNotNull())
+        .select("_id", "_span")
+    )
+    short_spans = base.filter(F.size("_w") < window).select(
+        "_id", F.array_join("_w", " ").alias("_span")
+    )
+    wins = long_spans.unionByName(short_spans)
     if hash_only:
         wins = wins.select("_id", F.hex(F.xxhash64("_span")).alias("_span"))
     return (
