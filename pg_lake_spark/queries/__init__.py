@@ -55,18 +55,17 @@ _R9_NEW: list[str] = [
     "dsq46_cross_nation_orders", "dsq08_intersect_membership",
     "dsq24_global_avg_gate", "st_stream_interval_join",
     "d_recursive_hierarchy",
+    "dsq37_active_band_parts", "dsq71_hourly_channel_union",
     "dd_repeated_spans",
     "cb_url_strip_params_topn", "cb_bulk_arithmetic_sums",
     "cb_paginated_topn",
     "f_polar_stereographic",
 ]
 #: r5-last-green rows (from CORRECTNESS_r0*.json), alphabetical, minus
-#: the two dd_* rows already in _CODE_CHANGED. The first 19 fit the
-#: r9 window (31 front rows + 19 backfill = 50); the list's last nine
-#: (g_rollup_rank_hierarchy, j_asof_prior_view, j_bucketed_colocated,
-#: j_lateral_topn, j_range_within_hour, j_salted_skew,
-#: json_extract_agg, mm_frame_sample, mm_resize_thumbs) and the rest
-#: of the r5 cohort roll to r10.
+#: the two dd_* rows already in _CODE_CHANGED. The first 17 fit the
+#: r9 window (33 front rows + 17 backfill = 50); the rest of the list
+#: and the remaining r5 cohort roll to r10 (recompute from the
+#: CORRECTNESS artifacts as always).
 _R5_STALE = [
     "a_mode_disc", "arr_operators", "d_delta_scan", "d_limit_with_ties",
     "d_not_in_three_valued",
@@ -81,14 +80,13 @@ _R5_STALE = [
 _R9_WINDOW = (_NEVER_CHECKED + _CODE_CHANGED + _R9_NEW + _R5_STALE)[:50]
 
 # r10 rotation note: backfill order after any never-checked /
-# changed-code / r10-new rows: the remaining r5-last-green rows
-# (g_rollup_rank_hierarchy, j_asof_prior_view, j_bucketed_colocated,
-# j_lateral_topn, j_range_within_hour, j_salted_skew,
-# json_extract_agg, mm_frame_sample, mm_resize_thumbs,
-# q1_pricing_summary .. q13, s_except, s_except_all, s_intersect,
-# s_union_all, sim_ivf_topk, sim_lsh_topk, w_exclude_current_row —
-# 29 rows), then r6-last-green alphabetical. Recompute from
-# CORRECTNESS_r0*.json latest-green; don't trust this comment blindly.
+# changed-code / r10-new rows: the remaining r5-last-green rows (the
+# _R5_STALE tail from g_grouping_fn onward that missed this window,
+# then g_rollup_rank_hierarchy, j_*, json_extract_agg, mm_*,
+# q1_pricing_summary .. q13, s_* set ops, sim_ivf_topk, sim_lsh_topk,
+# w_exclude_current_row), then r6-last-green alphabetical. Recompute
+# from CORRECTNESS_r0*.json latest-green; don't trust this comment
+# blindly.
 
 
 def _rotate(front: list[str]) -> None:

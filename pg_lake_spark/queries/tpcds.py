@@ -3006,3 +3006,108 @@ def dsq24_global_avg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_name", "n_name", "cents")
         .orderBy(F.col("cents").desc(), "c_name")
     )
+
+
+@query(
+    "dsq37_active_band_parts",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, round(p_retailprice, 2) AS price
+    FROM part
+    WHERE p_retailprice BETWEEN 900 AND 1100
+      AND p_size BETWEEN 10 AND 30
+      AND p_partkey IN (
+        SELECT l_partkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+          AND l_shipdate <  TIMESTAMP '1999-07-01'
+          AND l_quantity >= 20
+      )
+    ORDER BY p_name, p_brand, p_partkey
+    LIMIT 50
+    """,
+    doc="TPC-DS Q37/Q82 shape: dimension rows inside attribute bands, "
+    "gated by fact ACTIVITY through a semi-join (items with sufficient "
+    "inventory moved in a date window). The band filters push to the "
+    "dimension scan, the date+quantity filters to the fact scan, and "
+    "the IN plans as LeftSemi — the dimension is the probe side, so "
+    "the output order is dimension-attribute-driven, not fact-driven.",
+)
+def dsq37_active_band_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    active = t["lineitem"].filter(
+        (F.col("l_shipdate") >= _ts("1999-01-01"))
+        & (F.col("l_shipdate") < _ts("1999-07-01"))
+        & (F.col("l_quantity") >= 20)
+    ).select("l_partkey")
+    return (
+        t["part"]
+        .filter(
+            F.col("p_retailprice").between(900, 1100)
+            & F.col("p_size").between(10, 30)
+        )
+        .join(active, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .select(
+            "p_partkey", "p_name", "p_brand",
+            F.round("p_retailprice", 2).alias("price"),
+        )
+        .orderBy("p_name", "p_brand", "p_partkey")
+        .limit(50)
+    )
+
+
+@query(
+    "dsq71_hourly_channel_union",
+    oracle="""
+    WITH chan AS (
+      SELECT 'morning' AS day_part, CAST(hour(ts) AS INT) AS hr,
+             event_type, value
+      FROM events WHERE hour(ts) BETWEEN 6 AND 11
+      UNION ALL
+      SELECT 'afternoon' AS day_part, CAST(hour(ts) AS INT) AS hr,
+             event_type, value
+      FROM events WHERE hour(ts) BETWEEN 12 AND 17
+      UNION ALL
+      SELECT 'evening' AS day_part, CAST(hour(ts) AS INT) AS hr,
+             event_type, value
+      FROM events WHERE hour(ts) BETWEEN 18 AND 23
+    )
+    SELECT day_part, hr, event_type,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM chan
+    GROUP BY day_part, hr, event_type
+    ORDER BY hr, event_type
+    """,
+    doc="TPC-DS Q71 shape: three time-sliced channel legs UNION ALL'd "
+    "then grouped by (part-of-day, hour, type), ordered by the time "
+    "dims. The three legs share one scan in DS (different dims); here "
+    "each leg's hour filter pushes to its scan and the union's single "
+    "shuffle carries the grouped partials. Slices are disjoint, so "
+    "(day_part, hr, event_type) rows sort deterministically.",
+)
+def dsq71_hourly_channel_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+
+    def leg(name: str, lo: int, hi: int) -> DataFrame:
+        return (
+            t["events"]
+            .filter(F.hour("ts").between(lo, hi))
+            .select(
+                F.lit(name).alias("day_part"),
+                F.hour("ts").cast("int").alias("hr"),
+                "event_type",
+                "value",
+            )
+        )
+
+    chan = (
+        leg("morning", 6, 11)
+        .unionByName(leg("afternoon", 12, 17))
+        .unionByName(leg("evening", 18, 23))
+    )
+    return (
+        chan.groupBy("day_part", "hr", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("hr", "event_type")
+    )
