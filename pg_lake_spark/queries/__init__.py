@@ -79,7 +79,10 @@ _R5_STALE = [
 ]
 _R9_WINDOW = (_NEVER_CHECKED + _CODE_CHANGED + _R9_NEW + _R5_STALE)[:50]
 
-# r10 rotation note: backfill order after any never-checked /
+# r10 rotation note: dsq06_pricey_vs_brand_avg and
+# dsq83_tri_period_return_share were declared after the r9 window was
+# finalized (never driver-checked — pytest-green only); they go FIRST
+# in the r10 window. Then backfill order after any other never-checked /
 # changed-code / r10-new rows: the remaining r5-last-green rows (the
 # _R5_STALE tail from g_grouping_fn onward that missed this window,
 # then g_rollup_rank_hierarchy, j_*, json_extract_agg, mm_*,

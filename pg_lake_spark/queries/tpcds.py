@@ -31,7 +31,11 @@ composite-key FULL OUTER channel overlap (Q97), windowed class
 revenue share (Q98), channel-union yearly decline (Q75), a
 dimension-only deep attribute disjunction (Q41), cross-nation
 per-order rollup (Q46), IN-of-INTERSECT membership (Q8), and a
-global-average HAVING gate (Q24) — 57 DS shape families total.
+global-average HAVING gate (Q24). Late-r9 additions: fact-activity-
+gated dimension bands (Q37/Q82), time-sliced channel union (Q71),
+item-price-vs-category-average gate with a HAVING'd geo count (Q6),
+and three sibling period-return aggregates joined with cross-leg
+deviation ratios (Q83) — 61 distinct dsqNN entries total.
 
 Spark-first notes: every query aggregates BEFORE windowing/joining
 derived frames, so windows and self-joins run over grouped (tiny)
@@ -3110,4 +3114,159 @@ def dsq71_hourly_channel_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
         .orderBy("hr", "event_type")
+    )
+
+
+@query(
+    "dsq06_pricey_vs_brand_avg",
+    oracle="""
+    WITH brand_avg AS (
+      SELECT p_brand, avg(p_retailprice) AS brand_avg_price
+      FROM part GROUP BY p_brand
+    )
+    SELECT n_name, count(*) AS cnt
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN brand_avg b ON p.p_brand = b.p_brand
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND p.p_retailprice > 1.03 * b.brand_avg_price
+    GROUP BY n_name
+    HAVING count(*) >= 10
+    ORDER BY cnt DESC, n_name
+    LIMIT 100
+    """,
+    doc="TPC-DS Q6 shape: geography counts of fact rows whose ITEM is "
+    "priced above a multiple of its category's average — the "
+    "correlated scalar subquery `i_current_price > 1.2 * (SELECT "
+    "avg(...) WHERE same category)` decorrelated into a category-avg "
+    "frame joined back to the dimension, then a HAVING gate on the "
+    "geo counts. The brand-avg frame is O(#brands) (constant, ~25) so "
+    "it hard-broadcasts; the resulting pricey-part id set is SF-scaled "
+    "so it gates the fact through a size-gated LeftSemi. The quarter "
+    "filter pushes to the orders scan before the fact join.",
+)
+def dsq06_pricey_vs_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    brand_avg = t["part"].groupBy("p_brand").agg(
+        F.avg("p_retailprice").alias("brand_avg_price")
+    )
+    pricey = (
+        t["part"]
+        .join(F.broadcast(brand_avg), "p_brand")
+        .filter(F.col("p_retailprice") > 1.03 * F.col("brand_avg_price"))
+        .select("p_partkey")
+    )
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1996-04-01"))
+    )
+    return (
+        t["lineitem"].select("l_orderkey", "l_partkey")
+        .join(
+            _bcast(pricey),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            t["customer"].select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 10)
+        .orderBy(F.col("cnt").desc(), "n_name")
+        .limit(100)
+    )
+
+
+@query(
+    "dsq83_tri_period_return_share",
+    oracle="""
+    WITH s1 AS (
+      SELECT l_partkey AS pk, CAST(sum(l_quantity) AS BIGINT) AS q1
+      FROM lineitem
+      WHERE l_returnflag = 'R'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-07-01'
+      GROUP BY 1
+    ), s2 AS (
+      SELECT l_partkey AS pk, CAST(sum(l_quantity) AS BIGINT) AS q2
+      FROM lineitem
+      WHERE l_returnflag = 'R'
+        AND l_shipdate >= TIMESTAMP '1996-07-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY 1
+    ), s3 AS (
+      SELECT l_partkey AS pk, CAST(sum(l_quantity) AS BIGINT) AS q3
+      FROM lineitem
+      WHERE l_returnflag = 'R'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-07-01'
+      GROUP BY 1
+    )
+    SELECT s1.pk AS p_partkey, q1, q2, q3,
+           CAST(q1 + q2 + q3 AS BIGINT) AS total_qty,
+           round(q1 * 3.0 / (q1 + q2 + q3), 6) AS share1,
+           round(q2 * 3.0 / (q1 + q2 + q3), 6) AS share2,
+           round(q3 * 3.0 / (q1 + q2 + q3), 6) AS share3
+    FROM s1 JOIN s2 ON s1.pk = s2.pk JOIN s3 ON s1.pk = s3.pk
+    ORDER BY p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-DS Q83 shape: three sibling aggregates of RETURNED "
+    "quantity over disjoint periods (DS: three channels' returns), "
+    "inner-joined on the item key, with each leg's deviation from the "
+    "three-leg mean computed across the joined row (DS's "
+    "`qty/((sr+cr+wr)/3.0)` ratio). Each leg aggregates BEFORE the "
+    "join, so the three shuffles are keyed on the same partkey and "
+    "the joins run over grouped (small) frames; the returnflag+date "
+    "filters push to each scan. Integer-cents-free: quantities are "
+    "integral, summed exactly as BIGINT, and the shares divide the "
+    "same exact integers in both engines.",
+)
+def dsq83_tri_period_return_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+
+    def leg(lo: str, hi: str, out: str) -> DataFrame:
+        return (
+            t["lineitem"]
+            .filter(
+                (F.col("l_returnflag") == "R")
+                & (F.col("l_shipdate") >= _ts(lo))
+                & (F.col("l_shipdate") < _ts(hi))
+            )
+            .groupBy(F.col("l_partkey").alias("pk"))
+            .agg(F.sum("l_quantity").cast("bigint").alias(out))
+        )
+
+    s1 = leg("1996-01-01", "1996-07-01", "q1")
+    s2 = leg("1996-07-01", "1997-01-01", "q2")
+    s3 = leg("1997-01-01", "1997-07-01", "q3")
+    total = F.col("q1") + F.col("q2") + F.col("q3")
+    return (
+        s1.join(s2, "pk").join(s3, "pk")
+        .select(
+            F.col("pk").alias("p_partkey"),
+            "q1", "q2", "q3",
+            total.cast("bigint").alias("total_qty"),
+            F.round(F.col("q1") * 3.0 / total, 6).alias("share1"),
+            F.round(F.col("q2") * 3.0 / total, 6).alias("share2"),
+            F.round(F.col("q3") * 3.0 / total, 6).alias("share3"),
+        )
+        .orderBy("p_partkey")
+        .limit(100)
     )
