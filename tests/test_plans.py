@@ -279,3 +279,34 @@ def test_dsq08_intersect_feeds_semi_join(spark):
     df = QUERIES["dsq08_intersect_membership"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_dsq06_semi_gate_and_dim_broadcasts(spark):
+    """The pricey-part gate must plan as LeftSemi (IN, not join+distinct);
+    nation hard-broadcasts; the quarter filter pushes to the orders scan."""
+    df = QUERIES["dsq06_pricey_vs_brand_avg"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    s = plan_summary(df)
+    o_scan = next(sc for sc in s.scans if "o_orderdate" in sc.read_schema)
+    assert any("o_orderdate" in f for f in o_scan.pushed_filters)
+    assert s.broadcast_joins >= 2  # brand_avg + nation (pricey size-gated)
+
+
+def test_dsq83_aggregates_before_joins(spark):
+    """Each period leg must aggregate BEFORE the three-way join — the
+    joins run over grouped frames keyed on partkey, and the
+    returnflag+date filters push to every lineitem scan."""
+    df = QUERIES["dsq83_tri_period_return_share"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    s = plan_summary(df)
+    li_scans = [sc for sc in s.scans if "l_returnflag" in sc.read_schema]
+    assert len(li_scans) == 3
+    assert all(
+        any("l_returnflag" in f for f in sc.pushed_filters)
+        and any("l_shipdate" in f for f in sc.pushed_filters)
+        for sc in li_scans
+    )
+    # HashAggregate below the SortMergeJoin/BroadcastHashJoin: the final
+    # plan's aggregates-per-leg show as >=3 partial aggs before any join
+    assert plan.count("HashAggregate") >= 6  # partial+final per leg
