@@ -662,3 +662,63 @@ def cb_paginated_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(40)
         .limit(20)
     )
+
+
+@query(
+    "cb_point_lookup",
+    oracle="""
+    SELECT event_id, user_id, event_type, round(value, 6) AS value
+    FROM events
+    WHERE user_id = 42
+    ORDER BY event_id
+    """,
+    doc="ClickBench shape (hits Q19: `SELECT UserID FROM hits WHERE "
+    "UserID = <const>`): a needle point-lookup on a high-cardinality "
+    "key over a columnar scan. The equality predicate must push to the "
+    "parquet scan (row-group stats skip non-matching groups); no "
+    "shuffle, no aggregation — the plan is scan→filter→project and at "
+    "cluster scale touches only the row groups whose min/max bracket "
+    "the key.",
+)
+def cb_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("user_id") == 42)
+        .select(
+            "event_id", "user_id", "event_type",
+            F.round("value", 6).alias("value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "cb_raw_rows_by_time",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, round(value, 6) AS value
+    FROM events
+    WHERE props LIKE '%7}%'
+    ORDER BY ts, event_id
+    LIMIT 10
+    """,
+    doc="ClickBench shape (hits Q23-25: `SELECT * FROM hits WHERE URL "
+    "LIKE '%google%' ORDER BY EventTime LIMIT 10`): earliest raw rows "
+    "matching a substring filter — a full-width top-N by time, no "
+    "grouping. The LIKE pushes to the scan as a string-contains "
+    "filter and the ORDER BY+LIMIT fuses to TakeOrderedAndProject, so "
+    "each partition keeps only its local 10 earliest matches; "
+    "event_id tie-breaks equal timestamps for a deterministic page.",
+)
+def cb_raw_rows_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("props").like("%7}%"))
+        .select(
+            "event_id", "ts", "user_id", "event_type",
+            F.round("value", 6).alias("value"),
+        )
+        .orderBy("ts", "event_id")
+        .limit(10)
+    )

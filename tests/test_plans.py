@@ -310,3 +310,27 @@ def test_dsq83_aggregates_before_joins(spark):
     # HashAggregate below the SortMergeJoin/BroadcastHashJoin: the final
     # plan's aggregates-per-leg show as >=3 partial aggs before any join
     assert plan.count("HashAggregate") >= 6  # partial+final per leg
+
+
+def test_cb_point_lookup_pushes_key_filter(spark):
+    """The needle equality must reach the parquet scan (row-group
+    skipping at scale), and the plan must stay scan-filter-project —
+    no shuffle, no aggregate."""
+    df = QUERIES["cb_point_lookup"].fn(spark, SF_DIR)
+    s = plan_summary(df)
+    ev = next(sc for sc in s.scans if "user_id" in sc.read_schema)
+    assert any("user_id" in f for f in ev.pushed_filters)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan
+
+
+def test_cb_raw_rows_by_time_fuses_take_ordered(spark):
+    """Full-width top-N by time: LIKE pushes as a contains filter and
+    ORDER BY+LIMIT fuses to TakeOrderedAndProject (each partition keeps
+    only its local 10)."""
+    df = QUERIES["cb_raw_rows_by_time"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    s = plan_summary(df)
+    ev = next(sc for sc in s.scans if "props" in sc.read_schema)
+    assert any("props" in f for f in ev.pushed_filters)
