@@ -35,7 +35,8 @@ global-average HAVING gate (Q24). Late-r9 additions: fact-activity-
 gated dimension bands (Q37/Q82), time-sliced channel union (Q71),
 item-price-vs-category-average gate with a HAVING'd geo count (Q6),
 and three sibling period-return aggregates joined with cross-leg
-deviation ratios (Q83) — 61 distinct dsqNN entries total.
+deviation ratios (Q83), and a single-row stats profile under
+OR'd cross-table band arms (Q13) — 62 distinct dsqNN entries total.
 
 Spark-first notes: every query aggregates BEFORE windowing/joining
 derived frames, so windows and self-joins run over grouped (tiny)
@@ -3269,4 +3270,82 @@ def dsq83_tri_period_return_share(
         )
         .orderBy("p_partkey")
         .limit(100)
+    )
+
+
+@query(
+    "dsq13_disjunctive_band_profile",
+    oracle="""
+    WITH gated AS (
+      SELECT o_totalprice, c_acctbal
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE (c_mktsegment = 'BUILDING'
+             AND o_totalprice BETWEEN 1000 AND 60000
+             AND c_acctbal BETWEEN 0 AND 5000)
+         OR (c_mktsegment = 'MACHINERY'
+             AND o_totalprice BETWEEN 60000 AND 180000
+             AND c_acctbal BETWEEN 2000 AND 8000)
+         OR (c_mktsegment = 'AUTOMOBILE'
+             AND o_totalprice BETWEEN 180000 AND 400000
+             AND c_acctbal BETWEEN -1000 AND 4000)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 / 100.0 / count(*), 4) AS avg_price,
+           round(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                 / 100.0 / count(*), 4) AS avg_acctbal
+    FROM gated
+    """,
+    doc="TPC-DS Q13 shape: a single-row stats profile under an OR of "
+    "conjunctive band arms that SPAN the join (demographic segment x "
+    "sales-price band x net-profit band; here segment x order-total "
+    "band x account-balance band). The disjunction can't push below "
+    "the join as a whole, but each column's band hull "
+    "(union of the per-arm ranges) can — Catalyst derives the "
+    "hull predicates scan-side and evaluates the exact disjunction "
+    "post-join. Averages are computed from exact integer cents / "
+    "counts so both engines divide identical integers (playbook "
+    "money rule), not from double sums.",
+)
+def dsq13_disjunctive_band_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    arm = (
+        (
+            (F.col("c_mktsegment") == "BUILDING")
+            & F.col("o_totalprice").between(1000, 60000)
+            & F.col("c_acctbal").between(0, 5000)
+        )
+        | (
+            (F.col("c_mktsegment") == "MACHINERY")
+            & F.col("o_totalprice").between(60000, 180000)
+            & F.col("c_acctbal").between(2000, 8000)
+        )
+        | (
+            (F.col("c_mktsegment") == "AUTOMOBILE")
+            & F.col("o_totalprice").between(180000, 400000)
+            & F.col("c_acctbal").between(-1000, 4000)
+        )
+    )
+    price_cents = F.sum(
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+    )
+    bal_cents = F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+    n = F.count(F.lit(1))
+    return (
+        t["orders"].select("o_custkey", "o_totalprice")
+        .join(
+            t["customer"].select("c_custkey", "c_acctbal", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(arm)
+        .agg(
+            n.alias("n"),
+            price_cents.cast("bigint").alias("price_cents"),
+            F.round(price_cents / 100.0 / n, 4).alias("avg_price"),
+            F.round(bal_cents / 100.0 / n, 4).alias("avg_acctbal"),
+        )
     )

@@ -334,3 +334,18 @@ def test_cb_raw_rows_by_time_fuses_take_ordered(spark):
     s = plan_summary(df)
     ev = next(sc for sc in s.scans if "props" in sc.read_schema)
     assert any("props" in f for f in ev.pushed_filters)
+
+
+def test_dsq13_disjunction_hull_pushes_to_both_scans(spark):
+    """The OR-of-conjunctive-band-arms spans the join, but Catalyst's
+    CNF conversion must derive each table's per-column hull and push it
+    scan-side (orders gets the o_totalprice disjunction, customer the
+    segment/acctbal one); the exact disjunction re-evaluates post-join."""
+    df = QUERIES["dsq13_disjunctive_band_profile"].fn(spark, SF_DIR)
+    s = plan_summary(df)
+    o_scan = next(sc for sc in s.scans if "o_totalprice" in sc.read_schema)
+    c_scan = next(sc for sc in s.scans if "c_acctbal" in sc.read_schema)
+    assert any("o_totalprice" in f for f in o_scan.pushed_filters)
+    assert any(
+        "c_mktsegment" in f or "c_acctbal" in f for f in c_scan.pushed_filters
+    )
