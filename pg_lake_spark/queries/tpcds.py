@@ -36,7 +36,9 @@ gated dimension bands (Q37/Q82), time-sliced channel union (Q71),
 item-price-vs-category-average gate with a HAVING'd geo count (Q6),
 and three sibling period-return aggregates joined with cross-leg
 deviation ratios (Q83), and a single-row stats profile under
-OR'd cross-table band arms (Q13) — 62 distinct dsqNN entries total.
+OR'd cross-table band arms (Q13), promo revenue share (Q61),
+multi-average rollup (Q18), and a grouped returns profile under
+disjunctive demographic arms (Q85) — 65 distinct dsqNN entries total.
 
 Spark-first notes: every query aggregates BEFORE windowing/joining
 derived frames, so windows and self-joins run over grouped (tiny)
@@ -3348,4 +3350,230 @@ def dsq13_disjunctive_band_profile(
             F.round(price_cents / 100.0 / n, 4).alias("avg_price"),
             F.round(bal_cents / 100.0 / n, 4).alias("avg_acctbal"),
         )
+    )
+
+
+@query(
+    "dsq61_promo_share",
+    oracle="""
+    WITH promo AS (
+      SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS promo_cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_type = 'PROMO'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1996-07-01'
+    ), total AS (
+      SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-07-01'
+    )
+    SELECT promo_cents, total_cents,
+           round(promo_cents * 100.0 / total_cents, 6) AS promo_pct
+    FROM promo, total
+    """,
+    doc="TPC-DS Q61 shape: promotional revenue as a share of all "
+    "revenue — two INDEPENDENTLY filtered one-row aggregates combined "
+    "by a cross join into a ratio (DS's promotional_sales / "
+    "all_sales). Unlike the CASE-in-one-scan family (dsq88/dsq90), "
+    "the legs have different join shapes: the promo leg joins the "
+    "part dimension, the total leg scans the fact alone — so the "
+    "decorrelated two-leg plan IS the shape. The cross join is "
+    "1-row x 1-row (the only crossJoin pattern the repo allows); "
+    "exact integer cents make the ratio deterministic.",
+)
+def dsq61_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    window = (
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-07-01"))
+    )
+    cents = F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    ).cast("bigint")
+    promo = (
+        t["lineitem"].filter(window)
+        .join(
+            _bcast(t["part"].filter(F.col("p_type") == "PROMO")
+                   .select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .agg(cents.alias("promo_cents"))
+    )
+    total = t["lineitem"].filter(window).agg(cents.alias("total_cents"))
+    return promo.crossJoin(total).select(
+        "promo_cents", "total_cents",
+        F.round(
+            F.col("promo_cents") * 100.0 / F.col("total_cents"), 6
+        ).alias("promo_pct"),
+    )
+
+
+@query(
+    "dsq18_rollup_multi_avg",
+    oracle="""
+    SELECT CAST(GROUPING(r_name) + 2*GROUPING(n_name)
+                + 4*GROUPING(c_mktsegment) AS BIGINT) AS gid,
+           coalesce(r_name, 'ALL') AS region_name,
+           coalesce(n_name, 'ALL') AS nation_name,
+           coalesce(c_mktsegment, 'ALL') AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(round(o_totalprice*100) AS BIGINT))
+                 / 100.0 / count(*), 4) AS avg_order,
+           round(sum(CAST(round(c_acctbal*100) AS BIGINT))
+                 / 100.0 / count(*), 4) AS avg_bal
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY ROLLUP(r_name, n_name, c_mktsegment)
+    ORDER BY gid, region_name, nation_name, segment
+    """,
+    doc="TPC-DS Q18 shape: multiple AVERAGE measures at every level "
+    "of a demographic/geography ROLLUP (DS averages five numeric "
+    "casts over ROLLUP(country, state, county, item)). Averages are "
+    "recomputed per rollup level from exact integer-cent sums and "
+    "counts — both engines divide identical integers at every level, "
+    "so no double-summation drift across the hierarchy. GROUPING() "
+    "bits disambiguate genuine 'ALL' labels from subtotal rows. One "
+    "fact shuffle: Spark's rollup expands grouping sets in a single "
+    "Expand node over one scan.",
+)
+def dsq18_rollup_multi_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    order_cents = F.sum(
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+    )
+    bal_cents = F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+    n = F.count(F.lit(1))
+    gid = (
+        F.grouping("r_name")
+        + F.grouping("n_name") * 2
+        + F.grouping("c_mktsegment") * 4
+    ).cast("bigint")
+    return (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= _ts("1996-01-01"))
+            & (F.col("o_orderdate") < _ts("1997-01-01"))
+        )
+        .select("o_custkey", "o_totalprice")
+        .join(
+            t["customer"].select(
+                "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_regionkey",
+                                           "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .rollup("r_name", "n_name", "c_mktsegment")
+        .agg(
+            gid.alias("gid"),
+            n.alias("n"),
+            F.round(order_cents / 100.0 / n, 4).alias("avg_order"),
+            F.round(bal_cents / 100.0 / n, 4).alias("avg_bal"),
+        )
+        .select(
+            "gid",
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "n", "avg_order", "avg_bal",
+        )
+        .orderBy("gid", "region_name", "nation_name", "segment")
+    )
+
+
+@query(
+    "dsq85_reason_profile_disjunction",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(round(l_quantity) AS BIGINT)) * 1.0
+                 / count(*), 4) AS avg_qty,
+           round(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+                 / 100.0 / count(*), 4) AS avg_refund
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE l_returnflag = 'R'
+      AND ((c_mktsegment = 'BUILDING'
+            AND c_acctbal BETWEEN 0 AND 3000
+            AND l_quantity BETWEEN 1 AND 20)
+        OR (c_mktsegment = 'MACHINERY'
+            AND c_acctbal BETWEEN 3000 AND 7000
+            AND l_quantity BETWEEN 20 AND 35)
+        OR (c_mktsegment = 'HOUSEHOLD'
+            AND c_acctbal BETWEEN -1000 AND 5000
+            AND l_quantity BETWEEN 35 AND 50))
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    doc="TPC-DS Q85 shape: RETURNS joined through the order to the "
+    "customer demographic, filtered by an OR of (demographic-band x "
+    "quantity-band) arms spanning the join, grouped by a reason-like "
+    "dimension with several per-group averages (DS groups web "
+    "returns by r_reason_desc under OR'd marital/education/band "
+    "arms). Distinct from dsq13 (single-row) — the disjunction feeds "
+    "a GROUP BY. The returnflag filter and each table's disjunction "
+    "hull push scan-side; averages from exact integer cents.",
+)
+def dsq85_reason_profile_disjunction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    arm = (
+        (
+            (F.col("c_mktsegment") == "BUILDING")
+            & F.col("c_acctbal").between(0, 3000)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("c_mktsegment") == "MACHINERY")
+            & F.col("c_acctbal").between(3000, 7000)
+            & F.col("l_quantity").between(20, 35)
+        )
+        | (
+            (F.col("c_mktsegment") == "HOUSEHOLD")
+            & F.col("c_acctbal").between(-1000, 5000)
+            & F.col("l_quantity").between(35, 50)
+        )
+    )
+    qty = F.sum(F.round(F.col("l_quantity")).cast("bigint"))
+    refund_cents = F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    )
+    n = F.count(F.lit(1))
+    return (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey",
+                               "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            t["customer"].select("c_custkey", "c_acctbal",
+                                 "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(arm)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            n.alias("n"),
+            F.round(qty * 1.0 / n, 4).alias("avg_qty"),
+            F.round(refund_cents / 100.0 / n, 4).alias("avg_refund"),
+        )
+        .orderBy("priority")
     )
