@@ -41,8 +41,35 @@ def _agg(rng, col):
 def gen_query(rng: random.Random) -> str:
     kind = rng.choice(
         ["agg_l", "agg_join", "proj_filter", "agg_having", "window", "setop", "exists",
-         "full_outer", "disjunct_semi", "rollup_rank", "interval_join"]
+         "full_outer", "disjunct_semi", "rollup_rank", "interval_join",
+         "disjunct_bands"]
     )
+    if kind == "disjunct_bands":
+        # OR of conjunctive band arms SPANNING the join (the dsq13/dsq85
+        # construct): Catalyst must derive each table's per-column hull
+        # scan-side yet still evaluate the exact disjunction post-join —
+        # a hull that over- or under-prunes changes the keyed row set
+        pris = rng.sample(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+            rng.randint(2, 3),
+        )
+        arms = []
+        for pri in pris:
+            plo = rng.randint(1, 300) * 1000
+            phi = plo + rng.randint(20, 150) * 1000
+            qlo = rng.randint(1, 30)
+            qhi = qlo + rng.randint(3, 20)
+            arms.append(
+                f"(o_orderpriority = '{pri}' "
+                f"AND o_totalprice BETWEEN {plo} AND {phi} "
+                f"AND l_quantity BETWEEN {qlo} AND {qhi})"
+            )
+        return (
+            f"SELECT l_orderkey, l_linenumber "
+            f"FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            f"WHERE {' OR '.join(arms)} "
+            f"ORDER BY l_orderkey, l_linenumber"
+        )
     if kind == "interval_join":
         # keyed time-range self-join (the as-of / attribution family):
         # same-key pairs within a bounded interval, both engines
