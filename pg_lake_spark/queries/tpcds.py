@@ -38,7 +38,10 @@ and three sibling period-return aggregates joined with cross-leg
 deviation ratios (Q83), and a single-row stats profile under
 OR'd cross-table band arms (Q13), promo revenue share (Q61),
 multi-average rollup (Q18), and a grouped returns profile under
-disjunctive demographic arms (Q85) — 65 distinct dsqNN entries total.
+disjunctive demographic arms (Q85; Q7/Q26/Q27's filtered
+demographic averages are the disjunction-free variants of the same
+construct), and before/after sums netted against a LEFT-JOINed
+returns frame (Q40) — 66 distinct dsqNN entries total.
 
 Spark-first notes: every query aggregates BEFORE windowing/joining
 derived frames, so windows and self-joins run over grouped (tiny)
@@ -3576,4 +3579,100 @@ def dsq85_reason_profile_disjunction(
             F.round(refund_cents / 100.0 / n, 4).alias("avg_refund"),
         )
         .orderBy("priority")
+    )
+
+
+@query(
+    "dsq40_before_after_returns_net",
+    oracle="""
+    WITH sales AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1998-07-01'
+                      THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS q_before,
+             CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-07-01'
+                      THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS q_after
+      FROM lineitem WHERE l_returnflag <> 'R' GROUP BY 1, 2
+    ), rets AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1998-07-01'
+                      THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS r_before,
+             CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-07-01'
+                      THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS r_after
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2
+    )
+    SELECT n_name,
+           CAST(sum(q_before - coalesce(r_before, 0)) AS BIGINT)
+             AS net_before,
+           CAST(sum(q_after - coalesce(r_after, 0)) AS BIGINT)
+             AS net_after
+    FROM sales LEFT JOIN rets USING (pk, sk)
+    JOIN supplier ON sk = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+    doc="TPC-DS Q40 shape: catalog sales LEFT JOINed to catalog "
+    "returns on the (item, order) key, netted, then conditionally "
+    "summed BEFORE/AFTER a pivot date and re-aggregated by the "
+    "warehouse dimension (here: supplier nation). The construct Q21 "
+    "lacks is the returns-netting LEFT JOIN — unmatched sales keys "
+    "must survive with zero-filled return columns — feeding the "
+    "before/after CASE sums. Both legs aggregate per (part, supplier) "
+    "key BEFORE the join, so the LEFT JOIN runs over grouped frames "
+    "keyed identically (one shuffle key for both legs); nation "
+    "hard-broadcasts. Quantities are integral → exact BIGINT "
+    "arithmetic end-to-end.",
+)
+def dsq40_before_after_returns_net(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    pivot_ts = _ts("1998-07-01")
+
+    def leg(flag_pred, before: str, after: str) -> DataFrame:
+        qty = F.round(F.col("l_quantity")).cast("bigint")
+        return (
+            t["lineitem"]
+            .filter(flag_pred)
+            .groupBy(
+                F.col("l_partkey").alias("pk"),
+                F.col("l_suppkey").alias("sk"),
+            )
+            .agg(
+                F.sum(
+                    F.when(F.col("l_shipdate") < pivot_ts, qty)
+                    .otherwise(F.lit(0))
+                ).cast("bigint").alias(before),
+                F.sum(
+                    F.when(F.col("l_shipdate") >= pivot_ts, qty)
+                    .otherwise(F.lit(0))
+                ).cast("bigint").alias(after),
+            )
+        )
+
+    sales = leg(F.col("l_returnflag") != "R", "q_before", "q_after")
+    rets = leg(F.col("l_returnflag") == "R", "r_before", "r_after")
+    return (
+        sales.join(rets, ["pk", "sk"], "left")
+        .join(
+            t["supplier"].select("s_suppkey", "s_nationkey"),
+            F.col("sk") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("q_before") - F.coalesce(F.col("r_before"), F.lit(0))
+            ).cast("bigint").alias("net_before"),
+            F.sum(
+                F.col("q_after") - F.coalesce(F.col("r_after"), F.lit(0))
+            ).cast("bigint").alias("net_after"),
+        )
+        .orderBy("n_name")
     )
