@@ -41,7 +41,8 @@ multi-average rollup (Q18), and a grouped returns profile under
 disjunctive demographic arms (Q85; Q7/Q26/Q27's filtered
 demographic averages are the disjunction-free variants of the same
 construct), and before/after sums netted against a LEFT-JOINed
-returns frame (Q40) — 66 distinct dsqNN entries total.
+returns frame (Q40), and a dimension-only identity lookup chain
+(Q84) — 67 distinct dsqNN entries total.
 
 Spark-first notes: every query aggregates BEFORE windowing/joining
 derived frames, so windows and self-joins run over grouped (tiny)
@@ -3675,4 +3676,57 @@ def dsq40_before_after_returns_net(
             ).cast("bigint").alias("net_after"),
         )
         .orderBy("n_name")
+    )
+
+
+@query(
+    "dsq84_identity_lookup_chain",
+    oracle="""
+    SELECT c_custkey,
+           c_name || ' (' || n_name || ', ' || r_name || ')'
+             AS customer_id,
+           round(c_acctbal, 2) AS acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE c_acctbal BETWEEN 4000 AND 4500
+    ORDER BY customer_id, c_custkey
+    LIMIT 100
+    """,
+    doc="TPC-DS Q84 shape: a dimension-only multi-hop lookup chain "
+    "(customer -> current_addr -> household_demographics -> "
+    "income_band in DS; customer -> nation -> region here) filtered "
+    "by a band on the leaf attribute, returning a CONCATENATED "
+    "identity string — no fact table at all. The band filter pushes "
+    "to the customer scan; both dimension hops hard-broadcast "
+    "(constant cardinality 25/5), so the plan is one scan + two "
+    "broadcast lookups + TakeOrderedAndProject — the OLTP-ish lookup "
+    "pattern a warehouse must still serve efficiently.",
+)
+def dsq84_identity_lookup_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .filter(F.col("c_acctbal").between(4000, 4500))
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_regionkey",
+                                           "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            "c_custkey",
+            F.concat(
+                F.col("c_name"), F.lit(" ("), F.col("n_name"),
+                F.lit(", "), F.col("r_name"), F.lit(")"),
+            ).alias("customer_id"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy("customer_id", "c_custkey")
+        .limit(100)
     )
