@@ -84,7 +84,7 @@ _R9_WINDOW = (_NEVER_CHECKED + _CODE_CHANGED + _R9_NEW + _R5_STALE)[:50]
 # dsq61_promo_share, dsq18_rollup_multi_avg,
 # dsq85_reason_profile_disjunction,
 # dsq40_before_after_returns_net, dsq84_identity_lookup_chain,
-# cb_point_lookup and
+# cb_point_lookup, cb_min_string_mixed_like and
 # cb_raw_rows_by_time were declared after the r9 window was
 # finalized (never driver-checked — pytest-green only); they go FIRST
 # in the r10 window. Then backfill order after any other never-checked /

@@ -722,3 +722,43 @@ def cb_raw_rows_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .limit(10)
     )
+
+
+@query(
+    "cb_min_string_mixed_like",
+    oracle="""
+    SELECT event_type, min(props) AS first_props, count(*) AS c,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS u
+    FROM events
+    WHERE props LIKE '%"k"%' AND props NOT LIKE '%9}%'
+      AND event_type <> ''
+    GROUP BY event_type
+    ORDER BY c DESC, event_type
+    LIMIT 10
+    """,
+    doc="ClickBench shape (hits Q22: MIN(URL), MIN(Title), COUNT, "
+    "COUNT(DISTINCT UserID) under `Title LIKE ... AND URL NOT LIKE "
+    "... AND SearchPhrase <> ''`): string MIN aggregates alongside "
+    "counts under a mixed positive/negative LIKE filter pair. All "
+    "three string predicates push to the scan; the min(string) rides "
+    "the same hash aggregate as the counts (one shuffle), and the "
+    "distinct-count expands in the same Expand node.",
+)
+def cb_min_string_mixed_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(
+            F.col("props").like('%"k"%')
+            & ~F.col("props").like("%9}%")
+            & (F.col("event_type") != "")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("props").alias("first_props"),
+            F.count(F.lit(1)).alias("c"),
+            F.count_distinct("user_id").cast("bigint").alias("u"),
+        )
+        .orderBy(F.col("c").desc(), "event_type")
+        .limit(10)
+    )
