@@ -751,6 +751,12 @@ def _cast_to_table(df: DataFrame, table) -> DataFrame:
     by_name = {f.name: f.dataType for f in table.to_df().schema.fields}
     int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     frac_types = (T.FloatType, T.DoubleType, T.DecimalType)
+    int_bounds = {
+        T.ByteType: (-(1 << 7), (1 << 7) - 1),
+        T.ShortType: (-(1 << 15), (1 << 15) - 1),
+        T.IntegerType: (-(1 << 31), (1 << 31) - 1),
+        T.LongType: (-(1 << 63), (1 << 63) - 1),
+    }
     cols = []
     for c in df.columns:
         if c not in by_name:
@@ -759,8 +765,41 @@ def _cast_to_table(df: DataFrame, table) -> DataFrame:
         src, dst = df.schema[c].dataType, by_name[c]
         col = F.col(c)
         if isinstance(dst, int_types) and isinstance(src, frac_types):
-            # Spark round() is HALF_UP (away from zero) — matches PG
-            col = F.round(col, 0)
+            # PG numeric→int rounds HALF_UP (ties away from zero) but
+            # float4/float8→int use rint (ties to even): 0.5::float8
+            # ::int is 0, 0.5::numeric::int is 1. Spark's round() is
+            # HALF_UP, bround() is ties-to-even — pick per source.
+            col = (
+                F.round(col, 0)
+                if isinstance(src, T.DecimalType)
+                else F.bround(col, 0)
+            )
+        if isinstance(dst, int_types) and isinstance(
+            src, int_types + frac_types
+        ):
+            # Spark's non-ANSI integral narrowing (bigint→int,
+            # int→smallint) WRAPS bits instead of yielding NULL, so the
+            # cast-produced-NULL check below never fires; PG raises
+            # "out of range". Guard the (rounded) source value
+            # explicitly when the source type can exceed dst's range.
+            lo, hi = int_bounds[type(dst)]
+            src_fits = isinstance(src, int_types) and int_bounds[
+                type(src)
+            ][1] <= hi
+            if not src_fits:
+                err = F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f'value out of range for column "{c}" '
+                            f"({dst.simpleString()}): "
+                        ),
+                        F.col(c).cast("string"),
+                    )
+                )
+                col = F.when(
+                    col.isNotNull() & ~col.between(F.lit(lo), F.lit(hi)),
+                    err.cast(src),
+                ).otherwise(col)
         casted = col.cast(dst)
         if src != dst:
             # cast-produced NULL from a non-NULL input = invalid

@@ -3477,19 +3477,65 @@ def _projdef_fns(d: dict):
             _ostereo_forward_gen(a, f, lat0, lon0, k0, x0, y0),
             _ostereo_inverse_gen(a, f, lat0, lon0, k0, x0, y0),
         )
-    if proj in ("merc", "webmerc"):
+    if proj == "webmerc":
+        # Popular Visualisation Pseudo-Mercator (EPSG 1024): spherical
+        # formulas on the ellipsoid's semi-major axis BY SPEC — the
+        # only Mercator that is legitimately spherical on an ellipsoid.
         R = a
+        lam0 = math.radians(lon0)
 
         def m_fwd(x: float, y: float) -> tuple[float, float]:
             return (
-                x0 + R * math.radians(x),
+                x0 + R * (math.radians(x) - lam0),
                 y0 + R * math.log(math.tan(math.pi / 4 + math.radians(y) / 2)),
             )
 
         def m_inv(x: float, y: float) -> tuple[float, float]:
             return (
-                math.degrees((x - x0) / R),
+                math.degrees((x - x0) / R + lam0),
                 math.degrees(2 * math.atan(math.exp((y - y0) / R)) - math.pi / 2),
+            )
+
+        return m_fwd, m_inv
+    if proj == "merc":
+        # Mercator variant A (EPSG 9804, +k) / variant B (EPSG 9805,
+        # +lat_ts), ELLIPSOIDAL — PROJ treats +proj=merc on a nonzero-
+        # flattening ellipsoid (e.g. EPSG 3395) with the isometric-
+        # latitude formulas; the spherical shortcut is wrong by up to
+        # ~0.2° latitude-equivalent (~20 km) at mid latitudes.
+        e = math.sqrt(f * (2.0 - f))
+        if "lat_ts" in d:
+            phi1 = math.radians(float(d["lat_ts"]))
+            k = math.cos(phi1) / math.sqrt(
+                1.0 - (e * math.sin(phi1)) ** 2
+            )
+        else:
+            k = k0
+        ak = a * k
+        lam0 = math.radians(lon0)
+
+        def m_fwd(x: float, y: float) -> tuple[float, float]:
+            phi = math.radians(y)
+            esin = e * math.sin(phi)
+            iso = math.tan(math.pi / 4 + phi / 2) * (
+                (1.0 - esin) / (1.0 + esin)
+            ) ** (e / 2)
+            return (
+                x0 + ak * (math.radians(x) - lam0),
+                y0 + ak * math.log(iso),
+            )
+
+        def m_inv(x: float, y: float) -> tuple[float, float]:
+            t = math.exp((y0 - y) / ak)
+            phi = math.pi / 2 - 2 * math.atan(t)
+            for _ in range(8):  # GN7-2 fixed point; converges in ~4
+                esin = e * math.sin(phi)
+                phi = math.pi / 2 - 2 * math.atan(
+                    t * ((1.0 - esin) / (1.0 + esin)) ** (e / 2)
+                )
+            return (
+                math.degrees((x - x0) / ak + lam0),
+                math.degrees(phi),
             )
 
         return m_fwd, m_inv

@@ -116,7 +116,14 @@ def _windows_expr(text_col_name: str, n: int) -> str:
     slices evaluate once per ROW where a transform(sequence, i ->
     slice(...)) lambda re-evaluates per ELEMENT (quadratic in doc
     length)."""
-    w = f"split({text_col_name}, '\\\\s+')"
+    if "`" in text_col_name:
+        raise ValueError(
+            f"column name may not contain backticks: {text_col_name!r}"
+        )
+    # Backtick-quote: the name is interpolated into a SQL string, so a
+    # non-bare identifier (spaces, hyphens, keywords) would misparse —
+    # and an unquoted name is string-injectable.
+    w = f"split(`{text_col_name}`, '\\\\s+')"
     length = f"greatest(size({w}) - {n - 1}, 1)"
     acc = f"slice({w}, 1, {length})"
     for k in range(2, n + 1):
@@ -171,8 +178,14 @@ def repeated_spans(
     # after one token-stream shuffle — the same magnitude the
     # span-groupBy shuffle pays anyway. Docs shorter than ``window``
     # contribute their whole (whitespace-normalized) text, same
-    # convention as word_shingles.
-    words = F.split(F.col(text_col), r"\s+")
+    # convention as word_shingles. Strip edge whitespace first:
+    # leading/trailing whitespace would otherwise yield empty tokens
+    # that join into spans with doubled/leading spaces, diverging from
+    # the oracle's trimmed normalization on non-clean corpora. regexp
+    # (codegen'd), not F.trim — trim() strips only 0x20, not \n/\t.
+    words = F.split(
+        F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"
+    )
     base = df.select(F.col(id_col).alias("_id"), words.alias("_w"))
     tok = base.filter(F.size("_w") >= window).select(
         "_id", F.posexplode("_w").alias("_pos", "_t")

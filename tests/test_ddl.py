@@ -697,3 +697,54 @@ def test_insert_coercion_pg_semantics(sess, spark, tmp_path):
     # NULL still inserts fine (NULL is not an invalid coercion)
     sess.execute("INSERT INTO coerce_t VALUES (NULL, 'e')")
     assert spark.table("coerce_t").filter("v = 'e'").collect()[0].k is None
+
+
+def test_insert_integral_narrowing_raises_not_wraps(sess, spark, tmp_path):
+    """PG raises "integer out of range" on narrowing overflow; Spark's
+    non-ANSI integral narrowing WRAPS bits (bigint->int) so the
+    cast-NULL guard never fires — the explicit range guard must."""
+    sess.warehouse = str(tmp_path / "wh")
+    sess.execute(
+        "CREATE TABLE narrow_t (k int, s smallint) USING iceberg "
+        "WITH (write_mode = 'copy_on_write')"
+    )
+    # in-range narrows fine
+    sess.execute("INSERT INTO narrow_t VALUES (CAST(5 AS bigint), 7)")
+    assert spark.table("narrow_t").collect()[0].k == 5
+    # bigint value beyond int range: raise, don't wrap to 2147483647+1
+    with pytest.raises(Exception, match="out of range"):
+        sess.execute(
+            "INSERT INTO narrow_t VALUES (CAST(2147483648 AS bigint), 0)"
+        )
+    # int beyond smallint range
+    with pytest.raises(Exception, match="out of range"):
+        sess.execute("INSERT INTO narrow_t VALUES (1, 40000)")
+    # fractional beyond int range
+    with pytest.raises(Exception, match="out of range"):
+        sess.execute(
+            "INSERT INTO narrow_t VALUES (CAST(3e10 AS double), 0)"
+        )
+    assert spark.table("narrow_t").count() == 1
+
+
+def test_insert_float_rounding_ties_to_even(sess, spark, tmp_path):
+    """PG float4/float8->int rounds ties to EVEN (rint): 0.5::float8
+    ::int = 0; numeric->int stays HALF_UP (ties away from zero):
+    0.5::numeric::int = 1."""
+    sess.warehouse = str(tmp_path / "wh")
+    sess.execute(
+        "CREATE TABLE tie_t (k int, v string) USING iceberg "
+        "WITH (write_mode = 'copy_on_write')"
+    )
+    sess.execute(
+        "INSERT INTO tie_t VALUES "
+        "(CAST(0.5 AS double), 'a'), (CAST(1.5 AS double), 'b'), "
+        "(CAST(2.5 AS double), 'c'), (CAST(-0.5 AS double), 'd')"
+    )
+    # decimal literals go in their OWN statement — a mixed VALUES list
+    # promotes decimal+double to double before the coercion sees it
+    sess.execute("INSERT INTO tie_t VALUES (0.5, 'e'), (-2.5, 'f')")
+    got = {r.v: r.k for r in spark.table("tie_t").collect()}
+    # double: rint — 0.5->0, 1.5->2, 2.5->2, -0.5->0
+    # decimal literal: HALF_UP — 0.5->1, -2.5->-3
+    assert got == {"a": 0, "b": 2, "c": 2, "d": 0, "e": 1, "f": -3}

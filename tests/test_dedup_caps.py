@@ -119,3 +119,39 @@ def test_repeated_spans_short_doc_whole_text(spark):
     )
     rows = repeated_spans(df, "doc_id", "text", window=8, hash_only=False).collect()
     assert [(r.span, r.n_docs, r.n_occ) for r in rows] == [("tiny doc", 2, 2)]
+
+
+def test_word_shingles_quoted_identifier(spark):
+    """word_shingles' expr-string fast path backtick-quotes the column
+    name: non-bare identifiers (spaces, keywords) work like the F.col
+    path did, and embedded backticks are rejected loudly."""
+    import pytest
+    from pg_lake_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame(
+        [("a b c",)], ["weird name"]
+    ).withColumnRenamed("weird name", "select")
+    got = df.select(word_shingles("select", n=2).alias("s")).collect()[0].s
+    assert sorted(got) == ["a b", "b c"]
+    df2 = spark.createDataFrame([("x y z",)], ["my col"])
+    got = df2.select(word_shingles("my col", n=2).alias("s")).collect()[0].s
+    assert sorted(got) == ["x y", "y z"]
+    with pytest.raises(ValueError, match="backtick"):
+        word_shingles("bad`name", n=2)
+
+
+def test_repeated_spans_trims_whitespace(spark):
+    """Leading/trailing whitespace must not create empty tokens: a doc
+    with padding yields the same spans as its trimmed twin (the DuckDB
+    oracle trims before splitting)."""
+    from pg_lake_spark.operators.dedup import repeated_spans
+
+    clean = [(i, "alpha beta gamma delta") for i in range(3)]
+    padded = [(i + 10, "  alpha beta gamma delta \n") for i in range(3)]
+    df = spark.createDataFrame(clean + padded, ["doc_id", "text"])
+    rows = repeated_spans(
+        df, "doc_id", "text", window=4, min_docs=2, hash_only=False
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].span == "alpha beta gamma delta"
+    assert rows[0].n_docs == 6

@@ -1571,3 +1571,46 @@ def test_transform_grs80_utm_families():
     # analytics accuracy)
     assert _resolve_transform(4326, 7855)(144.96, -37.81) == \
            _resolve_transform(4326, 28355)(144.96, -37.81)
+
+
+def test_projdef_mercator_ellipsoidal():
+    """+proj=merc on an ellipsoid is ELLIPSOIDAL Mercator (EPSG
+    9804/9805), not the spherical shortcut — GN7-2 worked examples:
+    variant A (Makassar / NEIEZ, Bessel, k=0.997) and variant B
+    (Caspian Sea, Krassowsky, lat_ts=42N) to the cm; webmerc stays
+    spherical-by-spec."""
+    from pg_lake_spark.functions.spatial import _parse_projdef, _projdef_fns
+
+    # EPSG 9804 variant A (GN7-2 §3.1.3.1 worked example)
+    d = _parse_projdef(
+        "+proj=merc +lon_0=110 +k=0.997 +x_0=3900000 +y_0=900000 "
+        "+ellps=bessel"
+    )
+    fwd, inv = _projdef_fns(d)
+    E, N = fwd(120.0, -3.0)
+    assert abs(E - 5009726.58) < 0.01 and abs(N - 569150.82) < 0.01
+    x, y = inv(E, N)
+    assert abs(x - 120.0) < 1e-9 and abs(y + 3.0) < 1e-9
+
+    # EPSG 9805 variant B (GN7-2 §3.1.3.2 worked example)
+    d = _parse_projdef("+proj=merc +lat_ts=42 +lon_0=51 +ellps=krass")
+    fwd, inv = _projdef_fns(d)
+    E, N = fwd(53.0, 53.0)
+    assert abs(E - 165704.29) < 0.01 and abs(N - 5171848.07) < 0.01
+    x, y = inv(E, N)
+    assert abs(x - 53.0) < 1e-9 and abs(y - 53.0) < 1e-9
+
+    # EPSG 3395 (WGS84 World Mercator) vs the OLD spherical formula:
+    # the ellipsoidal northing differs by ~20 km at 53N
+    import math
+    d = _parse_projdef("+proj=merc +ellps=WGS84")
+    fwd, _ = _projdef_fns(d)
+    _, N = fwd(0.0, 53.0)
+    n_sph = 6378137.0 * math.log(math.tan(math.pi / 4 + math.radians(53.0) / 2))
+    assert abs(N - n_sph) > 15000
+
+    # webmerc is spherical by spec: agrees with the 3857 closed form
+    from pg_lake_spark.functions.spatial import _resolve_transform
+    d = _parse_projdef("+proj=webmerc +ellps=WGS84")
+    fwd, _ = _projdef_fns(d)
+    assert fwd(-75.7, 45.42) == _resolve_transform(4326, 3857)(-75.7, 45.42)
