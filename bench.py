@@ -130,6 +130,12 @@ def main() -> None:
             except Exception:
                 pass
 
+    # best-of-N rides alongside the median in BENCH_DETAIL.json only
+    # (r9 verdict #8: sf0.1 micro-rows swing ±25% round-to-round on
+    # untouched code; regression calls should use best-of-3, while the
+    # driver headline keeps the median).
+    best_of: dict[str, float] = {}
+
     def run_suite(
         names: list[str], data_dir: str = None, n_repeats: int = None
     ) -> tuple[dict[str, float], float]:
@@ -148,6 +154,8 @@ def main() -> None:
                 samples.append(time.perf_counter() - t0)
             med = statistics.median(samples)
             timings[name] = round(med, 4)
+            if data_dir == sf_dir:
+                best_of[name] = round(min(samples), 4)
             total += med
         return timings, total
 
@@ -204,6 +212,7 @@ def main() -> None:
         "spatial_queries": spatial_timings,
         "pipeline_queries": pipeline_timings,
         "tpcds_queries": tpcds_timings,
+        "best": best_of,
         **{k: v for k, v in sf1_result.items() if k == "sf1_queries"},
     }
     print(json.dumps(detail))
