@@ -20,6 +20,7 @@ from pg_lake_spark.queries import dml  # noqa: E402,F401
 from pg_lake_spark.queries import delta_q  # noqa: E402,F401
 from pg_lake_spark.queries import spatial_q  # noqa: E402,F401
 from pg_lake_spark.queries import tpcds  # noqa: E402,F401
+from pg_lake_spark.queries import tpcds_w5  # noqa: E402,F401
 from pg_lake_spark.queries import clickbench  # noqa: E402,F401
 
 # Registration order is driver-visible: the correctness driver checks the
