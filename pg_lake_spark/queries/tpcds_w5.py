@@ -532,3 +532,390 @@ def dsq27_filtered_dim_avg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("p_brand", "n_name", "g_state", "agg1", "agg2", "agg3", "agg4")
         .orderBy(F.col("p_brand").asc_nulls_first(), F.col("n_name").asc_nulls_first())
     )
+
+# ---------------------------------------------------------------------------
+# Exact-money helpers: every new money measure accumulates as integer
+# CENTS (round(x*100) as bigint) so sums are order-independent and both
+# engines divide the SAME exact integer — no float-sum rounding
+# boundaries anywhere in this wave.
+_NET_CENTS_SQL = (
+    "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+    " AS BIGINT)) AS BIGINT)"
+)
+
+
+def _net_cents() -> F.Column:
+    return (
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        ).cast("bigint")
+    )
+
+
+@query(
+    "dsq03_brand_year_revenue",
+    oracle=f"""
+    SELECT p_brand, CAST(year(o_orderdate) AS INT) AS order_year,
+           {_NET_CENTS_SQL} / 100.0 AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part   ON l_partkey = p_partkey
+    WHERE p_type = 'PROMO'
+    GROUP BY 1, 2
+    ORDER BY order_year, revenue DESC, p_brand
+    LIMIT 100
+    """,
+    doc="TPC-DS Q3 shape (the Q42/Q52/Q55 star-aggregate family's "
+    "year-series member): one fact, one dim filter (item category), "
+    "revenue by (brand, year), top-100 by year then revenue. The "
+    "p_type filter prunes through the broadcast part join; one "
+    "aggregate shuffle; TakeOrderedAndProject caps the result. "
+    "Revenue is an exact cents sum so the DESC ordering ranks "
+    "identical values in both engines.",
+)
+def dsq03_brand_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            _bcast(t["part"].filter(F.col("p_type") == "PROMO")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg((_net_cents() / 100.0).alias("revenue"))
+        .orderBy("order_year", F.col("revenue").desc(), "p_brand")
+        .limit(100)
+    )
+
+
+@query(
+    "dsq42_type_month_revenue",
+    oracle=f"""
+    SELECT CAST(month(l_shipdate) AS INT) AS ship_month, p_type,
+           {_NET_CENTS_SQL} / 100.0 AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 10
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, ship_month, p_type
+    """,
+    doc="TPC-DS Q42 shape: category revenue by month for one year "
+    "under a dim attribute band (p_size), ordered by revenue. Same "
+    "star-aggregate family as dsq03 with the month dimension and a "
+    "numeric dim band instead of the categorical filter.",
+)
+def dsq42_type_month_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .join(
+            _bcast(t["part"].filter(F.col("p_size") <= 10)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.month("l_shipdate").cast("int").alias("ship_month"), "p_type"
+        )
+        .agg((_net_cents() / 100.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "ship_month", "p_type")
+    )
+
+
+@query(
+    "dsq52_brand_month_revenue",
+    oracle=f"""
+    SELECT p_brand, {_NET_CENTS_SQL} / 100.0 AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    GROUP BY p_brand
+    ORDER BY revenue DESC, p_brand
+    LIMIT 100
+    """,
+    doc="TPC-DS Q52 shape: single-month brand revenue leaderboard — "
+    "the tightest member of the Q3 star-aggregate family (one month "
+    "slice, no dim filter). One broadcast join, one aggregate "
+    "shuffle, TakeOrderedAndProject.",
+)
+def dsq52_brand_month_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-03-01"))
+            & (F.col("l_shipdate") < _ts("1997-04-01"))
+        )
+        .join(_bcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg((_net_cents() / 100.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "p_brand")
+        .limit(100)
+    )
+
+
+@query(
+    "dsq55_brand_prefix_revenue",
+    oracle=f"""
+    SELECT p_brand, {_NET_CENTS_SQL} / 100.0 AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand LIKE 'Brand#2%'
+      AND l_shipdate >= TIMESTAMP '1997-06-01'
+      AND l_shipdate <  TIMESTAMP '1997-07-01'
+    GROUP BY p_brand
+    ORDER BY revenue DESC, p_brand
+    """,
+    doc="TPC-DS Q55 shape: brand revenue for one month restricted to "
+    "one brand family (manager filter in DS; a LIKE-prefix brand "
+    "family here). Completes the Q3/Q42/Q52/Q55 star-aggregate set; "
+    "the LIKE pushes into the broadcast dim scan.",
+)
+def dsq55_brand_prefix_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-06-01"))
+            & (F.col("l_shipdate") < _ts("1997-07-01"))
+        )
+        .join(
+            _bcast(t["part"].filter(F.col("p_brand").like("Brand#2%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg((_net_cents() / 100.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "p_brand")
+    )
+
+
+_AVG4_SQL = """
+           round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                      AS BIGINT) * 100.0 / count(*)) / 10000.0 AS avg_qty,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) * 100.0 / count(*)) / 10000.0 AS avg_price,
+           round(CAST(sum(CAST(round(l_discount * 10000) AS BIGINT))
+                      AS BIGINT) * 100.0 / count(*)) / 1000000.0 AS avg_disc,
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                     * 100) AS BIGINT))
+                      AS BIGINT) * 100.0 / count(*)) / 10000.0 AS avg_net
+"""
+
+
+def _avg4_cols() -> list:
+    n = F.count(F.lit(1))
+
+    def scaled(col: F.Column, scale: int, out: float) -> F.Column:
+        return F.round(
+            F.sum(F.round(col * scale).cast("bigint")).cast("bigint")
+            * 100.0 / n
+        ) / out
+
+    return [
+        scaled(F.col("l_quantity"), 100, 10000.0).alias("avg_qty"),
+        scaled(F.col("l_extendedprice"), 100, 10000.0).alias("avg_price"),
+        scaled(F.col("l_discount"), 10000, 1000000.0).alias("avg_disc"),
+        scaled(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 100, 10000.0
+        ).alias("avg_net"),
+    ]
+
+
+@query(
+    "dsq07_demographic_avgs",
+    oracle=f"""
+    SELECT p_brand,
+{_AVG4_SQL}
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN part     ON l_partkey = p_partkey
+    WHERE c_mktsegment = 'AUTOMOBILE'
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    doc="TPC-DS Q7 shape: four AVG measures per item under "
+    "conjunctive demographic + promo filters (the disjunction-free "
+    "kin of dsq85; Q26 is the supplier-channel sibling). Filters "
+    "push through broadcast dims; one aggregate shuffle computes "
+    "all four exact-scaled averages.",
+)
+def dsq07_demographic_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(
+            t["orders"]
+            .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+            .select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            _bcast(
+                t["customer"]
+                .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+                .select("c_custkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(_bcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(*_avg4_cols())
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "dsq26_supplier_band_avgs",
+    oracle=f"""
+    SELECT p_brand,
+{_AVG4_SQL}
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN part     ON l_partkey = p_partkey
+    WHERE s_acctbal >= 0
+      AND p_type IN ('ECONOMY', 'STANDARD')
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    doc="TPC-DS Q26 shape: the catalog-channel sibling of Q7 — same "
+    "four-average profile via the supplier path with an account "
+    "band + category filter. Distinct join tree (no orders hop), "
+    "same exact-scaled-average discipline.",
+)
+def dsq26_supplier_band_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(
+            _bcast(
+                t["supplier"].filter(F.col("s_acctbal") >= 0).select("s_suppkey")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            _bcast(t["part"].filter(F.col("p_type").isin("ECONOMY", "STANDARD"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(*_avg4_cols())
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "dsq19_cross_geo_brand_revenue",
+    oracle=f"""
+    SELECT p_brand, {_NET_CENTS_SQL} / 100.0 AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN part     ON l_partkey = p_partkey
+    WHERE o_orderdate >= TIMESTAMP '1997-11-01'
+      AND o_orderdate <  TIMESTAMP '1997-12-01'
+      AND c_nationkey <> s_nationkey
+    GROUP BY p_brand
+    ORDER BY revenue DESC, p_brand
+    LIMIT 100
+    """,
+    doc="TPC-DS Q19 shape: brand revenue for one month keeping only "
+    "sales where the buyer's geography DIFFERS from the seller's "
+    "(DS: customer zip <> store zip). The inequality is a join-time "
+    "residual on two broadcast dim attributes — no extra shuffle "
+    "beyond the fact aggregation.",
+)
+def dsq19_cross_geo_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= _ts("1997-11-01"))
+                & (F.col("o_orderdate") < _ts("1997-12-01"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            _bcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            _bcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .join(_bcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg((_net_cents() / 100.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "p_brand")
+        .limit(100)
+    )
+
+
+@query(
+    "dsq43_weekday_matrix",
+    oracle="""
+    SELECT n_name,
+           round(sum(CASE WHEN dayofweek(o_orderdate) + 1 = 1
+                          THEN o_totalprice ELSE 0 END), 2) AS sun_sales,
+           round(sum(CASE WHEN dayofweek(o_orderdate) + 1 = 2
+                          THEN o_totalprice ELSE 0 END), 2) AS mon_sales,
+           round(sum(CASE WHEN dayofweek(o_orderdate) + 1 = 3
+                          THEN o_totalprice ELSE 0 END), 2) AS tue_sales,
+           round(sum(CASE WHEN dayofweek(o_orderdate) + 1 = 4
+                          THEN o_totalprice ELSE 0 END), 2) AS wed_sales,
+           round(sum(CASE WHEN dayofweek(o_orderdate) + 1 = 5
+                          THEN o_totalprice ELSE 0 END), 2) AS thu_sales,
+           round(sum(CASE WHEN dayofweek(o_orderdate) + 1 = 6
+                          THEN o_totalprice ELSE 0 END), 2) AS fri_sales,
+           round(sum(CASE WHEN dayofweek(o_orderdate) + 1 = 7
+                          THEN o_totalprice ELSE 0 END), 2) AS sat_sales
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    doc="TPC-DS Q43 shape: a 7-column day-of-week sales matrix per "
+    "dimension for one year — conditional sums fold map-side into "
+    "one aggregate shuffle. Day numbering is aligned explicitly "
+    "(Spark dayofweek is 1=Sunday; DuckDB dayofweek is 0=Sunday, "
+    "hence the +1 in the oracle).",
+)
+def dsq43_weekday_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    dow = F.dayofweek("o_orderdate")
+    names = ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
+    aggs = [
+        F.round(
+            F.sum(F.when(dow == i + 1, F.col("o_totalprice")).otherwise(0.0)), 2
+        ).alias(f"{nm}_sales")
+        for i, nm in enumerate(names)
+    ]
+    return (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= _ts("1997-01-01"))
+            & (F.col("o_orderdate") < _ts("1998-01-01"))
+        )
+        .join(
+            _bcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(*aggs)
+        .orderBy("n_name")
+    )
