@@ -919,3 +919,649 @@ def dsq43_weekday_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*aggs)
         .orderBy("n_name")
     )
+
+
+@query(
+    "dsq11_two_channel_yoy_pref",
+    oracle="""
+    WITH ord AS (
+      SELECT o_custkey AS ck,
+             CAST(sum(CASE WHEN year(o_orderdate) = 1996 THEN
+               CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS y1,
+             CAST(sum(CASE WHEN year(o_orderdate) = 1997 THEN
+               CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS y2
+      FROM orders
+      WHERE year(o_orderdate) IN (1996, 1997)
+      GROUP BY 1
+    ), lin AS (
+      SELECT o_custkey AS ck,
+             CAST(sum(CASE WHEN year(l_shipdate) = 1996 THEN
+               CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT) ELSE 0 END) AS BIGINT) AS y1,
+             CAST(sum(CASE WHEN year(l_shipdate) = 1997 THEN
+               CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT) ELSE 0 END) AS BIGINT) AS y2
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE year(l_shipdate) IN (1996, 1997)
+      GROUP BY 1
+    )
+    SELECT c_custkey, c_name,
+           round(ord.y2 * 1.0 / ord.y1, 6) AS order_growth,
+           round(lin.y2 * 1.0 / lin.y1, 6) AS line_growth
+    FROM ord JOIN lin ON ord.ck = lin.ck
+    JOIN customer ON ord.ck = c_custkey
+    WHERE ord.y1 > 0 AND lin.y1 > 0
+      AND ord.y2 * 1.0 / ord.y1 > lin.y2 * 1.0 / lin.y1
+    ORDER BY c_custkey
+    """,
+    doc="TPC-DS Q11 shape: customers whose year-over-year growth in "
+    "one channel exceeds their growth in the other (Q4's two-channel "
+    "variant; dsq04 is the ratio-of-ratios form). Both channels fold "
+    "their two years into conditional cents sums in ONE pass each — "
+    "two fact shuffles total, joined on the customer key. Exact "
+    "integer cents make the growth-ratio comparison deterministic "
+    "across engines.",
+)
+def dsq11_two_channel_yoy_pref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+
+    def years(df: DataFrame, year_col, cents_col, key) -> DataFrame:
+        yr = F.year(year_col)
+        c = F.round(cents_col * 100).cast("bigint")
+        return (
+            df.filter(yr.isin(1996, 1997))
+            .groupBy(F.col(key).alias("ck"))
+            .agg(
+                F.sum(F.when(yr == 1996, c).otherwise(F.lit(0)))
+                .cast("bigint").alias("y1"),
+                F.sum(F.when(yr == 1997, c).otherwise(F.lit(0)))
+                .cast("bigint").alias("y2"),
+            )
+        )
+
+    ord_y = years(t["orders"], F.col("o_orderdate"), F.col("o_totalprice"), "o_custkey")
+    lin_y = years(
+        t["lineitem"].join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ),
+        F.col("l_shipdate"),
+        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        "o_custkey",
+    )
+    o = ord_y.alias("o")
+    l = lin_y.alias("l")
+    return (
+        o.join(l, F.col("o.ck") == F.col("l.ck"))
+        .filter(
+            (F.col("o.y1") > 0)
+            & (F.col("l.y1") > 0)
+            & (F.col("o.y2") * 1.0 / F.col("o.y1")
+               > F.col("l.y2") * 1.0 / F.col("l.y1"))
+        )
+        .join(
+            _bcast(t["customer"].select("c_custkey", "c_name")),
+            F.col("o.ck") == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("o.y2") * 1.0 / F.col("o.y1"), 6).alias("order_growth"),
+            F.round(F.col("l.y2") * 1.0 / F.col("l.y1"), 6).alias("line_growth"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "dsq12_windowed_revenue_share",
+    oracle="""
+    WITH agg AS (
+      SELECT p_type, p_brand,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-05-01'
+        AND l_shipdate <  TIMESTAMP '1997-05-31'
+      GROUP BY 1, 2
+    )
+    SELECT p_type, p_brand, cents / 100.0 AS revenue,
+           round(cents * 100.0 / sum(cents) OVER (PARTITION BY p_type),
+                 4) AS revenue_share
+    FROM agg
+    ORDER BY p_type, p_brand
+    """,
+    doc="TPC-DS Q12/Q20 shape: item revenue over a 30-day window "
+    "with each item's percentage share of its CLASS total via a "
+    "partitioned window sum (dsq98 is the unwindowed whole-channel "
+    "variant). The share divides exact integer cents by an exact "
+    "window sum of cents, so the percentage is bit-identical across "
+    "engines; the window runs over the grouped frame only.",
+)
+def dsq12_windowed_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    agg = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-05-01"))
+            & (F.col("l_shipdate") < _ts("1997-05-31"))
+        )
+        .join(_bcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "p_brand")
+        .agg(_net_cents().alias("cents"))
+    )
+    w = Window.partitionBy("p_type")
+    return (
+        agg.select(
+            "p_type",
+            "p_brand",
+            (F.col("cents") / 100.0).alias("revenue"),
+            F.round(
+                F.col("cents") * 100.0 / F.sum("cents").over(w), 4
+            ).alias("revenue_share"),
+        )
+        .orderBy("p_type", "p_brand")
+    )
+
+
+@query(
+    "dsq25_tri_leg_item_customer_join",
+    oracle="""
+    WITH sales AS (
+      SELECT o_custkey AS ck,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS s_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag <> 'R'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY 1
+    ), rets AS (
+      SELECT o_custkey AS ck,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS r_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-07-01'
+      GROUP BY 1
+    ), resales AS (
+      SELECT o_custkey AS ck,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS c_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag <> 'R'
+        AND l_shipdate >= TIMESTAMP '1997-04-01'
+        AND l_shipdate <  TIMESTAMP '1997-10-01'
+      GROUP BY 1
+    )
+    SELECT c_mktsegment, n_name,
+           CAST(sum(s_cents) AS BIGINT) / 100.0 AS sales_net,
+           CAST(sum(r_cents) AS BIGINT) / 100.0 AS returns_net,
+           CAST(sum(c_cents) AS BIGINT) / 100.0 AS resales_net
+    FROM sales
+    JOIN rets    USING (ck)
+    JOIN resales USING (ck)
+    JOIN customer ON ck = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="TPC-DS Q25/Q29 shape: three channel legs (sales in a base "
+    "quarter, returns across six months, repeat sales in the "
+    "following window) each aggregated per shared key BEFORE a "
+    "three-way equi-join, then re-aggregated to the (segment, "
+    "nation) grain. DS keys on (item, customer); this corpus is too "
+    "sparse for item-level repeat purchases at test SF, so the legs "
+    "key on the customer (same construct, denser key). All three "
+    "legs share one shuffle key so the joins co-locate; dims "
+    "broadcast after the fact reduction.",
+)
+def dsq25_tri_leg_item_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    lo = t["lineitem"].join(
+        t["orders"].select("o_orderkey", "o_custkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+
+    def leg(pred, lo_frame, alias: str) -> DataFrame:
+        return (
+            lo_frame.filter(pred)
+            .groupBy(F.col("o_custkey").alias("ck"))
+            .agg(_net_cents().alias(alias))
+        )
+
+    sales = leg(
+        (F.col("l_returnflag") != "R")
+        & (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-04-01")),
+        lo, "s_cents",
+    )
+    rets = leg(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-07-01")),
+        lo, "r_cents",
+    )
+    resales = leg(
+        (F.col("l_returnflag") != "R")
+        & (F.col("l_shipdate") >= _ts("1997-04-01"))
+        & (F.col("l_shipdate") < _ts("1997-10-01")),
+        lo, "c_cents",
+    )
+    return (
+        sales.join(rets, ["ck"])
+        .join(resales, ["ck"])
+        .join(_bcast(t["customer"].select("c_custkey", "c_mktsegment",
+                                          "c_nationkey")),
+              F.col("ck") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_mktsegment", "n_name")
+        .agg(
+            (F.sum("s_cents").cast("bigint") / 100.0).alias("sales_net"),
+            (F.sum("r_cents").cast("bigint") / 100.0).alias("returns_net"),
+            (F.sum("c_cents").cast("bigint") / 100.0).alias("resales_net"),
+        )
+        .orderBy("c_mktsegment", "n_name")
+    )
+
+
+@query(
+    "dsq53_quarterly_deviation",
+    oracle="""
+    WITH q AS (
+      SELECT p_brand, CAST(quarter(l_shipdate) AS INT) AS qtr,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT p_brand, qtr, q_sales, brand_avg FROM (
+      SELECT p_brand, qtr, cents / 100.0 AS q_sales,
+             round(avg(cents) OVER (PARTITION BY p_brand) / 100.0, 4)
+               AS brand_avg,
+             avg(cents) OVER (PARTITION BY p_brand) AS avg_c,
+             cents
+      FROM q
+    )
+    WHERE abs(cents - avg_c) / avg_c > 0.1
+    ORDER BY p_brand, qtr
+    """,
+    doc="TPC-DS Q53/Q63 shape: per-brand quarterly sales kept when "
+    "they deviate more than 10% from the brand's yearly average — "
+    "the windowed-deviation gate over a QUARTER grain (dsq89 is the "
+    "monthly store-channel variant). The window sees only the "
+    "grouped |brands|x4 frame; exact cents make the deviation "
+    "ratio engine-identical.",
+)
+def dsq53_quarterly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    q = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .join(_bcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", F.quarter("l_shipdate").cast("int").alias("qtr"))
+        .agg(_net_cents().alias("cents"))
+    )
+    w = Window.partitionBy("p_brand")
+    avg_c = F.avg("cents").over(w)
+    return (
+        q.withColumn("avg_c", avg_c)
+        .filter(F.abs(F.col("cents") - F.col("avg_c")) / F.col("avg_c") > 0.1)
+        .select(
+            "p_brand",
+            "qtr",
+            (F.col("cents") / 100.0).alias("q_sales"),
+            F.round(F.col("avg_c") / 100.0, 4).alias("brand_avg"),
+        )
+        .orderBy("p_brand", "qtr")
+    )
+
+
+@query(
+    "dsq56_color_restricted_union",
+    oracle="""
+    WITH ids AS (
+      SELECT p_partkey, p_name FROM part
+      WHERE p_name LIKE 'red %' OR p_name LIKE 'blue %'
+         OR p_name LIKE 'hot %'
+    ), chan AS (
+      SELECT p_name,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem JOIN ids ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-03-01'
+      GROUP BY 1
+      UNION ALL
+      SELECT p_name,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem JOIN ids ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+        AND l_shipdate <  TIMESTAMP '1997-08-01'
+      GROUP BY 1
+      UNION ALL
+      SELECT p_name,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem JOIN ids ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-10-01'
+        AND l_shipdate <  TIMESTAMP '1997-12-01'
+      GROUP BY 1
+    )
+    SELECT p_name, CAST(sum(cents) AS BIGINT) / 100.0 AS total_sales
+    FROM chan GROUP BY p_name
+    ORDER BY total_sales, p_name
+    """,
+    doc="TPC-DS Q56/Q60 shape: an item-id set restricted by a COLOR "
+    "disjunction (p_name prefix arms), revenue computed per channel "
+    "(three date slices here), UNION ALL'd and re-summed per item — "
+    "dsq33's variant where the restriction is a LIKE-arm subquery "
+    "shared by every leg. The ids frame broadcasts to all three "
+    "legs; each leg aggregates before the union.",
+)
+def dsq56_color_restricted_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ids = t["part"].filter(
+        F.col("p_name").like("red %")
+        | F.col("p_name").like("blue %")
+        | F.col("p_name").like("hot %")
+    ).select("p_partkey", "p_name")
+
+    def leg(lo: str, hi: str) -> DataFrame:
+        return (
+            t["lineitem"]
+            .filter((F.col("l_shipdate") >= _ts(lo)) & (F.col("l_shipdate") < _ts(hi)))
+            .join(_bcast(ids), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_name")
+            .agg(_net_cents().alias("cents"))
+        )
+
+    chan = (
+        leg("1997-01-01", "1997-03-01")
+        .unionByName(leg("1997-06-01", "1997-08-01"))
+        .unionByName(leg("1997-10-01", "1997-12-01"))
+    )
+    return (
+        chan.groupBy("p_name")
+        .agg((F.sum("cents").cast("bigint") / 100.0).alias("total_sales"))
+        .orderBy("total_sales", "p_name")
+    )
+
+
+@query(
+    "dsq68_order_band_rows",
+    oracle="""
+    WITH per AS (
+      SELECT l_orderkey,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS net_cents,
+             CAST(sum(CAST(round(l_extendedprice * l_tax * 100)
+                           AS BIGINT)) AS BIGINT) AS tax_cents
+      FROM lineitem GROUP BY 1
+    )
+    SELECT c_name, o_orderkey, n_lines,
+           net_cents / 100.0 AS net_total,
+           tax_cents / 100.0 AS tax_total
+    FROM per
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_2', 'NATION_4')
+      AND n_lines BETWEEN 5 AND 7
+    ORDER BY c_name, o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-DS Q68/Q79 shape: per-ORDER extended totals (two money "
+    "sums + line count) for orders inside a line-count band from "
+    "customers in two geographies, returned as order-level ROWS "
+    "(dsq34 returns the banded distribution; this returns the "
+    "orders). One fact shuffle computes the per-order frame; the "
+    "band filter then prunes it before the dim joins.",
+)
+def dsq68_order_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    per = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            _net_cents().alias("net_cents"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_tax") * 100)
+                .cast("bigint")
+            ).cast("bigint").alias("tax_cents"),
+        )
+        .filter(F.col("n_lines").between(5, 7))
+    )
+    return (
+        per.join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            _bcast(t["customer"].select("c_custkey", "c_name", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                t["nation"].filter(F.col("n_name").isin("NATION_2", "NATION_4"))
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "c_name",
+            "o_orderkey",
+            "n_lines",
+            (F.col("net_cents") / 100.0).alias("net_total"),
+            (F.col("tax_cents") / 100.0).alias("tax_total"),
+        )
+        .orderBy("c_name", "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "dsq69_exclusive_channel_profile",
+    oracle="""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01')
+      AND NOT EXISTS (
+        SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l JOIN orders o2
+          ON l.l_orderkey = o2.o_orderkey
+        WHERE o2.o_custkey = c.c_custkey AND l.l_returnflag = 'R'
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="TPC-DS Q69 shape: demographic counts of customers ACTIVE in "
+    "one channel during a window but absent from BOTH other channels "
+    "(EXISTS + two NOT EXISTS; dsq35's variant where the other "
+    "channels must be empty, not OR'd). Spark plans one semi-join "
+    "and two anti-joins over pre-reduced key frames — the returned-"
+    "customer keys reduce through orders before the anti-join so no "
+    "correlated rescans of the fact.",
+)
+def dsq69_exclusive_channel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    active = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= _ts("1997-01-01"))
+            & (F.col("o_orderdate") < _ts("1998-01-01"))
+        )
+        .select("o_custkey")
+    )
+    eventers = t["events"].select(F.col("user_id").alias("ek"))
+    returners = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .select("l_orderkey")
+        .join(
+            t["orders"].select("o_orderkey", F.col("o_custkey").alias("rk")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("rk")
+    )
+    return (
+        t["customer"]
+        .join(active, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .join(eventers, F.col("c_custkey") == F.col("ek"), "left_anti")
+        .join(returners, F.col("c_custkey") == F.col("rk"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "dsq86_orders_rollup_rank",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(grouping(o_orderstatus) + grouping(o_orderpriority)
+                  AS INT) AS lochierarchy,
+             o_orderstatus, o_orderpriority,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+      GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    )
+    SELECT lochierarchy, o_orderstatus, o_orderpriority,
+           cents / 100.0 AS total_paid,
+           CAST(rank() OVER (
+                  PARTITION BY lochierarchy,
+                               CASE WHEN lochierarchy = 0
+                                    THEN o_orderstatus END
+                  ORDER BY cents DESC,
+                           o_orderpriority NULLS FIRST)
+                AS INT) AS rank_within_parent
+    FROM agg
+    ORDER BY lochierarchy DESC, o_orderstatus NULLS FIRST,
+             o_orderpriority NULLS FIRST
+    """,
+    doc="TPC-DS Q86 shape: the single-fact (no-margin) sibling of "
+    "dsq36 — a 2-level ROLLUP over order attributes with rank() "
+    "within (lochierarchy, parent-when-leaf), ordered by the summed "
+    "measure DESC. Exact cents keep the DESC rank order identical "
+    "across engines; the window sees only the rolled-up frame.",
+)
+def dsq86_orders_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    agg = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= _ts("1997-01-01"))
+            & (F.col("o_orderdate") < _ts("1998-01-01"))
+        )
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            (F.grouping("o_orderstatus") + F.grouping("o_orderpriority"))
+            .cast("int").alias("lochierarchy"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint").alias("cents"),
+        )
+        .select("lochierarchy", "o_orderstatus", "o_orderpriority", "cents")
+    )
+    w = Window.partitionBy(
+        "lochierarchy",
+        F.when(F.col("lochierarchy") == 0, F.col("o_orderstatus")),
+    ).orderBy(F.col("cents").desc(), F.col("o_orderpriority").asc_nulls_first())
+    return (
+        agg.withColumn("rank_within_parent", F.rank().over(w).cast("int"))
+        .select(
+            "lochierarchy",
+            "o_orderstatus",
+            "o_orderpriority",
+            (F.col("cents") / 100.0).alias("total_paid"),
+            "rank_within_parent",
+        )
+        .orderBy(
+            F.col("lochierarchy").desc(),
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "dsq91_monthly_demographic_returns",
+    oracle="""
+    SELECT CAST(month(l_shipdate) AS INT) AS ret_month,
+           o_orderpriority,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                               * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS returns_loss
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R'
+      AND ((c_mktsegment = 'AUTOMOBILE' AND c_acctbal < 1000)
+           OR (c_mktsegment = 'HOUSEHOLD' AND c_acctbal >= 1000))
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="TPC-DS Q91 shape: monthly returns loss per call-center "
+    "(order priority here) restricted to customers matching a "
+    "two-arm demographic DISJUNCTION (segment x balance band). The "
+    "disjunction's hull (segment IN the two values) pushes into the "
+    "broadcast customer scan; the residual arms evaluate at join "
+    "time; one fact shuffle.",
+)
+def dsq91_monthly_demographic_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    arms = (
+        (F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_acctbal") < 1000)
+    ) | ((F.col("c_mktsegment") == "HOUSEHOLD") & (F.col("c_acctbal") >= 1000))
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            _bcast(
+                t["customer"]
+                .filter(F.col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD"))
+                .select("c_custkey", "c_mktsegment", "c_acctbal")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(arms)
+        .groupBy(
+            F.month("l_shipdate").cast("int").alias("ret_month"),
+            "o_orderpriority",
+        )
+        .agg((_net_cents() / 100.0).alias("returns_loss"))
+        .orderBy("ret_month", "o_orderpriority")
+    )
