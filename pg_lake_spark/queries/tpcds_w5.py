@@ -1565,3 +1565,537 @@ def dsq91_monthly_demographic_returns(spark: SparkSession, sf_dir: str) -> DataF
         .agg((_net_cents() / 100.0).alias("returns_loss"))
         .orderBy("ret_month", "o_orderpriority")
     )
+
+
+@query(
+    "dsq20_priority_share_window",
+    oracle="""
+    WITH agg AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-02-01'
+        AND o_orderdate <  TIMESTAMP '1997-04-01'
+      GROUP BY 1, 2
+    )
+    SELECT o_orderstatus, o_orderpriority, cents / 100.0 AS revenue,
+           round(cents * 100.0
+                 / sum(cents) OVER (PARTITION BY o_orderstatus), 4)
+             AS revenue_share
+    FROM agg
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+    doc="TPC-DS Q20 shape: the orders-channel member of the "
+    "Q12/Q20/Q98 revenue-share family — share of each priority "
+    "within its order-status class over a 60-day window, no item "
+    "dimension at all (distinct join tree from dsq12). Exact cents "
+    "in both the numerator and the partitioned window denominator.",
+)
+def dsq20_priority_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    agg = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= _ts("1997-02-01"))
+            & (F.col("o_orderdate") < _ts("1997-04-01"))
+        )
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint").alias("cents")
+        )
+    )
+    w = Window.partitionBy("o_orderstatus")
+    return (
+        agg.select(
+            "o_orderstatus",
+            "o_orderpriority",
+            (F.col("cents") / 100.0).alias("revenue"),
+            F.round(F.col("cents") * 100.0 / F.sum("cents").over(w), 4)
+            .alias("revenue_share"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@query(
+    "dsq60_type_restricted_union_desc",
+    oracle="""
+    WITH ids AS (
+      SELECT p_partkey, p_brand FROM part
+      WHERE p_type IN ('PROMO', 'ECONOMY')
+    ), chan AS (
+      SELECT p_brand,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem JOIN ids ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        AND l_shipdate <  TIMESTAMP '1996-10-01'
+      GROUP BY 1
+      UNION ALL
+      SELECT p_brand,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem JOIN ids ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        AND l_shipdate <  TIMESTAMP '1997-10-01'
+      GROUP BY 1
+      UNION ALL
+      SELECT p_brand,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem JOIN ids ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1998-09-01'
+        AND l_shipdate <  TIMESTAMP '1998-10-01'
+      GROUP BY 1
+    )
+    SELECT p_brand, CAST(sum(cents) AS BIGINT) / 100.0 AS total_sales
+    FROM chan GROUP BY p_brand
+    ORDER BY total_sales DESC, p_brand
+    """,
+    doc="TPC-DS Q60 shape: the brand-grain, category-IN-restricted, "
+    "DESC-ordered member of the Q56/Q60 union family — three "
+    "same-month-across-years channels (Q60 unions the September of "
+    "each channel) summed per brand. Distinct restriction (category "
+    "IN-list, not color LIKE-arms) and distinct time topology "
+    "(same month, three years) from dsq56.",
+)
+def dsq60_type_restricted_union_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ids = (
+        t["part"]
+        .filter(F.col("p_type").isin("PROMO", "ECONOMY"))
+        .select("p_partkey", "p_brand")
+    )
+
+    def leg(lo: str, hi: str) -> DataFrame:
+        return (
+            t["lineitem"]
+            .filter((F.col("l_shipdate") >= _ts(lo)) & (F.col("l_shipdate") < _ts(hi)))
+            .join(_bcast(ids), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand")
+            .agg(_net_cents().alias("cents"))
+        )
+
+    chan = (
+        leg("1996-09-01", "1996-10-01")
+        .unionByName(leg("1997-09-01", "1997-10-01"))
+        .unionByName(leg("1998-09-01", "1998-10-01"))
+    )
+    return (
+        chan.groupBy("p_brand")
+        .agg((F.sum("cents").cast("bigint") / 100.0).alias("total_sales"))
+        .orderBy(F.col("total_sales").desc(), "p_brand")
+    )
+
+
+@query(
+    "dsq62_latency_buckets_with_avg",
+    oracle="""
+    SELECT n_name, l_linestatus,
+           CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate)
+                          <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate)
+                          > 30 AND datediff('day', o_orderdate,
+                          l_shipdate) <= 60 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d60,
+           CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate)
+                          > 60 AND datediff('day', o_orderdate,
+                          l_shipdate) <= 90 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d90,
+           CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate)
+                          > 90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS d90plus,
+           round(CAST(sum(datediff('day', o_orderdate, l_shipdate))
+                      AS BIGINT) * 10000.0 / count(*)) / 10000.0
+             AS avg_days
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="TPC-DS Q62 shape: the web-channel member of the Q99/Q62 "
+    "latency family — bucket counts per (warehouse=nation, "
+    "ship-mode=linestatus) PLUS the mean days-to-ship alongside the "
+    "band matrix (Q99 has no average column). The average is an "
+    "exact integer-day sum over count, rounded in integer space so "
+    "both engines emit the identical double.",
+)
+def dsq62_latency_buckets_with_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+
+    def band(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(_bcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "l_linestatus")
+        .agg(
+            band(lag <= 30).alias("d30"),
+            band((lag > 30) & (lag <= 60)).alias("d60"),
+            band((lag > 60) & (lag <= 90)).alias("d90"),
+            band(lag > 90).alias("d90plus"),
+            (
+                F.round(
+                    F.sum(lag).cast("bigint") * 10000.0 / F.count(F.lit(1))
+                ) / 10000.0
+            ).alias("avg_days"),
+        )
+        .orderBy("n_name", "l_linestatus")
+    )
+
+
+@query(
+    "dsq63_monthly_type_deviation",
+    oracle="""
+    WITH m AS (
+      SELECT p_type, CAST(month(l_shipdate) AS INT) AS mth,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+        AND p_size BETWEEN 5 AND 40
+      GROUP BY 1, 2
+    )
+    SELECT p_type, mth, m_sales, type_avg FROM (
+      SELECT p_type, mth, cents / 100.0 AS m_sales,
+             round(avg(cents) OVER (PARTITION BY p_type) / 100.0, 4)
+               AS type_avg,
+             avg(cents) OVER (PARTITION BY p_type) AS avg_c, cents
+      FROM m
+    )
+    WHERE abs(cents - avg_c) / avg_c > 0.05
+    ORDER BY p_type, mth
+    """,
+    doc="TPC-DS Q63 shape: the monthly, category-grain member of the "
+    "Q53/Q63 deviation family — per-type monthly sales kept when "
+    "off the type's yearly average by more than 5%, under a dim "
+    "size band (dsq53 is quarterly per-brand at 10%). Same "
+    "exact-cents windowed-gate discipline, different grain and "
+    "threshold.",
+)
+def dsq63_monthly_type_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    m = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .join(
+            _bcast(t["part"].filter(F.col("p_size").between(5, 40))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_type", F.month("l_shipdate").cast("int").alias("mth"))
+        .agg(_net_cents().alias("cents"))
+    )
+    w = Window.partitionBy("p_type")
+    avg_c = F.avg("cents").over(w)
+    return (
+        m.withColumn("avg_c", avg_c)
+        .filter(F.abs(F.col("cents") - F.col("avg_c")) / F.col("avg_c") > 0.05)
+        .select(
+            "p_type",
+            "mth",
+            (F.col("cents") / 100.0).alias("m_sales"),
+            F.round(F.col("avg_c") / 100.0, 4).alias("type_avg"),
+        )
+        .orderBy("p_type", "mth")
+    )
+
+
+@query(
+    "dsq73_big_order_customer_counts",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS nl
+      FROM lineitem GROUP BY 1 HAVING count(*) >= 7
+    )
+    SELECT c_custkey, c_name, CAST(count(*) AS BIGINT) AS big_orders
+    FROM big
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2
+    HAVING count(*) BETWEEN 1 AND 5
+    ORDER BY big_orders DESC, c_custkey
+    """,
+    doc="TPC-DS Q73 shape: customers holding between 1 and 5 "
+    "large-basket orders in a year (dsq34 returns the band "
+    "distribution; Q73 returns the customer list with the count "
+    "band in a HAVING). Two stacked HAVING gates: per-order line "
+    "count, then per-customer order count; both run on grouped "
+    "frames.",
+)
+def dsq73_big_order_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nl"))
+        .filter(F.col("nl") >= 7)
+        .select("l_orderkey")
+    )
+    return (
+        big.join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= _ts("1997-01-01"))
+                & (F.col("o_orderdate") < _ts("1998-01-01"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            _bcast(t["customer"].select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("big_orders"))
+        .filter(F.col("big_orders").between(1, 5))
+        .orderBy(F.col("big_orders").desc(), "c_custkey")
+    )
+
+
+@query(
+    "dsq79_best_shopping_day",
+    oracle="""
+    WITH daily AS (
+      SELECT o_custkey AS ck, date_trunc('day', o_orderdate) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT c_custkey, c_name, d AS best_day,
+           cents / 100.0 AS day_total
+    FROM (
+      SELECT ck, d, cents,
+             row_number() OVER (PARTITION BY ck
+                                ORDER BY cents DESC, d) AS rn
+      FROM daily
+    )
+    JOIN customer ON ck = c_custkey
+    WHERE rn = 1
+    ORDER BY c_custkey
+    """,
+    doc="TPC-DS Q79 shape: each customer's single BIGGEST shopping "
+    "day — per-(customer, day) totals reduced first, then a "
+    "row_number window picks the max row per customer (ties broken "
+    "by date). The window runs over the grouped daily frame; exact "
+    "cents keep the DESC pick identical across engines.",
+)
+def dsq79_best_shopping_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= _ts("1997-01-01"))
+            & (F.col("o_orderdate") < _ts("1998-01-01"))
+        )
+        .groupBy(
+            F.col("o_custkey").alias("ck"),
+            F.date_trunc("day", F.col("o_orderdate")).alias("d"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint").alias("cents")
+        )
+    )
+    w = Window.partitionBy("ck").orderBy(F.col("cents").desc(), F.col("d"))
+    return (
+        daily.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(
+            _bcast(t["customer"].select("c_custkey", "c_name")),
+            F.col("ck") == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("d").alias("best_day"),
+            (F.col("cents") / 100.0).alias("day_total"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "dsq81_supplier_return_ratio",
+    oracle="""
+    WITH sr AS (
+      SELECT s_suppkey, s_name, n_name,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS ret_qty
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+      GROUP BY 1, 2, 3
+    )
+    SELECT s_suppkey, s_name, n_name, ret_qty
+    FROM sr s1
+    WHERE ret_qty > 1.05 * (SELECT avg(ret_qty) FROM sr s2
+                            WHERE s2.n_name = s1.n_name)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-DS Q81 shape: the supplier-side, quantity-metric member "
+    "of the Q30/Q81 return-ratio family — suppliers whose returned "
+    "QUANTITY exceeds 1.05x their nation's average (dsq30 gates "
+    "customers on returned value). Integral quantities make the "
+    "gate exact; the per-nation average is a window over the "
+    "grouped supplier frame.",
+)
+def dsq81_supplier_return_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    sr = (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(
+            _bcast(t["supplier"].select("s_suppkey", "s_name", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("bigint"))
+            .cast("bigint").alias("ret_qty")
+        )
+    )
+    w = Window.partitionBy("n_name")
+    return (
+        sr.withColumn("nat_avg", F.avg("ret_qty").over(w))
+        .filter(F.col("ret_qty") > 1.05 * F.col("nat_avg"))
+        .select("s_suppkey", "s_name", "n_name", "ret_qty")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "dsq82_deficit_supplier_band_parts",
+    oracle="""
+    SELECT p_partkey, p_name, p_type, round(p_retailprice, 2) AS price
+    FROM part
+    WHERE p_retailprice BETWEEN 910 AND 960
+      AND p_size BETWEEN 2 AND 20
+      AND p_partkey IN (
+        SELECT l_partkey
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        WHERE s_acctbal < 0
+          AND l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-07-01'
+      )
+    ORDER BY p_name, p_type, p_partkey
+    LIMIT 50
+    """,
+    doc="TPC-DS Q82 shape: the store-channel sibling of dsq37 — "
+    "dimension rows in attribute bands gated by fact activity, with "
+    "the gate's fact leg itself JOINED to a second filtered "
+    "dimension (supplier in deficit; Q82 joins inventory to "
+    "store_sales where Q37 uses catalog). The supplier filter "
+    "reduces the semi-join's build side before it reaches the "
+    "dimension probe.",
+)
+def dsq82_deficit_supplier_band_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    active = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1998-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-07-01"))
+        )
+        .join(
+            _bcast(t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("l_partkey")
+    )
+    return (
+        t["part"]
+        .filter(
+            F.col("p_retailprice").between(910, 960)
+            & F.col("p_size").between(2, 20)
+        )
+        .join(active, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .select(
+            "p_partkey", "p_name", "p_type",
+            F.round("p_retailprice", 2).alias("price"),
+        )
+        .orderBy("p_name", "p_type", "p_partkey")
+        .limit(50)
+    )
+
+
+@query(
+    "dsq92_windowed_excess_discount",
+    oracle="""
+    SELECT CAST(sum(CAST(round(l1.l_extendedprice * l1.l_discount
+                               * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS excess_discount_amount
+    FROM lineitem l1
+    JOIN part ON l1.l_partkey = p_partkey
+    WHERE p_size <= 15
+      AND l1.l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l1.l_shipdate <  TIMESTAMP '1997-06-01'
+      AND l1.l_discount > 1.3 * (
+            SELECT avg(l2.l_discount) FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey
+              AND l2.l_shipdate >= TIMESTAMP '1997-03-01'
+              AND l2.l_shipdate <  TIMESTAMP '1997-06-01')
+    """,
+    doc="TPC-DS Q92 shape: the web-channel sibling of dsq32 — total "
+    "DISCOUNT amount (not price) on lines whose discount exceeds "
+    "1.3x the per-item average computed over the SAME 90-day "
+    "window (dsq32's correlated average spans the whole year). "
+    "Spark de-correlates to one windowed aggregate of the filtered "
+    "fact joined back on the item key — the correlated rescan "
+    "becomes a single shuffle. Discounts are fixed-point values, "
+    "so avg = exact-sum/count is engine-identical.",
+)
+def dsq92_windowed_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    win = t["lineitem"].filter(
+        (F.col("l_shipdate") >= _ts("1997-03-01"))
+        & (F.col("l_shipdate") < _ts("1997-06-01"))
+    )
+    bps = F.round(F.col("l_discount") * 10000).cast("bigint")
+    per_part = (
+        win.groupBy(F.col("l_partkey").alias("pk"))
+        .agg((F.sum(bps).cast("bigint") * 1.0
+              / (10000.0 * F.count(F.lit(1)))).alias("avg_disc"))
+    )
+    return (
+        win.join(
+            _bcast(t["part"].filter(F.col("p_size") <= 15).select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(per_part, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_discount") > 1.3 * F.col("avg_disc"))
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * F.col("l_discount") * 100
+                    ).cast("bigint")
+                ).cast("bigint") / 100.0
+            ).alias("excess_discount_amount")
+        )
+    )
