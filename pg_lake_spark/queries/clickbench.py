@@ -762,3 +762,323 @@ def cb_min_string_mixed_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c").desc(), "event_type")
         .limit(10)
     )
+
+
+@query(
+    "cb_model_distinct_users",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS u
+    FROM events
+    WHERE event_type <> 'view'
+    GROUP BY event_type
+    ORDER BY u DESC, event_type
+    LIMIT 10
+    """,
+    doc="ClickBench shape (hits Q11: MobilePhoneModel distinct-user "
+    "top-N under a non-empty filter): COUNT(DISTINCT user) per model "
+    "with the model filter pushed to the scan. The distinct expands "
+    "in an Expand node over one shuffle; top-N fuses.",
+)
+def cb_model_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("event_type") != "view")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("u"))
+        .orderBy(F.col("u").desc(), "event_type")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_model_pair_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(CAST(regexp_extract(props, '"k": (\\d+)', 1)
+                           AS INT) / 25) AS INT) AS k_band,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS u
+    FROM events
+    WHERE event_type <> 'view'
+    GROUP BY 1, 2
+    ORDER BY u DESC, event_type, k_band
+    LIMIT 10
+    """,
+    doc="ClickBench shape (hits Q12: (MobilePhone, MobilePhoneModel) "
+    "pair distinct-user top-N): the two-dimension variant of Q11 — "
+    "the second key is computed (regexp band), so the grouping runs "
+    "over an expression pair, not raw columns.",
+)
+def cb_model_pair_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    k_band = F.floor(
+        F.regexp_extract("props", '"k": (\\d+)', 1).cast("int") / 25
+    ).cast("int")
+    return (
+        t["events"]
+        .filter(F.col("event_type") != "view")
+        .groupBy("event_type", k_band.alias("k_band"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("u"))
+        .orderBy(F.col("u").desc(), "event_type", "k_band")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_global_scalar_profile",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+             / 10000.0 AS sum_value,
+           round(CAST(sum(CAST(round(value * 10000) AS BIGINT))
+                      AS BIGINT) * 100.0 / count(*)) / 1000000.0
+             AS avg_value,
+           min(ts) AS min_ts, max(ts) AS max_ts
+    FROM events
+    """,
+    doc="ClickBench shape (hits Q1-Q7 scalar family: COUNT(*), "
+    "SUM/AVG, COUNT(DISTINCT UserID), COUNT(DISTINCT SearchPhrase), "
+    "MIN/MAX(EventDate) — the whole-table scalar profile in one "
+    "pass): two distinct-counts expand together; the value sum "
+    "accumulates as exact scaled integers so both engines emit the "
+    "identical double.",
+)
+def cb_global_scalar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    sv = F.sum(F.round(F.col("value") * 10000).cast("bigint")).cast("bigint")
+    n = F.count(F.lit(1))
+    return t["events"].agg(
+        n.cast("bigint").alias("n_rows"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.count_distinct("event_type").cast("bigint").alias("n_types"),
+        (sv / 10000.0).alias("sum_value"),
+        (F.round(sv * 100.0 / n) / 1000000.0).alias("avg_value"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+@query(
+    "cb_phrase_count_and_users",
+    oracle="""
+    SELECT regexp_extract(props, '"k": (\\d+)', 1) AS phrase,
+           CAST(count(*) AS BIGINT) AS c,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS u
+    FROM events
+    WHERE regexp_extract(props, '"k": (\\d+)', 1) <> ''
+    GROUP BY 1
+    ORDER BY c DESC, phrase
+    LIMIT 10
+    """,
+    doc="ClickBench shape (hits Q13/Q14: SearchPhrase top-N by count "
+    "AND by distinct users, phrase non-empty): the phrase is an "
+    "extracted expression, grouped at high cardinality with both a "
+    "plain and a distinct count in the same aggregate.",
+)
+def cb_phrase_count_and_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    phrase = F.regexp_extract("props", '"k": (\\d+)', 1)
+    return (
+        t["events"]
+        .filter(phrase != "")
+        .groupBy(phrase.alias("phrase"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.count_distinct("user_id").cast("bigint").alias("u"),
+        )
+        .orderBy(F.col("c").desc(), "phrase")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_user_minute_phrase",
+    oracle="""
+    SELECT user_id, CAST(minute(ts) AS INT) AS m, event_type,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY c DESC, user_id, m, event_type
+    LIMIT 10
+    """,
+    doc="ClickBench shape (hits Q19: GROUP BY UserID, "
+    "extract(minute), SearchPhrase — a three-key grouping where one "
+    "key is a time-part expression): the widest-cardinality "
+    "grouping of the suite; partial aggregation map-side, top-N "
+    "fused with full tie-break.",
+)
+def cb_user_minute_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(
+            "user_id",
+            F.minute("ts").cast("int").alias("m"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy(F.col("c").desc(), "user_id", "m", "event_type")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_ip_arith_grouping",
+    oracle="""
+    SELECT user_id, user_id - 1 AS u1, user_id - 2 AS u2,
+           user_id - 3 AS u3, CAST(count(*) AS BIGINT) AS c
+    FROM events
+    GROUP BY 1, 2, 3, 4
+    ORDER BY c DESC, user_id
+    LIMIT 10
+    """,
+    doc="ClickBench shape (hits Q37: GROUP BY ClientIP, ClientIP-1, "
+    "ClientIP-2, ClientIP-3): grouping keys that are arithmetic "
+    "derivations of one column — the optimizer must not collapse "
+    "them away, and the aggregate keys stay functionally redundant "
+    "on purpose (tests expression-grouping overhead).",
+)
+def cb_ip_arith_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(
+            "user_id",
+            (F.col("user_id") - 1).alias("u1"),
+            (F.col("user_id") - 2).alias("u2"),
+            (F.col("user_id") - 3).alias("u3"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy(F.col("c").desc(), "user_id")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_windowed_offset_pageviews",
+    oracle="""
+    SELECT regexp_extract(props, '"k": (\\d+)', 1) AS page,
+           CAST(count(*) AS BIGINT) AS page_views
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05'
+      AND ts <  TIMESTAMP '2024-01-20'
+      AND event_type <> 'error'
+      AND regexp_extract(props, '"k": (\\d+)', 1) <> ''
+    GROUP BY 1
+    ORDER BY page_views DESC, page
+    LIMIT 10 OFFSET 40
+    """,
+    doc="ClickBench shape (hits Q38/Q39: URL pageviews inside a "
+    "counter + date window + refresh filters, ORDER BY views DESC "
+    "LIMIT 10 OFFSET 1000): the deep-OFFSET top-N over a filtered, "
+    "computed grouping key. Spark has no native OFFSET pushdown "
+    "into TakeOrdered, so the plan sorts the grouped frame "
+    "(|pages|, tiny) — not the fact.",
+)
+def cb_windowed_offset_pageviews(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    page = F.regexp_extract("props", '"k": (\\d+)', 1)
+    return (
+        t["events"]
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-05").cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit("2024-01-20").cast("timestamp_ntz"))
+            & (F.col("event_type") != "error")
+            & (page != "")
+        )
+        .groupBy(page.alias("page"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("page_views"))
+        .orderBy(F.col("page_views").desc(), "page")
+        .offset(40)
+        .limit(10)
+    )
+
+
+@query(
+    "cb_case_src_dst_matrix",
+    oracle="""
+    SELECT event_type,
+           CASE WHEN user_id % 10 = 0 THEN 'organic'
+                ELSE '' END AS src,
+           CAST(floor(CAST(regexp_extract(props, '"k": (\\d+)', 1)
+                           AS INT) / 20) AS INT) AS dst,
+           CAST(count(*) AS BIGINT) AS page_views
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05'
+      AND ts <  TIMESTAMP '2024-01-25'
+    GROUP BY 1, 2, 3
+    ORDER BY page_views DESC, event_type, src, dst
+    LIMIT 10 OFFSET 20
+    """,
+    doc="ClickBench shape (hits Q40: TraficSourceID/SearchEngineID "
+    "matrix with a CASE-derived Src column and URL Dst, deep "
+    "OFFSET): a grouping key that is CONDITIONALLY blanked by a "
+    "CASE over other columns — the classic traffic-attribution "
+    "matrix. The CASE evaluates pre-aggregation in both engines.",
+)
+def cb_case_src_dst_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    src = F.when(F.col("user_id") % 10 == 0, F.lit("organic")).otherwise(
+        F.lit("")
+    )
+    dst = F.floor(
+        F.regexp_extract("props", '"k": (\\d+)', 1).cast("int") / 20
+    ).cast("int")
+    return (
+        t["events"]
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-05").cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit("2024-01-25").cast("timestamp_ntz"))
+        )
+        .groupBy("event_type", src.alias("src"), dst.alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("page_views"))
+        .orderBy(
+            F.col("page_views").desc(), "event_type", "src", "dst"
+        )
+        .offset(20)
+        .limit(10)
+    )
+
+
+@query(
+    "cb_highcard_pair_stats",
+    oracle="""
+    SELECT event_id % 997 AS wid, user_id,
+           CAST(count(*) AS BIGINT) AS c,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS refreshes,
+           CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+             / 10000.0 AS sum_value
+    FROM events
+    WHERE regexp_extract(props, '"k": (\\d+)', 1) <> ''
+    GROUP BY 1, 2
+    ORDER BY c DESC, wid, user_id
+    LIMIT 10
+    """,
+    doc="ClickBench shape (hits Q31-Q33: (WatchID, ClientIP) "
+    "high-cardinality pair grouping with COUNT, SUM(IsRefresh), "
+    "AVG(ResolutionWidth)): the near-unique composite-key "
+    "aggregation family. One key is derived (hash-mod), the "
+    "conditional refresh sum folds map-side, the value sum is "
+    "exact-scaled.",
+)
+def cb_highcard_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.regexp_extract("props", '"k": (\\d+)', 1) != "")
+        .groupBy((F.col("event_id") % 997).alias("wid"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("bigint").alias("refreshes"),
+            (
+                F.sum(F.round(F.col("value") * 10000).cast("bigint"))
+                .cast("bigint") / 10000.0
+            ).alias("sum_value"),
+        )
+        .orderBy(F.col("c").desc(), "wid", "user_id")
+        .limit(10)
+    )
