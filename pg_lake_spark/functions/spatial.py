@@ -3371,6 +3371,166 @@ def _rd_inverse():
     return fn
 
 
+# -- Krovak oblique conformal conic (EPSG method 9819; CRS 5513/5514
+# S-JTSK, Czech + Slovak national grid). EPSG Guidance Note 7-2
+# formulas: Gauss conformal sphere at the projection centre, sphere
+# rotation to the cone-axis pole (co-latitude alpha_C along the origin
+# meridian), then a conformal conic on the pseudo standard parallel.
+# Verified against the GN7-2 worked example to the centimetre
+# (50d12'32.442"N 16d50'59.179"E -> X 1050538.63 S, Y 568991.00 W).
+# Datum: Bessel 1841 + the published S-JTSK->WGS84 geocentric
+# translation (EPSG 1622: 589, 76, 480 — the grid-free fallback,
+# ~1 m, same convention as RD New above).
+
+#: S-JTSK -> WGS84 (EPSG:1622 geocentric translation; m)
+_HELMERT_SJTSK_TO_WGS84 = (589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)
+
+#: Krovak projection constants (EPSG 5513/5514 on Bessel 1841).
+#: lon_0 is GREENWICH-referenced (the defining 42d30' East of Ferro).
+_KROVAK_LAT_C = 49.5
+_KROVAK_LON_0 = 24.0 + 50.0 / 60.0
+_KROVAK_ALPHA = 30.0 + 17.0 / 60.0 + 17.3031 / 3600.0
+_KROVAK_LAT_P = 78.5
+_KROVAK_K_P = 0.9999
+
+
+def _krovak_consts(a, f, lat_c, lon0, alpha_c, lat_p, k_p):
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    phi_c = math.radians(lat_c)
+    a_c = math.radians(alpha_c)
+    phi_p = math.radians(lat_p)
+    s_c = math.sin(phi_c)
+    A = a * math.sqrt(1 - e2) / (1 - e2 * s_c * s_c)
+    B = math.sqrt(1 + e2 * math.cos(phi_c) ** 4 / (1 - e2))
+    g0 = math.asin(s_c / B)
+    t0 = (
+        math.tan(math.pi / 4 + g0 / 2)
+        * ((1 + e * s_c) / (1 - e * s_c)) ** (e * B / 2)
+        / math.tan(math.pi / 4 + phi_c / 2) ** B
+    )
+    n = math.sin(phi_p)
+    r0 = k_p * A / math.tan(phi_p)
+    return e, B, t0, n, r0, a_c, phi_p, math.radians(lon0)
+
+
+def _krovak_forward_gen(a, f, lat_c, lon0, alpha_c, lat_p, k_p,
+                        x0=0.0, y0=0.0, east_north=True):
+    """Krovak forward (EPSG 9819). east_north=True emits the EPSG
+    5514 convention (easting = -westing, northing = -southing, both
+    negative over the region); False emits raw 5513 southing/westing."""
+    e, B, t0, n, r0, a_c, phi_p, lam0 = _krovak_consts(
+        a, f, lat_c, lon0, alpha_c, lat_p, k_p
+    )
+    tan_p = math.tan(math.pi / 4 + phi_p / 2) ** n
+
+    def fn(lon: float, lat: float) -> tuple[float, float]:
+        phi, lam = math.radians(lat), math.radians(lon)
+        s = math.sin(phi)
+        U = 2 * (
+            math.atan(
+                t0
+                * math.tan(phi / 2 + math.pi / 4) ** B
+                / ((1 + e * s) / (1 - e * s)) ** (e * B / 2)
+            )
+            - math.pi / 4
+        )
+        V = B * (lam0 - lam)
+        T = math.asin(
+            math.cos(a_c) * math.sin(U)
+            + math.sin(a_c) * math.cos(U) * math.cos(V)
+        )
+        D = math.asin(math.cos(U) * math.sin(V) / math.cos(T))
+        theta = n * D
+        r = r0 * tan_p / math.tan(T / 2 + math.pi / 4) ** n
+        southing = r * math.cos(theta) + x0
+        westing = r * math.sin(theta) + y0
+        if east_north:
+            return -westing, -southing
+        return southing, westing
+
+    return fn
+
+
+def _krovak_inverse_gen(a, f, lat_c, lon0, alpha_c, lat_p, k_p,
+                        x0=0.0, y0=0.0, east_north=True):
+    """Krovak inverse (EPSG 9819): conic -> rotated sphere -> Gauss
+    sphere -> geodetic latitude fixed point (converges in ~4)."""
+    e, B, t0, n, r0, a_c, phi_p, lam0 = _krovak_consts(
+        a, f, lat_c, lon0, alpha_c, lat_p, k_p
+    )
+    tan_p = math.tan(math.pi / 4 + phi_p / 2)
+
+    def fn(x: float, y: float) -> tuple[float, float]:
+        if east_north:
+            southing, westing = -y - x0, -x - y0
+        else:
+            southing, westing = x - x0, y - y0
+        r = math.hypot(southing, westing)
+        theta = math.atan2(westing, southing)
+        D = theta / n
+        T = 2 * (
+            math.atan((r0 / r) ** (1.0 / n) * tan_p) - math.pi / 4
+        )
+        U = math.asin(
+            math.cos(a_c) * math.sin(T)
+            - math.sin(a_c) * math.cos(T) * math.cos(D)
+        )
+        V = math.asin(math.cos(T) * math.sin(D) / math.cos(U))
+        lam = lam0 - V / B
+        base = t0 ** (-1.0 / B) * math.tan(U / 2 + math.pi / 4) ** (1.0 / B)
+        phi = U
+        for _ in range(20):
+            s = math.sin(phi)
+            new = 2 * (
+                math.atan(base * ((1 + e * s) / (1 - e * s)) ** (e / 2))
+                - math.pi / 4
+            )
+            if abs(new - phi) < 1e-14:
+                phi = new
+                break
+            phi = new
+        return math.degrees(lam), math.degrees(phi)
+
+    return fn
+
+
+def _krovak_fwd_bessel(lon: float, lat: float) -> tuple[float, float]:
+    """EPSG 5514 forward from BESSEL geographic coords (GN7-2 9819)."""
+    return _krovak_forward_gen(
+        _BESSEL_A, _BESSEL_F, _KROVAK_LAT_C, _KROVAK_LON_0,
+        _KROVAK_ALPHA, _KROVAK_LAT_P, _KROVAK_K_P,
+    )(lon, lat)
+
+
+def _krovak_inv_bessel(x: float, y: float) -> tuple[float, float]:
+    """EPSG 5514 inverse to BESSEL geographic coords."""
+    return _krovak_inverse_gen(
+        _BESSEL_A, _BESSEL_F, _KROVAK_LAT_C, _KROVAK_LON_0,
+        _KROVAK_ALPHA, _KROVAK_LAT_P, _KROVAK_K_P,
+    )(x, y)
+
+
+def _krovak_5514_forward():
+    def fn(x: float, y: float) -> tuple[float, float]:
+        cart = _geodetic_to_cart(_WGS84_A, _WGS84_F, x, y)
+        cart = _helmert(_HELMERT_SJTSK_TO_WGS84, *cart, inverse=True)
+        lon, lat = _cart_to_geodetic(_BESSEL_A, _BESSEL_F, *cart)
+        return _krovak_fwd_bessel(lon, lat)
+
+    return fn
+
+
+def _krovak_5514_inverse():
+    def fn(x: float, y: float) -> tuple[float, float]:
+        lon, lat = _krovak_inv_bessel(x, y)
+        cart = _geodetic_to_cart(_BESSEL_A, _BESSEL_F, lon, lat)
+        cart = _helmert(_HELMERT_SJTSK_TO_WGS84, *cart)
+        return _cart_to_geodetic(_WGS84_A, _WGS84_F, *cart)
+
+    return fn
+
+
 # -- proj-string front-end: any CRS whose projection METHOD is one of
 # the kernels above (tmerc/utm, lcc, aea, polar stere, sterea oblique
 # stereographic, webmerc, longlat) works by passing its parameters as
@@ -3477,6 +3637,25 @@ def _projdef_fns(d: dict):
             _ostereo_forward_gen(a, f, lat0, lon0, k0, x0, y0),
             _ostereo_inverse_gen(a, f, lat0, lon0, k0, x0, y0),
         )
+    if proj == "krovak":
+        # PROJ parameter conventions: lat_0 (projection centre,
+        # default 49.5), lon_0 (GREENWICH-referenced longitude of
+        # origin, default 24d50' = the defining 42d30' East of
+        # Ferro), alpha (cone-axis co-latitude), k (pseudo-parallel
+        # scale). Default output is the EPSG 5514 east-north
+        # convention (negative values); +czech emits raw 5513
+        # southing/westing like PROJ's flag of the same name.
+        lat_c = float(d.get("lat_0", _KROVAK_LAT_C))
+        lon_o = float(d.get("lon_0", _KROVAK_LON_0))
+        alpha = float(d.get("alpha", _KROVAK_ALPHA))
+        k_p = float(d.get("k", d.get("k_0", _KROVAK_K_P)))
+        en = "czech" not in d
+        return (
+            _krovak_forward_gen(a, f, lat_c, lon_o, alpha,
+                                _KROVAK_LAT_P, k_p, x0, y0, en),
+            _krovak_inverse_gen(a, f, lat_c, lon_o, alpha,
+                                _KROVAK_LAT_P, k_p, x0, y0, en),
+        )
     if proj == "webmerc":
         # Popular Visualisation Pseudo-Mercator (EPSG 1024): spherical
         # formulas on the ellipsoid's semi-major axis BY SPEC — the
@@ -3541,8 +3720,8 @@ def _projdef_fns(d: dict):
         return m_fwd, m_inv
     raise NotImplementedError(
         f"+proj={proj}: embedded methods are longlat, utm, tmerc, lcc, "
-        "aea, stere (polar), sterea, merc/webmerc (the reference "
-        "delegates the rest to PROJ)"
+        "aea, stere (polar), sterea, krovak, merc/webmerc (the "
+        "reference delegates the rest to PROJ)"
     )
 
 
@@ -3839,8 +4018,12 @@ def _resolve_transform(s: int, d: int):
         return _rd_forward()
     if s == 28992 and d == 4326:
         return _rd_inverse()
+    if s == 4326 and d == 5514:
+        return _krovak_5514_forward()
+    if s == 5514 and d == 4326:
+        return _krovak_5514_inverse()
     # compose via 4326 (3857<->UTM, UTM<->UTM zone change, conic<->any)
-    _named = (3857, 27700, 28992)
+    _named = (3857, 27700, 28992, 5514)
     if (
         zs or s in _named or s in _LCC_PARAMS or s in _AEA_PARAMS
         or s in _PS_PARAMS or s in _TM_PARAMS
@@ -3872,7 +4055,8 @@ def _k_transform(g: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
                 f"UTM (326zz/327zz), the embedded LCC set {sorted(_LCC_PARAMS)} "
                 f"Albers {sorted(_AEA_PARAMS)}, polar stereographic "
                 f"{sorted(_PS_PARAMS)}, TM grids {sorted(_TM_PARAMS)}, "
-                f"OSGB 27700 and RD New 28992, got {s}->{d} "
+                f"OSGB 27700, RD New 28992 and S-JTSK Krovak 5514, "
+                f"got {s}->{d} "
                 "(the reference delegates other pairs to PROJ)"
             )
         gtype, coords = _parse(bytes(b))

@@ -1546,8 +1546,8 @@ def test_transform_def_proj_string_front_end(spark):
 
     # unknown method raises loudly
     import pytest as _pytest
-    with _pytest.raises(Exception, match="proj=krovak"):
-        _resolve_def_pair("epsg:4326", "+proj=krovak +ellps=bessel")(1.0, 1.0)
+    with _pytest.raises(Exception, match="proj=omerc"):
+        _resolve_def_pair("epsg:4326", "+proj=omerc +ellps=bessel")(1.0, 1.0)
 
 
 def test_transform_grs80_utm_families():
@@ -1614,3 +1614,75 @@ def test_projdef_mercator_ellipsoidal():
     d = _parse_projdef("+proj=webmerc +ellps=WGS84")
     fwd, _ = _projdef_fns(d)
     assert fwd(-75.7, 45.42) == _resolve_transform(4326, 3857)(-75.7, 45.42)
+
+
+def test_transform_krovak_worked_example():
+    """EPSG GN7-2 method 9819 (Krovak) worked example — S-JTSK:
+    Bessel geographic 50d12'32.442"N 16d50'59.179"E -> Southing X
+    1050538.63 / Westing Y 568991.00 to the cm (EPSG 5514 east-north
+    = negated, swapped axes); inverse round-trips to 1e-11 deg; the
+    WGS84 path (EPSG 1622 Helmert) round-trips sub-mm over CZ/SK."""
+    import math
+    from pg_lake_spark.functions.spatial import (
+        _krovak_fwd_bessel, _krovak_inv_bessel,
+        _krovak_5514_forward, _krovak_5514_inverse,
+    )
+
+    lat = 50 + 12 / 60 + 32.442 / 3600
+    lon = 16 + 50 / 60 + 59.179 / 3600
+    E, N = _krovak_fwd_bessel(lon, lat)  # east-north (5514)
+    assert abs(E - (-568991.00)) < 1e-2
+    assert abs(N - (-1050538.63)) < 1e-2
+    ilon, ilat = _krovak_inv_bessel(E, N)
+    assert abs(ilon - lon) < 1e-11 and abs(ilat - lat) < 1e-11
+
+    f, i = _krovak_5514_forward(), _krovak_5514_inverse()
+    for plon, plat in [(14.42, 50.09), (17.11, 48.15), (18.74, 49.21),
+                       (12.55, 50.33)]:
+        x, y = f(plon, plat)
+        assert -950000 < x < -150000 and -1350000 < y < -900000
+        rlon, rlat = i(x, y)
+        assert abs(rlon - plon) * 111320 * math.cos(math.radians(plat)) < 1e-3
+        assert abs(rlat - plat) * 110574 < 1e-3
+
+
+def test_transform_krovak_def_and_named(spark):
+    """+proj=krovak def agrees with the embedded EPSG 5514 to 1 cm
+    (incl. the towgs84 leg; the residual is a real 8th-decimal alpha
+    discrepancy between the common proj string and GN7-2); +czech
+    flips to raw southing/westing; st_transform reprojects
+    4326->5514 through the column path."""
+    from pg_lake_spark.functions.spatial import (
+        _resolve_def_pair, _resolve_transform,
+    )
+
+    kv_def = (
+        "+proj=krovak +lat_0=49.5 +lon_0=24.83333333333333 "
+        "+alpha=30.28813972222222 +k=0.9999 +x_0=0 +y_0=0 "
+        "+ellps=bessel +towgs84=589,76,480"
+    )
+    a = _resolve_def_pair("epsg:4326", kv_def)(14.42, 50.09)
+    b = _resolve_def_pair("epsg:4326", "epsg:5514")(14.42, 50.09)
+    # 1 cm: the common proj-string alpha (30.28813972222222) differs
+    # from GN7-2's sexagesimal 30d17'17.3031" in the 8th decimal
+    # (~0.1 mas), a real ~3 mm parameter discrepancy between sources
+    assert abs(a[0] - b[0]) < 1e-2 and abs(a[1] - b[1]) < 1e-2
+
+    cz = _resolve_def_pair("epsg:4326", kv_def + " +czech")(14.42, 50.09)
+    assert abs(cz[0] - (-b[1])) < 1e-2 and abs(cz[1] - (-b[0])) < 1e-2
+
+    f = _resolve_transform(4326, 5514)
+    i = _resolve_transform(5514, 4326)
+    x, y = f(14.42, 50.09)
+    rlon, rlat = i(x, y)
+    assert abs(rlon - 14.42) < 1e-8 and abs(rlat - 50.09) < 1e-8
+
+    from pg_lake_spark.functions import spatial as st
+    df = spark.range(1).select(
+        st.st_transform(
+            st.st_point(F.lit(14.42), F.lit(50.09)), 4326, 5514
+        ).alias("g")
+    )
+    gx, gy = st.st_x(F.col("g")), st.st_y(F.col("g"))
+    row = df.select(gx.alias("x"), gy.alias("y")).collect()[0]
+    assert abs(row.x - x) < 1e-6 and abs(row.y - y) < 1e-6
