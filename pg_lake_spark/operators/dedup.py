@@ -218,6 +218,120 @@ def repeated_spans(
     )
 
 
+def maximal_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 8,
+    min_docs: int = 2,
+    hash_only: bool = True,
+) -> DataFrame:
+    """Merge overlapping repeated windows into MAXIMAL repeated
+    substrings — the actual Lee et al. suffix-array output shape
+    (``repeated_spans`` reports the fixed-width windows; this
+    collapses runs of adjacent repeated windows into one maximal
+    span per document). Reference parity: beyond-reference
+    training-pipeline surface, like ``repeated_spans``.
+
+    A position p in a document is HOT when its ``window``-word span
+    occurs in >= ``min_docs`` distinct documents. Consecutive hot
+    positions p..p+m form an island; the maximal repeated substring
+    is tokens[p .. p+m+window-1]. Island detection is the classic
+    gaps-and-islands construct (pos - row_number), entirely
+    codegen'd window functions over the per-document frame.
+
+    Docs shorter than ``window`` tokens are excluded (no full
+    window exists — the Lee et al. convention for >=k-token spans).
+
+    Scale: three shuffles — the (doc, pos) token sort (shared by
+    window generation AND island detection: both partition by doc),
+    the corpus-wide span group, and the semi-join back. With
+    ``hash_only=True`` (default, the 100-TB path) the span group +
+    semi-join carry 8-byte xxhash64 keys; unlike ``repeated_spans``
+    this is LOSSLESS here because the output text is rebuilt from
+    the tokens, not the key (a collision could only falsely mark a
+    window hot — ~2^-64 per pair).
+
+    Returns (id_col, start_tok, end_tok, n_tokens, span) with
+    1-based inclusive token positions, sorted by (id, start_tok).
+    """
+    from pyspark.sql.window import Window as W
+
+    words = F.split(
+        F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"
+    )
+    base = df.select(F.col(id_col).alias("_id"), words.alias("_w")).filter(
+        F.size("_w") >= window
+    )
+    tok = base.select("_id", F.posexplode("_w").alias("_pos", "_t"))
+    win = W.partitionBy("_id").orderBy("_pos")
+    leads = [F.col("_t")] + [
+        F.lead("_t", k).over(win) for k in range(1, window)
+    ]
+    wins = (
+        tok.select(
+            "_id",
+            "_pos",
+            "_t",
+            F.concat_ws(" ", *leads).alias("_span"),
+            F.lead("_t", window - 1).over(win).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    key = F.xxhash64("_span") if hash_only else F.col("_span")
+    wins = wins.withColumn("_k", key)
+    hot_keys = (
+        wins.groupBy("_k")
+        .agg(F.countDistinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_k")
+    )
+    # span minus its first token: the island's last row supplies the
+    # window tail beyond the per-position head tokens
+    tail = F.expr("substring(_span, instr(_span, ' ') + 1)")
+    hot = (
+        wins.join(hot_keys, "_k", "left_semi")
+        .withColumn("_tail", tail if window > 1 else F.lit(""))
+        .withColumn(
+            "_grp",
+            F.col("_pos")
+            - F.row_number().over(W.partitionBy("_id").orderBy("_pos")),
+        )
+    )
+    heads = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_t"))),
+            lambda st: st["_t"],
+        ),
+        " ",
+    )
+    islands = hot.groupBy("_id", "_grp").agg(
+        (F.min("_pos") + 1).cast("bigint").alias("start_tok"),
+        (F.max("_pos") + window).cast("bigint").alias("end_tok"),
+        heads.alias("_heads"),
+        F.max_by("_tail", "_pos").alias("_last_tail"),
+    )
+    span = (
+        F.concat_ws(" ", F.col("_heads"), F.col("_last_tail"))
+        if window > 1
+        else F.col("_heads")
+    )
+    return (
+        islands.select(
+            F.col("_id").alias(id_col),
+            "start_tok",
+            "end_tok",
+            (F.col("end_tok") - F.col("start_tok") + 1)
+            .cast("bigint")
+            .alias("n_tokens"),
+            span.alias("span"),
+        )
+        .orderBy(id_col, "start_tok")
+    )
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
     """MinHash signature: array of ``num_hashes`` hex-string minima.
 

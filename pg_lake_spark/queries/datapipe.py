@@ -1294,3 +1294,54 @@ def dd_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.repeated_spans(
         t["documents"], "doc_id", "text", window=8, min_docs=2, hash_only=False
     ).limit(50)
+
+
+@query(
+    "dd_maximal_spans",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM documents
+    ), wins AS (
+      SELECT doc_id, i AS pos, array_to_string(w[i:i+7], ' ') AS span
+      FROM words, LATERAL (
+        SELECT unnest(generate_series(1, len(w) - 7)) AS i
+      ) t
+      WHERE len(w) >= 8
+    ), rep AS (
+      SELECT span FROM wins
+      GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+    ), hot AS (
+      SELECT wins.doc_id, wins.pos,
+             pos - row_number() OVER (PARTITION BY wins.doc_id
+                                      ORDER BY wins.pos) AS grp
+      FROM wins JOIN rep USING (span)
+    ), isl AS (
+      SELECT doc_id, grp,
+             CAST(min(pos) AS BIGINT) AS start_tok,
+             CAST(max(pos) + 7 AS BIGINT) AS end_tok
+      FROM hot GROUP BY 1, 2
+    )
+    SELECT isl.doc_id AS doc_id, start_tok, end_tok,
+           CAST(end_tok - start_tok + 1 AS BIGINT) AS n_tokens,
+           array_to_string(words.w[start_tok:end_tok], ' ') AS span
+    FROM isl JOIN words ON isl.doc_id = words.doc_id
+    ORDER BY isl.doc_id, start_tok
+    """,
+    doc="Maximal repeated substrings (Lee et al. suffix-array output "
+    "shape): overlapping repeated 8-word windows merged into maximal "
+    "per-document spans via gaps-and-islands over (doc, pos). The "
+    "oracle independently rebuilds each maximal span by SLICING the "
+    "original token array, cross-checking the operator's heads+tail "
+    "window reconstruction. hash_only=False so the oracle groups "
+    "identical span strings; the scale path (hash_only=True, "
+    "default) is lossless here and pinned equivalent by pytest.",
+)
+def dd_maximal_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return dedup.maximal_repeated_spans(
+        t["documents"], "doc_id", "text",
+        window=8, min_docs=2, hash_only=False,
+    )

@@ -155,3 +155,63 @@ def test_repeated_spans_trims_whitespace(spark):
     assert len(rows) == 1
     assert rows[0].span == "alpha beta gamma delta"
     assert rows[0].n_docs == 6
+
+
+def test_maximal_spans_merges_overlapping_windows(spark):
+    """Two documents sharing a verbatim 12-token run produce ONE
+    island each spanning exactly those 12 tokens (five overlapping
+    8-token windows collapse), with correct 1-based positions and
+    text rebuilt identically to the source slice; a doc without the
+    run produces nothing."""
+    from pg_lake_spark.operators.dedup import maximal_repeated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu"
+    rows = [
+        (1, "x1 y1 z1 " + shared + " tail1 tail2"),
+        (2, shared + " completely different ending here"),
+        (3, "no repeats in this document at all whatsoever ten eleven"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = maximal_repeated_spans(
+        df, "doc_id", "text", window=8, min_docs=2, hash_only=False
+    ).collect()
+    assert len(out) == 2
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].start_tok == 4 and by_id[1].end_tok == 15
+    assert by_id[2].start_tok == 1 and by_id[2].end_tok == 12
+    for r in out:
+        assert r.n_tokens == 12 and r.span == shared
+
+
+def test_maximal_spans_hash_path_lossless(spark):
+    """hash_only=True must produce IDENTICAL rows to the string path
+    (unlike repeated_spans, the output text is rebuilt from tokens,
+    so hashing the gate key is lossless)."""
+    from pg_lake_spark.operators.dedup import maximal_repeated_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = maximal_repeated_spans(docs, "doc_id", "text", hash_only=False).collect()
+    b = maximal_repeated_spans(docs, "doc_id", "text", hash_only=True).collect()
+    assert len(a) > 0 and a == b
+
+
+def test_maximal_spans_distinct_islands_stay_separate(spark):
+    """Two repeated runs separated by a non-repeated gap in the same
+    document yield TWO islands, not one."""
+    from pg_lake_spark.operators.dedup import maximal_repeated_spans
+
+    run1 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    run2 = "b1 b2 b3 b4 b5 b6 b7 b8"
+    rows = [
+        (1, run1 + " gapx gapy gapz " + run2),
+        (2, run1 + " other words entirely unrelated " + run2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = maximal_repeated_spans(
+        df, "doc_id", "text", window=8, min_docs=2, hash_only=False
+    ).collect()
+    assert len(out) == 4  # 2 islands x 2 docs
+    spans = sorted(set(r.span for r in out))
+    assert spans == [run1, run2]
+    for r in out:
+        assert r.n_tokens == 8
