@@ -349,3 +349,93 @@ def test_dsq13_disjunction_hull_pushes_to_both_scans(spark):
     assert any(
         "c_mktsegment" in f or "c_acctbal" in f for f in c_scan.pushed_filters
     )
+
+
+def test_dsq94_single_fact_pass_semi_gate(spark):
+    """Both Q94 gates (multi-supplier EXISTS + no-returns NOT EXISTS)
+    must compute in ONE lineitem pass feeding ONE LeftSemi — not two
+    correlated rescans — and the date window must push to the orders
+    scan."""
+    df = QUERIES["dsq94_ship_chain_anti"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    s = plan_summary(df)
+    li_scans = [sc for sc in s.scans if "l_suppkey" in sc.read_schema]
+    assert len(li_scans) == 1, "Q94 regressed to multiple lineitem scans"
+    o_scan = next(sc for sc in s.scans if "o_orderdate" in sc.read_schema)
+    assert any("o_orderdate" in f for f in o_scan.pushed_filters)
+
+
+def test_dsq30_window_over_grouped_frame(spark):
+    """The per-nation average must be a window over the GROUPED
+    customer frame (one fact aggregation), never a second fact
+    shuffle; returnflag pushes to the lineitem scan; customer and
+    nation broadcast."""
+    df = QUERIES["dsq30_return_ratio_vs_state"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    s = plan_summary(df)
+    li = next(sc for sc in s.scans if "l_returnflag" in sc.read_schema)
+    assert any("l_returnflag" in f for f in li.pushed_filters)
+    assert plan.count("Window") == 1
+    assert s.broadcast_joins >= 2  # customer (size-gated) + nation
+
+
+def test_dsq36_rollup_window_over_rolled_frame(spark):
+    """Q36's rank-within-parent window must run over the rolled-up
+    frame (|regions| x |nations| rows), not the fact: exactly one
+    Window node above one Expand (rollup), with all dims broadcast."""
+    df = QUERIES["dsq36_margin_rollup_rank"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+    assert "Expand" in plan
+    s = plan_summary(df)
+    assert s.broadcast_joins >= 3  # supplier (gated) + nation + region
+    li = next(sc for sc in s.scans if "l_shipdate" in sc.read_schema)
+    assert any("l_shipdate" in f for f in li.pushed_filters)
+
+
+def test_dsq25_legs_aggregate_before_join(spark):
+    """All three Q25 legs must aggregate per customer BEFORE the
+    three-way join (grouped frames share the join key), with the
+    returnflag+date filters pushed to every lineitem scan."""
+    df = QUERIES["dsq25_tri_leg_item_customer_join"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    s = plan_summary(df)
+    li_scans = [sc for sc in s.scans if "l_returnflag" in sc.read_schema]
+    assert len(li_scans) == 3
+    assert all(
+        any("l_shipdate" in f for f in sc.pushed_filters) for sc in li_scans
+    )
+    assert plan.count("HashAggregate") >= 6  # partial+final per leg
+
+
+def test_maximal_spans_single_token_sort(spark):
+    """maximal_repeated_spans must reuse ONE (doc, pos) sort for both
+    the window generation and the island detection — the plan carries
+    exactly one documents scan, and the hot-position gate plans as
+    LeftSemi."""
+    df = QUERIES["dd_maximal_spans"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    s = plan_summary(df)
+    doc_scans = [sc for sc in s.scans if "text" in sc.read_schema]
+    # one scan feeds both the wins frame and (via the semi join) the
+    # hot frame; Spark may re-read for the semi build side — allow 2
+    assert 1 <= len(doc_scans) <= 2
+
+
+def test_cb_offset_sorts_grouped_frame_only(spark):
+    """The deep-OFFSET pageviews query must sort only the grouped
+    |pages| frame: the events scan carries the pushed time filters,
+    and no sort appears below the aggregate."""
+    df = QUERIES["cb_windowed_offset_pageviews"].fn(spark, SF_DIR)
+    s = plan_summary(df)
+    ev = next(sc for sc in s.scans if "ts" in sc.read_schema)
+    assert any("ts" in f for f in ev.pushed_filters)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    agg_pos = plan.find("HashAggregate")
+    sort_pos = plan.find("Sort ")
+    assert agg_pos != -1
+    # the only Sort is above (printed before) the aggregate subtree's
+    # scans — i.e. it consumes the grouped frame
+    assert sort_pos == -1 or sort_pos < plan.find("Scan")
