@@ -28,6 +28,11 @@ PICKS = [
     ("dsq97_channel_overlap_counts", "TPC-DS Q97 shape (r9): two DISTINCT channel key-sets FULL OUTER joined on the composite key; both distincts aggregate below the join."),
     ("dsq08_intersect_membership", "TPC-DS Q8 shape (r9): INTERSECT of two subquery key sets consumed as a LeftSemi by the aggregating fact pass."),
     ("dd_repeated_spans", "Repeated-span dedup (r9): explode -> one groupBy; linear in corpus tokens; hash-keyed shuffle on the scale path."),
+    ("dsq94_ship_chain_anti", "TPC-DS Q94 shape (r10): both gates (multi-supplier EXISTS + no-returns NOT EXISTS) fold into ONE lineitem pass feeding one LeftSemi; date window pushed to the orders scan."),
+    ("dsq36_margin_rollup_rank", "TPC-DS Q36 shape (r10): margin ROLLUP with rank-within-parent — one Window above one Expand, all three dims broadcast, ship-date filter pushed."),
+    ("dsq30_return_ratio_vs_state", "TPC-DS Q30 shape (r10): per-nation average as a window over the GROUPED customer frame — one fact aggregation, zero extra shuffles for the correlated gate."),
+    ("dd_maximal_spans", "Maximal repeated spans (r10): one (doc,pos) sort shared by window generation and island detection; hot-position gate plans as LeftSemi on the span hash."),
+    ("cb_windowed_offset_pageviews", "ClickBench deep-OFFSET shape (r10): time filters pushed to the events scan; the only Sort consumes the grouped |pages| frame."),
     ("st_stream_dedup", None),  # streaming: plan shape not comparable; skipped
 ]
 
