@@ -1082,3 +1082,117 @@ def cb_highcard_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c").desc(), "wid", "user_id")
         .limit(10)
     )
+
+
+@query(
+    "cb_region_profile_topn",
+    oracle="""
+    SELECT CAST(user_id % 97 AS BIGINT) AS region,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS adv_sum,
+           CAST(count(*) AS BIGINT) AS c,
+           round(CAST(sum(CAST(round(value * 10000) AS BIGINT))
+                      AS BIGINT) * 100.0 / count(*)) / 1000000.0
+             AS avg_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS u
+    FROM events
+    GROUP BY 1
+    ORDER BY c DESC, region
+    LIMIT 10
+    """,
+    doc="ClickBench shape (hits Q9/Q10: RegionID with "
+    "SUM(AdvEngineID), COUNT, AVG(ResolutionWidth), COUNT(DISTINCT "
+    "UserID) in one aggregate): the four-measure regional profile — "
+    "a plain sum, a conditional sum, an exact-scaled average and a "
+    "distinct count share one Expand+shuffle.",
+)
+def cb_region_profile_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    sv = F.sum(F.round(F.col("value") * 10000).cast("bigint")).cast("bigint")
+    n = F.count(F.lit(1))
+    return (
+        t["events"]
+        .groupBy((F.col("user_id") % 97).cast("bigint").alias("region"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("bigint").alias("adv_sum"),
+            n.cast("bigint").alias("c"),
+            (F.round(sv * 100.0 / n) / 1000000.0).alias("avg_value"),
+            F.count_distinct("user_id").cast("bigint").alias("u"),
+        )
+        .orderBy(F.col("c").desc(), "region")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_wide_rows_like_by_time",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    WHERE props LIKE '%3%'
+    ORDER BY ts, event_id
+    LIMIT 10
+    """,
+    doc="ClickBench shape (hits Q23: SELECT * WHERE URL LIKE "
+    "'%google%' ORDER BY EventTime LIMIT 10): the full-width row "
+    "fetch under a substring filter, time-ordered — the LIKE pushes "
+    "to the scan, every column rides the TakeOrderedAndProject, and "
+    "nothing aggregates (a pure wide-row top-N; cb_raw_rows_by_time "
+    "is the projection-narrowed sibling).",
+)
+def cb_wide_rows_like_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("props").like("%3%"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .orderBy("ts", "event_id")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_domain_length_profile",
+    oracle="""
+    SELECT regexp_replace(props, '^.*"k": (\\d).*$', '\\1') AS k,
+           round(CAST(sum(CAST(length(props) AS BIGINT)) AS BIGINT)
+                 * 10000.0 / count(*)) / 10000.0 AS avg_len,
+           CAST(count(*) AS BIGINT) AS c,
+           min(props) AS first_props
+    FROM events
+    WHERE props <> ''
+    GROUP BY 1
+    HAVING count(*) > 100
+    ORDER BY avg_len DESC, k
+    LIMIT 25
+    """,
+    doc="ClickBench shape (hits Q28/Q29: REGEXP_REPLACE(Referer -> "
+    "domain key), AVG(length(Referer)), COUNT with HAVING > "
+    "threshold, MIN(Referer), ORDER BY length DESC LIMIT 25): regex "
+    "key derivation + string-length statistics + a post-aggregation "
+    "HAVING gate + a MIN(string) in one shuffle. The average is an "
+    "exact integer length sum over count.",
+)
+def cb_domain_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    k = F.regexp_replace("props", '^.*"k": (\\d).*$', "$1")
+    n = F.count(F.lit(1))
+    return (
+        t["events"]
+        .filter(F.col("props") != "")
+        .groupBy(k.alias("k"))
+        .agg(
+            (
+                F.round(
+                    F.sum(F.length("props").cast("bigint")).cast("bigint")
+                    * 10000.0 / n
+                ) / 10000.0
+            ).alias("avg_len"),
+            n.cast("bigint").alias("c"),
+            F.min("props").alias("first_props"),
+        )
+        .filter(F.col("c") > 100)
+        .orderBy(F.col("avg_len").desc(), "k")
+        .limit(25)
+    )

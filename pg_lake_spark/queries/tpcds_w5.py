@@ -1877,7 +1877,8 @@ def dsq73_big_order_customer_counts(spark: SparkSession, sf_dir: str) -> DataFra
     "dsq79_best_shopping_day",
     oracle="""
     WITH daily AS (
-      SELECT o_custkey AS ck, date_trunc('day', o_orderdate) AS d,
+      SELECT o_custkey AS ck,
+             CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d,
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                   AS BIGINT) AS cents
       FROM orders
