@@ -1196,3 +1196,89 @@ def cb_domain_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("avg_len").desc(), "k")
         .limit(25)
     )
+
+
+@query(
+    "cb_phrase_lexical_order",
+    oracle="""
+    SELECT regexp_extract(props, '"k": (\\d+)', 1) AS phrase
+    FROM events
+    WHERE regexp_extract(props, '"k": (\\d+)', 1) <> ''
+    ORDER BY phrase, event_id
+    LIMIT 10
+    """,
+    doc="ClickBench shape (hits Q26: SELECT SearchPhrase WHERE "
+    "non-empty ORDER BY SearchPhrase LIMIT 10): raw-row top-N by the "
+    "STRING key itself (Q25 orders by time — cb_raw_rows_by_time; "
+    "Q27 by both — cb_phrase_time_then_phrase). event_id tie-break "
+    "keeps the selection deterministic where hits relies on unique "
+    "phrases.",
+)
+def cb_phrase_lexical_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    phrase = F.regexp_extract("props", '"k": (\\d+)', 1)
+    return (
+        t["events"]
+        .withColumn("phrase", phrase)
+        .filter(F.col("phrase") != "")
+        .select("phrase", "event_id")
+        .orderBy("phrase", "event_id")
+        .limit(10)
+        .select("phrase")
+    )
+
+
+@query(
+    "cb_phrase_time_then_phrase",
+    oracle="""
+    SELECT ts, regexp_extract(props, '"k": (\\d+)', 1) AS phrase
+    FROM events
+    WHERE regexp_extract(props, '"k": (\\d+)', 1) <> ''
+    ORDER BY ts, phrase, event_id
+    LIMIT 10
+    """,
+    doc="ClickBench shape (hits Q27: SELECT SearchPhrase WHERE "
+    "non-empty ORDER BY EventTime, SearchPhrase LIMIT 10): the "
+    "composite time-then-string top-N completing the Q25/Q26/Q27 "
+    "sort-variant family. TakeOrderedAndProject on the composite "
+    "key; filter pushes as a regexp residual.",
+)
+def cb_phrase_time_then_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    phrase = F.regexp_extract("props", '"k": (\\d+)', 1)
+    return (
+        t["events"]
+        .withColumn("phrase", phrase)
+        .filter(F.col("phrase") != "")
+        .select("ts", "phrase", "event_id")
+        .orderBy("ts", "phrase", "event_id")
+        .limit(10)
+        .select("ts", "phrase")
+    )
+
+
+@query(
+    "cb_const_key_grouping",
+    oracle="""
+    SELECT 1 AS one, event_type,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY c DESC, event_type
+    LIMIT 10
+    """,
+    doc="ClickBench shape (hits Q35: SELECT 1, URL, COUNT(*) GROUP "
+    "BY 1, URL): a constant grouping key alongside the real one — "
+    "the optimizer must fold the constant without changing the "
+    "aggregation, and the constant column must survive to the "
+    "output schema.",
+)
+def cb_const_key_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.lit(1).alias("one"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy(F.col("c").desc(), "event_type")
+        .limit(10)
+    )
