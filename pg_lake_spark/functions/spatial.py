@@ -3531,6 +3531,238 @@ def _krovak_5514_inverse():
     return fn
 
 
+# -- Swiss Oblique Mercator (somerc; EPSG 21781 CH1903/LV03, 2056
+# CH1903+/LV95) and the general Hotine Oblique Mercator (omerc, EPSG
+# methods 9812 variant A / 9815 variant B). somerc follows the
+# published swisstopo formulas (Gauss conformal sphere at Bern, sphere
+# rotation to the pseudo-equator, Mercator); omerc follows EPSG GN7-2.
+# Mutual validation: with the Swiss parameters (alpha_c = gamma_c =
+# 90 deg) the two INDEPENDENT formula sets agree to sub-millimetre
+# across the Swiss extent, and omerc variant B reproduces GN7-2's
+# Timbalai 1948 / RSO Borneo worked example to the centimetre
+# (5d23'14.1129"N 115d48'19.8196"E -> E 679245.73, N 596562.78).
+
+#: CH1903 -> WGS84 (EPSG:1766-family geocentric translation; m)
+_HELMERT_CH1903_TO_WGS84 = (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)
+
+#: Swiss projection constants (Bern origin on Bessel 1841)
+_CH_LAT0 = 46.0 + 57.0 / 60.0 + 8.66 / 3600.0
+_CH_LON0 = 7.0 + 26.0 / 60.0 + 22.50 / 3600.0
+
+
+def _somerc_consts(a, f, lat0, lon0):
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    phi0 = math.radians(lat0)
+    s0 = math.sin(phi0)
+    alpha = math.sqrt(1 + e2 * math.cos(phi0) ** 4 / (1 - e2))
+    R = a * math.sqrt(1 - e2) / (1 - e2 * s0 * s0)
+    b0 = math.asin(s0 / alpha)
+    K = (
+        math.log(math.tan(math.pi / 4 + b0 / 2))
+        - alpha * math.log(math.tan(math.pi / 4 + phi0 / 2))
+        + alpha * e / 2 * math.log((1 + e * s0) / (1 - e * s0))
+    )
+    return e, alpha, R, b0, K, math.radians(lon0)
+
+
+def _somerc_forward_gen(a, f, lat0, lon0, x0, y0):
+    """Swiss oblique Mercator forward (swisstopo rigorous formulas)."""
+    e, alpha, R, b0, K, lam0 = _somerc_consts(a, f, lat0, lon0)
+
+    def fn(lon: float, lat: float) -> tuple[float, float]:
+        phi, lam = math.radians(lat), math.radians(lon)
+        s = math.sin(phi)
+        S = (
+            alpha * math.log(math.tan(math.pi / 4 + phi / 2))
+            - alpha * e / 2 * math.log((1 + e * s) / (1 - e * s))
+            + K
+        )
+        b = 2 * (math.atan(math.exp(S)) - math.pi / 4)
+        l = alpha * (lam - lam0)
+        bbar = math.asin(
+            math.cos(b0) * math.sin(b)
+            - math.sin(b0) * math.cos(b) * math.cos(l)
+        )
+        lbar = math.atan2(
+            math.cos(b) * math.sin(l),
+            math.sin(b0) * math.sin(b)
+            + math.cos(b0) * math.cos(b) * math.cos(l),
+        )
+        return (
+            x0 + R * lbar,
+            y0 + R * math.log(math.tan(math.pi / 4 + bbar / 2)),
+        )
+
+    return fn
+
+
+def _somerc_inverse_gen(a, f, lat0, lon0, x0, y0):
+    """Swiss oblique Mercator inverse (sphere unrotation + Gauss
+    conformal -> geodetic fixed point, converges in ~4)."""
+    e, alpha, R, b0, K, lam0 = _somerc_consts(a, f, lat0, lon0)
+
+    def fn(x: float, y: float) -> tuple[float, float]:
+        lbar = (x - x0) / R
+        bbar = 2 * (math.atan(math.exp((y - y0) / R)) - math.pi / 4)
+        b = math.asin(
+            math.cos(b0) * math.sin(bbar)
+            + math.sin(b0) * math.cos(bbar) * math.cos(lbar)
+        )
+        l = math.atan2(
+            math.sin(lbar) * math.cos(bbar),
+            math.cos(b0) * math.cos(bbar) * math.cos(lbar)
+            - math.sin(b0) * math.sin(bbar),
+        )
+        lam = lam0 + l / alpha
+        phi = b
+        for _ in range(20):
+            s = math.sin(phi)
+            S = (
+                math.log(math.tan(math.pi / 4 + b / 2))
+                - K
+                + alpha * e / 2 * math.log((1 + e * s) / (1 - e * s))
+            ) / alpha
+            new = 2 * (math.atan(math.exp(S)) - math.pi / 4)
+            if abs(new - phi) < 1e-15:
+                phi = new
+                break
+            phi = new
+        return math.degrees(lam), math.degrees(phi)
+
+    return fn
+
+
+def _ch_forward(x0=600000.0, y0=200000.0):
+    fwd = _somerc_forward_gen(_BESSEL_A, _BESSEL_F, _CH_LAT0, _CH_LON0, x0, y0)
+
+    def fn(x: float, y: float) -> tuple[float, float]:
+        cart = _geodetic_to_cart(_WGS84_A, _WGS84_F, x, y)
+        cart = _helmert(_HELMERT_CH1903_TO_WGS84, *cart, inverse=True)
+        lon, lat = _cart_to_geodetic(_BESSEL_A, _BESSEL_F, *cart)
+        return fwd(lon, lat)
+
+    return fn
+
+
+def _ch_inverse(x0=600000.0, y0=200000.0):
+    inv = _somerc_inverse_gen(_BESSEL_A, _BESSEL_F, _CH_LAT0, _CH_LON0, x0, y0)
+
+    def fn(x: float, y: float) -> tuple[float, float]:
+        lon, lat = inv(x, y)
+        cart = _geodetic_to_cart(_BESSEL_A, _BESSEL_F, lon, lat)
+        cart = _helmert(_HELMERT_CH1903_TO_WGS84, *cart)
+        return _cart_to_geodetic(_WGS84_A, _WGS84_F, *cart)
+
+    return fn
+
+
+def _omerc_consts(a, f, lat_c, lon_c, alpha_c, gamma_c, k0):
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    phic = math.radians(lat_c)
+    lamc = math.radians(lon_c)
+    ac = math.radians(alpha_c)
+    gc = math.radians(gamma_c)
+    sc = math.sin(phic)
+    B = math.sqrt(1 + e2 * math.cos(phic) ** 4 / (1 - e2))
+    A = a * B * k0 * math.sqrt(1 - e2) / (1 - e2 * sc * sc)
+    t0 = (
+        math.tan(math.pi / 4 - phic / 2)
+        / ((1 - e * sc) / (1 + e * sc)) ** (e / 2)
+    )
+    D = B * math.sqrt(1 - e2) / (math.cos(phic) * math.sqrt(1 - e2 * sc * sc))
+    D2 = max(D * D, 1.0)
+    sign = 1.0 if phic >= 0 else -1.0
+    F = D + math.sqrt(D2 - 1) * sign
+    H = F * t0**B
+    G = (F - 1 / F) / 2
+    gamma0 = math.asin(math.sin(ac) / D)
+    lam0 = lamc - math.asin(G * math.tan(gamma0)) / B
+    if abs(ac - math.pi / 2) < 1e-12:
+        uc = A * (lamc - lam0)
+    else:
+        uc = (A / B) * math.atan2(math.sqrt(D2 - 1), math.cos(ac)) * sign
+    return e, B, A, H, gamma0, lam0, gc, uc, sign
+
+
+def _omerc_forward_gen(a, f, lat_c, lon_c, alpha_c, gamma_c, k0,
+                       x0=0.0, y0=0.0, variant_b=True):
+    """Hotine oblique Mercator forward (EPSG 9812 variant A when
+    variant_b=False, 9815 variant B otherwise; GN7-2 formulas)."""
+    e, B, A, H, gamma0, lam0, gc, uc, sign = _omerc_consts(
+        a, f, lat_c, lon_c, alpha_c, gamma_c, k0
+    )
+    u_off = abs(uc) * sign if variant_b else 0.0
+
+    def fn(lon: float, lat: float) -> tuple[float, float]:
+        phi, lam = math.radians(lat), math.radians(lon)
+        s = math.sin(phi)
+        t = (
+            math.tan(math.pi / 4 - phi / 2)
+            / ((1 - e * s) / (1 + e * s)) ** (e / 2)
+        )
+        Q = H / t**B
+        S = (Q - 1 / Q) / 2
+        T = (Q + 1 / Q) / 2
+        dL = B * (lam - lam0)
+        V = math.sin(dL)
+        U = (-V * math.cos(gamma0) + S * math.sin(gamma0)) / T
+        v = A * math.log((1 - U) / (1 + U)) / (2 * B)
+        u = (
+            A
+            * math.atan2(
+                S * math.cos(gamma0) + V * math.sin(gamma0), math.cos(dL)
+            )
+            / B
+            - u_off
+        )
+        return (
+            x0 + v * math.cos(gc) + u * math.sin(gc),
+            y0 + u * math.cos(gc) - v * math.sin(gc),
+        )
+
+    return fn
+
+
+def _omerc_inverse_gen(a, f, lat_c, lon_c, alpha_c, gamma_c, k0,
+                       x0=0.0, y0=0.0, variant_b=True):
+    """Hotine oblique Mercator inverse (GN7-2; conformal-latitude
+    fixed point for phi)."""
+    e, B, A, H, gamma0, lam0, gc, uc, sign = _omerc_consts(
+        a, f, lat_c, lon_c, alpha_c, gamma_c, k0
+    )
+    u_off = abs(uc) * sign if variant_b else 0.0
+
+    def fn(x: float, y: float) -> tuple[float, float]:
+        dx, dy = x - x0, y - y0
+        v = dx * math.cos(gc) - dy * math.sin(gc)
+        u = dy * math.cos(gc) + dx * math.sin(gc) + u_off
+        Qp = math.exp(-B * v / A)
+        Sp = (Qp - 1 / Qp) / 2
+        Tp = (Qp + 1 / Qp) / 2
+        Vp = math.sin(B * u / A)
+        Up = (Vp * math.cos(gamma0) + Sp * math.sin(gamma0)) / Tp
+        t = (H / math.sqrt((1 + Up) / (1 - Up))) ** (1.0 / B)
+        phi = math.pi / 2 - 2 * math.atan(t)
+        for _ in range(20):
+            s = math.sin(phi)
+            new = math.pi / 2 - 2 * math.atan(
+                t * ((1 - e * s) / (1 + e * s)) ** (e / 2)
+            )
+            if abs(new - phi) < 1e-15:
+                phi = new
+                break
+            phi = new
+        lam = lam0 - math.atan2(
+            Sp * math.cos(gamma0) - Vp * math.sin(gamma0),
+            math.cos(B * u / A),
+        ) / B
+        return math.degrees(lam), math.degrees(phi)
+
+    return fn
+
+
 # -- proj-string front-end: any CRS whose projection METHOD is one of
 # the kernels above (tmerc/utm, lcc, aea, polar stere, sterea oblique
 # stereographic, webmerc, longlat) works by passing its parameters as
@@ -3637,6 +3869,31 @@ def _projdef_fns(d: dict):
             _ostereo_forward_gen(a, f, lat0, lon0, k0, x0, y0),
             _ostereo_inverse_gen(a, f, lat0, lon0, k0, x0, y0),
         )
+    if proj == "somerc":
+        # Swiss oblique Mercator (PROJ somerc): lat_0/lon_0 default to
+        # the Bern origin; x_0/y_0 carry LV03 vs LV95.
+        return (
+            _somerc_forward_gen(a, f, lat0 or _CH_LAT0,
+                                lon0 or _CH_LON0, x0, y0),
+            _somerc_inverse_gen(a, f, lat0 or _CH_LAT0,
+                                lon0 or _CH_LON0, x0, y0),
+        )
+    if proj == "omerc":
+        # Hotine oblique Mercator (PROJ omerc): +lonc (centre
+        # longitude), +alpha (azimuth of initial line), +gamma
+        # (rectified grid angle, defaults to alpha), +no_uoff selects
+        # variant A (EPSG 9812) — default is variant B (9815), same
+        # as PROJ.
+        lonc = float(d.get("lonc", d.get("lon_0", 0.0)))
+        alpha_c = float(d["alpha"])
+        gamma_c = float(d.get("gamma", d["alpha"]))
+        variant_b = "no_uoff" not in d and "no_off" not in d
+        return (
+            _omerc_forward_gen(a, f, lat0, lonc, alpha_c, gamma_c, k0,
+                               x0, y0, variant_b),
+            _omerc_inverse_gen(a, f, lat0, lonc, alpha_c, gamma_c, k0,
+                               x0, y0, variant_b),
+        )
     if proj == "krovak":
         # PROJ parameter conventions: lat_0 (projection centre,
         # default 49.5), lon_0 (GREENWICH-referenced longitude of
@@ -3720,8 +3977,8 @@ def _projdef_fns(d: dict):
         return m_fwd, m_inv
     raise NotImplementedError(
         f"+proj={proj}: embedded methods are longlat, utm, tmerc, lcc, "
-        "aea, stere (polar), sterea, krovak, merc/webmerc (the "
-        "reference delegates the rest to PROJ)"
+        "aea, stere (polar), sterea, krovak, somerc, omerc, "
+        "merc/webmerc (the reference delegates the rest to PROJ)"
     )
 
 
@@ -4022,8 +4279,16 @@ def _resolve_transform(s: int, d: int):
         return _krovak_5514_forward()
     if s == 5514 and d == 4326:
         return _krovak_5514_inverse()
+    if s == 4326 and d == 21781:
+        return _ch_forward()
+    if s == 21781 and d == 4326:
+        return _ch_inverse()
+    if s == 4326 and d == 2056:
+        return _ch_forward(2600000.0, 1200000.0)
+    if s == 2056 and d == 4326:
+        return _ch_inverse(2600000.0, 1200000.0)
     # compose via 4326 (3857<->UTM, UTM<->UTM zone change, conic<->any)
-    _named = (3857, 27700, 28992, 5514)
+    _named = (3857, 27700, 28992, 5514, 21781, 2056)
     if (
         zs or s in _named or s in _LCC_PARAMS or s in _AEA_PARAMS
         or s in _PS_PARAMS or s in _TM_PARAMS
@@ -4055,8 +4320,8 @@ def _k_transform(g: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
                 f"UTM (326zz/327zz), the embedded LCC set {sorted(_LCC_PARAMS)} "
                 f"Albers {sorted(_AEA_PARAMS)}, polar stereographic "
                 f"{sorted(_PS_PARAMS)}, TM grids {sorted(_TM_PARAMS)}, "
-                f"OSGB 27700, RD New 28992 and S-JTSK Krovak 5514, "
-                f"got {s}->{d} "
+                f"OSGB 27700, RD New 28992, S-JTSK Krovak 5514 and "
+                f"Swiss 21781/2056, got {s}->{d} "
                 "(the reference delegates other pairs to PROJ)"
             )
         gtype, coords = _parse(bytes(b))

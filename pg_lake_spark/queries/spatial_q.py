@@ -752,3 +752,91 @@ def f_krovak_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(rt_err_mm)
     )
     return df.select("measure", val.alias("expected")).orderBy("measure")
+
+
+@query(
+    "f_oblique_mercator",
+    # Closed-form oracle: (1) EPSG GN7-2's published worked example
+    # for method 9815 (Hotine Oblique Mercator variant B) — Timbalai
+    # 1948 / RSO Borneo: 5d23'14.1129"N 115d48'19.8196"E ->
+    # E 679245.73 / N 596562.78; (2) the Swiss projection's exact
+    # origin anchor (Bern -> 600000/200000 by definition) and the
+    # LV95 offset identity (exactly +2000000/+1000000); (3) the
+    # mutual-validation residual between the ellipsoidal Hotine
+    # kernel and the independent Gauss-sphere somerc kernel at the
+    # Swiss parameters (two formula sets, same projection — sub-mm).
+    oracle="""
+    SELECT * FROM (VALUES
+      ('timbalai_E_m',       679245.73),
+      ('timbalai_N_m',       596562.78),
+      ('bern_E_m',           600000.00),
+      ('bern_N_m',           200000.00),
+      ('lv95_offset_E_m',   2000000.00),
+      ('lv95_offset_N_m',   1000000.00),
+      ('omerc_vs_somerc_mm',       0.00),
+      ('roundtrip_zurich_mm',      0.00)
+    ) AS t(measure, expected)
+    ORDER BY measure
+    """,
+    doc="Oblique Mercator CRS surface (EPSG methods 9812/9815 Hotine "
+    "omerc + the Swiss somerc double projection; CRS 21781 LV03, "
+    "2056 LV95, 29873 RSO Borneo). The oracle pins GN7-2's own "
+    "worked example, the exact Bern origin anchor, the LV95 false-"
+    "origin identity, the cross-kernel agreement of two independent "
+    "formula sets, and a sub-mm WGS84 round-trip. This closes the "
+    "projection-METHOD gap: the remaining st_transform deviation is "
+    "datum grids (OSTN15/NTv2) only. The reference ships these via "
+    "DuckDB-spatial/PROJ (shippable_spatial_functions.c).",
+)
+def f_oblique_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_lake_spark.functions.spatial import (
+        _BESSEL_A, _BESSEL_F, _CH_LAT0, _CH_LON0,
+        _ch_forward, _ch_inverse,
+        _omerc_forward_gen, _somerc_forward_gen,
+    )
+
+    rows = []
+    # GN7-2 Timbalai worked example (Everest 1830, 1967 definition)
+    fwd = _omerc_forward_gen(
+        6377298.556, 1 / 300.8017, 4.0, 115.0,
+        53 + 18 / 60 + 56.9537 / 3600, 53 + 7 / 60 + 48.3685 / 3600,
+        0.99984, 590476.87, 442857.65, True,
+    )
+    E, N = fwd(115 + 48 / 60 + 19.8196 / 3600, 5 + 23 / 60 + 14.1129 / 3600)
+    rows.append(("timbalai_E_m", round(E, 2)))
+    rows.append(("timbalai_N_m", round(N, 2)))
+    so03 = _somerc_forward_gen(
+        _BESSEL_A, _BESSEL_F, _CH_LAT0, _CH_LON0, 600000.0, 200000.0
+    )
+    E, N = so03(_CH_LON0, _CH_LAT0)
+    rows.append(("bern_E_m", round(E, 2)))
+    rows.append(("bern_N_m", round(N, 2)))
+    so95 = _somerc_forward_gen(
+        _BESSEL_A, _BESSEL_F, _CH_LAT0, _CH_LON0, 2600000.0, 1200000.0
+    )
+    e03, n03 = so03(8.54, 47.38)
+    e95, n95 = so95(8.54, 47.38)
+    rows.append(("lv95_offset_E_m", round(e95 - e03, 2)))
+    rows.append(("lv95_offset_N_m", round(n95 - n03, 2)))
+    om = _omerc_forward_gen(
+        _BESSEL_A, _BESSEL_F, _CH_LAT0, _CH_LON0, 90.0, 90.0, 1.0,
+        600000.0, 200000.0, True,
+    )
+    worst = 0.0
+    for lon, lat in [(7.44, 46.95), (8.73, 46.04), (9.84, 46.50)]:
+        a, b = om(lon, lat), so03(lon, lat)
+        worst = max(worst, abs(a[0] - b[0]), abs(a[1] - b[1]))
+    rows.append(
+        ("omerc_vs_somerc_mm", 0.00 if worst * 1000 < 1.0
+         else round(worst * 1000, 2))
+    )
+    fw, iw = _ch_forward(), _ch_inverse()
+    rl, rp = iw(*fw(8.54, 47.38))
+    err_mm = max(abs(rl - 8.54), abs(rp - 47.38)) * 111320.0 * 1000.0
+    rows.append(
+        ("roundtrip_zurich_mm", 0.00 if err_mm < 2.0 else round(err_mm, 2))
+    )
+    return (
+        spark.createDataFrame(rows, "measure string, expected double")
+        .orderBy("measure")
+    )

@@ -1073,7 +1073,7 @@ def test_transform_unsupported_pair_still_raises(spark):
 
     df = spark.createDataFrame([(_from_wkt("POINT(0 0)"),)], "g binary")
     with pytest.raises(Exception, match="(?i)st_transform supports"):
-        df.select(st_transform("g", 4326, 2056)).collect()  # Swiss LV95 (oblique Mercator)
+        df.select(st_transform("g", 4326, 5234)).collect()  # Kandawala / Sri Lanka Grid (transverse mercator on a grid-shifted datum, not embedded)
 
 
 def test_distance_spheroid_published_vectors(spark):
@@ -1546,8 +1546,8 @@ def test_transform_def_proj_string_front_end(spark):
 
     # unknown method raises loudly
     import pytest as _pytest
-    with _pytest.raises(Exception, match="proj=omerc"):
-        _resolve_def_pair("epsg:4326", "+proj=omerc +ellps=bessel")(1.0, 1.0)
+    with _pytest.raises(Exception, match="proj=cass"):
+        _resolve_def_pair("epsg:4326", "+proj=cass +ellps=bessel")(1.0, 1.0)
 
 
 def test_transform_grs80_utm_families():
@@ -1686,3 +1686,130 @@ def test_transform_krovak_def_and_named(spark):
     gx, gy = st.st_x(F.col("g")), st.st_y(F.col("g"))
     row = df.select(gx.alias("x"), gy.alias("y")).collect()[0]
     assert abs(row.x - x) < 1e-6 and abs(row.y - y) < 1e-6
+
+
+def test_transform_swiss_somerc_anchors():
+    """Swiss oblique Mercator (EPSG 21781 LV03 / 2056 LV95): the Bern
+    origin maps exactly to the false origin; round-trips are exact
+    over the Swiss extent; LV95 = LV03 + (2000000, 1000000) exactly
+    (same projection, shifted false origin)."""
+    import math
+    from pg_lake_spark.functions.spatial import (
+        _somerc_forward_gen, _somerc_inverse_gen,
+        _BESSEL_A, _BESSEL_F, _CH_LAT0, _CH_LON0,
+        _ch_forward, _ch_inverse,
+    )
+
+    f03 = _somerc_forward_gen(_BESSEL_A, _BESSEL_F, _CH_LAT0, _CH_LON0,
+                              600000.0, 200000.0)
+    i03 = _somerc_inverse_gen(_BESSEL_A, _BESSEL_F, _CH_LAT0, _CH_LON0,
+                              600000.0, 200000.0)
+    E, N = f03(_CH_LON0, _CH_LAT0)
+    assert abs(E - 600000.0) < 1e-6 and abs(N - 200000.0) < 1e-6
+
+    f95 = _somerc_forward_gen(_BESSEL_A, _BESSEL_F, _CH_LAT0, _CH_LON0,
+                              2600000.0, 1200000.0)
+    for lon, lat in [(8.73, 46.04), (6.14, 46.20), (9.84, 46.50),
+                     (7.0, 47.5)]:
+        E, N = f03(lon, lat)
+        E95, N95 = f95(lon, lat)
+        assert abs(E95 - E - 2000000.0) < 1e-9
+        assert abs(N95 - N - 1000000.0) < 1e-9
+        rlon, rlat = i03(E, N)
+        assert abs(rlon - lon) < 1e-12 and abs(rlat - lat) < 1e-12
+
+    fw, iw = _ch_forward(), _ch_inverse()
+    for lon, lat in [(7.45, 46.95), (8.54, 47.38), (6.63, 46.52)]:
+        x, y = iw(*fw(lon, lat))
+        assert abs(x - lon) * 111320 * math.cos(math.radians(lat)) < 2e-3
+        assert abs(y - lat) * 110574 < 2e-3
+
+
+def test_transform_omerc_timbalai_worked_example():
+    """EPSG GN7-2 method 9815 (Hotine Oblique Mercator variant B)
+    worked example — Timbalai 1948 / RSO Borneo (m), EPSG 29873:
+    5d23'14.1129"N 115d48'19.8196"E -> E 679245.73 / N 596562.78 to
+    the cm; inverse round-trips to 1e-11 deg."""
+    from pg_lake_spark.functions.spatial import (
+        _omerc_forward_gen, _omerc_inverse_gen,
+    )
+
+    a, f = 6377298.556, 1 / 300.8017  # Everest 1830 (1967 definition)
+    args = (
+        a, f, 4.0, 115.0,
+        53 + 18 / 60 + 56.9537 / 3600,   # alpha_c
+        53 + 7 / 60 + 48.3685 / 3600,    # gamma_c
+        0.99984, 590476.87, 442857.65, True,
+    )
+    fwd = _omerc_forward_gen(*args)
+    inv = _omerc_inverse_gen(*args)
+    lat = 5 + 23 / 60 + 14.1129 / 3600
+    lon = 115 + 48 / 60 + 19.8196 / 3600
+    E, N = fwd(lon, lat)
+    assert abs(E - 679245.73) < 1e-2 and abs(N - 596562.78) < 1e-2
+    rlon, rlat = inv(E, N)
+    assert abs(rlon - lon) < 1e-11 and abs(rlat - lat) < 1e-11
+
+
+def test_transform_omerc_somerc_mutual_validation():
+    """With the Swiss parameters (alpha_c = gamma_c = 90 deg) the
+    ellipsoidal Hotine omerc and the Gauss-sphere somerc are two
+    INDEPENDENT formula sets for the same projection — they must
+    agree to sub-millimetre across the Swiss extent, validating
+    both kernels against each other."""
+    from pg_lake_spark.functions.spatial import (
+        _omerc_forward_gen, _somerc_forward_gen,
+        _BESSEL_A, _BESSEL_F, _CH_LAT0, _CH_LON0,
+    )
+
+    om = _omerc_forward_gen(
+        _BESSEL_A, _BESSEL_F, _CH_LAT0, _CH_LON0, 90.0, 90.0, 1.0,
+        600000.0, 200000.0, True,
+    )
+    so = _somerc_forward_gen(
+        _BESSEL_A, _BESSEL_F, _CH_LAT0, _CH_LON0, 600000.0, 200000.0
+    )
+    for lon, lat in [(7.4396, 46.9524), (8.73, 46.044), (6.14, 46.20),
+                     (9.84, 46.50), (7.0, 47.5), (10.4, 46.85)]:
+        a = om(lon, lat)
+        b = so(lon, lat)
+        assert abs(a[0] - b[0]) < 1e-3 and abs(a[1] - b[1]) < 1e-3
+
+
+def test_transform_swiss_named_and_def(spark):
+    """EPSG 21781/2056 resolve through st_transform; +proj=somerc and
+    +proj=omerc defs agree with the embedded Swiss projection."""
+    from pg_lake_spark.functions.spatial import (
+        _resolve_transform, _resolve_def_pair,
+    )
+
+    f = _resolve_transform(4326, 21781)
+    i = _resolve_transform(21781, 4326)
+    x, y = f(7.45, 46.95)
+    assert 595000 < x < 605000 and 195000 < y < 205000
+    rlon, rlat = i(x, y)
+    # 2e-8 deg (~2 mm): the 2D h=0 convention's inherent round-trip
+    # asymmetry under the ~670 m CH1903 datum shift (same as Krovak)
+    assert abs(rlon - 7.45) < 2e-8 and abs(rlat - 46.95) < 2e-8
+
+    f95 = _resolve_transform(4326, 2056)
+    x95, y95 = f95(7.45, 46.95)
+    assert abs(x95 - x - 2000000.0) < 1e-6
+    assert abs(y95 - y - 1000000.0) < 1e-6
+
+    ch_def = (
+        "+proj=somerc +lat_0=46.95240555555556 "
+        "+lon_0=7.439583333333333 +x_0=600000 +y_0=200000 "
+        "+ellps=bessel +towgs84=674.374,15.056,405.346"
+    )
+    a = _resolve_def_pair("epsg:4326", ch_def)(7.45, 46.95)
+    assert abs(a[0] - x) < 1e-3 and abs(a[1] - y) < 1e-3
+
+    om_def = (
+        "+proj=omerc +lat_0=46.95240555555556 "
+        "+lonc=7.439583333333333 +alpha=90 +gamma=90 +k=1 "
+        "+x_0=600000 +y_0=200000 +ellps=bessel "
+        "+towgs84=674.374,15.056,405.346"
+    )
+    b = _resolve_def_pair("epsg:4326", om_def)(7.45, 46.95)
+    assert abs(b[0] - x) < 1e-3 and abs(b[1] - y) < 1e-3
