@@ -224,3 +224,145 @@ def compression_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             yield pd_.DataFrame({id_col: ids, "n_bytes": sizes, "ratio": ratios})
 
     return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+
+def bm25_topk(
+    df,
+    id_col: str,
+    text_col: str,
+    queries: dict[str, list[str]],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 text retrieval: top-``k`` documents per query under the
+    Okapi BM25 ranking function (Robertson idf). Reference parity:
+    pg_lake has no text-search operator; this is part of the
+    beyond-reference training-pipeline surface (corpus search /
+    eval-set mining / hard-negative sampling all reduce to it).
+
+    ``queries`` maps query_id -> list of lowercase terms.
+
+    Scale design: tokens explode once and are immediately filtered to
+    the query-term union (a broadcast isin over typically <100
+    terms), so the shuffled frame is O(matching tokens), not O(corpus
+    tokens). Document frequencies reduce from the per-(doc, term)
+    frame (one groupBy); N and avgdl are one tiny scalar reduction
+    broadcast back. Scores aggregate per (query, doc) and a
+    row_number window caps each query at k over the scored frame
+    only. All arithmetic is exact-integer tf/df/dl fed into double
+    idf — identical in any engine; scores round to 6dp before the
+    ranking tie-break on the id.
+
+    Returns (query_id, id_col, score, rnk) sorted by (query_id, rnk).
+    """
+    from pyspark.sql.window import Window as W
+
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    qrows = [(q, t) for q, ts in queries.items() for t in sorted(set(ts))]
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(qrows, "query_id string, term string")
+
+    words = F.split(
+        F.lower(F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")),
+        r"\s+",
+    )
+    base = df.select(F.col(id_col).alias("_id"), words.alias("_w"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("_w")).alias("total_len"),
+    ).collect()[0]
+    n_docs, avgdl = stats.n_docs, stats.total_len / max(stats.n_docs, 1)
+
+    tok = base.select(
+        "_id",
+        F.size("_w").alias("_dl"),
+        F.explode("_w").alias("_t"),
+    ).filter(F.col("_t").isin(all_terms))
+    tf = tok.groupBy("_id", "_dl", "_t").agg(
+        F.count(F.lit(1)).cast("double").alias("_tf")
+    )
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log(
+        1.0 + (F.lit(float(n_docs)) - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "_t")
+        .join(F.broadcast(qdf), F.col("_t") == F.col("term"))
+        .select(
+            "query_id",
+            "_id",
+            (
+                idf
+                * F.col("_tf")
+                * (k1 + 1.0)
+                / (
+                    F.col("_tf")
+                    + k1 * (1.0 - b + b * F.col("_dl") / F.lit(float(avgdl)))
+                )
+            ).alias("_s"),
+        )
+        .groupBy("query_id", "_id")
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", F.col("_id").alias(id_col), "score", "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def unigram_surprisal(df, id_col: str, text_col: str):
+    """Per-document mean unigram surprisal — the perplexity-proxy
+    quality signal (CCNet-style: documents whose tokens are
+    improbable under the corpus unigram distribution are likely
+    noise; documents of all-boilerplate tokens score too low).
+    Reference parity: beyond-reference training-pipeline surface.
+
+    surprisal(d) = (1/|d|) * sum_t tf(t, d) * -ln(count(t) / T)
+
+    Scale: one explode feeding two groupBys (corpus token counts and
+    per-(doc, token) tf) that share the token shuffle key; the join
+    back is token-keyed (vocabulary-sized build side, NOT broadcast —
+    at web scale the vocabulary outgrows a broadcast). T is one
+    scalar reduction. All counts are exact integers; ln and the final
+    division are deterministic doubles; output rounds to 6dp.
+
+    Returns (id_col, n_tokens, surprisal) sorted by id.
+    """
+    words = F.split(
+        F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", ""),
+        r"\s+",
+    )
+    tok = df.select(F.col(id_col).alias("_id"), words.alias("_w")).select(
+        "_id", F.size("_w").alias("_dl"), F.explode("_w").alias("_t")
+    )
+    corpus = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    total = corpus.agg(F.sum("_c")).collect()[0][0]
+    tf = tok.groupBy("_id", "_dl", "_t").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    return (
+        tf.join(corpus, "_t")
+        .groupBy("_id", "_dl")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("_tf")
+                    * -F.log(F.col("_c") / F.lit(float(total)))
+                )
+                / F.col("_dl"),
+                6,
+            ).alias("surprisal")
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_dl").cast("bigint").alias("n_tokens"),
+            "surprisal",
+        )
+        .orderBy(id_col)
+    )

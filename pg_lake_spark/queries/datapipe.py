@@ -1345,3 +1345,113 @@ def dd_maximal_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["documents"], "doc_id", "text",
         window=8, min_docs=2, hash_only=False,
     )
+
+
+@query(
+    "txt_bm25_topk",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ',
+                                                    'g'))), ' ') AS w
+      FROM documents
+    ), consts AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl
+      FROM docs
+    ), q(query_id, term) AS (
+      VALUES ('q_joins', 'join'), ('q_joins', 'hash'),
+             ('q_joins', 'merge'),
+             ('q_scan', 'scan'), ('q_scan', 'filter'),
+             ('q_scan', 'parquet'),
+             ('q_agg', 'agg'), ('q_agg', 'window'), ('q_agg', 'order')
+    ), tok AS (
+      SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM docs
+    ), tf AS (
+      SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+      FROM tok
+      WHERE t IN (SELECT term FROM q)
+      GROUP BY 1, 2, 3
+    ), dfreq AS (
+      SELECT t, count(*) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT q.query_id, tf.doc_id,
+             round(sum(
+               ln(1 + (c.n - df + 0.5) / (df + 0.5))
+               * tf * 2.2
+               / (tf + 1.2 * (0.25 + 0.75 * dl / c.avgdl))
+             ), 6) AS score
+      FROM tf
+      JOIN dfreq USING (t)
+      JOIN q ON q.term = tf.t, consts c
+      GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id)
+                AS INT) AS rnk
+    FROM scored
+    QUALIFY rnk <= 10
+    ORDER BY query_id, rnk
+    """,
+    doc="BM25 top-k retrieval (operators/textstats.bm25_topk): Okapi "
+    "BM25 with Robertson idf over three term queries; tokens filter "
+    "to the query-term union BEFORE the shuffle, so the scored frame "
+    "is O(matching tokens). Exact integer tf/df/dl feed the double "
+    "idf identically in both engines; scores round to 6dp before the "
+    "id-tie-broken per-query row_number caps at k=10. Beyond-"
+    "reference training-pipeline surface (corpus search / eval "
+    "mining / hard-negative sampling).",
+)
+def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_lake_spark.operators.textstats import bm25_topk
+
+    t = load_tables(spark, sf_dir)
+    return bm25_topk(
+        t["documents"], "doc_id", "text",
+        {
+            "q_joins": ["join", "hash", "merge"],
+            "q_scan": ["scan", "filter", "parquet"],
+            "q_agg": ["agg", "window", "order"],
+        },
+        k=10,
+    )
+
+
+@query(
+    "txt_unigram_surprisal",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ',
+                                                    'g'))), ' ') AS w
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM docs
+    ), corpus AS (
+      SELECT t, count(*) AS c FROM tok GROUP BY 1
+    ), total AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS tt FROM corpus
+    ), tf AS (
+      SELECT doc_id, dl, t, count(*) AS tf FROM tok GROUP BY 1, 2, 3
+    )
+    SELECT tf.doc_id,
+           CAST(tf.dl AS BIGINT) AS n_tokens,
+           round(sum(tf.tf * -ln(c.c / total.tt)) / tf.dl, 6)
+             AS surprisal
+    FROM tf JOIN corpus c USING (t), total
+    GROUP BY tf.doc_id, tf.dl
+    ORDER BY tf.doc_id
+    """,
+    doc="Per-document mean unigram surprisal (CCNet-style perplexity "
+    "proxy, operators/textstats.unigram_surprisal): corpus unigram "
+    "distribution from exact counts, per-doc token-weighted -ln p "
+    "mean. One explode feeds both groupBys; the prob join is "
+    "token-keyed (vocabulary never broadcasts). Beyond-reference "
+    "training-pipeline quality signal.",
+)
+def txt_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_lake_spark.operators.textstats import unigram_surprisal
+
+    t = load_tables(spark, sf_dir)
+    return unigram_surprisal(t["documents"], "doc_id", "text")

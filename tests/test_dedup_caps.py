@@ -215,3 +215,45 @@ def test_maximal_spans_distinct_islands_stay_separate(spark):
     assert spans == [run1, run2]
     for r in out:
         assert r.n_tokens == 8
+
+
+def test_bm25_known_ranking(spark):
+    """A document saturated with the query term must outrank one with
+    a single mention; a rare term's idf must dominate a common one;
+    docs without any query term never appear."""
+    from pg_lake_spark.operators.textstats import bm25_topk
+
+    rows = [
+        (1, "spark spark spark spark filler words here"),
+        (2, "spark appears once in this longer document full of filler"),
+        (3, "no relevant words at all in here whatsoever"),
+        (4, "rareword appears here once"),
+        (5, "common common common common common common"),
+        (6, "common rareword"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = bm25_topk(df, "doc_id", "text",
+                    {"qa": ["spark"], "qb": ["rareword", "common"]}, k=5)
+    rowsq = {(r.query_id, r.rnk): r.doc_id for r in out.collect()}
+    assert rowsq[("qa", 1)] == 1 and rowsq[("qa", 2)] == 2
+    assert ("qa", 3) not in rowsq  # doc 3 has no query term
+    # rareword (df=2) out-idfs common (df=2)? both df=2 here; doc 6 has
+    # BOTH terms so it must rank first for qb
+    assert rowsq[("qb", 1)] == 6
+
+
+def test_unigram_surprisal_orders_rarity(spark):
+    """A document of corpus-rare tokens scores strictly higher mean
+    surprisal than a document of corpus-common tokens; every doc gets
+    exactly one row and a positive score."""
+    from pg_lake_spark.operators.textstats import unigram_surprisal
+
+    common = "the the the the the the the the"
+    rare = "zyx qwv jkl pqr"
+    filler = [(i, "the and of to in for " * 3) for i in range(10, 30)]
+    rows = [(1, common), (2, rare)] + filler
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r.surprisal for r in
+           unigram_surprisal(df, "doc_id", "text").collect()}
+    assert len(out) == 22 and all(v > 0 for v in out.values())
+    assert out[2] > out[1]
