@@ -420,3 +420,48 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al.: cluster the
+    embedding space, then within each cluster keep ONE representative
+    of every near-duplicate group). The clustering here is the
+    deterministic hyperplane bucketing (``hyperplane_bucket`` — no
+    RNG, oracle-replayable) instead of k-means; within a bucket a
+    vector is dropped when a LOWER-id vector sits at cosine >=
+    ``threshold`` (keep-lowest-id = deterministic representative).
+
+    Scale: size ``n_planes`` so buckets stay pairwise-joinable
+    (bucket count 2^n_planes ~ N / desired_bucket_size; SemDeDup uses
+    the same corpus-partitioned regime). The self-join is bucket-
+    keyed — one shuffle, never all-pairs; the anti-join carries only
+    dropped ids. For corpora whose near-dup mass is unknown, prefer
+    ``cosine_neardup_pairs`` (block-GEMM, capped) to find pairs first.
+
+    Returns the surviving rows of ``df`` (all original columns).
+    """
+    b = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("_b", hyperplane_bucket(F.col("_v"), dim, n_planes, seed))
+    a, c = b.alias("a"), b.alias("c")
+    drops = (
+        a.join(
+            c,
+            (F.col("a._b") == F.col("c._b"))
+            & (F.col("a._id") < F.col("c._id")),
+        )
+        .filter(cosine(F.col("a._v"), F.col("c._v")) >= threshold)
+        .select(F.col("c._id").alias("_drop"))
+        .distinct()
+    )
+    return df.join(drops, df[id_col] == drops["_drop"], "left_anti")

@@ -1455,3 +1455,64 @@ def txt_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return unigram_surprisal(t["documents"], "doc_id", "text")
+
+
+@query(
+    "dd_semantic_prune",
+    # The sin-derived hyperplanes are deterministic math, so the
+    # bucketing replays exactly in SQL (same convention as
+    # sim_lsh_topk): seed=0 -> freq=(p+1)*12.9898, component_j =
+    # sin(freq*(j+1)+78.233), bucket = sum 2^p [dot >= 0].
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    planes AS (
+      SELECT p.p,
+             list_transform(range(1, 65),
+                 j -> sin((p.p + 1) * 12.9898 * j + 78.233)) AS plane
+      FROM (SELECT unnest(range(0, 4)) AS p) p
+    ),
+    buckets AS (
+      SELECT e.vec_id, e.v,
+             CAST(sum(CASE WHEN list_inner_product(e.v, pl.plane) >= 0
+                           THEN CAST(power(2, pl.p) AS BIGINT)
+                           ELSE 0 END) AS INT) AS bkt
+      FROM e, planes pl
+      GROUP BY e.vec_id, e.v
+    ),
+    drops AS (
+      SELECT DISTINCT c.vec_id
+      FROM buckets a JOIN buckets c
+        ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+      WHERE list_cosine_similarity(a.v, c.v) >= 0.35
+    )
+    SELECT e.vec_id, CAST(count(*) OVER () AS BIGINT) AS n_survivors
+    FROM e ANTI JOIN drops USING (vec_id)
+    ORDER BY e.vec_id
+    """,
+    doc="SemDeDup-style semantic pruning "
+    "(operators/similarity.semantic_dedup): deterministic hyperplane "
+    "buckets stand in for the k-means partition, keep-lowest-id "
+    "within every cosine>=0.35 near-dup group. The oracle replays "
+    "the exact plane math and the pairwise gate in SQL — an exact "
+    "oracle for an 'approximate' operator. Beyond-reference "
+    "training-pipeline surface.",
+)
+def dd_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_lake_spark.operators.similarity import semantic_dedup
+
+    t = load_tables(spark, sf_dir)
+    out = semantic_dedup(
+        t["embeddings"], "vec_id", "embedding",
+        dim=64, threshold=0.35, n_planes=4,
+    )
+    from pyspark.sql.window import Window as W
+
+    return (
+        out.select("vec_id")
+        .withColumn(
+            "n_survivors",
+            F.count(F.lit(1)).over(W.partitionBy()).cast("bigint"),
+        )
+        .orderBy("vec_id")
+    )

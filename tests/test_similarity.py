@@ -79,3 +79,22 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r.id: r.component for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_semantic_dedup_keeps_lowest_id_per_group(spark):
+    """Three identical vectors (cosine 1.0) collapse to the lowest id;
+    an orthogonal vector survives; output keeps original columns."""
+    from pg_lake_spark.operators.similarity import semantic_dedup
+
+    v1 = [1.0, 0.0, 0.0, 0.0] * 16
+    v2 = [0.0, 1.0, 0.0, 0.0] * 16
+    rows = [(1, v1, 0), (2, v1, 0), (3, v1, 0), (4, v2, 1)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = semantic_dedup(
+        df, "vec_id", "embedding", dim=64, threshold=0.9, n_planes=2
+    )
+    got = sorted(r.vec_id for r in out.collect())
+    assert got == [1, 4]
+    assert set(out.columns) == {"vec_id", "embedding", "label"}
