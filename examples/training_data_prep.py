@@ -56,14 +56,36 @@ def prepare_corpus(spark, sf_dir: str, out_dir: str) -> dict:
     )
     report["dedup"] = dd_report
 
-    # 2. quality + language: pure Column expressions, zero Python
-    scored = clean.select(
+    # 1b. exact-substring signal (Lee et al.): surface the corpus'
+    # maximal repeated >=8-token spans for audit — at production scale
+    # this list drives span-level removal; here it rides the report.
+    spans = dedup.maximal_repeated_spans(
+        clean, "doc_id", "text", window=8, min_docs=2
+    )
+    report["repeated_span_islands"] = spans.count()
+
+    # 2. quality + language: pure Column expressions, zero Python —
+    # plus the unigram-surprisal perplexity proxy (CCNet-style): drop
+    # the extreme tails (boilerplate at the bottom, noise at the top).
+    from pg_lake_spark.operators.textstats import unigram_surprisal
+
+    surp = unigram_surprisal(clean, "doc_id", "text").select(
+        "doc_id", "surprisal"
+    )
+    scored = clean.join(surp, "doc_id").select(
         "*",
         lang_id("text").alias("lang_pred"),
         gopher_keep("text").alias("quality_keep"),
         token_count_bpe_ish("text").cast("bigint").alias("n_tokens"),
     )
-    kept = scored.filter(F.col("quality_keep"))
+    bounds = scored.agg(
+        F.expr("percentile_approx(surprisal, 0.02)").alias("lo"),
+        F.expr("percentile_approx(surprisal, 0.98)").alias("hi"),
+    ).collect()[0]
+    kept = scored.filter(
+        F.col("quality_keep")
+        & F.col("surprisal").between(bounds.lo, bounds.hi)
+    )
     report["quality_dropped"] = report["dedup"]["output_rows"] - kept.count()
 
     # 3. decontamination vs a held-out eval set (here: a deterministic
