@@ -241,9 +241,11 @@ def test_transform_web_mercator(spark):
 
 def test_transform_unsupported_pair_raises(spark):
     df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
-    # 2154/27700 gained support in r8; Swiss LV95 stays PROJ territory
+    # 2154/27700 gained support in r8, Swiss 2056 + Krovak 5514 in
+    # r10; a grid-shifted TM code (Kandawala / Sri Lanka Grid) stays
+    # PROJ territory
     with pytest.raises(Exception, match="4326<->3857"):
-        df.select(S.st_transform(S.st_point("x", "y"), 4326, 2056)).collect()
+        df.select(S.st_transform(S.st_point("x", "y"), 4326, 5234)).collect()
 
 
 def test_sql_surface_new_functions(spark):
