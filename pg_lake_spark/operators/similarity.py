@@ -429,39 +429,69 @@ def semantic_dedup(
     *,
     dim: int,
     threshold: float = 0.35,
-    n_planes: int = 4,
+    n_planes: int | None = None,
+    target_bucket: int = 512,
     seed: int = 0,
+    chunk_rows: int = 1024,
 ) -> DataFrame:
     """SemDeDup-style semantic pruning (Abbas et al.: cluster the
     embedding space, then within each cluster keep ONE representative
     of every near-duplicate group). The clustering here is the
     deterministic hyperplane bucketing (``hyperplane_bucket`` — no
     RNG, oracle-replayable) instead of k-means; within a bucket a
-    vector is dropped when a LOWER-id vector sits at cosine >=
-    ``threshold`` (keep-lowest-id = deterministic representative).
+    vector is dropped when ANY lower-id vector sits at cosine >=
+    ``threshold`` (keep-lowest-id = deterministic representative,
+    independent of the killer's own fate — exactly replayable in
+    SQL as a pairwise anti-join).
 
-    Scale: size ``n_planes`` so buckets stay pairwise-joinable
-    (bucket count 2^n_planes ~ N / desired_bucket_size; SemDeDup uses
-    the same corpus-partitioned regime). The self-join is bucket-
-    keyed — one shuffle, never all-pairs; the anti-join carries only
-    dropped ids. For corpora whose near-dup mass is unknown, prefer
-    ``cosine_neardup_pairs`` (block-GEMM, capped) to find pairs first.
+    Scale design (the r10 sf1 audit caught the naive version: a
+    DataFrame self-join with interpreted per-pair cosine ran 370 s on
+    50k vectors): ``n_planes`` auto-scales so expected bucket size
+    ~= ``target_bucket`` (2^n_planes ~ N / target_bucket — the same
+    corpus-partitioned regime SemDeDup's k-means uses), and each
+    bucket prunes in ONE Arrow batch with a chunked BLAS gram matrix
+    (peak memory chunk_rows x bucket, never bucket^2). One bucket
+    shuffle, one anti-join; no all-pairs anywhere.
 
     Returns the surviving rows of ``df`` (all original columns).
     """
+    import math as _math
+
+    import numpy as np
+    import pandas as pd
+
+    if n_planes is None:
+        n = df.count()
+        n_planes = max(1, min(24, _math.ceil(
+            _math.log2(max(n / target_bucket, 2.0)))))
     b = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     ).withColumn("_b", hyperplane_bucket(F.col("_v"), dim, n_planes, seed))
-    a, c = b.alias("a"), b.alias("c")
-    drops = (
-        a.join(
-            c,
-            (F.col("a._b") == F.col("c._b"))
-            & (F.col("a._id") < F.col("c._id")),
-        )
-        .filter(cosine(F.col("a._v"), F.col("c._v")) >= threshold)
-        .select(F.col("c._id").alias("_drop"))
-        .distinct()
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["_id"].to_numpy(), kind="stable")
+        ids = pdf["_id"].to_numpy()[order]
+        nrow = len(ids)
+        if nrow < 2:
+            return pd.DataFrame({"_drop": np.array([], dtype=np.int64)})
+        M = np.vstack(pdf["_v"].to_numpy()[order]).astype(np.float64)
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        Mn = M / norms[:, None]
+        drop = np.zeros(nrow, dtype=bool)
+        for s0 in range(0, nrow, chunk_rows):
+            e0 = min(s0 + chunk_rows, nrow)
+            hits = (Mn[s0:e0] @ Mn.T) >= threshold
+            for k in range(e0 - s0):
+                gi = s0 + k
+                if gi + 1 < nrow:
+                    drop[gi + 1:] |= hits[k, gi + 1:]
+        return pd.DataFrame({"_drop": ids[drop].astype(np.int64)})
+
+    drops = b.groupBy("_b").applyInPandas(prune, schema="_drop long")
+    return df.join(
+        drops.select("_drop").distinct(),
+        df[id_col] == F.col("_drop"),
+        "left_anti",
     )
-    return df.join(drops, df[id_col] == drops["_drop"], "left_anti")
