@@ -3817,13 +3817,37 @@ def _projdef_ellipsoid(d: dict) -> tuple[float, float]:
     return _ELLPS["WGS84"]
 
 
+#: named prime meridians (PROJ's table), degrees east of Greenwich
+_PRIME_MERIDIANS = {
+    "greenwich": 0.0,
+    "ferro": -(17.0 + 40.0 / 60.0),
+    "paris": 2.0 + 20.0 / 60.0 + 14.025 / 3600.0,
+    "lisbon": -(9.0 + 7.0 / 60.0 + 54.862 / 3600.0),
+    "rome": 12.0 + 27.0 / 60.0 + 8.4 / 3600.0,
+    "oslo": 10.0 + 43.0 / 60.0 + 22.5 / 3600.0,
+}
+
+
 def _projdef_fns(d: dict):
     """(forward, inverse) between the def's own geographic coords and
-    its projected grid, from a parsed proj dict."""
+    its projected grid, from a parsed proj dict. ``+pm`` (named or
+    numeric, degrees east of Greenwich) shifts the longitude origin:
+    historical defs like S-JTSK's '+pm=ferro +lon_0=42.5' carry
+    lon_0 relative to that meridian, while the input/output
+    geographic coordinates stay Greenwich-referenced (the PROJ
+    convention)."""
     proj = d.get("proj")
     a, f = _projdef_ellipsoid(d)
     lat0 = float(d.get("lat_0", 0.0))
-    lon0 = float(d.get("lon_0", 0.0))
+    pm = d.get("pm", "greenwich")
+    try:
+        pm_off = _PRIME_MERIDIANS[pm] if isinstance(pm, str) and not \
+            pm.lstrip("+-").replace(".", "", 1).isdigit() else float(pm)
+    except KeyError:
+        raise NotImplementedError(
+            f"+pm={pm}: named meridians are {sorted(_PRIME_MERIDIANS)}"
+        )
+    lon0 = float(d.get("lon_0", 0.0)) + pm_off
     k0 = float(d.get("k", d.get("k_0", 1.0)))
     x0, y0 = float(d.get("x_0", 0.0)), float(d.get("y_0", 0.0))
     if proj in ("longlat", "latlong"):
@@ -3884,7 +3908,7 @@ def _projdef_fns(d: dict):
         # (rectified grid angle, defaults to alpha), +no_uoff selects
         # variant A (EPSG 9812) — default is variant B (9815), same
         # as PROJ.
-        lonc = float(d.get("lonc", d.get("lon_0", 0.0)))
+        lonc = float(d.get("lonc", d.get("lon_0", 0.0))) + pm_off
         alpha_c = float(d["alpha"])
         gamma_c = float(d.get("gamma", d["alpha"]))
         variant_b = "no_uoff" not in d and "no_off" not in d
@@ -3903,7 +3927,9 @@ def _projdef_fns(d: dict):
         # convention (negative values); +czech emits raw 5513
         # southing/westing like PROJ's flag of the same name.
         lat_c = float(d.get("lat_0", _KROVAK_LAT_C))
-        lon_o = float(d.get("lon_0", _KROVAK_LON_0))
+        lon_o = (
+            float(d["lon_0"]) + pm_off if "lon_0" in d else _KROVAK_LON_0
+        )
         alpha = float(d.get("alpha", _KROVAK_ALPHA))
         k_p = float(d.get("k", d.get("k_0", _KROVAK_K_P)))
         en = "czech" not in d

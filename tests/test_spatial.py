@@ -1813,3 +1813,35 @@ def test_transform_swiss_named_and_def(spark):
     )
     b = _resolve_def_pair("epsg:4326", om_def)(7.45, 46.95)
     assert abs(b[0] - x) < 1e-3 and abs(b[1] - y) < 1e-3
+
+
+def test_projdef_prime_meridian_ferro():
+    """+pm=ferro: the historical S-JTSK def '+pm=ferro +lon_0=42.5'
+    must agree exactly with the Greenwich-referenced '+lon_0=24.8333'
+    form (42d30' East of Ferro = 24d50' East of Greenwich); a numeric
+    +pm works too; an unknown name raises with the list."""
+    import pytest as _pytest
+    from pg_lake_spark.functions.spatial import _resolve_def_pair
+
+    base = (
+        "+proj=krovak +lat_0=49.5 +alpha=30.28813975 +k=0.9999 "
+        "+ellps=bessel"
+    )
+    greenwich = _resolve_def_pair(
+        "epsg:4326", base + " +lon_0=24.833333333333332"
+    )(14.42, 50.09)
+    ferro = _resolve_def_pair(
+        "epsg:4326", base + " +lon_0=42.5 +pm=ferro"
+    )(14.42, 50.09)
+    assert abs(greenwich[0] - ferro[0]) < 1e-6
+    assert abs(greenwich[1] - ferro[1]) < 1e-6
+
+    numeric = _resolve_def_pair(
+        "epsg:4326", base + " +lon_0=42.5 +pm=-17.666666666666668"
+    )(14.42, 50.09)
+    assert abs(numeric[0] - ferro[0]) < 1e-6
+
+    with _pytest.raises(Exception, match="pm=atlantis"):
+        _resolve_def_pair(
+            "epsg:4326", base + " +lon_0=42.5 +pm=atlantis"
+        )(14.42, 50.09)
