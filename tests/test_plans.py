@@ -439,3 +439,63 @@ def test_cb_offset_sorts_grouped_frame_only(spark):
     # the only Sort is above (printed before) the aggregate subtree's
     # scans — i.e. it consumes the grouped frame
     assert sort_pos == -1 or sort_pos < plan.find("Scan")
+
+
+def test_dsq11_two_fact_passes_only(spark):
+    """Q11 must fold both years into conditional sums in ONE pass per
+    channel (two fact aggregations total, joined on the customer key)
+    — never four separate year scans; the year filters push to both
+    scans."""
+    df = QUERIES["dsq11_two_channel_yoy_pref"].fn(spark, SF_DIR)
+    s = plan_summary(df)
+    li_scans = [sc for sc in s.scans if "l_shipdate" in sc.read_schema]
+    o_scans = [sc for sc in s.scans if "o_totalprice" in sc.read_schema]
+    assert len(li_scans) == 1, "line channel regressed to per-year scans"
+    assert len(o_scans) == 1, "order channel regressed to per-year scans"
+
+
+def test_dsq80_channels_aggregate_before_rollup(spark):
+    """Each Q80 channel must reduce to O(|ids|) rows BEFORE the union
+    feeds the rollup — three channel aggregates below one Expand;
+    the date windows push to both date-filtered channels' scans."""
+    df = QUERIES["dsq80_tri_channel_net_rollup"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    s = plan_summary(df)
+    li = next(sc for sc in s.scans if "l_shipdate" in sc.read_schema)
+    assert any("l_shipdate" in f for f in li.pushed_filters)
+    o = next(sc for sc in s.scans if "o_orderdate" in sc.read_schema)
+    assert any("o_orderdate" in f for f in o.pushed_filters)
+    # partial+final per channel, plus the rollup's pair
+    assert plan.count("HashAggregate") >= 8
+
+
+def test_dsq56_ids_broadcast_to_every_leg(spark):
+    """The color-restricted id set must BROADCAST to all three union
+    legs (three lineitem scans, each with its date filter pushed; no
+    shuffle joins)."""
+    df = QUERIES["dsq56_color_restricted_union"].fn(spark, SF_DIR)
+    s = plan_summary(df)
+    li_scans = [sc for sc in s.scans if "l_shipdate" in sc.read_schema]
+    assert len(li_scans) == 3
+    assert all(
+        any("l_shipdate" in f for f in sc.pushed_filters) for sc in li_scans
+    )
+    assert s.broadcast_joins >= 3 and s.shuffle_joins == 0
+
+
+def test_dsq79_window_over_daily_frame(spark):
+    """The best-day pick must run row_number over the grouped
+    (customer, day) frame — one Window above one aggregate, with the
+    date window pushed to the orders scan."""
+    df = QUERIES["dsq79_best_shopping_day"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly one Window operator; WindowGroupLimit nodes (Spark's
+    # rank-limit pushdown, which prunes per-partition rows before the
+    # sort) also contain the substring and are a BONUS, not a second
+    # window
+    assert plan.count("Window [") == 1
+    assert "WindowGroupLimit" in plan
+    s = plan_summary(df)
+    o = next(sc for sc in s.scans if "o_orderdate" in sc.read_schema)
+    assert any("o_orderdate" in f for f in o.pushed_filters)
