@@ -42,7 +42,9 @@ disjunctive demographic arms (Q85; Q7/Q26/Q27's filtered
 demographic averages are the disjunction-free variants of the same
 construct), and before/after sums netted against a LEFT-JOINed
 returns frame (Q40), and a dimension-only identity lookup chain
-(Q84) — 67 distinct dsqNN entries total.
+(Q84) — 67 distinct dsqNN entries in this module; the fifth wave
+(``tpcds_w5.py``, r10) adds the remaining 32 families, completing
+all 99.
 
 Spark-first notes: every query aggregates BEFORE windowing/joining
 derived frames, so windows and self-joins run over grouped (tiny)

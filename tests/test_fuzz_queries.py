@@ -42,8 +42,31 @@ def gen_query(rng: random.Random) -> str:
     kind = rng.choice(
         ["agg_l", "agg_join", "proj_filter", "agg_having", "window", "setop", "exists",
          "full_outer", "disjunct_semi", "rollup_rank", "interval_join",
-         "disjunct_bands"]
+         "disjunct_bands", "cents_avgs"]
     )
+    if kind == "cents_avgs":
+        # exact-scaled-integer averages (the r10 wave-5 discipline):
+        # conditional cents sums and integer-space-rounded averages
+        # must be bit-identical across engines for ANY grouping and
+        # ANY filter arm — this arm fuzzes the construct the hand-
+        # written dsq27/dsq07/dsq26 rows rely on
+        key = rng.choice(["l_returnflag", "l_linestatus",
+                          "l_returnflag, l_linestatus"])
+        cond_col = rng.choice(["l_quantity", "l_discount"])
+        cut = rng.randint(5, 40) if cond_col == "l_quantity" else             rng.randint(1, 9)
+        cutv = cut if cond_col == "l_quantity" else cut / 100.0
+        scale = rng.choice([100, 10000])
+        return (
+            f"SELECT {key}, "
+            f"  CAST(sum(CASE WHEN {cond_col} >= {cutv} THEN "
+            f"    CAST(round(l_extendedprice * {scale}) AS BIGINT) "
+            f"    ELSE 0 END) AS BIGINT) AS cond_cents, "
+            f"  round(CAST(sum(CAST(round(l_extendedprice * 100) "
+            f"    AS BIGINT)) AS BIGINT) * 100.0 / count(*)) / 10000.0 "
+            f"    AS avg_price, "
+            f"  CAST(count(*) AS BIGINT) AS n "
+            f"FROM lineitem GROUP BY {key} ORDER BY {key}"
+        )
     if kind == "disjunct_bands":
         # OR of conjunctive band arms SPANNING the join (the dsq13/dsq85
         # construct): Catalyst must derive each table's per-column hull
