@@ -4008,13 +4008,145 @@ def _projdef_fns(d: dict):
     )
 
 
+# -- NTv2 datum grid shifts (+nadgrids). The FORMAT is public (the
+# Canadian NTv2 specification, used by OSTN15's NTv2 distribution,
+# AGD66/AGD84, NAD27, DHDN etc.); the grid FILES themselves are
+# distributed by the national agencies and are not bundled — point
+# +nadgrids= at a local .gsb and the datum leg uses it. Shifts are in
+# arcseconds with NTv2's positive-WEST longitude convention; the
+# forward direction is source-datum -> target (the file's own
+# direction, conventionally toward the WGS84-compatible frame); the
+# inverse iterates the forward interpolation (PROJ's convergence
+# scheme, <1e-12 deg in 2-4 rounds).
+
+import functools as _functools
+import struct as _struct
+
+
+@_functools.lru_cache(maxsize=8)
+def _read_ntv2(path: str):
+    """Parse an NTv2 .gsb file into subgrid tuples:
+    (s_lat, n_lat, e_lonw, w_lonw, lat_inc, lon_inc, ncols, nrows,
+    lat_shifts, lon_shifts) — all seconds, longitudes positive west,
+    node rows south->north, columns east->west (the NTv2 layout)."""
+    raw = open(path, "rb").read()
+
+    # endianness: NUM_OREC's int32 is 11 in every conformant file
+    for fmt in ("<", ">"):
+        if _struct.unpack(fmt + "i", raw[8:12])[0] == 11:
+            en = fmt
+            break
+    else:
+        raise ValueError(f"{path}: not an NTv2 file (bad NUM_OREC)")
+
+    def rec_name(off):
+        return raw[off:off + 8].decode("ascii", "replace").strip()
+
+    def rec_int(off):
+        return _struct.unpack(en + "i", raw[off + 8:off + 12])[0]
+
+    def rec_double(off):
+        return _struct.unpack(en + "d", raw[off + 8:off + 16])[0]
+
+    n_orec = rec_int(0)
+    n_srec = rec_int(16)
+    n_files = rec_int(32)
+    gs_type = rec_name(3 * 16) and raw[3 * 16 + 8:3 * 16 + 16].decode(
+        "ascii", "replace").strip()
+    if gs_type and gs_type != "SECONDS":
+        raise NotImplementedError(f"NTv2 GS_TYPE {gs_type!r} (only SECONDS)")
+    off = n_orec * 16
+    subs = []
+    for _ in range(n_files):
+        hdr = {}
+        for r in range(n_srec):
+            nm = rec_name(off + r * 16)
+            hdr[nm] = (off + r * 16)
+        s_lat = rec_double(hdr["S_LAT"])
+        n_lat = rec_double(hdr["N_LAT"])
+        e_lon = rec_double(hdr["E_LONG"])
+        w_lon = rec_double(hdr["W_LONG"])
+        lat_inc = rec_double(hdr["LAT_INC"])
+        lon_inc = rec_double(hdr["LONG_INC"])
+        count = rec_int(hdr["GS_COUNT"])
+        off += n_srec * 16
+        ncols = int(round((w_lon - e_lon) / lon_inc)) + 1
+        nrows = int(round((n_lat - s_lat) / lat_inc)) + 1
+        if ncols * nrows != count:
+            raise ValueError(
+                f"{path}: GS_COUNT {count} != {nrows}x{ncols} grid"
+            )
+        lat_sh = [0.0] * count
+        lon_sh = [0.0] * count
+        for i in range(count):
+            ls, lo = _struct.unpack(en + "ff", raw[off:off + 8])
+            lat_sh[i] = ls
+            lon_sh[i] = lo
+            off += 16  # 4 float32 fields per node (2 shifts + 2 accuracies)
+        subs.append(
+            (s_lat, n_lat, e_lon, w_lon, lat_inc, lon_inc,
+             ncols, nrows, tuple(lat_sh), tuple(lon_sh))
+        )
+    # densest (smallest cell) grids FIRST so child grids win over parents
+    subs.sort(key=lambda s: s[4] * s[5])
+    return tuple(subs)
+
+
+def _ntv2_shift(subs, lon: float, lat: float) -> tuple[float, float]:
+    """Bilinear shift lookup at a Greenwich east-positive lon/lat
+    (degrees); returns the shifted coordinates. Raises outside every
+    subgrid — a silent null transform would corrupt data quietly."""
+    lat_s = lat * 3600.0
+    lonw_s = -lon * 3600.0  # NTv2 longitudes are positive WEST
+    for s_lat, n_lat, e_lon, w_lon, lat_inc, lon_inc, ncols, nrows, \
+            lat_sh, lon_sh in subs:
+        if not (s_lat <= lat_s <= n_lat and e_lon <= lonw_s <= w_lon):
+            continue
+        fr = (lat_s - s_lat) / lat_inc
+        fc = (lonw_s - e_lon) / lon_inc
+        r0 = min(int(fr), nrows - 2) if nrows > 1 else 0
+        c0 = min(int(fc), ncols - 2) if ncols > 1 else 0
+        dr, dc = fr - r0, fc - c0
+        i00 = r0 * ncols + c0
+        i01 = i00 + (1 if ncols > 1 else 0)
+        i10 = i00 + (ncols if nrows > 1 else 0)
+        i11 = i10 + (1 if ncols > 1 else 0)
+        w00 = (1 - dr) * (1 - dc)
+        w01 = (1 - dr) * dc
+        w10 = dr * (1 - dc)
+        w11 = dr * dc
+        dlat = (w00 * lat_sh[i00] + w01 * lat_sh[i01]
+                + w10 * lat_sh[i10] + w11 * lat_sh[i11])
+        dlonw = (w00 * lon_sh[i00] + w01 * lon_sh[i01]
+                 + w10 * lon_sh[i10] + w11 * lon_sh[i11])
+        return lon - dlonw / 3600.0, lat + dlat / 3600.0
+    raise ValueError(
+        f"point ({lon}, {lat}) outside every NTv2 subgrid (refusing a "
+        "silent null transform)"
+    )
+
+
+def _ntv2_unshift(subs, lon: float, lat: float) -> tuple[float, float]:
+    """Inverse grid shift: fixed-point iteration of the forward
+    interpolation (the shift field is smooth; converges in 2-4)."""
+    glon, glat = lon, lat
+    for _ in range(10):
+        flon, flat = _ntv2_shift(subs, glon, glat)
+        nlon, nlat = glon + (lon - flon), glat + (lat - flat)
+        if abs(nlon - glon) < 1e-13 and abs(nlat - glat) < 1e-13:
+            return nlon, nlat
+        glon, glat = nlon, nlat
+    return glon, glat
+
+
 def _projdef_transform(def_str: str):
     """(to_wgs84, from_wgs84) callables for a proj4-style definition.
 
-    The datum leg uses +towgs84 (position-vector Helmert, 3 or 7
-    params, local->WGS84 as published); absent that, the def's datum
-    is treated as WGS84-coincident (the PROJ null-transform
-    convention without grids)."""
+    The datum leg uses +nadgrids=<path.gsb> (NTv2 grid shift, wins
+    over towgs84 — the PROJ precedence) or +towgs84 (position-vector
+    Helmert, 3 or 7 params, local->WGS84 as published); absent both,
+    the def's datum is treated as WGS84-coincident (the PROJ
+    null-transform convention without grids)."""
     d = _parse_projdef(def_str)
     a, f = _projdef_ellipsoid(d)
     fwd, inv = _projdef_fns(d)
@@ -4025,9 +4157,15 @@ def _projdef_transform(def_str: str):
         if len(vals) == 3:
             vals += [0.0, 0.0, 0.0, 0.0]
         helm = tuple(vals)
+    ng = d.get("nadgrids")
+    grids = None
+    if ng and ng is not True and str(ng) != "@null":
+        grids = _read_ntv2(str(ng).lstrip("@"))
 
     def to_wgs84(x: float, y: float) -> tuple[float, float]:
         lon, lat = inv(x, y)
+        if grids is not None:
+            return _ntv2_shift(grids, lon, lat)
         if helm is None:
             return lon, lat
         cart = _geodetic_to_cart(a, f, lon, lat)
@@ -4035,7 +4173,9 @@ def _projdef_transform(def_str: str):
         return _cart_to_geodetic(_WGS84_A, _WGS84_F, *cart)
 
     def from_wgs84(lon: float, lat: float) -> tuple[float, float]:
-        if helm is not None:
+        if grids is not None:
+            lon, lat = _ntv2_unshift(grids, lon, lat)
+        elif helm is not None:
             cart = _geodetic_to_cart(_WGS84_A, _WGS84_F, lon, lat)
             cart = _helmert(helm, *cart, inverse=True)
             lon, lat = _cart_to_geodetic(a, f, *cart)

@@ -1845,3 +1845,116 @@ def test_projdef_prime_meridian_ferro():
         _resolve_def_pair(
             "epsg:4326", base + " +lon_0=42.5 +pm=atlantis"
         )(14.42, 50.09)
+
+
+def _write_synthetic_gsb(path, *, s_lat, n_lat, e_lonw, w_lonw,
+                         lat_inc, lon_inc, field):
+    """Hand-write a little-endian NTv2 .gsb with one subgrid whose
+    node shifts come from ``field(lat_sec, lonw_sec) -> (dlat_s,
+    dlonw_s)`` — the spec layout byte for byte (11-record overview,
+    11-record subgrid header, 4xfloat32 nodes, rows S->N, cols E->W
+    in positive-west longitude)."""
+    import struct
+
+    def srec(name, s):
+        return name.encode().ljust(8) + s.encode().ljust(8)
+
+    def irec(name, v):
+        return name.encode().ljust(8) + struct.pack("<i", v) + b"\x00" * 4
+
+    def drec(name, v):
+        return name.encode().ljust(8) + struct.pack("<d", v)
+
+    ncols = int(round((w_lonw - e_lonw) / lon_inc)) + 1
+    nrows = int(round((n_lat - s_lat) / lat_inc)) + 1
+    out = [
+        irec("NUM_OREC", 11), irec("NUM_SREC", 11), irec("NUM_FILE", 1),
+        srec("GS_TYPE", "SECONDS"), srec("VERSION", "NTv2.0"),
+        srec("SYSTEM_F", "LOCAL"), srec("SYSTEM_T", "WGS84"),
+        drec("MAJOR_F", 6378137.0), drec("MINOR_F", 6356752.3),
+        drec("MAJOR_T", 6378137.0), drec("MINOR_T", 6356752.3),
+        srec("SUB_NAME", "SYNTH"), srec("PARENT", "NONE"),
+        srec("CREATED", "20260815"), srec("UPDATED", "20260815"),
+        drec("S_LAT", s_lat), drec("N_LAT", n_lat),
+        drec("E_LONG", e_lonw), drec("W_LONG", w_lonw),
+        drec("LAT_INC", lat_inc), drec("LONG_INC", lon_inc),
+        irec("GS_COUNT", ncols * nrows),
+    ]
+    import struct as st
+    for r in range(nrows):
+        for c in range(ncols):
+            la = s_lat + r * lat_inc
+            lo = e_lonw + c * lon_inc
+            dla, dlo = field(la, lo)
+            out.append(st.pack("<ffff", dla, dlo, 0.1, 0.1))
+    with open(path, "wb") as fh:
+        fh.write(b"".join(out))
+    return ncols, nrows
+
+
+def test_ntv2_grid_shift_machinery(tmp_path):
+    """NTv2 datum-grid machinery on a synthetic .gsb: (1) bilinear
+    interpolation reproduces a bilinear analytic shift field exactly
+    (to float32 node precision) at off-node points; (2) the inverse
+    iteration round-trips below 1e-10 deg; (3) points outside every
+    subgrid raise loudly; (4) +nadgrids wires into the def pipeline
+    and takes precedence over +towgs84. The grid FILES are national-
+    agency downloads; the format and machinery are fully real."""
+    from pg_lake_spark.functions.spatial import (
+        _read_ntv2, _ntv2_shift, _ntv2_unshift, _resolve_def_pair,
+        _projdef_transform,
+    )
+
+    # bilinear field in seconds over lat [46n,47n], lonw [-8w..-7w]
+    # (i.e. lon_east 7..8): dlat = 1 + .002(lat-S) + .001(lonw-E);
+    # dlonw = -0.5 + .0015(lat-S)
+    S, N, E, W = 46 * 3600.0, 47 * 3600.0, -8 * 3600.0, -7 * 3600.0
+
+    def field(lat_s, lonw_s):
+        return (
+            1.0 + 0.002 * (lat_s - S) / 3600.0 + 0.001 * (lonw_s - E) / 3600.0,
+            -0.5 + 0.0015 * (lat_s - S) / 3600.0,
+        )
+
+    gsb = str(tmp_path / "synth.gsb")
+    ncols, nrows = _write_synthetic_gsb(
+        gsb, s_lat=S, n_lat=N, e_lonw=E, w_lonw=W,
+        lat_inc=360.0, lon_inc=360.0, field=field,
+    )
+    assert (ncols, nrows) == (11, 11)
+    subs = _read_ntv2(gsb)
+    assert len(subs) == 1
+
+    for lon, lat in [(7.512, 46.237), (7.05, 46.95), (7.9, 46.1)]:
+        glon, glat = _ntv2_shift(subs, lon, lat)
+        want_dlat, want_dlonw = field(lat * 3600.0, -lon * 3600.0)
+        assert abs((glat - lat) * 3600.0 - want_dlat) < 1e-5
+        assert abs((lon - glon) * 3600.0 - want_dlonw) < 1e-5
+        rlon, rlat = _ntv2_unshift(subs, glon, glat)
+        assert abs(rlon - lon) < 1e-10 and abs(rlat - lat) < 1e-10
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="outside every NTv2"):
+        _ntv2_shift(subs, 10.0, 50.0)
+
+    to_w, from_w = _projdef_transform(
+        f"+proj=longlat +ellps=WGS84 +nadgrids={gsb}"
+    )
+    glon, glat = to_w(7.512, 46.237)
+    assert abs((glat - 46.237) * 3600.0
+               - field(46.237 * 3600.0, -7.512 * 3600.0)[0]) < 1e-5
+    rlon, rlat = from_w(glon, glat)
+    assert abs(rlon - 7.512) < 1e-10
+
+    # precedence: with BOTH nadgrids and a huge towgs84, the grid wins
+    to_g, _ = _projdef_transform(
+        f"+proj=longlat +ellps=WGS84 +towgs84=5000,5000,5000 "
+        f"+nadgrids={gsb}"
+    )
+    assert to_g(7.512, 46.237) == (glon, glat)
+
+    # the full def-pair path composes through WGS84
+    pair = _resolve_def_pair(
+        f"+proj=longlat +ellps=WGS84 +nadgrids={gsb}", "epsg:4326"
+    )
+    assert pair(7.512, 46.237) == (glon, glat)
