@@ -84,7 +84,8 @@ _R10_WINDOW = (_NEVER_CHECKED + _CODE_CHANGED + _R10_NEW)[:50]
 # cb_wide_rows_like_by_time, cb_domain_length_profile,
 # cb_phrase_lexical_order, cb_phrase_time_then_phrase,
 # cb_const_key_grouping, f_oblique_mercator, txt_bm25_topk,
-# txt_unigram_surprisal, dd_semantic_prune; batch B dsq03/dsq42/dsq52/dsq55/
+# txt_unigram_surprisal, dd_semantic_prune, f_ntv2_grid_shift;
+# batch B dsq03/dsq42/dsq52/dsq55/
 # dsq07/dsq26/dsq19/dsq43; batch D dsq20/dsq60/dsq62/dsq63/dsq73/
 # dsq79/dsq81/dsq82/dsq92) — then the r5-last-green backfill (31 rows
 # as of r9: a_mode_disc, arr_operators, d_delta_scan,

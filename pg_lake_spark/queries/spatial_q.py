@@ -840,3 +840,102 @@ def f_oblique_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame(rows, "measure string, expected double")
         .orderBy("measure")
     )
+
+
+@query(
+    "f_ntv2_grid_shift",
+    # Closed-form oracle: the synthetic grid's shift field is the
+    # bilinear function dlat = 1 + 0.002*(lat_deg - 46) +
+    # 0.001*(lonw_deg + 8), dlonw = -0.5 + 0.0015*(lat_deg - 46)
+    # (arcseconds, NTv2 positive-west longitudes). Bilinear
+    # interpolation reproduces a bilinear field EXACTLY (to float32
+    # node precision), so the expected shifted coordinates are plain
+    # arithmetic — the oracle computes them directly, never touching
+    # the .gsb machinery under test.
+    oracle="""
+    SELECT pt,
+           round(lon - (-0.5 + 0.0015 * (lat - 46)) / 3600.0, 9)
+             AS shifted_lon,
+           round(lat + (1 + 0.002 * (lat - 46)
+                        + 0.001 * (-lon + 8)) / 3600.0, 9)
+             AS shifted_lat,
+           0.00 AS roundtrip_mm
+    FROM (VALUES ('a', 7.512, 46.237), ('b', 7.05, 46.95),
+                 ('c', 7.9, 46.1)) AS t(pt, lon, lat)
+    ORDER BY pt
+    """,
+    doc="NTv2 datum grid shift (+nadgrids): a spec-exact synthetic "
+    ".gsb (written at query time; the format is the public Canadian "
+    "NTv2 spec used by OSTN15/NAD27/AGD66 distributions) carries a "
+    "bilinear analytic shift field; the operator's parse + bilinear "
+    "interpolation must reproduce the analytic shift to float32 node "
+    "precision and the iterated inverse must round-trip sub-mm. Only "
+    "the grid FILES are external; the machinery is fully real.",
+)
+def f_ntv2_grid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import struct
+
+    from pg_lake_spark.functions.spatial import (
+        _ntv2_shift, _ntv2_unshift, _read_ntv2,
+    )
+    from pg_lake_spark.queries.dml import _scratch
+
+    S_, N_, E_, W_ = 46 * 3600.0, 47 * 3600.0, -8 * 3600.0, -7 * 3600.0
+
+    def field(lat_s, lonw_s):
+        return (
+            1.0 + 0.002 * (lat_s - S_) / 3600.0
+            + 0.001 * (lonw_s - E_) / 3600.0,
+            -0.5 + 0.0015 * (lat_s - S_) / 3600.0,
+        )
+
+    def srec(name, v):
+        return name.encode().ljust(8) + v.encode().ljust(8)
+
+    def irec(name, v):
+        return name.encode().ljust(8) + struct.pack("<i", v) + b"\x00" * 4
+
+    def drec(name, v):
+        return name.encode().ljust(8) + struct.pack("<d", v)
+
+    inc = 360.0
+    ncols = int(round((W_ - E_) / inc)) + 1
+    nrows = int(round((N_ - S_) / inc)) + 1
+    recs = [
+        irec("NUM_OREC", 11), irec("NUM_SREC", 11), irec("NUM_FILE", 1),
+        srec("GS_TYPE", "SECONDS"), srec("VERSION", "NTv2.0"),
+        srec("SYSTEM_F", "LOCAL"), srec("SYSTEM_T", "WGS84"),
+        drec("MAJOR_F", 6378137.0), drec("MINOR_F", 6356752.3),
+        drec("MAJOR_T", 6378137.0), drec("MINOR_T", 6356752.3),
+        srec("SUB_NAME", "SYNTH"), srec("PARENT", "NONE"),
+        srec("CREATED", "20260815"), srec("UPDATED", "20260815"),
+        drec("S_LAT", S_), drec("N_LAT", N_),
+        drec("E_LONG", E_), drec("W_LONG", W_),
+        drec("LAT_INC", inc), drec("LONG_INC", inc),
+        irec("GS_COUNT", ncols * nrows),
+    ]
+    for r in range(nrows):
+        for c in range(ncols):
+            dla, dlo = field(S_ + r * inc, E_ + c * inc)
+            recs.append(struct.pack("<ffff", dla, dlo, 0.1, 0.1))
+    path = os.path.join(_scratch("ntv2_row"), "synth.gsb")
+    with open(path, "wb") as fh:
+        fh.write(b"".join(recs))
+
+    subs = _read_ntv2(path)
+    rows = []
+    for pt, lon, lat in [("a", 7.512, 46.237), ("b", 7.05, 46.95),
+                         ("c", 7.9, 46.1)]:
+        glon, glat = _ntv2_shift(subs, lon, lat)
+        rlon, rlat = _ntv2_unshift(subs, glon, glat)
+        err_mm = max(abs(rlon - lon), abs(rlat - lat)) * 111320.0 * 1000.0
+        rows.append(
+            (pt, round(glon, 9), round(glat, 9),
+             0.00 if err_mm < 1.0 else round(err_mm, 2))
+        )
+    return spark.createDataFrame(
+        rows,
+        "pt string, shifted_lon double, shifted_lat double, "
+        "roundtrip_mm double",
+    ).orderBy("pt")
