@@ -1958,3 +1958,63 @@ def test_ntv2_grid_shift_machinery(tmp_path):
         f"+proj=longlat +ellps=WGS84 +nadgrids={gsb}", "epsg:4326"
     )
     assert pair(7.512, 46.237) == (glon, glat)
+
+
+def test_ntv2_big_endian_and_pm_on_tm(tmp_path):
+    """(1) A BIG-endian synthetic .gsb parses identically (the spec
+    allows either; endianness is sniffed from NUM_OREC). (2) +pm
+    applies to every projection method, not just krovak: tmerc with
+    +pm=paris +lon_0=0 equals tmerc with Greenwich lon_0=2.337229...
+    exactly."""
+    import struct
+    from pg_lake_spark.functions.spatial import (
+        _read_ntv2, _ntv2_shift, _resolve_def_pair,
+    )
+
+    def srec(name, v):
+        return name.encode().ljust(8) + v.encode().ljust(8)
+
+    def irec(name, v):
+        return name.encode().ljust(8) + struct.pack(">i", v) + b"\x00" * 4
+
+    def drec(name, v):
+        return name.encode().ljust(8) + struct.pack(">d", v)
+
+    S, N, E, W = 46 * 3600.0, 47 * 3600.0, -8 * 3600.0, -7 * 3600.0
+    inc = 1800.0
+    ncols = int(round((W - E) / inc)) + 1
+    nrows = int(round((N - S) / inc)) + 1
+    recs = [
+        irec("NUM_OREC", 11), irec("NUM_SREC", 11), irec("NUM_FILE", 1),
+        srec("GS_TYPE", "SECONDS"), srec("VERSION", "NTv2.0"),
+        srec("SYSTEM_F", "LOCAL"), srec("SYSTEM_T", "WGS84"),
+        drec("MAJOR_F", 6378137.0), drec("MINOR_F", 6356752.3),
+        drec("MAJOR_T", 6378137.0), drec("MINOR_T", 6356752.3),
+        srec("SUB_NAME", "BE"), srec("PARENT", "NONE"),
+        srec("CREATED", "20260815"), srec("UPDATED", "20260815"),
+        drec("S_LAT", S), drec("N_LAT", N),
+        drec("E_LONG", E), drec("W_LONG", W),
+        drec("LAT_INC", inc), drec("LONG_INC", inc),
+        irec("GS_COUNT", ncols * nrows),
+    ]
+    for _ in range(ncols * nrows):
+        recs.append(struct.pack(">ffff", 2.0, -1.0, 0.1, 0.1))
+    path = str(tmp_path / "be.gsb")
+    with open(path, "wb") as fh:
+        fh.write(b"".join(recs))
+    subs = _read_ntv2(path)
+    glon, glat = _ntv2_shift(subs, 7.5, 46.5)
+    # constant field: dlat=+2s, dlonw=-1s -> lon+1/3600, lat+2/3600
+    assert abs((glat - 46.5) * 3600.0 - 2.0) < 1e-6
+    assert abs((glon - 7.5) * 3600.0 - 1.0) < 1e-6
+
+    paris = 2.0 + 20.0 / 60.0 + 14.025 / 3600.0
+    a = _resolve_def_pair(
+        "epsg:4326",
+        "+proj=tmerc +lat_0=0 +lon_0=0 +k=0.9996 +pm=paris +ellps=WGS84",
+    )(5.0, 45.0)
+    b = _resolve_def_pair(
+        "epsg:4326",
+        f"+proj=tmerc +lat_0=0 +lon_0={paris} +k=0.9996 +ellps=WGS84",
+    )(5.0, 45.0)
+    assert abs(a[0] - b[0]) < 1e-9 and abs(a[1] - b[1]) < 1e-9
