@@ -289,9 +289,26 @@ def dsq80_tri_channel_net_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dsq94_ship_chain_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= _ts("1997-03-01"))
+        & (F.col("o_orderdate") < _ts("1997-09-01"))
+    )
+    # Gate the fact by the WINDOWED order keys BEFORE the per-order
+    # aggregate: the semi-join shuffles lineitem on the same key the
+    # groupBy needs (one effective fact shuffle), and the aggregate
+    # then reduces only the ~window fraction of orders instead of the
+    # whole fact. A/B at sf10: 20.6s -> 7.7s warm (2.7x); identical
+    # results (lines belong to exactly one order, so per-order gates
+    # are unchanged by the order-level window).
+    li = t["lineitem"].select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    ).join(
+        o.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
     gates = (
-        t["lineitem"]
-        .groupBy("l_orderkey")
+        li.groupBy("l_orderkey")
         .agg(
             F.countDistinct("l_suppkey").alias("nsupp"),
             F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_ret"),
@@ -300,12 +317,7 @@ def dsq94_ship_chain_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     return (
-        t["orders"]
-        .filter(
-            (F.col("o_orderdate") >= _ts("1997-03-01"))
-            & (F.col("o_orderdate") < _ts("1997-09-01"))
-        )
-        .join(gates, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        o.join(gates, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("order_count"),
