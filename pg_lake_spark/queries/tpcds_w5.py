@@ -1860,8 +1860,18 @@ def dsq63_monthly_type_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dsq73_big_order_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    # windowed order keys prefilter the fact before the per-order
+    # count (same one-effective-shuffle rewrite as dsq94: the semi
+    # join and the groupBy share the key; basket sizes are order-
+    # level, unchanged by the order-date window)
     big = (
-        t["lineitem"]
+        t["lineitem"].select("l_orderkey")
+        .join(o.select("o_orderkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
         .groupBy("l_orderkey")
         .agg(F.count(F.lit(1)).cast("bigint").alias("nl"))
         .filter(F.col("nl") >= 7)
@@ -1869,10 +1879,7 @@ def dsq73_big_order_customer_counts(spark: SparkSession, sf_dir: str) -> DataFra
     )
     return (
         big.join(
-            t["orders"].filter(
-                (F.col("o_orderdate") >= _ts("1997-01-01"))
-                & (F.col("o_orderdate") < _ts("1998-01-01"))
-            ).select("o_orderkey", "o_custkey"),
+            o,
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
