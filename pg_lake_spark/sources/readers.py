@@ -209,7 +209,7 @@ _GDAL_EXTS = {
     "shp": "shp", "gpkg": "gpkg", "kml": "kml", "kmz": "kmz",
     "gml": "gml", "dxf": "dxf", "mif": "mif", "map": "map",
     "xodr": "xodr", "fgb": "fgb", "geojson": "geojson",
-    "json": "geojson", "xlsx": "xlsx",
+    "json": "geojson", "xlsx": "xlsx", "xls": "xls",
 }
 
 
@@ -244,6 +244,8 @@ def _sniff_gdal_format(path: str) -> str:
         return "shp"
     if head[:4] == b"PK\x03\x04":
         return "xlsx" if ext == "xlsx" else "kmz"
+    if head[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+        return "xls"  # CFB compound file (legacy BIFF8 Excel)
     text = head.decode("utf-8", errors="replace").lstrip("﻿ \t\r\n").lower()
     if text.startswith("<?xml") or text.startswith("<"):
         body = open(first, "rb").read(4096).decode("utf-8", errors="replace").lower()
@@ -297,12 +299,12 @@ def read_lake(
         layer = options.pop("layer")
         if fmt in ("gpkg", "geopackage"):
             options["table"] = layer
-        elif fmt == "xlsx":
+        elif fmt in ("xlsx", "xls"):
             options["sheet"] = layer
         else:
             raise ValueError(
                 f"option 'layer' is not applicable to format {fmt!r} "
-                "(supported: gpkg, xlsx)"
+                "(supported: gpkg, xlsx, xls)"
             )
 
     # Single-file geo/office formats accept globs by fan-out: one
@@ -312,7 +314,7 @@ def read_lake(
     _SINGLE_FILE_FMTS = {
         "shp", "shapefile", "gpkg", "geopackage", "kml", "kmz", "gml",
         "dxf", "mif", "map", "wasp", "xodr", "fgb", "flatgeobuf",
-        "geojson", "xlsx",
+        "geojson", "xlsx", "xls",
     }
     if fmt in _SINGLE_FILE_FMTS and any(c in path for c in "*?["):
         matches = sorted(_glob.glob(path))
@@ -396,6 +398,15 @@ def read_lake(
         from pg_lake_spark.sources.xlsx import read_xlsx
 
         df = read_xlsx(
+            spark,
+            path,
+            sheet=options.pop("sheet", 1),
+            header=str(options.pop("header", "true")).lower() != "false",
+        )
+    elif fmt == "xls":
+        from pg_lake_spark.sources.xls import read_xls
+
+        df = read_xls(
             spark,
             path,
             sheet=options.pop("sheet", 1),

@@ -103,6 +103,12 @@ def read_xlsx(
         rows = _sheet_rows(zf, member, shared)
     if not rows:
         raise ValueError(f"empty worksheet in {path}")
+    return _rows_to_df(spark, rows, header)
+
+
+def _rows_to_df(spark: SparkSession, rows: list[list], header: bool) -> DataFrame:
+    """Shared typing/header tail for the Excel readers (.xlsx and the
+    BIFF8 .xls reader in ``sources/xls.py``)."""
     if header:
         cols = [str(v) if v is not None else f"c{i}" for i, v in enumerate(rows[0])]
         data = rows[1:]
