@@ -796,8 +796,21 @@ def _cast_to_table(df: DataFrame, table) -> DataFrame:
                         F.col(c).cast("string"),
                     )
                 )
+                in_range = col.between(F.lit(lo), F.lit(hi))
+                if isinstance(dst, T.LongType) and isinstance(
+                    src, (T.FloatType, T.DoubleType)
+                ):
+                    # 2^63-1 is not a representable double: the
+                    # comparison would round the bound UP to 2^63 and
+                    # let a double of exactly 9.223372036854776e18
+                    # clamp instead of raise. Compare exclusively
+                    # against 2^63 (exact as a double); -2^63 is exact
+                    # and is bigint min, so >= is right there.
+                    in_range = (col >= F.lit(float(lo))) & (
+                        col < F.lit(2.0 ** 63)
+                    )
                 col = F.when(
-                    col.isNotNull() & ~col.between(F.lit(lo), F.lit(hi)),
+                    col.isNotNull() & ~in_range,
                     err.cast(src),
                 ).otherwise(col)
         casted = col.cast(dst)

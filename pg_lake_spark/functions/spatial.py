@@ -3851,6 +3851,15 @@ def _projdef_fns(d: dict):
     k0 = float(d.get("k", d.get("k_0", 1.0)))
     x0, y0 = float(d.get("x_0", 0.0)), float(d.get("y_0", 0.0))
     if proj in ("longlat", "latlong"):
+        if pm_off:
+            # A geographic def with a non-Greenwich prime meridian
+            # stores longitudes relative to that meridian; the
+            # Greenwich-referenced side subtracts/adds the offset
+            # (PROJ shifts geographic output by the pm offset).
+            return (
+                lambda x, y: (x - pm_off, y),
+                lambda x, y: (x + pm_off, y),
+            )
         ident = lambda x, y: (x, y)  # noqa: E731
         return ident, ident
     if proj == "utm":
@@ -3895,12 +3904,14 @@ def _projdef_fns(d: dict):
         )
     if proj == "somerc":
         # Swiss oblique Mercator (PROJ somerc): lat_0/lon_0 default to
-        # the Bern origin; x_0/y_0 carry LV03 vs LV95.
+        # the Bern origin only when ABSENT — an explicit +lat_0=0 must
+        # stay 0 (presence-keyed, not truthiness; PROJ's own somerc
+        # default is 0). x_0/y_0 carry LV03 vs LV95.
+        s_lat0 = float(d["lat_0"]) if "lat_0" in d else _CH_LAT0
+        s_lon0 = (float(d["lon_0"]) + pm_off) if "lon_0" in d else _CH_LON0
         return (
-            _somerc_forward_gen(a, f, lat0 or _CH_LAT0,
-                                lon0 or _CH_LON0, x0, y0),
-            _somerc_inverse_gen(a, f, lat0 or _CH_LAT0,
-                                lon0 or _CH_LON0, x0, y0),
+            _somerc_forward_gen(a, f, s_lat0, s_lon0, x0, y0),
+            _somerc_inverse_gen(a, f, s_lat0, s_lon0, x0, y0),
         )
     if proj == "omerc":
         # Hotine oblique Mercator (PROJ omerc): +lonc (centre

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -464,6 +465,10 @@ def semantic_dedup(
         n = df.count()
         n_planes = max(1, min(24, _math.ceil(
             _math.log2(max(n / target_bucket, 2.0)))))
+    # The _drop frame carries the caller's id type (string/uuid ids
+    # are legal); hard-coding long crashed inside the Arrow worker.
+    id_dt = df.schema[id_col].dataType
+    id_is_int = id_dt.typeName() in ("byte", "short", "integer", "long")
     b = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -474,7 +479,7 @@ def semantic_dedup(
         ids = pdf["_id"].to_numpy()[order]
         nrow = len(ids)
         if nrow < 2:
-            return pd.DataFrame({"_drop": np.array([], dtype=np.int64)})
+            return pd.DataFrame({"_drop": pd.Series([], dtype=pdf["_id"].dtype)})
         M = np.vstack(pdf["_v"].to_numpy()[order]).astype(np.float64)
         norms = np.linalg.norm(M, axis=1)
         norms[norms == 0] = 1.0
@@ -487,9 +492,14 @@ def semantic_dedup(
                 gi = s0 + k
                 if gi + 1 < nrow:
                     drop[gi + 1:] |= hits[k, gi + 1:]
-        return pd.DataFrame({"_drop": ids[drop].astype(np.int64)})
+        out = ids[drop]
+        if id_is_int:
+            out = out.astype(np.int64) if id_dt.typeName() == "long" else out
+        return pd.DataFrame({"_drop": out})
 
-    drops = b.groupBy("_b").applyInPandas(prune, schema="_drop long")
+    drops = b.groupBy("_b").applyInPandas(
+        prune, schema=T.StructType([T.StructField("_drop", id_dt)])
+    )
     return df.join(
         drops.select("_drop").distinct(),
         df[id_col] == F.col("_drop"),

@@ -58,7 +58,7 @@ def _cfb_open(raw: bytes) -> dict:
         difat.extend(vals[:-1])
         nxt = vals[-1]
     fat: list[int] = []
-    for fs in difat[:n_fat] + [v for v in difat[n_fat:] if v != _FREE][:0]:
+    for fs in difat[:n_fat]:
         fat.extend(struct.unpack(f"<{ssz // 4}I", sector(fs)))
 
     def chain(start: int) -> bytes:

@@ -748,3 +748,32 @@ def test_insert_float_rounding_ties_to_even(sess, spark, tmp_path):
     # double: rint — 0.5->0, 1.5->2, 2.5->2, -0.5->0
     # decimal literal: HALF_UP — 0.5->1, -2.5->-3
     assert got == {"a": 0, "b": 2, "c": 2, "d": 0, "e": 1, "f": -3}
+
+
+def test_insert_double_at_bigint_boundary_raises(sess, spark, tmp_path):
+    """ADVICE r10: 2^63-1 is not representable as a double — comparing
+    a double source against lit(2^63-1) rounds the bound UP to 2^63,
+    letting a double of exactly 9.223372036854776e18 (== 2^63) clamp
+    on cast instead of raising. The guard now compares exclusively
+    against 2.0**63."""
+    sess.warehouse = str(tmp_path / "wh")
+    sess.execute(
+        "CREATE TABLE bigb_t (k bigint) USING iceberg "
+        "WITH (write_mode = 'copy_on_write')"
+    )
+    # exactly 2^63 as a double: out of range, must raise
+    with pytest.raises(Exception, match="out of range"):
+        sess.execute(
+            "INSERT INTO bigb_t VALUES (CAST(9.223372036854776e18 AS double))"
+        )
+    # largest double strictly below 2^63 still inserts
+    sess.execute(
+        "INSERT INTO bigb_t VALUES (CAST(9.2233720368547748e18 AS double))"
+    )
+    got = spark.table("bigb_t").collect()[0].k
+    assert got == 9223372036854774784
+    # bigint min as a double (-2^63, exactly representable) is in range
+    sess.execute(
+        "INSERT INTO bigb_t VALUES (CAST(-9.223372036854776e18 AS double))"
+    )
+    assert spark.table("bigb_t").count() == 2

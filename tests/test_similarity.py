@@ -98,3 +98,19 @@ def test_semantic_dedup_keeps_lowest_id_per_group(spark):
     got = sorted(r.vec_id for r in out.collect())
     assert got == [1, 4]
     assert set(out.columns) == {"vec_id", "embedding", "label"}
+
+
+def test_semantic_dedup_string_ids(spark):
+    """ADVICE r10: the _drop schema follows the caller's id type —
+    string/uuid ids must work (hard-coded 'long' crashed in the
+    Arrow worker). Keep-lowest = lexicographic for strings."""
+    from pg_lake_spark.operators.similarity import semantic_dedup
+
+    v1 = [1.0, 0.0] * 32
+    v2 = [0.0, 1.0] * 32
+    rows = [("doc-a", v1), ("doc-b", v1), ("doc-c", v2)]
+    df = spark.createDataFrame(rows, "doc_id string, emb array<float>")
+    out = semantic_dedup(
+        df, "doc_id", "emb", dim=64, threshold=0.9, n_planes=1
+    )
+    assert sorted(r.doc_id for r in out.collect()) == ["doc-a", "doc-c"]

@@ -2018,3 +2018,54 @@ def test_ntv2_big_endian_and_pm_on_tm(tmp_path):
         f"+proj=tmerc +lat_0=0 +lon_0={paris} +k=0.9996 +ellps=WGS84",
     )(5.0, 45.0)
     assert abs(a[0] - b[0]) < 1e-9 and abs(a[1] - b[1]) < 1e-9
+
+
+def test_projdef_longlat_pm_shifts_geographic():
+    """ADVICE r10: a GEOGRAPHIC def with a non-Greenwich prime
+    meridian must shift longitudes (PROJ behavior) — previously the
+    longlat branch returned identity and silently treated
+    Ferro-referenced longitudes as Greenwich. 42d30' East of Ferro
+    == 24d50' East of Greenwich."""
+    from pg_lake_spark.functions.spatial import _resolve_def_pair
+
+    ferro_lon = 42.5
+    greenwich_lon = 24.833333333333332
+    # Ferro-referenced geographic -> WGS84 Greenwich geographic
+    out = _resolve_def_pair(
+        "+proj=longlat +ellps=WGS84 +pm=ferro", "epsg:4326"
+    )(ferro_lon, 50.0)
+    assert abs(out[0] - greenwich_lon) < 1e-9
+    assert abs(out[1] - 50.0) < 1e-12
+    # and the reverse direction adds the offset back
+    back = _resolve_def_pair(
+        "epsg:4326", "+proj=longlat +ellps=WGS84 +pm=ferro"
+    )(greenwich_lon, 50.0)
+    assert abs(back[0] - ferro_lon) < 1e-9
+    # Greenwich pm stays identity
+    ident = _resolve_def_pair(
+        "+proj=longlat +ellps=WGS84", "epsg:4326"
+    )(13.25, 47.5)
+    assert abs(ident[0] - 13.25) < 1e-12
+
+
+def test_somerc_explicit_zero_origin_is_not_bern():
+    """ADVICE r10: '+lat_0=0 +lon_0=0' (PROJ's actual somerc default)
+    must NOT be truthiness-replaced by the Bern origin; defaults key
+    on parameter PRESENCE."""
+    from pg_lake_spark.functions.spatial import _resolve_def_pair
+
+    zero_def = (
+        "+proj=somerc +lat_0=0 +lon_0=0 +k_0=1 +x_0=0 +y_0=0 "
+        "+ellps=bessel"
+    )
+    bern_def = "+proj=somerc +ellps=bessel +x_0=0 +y_0=0"
+    z = _resolve_def_pair("epsg:4326", zero_def)(7.0, 46.0)
+    b = _resolve_def_pair("epsg:4326", bern_def)(7.0, 46.0)
+    # different projection centre -> wildly different grid coords
+    assert abs(z[0] - b[0]) > 1e4 or abs(z[1] - b[1]) > 1e4
+    # the equatorial-origin def round-trips exactly
+    back = _resolve_def_pair(zero_def, "epsg:4326")(z[0], z[1])
+    assert abs(back[0] - 7.0) < 1e-9 and abs(back[1] - 46.0) < 1e-9
+    # at the equator origin, the origin itself maps to (0, 0)
+    o = _resolve_def_pair("epsg:4326", zero_def)(0.0, 0.0)
+    assert abs(o[0]) < 1e-6 and abs(o[1]) < 1e-6
