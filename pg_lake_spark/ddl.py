@@ -797,18 +797,27 @@ def _cast_to_table(df: DataFrame, table) -> DataFrame:
                     )
                 )
                 in_range = col.between(F.lit(lo), F.lit(hi))
-                if isinstance(dst, T.LongType) and isinstance(
-                    src, (T.FloatType, T.DoubleType)
-                ):
-                    # 2^63-1 is not a representable double: the
-                    # comparison would round the bound UP to 2^63 and
-                    # let a double of exactly 9.223372036854776e18
-                    # clamp instead of raise. Compare exclusively
-                    # against 2^63 (exact as a double); -2^63 is exact
-                    # and is bigint min, so >= is right there.
-                    in_range = (col >= F.lit(float(lo))) & (
-                        col < F.lit(2.0 ** 63)
-                    )
+                if isinstance(src, (T.FloatType, T.DoubleType)):
+                    # Float/double sources must be range-checked in
+                    # DOUBLE space. Two traps otherwise: (a) 2^63-1 is
+                    # not a representable double — the bound rounds UP
+                    # to 2^63 and a double of exactly
+                    # 9.223372036854776e18 clamps instead of raising;
+                    # compare exclusively against 2^63 (exact). (b) a
+                    # FloatType column compared to an int literal
+                    # promotes the BOUND to float, rounding 2^31-1 up
+                    # to 2^31 — the same bug one type down; cast the
+                    # column to double (exact for every float) so the
+                    # int bounds (< 2^53) stay exact.
+                    dcol = col.cast("double")
+                    if isinstance(dst, T.LongType):
+                        in_range = (dcol >= F.lit(float(lo))) & (
+                            dcol < F.lit(2.0 ** 63)
+                        )
+                    else:
+                        in_range = dcol.between(
+                            F.lit(float(lo)), F.lit(float(hi))
+                        )
                 col = F.when(
                     col.isNotNull() & ~in_range,
                     err.cast(src),

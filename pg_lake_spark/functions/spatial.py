@@ -3903,12 +3903,19 @@ def _projdef_fns(d: dict):
             _ostereo_inverse_gen(a, f, lat0, lon0, k0, x0, y0),
         )
     if proj == "somerc":
-        # Swiss oblique Mercator (PROJ somerc): lat_0/lon_0 default to
-        # the Bern origin only when ABSENT — an explicit +lat_0=0 must
-        # stay 0 (presence-keyed, not truthiness; PROJ's own somerc
-        # default is 0). x_0/y_0 carry LV03 vs LV95.
-        s_lat0 = float(d["lat_0"]) if "lat_0" in d else _CH_LAT0
-        s_lon0 = (float(d["lon_0"]) + pm_off) if "lon_0" in d else _CH_LON0
+        # Swiss oblique Mercator (PROJ somerc). PROJ's documented
+        # default origin is 0/0; the Bern-origin fallback here is a
+        # DELIBERATE divergence kept for legacy Swiss defs that omit
+        # the origin entirely — so it is keyed on BOTH params being
+        # absent together. A mixed def (only one of lat_0/lon_0
+        # present) takes the explicit value plus PROJ's 0 default for
+        # the other — never a hybrid explicit/Bern origin. x_0/y_0
+        # carry LV03 vs LV95.
+        if "lat_0" in d or "lon_0" in d:
+            s_lat0 = float(d.get("lat_0", 0.0))
+            s_lon0 = float(d.get("lon_0", 0.0)) + pm_off
+        else:
+            s_lat0, s_lon0 = _CH_LAT0, _CH_LON0
         return (
             _somerc_forward_gen(a, f, s_lat0, s_lon0, x0, y0),
             _somerc_inverse_gen(a, f, s_lat0, s_lon0, x0, y0),

@@ -468,7 +468,6 @@ def semantic_dedup(
     # The _drop frame carries the caller's id type (string/uuid ids
     # are legal); hard-coding long crashed inside the Arrow worker.
     id_dt = df.schema[id_col].dataType
-    id_is_int = id_dt.typeName() in ("byte", "short", "integer", "long")
     b = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -492,10 +491,7 @@ def semantic_dedup(
                 gi = s0 + k
                 if gi + 1 < nrow:
                     drop[gi + 1:] |= hits[k, gi + 1:]
-        out = ids[drop]
-        if id_is_int:
-            out = out.astype(np.int64) if id_dt.typeName() == "long" else out
-        return pd.DataFrame({"_drop": out})
+        return pd.DataFrame({"_drop": ids[drop]})
 
     drops = b.groupBy("_b").applyInPandas(
         prune, schema=T.StructType([T.StructField("_drop", id_dt)])

@@ -777,3 +777,34 @@ def test_insert_double_at_bigint_boundary_raises(sess, spark, tmp_path):
         "INSERT INTO bigb_t VALUES (CAST(-9.223372036854776e18 AS double))"
     )
     assert spark.table("bigb_t").count() == 2
+
+
+def test_insert_float_at_int_boundary_raises(sess, spark, tmp_path):
+    """ADVICE r11: a FloatType source compared against lit(2^31-1)
+    promotes the BOUND to float, rounding it up to 2^31 — so a float of
+    exactly 2.147483648e9 passed the guard and saturated to 2147483647
+    on cast. The guard now range-checks float/double sources in double
+    space for every integer destination width."""
+    sess.warehouse = str(tmp_path / "wh")
+    sess.execute(
+        "CREATE TABLE fib_t (k int, s smallint) USING iceberg "
+        "WITH (write_mode = 'copy_on_write')"
+    )
+    # exactly 2^31 as a float: out of range for int, must raise
+    with pytest.raises(Exception, match="out of range"):
+        sess.execute(
+            "INSERT INTO fib_t VALUES (CAST(2.147483648e9 AS float), 0)"
+        )
+    # largest float strictly below 2^31 (2147483520) inserts fine
+    sess.execute(
+        "INSERT INTO fib_t VALUES (CAST(2.14748352e9 AS float), 0)"
+    )
+    assert spark.table("fib_t").collect()[0].k == 2147483520
+    # same promotion trap one width down: 32768.0f into smallint
+    with pytest.raises(Exception, match="out of range"):
+        sess.execute("INSERT INTO fib_t VALUES (0, CAST(3.2768e4 AS float))")
+    # int min as a float (-2^31, exactly representable) is in range
+    sess.execute(
+        "INSERT INTO fib_t VALUES (CAST(-2.147483648e9 AS float), 1)"
+    )
+    assert spark.table("fib_t").count() == 2

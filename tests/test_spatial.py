@@ -2069,3 +2069,30 @@ def test_somerc_explicit_zero_origin_is_not_bern():
     # at the equator origin, the origin itself maps to (0, 0)
     o = _resolve_def_pair("epsg:4326", zero_def)(0.0, 0.0)
     assert abs(o[0]) < 1e-6 and abs(o[1]) < 1e-6
+
+
+def test_somerc_mixed_def_takes_proj_default_not_bern():
+    """ADVICE r11: the Bern fallback (deliberate PROJ divergence, kept
+    for legacy Swiss defs) fires only when BOTH lat_0 and lon_0 are
+    absent together. A mixed def with only lat_0 present gets PROJ's
+    documented 0 default for lon_0 — never a hybrid explicit-lat /
+    Bern-lon origin."""
+    from pg_lake_spark.functions.spatial import _resolve_def_pair
+
+    mixed_def = "+proj=somerc +lat_0=46.95240555555556 +ellps=bessel"
+    explicit_def = (
+        "+proj=somerc +lat_0=46.95240555555556 +lon_0=0 +ellps=bessel"
+    )
+    bern_def = "+proj=somerc +ellps=bessel"
+    m = _resolve_def_pair("epsg:4326", mixed_def)(7.0, 46.0)
+    e = _resolve_def_pair("epsg:4326", explicit_def)(7.0, 46.0)
+    b = _resolve_def_pair("epsg:4326", bern_def)(7.0, 46.0)
+    # mixed == explicit lon_0=0, and far from the Bern-lon hybrid
+    assert abs(m[0] - e[0]) < 1e-9 and abs(m[1] - e[1]) < 1e-9
+    assert abs(m[0] - b[0]) > 1e4
+    # both-absent still resolves the legacy Swiss origin: its centre
+    # maps to the (x_0, y_0)=0 grid origin
+    o = _resolve_def_pair("epsg:4326", bern_def)(
+        7.439583333333333, 46.95240555555556
+    )
+    assert abs(o[0]) < 1e-6 and abs(o[1]) < 1e-6
