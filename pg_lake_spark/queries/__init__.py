@@ -46,10 +46,12 @@ from pg_lake_spark.queries import clickbench  # noqa: E402,F401
 #: row in that round or later. (Rows with no green at all are already
 #: group 0; listing them here is harmless but unnecessary.)
 _CODE_CHANGED_IN: dict[str, int] = {
-    # r12: windowed-keys semi-join prefilter rewrite (VERDICT r11 #3)
+    # r12: windowed-keys semi-join prefilter rewrite (VERDICT r11 #3).
+    # q18 itself is NOT rewritten — it has no selective order-side
+    # predicate to push (the only gate IS the per-order HAVING), so
+    # the lever doesn't apply; its single-aggregation form stands.
     "dsq34_order_size_band": 12,
     "dsq95_dual_semijoin": 12,
-    "q18_large_volume_customer": 12,
 }
 
 

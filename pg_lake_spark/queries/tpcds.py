@@ -493,15 +493,22 @@ def dsq23_frequent_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dsq34_order_size_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    # Gate the fact by the FILTERED order keys BEFORE the per-order
+    # count (the dsq94 rewrite): the semi-join shuffles lineitem on
+    # the same key the groupBy needs — one effective fact shuffle —
+    # and the aggregate then counts only the ~1/5 priority fraction.
+    # Per-order counts are unchanged by an order-level filter, so
+    # results are identical.
     per_order = (
-        t["lineitem"].groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+        t["lineitem"].select("l_orderkey")
+        .join(o.select("o_orderkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
         .filter(F.col("n_items").between(6, 7))
     )
     return (
-        per_order.join(
-            t["orders"].filter(F.col("o_orderpriority") == "1-URGENT"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
+        per_order.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(_bcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
         .select("c_name", "o_orderkey", "n_items")
         .orderBy("c_name", "o_orderkey")
@@ -1424,22 +1431,32 @@ def dsq78_channel_fullouter_ratio(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def dsq95_dual_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    li = t["lineitem"]
-    multi = (
-        li.groupBy("l_orderkey")
-        .agg(F.count_distinct("l_suppkey").alias("ns"))
-        .filter(F.col("ns") > 1)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    # Gate the fact by the WINDOWED order keys BEFORE the per-order
+    # aggregate (the dsq94 rewrite), and fold BOTH IN-gates into ONE
+    # aggregate over the reduced frame: the semi-join shuffles
+    # lineitem on the same key the groupBy needs (one effective fact
+    # shuffle, vs TWO full-fact aggregations before), and
+    # IN(multi-supplier) AND IN(returned) is exactly the per-order
+    # predicate ns > 1 AND has_ret = 1 — lines belong to one order,
+    # so order-level windowing cannot change either gate.
+    gates = (
+        t["lineitem"].select("l_orderkey", "l_suppkey", "l_returnflag")
+        .join(o.select("o_orderkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("ns"),
+            F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_ret"),
+        )
+        .filter((F.col("ns") > 1) & (F.col("has_ret") == 1))
         .select("l_orderkey")
     )
-    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
     return (
-        t["orders"]
-        .filter(
-            (F.col("o_orderdate") >= _ts("1996-01-01"))
-            & (F.col("o_orderdate") < _ts("1997-01-01"))
-        )
-        .join(multi, F.col("o_orderkey") == multi["l_orderkey"], "left_semi")
-        .join(returned, F.col("o_orderkey") == returned["l_orderkey"], "left_semi")
+        o.join(gates, F.col("o_orderkey") == gates["l_orderkey"], "left_semi")
         .agg(
             F.count_distinct("o_custkey").cast("bigint").alias("n_custs"),
             F.count(F.lit(1)).alias("n_orders"),
