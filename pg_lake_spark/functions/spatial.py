@@ -3887,6 +3887,8 @@ def _projdef_fns(d: dict):
         unit = _UNITS[d["units"]] if "units" in d else float(d.get("to_meter", 1.0))
         p = (a, f, lat0, lon0, sp1, sp2, x0, y0, unit)
         return _aea_forward(p), _aea_inverse(p)
+    if proj == "laea":
+        return _laea_fns(a, f, lat0, lon0, x0, y0)
     if proj == "stere":
         if abs(lat0) != 90.0:
             raise NotImplementedError(
@@ -4021,7 +4023,7 @@ def _projdef_fns(d: dict):
         return m_fwd, m_inv
     raise NotImplementedError(
         f"+proj={proj}: embedded methods are longlat, utm, tmerc, lcc, "
-        "aea, stere (polar), sterea, krovak, somerc, omerc, "
+        "aea, laea, stere (polar), sterea, krovak, somerc, omerc, "
         "merc/webmerc (the reference delegates the rest to PROJ)"
     )
 
@@ -4424,6 +4426,111 @@ def _aea_inverse(p):
     return fn
 
 
+# -- Lambert Azimuthal Equal Area (EPSG method 9820; CRS 3035
+# ETRS89-LAEA Europe — the European statistical grid — and 9311/2163
+# US National Atlas Equal Area on the authalic sphere). Formulas from
+# EPSG Guidance Note 7-2; the spherical case is the e->0 limit
+# (q(phi) -> 2 sin phi), which reduces the oblique equations to
+# Snyder's spherical LAEA exactly, so one kernel serves both. The
+# reference reaches LAEA via DuckDB-spatial/PROJ
+# (pg_lake_engine shippable_spatial_functions.c st_transform).
+
+
+def _laea_fns(a, f, lat0, lon0, x0, y0):
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+
+    if e > 0:
+        def q_of(phi):
+            s = math.sin(phi)
+            return (1 - e2) * (
+                s / (1 - e2 * s * s)
+                - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))
+            )
+    else:
+        def q_of(phi):
+            return 2.0 * math.sin(phi)
+
+    qp = q_of(math.pi / 2)
+    phi0, lam0 = math.radians(lat0), math.radians(lon0)
+    # beta -> phi inverse series (GN7-2); all terms vanish on a sphere
+    c2 = e2 / 3 + 31 * e2 ** 2 / 180 + 517 * e2 ** 3 / 5040
+    c4 = 23 * e2 ** 2 / 360 + 251 * e2 ** 3 / 3780
+    c6 = 761 * e2 ** 3 / 45360
+
+    def phi_of_beta(bp):
+        return bp + c2 * math.sin(2 * bp) + c4 * math.sin(4 * bp) \
+            + c6 * math.sin(6 * bp)
+
+    if abs(lat0) == 90.0:
+        north = lat0 > 0
+
+        def fwd(x: float, y: float) -> tuple[float, float]:
+            phi, dl = math.radians(y), math.radians(x) - lam0
+            rho = a * math.sqrt(max(qp - q_of(phi) if north
+                                    else qp + q_of(phi), 0.0))
+            if north:
+                return x0 + rho * math.sin(dl), y0 - rho * math.cos(dl)
+            return x0 + rho * math.sin(dl), y0 + rho * math.cos(dl)
+
+        def inv(x: float, y: float) -> tuple[float, float]:
+            dx, dy = x - x0, y - y0
+            rho = math.hypot(dx, dy)
+            q = qp - rho * rho / (a * a)
+            if not north:
+                q = -q
+            bp = math.asin(max(-1.0, min(1.0, q / qp)))
+            lam = lam0 + (math.atan2(dx, -dy) if north
+                          else math.atan2(dx, dy))
+            return math.degrees(lam), math.degrees(phi_of_beta(bp))
+
+        return fwd, inv
+
+    beta0 = math.asin(max(-1.0, min(1.0, q_of(phi0) / qp)))
+    rq = a * math.sqrt(qp / 2.0)
+    s0 = math.sin(phi0)
+    d_const = a * math.cos(phi0) / (
+        math.sqrt(1 - e2 * s0 * s0) * rq * math.cos(beta0)
+    )
+    sb0, cb0 = math.sin(beta0), math.cos(beta0)
+
+    def fwd(x: float, y: float) -> tuple[float, float]:
+        phi, dl = math.radians(y), math.radians(x) - lam0
+        beta = math.asin(max(-1.0, min(1.0, q_of(phi) / qp)))
+        sb, cb = math.sin(beta), math.cos(beta)
+        denom = 1.0 + sb0 * sb + cb0 * cb * math.cos(dl)
+        b = rq * math.sqrt(2.0 / max(denom, 1e-300))  # antipode guard
+        return (
+            x0 + b * d_const * cb * math.sin(dl),
+            y0 + (b / d_const) * (cb0 * sb - sb0 * cb * math.cos(dl)),
+        )
+
+    def inv(x: float, y: float) -> tuple[float, float]:
+        dx, dy = (x - x0) / d_const, d_const * (y - y0)
+        rho = math.hypot(dx, dy)
+        if rho == 0.0:
+            return math.degrees(lam0), math.degrees(phi_of_beta(beta0))
+        c = 2.0 * math.asin(max(-1.0, min(1.0, rho / (2.0 * rq))))
+        sc, cc = math.sin(c), math.cos(c)
+        bp = math.asin(max(-1.0, min(1.0, cc * sb0 + dy * sc * cb0 / rho)))
+        lam = lam0 + math.atan2(dx * sc, rho * cb0 * cc - dy * sb0 * sc)
+        return math.degrees(lam), math.degrees(phi_of_beta(bp))
+
+    return fwd, inv
+
+
+#: EPSG code -> (a, f, lat_0, lon_0, x_0, y_0) for embedded LAEA CRSs
+_LAEA_PARAMS = {
+    # ETRS89-extended / LAEA Europe (the INSPIRE / Eurostat grid)
+    3035: (_ELLPS["GRS80"][0], _ELLPS["GRS80"][1],
+           52.0, 10.0, 4321000.0, 3210000.0),
+    # US National Atlas Equal Area (authalic sphere); 2163 is the
+    # deprecated earlier code for the same projected CRS
+    9311: (6370997.0, 0.0, 45.0, -100.0, 0.0, 0.0),
+    2163: (6370997.0, 0.0, 45.0, -100.0, 0.0, 0.0),
+}
+
+
 def _resolve_transform(s: int, d: int):
     """Point-transform callable for (s, d), composing through 4326 for
     pairs like 3857<->UTM or UTM<->LCC; None when unsupported."""
@@ -4443,6 +4550,15 @@ def _resolve_transform(s: int, d: int):
         return _aea_forward(_AEA_PARAMS[d])
     if s in _AEA_PARAMS and d == 4326:
         return _aea_inverse(_AEA_PARAMS[s])
+    if s == 4326 and d in _LAEA_PARAMS:
+        return _laea_fns(*_LAEA_PARAMS[d])[0]
+    if s in _LAEA_PARAMS and d == 4326:
+        return _laea_fns(*_LAEA_PARAMS[s])[1]
+    if s == 4326 and d == 3395:
+        # WGS84 / World Mercator (ellipsoidal variant A, k=1)
+        return _projdef_fns({"proj": "merc", "ellps": "WGS84"})[0]
+    if s == 3395 and d == 4326:
+        return _projdef_fns({"proj": "merc", "ellps": "WGS84"})[1]
     if s == 4326 and d in _PS_PARAMS:
         return _ps_forward(_PS_PARAMS[d])
     if s in _PS_PARAMS and d == 4326:
@@ -4472,13 +4588,13 @@ def _resolve_transform(s: int, d: int):
     if s == 2056 and d == 4326:
         return _ch_inverse(2600000.0, 1200000.0)
     # compose via 4326 (3857<->UTM, UTM<->UTM zone change, conic<->any)
-    _named = (3857, 27700, 28992, 5514, 21781, 2056)
+    _named = (3857, 3395, 27700, 28992, 5514, 21781, 2056)
     if (
         zs or s in _named or s in _LCC_PARAMS or s in _AEA_PARAMS
-        or s in _PS_PARAMS or s in _TM_PARAMS
+        or s in _LAEA_PARAMS or s in _PS_PARAMS or s in _TM_PARAMS
     ) and (
         zd or d in _named or d in _LCC_PARAMS or d in _AEA_PARAMS
-        or d in _PS_PARAMS or d in _TM_PARAMS
+        or d in _LAEA_PARAMS or d in _PS_PARAMS or d in _TM_PARAMS
     ):
         to_geo = _resolve_transform(s, 4326)
         from_geo = _resolve_transform(4326, d)
@@ -4502,7 +4618,8 @@ def _k_transform(g: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
             raise NotImplementedError(
                 f"st_transform supports EPSG:4326<->3857, 4326/3857<->"
                 f"UTM (326zz/327zz), the embedded LCC set {sorted(_LCC_PARAMS)} "
-                f"Albers {sorted(_AEA_PARAMS)}, polar stereographic "
+                f"Albers {sorted(_AEA_PARAMS)}, LAEA {sorted(_LAEA_PARAMS)}, "
+                f"polar stereographic "
                 f"{sorted(_PS_PARAMS)}, TM grids {sorted(_TM_PARAMS)}, "
                 f"OSGB 27700, RD New 28992, S-JTSK Krovak 5514 and "
                 f"Swiss 21781/2056, got {s}->{d} "

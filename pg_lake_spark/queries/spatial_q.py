@@ -939,3 +939,127 @@ def f_ntv2_grid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pt string, shifted_lon double, shifted_lat double, "
         "roundtrip_mm double",
     ).orderBy("pt")
+
+
+@query(
+    "f_laea_transform",
+    # Closed-form oracle: EPSG Guidance Note 7-2's published worked
+    # example for method 9820 (Lambert Azimuthal Equal Area) — ETRS89 /
+    # LAEA Europe (EPSG 3035, the European statistical grid): 50N 5E ->
+    # E 3962799.45 / N 2999718.85 — plus exact anchors (the projection
+    # origin maps to the false origin BY DEFINITION in both the
+    # European and the spherical US National Atlas CRS) and sub-mm
+    # WGS84 round-trips (ETRS89 is WGS84-coincident at this accuracy,
+    # so the gate is the kernel's own series truncation, not a datum
+    # shift). NOT outputs of the implementation.
+    oracle="""
+    SELECT * FROM (VALUES
+      ('gn72_example_E_m',    3962799.45),
+      ('gn72_example_N_m',    2999718.85),
+      ('origin_E_m',          4321000.00),
+      ('origin_N_m',          3210000.00),
+      ('us_atlas_origin_E_m',       0.00),
+      ('us_atlas_origin_N_m',       0.00),
+      ('roundtrip_madrid_mm',       0.00),
+      ('roundtrip_oslo_mm',         0.00),
+      ('roundtrip_dc_mm',           0.00)
+    ) AS t(measure, expected)
+    ORDER BY measure
+    """,
+    doc="Lambert Azimuthal Equal Area (EPSG method 9820; CRS 3035 "
+    "ETRS89-LAEA Europe, 9311/2163 US National Atlas on the authalic "
+    "sphere). st_transform/st_transform_def implement the GN7-2 "
+    "oblique + polar equations with the e->0 spherical limit; the "
+    "oracle pins the guidance note's own worked example to the cm, "
+    "both CRSs' origin anchors, and sub-mm round-trips. pytest "
+    "additionally verifies the equal-area property itself (Jacobian "
+    "vs ellipsoidal area element — an implementation-independent "
+    "check). The reference ships LAEA via DuckDB-spatial/PROJ "
+    "(shippable_spatial_functions.c st_transform).",
+)
+def f_laea_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [
+        ("gn72_example_E_m", 5.0, 50.0, "E", 3035),
+        ("gn72_example_N_m", 5.0, 50.0, "N", 3035),
+        ("origin_E_m", 10.0, 52.0, "E", 3035),
+        ("origin_N_m", 10.0, 52.0, "N", 3035),
+        ("us_atlas_origin_E_m", -100.0, 45.0, "E", 9311),
+        ("us_atlas_origin_N_m", -100.0, 45.0, "N", 9311),
+        ("roundtrip_madrid_mm", -3.70, 40.42, "RT", 3035),
+        ("roundtrip_oslo_mm", 10.75, 59.91, "RT", 3035),
+        ("roundtrip_dc_mm", -77.04, 38.91, "RT", 9311),
+    ]
+    df = spark.createDataFrame(
+        rows, "measure string, lon double, lat double, kind string, srid int"
+    )
+    pt = S.st_point(F.col("lon"), F.col("lat"))
+    fwd = S.st_transform(pt, 4326, F.col("srid"))
+    back = S.st_transform(fwd, F.col("srid"), 4326)
+    raw_err_mm = (
+        F.greatest(
+            F.abs(S.st_x(back) - F.col("lon")),
+            F.abs(S.st_y(back) - F.col("lat")),
+        )
+        * 111320.0 * 1000.0
+    )
+    rt_err_mm = F.when(raw_err_mm < 2.0, F.lit(0.00)).otherwise(
+        F.round(raw_err_mm, 2)
+    )
+    val = (
+        F.when(F.col("kind") == "E", F.round(S.st_x(fwd), 2))
+        .when(F.col("kind") == "N", F.round(S.st_y(fwd), 2))
+        .otherwise(rt_err_mm)
+    )
+    return df.select("measure", val.alias("expected")).orderBy("measure")
+
+
+@query(
+    "f_merc_3395",
+    # INDEPENDENT oracle: DuckDB computes the Mercator northing from
+    # first principles — the ellipsoidal isometric-latitude formula
+    # N = a*ln(tan(pi/4 + phi/2) * ((1-e*sin phi)/(1+e*sin phi))^(e/2))
+    # and E = a*radians(lon) — while Spark runs the embedded merc
+    # kernel through st_transform. Two engines, two independent
+    # derivations of EPSG method 9804 on WGS84 (EPSG 3395 World
+    # Mercator). The Makassar/NEIEZ GN7-2 worked example for the same
+    # method is pinned in tests/test_spatial.py.
+    oracle="""
+    WITH pts(city, lon, lat) AS (VALUES
+      ('jakarta',  106.85, -6.21),
+      ('london',    -0.13, 51.51),
+      ('sydney',   151.21, -33.87),
+      ('equator_ref', 20.0, 0.0)
+    ), c AS (
+      SELECT 6378137.0 AS a, sqrt((1/298.257223563)*(2-1/298.257223563)) AS e
+    )
+    SELECT city,
+           round(a * radians(lon), 2) AS easting,
+           round(a * ln(tan(pi()/4 + radians(lat)/2)
+                 * pow((1 - e*sin(radians(lat)))
+                       / (1 + e*sin(radians(lat))), e/2)), 2) AS northing
+    FROM pts, c
+    ORDER BY city
+    """,
+    doc="WGS84 / World Mercator (EPSG 3395; method 9804 variant A, "
+    "k=1): the ellipsoidal Mercator — NOT the spherical web-mercator "
+    "approximation, which is wrong by up to ~20 km of latitude at "
+    "mid latitudes. The oracle recomputes the projection from the "
+    "closed-form isometric latitude in DuckDB SQL, fully independent "
+    "of the Spark-side kernel. The reference ships 3395 via "
+    "DuckDB-spatial/PROJ (shippable_spatial_functions.c).",
+)
+def f_merc_3395(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [
+        ("jakarta", 106.85, -6.21),
+        ("london", -0.13, 51.51),
+        ("sydney", 151.21, -33.87),
+        ("equator_ref", 20.0, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "city string, lon double, lat double")
+    pt = S.st_point(F.col("lon"), F.col("lat"))
+    fwd = S.st_transform(pt, 4326, 3395)
+    return df.select(
+        "city",
+        F.round(S.st_x(fwd), 2).alias("easting"),
+        F.round(S.st_y(fwd), 2).alias("northing"),
+    ).orderBy("city")

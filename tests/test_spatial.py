@@ -2096,3 +2096,111 @@ def test_somerc_mixed_def_takes_proj_default_not_bern():
         7.439583333333333, 46.95240555555556
     )
     assert abs(o[0]) < 1e-6 and abs(o[1]) < 1e-6
+
+
+def test_laea_gn72_worked_example():
+    """EPSG GN7-2 worked example for method 9820 (Lambert Azimuthal
+    Equal Area), ETRS89 / LAEA Europe (EPSG 3035): 50N 5E ->
+    E 3962799.45 / N 2999718.85. Round-trip pinned to sub-mm."""
+    from pg_lake_spark.functions.spatial import (
+        _ELLPS, _laea_fns, _resolve_transform,
+    )
+
+    fwd, inv = _laea_fns(
+        _ELLPS["GRS80"][0], _ELLPS["GRS80"][1],
+        52.0, 10.0, 4321000.0, 3210000.0,
+    )
+    x, y = fwd(5.0, 50.0)
+    assert abs(x - 3962799.45) < 0.01 and abs(y - 2999718.85) < 0.01
+    lon, lat = inv(x, y)
+    assert abs(lon - 5.0) < 1e-8 and abs(lat - 50.0) < 1e-8
+    # embedded-code path resolves both directions
+    assert _resolve_transform(4326, 3035)(5.0, 50.0) == (x, y)
+    bx, by = _resolve_transform(3035, 4326)(x, y)
+    assert abs(bx - 5.0) < 1e-8 and abs(by - 50.0) < 1e-8
+
+
+def test_laea_equal_area_property():
+    """Independent validation (no PROJ): the Jacobian determinant of
+    the forward map must equal the ellipsoidal area element M*N*cos(phi)
+    everywhere — THE defining property of an equal-area projection."""
+    import math
+
+    from pg_lake_spark.functions.spatial import _ELLPS, _laea_fns
+
+    a, f = _ELLPS["GRS80"]
+    e2 = f * (2 - f)
+    fwd, _ = _laea_fns(a, f, 52.0, 10.0, 4321000.0, 3210000.0)
+    h = 1e-6
+    for lon, lat in [(5, 50), (25, 60), (-8, 38), (30, 35), (34, 70)]:
+        x0, y0 = fwd(lon, lat)
+        xl, yl = fwd(lon + h, lat)
+        xp, yp = fwd(lon, lat + h)
+        jac = abs((xl - x0) * (yp - y0) - (xp - x0) * (yl - y0)) / (
+            math.radians(h) ** 2
+        )
+        s = math.sin(math.radians(lat))
+        m = a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+        n = a / math.sqrt(1 - e2 * s * s)
+        ratio = jac / (m * n * math.cos(math.radians(lat)))
+        assert abs(ratio - 1.0) < 1e-6, (lon, lat, ratio)
+
+
+def test_laea_sphere_and_polar_aspects():
+    """The spherical case (US National Atlas, EPSG 9311/2163 on the
+    authalic sphere) is the e->0 limit of the same kernel; the polar
+    aspect uses GN7-2's dedicated equations. Both must round-trip."""
+    from pg_lake_spark.functions.spatial import (
+        _ELLPS, _laea_fns, _resolve_transform,
+    )
+
+    # sphere: ellipsoidal kernel with tiny f converges to the e=0 branch
+    fs, is_ = _laea_fns(6370997.0, 0.0, 45.0, -100.0, 0.0, 0.0)
+    fe, _ = _laea_fns(6370997.0, 1e-12, 45.0, -100.0, 0.0, 0.0)
+    xs, ys = fs(-75.0, 35.0)
+    xe, ye = fe(-75.0, 35.0)
+    assert abs(xs - xe) < 1e-3 and abs(ys - ye) < 1e-3
+    lon, lat = is_(xs, ys)
+    assert abs(lon + 75.0) < 1e-9 and abs(lat - 35.0) < 1e-9
+    # 9311 and deprecated 2163 are the same CRS
+    assert _resolve_transform(4326, 9311)(-75.0, 35.0) == (xs, ys)
+    assert _resolve_transform(4326, 2163)(-75.0, 35.0) == (xs, ys)
+    # polar aspect (arctic grids): round-trip + origin at the pole
+    pf, pi_ = _laea_fns(*_ELLPS["WGS84"], 90.0, 180.0, 0.0, 0.0)
+    px, py = pf(150.0, 70.0)
+    plon, plat = pi_(px, py)
+    assert abs(plon - 150.0) < 1e-8 and abs(plat - 70.0) < 1e-7
+    assert pf(0.0, 90.0) == (0.0, 0.0)
+
+
+def test_laea_projdef_and_3395_resolve():
+    """+proj=laea resolves through st_transform_def machinery, and
+    EPSG 3395 (WGS84 World Mercator, ellipsoidal variant A) resolves
+    as an embedded code — pinned against the closed-form isometric-
+    latitude formula computed independently here."""
+    import math
+
+    from pg_lake_spark.functions.spatial import (
+        _resolve_def_pair, _resolve_transform,
+    )
+
+    d = _resolve_def_pair(
+        "epsg:4326",
+        "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+        "+ellps=GRS80",
+    )(5.0, 50.0)
+    assert abs(d[0] - 3962799.45) < 0.01 and abs(d[1] - 2999718.85) < 0.01
+    # 3395 northing from first principles (WGS84 isometric latitude)
+    a, f = 6378137.0, 1 / 298.257223563
+    e = math.sqrt(f * (2 - f))
+    phi = math.radians(51.0)
+    esin = e * math.sin(phi)
+    n_expect = a * math.log(
+        math.tan(math.pi / 4 + phi / 2)
+        * ((1 - esin) / (1 + esin)) ** (e / 2)
+    )
+    x, y = _resolve_transform(4326, 3395)(7.0, 51.0)
+    assert abs(x - a * math.radians(7.0)) < 1e-6
+    assert abs(y - n_expect) < 1e-6
+    lon, lat = _resolve_transform(3395, 4326)(x, y)
+    assert abs(lon - 7.0) < 1e-12 and abs(lat - 51.0) < 1e-9
