@@ -280,7 +280,19 @@ def bm25_topk(
         "_id",
         F.size("_w").alias("_dl"),
         F.explode("_w").alias("_t"),
-    ).filter(F.col("_t").isin(all_terms))
+    )
+    if len(all_terms) <= 1000:
+        # small sets: an In/InSet literal filter keeps the plan flat
+        tok = tok.filter(F.col("_t").isin(all_terms))
+    else:
+        # large term sets (query logs, eval-suite mining): a plan with
+        # 10k+ literals bloats the driver and serializes to every
+        # task; a broadcast left-semi against a terms frame is the
+        # same executor-side hash probe with an O(1)-size plan.
+        terms_df = spark.createDataFrame(
+            [(t,) for t in all_terms], "_t string"
+        )
+        tok = tok.join(F.broadcast(terms_df), "_t", "left_semi")
     tf = tok.groupBy("_id", "_dl", "_t").agg(
         F.count(F.lit(1)).cast("double").alias("_tf")
     )

@@ -1265,7 +1265,7 @@ def ds_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH words AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+             string_split(trim(regexp_replace(text, '[ \\t\\n\\v\\f\\r]+', ' ', 'g')), ' ') AS w
       FROM documents
     ), wins AS (
       SELECT doc_id, array_to_string(w[i:i+7], ' ') AS span
@@ -1301,7 +1301,7 @@ def dd_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH words AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+             string_split(trim(regexp_replace(text, '[ \\t\\n\\v\\f\\r]+', ' ', 'g')),
                           ' ') AS w
       FROM documents
     ), wins AS (
@@ -1352,7 +1352,7 @@ def dd_maximal_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH docs AS (
       SELECT doc_id,
-             string_split(lower(trim(regexp_replace(text, '\\s+', ' ',
+             string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\v\\f\\r]+', ' ',
                                                     'g'))), ' ') AS w
       FROM documents
     ), consts AS (
@@ -1423,7 +1423,7 @@ def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH docs AS (
       SELECT doc_id,
-             string_split(lower(trim(regexp_replace(text, '\\s+', ' ',
+             string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\v\\f\\r]+', ' ',
                                                     'g'))), ' ') AS w
       FROM documents
     ), tok AS (

@@ -263,3 +263,142 @@ def test_query_fuzz_differential(spark, duck, batch):
         sdf = spark.sql(sql)
         drows = duck.sql(sql).fetchall()
         _compare(sdf, drows, sql)
+
+
+# ---------------------------------------------------------------------------
+# Whitespace-hostile corpus fuzz for the text-retrieval operators
+# (txt_bm25_topk / txt_unigram_surprisal shapes). The r10 trim bug
+# class: tokenization must agree between Spark (Java \s) and the
+# DuckDB oracle (explicit [ \t\n\v\f\r] class — RE2's \s omits
+# vertical tab) on multi-space runs, mixed control whitespace,
+# leading/trailing whitespace, empty and whitespace-only documents,
+# and NBSP-glued words (consistently NOT whitespace in either engine).
+# ---------------------------------------------------------------------------
+
+_WS_RUNS = [" ", "  ", "   ", "\t", "\n", "\v", "\f", "\r", "\r\n",
+            " \t ", "\t\v\f", "\n\n"]
+_FUZZ_WORDS = ["join", "hash", "scan", "filter", "the", "of", "data",
+               "spark", "merge", "rare", "a b", "x9", "plan"]
+
+
+def _hostile_doc(rng: random.Random) -> str:
+    roll = rng.random()
+    if roll < 0.06:
+        return ""
+    if roll < 0.12:
+        return rng.choice([" ", "\t", "\v\v", " \r\n ", "\f"])
+    parts = []
+    if rng.random() < 0.5:
+        parts.append(rng.choice(_WS_RUNS))
+    for _ in range(rng.randint(1, 10)):
+        parts.append(rng.choice(_FUZZ_WORDS))
+        parts.append(rng.choice(_WS_RUNS))
+    if rng.random() < 0.5:
+        parts.pop()
+    return "".join(parts)
+
+
+_BM25_ORACLE = """
+WITH docs AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text,
+           '[ \\t\\n\\v\\f\\r]+', ' ', 'g'))), ' ') AS w
+  FROM fuzzdocs
+), consts AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl
+  FROM docs
+), q(query_id, term) AS (
+  VALUES ('qa', 'join'), ('qa', 'hash'), ('qb', 'rare'), ('qb', 'scan')
+), tok AS (
+  SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM docs
+), tf AS (
+  SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE t IN (SELECT term FROM q) GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT t, count(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum(
+           ln(1 + (c.n - df + 0.5) / (df + 0.5))
+           * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / c.avgdl))
+         ), 6) AS score
+  FROM tf JOIN dfreq USING (t) JOIN q ON q.term = tf.t, consts c
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS INT) AS rnk
+FROM scored QUALIFY rnk <= 5
+ORDER BY query_id, rnk
+"""
+
+_SURPRISAL_ORACLE = """
+WITH docs AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text,
+           '[ \\t\\n\\v\\f\\r]+', ' ', 'g'))), ' ') AS w
+  FROM fuzzdocs
+), tok AS (
+  SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM docs
+), corpus AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY 1
+), total AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS tt FROM corpus
+), tf AS (
+  SELECT doc_id, dl, t, count(*) AS tf FROM tok GROUP BY 1, 2, 3
+)
+SELECT tf.doc_id, CAST(tf.dl AS BIGINT) AS n_tokens,
+       round(sum(tf.tf * -ln(c.c / total.tt)) / tf.dl, 6) AS surprisal
+FROM tf JOIN corpus c USING (t), total
+GROUP BY tf.doc_id, tf.dl
+ORDER BY tf.doc_id
+"""
+
+
+@pytest.mark.parametrize("batch", range(3))
+def test_text_ops_whitespace_fuzz(spark, batch):
+    import duckdb
+
+    from pg_lake_spark.operators.textstats import (
+        bm25_topk, unigram_surprisal,
+    )
+
+    rng = random.Random(SEED + 7000 + batch)
+    rows = [(i, _hostile_doc(rng)) for i in range(1, 41)]
+    sdf_in = spark.createDataFrame(rows, "doc_id bigint, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fuzzdocs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO fuzzdocs VALUES (?, ?)", rows)
+
+    out = bm25_topk(
+        sdf_in, "doc_id", "text",
+        {"qa": ["join", "hash"], "qb": ["rare", "scan"]}, k=5,
+    )
+    _compare(out, con.sql(_BM25_ORACLE).fetchall(), "bm25 fuzz")
+
+    out2 = unigram_surprisal(sdf_in, "doc_id", "text").orderBy("doc_id")
+    _compare(out2, con.sql(_SURPRISAL_ORACLE).fetchall(), "surprisal fuzz")
+    con.close()
+
+
+def test_bm25_large_term_set_semi_join_path(spark):
+    """Past 1000 terms the operator swaps the isin literal filter for a
+    broadcast semi-join; a 5k-term query set must return the same
+    ranking the small-set path produces for its matching subset."""
+    from pg_lake_spark.operators.textstats import bm25_topk
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha alpha beta"),
+        (3, "epsilon zeta"),
+        (4, "unrelated words only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    small = bm25_topk(df, "doc_id", "text",
+                      {"q": ["alpha", "beta"]}, k=4).collect()
+    # pad the same query with 5k absent terms: forces the semi-join
+    # path; absent terms contribute no rows, so scores are identical
+    big_terms = ["alpha", "beta"] + [f"zzz{i}" for i in range(5000)]
+    big = bm25_topk(df, "doc_id", "text", {"q": big_terms}, k=4).collect()
+    assert [tuple(r) for r in small] == [tuple(r) for r in big]
