@@ -52,6 +52,9 @@ _CODE_CHANGED_IN: dict[str, int] = {
     # the lever doesn't apply; its single-aggregation form stands.
     "dsq34_order_size_band": 12,
     "dsq95_dual_semijoin": 12,
+    # r12: bounded-key-space state_partitions for streaming window aggs
+    "st_tumbling_counts": 12,
+    "st_sliding_counts": 12,
 }
 
 

@@ -41,7 +41,12 @@ from pg_lake_spark.streaming import (
 )
 def st_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = tumbling_window_agg(read_events_stream(spark, sf_dir), window="1 hour")
-    return run_available_now(sdf, spark).orderBy("window_start", "event_type")
+    # key space = windows x types (time-span-bound, corpus-independent):
+    # 8 state partitions cut per-partition state-store fixed cost 4x
+    # (see run_available_now docstring) without touching scan width
+    return run_available_now(sdf, spark, state_partitions=8).orderBy(
+        "window_start", "event_type"
+    )
 
 
 @query(
@@ -111,7 +116,10 @@ def st_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = sliding_window_agg(
         read_events_stream(spark, sf_dir), window="2 hours", slide="1 hour"
     )
-    return run_available_now(sdf, spark).orderBy("window_start", "event_type")
+    # same bounded-key-space argument as st_tumbling_counts
+    return run_available_now(sdf, spark, state_partitions=8).orderBy(
+        "window_start", "event_type"
+    )
 
 
 @query(

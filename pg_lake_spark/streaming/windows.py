@@ -91,6 +91,7 @@ def run_available_now(
     spark: SparkSession,
     *,
     output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a bounded streaming DataFrame through a memory sink.
 
@@ -99,16 +100,40 @@ def run_available_now(
     input equals the batch answer (append mode would hold back windows
     the watermark has not passed — with a bounded source the watermark
     never passes the last window).
+
+    ``state_partitions`` overrides ``spark.sql.shuffle.partitions`` for
+    THIS stream only (the value is pinned into the checkpoint at first
+    start, so restoring the conf afterwards cannot affect the running
+    query). Use it for aggregations whose KEY space is bounded and
+    independent of fact volume — tumbling/sliding counts key on
+    (window x type), which grows with the time span, not the corpus —
+    where per-partition state-store fixed costs dominate: each of the
+    default 32 state partitions pays provider/snapshot overhead every
+    micro-batch for a handful of keys (sf0.1 A/B: 1.43s -> 0.66s at
+    8 partitions, identical results). Leave it None for keys that
+    scale with the data (per-user state), where state VOLUME needs the
+    full shuffle width. Scan parallelism is unaffected either way —
+    file-source partitioning is independent of the shuffle setting,
+    and map-side partial aggregation bounds each task's shuffle output
+    by the key count.
     """
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = None
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
