@@ -4462,6 +4462,16 @@ def _laea_fns(a, f, lat0, lon0, x0, y0):
         return bp + c2 * math.sin(2 * bp) + c4 * math.sin(4 * bp) \
             + c6 * math.sin(6 * bp)
 
+    def wrap_lon(deg):
+        # lam0 + atan2 can leave [-180, 180] when lon_0 is large (the
+        # arctic grids run lon_0 up to 180); |lam| <= 2*pi so one
+        # correction suffices. In-range values pass through untouched.
+        if deg > 180.0:
+            return deg - 360.0
+        if deg < -180.0:
+            return deg + 360.0
+        return deg
+
     if abs(lat0) == 90.0:
         north = lat0 > 0
 
@@ -4482,7 +4492,7 @@ def _laea_fns(a, f, lat0, lon0, x0, y0):
             bp = math.asin(max(-1.0, min(1.0, q / qp)))
             lam = lam0 + (math.atan2(dx, -dy) if north
                           else math.atan2(dx, dy))
-            return math.degrees(lam), math.degrees(phi_of_beta(bp))
+            return wrap_lon(math.degrees(lam)), math.degrees(phi_of_beta(bp))
 
         return fwd, inv
 
@@ -4514,7 +4524,7 @@ def _laea_fns(a, f, lat0, lon0, x0, y0):
         sc, cc = math.sin(c), math.cos(c)
         bp = math.asin(max(-1.0, min(1.0, cc * sb0 + dy * sc * cb0 / rho)))
         lam = lam0 + math.atan2(dx * sc, rho * cb0 * cc - dy * sb0 * sc)
-        return math.degrees(lam), math.degrees(phi_of_beta(bp))
+        return wrap_lon(math.degrees(lam)), math.degrees(phi_of_beta(bp))
 
     return fwd, inv
 
@@ -4528,6 +4538,14 @@ _LAEA_PARAMS = {
     # deprecated earlier code for the same projected CRS
     9311: (6370997.0, 0.0, 45.0, -100.0, 0.0, 0.0),
     2163: (6370997.0, 0.0, 45.0, -100.0, 0.0, 0.0),
+    # WGS84 North Pole LAEA regional grids (polar aspect; only lon_0
+    # differs): Bering Sea / Alaska / Canada / Atlantic / Europe / Russia
+    3571: (_ELLPS["WGS84"][0], _ELLPS["WGS84"][1], 90.0, 180.0, 0.0, 0.0),
+    3572: (_ELLPS["WGS84"][0], _ELLPS["WGS84"][1], 90.0, -150.0, 0.0, 0.0),
+    3573: (_ELLPS["WGS84"][0], _ELLPS["WGS84"][1], 90.0, -100.0, 0.0, 0.0),
+    3574: (_ELLPS["WGS84"][0], _ELLPS["WGS84"][1], 90.0, -40.0, 0.0, 0.0),
+    3575: (_ELLPS["WGS84"][0], _ELLPS["WGS84"][1], 90.0, 10.0, 0.0, 0.0),
+    3576: (_ELLPS["WGS84"][0], _ELLPS["WGS84"][1], 90.0, 90.0, 0.0, 0.0),
 }
 
 

@@ -2204,3 +2204,31 @@ def test_laea_projdef_and_3395_resolve():
     assert abs(y - n_expect) < 1e-6
     lon, lat = _resolve_transform(3395, 4326)(x, y)
     assert abs(lon - 7.0) < 1e-12 and abs(lat - 51.0) < 1e-9
+
+
+def test_laea_arctic_polar_grids():
+    """EPSG 3571-3576 (WGS84 North Pole LAEA regional grids) resolve
+    as embedded codes; they differ only in lon_0, so one point maps to
+    the same polar radius in every grid (rotation only), the pole maps
+    to the origin, and cross-grid composition through 4326 round-trips."""
+    import math
+
+    from pg_lake_spark.functions.spatial import _resolve_transform
+
+    pt = (-156.77, 71.29)  # Utqiagvik, Alaska
+    radii = []
+    for code in (3571, 3572, 3573, 3574, 3575, 3576):
+        x, y = _resolve_transform(4326, code)(*pt)
+        radii.append(math.hypot(x, y))
+        lon, lat = _resolve_transform(code, 4326)(x, y)
+        assert abs(lon - pt[0]) < 1e-8 and abs(lat - pt[1]) < 1e-7
+        px, py = _resolve_transform(4326, code)(0.0, 90.0)
+        assert abs(px) < 1e-9 and abs(py) < 1e-9
+    assert max(radii) - min(radii) < 1e-6  # pure rotation between grids
+    # cross-grid: Alaska grid -> Europe grid composes through 4326
+    ax, ay = _resolve_transform(4326, 3572)(*pt)
+    ex, ey = _resolve_transform(3572, 3575)(ax, ay)
+    ex2, ey2 = _resolve_transform(4326, 3575)(*pt)
+    # sub-mm: the composed path pays the beta->phi series truncation
+    # (~1e-9 deg) once in the intermediate geographic leg
+    assert abs(ex - ex2) < 1e-3 and abs(ey - ey2) < 1e-3
