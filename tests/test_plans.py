@@ -179,10 +179,16 @@ def test_dsq64_wide_join_broadcasts_dims(spark):
 
 def test_dsq95_semi_joins_planned(spark):
     """Both IN-subqueries must plan as semi joins (LeftSemi), not
-    inner-join + distinct."""
+    inner-join + distinct — and the r12 prefilter rewrite must keep
+    lineitem at ONE scan (the pre-rewrite plan aggregated the full
+    fact twice: once for the multi-supplier set, once for the
+    returned set)."""
     df = QUERIES["dsq95_dual_semijoin"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("LeftSemi") >= 2
+    s = plan_summary(df)
+    li_scans = [sc for sc in s.scans if "l_suppkey" in sc.read_schema]
+    assert len(li_scans) == 1, "dsq95 regressed to multiple fact scans"
 
 
 def test_dsq16_semi_plus_anti(spark):
