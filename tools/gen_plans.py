@@ -21,7 +21,7 @@ PICKS = [
     ("dsq88_case_counts", "TPC-DS Q88 shape: eight CASE counts in one scan, zero joins (DS runs 8 subqueries + cross join)."),
     ("cb_user_activity_topn", "ClickBench shape: high-cardinality groupBy + tie-broken top-N fused to TakeOrderedAndProject."),
     ("dsq64_cross_year_wide_join", "TPC-DS Q64 shape: 6-hop wide join (all dims broadcast) aggregated per item-year, THEN self-joined year-vs-year over the grouped frame — at most two lineitem scans."),
-    ("dsq95_dual_semijoin", "TPC-DS Q95 shape: both IN-subqueries plan as LeftSemi joins over pre-aggregated key sets; date filter pushed to the orders scan."),
+    ("dsq95_dual_semijoin", "TPC-DS Q95 shape (r12 rewrite): ONE fact scan semi-joined to the windowed order keys feeds a single per-order gate aggregate (was two full-fact aggregations); both IN-gates resolve as LeftSemi; date filter pushed to the orders scan."),
     ("dsq16_exists_notexists_window", "TPC-DS Q16 shape: EXISTS -> LeftSemi and NOT EXISTS -> LeftAnti in one plan, window filter pruning orders before either join."),
     ("cb_top_type_per_user", "ClickBench shape: per-user rank window over the aggregate output only — one scan, map-side partials, every exchange post-reduction."),
     ("dsq44_best_worst_items", "TPC-DS Q44 shape (r9): one lineitem scan feeds one grouped frame; both opposite-direction rank windows and the rank-position join run above the aggregate."),
