@@ -2232,3 +2232,45 @@ def test_laea_arctic_polar_grids():
     # sub-mm: the composed path pays the beta->phi series truncation
     # (~1e-9 deg) once in the intermediate geographic leg
     assert abs(ex - ex2) < 1e-3 and abs(ey - ey2) < 1e-3
+
+
+def test_laea_roundtrip_property():
+    """Property arm: random geographic points round-trip through every
+    embedded LAEA aspect (ellipsoidal oblique 3035, spherical oblique
+    9311, ellipsoidal polar) to within the beta->phi series truncation
+    (~1e-8 deg ~= 1 mm)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pg_lake_spark.functions.spatial import _ELLPS, _laea_fns
+
+    kernels = [
+        _laea_fns(_ELLPS["GRS80"][0], _ELLPS["GRS80"][1],
+                  52.0, 10.0, 4321000.0, 3210000.0),
+        _laea_fns(6370997.0, 0.0, 45.0, -100.0, 0.0, 0.0),
+        _laea_fns(*_ELLPS["WGS84"], 90.0, 180.0, 0.0, 0.0),
+    ]
+
+    # stay away from the antipode of each projection centre (the
+    # mapping is singular there by construction) and the poles for
+    # the oblique aspects (longitude is degenerate at |lat|=90)
+    lons = st.floats(min_value=-179.0, max_value=179.0,
+                     allow_nan=False, allow_infinity=False)
+    lats = st.floats(min_value=-60.0, max_value=89.0,
+                     allow_nan=False, allow_infinity=False)
+
+    @settings(max_examples=150, deadline=None)
+    @given(lons, lats)
+    def check(lon, lat):
+        import math
+        for fwd, inv in kernels:
+            x, y = fwd(lon, lat)
+            blon, blat = inv(x, y)
+            # compare longitudes modulo the antimeridian wrap
+            dlon = abs(blon - lon)
+            if dlon > 180.0:
+                dlon = abs(dlon - 360.0)
+            assert dlon * math.cos(math.radians(lat)) < 1e-7
+            assert abs(blat - lat) < 1e-7
+
+    check()
