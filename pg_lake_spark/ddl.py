@@ -21,6 +21,7 @@ verbatim.
 
 from __future__ import annotations
 
+import functools
 import re
 
 from pyspark.sql import DataFrame
@@ -251,6 +252,68 @@ def _fmt_from_options(opts: dict, path: str, default: str = "parquet") -> str:
 _LAKE_FILE_LIST = re.compile(r"lake_file\.list\('([^']+)'\)", re.IGNORECASE)
 
 
+@functools.lru_cache(maxsize=64)
+def _mask_quoted(sql: str) -> str:
+    """Same-length copy of ``sql`` with the CONTENT of every quoted
+    region replaced by 'x': '...' string literals ('' escape), "..."
+    quoted identifiers, and $tag$...$tag$ dollar quotes. The statement-
+    shape regexes match against the masked text so a keyword inside a
+    literal or a quoted identifier can never supply a clause boundary
+    (UPDATE t SET msg = 'copy FROM archive' WHERE ... must route to
+    plain UPDATE, not UPDATE ... FROM); groups are then sliced from
+    the ORIGINAL via spans, which line up because lengths are equal."""
+    out = list(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'" or ch == '"':
+            i += 1
+            while i < n:
+                if sql[i] == ch:
+                    if ch == "'" and i + 1 < n and sql[i + 1] == "'":
+                        out[i] = out[i + 1] = "x"
+                        i += 2
+                        continue
+                    break
+                out[i] = "x"
+                i += 1
+            i += 1
+        elif ch == "$":
+            m = re.match(r"\$[A-Za-z_]*\$", sql[i:])
+            if m:
+                tag = m.group(0)
+                end = sql.find(tag, i + len(tag))
+                if end != -1:
+                    for j in range(i + len(tag), end):
+                        out[j] = "x"
+                    i = end + len(tag)
+                    continue
+            i += 1
+        else:
+            i += 1
+    return "".join(out)
+
+
+class _SpanMatch:
+    """Match produced against masked text, read against the original."""
+
+    __slots__ = ("_m", "_orig")
+
+    def __init__(self, m: re.Match, orig: str):
+        self._m, self._orig = m, orig
+
+    def group(self, name=0):
+        s, e = self._m.span(name)
+        return None if s == -1 else self._orig[s:e]
+
+
+def _shape_match(rx: re.Pattern, sql: str):
+    """Route-match a statement shape: regex runs on the quote-masked
+    text, groups come from the original."""
+    m = rx.match(_mask_quoted(sql))
+    return _SpanMatch(m, sql) if m else None
+
+
 def _expand_lake_file_list(sess, sql: str) -> str:
     """Rewrite ``lake_file.list('pattern')`` table-function calls into
     temp views backed by the Hadoop-FS listing, so the docs' file
@@ -307,7 +370,7 @@ def execute_lake_sql(sess, sql: str) -> DataFrame | None:
 
 
 def _execute_one(sess, sql: str) -> DataFrame | None:
-    m = _CREATE_FOREIGN.match(sql)
+    m = _shape_match(_CREATE_FOREIGN, sql)
     if m:
         name = m.group("name").strip('"')
         opts = _parse_options(m.group("opts") or "")
@@ -324,7 +387,7 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
             kwargs["schema"] = _normalize_pg_types(cols)
         return sess.register_lake_table(name, path, fmt=fmt, **kwargs)
 
-    m = _CREATE_WITH.match(sql)
+    m = _shape_match(_CREATE_WITH, sql)
     if m:
         opts = _parse_options(m.group("opts"))
         if "load_from" not in opts and "definition_from" not in opts:
@@ -362,7 +425,7 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
         )
         return None
 
-    m = _CTAS.match(sql)
+    m = _shape_match(_CTAS, sql)
     if m:
         # iceberg-tables.md CTAS: CREATE TABLE t USING iceberg
         # [WITH (partition_by/location)] AS SELECT ...
@@ -378,7 +441,7 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
         )
         return None
 
-    m = _CREATE_LIKE.match(sql)
+    m = _shape_match(_CREATE_LIKE, sql)
     if m:
         # docs/use-case-log-management.md: CREATE TABLE t (LIKE other)
         # [USING iceberg] — copy the schema, start empty
@@ -391,21 +454,21 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
         )
         return None
 
-    m = _DROP_FOREIGN.match(sql)
+    m = _shape_match(_DROP_FOREIGN, sql)
     if m:
         name = m.group("name").strip('"')
         sess.spark.catalog.dropTempView(name)
         sess._manual.pop(name, None)
         return None
 
-    m = _TRUNCATE.match(sql)
+    m = _shape_match(_TRUNCATE, sql)
     if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
         name = m.group("name").strip('"')
         t.delete("true")  # snapshot-versioned: time travel still sees old rows
         t.to_df().createOrReplaceTempView(name)
         return None
 
-    m = _SHOW_CREATE.match(sql)
+    m = _shape_match(_SHOW_CREATE, sql)
     if m:
         name = m.group("name").strip('"')
         t = _handle_or_none(sess, name)
@@ -441,7 +504,7 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
         ddl_text = "\n".join(parts)
         return sess.spark.createDataFrame([(ddl_text,)], "createtab_stmt string")
 
-    m = _CREATE_MATVIEW.match(sql)
+    m = _shape_match(_CREATE_MATVIEW, sql)
     if m:
         name = m.group("name").strip('"')
         opts = _parse_options(m.group("opts") or "")
@@ -460,7 +523,7 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
         t.set_properties({"matview_sql": q})
         return None
 
-    m = _REFRESH_MATVIEW.match(sql)
+    m = _shape_match(_REFRESH_MATVIEW, sql)
     if m:
         name = m.group("name").strip('"')
         t = _handle_or_none(sess, name)
@@ -485,7 +548,7 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
         t.refresh().to_df().createOrReplaceTempView(name)
         return None
 
-    m = _DROP_MATVIEW.match(sql)
+    m = _shape_match(_DROP_MATVIEW, sql)
     if m:
         name = m.group("name").strip('"')
         t = _handle_or_none(sess, name)
@@ -502,7 +565,7 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
         sess._lake_tables.pop(name, None)
         return None
 
-    m = _DROP_TABLE.match(sql)
+    m = _shape_match(_DROP_TABLE, sql)
     if m:
         name = m.group("name").strip('"')
         t = _handle_or_none(sess, name)
@@ -517,7 +580,7 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
         sess._lake_tables.pop(name, None)
         return None
 
-    m = _EXPLAIN.match(sql)
+    m = _shape_match(_EXPLAIN, sql)
     if m:
         # the reference decorates EXPLAIN with the deparsed Vectorized
         # SQL / Not Vectorized Constructs (pg_lake_table explain.c);
@@ -532,7 +595,7 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
             [(line,) for line in report.splitlines()], "plan string"
         )
 
-    m = _CREATE_PIPELINE.match(sql)
+    m = _shape_match(_CREATE_PIPELINE, sql)
     if m:
         args = m.group("args")
         fp = re.search(r"(?i)file_pattern\s*:?=\s*'([^']+)'", args)
@@ -567,7 +630,7 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
             "pipeline string, files_processed bigint, rows bigint",
         )
 
-    m = _RUN_PIPELINE.match(sql)
+    m = _shape_match(_RUN_PIPELINE, sql)
     if m:
         pipe = sess._pipelines.get(m.group("name"))
         if pipe is None:
@@ -582,7 +645,7 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
     if dml is not False:
         return dml if isinstance(dml, DataFrame) else None
 
-    m = _VACUUM.match(sql)
+    m = _shape_match(_VACUUM, sql)
     if m:
         # iceberg-tables.md "Vacuuming an Iceberg table": materialize
         # pending deletes, compact, expire snapshots, purge
@@ -593,7 +656,7 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
         t.to_df().createOrReplaceTempView(m.group("name").strip('"'))
         return None
 
-    m = _ALTER_TABLE_OPTS.match(sql)
+    m = _shape_match(_ALTER_TABLE_OPTS, sql)
     if m:
         # iceberg-tables.md:176 — ALTER TABLE t OPTIONS (ADD
         # out_of_range_values 'error'); partition_by routes to spec
@@ -609,7 +672,7 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
         t.to_df().createOrReplaceTempView(name)
         return None
 
-    m = _ALTER_FOREIGN.match(sql)
+    m = _shape_match(_ALTER_FOREIGN, sql)
     if m:
         # iceberg-tables.md "Altering external Iceberg tables": SET path
         # re-points the foreign table (snapshot redirect); re-register
@@ -623,7 +686,7 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
         kwargs = {k: v for k, v in opts.items() if k in _READ_OPTION_KEYS}
         return sess.register_lake_table(name, path, fmt=fmt, **kwargs)
 
-    m = _COPY.match(sql)
+    m = _shape_match(_COPY, sql)
     if m:
         from pg_lake_spark.sources.writers import copy_from, copy_to
 
@@ -976,7 +1039,7 @@ def execute_lake_dml(sess, sql: str):
     ret_clause = None
     if re.match(r"(?i)\s*(INSERT|UPDATE|DELETE)\b", sql):
         sql, ret_clause = _extract_returning(sql)
-    m = _UPDATE_FROM.match(sql)
+    m = _shape_match(_UPDATE_FROM, sql)
     if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
         name = m.group("name").strip('"')
         talias = m.group("talias") or name
@@ -995,7 +1058,7 @@ def execute_lake_dml(sess, sql: str):
         t.refresh().to_df().createOrReplaceTempView(name)
         return _ret_df(sess, res.get("returning") or [], ret, t) if ret else True
 
-    m = _DELETE_USING.match(sql)
+    m = _shape_match(_DELETE_USING, sql)
     if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
         name = m.group("name").strip('"')
         talias = m.group("talias") or name
@@ -1008,7 +1071,7 @@ def execute_lake_dml(sess, sql: str):
         t.refresh().to_df().createOrReplaceTempView(name)
         return _ret_df(sess, res.get("returning") or [], ret, t) if ret else True
 
-    m = _INSERT.match(sql)
+    m = _shape_match(_INSERT, sql)
     if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
         name = m.group("name").strip('"')
         df = sess.spark.sql(_expand_lake_file_list(sess, m.group("q")))
@@ -1031,14 +1094,14 @@ def execute_lake_dml(sess, sql: str):
         t.append(aligned)
         t.to_df().createOrReplaceTempView(name)
         return ret if ret is not None else True
-    m = _DELETE.match(sql)
+    m = _shape_match(_DELETE, sql)
     if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
         name = m.group("name").strip('"')
         ret = _ret_cols(ret_clause, name, name) if ret_clause else None
         res = t.delete(m.group("pred") or "true", returning=ret)
         t.to_df().createOrReplaceTempView(name)
         return _ret_df(sess, res.get("returning") or [], ret, t) if ret else True
-    m = _UPDATE.match(sql)
+    m = _shape_match(_UPDATE, sql)
     if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
         name = m.group("name").strip('"')
         ret = _ret_cols(ret_clause, name, name) if ret_clause else None
@@ -1049,7 +1112,7 @@ def execute_lake_dml(sess, sql: str):
         )
         t.to_df().createOrReplaceTempView(name)
         return _ret_df(sess, res.get("returning") or [], ret, t) if ret else True
-    m = _MERGE.match(sql)
+    m = _shape_match(_MERGE, sql)
     if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
         name = m.group("name").strip('"')
         src = m.group("src")

@@ -27,11 +27,29 @@ Predicate = tuple  # (col, op, value)
 _MONOTONIC = {"identity", "year", "month", "day", "hour", "truncate"}
 
 
+#: a value in a comparison conjunct must be ONE clean literal — a
+#: (typed) quoted string or a bare number/word. Anything trailing
+#: (``'x' OR id = 2``, ``'a' || 'b'``) makes the conjunct unparseable.
+_CLEAN_LIT = re.compile(
+    r"(?i)^(?:(?:TIMESTAMP|DATE)\s+)?'(?:[^']|'')*'$|^[\w.+-]+$"
+)
+
+
 def parse_where(where: str) -> list[Predicate] | None:
     """Parse ``"a >= 5 AND b = 'x' AND c BETWEEN 1 AND 2"`` into
     predicates. Returns None when any conjunct is unparseable — callers
     must then skip pruning (sound fallback), mirroring the reference's
-    behavior for non-shippable clauses."""
+    behavior for non-shippable clauses.
+
+    Only a pure CONJUNCTION prunes soundly file-by-file; a top-level
+    OR must disable pruning entirely. The comparison arm also insists
+    the right-hand side is one clean literal: previously
+    ``msg = 'x' OR id = 2`` parsed as the single conjunct
+    ``msg = "'x' OR id = 2"``, whose garbage literal pruned every
+    file's stats range — a DELETE/UPDATE that silently touched zero
+    rows."""
+    if re.search(r"(?i)\sOR\s", re.sub(r"'(?:[^']|'')*'", "''", where)):
+        return None  # disjunction (quote-masked check) → no pruning
     preds: list[Predicate] = []
     # Mask the AND that belongs to BETWEEN before splitting conjuncts.
     masked = re.sub(r"(?i)(BETWEEN\s+\S+)\s+AND\s+", r"\1 __BETWEEN_AND__ ", where.strip())
@@ -56,8 +74,11 @@ def parse_where(where: str) -> list[Predicate] | None:
             continue
         m = re.match(r"^(\w+)\s*(=|!=|<>|<=|>=|<|>)\s*(.+)$", part)
         if m:
+            val = m.group(3).strip()
+            if not _CLEAN_LIT.match(val):
+                return None
             op = "!=" if m.group(2) == "<>" else m.group(2)
-            preds.append((m.group(1), op, _lit(m.group(3).strip())))
+            preds.append((m.group(1), op, _lit(val)))
             continue
         return None
     return preds

@@ -808,3 +808,37 @@ def test_insert_float_at_int_boundary_raises(sess, spark, tmp_path):
         "INSERT INTO fib_t VALUES (CAST(-2.147483648e9 AS float), 1)"
     )
     assert spark.table("fib_t").count() == 2
+
+
+def test_keyword_inside_literal_does_not_misroute(sess, spark, tmp_path):
+    """ADVICE-class fix (carried 'what's wrong' item): the statement-
+    shape regexes now match against quote-MASKED text, so a keyword
+    inside a string literal can no longer supply a clause boundary.
+    'copy FROM archive' in a SET value used to make _UPDATE_FROM
+    swallow the statement (src parsed out of the literal); same class
+    for DELETE ... USING."""
+    sess.warehouse = str(tmp_path / "wh")
+    sess.execute(
+        "CREATE TABLE routemask_t (id int, msg string) USING iceberg "
+        "WITH (write_mode = 'copy_on_write')"
+    )
+    sess.execute(
+        "INSERT INTO routemask_t VALUES (1, 'a'), (2, 'b'), (3, 'c')"
+    )
+    # keyword FROM inside the literal: must route to plain UPDATE
+    sess.execute(
+        "UPDATE routemask_t SET msg = 'copy FROM archive' WHERE id = 1"
+    )
+    got = {r.id: r.msg for r in spark.table("routemask_t").collect()}
+    assert got[1] == "copy FROM archive" and got[2] == "b"
+    # keyword USING inside the literal: must route to plain DELETE
+    sess.execute(
+        "DELETE FROM routemask_t WHERE msg = 'cleanup USING batch' OR id = 2"
+    )
+    assert sorted(r.id for r in spark.table("routemask_t").collect()) == [1, 3]
+    # WHERE inside an inserted literal: plain INSERT, value intact
+    sess.execute(
+        "INSERT INTO routemask_t VALUES (4, 'x WHERE y FROM z')"
+    )
+    got = {r.id: r.msg for r in spark.table("routemask_t").collect()}
+    assert got[4] == "x WHERE y FROM z"

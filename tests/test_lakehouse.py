@@ -152,6 +152,19 @@ def test_unparseable_where_keeps_all():
     assert len(kept) == 1 and skipped == 0
 
 
+def test_disjunction_and_dirty_literal_disable_pruning():
+    # top-level OR: only a pure conjunction prunes soundly
+    assert parse_where("x = 5 OR y = 2") is None
+    # previously "msg = 'x' OR id = 2" parsed as ONE conjunct whose
+    # value was the garbage literal "'x' OR id = 2" — pruning every file
+    assert parse_where("msg = 'x' OR id = 2") is None
+    # OR inside a string literal is fine — still a clean conjunction
+    assert parse_where("msg = 'a OR b'") == [("msg", "=", "a OR b")]
+    # expression right-hand sides are not one clean literal → no pruning
+    assert parse_where("msg = 'a' || 'b'") is None
+    assert parse_where("x = 1 + 2") is None
+
+
 # ---------------------------------------------------------------------------
 # Table lifecycle
 # ---------------------------------------------------------------------------
