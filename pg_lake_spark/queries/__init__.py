@@ -55,6 +55,18 @@ _CODE_CHANGED_IN: dict[str, int] = {
     # r12: bounded-key-space state_partitions for streaming window aggs
     "st_tumbling_counts": 12,
     "st_sliding_counts": 12,
+    # r12: these traverse the INSERT-coercion guards (ddl.py — float→int
+    # exclusive-bound ADVICE fix) and the delete/update stats-pruning
+    # path (pruning.py — disjunction + dirty-literal rejection), both
+    # changed after their r11 green.
+    "dml_cow_delete": 12,
+    "dml_mor_lifecycle": 12,
+    "dml_merge_upsert": 12,
+    "dml_update_set": 12,
+    "dml_incremental_scan": 12,
+    "dml_drop_restore": 12,
+    "dml_changelog": 12,
+    "ddl_schema_evolution": 12,
 }
 
 
