@@ -69,8 +69,13 @@ def parse_where(where: str) -> list[Predicate] | None:
             continue
         m = re.match(r"(?i)^(\w+)\s+IN\s*\((.+)\)$", part)
         if m:
-            vals = tuple(_lit(v.strip()) for v in m.group(2).split(","))
-            preds.append((m.group(1), "in", vals))
+            toks = [v.strip() for v in m.group(2).split(",")]
+            # a comma INSIDE a quoted literal splits into tokens with
+            # unbalanced quotes — each token must be one clean literal
+            # or the whole clause is unparseable (no pruning)
+            if not all(_CLEAN_LIT.match(v) for v in toks):
+                return None
+            preds.append((m.group(1), "in", tuple(_lit(v) for v in toks)))
             continue
         m = re.match(r"^(\w+)\s*(=|!=|<>|<=|>=|<|>)\s*(.+)$", part)
         if m:
@@ -88,9 +93,12 @@ def _lit(tok: str):
     # typed literals: TIMESTAMP '…' / DATE '…'
     m = re.match(r"(?i)^(?:TIMESTAMP|DATE)\s+'(.+)'$", tok)
     if m:
-        return _coerce_temporal(m.group(1))
+        return _coerce_temporal(m.group(1).replace("''", "'"))
     if tok.startswith("'") and tok.endswith("'"):
-        s = tok[1:-1]
+        # '' is PG's escaped quote: compare against the VALUE, not the
+        # escaped spelling (msg = 'it''s' must not prune a file whose
+        # min/max contain "it's")
+        s = tok[1:-1].replace("''", "'")
         return _coerce_temporal(s)
     low = tok.lower()
     if low in ("true", "false"):
