@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame
 def strip_sql_comments(sql: str) -> str:
     """Remove ``--`` line comments and ``/* */`` block comments,
     respecting single-quoted literals ('' escapes), double-quoted
-    identifiers, and PG dollar-quoted blocks (``$$...$$``) — a path
+    identifiers, and PG dollar-quoted blocks (``$$...$$`` and named
+    ``$tag$...$tag$``) — a path
     like ``'a--b.csv'``, an identifier ``"weird--name"``, or a
     pipeline command body survive intact. The regex recognizers below
     (and Spark's parser on passthrough) then see clean statement
@@ -39,12 +40,13 @@ def strip_sql_comments(sql: str) -> str:
     i, n = 0, len(sql)
     while i < n:
         c = sql[i]
-        if c == "$" and sql[i : i + 2] == "$$":
-            j = sql.find("$$", i + 2)
+        if c == "$" and (dm := re.match(r"\$[A-Za-z_]*\$", sql[i:])):
+            tag = dm.group(0)  # $$ or a named $tag$
+            j = sql.find(tag, i + len(tag))
             if j == -1:
-                raise ValueError("unterminated $$ quote in SQL")
-            out.append(sql[i : j + 2])
-            i = j + 2
+                raise ValueError(f"unterminated {tag} quote in SQL")
+            out.append(sql[i : j + len(tag)])
+            i = j + len(tag)
             continue
         if c == "'" or c == '"':
             q = c
@@ -87,12 +89,13 @@ def split_sql_statements(sql: str) -> list[str]:
     i, n = 0, len(sql)
     while i < n:
         c = sql[i]
-        if c == "$" and sql[i : i + 2] == "$$":
-            j = sql.find("$$", i + 2)
+        if c == "$" and (dm := re.match(r"\$[A-Za-z_]*\$", sql[i:])):
+            tag = dm.group(0)  # $$ or a named $tag$
+            j = sql.find(tag, i + len(tag))
             if j == -1:
-                raise ValueError("unterminated $$ quote in SQL")
-            buf.append(sql[i : j + 2])
-            i = j + 2
+                raise ValueError(f"unterminated {tag} quote in SQL")
+            buf.append(sql[i : j + len(tag)])
+            i = j + len(tag)
             continue
         if c == "'" or c == '"':
             q = c

@@ -403,6 +403,27 @@ def test_split_statements_quote_aware():
     assert split_sql_statements("  ;;  ") == []
 
 
+def test_dollar_quotes_named_tags():
+    """Named $tag$ bodies shield ';' and '--' exactly like $$ (PG
+    lexer rule: anything between matching tags is opaque)."""
+    from pg_lake_spark.ddl import split_sql_statements, strip_sql_comments
+
+    s = "SELECT $fn$a; b -- not a comment$fn$; SELECT 2"
+    assert split_sql_statements(s) == [
+        "SELECT $fn$a; b -- not a comment$fn$",
+        "SELECT 2",
+    ]
+    assert strip_sql_comments(s) == s
+    # $$ still works, a lone $ is a plain character, and mismatched
+    # tags don't close each other
+    assert strip_sql_comments("SELECT $$x -- y$$") == "SELECT $$x -- y$$"
+    assert strip_sql_comments("SELECT 1 $ 2 -- c") == "SELECT 1 $ 2 "
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unterminated"):
+        strip_sql_comments("SELECT $a$ body $b$")
+
+
 def test_multi_statement_executes_in_order(spark, tmp_path, sess):
     """A script string (create + query) runs both statements; the last
     statement's DataFrame comes back."""
