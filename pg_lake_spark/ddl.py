@@ -141,8 +141,15 @@ _CREATE_FOREIGN = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _CREATE_WITH = re.compile(
+    # WITH is optional when USING iceberg is present: the docs' canonical
+    # form `create table measurements (...) using iceberg;`
+    # (iceberg-tables.md:35-39) must land a LAKE table, not a Spark
+    # passthrough table. A bare CREATE TABLE (no USING, no WITH) still
+    # passes through to Spark.
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*"
-    r"\((?P<cols>.*?)\)\s*(?:USING\s+iceberg\s*)?WITH\s*\((?P<opts>.*)\)\s*;?\s*$",
+    r"\((?P<cols>.*?)\)\s*"
+    r"(?:USING\s+iceberg\s*(?:WITH\s*\((?P<opts>.*)\))?"
+    r"|WITH\s*\((?P<opts2>.*)\))\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _CTAS = re.compile(
@@ -254,6 +261,62 @@ def _fmt_from_options(opts: dict, path: str, default: str = "parquet") -> str:
 
 _LAKE_FILE_LIST = re.compile(r"lake_file\.list\('([^']+)'\)", re.IGNORECASE)
 
+# --- session GUCs (SET/SHOW/RESET pg_lake_*.*) ------------------------------
+# The reference exposes these as PostgreSQL GUCs; here each maps to the
+# Spark-native lever with the same effect (iceberg-tables.md:33,107,343-361).
+_GUC_DEFAULTS = {
+    # default location root for new lake tables (iceberg-tables.md:33)
+    "pg_lake_iceberg.default_location_prefix": "",
+    # unbounded / >38-precision numeric → double at CREATE; off = reject
+    # (iceberg-tables.md:107)
+    "pg_lake_iceberg.unsupported_numeric_as_double": "on",
+    # VACUUM snapshot retention, seconds (iceberg-tables.md:747)
+    "pg_lake_iceberg.max_snapshot_age": "1800",
+    # staging-file flush bound (iceberg-tables.md:343). Spark's
+    # partitioned write already clusters rows per task (see
+    # table._write_data_files); the same knob bounds Spark's concurrent
+    # writers before it falls back to a sort.
+    "pg_lake_table.max_open_files_for_partitioned_write": "5000",
+    # Spark always plans the partitioned write in the engine — accepted
+    # for doc-script compatibility, nothing to switch
+    "pg_lake_table.enable_partitioned_write_pushdown": "off",
+    "pg_lake_table.hide_objects_created_by_lake": "on",
+}
+
+_SET_GUC = re.compile(
+    r"(?i)^\s*SET\s+(?:SESSION\s+)?(?P<key>pg_lake_\w+\.\w+)\s*"
+    r"(?:TO|=)\s*(?P<val>.+?)\s*;?\s*$",
+    re.DOTALL,
+)
+_SHOW_GUC = re.compile(r"(?i)^\s*SHOW\s+(?P<key>pg_lake_\w+\.\w+)\s*;?\s*$")
+_RESET_GUC = re.compile(r"(?i)^\s*RESET\s+(?P<key>pg_lake_\w+\.\w+)\s*;?\s*$")
+
+
+def _guc(sess, key: str) -> str:
+    return getattr(sess, "gucs", {}).get(key, _GUC_DEFAULTS.get(key, ""))
+
+
+def _guc_on(sess, key: str) -> bool:
+    return _guc(sess, key).lower() in ("on", "true", "1", "yes")
+
+
+def _apply_guc(sess, key: str, val: str | None) -> None:
+    """Set (or, with ``val=None``, reset) one GUC plus its side effect."""
+    key = key.lower()
+    if key not in _GUC_DEFAULTS:
+        raise ValueError(f'unrecognized configuration parameter "{key}"')
+    if val is None:
+        sess.gucs.pop(key, None)
+        val = _GUC_DEFAULTS[key]
+    else:
+        sess.gucs[key] = val
+    if key == "pg_lake_iceberg.default_location_prefix":
+        sess.warehouse = val or None
+    elif key == "pg_lake_table.max_open_files_for_partitioned_write":
+        # bounded concurrent writers; past the bound Spark sorts by the
+        # partition expression instead of holding files open
+        sess.spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", int(val))
+
 
 @functools.lru_cache(maxsize=64)
 def _mask_quoted(sql: str) -> str:
@@ -334,10 +397,15 @@ def _expand_lake_file_list(sess, sql: str) -> str:
     return _LAKE_FILE_LIST.sub(repl, sql)
 
 
-def _normalize_pg_types(cols: str) -> str:
+def _normalize_pg_types(cols: str, *, numeric_as_double: bool = True) -> str:
     """PG column-type spellings → Spark DDL (varchar(n)/char(n)/text →
     string, integer → int, float8/double precision → double, …), so doc
-    statements with PG types run verbatim."""
+    statements with PG types run verbatim.
+
+    Numeric precision mapping (iceberg-tables.md:104-107): bounded
+    ``numeric(p,s)`` with p ≤ 38 becomes a decimal; UNBOUNDED numeric or
+    p > 38 becomes ``double`` — or is rejected at creation when
+    ``pg_lake_iceberg.unsupported_numeric_as_double`` is off."""
     out = cols
     out = re.sub(r"(?i)\b(?:var)?char\s*\(\s*\d+\s*\)", "string", out)
     out = re.sub(r"(?i)\btext\b", "string", out)
@@ -348,7 +416,32 @@ def _normalize_pg_types(cols: str) -> str:
     out = re.sub(r"(?i)\bdouble\s+precision\b", "double", out)
     out = re.sub(r"(?i)\bfloat8\b", "double", out)
     out = re.sub(r"(?i)\bfloat4\b", "float", out)
-    out = re.sub(r"(?i)\bnumeric\b", "decimal", out)
+
+    def _numeric(m: re.Match) -> str:
+        p, s = m.group(1), m.group(2)
+        if p is None:  # unbounded numeric: no decimal can hold it
+            if numeric_as_double:
+                return "double"
+            raise ValueError(
+                "unbounded numeric is not representable; set "
+                "pg_lake_iceberg.unsupported_numeric_as_double = on "
+                "or declare numeric(p,s) with p <= 38"
+            )
+        if int(p) <= 38:
+            return f"decimal({p},{s or 0})"
+        if numeric_as_double:
+            return "double"
+        raise ValueError(
+            f"numeric({p}{',' + s if s else ''}) exceeds the maximum "
+            "precision 38; set pg_lake_iceberg."
+            "unsupported_numeric_as_double = on or lower the precision"
+        )
+
+    out = re.sub(
+        r"(?i)\bnumeric\b(?:\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\))?",
+        _numeric,
+        out,
+    )
     out = re.sub(r"(?i)\bbytea\b", "binary", out)
     out = re.sub(r"(?i)\bbool\b", "boolean", out)
     return out
@@ -373,6 +466,29 @@ def execute_lake_sql(sess, sql: str) -> DataFrame | None:
 
 
 def _execute_one(sess, sql: str) -> DataFrame | None:
+    m = _SET_GUC.match(sql)
+    if m:
+        val = m.group("val").strip()
+        if val.startswith("'") and val.endswith("'"):
+            val = val[1:-1].replace("''", "'")
+        if val.upper() == "DEFAULT":
+            _apply_guc(sess, m.group("key"), None)
+        else:
+            _apply_guc(sess, m.group("key"), val)
+        return None
+
+    m = _RESET_GUC.match(sql)
+    if m:
+        _apply_guc(sess, m.group("key"), None)
+        return None
+
+    m = _SHOW_GUC.match(sql)
+    if m:
+        key = m.group("key").lower()
+        if key not in _GUC_DEFAULTS:
+            raise ValueError(f'unrecognized configuration parameter "{key}"')
+        return sess.spark.createDataFrame([(_guc(sess, key),)], "setting string")
+
     m = _shape_match(_CREATE_FOREIGN, sql)
     if m:
         name = m.group("name").strip('"')
@@ -387,12 +503,29 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
         if "filename" in kwargs:
             kwargs["filename"] = kwargs["filename"].lower() == "true"
         if cols:
-            kwargs["schema"] = _normalize_pg_types(cols)
+            kwargs["schema"] = _normalize_pg_types(
+                cols,
+                numeric_as_double=_guc_on(
+                    sess, "pg_lake_iceberg.unsupported_numeric_as_double"
+                ),
+            )
         return sess.register_lake_table(name, path, fmt=fmt, **kwargs)
+
+    m = _shape_match(_CREATE_LIKE, sql)
+    if m:
+        # docs/use-case-log-management.md: CREATE TABLE t (LIKE other)
+        # [USING iceberg] — copy the schema, start empty. Checked before
+        # _CREATE_WITH: its now-optional WITH would swallow (LIKE x).
+        name = m.group("name").strip('"')
+        src = m.group("src").strip('"')
+        opts = _parse_options(m.group("opts") or "")
+        location = opts.get("location") or sess.default_table_location(name)
+        sess.create_lake_table(name, location, df=sess.spark.table(src).limit(0))
+        return None
 
     m = _shape_match(_CREATE_WITH, sql)
     if m:
-        opts = _parse_options(m.group("opts"))
+        opts = _parse_options(m.group("opts") or m.group("opts2") or "")
         if "load_from" not in opts and "definition_from" not in opts:
             cols = (m.group("cols") or "").strip()
             if not cols:
@@ -406,7 +539,12 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
             t = sess.create_lake_table(
                 name,
                 location,
-                schema_ddl=_normalize_pg_types(cols),
+                schema_ddl=_normalize_pg_types(
+                    cols,
+                    numeric_as_double=_guc_on(
+                        sess, "pg_lake_iceberg.unsupported_numeric_as_double"
+                    ),
+                ),
                 partition_by=[c.strip() for c in pb.split(",")] if pb else None,
             )
             if opts:
@@ -441,19 +579,6 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
             location,
             df=sess.spark.sql(_expand_lake_file_list(sess, m.group("q"))),
             partition_by=[c.strip() for c in pb.split(",")] if pb else None,
-        )
-        return None
-
-    m = _shape_match(_CREATE_LIKE, sql)
-    if m:
-        # docs/use-case-log-management.md: CREATE TABLE t (LIKE other)
-        # [USING iceberg] — copy the schema, start empty
-        name = m.group("name").strip('"')
-        src = m.group("src").strip('"')
-        opts = _parse_options(m.group("opts") or "")
-        location = opts.get("location") or sess.default_table_location(name)
-        sess.create_lake_table(
-            name, location, df=sess.spark.table(src).limit(0)
         )
         return None
 
@@ -655,7 +780,13 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
         from pg_lake_spark.lakehouse import maintenance
 
         t = sess.lake_table_handle(m.group("name").strip('"'))
-        maintenance.vacuum(t)
+        # retention: table-level max_snapshot_age option overrides the
+        # pg_lake_iceberg.max_snapshot_age GUC (iceberg-tables.md:73)
+        msa = t.metadata.properties.get("max_snapshot_age")
+        age = int(msa) if msa is not None else int(
+            _guc(sess, "pg_lake_iceberg.max_snapshot_age")
+        )
+        maintenance.vacuum(t, max_snapshot_age_s=age)
         t.to_df().createOrReplaceTempView(m.group("name").strip('"'))
         return None
 

@@ -76,37 +76,50 @@ def compact_data_files(
     }
 
 
+def expire_in_metadata(location: str, md, max_age_s: int) -> dict:
+    """Lock-free expiry core: mutate ``md`` in place, dropping snapshots
+    older than the retention window (always keeping the current one);
+    files referenced ONLY by expired snapshots go to the deletion queue.
+    The caller holds the commit lock and commits ``md``. Shared by
+    VACUUM-time expiry and the ``max_snapshot_age = 0`` expire-on-write
+    path (iceberg-tables.md:749 — rides the write's own commit)."""
+    now_ms = int(time.time() * 1000)
+    cutoff = now_ms - max_age_s * 1000
+    keep, expire = [], []
+    for s in md.snapshots:
+        if s.snapshot_id == md.current_snapshot_id or s.timestamp_ms >= cutoff:
+            keep.append(s)
+        else:
+            expire.append(s)
+    if not expire:
+        return {"expired": 0, "queued_files": 0}
+    live_paths: set[str] = {e["path"] for e in md.deletion_queue}  # no dup queue entries
+    for s in keep:
+        for f in cat.read_snapshot_files(location, md, s):
+            live_paths.add(f.path)
+    queued = 0
+    for s in expire:
+        for f in cat.read_snapshot_files(location, md, s):
+            if f.path not in live_paths:
+                md.deletion_queue.append({"path": f.path, "enqueued_ms": now_ms})
+                live_paths.add(f.path)  # avoid duplicate queue entries
+                queued += 1
+    md.snapshots = keep
+    return {"expired": len(expire), "queued_files": queued}
+
+
 def expire_snapshots(table: LakeTable, max_age_s: int = DEFAULT_MAX_SNAPSHOT_AGE_S) -> dict:
     """Drop snapshots older than the retention window (always keeping
     the current one); files referenced ONLY by expired snapshots go to
     the deletion queue."""
     with cat.CommitLock(table.location):
         md = cat.read_current_metadata(table.location)
-        now_ms = int(time.time() * 1000)
-        cutoff = now_ms - max_age_s * 1000
-        keep, expire = [], []
-        for s in md.snapshots:
-            if s.snapshot_id == md.current_snapshot_id or s.timestamp_ms >= cutoff:
-                keep.append(s)
-            else:
-                expire.append(s)
-        if not expire:
-            return {"expired": 0, "queued_files": 0}
-        live_paths: set[str] = {e["path"] for e in md.deletion_queue}  # no dup queue entries
-        for s in keep:
-            for f in cat.read_snapshot_files(table.location, md, s):
-                live_paths.add(f.path)
-        queued = 0
-        for s in expire:
-            for f in cat.read_snapshot_files(table.location, md, s):
-                if f.path not in live_paths:
-                    md.deletion_queue.append({"path": f.path, "enqueued_ms": now_ms})
-                    live_paths.add(f.path)  # avoid duplicate queue entries
-                    queued += 1
-        md.snapshots = keep
+        res = expire_in_metadata(table.location, md, max_age_s)
+        if not res["expired"]:
+            return res
         cat.commit_metadata(table.location, md)
         table.metadata = md
-        return {"expired": len(expire), "queued_files": queued}
+        return res
 
 
 def purge_deletion_queue(

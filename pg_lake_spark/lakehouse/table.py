@@ -415,6 +415,15 @@ class LakeTable:
                 md.properties.update(properties_update)
             if mutate is not None:
                 mutate(md, sid)
+            # max_snapshot_age = 0 (iceberg-tables.md:749): old snapshots
+            # expire automatically DURING writes, riding this commit —
+            # no separate VACUUM needed. Non-zero ages expire only at
+            # VACUUM time (expiring here would cost a manifest walk per
+            # write).
+            if str(md.properties.get("max_snapshot_age", "")).strip() == "0":
+                from pg_lake_spark.lakehouse import maintenance
+
+                maintenance.expire_in_metadata(self.location, md, 0)
             cat.commit_metadata(self.location, md)
             self.metadata = md
             self._clear_in_progress()  # committed: staged files are live

@@ -218,6 +218,8 @@ class LakeSession:
         self._pipelines: dict[str, object] = {}  # name -> FileListPipeline
         self.file_cache = None  # set by enable_file_cache
         self.warehouse: str | None = None  # default location root for DDL
+        # Session GUCs (SET pg_lake_*.* TO ...) — see ddl._GUC_DEFAULTS
+        self.gucs: dict[str, str] = {}
 
     # -- registration ---------------------------------------------------
     def register_corpus(self, sf_dir: str = DEFAULT_SF_DIR) -> LazyTables:

@@ -863,3 +863,71 @@ def test_keyword_inside_literal_does_not_misroute(sess, spark, tmp_path):
     )
     got = {r.id: r.msg for r in spark.table("routemask_t").collect()}
     assert got[4] == "x WHERE y FROM z"
+
+
+def test_set_show_reset_gucs(sess, spark, tmp_path):
+    """iceberg-tables.md:33,343-361 SET statements run verbatim; SHOW
+    reads back; RESET restores the documented default."""
+    sess.execute("SET pg_lake_iceberg.default_location_prefix TO "
+                 f"'{tmp_path / 'wh'}'")
+    assert sess.warehouse == str(tmp_path / "wh")
+    # the prefix steers where an unlocated CREATE lands
+    sess.execute("CREATE TABLE guc_t (id int) USING iceberg")
+    t = sess.lake_table_handle("guc_t")
+    assert t.location.startswith(str(tmp_path / "wh"))
+    # doc statement verbatim (iceberg-tables.md:352)
+    sess.execute("SET pg_lake_table.max_open_files_for_partitioned_write = 250;")
+    assert spark.conf.get("spark.sql.maxConcurrentOutputFileWriters") == "250"
+    got = sess.execute("SHOW pg_lake_table.max_open_files_for_partitioned_write")
+    assert got.collect()[0].setting == "250"
+    sess.execute("RESET pg_lake_table.max_open_files_for_partitioned_write")
+    got = sess.execute("SHOW pg_lake_table.max_open_files_for_partitioned_write")
+    assert got.collect()[0].setting == "5000"
+    # pushdown toggle accepted verbatim (iceberg-tables.md:360)
+    sess.execute("SET pg_lake_table.enable_partitioned_write_pushdown = on;")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unrecognized configuration"):
+        sess.execute("SET pg_lake_iceberg.no_such_thing = 1")
+
+
+def test_numeric_precision_mapping(sess, spark, tmp_path):
+    """iceberg-tables.md:104-107: numeric(p<=38,s) -> decimal; unbounded
+    numeric or p>38 -> double; GUC off rejects at creation."""
+    sess.warehouse = str(tmp_path / "wh")
+    sess.execute(
+        "CREATE TABLE num_t (a numeric(10,2), b numeric(50,10), c numeric) "
+        "USING iceberg"
+    )
+    dt = dict(spark.table("num_t").dtypes)
+    assert dt == {"a": "decimal(10,2)", "b": "double", "c": "double"}
+    import pytest as _pytest
+
+    sess.execute("SET pg_lake_iceberg.unsupported_numeric_as_double = off")
+    with _pytest.raises(ValueError, match="precision 38"):
+        sess.execute("CREATE TABLE num_t2 (a numeric(50,10)) USING iceberg")
+    with _pytest.raises(ValueError, match="unbounded numeric"):
+        sess.execute("CREATE TABLE num_t3 (a numeric) USING iceberg")
+    # bounded stays fine with the GUC off
+    sess.execute("CREATE TABLE num_t4 (a numeric(38,4)) USING iceberg")
+    assert dict(spark.table("num_t4").dtypes) == {"a": "decimal(38,4)"}
+
+
+def test_max_snapshot_age_zero_expires_on_write(sess, spark, tmp_path):
+    """iceberg-tables.md:749: max_snapshot_age = 0 expires old snapshots
+    automatically DURING writes — no VACUUM needed."""
+    sess.warehouse = str(tmp_path / "wh")
+    sess.execute(
+        "CREATE TABLE msa_t (id int) USING iceberg WITH (max_snapshot_age = 0)"
+    )
+    for i in range(4):
+        sess.execute(f"INSERT INTO msa_t VALUES ({i})")
+    t = sess.lake_table_handle("msa_t")
+    # only the current snapshot survives each write's commit
+    assert len(t.metadata.snapshots) == 1
+    assert spark.table("msa_t").count() == 4
+    # a plain table retains history for time travel
+    sess.execute("CREATE TABLE msa_keep (id int) USING iceberg")
+    for i in range(3):
+        sess.execute(f"INSERT INTO msa_keep VALUES ({i})")
+    assert len(sess.lake_table_handle("msa_keep").metadata.snapshots) == 3
