@@ -283,6 +283,14 @@ _GUC_DEFAULTS = {
     "pg_lake_table.hide_objects_created_by_lake": "on",
 }
 
+# docs' getting-started scripts open with CREATE EXTENSION pg_lake
+# CASCADE (building-from-source.md:504); the engine IS the extension
+# here, so it's an accepted no-op. Anything else is genuinely absent.
+_CREATE_EXT = re.compile(
+    r"(?i)^\s*CREATE\s+EXTENSION\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>\w+)(?:\s+CASCADE)?\s*;?\s*$"
+)
+
 _SET_GUC = re.compile(
     r"(?i)^\s*SET\s+(?:SESSION\s+)?(?P<key>pg_lake_\w+\.\w+)\s*"
     r"(?:TO|=)\s*(?P<val>.+?)\s*;?\s*$",
@@ -466,6 +474,13 @@ def execute_lake_sql(sess, sql: str) -> DataFrame | None:
 
 
 def _execute_one(sess, sql: str) -> DataFrame | None:
+    m = _CREATE_EXT.match(sql)
+    if m:
+        name = m.group("name").lower()
+        if not name.startswith("pg_lake"):
+            raise ValueError(f'extension "{name}" is not available')
+        return None
+
     m = _SET_GUC.match(sql)
     if m:
         val = m.group("val").strip()

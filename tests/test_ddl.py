@@ -931,3 +931,22 @@ def test_max_snapshot_age_zero_expires_on_write(sess, spark, tmp_path):
     for i in range(3):
         sess.execute(f"INSERT INTO msa_keep VALUES ({i})")
     assert len(sess.lake_table_handle("msa_keep").metadata.snapshots) == 3
+
+
+def test_getting_started_script_verbatim(sess, spark, tmp_path):
+    """building-from-source.md:504-507 runs as one script: CREATE
+    EXTENSION is a no-op (the engine IS the extension), the SET steers
+    subsequent creates."""
+    sess.execute(
+        "CREATE EXTENSION pg_lake CASCADE;\n"
+        "-- Set S3 location for Iceberg tables\n"
+        f"SET pg_lake_iceberg.default_location_prefix TO '{tmp_path / 'pglake'}';"
+    )
+    sess.execute("CREATE TABLE gs_t (id int) USING iceberg")
+    assert sess.lake_table_handle("gs_t").location.startswith(
+        str(tmp_path / "pglake")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not available"):
+        sess.execute("CREATE EXTENSION postgis")
