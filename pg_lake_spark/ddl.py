@@ -226,6 +226,41 @@ _ALTER_TABLE_OPTS = re.compile(
     r"OPTIONS\s*\(\s*(?:ADD|SET)\s+(?P<opts>.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# Schema-evolution ALTERs run verbatim (iceberg-tables.md:680-710);
+# each routes to the LakeTable evolution API (metadata-only commits).
+_ALTER_PREFIX = r"^\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s+"
+_ALTER_ADD_COL = re.compile(
+    _ALTER_PREFIX + r"ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<col>[\w\"]+)\s+(?P<type>[\w() ,]+?)"
+    r"(?:\s+DEFAULT\s+(?P<def>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DROP_COL = re.compile(
+    _ALTER_PREFIX + r"DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?(?P<col>[\w\"]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_RENAME_COL = re.compile(
+    _ALTER_PREFIX + r"RENAME\s+COLUMN\s+(?P<old>[\w\"]+)\s+TO\s+(?P<new>[\w\"]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_COL_TYPE = re.compile(
+    _ALTER_PREFIX + r"ALTER\s+COLUMN\s+(?P<col>[\w\"]+)\s+"
+    r"(?:SET\s+DATA\s+)?TYPE\s+(?P<type>[\w() ,]+?)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_COL_DEFAULT = re.compile(
+    _ALTER_PREFIX + r"ALTER\s+COLUMN\s+(?P<col>[\w\"]+)\s+"
+    r"(?:SET\s+DEFAULT\s+(?P<def>.+?)|DROP\s+DEFAULT)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+# ownership / schema moves are PG-catalog niceties with no data effect;
+# recorded as table properties (iceberg-tables.md:696-700)
+_ALTER_MISC = re.compile(
+    _ALTER_PREFIX
+    + r"(?:OWNER\s+TO\s+(?P<owner>[\w\"]+)|SET\s+SCHEMA\s+(?P<schema>[\w\"]+))\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 _ALTER_FOREIGN = re.compile(
     r"^\s*ALTER\s+FOREIGN\s+TABLE\s+(?P<name>[\w.\"]+)\s+"
     r"OPTIONS\s*\(\s*SET\s+(?P<opts>.*)\)\s*;?\s*$",
@@ -422,6 +457,7 @@ def _normalize_pg_types(cols: str, *, numeric_as_double: bool = True) -> str:
     out = re.sub(r"(?i)\bint4\b", "int", out)
     out = re.sub(r"(?i)\bint2\b", "smallint", out)
     out = re.sub(r"(?i)\bdouble\s+precision\b", "double", out)
+    out = re.sub(r"(?i)\btimestamptz\b", "timestamp", out)
     out = re.sub(r"(?i)\bfloat8\b", "double", out)
     out = re.sub(r"(?i)\bfloat4\b", "float", out)
 
@@ -819,6 +855,64 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
         if opts:
             t.set_properties(opts)
         t.to_df().createOrReplaceTempView(name)
+        return None
+
+    m = _shape_match(_ALTER_ADD_COL, sql)
+    if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
+        name = m.group("name").strip('"')
+        dflt = m.group("def")
+        if dflt is not None and "(" in re.sub(r"'(?:[^']|'')*'", "''", dflt):
+            # constant backfill only — existing rows can't read a
+            # volatile expression (iceberg-tables.md:711's exact error)
+            raise ValueError(
+                "ALTER TABLE ADD COLUMN with default expression command "
+                "not supported for pg_lake_iceberg tables"
+            )
+        t.add_column(
+            m.group("col").strip('"'),
+            _normalize_pg_types(m.group("type").strip()),
+            default=dflt.strip() if dflt else None,
+        )
+        t.to_df().createOrReplaceTempView(name)
+        return None
+
+    m = _shape_match(_ALTER_DROP_COL, sql)
+    if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
+        name = m.group("name").strip('"')
+        t.drop_column(m.group("col").strip('"'))
+        t.to_df().createOrReplaceTempView(name)
+        return None
+
+    m = _shape_match(_ALTER_RENAME_COL, sql)
+    if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
+        name = m.group("name").strip('"')
+        t.rename_column(m.group("old").strip('"'), m.group("new").strip('"'))
+        t.to_df().createOrReplaceTempView(name)
+        return None
+
+    m = _shape_match(_ALTER_COL_TYPE, sql)
+    if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
+        name = m.group("name").strip('"')
+        t.alter_column_type(
+            m.group("col").strip('"'), _normalize_pg_types(m.group("type").strip())
+        )
+        t.to_df().createOrReplaceTempView(name)
+        return None
+
+    m = _shape_match(_ALTER_COL_DEFAULT, sql)
+    if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
+        dflt = m.group("def")  # None for DROP DEFAULT
+        t.set_column_default(
+            m.group("col").strip('"'), dflt.strip() if dflt else None
+        )
+        return None
+
+    m = _shape_match(_ALTER_MISC, sql)
+    if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
+        if m.group("owner"):
+            t.set_properties({"owner": m.group("owner").strip('"')})
+        else:
+            t.set_properties({"schema": m.group("schema").strip('"')})
         return None
 
     m = _shape_match(_ALTER_FOREIGN, sql)

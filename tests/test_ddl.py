@@ -950,3 +950,46 @@ def test_getting_started_script_verbatim(sess, spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not available"):
         sess.execute("CREATE EXTENSION postgis")
+
+
+def test_alter_table_schema_evolution_verbatim(sess, spark, tmp_path):
+    """iceberg-tables.md:684-710 ALTER sequence runs verbatim: add,
+    set default, rename, drop; volatile ADD COLUMN default raises the
+    documented error; OWNER TO / SET SCHEMA are accepted metadata-only."""
+    sess.warehouse = str(tmp_path / "wh")
+    sess.execute("CREATE TABLE measurements (station text, v double precision) USING iceberg")
+    sess.execute("INSERT INTO measurements VALUES ('a', 1.0)")
+    sess.execute("alter table measurements add column measurement_tim timestamptz;")
+    assert dict(spark.table("measurements").dtypes)["measurement_tim"] == "timestamp"
+    sess.execute(
+        "alter table measurements alter column measurement_tim set default now();"
+    )
+    sess.execute(
+        "alter table measurements rename column measurement_tim to measurement_time;"
+    )
+    assert "measurement_time" in spark.table("measurements").columns
+    sess.execute("alter table measurements drop column measurement_time;")
+    assert "measurement_time" not in spark.table("measurements").columns
+    sess.execute("alter table measurements owner to oceanographer;")
+    sess.execute("alter table measurements set schema ocean;")
+    t = sess.lake_table_handle("measurements")
+    assert t.metadata.properties["owner"] == "oceanographer"
+    # constant default backfills existing rows on read (ADD COLUMN)
+    sess.execute(
+        "alter table measurements add column last_update_time timestamptz "
+        "default '2024-01-01 00:00:00';"
+    )
+    got = spark.table("measurements").collect()[0]
+    assert str(got.last_update_time).startswith("2024-01-01")
+    # volatile default: the documented error, verbatim class
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="default expression command not supported"):
+        sess.execute(
+            "alter table measurements add column bad_col timestamptz default now();"
+        )
+    # type promotion routes too
+    sess.execute("CREATE TABLE promo_t (id int) USING iceberg")
+    sess.execute("INSERT INTO promo_t VALUES (7)")
+    sess.execute("ALTER TABLE promo_t ALTER COLUMN id TYPE bigint")
+    assert dict(spark.table("promo_t").dtypes)["id"] == "bigint"
