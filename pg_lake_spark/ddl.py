@@ -936,6 +936,22 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
         src, direction, url = m.group("src"), m.group("dir").upper(), m.group("url")
         opts = _parse_options(m.group("opts") or m.group("wopts") or "")
         fmt = _fmt_from_options(opts, url, default="csv" if "." not in url else "parquet")
+        if "compression" not in opts:
+            # suffix-inferred output compression, the docs' bare form
+            # (data-lake-import-export.md:121-127: file.csv.gz,
+            # file.json.zst). Spark's text sources have no zstd codec —
+            # refuse loudly rather than write uncompressed.
+            suffix_comp = {".gz": "gzip", ".bz2": "bzip2", ".zst": "zstd"}
+            for ext, comp in suffix_comp.items():
+                if url.split("?")[0].endswith(ext):
+                    if comp == "zstd" and fmt in ("csv", "json"):
+                        raise ValueError(
+                            "zstd compression is not available for "
+                            f"{fmt} output in this engine; use .gz "
+                            "(gzip) or parquet"
+                        )
+                    opts["compression"] = comp
+                    break
         if direction == "TO":
             df = (
                 sess.spark.sql(src[1:-1])
