@@ -207,7 +207,7 @@ def fetch_remote(path: str, cache=None) -> str:
 #: extension → concrete reader format for the GDAL-umbrella dispatch
 _GDAL_EXTS = {
     "shp": "shp", "gpkg": "gpkg", "kml": "kml", "kmz": "kmz",
-    "gml": "gml", "dxf": "dxf", "mif": "mif", "map": "map",
+    "gml": "gml", "dxf": "dxf", "mif": "mif", "map": "map", "tab": "tab",
     "xodr": "xodr", "fgb": "fgb", "geojson": "geojson",
     "json": "geojson", "xlsx": "xlsx", "xls": "xls",
 }
@@ -313,7 +313,7 @@ def read_lake(
     # path per file (input_file_name() is empty for parsed frames).
     _SINGLE_FILE_FMTS = {
         "shp", "shapefile", "gpkg", "geopackage", "kml", "kmz", "gml",
-        "dxf", "mif", "map", "wasp", "xodr", "fgb", "flatgeobuf",
+        "dxf", "mif", "map", "tab", "wasp", "xodr", "fgb", "flatgeobuf",
         "geojson", "xlsx", "xls",
     }
     if fmt in _SINGLE_FILE_FMTS and any(c in path for c in "*?["):
@@ -380,6 +380,10 @@ def read_lake(
         from pg_lake_spark.sources.mif import read_mif
 
         df = read_mif(spark, path)
+    elif fmt == "tab":
+        from pg_lake_spark.sources.mitab import read_tab
+
+        df = read_tab(spark, path)
     elif fmt in ("map", "wasp"):
         from pg_lake_spark.sources.wasp import read_wasp_map
 

@@ -166,8 +166,12 @@ def _parse_dbf(path: str) -> tuple[list[tuple[str, str]], list[list]]:
                 else:
                     vals.append(int(raw))
             elif ftype == "L":
+                # '' is a substring of every string — a blank ('?' /
+                # uninitialized) logical must stay NULL, not True
                 vals.append(
-                    True if raw in "TtYy" else False if raw in "FfNn" else None
+                    True if raw and raw in "TtYy"
+                    else False if raw and raw in "FfNn"
+                    else None
                 )
             else:  # C, D and anything else → string
                 vals.append(raw or None)
