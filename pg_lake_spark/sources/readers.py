@@ -207,7 +207,10 @@ def fetch_remote(path: str, cache=None) -> str:
 #: extension → concrete reader format for the GDAL-umbrella dispatch
 _GDAL_EXTS = {
     "shp": "shp", "gpkg": "gpkg", "kml": "kml", "kmz": "kmz",
-    "gml": "gml", "dxf": "dxf", "mif": "mif", "map": "map", "tab": "tab",
+    # .mit is the docs' MapInfo interchange alias for .mif
+    # (file-formats-reference.md: `.mif .mit .tab | MapInfo datasets`)
+    "gml": "gml", "dxf": "dxf", "mif": "mif", "mit": "mif",
+    "map": "map", "tab": "tab",
     "xodr": "xodr", "fgb": "fgb", "geojson": "geojson",
     "json": "geojson", "xlsx": "xlsx", "xls": "xls",
 }

@@ -155,3 +155,14 @@ def test_mif_mid(spark, tmp_path):
     # region: CW outer + CCW hole assemble into a holed polygon
     assert rows["zone"].wkt == "POLYGON((0 0,0 4,4 4,4 0,0 0),(1 1,2 1,2 2,1 2,1 1))"
     assert rows["ghost"].wkt is None and rows["ghost"].pop is None
+
+
+def test_mit_alias_reads_as_mif(spark, tmp_path):
+    """file-formats-reference.md lists `.mif .mit .tab`: .mit is the
+    interchange alias, routed through the gdal umbrella."""
+    from pg_lake_spark.sources.readers import read_lake
+
+    (tmp_path / "m.mit").write_text(_MIF)
+    (tmp_path / "m.mid").write_text(_MID)
+    df = read_lake(spark, str(tmp_path / "m.mit"), fmt="gdal")
+    assert df.count() == 5 and "geometry" in df.columns
