@@ -30,7 +30,13 @@ def tour(spark, scratch: str) -> dict:
 
     out: dict = {}
     sess = LakeSession(spark)
-    sess.warehouse = os.path.join(scratch, "warehouse")
+    # the docs' getting-started opener, verbatim
+    # (building-from-source.md:504-507)
+    sess.execute(
+        "CREATE EXTENSION pg_lake CASCADE;\n"
+        "SET pg_lake_iceberg.default_location_prefix TO "
+        f"'{os.path.join(scratch, 'warehouse')}';"
+    )
     os.makedirs(sess.warehouse, exist_ok=True)
 
     # -- 1. files become tables (query-data-lake-files.md) ---------------
@@ -73,10 +79,11 @@ def tour(spark, scratch: str) -> dict:
     discovered = cat.scan(spark, "public", "events_lake", catalog_file)
     out["discovered_rows"] = discovered.count()
 
-    # schema evolution (constant-backfill columns export after a
-    # compaction rewrite; see iceberg_meta.export_iceberg)
-    t.add_column("source", "string", default="'tour'")
-    t.alter_column_type("user_id", "bigint")
+    # schema evolution — the docs' verbatim ALTER statements
+    # (iceberg-tables.md:684-710); constant-backfill columns export
+    # after a compaction rewrite (see iceberg_meta.export_iceberg)
+    sess.execute("ALTER TABLE events_lake ADD COLUMN source text DEFAULT 'tour'")
+    sess.execute("ALTER TABLE events_lake ALTER COLUMN user_id TYPE bigint")
     out["evolved_cols"] = t.to_df().columns
 
     # -- 4. spatial (spatial.md) -----------------------------------------
