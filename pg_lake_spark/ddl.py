@@ -40,7 +40,7 @@ def strip_sql_comments(sql: str) -> str:
     i, n = 0, len(sql)
     while i < n:
         c = sql[i]
-        if c == "$" and (dm := re.match(r"\$[A-Za-z_]*\$", sql[i:])):
+        if c == "$" and (dm := re.match(r"\$(?:[A-Za-z_]\w*)?\$", sql[i:])):
             tag = dm.group(0)  # $$ or a named $tag$
             j = sql.find(tag, i + len(tag))
             if j == -1:
@@ -89,7 +89,7 @@ def split_sql_statements(sql: str) -> list[str]:
     i, n = 0, len(sql)
     while i < n:
         c = sql[i]
-        if c == "$" and (dm := re.match(r"\$[A-Za-z_]*\$", sql[i:])):
+        if c == "$" and (dm := re.match(r"\$(?:[A-Za-z_]\w*)?\$", sql[i:])):
             tag = dm.group(0)  # $$ or a named $tag$
             j = sql.find(tag, i + len(tag))
             if j == -1:
@@ -388,7 +388,7 @@ def _mask_quoted(sql: str) -> str:
                 i += 1
             i += 1
         elif ch == "$":
-            m = re.match(r"\$[A-Za-z_]*\$", sql[i:])
+            m = re.match(r"\$(?:[A-Za-z_]\w*)?\$", sql[i:])
             if m:
                 tag = m.group(0)
                 end = sql.find(tag, i + len(tag))
@@ -521,8 +521,9 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
     if m:
         val = m.group("val").strip()
         if val.startswith("'") and val.endswith("'"):
-            val = val[1:-1].replace("''", "'")
-        if val.upper() == "DEFAULT":
+            # a QUOTED 'DEFAULT' is the string value, not the keyword
+            _apply_guc(sess, m.group("key"), val[1:-1].replace("''", "'"))
+        elif val.upper() == "DEFAULT":
             _apply_guc(sess, m.group("key"), None)
         else:
             _apply_guc(sess, m.group("key"), val)
@@ -870,7 +871,12 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
             )
         t.add_column(
             m.group("col").strip('"'),
-            _normalize_pg_types(m.group("type").strip()),
+            _normalize_pg_types(
+                m.group("type").strip(),
+                numeric_as_double=_guc_on(
+                    sess, "pg_lake_iceberg.unsupported_numeric_as_double"
+                ),
+            ),
             default=dflt.strip() if dflt else None,
         )
         t.to_df().createOrReplaceTempView(name)
@@ -894,7 +900,13 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
     if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
         name = m.group("name").strip('"')
         t.alter_column_type(
-            m.group("col").strip('"'), _normalize_pg_types(m.group("type").strip())
+            m.group("col").strip('"'),
+            _normalize_pg_types(
+                m.group("type").strip(),
+                numeric_as_double=_guc_on(
+                    sess, "pg_lake_iceberg.unsupported_numeric_as_double"
+                ),
+            ),
         )
         t.to_df().createOrReplaceTempView(name)
         return None
@@ -936,11 +948,12 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
         src, direction, url = m.group("src"), m.group("dir").upper(), m.group("url")
         opts = _parse_options(m.group("opts") or m.group("wopts") or "")
         fmt = _fmt_from_options(opts, url, default="csv" if "." not in url else "parquet")
-        if "compression" not in opts:
-            # suffix-inferred output compression, the docs' bare form
+        if direction == "TO" and "compression" not in opts:
+            # suffix-inferred OUTPUT compression, the docs' bare form
             # (data-lake-import-export.md:121-127: file.csv.gz,
             # file.json.zst). Spark's text sources have no zstd codec —
-            # refuse loudly rather than write uncompressed.
+            # refuse loudly rather than write uncompressed. COPY FROM
+            # never infers: the reader handles codecs itself.
             suffix_comp = {".gz": "gzip", ".bz2": "bzip2", ".zst": "zstd"}
             for ext, comp in suffix_comp.items():
                 if url.split("?")[0].endswith(ext):
@@ -1185,9 +1198,10 @@ def _extract_returning(sql: str) -> tuple[str, str | None]:
     found = None
     while i < n:
         c = sql[i]
-        if c == "$" and sql[i : i + 2] == "$$":
-            j = sql.find("$$", i + 2)
-            i = n if j == -1 else j + 2
+        if c == "$" and (dm := re.match(r"\$(?:[A-Za-z_]\w*)?\$", sql[i:])):
+            tag = dm.group(0)  # $$ or a named $tag$ — same lexer rule
+            j = sql.find(tag, i + len(tag))
+            i = n if j == -1 else j + len(tag)
             continue
         if c == "'" or c == '"':
             q = c

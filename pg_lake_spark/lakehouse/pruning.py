@@ -28,10 +28,15 @@ _MONOTONIC = {"identity", "year", "month", "day", "hour", "truncate"}
 
 
 #: a value in a comparison conjunct must be ONE clean literal — a
-#: (typed) quoted string or a bare number/word. Anything trailing
-#: (``'x' OR id = 2``, ``'a' || 'b'``) makes the conjunct unparseable.
+#: (typed) quoted string, a number, or true/false/null. An UNQUOTED
+#: word is a column reference, not a literal: ``src = dst_col`` must
+#: disable pruning, not compare min/max against the string "dst_col"
+#: (the same silent-no-op class as the disjunction bug). Anything
+#: trailing (``'x' OR id = 2``, ``'a' || 'b'``) is also unparseable.
 _CLEAN_LIT = re.compile(
-    r"(?i)^(?:(?:TIMESTAMP|DATE)\s+)?'(?:[^']|'')*'$|^[\w.+-]+$"
+    r"(?i)^(?:(?:TIMESTAMP|DATE)\s+)?'(?:[^']|'')*'$"
+    r"|^[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?$"
+    r"|^(?:true|false|null)$"
 )
 
 
@@ -57,6 +62,8 @@ def parse_where(where: str) -> list[Predicate] | None:
         part = part.replace("__BETWEEN_AND__", "AND").strip().rstrip(";")
         m = re.match(r"(?i)^(\w+)\s+BETWEEN\s+(\S+)\s+AND\s+(\S+)$", part)
         if m:
+            if not (_CLEAN_LIT.match(m.group(2)) and _CLEAN_LIT.match(m.group(3))):
+                return None  # column-ref or expression bound → no pruning
             preds.append((m.group(1), "between", (_lit(m.group(2)), _lit(m.group(3)))))
             continue
         m = re.match(r"(?i)^(\w+)\s+IS\s+NULL$", part)

@@ -316,7 +316,7 @@ def read_lake(
     # path per file (input_file_name() is empty for parsed frames).
     _SINGLE_FILE_FMTS = {
         "shp", "shapefile", "gpkg", "geopackage", "kml", "kmz", "gml",
-        "dxf", "mif", "map", "tab", "wasp", "xodr", "fgb", "flatgeobuf",
+        "dxf", "mif", "mit", "map", "tab", "wasp", "xodr", "fgb", "flatgeobuf",
         "geojson", "xlsx", "xls",
     }
     if fmt in _SINGLE_FILE_FMTS and any(c in path for c in "*?["):
@@ -379,7 +379,7 @@ def read_lake(
         from pg_lake_spark.sources.dxf import read_dxf
 
         df = read_dxf(spark, path)
-    elif fmt == "mif":
+    elif fmt in ("mif", "mit"):
         from pg_lake_spark.sources.mif import read_mif
 
         df = read_mif(spark, path)

@@ -1017,3 +1017,36 @@ def test_copy_to_suffix_inferred_compression(sess, spark, tmp_path):
 
     with _pytest.raises(ValueError, match="zstd compression is not available"):
         sess.execute(f"COPY gzsrc TO '{tmp_path / 'x.json.zst'}'")
+
+
+def test_review_findings_regressions(sess, spark, tmp_path):
+    """Fixes from the r12 self-review: the numeric GUC gates ALTER
+    paths too; a QUOTED 'DEFAULT' is a value, not the reset keyword;
+    COPY FROM never applies output-compression inference."""
+    sess.warehouse = str(tmp_path / "wh")
+    sess.execute("CREATE TABLE rf_t (id int) USING iceberg")
+    sess.execute("SET pg_lake_iceberg.unsupported_numeric_as_double = off")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="precision 38"):
+        sess.execute("ALTER TABLE rf_t ADD COLUMN c numeric(50,10)")
+    sess.execute("RESET pg_lake_iceberg.unsupported_numeric_as_double")
+    sess.execute("ALTER TABLE rf_t ADD COLUMN c numeric(50,10)")
+    assert dict(spark.table("rf_t").dtypes)["c"] == "double"
+
+    # quoted 'DEFAULT' stores the string; bare DEFAULT resets
+    sess.execute("SET pg_lake_iceberg.default_location_prefix TO 'DEFAULT'")
+    assert sess.warehouse == "DEFAULT"
+    sess.execute("SET pg_lake_iceberg.default_location_prefix TO DEFAULT")
+    assert sess.warehouse is None
+
+    # COPY FROM a .gz file reads; no output-compression refusal applies
+    import gzip as _gzip
+
+    gz = tmp_path / "in.csv.gz"
+    with _gzip.open(gz, "wt") as fh:
+        fh.write("k,v,w\n7,z,0.5\n8,y,1.5\n")
+    sess.warehouse = str(tmp_path / "wh2")
+    sess.execute(f"CREATE TABLE gz_tgt () WITH (definition_from = '{gz}')")
+    sess.execute(f"COPY gz_tgt FROM '{gz}' (FORMAT csv)")
+    assert sess.lake_table_handle("gz_tgt").to_df().count() == 2

@@ -65,6 +65,10 @@ def test_mask_preserves_length_and_unquoted_text(lit, ident, tag):
     # no statement keyword survives inside the masked literal regions
     for m in re.finditer(r"'([^']*)'", masked):
         assert set(m.group(1)) <= {"x"}
+    # the DOLLAR-quoted region masks too — including digit-bearing
+    # tags like $x1$ (PG allows digits after the first tag char)
+    dm = re.search(re.escape(tag) + r"(x*)" + re.escape(tag), masked)
+    assert dm is not None and len(dm.group(1)) == len(lit)
 
 
 @settings(max_examples=300, deadline=None)
@@ -143,3 +147,37 @@ def test_in_list_with_embedded_commas_is_sound(lit, col):
         assert ("," in lit) or (" AND " in lit.upper()) or (
             " OR " in lit.upper()
         ) or " BETWEEN " in lit.upper()
+
+
+def test_column_reference_rhs_never_prunes():
+    """An UNQUOTED word on the right-hand side is a column reference,
+    not a string literal — comparing stats ranges against the NAME
+    would prune files that contain matching rows (review finding)."""
+    assert parse_where("src = dst_col") is None
+    assert parse_where("x BETWEEN lo_col AND 5") is None
+    assert parse_where("x IN (a_col, 5)") is None
+    # numbers, booleans and null are still clean literals
+    assert parse_where("flag = true") == [("flag", "=", True)]
+    assert parse_where("x = null") == [("x", "=", None)]
+    assert parse_where("x = -3.5e2") == [("x", "=", -350.0)]
+    assert parse_where("x BETWEEN 1 AND 2") == [("x", "between", (1, 2))]
+
+
+def test_named_dollar_tags_with_digits_shield_everywhere():
+    """$x1$ bodies must be opaque to all four lexer passes (PG tag
+    grammar: letter/underscore then letters/digits/underscores)."""
+    from pg_lake_spark.ddl import (
+        _extract_returning,
+        split_sql_statements,
+        strip_sql_comments,
+    )
+
+    s = "SELECT $x1$a; b -- c$x1$"
+    assert split_sql_statements(s) == [s]
+    assert strip_sql_comments(s) == s
+    assert "$x1$" in _mask_quoted(s)
+    assert set(re.search(r"\$x1\$(.*)\$x1\$", _mask_quoted(s)).group(1)) == {"x"}
+    # RETURNING inside a named dollar body is data, not the clause
+    sql = "UPDATE t SET msg = $m$go RETURNING home$m$ WHERE id = 1"
+    kept, ret = _extract_returning(sql)
+    assert kept == sql and ret is None
