@@ -212,6 +212,9 @@ _GDAL_EXTS = {
     "gml": "gml", "dxf": "dxf", "mif": "mif", "mit": "mif",
     "map": "map", "tab": "tab",
     "xodr": "xodr", "fgb": "fgb", "geojson": "geojson",
+    # GeoJSONSeq (one feature per line) — read_geojson handles both
+    # layouts (file-formats-reference.md: `.geojsons .geojsonl`)
+    "geojsons": "geojson", "geojsonl": "geojson",
     "json": "geojson", "xlsx": "xlsx", "xls": "xls",
 }
 

@@ -2274,3 +2274,18 @@ def test_laea_roundtrip_property():
             assert abs(blat - lat) < 1e-7
 
     check()
+
+
+def test_geojsonl_extension_sniffs_as_geojson(spark, tmp_path):
+    """file-formats-reference.md lists `.geojsons .geojsonl`
+    (GeoJSONSeq) — the extensions route to the GeoJSON reader through
+    the gdal umbrella."""
+    from pg_lake_spark.sources.readers import read_lake
+
+    seq = tmp_path / "pts.geojsonl"
+    seq.write_text(
+        '{"type": "Feature", "geometry": {"type": "Point", "coordinates": [1, 2]}, "properties": {}}\n'
+        '{"type": "Feature", "geometry": {"type": "Point", "coordinates": [3, 4]}, "properties": {}}\n'
+    )
+    df = read_lake(spark, str(seq), fmt="gdal")
+    assert df.count() == 2 and "geometry" in df.columns
