@@ -219,6 +219,26 @@ _GDAL_EXTS = {
 }
 
 
+def _gunzipped(path: str) -> str:
+    """Transparently decompress a ``.gz``-wrapped single file for the
+    driver-side binary parsers (docs list ``.gpkg.gz`` with inference;
+    SQLite can't stream gzip). Spark-read text formats don't need this
+    — Hadoop codecs handle .gz natively."""
+    if not path.endswith(".gz"):
+        return path
+    import gzip as _gzip
+    import tempfile as _tempfile
+
+    suffix = "_" + os.path.basename(path)[: -len(".gz")]
+    with _gzip.open(path, "rb") as src, _tempfile.NamedTemporaryFile(
+        suffix=suffix, delete=False
+    ) as dst:
+        import shutil as _shutil
+
+        _shutil.copyfileobj(src, dst)
+        return dst.name
+
+
 def _sniff_gdal_format(path: str) -> str:
     """Concrete vector format for ``format 'gdal'`` (docs/spatial.md:
     "the GDAL format will be inferred") — extension first, then file
@@ -237,7 +257,8 @@ def _sniff_gdal_format(path: str) -> str:
             if ext in _GDAL_EXTS:
                 return _GDAL_EXTS[ext]
         raise ValueError(f"format 'gdal': no recognizable vector file under {first}")
-    ext = first.rsplit(".", 1)[-1].lower() if "." in first else ""
+    base = first[: -len(".gz")] if first.endswith(".gz") else first
+    ext = base.rsplit(".", 1)[-1].lower() if "." in base else ""
     if ext in _GDAL_EXTS and ext != "json":
         return _GDAL_EXTS[ext]
     with open(first, "rb") as fh:
@@ -369,7 +390,7 @@ def read_lake(
     elif fmt in ("gpkg", "geopackage"):
         from pg_lake_spark.sources.geopackage import read_geopackage
 
-        df = read_geopackage(spark, path, table=options.pop("table", None))
+        df = read_geopackage(spark, _gunzipped(path), table=options.pop("table", None))
     elif fmt in ("kml", "kmz"):
         from pg_lake_spark.sources.kml import read_kml
 

@@ -105,3 +105,20 @@ def test_layer_option_selects_feature_table(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="layer"):
         read_lake(spark, p, fmt="parquet", layer="x")
+
+
+def test_gpkg_gz_reads_through_umbrella(spark, tmp_path):
+    """file-formats-reference.md lists `.gpkg.gz` with inference: the
+    umbrella sniffs through the .gz suffix and the driver-side SQLite
+    parse reads a transparently-decompressed copy."""
+    import gzip
+
+    from pg_lake_spark.sources.readers import read_lake
+
+    g = str(tmp_path / "cities.gpkg")
+    _build_gpkg(g)
+    gz = str(tmp_path / "cities.gpkg.gz")
+    with open(g, "rb") as src, gzip.open(gz, "wb") as dst:
+        dst.write(src.read())
+    df = read_lake(spark, gz, fmt="gdal")
+    assert df.count() == 3 and "geometry" in df.columns
