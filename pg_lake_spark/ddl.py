@@ -423,11 +423,20 @@ def _shape_match(rx: re.Pattern, sql: str):
     return _SpanMatch(m, sql) if m else None
 
 
+_LAKE_ICE_FILES = re.compile(r"lake_iceberg\.files\('([^']+)'\)", re.IGNORECASE)
+_LAKE_ICE_META = re.compile(r"lake_iceberg\.metadata\('([^']+)'\)", re.IGNORECASE)
+
+
 def _expand_lake_file_list(sess, sql: str) -> str:
-    """Rewrite ``lake_file.list('pattern')`` table-function calls into
-    temp views backed by the Hadoop-FS listing, so the docs' file
-    exploration statement (query-data-lake-files.md:45) runs verbatim
-    through ``sess.execute``."""
+    """Rewrite the docs' inspection table functions into temp views /
+    literals so their statements run verbatim through ``sess.execute``:
+    ``lake_file.list('pattern')`` (query-data-lake-files.md:45),
+    ``lake_iceberg.files('metadata_url')`` (iceberg-tables.md:639) and
+    ``lake_iceberg.metadata('url')`` (:601) with LITERAL arguments
+    (the correlated ``files(metadata_location)`` lateral form is
+    PG-planner-specific; query ``iceberg_tables`` — auto-registered
+    from the session warehouse — for the pointer first). Metadata-only
+    driver work, same as the reference's functions."""
 
     def repl(m):
         from pg_lake_spark.sources.readers import list_files
@@ -437,6 +446,31 @@ def _expand_lake_file_list(sess, sql: str) -> str:
         list_files(sess.spark, pattern).createOrReplaceTempView(name)
         return name
 
+    def repl_ice_files(m):
+        from pg_lake_spark.lakehouse.iceberg_meta import iceberg_files
+
+        url = m.group(1)
+        name = f"__lake_iceberg_files_{abs(hash(url)) % 10**8}"
+        iceberg_files(sess.spark, url).createOrReplaceTempView(name)
+        return name
+
+    def repl_ice_meta(m):
+        import json as _json
+
+        from pg_lake_spark.lakehouse.iceberg_meta import iceberg_metadata
+
+        doc = _json.dumps(iceberg_metadata(m.group(1)))
+        # Spark string literals process backslash escapes — escape both
+        return "'" + doc.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    if re.search(r"(?i)\biceberg_tables\b", sql) and sess.warehouse:
+        from pg_lake_spark.lakehouse.catalog_view import list_tables
+
+        list_tables(sess.spark, sess.warehouse).createOrReplaceTempView(
+            "iceberg_tables"
+        )
+    sql = _LAKE_ICE_FILES.sub(repl_ice_files, sql)
+    sql = _LAKE_ICE_META.sub(repl_ice_meta, sql)
     return _LAKE_FILE_LIST.sub(repl, sql)
 
 

@@ -16,10 +16,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pg_lake_spark.lakehouse import catalog as cat
 
 _SCHEMA = (
-    "table_name string, location string, current_snapshot_id bigint, "
+    "table_name string, location string, metadata_location string, "
+    "current_snapshot_id bigint, "
     "n_snapshots int, last_updated_ms bigint, schema_ddl string, "
     "partition_spec string, metadata_version int"
 )
+
+
+def _metadata_location(loc: str, version: int) -> str:
+    mdir = os.path.join(loc, "metadata")
+    if os.path.isdir(mdir):
+        from pg_lake_spark.lakehouse.iceberg_meta import _metadata_version_key
+
+        exported = sorted(
+            (f for f in os.listdir(mdir) if f.endswith(".metadata.json")),
+            key=_metadata_version_key,
+        )
+        if exported:
+            return os.path.join(mdir, exported[-1])
+    return os.path.join(loc, cat.METADATA_DIR, f"v{version}.metadata.json")
 
 
 def list_tables(spark: SparkSession, warehouse_dir: str) -> DataFrame:
@@ -40,6 +55,11 @@ def list_tables(spark: SparkSession, warehouse_dir: str) -> DataFrame:
                 (
                     name,
                     loc,
+                    # the doc's iceberg_tables carries the metadata
+                    # pointer (iceberg-tables.md:605): the Iceberg
+                    # EXPORT when one exists (what external engines
+                    # read), else the internal catalog file
+                    _metadata_location(loc, md.version),
                     md.current_snapshot_id,
                     len(md.snapshots),
                     snap.timestamp_ms if snap else None,

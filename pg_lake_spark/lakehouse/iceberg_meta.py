@@ -1395,12 +1395,14 @@ def iceberg_files(
                     if m.get("content", 0) == 1 or header.get("content") == "deletes"
                     else 0
                 )
+                spec_id = _unwrap(m.get("partition_spec_id"))
                 rows.append(
                     (
                         m["manifest_path"],
                         int(content),
                         df_["file_path"],
                         str(df_.get("file_format", "PARQUET")).upper(),
+                        int(spec_id) if spec_id is not None else 0,
                         int(_unwrap(df_.get("record_count")) or 0),
                         int(_unwrap(df_.get("file_size_in_bytes")) or 0),
                         seq,
@@ -1410,8 +1412,8 @@ def iceberg_files(
     return spark.createDataFrame(
         rows,
         "manifest_path string, content int, file_path string, "
-        "file_format string, record_count bigint, file_size_in_bytes bigint, "
-        "sequence_number bigint, partition string",
+        "file_format string, spec_id int, record_count bigint, "
+        "file_size_in_bytes bigint, sequence_number bigint, partition string",
     )
 
 

@@ -1050,3 +1050,44 @@ def test_review_findings_regressions(sess, spark, tmp_path):
     sess.execute(f"CREATE TABLE gz_tgt () WITH (definition_from = '{gz}')")
     sess.execute(f"COPY gz_tgt FROM '{gz}' (FORMAT csv)")
     assert sess.lake_table_handle("gz_tgt").to_df().count() == 2
+
+
+def test_iceberg_inspection_statements(sess, spark, tmp_path):
+    """iceberg-tables.md:599-656 inspection surface: iceberg_tables
+    view (auto-registered from the warehouse), lake_iceberg.metadata()
+    and lake_iceberg.files() with literal urls."""
+    sess.warehouse = str(tmp_path / "wh")
+    sess.execute("CREATE TABLE insp_t (id int, grp string) USING iceberg")
+    sess.execute("INSERT INTO insp_t VALUES (1, 'a'), (2, 'b')")
+    from pg_lake_spark.lakehouse.iceberg_meta import export_iceberg
+
+    export_iceberg(sess.lake_table_handle("insp_t"))
+
+    rows = sess.execute(
+        "SELECT table_name, metadata_location FROM iceberg_tables"
+    ).collect()
+    assert [r.table_name for r in rows] == ["insp_t"]
+    meta_loc = rows[0].metadata_location
+    assert meta_loc.endswith(".metadata.json")
+
+    got = sess.execute(
+        f"SELECT lake_iceberg.metadata('{meta_loc}') metadata"
+    ).collect()[0].metadata
+    import json as _json
+
+    assert "format-version" in _json.loads(got)
+
+    # the doc's files() SELECT, columns verbatim, against the export
+    import glob as _glob
+
+    exported = sorted(
+        _glob.glob(str(tmp_path / "wh" / "insp_t" / "metadata" / "*.metadata.json"))
+    )[-1]
+    f = sess.execute(
+        "select manifest_path, content, file_path, file_format, spec_id, "
+        "record_count, file_size_in_bytes "
+        f"from lake_iceberg.files('{exported}')"
+    ).collect()
+    assert len(f) >= 1
+    assert all(r.file_format == "PARQUET" and r.record_count >= 1 for r in f)
+    assert sum(r.record_count for r in f if r.content == 0) == 2

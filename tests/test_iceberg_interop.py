@@ -1014,7 +1014,7 @@ def test_inspection_functions(spark, small_table):
 
     files = iceberg_meta.iceberg_files(spark, meta_path)
     assert files.columns == [
-        "manifest_path", "content", "file_path", "file_format",
+        "manifest_path", "content", "file_path", "file_format", "spec_id",
         "record_count", "file_size_in_bytes", "sequence_number", "partition",
     ]
     rows = files.collect()
