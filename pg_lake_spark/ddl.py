@@ -469,6 +469,15 @@ def _expand_lake_file_list(sess, sql: str) -> str:
         list_tables(sess.spark, sess.warehouse).createOrReplaceTempView(
             "iceberg_tables"
         )
+    if re.search(r"(?i)\blake_engine\.deletion_queue\b", sql) and sess.warehouse:
+        from pg_lake_spark.lakehouse.catalog_view import deletion_queue
+
+        deletion_queue(sess.spark, sess.warehouse).createOrReplaceTempView(
+            "__lake_deletion_queue"
+        )
+        sql = re.sub(
+            r"(?i)\blake_engine\.deletion_queue\b", "__lake_deletion_queue", sql
+        )
     sql = _LAKE_ICE_FILES.sub(repl_ice_files, sql)
     sql = _LAKE_ICE_META.sub(repl_ice_meta, sql)
     return _LAKE_FILE_LIST.sub(repl, sql)

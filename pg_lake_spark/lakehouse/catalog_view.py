@@ -71,6 +71,26 @@ def list_tables(spark: SparkSession, warehouse_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, _SCHEMA)
 
 
+def deletion_queue(spark: SparkSession, warehouse_dir: str) -> DataFrame:
+    """One row per queued-for-deletion file across the warehouse — the
+    ``lake_engine.deletion_queue`` observability view
+    (iceberg-tables.md:857: operators query it to find e.g. the most
+    recent orphaned metadata before retention purges it). Columns:
+    table_name, path, orphaned_at_ms."""
+    rows = []
+    if os.path.isdir(warehouse_dir):
+        for name in sorted(os.listdir(warehouse_dir)):
+            loc = os.path.join(warehouse_dir, name)
+            if not cat.table_exists(loc):
+                continue
+            md = cat.read_current_metadata(loc)
+            for e in md.deletion_queue:
+                rows.append((name, e["path"], int(e.get("enqueued_ms") or 0)))
+    return spark.createDataFrame(
+        rows, "table_name string, path string, orphaned_at_ms bigint"
+    )
+
+
 def list_dropped_tables(spark: SparkSession, warehouse_dir: str) -> DataFrame:
     """One row per DROPPED-but-restorable table under ``warehouse_dir``
     (drop_table.c soft-delete observability): the dropped metadata

@@ -1091,3 +1091,18 @@ def test_iceberg_inspection_statements(sess, spark, tmp_path):
     assert len(f) >= 1
     assert all(r.file_format == "PARQUET" and r.record_count >= 1 for r in f)
     assert sum(r.record_count for r in f if r.content == 0) == 2
+
+
+def test_deletion_queue_view(sess, spark, tmp_path):
+    """iceberg-tables.md:857: operators query lake_engine.deletion_queue
+    for orphaned files (e.g. the most recent metadata before purge)."""
+    sess.warehouse = str(tmp_path / "wh")
+    sess.execute("CREATE TABLE dq_t (id int) USING iceberg")
+    sess.execute("INSERT INTO dq_t VALUES (1), (2), (3)")
+    sess.execute("DELETE FROM dq_t WHERE id = 2")  # CoW rewrite queues the old file
+    rows = sess.execute(
+        "SELECT table_name, path FROM lake_engine.deletion_queue "
+        "WHERE table_name = 'dq_t' ORDER BY path"
+    ).collect()
+    assert rows and all(r.table_name == "dq_t" for r in rows)
+    assert all(r.path.endswith(".parquet") for r in rows)
