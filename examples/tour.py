@@ -79,6 +79,20 @@ def tour(spark, scratch: str) -> dict:
     discovered = cat.scan(spark, "public", "events_lake", catalog_file)
     out["discovered_rows"] = discovered.count()
 
+    # the docs' inspection statements (iceberg-tables.md:599-656)
+    cat_rows = sess.execute(
+        "SELECT table_name, metadata_location FROM iceberg_tables "
+        "WHERE table_name = 'events_lake'"
+    ).collect()
+    out["catalog_tables"] = len(cat_rows)
+    files = sess.execute(
+        "select file_path, record_count from "
+        f"lake_iceberg.files('{cat_rows[0].metadata_location}')"
+    ).collect()
+    out["inspected_rows"] = sum(
+        r.record_count for r in files if r.file_path.endswith(".parquet")
+    )
+
     # schema evolution — the docs' verbatim ALTER statements
     # (iceberg-tables.md:684-710); constant-backfill columns export
     # after a compaction rewrite (see iceberg_meta.export_iceberg)
