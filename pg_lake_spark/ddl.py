@@ -425,6 +425,26 @@ def _shape_match(rx: re.Pattern, sql: str):
 
 _LAKE_ICE_FILES = re.compile(r"lake_iceberg\.files\('([^']+)'\)", re.IGNORECASE)
 _LAKE_ICE_META = re.compile(r"lake_iceberg\.metadata\('([^']+)'\)", re.IGNORECASE)
+_LAKE_DELQ = re.compile(r"(?<![.\w])lake_engine\.deletion_queue\b", re.IGNORECASE)
+
+
+def _sub_unquoted(rx: re.Pattern, repl, sql: str) -> str:
+    """``re.sub`` that skips matches inside quoted regions: a match
+    counts only when its leading function/view NAME survives the quote
+    mask unchanged (inside a literal those chars are all 'x'), so
+    ``INSERT ... VALUES ('see lake_engine.deletion_queue')`` stores its
+    literal untouched and fires no driver-side side effects."""
+    masked = _mask_quoted(sql)
+    out, last = [], 0
+    for m in rx.finditer(sql):
+        probe_end = min(m.start() + 8, m.end())  # 8 name chars suffice
+        if masked[m.start() : probe_end] != sql[m.start() : probe_end]:
+            continue  # inside a quoted region
+        out.append(sql[last : m.start()])
+        out.append(repl(m))
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
 
 
 def _expand_lake_file_list(sess, sql: str) -> str:
@@ -463,24 +483,34 @@ def _expand_lake_file_list(sess, sql: str) -> str:
         # Spark string literals process backslash escapes — escape both
         return "'" + doc.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
-    if re.search(r"(?i)\biceberg_tables\b", sql) and sess.warehouse:
+    masked = _mask_quoted(sql)
+    auto = getattr(sess, "_auto_views", None)
+    if auto is None:
+        auto = sess._auto_views = set()
+    if (
+        re.search(r"(?i)(?<![.\w])iceberg_tables\b", masked)
+        and sess.warehouse
+        # never clobber a user registration of the same name — only
+        # (re)register when the view is ours or absent
+        and ("iceberg_tables" in auto
+             or not sess.spark.catalog.tableExists("iceberg_tables"))
+    ):
         from pg_lake_spark.lakehouse.catalog_view import list_tables
 
         list_tables(sess.spark, sess.warehouse).createOrReplaceTempView(
             "iceberg_tables"
         )
-    if re.search(r"(?i)\blake_engine\.deletion_queue\b", sql) and sess.warehouse:
+        auto.add("iceberg_tables")
+    if re.search(r"(?i)(?<![.\w])lake_engine\.deletion_queue\b", masked) and sess.warehouse:
         from pg_lake_spark.lakehouse.catalog_view import deletion_queue
 
         deletion_queue(sess.spark, sess.warehouse).createOrReplaceTempView(
             "__lake_deletion_queue"
         )
-        sql = re.sub(
-            r"(?i)\blake_engine\.deletion_queue\b", "__lake_deletion_queue", sql
-        )
-    sql = _LAKE_ICE_FILES.sub(repl_ice_files, sql)
-    sql = _LAKE_ICE_META.sub(repl_ice_meta, sql)
-    return _LAKE_FILE_LIST.sub(repl, sql)
+        sql = _sub_unquoted(_LAKE_DELQ, lambda m: "__lake_deletion_queue", sql)
+    sql = _sub_unquoted(_LAKE_ICE_FILES, repl_ice_files, sql)
+    sql = _sub_unquoted(_LAKE_ICE_META, repl_ice_meta, sql)
+    return _sub_unquoted(_LAKE_FILE_LIST, repl, sql)
 
 
 def _normalize_pg_types(cols: str, *, numeric_as_double: bool = True) -> str:

@@ -76,14 +76,30 @@ def deletion_queue(spark: SparkSession, warehouse_dir: str) -> DataFrame:
     ``lake_engine.deletion_queue`` observability view
     (iceberg-tables.md:857: operators query it to find e.g. the most
     recent orphaned metadata before retention purges it). Columns:
-    table_name, path, orphaned_at_ms."""
+    table_name, path, orphaned_at_ms. DROPPED tables are included —
+    DROP enqueues every retained file and renames the version hint, so
+    they are the largest producers of queue entries (the doc's workflow
+    is precisely recovering a dropped table's metadata before purge)."""
+    from pg_lake_spark.lakehouse.maintenance import DROPPED_HINT
+
     rows = []
     if os.path.isdir(warehouse_dir):
         for name in sorted(os.listdir(warehouse_dir)):
             loc = os.path.join(warehouse_dir, name)
-            if not cat.table_exists(loc):
-                continue
-            md = cat.read_current_metadata(loc)
+            if cat.table_exists(loc):
+                md = cat.read_current_metadata(loc)
+            else:
+                dh = os.path.join(cat._meta_dir(loc), DROPPED_HINT)
+                if not os.path.exists(dh):
+                    continue
+                with open(dh) as fh:
+                    dropped_version = int(fh.read().strip())
+                with open(
+                    os.path.join(
+                        cat._meta_dir(loc), f"v{dropped_version}.metadata.json"
+                    )
+                ) as fh:
+                    md = cat.TableMetadata.from_json(json.load(fh))
             for e in md.deletion_queue:
                 rows.append((name, e["path"], int(e.get("enqueued_ms") or 0)))
     return spark.createDataFrame(

@@ -1359,7 +1359,8 @@ def iceberg_files(
     parity with ``lake_iceberg.files(metadata_url)``
     (docs/iceberg-tables.md:639-656): manifest_path, content (0=data,
     1=position deletes, 2=equality deletes), file_path, file_format,
-    record_count, file_size_in_bytes, sequence_number, partition (JSON).
+    spec_id, record_count, file_size_in_bytes, sequence_number,
+    partition (JSON).
 
     Metadata-only: walks the manifest list + manifests; no data files
     are opened, so this is O(#files) driver work like the reference's

@@ -223,20 +223,30 @@ def _gunzipped(path: str) -> str:
     """Transparently decompress a ``.gz``-wrapped single file for the
     driver-side binary parsers (docs list ``.gpkg.gz`` with inference;
     SQLite can't stream gzip). Spark-read text formats don't need this
-    — Hadoop codecs handle .gz natively."""
+    — Hadoop codecs handle .gz natively. Cached on (path, mtime, size)
+    like :func:`_extract_zip_members`, so repeated reads of the same
+    archive reuse one decompressed copy instead of leaking temp files."""
     if not path.endswith(".gz"):
         return path
     import gzip as _gzip
+    import hashlib as _hashlib
+    import shutil as _shutil
     import tempfile as _tempfile
 
-    suffix = "_" + os.path.basename(path)[: -len(".gz")]
-    with _gzip.open(path, "rb") as src, _tempfile.NamedTemporaryFile(
-        suffix=suffix, delete=False
-    ) as dst:
-        import shutil as _shutil
-
-        _shutil.copyfileobj(src, dst)
-        return dst.name
+    st = os.stat(path)
+    key = _hashlib.md5(
+        f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()
+    out = os.path.join(
+        _tempfile.gettempdir(),
+        f"pg_lake_gz_{key}_{os.path.basename(path)[: -len('.gz')]}",
+    )
+    if not os.path.exists(out):
+        tmp = out + ".part"
+        with _gzip.open(path, "rb") as src, open(tmp, "wb") as dst:
+            _shutil.copyfileobj(src, dst)
+        os.replace(tmp, out)
+    return out
 
 
 def _sniff_gdal_format(path: str) -> str:
@@ -341,7 +351,7 @@ def read_lake(
     _SINGLE_FILE_FMTS = {
         "shp", "shapefile", "gpkg", "geopackage", "kml", "kmz", "gml",
         "dxf", "mif", "mit", "map", "tab", "wasp", "xodr", "fgb", "flatgeobuf",
-        "geojson", "xlsx", "xls",
+        "geojson", "geojsons", "geojsonl", "xlsx", "xls",
     }
     if fmt in _SINGLE_FILE_FMTS and any(c in path for c in "*?["):
         matches = sorted(_glob.glob(path))
@@ -380,6 +390,7 @@ def read_lake(
     elif fmt in ("shp", "shapefile"):
         from pg_lake_spark.sources.shapefile import read_shapefile
 
+        path = _gunzipped(path)
         if os.path.isdir(path):  # zip extraction may yield a directory
             path = next(
                 os.path.join(path, n)
@@ -394,36 +405,36 @@ def read_lake(
     elif fmt in ("kml", "kmz"):
         from pg_lake_spark.sources.kml import read_kml
 
-        df = read_kml(spark, path)
+        df = read_kml(spark, _gunzipped(path))
     elif fmt == "gml":
         from pg_lake_spark.sources.gml import read_gml
 
-        df = read_gml(spark, path)
+        df = read_gml(spark, _gunzipped(path))
     elif fmt == "dxf":
         from pg_lake_spark.sources.dxf import read_dxf
 
-        df = read_dxf(spark, path)
+        df = read_dxf(spark, _gunzipped(path))
     elif fmt in ("mif", "mit"):
         from pg_lake_spark.sources.mif import read_mif
 
-        df = read_mif(spark, path)
+        df = read_mif(spark, _gunzipped(path))
     elif fmt == "tab":
         from pg_lake_spark.sources.mitab import read_tab
 
-        df = read_tab(spark, path)
+        df = read_tab(spark, _gunzipped(path))
     elif fmt in ("map", "wasp"):
         from pg_lake_spark.sources.wasp import read_wasp_map
 
-        df = read_wasp_map(spark, path)
+        df = read_wasp_map(spark, _gunzipped(path))
     elif fmt == "xodr":
         from pg_lake_spark.sources.xodr import read_xodr
 
-        df = read_xodr(spark, path)
+        df = read_xodr(spark, _gunzipped(path))
     elif fmt in ("fgb", "flatgeobuf"):
         from pg_lake_spark.sources.flatgeobuf import read_flatgeobuf
 
-        df = read_flatgeobuf(spark, path)
-    elif fmt == "geojson":
+        df = read_flatgeobuf(spark, _gunzipped(path))
+    elif fmt in ("geojson", "geojsons", "geojsonl"):
         df = read_geojson(spark, path)
     elif fmt == "xlsx":
         from pg_lake_spark.sources.xlsx import read_xlsx
@@ -566,7 +577,12 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
         if not inner:
             raise FileNotFoundError(f"no files under {first}")
         first = os.path.join(first, inner[0])
-    with open(first, "rb") as fh:
+    # layout sniff must see TEXT: a .gz member decompresses for the
+    # peek (Spark's text reads below handle the codec themselves)
+    import gzip as _gzip
+
+    _opener = _gzip.open if first.endswith(".gz") else open
+    with _opener(first, "rb") as fh:
         head = fh.read(_SNIFF_BYTES).decode("utf-8", errors="replace")
     # NDJSON iff the first line is a COMPLETE JSON document; a pretty-
     # printed FeatureCollection (type on a later line) must take the

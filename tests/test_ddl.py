@@ -1106,3 +1106,41 @@ def test_deletion_queue_view(sess, spark, tmp_path):
     ).collect()
     assert rows and all(r.table_name == "dq_t" for r in rows)
     assert all(r.path.endswith(".parquet") for r in rows)
+
+
+def test_view_rewrites_do_not_touch_literals(sess, spark, tmp_path):
+    """Second-review fixes: the inspection-surface rewrites skip
+    matches inside string literals, and iceberg_tables never clobbers
+    a user registration."""
+    sess.warehouse = str(tmp_path / "wh")
+    sess.execute("CREATE TABLE lit_t (id int, msg string) USING iceberg")
+    sess.execute(
+        "INSERT INTO lit_t VALUES (1, 'see lake_engine.deletion_queue for info')"
+    )
+    got = spark.table("lit_t").collect()[0].msg
+    assert got == "see lake_engine.deletion_queue for info"
+    # a literal mentioning lake_iceberg.files('x') is data — no eager
+    # metadata read, no FileNotFoundError
+    sess.execute(
+        "INSERT INTO lit_t VALUES (2, \"try lake_iceberg.files('/nope') next\")"
+    )
+    assert spark.table("lit_t").count() == 2
+
+    # user-owned iceberg_tables view survives auto-registration checks
+    spark.createDataFrame([(1,)], "x int").createOrReplaceTempView("iceberg_tables")
+    rows = sess.execute("SELECT * FROM iceberg_tables").collect()
+    assert rows == [type(rows[0])(x=1)] or rows[0].x == 1
+    spark.catalog.dropTempView("iceberg_tables")
+
+
+def test_deletion_queue_includes_dropped_tables(sess, spark, tmp_path):
+    """DROP enqueues every retained file; the queue view must show them
+    (the doc's recovery workflow targets exactly dropped tables)."""
+    sess.warehouse = str(tmp_path / "wh")
+    sess.execute("CREATE TABLE dropq_t (id int) USING iceberg")
+    sess.execute("INSERT INTO dropq_t VALUES (1), (2)")
+    sess.execute("DROP TABLE dropq_t")
+    rows = sess.execute(
+        "SELECT path FROM lake_engine.deletion_queue WHERE table_name = 'dropq_t'"
+    ).collect()
+    assert rows and any(r.path.endswith(".parquet") for r in rows)
