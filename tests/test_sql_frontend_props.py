@@ -181,3 +181,28 @@ def test_named_dollar_tags_with_digits_shield_everywhere():
     sql = "UPDATE t SET msg = $m$go RETURNING home$m$ WHERE id = 1"
     kept, ret = _extract_returning(sql)
     assert kept == sql and ret is None
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    lits=st.lists(_KEYWORDY, min_size=1, max_size=4),
+    tag=st.sampled_from(["'", "$$", "$x1$"]),
+)
+def test_split_preserves_statements_with_hostile_literals(lits, tag):
+    """A script whose literals contain ';' and '--' must split into
+    exactly the statements it was built from, under every quote form,
+    and survive comment stripping untouched."""
+    from pg_lake_spark.ddl import split_sql_statements, strip_sql_comments
+
+    stmts = []
+    for i, lit in enumerate(lits):
+        body = lit + "; -- inside"
+        q = (
+            "'" + body.replace("'", "''") + "'"
+            if tag == "'"
+            else tag + body + tag
+        )
+        stmts.append(f"SELECT {i}, {q} AS c")
+    joined = "; ".join(stmts) + ";"
+    assert split_sql_statements(joined) == stmts
+    assert strip_sql_comments(joined) == joined
