@@ -1012,6 +1012,8 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
         path = opts.pop("path")
         fmt = _fmt_from_options(opts, path)
         kwargs = {k: v for k, v in opts.items() if k in _READ_OPTION_KEYS}
+        if "filename" in kwargs:  # same bool coercion as CREATE
+            kwargs["filename"] = kwargs["filename"].lower() == "true"
         return sess.register_lake_table(name, path, fmt=fmt, **kwargs)
 
     m = _shape_match(_COPY, sql)

@@ -193,8 +193,12 @@ def fetch_remote(path: str, cache=None) -> str:
         except Exception:  # noqa: BLE001
             pass
     if fetch:
-        tmp = local + ".part"
-        with urllib.request.urlopen(path) as resp, open(tmp, "wb") as out:  # noqa: S310
+        # unique temp per writer: a shared fixed '.part' name lets two
+        # concurrent first-readers interleave writes and cache garbage
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(local), prefix=os.path.basename(local) + "."
+        )
+        with urllib.request.urlopen(path) as resp, os.fdopen(fd, "wb") as out:  # noqa: S310
             while True:
                 chunk = resp.read(1 << 20)
                 if not chunk:
@@ -242,8 +246,12 @@ def _gunzipped(path: str) -> str:
         f"pg_lake_gz_{key}_{os.path.basename(path)[: -len('.gz')]}",
     )
     if not os.path.exists(out):
-        tmp = out + ".part"
-        with _gzip.open(path, "rb") as src, open(tmp, "wb") as dst:
+        # unique temp per writer (concurrent first-readers must not
+        # interleave into one shared '.part'); os.replace is atomic
+        fd, tmp = _tempfile.mkstemp(
+            dir=os.path.dirname(out), prefix=os.path.basename(out) + "."
+        )
+        with _gzip.open(path, "rb") as src, os.fdopen(fd, "wb") as dst:
             _shutil.copyfileobj(src, dst)
         os.replace(tmp, out)
     return out
@@ -360,7 +368,8 @@ def read_lake(
         parts = []
         for p in matches:
             part = read_lake(
-                spark, p, fmt=fmt, schema=schema, cache=cache, **dict(options)
+                spark, p, fmt=fmt, schema=schema, zip_path=zip_path,
+                cache=cache, **dict(options)
             )
             if filename:
                 part = part.withColumn("filename", F.lit(p))
@@ -376,7 +385,9 @@ def read_lake(
     if fmt == "parquet":
         df = reader.options(**options).parquet(path)
     elif fmt == "csv":
-        local = not path.startswith(("s3://", "s3a://", "hdfs://"))
+        # allowlist: only sniff paths the DRIVER can open() — any
+        # scheme'd url (s3/gs/abfs/wasbs/...) except file:// is remote
+        local = "://" not in path or path.startswith("file:")
         sniffed: dict = sniff_csv_dialect(path) if local else {"header": True}
         merged = {**sniffed, **options}
         merged.setdefault("inferSchema", schema is None)
@@ -441,7 +452,7 @@ def read_lake(
 
         df = read_xlsx(
             spark,
-            path,
+            _gunzipped(path),
             sheet=options.pop("sheet", 1),
             header=str(options.pop("header", "true")).lower() != "false",
         )
@@ -450,7 +461,7 @@ def read_lake(
 
         df = read_xls(
             spark,
-            path,
+            _gunzipped(path),
             sheet=options.pop("sheet", 1),
             header=str(options.pop("header", "true")).lower() != "false",
         )
@@ -472,7 +483,17 @@ def read_lake(
         raise ValueError(f"unsupported lake format: {fmt}")
 
     if filename:
-        df = df.withColumn("filename", F.input_file_name())
+        # frames built via createDataFrame (the driver-parsed vector/
+        # office formats) have no scan below them — input_file_name()
+        # is '' for every row, so stamp the resolved path instead
+        parsed_frame = fmt in {
+            "shp", "shapefile", "gpkg", "geopackage", "kml", "kmz", "gml",
+            "dxf", "mif", "mit", "tab", "map", "wasp", "xodr", "fgb",
+            "flatgeobuf", "xlsx", "xls",
+        }
+        df = df.withColumn(
+            "filename", F.lit(path) if parsed_frame else F.input_file_name()
+        )
     return df
 
 
@@ -569,7 +590,13 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
 
     from pg_lake_spark.functions import spatial as S
 
-    first = sorted(_glob.glob(path))[0] if any(c in path for c in "*?[") else path
+    if any(c in path for c in "*?["):
+        matches = sorted(_glob.glob(path))
+        if not matches:
+            raise FileNotFoundError(path)
+        first = matches[0]
+    else:
+        first = path
     if os.path.isdir(first):
         inner = sorted(
             p for p in os.listdir(first) if not p.startswith((".", "_"))
@@ -584,15 +611,28 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
     _opener = _gzip.open if first.endswith(".gz") else open
     with _opener(first, "rb") as fh:
         head = fh.read(_SNIFF_BYTES).decode("utf-8", errors="replace")
-    # NDJSON iff the first line is a COMPLETE JSON document; a pretty-
+        # large single features (big polygon rings) can exceed the
+        # sniff window: keep reading until the FIRST LINE is complete,
+        # or the decision below would misroute a valid NDJSON file
+        while "\n" not in head:
+            more = fh.read(_SNIFF_BYTES)
+            if not more:
+                break
+            head += more.decode("utf-8", errors="replace")
+    # NDJSON iff the first line is a COMPLETE JSON Feature; a pretty-
     # printed FeatureCollection (type on a later line) must take the
     # wholetext path or per-line parsing would silently yield nulls.
+    # Decide on the PARSED document's type, not a substring — a feature
+    # whose property value mentions "FeatureCollection" is still NDJSON.
     first_line = head.split("\n", 1)[0].strip()
     try:
         import json as _json
 
-        _json.loads(first_line)
-        is_collection = '"FeatureCollection"' in first_line
+        parsed_first = _json.loads(first_line)
+        is_collection = (
+            isinstance(parsed_first, dict)
+            and parsed_first.get("type") == "FeatureCollection"
+        ) or isinstance(parsed_first, list)
     except ValueError:
         is_collection = True
 
@@ -610,11 +650,12 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
                 geoms, props = [], []
                 for doc in pdf["value"]:
                     parsed = _json.loads(doc)
-                    feats = (
-                        parsed["features"]
-                        if parsed.get("type") == "FeatureCollection"
-                        else [parsed]
-                    )
+                    if isinstance(parsed, list):
+                        feats = parsed  # bare top-level array of features
+                    elif parsed.get("type") == "FeatureCollection":
+                        feats = parsed["features"]
+                    else:
+                        feats = [parsed]
                     for f in feats:
                         geoms.append(_json.dumps(f["geometry"]))
                         props.append(_json.dumps(f.get("properties") or {}))

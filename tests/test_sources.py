@@ -491,3 +491,47 @@ def test_gdal_inference_kml(spark, tmp_path):
         "</Placemark></Document></kml>"
     )
     assert read_lake(spark, p, fmt="gdal").count() == 1
+
+
+def test_filename_column_on_parsed_frames(spark, tmp_path):
+    """Third-review fix: driver-parsed formats (createDataFrame frames)
+    have no scan for input_file_name() — filename=True must stamp the
+    resolved path, not an empty string."""
+    from pg_lake_spark.sources.readers import read_lake
+
+    (tmp_path / "m.mif").write_text(
+        "Version 300\nDelimiter \",\"\nColumns 1\n  name Char(10)\nData\n\n"
+        "POINT 1 2\n"
+    )
+    (tmp_path / "m.mid").write_text('"a"\n')
+    df = read_lake(spark, str(tmp_path / "m.mif"), fmt="mif", filename=True)
+    vals = [r.filename for r in df.select("filename").collect()]
+    assert vals and all(v.endswith("m.mif") for v in vals)
+
+
+def test_geojson_ndjson_mentioning_featurecollection(spark, tmp_path):
+    """Third-review fix: the layout decision uses the PARSED type — a
+    Feature whose property value mentions 'FeatureCollection' is still
+    NDJSON; a bare top-level array parses as features."""
+    from pg_lake_spark.sources.readers import read_geojson
+
+    nd = tmp_path / "tricky.geojsonl"
+    nd.write_text(
+        '{"type": "Feature", "geometry": {"type": "Point", "coordinates": [1, 2]}, '
+        '"properties": {"note": "from a FeatureCollection export"}}\n'
+        '{"type": "Feature", "geometry": {"type": "Point", "coordinates": [3, 4]}, '
+        '"properties": {}}\n'
+    )
+    assert read_geojson(spark, str(nd)).count() == 2
+
+    arr = tmp_path / "arr.json"
+    arr.write_text(
+        '[{"type": "Feature", "geometry": {"type": "Point", "coordinates": [5, 6]}, '
+        '"properties": {}}]'
+    )
+    assert read_geojson(spark, str(arr)).count() == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_geojson(spark, str(tmp_path / "missing" / "*.geojson"))
