@@ -348,13 +348,31 @@ def _apply_guc(sess, key: str, val: str | None) -> None:
     key = key.lower()
     if key not in _GUC_DEFAULTS:
         raise ValueError(f'unrecognized configuration parameter "{key}"')
-    if val is None:
+    resetting = val is None
+    if resetting:
         sess.gucs.pop(key, None)
         val = _GUC_DEFAULTS[key]
     else:
         sess.gucs[key] = val
     if key == "pg_lake_iceberg.default_location_prefix":
-        sess.warehouse = val or None
+        # RESET must restore whatever the Python API (sess.warehouse=…)
+        # configured, not force None — the GUC never owned that state.
+        # _pre_guc_warehouse holds the shadowed API value;
+        # _guc_warehouse_val is what the GUC itself last wrote, so an
+        # API assignment BETWEEN two SETs is detected and re-captured.
+        cur = getattr(sess, "warehouse", None)
+        guc_owned = cur == sess.__dict__.get("_guc_warehouse_val", object())
+        if resetting:
+            if guc_owned:
+                sess.warehouse = sess.__dict__.get("_pre_guc_warehouse")
+            # else: the API overrode it after SET — leave it in place
+            sess.__dict__.pop("_pre_guc_warehouse", None)
+            sess.__dict__.pop("_guc_warehouse_val", None)
+        else:
+            if not guc_owned:
+                sess._pre_guc_warehouse = cur
+            sess.warehouse = val or None
+            sess._guc_warehouse_val = sess.warehouse
     elif key == "pg_lake_table.max_open_files_for_partitioned_write":
         # bounded concurrent writers; past the bound Spark sorts by the
         # partition expression instead of holding files open
@@ -612,7 +630,11 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
         key = m.group("key").lower()
         if key not in _GUC_DEFAULTS:
             raise ValueError(f'unrecognized configuration parameter "{key}"')
-        return sess.spark.createDataFrame([(_guc(sess, key),)], "setting string")
+        # PG names SHOW's result column after the parameter; use the
+        # final path segment (Spark column names with dots need
+        # backticks everywhere downstream).
+        seg = key.rsplit(".", 1)[-1]
+        return sess.spark.createDataFrame([(_guc(sess, key),)], f"{seg} string")
 
     m = _shape_match(_CREATE_FOREIGN, sql)
     if m:

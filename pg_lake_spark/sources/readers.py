@@ -254,6 +254,20 @@ def _gunzipped(path: str) -> str:
         with _gzip.open(path, "rb") as src, os.fdopen(fd, "wb") as dst:
             _shutil.copyfileobj(src, dst)
         os.replace(tmp, out)
+        # the key embeds (mtime, size): every rewrite of the source
+        # mints a new key, so prune superseded copies of the SAME
+        # basename or frequently-rewritten .gz inputs grow the temp
+        # dir without bound. POSIX unlink leaves open fds valid, and
+        # any old-path holder predates the source update anyway.
+        stem = os.path.basename(path)[: -len(".gz")]
+        for stale in _glob.glob(
+            os.path.join(_tempfile.gettempdir(), f"pg_lake_gz_*_{stem}")
+        ):
+            if stale != out:
+                try:
+                    os.unlink(stale)
+                except OSError:
+                    pass
     return out
 
 
@@ -610,15 +624,21 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
 
     _opener = _gzip.open if first.endswith(".gz") else open
     with _opener(first, "rb") as fh:
-        head = fh.read(_SNIFF_BYTES).decode("utf-8", errors="replace")
+        # accumulate RAW bytes and decode once: per-chunk decoding
+        # turns a multibyte UTF-8 char split across the chunk boundary
+        # into U+FFFD, which can fail the first-line JSON parse and
+        # misroute a valid NDJSON file. Scanning bytes for b"\n" is
+        # safe — 0x0A never occurs inside a UTF-8 multibyte sequence.
         # large single features (big polygon rings) can exceed the
         # sniff window: keep reading until the FIRST LINE is complete,
-        # or the decision below would misroute a valid NDJSON file
-        while "\n" not in head:
+        # or the decision below would misroute a valid NDJSON file.
+        buf = bytearray(fh.read(_SNIFF_BYTES))
+        while b"\n" not in buf:
             more = fh.read(_SNIFF_BYTES)
             if not more:
                 break
-            head += more.decode("utf-8", errors="replace")
+            buf += more
+        head = bytes(buf).decode("utf-8", errors="replace")
     # NDJSON iff the first line is a COMPLETE JSON Feature; a pretty-
     # printed FeatureCollection (type on a later line) must take the
     # wholetext path or per-line parsing would silently yield nulls.

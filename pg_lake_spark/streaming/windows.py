@@ -116,6 +116,15 @@ def run_available_now(
     file-source partitioning is independent of the shuffle setting,
     and map-side partial aggregation bounds each task's shuffle output
     by the key count.
+
+    NOT thread-safe while ``state_partitions`` is set: the override
+    briefly mutates the session-global ``spark.sql.shuffle.partitions``
+    (a per-query conf does not exist for streaming state partitioning —
+    the width is pinned into the checkpoint at first start), so any
+    query PLANNED concurrently in the same session during the drain
+    silently picks up the reduced width. A cloned session can't scope
+    it either: ``streaming_df`` stays bound to the session that built
+    it. Drive such streams from a single thread, or pass ``None``.
     """
     name = f"mem_{uuid.uuid4().hex[:12]}"
     prev = None

@@ -879,10 +879,18 @@ def test_set_show_reset_gucs(sess, spark, tmp_path):
     sess.execute("SET pg_lake_table.max_open_files_for_partitioned_write = 250;")
     assert spark.conf.get("spark.sql.maxConcurrentOutputFileWriters") == "250"
     got = sess.execute("SHOW pg_lake_table.max_open_files_for_partitioned_write")
-    assert got.collect()[0].setting == "250"
+    # PG's SHOW names the column after the parameter (final segment here)
+    assert got.collect()[0].max_open_files_for_partitioned_write == "250"
     sess.execute("RESET pg_lake_table.max_open_files_for_partitioned_write")
     got = sess.execute("SHOW pg_lake_table.max_open_files_for_partitioned_write")
-    assert got.collect()[0].setting == "5000"
+    assert got.collect()[0].max_open_files_for_partitioned_write == "5000"
+    # RESET of the location prefix restores the Python-API value it
+    # shadowed, not None (the GUC never owned that state)
+    sess.warehouse = str(tmp_path / "api_wh")
+    sess.execute(f"SET pg_lake_iceberg.default_location_prefix = '{tmp_path/'g'}'")
+    assert sess.warehouse == str(tmp_path / "g")
+    sess.execute("SET pg_lake_iceberg.default_location_prefix TO DEFAULT")
+    assert sess.warehouse == str(tmp_path / "api_wh")
     # pushdown toggle accepted verbatim (iceberg-tables.md:360)
     sess.execute("SET pg_lake_table.enable_partitioned_write_pushdown = on;")
     import pytest as _pytest
@@ -1034,11 +1042,13 @@ def test_review_findings_regressions(sess, spark, tmp_path):
     sess.execute("ALTER TABLE rf_t ADD COLUMN c numeric(50,10)")
     assert dict(spark.table("rf_t").dtypes)["c"] == "double"
 
-    # quoted 'DEFAULT' stores the string; bare DEFAULT resets
+    # quoted 'DEFAULT' stores the string; bare DEFAULT resets — and
+    # (ADVICE r12) the reset restores the Python-API warehouse the GUC
+    # shadowed, not None
     sess.execute("SET pg_lake_iceberg.default_location_prefix TO 'DEFAULT'")
     assert sess.warehouse == "DEFAULT"
     sess.execute("SET pg_lake_iceberg.default_location_prefix TO DEFAULT")
-    assert sess.warehouse is None
+    assert sess.warehouse == str(tmp_path / "wh")
 
     # COPY FROM a .gz file reads; no output-compression refusal applies
     import gzip as _gzip

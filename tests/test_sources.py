@@ -535,3 +535,57 @@ def test_geojson_ndjson_mentioning_featurecollection(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         read_geojson(spark, str(tmp_path / "missing" / "*.geojson"))
+
+
+def test_geojson_sniff_multibyte_split_across_chunks(spark, tmp_path):
+    """ADVICE r12: the sniff must decode the accumulated bytes ONCE —
+    per-chunk decoding turns a multibyte char that straddles the 64 KiB
+    chunk boundary into U+FFFD, fails the first-line JSON parse, and
+    misroutes a valid NDJSON file to the wholetext path."""
+    from pg_lake_spark.sources.readers import read_geojson
+
+    # pad so a 2-byte UTF-8 char ('é' = 0xC3 0xA9) straddles byte 65536
+    prefix = (
+        '{"type": "Feature", "geometry": {"type": "Point", '
+        '"coordinates": [1, 2]}, "properties": {"pad": "'
+    )
+    pad = "x" * (64 * 1024 - len(prefix.encode()) - 1)
+    line1 = prefix + pad + 'é close"}}'
+    assert line1.encode()[64 * 1024 - 1 : 64 * 1024 + 1] == "é".encode()
+    nd = tmp_path / "split.geojsonl"
+    nd.write_text(
+        line1 + "\n"
+        '{"type": "Feature", "geometry": {"type": "Point", '
+        '"coordinates": [3, 4]}, "properties": {"pad": "y"}}\n'
+    )
+    df = read_geojson(spark, str(nd))
+    assert df.count() == 2  # NDJSON routing, one row per line
+
+
+def test_gunzipped_prunes_superseded_copies(tmp_path):
+    """ADVICE r12: rewriting a .gz source mints a new cache key — the
+    superseded decompressed copy for the same basename must be pruned,
+    not accumulate forever."""
+    import glob
+    import gzip
+    import os
+    import tempfile
+
+    from pg_lake_spark.sources.readers import _gunzipped
+
+    src = tmp_path / "grow.bin.gz"
+    pat = os.path.join(tempfile.gettempdir(), "pg_lake_gz_*_grow.bin")
+    for stale in glob.glob(pat):
+        os.unlink(stale)
+    with gzip.open(src, "wb") as fh:
+        fh.write(b"one")
+    first = _gunzipped(str(src))
+    assert open(first, "rb").read() == b"one"
+    os.utime(src, (1, 1))  # force a different mtime component in the key
+    with gzip.open(src, "wb") as fh:
+        fh.write(b"two-longer")
+    second = _gunzipped(str(src))
+    assert open(second, "rb").read() == b"two-longer"
+    assert second != first
+    left = glob.glob(pat)
+    assert left == [second], f"stale copies not pruned: {left}"
