@@ -24,20 +24,93 @@ DEFAULT_DELETION_RETENTION_S = 10 * 24 * 3600  # 10-day deletion queue
 DEFAULT_COMPACT_MIN_INPUT_FILES = 4  # vacuum_compact_min_input_files
 
 
+def _rewrite_commit(
+    table: LakeTable,
+    *,
+    operation: str,
+    added: list[DataFile],
+    input_files: list[DataFile],
+    summary: dict,
+) -> bool:
+    """Commit a rewrite that replaces ``input_files`` with ``added``,
+    with the two rails that make rewrites safe against concurrent user
+    DML (the Autovacuum contract — vacuum.c's rewrites run under the
+    table lock for their whole span; ours stage outside it):
+
+    - every output inherits its inputs' OLDEST ``added_snapshot_id``
+      (the materialize_deletes pattern, table.py), so a MoR delete
+      predicate committed DURING the rewrite window — whose sequence is
+      above every input's — still applies to the rewritten rows instead
+      of resurrecting them;
+    - a precondition re-checks, inside the commit lock against the
+      freshest metadata, that every input is still live: a CoW
+      update/delete that replaced an input mid-window aborts the commit
+      (staged outputs unlinked) rather than re-adding the input's stale
+      contents next to the newer file. The next vacuum cadence retries
+      on fresh state.
+
+    Returns True if committed, False if aborted.
+    """
+    removed = {f.path for f in input_files}
+    oldest = min((f.added_snapshot_id or 0) for f in input_files)
+    for nf in added:
+        if nf.added_snapshot_id is None:
+            nf.added_snapshot_id = oldest
+
+    def _inputs_still_live(md) -> bool:
+        cur = md.current_snapshot()
+        if cur is None:
+            return False
+        live = {f.path for f in cat.read_snapshot_files(table.location, md, cur)}
+        return removed <= live
+
+    snap = table._commit(
+        operation=operation,
+        added=added,
+        removed_paths=removed,
+        summary=summary,
+        precondition=_inputs_still_live,
+    )
+    if snap is None:
+        # remove whole staging prefixes (not just the .parquet files —
+        # _SUCCESS markers and partition dirs would linger), then drop
+        # the in-progress entries they were registered under
+        import json as _json
+        import shutil as _shutil
+
+        for entry in getattr(table, "_pending_in_progress", []):
+            try:
+                with open(entry) as fh:
+                    _shutil.rmtree(_json.load(fh)["prefix"], ignore_errors=True)
+            except (OSError, ValueError, KeyError):
+                pass
+        table._clear_in_progress()
+        return False
+    return True
+
+
 def compact_data_files(
     table: LakeTable,
     target_file_size_mb: int = DEFAULT_TARGET_FILE_SIZE_MB,
     min_input_files: int = DEFAULT_COMPACT_MIN_INPUT_FILES,
+    *,
+    materialize: bool = True,
 ) -> dict:
     """Merge small files (per partition tuple) into ~target-size files.
 
     Only groups with ≥ ``min_input_files`` small files are rewritten;
     large files are left alone (rewrite_data_files semantics).
+    ``materialize=False`` skips the MoR materialization step when the
+    caller (``vacuum``) has just performed it itself.
     """
+    table.refresh()
     # Compaction re-stamps rows with a new file sequence; pending MoR
     # delete predicates scoped to older sequences would stop applying to
     # them (resurrecting deleted rows) — make deletes physical first.
-    table.materialize_deletes()
+    # (Outputs ALSO pin their inputs' oldest sequence via
+    # _rewrite_commit, covering predicates that land mid-compaction.)
+    if materialize:
+        table.materialize_deletes()
     snap = table.metadata.current_snapshot()
     if snap is None:
         return {"compacted_groups": 0, "removed_files": 0, "added_files": 0}
@@ -53,25 +126,35 @@ def compact_data_files(
     if not to_rewrite:
         return {"compacted_groups": 0, "removed_files": 0, "added_files": 0}
 
-    removed: set[str] = set()
+    inputs: list[DataFile] = []
     added: list[DataFile] = []
     for group in to_rewrite:
-        paths = [f.path for f in group]
         total = sum(f.size_bytes for f in group)
         n_out = max(1, total // threshold)
         df = table._read_files(group)  # era-aware: renames/backfills resolve
-        added.extend(table._write_data_files(df.coalesce(int(n_out))))
-        removed.update(paths)
+        oldest = min((f.added_snapshot_id or 0) for f in group)
+        for nf in table._write_data_files(df.coalesce(int(n_out))):
+            nf.added_snapshot_id = oldest  # per-group sequence pinning
+            added.append(nf)
+        inputs.extend(group)
 
-    table._commit(
+    ok = _rewrite_commit(
+        table,
         operation="compact",
         added=added,
-        removed_paths=removed,
-        summary={"compacted_groups": len(to_rewrite), "removed_files": len(removed)},
+        input_files=inputs,
+        summary={"compacted_groups": len(to_rewrite), "removed_files": len(inputs)},
     )
+    if not ok:
+        return {
+            "compacted_groups": 0,
+            "removed_files": 0,
+            "added_files": 0,
+            "aborted": True,
+        }
     return {
         "compacted_groups": len(to_rewrite),
-        "removed_files": len(removed),
+        "removed_files": len(inputs),
         "added_files": len(added),
     }
 
@@ -103,6 +186,19 @@ def expire_in_metadata(location: str, md, max_age_s: int) -> dict:
             if f.path not in live_paths:
                 md.deletion_queue.append({"path": f.path, "enqueued_ms": now_ms})
                 live_paths.add(f.path)  # avoid duplicate queue entries
+                queued += 1
+    # Each commit writes a COMPLETE snap-*.json manifest (O(#files)); an
+    # expired snapshot's manifest is unreferenced and must follow its
+    # data files through the retention-governed queue, or the metadata
+    # dir grows one full file list per commit forever.
+    keep_manifests = {m for s in keep for m in s.manifests}
+    mdir = cat._meta_dir(location)
+    for s in expire:
+        for m in s.manifests:
+            mpath = os.path.join(mdir, m)
+            if m not in keep_manifests and mpath not in live_paths:
+                md.deletion_queue.append({"path": mpath, "enqueued_ms": now_ms})
+                live_paths.add(mpath)
                 queued += 1
     md.snapshots = keep
     return {"expired": len(expire), "queued_files": queued}
@@ -137,9 +233,13 @@ def purge_deletion_queue(
         md = cat.read_current_metadata(table.location)
         cutoff_ms = int(time.time() * 1000) - retention_s * 1000
         referenced: set[str] = set()
+        mdir = cat._meta_dir(table.location)
         for s in md.snapshots:
             for f in cat.read_snapshot_files(table.location, md, s):
                 referenced.add(f.path)
+            # a retained snapshot's manifests are live too (restore can
+            # re-queue manifest entries whose snapshots came back)
+            referenced.update(os.path.join(mdir, m) for m in s.manifests)
         keep, purge = [], []
         for entry in md.deletion_queue:
             if entry["enqueued_ms"] <= cutoff_ms and entry["path"] not in referenced:
@@ -169,8 +269,11 @@ def vacuum(
     snapshots → purge deletion queue (the reference's vacuum phases,
     vacuum.c:670-891, plus the position-delete merge step)."""
     out = {}
+    table.refresh()
     out["materialize_deletes"] = table.materialize_deletes()
-    out["compact"] = compact_data_files(table, target_file_size_mb)
+    # compaction skips its own materialization pass — this function just
+    # ran it (keeping one call site authoritative instead of two)
+    out["compact"] = compact_data_files(table, target_file_size_mb, materialize=False)
     out["expire"] = expire_snapshots(table, max_snapshot_age_s)
     out["purge"] = purge_deletion_queue(table, deletion_retention_s)
     # crashed-write reclamation rides the vacuum cadence, like the
@@ -229,11 +332,21 @@ class Autovacuum:
 
     def run_pending(self) -> dict[str, dict]:
         """Vacuum every due table (a just-registered table is due
-        immediately); returns per-location vacuum stats."""
+        immediately); returns per-location vacuum stats.
+
+        Failures are isolated PER TABLE: one table whose vacuum raises
+        (dropped location, corrupt metadata, lock timeout) must not
+        starve the tables after it in the list — its error is recorded
+        and its cadence slot still advances, so it retries next
+        interval instead of failing first on every poll forever."""
         out: dict[str, dict] = {}
         for t in self.due():
-            t.refresh()
-            out[t.location] = vacuum(t, **self._kw)
+            try:
+                t.refresh()
+                out[t.location] = vacuum(t, **self._kw)
+            except Exception as exc:  # noqa: BLE001 — isolate per table
+                self.last_error = exc
+                out[t.location] = {"error": f"{type(exc).__name__}: {exc}"}
             self._last_run[t.location] = self._clock()
         return out
 
@@ -338,6 +451,9 @@ def restore_table(spark, location: str, metadata_version: int | None = None) -> 
     for s in md.snapshots:
         for f in cat.read_snapshot_files(location, md, s):
             restored_refs.add(f.path)
+        # the restored snapshots' manifests are live again too: expiry
+        # after the restore target may have queued them in dropped_md
+        restored_refs.update(os.path.join(mdir, m) for m in s.manifests)
     queued = {e["path"] for e in md.deletion_queue}
     md.deletion_queue = [e for e in md.deletion_queue if e["path"] not in restored_refs]
     for e in dropped_md.deletion_queue:
@@ -364,23 +480,36 @@ def purge_dropped_table(
     dh = os.path.join(mdir, DROPPED_HINT)
     if not os.path.exists(dh):
         raise FileNotFoundError(f"no dropped table at {location}")
-    with open(dh) as f:
-        dropped_version = int(f.read().strip())
-    with open(os.path.join(mdir, f"v{dropped_version}.metadata.json")) as f:
-        import json as _json
+    # The rmtree races restore_table without the lock: restore commits
+    # and unlinks the hint, then a mid-flight purge deletes the live
+    # table. Re-check the hint INSIDE the lock (restore/drop both hold
+    # it); a restore that won means this purge is a no-op.
+    with cat.CommitLock(location):
+        if not os.path.exists(dh):
+            return {"purged": 0, "still_retained": 0, "restored": True}
+        with open(dh) as f:
+            dropped_version = int(f.read().strip())
+        with open(os.path.join(mdir, f"v{dropped_version}.metadata.json")) as f:
+            import json as _json
 
-        md = cat.TableMetadata.from_json(_json.load(f))
-    cutoff_ms = int(time.time() * 1000) - retention_s * 1000
-    if any(e["enqueued_ms"] > cutoff_ms for e in md.deletion_queue):
-        return {"purged": 0, "still_retained": len(md.deletion_queue)}
-    deleted = 0
-    for e in md.deletion_queue:
-        try:
-            os.unlink(e["path"])
-            deleted += 1
-        except FileNotFoundError:
-            pass
-    shutil.rmtree(location, ignore_errors=True)
+            md = cat.TableMetadata.from_json(_json.load(f))
+        cutoff_ms = int(time.time() * 1000) - retention_s * 1000
+        # Retention gates on the DROP time as well as queue-entry ages:
+        # a table dropped with an empty (or all-old) queue must still
+        # honor the documented restore window, not rmtree instantly.
+        dropped_ms = int(md.properties.get("dropped_ms", 0) or 0)
+        if dropped_ms > cutoff_ms or any(
+            e["enqueued_ms"] > cutoff_ms for e in md.deletion_queue
+        ):
+            return {"purged": 0, "still_retained": len(md.deletion_queue)}
+        deleted = 0
+        for e in md.deletion_queue:
+            try:
+                os.unlink(e["path"])
+                deleted += 1
+            except FileNotFoundError:
+                pass
+        shutil.rmtree(location, ignore_errors=True)
     return {"purged": deleted, "still_retained": 0}
 
 
@@ -402,6 +531,7 @@ def rewrite_sorted(
     """
     from pyspark.sql import functions as F
 
+    table.refresh()
     table.materialize_deletes()
     snap = table.metadata.current_snapshot()
     if snap is None:
@@ -418,12 +548,14 @@ def rewrite_sorted(
         *columns
     )
     added = table._write_data_files(clustered)
-    table._commit(
+    if not _rewrite_commit(
+        table,
         operation="replace",
         added=added,
-        removed_paths={f.path for f in files},
+        input_files=files,
         summary={"rewrite_sorted": ",".join(columns)},
-    )
+    ):
+        return {"rewritten_files": 0, "added_files": 0, "aborted": True}
 
     with cat.CommitLock(table.location):
         md = cat.read_current_metadata(table.location)
@@ -445,13 +577,26 @@ def zorder_value(df, columns: list[str], bits: int = 8):
     k = len(columns)
     if k < 1:
         raise ValueError("zorder needs at least one column")
+    if k > 63:
+        raise ValueError("zorder supports at most 63 columns")
+    # Spark's shiftleft masks the count mod 64 (Java << semantics): with
+    # bits*k > 63 high interleave bits silently wrap onto low positions
+    # (colliding keys), and bit 63 flips the long's sign (reversing the
+    # top bucket's sort). Cap per-column bits so every position fits in
+    # the non-negative range — fewer bits is coarser clustering, never
+    # wrong.
+    bits = max(1, min(bits, 63 // k))
     n_codes = 1 << bits
     probs = [i / n_codes for i in range(1, n_codes)]
+    # one multi-column approxQuantile pass: the list form computes every
+    # column's boundaries in a single scan of the table instead of k
+    # sequential full re-reads
+    casts = df.select(
+        *[F.col(c).cast("double").alias(f"__v{i}") for i, c in enumerate(columns)]
+    )
+    all_cuts = casts.approxQuantile([f"__v{i}" for i in range(k)], probs, 0.001)
     codes = []
-    for c in columns:
-        cuts = df.selectExpr(f"CAST({c} AS DOUBLE) AS __v").approxQuantile(
-            "__v", probs, 0.001
-        )
+    for c, cuts in zip(columns, all_cuts):
         # strictly increasing boundary list (duplicated quantiles on
         # skewed data collapse into fewer, still-correct buckets)
         uniq = sorted(set(cuts))
@@ -488,6 +633,7 @@ def rewrite_zorder(
     ``WHERE user_id = ?`` and ``WHERE ts > ?`` scans cheap."""
     from pyspark.sql import functions as F
 
+    table.refresh()
     table.materialize_deletes()
     snap = table.metadata.current_snapshot()
     if snap is None:
@@ -508,12 +654,14 @@ def rewrite_zorder(
         .drop("__z")
     )
     added = table._write_data_files(clustered)
-    table._commit(
+    if not _rewrite_commit(
+        table,
         operation="replace",
         added=added,
-        removed_paths={f.path for f in files},
+        input_files=files,
         summary={"rewrite_zorder": ",".join(columns)},
-    )
+    ):
+        return {"rewritten_files": 0, "added_files": 0, "aborted": True}
     with cat.CommitLock(table.location):
         md = cat.read_current_metadata(table.location)
         md.properties["zorder-by"] = ",".join(columns)
@@ -580,6 +728,12 @@ def _writer_alive(rec: dict) -> bool:
         return False
     try:
         os.kill(int(pid), 0)
+        return True
+    except PermissionError:
+        # EPERM: the process EXISTS but runs as another uid — that is a
+        # LIVE writer; treating it as dead would reclaim an in-flight
+        # staging dir and the eventual commit would reference deleted
+        # files. Only ESRCH (ProcessLookupError) proves death.
         return True
     except (OSError, ValueError):
         return False

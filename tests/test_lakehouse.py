@@ -1545,3 +1545,195 @@ def test_update_from_multi_match_writes_row_once(spark, tmp_path):
     res = t.delete_using(src, ["k"], returning=["k"])
     assert res["deleted_rows"] == 1 and [r.k for r in res["returning"]] == [1]
     assert {r.k for r in t.refresh().to_df().collect()} == {2}
+
+
+# ---------------------------------------------------------------------------
+# r13 maintenance review fixes (commit/retention paths)
+# ---------------------------------------------------------------------------
+
+def _second_handle(spark, loc):
+    from pg_lake_spark.lakehouse import catalog as cat
+
+    return LakeTable(spark, loc, cat.read_current_metadata(loc))
+
+
+def test_compaction_pins_oldest_input_sequence(spark, tmp_path):
+    """Compacted outputs must inherit their inputs' OLDEST
+    added_snapshot_id (not the compaction commit's), so a MoR predicate
+    committed during the compaction window still applies to them."""
+    from pg_lake_spark.lakehouse import catalog as cat
+
+    loc = str(tmp_path / "seqpin")
+    t = LakeTable.create(spark, loc, "id bigint, v double")
+    for i in range(4):
+        t.append(spark.range(i * 10, i * 10 + 10).selectExpr("id", "id * 1.0 AS v"))
+    res = maintenance.compact_data_files(t, target_file_size_mb=64, min_input_files=2)
+    assert res["added_files"] >= 1
+    snap = t.metadata.current_snapshot()
+    files = cat.read_snapshot_files(t.location, t.metadata, snap)
+    assert {f.added_snapshot_id for f in files} == {1}, (
+        "outputs must carry the oldest input sequence"
+    )
+
+
+def test_mor_delete_during_compaction_window_still_applies(spark, tmp_path, monkeypatch):
+    """A MoR delete committed BETWEEN compaction's read and its commit
+    must still delete the rewritten rows (sequence pinning), not
+    resurrect them."""
+    loc = str(tmp_path / "morrace")
+    t = LakeTable.create(spark, loc, "id bigint, v double")
+    for i in range(4):
+        t.append(spark.range(i * 10, i * 10 + 10).selectExpr("id", "id * 1.0 AS v"))
+
+    orig = t._write_data_files
+    fired = []
+
+    def hijack(df):
+        out = orig(df)
+        if not fired:
+            fired.append(1)
+            _second_handle(spark, loc).delete("id < 5", mode="mor")
+        return out
+
+    monkeypatch.setattr(t, "_write_data_files", hijack)
+    res = maintenance.compact_data_files(t, target_file_size_mb=64, min_input_files=2)
+    assert not res.get("aborted")  # MoR adds a predicate, removes nothing
+    t.refresh()
+    got = {r.id for r in t.to_df().select("id").collect()}
+    assert got == set(range(5, 40)), "mid-compaction MoR delete resurrected rows"
+
+
+def test_compaction_aborts_on_concurrent_cow_delete(spark, tmp_path, monkeypatch):
+    """A CoW delete that replaces an input file mid-compaction must
+    abort the compaction commit (precondition) — committing would
+    re-add the input's stale contents beside the rewritten file."""
+    loc = str(tmp_path / "cowrace")
+    t = LakeTable.create(spark, loc, "id bigint, v double")
+    for i in range(4):
+        t.append(spark.range(i * 10, i * 10 + 10).selectExpr("id", "id * 1.0 AS v"))
+
+    orig = t._write_data_files
+    fired = []
+
+    def hijack(df):
+        out = orig(df)
+        if not fired:
+            fired.append(1)
+            _second_handle(spark, loc).delete("id = 3", mode="cow")
+        return out
+
+    monkeypatch.setattr(t, "_write_data_files", hijack)
+    res = maintenance.compact_data_files(t, target_file_size_mb=64, min_input_files=2)
+    assert res.get("aborted") is True
+    t.refresh()
+    got = {r.id for r in t.to_df().select("id").collect()}
+    assert got == set(range(40)) - {3}, "concurrent CoW delete was overwritten"
+    # aborted staging files are cleaned up (nothing unreferenced on
+    # disk, and the whole staging prefix — _SUCCESS markers included —
+    # is gone, not just its parquet files)
+    assert maintenance.find_unreferenced_files(t) == []
+    referenced_dirs = {
+        os.path.dirname(p) for p in maintenance.find_all_referenced_files(t)
+    }
+    data_dir = os.path.join(loc, "data")
+    on_disk_dirs = {
+        r for r, _d, fs in os.walk(data_dir) if fs and r != data_dir
+    }
+    assert on_disk_dirs <= referenced_dirs, "aborted staging dir lingers"
+
+
+def test_purge_dropped_respects_drop_time(spark, tmp_path):
+    """A dropped table with an EMPTY deletion queue (never appended)
+    must still honor the retention window via dropped_ms — not rmtree
+    on the first sweep."""
+    loc = str(tmp_path / "emptydrop")
+    LakeTable.create(spark, loc, "id bigint")
+    maintenance.drop_table(loc)
+    res = maintenance.purge_dropped_table(loc)  # default 10-day retention
+    assert res["purged"] == 0 and os.path.isdir(loc)
+    t = maintenance.restore_table(spark, loc)  # restore window held
+    assert t.to_df().count() == 0
+    maintenance.drop_table(loc)
+    res2 = maintenance.purge_dropped_table(loc, retention_s=0)
+    assert not os.path.isdir(loc)
+    assert res2["still_retained"] == 0
+
+
+def test_expire_queues_and_purges_manifests(spark, tmp_path):
+    """Expired snapshots' snap-*.json manifests must flow through the
+    deletion queue like their data files — one full file list per
+    commit otherwise accumulates forever."""
+    import glob as _glob
+
+    loc = str(tmp_path / "manifests")
+    t = LakeTable.create(spark, loc, "id bigint")
+    for i in range(4):
+        t.append(spark.range(i, i + 1))
+    mdir = os.path.join(loc, "_lake_metadata")
+    n_manifests_before = len(_glob.glob(os.path.join(mdir, "snap-*.json")))
+    assert n_manifests_before == 4
+    maintenance.expire_snapshots(t, max_age_s=0)
+    queued_manifests = [
+        e["path"] for e in t.metadata.deletion_queue if "snap-" in os.path.basename(e["path"])
+    ]
+    assert len(queued_manifests) == 3  # all but the current snapshot's
+    maintenance.purge_deletion_queue(t, retention_s=0)
+    left = _glob.glob(os.path.join(mdir, "snap-*.json"))
+    assert len(left) == 1  # current manifest survives
+    assert t.to_df().count() == 4  # table still fully readable
+
+
+def test_autovacuum_isolates_failing_table(spark, tmp_path):
+    """One table whose vacuum raises must not starve the tables after
+    it — its error is recorded, the others still run."""
+    import shutil
+
+    loc_a, loc_b = str(tmp_path / "bad"), str(tmp_path / "good")
+    ta = LakeTable.create(spark, loc_a, "id bigint")
+    tb = LakeTable.create(spark, loc_b, "id bigint")
+    tb.append(spark.range(3))
+    shutil.rmtree(loc_a)  # ta.refresh() will now raise
+    av = maintenance.Autovacuum([ta, tb], interval_s=0.0)
+    out = av.run_pending()
+    assert "error" in out[loc_a]
+    assert "compact" in out[loc_b], "failing table starved the next one"
+    assert av.last_error is not None
+
+
+def test_writer_alive_on_eperm(monkeypatch):
+    """EPERM from kill(pid, 0) means the process EXISTS (another uid) —
+    a live writer, not a crashed one."""
+    import socket
+
+    rec = {"pid": 12345, "host": socket.gethostname()}
+
+    def eperm(pid, sig):
+        raise PermissionError
+
+    monkeypatch.setattr(os, "kill", eperm)
+    assert maintenance._writer_alive(rec) is True
+
+    def esrch(pid, sig):
+        raise ProcessLookupError
+
+    monkeypatch.setattr(os, "kill", esrch)
+    assert maintenance._writer_alive(rec) is False
+
+
+def test_zorder_bits_clamped_to_long_range(spark, tmp_path):
+    """bits*k > 63 must clamp (Spark shiftleft wraps mod 64: colliding
+    keys, sign-flipped top bucket) — 9 columns at default bits=8 would
+    shift to position 71 unguarded."""
+    cols = [f"c{i}" for i in range(9)]
+    df = spark.range(64).select(
+        *[(F.col("id") * (i + 1) % 17).alias(c) for i, c in enumerate(cols)]
+    )
+    z = maintenance.zorder_value(df, cols, bits=8)  # clamps to 63//9 = 7... bits
+    vals = [r.z for r in df.select(z.alias("z")).collect()]
+    assert all(v >= 0 for v in vals), "z key hit the sign bit"
+    # and the full rewrite runs end-to-end on a many-column table
+    loc = str(tmp_path / "z9")
+    t = LakeTable.create_from_dataframe(spark, loc, df)
+    res = maintenance.rewrite_zorder(t, cols, n_files=2)
+    assert res["added_files"] >= 1
+    assert t.to_df().count() == 64
