@@ -67,6 +67,18 @@ _CODE_CHANGED_IN: dict[str, int] = {
     "dml_drop_restore": 12,
     "dml_changelog": 12,
     "ddl_schema_evolution": 12,
+    # r13: signed-zero canonicalization (+0.0 after round) applied to
+    # the projection builders whose outputs round to zero (VERDICT r12
+    # #1). f_merc_3395 is group 0 anyway (never green); these two had
+    # r12 greens, so their builders changing re-flags them.
+    "f_polar_stereographic": 13,
+    "f_laea_transform": 13,
+    # r13: GeoJSON layout sniff rewritten to decode accumulated bytes
+    # once (ADVICE r12 multibyte-split fix) — on f_geojson_scan's path.
+    "f_geojson_scan": 13,
+    # r13: restore_table gained manifest-aware deletion-queue
+    # reconciliation (maintenance review) — on dml_drop_restore's path.
+    "dml_drop_restore": 13,
 }
 
 

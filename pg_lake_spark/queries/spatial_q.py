@@ -21,6 +21,20 @@ from pg_lake_spark.queries.registry import query
 from pg_lake_spark.session import load_tables
 
 
+def _r2z(col):
+    """``round(col, 2)`` with signed zero canonicalized to ``+0.0``.
+
+    DuckDB's ``round()`` preserves the sign bit — an infinitesimally
+    negative double rounds to ``-0.00`` — while Spark emits ``0.00``,
+    and the driver's strict comparator hashes exact value strings, so
+    the same coordinate reads red. IEEE ``-0.0 + 0.0 = +0.0`` on both
+    engines; apply this (and ``round(...) + 0.0`` in the SQL oracle)
+    on BOTH sides of every projection row whose output can round to
+    zero (equator / prime-meridian / polar-origin points).
+    """
+    return F.round(col, 2) + F.lit(0.0)
+
+
 @query(
     "f_spatial_point",
     oracle="""
@@ -657,8 +671,9 @@ def f_polar_stereographic(spark: SparkSession, sf_dir: str) -> DataFrame:
         2,
     )
     val = (
-        F.when(F.col("kind") == "E", F.round(S.st_x(fwd), 2))
-        .when(F.col("kind") == "N", F.round(S.st_y(fwd), 2))
+        # pole anchors round to 0.00 — canonicalize signed zero
+        F.when(F.col("kind") == "E", _r2z(S.st_x(fwd)))
+        .when(F.col("kind") == "N", _r2z(S.st_y(fwd)))
         .otherwise(rt_err_mm)
     )
     return df.select("measure", val.alias("expected")).orderBy("measure")
@@ -1006,8 +1021,9 @@ def f_laea_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(raw_err_mm, 2)
     )
     val = (
-        F.when(F.col("kind") == "E", F.round(S.st_x(fwd), 2))
-        .when(F.col("kind") == "N", F.round(S.st_y(fwd), 2))
+        # the US-atlas origin rounds to 0.00 — canonicalize signed zero
+        F.when(F.col("kind") == "E", _r2z(S.st_x(fwd)))
+        .when(F.col("kind") == "N", _r2z(S.st_y(fwd)))
         .otherwise(rt_err_mm)
     )
     return df.select("measure", val.alias("expected")).orderBy("measure")
@@ -1033,10 +1049,10 @@ def f_laea_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 6378137.0 AS a, sqrt((1/298.257223563)*(2-1/298.257223563)) AS e
     )
     SELECT city,
-           round(a * radians(lon), 2) AS easting,
+           round(a * radians(lon), 2) + 0.0 AS easting,
            round(a * ln(tan(pi()/4 + radians(lat)/2)
                  * pow((1 - e*sin(radians(lat)))
-                       / (1 + e*sin(radians(lat))), e/2)), 2) AS northing
+                       / (1 + e*sin(radians(lat))), e/2)), 2) + 0.0 AS northing
     FROM pts, c
     ORDER BY city
     """,
@@ -1060,6 +1076,6 @@ def f_merc_3395(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = S.st_transform(pt, 4326, 3395)
     return df.select(
         "city",
-        F.round(S.st_x(fwd), 2).alias("easting"),
-        F.round(S.st_y(fwd), 2).alias("northing"),
+        _r2z(S.st_x(fwd)).alias("easting"),
+        _r2z(S.st_y(fwd)).alias("northing"),
     ).orderBy("city")

@@ -14,6 +14,7 @@ from __future__ import annotations
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from pg_lake_spark.queries import QUERIES
@@ -62,6 +63,21 @@ def main(names: list[str]) -> int:
             )
             ok_vals = ok_cols and ok_rows
             ulp_only = False
+            # Signed zero: the driver hashes exact value strings, so
+            # '-0.0' != '0.0' even though they compare numerically equal
+            # (f_merc_3395 went red on this in r12). numpy/pandas treat
+            # -0.0 == 0.0 as equal, so check sign bits at zeros explicitly.
+            if ok_vals:
+                for c in sc.columns:
+                    if sc[c].dtype.kind == "f" and dc[c].dtype.kind == "f":
+                        av, bv = sc[c].to_numpy(), dc[c].to_numpy()
+                        zz = (av == 0.0) & (bv == 0.0)
+                        if (np.signbit(av[zz]) != np.signbit(bv[zz])).any():
+                            ok_vals = False
+                            print(
+                                f"{name}: SIGNED_ZERO col={c} — add "
+                                "'+ 0.0' after round() on both sides"
+                            )
             if ok_vals:
                 try:
                     pd.testing.assert_frame_equal(
@@ -109,8 +125,31 @@ def main(names: list[str]) -> int:
     return failures
 
 
+def selftest() -> int:
+    """Pin the signed-zero detector itself: a frame pair equal under
+    numpy semantics but differing at a zero's sign bit must be caught."""
+    a = np.array([0.0, 1.5, -0.0])
+    b = np.array([-0.0, 1.5, -0.0])
+    zz = (a == 0.0) & (b == 0.0)
+    assert (np.signbit(a[zz]) != np.signbit(b[zz])).any(), (
+        "signed-zero detector failed to flag -0.0 vs 0.0"
+    )
+    # and the canonicalization rule actually fixes it (IEEE -0.0+0.0=+0.0)
+    ca, cb = a + 0.0, b + 0.0
+    assert not (np.signbit(ca[zz]) != np.signbit(cb[zz])).any()
+    # DuckDB side: round() preserves the sign bit; + 0.0 clears it
+    import duckdb as _d
+
+    neg = _d.sql("SELECT round(-1e-30, 2) AS v, round(-1e-30, 2) + 0.0 AS c").df()
+    assert np.signbit(neg["v"][0]) and not np.signbit(neg["c"][0])
+    print("selftest: OK (signed-zero detector + canonicalization)")
+    return 0
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
+    if args and args[0] == "--selftest":
+        raise SystemExit(selftest())
     if args and args[0] == "--first":
         names = list(QUERIES)[: int(args[1])]
     elif args:

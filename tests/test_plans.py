@@ -505,3 +505,36 @@ def test_dsq79_window_over_daily_frame(spark):
     s = plan_summary(df)
     o = next(sc for sc in s.scans if "o_orderdate" in sc.read_schema)
     assert any("o_orderdate" in f for f in o.pushed_filters)
+
+
+def test_q9_single_fact_pass_pruned(spark):
+    """r12 VERDICT #3: q9 (heaviest TPC-H row) must keep ONE lineitem
+    scan with a 7-column projection, the %red%-filtered part and
+    supplier sides size-gate-broadcast, and every scan's filter pushed.
+    orders may legitimately flip broadcast->shuffle as SF grows (the
+    gate defers to AQE there) — don't pin its strategy."""
+    df = QUERIES["q9_product_profit"].fn(spark, SF_DIR)
+    s = plan_summary(df)
+    li = [sc for sc in s.scans if "l_partkey" in sc.read_schema]
+    assert len(li) == 1, "q9 regressed to multiple lineitem scans"
+    assert li[0].read_schema.count(":") <= 7  # pruned fact projection
+    part = next(sc for sc in s.scans if "p_name" in sc.read_schema)
+    assert part.read_schema.count(":") == 3
+    assert all(sc.pushed_filters for sc in s.scans)
+    assert s.broadcast_joins >= 3  # part, supplier, nation at minimum
+    assert not s.interpreted_ops
+
+
+def test_q18_single_aggregation_of_fact(spark):
+    """r12 VERDICT #3: q18 has no selective order-side predicate to
+    push (the only gate IS the per-order HAVING), so its optimal shape
+    is ONE lineitem scan pruned to (l_orderkey, l_quantity) whose
+    aggregate serves both the HAVING and the output sum."""
+    df = QUERIES["q18_large_volume_customer"].fn(spark, SF_DIR)
+    s = plan_summary(df)
+    li = [sc for sc in s.scans if "l_quantity" in sc.read_schema]
+    assert len(li) == 1, "q18 regressed to re-aggregating lineitem"
+    assert li[0].read_schema.count(":") == 2  # l_orderkey, l_quantity only
+    cust = next(sc for sc in s.scans if "c_name" in sc.read_schema)
+    assert cust.read_schema.count(":") == 2
+    assert set(s.interpreted_ops) <= {"TakeOrderedAndProject"}
