@@ -51,6 +51,16 @@ class DataFile:
     # (stamped by the commit); legacy manifests deserialize as 0
     # (oldest, so every predicate applies — the pre-field behavior).
     added_snapshot_id: int | None = None
+    # Snapshot whose SCHEMA the file was physically written under —
+    # distinct from added_snapshot_id because rewrites (compaction,
+    # materialize_deletes) pin added_snapshot_id to their inputs'
+    # oldest sequence for MoR-delete scoping while writing bytes in the
+    # CURRENT schema: era resolution (renames/backfills) must follow
+    # the physical layout, not the delete sequence, or a post-rename
+    # rewrite of pre-rename files reads back as silent NULLs. None =
+    # stamped at commit; legacy manifests fall back to
+    # added_snapshot_id (the two were equal before rewrites pinned).
+    schema_snapshot_id: int | None = None
     # Partition spec this file was written under (spec evolution: new
     # specs apply to new files only; pruning consults the file's spec).
     spec_id: int = 0
@@ -63,6 +73,9 @@ class DataFile:
             "partition": self.partition,
             "stats": self.stats,
             "added_snapshot_id": self.added_snapshot_id or 0,
+            "schema_snapshot_id": self.schema_snapshot_id
+            or self.added_snapshot_id
+            or 0,
             "spec_id": self.spec_id,
         }
 
@@ -75,6 +88,7 @@ class DataFile:
             partition=d.get("partition", {}),
             stats=d.get("stats", {}),
             added_snapshot_id=d.get("added_snapshot_id", 0),
+            schema_snapshot_id=d.get("schema_snapshot_id"),
             spec_id=d.get("spec_id", 0),
         )
 

@@ -127,6 +127,8 @@ def _coerce_temporal(s: str):
     for fmt, conv in (
         ("%Y-%m-%d %H:%M:%S", datetime.strptime),
         ("%Y-%m-%dT%H:%M:%S", datetime.strptime),
+        ("%Y-%m-%d %H:%M:%S.%f", datetime.strptime),
+        ("%Y-%m-%dT%H:%M:%S.%f", datetime.strptime),
         ("%Y-%m-%d", lambda v, f: datetime.strptime(v, f).date()),
     ):
         try:
@@ -212,13 +214,24 @@ def file_matches(f: DataFile, preds: list[Predicate], spec: list[dict]) -> bool:
                 continue
             # Any evaluation failure (un-coerced literal, type mismatch)
             # must keep the file — pruning is sound, never complete.
+            # Equality/in comparisons are the dangerous ones: Python's
+            # != between MISMATCHED kinds ('2024-01-05' vs date(...),
+            # 123 vs '0123') silently returns True instead of raising,
+            # which would prune a file that holds matching rows. Revive
+            # string partition values (legacy manifests store temporals
+            # as dir strings) and refuse to prune unless both sides are
+            # the same comparable kind.
+            if isinstance(pv, str):
+                pv = _revive(pv)
             try:
                 if t == "bucket":
                     if op == "=":
-                        if pv != py_eval(_revive(val), param):
+                        tv = py_eval(_revive(val), param)
+                        if _same_kind(pv, tv) and pv != tv:
                             return False
                     elif op == "in":
-                        if pv not in {py_eval(_revive(v), param) for v in val}:
+                        tvs = {py_eval(_revive(v), param) for v in val}
+                        if all(_same_kind(pv, x) for x in tvs) and pv not in tvs:
                             return False
                     continue
                 if t in _MONOTONIC:
@@ -231,17 +244,38 @@ def file_matches(f: DataFile, preds: list[Predicate], spec: list[dict]) -> bool:
                             return False
                         continue
                     tv = py_eval(_revive(val), param) if op != "in" else None
-                    if op == "=" and pv != tv:
+                    a, b = _comparable(pv, tv) if tv is not None else (pv, tv)
+                    if op == "=":
+                        if _same_kind(a, b) and a != b:
+                            return False
+                    if op in ("<", "<=") and tv is not None and a > b:
                         return False
-                    if op in ("<", "<=") and tv is not None and pv > tv:
+                    if op in (">", ">=") and tv is not None and a < b:
                         return False
-                    if op in (">", ">=") and tv is not None and pv < tv:
-                        return False
-                    if op == "in" and pv not in {py_eval(_revive(v), param) for v in val}:
-                        return False
+                    if op == "in":
+                        tvs = {py_eval(_revive(v), param) for v in val}
+                        if all(_same_kind(pv, x) for x in tvs) and pv not in tvs:
+                            return False
             except (TypeError, AttributeError, ValueError):
                 continue
     return True
+
+
+def _same_kind(a, b) -> bool:
+    """True when ``a != b`` is a PROOF of inequality (same comparable
+    kind) rather than a type artifact. None keeps the existing
+    semantics: a null partition value provably fails an equality."""
+    if a is None or b is None:
+        return True
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, bool):
+        return True
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return True
+    if isinstance(a, (date, datetime)) and isinstance(b, (date, datetime)):
+        return True
+    return type(a) is type(b)
 
 
 def _pfield_name(pf: dict) -> str:

@@ -38,6 +38,16 @@ from pg_lake_spark.lakehouse.transforms import TRANSFORMS, parse_transform
 _DERIVED_PREFIX = "__p_"
 
 
+class ConcurrentWriteConflict(RuntimeError):
+    """A read-modify-write DML statement lost a race: between reading
+    its candidate files and taking the commit lock, another writer
+    replaced one of them (CoW delete/update, compaction). Committing
+    anyway would overwrite that writer's change — resurrected deletes,
+    duplicated rows — so the statement aborts loudly; re-run it to
+    retry on fresh state (the reference serializes whole statements
+    under the table lock, writable_table.c, so it never hits this)."""
+
+
 @dataclass
 class ScanReport:
     """Observability equivalent of the reference's EXPLAIN decoration
@@ -70,8 +80,14 @@ class LakeTable:
         """CREATE TABLE … USING iceberg [PARTITIONED BY (…)] analogue
         (create_table.c; docs/iceberg-tables.md:1-75)."""
         spec = []
+        names = ddl_field_names(schema_ddl)
         for s in partition_by or []:
             t, param, col = parse_transform(s)
+            # fail at CREATE, not at the first append (set_partition_spec
+            # already validates; a typo'd column would otherwise persist
+            # a broken-by-construction table)
+            if col not in names:
+                raise ValueError(f"partition column {col} not found in schema")
             spec.append({"transform": t, "param": param, "column": col})
         md = cat.create_table_metadata(location, schema_ddl, spec, properties)
         return LakeTable(spark, location, md)
@@ -220,6 +236,18 @@ class LakeTable:
         spec = self.metadata.partition_spec
         if spec and partition_values is None:
             raise ValueError("partitioned table: pass partition_values")
+        if spec:
+            # keys must be EXACTLY the spec's field names (e.g. 'ts_day'
+            # for day(ts), with the transform's value form) — silently
+            # recording None for a misnamed key would make every
+            # registered row invisible to equality pruning
+            want = {_pfield_name(pf) for pf in spec}
+            got = set(partition_values or {})
+            if got != want:
+                raise ValueError(
+                    f"partition_values keys {sorted(got)} must be exactly "
+                    f"the spec field names {sorted(want)}"
+                )
         new_files: list[DataFile] = []
         for path in paths:
             meta = pq.ParquetFile(path).metadata
@@ -288,6 +316,38 @@ class LakeTable:
                 pass
         self._pending_in_progress = []
 
+    def _discard_staging(self) -> None:
+        """Remove every staging prefix registered since the last commit
+        (aborted statement cleanup): the whole directory — _SUCCESS
+        markers and partition subdirs included — then the in-progress
+        entries themselves."""
+        import shutil
+
+        for entry in getattr(self, "_pending_in_progress", []):
+            try:
+                with open(entry) as fh:
+                    shutil.rmtree(json.load(fh)["prefix"], ignore_errors=True)
+            except (OSError, ValueError, KeyError):
+                pass
+        self._clear_in_progress()
+
+    def _candidates_unchanged(self, paths: set[str]):
+        """Commit precondition for read-modify-write DML: every
+        candidate file the statement read must still be live in the
+        freshest snapshot. A concurrent writer replacing one mid-
+        statement (CoW delete/update, compaction) would otherwise have
+        its committed change silently overwritten by this rewrite —
+        resurrected deletes, duplicated rows."""
+
+        def check(md) -> bool:
+            cur = md.current_snapshot()
+            if cur is None:
+                return not paths
+            live = {f.path for f in cat.read_snapshot_files(self.location, md, cur)}
+            return paths <= live
+
+        return check
+
     def _write_data_files(self, df: DataFrame) -> list[DataFile]:
         staging = os.path.join(self.location, "data", uuid.uuid4().hex)
         self._register_in_progress(staging)
@@ -319,6 +379,7 @@ class LakeTable:
 
         spec = self.metadata.partition_spec
         spec_id = self.metadata.default_spec_id
+        ptypes = _partition_field_types(self.metadata.schema_ddl, spec)
         out: list[DataFile] = []
         for dirpath, _dirs, files in os.walk(root):
             for fn in files:
@@ -333,7 +394,7 @@ class LakeTable:
                             continue
                         k, v = comp.split("=", 1)
                         k = k.removeprefix(_DERIVED_PREFIX)
-                        partition[k] = _parse_partition_value(v)
+                        partition[k] = _parse_partition_value(v, ptypes.get(k))
                 meta = pq.ParquetFile(path).metadata
                 stats = _footer_stats(meta)
                 out.append(
@@ -385,9 +446,14 @@ class LakeTable:
             sid = (current.snapshot_id + 1) if current else 1
             # Stamp the data-sequence number; files carrying an explicit
             # id (e.g. compaction preserving its inputs' age) keep it.
+            # The SCHEMA stamp is always this commit (rewrites pin the
+            # sequence but write bytes in the current schema — era
+            # resolution must follow the layout, not the sequence).
             for f in added:
                 if f.added_snapshot_id is None:
                     f.added_snapshot_id = sid
+                if f.schema_snapshot_id is None:
+                    f.schema_snapshot_id = sid
             kept: list[DataFile] = []
             if current is not None:
                 kept = [
@@ -433,10 +499,13 @@ class LakeTable:
     # Schema eras (rename / backfill resolution per file generation)
     # ------------------------------------------------------------------
     def _era_key(self, f: DataFile) -> tuple[int, ...]:
-        """Indexes of schema-log events that post-date ``f`` (a file
-        written before a rename carries the old physical column name;
-        one written before an add-with-default lacks the column)."""
-        s = f.added_snapshot_id or 0
+        """Indexes of schema-log events that post-date ``f``'s PHYSICAL
+        layout (a file written before a rename carries the old physical
+        column name; one written before an add-with-default lacks the
+        column). Keys on schema_snapshot_id: rewrites pin
+        added_snapshot_id to an older sequence for MoR-delete scoping,
+        but their bytes are written in the rewrite-time schema."""
+        s = f.schema_snapshot_id or f.added_snapshot_id or 0
         return tuple(
             i for i, e in enumerate(self.metadata.schema_log) if s < e["snapshot_id"]
         )
@@ -484,19 +553,23 @@ class LakeTable:
         read_fields = [(phys[n], t) for n, t in fields if n not in backfills]
         ddl = ", ".join(f"{p} {t}" for p, t in read_fields)
         g = self.spark.read.schema(ddl).parquet(*paths)
+        # One atomic select with aliases: sequential withColumnRenamed
+        # collides when the era's rename mapping is a swap (x→tmp,
+        # y→x, tmp→y) — the first rename creates a duplicate name and
+        # the second renames both.
+        cols = []
         for n, t in fields:
             if n in backfills:
                 d = backfills[n]
-                g = g.withColumn(n, F.expr(d if d is not None else "NULL").cast(t))
-            elif phys[n] != n:
-                g = g.withColumnRenamed(phys[n], n)
-        cols = [F.col(n) for n, _ in fields]
+                cols.append(F.expr(d if d is not None else "NULL").cast(t).alias(n))
+            else:
+                cols.append(F.col(phys[n]).alias(n))
         if with_meta:
             cols.append(F.col("_metadata.file_path").alias("_meta_file_path"))
             cols.append(F.col("_metadata.row_index").alias("_meta_pos"))
         return g.select(*cols)
 
-    def _read_files(self, files: list[DataFile]) -> DataFrame:
+    def _read_files(self, files: list[DataFile], with_meta: bool = False) -> DataFrame:
         """Era-grouped read of a file set in the current logical schema
         (no delete-predicate application — DML internals use this)."""
         groups: dict[tuple, list[str]] = {}
@@ -504,11 +577,15 @@ class LakeTable:
             groups.setdefault(self._era_key(f), []).append(f.path)
         df = None
         for era_key, paths in groups.items():
-            g = self._read_era(paths, era_key)
+            g = self._read_era(paths, era_key, with_meta=with_meta)
             df = g if df is None else df.unionByName(g)
         if df is None:
             return self.spark.createDataFrame([], self.metadata.schema_ddl)
         return df
+
+    def _read_files_with_meta(self, files: list[DataFile]) -> DataFrame:
+        """:meth:`_read_files` plus ``_meta_file_path``/``_meta_pos``."""
+        return self._read_files(files, with_meta=True)
 
     def _file_matches(self, f: DataFile, preds) -> bool:
         """Era- and spec-aware pruning check: predicates (in logical
@@ -624,14 +701,30 @@ class LakeTable:
         row multisets to both sides and cancel in EXCEPT ALL), so a
         small commit range reads only its touched files."""
         md = self.metadata
-        to_id = to_snapshot_id or (md.current_snapshot().snapshot_id
-                                   if md.current_snapshot() else 0)
-        old = self.scan(snapshot_id=from_snapshot_id)
+        to_id = (
+            to_snapshot_id
+            if to_snapshot_id is not None
+            else (md.current_snapshot().snapshot_id if md.current_snapshot() else 0)
+        )
+        # from=0 is the pre-table state ("every current row is an
+        # insert") — the same replay-everything lower bound
+        # incremental_scan documents; never a real snapshot id.
+        old = (
+            self.spark.createDataFrame([], md.schema_ddl)
+            if from_snapshot_id == 0
+            else self.scan(snapshot_id=from_snapshot_id)
+        )
         new = self.scan(snapshot_id=to_id)
         if not md.delete_predicates:
-            from_snap = md.snapshot_by_id(from_snapshot_id)
+            from_snap = (
+                None if from_snapshot_id == 0 else md.snapshot_by_id(from_snapshot_id)
+            )
             to_snap = md.snapshot_by_id(to_id)
-            f_from = {f.path for f in cat.read_snapshot_files(self.location, md, from_snap)}
+            f_from = (
+                {f.path for f in cat.read_snapshot_files(self.location, md, from_snap)}
+                if from_snap
+                else set()
+            )
             f_to = {f.path for f in cat.read_snapshot_files(self.location, md, to_snap)}
             shared = f_from & f_to
             if shared:
@@ -836,21 +929,51 @@ class LakeTable:
         full_paths = {f.path for f in full}
         partial = [f for f in candidates if f.path not in full_paths]
 
+        # Stats overlap is only a MAY-match: one per-file aggregation
+        # over the candidates yields (rows, matched rows) per file, so
+        # files that hold NO matching row survive untouched (a near-miss
+        # predicate used to trigger a full rewrite of every candidate —
+        # O(table) I/O for a no-op DELETE at scale), and the old
+        # separate before/after count() passes fold into it. The match
+        # is NULL-safe: DELETE removes only rows where the predicate is
+        # TRUE; NULL evaluations survive.
         rewritten: list[DataFile] = []
         deleted_rows = sum(f.row_count for f in full)
         if partial:
-            src = self._read_files(partial)
-            before = src.count()
-            # NULL-safe: DELETE removes only rows where the predicate is
-            # TRUE; rows where it evaluates NULL must survive.
-            remaining = src.filter(~F.coalesce(F.expr(where), F.lit(False)))
-            after = remaining.count()
-            deleted_rows += before - after
-            if after > 0:
+            matched = F.coalesce(F.expr(where), F.lit(False))
+            per_file = (
+                self._read_files_with_meta(partial)
+                .groupBy("_meta_file_path")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.when(matched, 1).otherwise(0)).alias("hits"),
+                )
+                .collect()
+            )
+            # file_path is a URI (percent-encoded): decode before
+            # matching against the manifest's raw filesystem paths, or
+            # a location with a space never matches and rows survive a
+            # DELETE that should have removed them
+            hit_uris = {
+                urllib.parse.unquote(urllib.parse.urlparse(r._meta_file_path).path):
+                    (r.n, r.hits)
+                for r in per_file
+                if r.hits > 0
+            }
+            partial = [f for f in partial if os.path.abspath(f.path) in hit_uris]
+            deleted_rows += sum(h for _, h in hit_uris.values())
+            survivors = sum(n - h for n, h in hit_uris.values())
+            if partial and survivors > 0:
+                remaining = self._read_files(partial).filter(
+                    ~F.coalesce(F.expr(where), F.lit(False))
+                )
                 rewritten = self._write_data_files(remaining)
+        if not full and deleted_rows == 0:
+            # nothing matched anywhere: a no-op DELETE commits nothing
+            return {"deleted_rows": 0, "dropped_files": 0, "rewritten_files": 0}
 
         removed = full_paths | {f.path for f in partial}
-        self._commit(
+        snap2 = self._commit(
             operation="delete",
             added=rewritten,
             removed_paths=removed,
@@ -859,7 +982,14 @@ class LakeTable:
                 "dropped_files": len(full),
                 "rewritten_files": len(rewritten),
             },
+            precondition=self._candidates_unchanged(removed),
         )
+        if snap2 is None:
+            self._discard_staging()
+            raise ConcurrentWriteConflict(
+                "DELETE lost a race: a concurrent writer replaced a "
+                "candidate file; re-run the statement"
+            )
         return {
             "deleted_rows": deleted_rows,
             "dropped_files": len(full),
@@ -1038,14 +1168,41 @@ class LakeTable:
                 if returning == ["*"]
                 else returning
             )
-            returning_rows = out.filter("__upd").select(*cols).collect()
-        rewritten = self._write_data_files(out.drop("__upd"))
-        self._commit(
+            # RETURNING shows the post-image as STORED: cast each column
+            # to its declared type, matching the assignment casts the
+            # written files get below
+            tmap = dict(ddl_fields(self.metadata.schema_ddl))
+            returning_rows = (
+                out.filter("__upd")
+                .select(
+                    *[
+                        F.col(c).cast(tmap[c]).alias(c) if c in tmap else F.col(c)
+                        for c in cols
+                    ]
+                )
+                .collect()
+            )
+        # assignment casts: an expression like qty/2 promotes the column
+        # type; _align_for_write pins every column back to its DECLARED
+        # type so the rewritten file stays readable by the schema-pinned
+        # scan (same PG-INSERT semantics as append)
+        rewritten = self._write_data_files(
+            self._align_for_write(out.drop("__upd"))
+        )
+        cand_paths = {f.path for f in candidates}
+        snap2 = self._commit(
             operation="overwrite",
             added=rewritten,
-            removed_paths={f.path for f in candidates},
+            removed_paths=cand_paths,
             summary={"updated_rows": updated_rows, "rewritten_files": len(rewritten)},
+            precondition=self._candidates_unchanged(cand_paths),
         )
+        if snap2 is None:
+            self._discard_staging()
+            raise ConcurrentWriteConflict(
+                "UPDATE lost a race: a concurrent writer replaced a "
+                "candidate file; re-run the statement"
+            )
         result = {"updated_rows": updated_rows, "rewritten_files": len(rewritten)}
         if returning_rows is not None:
             result["returning"] = returning_rows
@@ -1096,6 +1253,14 @@ class LakeTable:
         """
         if when_matched_update and when_matched_delete:
             raise ValueError("choose one of when_matched_update / when_matched_delete")
+        # Pin the source ONCE: merge runs several independent actions
+        # (key bounds, matched count, RETURNING collect, insert count,
+        # final write) and a non-deterministic source re-executed per
+        # action would make them disagree — counts reporting rows the
+        # write never saw, key-bound pruning computed from a different
+        # incarnation than the join. Same eager-checkpoint treatment the
+        # target candidates get below.
+        source = source.localCheckpoint(eager=True)
         self.materialize_deletes()  # same resurrect hazard as update()
         snap = self.metadata.current_snapshot()
         files = (
@@ -1220,11 +1385,18 @@ class LakeTable:
         new_data = pieces[0]
         for p in pieces[1:]:
             new_data = new_data.unionByName(p)
-        added = self._write_data_files(new_data) if candidates or inserted_rows else []
-        self._commit(
+        # assignment casts (see update()): inserted source columns and
+        # update expressions must land in the table's declared types
+        added = (
+            self._write_data_files(self._align_for_write(new_data))
+            if candidates or inserted_rows
+            else []
+        )
+        snap2 = self._commit(
             operation="merge",
             added=added,
             removed_paths=cand_paths,
+            precondition=self._candidates_unchanged(cand_paths),
             summary={
                 "updated_rows": updated_rows,
                 "deleted_rows": deleted_rows + source_deleted_rows,
@@ -1233,6 +1405,12 @@ class LakeTable:
                 "rewritten_files": len(candidates),
             },
         )
+        if snap2 is None:
+            self._discard_staging()
+            raise ConcurrentWriteConflict(
+                "MERGE lost a race: a concurrent writer replaced a "
+                "candidate file; re-run the statement"
+            )
         out = {
             "updated_rows": updated_rows,
             "deleted_rows": deleted_rows,
@@ -1375,6 +1553,10 @@ class LakeTable:
         )
 
     def drop_column(self, name: str) -> None:
+        # pending MoR predicates may reference the dropped column — make
+        # them physical first (same transparency rule as rename_column)
+        if self.active_delete_predicates():
+            self.materialize_deletes()
         fields = ddl_fields(self.metadata.schema_ddl)
         kept = [(n, t) for n, t in fields if n != name]
         if len(kept) == len(fields):
@@ -1399,7 +1581,16 @@ class LakeTable:
     def rename_column(self, old: str, new: str) -> None:
         """RENAME COLUMN — metadata-only; files written before the
         rename keep the old physical name and are resolved per era at
-        read time (the field-id indirection Iceberg gets for free)."""
+        read time (the field-id indirection Iceberg gets for free).
+
+        Pending MoR delete predicates store SQL over the CURRENT column
+        names; after a rename their text would no longer resolve (every
+        scan and materialization crashes — and a later re-add of the
+        old name would silently apply them to the wrong column). Make
+        them physical first; MoR is an optimization and must stay
+        transparent to DDL."""
+        if self.active_delete_predicates():
+            self.materialize_deletes()
         fields = ddl_fields(self.metadata.schema_ddl)
         names = [n for n, _ in fields]
         if old not in names:
@@ -1500,14 +1691,52 @@ def ddl_field_names(schema_ddl: str) -> list[str]:
     return [name for name, _ in ddl_fields(schema_ddl)]
 
 
-def _parse_partition_value(v: str):
+def _parse_partition_value(v: str, dtype: str | None = None):
+    """Directory values are type-lossy strings; ``dtype`` (the Spark
+    type the partition FIELD carries — the column type for identity/
+    truncate, int for the ordinal/bucket transforms) revives the value
+    so pruning compares like with like. Untyped parsing (legacy
+    manifests, no dtype) keeps the old int-or-string heuristic; the
+    pruning side additionally refuses to prune on mismatched kinds, so
+    either representation stays sound."""
     v = urllib.parse.unquote(v)
     if v == "__HIVE_DEFAULT_PARTITION__":
         return None
+    if dtype is not None:
+        base = dtype.split("(")[0].strip().lower()
+        try:
+            if base in ("int", "integer", "bigint", "smallint", "tinyint",
+                        "long", "short", "byte"):
+                return int(v)
+            if base in ("double", "float", "real", "decimal", "numeric"):
+                return float(v)
+            if base in ("date", "timestamp", "timestamp_ntz", "timestamp_ltz"):
+                # keep the ISO string (manifests are JSON, same
+                # convention as column stats); pruning revives it via
+                # _revive at compare time
+                return v
+            if base in ("boolean", "bool"):
+                return v.lower() in ("true", "t", "1")
+            if base in ("string", "varchar", "char", "text"):
+                return v  # '0123' must NOT collapse to 123
+        except ValueError:
+            return v
     try:
         return int(v)
     except ValueError:
         return v
+
+
+def _partition_field_types(schema_ddl: str, spec: list[dict]) -> dict[str, str]:
+    """Partition-field name → the Spark type its VALUES carry."""
+    coltypes = dict(ddl_fields(schema_ddl))
+    out = {}
+    for pf in spec or []:
+        if pf["transform"] in ("identity", "truncate"):
+            out[_pfield_name(pf)] = coltypes.get(pf["column"], "string")
+        else:  # year/month/day/hour ordinals and bucket ids are ints
+            out[_pfield_name(pf)] = "int"
+    return out
 
 
 def _footer_stats(meta) -> dict[str, dict]:
@@ -1527,7 +1756,17 @@ def _footer_stats(meta) -> dict[str, dict]:
             entry = agg.setdefault(name, {"min": None, "max": None, "null_count": 0})
             if st.has_min_max:
                 try:
-                    mn, mx = _jsonable(st.min), _jsonable(st.max)
+                    raw_mn, raw_mx = st.min, st.max
+                    mn, mx = _jsonable(raw_mn), _jsonable(raw_mx)
+                    # Decimal→float can round INWARD; widen by one ulp
+                    # so the stored bounds stay a superset (sound prune)
+                    import decimal as _decimal
+                    import math as _math
+
+                    if isinstance(raw_mn, _decimal.Decimal) and isinstance(mn, float):
+                        mn = _math.nextafter(mn, -_math.inf)
+                    if isinstance(raw_mx, _decimal.Decimal) and isinstance(mx, float):
+                        mx = _math.nextafter(mx, _math.inf)
                 except NotImplementedError:
                     # pyarrow can't extract stats for some physical types
                     # (e.g. fixed-len-byte-array decimals) — no stats, no
@@ -1552,6 +1791,14 @@ def _jsonable(v):
             return v.decode("utf-8")
         except UnicodeDecodeError:
             return None
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        # pyarrow returns Decimal for decimal column stats; manifests
+        # are JSON. float(v) alone could ROUND a bound inward (a min
+        # rounding up prunes a file that holds the true min), so the
+        # caller widens Decimal-sourced float bounds by one ulp.
+        return float(v)
     if isinstance(v, float) and (v != v):  # NaN never prunes
         return None
     return v

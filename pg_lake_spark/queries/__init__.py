@@ -79,6 +79,16 @@ _CODE_CHANGED_IN: dict[str, int] = {
     # r13: restore_table gained manifest-aware deletion-queue
     # reconciliation (maintenance review) — on dml_drop_restore's path.
     "dml_drop_restore": 13,
+    # r13: table.py review batch (typed partition values, per-file
+    # delete refinement, DML preconditions, _read_era atomic select,
+    # update/merge assignment casts) — on every dml_* row's path.
+    "dml_cow_delete": 13,
+    "dml_mor_lifecycle": 13,
+    "dml_merge_upsert": 13,
+    "dml_update_set": 13,
+    "dml_incremental_scan": 13,
+    "dml_changelog": 13,
+    "ddl_schema_evolution": 13,
 }
 
 

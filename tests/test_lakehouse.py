@@ -1280,7 +1280,9 @@ def test_partitions_and_file_stats_metadata_tables(spark, tmp_path):
     parts = {r.partition: (r.file_count, r.row_count) for r in t.partitions().collect()}
     assert len(parts) == 3
     assert sum(v[1] for v in parts.values()) == 90
-    assert {_json.loads(k)["p"] for k in parts} == {0, 1, 2}
+    # identity values carry the COLUMN's type: p is a string column, so
+    # its dir values stay strings (r13 fix — '0123' must not become 123)
+    assert {_json.loads(k)["p"] for k in parts} == {"0", "1", "2"}
 
     stats = t.file_stats().collect()
     assert len(stats) == sum(v[0] for v in parts.values())
@@ -1737,3 +1739,240 @@ def test_zorder_bits_clamped_to_long_range(spark, tmp_path):
     res = maintenance.rewrite_zorder(t, cols, n_files=2)
     assert res["added_files"] >= 1
     assert t.to_df().count() == 64
+
+
+# ---------------------------------------------------------------------------
+# r13 table.py review fixes (DML/schema/pruning correctness)
+# ---------------------------------------------------------------------------
+
+def test_identity_partition_prunes_typed_values(spark, tmp_path):
+    """Identity partition values carry the column's type: a date/string
+    partition must match its own equality predicate (the old
+    int-or-string dir parse compared str vs date — silently True for
+    != — and pruned files that HELD matching rows)."""
+    loc = str(tmp_path / "ident_date")
+    df = spark.sql(
+        "SELECT id, DATE'2024-01-01' + CAST(id % 3 AS INT) AS d "
+        "FROM range(30)"
+    )
+    t = LakeTable.create_from_dataframe(spark, loc, df, partition_by=["d"])
+    got = t.scan("d = '2024-01-02'")
+    assert got.count() == 10, "matching date-partition rows were pruned away"
+    assert t.last_scan_report.files_skipped >= 1  # pruning still prunes
+    # string column with a numeric-looking value must stay a string
+    loc2 = str(tmp_path / "ident_str")
+    df2 = spark.createDataFrame(
+        [(1, "0123"), (2, "0123"), (3, "7")], "id int, code string"
+    )
+    t2 = LakeTable.create_from_dataframe(spark, loc2, df2, partition_by=["code"])
+    assert t2.scan("code = '0123'").count() == 2
+
+
+def test_rename_column_with_pending_mor_predicate(spark, tmp_path):
+    """RENAME COLUMN after a MoR delete must not brick the table: the
+    stored predicate references the old name, so pending deletes are
+    made physical first."""
+    loc = str(tmp_path / "renmor")
+    t = LakeTable.create_from_dataframe(
+        spark, loc, spark.range(10).selectExpr("id", "id * 2 AS status")
+    )
+    t.delete("status >= 10", mode="mor")
+    t.rename_column("status", "state")
+    got = t.to_df()
+    assert "state" in got.columns
+    assert got.count() == 5  # the delete stayed applied
+    assert t.active_delete_predicates() == []
+
+
+def test_update_preserves_declared_types(spark, tmp_path):
+    """UPDATE assignments that promote a column's type (int/2 → double)
+    must be cast back to the declared type in the written files, or the
+    schema-pinned scan crashes on the physical mismatch."""
+    loc = str(tmp_path / "updtype")
+    t = LakeTable.create_from_dataframe(
+        spark, loc, spark.range(8).selectExpr("CAST(id AS INT) AS qty")
+    )
+    t.update({"qty": "qty / 2"})
+    got = t.to_df()  # would raise Parquet conversion error unfixed
+    assert dict(got.dtypes)["qty"] == "int"
+    assert sorted(r.qty for r in got.collect()) == [0, 0, 1, 1, 2, 2, 3, 3]
+
+
+def test_update_conflicts_with_concurrent_cow_delete(spark, tmp_path, monkeypatch):
+    """An UPDATE whose candidate file is replaced mid-statement by a
+    concurrent CoW delete must raise instead of silently overwriting
+    the delete (resurrected rows)."""
+    from pg_lake_spark.lakehouse import catalog as cat
+    from pg_lake_spark.lakehouse.table import ConcurrentWriteConflict
+
+    loc = str(tmp_path / "updrace")
+    t = LakeTable.create_from_dataframe(
+        spark, loc, spark.range(10).selectExpr("id", "id * 1.0 AS v")
+    )
+    orig = t._write_data_files
+    fired = []
+
+    def hijack(df):
+        out = orig(df)
+        if not fired:
+            fired.append(1)
+            LakeTable(spark, loc, cat.read_current_metadata(loc)).delete("id = 3")
+        return out
+
+    monkeypatch.setattr(t, "_write_data_files", hijack)
+    with pytest.raises(ConcurrentWriteConflict):
+        t.update({"v": "v + 100"})
+    t.refresh()
+    got = {r.id for r in t.to_df().select("id").collect()}
+    assert got == set(range(10)) - {3}, "concurrent delete was overwritten"
+    assert maintenance.find_unreferenced_files(t) == []
+
+
+def test_delete_noop_commits_nothing(spark, tmp_path):
+    """A DELETE matching zero rows must not rewrite candidate files or
+    commit a snapshot."""
+    loc = str(tmp_path / "delnoop")
+    t = LakeTable.create_from_dataframe(
+        spark, loc, spark.range(100).selectExpr("id", "id * 1.0 AS v")
+    )
+    v_before = t.metadata.current_snapshot().snapshot_id
+    res = t.delete("id = -1")  # stats overlap is impossible → candidates=0
+    res2 = t.delete("v = 0.5")  # inside stats range but matches nothing
+    assert res == res2 == {"deleted_rows": 0, "dropped_files": 0, "rewritten_files": 0}
+    t.refresh()
+    assert t.metadata.current_snapshot().snapshot_id == v_before
+    assert t.to_df().count() == 100
+
+
+def test_delete_rewrites_only_files_with_matches(spark, tmp_path):
+    """Stats overlap is a MAY-match: files whose stats admit the
+    predicate but hold no matching row must survive untouched."""
+    from pg_lake_spark.lakehouse import catalog as cat
+
+    loc = str(tmp_path / "delrefine")
+    t = LakeTable.create(spark, loc, "id bigint, v double")
+    # two files, both with id stats spanning [0, 19]
+    evens = spark.createDataFrame([(i, 1.0) for i in range(0, 20, 2)], "id bigint, v double")
+    odds = spark.createDataFrame([(i, 1.0) for i in range(1, 20, 2)], "id bigint, v double")
+    t.append(evens.coalesce(1))
+    t.append(odds.coalesce(1))
+    snap = t.metadata.current_snapshot()
+    before_paths = {f.path for f in cat.read_snapshot_files(loc, t.metadata, snap)}
+    res = t.delete("id = 2")  # lives only in the evens file
+    assert res["deleted_rows"] == 1 and res["rewritten_files"] == 1
+    snap2 = t.metadata.current_snapshot()
+    after_paths = {f.path for f in cat.read_snapshot_files(loc, t.metadata, snap2)}
+    assert len(before_paths & after_paths) == 1, "unmatched file was rewritten"
+    assert t.to_df().count() == 19
+
+
+def test_merge_casts_inserts_to_declared_types(spark, tmp_path):
+    """MERGE inserts from a wider-typed source must land in the table's
+    declared types (same assignment-cast rule as append)."""
+    loc = str(tmp_path / "mergecast")
+    t = LakeTable.create(spark, loc, "k int, v int")
+    t.append(spark.createDataFrame([(1, 10)], "k int, v int"))
+    src = spark.range(2, 4).selectExpr("id AS k", "id * 100 AS v")  # bigints
+    t.merge(src, on=["k"], when_matched_update={"v": "s.v"})
+    got = t.to_df()
+    assert dict(got.dtypes) == {"k": "int", "v": "int"}
+    assert {(r.k, r.v) for r in got.collect()} == {(1, 10), (2, 200), (3, 300)}
+
+
+def test_changelog_from_zero(spark, tmp_path):
+    """changelog(from_snapshot_id=0) is the replay-everything lower
+    bound (as incremental_scan documents): every current row appears
+    once as an insert."""
+    loc = str(tmp_path / "cl0")
+    t = LakeTable.create_from_dataframe(spark, loc, spark.range(5))
+    t.append(spark.range(5, 8))
+    ch = t.changelog(0)
+    rows = ch.collect()
+    assert len(rows) == 8 and all(r._change_type == "insert" for r in rows)
+
+
+def test_create_rejects_unknown_partition_column(spark, tmp_path):
+    with pytest.raises(ValueError, match="partition column tz not found"):
+        LakeTable.create(
+            spark, str(tmp_path / "badspec"), "id int, ts timestamp_ntz",
+            partition_by=["day(tz)"],
+        )
+
+
+def test_add_files_validates_partition_keys(spark, tmp_path):
+    """add_files must reject partition_values keyed on anything but the
+    spec's field names — a misnamed key used to record None and make
+    the rows invisible to pruning."""
+    src = spark.createDataFrame([(1, "2024-01-05 00:00:00")], "id bigint, ts string")
+    p = str(tmp_path / "loose.parquet")
+    src.selectExpr("id", "CAST(ts AS TIMESTAMP_NTZ) AS ts").coalesce(1).write.parquet(p)
+    import glob as _glob
+
+    part = _glob.glob(os.path.join(p, "*.parquet"))[0]
+    loc = str(tmp_path / "addf")
+    t = LakeTable.create(
+        spark, loc, "id bigint, ts timestamp_ntz", partition_by=["day(ts)"]
+    )
+    with pytest.raises(ValueError, match="must be exactly"):
+        t.add_files([part], partition_values={"ts": "2024-01-05"})
+    t.add_files([part], partition_values={"ts_day": 19727})  # 2024-01-05
+    assert t.to_df().count() == 1
+
+
+def test_rename_swap_reads_old_files(spark, tmp_path):
+    """A rename cycle that swaps two columns (x→tmp, y→x, tmp→y) must
+    still read pre-swap files correctly (single atomic select — the old
+    sequential renames collided on the duplicate name)."""
+    loc = str(tmp_path / "swap")
+    t = LakeTable.create_from_dataframe(
+        spark, loc,
+        spark.createDataFrame([(1, 100), (2, 200)], "x int, y int"),
+    )
+    t.rename_column("x", "tmp")
+    t.rename_column("y", "x")
+    t.rename_column("tmp", "y")
+    got = {(r.x, r.y) for r in t.to_df().collect()}
+    assert got == {(100, 1), (200, 2)}, "swap rename misread old files"
+
+
+def test_delete_in_location_with_space(spark, tmp_path):
+    """The per-file match probe compares the scan's percent-encoded
+    file URIs against raw manifest paths — a location with a space
+    must still delete (the un-decoded compare silently no-ops)."""
+    loc = str(tmp_path / "has space" / "t")
+    t = LakeTable.create_from_dataframe(
+        spark, loc, spark.range(10).selectExpr("id", "id * 1.0 AS v")
+    )
+    res = t.delete("id >= 8 AND id < 9")  # partial-file CoW path
+    assert res["deleted_rows"] == 1
+    assert t.to_df().count() == 9
+
+
+def test_update_returning_shows_stored_values(spark, tmp_path):
+    """RETURNING reflects the post-image AS STORED (after assignment
+    casts): int column updated with a fractional expression returns the
+    cast int, not the transient double."""
+    loc = str(tmp_path / "updret")
+    t = LakeTable.create_from_dataframe(
+        spark, loc, spark.createDataFrame([(1, 7)], "id int, qty int")
+    )
+    res = t.update({"qty": "qty / 2"}, where="id = 1", returning=["qty"])
+    assert [r.qty for r in res["returning"]] == [3]
+    assert t.to_df().collect()[0].qty == 3
+
+
+def test_materialize_after_rename_keeps_current_layout(spark, tmp_path):
+    """Rewrites pin added_snapshot_id for MoR scoping but write bytes
+    in the CURRENT schema — era resolution must key on the schema
+    stamp, or a later rename maps the rewritten file to a physical
+    name it never had and its column reads back as silent NULLs."""
+    loc = str(tmp_path / "eraseq")
+    t = LakeTable.create_from_dataframe(
+        spark, loc, spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id int, s string")
+    )
+    t.rename_column("s", "label")  # rewritten files will carry 'label'
+    t.delete("id = 1", mode="mor")
+    t.materialize_deletes()  # pins the rewrite to the inputs' sequence
+    t.rename_column("label", "tag")  # post-rewrite rename
+    got = {(r.id, r.tag) for r in t.to_df().collect()}
+    assert got == {(2, "b"), (3, "c")}, "pinned rewrite misread after rename"
