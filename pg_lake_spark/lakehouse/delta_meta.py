@@ -114,8 +114,14 @@ def _read_checkpoint_actions(path: str) -> list[dict]:
                 v.get("partitionValues"), list
             ):
                 v = {**v, "partitionValues": dict(v["partitionValues"])}
+            if key == "add" and isinstance(v.get("tags"), list):
+                v = {**v, "tags": dict(v["tags"])}
             if key == "metaData" and isinstance(v.get("configuration"), list):
                 v = {**v, "configuration": dict(v["configuration"])}
+            # a checkpoint declares every optional field (writer would
+            # silently drop undeclared keys); strip the None fillers so
+            # replayed actions look like their JSON-commit form
+            v = {k2: v2 for k2, v2 in v.items() if v2 is not None}
             out.append({key: v})
     return out
 
@@ -243,7 +249,11 @@ def _z85_decode(s: str) -> bytes:
 
 def _z85_encode(b: bytes) -> str:
     if len(b) % 4:
-        raise ValueError("z85 input must be a multiple of 4 bytes")
+        # Delta's Base85Codec zero-pads to a 4-byte boundary (inline-DV
+        # payloads are odd-length whenever container cardinality is
+        # odd); the DV decoder reads lengths from the roaring structure
+        # itself, so trailing pad bytes are inert.
+        b = b + b"\x00" * (4 - len(b) % 4)
     out = []
     for i in range(0, len(b), 4):
         v = int.from_bytes(b[i : i + 4], "big")
@@ -375,7 +385,12 @@ def _load_dv_positions(location: str, dv: dict) -> list[int]:
         raise NotImplementedError(f"deletion vector storageType {st!r}")
     with open(fpath, "rb") as f:
         raw = f.read()
-    off = int(dv.get("offset") or 0)
+    # The descriptor's offset is OPTIONAL; an on-disk DV file always
+    # starts with a 1-byte format version, so data can never begin at
+    # 0 — defaulting there would read the version byte as the high
+    # byte of the big-endian size and reject a valid DV.
+    off = dv.get("offset")
+    off = int(off) if off is not None else 1
     import struct as _struct
 
     (size,) = _struct.unpack_from(">I", raw, off)
@@ -433,12 +448,33 @@ def _prune_adds_by_predicate(
     return {p: a for p, a in adds.items() if p in surviving}
 
 
+# characters java.net.URI leaves unescaped in a path component
+# (unreserved + path punctuation) — parity pinned by
+# test_uri_key_matches_hadoop_encoding against the JVM encoder
+_URI_PATH_SAFE = "/_-!.~'()*,;:$&+=@"
+
+
 def _uri_key(spark: SparkSession, path: str) -> str:
     """The exact string ``_metadata.file_path`` yields for ``path``:
-    Hadoop's own Path→URI encoding (spaces → %20 etc.), so the
-    partition-map join key can never drift from Spark's encoder."""
+    Hadoop's Path→URI encoding (spaces → %20 etc.), so the
+    partition-map join key can never drift from Spark's encoder.
+
+    Local paths take a pure-Python quoter that replicates
+    java.net.URI's path encoder — the previous per-file py4j round
+    trip made scan PLANNING O(N) blocking driver RPCs (minutes at
+    100k files). Scheme'd paths (one Path object semantics per
+    filesystem) keep the JVM call."""
     if "://" not in path:
-        path = "file:" + os.path.abspath(path)
+        # java.net.URI.toString() leaves non-ASCII characters RAW (only
+        # toASCIIString percent-encodes them) — so encode only the
+        # unsafe ASCII characters, byte-wise
+        out = []
+        for ch in os.path.abspath(path):
+            if ord(ch) >= 0x80 or ch.isalnum() or ch in _URI_PATH_SAFE:
+                out.append(ch)
+            else:
+                out.append(f"%{ord(ch):02X}")
+        return "file:" + "".join(out)
     return spark._jvm.org.apache.hadoop.fs.Path(path).toUri().toString()
 
 
@@ -647,22 +683,19 @@ def scan_delta(
 # ---------------------------------------------------------------------------
 
 
-def _next_version(location: str) -> int:
-    log_dir = _log_dir(location)
-    if not os.path.isdir(log_dir):
-        return 0
-    vs = [
-        int(m.group(1))
-        for n in os.listdir(log_dir)
-        if (
-            m := (
-                _COMMIT_RE.fullmatch(n)
-                or _CHECKPOINT_RE.fullmatch(n)
-                or _CHECKPOINT_PART_RE.fullmatch(n)
-            )
+def _check_writable(state: _DeltaState) -> None:
+    """The write paths emit LOGICAL column names in data files and
+    partitionValues keys; a column-mapping table declares PHYSICAL
+    (col-<uuid>) names, so an append would scan back all-NULL and
+    mis-key partition recovery. Refuse loudly rather than corrupt."""
+    conf = (state.metadata or {}).get("configuration") or {}
+    cmap = conf.get("delta.columnMapping.mode", "none")
+    if cmap not in (None, "", "none"):
+        raise NotImplementedError(
+            f"writing to a Delta table with columnMapping.mode={cmap!r} "
+            "is not supported (files would carry logical names a "
+            "physical-name reader cannot resolve)"
         )
-    ]
-    return max(vs) + 1 if vs else 0
 
 
 def _write_commit(location: str, version: int, actions: list[dict]) -> str:
@@ -690,12 +723,22 @@ def _write_commit(location: str, version: int, actions: list[dict]) -> str:
     try:
         os.link(tmp, path)
     except FileExistsError:
-        os.unlink(tmp)
         raise ConcurrentDeltaCommitError(
             f"commit version {version} already exists at {path}; "
             "reload the log and retry at the next version"
         ) from None
-    os.unlink(tmp)
+    except OSError as exc:
+        raise NotImplementedError(
+            f"filesystem at {log_dir} does not support hard links "
+            "(os.link), which the put-if-absent Delta commit requires"
+        ) from exc
+    finally:
+        # the tmp must not leak on ANY exit — loser of the race, or a
+        # link-unsupported filesystem
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
     return path
 
 
@@ -776,6 +819,7 @@ def append_delta(spark: SparkSession, location: str, df: DataFrame) -> None:
     """Append ``df`` as the next commit, under the table's partitioning."""
     state = _replay(location)
     assert state.metadata is not None
+    _check_writable(state)
     pcols = state.metadata.get("partitionColumns") or []
     actions = _write_data_files(spark, location, df, pcols)
     _write_commit(location, state.version + 1, actions)
@@ -793,6 +837,7 @@ def append_delta_txn(
     re-invokes (the replayed state then reflects the winner)."""
     state = _replay(location)
     assert state.metadata is not None
+    _check_writable(state)
     if version <= state.txns.get(app_id, -1):
         return False
     pcols = state.metadata.get("partitionColumns") or []
@@ -823,6 +868,10 @@ def remove_delta_files(
         for a in state.adds.values()
         if pred(a.get("partitionValues") or {})
     ]
+    if not removes:
+        # a no-op remove must not burn a version (and steal a racing
+        # real writer's put-if-absent) for a commitInfo-only commit
+        return 0
     _write_commit(location, state.version + 1, removes)
     return len(removes)
 
@@ -834,8 +883,20 @@ def write_delta_checkpoint(spark: SparkSession, location: str) -> str:
     import pyarrow.parquet as papq
 
     state = _replay(location)
+    # pa.Table.from_pylist SILENTLY DROPS dict keys absent from the
+    # declared schema — every field an add/protocol can carry must be
+    # declared here, or a checkpoint-seeded replay loses it: a dropped
+    # readerFeatures defeats the fail-loud protocol guard, a dropped
+    # deletionVector resurrects deleted rows. (Remove tombstones are
+    # not retained by _DeltaState and so not emitted; our own replay
+    # never needs them — documented deviation for foreign VACUUM.)
     proto_t = pa.struct(
-        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
     )
     meta_t = pa.struct(
         [
@@ -846,6 +907,15 @@ def write_delta_checkpoint(spark: SparkSession, location: str) -> str:
             ("createdTime", pa.int64()),
         ]
     )
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
     add_t = pa.struct(
         [
             ("path", pa.string()),
@@ -853,14 +923,35 @@ def write_delta_checkpoint(spark: SparkSession, location: str) -> str:
             ("size", pa.int64()),
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+            ("tags", pa.map_(pa.string(), pa.string())),
+            ("deletionVector", dv_t),
         ]
     )
     txn_t = pa.struct([("appId", pa.string()), ("version", pa.int64())])
     md = state.metadata or {}
+    proto = dict(state.protocol or {"minReaderVersion": 1, "minWriterVersion": 2})
+
+    def _dv(a: dict):
+        dv = a.get("deletionVector")
+        if not dv:
+            return None
+        return {
+            "storageType": dv.get("storageType"),
+            "pathOrInlineDv": dv.get("pathOrInlineDv"),
+            "offset": dv.get("offset"),
+            "sizeInBytes": dv.get("sizeInBytes"),
+            "cardinality": dv.get("cardinality"),
+        }
+
     rows = [
         {
-            "protocol": state.protocol
-            or {"minReaderVersion": 1, "minWriterVersion": 2},
+            "protocol": {
+                "minReaderVersion": proto.get("minReaderVersion", 1),
+                "minWriterVersion": proto.get("minWriterVersion", 2),
+                "readerFeatures": proto.get("readerFeatures"),
+                "writerFeatures": proto.get("writerFeatures"),
+            },
             "metaData": None,
             "add": None,
             "txn": None,
@@ -896,6 +987,11 @@ def write_delta_checkpoint(spark: SparkSession, location: str) -> str:
                 "size": a.get("size"),
                 "modificationTime": a.get("modificationTime"),
                 "dataChange": False,
+                "stats": a.get("stats")
+                if isinstance(a.get("stats"), str)
+                else (json.dumps(a["stats"]) if a.get("stats") else None),
+                "tags": list((a.get("tags") or {}).items()) or None,
+                "deletionVector": _dv(a),
             },
         }
         for a in state.adds.values()

@@ -34,6 +34,7 @@ import os
 import re
 import time
 import uuid
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -169,8 +170,11 @@ def _iceberg_type_to_spark_ddl(t) -> str:
         raise ValueError(f"unsupported Iceberg type {t!r}")
     kind = t["type"]
     if kind == "struct":
+        # backtick-quote: Iceberg allows names with spaces/commas/colons
+        # that would mis-split or fail the DDL parse unquoted
         inner = ",".join(
-            f"{f['name']}:{_iceberg_type_to_spark_ddl(f['type'])}" for f in t["fields"]
+            f"`{f['name']}`:{_iceberg_type_to_spark_ddl(f['type'])}"
+            for f in t["fields"]
         )
         return f"struct<{inner}>"
     if kind == "list":
@@ -184,10 +188,46 @@ def _iceberg_type_to_spark_ddl(t) -> str:
 
 
 def spark_schema_from_iceberg(schema: dict) -> str:
-    """Spark DDL string for an Iceberg schema JSON object."""
+    """Spark DDL string for an Iceberg schema JSON object. Names are
+    backtick-quoted: Iceberg permits identifiers (spaces, commas) that
+    break unquoted DDL parsing."""
     return ", ".join(
-        f"{f['name']} {_iceberg_type_to_spark_ddl(f['type'])}" for f in schema["fields"]
+        f"`{f['name']}` {_iceberg_type_to_spark_ddl(f['type'])}"
+        for f in schema["fields"]
     )
+
+
+def _nested_mapping(t) -> list[dict] | None:
+    """name-mapping entries for one field's NESTED content (spec:
+    'Name Mapping Serialization' — lists map 'element', maps map
+    'key'/'value'). Top-level renames never touch nested names, so
+    each nested entry carries exactly its current name."""
+    if not isinstance(t, dict):
+        return None
+    kind = t.get("type")
+    if kind == "struct":
+        out = []
+        for f in t["fields"]:
+            m = {"field-id": f["id"], "names": [f["name"]]}
+            nf = _nested_mapping(f["type"])
+            if nf:
+                m["fields"] = nf
+            out.append(m)
+        return out
+    if kind == "list":
+        m = {"field-id": t["element-id"], "names": ["element"]}
+        nf = _nested_mapping(t["element"])
+        if nf:
+            m["fields"] = nf
+        return [m]
+    if kind == "map":
+        km = {"field-id": t["key-id"], "names": ["key"]}
+        vm = {"field-id": t["value-id"], "names": ["value"]}
+        nv = _nested_mapping(t["value"])
+        if nv:
+            vm["fields"] = nv
+        return [km, vm]
+    return None
 
 
 def build_name_mapping(schema_log: list[dict], schema: dict) -> list[dict]:
@@ -209,7 +249,15 @@ def build_name_mapping(schema_log: list[dict], schema: dict) -> list[dict]:
             if e["to"] == cur:
                 cur = e["from"]
                 names.append(cur)
-        mapping.append({"field-id": f["id"], "names": names})
+        entry = {"field-id": f["id"], "names": names}
+        # nested content needs its own mapping entries (struct members,
+        # list 'element', map 'key'/'value') — without them external
+        # readers can assign no ids below the top level of id-less
+        # files and project nested values as NULL
+        nested = _nested_mapping(f["type"])
+        if nested:
+            entry["fields"] = nested
+        mapping.append(entry)
     # Safety (spec: a mapped name resolves to exactly ONE field id): a
     # physical name reused across eras — a rename freeing a name later
     # taken by a new column, or drop-then-re-add under the same name —
@@ -324,28 +372,84 @@ def _manifest_list_schema() -> dict:
     }
 
 
-def _partition_avro_fields(spec: list[dict], schema_ddl: str) -> list[dict]:
-    """Avro fields for the data_file.partition struct (ids 1000+)."""
+def _partition_avro_type(pf: dict, col_types: dict[str, str]):
+    """Avro type for one partition field's VALUES. The union branch
+    label in the JSON encoding (_partition_branch) MUST pick the same
+    type, or Avro's JsonDecoder rejects the record outright — deriving
+    the branch from the Python value's type while declaring from the
+    column's type crashed every export with an int/boolean/float/date
+    identity partition."""
+    t = pf["transform"]
+    if t in ("identity", "truncate"):
+        src = col_types.get(pf["column"], "string").split("(")[0].lower()
+        return {
+            "bigint": "long", "long": "long",
+            "int": "int", "integer": "int", "smallint": "int",
+            "tinyint": "int", "double": "double", "float": "float",
+            "boolean": "boolean", "string": "string",
+            "date": {"type": "int", "logicalType": "date"},
+            "timestamp": {"type": "long", "logicalType": "timestamp-micros"},
+            "timestamp_ntz": {"type": "long", "logicalType": "timestamp-micros"},
+        }.get(src, "string")
+    if t == "day":
+        return {"type": "int", "logicalType": "date"}
+    return "int"  # year / month / hour / bucket ordinals
+
+
+def _partition_branch(avro_t, v) -> dict:
+    """JSON union branch {label: value} matching the DECLARED type."""
+    import datetime as _dt
+
+    base = avro_t["type"] if isinstance(avro_t, dict) else avro_t
+    logical = avro_t.get("logicalType") if isinstance(avro_t, dict) else None
+    if logical == "date":
+        if isinstance(v, str):
+            v = _dt.date.fromisoformat(v)
+        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            v = (v - _dt.date(1970, 1, 1)).days
+        return {"int": int(v)}
+    if logical == "timestamp-micros":
+        if isinstance(v, str):
+            v = _dt.datetime.fromisoformat(v)
+        if isinstance(v, _dt.datetime):
+            v = int(
+                v.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000
+            )
+        return {"long": int(v)}
+    if base == "boolean":
+        return {"boolean": bool(v)}
+    if base == "string":
+        return {"string": v if isinstance(v, str) else str(v)}
+    if base == "double":
+        return {"double": float(v)}
+    if base == "float":
+        return {"float": float(v)}
+    if base == "int":
+        return {"int": int(v)}
+    return {"long": int(v)}
+
+
+def _spec_col_types(schema_ddl: str) -> dict[str, str]:
     from pyspark.sql.types import StructType
 
-    col_types = {f.name: f.dataType.simpleString() for f in StructType.fromDDL(schema_ddl).fields}
-    out = []
-    for i, pf in enumerate(spec):
-        name = _pfield_name(pf)
-        t = pf["transform"]
-        if t == "identity" or t == "truncate":
-            src = col_types.get(pf["column"], "bigint")
-            avro_t = {"bigint": "long", "int": "int", "string": "string", "double": "double"}.get(
-                src, "string"
-            )
-        elif t == "day":
-            avro_t = {"type": "int", "logicalType": "date"}
-        else:  # year / month / hour / bucket
-            avro_t = "int"
-        out.append(
-            {"name": name, "type": ["null", avro_t], "default": None, "field-id": 1000 + i}
-        )
-    return out
+    return {
+        f.name: f.dataType.simpleString()
+        for f in StructType.fromDDL(schema_ddl).fields
+    }
+
+
+def _partition_avro_fields(spec: list[dict], schema_ddl: str) -> list[dict]:
+    """Avro fields for the data_file.partition struct (ids 1000+)."""
+    col_types = _spec_col_types(schema_ddl)
+    return [
+        {
+            "name": _pfield_name(pf),
+            "type": ["null", _partition_avro_type(pf, col_types)],
+            "default": None,
+            "field-id": 1000 + i,
+        }
+        for i, pf in enumerate(spec)
+    ]
 
 
 def _manifest_entry_schema(spec: list[dict], schema_ddl: str) -> dict:
@@ -530,12 +634,22 @@ def export_iceberg(table) -> str:
         "content": "data",
     }
 
+    col_types = _spec_col_types(md.schema_ddl)
+    # spec-global position deletes ride their own UNPARTITIONED spec
+    del_entry_schema = json.dumps(_manifest_entry_schema([], md.schema_ddl))
+    del_manifest_header = {
+        **manifest_header,
+        "partition-spec": "[]",
+        "partition-spec-id": "1",
+        "content": "deletes",
+    }
     snapshots_json = []
     snapshot_log = []
     for snap in export_snaps:
         files = snap_files[snap.snapshot_id]
         entries = [
-            _entry_json(f, snap.snapshot_id, md.partition_spec) for f in files
+            _entry_json(f, snap.snapshot_id, md.partition_spec, col_types)
+            for f in files
         ]
         manifest_path = os.path.join(
             meta_dir, f"manifest-{snap.snapshot_id}-{uuid.uuid4().hex}.avro"
@@ -568,9 +682,7 @@ def export_iceberg(table) -> str:
         applicable = [d for d in pos_delete_files if d[3] <= snap.snapshot_id]
         if applicable:
             del_entries = [
-                _delete_entry_json(
-                    path, size, rows, seq, snap.snapshot_id, md.partition_spec
-                )
+                _delete_entry_json(path, size, rows, seq, snap.snapshot_id)
                 for path, size, rows, seq in applicable
             ]
             del_manifest = os.path.join(
@@ -579,9 +691,9 @@ def export_iceberg(table) -> str:
             write_avro_file(
                 spark,
                 del_manifest,
-                entry_schema,
+                del_entry_schema,
                 del_entries,
-                {**manifest_header, "content": "deletes"},
+                del_manifest_header,
             )
             n_added = sum(1 for d in applicable if d[3] == snap.snapshot_id)
             list_records.append(
@@ -589,7 +701,7 @@ def export_iceberg(table) -> str:
                     {
                         "manifest_path": del_manifest,
                         "manifest_length": os.path.getsize(del_manifest),
-                        "partition_spec_id": 0,
+                        "partition_spec_id": 1,
                         "content": 1,
                         "sequence_number": snap.snapshot_id,
                         "min_sequence_number": min(d[3] for d in applicable),
@@ -636,7 +748,12 @@ def export_iceberg(table) -> str:
         "current-schema-id": 0,
         "schemas": [schema],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        # spec 1 (unpartitioned) carries the exported position-delete
+        # manifests — see _delete_entry_json
+        "partition-specs": [
+            {"spec-id": 0, "fields": spec_fields},
+            {"spec-id": 1, "fields": []},
+        ],
         "last-partition-id": 999 + len(spec_fields),
         "default-sort-order-id": _sort_order_id(md, schema),
         "sort-orders": _sort_orders(md, schema),
@@ -740,7 +857,12 @@ def _write_position_deletes(table, cur, cur_files) -> list[tuple[str, int, int, 
             for n in os.listdir(staging)
             if n.endswith(".parquet")
         )
-        n_rows = spark.read.parquet(part).count()
+        import pyarrow.parquet as _pq
+
+        # footer-only row count: a full spark.read...count() job per
+        # delete file paid a distributed scan for a number the footer
+        # already has
+        n_rows = _pq.ParquetFile(part).metadata.num_rows
         if n_rows == 0:
             import shutil
 
@@ -756,7 +878,7 @@ def _write_position_deletes(table, cur, cur_files) -> list[tuple[str, int, int, 
 
 
 def _delete_entry_json(
-    path: str, size: int, rows: int, seq: int, snapshot_id: int, spec: list[dict]
+    path: str, size: int, rows: int, seq: int, snapshot_id: int
 ) -> str:
     status = 1 if seq == snapshot_id else 0  # ADDED at its own snapshot
     return json.dumps(
@@ -769,9 +891,13 @@ def _delete_entry_json(
                 "content": 1,
                 "file_path": path,
                 "file_format": "PARQUET",
-                # path-scoped deletes carry no partition values (null per
-                # spec field); the entry schema still needs every field
-                "partition": {_pfield_name(pf): None for pf in spec},
+                # Path-scoped (spec-global) deletes live under the
+                # UNPARTITIONED spec (spec-id 1 in the export): Java
+                # readers index position deletes by (spec, partition),
+                # so all-null values under the PARTITIONED spec would
+                # match no data file's tuple and the deletes would be
+                # silently skipped by Spark/Trino/Flink.
+                "partition": {},
                 "record_count": rows,
                 "file_size_in_bytes": size,
                 "equality_ids": None,
@@ -780,7 +906,9 @@ def _delete_entry_json(
     )
 
 
-def _entry_json(f: DataFile, snapshot_id: int, spec: list[dict]) -> str:
+def _entry_json(
+    f: DataFile, snapshot_id: int, spec: list[dict], col_types: dict[str, str]
+) -> str:
     seq = f.added_snapshot_id or 0
     status = 1 if seq == snapshot_id else 0  # ADDED in its own snapshot else EXISTING
     partition = {}
@@ -790,15 +918,12 @@ def _entry_json(f: DataFile, snapshot_id: int, spec: list[dict]) -> str:
         if v is None:
             partition[name] = None
         else:
-            t = pf["transform"]
-            if t in ("identity", "truncate") and isinstance(v, str):
-                partition[name] = {"string": v}
-            elif t in ("identity", "truncate") and isinstance(v, float):
-                partition[name] = {"double": v}
-            elif t in ("identity", "truncate"):
-                partition[name] = {"long": int(v)}
-            else:
-                partition[name] = {"int": int(v)}
+            # branch label derives from the DECLARED Avro type (the
+            # same one _partition_avro_fields wrote into the manifest
+            # schema), never from the Python value's type
+            partition[name] = _partition_branch(
+                _partition_avro_type(pf, col_types), v
+            )
     return json.dumps(
         {
             "status": status,
@@ -959,18 +1084,23 @@ def scan_iceberg_metadata(
         return spark.createDataFrame([], ddl)
 
     nm_raw = (meta.get("properties") or {}).get("schema.name-mapping.default")
-    mapping = json.loads(nm_raw) if nm_raw else None
-    with_pos = bool(delete_paths) or bool(eq_deletes)
-    if mapping:
-        df = _read_with_name_mapping(spark, paths, ddl, schema, mapping, with_pos)
+    if nm_raw:
+        mapping = json.loads(nm_raw)
     else:
-        df = spark.read.schema(ddl).parquet(*paths)
-        if with_pos:
-            df = df.select(
-                "*",
-                _norm_path(F.col("_metadata.file_path")).alias("__fp"),
-                F.col("_metadata.row_index").alias("__pos"),
-            )
+        # No mapping property: real Iceberg writers still resolve by
+        # PARQUET field id (a pre-rename file physically stores the old
+        # name and would read all-NULL by-name). The schema-derived
+        # identity mapping makes _read_with_name_mapping do id-first
+        # resolution with by-name fallback — by-name-identical for
+        # id-less files, id-correct for foreign ones. The per-file
+        # footer peek is the same O(files) driver planning cost the
+        # manifest walk already paid.
+        mapping = [
+            {"field-id": f["id"], "names": [f["name"]]}
+            for f in schema["fields"]
+        ]
+    with_pos = bool(delete_paths) or bool(eq_deletes)
+    df = _read_with_name_mapping(spark, paths, ddl, schema, mapping, with_pos)
 
     if delete_paths:
         # Position-delete parquet layout (spec): file_path string, pos long.
@@ -1116,22 +1246,33 @@ def _apply_equality_deletes(
 
 
 def _norm_path(col):
-    """Strip a file: scheme so delete-file paths and _metadata.file_path
-    compare equal regardless of how the writer spelled the URI."""
+    """Normalize a file path for join-key equality: percent-DECODE and
+    strip the file: scheme. ``_metadata.file_path`` is Hadoop-URI
+    encoded (space → %20) while delete-parquet ``file_path`` is usually
+    the writer's raw spelling — comparing them un-normalized silently
+    unapplies deletes for any location with a URI-unsafe character.
+    URLDecoder would also turn a literal '+' into a space, so '+' is
+    pre-escaped; try_url_decode degrades to the raw value for strings
+    with stray '%' that are not percent sequences."""
     from pyspark.sql import functions as F
 
-    return F.regexp_replace(col, "^file:(//)?", "")
+    decoded = F.coalesce(
+        F.try_url_decode(F.replace(col, F.lit("+"), F.lit("%2B"))), col
+    )
+    return F.regexp_replace(decoded, "^file:(//)?", "")
 
 
 def _fp_key(spark: SparkSession, path: str) -> str:
     """The string ``_norm_path(_metadata.file_path)`` yields for a local
-    ``path``: Hadoop's own Path→URI encoding (space → %20 etc.) minus the
-    ``file:`` scheme. Driver-built maps joined against the scan's file-path
-    column MUST use this key — ``os.path.abspath`` drifts on any special
-    character and an inner join would silently drop those files' rows."""
-    from pg_lake_spark.lakehouse.delta_meta import _uri_key
-
-    return re.sub(r"^file:(//)?", "", _uri_key(spark, path))
+    ``path``. Since _norm_path percent-DECODES (so raw writer-spelled
+    delete paths and Hadoop-encoded scan paths meet on one form), the
+    driver-side key is simply the decoded absolute path minus any
+    ``file:`` scheme. Driver-built maps joined against the scan's
+    file-path column MUST use this key."""
+    p = re.sub(r"^file:(//)?", "", path)
+    if "://" not in p:
+        p = os.path.abspath(p)
+    return unquote(p)
 
 
 def _read_with_name_mapping(
@@ -1185,17 +1326,27 @@ def _read_with_name_mapping(
     out = None
     for resolution, ps in groups.items():
         read_ddl = ", ".join(
-            f"{phys} {types[logical]}"
+            f"`{phys}` {types[logical]}"
             for (logical, _), phys in zip(field_names, resolution)
             if phys is not None
         )
-        g = spark.read.schema(read_ddl).parquet(*ps)
+        if read_ddl:
+            g = spark.read.schema(read_ddl).parquet(*ps)
+        else:
+            # zero fields resolved (stale mapping, all columns since
+            # re-added under new ids): the file's ROWS still exist —
+            # read a zero-column projection (footer row counts drive
+            # it) and surface all-NULL fields instead of crashing on
+            # an empty DDL parse
+            from pyspark.sql.types import StructType as _ST
+
+            g = spark.read.schema(_ST([])).parquet(*ps)
         cols = []
         for (logical, _), phys in zip(field_names, resolution):
             if phys is None:
                 cols.append(F.lit(None).cast(types[logical]).alias(logical))
             else:
-                cols.append(F.col(phys).alias(logical))
+                cols.append(F.col(f"`{phys}`").alias(logical))
         if with_pos:
             cols.append(_norm_path(F.col("_metadata.file_path")).alias("__fp"))
             cols.append(F.col("_metadata.row_index").alias("__pos"))
@@ -1386,11 +1537,17 @@ def iceberg_files(
                 df_ = e["data_file"]
                 raw_seq = _unwrap(e.get("sequence_number"))
                 m_seq = _unwrap(m.get("sequence_number"))
-                seq = (
-                    int(raw_seq)
-                    if raw_seq is not None
-                    else (int(m_seq) if fv >= 2 and m_seq is not None else 0)
-                )
+                if raw_seq is not None:
+                    seq = int(raw_seq)
+                elif fv >= 2 and m_seq is not None and e.get("status") == 1:
+                    seq = int(m_seq)  # ADDED inherits (v2 spec)
+                elif fv >= 2 and m_seq is not None:
+                    # EXISTING without an explicit sequence violates the
+                    # v2 spec (the scan path raises); the inspection
+                    # view reports NULL rather than inventing a number
+                    seq = None
+                else:
+                    seq = 0
                 content = df_.get("content", 0) or (
                     1
                     if m.get("content", 0) == 1 or header.get("content") == "deletes"
@@ -1442,8 +1599,12 @@ def iceberg_field_ids(location: str) -> dict[str, int]:
     column resolution for foreign readers and name-mapping export).
     Nested fields flatten with dotted paths."""
     md = iceberg_metadata(location)
-    schemas = {s["schema-id"]: s for s in md.get("schemas", [])}
-    schema = schemas.get(md.get("current-schema-id"), md.get("schema"))
+    # same resolution rules (schema-id default 0, schemas[0] fallback)
+    # as every other reader of this metadata — no second copy to drift
+    try:
+        schema = _current_schema(md)
+    except KeyError:
+        schema = None
     if schema is None:
         raise ValueError(f"no schema in metadata under {location}")
 

@@ -333,6 +333,15 @@ def conjunct_filter_paths(spark, frame, where: str) -> set[str] | None:
     for e in conjuncts:
         try:
             candidate = frame.filter(e.sql())  # analysis runs eagerly here
+            # Soundness: a conjunct is a per-FILE constant only when it
+            # references at least one (partition) column and is
+            # deterministic. A column-free conjunct (rand() < 0.5, or a
+            # constant) analyzes fine against ANY frame but evaluated
+            # file-wise would drop whole files whose ROWS still satisfy
+            # the full predicate.
+            cond = candidate._jdf.queryExecution().analyzed().condition()
+            if cond.references().isEmpty() or not cond.deterministic():
+                continue
         except Exception:
             continue
         frame = candidate

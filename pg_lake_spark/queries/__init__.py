@@ -89,6 +89,10 @@ _CODE_CHANGED_IN: dict[str, int] = {
     "dml_incremental_scan": 13,
     "dml_changelog": 13,
     "ddl_schema_evolution": 13,
+    # r13: delta_meta review batch (python-side _uri_key, sound
+    # conjunct pruning, checkpoint field preservation) — on
+    # d_delta_scan's path.
+    "d_delta_scan": 13,
 }
 
 

@@ -794,3 +794,160 @@ def test_dv_codec_roundtrip_fuzz():
     for _ in range(20):
         b = bytes(rng.randrange(256) for _ in range(4 * rng.randrange(1, 9)))
         assert dm._z85_decode(dm._z85_encode(b)) == b
+
+
+# ---------------------------------------------------------------------------
+# r13 delta_meta review fixes
+# ---------------------------------------------------------------------------
+
+def test_checkpoint_preserves_dv_and_protocol_features(spark, tmp_path):
+    """pa.Table.from_pylist silently drops dict keys absent from the
+    declared schema: a checkpoint that loses deletionVector resurrects
+    deleted rows on checkpoint-seeded replays, and one that loses
+    readerFeatures defeats the fail-loud protocol guard."""
+    from pg_lake_spark.lakehouse import delta_meta as dm
+
+    root = str(tmp_path / "cpdv")
+    os.makedirs(root)
+    pq_path = os.path.join(root, "part-0.parquet")
+    _write_parquet_file(
+        spark, pq_path, [(i, f"s{i}") for i in range(10)],
+        [("k", "long"), ("s", "string")],
+    )
+    dv = _make_dv_file(root, [1, 3, 5])
+    schema_json = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "s", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    _dv_log(root, schema_json, [{
+        "add": {
+            "path": "part-0.parquet",
+            "partitionValues": {},
+            "size": os.path.getsize(pq_path),
+            "modificationTime": 0,
+            "dataChange": True,
+            "deletionVector": dv,
+        }
+    }])
+    write_delta_checkpoint(spark, root)
+    # replay now seeds from the checkpoint (version 0 IS the checkpoint)
+    state = dm._replay(root)
+    (a,) = state.adds.values()
+    assert a.get("deletionVector", {}).get("cardinality") == 3
+    assert set(state.protocol.get("readerFeatures") or []) == {"deletionVectors"}
+    got = _rows(scan_delta(spark, root).select("k"))
+    assert got == [(0,), (2,), (4,), (6,), (7,), (8,), (9,)], (
+        "checkpoint-seeded replay resurrected DV-deleted rows"
+    )
+
+
+def test_conjunct_pruning_skips_column_free_conjuncts(spark):
+    """A conjunct referencing no column (constant, rand()) analyzes
+    against ANY frame but is not a per-file constant — applying it
+    file-wise silently drops whole files."""
+    from pg_lake_spark.lakehouse.pruning import conjunct_filter_paths
+
+    frame = spark.createDataFrame(
+        [("f1", "a"), ("f2", "b"), ("f3", "a")], "__path string, p string"
+    )
+    got = conjunct_filter_paths(spark, frame, "rand() < 0.5 AND p = 'a'")
+    assert got == {"f1", "f3"}  # rand() skipped, p='a' applied
+    # where the ONLY conjunct is column-free: no pruning at all
+    assert conjunct_filter_paths(spark, frame, "rand() < 0.5") is None
+    assert conjunct_filter_paths(spark, frame, "1 = 1") is None
+
+
+def test_uri_key_matches_hadoop_encoding(spark, tmp_path):
+    """The pure-Python fast path must emit byte-identical URIs to
+    Hadoop's Path encoder for every character class a real path hits
+    (the join key against _metadata.file_path tolerates zero drift)."""
+    from pg_lake_spark.lakehouse.delta_meta import _uri_key
+
+    for name in [
+        "plain.parquet", "has space.parquet", "pct%25.parquet",
+        "häßlich-ünïcode.parquet", "hash#q.parquet", "q?mark.parquet",
+        "plus+and=eq,comma;semi.parquet", "tilde~bang!quote'.parquet",
+        "at@dollar$amp&paren().parquet",
+    ]:
+        p = str(tmp_path / name)
+        jvm = spark._jvm.org.apache.hadoop.fs.Path(
+            "file:" + os.path.abspath(p)
+        ).toUri().toString()
+        assert _uri_key(spark, p) == jvm, f"drift for {name!r}"
+
+
+def test_dv_file_offset_absent_defaults_past_version_byte(spark, tmp_path):
+    """The descriptor's offset is optional; data starts after the
+    1-byte format version — defaulting to 0 reads the version byte as
+    the size's high byte and rejects a valid DV."""
+    root = str(tmp_path / "dvnooff")
+    os.makedirs(root)
+    from pg_lake_spark.lakehouse import delta_meta as dm
+
+    dv = _make_dv_file(root, [2, 4])
+    dv.pop("offset")
+    assert dm._load_dv_positions(root, dv) == [2, 4]
+
+
+def test_z85_encode_pads_odd_payloads():
+    """Inline-DV payloads are odd-length whenever total container
+    cardinality is odd; the encoder zero-pads like Delta's Base85Codec
+    instead of rejecting (the roaring decoder ignores trailing pad)."""
+    from pg_lake_spark.lakehouse import delta_meta as dm
+
+    data = dm._encode_dv_data([0])  # 34 bytes — not a multiple of 4
+    assert len(data) % 4 != 0
+    enc = dm._z85_encode(data)
+    assert dm._decode_dv_data(dm._z85_decode(enc)) == [0]
+
+
+def test_remove_delta_files_noop_commits_nothing(spark, tmp_path):
+    from pg_lake_spark.lakehouse import delta_meta as dm
+
+    loc = str(tmp_path / "rmnoop")
+    write_delta_table(
+        spark, loc,
+        spark.createDataFrame([(1, "a")], "id long, p string"),
+        partition_by=["p"],
+    )
+    v_before = dm._replay(loc).version
+    assert dm.remove_delta_files(loc, lambda pv: pv.get("p") == "zzz") == 0
+    assert dm._replay(loc).version == v_before, "no-op remove burned a version"
+
+
+def test_append_refuses_column_mapped_tables(spark, tmp_path):
+    """Write paths emit logical names; a columnMapping table declares
+    physical names — appending would scan back all-NULL. Refuse."""
+    import pytest as _pytest
+
+    from pg_lake_spark.lakehouse import delta_meta as dm
+
+    loc = str(tmp_path / "cmapw")
+    write_delta_table(spark, loc, spark.createDataFrame([(1,)], "id long"))
+    # flip the table to name mapping via a metaData commit
+    st = dm._replay(loc)
+    md = dict(st.metadata)
+    md["configuration"] = {"delta.columnMapping.mode": "name"}
+    dm._write_commit(loc, st.version + 1, [{"metaData": md}])
+    with _pytest.raises(NotImplementedError, match="columnMapping"):
+        dm.append_delta(spark, loc, spark.createDataFrame([(2,)], "id long"))
+
+
+def test_losing_commit_race_leaves_no_tmp(spark, tmp_path):
+    import glob as _glob
+
+    import pytest as _pytest
+
+    from pg_lake_spark.lakehouse import delta_meta as dm
+
+    loc = str(tmp_path / "racetmp")
+    write_delta_table(spark, loc, spark.createDataFrame([(1,)], "id long"))
+    with _pytest.raises(dm.ConcurrentDeltaCommitError):
+        dm._write_commit(loc, 0, [])  # version 0 already exists
+    leftovers = _glob.glob(os.path.join(loc, "_delta_log", "*.tmp-*"))
+    assert leftovers == []

@@ -1053,3 +1053,227 @@ def test_export_declares_sort_order(spark, tmp_path):
     # the exported table still scans correctly through the spec reader
     got = iceberg_meta.scan_iceberg(spark, loc)
     assert got.count() == 100
+
+
+# ---------------------------------------------------------------------------
+# r13 iceberg_meta review fixes
+# ---------------------------------------------------------------------------
+
+def test_export_identity_int_partition(spark, tmp_path):
+    """Avro union-branch alignment: an identity partition on an INT
+    column declares Avro 'int' — the manifest entry must emit the same
+    branch label, not {'long': …} (JsonDecoder hard-rejects the
+    mismatch and the whole export used to crash)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "ip"), "id bigint, grp int, v double",
+        partition_by=["grp"],
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 1, 1.0), (2, 2, 2.0), (3, 1, 3.0)], "id bigint, grp int, v double"
+        )
+    )
+    path = t.export_iceberg()
+    got = iceberg_meta.scan_iceberg(spark, path)
+    assert sorted((r.id, r.grp) for r in got.collect()) == [(1, 1), (2, 2), (3, 1)]
+
+
+def test_export_identity_date_and_bool_partition(spark, tmp_path):
+    """date identity partitions carry the Avro date logical type (int
+    days); boolean identity partitions carry Avro boolean."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "dp"), "id bigint, d date, flag boolean",
+        partition_by=["d", "flag"],
+    )
+    t.append(
+        spark.sql(
+            "SELECT id, DATE'2024-01-01' + CAST(id % 2 AS INT) AS d, "
+            "id % 2 = 0 AS flag FROM range(4)"
+        )
+    )
+    path = t.export_iceberg()
+    got = iceberg_meta.scan_iceberg(spark, path)
+    assert got.count() == 4
+    # the manifest really carries typed values (inspection view)
+    files = iceberg_meta.iceberg_files(spark, str(t.location)).collect()
+    parts = [json.loads(r.partition) for r in files if r.content == 0]
+    assert all(isinstance(p.get("d"), int) for p in parts)  # days since epoch
+
+
+def test_export_partitioned_mor_delete_under_unpartitioned_spec(spark, tmp_path):
+    """Spec-global position deletes export under their own UNPARTITIONED
+    spec (spec-id 1): Java readers index deletes by (spec, partition),
+    so all-null values under the partitioned spec would match nothing
+    and silently skip the deletes."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "pd"), "id bigint, grp int", partition_by=["grp"]
+    )
+    t.append(
+        spark.createDataFrame([(i, i % 2) for i in range(10)], "id bigint, grp int")
+    )
+    t.delete("id >= 8", mode="mor")
+    path = t.export_iceberg()
+    meta = json.load(open(path))
+    specs = {s["spec-id"]: s["fields"] for s in meta["partition-specs"]}
+    assert specs[1] == [] and specs[0] != []
+    got = iceberg_meta.scan_iceberg(spark, path)
+    assert sorted(r.id for r in got.collect()) == list(range(8))
+    files = iceberg_meta.iceberg_files(spark, str(t.location)).collect()
+    del_rows = [r for r in files if r.content == 1]
+    assert del_rows and all(r.spec_id == 1 for r in del_rows)
+    assert all(json.loads(r.partition) == {} for r in del_rows)
+
+
+def test_scan_without_mapping_resolves_by_field_id(spark, tmp_path):
+    """A foreign table with NO name-mapping property still resolves
+    files by PARQUET field id (real Iceberg writers never write the
+    property): a pre-rename file physically storing the old name must
+    return its values, not silent NULLs."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    root = tmp_path / "nomap"
+    data_dir = root / "data"
+    os.makedirs(data_dir)
+    # file written before a rename a→b: physical 'a', field id 1
+    f1 = str(data_dir / "prerename.parquet")
+    sch = pa.schema([pa.field("a", pa.string(), metadata={b"PARQUET:field_id": b"1"})])
+    papq.write_table(pa.table({"a": ["kept"]}, schema=sch), f1)
+
+    meta_dir = root / "metadata"
+    os.makedirs(meta_dir)
+    entry_schema = json.dumps(iceberg_meta._manifest_entry_schema([], "b string"))
+    entries = [json.dumps({
+        "status": 0, "snapshot_id": {"long": 7}, "sequence_number": None,
+        "file_sequence_number": None,
+        "data_file": {
+            "content": 0, "file_path": f1, "file_format": "PARQUET",
+            "partition": {}, "record_count": 1,
+            "file_size_in_bytes": os.path.getsize(f1), "equality_ids": None,
+        },
+    })]
+    manifest = str(meta_dir / "m1.avro")
+    iceberg_meta.write_avro_file(spark, manifest, entry_schema, entries, {})
+    metadata = {
+        "format-version": 1,
+        "table-uuid": "00000000-0000-0000-0000-000000000009",
+        "location": str(root), "last-updated-ms": 0, "last-column-id": 1,
+        "schema": {"type": "struct", "fields": [
+            {"id": 1, "name": "b", "required": False, "type": "string"},
+        ]},
+        "partition-spec": [], "properties": {},
+        "current-snapshot-id": 7,
+        "snapshots": [{"snapshot-id": 7, "timestamp-ms": 0, "manifests": [manifest]}],
+    }
+    with open(meta_dir / "v1.metadata.json", "w") as fh:
+        json.dump(metadata, fh)
+    got = iceberg_meta.scan_iceberg(spark, str(root))
+    assert _rows(got) == [("kept",)], "field-id resolution ignored without mapping"
+
+
+def test_name_mapping_covers_nested_fields(spark, tmp_path):
+    """Exported parquet carries no field ids, so the name-mapping must
+    map nested struct members / list elements / map keys+values too —
+    otherwise external readers project nested content as NULL."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "nested"),
+        "id bigint, s struct<a:int, b:string>, xs array<int>, m map<string,int>",
+    )
+    path = t.export_iceberg()
+    meta = json.load(open(path))
+    nm = json.loads(meta["properties"]["schema.name-mapping.default"])
+    by_name = {m["names"][0]: m for m in nm}
+    s_fields = {f["names"][0] for f in by_name["s"]["fields"]}
+    assert s_fields == {"a", "b"}
+    assert [f["names"] for f in by_name["xs"]["fields"]] == [["element"]]
+    assert {f["names"][0] for f in by_name["m"]["fields"]} == {"key", "value"}
+    assert all("field-id" in f for f in by_name["s"]["fields"])
+
+
+def test_foreign_schema_with_space_in_column_name(spark, tmp_path):
+    """Iceberg permits identifiers that break unquoted Spark DDL
+    ('first name'): the schema builders must backtick-quote."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    root = tmp_path / "spacename"
+    data_dir = root / "data"
+    os.makedirs(data_dir)
+    f1 = str(data_dir / "d.parquet")
+    papq.write_table(pa.table({"first name": ["ada"]}), f1)
+    meta_dir = root / "metadata"
+    os.makedirs(meta_dir)
+    entry_schema = json.dumps(
+        iceberg_meta._manifest_entry_schema([], "`first name` string")
+    )
+    entries = [json.dumps({
+        "status": 0, "snapshot_id": {"long": 1}, "sequence_number": None,
+        "file_sequence_number": None,
+        "data_file": {
+            "content": 0, "file_path": f1, "file_format": "PARQUET",
+            "partition": {}, "record_count": 1,
+            "file_size_in_bytes": os.path.getsize(f1), "equality_ids": None,
+        },
+    })]
+    manifest = str(meta_dir / "m1.avro")
+    iceberg_meta.write_avro_file(spark, manifest, entry_schema, entries, {})
+    metadata = {
+        "format-version": 1,
+        "table-uuid": "00000000-0000-0000-0000-00000000000a",
+        "location": str(root), "last-updated-ms": 0, "last-column-id": 1,
+        "schema": {"type": "struct", "fields": [
+            {"id": 1, "name": "first name", "required": False, "type": "string"},
+        ]},
+        "partition-spec": [], "properties": {},
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0, "manifests": [manifest]}],
+    }
+    with open(meta_dir / "v1.metadata.json", "w") as fh:
+        json.dump(metadata, fh)
+    got = iceberg_meta.scan_iceberg(spark, str(root))
+    assert got.columns == ["first name"]
+    assert _rows(got) == [("ada",)]
+
+
+def test_scan_file_with_foreign_field_ids_reads_null(spark, tmp_path):
+    """A live file whose field ids intersect NO current-schema id (and
+    whose names miss the mapping) still contributes its ROWS — as all
+    NULLs — instead of crashing the scan on an empty read schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    root = tmp_path / "ghostids"
+    data_dir = root / "data"
+    os.makedirs(data_dir)
+    f1 = str(data_dir / "ghost.parquet")
+    sch = pa.schema([pa.field("zz", pa.string(), metadata={b"PARQUET:field_id": b"99"})])
+    papq.write_table(pa.table({"zz": ["g1"], }, schema=sch), f1)
+    meta_dir = root / "metadata"
+    os.makedirs(meta_dir)
+    entry_schema = json.dumps(iceberg_meta._manifest_entry_schema([], "b string"))
+    entries = [json.dumps({
+        "status": 0, "snapshot_id": {"long": 1}, "sequence_number": None,
+        "file_sequence_number": None,
+        "data_file": {
+            "content": 0, "file_path": f1, "file_format": "PARQUET",
+            "partition": {}, "record_count": 1,
+            "file_size_in_bytes": os.path.getsize(f1), "equality_ids": None,
+        },
+    })]
+    manifest = str(meta_dir / "m1.avro")
+    iceberg_meta.write_avro_file(spark, manifest, entry_schema, entries, {})
+    metadata = {
+        "format-version": 1,
+        "table-uuid": "00000000-0000-0000-0000-00000000000b",
+        "location": str(root), "last-updated-ms": 0, "last-column-id": 1,
+        "schema": {"type": "struct", "fields": [
+            {"id": 1, "name": "b", "required": False, "type": "string"},
+        ]},
+        "partition-spec": [], "properties": {},
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0, "manifests": [manifest]}],
+    }
+    with open(meta_dir / "v1.metadata.json", "w") as fh:
+        json.dump(metadata, fh)
+    got = iceberg_meta.scan_iceberg(spark, str(root))
+    assert _rows(got) == [(None,)]
