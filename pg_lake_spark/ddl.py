@@ -1062,23 +1062,39 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
                         )
                     opts["compression"] = comp
                     break
+        # EVERY parsed option flows through (translate_copy_options
+        # validates and raises on unknowns) — the old
+        # compression/partition_by-only forwarding silently dropped
+        # HEADER false / DELIMITER ';' / NULL '\\N' from the statement.
+        opts.pop("format", None)
+        kwargs = {}
+        if "compression" in opts:
+            kwargs["compression"] = opts.pop("compression")
+        if "partition_by" in opts:
+            kwargs["partition_by"] = [
+                c.strip() for c in opts.pop("partition_by").split(",")
+            ]
+        for k, v in opts.items():
+            # PG boolean option spellings (on/off/1/0/true/false) —
+            # coerced only for the options that ARE booleans, so a
+            # DELIMITER 'on' stays a string
+            if k in ("header", "freeze", "null_padding", "auto_detect") and isinstance(
+                v, str
+            ):
+                v = v.lower() in ("true", "on", "1", "yes", "t")
+            kwargs[k] = v
         if direction == "TO":
             df = (
                 sess.spark.sql(src[1:-1])
                 if src.startswith("(")
                 else sess.spark.table(src.strip('"'))
             )
-            kwargs = {}
-            if "compression" in opts:
-                kwargs["compression"] = opts["compression"]
-            if "partition_by" in opts:
-                kwargs["partition_by"] = [
-                    c.strip() for c in opts["partition_by"].split(",")
-                ]
             copy_to(df, url, fmt=fmt, **kwargs)
             return None
+        kwargs.pop("partition_by", None)  # import derives partitioning
+        kwargs.pop("compression", None)  # reader auto-detects codecs
         table = sess.lake_table_handle(src.strip('"'))
-        copy_from(sess.spark, url, table, fmt=fmt)
+        copy_from(sess.spark, url, table, fmt=fmt, **kwargs)
         return None
 
     return sess.spark.sql(_expand_lake_file_list(sess, sql))

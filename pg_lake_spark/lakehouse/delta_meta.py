@@ -815,6 +815,20 @@ def write_delta_table(
     _write_commit(location, 0, actions)
 
 
+def _unlink_adds(location: str, actions: list[dict]) -> None:
+    """Remove the data files of losing ``add`` actions: a commit that
+    loses the put-if-absent race has already moved its parquet into the
+    table root, and a retry rewrites the batch — without cleanup every
+    conflict leaves an orphaned unreferenced copy on disk."""
+    for a in actions:
+        add = a.get("add")
+        if add:
+            try:
+                os.unlink(_abs_path(location, unquote(add["path"])))
+            except FileNotFoundError:
+                pass
+
+
 def append_delta(spark: SparkSession, location: str, df: DataFrame) -> None:
     """Append ``df`` as the next commit, under the table's partitioning."""
     state = _replay(location)
@@ -822,7 +836,11 @@ def append_delta(spark: SparkSession, location: str, df: DataFrame) -> None:
     _check_writable(state)
     pcols = state.metadata.get("partitionColumns") or []
     actions = _write_data_files(spark, location, df, pcols)
-    _write_commit(location, state.version + 1, actions)
+    try:
+        _write_commit(location, state.version + 1, actions)
+    except ConcurrentDeltaCommitError:
+        _unlink_adds(location, actions)
+        raise
 
 
 def append_delta_txn(
@@ -845,7 +863,11 @@ def append_delta_txn(
         {"txn": {"appId": app_id, "version": int(version),
                  "lastUpdated": int(time.time() * 1000)}}
     ] + _write_data_files(spark, location, df, pcols)
-    _write_commit(location, state.version + 1, actions)
+    try:
+        _write_commit(location, state.version + 1, actions)
+    except ConcurrentDeltaCommitError:
+        _unlink_adds(location, actions)
+        raise
     return True
 
 

@@ -118,12 +118,24 @@ class LakeTable:
     # ------------------------------------------------------------------
     # Write path
     # ------------------------------------------------------------------
-    def append(self, df: DataFrame, extra_summary: dict | None = None) -> Snapshot:
+    def append(
+        self,
+        df: DataFrame,
+        extra_summary: dict | None = None,
+        *,
+        precondition=None,
+        mutate=None,
+    ) -> Snapshot | None:
         """INSERT: new parquet files + stats + snapshot commit.
 
         ``extra_summary`` lets callers stamp commit provenance into the
         snapshot (the streaming ingest path records its micro-batch id
-        here for exactly-once replay protection).
+        here for exactly-once replay protection). ``precondition`` /
+        ``mutate`` pass through to :meth:`_commit` for callers that
+        keep their own commit-time bookkeeping (the file pipeline's
+        processed-set lives in table properties); an aborted
+        precondition returns None and the caller owns staging cleanup
+        (:meth:`_discard_staging`).
         """
         df = self._align_for_write(df)
         new_files = self._write_data_files(df)
@@ -138,6 +150,8 @@ class LakeTable:
             added=new_files,
             removed_paths=set(),
             summary=summary,
+            precondition=precondition,
+            mutate=mutate,
         )
 
     def _align_for_write(self, df: DataFrame) -> DataFrame:

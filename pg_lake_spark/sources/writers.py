@@ -55,10 +55,11 @@ def strftime_to_java(fmt: str) -> str:
     def flush() -> None:
         if lit:
             run = "".join(lit)
-            # Letters (pattern chars to Java) and % must be quoted; a
-            # run of pure punctuation can stay bare. Embedded quotes
-            # escape as '' per DateTimeFormatter.
-            if any(c.isalpha() or c in "%'" for c in run):
+            # Letters (pattern chars to Java), %, and DateTimeFormatter's
+            # reserved punctuation ([ ] start/end an optional section;
+            # # { } are reserved and throw) must be quoted; other
+            # punctuation can stay bare. Embedded quotes escape as ''.
+            if any(c.isalpha() or c in "%'[]#{}" for c in run):
                 out.append("'" + run.replace("'", "''") + "'")
             else:
                 out.append(run)
@@ -145,6 +146,8 @@ def _force_quote_lines(
     quote: str = '"',
     sep: str = ",",
     null_marker: str = "",
+    date_fmt: str | None = None,
+    ts_fmt: str | None = None,
 ) -> DataFrame:
     """PG ``FORCE_QUOTE (col, ...)`` semantics, built JVM-side.
 
@@ -169,9 +172,19 @@ def _force_quote_lines(
     if missing:
         raise ValueError(f"force_quote columns not in result: {missing}")
     needs = "[" + _re.escape(sep + quote) + "\r\n]"
+    dtypes = dict(df.dtypes)
 
     def field(name: str) -> "F.Column":
-        c = F.col(name).cast("string")
+        # honor the statement's DATE_FORMAT/TIMESTAMP_FORMAT here: the
+        # writer's dateFormat option acts on date/timestamp COLUMNS and
+        # this path hands it pre-formatted strings
+        dt = dtypes.get(name, "")
+        if date_fmt and dt == "date":
+            c = F.date_format(F.col(name), date_fmt)
+        elif ts_fmt and dt.startswith("timestamp"):
+            c = F.date_format(F.col(name), ts_fmt)
+        else:
+            c = F.col(name).cast("string")
         quoted = F.concat(
             F.lit(quote), F.replace(c, F.lit(quote), F.lit(quote * 2)), F.lit(quote)
         )
@@ -195,7 +208,7 @@ def copy_to(
     url: str,
     fmt: str = "parquet",
     *,
-    compression: str = "snappy",
+    compression: str | None = None,
     single_file: bool = False,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
@@ -214,6 +227,15 @@ def copy_to(
         # geo export: single-object vector file (the reference's GDAL
         # COPY TO writes one file too). Frames are encoded executor-side
         # and streamed to the file — no driver-side collect of raw rows.
+        # Options the single-object format cannot honor refuse loudly
+        # (the module's raise-on-unsupported rule), never drop silently.
+        if partition_by or mode != "overwrite" or single_file is not False:
+            raise ValueError(
+                "FlatGeobuf COPY TO writes one object: partition_by / "
+                "mode / single_file are not supported"
+            )
+        if compression not in (None, "none"):
+            raise ValueError(f"compression {compression!r} unsupported for {fmt}")
         from pg_lake_spark.sources.flatgeobuf import write_flatgeobuf_df
 
         geom_col = options.pop("geometry", "geometry")
@@ -221,6 +243,10 @@ def copy_to(
         return
     if fmt not in _FORMATS:
         raise ValueError(f"unsupported COPY format: {fmt} (use one of {sorted(_FORMATS)})")
+    if compression is None:
+        # per-format default: PG/DuckDB COPY TO writes text formats
+        # uncompressed; parquet keeps its container default
+        compression = "snappy" if fmt == "parquet" else "none"
     if compression not in _COMPRESSION[fmt]:
         raise ValueError(f"compression {compression!r} unsupported for {fmt}")
 
@@ -235,18 +261,41 @@ def copy_to(
         force_cols = list(options.pop("force_quote"))
     spark_opts = translate_copy_options(fmt, options, verb="TO")
     if force_cols is not None:
-        df = _force_quote_lines(
+        # The pre-formatted lines go through the TEXT writer, not the
+        # CSV writer: univocity re-inspects values and NUL-wraps any
+        # line containing its delimiter or a newline (a quoted field
+        # with an embedded \n is legal CSV and hit this), corrupting
+        # the output. text() emits each line verbatim; the header is
+        # injected per partition (CSV-writer parity) via an Arrow pass.
+        lines = _force_quote_lines(
             df,
             force_cols,
             quote=str(options.get("quote", '"')),
             sep=str(options.get("delimiter", ",")),
             null_marker=str(options.get("null", "")),
+            date_fmt=spark_opts.get("dateFormat"),
+            ts_fmt=spark_opts.get("timestampFormat"),
         )
-        # the single line column is fully formatted; give the writer a
-        # delimiter/quote surface it can never trigger on
-        spark_opts.update(
-            {"delimiter": _FQ_WRITER_DELIM, "quote": "", "escape": "", "sep": _FQ_WRITER_DELIM}
-        )
+        header_line = lines.columns[0]
+        data = lines.toDF("value")
+        if single_file:
+            data = data.coalesce(1)
+        h = options.get("header", True)
+        if h if isinstance(h, bool) else str(h).lower() != "false":
+
+            def _with_header(batches):
+                import pandas as pd
+
+                first = True
+                for pdf in batches:
+                    if first:
+                        first = False
+                        yield pd.DataFrame({"value": [header_line]})
+                    yield pdf
+
+            data = data.mapInPandas(_with_header, "value string")
+        data.write.mode(mode).option("compression", compression).text(url)
+        return
     out = df.coalesce(1) if single_file else df
     writer = out.write.mode(mode).option("compression", compression)
     if partition_by:
@@ -276,16 +325,29 @@ def copy_from(
     """
     from pg_lake_spark.sources import readers
 
+    fmt = fmt.lower()
+    if fmt not in _COPY_FROM_OPTS:
+        raise ValueError(
+            f"unsupported COPY FROM format: {fmt} "
+            f"(use one of {sorted(_COPY_FROM_OPTS)})"
+        )
     # Same PG-option surface as COPY TO: validate + translate (e.g.
     # null → nullValue so NULL markers don't load as literal strings;
     # unknown FROM options raise like the reference's copy.c errors).
     spark_opts = translate_copy_options(fmt, options, verb="FROM")
     df = readers.read_lake(spark, url, fmt=fmt, **spark_opts)
+    from pyspark.sql import functions as F
+
     from pg_lake_spark.lakehouse.table import ddl_field_names
 
     target_cols = ddl_field_names(table.metadata.schema_ddl)
-    missing = [c for c in target_cols if c not in df.columns]
+    # case-insensitive like Spark's own resolution (and PG's folding):
+    # a CSV header of 'ID,NAME' loads into (id, name)
+    by_fold = {c.lower(): c for c in df.columns}
+    missing = [c for c in target_cols if c.lower() not in by_fold]
     if missing:
         raise ValueError(f"COPY FROM source lacks table columns: {missing}")
-    aligned = df.select(*target_cols)
+    aligned = df.select(
+        *[F.col(by_fold[c.lower()]).alias(c) for c in target_cols]
+    )
     return table.append(aligned)

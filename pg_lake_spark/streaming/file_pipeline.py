@@ -7,15 +7,25 @@ logs_iceberg select * from logs_csv where _filename = any($1) $$)``:
 a job that discovers files matching a pattern, processes NEW files in
 batches of up to ``max_batch_size``, and never processes a file twice.
 
-Engine translation: each batch is one ``read_lake`` over exactly the
-batch's files (so only those files are scanned — the reference's
-``_filename = any($1)`` filter becomes the file list itself), an
-optional transform, and one LakeTable append. Exactly-once comes from
-the TABLE's own commit log: every append stamps the batch's file list
-into its snapshot summary, and the processed-set is rebuilt from those
-summaries on startup — a crash between append and any external
-bookmark cannot double-process (same design as the streaming ingest's
-micro-batch replay protection).
+Engine translation: each batch is ONE multi-path Spark read over
+exactly the batch's files (the reference's ``_filename = any($1)``
+filter becomes the file list itself), an optional transform, and one
+LakeTable append. Exactly-once comes from commit-time bookkeeping in
+the TABLE's metadata: the pipeline's processed-file set lives in a
+table PROPERTY (``pipeline-files:<name>``) that is checked and
+advanced INSIDE the commit lock — the same design as the streaming
+ingest's high-water mark, and for the same reasons:
+
+- properties survive snapshot EXPIRY (the first version kept the set
+  only in snapshot summaries, which ``max_snapshot_age`` expiry
+  deletes — an expired pipeline silently re-ingested every file);
+- the commit precondition makes two CONCURRENT ``run_pending`` calls
+  safe: the loser's append aborts inside the lock instead of
+  double-ingesting the batch.
+
+Snapshot summaries still carry the batch's file list for provenance,
+and legacy summaries are honored when reading the processed set
+(pre-property tables migrate forward on their next append).
 """
 
 from __future__ import annotations
@@ -27,6 +37,7 @@ from pyspark.sql import DataFrame, functions as F
 
 _SUMMARY_KEY = "pipeline-files"
 _SUMMARY_NAME = "pipeline-name"
+_PROP_PREFIX = "pipeline-files:"
 
 
 class FileListPipeline:
@@ -41,6 +52,10 @@ class FileListPipeline:
         transform=None,
         reader_options: dict | None = None,
     ) -> None:
+        if max_batch_size < 1:
+            raise ValueError(
+                f"max_batch_size must be >= 1 (got {max_batch_size})"
+            )
         self.name = name
         self.pattern = pattern
         self.table = table
@@ -49,16 +64,21 @@ class FileListPipeline:
         self.transform = transform
         self.reader_options = reader_options or {}
 
-    # -- exactly-once bookkeeping (from the table's snapshot summaries) ----
+    # -- exactly-once bookkeeping (table property + legacy summaries) ------
+
+    def _done_in(self, md) -> set[str]:
+        done: set[str] = set(
+            json.loads(md.properties.get(_PROP_PREFIX + self.name, "[]"))
+        )
+        # legacy (pre-property) bookkeeping lived in snapshot summaries
+        for snap in md.snapshots:
+            summary = snap.summary or {}
+            if summary.get(_SUMMARY_NAME) == self.name:
+                done.update(json.loads(summary.get(_SUMMARY_KEY, "[]")))
+        return done
 
     def processed_files(self) -> set[str]:
-        out: set[str] = set()
-        for snap in self.table.metadata.snapshots:
-            summary = snap.summary or {}
-            if summary.get(_SUMMARY_NAME) != self.name:
-                continue
-            out.update(json.loads(summary.get(_SUMMARY_KEY, "[]")))
-        return out
+        return self._done_in(self.table.metadata)
 
     def discover(self) -> list[str]:
         """New files matching the pattern, oldest-name-first (stable
@@ -69,6 +89,31 @@ class FileListPipeline:
     # -- processing --------------------------------------------------------
 
     def _read_batch(self, spark, files: list[str]) -> DataFrame:
+        """ONE read over the batch's files: N per-file reads paid N
+        inference scans and a deep unionByName chain, and per-file CSV
+        inference could even disagree across files (an all-null column
+        inferred differently). ``_filename`` is the scan's own file
+        path, percent-decoded to match the discovered names."""
+        fl = self.fmt.lower()
+        if fl in ("csv", "json", "parquet"):
+            df = (
+                spark.read.format(fl)
+                .options(**{k: str(v) for k, v in self.reader_options.items()})
+                .load(list(files))
+            )
+            if "_filename" in df.columns:
+                raise ValueError(
+                    "source data already has a _filename column; the "
+                    "pipeline reserves that name for file provenance"
+                )
+            fp = F.col("_metadata.file_path")
+            decoded = F.coalesce(
+                F.try_url_decode(F.replace(fp, F.lit("+"), F.lit("%2B"))), fp
+            )
+            return df.withColumn(
+                "_filename", F.regexp_replace(decoded, "^file:(//)?", "")
+            )
+        # formats needing driver-side parsing (geo, xlsx, …) read per file
         from pg_lake_spark.sources.readers import read_lake
 
         parts = []
@@ -83,10 +128,17 @@ class FileListPipeline:
     def run_pending(self, spark) -> dict:
         """Process every new file in batches; returns
         {files, batches, rows}."""
-        pending = self.discover()
         stats = {"files": 0, "batches": 0, "rows": 0}
-        for i in range(0, len(pending), self.max_batch_size):
-            batch = pending[i : i + self.max_batch_size]
+        # another process may have advanced the pipeline since this
+        # handle loaded its metadata — a stale image would re-ingest
+        self.table.refresh()
+        prop = _PROP_PREFIX + self.name
+        while True:
+            pending = self.discover()
+            if not pending:
+                return stats
+            batch = pending[: self.max_batch_size]
+            bset = set(batch)
             df = self._read_batch(spark, batch)
             if self.transform is not None:
                 df = self.transform(df)
@@ -94,17 +146,35 @@ class FileListPipeline:
                 n for n, _ in _table_fields(self.table)
             }:
                 df = df.drop("_filename")
+
+            def _precondition(md) -> bool:
+                # checked inside the commit lock: a concurrent run that
+                # ingested any of this batch first wins; we abort
+                return not (self._done_in(md) & bset)
+
+            def _mutate(md, sid) -> None:
+                md.properties[prop] = json.dumps(
+                    sorted(self._done_in(md) | bset)
+                )
+
             snap = self.table.append(
                 df,
                 extra_summary={
                     _SUMMARY_NAME: self.name,
                     _SUMMARY_KEY: json.dumps(batch),
                 },
+                precondition=_precondition,
+                mutate=_mutate,
             )
+            if snap is None:
+                # lost to a concurrent run: drop our staged files and
+                # re-discover against the winner's bookkeeping
+                self.table._discard_staging()
+                self.table.refresh()
+                continue
             stats["files"] += len(batch)
             stats["batches"] += 1
             stats["rows"] += int(snap.summary.get("added_rows", 0))
-        return stats
 
 
 def _table_fields(table):

@@ -16,8 +16,8 @@ from pyspark.sql.streaming import StreamingQuery
 
 from pg_lake_spark.lakehouse.table import LakeTable
 
-#: Snapshot-summary key recording the last applied micro-batch id.
-BATCH_ID_KEY = "streaming-batch-id"
+# (the "streaming-batch-id" summary key is owned by
+# LakeTable.append_streaming_batch — no second copy of it here)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

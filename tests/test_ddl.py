@@ -1154,3 +1154,28 @@ def test_deletion_queue_includes_dropped_tables(sess, spark, tmp_path):
         "SELECT path FROM lake_engine.deletion_queue WHERE table_name = 'dropq_t'"
     ).collect()
     assert rows and any(r.path.endswith(".parquet") for r in rows)
+
+
+def test_copy_sql_forwards_all_options(sess, spark, tmp_path):
+    """r13 review: `COPY t TO '...' (FORMAT csv, HEADER false,
+    DELIMITER ';')` must honor header/delimiter — the SQL route used to
+    forward only compression/partition_by and silently apply defaults."""
+    import glob as _glob
+
+    sess.warehouse = str(tmp_path / "wh")
+    sess.execute("CREATE TABLE copyopts (id int, s text) USING iceberg")
+    sess.execute("INSERT INTO copyopts VALUES (1, 'a'), (2, 'b')")
+    out = str(tmp_path / "noheader")
+    sess.execute(
+        f"COPY copyopts TO '{out}' (FORMAT csv, HEADER false, DELIMITER ';')"
+    )
+    files = _glob.glob(os.path.join(out, "*.csv"))
+    body = sorted(
+        line for f in files for line in open(f).read().splitlines()
+    )
+    assert body == ["1;a", "2;b"]  # no header, semicolon delimiter
+    # unknown options still refuse loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="invalid option"):
+        sess.execute(f"COPY copyopts TO '{tmp_path/'x'}' (FORMAT csv, BOGUS on)")

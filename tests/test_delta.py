@@ -951,3 +951,40 @@ def test_losing_commit_race_leaves_no_tmp(spark, tmp_path):
         dm._write_commit(loc, 0, [])  # version 0 already exists
     leftovers = _glob.glob(os.path.join(loc, "_delta_log", "*.tmp-*"))
     assert leftovers == []
+
+
+def test_losing_delta_append_leaves_no_orphan_files(spark, tmp_path, monkeypatch):
+    """A commit that loses the put-if-absent race has already moved its
+    parquet into the table root — the loser must unlink them or every
+    conflict leaves an orphaned copy of the batch on disk."""
+    import pytest as _pytest
+
+    from pg_lake_spark.lakehouse import delta_meta as dm
+
+    loc = str(tmp_path / "orphan")
+    write_delta_table(spark, loc, spark.createDataFrame([(1,)], "id long"))
+
+    orig = dm._write_data_files
+    def hijack(spark_, location, df, pcols):
+        out = orig(spark_, location, df, pcols)
+        dm._write_commit(location, 1, [])  # competing writer steals v1
+        return out
+
+    monkeypatch.setattr(dm, "_write_data_files", hijack)
+    with _pytest.raises(dm.ConcurrentDeltaCommitError):
+        dm.append_delta(spark, loc, spark.createDataFrame([(2,)], "id long"))
+    monkeypatch.setattr(dm, "_write_data_files", orig)
+
+    state = dm._replay(loc)
+    from urllib.parse import unquote as _uq
+    referenced = {
+        os.path.abspath(dm._abs_path(loc, _uq(a["path"])))
+        for a in state.adds.values()
+    }
+    on_disk = {
+        os.path.abspath(os.path.join(r, f))
+        for r, _d, fs in os.walk(loc)
+        for f in fs
+        if f.endswith(".parquet") and "_delta_log" not in r
+    }
+    assert on_disk == referenced, f"orphans: {on_disk - referenced}"

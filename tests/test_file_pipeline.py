@@ -100,3 +100,116 @@ def test_training_data_prep_example(spark, tmp_path):
     manifest = json.load(open(os.path.join(out, "shards", "_shard_manifest.json")))
     assert sum(v["rows"] for v in manifest.values()) == r["mixed_rows"]
     assert len(manifest) == r["shards"]
+
+
+# ---------------------------------------------------------------------------
+# r13 review fixes
+# ---------------------------------------------------------------------------
+
+def test_pipeline_bookkeeping_survives_snapshot_expiry(spark, tmp_path):
+    """The processed-file set lives in table PROPERTIES: snapshot
+    expiry (max_snapshot_age / VACUUM) deletes old summaries, and the
+    summary-only bookkeeping re-ingested every expired file."""
+    from pg_lake_spark.lakehouse import maintenance
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    _write_log(str(logs), "a.csv", [(1, "x")])
+    _write_log(str(logs), "b.csv", [(2, "y")])
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k int, v string")
+    pipe = FileListPipeline(
+        "exp-logs", str(logs / "*.csv"), t, fmt="csv",
+        reader_options={"header": True, "inferSchema": True},
+    )
+    assert pipe.run_pending(spark)["files"] == 2
+    t.append(spark.createDataFrame([(99, "manual")], "k int, v string"))
+    maintenance.expire_snapshots(t, max_age_s=0)  # drops pipeline snapshots
+    # a FRESH pipeline instance (restart) must not re-ingest
+    pipe2 = FileListPipeline(
+        "exp-logs", str(logs / "*.csv"), t, fmt="csv",
+        reader_options={"header": True, "inferSchema": True},
+    )
+    assert pipe2.run_pending(spark)["files"] == 0
+    assert t.to_df().count() == 3
+
+
+def test_pipeline_concurrent_runs_ingest_once(spark, tmp_path, monkeypatch):
+    """Two overlapping run_pending calls (cron overlap, two processes)
+    must ingest each file ONCE: the commit-lock precondition makes the
+    loser abort and re-discover."""
+    from pg_lake_spark.lakehouse import catalog as cat
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    _write_log(str(logs), "a.csv", [(1, "x"), (2, "y")])
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k int, v string")
+    pipe = FileListPipeline(
+        "race-logs", str(logs / "*.csv"), t, fmt="csv",
+        reader_options={"header": True, "inferSchema": True},
+    )
+    orig = t._write_data_files
+    fired = []
+
+    def hijack(df):
+        out = orig(df)
+        if not fired:
+            fired.append(1)
+            # a concurrent run on a second handle wins the race
+            t2 = LakeTable(spark, t.location, cat.read_current_metadata(t.location))
+            FileListPipeline(
+                "race-logs", str(logs / "*.csv"), t2, fmt="csv",
+                reader_options={"header": True, "inferSchema": True},
+            ).run_pending(spark)
+        return out
+
+    monkeypatch.setattr(t, "_write_data_files", hijack)
+    pipe.run_pending(spark)
+    t.refresh()
+    assert t.to_df().count() == 2, "overlapping runs double-ingested"
+    from pg_lake_spark.lakehouse.maintenance import find_unreferenced_files
+
+    assert find_unreferenced_files(t) == []  # loser's staging cleaned
+
+
+def test_pipeline_filename_column_semantics(spark, tmp_path):
+    """_filename reaches the transform as the DECODED source path (one
+    multi-path read; the per-file loop is gone for spark formats), and
+    a source that already HAS _filename refuses loudly."""
+    import pytest
+
+    logs = tmp_path / "logs dir"  # space: decode must normalize
+    logs.mkdir()
+    p = _write_log(str(logs), "a.csv", [(1, "x")])
+    seen = []
+
+    def spy(df):
+        seen.extend(r._filename for r in df.select("_filename").collect())
+        return df
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k int, v string")
+    pipe = FileListPipeline(
+        "fn-logs", str(logs / "*.csv"), t, fmt="csv", transform=spy,
+        reader_options={"header": True, "inferSchema": True},
+    )
+    assert pipe.run_pending(spark)["rows"] == 1
+    assert seen == [p]
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    with open(bad / "b.csv", "w") as fh:
+        fh.write("k,_filename\n1,boom\n")
+    t2 = LakeTable.create(spark, str(tmp_path / "t2"), "k int")
+    pipe2 = FileListPipeline(
+        "bad-logs", str(bad / "*.csv"), t2, fmt="csv",
+        reader_options={"header": True},
+    )
+    with pytest.raises(ValueError, match="_filename"):
+        pipe2.run_pending(spark)
+
+
+def test_pipeline_rejects_bad_batch_size(spark, tmp_path):
+    import pytest
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), "k int")
+    with pytest.raises(ValueError, match="max_batch_size"):
+        FileListPipeline("z", "/tmp/*.csv", t, max_batch_size=0)

@@ -207,8 +207,13 @@ def test_copy_to_force_quote_column_list(spark, tmp_path):
     copy_to(
         df.coalesce(1), out, fmt="csv", compression="none", force_quote=["b"]
     )
+    # the force-quote path writes pre-formatted lines via the TEXT
+    # writer (.txt parts) — the CSV writer NUL-wrapped any line holding
+    # its delimiter or an embedded newline
     csv_file = next(
-        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".csv")
+        os.path.join(out, f)
+        for f in os.listdir(out)
+        if f.endswith((".csv", ".txt"))
     )
     lines = sorted(open(csv_file).read().splitlines())[:-1]  # drop header
     assert lines == [
@@ -589,3 +594,90 @@ def test_gunzipped_prunes_superseded_copies(tmp_path):
     assert second != first
     left = glob.glob(pat)
     assert left == [second], f"stale copies not pruned: {left}"
+
+
+def test_copy_to_force_quote_hostile_values(spark, tmp_path):
+    """r13 review: values holding an embedded newline (legal CSV when
+    quoted) or the old internal writer delimiter \\x01 round-trip — the
+    CSV writer used to NUL-wrap those lines."""
+    import glob as _glob
+
+    import duckdb
+
+    from pg_lake_spark.sources.writers import copy_to
+
+    df = spark.createDataFrame(
+        [(1, "plain", "x"), (2, "line\nbreak", "y"), (3, "ctl\x01char", "z")],
+        "k int, a string, b string",
+    )
+    out = str(tmp_path / "fqh")
+    copy_to(df.coalesce(1), out, fmt="csv", compression="none", force_quote=["b"])
+    f = _glob.glob(os.path.join(out, "*.txt"))[0]
+    raw = open(f, "rb").read()
+    assert b"\x00" not in raw, "writer NUL-wrapped a formatted line"
+    back = duckdb.sql(
+        f"SELECT * FROM read_csv('{f}', header=true)"
+    ).fetchall()
+    assert sorted(back) == sorted(map(tuple, df.collect()))
+
+
+def test_copy_to_force_quote_honors_date_format(spark, tmp_path):
+    """r13 review: DATE_FORMAT/TIMESTAMP_FORMAT apply on the force-quote
+    path too (the writer option used to act on pre-formatted strings
+    and silently did nothing)."""
+    import glob as _glob
+
+    from pg_lake_spark.sources.writers import copy_to
+
+    df = spark.sql("SELECT 1 AS k, DATE'2024-01-05' AS d, 'v' AS b")
+    out = str(tmp_path / "fqd")
+    copy_to(
+        df.coalesce(1), out, fmt="csv", compression="none",
+        force_quote=["b"], date_format="%d/%m/%Y",
+    )
+    f = _glob.glob(os.path.join(out, "*.txt"))[0]
+    body = open(f).read().splitlines()
+    assert body[1] == '1,05/01/2024,"v"'
+
+
+def test_copy_to_default_compression_per_format(spark, tmp_path):
+    """r13 review: the vanilla copy_to(df, url, 'csv') must not die on
+    the parquet-only 'snappy' default — text formats default to
+    uncompressed like PG/DuckDB COPY."""
+    from pg_lake_spark.sources.writers import copy_to, copy_from
+
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    copy_to(df, str(tmp_path / "c.csv"), fmt="csv")  # used to raise
+    copy_to(df, str(tmp_path / "j.json"), fmt="json")
+    copy_to(df, str(tmp_path / "p.parquet"))  # parquet keeps snappy
+    assert spark.read.parquet(str(tmp_path / "p.parquet")).count() == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported COPY FROM format"):
+        copy_from(spark, str(tmp_path / "c.csv"), None, fmt="txt")
+
+
+def test_copy_from_case_insensitive_headers(spark, tmp_path):
+    """r13 review: a CSV header of 'ID,NAME' loads into (id, name) —
+    Spark resolution is case-insensitive and PG folds."""
+    from pg_lake_spark.lakehouse.table import LakeTable
+    from pg_lake_spark.sources.writers import copy_from
+
+    src = tmp_path / "up.csv"
+    src.write_text("ID,NAME\n1,ada\n2,bob\n")
+    t = LakeTable.create(spark, str(tmp_path / "ci"), "id int, name string")
+    copy_from(spark, str(src), t, fmt="csv", header=True)
+    got = {(r.id, r.name) for r in t.to_df().collect()}
+    assert got == {(1, "ada"), (2, "bob")}
+
+
+def test_strftime_reserved_punctuation_quoted():
+    """r13 review: DateTimeFormatter reserves [ ] # { } — literal runs
+    containing them must be quoted, not passed bare (bare [] becomes an
+    optional section; # throws at format time)."""
+    from pg_lake_spark.sources.writers import strftime_to_java
+
+    assert strftime_to_java("%Y[%m]") == "yyyy'['MM']'"
+    assert strftime_to_java("%d#%m") == "dd'#'MM"
+    assert strftime_to_java("%Y-%m-%d") == "yyyy-MM-dd"  # plain stays bare
