@@ -1168,19 +1168,29 @@ def _parse_assignments(blob: str) -> dict[str, str]:
     return out
 
 
-def _align_positional(df: DataFrame, table) -> DataFrame:
-    """VALUES inserts carry col1/col2… names; align positionally when
-    the arity matches and names don't."""
+def _align_positional(df: DataFrame, table, explicit_cols: bool = False) -> DataFrame:
+    """PG INSERT alignment: with an explicit column list the (already
+    renamed) names are authoritative; without one the SELECT/VALUES
+    outputs map POSITIONALLY onto the table's leading columns — source
+    column names are irrelevant in PG, so a mixed SELECT like
+    ``SELECT k + 1, p_name, 'x' FROM part`` must not fall back to
+    name matching on the one column that happens to collide (that
+    silently dropped the computed columns). Columns beyond the
+    provided prefix take their write-time DEFAULT in append()."""
     from pg_lake_spark.lakehouse.table import ddl_fields
 
     fields = [n for n, _ in ddl_fields(table.metadata.schema_ddl)]
-    if set(df.columns) & set(fields):
+    if explicit_cols:
+        unknown = [c for c in df.columns if c not in fields]
+        if unknown:
+            raise ValueError(f"INSERT column(s) {unknown} not in table")
         return df
-    if len(df.columns) != len(fields):
+    if len(df.columns) > len(fields):
         raise ValueError(
-            f"INSERT arity {len(df.columns)} != table arity {len(fields)}"
+            f"INSERT has more expressions ({len(df.columns)}) than "
+            f"target columns ({len(fields)})"
         )
-    return df.toDF(*fields)
+    return df.toDF(*fields[: len(df.columns)])
 
 
 def _cast_to_table(df: DataFrame, table) -> DataFrame:
@@ -1464,7 +1474,9 @@ def execute_lake_dml(sess, sql: str):
         if m.group("cols"):
             names = [c.strip().strip('"') for c in m.group("cols").split(",")]
             df = df.toDF(*names)
-        aligned = _cast_to_table(_align_positional(df, t), t)
+        aligned = _cast_to_table(
+            _align_positional(df, t, explicit_cols=bool(m.group("cols"))), t
+        )
         ret = None
         if ret_clause:
             # pin one evaluation: RETURNING must show exactly the rows

@@ -287,6 +287,154 @@ def dml_drop_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ddl_guc_numeric_schema",
+    oracle="""
+    SELECT 'type_small' AS item, 'decimal(12,2)' AS val
+    UNION ALL SELECT 'type_big', 'double'
+    UNION ALL SELECT 'type_unb', 'double'
+    UNION ALL SELECT 'type_strict', 'decimal(38,4)'
+    UNION ALL SELECT 'reject_p50', 'rejected'
+    UNION ALL SELECT 'rows',
+        (SELECT CAST(count(*) AS VARCHAR) FROM customer WHERE c_custkey <= 300)
+    UNION ALL SELECT 'cents_big',
+        (SELECT CAST(sum(CAST(round(c_acctbal * 200) AS BIGINT)) AS VARCHAR)
+         FROM customer WHERE c_custkey <= 300)
+    ORDER BY item
+    """,
+    doc="Session-GUC effect on CREATE TABLE (iceberg-tables.md:104-107, "
+    "guc.c analogue): with pg_lake_iceberg.unsupported_numeric_as_double "
+    "on, numeric(50,10) and unbounded numeric map to double while "
+    "numeric(12,2) stays decimal — queried back from the created "
+    "table's schema plus a value round-trip through the double column; "
+    "with the GUC off, numeric(38,4) still creates but numeric(50,10) "
+    "is rejected at CREATE (the observable off-state).",
+)
+def ddl_guc_numeric_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_lake_spark.session import LakeSession
+
+    t = load_tables(spark, sf_dir)
+    t["customer"]  # register the corpus view for INSERT ... SELECT
+    sess = LakeSession(spark)
+    sess.warehouse = _scratch("ddl_guc_numeric_schema")
+    sess.execute("SET pg_lake_iceberg.unsupported_numeric_as_double = on")
+    sess.execute(
+        "CREATE TABLE guc_num (k int, small numeric(12,2), big numeric(50,10), "
+        "unb numeric) USING iceberg"
+    )
+    sess.execute(
+        "INSERT INTO guc_num SELECT c_custkey, c_acctbal, c_acctbal * 2, "
+        "c_acctbal / 4 FROM customer WHERE c_custkey <= 300"
+    )
+    sess.execute("SET pg_lake_iceberg.unsupported_numeric_as_double = off")
+    sess.execute("CREATE TABLE guc_strict (a numeric(38,4)) USING iceberg")
+    try:
+        sess.execute("CREATE TABLE guc_reject (a numeric(50,10)) USING iceberg")
+        reject = "accepted"
+    except ValueError:
+        reject = "rejected"
+    sess.execute("RESET pg_lake_iceberg.unsupported_numeric_as_double")
+    dt = dict(spark.table("guc_num").dtypes)
+    dt_strict = dict(spark.table("guc_strict").dtypes)
+    consts = spark.createDataFrame(
+        [
+            ("type_small", dt["small"]),
+            ("type_big", dt["big"]),
+            ("type_unb", dt["unb"]),
+            ("type_strict", dt_strict["a"]),
+            ("reject_p50", reject),
+        ],
+        "item string, val string",
+    )
+    stats = (
+        spark.table("guc_num")
+        .agg(
+            F.count("*").cast("string").alias("n"),
+            F.sum(F.round(F.col("big") * 100).cast("bigint")).cast("string").alias("c"),
+        )
+        .selectExpr("stack(2, 'rows', n, 'cents_big', c) AS (item, val)")
+    )
+    return consts.unionAll(stats).orderBy("item")
+
+
+@query(
+    "ddl_expire_on_write",
+    oracle="""
+    SELECT n_nationkey, n_name, 1 AS snapshots
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    doc="Expire-on-write lifecycle (iceberg-tables.md:749): a table "
+    "created WITH (max_snapshot_age = 0) expires superseded snapshots "
+    "during each INSERT's commit — after four SQL INSERTs exactly one "
+    "snapshot survives (stamped into every row) while the data is the "
+    "union of all four batches.",
+)
+def ddl_expire_on_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_lake_spark.session import LakeSession
+
+    t = load_tables(spark, sf_dir)
+    t["nation"]
+    sess = LakeSession(spark)
+    sess.warehouse = _scratch("ddl_expire_on_write")
+    sess.execute(
+        "CREATE TABLE exp_t (n_nationkey int, n_name text) USING iceberg "
+        "WITH (max_snapshot_age = 0)"
+    )
+    for lo, hi in ((0, 6), (7, 12), (13, 18), (19, 99)):
+        sess.execute(
+            f"INSERT INTO exp_t SELECT n_nationkey, n_name FROM nation "
+            f"WHERE n_nationkey BETWEEN {lo} AND {hi}"
+        )
+    snaps = len(sess.lake_table_handle("exp_t").metadata.snapshots)
+    return (
+        spark.table("exp_t")
+        .select("n_nationkey", "n_name", F.lit(snaps).alias("snapshots"))
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
+    "ddl_alter_statements",
+    oracle="""
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name AS p_label,
+           'standard' AS p_tier
+    FROM part WHERE p_partkey <= 600
+    UNION ALL
+    SELECT CAST(p_partkey + 1000 AS BIGINT), p_name, 'premium'
+    FROM part WHERE p_partkey <= 200
+    ORDER BY p_partkey
+    """,
+    doc="SQL-routed ALTER lifecycle (alter_table.c:1-120 statement "
+    "surface, vs the API-routed ddl_schema_evolution): CTAS, ADD COLUMN "
+    "with const default (backfill-on-read), INSERT with the new column, "
+    "RENAME COLUMN (metadata-only), ALTER COLUMN TYPE int->bigint "
+    "(in-place promotion over int32 file eras), DROP COLUMN — the final "
+    "scan presents every era in the evolved schema.",
+)
+def ddl_alter_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_lake_spark.session import LakeSession
+
+    t = load_tables(spark, sf_dir)
+    t["part"]
+    sess = LakeSession(spark)
+    sess.warehouse = _scratch("ddl_alter_statements")
+    sess.execute(
+        "CREATE TABLE alt_t USING iceberg AS "
+        "SELECT CAST(p_partkey AS INT) AS p_partkey, p_name, p_retailprice "
+        "FROM part WHERE p_partkey <= 600"
+    )
+    sess.execute("ALTER TABLE alt_t ADD COLUMN p_tier text DEFAULT 'standard'")
+    sess.execute(
+        "INSERT INTO alt_t SELECT CAST(p_partkey + 1000 AS INT), p_name, "
+        "p_retailprice + 50, 'premium' FROM part WHERE p_partkey <= 200"
+    )
+    sess.execute("ALTER TABLE alt_t RENAME COLUMN p_name TO p_label")
+    sess.execute("ALTER TABLE alt_t ALTER COLUMN p_partkey TYPE bigint")
+    sess.execute("ALTER TABLE alt_t DROP COLUMN p_retailprice")
+    return spark.table("alt_t").orderBy("p_partkey")
+
+
+@query(
     "dml_changelog",
     oracle="""
     SELECT 'delete' AS _change_type, c_custkey, round(c_acctbal, 2) AS bal

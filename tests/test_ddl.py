@@ -693,6 +693,34 @@ def test_update_returning_empty_schema_from_table(spark, tmp_path, sess):
     assert out.schema["k"].dataType.simpleString() == "bigint"
 
 
+def test_insert_select_positional_with_name_collision(sess, spark, tmp_path):
+    """PG semantics: INSERT ... SELECT without a column list maps
+    positionally even when ONE select output happens to share a table
+    column's name — computed neighbors must not be silently dropped to
+    defaults (pre-r14 bug: any name intersection switched alignment to
+    by-name and the unmatched expressions vanished)."""
+    sess.warehouse = str(tmp_path / "wh")
+    sess.execute("CREATE TABLE pos_t (k int, v text, w double) USING iceberg")
+    sess.execute("INSERT INTO pos_t VALUES (1, 'a', 1.5)")
+    # v collides by name; k+100 and w*2 have expression names.
+    sess.execute("INSERT INTO pos_t SELECT k + 100, v, w * 2 FROM pos_t WHERE k = 1")
+    rows = {r.k: (r.v, r.w) for r in spark.table("pos_t").collect()}
+    assert rows == {1: ("a", 1.5), 101: ("a", 3.0)}
+    # positional prefix: a shorter SELECT fills the remainder with DEFAULT
+    sess.execute("INSERT INTO pos_t SELECT 7, 'short'")
+    assert {(r.k, r.v, r.w) for r in spark.table("pos_t").filter("k = 7").collect()} == {
+        (7, "short", None)
+    }
+    # more expressions than columns still raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="more expressions"):
+        sess.execute("INSERT INTO pos_t SELECT 1, 'x', 2.0, 'extra'")
+    # explicit column list with an unknown name raises
+    with _pytest.raises(ValueError, match="not in table"):
+        sess.execute("INSERT INTO pos_t (k, nope) SELECT 1, 'x'")
+
+
 def test_insert_coercion_pg_semantics(sess, spark, tmp_path):
     """PG INSERT coercion (pg_lake docs: INSERT coerces to column type):
     fractional numerics ROUND to nearest integer (PG numeric->int rule,
