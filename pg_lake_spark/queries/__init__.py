@@ -93,6 +93,11 @@ _CODE_CHANGED_IN: dict[str, int] = {
     # conjunct pruning, checkpoint field preservation) — on
     # d_delta_scan's path.
     "d_delta_scan": 13,
+    # r14: q20 gained the nation-suppliers semi-join-first prefilter;
+    # q21 rewrote collect_set windows to map-side min/max aggregates
+    # (VERDICT r13 #4, applied while both rows' r6 greens reset anyway).
+    "q20_excess_suppliers": 14,
+    "q21_waiting_suppliers": 14,
 }
 
 

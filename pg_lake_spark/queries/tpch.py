@@ -851,11 +851,30 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
+    # Semi-join-first (r10 lever, applied r14 while the row re-certifies):
+    # the IN-subquery's grouped sum is per-suppkey, so restricting the
+    # fact to the target nation's suppliers BEFORE the aggregate keeps
+    # each surviving supplier's sum intact while shrinking the aggregate
+    # input ~25x (one nation of 25). The supplier-key set is one nation's
+    # slice — broadcast when small, shuffle-semi otherwise.
+    supp_nation = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
     heavy = (
         t["lineitem"]
         .filter(
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(
+            _bcast(supp_nation.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
         )
         .join(
             _bcast(t["part"].filter(F.col("p_type") == "SMALL")),
@@ -867,12 +886,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey")
     )
     return (
-        t["supplier"]
-        .join(
-            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_3")),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        supp_nation.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_name", "s_suppkey")
         .orderBy("s_suppkey")
     )
@@ -902,34 +916,41 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
     doc="TPC-H Q21 shape: EXISTS + NOT EXISTS, rewritten as per-order "
-    "window aggregates — a row qualifies iff its order has ≥2 distinct "
-    "suppliers (EXISTS another supplier) and exactly 1 distinct LATE "
-    "supplier (NOT EXISTS another late one). One lineitem scan and one "
-    "l_orderkey shuffle replace the naive plan's three scans and "
-    "semi+anti self-joins; the window reuses the orders-join "
-    "partitioning, so no extra exchange.",
+    "min/max aggregates — the order qualifies iff it has ≥2 distinct "
+    "suppliers (min ≠ max over suppkey: EXISTS another supplier) and "
+    "exactly 1 distinct LATE supplier (min = max over late suppkeys: "
+    "NOT EXISTS another late one), and that single late supplier IS "
+    "min(late suppkey), so no join back to the fact is needed. One "
+    "lineitem scan, one l_orderkey shuffle (reused by the groupBy), and "
+    "every aggregate (min/max/sum) combines map-side — the r13 window "
+    "shape materialized a collect_set per row instead (r14 interleaved "
+    "A/B at sf1: ~5% median win, 1.4x faster cold-start; the real case "
+    "is cluster scale, where the shuffle carries per-order partials "
+    "instead of every row plus a window sort).",
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     t = load_tables(spark, sf_dir)
     ords_f = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
     li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
     # All lineitems of 'F' orders, flagged late — the EXISTS subqueries
-    # only ever look within the same order, so per-order window
-    # aggregates over this one frame answer both.
+    # only ever look within the same order, so per-order aggregates over
+    # this one frame answer both.
     joined = li.join(ords_f, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
         "is_late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     )
-    w = Window.partitionBy("l_orderkey")
-    flagged = joined.select(
-        "l_suppkey",
-        "is_late",
-        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
-        F.size(
-            F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)
-        ).alias("n_late_supp"),
-    ).filter(F.col("is_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    late_supp = F.when(F.col("is_late"), F.col("l_suppkey"))
+    per_order = joined.groupBy("l_orderkey").agg(
+        F.min("l_suppkey").alias("mn"),
+        F.max("l_suppkey").alias("mx"),
+        F.min(late_supp).alias("lmn"),
+        F.max(late_supp).alias("lmx"),
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("late_rows"),
+    )
+    gate = per_order.filter(
+        (F.col("mn") != F.col("mx"))
+        & F.col("lmn").isNotNull()
+        & (F.col("lmn") == F.col("lmx"))
+    ).select("lmn", "late_rows")
     supp = (
         t["supplier"]
         .join(
@@ -939,9 +960,9 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        flagged.join(_bcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        gate.join(_bcast(supp), F.col("lmn") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("late_rows").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )

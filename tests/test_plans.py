@@ -42,14 +42,33 @@ def test_report_renders(spark):
 
 
 def test_q21_single_lineitem_scan(spark):
-    """The window rewrite must keep q21 at ONE lineitem scan (the naive
-    EXISTS/NOT-EXISTS plan reads it three times) with the supplier side
-    broadcast."""
+    """The min/max-aggregate rewrite must keep q21 at ONE lineitem scan
+    (the naive EXISTS/NOT-EXISTS plan reads it three times) with the
+    supplier side broadcast — and no Window node: the r14 shape answers
+    both EXISTS via map-side-combinable per-order aggregates, so a
+    Window reappearing means the per-row collect_set shape regressed."""
     df = QUERIES["q21_waiting_suppliers"].fn(spark, SF_DIR)
     s = plan_summary(df)  # initial plan: AQE's final tree hides scans inside stages
     li_scans = [sc for sc in s.scans if "l_suppkey" in sc.read_schema]
     assert len(li_scans) == 1, "q21 regressed to multiple lineitem scans"
     assert s.broadcast_joins >= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "q21 regressed to the window shape"
+
+
+def test_q20_semi_join_before_aggregate(spark):
+    """q20's grouped-HAVING aggregate must consume the nation-filtered
+    fact: the suppliers semi-join sits BELOW the l_suppkey aggregate
+    (25x less aggregate input), not above it."""
+    df = QUERIES["q20_excess_suppliers"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, "q20 lost its semi joins"
+    s = plan_summary(df)
+    li_scans = [sc for sc in s.scans if "l_suppkey" in sc.read_schema]
+    assert len(li_scans) == 1, "q20 must scan lineitem once"
+    # the aggregate's input side must contain a semi join: two semi
+    # joins total (prefilter below the agg + final supplier filter)
+    assert plan.count("LeftSemi") >= 2, "q20 prefilter semi join missing"
 
 
 def test_delta_scan_broadcasts_partition_map(spark, tmp_path):
