@@ -1074,14 +1074,17 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
             kwargs["partition_by"] = [
                 c.strip() for c in opts.pop("partition_by").split(",")
             ]
+        from pg_lake_spark.sources.writers import pg_bool
+
         for k, v in opts.items():
             # PG boolean option spellings (on/off/1/0/true/false) —
             # coerced only for the options that ARE booleans, so a
-            # DELIMITER 'on' stays a string
+            # DELIMITER 'on' stays a string (shared helper: direct
+            # copy_to callers get the identical coercion)
             if k in ("header", "freeze", "null_padding", "auto_detect") and isinstance(
                 v, str
             ):
-                v = v.lower() in ("true", "on", "1", "yes", "t")
+                v = pg_bool(v)
             kwargs[k] = v
         if direction == "TO":
             df = (

@@ -412,9 +412,15 @@ def _partition_branch(avro_t, v) -> dict:
         if isinstance(v, str):
             v = _dt.datetime.fromisoformat(v)
         if isinstance(v, _dt.datetime):
-            v = int(
-                v.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000
+            # naive values are UTC by convention (replace); an aware
+            # value must CONVERT — replace() would discard its offset
+            # and shift the exported micros by that amount
+            v = (
+                v.astimezone(_dt.timezone.utc)
+                if v.tzinfo is not None
+                else v.replace(tzinfo=_dt.timezone.utc)
             )
+            v = int(v.timestamp() * 1_000_000)
         return {"long": int(v)}
     if base == "boolean":
         return {"boolean": bool(v)}
@@ -1253,7 +1259,16 @@ def _norm_path(col):
     unapplies deletes for any location with a URI-unsafe character.
     URLDecoder would also turn a literal '+' into a space, so '+' is
     pre-escaped; try_url_decode degrades to the raw value for strings
-    with stray '%' that are not percent sequences."""
+    with stray '%' that are not percent sequences.
+
+    Known caveat: a path containing a LITERAL percent-escape substring
+    (a directory actually named 'a%20b') is indistinguishable from an
+    encoded one after a single decode, so a foreign delete file that
+    spells such a path raw will not match the scan's doubly-encoded
+    spelling. Both-forms union joins would cover it at the cost of
+    doubling the join key set on every MoR scan; accepted as out of
+    scope (same call as Iceberg's own reference implementations, which
+    compare single-decoded forms)."""
     from pyspark.sql import functions as F
 
     decoded = F.coalesce(

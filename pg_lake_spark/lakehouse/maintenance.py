@@ -72,19 +72,10 @@ def _rewrite_commit(
         precondition=_inputs_still_live,
     )
     if snap is None:
-        # remove whole staging prefixes (not just the .parquet files —
-        # _SUCCESS markers and partition dirs would linger), then drop
-        # the in-progress entries they were registered under
-        import json as _json
-        import shutil as _shutil
-
-        for entry in getattr(table, "_pending_in_progress", []):
-            try:
-                with open(entry) as fh:
-                    _shutil.rmtree(_json.load(fh)["prefix"], ignore_errors=True)
-            except (OSError, ValueError, KeyError):
-                pass
-        table._clear_in_progress()
+        # aborted commit: LakeTable owns the staged-prefix cleanup
+        # (whole prefixes incl. _SUCCESS markers, then the in-progress
+        # entries) — one implementation, not an inline copy that drifts
+        table._discard_staging()
         return False
     return True
 

@@ -259,9 +259,16 @@ def _gunzipped(path: str) -> str:
         # basename or frequently-rewritten .gz inputs grow the temp
         # dir without bound. POSIX unlink leaves open fds valid, and
         # any old-path holder predates the source update anyway.
+        # Match the fixed-width md5 key explicitly and glob-escape the
+        # stem: a bare '*' crosses underscores, so pruning for
+        # 'x.csv.gz' could unlink the LIVE cache of 'prefix_x.csv.gz'
+        # (its name also ends in '_x.csv') out from under a lazy frame.
         stem = os.path.basename(path)[: -len(".gz")]
         for stale in _glob.glob(
-            os.path.join(_tempfile.gettempdir(), f"pg_lake_gz_*_{stem}")
+            os.path.join(
+                _tempfile.gettempdir(),
+                "pg_lake_gz_" + "[0-9a-f]" * 32 + f"_{_glob.escape(stem)}",
+            )
         ):
             if stale != out:
                 try:

@@ -44,6 +44,18 @@ _STRFTIME_TO_JAVA = {
 }
 
 
+def pg_bool(v, default: bool = False) -> bool:
+    """PG boolean option spellings: true/on/1/yes/t (any case) are
+    True, everything else False — shared by the DDL option coercion
+    and direct copy_to callers so header='off' means the same thing
+    on both paths (pre-r14, copy_to treated only 'false' as false)."""
+    if v is None:
+        return default
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() in ("true", "on", "1", "yes", "t")
+
+
 def strftime_to_java(fmt: str) -> str:
     """Left-to-right scan so '%%' is consumed as one token (a literal
     '%', which must be single-quoted for DateTimeFormatter) and never
@@ -121,6 +133,10 @@ def translate_copy_options(
             continue
         if k in ("date_format", "timestamp_format"):
             v = strftime_to_java(str(v))
+        if k == "header":
+            # PG spellings ('on'/'off'/'1'...) must not reach Spark's
+            # CSV option parser, which only accepts true/false
+            v = pg_bool(v, default=True)
         if k == "force_quote":
             # '*'/True → Spark's quoteAll; a column list is handled by
             # copy_to's manual quoting pass (popped before we get here).
@@ -280,8 +296,7 @@ def copy_to(
         data = lines.toDF("value")
         if single_file:
             data = data.coalesce(1)
-        h = options.get("header", True)
-        if h if isinstance(h, bool) else str(h).lower() != "false":
+        if pg_bool(options.get("header"), default=True):
 
             def _with_header(batches):
                 import pandas as pd

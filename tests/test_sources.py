@@ -596,6 +596,53 @@ def test_gunzipped_prunes_superseded_copies(tmp_path):
     assert left == [second], f"stale copies not pruned: {left}"
 
 
+def test_gunzipped_prune_spares_other_basenames(tmp_path):
+    """ADVICE r13: the prune glob must not cross underscores — caching
+    'x.csv.gz' must leave the live copy of 'prefix_x.csv.gz' (whose
+    name also ends in '_x.csv') untouched."""
+    import glob
+    import gzip
+    import os
+    import tempfile
+
+    from pg_lake_spark.sources.readers import _gunzipped
+
+    for pat in ("pg_lake_gz_*_x.csv", "pg_lake_gz_*_prefix_x.csv"):
+        for stale in glob.glob(os.path.join(tempfile.gettempdir(), pat)):
+            os.unlink(stale)
+    other = tmp_path / "prefix_x.csv.gz"
+    with gzip.open(other, "wb") as fh:
+        fh.write(b"a,b\n1,2\n")
+    kept = _gunzipped(str(other))
+    src = tmp_path / "x.csv.gz"
+    with gzip.open(src, "wb") as fh:
+        fh.write(b"c,d\n3,4\n")
+    _gunzipped(str(src))
+    os.utime(src, (1, 1))
+    with gzip.open(src, "wb") as fh:
+        fh.write(b"c,d\n5,6\n")
+    _gunzipped(str(src))  # prunes x.csv's superseded copy only
+    assert os.path.exists(kept), "live cache of prefix_x.csv.gz was unlinked"
+
+
+def test_copy_to_header_pg_spellings(spark, tmp_path):
+    """ADVICE r13: a direct copy_to caller passing header='off' (PG
+    spelling) must not get a header line — previously only 'false'
+    suppressed it; and 'on' must not leak to Spark's CSV parser."""
+    from pg_lake_spark.sources.writers import copy_to
+
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    for spelling in ("off", "0", "no", "false"):
+        out = str(tmp_path / f"h_{spelling}")
+        copy_to(df.coalesce(1), out, fmt="csv", compression="none", header=spelling)
+        part = next(p for p in os.listdir(out) if p.startswith("part-"))
+        assert open(os.path.join(out, part)).read().splitlines() == ["1,a"]
+    out = str(tmp_path / "h_on")
+    copy_to(df.coalesce(1), out, fmt="csv", compression="none", header="on")
+    part = next(p for p in os.listdir(out) if p.startswith("part-"))
+    assert open(os.path.join(out, part)).read().splitlines() == ["k,v", "1,a"]
+
+
 def test_copy_to_force_quote_hostile_values(spark, tmp_path):
     """r13 review: values holding an embedded newline (legal CSV when
     quoted) or the old internal writer delimiter \\x01 round-trip — the
