@@ -144,7 +144,9 @@ class RestCatalog:
 
     # -- plumbing ----------------------------------------------------------
 
-    def _req(self, method: str, path: str, body: dict | None = None) -> dict:
+    def _req(
+        self, method: str, path: str, body: dict | None = None, *, commit: bool = False
+    ) -> dict:
         data = json.dumps(body).encode("utf-8") if body is not None else None
         req = urllib.request.Request(self.uri + path, data=data, method=method)
         req.add_header("Accept", "application/json")
@@ -157,7 +159,12 @@ class RestCatalog:
             with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
                 raw = resp.read()
         except urllib.error.HTTPError as e:
-            if e.code == 409:
+            if e.code == 409 and commit:
+                # only a CommitTableRequest 409 means "requirement
+                # failed, reload and retry" — the spec also uses 409
+                # for AlreadyExists on create_namespace/create_table,
+                # where a retry loop could never succeed; those keep
+                # the raw HTTPError.
                 raise RestCommitConflict(
                     f"{method} {path}: commit requirement failed "
                     f"({e.read().decode('utf-8', 'replace')[:200]})"
@@ -296,6 +303,7 @@ class RestCatalog:
                 "requirements": requirements,
                 "updates": updates,
             },
+            commit=True,
         )
 
     def drop_table(self, namespace: str | list[str], table: str) -> None:
@@ -347,17 +355,47 @@ class RestCatalog:
             )
             known: set[int] = set()
             base_ref: int | None = None
+            served_uuid = None
         else:
-            served = existing.get("metadata") or {}
+            served = existing.get("metadata")
+            if served is None:
+                # metadata-location-only LoadTableResult (spec-legal):
+                # read the document from the location — without it,
+                # known/base_ref would come out empty and every publish
+                # would re-add committed snapshots and fail its own
+                # assert-ref requirement.
+                loc = existing.get("metadata-location")
+                if not loc:
+                    raise ValueError(
+                        "LoadTableResult carries neither metadata nor "
+                        "metadata-location"
+                    )
+                with open(
+                    iceberg_meta._resolve_metadata_path(iceberg_meta._localize(loc))
+                ) as fh:
+                    served = json.load(fh)
             known = {s["snapshot-id"] for s in served.get("snapshots", [])}
             base_ref = served.get("current-snapshot-id")
+            served_uuid = served.get("table-uuid")
+            # a catalog current snapshot the local export has never seen
+            # means the export is STALE (someone else committed since) —
+            # setting main from it would silently roll their commit back;
+            # the assert-ref guard alone cannot catch this because we
+            # read base_ref moments ago.
+            local_ids = {s["snapshot-id"] for s in metadata.get("snapshots", [])}
+            if base_ref is not None and base_ref not in local_ids:
+                raise RestCommitConflict(
+                    f"catalog 'main' is at snapshot {base_ref}, which the "
+                    "local export does not contain — reload the table, "
+                    "re-export, and retry"
+                )
 
         updates: list[dict] = []
         for s in metadata.get("snapshots", []):
             if s["snapshot-id"] not in known:
                 updates.append({"action": "add-snapshot", "snapshot": s})
         cur = metadata.get("current-snapshot-id")
-        if cur is not None:
+        if cur is not None and cur != base_ref:
             updates.append(
                 {
                     "action": "set-snapshot-ref",
@@ -367,6 +405,8 @@ class RestCatalog:
                 }
             )
         if not updates:
+            # idempotent re-publish of an already-current export:
+            # nothing to commit, no POST
             return existing or {}
         requirements: list[dict] = [
             {
@@ -375,11 +415,8 @@ class RestCatalog:
                 "snapshot-id": base_ref,
             }
         ]
-        if existing is not None and (existing.get("metadata") or {}).get("table-uuid"):
+        if served_uuid:
             requirements.append(
-                {
-                    "type": "assert-table-uuid",
-                    "uuid": existing["metadata"]["table-uuid"],
-                }
+                {"type": "assert-table-uuid", "uuid": served_uuid}
             )
         return self.commit_table(namespace, name, requirements, updates)

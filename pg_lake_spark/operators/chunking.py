@@ -137,7 +137,14 @@ def chunk_documents_tokens(
     if not 0 <= overlap < size:
         raise ValueError("need 0 <= overlap < size")
     step = size - overlap
-    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
+    # NULL text behaves like empty text (0 tokens, one empty chunk) —
+    # unguarded, NULL propagates through size() but greatest/least SKIP
+    # NULLs, so a NULL doc reported n_tokens = full `size` (phantom
+    # tokens that inflate token-budgeted shard assignment downstream)
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )
     n_chunks = F.greatest(
         F.lit(1), F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(step))
     ).cast("int")

@@ -153,6 +153,31 @@ def write_training_shards(
     }
     import json
 
-    with open(os.path.join(path, "_shard_manifest.json"), "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
+    _write_sidecar(
+        df.sparkSession,
+        path.rstrip("/") + "/_shard_manifest.json",
+        json.dumps(manifest, indent=1, sort_keys=True),
+    )
     return manifest
+
+
+def _write_sidecar(spark, path: str, content: str) -> None:
+    """Write a small text file next to the shard data on WHATEVER
+    filesystem the data went to — a local open() on an s3a:///hdfs://
+    output path would crash after the expensive distributed write
+    completed. Remote schemes go through Hadoop's FileSystem via the
+    JVM gateway (driver-side, one small file)."""
+    import re
+
+    if "://" not in path or path.startswith("file:"):
+        with open(re.sub(r"^file:(//)?", "", path), "w") as fh:
+            fh.write(content)
+        return
+    jvm = spark._jvm
+    fs_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(fs_path, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()

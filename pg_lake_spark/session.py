@@ -190,9 +190,13 @@ def _normalize_ns_timestamps(df: DataFrame, path: str) -> DataFrame:
         return df
     for field in schema:
         if str(field.type) == "timestamp[ns]":
+            # backtick-quote: a raw name with spaces/dots/reserved words
+            # would fail F.expr's parser even though Spark reads the
+            # column fine
+            quoted = "`" + field.name.replace("`", "``") + "`"
             df = df.withColumn(
                 field.name,
-                F.timestamp_micros(F.expr(f"{field.name} div 1000")).cast("timestamp_ntz"),
+                F.timestamp_micros(F.expr(f"{quoted} div 1000")).cast("timestamp_ntz"),
             )
     return df
 
@@ -335,12 +339,13 @@ class LakeSession:
         if not src or (load_from and definition_from):
             raise ValueError("provide exactly one of load_from / definition_from")
         if fmt is None:
-            base = src.split("?")[0]
-            for ext in (".gz", ".zst", ".bz2", ".zip"):
-                if base.endswith(ext):
-                    base = base[: -len(ext)]
-            ext = os.path.splitext(base)[1].lstrip(".").lower()
-            fmt = {"ndjson": "json", "": "parquet"}.get(ext, ext or "parquet")
+            # ONE sniffer (ddl._fmt_from_options) for both the SQL path
+            # and this facade — a local copy had already drifted (it
+            # missed the metadata.json → iceberg rule, reading Iceberg
+            # metadata as JSON rows)
+            from pg_lake_spark.ddl import _fmt_from_options
+
+            fmt = _fmt_from_options({}, src)
         from pg_lake_spark.sources import readers
 
         read_options.setdefault("cache", self.file_cache)

@@ -107,6 +107,11 @@ class FileCacheManager:
         self._worker: threading.Thread | None = None
         self._stop = threading.Event()
         self.last_error: BaseException | None = None
+        #: urls a manage pass skipped as too large for the cache —
+        #: resolve() stops re-queueing them (each re-queue used to
+        #: re-download the whole object just to discard it) and
+        #: fetch_remote falls back to an uncached one-shot download
+        self._too_large: set[str] = set()
 
     # -- keys -------------------------------------------------------------
 
@@ -132,14 +137,29 @@ class FileCacheManager:
                     self.stats.misses += 1
                     self._queue[url] = None
                 return url
-            os.utime(data_path)  # LRU touch
+            try:
+                os.utime(data_path)  # LRU touch
+            except FileNotFoundError:
+                # a background manage pass evicted this entry between
+                # the exists check and the touch — serve it as a miss
+                # (caching must never crash a scan)
+                with self._lock:
+                    self.stats.misses += 1
+                    self._queue[url] = None
+                return url
             with self._lock:
                 self.stats.hits += 1
             return data_path
         with self._lock:
             self.stats.misses += 1
-            self._queue[url] = None
+            if url not in self._too_large:
+                self._queue[url] = None
         return url
+
+    def is_too_large(self, url: str) -> bool:
+        """True when a manage pass skipped ``url`` because it does not
+        fit the cache — the caller should stream it uncached."""
+        return url in self._too_large
 
     def _revalidate_if_due(self, url: str) -> bool:
         """True if the cached entry may be served; False if it was
@@ -165,8 +185,10 @@ class FileCacheManager:
             return False
         meta["checked_at"] = time.time()
         try:
-            with open(meta_path, "w") as fh:
+            mtmp = meta_path + ".tmp"
+            with open(mtmp, "w") as fh:
                 json.dump(meta, fh)
+            os.replace(mtmp, meta_path)
         except OSError:
             pass
         return os.path.exists(data_path)
@@ -188,6 +210,19 @@ class FileCacheManager:
             data_path, meta_path = self._paths(url)
             if os.path.exists(data_path):
                 continue
+            # cheap metadata probe first: a file that cannot fit must
+            # be SKIPPED_TOO_LARGE without downloading it (pre-r14 the
+            # whole object was pulled into driver memory every pass
+            # just to be discarded)
+            try:
+                probed_size, _ = self.prober(url)
+            except Exception:  # noqa: BLE001 — probe is best-effort
+                probed_size = None
+            if probed_size is not None and probed_size >= self.max_bytes:
+                self._too_large.add(url)
+                with self._lock:
+                    self.stats.skipped_too_large += 1
+                continue
             try:
                 res = self.fetcher(url)
             except Exception as exc:  # noqa: BLE001 — per-file isolation
@@ -196,13 +231,17 @@ class FileCacheManager:
                     self.stats.add_failed += 1
                 continue
             if len(res.data) >= self.max_bytes:
+                self._too_large.add(url)
                 with self._lock:
                     self.stats.skipped_too_large += 1
                 continue
             tmp = data_path + ".tmp"
             with open(tmp, "wb") as fh:
                 fh.write(res.data)
-            with open(meta_path, "w") as fh:
+            # meta atomically too: a crash or concurrent reader
+            # mid-write must never leave truncated JSON behind
+            mtmp = meta_path + ".tmp"
+            with open(mtmp, "w") as fh:
                 json.dump(
                     {
                         "url": url,
@@ -212,6 +251,7 @@ class FileCacheManager:
                     },
                     fh,
                 )
+            os.replace(mtmp, meta_path)
             os.replace(tmp, data_path)
             with self._lock:
                 self.stats.added += 1
@@ -222,9 +262,12 @@ class FileCacheManager:
     def invalidate(self, url: str) -> bool:
         data_path, meta_path = self._paths(url)
         existed = os.path.exists(data_path)
+        self._too_large.discard(url)
         for p in (data_path, meta_path):
-            if os.path.exists(p):
+            try:
                 os.remove(p)
+            except FileNotFoundError:
+                pass  # concurrent evict/invalidate already removed it
         return existed
 
     def validate(self, url: str, *, size: int | None = None, etag: str | None = None) -> bool:
@@ -236,8 +279,8 @@ class FileCacheManager:
         try:
             with open(meta_path) as fh:
                 meta = json.load(fh)
-        except OSError:
-            meta = {}
+        except (OSError, ValueError):
+            meta = {}  # missing OR corrupt meta: treat as metadata-less
         if (size is not None and meta.get("size") != size) or (
             etag is not None and meta.get("etag") not in (None, etag)
         ):
@@ -264,10 +307,15 @@ class FileCacheManager:
         if total <= self.max_bytes:
             return
         for _, sz, p in sorted(entries):  # oldest atime first
-            os.remove(p)
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                continue  # lost the race to invalidate(); nothing evicted
             meta = p[: -len(".bin")] + ".meta.json"
-            if os.path.exists(meta):
+            try:
                 os.remove(meta)
+            except FileNotFoundError:
+                pass
             with self._lock:
                 self.stats.evicted += 1
                 self.stats.evicted_bytes += sz

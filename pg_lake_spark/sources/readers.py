@@ -168,7 +168,11 @@ def fetch_remote(path: str, cache=None) -> str:
             local = cache.resolve(path)
         if local != path:
             return local
-        raise IOError(f"failed to fetch {path}: {cache.last_error}")
+        if not cache.is_too_large(path):
+            raise IOError(f"failed to fetch {path}: {cache.last_error}")
+        # too large for the cache: fall through to the one-shot
+        # uncached download below — a cache sized below the file must
+        # degrade to a direct read, not make the file unreadable
     import hashlib
     import tempfile
     import urllib.request

@@ -72,6 +72,59 @@ def test_too_large_skipped(tmp_path):
     stats = c.manage()
     assert stats["skipped_too_large"] == 1 and stats["added"] == 0
     assert c.resolve("remote://big") == "remote://big"
+    # r14 review: the skip is remembered — further resolve/manage cycles
+    # must NOT re-download the whole object just to discard it again
+    assert c.is_too_large("remote://big")
+    downloads = len(f.calls)
+    c.manage()
+    assert len(f.calls) == downloads, "too-large url re-downloaded"
+
+
+def test_too_large_probe_avoids_download(tmp_path):
+    """With a working size probe, a too-large candidate is skipped from
+    the HEAD alone — the fetcher never runs (pre-r14 it pulled the whole
+    object into driver memory every manage pass)."""
+    f = CountingFetcher({"remote://big": b"b" * 5000})
+    c = FileCacheManager(
+        str(tmp_path / "c"), max_bytes=1000, fetcher=f,
+        prober=lambda url: (len(f.blobs[url]), None),
+    )
+    c.record_candidate("remote://big")
+    stats = c.manage()
+    assert stats["skipped_too_large"] == 1
+    assert f.calls == [], "too-large object was downloaded despite the probe"
+
+
+def test_fetch_remote_falls_back_for_too_large(tmp_path, monkeypatch):
+    """fetch_remote must degrade to an uncached one-shot download when
+    the cache skips the file as too large — not raise IOError forever."""
+    import pg_lake_spark.sources.readers as readers
+
+    blob = b"p" * 5000
+    c = FileCacheManager(
+        str(tmp_path / "c"), max_bytes=1000,
+        fetcher=lambda url: FetchResult(blob),
+        prober=lambda url: (len(blob), None),
+    )
+    def fake_urlopen(req, *a, **kw):
+        import io
+
+        class R(io.BytesIO):
+            headers = {}
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *exc):
+                return False
+
+        return R(blob)
+
+    monkeypatch.setattr("urllib.request.urlopen", fake_urlopen)
+    url = f"https://example.invalid/{tmp_path.name}.bin"  # unique dl key
+    local = readers.fetch_remote(url, cache=c)
+    assert local != url
+    assert open(local, "rb").read() == blob
 
 
 def test_fetch_failure_isolated(tmp_path):
@@ -229,11 +282,12 @@ def test_stale_entry_revalidated_and_refetched(tmp_path):
         revalidate_after_s=0.01, prober=prober,
     )
     c.record_candidate("remote://a")
-    c.manage()
+    c.manage()  # r14: the fill itself probes once (too-large pre-check)
+    assert probes == ["remote://a"]
     time.sleep(0.05)
-    # unchanged remote: probe happens, entry still served
+    # unchanged remote: revalidation probe happens, entry still served
     local = c.resolve("remote://a")
-    assert local != "remote://a" and probes == ["remote://a"]
+    assert local != "remote://a" and probes == ["remote://a"] * 2
     # remote changed in place → next due probe invalidates → miss
     f.blobs["remote://a"] = b"y" * 250
     time.sleep(0.05)

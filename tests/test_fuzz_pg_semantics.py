@@ -224,6 +224,26 @@ def test_token_chunking_coverage(spark):
         assert rows[-1].chunk.endswith(f"w{lens[d]-1}")
 
 
+def test_token_chunking_null_and_empty_text(spark):
+    """r14 review: NULL text must chunk like empty text — one empty
+    chunk with n_tokens=0. Unguarded, greatest/least SKIP the NULL that
+    size() propagates, so a NULL doc reported n_tokens=size (512
+    phantom tokens inflating token-budgeted shard assignment)."""
+    from pg_lake_spark.operators.chunking import chunk_documents_tokens
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "one two")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in chunk_documents_tokens(docs, size=512, overlap=64).collect()}
+    assert len(out) == 4  # one chunk per doc
+    for d in (1, 2, 3):
+        assert out[d].n_tokens == 0, f"doc {d}: phantom tokens"
+        assert out[d].chunk == ""
+        assert out[d].n_chunks == 1
+    assert out[4].n_tokens == 2 and out[4].chunk == "one two"
+
+
 def test_compression_ratio_signal(spark):
     """Repetitive text compresses far below random text; natural-ish
     prose lands between; empty text yields null."""

@@ -313,6 +313,98 @@ def test_publish_create_then_rescan(spark, tmp_path, writable_server):
     assert cat.list_tables("prod") == []
 
 
+def test_publish_stale_export_conflicts_not_rolls_back(spark, tmp_path, writable_server):
+    """r14 review: a publish from an export that has never seen the
+    catalog's current snapshot must raise RestCommitConflict — NOT move
+    'main' backwards over the other writer's commit."""
+    from pg_lake_spark.lakehouse.rest_catalog import RestCommitConflict
+
+    t = LakeTable.create(spark, str(tmp_path / "st"), "id bigint")
+    t.append(spark.createDataFrame([(1,)], "id bigint"))
+    stale = json.load(open(t.export_iceberg()))  # snapshot S1 only
+
+    cat = RestCatalog(writable_server)
+    cat.create_namespace("prod")
+    cat.publish("prod", "t", stale)
+    # another writer commits S2 through the catalog
+    t.append(spark.createDataFrame([(2,)], "id bigint"))
+    cat.publish("prod", "t", json.load(open(t.export_iceberg())))
+    served = cat.load_table("prod", "t")["metadata"]
+    s2 = served["current-snapshot-id"]
+    # the stale client re-publishes its S1-only export
+    with pytest.raises(RestCommitConflict, match="does not contain"):
+        cat.publish("prod", "t", stale)
+    assert cat.load_table("prod", "t")["metadata"]["current-snapshot-id"] == s2
+
+
+def test_publish_idempotent_no_commit(spark, tmp_path, writable_server):
+    """Re-publishing an already-current export is a no-op (no POST) —
+    previously it always issued a set-snapshot-ref commit."""
+    t = LakeTable.create(spark, str(tmp_path / "ip"), "id bigint")
+    t.append(spark.createDataFrame([(1,)], "id bigint"))
+    meta = json.load(open(t.export_iceberg()))
+    cat = RestCatalog(writable_server)
+    cat.create_namespace("prod")
+    cat.publish("prod", "t", meta)
+    before = cat.load_table("prod", "t")["metadata"]
+    out = cat.publish("prod", "t", meta)  # second, identical publish
+    assert out.get("metadata", out) == before
+
+
+def test_publish_against_metadata_location_only_catalog(spark, tmp_path, writable_server):
+    """r14 review: a catalog serving only metadata-location (spec-legal)
+    must still publish incrementally — known/base_ref come from the
+    document at the location, not an empty dict."""
+    import pg_lake_spark.lakehouse.rest_catalog as rc
+
+    t = LakeTable.create(spark, str(tmp_path / "ml"), "id bigint")
+    t.append(spark.createDataFrame([(1,)], "id bigint"))
+    meta = json.load(open(t.export_iceberg()))
+    cat = RestCatalog(writable_server)
+    cat.create_namespace("prod")
+    cat.publish("prod", "t", meta)
+
+    # serve metadata-location-only LoadTableResults: the location holds
+    # the document the SERVER committed (S1, server uuid) — exactly what
+    # a real catalog's metadata-location points at
+    served_doc = cat.load_table("prod", "t")["metadata"]
+    loc_s1 = str(tmp_path / "served_s1.metadata.json")
+    json.dump(served_doc, open(loc_s1, "w"))
+    real_load = rc.RestCatalog.load_table
+
+    def location_only(self, namespace, table):
+        res = real_load(self, namespace, table)
+        if "metadata" in res:
+            res = {"metadata-location": loc_s1}
+        return res
+
+    t.append(spark.createDataFrame([(2,)], "id bigint"))
+    meta2 = json.load(open(t.export_iceberg()))
+    try:
+        rc.RestCatalog.load_table = location_only
+        cat.publish("prod", "t", meta2)  # must not 409 or re-add S1
+    finally:
+        rc.RestCatalog.load_table = real_load
+    served = cat.load_table("prod", "t")["metadata"]
+    assert served["current-snapshot-id"] == meta2["current-snapshot-id"]
+    assert len(served["snapshots"]) == len(meta2["snapshots"])
+
+
+def test_create_table_conflict_is_not_commit_conflict(spark, tmp_path, writable_server):
+    """409 from CreateTableRequest means AlreadyExists, not 'reload and
+    retry the commit' — it must surface as the raw HTTPError."""
+    import urllib.error
+
+    t = LakeTable.create(spark, str(tmp_path / "cc"), "id bigint")
+    meta = json.load(open(t.export_iceberg()))
+    schema = meta["schemas"][0]
+    cat = RestCatalog(writable_server)
+    cat.create_namespace("prod")
+    cat.create_table("prod", "dup", schema)
+    with pytest.raises(urllib.error.HTTPError):
+        cat.create_table("prod", "dup", schema)
+
+
 def test_register_table_adopts_metadata(spark, tmp_path, writable_server):
     t = LakeTable.create(spark, str(tmp_path / "reg"), "id bigint, v double")
     t.append(spark.createDataFrame([(1, 1.5), (2, 2.5)], "id bigint, v double"))

@@ -89,3 +89,14 @@ def test_arg_validation(spark):
         assign_shards(df, ["doc_id"])
     with pytest.raises(ValueError, match="token_col"):
         assign_shards(df, ["doc_id"], tokens_per_shard=10)
+
+
+def test_write_training_shards_file_uri(spark, tmp_path):
+    """r14 review: the manifest sidecar must land on the filesystem the
+    DATA went to — a file: URI output (the minimal non-plain-path case)
+    must not crash the post-write manifest step."""
+    df = _df(spark, 30)
+    out_local = str(tmp_path / "shards_uri")
+    manifest = write_training_shards(df, "file:" + out_local, ["doc_id"], shard_rows=10)
+    disk = json.load(open(os.path.join(out_local, "_shard_manifest.json")))
+    assert disk == {str(k): v for k, v in manifest.items()}

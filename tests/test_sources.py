@@ -728,3 +728,26 @@ def test_strftime_reserved_punctuation_quoted():
     assert strftime_to_java("%Y[%m]") == "yyyy'['MM']'"
     assert strftime_to_java("%d#%m") == "dd'#'MM"
     assert strftime_to_java("%Y-%m-%d") == "yyyy-MM-dd"  # plain stays bare
+
+
+def test_ns_timestamp_normalization_hostile_column_name(spark, tmp_path):
+    """r14 review: a timestamp[ns] parquet column whose name holds a
+    space/dot must still normalize to timestamp_ntz — the div-1000
+    rewrite goes through F.expr, which needs backtick quoting."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg_lake_spark.session import _normalize_ns_timestamps
+
+    p = str(tmp_path / "ns_hostile.parquet")
+    tbl = pa.table(
+        {
+            "event time": pa.array([1_700_000_000_000_000_000], pa.timestamp("ns")),
+            "v.x": pa.array([1], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, p)
+    df = _normalize_ns_timestamps(spark.read.parquet(p), p)
+    row = df.collect()[0]
+    assert str(row["event time"]).startswith("2023-11-14")
+    assert dict(df.dtypes)["event time"] == "timestamp_ntz"
