@@ -1480,6 +1480,13 @@ def execute_lake_dml(sess, sql: str):
         aligned = _cast_to_table(
             _align_positional(df, t, explicit_cols=bool(m.group("cols"))), t
         )
+        if len(aligned.columns) < len(t.to_df().columns):
+            # partial INSERT (positional prefix or explicit column
+            # list): fill the remaining columns with their write-time
+            # DEFAULT *here* so RETURNING sees the full row PG would
+            # return — append() would fill them anyway, but only after
+            # the RETURNING frame was built (idempotent on re-entry).
+            aligned = t._align_for_write(aligned)
         ret = None
         if ret_clause:
             # pin one evaluation: RETURNING must show exactly the rows

@@ -370,6 +370,16 @@ class RestCatalog:
                         "LoadTableResult carries neither metadata nor "
                         "metadata-location"
                     )
+                if loc.startswith(("http://", "https://", "hf://")):
+                    from pg_lake_spark.sources.readers import fetch_remote
+
+                    loc = fetch_remote(loc)
+                elif "://" in loc and not loc.startswith("file:"):
+                    raise ValueError(
+                        f"metadata-location scheme not fetchable driver-side: "
+                        f"{loc!r} (ask the catalog for inline metadata, or "
+                        "mirror the document locally)"
+                    )
                 with open(
                     iceberg_meta._resolve_metadata_path(iceberg_meta._localize(loc))
                 ) as fh:
@@ -378,17 +388,30 @@ class RestCatalog:
             base_ref = served.get("current-snapshot-id")
             served_uuid = served.get("table-uuid")
             # a catalog current snapshot the local export has never seen
-            # means the export is STALE (someone else committed since) —
-            # setting main from it would silently roll their commit back;
-            # the assert-ref guard alone cannot catch this because we
-            # read base_ref moments ago.
+            # usually means the export is STALE (someone else committed
+            # since) — setting main from it would silently roll their
+            # commit back; the assert-ref guard alone cannot catch this
+            # because we read base_ref moments ago. EXCEPTION: a table
+            # that expires snapshots locally (max_snapshot_age=0 /
+            # VACUUM) legitimately drops base_ref from its history while
+            # being AHEAD of the catalog — distinguishable by
+            # last-sequence-number (local > served means local is ahead;
+            # the assert-ref requirement still guards the final commit).
             local_ids = {s["snapshot-id"] for s in metadata.get("snapshots", [])}
             if base_ref is not None and base_ref not in local_ids:
-                raise RestCommitConflict(
-                    f"catalog 'main' is at snapshot {base_ref}, which the "
-                    "local export does not contain — reload the table, "
-                    "re-export, and retry"
+                local_seq = metadata.get("last-sequence-number")
+                served_seq = served.get("last-sequence-number")
+                ahead = (
+                    local_seq is not None
+                    and served_seq is not None
+                    and local_seq > served_seq
                 )
+                if not ahead:
+                    raise RestCommitConflict(
+                        f"catalog 'main' is at snapshot {base_ref}, which "
+                        "the local export does not contain — reload the "
+                        "table, re-export, and retry"
+                    )
 
         updates: list[dict] = []
         for s in metadata.get("snapshots", []):

@@ -45,15 +45,26 @@ _STRFTIME_TO_JAVA = {
 
 
 def pg_bool(v, default: bool = False) -> bool:
-    """PG boolean option spellings: true/on/1/yes/t (any case) are
-    True, everything else False — shared by the DDL option coercion
-    and direct copy_to callers so header='off' means the same thing
-    on both paths (pre-r14, copy_to treated only 'false' as false)."""
+    """PG ``parse_bool`` semantics (bool.c): unique prefixes of
+    true/false/yes/no, exact 'on', 'of'/'off', '1'/'0' — any case,
+    surrounding whitespace ignored. Shared by the DDL option coercion
+    and direct copy_to callers so header='off' means the same thing on
+    both paths (pre-r14, copy_to treated only 'false' as false).
+    An unrecognized spelling RAISES like PG's "invalid input syntax
+    for type boolean" instead of silently becoming False."""
     if v is None:
         return default
     if isinstance(v, bool):
         return v
-    return str(v).lower() in ("true", "on", "1", "yes", "t")
+    s = str(v).strip().lower()
+    if s in ("1", "on"):
+        return True
+    if s == "0" or (s and "off".startswith(s) and s != "o"):
+        return False
+    for word, val in (("true", True), ("false", False), ("yes", True), ("no", False)):
+        if s and word.startswith(s):
+            return val
+    raise ValueError(f"invalid input syntax for type boolean: {v!r}")
 
 
 def strftime_to_java(fmt: str) -> str:

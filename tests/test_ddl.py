@@ -711,6 +711,12 @@ def test_insert_select_positional_with_name_collision(sess, spark, tmp_path):
     assert {(r.k, r.v, r.w) for r in spark.table("pos_t").filter("k = 7").collect()} == {
         (7, "short", None)
     }
+    # RETURNING on a prefix INSERT shows the FULL defaulted row (PG
+    # semantics), including columns the SELECT did not provide
+    out = sess.execute("INSERT INTO pos_t SELECT 8, 'ret' RETURNING *")
+    assert [tuple(r) for r in out.collect()] == [(8, "ret", None)]
+    out = sess.execute("INSERT INTO pos_t SELECT 9, 'retw' RETURNING w")
+    assert [r.w for r in out.collect()] == [None]
     # more expressions than columns still raises
     import pytest as _pytest
 

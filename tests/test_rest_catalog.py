@@ -239,6 +239,13 @@ class _WritableCatalogHandler(BaseHTTPRequestHandler):
             for u in body.get("updates", []):
                 if u["action"] == "add-snapshot":
                     md["snapshots"].append(u["snapshot"])
+                    # real catalogs advance last-sequence-number with
+                    # each committed snapshot (publish's ahead/stale
+                    # tiebreak depends on it)
+                    md["last-sequence-number"] = max(
+                        md.get("last-sequence-number") or 0,
+                        u["snapshot"].get("sequence-number") or 0,
+                    )
                 elif u["action"] == "set-snapshot-ref":
                     md["current-snapshot-id"] = u["snapshot-id"]
                 elif u["action"] == "set-properties":
@@ -335,6 +342,31 @@ def test_publish_stale_export_conflicts_not_rolls_back(spark, tmp_path, writable
     with pytest.raises(RestCommitConflict, match="does not contain"):
         cat.publish("prod", "t", stale)
     assert cat.load_table("prod", "t")["metadata"]["current-snapshot-id"] == s2
+
+
+def test_publish_after_local_expiry_is_not_stale(spark, tmp_path, writable_server):
+    """r14 second review: a table that expires snapshots locally
+    (max_snapshot_age=0 / VACUUM) legitimately lacks the catalog's
+    current snapshot in its export while being AHEAD — publish must
+    proceed (last-sequence-number tiebreak), not conflict forever."""
+    t = LakeTable.create(spark, str(tmp_path / "ex"), "id bigint")
+    t.append(spark.createDataFrame([(1,)], "id bigint"))
+    cat = RestCatalog(writable_server)
+    cat.create_namespace("prod")
+    cat.publish("prod", "t", json.load(open(t.export_iceberg())))
+
+    from pg_lake_spark.lakehouse import maintenance
+
+    t.append(spark.createDataFrame([(2,)], "id bigint"))
+    maintenance.expire_snapshots(t, max_age_s=0)  # drops S1 locally
+    meta2 = json.load(open(t.export_iceberg()))
+    served_cur = cat.load_table("prod", "t")["metadata"]["current-snapshot-id"]
+    assert served_cur not in {s["snapshot-id"] for s in meta2["snapshots"]}
+    cat.publish("prod", "t", meta2)  # must not raise
+    assert (
+        cat.load_table("prod", "t")["metadata"]["current-snapshot-id"]
+        == meta2["current-snapshot-id"]
+    )
 
 
 def test_publish_idempotent_no_commit(spark, tmp_path, writable_server):

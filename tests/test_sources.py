@@ -628,19 +628,28 @@ def test_gunzipped_prune_spares_other_basenames(tmp_path):
 def test_copy_to_header_pg_spellings(spark, tmp_path):
     """ADVICE r13: a direct copy_to caller passing header='off' (PG
     spelling) must not get a header line — previously only 'false'
-    suppressed it; and 'on' must not leak to Spark's CSV parser."""
-    from pg_lake_spark.sources.writers import copy_to
+    suppressed it; and 'on' must not leak to Spark's CSV parser.
+    r14 second review: PG parse_bool prefixes ('of', 'n', 'f') count
+    too, and an invalid spelling raises instead of silently meaning
+    False."""
+    from pg_lake_spark.sources.writers import copy_to, pg_bool
 
     df = spark.createDataFrame([(1, "a")], "k int, v string")
-    for spelling in ("off", "0", "no", "false"):
+    for spelling in ("off", "0", "no", "false", "of", "n", "f"):
         out = str(tmp_path / f"h_{spelling}")
         copy_to(df.coalesce(1), out, fmt="csv", compression="none", header=spelling)
         part = next(p for p in os.listdir(out) if p.startswith("part-"))
         assert open(os.path.join(out, part)).read().splitlines() == ["1,a"]
-    out = str(tmp_path / "h_on")
-    copy_to(df.coalesce(1), out, fmt="csv", compression="none", header="on")
-    part = next(p for p in os.listdir(out) if p.startswith("part-"))
-    assert open(os.path.join(out, part)).read().splitlines() == ["k,v", "1,a"]
+    for spelling in ("on", "tr", "y", "1", "TRUE"):
+        out = str(tmp_path / f"h_t_{spelling}")
+        copy_to(df.coalesce(1), out, fmt="csv", compression="none", header=spelling)
+        part = next(p for p in os.listdir(out) if p.startswith("part-"))
+        assert open(os.path.join(out, part)).read().splitlines() == ["k,v", "1,a"]
+    import pytest as _pytest
+
+    for bad in ("banana", "o", "onn", ""):
+        with _pytest.raises(ValueError, match="invalid input syntax"):
+            pg_bool(bad)
 
 
 def test_copy_to_force_quote_hostile_values(spark, tmp_path):
