@@ -102,6 +102,61 @@ def train_pq_codebooks(
     return books
 
 
+def _query_luts(qrows, books, dsub):
+    """Per-query ADC lookup tables: {qid: (m, k_codebook) of
+    query-subvector · codeword inner products} — one shared builder for
+    pq_topk and ivfpq_topk (they drifted as copies before r14)."""
+    import numpy as np
+
+    m = len(books)
+    luts = {}
+    for r in qrows:
+        qv = np.array(r.vec, dtype="float32")
+        nrm = np.linalg.norm(qv)
+        qv = qv / (nrm if nrm else 1.0)
+        luts[int(r.qid)] = np.stack(
+            [books[s] @ qv[s * dsub : (s + 1) * dsub] for s in range(m)]
+        )
+    return luts
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Global per-query top-k: (score desc, vec_id) rank, ordered
+    (query_id, rank)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _exact_rerank(
+    cand: DataFrame, rerank_with: DataFrame, qrows, spark, *, id_col: str, vec_col: str
+) -> DataFrame:
+    """Re-score over-fetched ADC candidates with exact cosines (FAISS's
+    refine step); caller ranks the result."""
+    from pg_lake_spark.operators.similarity import cosine
+
+    vecs = rerank_with.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    qvecs = spark.createDataFrame(
+        [(int(r.qid), [float(x) for x in r.vec]) for r in qrows],
+        "query_id bigint, qvec array<double>",
+    )
+    return (
+        cand.join(vecs, "vec_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id", "vec_id", cosine(F.col("qvec"), F.col("cvec")).alias("score")
+        )
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: list[list[list[float]]],
@@ -124,6 +179,8 @@ def pq_encode(
 
     def encode(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue  # empty Arrow batch: norm/argmin would raise
             mat = np.array(list(pdf["vec"]), dtype="float32")
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
@@ -175,18 +232,13 @@ def pq_topk(
     ).collect()
     if not qrows:
         raise ValueError("no queries")
-    luts = {}
-    for r in qrows:
-        qv = np.array(r.vec, dtype="float32")
-        nrm = np.linalg.norm(qv)
-        qv = qv / (nrm if nrm else 1.0)
-        luts[int(r.qid)] = np.stack(
-            [books[s] @ qv[s * dsub : (s + 1) * dsub] for s in range(m)]
-        )  # (m, k_codebook)
+    luts = _query_luts(qrows, books, dsub)
     fetch = k * (overfetch if rerank_with is not None else 1)
 
     def score(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue  # empty Arrow batch: lut[rows, codes] would raise
             codes = np.array(list(pdf["codes"]), dtype="int64")  # (n, m)
             ids = pdf["vec_id"].to_numpy()
             out_q, out_v, out_s = [], [], []
@@ -210,42 +262,13 @@ def pq_topk(
             )
 
     partial = codes_df.mapInPandas(score, "query_id bigint, vec_id bigint, score double")
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
-    cand = partial.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= fetch
-    ).drop("rank")
     if rerank_with is None:
-        w2 = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
-        return (
-            cand.withColumn("rank", F.row_number().over(w2))
-            .filter(F.col("rank") <= k)
-            .orderBy("query_id", "rank")
-        )
-    from pg_lake_spark.operators.similarity import cosine
-
-    vecs = rerank_with.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("cvec")
+        return _rank_topk(partial, k)
+    cand = _rank_topk(partial, fetch).drop("rank")
+    exact = _exact_rerank(
+        cand, rerank_with, qrows, codes_df.sparkSession, id_col=id_col, vec_col=vec_col
     )
-    qvecs_rows = [(int(r.qid), [float(x) for x in r.vec]) for r in qrows]
-    qvecs = codes_df.sparkSession.createDataFrame(
-        qvecs_rows, "query_id bigint, qvec array<double>"
-    )
-    exact = (
-        cand.join(vecs, "vec_id")
-        .join(F.broadcast(qvecs), "query_id")
-        .select(
-            "query_id", "vec_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("score"),
-        )
-    )
-    w3 = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
-    return (
-        exact.withColumn("rank", F.row_number().over(w3))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return _rank_topk(exact, k)
 
 
 def ivfpq_topk(
@@ -279,7 +302,7 @@ def ivfpq_topk(
     """
     from pg_lake_spark.operators.similarity import (
         _nearest_centroid,
-        dot,
+        _probe_ids,
         train_ivf_centroids,
     )
 
@@ -302,14 +325,7 @@ def ivfpq_topk(
         "vec_id", "codes", "cid"
     )
 
-    scores = F.array(*[dot(F.col("qvec"), F.lit(cn)) for cn in centroids])
-    zipped = F.arrays_zip(
-        scores.alias("s"),
-        F.transform(F.sequence(F.lit(0), F.lit(len(centroids) - 1)), lambda i: i).alias("i"),
-    )
-    probes = F.transform(
-        F.slice(F.reverse(F.array_sort(zipped)), 1, n_probe), lambda x: x["i"]
-    )
+    probes = _probe_ids(F.col("qvec"), centroids, n_probe)
     probe_map = (
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -337,14 +353,7 @@ def ivfpq_topk(
     qrows = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("vec")
     ).collect()
-    luts = {}
-    for r in qrows:
-        qv = np.array(r.vec, dtype="float32")
-        nrm = np.linalg.norm(qv)
-        qv = qv / (nrm if nrm else 1.0)
-        luts[int(r.qid)] = np.stack(
-            [books[s] @ qv[s * dsub : (s + 1) * dsub] for s in range(mm)]
-        )
+    luts = _query_luts(qrows, books, dsub)
     fetch = k * (overfetch if rerank_with is not None else 1)
 
     def score(batches):
@@ -373,38 +382,10 @@ def ivfpq_topk(
                 yield pd.concat(out)
 
     partial = member.mapInPandas(score, "query_id bigint, vec_id bigint, score double")
-    from pyspark.sql.window import Window
-
     if rerank_with is None:
-        w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
-        return (
-            partial.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .orderBy("query_id", "rank")
-        )
-    from pg_lake_spark.operators.similarity import cosine
-
-    w0 = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
-    cand = partial.withColumn("rank", F.row_number().over(w0)).filter(
-        F.col("rank") <= fetch
-    ).drop("rank")
-    vecs = rerank_with.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("cvec")
+        return _rank_topk(partial, k)
+    cand = _rank_topk(partial, fetch).drop("rank")
+    exact = _exact_rerank(
+        cand, rerank_with, qrows, corpus.sparkSession, id_col=id_col, vec_col=vec_col
     )
-    qvecs = corpus.sparkSession.createDataFrame(
-        [(int(r.qid), [float(x) for x in r.vec]) for r in qrows],
-        "query_id bigint, qvec array<double>",
-    )
-    exact = (
-        cand.join(vecs, "vec_id")
-        .join(F.broadcast(qvecs), "query_id")
-        .select(
-            "query_id", "vec_id", cosine(F.col("qvec"), F.col("cvec")).alias("score")
-        )
-    )
-    w1 = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
-    return (
-        exact.withColumn("rank", F.row_number().over(w1))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return _rank_topk(exact, k)

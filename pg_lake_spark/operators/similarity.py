@@ -287,6 +287,24 @@ def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
+def _probe_ids(qvec: Column, centroids: list[list[float]], n_probe: int) -> Column:
+    """Indices of the ``n_probe`` highest-scoring centroids for a query.
+
+    Tie-break matches :func:`_nearest_centroid` (LOWEST index wins):
+    sort ascending on (-score, index). The previous
+    reverse(array_sort(struct(score, index))) broke ties toward the
+    HIGHEST index, so duplicate centroids (possible under Forgy init on
+    a corpus with repeated embeddings) made assignment put every member
+    in list i while queries probed the empty twin list j > i."""
+    zipped = F.arrays_zip(
+        F.array(*[-dot(qvec, F.lit(c)) for c in centroids]).alias("s"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)), lambda i: i
+        ).alias("i"),
+    )
+    return F.transform(F.slice(F.array_sort(zipped), 1, n_probe), lambda x: x["i"])
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     *,
@@ -395,14 +413,7 @@ def ivf_topk(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("cvec")
     ).withColumn("cid", _nearest_centroid(F.col("cvec"), centroids))
 
-    scores = F.array(*[dot(F.col("qvec"), F.lit(cn)) for cn in centroids])
-    zipped = F.arrays_zip(
-        scores.alias("s"),
-        F.transform(F.sequence(F.lit(0), F.lit(len(centroids) - 1)), lambda i: i).alias("i"),
-    )
-    probes = F.transform(
-        F.slice(F.reverse(F.array_sort(zipped)), 1, n_probe), lambda x: x["i"]
-    )
+    probes = _probe_ids(F.col("qvec"), centroids, n_probe)
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),

@@ -98,6 +98,18 @@ _CODE_CHANGED_IN: dict[str, int] = {
     # (VERDICT r13 #4, applied while both rows' r6 greens reset anyway).
     "q20_excess_suppliers": 14,
     "q21_waiting_suppliers": 14,
+    # r14 review batch: run_available_now now checkpoints + drops the
+    # memory-sink view (all st_* rows' drain path); streaming LSH drops
+    # NULL-text docs pre-banding (st_stream_lsh_neardup); IVF probe
+    # tie-break now matches assignment (sim_ivf_topk).
+    "st_tumbling_counts": 14,
+    "st_session_windows": 14,
+    "st_stateful_user_totals": 14,
+    "st_sliding_counts": 14,
+    "st_stream_dedup": 14,
+    "st_stream_lsh_neardup": 14,
+    "st_stream_interval_join": 14,
+    "sim_ivf_topk": 14,
 }
 
 

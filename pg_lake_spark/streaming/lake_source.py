@@ -72,6 +72,29 @@ def _parse_default(sql_literal: str | None):
         ) from None
 
 
+def _ddl_field_names(ddl: str) -> list[str]:
+    """Top-level column names from a comma-joined DDL string, pure
+    Python (depth-aware over decimal(p,s)/struct<...>/map<...> commas) —
+    StructType.fromDDL is a py4j call, unavailable in the context-free
+    Python worker where the stream planner runs."""
+    names: list[str] = []
+    depth, start = 0, 0
+    for idx, ch in enumerate(ddl):
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            part = ddl[start:idx].strip()
+            if part:
+                names.append(part.split()[0].strip("`"))
+            start = idx + 1
+    tail = ddl[start:].strip()
+    if tail:
+        names.append(tail.split()[0].strip("`"))
+    return names
+
+
 class _FilePartition(InputPartition):
     def __init__(self, path: str, phys: dict, backfills: dict):
         self.path = path
@@ -144,6 +167,24 @@ class LakeFeedStreamReader(DataSourceStreamReader):
                 f"lake_feed range contains non-append snapshots {non_append}; "
                 "resync from a full scan"
             )
+        # The reader schema is FROZEN at stream start. Alters already in
+        # history resolve BACKWARD per file era (that is how startFrom=0
+        # replays across renames/backfills), but a rename/drop committed
+        # AFTER the stream froze its schema leaves files whose physical
+        # columns the frozen mapping cannot locate. Detect it as "the
+        # table's current column list no longer matches the frozen one"
+        # and fail loudly at planning (driver-side) instead of an opaque
+        # pyarrow field-not-found on an executor; restarting adopts the
+        # new schema. A trailing ADD is tolerated: its extra column is
+        # simply not projected.
+        current = _ddl_field_names(md.schema_ddl)
+        frozen = [f.name for f in self.schema.fields]
+        if current[: len(frozen)] != frozen:
+            raise ValueError(
+                f"lake_feed: table schema changed after stream start "
+                f"(stream: {frozen}, table: {current}): restart the "
+                "stream to adopt the new schema"
+            )
         to_snap = md.snapshot_by_id(e)
         parts: list[InputPartition] = []
         for f in cat.read_snapshot_files(self.location, md, to_snap):
@@ -185,7 +226,13 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         for name, field in zip(logical_names, target):
             if name in partition.backfills:
                 v = partition.backfills[name]
-                cols.append(pa.nulls(n, field.type) if v is None else pa.array([v] * n).cast(field.type))
+                # pa.repeat is O(1) in Python objects; a [v] * n list
+                # literal allocated n boxed values per file read
+                cols.append(
+                    pa.nulls(n, field.type)
+                    if v is None
+                    else pa.repeat(pa.scalar(v, type=field.type), n)
+                )
             else:
                 cols.append(tbl.column(partition.phys[name]).cast(field.type))
         out = pa.table(cols, schema=target)

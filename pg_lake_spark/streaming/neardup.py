@@ -50,6 +50,13 @@ def streaming_band_keys(
     batch-identical signature values."""
     rows_per_band = num_hashes // bands
     shingles = word_shingles(text_col, shingle_n)
+    # Batch parity for degenerate docs: minhash_signature_agg EXPLODES
+    # the shingle array, so NULL/too-short text contributes no rows.
+    # Unfiltered here, every such doc would get an all-NULL signature
+    # and concat_ws (which SKIPS nulls) would funnel them all into one
+    # md5('') mega-bucket per band — O(n²) spurious pairs and unbounded
+    # state growth for null-text corpora.
+    df = df.where(F.size(shingles) > 0)
 
     def hasher(i: int):
         return lambda s: (
@@ -118,9 +125,6 @@ def _make_emit_pairs(max_bucket_size: int | None):
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
     return _emit_pairs
-
-
-_emit_pairs = _make_emit_pairs(None)  # uncapped form (back-compat)
 
 
 def stream_lsh_candidates(

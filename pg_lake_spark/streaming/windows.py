@@ -143,7 +143,14 @@ def run_available_now(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    # Detach the result from the memory sink's temp view: checkpoint
+    # the (small — it's a drained aggregate) result and DROP the view.
+    # Leaving mem_<uuid> registered leaked every drained query's full
+    # result in the driver for the session lifetime, with a random name
+    # no caller could drop. Checkpoint blocks free with the DataFrame.
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def stream_interval_join(

@@ -114,3 +114,39 @@ def test_semantic_dedup_string_ids(spark):
         df, "doc_id", "emb", dim=64, threshold=0.9, n_planes=1
     )
     assert sorted(r.doc_id for r in out.collect()) == ["doc-a", "doc-c"]
+
+
+def test_ivf_probe_tiebreak_matches_assignment(spark):
+    """r14 review: with DUPLICATE centroids (possible under Forgy init
+    on a corpus with repeated embeddings), assignment puts members in
+    the LOWEST-index twin; the query probe order must break score ties
+    the same way or n_probe=1 probes the empty twin and misses every
+    neighbor."""
+    from pyspark.sql import functions as F
+
+    # two identical centroids passed explicitly; all corpus vectors sit
+    # near them, so every vector is assigned to index 0 (first max)
+    cents = [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]
+    rows = [(i, [1.0, 0.01 * i]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    qs = emb.filter(F.col("vec_id") == 0)
+    out = similarity.ivf_topk(
+        emb, qs, k=3, n_probe=1, centroids=cents
+    ).collect()
+    assert len(out) == 3, "query probed the empty duplicate list"
+    assert all(r.query_id == 0 and r.vec_id != 0 for r in out)
+
+
+def test_streaming_band_keys_drop_null_text(spark):
+    """r14 review: NULL text must emit NO band keys (batch parity — the
+    batch pipeline's explode drops NULL-shingle docs); before the fix
+    every null-text doc funneled into one md5('') mega-bucket. Short
+    text keeps its whole-text shingle on both paths."""
+    from pg_lake_spark.streaming.neardup import streaming_band_keys
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a"), (3, "one two three four five")],
+        "doc_id bigint, text string",
+    )
+    out = streaming_band_keys(df, "doc_id", "text", shingle_n=3)
+    assert {r._id for r in out.collect()} == {2, 3}

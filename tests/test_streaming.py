@@ -376,3 +376,37 @@ def test_stream_lsh_bucket_cap_bounds_pairs(spark, tmp_path):
     got = spark.read.parquet(str(out)).distinct()
     n = got.count()
     assert 0 < n <= cap * (cap - 1) // 2
+
+
+def test_lake_feed_mid_stream_rename_fails_loudly(spark, tmp_path):
+    """r14 review: a rename committed AFTER the reader froze its schema
+    must raise a clear planner-side error (the frozen mapping cannot
+    locate the new physical columns), while a post-freeze ADD is
+    tolerated — its extra column is simply not projected."""
+    import pytest as _pytest
+
+    from pyspark.sql.types import StructType
+
+    from pg_lake_spark.streaming.lake_source import LakeFeedStreamReader
+
+    loc = str(tmp_path / "feed_mid")
+    t = LakeTable.create_from_dataframe(
+        spark, loc, spark.createDataFrame([(1, 10.0)], "k bigint, v double")
+    )
+    reader = LakeFeedStreamReader(
+        StructType.fromDDL(t.metadata.schema_ddl), {"path": loc, "startFrom": "0"}
+    )
+    start = reader.initialOffset()
+    # post-freeze ADD: tolerated (prefix of current columns still matches)
+    t.add_column("tag", "string", default="'x'")
+    t.append(spark.createDataFrame([(2, 20.0, "n")], "k bigint, v double, tag string"))
+    end = reader.latestOffset()
+    parts = reader.partitions(start, end)
+    assert parts, "post-freeze ADD must still plan"
+    # post-freeze RENAME: loud driver-side failure
+    t.rename_column("v", "value")
+    t.append(
+        spark.createDataFrame([(3, 30.0, "m")], "k bigint, value double, tag string")
+    )
+    with _pytest.raises(ValueError, match="schema changed after stream start"):
+        reader.partitions(start, reader.latestOffset())
