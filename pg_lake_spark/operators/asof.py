@@ -62,6 +62,23 @@ def asof_join(
         .orderBy("_ats", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in carried:
-        u = u.withColumn(f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w))
-    return u.filter(F.col("_side") == 1).drop("_side", "_ats")
+    # Carry the whole right payload as ONE struct, not per-column
+    # last(ignorenulls): per-column carry tears rows — a right row whose
+    # payload holds a NULL in one column would have that column filled
+    # from an OLDER right row while its siblings come from the newer
+    # one, which no ASOF engine does. The struct is NULL for left rows
+    # (F.when without otherwise) and non-NULL for every right row even
+    # when all its fields are NULL, so last(ignorenulls) always picks
+    # the single most recent right ROW.
+    pay = F.when(
+        F.col("_side") == 0,
+        F.struct(*[F.col(f"{c}{suffix}").alias(c) for c in carried]),
+    )
+    u = u.withColumn("_pay", F.last(pay, ignorenulls=True).over(w))
+    return (
+        u.filter(F.col("_side") == 1)
+        .select(
+            *[F.col(c) for c in lcols],
+            *[F.col("_pay").getField(c).alias(f"{c}{suffix}") for c in carried],
+        )
+    )

@@ -206,16 +206,22 @@ def repeated_spans(
     )
     wins = long_spans.unionByName(short_spans)
     if hash_only:
-        wins = wins.select("_id", F.hex(F.xxhash64("_span")).alias("_span"))
-    return (
+        # Group on the raw BIGINT hash (8-byte shuffle keys — the whole
+        # point of hash_only); render to hex only on the tiny grouped
+        # output. hex(bigint) here equals hex() of the pre-group hash,
+        # so output and ordering are identical to grouping on the text.
+        wins = wins.select("_id", F.xxhash64("_span").alias("_span"))
+    grouped = (
         wins.groupBy(F.col("_span").alias("span"))
         .agg(
             F.countDistinct("_id").cast("bigint").alias("n_docs"),
             F.count(F.lit(1)).alias("n_occ"),
         )
         .filter(F.col("n_docs") >= min_docs)
-        .orderBy(F.col("n_occ").desc(), "span")
     )
+    if hash_only:
+        grouped = grouped.withColumn("span", F.hex("span"))
+    return grouped.orderBy(F.col("n_occ").desc(), "span")
 
 
 def maximal_repeated_spans(
@@ -470,6 +476,13 @@ def lsh_candidate_pairs(
 
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}): leftover signature components would be silently "
+            "excluded from banding, changing the recall curve from the "
+            "documented 1-(1-s^r)^b"
+        )
     rows_per_band = num_hashes // bands
     # One signing pass over the corpus (explode + min-agg; see
     # minhash_signature_agg for why not the pure-expression form);
@@ -857,7 +870,13 @@ def kmv_distinct_estimate(df: DataFrame, col: str, *, k: int = 256) -> DataFrame
         F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 13), 16, 10).cast("bigint")
         / F.lit(float(1 << 52))
     ).alias("h")
-    bottom = df.select(h).distinct().orderBy("h").limit(k)
+    # NULLs carry no distinct identity (count(DISTINCT col) semantics)
+    # and their NULL hash would otherwise occupy a bottom-k slot — and
+    # do so divergently across engines (Spark sorts NULLs first
+    # ascending, DuckDB last).
+    bottom = (
+        df.filter(F.col(col).isNotNull()).select(h).distinct().orderBy("h").limit(k)
+    )
     return bottom.agg(
         (F.lit(float(k - 1)) / F.max("h")).alias("est_distinct"), F.lit(k).alias("k")
     )
@@ -874,13 +893,17 @@ def connected_components(
     propagation: (id, component) where component = the minimum id in
     the node's component.
 
-    Each round is one join + groupBy (label = min of own and neighbor
-    labels) and converges in O(component diameter) rounds — near-dup
-    graphs are shallow (dups of dups of X are dups of X), so a handful
-    of rounds closes them at any corpus size. Lineage is truncated with
-    an eager localCheckpoint per round (the iterative-algorithm pattern
-    — without it the plan doubles every iteration), and the driver-side
-    convergence check reads one count per round, never the data.
+    Each round is one neighbor-min join + groupBy followed by a label
+    SHORT-CUT (follow one's label's own label — pointer doubling), so
+    convergence is O(log diameter) rounds, not O(diameter): a chain of
+    a million successively-similar documents closes in ~20 rounds where
+    plain min-propagation would need a million. Lineage is truncated
+    with an eager localCheckpoint per round (the iterative-algorithm
+    pattern — without it the plan doubles every iteration), and the
+    driver-side convergence check reads one count per round, never the
+    data. If labels are still moving after ``max_iters`` rounds the
+    function RAISES — a silently half-converged component assignment
+    would drop the wrong documents downstream.
     """
     sym = edges.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
@@ -897,12 +920,30 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nmin"))
         )
+        stepped = labels.join(
+            neighbor_min, labels["id"] == neighbor_min["src"], "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+            ).alias("_c1"),
+            "component",
+        )
+        # Short-cut (pointer doubling): every label is itself a node id,
+        # so follow the label's OWN label one hop. Monotone (labels only
+        # decrease, bounded by the component minimum) and idempotent at
+        # the fixed point, but turns O(diameter) convergence into
+        # O(log diameter). One extra self-join on the (small) label
+        # frame per round.
+        parent = stepped.select(
+            F.col("id").alias("_pid"), F.col("_c1").alias("_pc")
+        )
         updated = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            stepped.join(parent, stepped["_c1"] == parent["_pid"], "left")
             .select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                    F.col("_c1"), F.coalesce(F.col("_pc"), F.col("_c1"))
                 ).alias("new_component"),
                 "component",
             )
@@ -912,6 +953,12 @@ def connected_components(
         labels = updated.select("id", F.col("new_component").alias("component"))
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components: labels still moving after {max_iters} "
+            "rounds — raise max_iters (convergence is O(log diameter) with "
+            "short-cutting; 20 rounds covers ~1M-hop chains)"
+        )
     return labels
 
 

@@ -43,7 +43,21 @@ def salted_join(
     seed: int = 42,
 ) -> DataFrame:
     """Equi-join with the skewed side salted and the build side
-    replicated ``salt_factor``×. Result equals the plain join."""
+    replicated ``salt_factor``×. Result equals the plain join.
+
+    Only join types where the build side's replication cannot surface
+    are accepted: inner, left (outer), left_semi, left_anti. A right or
+    full join would emit every UNMATCHED build row once per salt value
+    — ``salt_factor`` phantom rows — so those are refused loudly rather
+    than silently wrong."""
+    how_norm = how.replace("_", "").lower()
+    if how_norm not in {"inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti"}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the build side is "
+            f"replicated {salt_factor}x, so right/full joins would emit "
+            "unmatched build rows once per salt value. Salt the other side "
+            "or use a plain join with AQE skew handling."
+        )
     l = skewed.withColumn(
         _SALT,
         F.pmod(F.xxhash64(*skewed.columns, F.lit(seed)), F.lit(salt_factor)).cast(

@@ -274,7 +274,9 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("_w")).alias("total_len"),
     ).collect()[0]
-    n_docs, avgdl = stats.n_docs, stats.total_len / max(stats.n_docs, 1)
+    # total_len is NULL (not 0) on an empty corpus — sum() over no rows
+    n_docs, avgdl = stats.n_docs, (stats.total_len or 0) / max(stats.n_docs, 1)
+    avgdl = avgdl or 1.0  # all-empty docs: keep the length norm finite
 
     tok = base.select(
         "_id",
@@ -354,7 +356,9 @@ def unigram_surprisal(df, id_col: str, text_col: str):
         "_id", F.size("_w").alias("_dl"), F.explode("_w").alias("_t")
     )
     corpus = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
-    total = corpus.agg(F.sum("_c")).collect()[0][0]
+    # sum() over no rows is NULL — an empty corpus should return an
+    # empty frame, not crash building the literal below
+    total = corpus.agg(F.sum("_c")).collect()[0][0] or 1
     tf = tok.groupBy("_id", "_dl", "_t").agg(
         F.count(F.lit(1)).alias("_tf")
     )

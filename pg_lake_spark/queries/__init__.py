@@ -110,6 +110,22 @@ _CODE_CHANGED_IN: dict[str, int] = {
     "st_stream_lsh_neardup": 14,
     "st_stream_interval_join": 14,
     "sim_ivf_topk": 14,
+    # r14 operator-module review batch: asof carries the right payload
+    # as one struct (per-column last() tore rows with NULL payload
+    # fields); salted_join gained the outer-join refusal; connected
+    # components gained pointer-doubling + a non-convergence raise
+    # (dd_neardup_clusters' clustering path); kmv filters NULLs before
+    # the bottom-k; repeated_spans' hash path groups on the bigint;
+    # lsh_candidate_pairs validates num_hashes % bands; bm25/surprisal
+    # guard the empty-corpus scalar reduction.
+    "j_asof_prior_view": 14,
+    "j_salted_skew": 14,
+    "dd_neardup_clusters": 14,
+    "sk_kmv_distinct": 14,
+    "dd_repeated_spans": 14,
+    "dd_lsh_candidates": 14,
+    "txt_bm25_topk": 14,
+    "txt_unigram_surprisal": 14,
 }
 
 

@@ -257,3 +257,69 @@ def test_unigram_surprisal_orders_rarity(spark):
            unigram_surprisal(df, "doc_id", "text").collect()}
     assert len(out) == 22 and all(v > 0 for v in out.values())
     assert out[2] > out[1]
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 60-node chain needs ~59 rounds under plain min-propagation —
+    the r14 short-cutting (pointer doubling) closes it within the
+    default 20 (O(log diameter))."""
+    from pg_lake_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "id_a bigint, id_b bigint"
+    )
+    out = connected_components(edges).collect()
+    assert len(out) == 60
+    assert all(r.component == 0 for r in out)
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """Labels still moving after max_iters must raise, not silently
+    return a half-merged component assignment."""
+    import pytest
+
+    from pg_lake_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(29)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="still moving"):
+        connected_components(edges, max_iters=1)
+
+
+def test_kmv_ignores_nulls(spark):
+    """A NULL input hashes to NULL, which Spark sorts FIRST ascending
+    (DuckDB: last) — it must not occupy a bottom-k slot."""
+    from pg_lake_spark.operators.dedup import kmv_distinct_estimate
+
+    vals = spark.createDataFrame(
+        [(i,) for i in range(500)], "v bigint"
+    )
+    with_nulls = vals.unionByName(
+        spark.createDataFrame([(None,), (None,)], "v bigint")
+    )
+    a = kmv_distinct_estimate(vals, "v", k=64).collect()[0]
+    b = kmv_distinct_estimate(with_nulls, "v", k=64).collect()[0]
+    assert a.est_distinct == b.est_distinct
+
+
+def test_lsh_rejects_nondivisible_banding(spark):
+    """Leftover signature components silently excluded from banding
+    change the recall curve — refused loudly (r14 review)."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id bigint, body string"
+    )
+    with pytest.raises(ValueError, match="divide evenly"):
+        lsh_candidate_pairs(docs, "doc_id", "body", num_hashes=12, bands=5)
+
+
+def test_bm25_and_surprisal_empty_corpus(spark):
+    """sum() over no rows is NULL — the scalar reductions must not
+    crash building literals on an empty corpus."""
+    from pg_lake_spark.operators.textstats import bm25_topk, unigram_surprisal
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert bm25_topk(empty, "doc_id", "text", {"q": ["term"]}).count() == 0
+    assert unigram_surprisal(empty, "doc_id", "text").count() == 0

@@ -45,3 +45,18 @@ def test_salted_left_join(spark):
     assert sorted(map(tuple, plain.collect()), key=str) == sorted(
         map(tuple, salted.collect()), key=str
     )
+
+
+def test_salted_join_refuses_build_visible_outer(spark):
+    """right/full joins would emit every unmatched build row once per
+    salt value — refused loudly (r14 review)."""
+    import pytest
+
+    fact = spark.createDataFrame([(1, 1)], "k int, v int")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k int, name string")
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="replicated"):
+            salted_join(fact, dim, on=["k"], how=how)
+    # left_semi still accepted and correct (dedup absorbs replication)
+    semi = salted_join(fact, dim, on=["k"], how="left_semi")
+    assert semi.count() == 1
