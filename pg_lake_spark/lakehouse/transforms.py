@@ -85,7 +85,16 @@ def bucket_py(value, n: int) -> int | None:
     elif isinstance(value, bytes):
         data = value
     elif isinstance(value, datetime):
-        micros = int((value - _EPOCH_TS).total_seconds() * 1_000_000)
+        # Exact integer micros: total_seconds() is a float whose ~2^-52
+        # relative error is ±0.5 µs at modern epochs — enough to flip
+        # the hashed value (and therefore the bucket) for some
+        # microsecond-precision timestamps.
+        if value.tzinfo is not None:
+            from datetime import timezone as _tz
+
+            value = value.astimezone(_tz.utc).replace(tzinfo=None)
+        delta = value - _EPOCH_TS
+        micros = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
         data = struct.pack("<q", micros)
     elif isinstance(value, date):
         days = (value - _EPOCH_DATE).days
@@ -117,27 +126,23 @@ def _mul32(c: Column, k: int) -> Column:
     return _and32(lo + _and32(F.shiftleft(hi, 16)))
 
 
-def murmur3_32_long_col(col: Column) -> Column:
-    """murmur3_x86_32 of the little-endian 8-byte encoding of a BIGINT
-    column, as a pure Spark expression (two 4-byte blocks). Returns
-    signed int32 to match :func:`murmur3_32`.
+_C1, _C2 = 0xCC9E2D51, 0x1B873593
 
-    Built from shifts/masks only — stays inside whole-stage codegen; no
-    UDF on the write fan-out path.
-    """
-    v = col.cast("bigint")
-    c1, c2 = 0xCC9E2D51, 0x1B873593
-    block1 = _and32(v)  # little-endian low word
-    block2 = _and32(F.shiftrightunsigned(v, 32))
-    h = F.lit(0).cast("bigint")
-    for blk in (block1, block2):
-        k = _mul32(blk, c1)
-        k = _rotl32_col(k, 15)
-        k = _mul32(k, c2)
-        h = _and32(h.bitwiseXOR(k))
-        h = _rotl32_col(h, 13)
-        h = _and32(_mul32(h, 5) + F.lit(0xE6546B64))
-    h = h.bitwiseXOR(F.lit(8))
+
+def _block_mix(h: Column, k: Column) -> Column:
+    """One murmur3 block round: mix word ``k`` into state ``h``."""
+    k = _mul32(k, _C1)
+    k = _rotl32_col(k, 15)
+    k = _mul32(k, _C2)
+    h = _and32(h.bitwiseXOR(k))
+    h = _rotl32_col(h, 13)
+    return _and32(_mul32(h, 5) + F.lit(0xE6546B64))
+
+
+def _fmix(h: Column, n: Column) -> Column:
+    """murmur3 finalization over state ``h`` for input length ``n``;
+    returns signed int32."""
+    h = _and32(h.bitwiseXOR(n))
     h = h.bitwiseXOR(F.shiftrightunsigned(_and32(h), 16))
     h = _mul32(h, 0x85EBCA6B)
     h = h.bitwiseXOR(F.shiftrightunsigned(_and32(h), 13))
@@ -147,9 +152,118 @@ def murmur3_32_long_col(col: Column) -> Column:
     return F.when(h >= F.lit(1 << 31), h - F.lit(1 << 32)).otherwise(h).cast("int")
 
 
-def bucket_col(col: Column, n: int) -> Column:
-    """Iceberg bucket(N) as a Column (integer-typed inputs)."""
-    return (murmur3_32_long_col(col).cast("bigint").bitwiseAND(F.lit(0x7FFFFFFF)) % n).cast("int")
+def murmur3_32_long_col(col: Column) -> Column:
+    """murmur3_x86_32 of the little-endian 8-byte encoding of a BIGINT
+    column, as a pure Spark expression (two 4-byte blocks). Returns
+    signed int32 to match :func:`murmur3_32`.
+
+    Built from shifts/masks only — stays inside whole-stage codegen; no
+    UDF on the write fan-out path.
+    """
+    v = col.cast("bigint")
+    block1 = _and32(v)  # little-endian low word
+    block2 = _and32(F.shiftrightunsigned(v, 32))
+    h = F.lit(0).cast("bigint")
+    for blk in (block1, block2):
+        h = _block_mix(h, blk)
+    return _fmix(h, F.lit(8).cast("bigint"))
+
+
+def murmur3_32_binary_col(data: Column) -> Column:
+    """murmur3_x86_32 of a variable-length BINARY column as a pure
+    Spark expression — byte values come from the hex rendering (two
+    chars per byte), 4-byte little-endian words assemble via a
+    ``transform`` over the block indices, and the block loop is one
+    ``aggregate`` lambda (JVM-side, no Python). Returns signed int32,
+    identical to :func:`murmur3_32` over the same bytes — pinned by
+    the spec vectors in tests/test_lakehouse.py.
+    """
+    # Column-algebra helpers (_mul32/_rotl32_col/_fmix) reference their
+    # argument several times; Catalyst trees serialize WITHOUT node
+    # sharing, so nesting a heavy subtree through them multiplies it
+    # ~64× (a first cut shipped a 24 MiB task binary). The cure is a
+    # "let binding": transform() over a one-element struct array turns
+    # each heavy subtree into a lambda VARIABLE, referenced by name.
+    def _let(bindings: dict[str, Column], body) -> Column:
+        s = F.struct(*[c.alias(nm) for nm, c in bindings.items()])
+        return F.transform(F.array(s), body)[0]
+
+    def mixed(v: Column) -> Column:  # v: struct<hx, sw string, n bigint>
+        # sw = hx with every full 4-byte group byte-swapped (one regexp
+        # pass), so a little-endian word is ONE substr+conv; the ≤3-byte
+        # tail stays unswapped in both and reads from hx.
+        hx, sw, n = v["hx"], v["sw"], v["n"]
+        nblocks = (n / 4).cast("bigint")  # n >= 0: truncation == floor
+
+        def byte_at(j: Column) -> Column:  # 0-based byte index
+            return F.conv(
+                F.substr(hx, (j * 2 + 1).cast("int"), F.lit(2)), 16, 10
+            ).cast("bigint")
+
+        def word_at(i: Column) -> Column:  # 0-based block, little-endian
+            return F.conv(
+                F.substr(sw, (i * 8 + 1).cast("int"), F.lit(8)), 16, 10
+            ).cast("bigint")
+
+        # sequence(1, 0) would be the DESCENDING [1, 0] — guard empty
+        idx = F.when(
+            nblocks >= 1, F.sequence(F.lit(1).cast("bigint"), nblocks)
+        ).otherwise(F.array().cast("array<bigint>"))
+        words = F.transform(idx, lambda i: word_at(i - 1))
+        h = F.aggregate(words, F.lit(0).cast("bigint"), _block_mix)
+
+        rem = n % 4
+        tb = nblocks * 4  # first tail byte index
+        k = (
+            F.when(rem >= 1, byte_at(tb)).otherwise(F.lit(0))
+            + F.when(rem >= 2, byte_at(tb + 1) * 256).otherwise(F.lit(0))
+            + F.when(rem >= 3, byte_at(tb + 2) * 65536).otherwise(F.lit(0))
+        )
+        k = _mul32(_rotl32_col(_mul32(k, _C1), 15), _C2)
+        h = F.when(rem > 0, _and32(h.bitwiseXOR(k))).otherwise(h)
+        return F.struct(h.alias("h"), n.alias("n"))
+
+    hx0 = F.hex(data)
+    pre = _let(
+        {
+            "hx": hx0,
+            "sw": F.regexp_replace(hx0, r"(..)(..)(..)(..)", r"$4$3$2$1"),
+            "n": F.octet_length(data).cast("bigint"),
+        },
+        mixed,
+    )
+    # second let: pre is already a struct<h, n> — bind it whole
+    return F.transform(F.array(pre), lambda v: _fmix(v["h"], v["n"]))[0]
+
+
+def bucket_col(col: Column, n: int, dtype: str = "bigint") -> Column:
+    """Iceberg bucket(N) as a Column, spec-exact per input type:
+    int/long hash their 8-byte little-endian encoding, date the days
+    ordinal and timestamp the MICROS ordinal (both promoted to long),
+    string its UTF-8 bytes, binary its raw bytes (spec Appendix B).
+    The previous integer-only version silently cast every input to
+    bigint — epoch SECONDS for timestamps and NULL for strings/dates —
+    so written partition values diverged from bucket_py, which the
+    pruner uses: files holding matching rows were pruned away. Types
+    the spec leaves out (bool, float) refuse loudly.
+    """
+    base = dtype.split("(")[0].lower()
+    if base in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+        hashed = murmur3_32_long_col(col)
+    elif base in ("timestamp", "timestamp_ntz", "timestamp_ltz"):
+        # session runs UTC: the NTZ→instant cast is value-preserving
+        hashed = murmur3_32_long_col(F.unix_micros(col.cast("timestamp")))
+    elif base == "date":
+        hashed = murmur3_32_long_col(
+            F.datediff(col, F.lit("1970-01-01").cast("date"))
+        )
+    elif base == "string":
+        hashed = murmur3_32_binary_col(F.encode(col, "UTF-8"))
+    elif base == "binary":
+        hashed = murmur3_32_binary_col(col)
+    else:
+        raise TypeError(f"bucket transform unsupported for column type {dtype!r}")
+    return (hashed.cast("bigint").bitwiseAND(F.lit(0x7FFFFFFF)) % n).cast("int")
 
 
 # ---------------------------------------------------------------------------
@@ -179,7 +293,7 @@ def hour_col(col: Column) -> Column:
 def truncate_col(col: Column, width: int, dtype: str) -> Column:
     """truncate(W): multiple-of-W for ints, prefix for strings/binary
     (partition_transform.c:492)."""
-    if dtype in ("int", "bigint", "smallint"):
+    if dtype in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
         return (col - (((col % width) + width) % width)).cast("bigint")
     if dtype == "string":
         return F.substring(col, 1, width)
@@ -206,7 +320,11 @@ def day_py(v) -> int | None:
 def hour_py(v) -> int | None:
     if v is None:
         return None
-    return int((v - _EPOCH_TS).total_seconds() // 3600)
+    # exact integer floor: float total_seconds() can land ~5e-7 s below
+    # an exact hour boundary and floor one hour low (timedelta
+    # normalizes seconds into [0, 86400), so this is negative-safe)
+    delta = v - _EPOCH_TS
+    return delta.days * 24 + delta.seconds // 3600
 
 
 def truncate_py(v, width: int):
@@ -231,7 +349,7 @@ TRANSFORMS = {
     "month": (lambda c, p, t: month_col(c), lambda v, p: month_py(v)),
     "day": (lambda c, p, t: day_col(c), lambda v, p: day_py(v)),
     "hour": (lambda c, p, t: hour_col(c), lambda v, p: hour_py(v)),
-    "bucket": (lambda c, p, t: bucket_col(c, p), lambda v, p: bucket_py(v, p)),
+    "bucket": (lambda c, p, t: bucket_col(c, p, t), lambda v, p: bucket_py(v, p)),
     "truncate": (lambda c, p, t: truncate_col(c, p, t), lambda v, p: truncate_py(v, p)),
 }
 

@@ -48,7 +48,19 @@ def bbox_point_join(
     """Join rows of ``boxes`` (bbox struct column ``box_col``) with rows
     of ``points`` (coordinate columns ``x_col``/``y_col``) where the
     point lies inside the box (inclusive edges, st_contains-on-envelope
-    semantics). Returns boxes-columns + points-columns."""
+    semantics). Returns boxes-columns + points-columns.
+
+    Only ``how='inner'`` is supported: an outer grid join would emit an
+    unmatched box once per exploded cell, and the containment filter
+    after the join silently discards every null-extended row anyway —
+    outer semantics cannot survive this plan shape, so asking for them
+    is refused rather than silently answered as inner."""
+    if how != "inner":
+        raise ValueError(
+            f"bbox_point_join supports how='inner' only (got {how!r}): the "
+            "grid explode + post-join containment filter cannot preserve "
+            "outer-join semantics"
+        )
     b = boxes.withColumn(
         "__cx",
         F.explode(

@@ -126,6 +126,9 @@ _CODE_CHANGED_IN: dict[str, int] = {
     "dd_lsh_candidates": 14,
     "txt_bm25_topk": 14,
     "txt_unigram_surprisal": 14,
+    # r14: bbox_point_join refuses non-inner joins (guard only; inner
+    # path unchanged) — on j_spatial_bbox_join's path.
+    "j_spatial_bbox_join": 14,
 }
 
 

@@ -1976,3 +1976,121 @@ def test_materialize_after_rename_keeps_current_layout(spark, tmp_path):
     t.rename_column("label", "tag")  # post-rewrite rename
     got = {(r.id, r.tag) for r in t.to_df().collect()}
     assert got == {(2, "b"), (3, "c")}, "pinned rewrite misread after rename"
+
+
+# ---------------------------------------------------------------------------
+# Typed bucket transform (r14 review: bucket_col silently cast every
+# input to bigint — epoch SECONDS for timestamps, NULL for strings —
+# so written partition values diverged from bucket_py, which the
+# pruner uses: bucket-pruned scans dropped files holding matching rows)
+# ---------------------------------------------------------------------------
+
+def test_murmur3_spec_vectors_all_types():
+    """Iceberg spec appendix B: date/timestamp/binary vectors (the
+    int/string pair is pinned above)."""
+    import struct
+    from datetime import date as _date, datetime as _dt
+
+    days = (_date(2017, 11, 16) - _date(1970, 1, 1)).days
+    assert murmur3_32(struct.pack("<q", days)) == -653330422
+    d = _dt(2017, 11, 16, 22, 31, 8) - _dt(1970, 1, 1)
+    micros = (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+    assert murmur3_32(struct.pack("<q", micros)) == -2047944441
+    assert murmur3_32(bytes([0, 1, 2, 3])) == -188683207
+
+
+def test_bucket_py_exact_micros():
+    """total_seconds() is float — ±0.5 µs error flips buckets; micros
+    must come from exact integer arithmetic."""
+    import struct
+    from datetime import datetime as _dt
+
+    v = _dt(2500, 1, 1, 0, 0, 0, 123457)
+    d = v - _dt(1970, 1, 1)
+    exact = (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+    # the float path demonstrably loses the last microsecond here
+    assert int((v - _dt(1970, 1, 1)).total_seconds() * 1_000_000) != exact
+    assert bucket_py(v, 1024) == (murmur3_32(struct.pack("<q", exact)) & 0x7FFFFFFF) % 1024
+
+
+def test_bucket_col_typed_matches_python(spark):
+    from datetime import date as _date, datetime as _dt
+
+    strs = ["iceberg", "", "a", "ab", "abc", "abcd", "héllo wörld", "日本語", "x" * 137]
+    rows = (
+        spark.createDataFrame([(s,) for s in strs], "v string")
+        .select("v", bucket_col(F.col("v"), 16, "string").alias("b"))
+        .collect()
+    )
+    assert all(r.b == bucket_py(r.v, 16) for r in rows)
+
+    tss = [_dt(2017, 11, 16, 22, 31, 8), _dt(1970, 1, 1), _dt(2030, 2, 28, 23, 59, 59, 999999)]
+    rows = (
+        spark.createDataFrame([(t,) for t in tss], "v timestamp")
+        .select("v", bucket_col(F.col("v"), 16, "timestamp").alias("b"))
+        .collect()
+    )
+    assert all(r.b == bucket_py(r.v, 16) for r in rows)
+
+    dates = [_date(2017, 11, 16), _date(1969, 12, 31), _date(2100, 6, 15)]
+    rows = (
+        spark.createDataFrame([(d,) for d in dates], "v date")
+        .select("v", bucket_col(F.col("v"), 16, "date").alias("b"))
+        .collect()
+    )
+    assert all(r.b == bucket_py(r.v, 16) for r in rows)
+
+    bins = [bytes([0, 1, 2, 3]), b"", b"\x00", bytes(range(13))]
+    rows = (
+        spark.createDataFrame([(b,) for b in bins], "v binary")
+        .select("v", bucket_col(F.col("v"), 16, "binary").alias("b"))
+        .collect()
+    )
+    assert all(r.b == bucket_py(bytes(r.v), 16) for r in rows)
+
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="bucket transform unsupported"):
+        bucket_col(F.col("v"), 8, "double")
+
+
+def test_string_bucket_partition_prunes_correctly(spark, tmp_path):
+    """End-to-end: a bucket(N, string_col) table must return every
+    matching row through the bucket-pruned scan — the r14 bug wrote
+    NULL partition values while the pruner computed real buckets."""
+    loc = str(tmp_path / "tbucket_str")
+    df = spark.createDataFrame(
+        [(i, f"user{i % 17}", float(i)) for i in range(300)],
+        "id bigint, name string, v double",
+    )
+    t = LakeTable.create(
+        spark, loc, "id bigint, name string, v double",
+        partition_by=["bucket(4, name)"],
+    )
+    t.append(df)
+    got = t.refresh().to_df(where="name = 'user3'").count()
+    assert got == df.filter(F.col("name") == "user3").count()
+    # partition values on disk are real buckets, not NULL
+    from pg_lake_spark.lakehouse import catalog as cat
+
+    files = cat.read_snapshot_files(
+        t.location, t.metadata, t.metadata.current_snapshot()
+    )
+    pv = {f.partition.get("name_bucket4") for f in files}
+    assert None not in pv and pv <= set(range(4))
+
+
+def test_timestamp_bucket_partition_prunes_correctly(spark, events_df, tmp_path):
+    loc = str(tmp_path / "tbucket_ts")
+    t = LakeTable.create(
+        spark, loc,
+        "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, value double",
+        partition_by=["bucket(4, ts)"],
+    )
+    t.append(events_df)
+    from datetime import datetime as _dt
+
+    target = _dt(2024, 1, 1, 1, 0, 0)
+    expect = events_df.filter(F.col("ts") == F.lit(target)).count()
+    assert expect > 0
+    assert t.refresh().to_df(where="ts = TIMESTAMP '2024-01-01 01:00:00'").count() == expect
