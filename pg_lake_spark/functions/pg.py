@@ -38,9 +38,13 @@ def pg_div(a: Column | str, b: Column | str) -> Column:
     truncation-toward-zero, matching PG exactly.
     """
     a, b = _col(a), _col(b)
-    # a % b follows the dividend's sign in both PG and Spark, so
-    # (a - a % b) / b is exact division truncated toward zero.
-    return ((a - (a % b)) / b).cast("long")
+    # Spark's integral `div` (exact long arithmetic, truncation toward
+    # zero, ANSI error on zero divisor — all matching PG). The previous
+    # form ((a - a % b) / b).cast("long") routed through DOUBLE
+    # division: exact only below 2^53, it returned 1537228672809129216
+    # for div(2^62+3, 3) (true: ...302) and flipped -(2^63-1)/1 to
+    # -2^63.
+    return F.call_function("div", a, b)
 
 
 def pg_mod(a: Column | str, b: Column | str) -> Column:
@@ -322,7 +326,12 @@ def pg_date_bin(stride: str, ts: Column | str, origin: str) -> Column:
     ts = _col(ts).cast("timestamp")
     origin_us = F.unix_micros(F.lit(origin).cast("timestamp"))
     delta = F.unix_micros(ts) - origin_us
-    binned = origin_us + F.floor(delta / stride_us).cast("bigint") * stride_us
+    # floor(delta/stride)*stride == delta - pmod(delta, stride) in exact
+    # bigint arithmetic (pmod's non-negative remainder IS the floor
+    # convention for negative deltas); the previous floor(double
+    # division) could mis-bin by one stride at extreme epochs where
+    # delta exceeds 2^53 µs.
+    binned = origin_us + (delta - F.pmod(delta, F.lit(stride_us)))
     return F.timestamp_micros(binned).cast("timestamp_ntz")
 
 

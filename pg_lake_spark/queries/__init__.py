@@ -129,6 +129,10 @@ _CODE_CHANGED_IN: dict[str, int] = {
     # r14: bbox_point_join refuses non-inner joins (guard only; inner
     # path unchanged) — on j_spatial_bbox_join's path.
     "j_spatial_bbox_join": 14,
+    # r14: pg_div moved to exact integral div (the double route was
+    # wrong past 2^53); pg_date_bin bins via exact pmod arithmetic.
+    "f_intdiv": 14,
+    "f_date_bin": 14,
 }
 
 

@@ -304,3 +304,46 @@ def test_regexp_replace_literal_dollar_and_backslash(spark):
         pg_regexp_replace("s", "here", "US$5", "g").alias("b"),
     ).collect()[0]
     assert r.a == "US$5 here" and r.b == "price US$5"
+
+
+def test_pg_div_exact_beyond_double(spark):
+    """r14: ((a - a%b)/b).cast('long') routed through DOUBLE division —
+    wrong past 2^53 (and it flipped -(2^63-1)/1 to -2^63)."""
+    vals = [
+        ((1 << 62) + 3, 3),
+        (-(1 << 62) - 5, 7),
+        (-9223372036854775807, 1),
+        ((1 << 53) + 1, 2),
+        (-7, 2),
+        (7, -2),
+    ]
+    df = spark.createDataFrame(vals, "a bigint, b bigint")
+    got = [r.d for r in df.select(pg_div("a", "b").alias("d")).collect()]
+    def trunc(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+    assert got == [trunc(a, b) for a, b in vals]
+
+
+def test_pg_date_bin_exact_and_negative(spark):
+    """Exact pmod binning: negative deltas floor toward the origin."""
+    from datetime import datetime
+    from pg_lake_spark.functions.pg import pg_date_bin
+    from pyspark.sql import functions as F
+
+    rows = [
+        (datetime(2024, 3, 1, 10, 44, 59),),
+        (datetime(2024, 3, 1, 10, 45, 0),),
+        (datetime(1969, 12, 31, 23, 59, 59),),  # negative delta
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = [
+        r.b for r in df.select(
+            pg_date_bin("15 minutes", "ts", "1970-01-01 00:00:00").alias("b")
+        ).collect()
+    ]
+    assert got == [
+        datetime(2024, 3, 1, 10, 30, 0),
+        datetime(2024, 3, 1, 10, 45, 0),
+        datetime(1969, 12, 31, 23, 45, 0),
+    ]
