@@ -209,7 +209,9 @@ class TableMetadata:
         eligible = [s for s in self.snapshots if s.timestamp_ms <= ts_ms]
         if not eligible:
             raise KeyError(f"no snapshot at or before {ts_ms}")
-        return max(eligible, key=lambda s: s.timestamp_ms)
+        # snapshot_id tie-break: rapid commits can share a millisecond,
+        # and "as of T" must resolve to the LATEST of them
+        return max(eligible, key=lambda s: (s.timestamp_ms, s.snapshot_id))
 
     def current_snapshot(self) -> Snapshot | None:
         if self.current_snapshot_id is None:
@@ -273,25 +275,41 @@ def read_snapshot_files(location: str, md: TableMetadata, snapshot: Snapshot) ->
 class CommitLock:
     """Single-writer-per-table lock (O_EXCL create), with staleness
     takeover — the reference serializes writers the same way via table
-    locks; readers never take it (snapshot isolation is free)."""
+    locks; readers never take it (snapshot isolation is free).
+
+    Takeover protocol (r14 review): the naive ``unlink``-on-stale had a
+    double-unlink race — two waiters could both deem the lock stale,
+    waiter A unlink + re-create, and waiter B's queued unlink then
+    removed A's FRESH lock, admitting a third writer alongside A.
+    Takeover now goes through an atomic ``rename`` to a unique name, so
+    exactly ONE taker wins a given stale lock; and the lock carries an
+    owner token so ``__exit__`` only removes a lock this instance still
+    owns (a displaced owner must not delete the usurper's lock).
+    """
 
     def __init__(self, location: str, timeout_s: float = 30.0, stale_s: float = 300.0):
         self.path = os.path.join(_meta_dir(location), LOCK_FILE)
         self.timeout_s = timeout_s
         self.stale_s = stale_s
+        self.token = f"{os.getpid()}:{uuid.uuid4().hex}"
 
     def __enter__(self):
         deadline = time.time() + self.timeout_s
         while True:
             try:
                 fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
+                os.write(fd, self.token.encode())
                 os.close(fd)
                 return self
             except FileExistsError:
                 try:
                     if time.time() - os.path.getmtime(self.path) > self.stale_s:
-                        os.unlink(self.path)  # stale writer crashed
+                        stale = f"{self.path}.stale.{uuid.uuid4().hex[:8]}"
+                        try:
+                            os.rename(self.path, stale)  # one taker wins
+                        except FileNotFoundError:
+                            continue
+                        os.unlink(stale)
                         continue
                 except FileNotFoundError:
                     continue
@@ -301,8 +319,11 @@ class CommitLock:
 
     def __exit__(self, *exc):
         try:
+            with open(self.path) as f:
+                if f.read() != self.token:
+                    return  # lost to staleness takeover: not ours anymore
             os.unlink(self.path)
-        except FileNotFoundError:
+        except (FileNotFoundError, OSError):
             pass
 
 

@@ -2094,3 +2094,50 @@ def test_timestamp_bucket_partition_prunes_correctly(spark, events_df, tmp_path)
     expect = events_df.filter(F.col("ts") == F.lit(target)).count()
     assert expect > 0
     assert t.refresh().to_df(where="ts = TIMESTAMP '2024-01-01 01:00:00'").count() == expect
+
+
+def test_commit_lock_token_and_takeover(tmp_path):
+    """r14 review: takeover is rename-based (one taker wins a stale
+    lock) and release is token-guarded (a displaced owner must not
+    delete the usurper's lock)."""
+    import os
+    import time as _time
+
+    from pg_lake_spark.lakehouse.catalog import CommitLock
+
+    loc = str(tmp_path / "locktbl")
+    os.makedirs(os.path.join(loc, "_lake_metadata"))
+
+    # plain acquire/release round-trips
+    with CommitLock(loc):
+        lockfile = os.path.join(loc, "_lake_metadata", "commit.lock")
+        assert os.path.exists(lockfile)
+    assert not os.path.exists(lockfile)
+
+    # stale takeover: a crashed writer's old lock is replaced
+    a = CommitLock(loc, stale_s=0.2)
+    a.__enter__()
+    _time.sleep(0.3)
+    b = CommitLock(loc, timeout_s=5, stale_s=0.2)
+    b.__enter__()  # takes over the stale lock
+    # the displaced owner's exit must NOT remove b's lock
+    a.__exit__(None, None, None)
+    assert os.path.exists(lockfile)
+    with open(lockfile) as f:
+        assert f.read() == b.token
+    b.__exit__(None, None, None)
+    assert not os.path.exists(lockfile)
+
+
+def test_snapshot_as_of_same_millisecond(tmp_path):
+    from pg_lake_spark.lakehouse.catalog import Snapshot, TableMetadata
+
+    md = TableMetadata(str(tmp_path), "id bigint")
+    md.snapshots = [
+        Snapshot(1, 1000, "append", []),
+        Snapshot(2, 1000, "append", []),
+        Snapshot(3, 2000, "append", []),
+    ]
+    assert md.snapshot_as_of(1000).snapshot_id == 2
+    assert md.snapshot_as_of(1999).snapshot_id == 2
+    assert md.snapshot_as_of(2000).snapshot_id == 3
