@@ -395,8 +395,20 @@ def _infer_schema(rows: list[dict], geom_col: str) -> list[tuple[str, int]]:
     return [(k, types[k] if types[k] is not None else _CT_STRING) for k in order]
 
 
-def _feature_frame(schema: list[tuple[str, int]], row: dict, geom_col: str) -> tuple[int, bytes]:
-    """(gtype, size-prefixed feature frame) for one row."""
+def _feature_frame(
+    schema: list[tuple[str, int]], row: dict, geom_col: str
+) -> tuple[int | None, bytes]:
+    """(gtype | None, size-prefixed feature frame) for one row.
+
+    A NULL geometry is a legal FlatGeobuf feature (no geometry field —
+    the reader side already maps it back to NULL); it previously
+    crashed inside the WKB parser."""
+    props = _encode_props(schema, row)
+    if row.get(geom_col) is None:
+        ffields = []
+        if props:
+            ffields.append((_F_PROPERTIES, "vec_u8", props))
+        return None, _frame(_build_table(ffields))
     gtype, coords = _parse(row[geom_col])
     if gtype not in _SUPPORTED_GEOM:
         raise ValueError(f"unsupported geometry type {gtype}")
@@ -405,7 +417,6 @@ def _feature_frame(schema: list[tuple[str, int]], row: dict, geom_col: str) -> t
     if ends:
         gfields.insert(0, (_G_ENDS, "vec_u32", ends))
     geom_tbl = _build_table(gfields)
-    props = _encode_props(schema, row)
     ffields = [(_F_GEOMETRY, "tbl", geom_tbl)]
     if props:
         ffields.append((_F_PROPERTIES, "vec_u8", props))
@@ -438,7 +449,8 @@ def write_flatgeobuf(path: str, rows: list[dict], *, geom_col: str = "geometry",
     frames: list[bytes] = []
     for row in rows:
         gtype, frame = _feature_frame(schema, row, geom_col)
-        gtypes.add(gtype)
+        if gtype is not None:  # NULL geometries don't vote on the header type
+            gtypes.add(gtype)
         frames.append(frame)
     # mixed geometry types → header gtype Unknown (0), per FGB spec;
     # the per-feature geometry tables carry their own type.
@@ -505,7 +517,7 @@ def write_flatgeobuf_df(df, path: str, *, geom_col: str = "geometry",
                 g, frame = _feature_frame(schema, row, geom_col)
                 out_g.append(g)
                 out_f.append(frame)
-            yield pd.DataFrame({"gtype": pd.array(out_g, dtype="int32"),
+            yield pd.DataFrame({"gtype": pd.array(out_g, dtype="Int32"),
                                 "frame": out_f})
 
     frames = df.mapInPandas(encode, "gtype int, frame binary")
@@ -515,7 +527,8 @@ def write_flatgeobuf_df(df, path: str, *, geom_col: str = "geometry",
     gtypes: set[int] = set()
     with tempfile.NamedTemporaryFile(delete=False) as body:
         for r in frames.toLocalIterator():
-            gtypes.add(r.gtype)
+            if r.gtype is not None:
+                gtypes.add(r.gtype)
             body.write(bytes(r.frame))
             nfeat += 1
         body_path = body.name

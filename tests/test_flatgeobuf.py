@@ -189,3 +189,42 @@ def test_distributed_export_mixed_gtype_header_unknown(spark, tmp_path):
     fgb.write_flatgeobuf_df(df, out)
     rows = {r.id for r in fgb.read_flatgeobuf(spark, out).collect()}
     assert rows == {1, 2}
+
+
+def test_null_geometry_roundtrip(spark, tmp_path):
+    """NULL geometries are legal FGB features (no geometry field) —
+    the writer previously crashed in the WKB parser (r14 review); they
+    must round-trip as NULL and not vote on the header type."""
+    path = str(tmp_path / "nullgeom.fgb")
+    pt = _from_wkt("POINT (1 2)")
+    fgb.write_flatgeobuf(
+        path,
+        [
+            {"geometry": pt, "name": "a"},
+            {"geometry": None, "name": "b"},
+            {"geometry": pt, "name": "c"},
+        ],
+    )
+    got = fgb.read_flatgeobuf(spark, path).orderBy("name").collect()
+    assert [r.name for r in got] == ["a", "b", "c"]
+    assert got[1].geometry is None
+    assert _to_wkt(bytes(got[0].geometry)) == "POINT(1 2)"
+    # header gtype stays POINT (nulls don't force Unknown)
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    (hsize,) = struct.unpack_from("<I", buf, 8)
+    (root,) = struct.unpack_from("<I", buf, 12)
+    hdr = fgb._Tbl(buf, 12 + root)
+    assert hdr.scalar(fgb._H_GTYPE, "B", 0) == fgb.WKB_POINT
+
+
+def test_null_geometry_distributed_export(spark, tmp_path):
+    path = str(tmp_path / "nullgeom_df.fgb")
+    pt = _from_wkt("POINT (3 4)")
+    df = spark.createDataFrame(
+        [(1, pt), (2, None), (3, pt)], "id bigint, geometry binary"
+    )
+    n = fgb.write_flatgeobuf_df(df, path)
+    assert n == 3
+    got = {r.id: r.geometry for r in fgb.read_flatgeobuf(spark, path).collect()}
+    assert got[2] is None and got[1] is not None
