@@ -259,16 +259,26 @@ def main() -> None:
                     )
                 except (OSError, ValueError, json.JSONDecodeError):
                     prior_sf1 = {}
+                def _num(v) -> float | None:
+                    """A junk prior value (corrupted sidecar) must be
+                    ignored per-query, not crash the whole sf1 section
+                    into sf1_skipped."""
+                    try:
+                        f = float(v)
+                        return f if f > 0 else None
+                    except (TypeError, ValueError):
+                        return None
+
                 for n, t in list(sf1_timings.items()):
-                    p = prior_sf1.get(n)
-                    if p and t > 3.0 * float(p) and t > 2.0:
+                    p = _num(prior_sf1.get(n))
+                    if p and t > 3.0 * p and t > 2.0:
                         retry, _ = run_suite([n], data_dir=sf1_dir, n_repeats=1)
                         if retry.get(n, t) < t:
                             sf1_timings[n] = retry[n]
                         sf1_reran.append(n)
                 sf1_total = sum(sf1_timings.values())
                 sf1_best = {
-                    n: round(min(t, float(prior_sf1.get(n, t))), 4)
+                    n: round(min(t, _num(prior_sf1.get(n)) or t), 4)
                     for n, t in sf1_timings.items()
                 }
                 sf1_result = {
@@ -319,9 +329,23 @@ def main() -> None:
         "best": best_of,
         **{k: v for k, v in sf1_result.items() if k in ("sf1_queries", "sf1_best")},
     }
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    if "sf1_best" not in detail:
+        # sf1 skipped this round (budget/generation/non-sf0.1 dir):
+        # carry the rolling best forward so the outlier guard's history
+        # survives a skipped round instead of being wiped by the
+        # unconditional sidecar rewrite.
+        try:
+            with open(sidecar) as f:
+                prev = json.load(f)
+            carried = prev.get("sf1_best") or prev.get("sf1_queries")
+            if isinstance(carried, dict) and carried:
+                detail["sf1_best"] = carried
+        except (OSError, ValueError, json.JSONDecodeError):
+            pass
     print(json.dumps(detail))
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+        with open(sidecar, "w") as f:
             json.dump(detail, f, indent=1)
     except OSError:
         pass

@@ -303,12 +303,30 @@ class CommitLock:
                 return self
             except FileExistsError:
                 try:
-                    if time.time() - os.path.getmtime(self.path) > self.stale_s:
+                    st = os.stat(self.path)  # inode + mtime in one shot
+                    if time.time() - st.st_mtime > self.stale_s:
                         stale = f"{self.path}.stale.{uuid.uuid4().hex[:8]}"
                         try:
                             os.rename(self.path, stale)  # one taker wins
                         except FileNotFoundError:
                             continue
+                        # Victim confirmation: rename acts on the PATH,
+                        # so if the stale holder released and a fresh
+                        # writer re-created between our stat and the
+                        # rename, we just displaced a live lock. link()
+                        # restores the same inode if the slot is still
+                        # free; if a third writer slipped in, the
+                        # displaced owner's token-guarded release keeps
+                        # it from deleting that writer's lock (residual
+                        # window needs a triple interleave within the
+                        # stat-to-rename microseconds AND a stale-
+                        # looking lock — beyond that, use a real lock
+                        # service).
+                        if os.stat(stale).st_ino != st.st_ino:
+                            try:
+                                os.link(stale, self.path)
+                            except FileExistsError:
+                                pass
                         os.unlink(stale)
                         continue
                 except FileNotFoundError:
@@ -323,8 +341,8 @@ class CommitLock:
                 if f.read() != self.token:
                     return  # lost to staleness takeover: not ours anymore
             os.unlink(self.path)
-        except (FileNotFoundError, OSError):
-            pass
+        except FileNotFoundError:
+            pass  # real release failures (EACCES/EIO) must surface
 
 
 def commit_metadata(location: str, md: TableMetadata) -> TableMetadata:

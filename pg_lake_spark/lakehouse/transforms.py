@@ -236,7 +236,7 @@ def murmur3_32_binary_col(data: Column) -> Column:
     return F.transform(F.array(pre), lambda v: _fmix(v["h"], v["n"]))[0]
 
 
-def bucket_col(col: Column, n: int, dtype: str = "bigint") -> Column:
+def bucket_col(col: Column, n: int, dtype: str) -> Column:
     """Iceberg bucket(N) as a Column, spec-exact per input type:
     int/long hash their 8-byte little-endian encoding, date the days
     ordinal and timestamp the MICROS ordinal (both promoted to long),
@@ -245,7 +245,9 @@ def bucket_col(col: Column, n: int, dtype: str = "bigint") -> Column:
     bigint — epoch SECONDS for timestamps and NULL for strings/dates —
     so written partition values diverged from bucket_py, which the
     pruner uses: files holding matching rows were pruned away. Types
-    the spec leaves out (bool, float) refuse loudly.
+    the spec leaves out (bool, float) refuse loudly. ``dtype`` is
+    REQUIRED (no bigint default) so the old cast-everything failure
+    mode is unrepresentable.
     """
     base = dtype.split("(")[0].lower()
     if base in ("tinyint", "smallint", "int", "integer", "bigint", "long"):

@@ -48,6 +48,13 @@ def streaming_band_keys(
 ) -> DataFrame:
     """(_id, band, bucket) rows — expression-only (stream-safe) with
     batch-identical signature values."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}): leftover signature components would be silently "
+            "excluded from banding (same contract as the batch "
+            "lsh_candidate_pairs, which also refuses)"
+        )
     rows_per_band = num_hashes // bands
     shingles = word_shingles(text_col, shingle_n)
     # Batch parity for degenerate docs: minhash_signature_agg EXPLODES

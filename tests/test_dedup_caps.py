@@ -323,3 +323,15 @@ def test_bm25_and_surprisal_empty_corpus(spark):
     empty = spark.createDataFrame([], "doc_id bigint, text string")
     assert bm25_topk(empty, "doc_id", "text", {"q": ["term"]}).count() == 0
     assert unigram_surprisal(empty, "doc_id", "text").count() == 0
+
+
+def test_streaming_band_keys_rejects_nondivisible(spark):
+    """Streaming twin of the batch guard: leftover signature components
+    must refuse, keeping the batch-identical contract."""
+    import pytest
+
+    from pg_lake_spark.streaming.neardup import streaming_band_keys
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="divide evenly"):
+        streaming_band_keys(docs, "doc_id", "text", num_hashes=12, bands=5)

@@ -61,7 +61,7 @@ def test_murmur3_col_matches_python(spark):
 
 def test_bucket_col_matches_python(spark):
     df = spark.createDataFrame([(v,) for v in range(-50, 50)], "v bigint")
-    rows = df.select("v", bucket_col(F.col("v"), 8).alias("b")).collect()
+    rows = df.select("v", bucket_col(F.col("v"), 8, "bigint").alias("b")).collect()
     for r in rows:
         assert r.b == bucket_py(r.v, 8)
         assert 0 <= r.b < 8
