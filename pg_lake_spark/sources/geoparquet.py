@@ -13,9 +13,10 @@ an opaque WKB ``binary`` column, readable by every ``st_*`` function in
 chose WKB); only the FOOTER metadata needs special handling, which
 parquet-level tooling (pyarrow) does per file. ``attach_geo_metadata``
 computes per-column geometry_types + bbox with a distributed Spark agg,
-then patches each part file's footer — the patch is metadata-scale
-per file and embarrassingly parallel (driver loop here; move the same
-function into ``mapPartitions`` over the file list on a cluster).
+then rewrites each part file with the ``geo`` footer (a parquet footer
+trails the data, so a true in-place patch is impossible — the rewrite
+is per-file and embarrassingly parallel: driver loop here; move the
+same function into ``mapPartitions`` over the file list on a cluster).
 """
 
 from __future__ import annotations
@@ -161,10 +162,19 @@ def attach_geo_metadata(
 
     targets = [path] if os.path.isfile(path) else _parquet_parts(path)
     for f in targets:
-        t = pq.read_table(f)
+        # A parquet footer cannot be patched in place (it trails the
+        # data), so each part is rewritten whole — keep the file's own
+        # codec rather than silently re-compressing with the pyarrow
+        # default.
+        pf = pq.ParquetFile(f)
+        codec = "snappy"
+        if pf.metadata.num_row_groups:
+            c = pf.metadata.row_group(0).column(0).compression
+            codec = c.lower() if c and c != "UNCOMPRESSED" else "none"
+        t = pf.read()
         md = dict(t.schema.metadata or {})
         md[GEO_KEY] = payload
-        pq.write_table(t.replace_schema_metadata(md), f)
+        pq.write_table(t.replace_schema_metadata(md), f, compression=codec)
         # drop Hadoop's now-stale local-FS checksum sidecar, or the next
         # Spark read fails with ChecksumException
         crc = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")

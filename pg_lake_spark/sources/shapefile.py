@@ -159,7 +159,9 @@ def _parse_dbf(path: str) -> tuple[list[tuple[str, str]], list[list]]:
             raw = rec[p : p + flen].decode("latin-1").strip()
             p += flen
             if ftype in ("N", "F"):
-                if not raw:
+                if not raw or raw.startswith("*"):
+                    # dBase fills a numeric field with '*' on overflow —
+                    # that is a missing value, not a parse crash
                     vals.append(None)
                 elif fdec or ftype == "F" or "." in raw:
                     vals.append(float(raw))

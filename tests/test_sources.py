@@ -760,3 +760,51 @@ def test_ns_timestamp_normalization_hostile_column_name(spark, tmp_path):
     row = df.collect()[0]
     assert str(row["event time"]).startswith("2023-11-14")
     assert dict(df.dtypes)["event time"] == "timestamp_ntz"
+
+
+def test_attach_geo_metadata_preserves_codec(spark, tmp_path):
+    """The footer rewrite must keep the file's own compression codec
+    instead of silently re-compressing with pyarrow's default (r14
+    review)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pg_lake_spark.functions.spatial import _from_wkt
+    from pg_lake_spark.sources.geoparquet import attach_geo_metadata, geo_metadata
+
+    p = str(tmp_path / "gzgeo")
+    df = spark.createDataFrame(
+        [(1, _from_wkt("POINT (1 2)")), (2, _from_wkt("POINT (3 4)"))],
+        "id bigint, geometry binary",
+    ).repartition(1)
+    df.write.option("compression", "gzip").parquet(p)
+    attach_geo_metadata(spark, p, ["geometry"])
+    parts = [
+        os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+    ]
+    full = [f for f in parts if pq.ParquetFile(f).metadata.num_row_groups > 0]
+    assert pq.ParquetFile(full[0]).metadata.row_group(0).column(0).compression == "GZIP"
+    assert geo_metadata(p)["columns"]["geometry"]["encoding"] == "WKB"
+    assert spark.read.parquet(p).count() == 2
+
+
+def test_dbf_numeric_overflow_is_null(tmp_path):
+    """dBase fills numeric fields with '*' on overflow — that reads as
+    NULL, not a float() crash (r14 review)."""
+    import struct
+
+    from pg_lake_spark.sources.shapefile import _parse_dbf
+
+    # minimal dBase III: header + one N field (len 8) + two records
+    fields = b"VAL".ljust(11, b"\x00") + b"N" + b"\x00" * 4 + bytes([8, 0]) + b"\x00" * 14
+    hsize = 32 + 32 + 1
+    rsize = 1 + 8
+    header = struct.pack("<BBBBIHH", 3, 24, 1, 1, 2, hsize, rsize) + b"\x00" * 20
+    recs = b" " + b"     123" + b" " + b"********"
+    path = str(tmp_path / "t.dbf")
+    with open(path, "wb") as fh:
+        fh.write(header + fields + b"\x0d" + recs + b"\x1a")
+    fdefs, rows = _parse_dbf(path)
+    assert fdefs == [("VAL", "bigint")]
+    assert rows == [[123], [None]]
