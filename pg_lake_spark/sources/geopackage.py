@@ -32,7 +32,16 @@ def _gpkg_blob_to_wkb(blob: bytes) -> bytes | None:
     if len(blob) < 8 or blob[0:2] != b"GP":
         raise ValueError("not a GeoPackage geometry blob (bad magic)")
     flags = blob[3]
-    if flags & 0b100000:  # empty-geometry bit
+    # flags byte (OGC GeoPackage §2.1.3): RRXYEEEB — bit 5 (X) is the
+    # EXTENDED-binary type, bit 4 (Y) the empty flag. These were
+    # swapped: extended blobs silently read as NULL and empty-flagged
+    # blobs were handed to the WKB parser.
+    if flags & 0b100000:
+        raise NotImplementedError(
+            "ExtendedGeoPackageBinary geometry (flags bit 5) is not "
+            "supported — only StandardGeoPackageBinary WKB"
+        )
+    if flags & 0b10000:  # empty-geometry bit
         return None
     env = (flags >> 1) & 0b111
     if env not in _ENVELOPE_DOUBLES:

@@ -53,7 +53,13 @@ def _coords_text(el) -> list[tuple[float, float]]:
         t = _local(sub.tag)
         if t in ("pos", "posList"):
             vals = [float(v) for v in (sub.text or "").split()]
-            return [(vals[i], vals[i + 1]) for i in range(0, len(vals) - 1, 2)]
+            # srsDimension=3 posLists interleave x y z — a fixed stride
+            # of 2 would silently mispair every coordinate after the
+            # first (the attribute sits on posList or an ancestor)
+            dim = int(sub.get("srsDimension") or el.get("srsDimension") or 2)
+            return [
+                (vals[i], vals[i + 1]) for i in range(0, len(vals) - dim + 1, dim)
+            ]
         if t == "coordinates":
             out = []
             for tok in (sub.text or "").split():

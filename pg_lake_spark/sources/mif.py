@@ -146,13 +146,23 @@ def _mid_rows(path: str, delim: str, columns: list[tuple[str, str]]):
             return v.upper() in ("T", "TRUE", "1")
         return v
 
+    import csv
+
     rows = []
-    with open(path, errors="replace") as fh:
-        for ln in fh:
-            ln = ln.rstrip("\r\n")
-            if not ln:
+    # csv-quoted parse, not a naive split: MID strings are quoted and
+    # may CONTAIN the delimiter — split() broke the row there, and the
+    # zip() silently truncated, misaligning every later column.
+    with open(path, errors="replace", newline="") as fh:
+        for lineno, parts in enumerate(
+            csv.reader(fh, delimiter=delim, quotechar='"'), start=1
+        ):
+            if not parts:
                 continue
-            parts = ln.split(delim)
+            if len(parts) != len(columns):
+                raise ValueError(
+                    f"{path}:{lineno}: {len(parts)} fields, "
+                    f"expected {len(columns)}"
+                )
             rows.append([conv(v, t) for v, (_n, t) in zip(parts, columns)])
     return rows
 

@@ -18,7 +18,7 @@ def _gp_blob(wkb: bytes, envelope: list[float] | None = None, empty: bool = Fals
     if envelope:
         flags |= 1 << 1  # envelope indicator 1 (xy)
     if empty:
-        flags |= 1 << 5
+        flags |= 1 << 4  # bit 4 = empty (bit 5 is the EXTENDED type flag)
     out = b"GP" + bytes([0, flags]) + struct.pack("<i", 4326)
     if envelope:
         out += struct.pack("<4d", *envelope)
@@ -122,3 +122,19 @@ def test_gpkg_gz_reads_through_umbrella(spark, tmp_path):
         dst.write(src.read())
     df = read_lake(spark, gz, fmt="gdal")
     assert df.count() == 3 and "geometry" in df.columns
+
+
+def test_extended_binary_refused(spark, tmp_path):
+    """Bit 5 of the flags byte marks ExtendedGeoPackageBinary, NOT
+    empty (that's bit 4) — extended blobs must refuse loudly instead of
+    silently reading as NULL (r14 review, OGC GPKG spec 2.1.3)."""
+    import pytest
+
+    from pg_lake_spark.sources.geopackage import _gpkg_blob_to_wkb
+
+    blob = b"GP" + bytes([0, 0b100001]) + struct.pack("<i", 4326) + b"\x01"
+    with pytest.raises(NotImplementedError, match="Extended"):
+        _gpkg_blob_to_wkb(blob)
+    # bit 4 = empty → NULL
+    empty = b"GP" + bytes([0, 0b10001]) + struct.pack("<i", 4326)
+    assert _gpkg_blob_to_wkb(empty) is None

@@ -166,3 +166,22 @@ def test_mit_alias_reads_as_mif(spark, tmp_path):
     (tmp_path / "m.mid").write_text(_MID)
     df = read_lake(spark, str(tmp_path / "m.mit"), fmt="gdal")
     assert df.count() == 5 and "geometry" in df.columns
+
+
+def test_gml_srs_dimension_3(spark, tmp_path):
+    """srsDimension=3 posLists interleave x y z — a fixed stride of 2
+    silently mispaired every coordinate after the first (r14 review)."""
+    gml = tmp_path / "d3.gml"
+    gml.write_text(
+        '<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml">'
+        "<gml:featureMember><f>"
+        "<geom><gml:LineString>"
+        '<gml:posList srsDimension="3">0 0 10 1 1 20 2 2 30</gml:posList>'
+        "</gml:LineString></geom>"
+        "</f></gml:featureMember></gml:FeatureCollection>"
+    )
+    from pg_lake_spark.functions.spatial import _to_wkt
+    from pg_lake_spark.sources.gml import read_gml
+
+    rows = read_gml(spark, str(gml)).collect()
+    assert _to_wkt(bytes(rows[0].geometry)) == "LINESTRING(0 0,1 1,2 2)"

@@ -118,3 +118,36 @@ def test_tab_field_count_mismatch(spark, tmp_path):
     (tmp_path / "mm.tab").write_text(_TAB_TEXT.replace("Fields 4", "Fields 2"))
     with pytest.raises(ValueError, match="declares 2 fields"):
         read_tab(spark, p)
+
+
+def test_mid_quoted_delimiter(spark, tmp_path):
+    """A quoted MID string containing the delimiter must parse as one
+    field — the naive split broke the row and zip() silently truncated,
+    misaligning every later column (r14 review)."""
+    mif = tmp_path / "q.mif"
+    mid = tmp_path / "q.mid"
+    mif.write_text(
+        'Version 300\nDelimiter ","\nColumns 2\n  name Char(40)\n'
+        "  score Integer\nData\n\nPOINT 1 2\nPOINT 3 4\n"
+    )
+    mid.write_text('"Smith, John",7\n"plain",9\n')
+    from pg_lake_spark.sources.mif import read_mif
+
+    rows = read_mif(spark, str(mif)).orderBy("score").collect()
+    assert [(r.name, r.score) for r in rows] == [("Smith, John", 7), ("plain", 9)]
+
+
+def test_mid_arity_mismatch_raises(spark, tmp_path):
+    import pytest
+
+    mif = tmp_path / "a.mif"
+    mid = tmp_path / "a.mid"
+    mif.write_text(
+        'Version 300\nDelimiter ","\nColumns 2\n  name Char(40)\n'
+        "  score Integer\nData\n\nPOINT 1 2\n"
+    )
+    mid.write_text("only_one_field\n")
+    from pg_lake_spark.sources.mif import read_mif
+
+    with pytest.raises(ValueError, match="fields"):
+        read_mif(spark, str(mid.with_suffix(".mif")))
