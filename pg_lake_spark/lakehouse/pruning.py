@@ -56,11 +56,38 @@ def parse_where(where: str) -> list[Predicate] | None:
     if re.search(r"(?i)\sOR\s", re.sub(r"'(?:[^']|'')*'", "''", where)):
         return None  # disjunction (quote-masked check) → no pruning
     preds: list[Predicate] = []
-    # Mask the AND that belongs to BETWEEN before splitting conjuncts.
-    masked = re.sub(r"(?i)(BETWEEN\s+\S+)\s+AND\s+", r"\1 __BETWEEN_AND__ ", where.strip())
-    for part in re.split(r"(?i)\s+AND\s+", masked):
-        part = part.replace("__BETWEEN_AND__", "AND").strip().rstrip(";")
-        m = re.match(r"(?i)^(\w+)\s+BETWEEN\s+(\S+)\s+AND\s+(\S+)$", part)
+    # Split conjuncts on QUOTE-MASKED offsets: an AND inside a quoted
+    # literal (msg = 'a AND b' AND id = 3) previously split mid-literal
+    # and soundly disabled pruning for the whole WHERE — masking keeps
+    # the literal whole so the other conjuncts still prune. The
+    # BETWEEN...AND masking runs on the same masked text for the same
+    # reason (a bound literal may contain ' AND ').
+    def _mask_quotes(s: str) -> str:
+        # same-length masking so shadow offsets index into src
+        return re.sub(r"'(?:[^']|'')*'", lambda m: "\x00" * len(m.group(0)), s)
+
+    src = where.strip()
+    shadow = _mask_quotes(src)
+    between_ands = {
+        m.span(1)
+        for m in re.finditer(
+            r"(?i)BETWEEN\s+(?:TIMESTAMP\s+|DATE\s+)?\S+(\s+AND\s+)", shadow
+        )
+    }
+    parts: list[str] = []
+    start = 0
+    for m in re.finditer(r"(?i)\s+AND\s+", shadow):
+        if m.span() in between_ands:
+            continue  # the AND that belongs to a BETWEEN
+        parts.append(src[start : m.start()])
+        start = m.end()
+    parts.append(src[start:])
+    for part in parts:
+        part = part.strip().rstrip(";")
+        _bound = r"(?:(?:TIMESTAMP|DATE)\s+)?'(?:[^']|'')*'|\S+"
+        m = re.match(
+            rf"(?i)^(\w+)\s+BETWEEN\s+({_bound})\s+AND\s+({_bound})$", part
+        )
         if m:
             if not (_CLEAN_LIT.match(m.group(2)) and _CLEAN_LIT.match(m.group(3))):
                 return None  # column-ref or expression bound → no pruning

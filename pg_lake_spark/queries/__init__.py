@@ -133,6 +133,17 @@ _CODE_CHANGED_IN: dict[str, int] = {
     # wrong past 2^53); pg_date_bin bins via exact pmod arithmetic.
     "f_intdiv": 14,
     "f_date_bin": 14,
+    # r14: parse_where splits conjuncts on quote-masked offsets and
+    # accepts typed/quoted BETWEEN bounds — on every dml row's
+    # DELETE/UPDATE pruning path.
+    "dml_cow_delete": 14,
+    "dml_mor_lifecycle": 14,
+    "dml_merge_upsert": 14,
+    "dml_update_set": 14,
+    "dml_incremental_scan": 14,
+    "dml_changelog": 14,
+    "dml_drop_restore": 14,
+    "ddl_schema_evolution": 14,
 }
 
 

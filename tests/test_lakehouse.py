@@ -2141,3 +2141,50 @@ def test_snapshot_as_of_same_millisecond(tmp_path):
     assert md.snapshot_as_of(1000).snapshot_id == 2
     assert md.snapshot_as_of(1999).snapshot_id == 2
     assert md.snapshot_as_of(2000).snapshot_id == 3
+
+
+def test_parse_where_quoted_and_or(tmp_path):
+    """Quote-masked conjunct splitting (r14): AND/OR inside string
+    literals must not break the split (AND) or disable pruning (OR);
+    BETWEEN accepts quoted/typed bounds containing spaces."""
+    from datetime import datetime as _dt
+
+    from pg_lake_spark.lakehouse.pruning import parse_where
+
+    p = parse_where("msg = 'a AND b' AND id = 3")
+    assert p == [("msg", "=", "a AND b"), ("id", "=", 3)]
+    p = parse_where("msg = 'x OR y' AND id = 1")
+    assert p is not None and len(p) == 2
+    p = parse_where(
+        "ts BETWEEN TIMESTAMP '2024-01-01 00:00:00' AND TIMESTAMP '2024-01-02 00:00:00'"
+    )
+    assert p == [("ts", "between", (_dt(2024, 1, 1), _dt(2024, 1, 2)))]
+    # still sound: real disjunctions and column-ref bounds disable
+    assert parse_where("a = 1 OR b = 2") is None
+    assert parse_where("a BETWEEN col1 AND col2") is None
+
+
+def test_murmur3_binary_col_random_parity(spark):
+    """Randomized parity: the expression murmur over arbitrary byte
+    strings must equal the Python reference bit-for-bit (seeded, all
+    tail lengths exercised)."""
+    import random
+
+    rnd = random.Random(0xC0FFEE)
+    bins = [
+        bytes(rnd.getrandbits(8) for _ in range(rnd.randrange(0, 64)))
+        for _ in range(120)
+    ]
+    import struct as _s
+
+    from pg_lake_spark.lakehouse.transforms import murmur3_32, murmur3_32_binary_col
+
+    df = spark.createDataFrame([(i, b) for i, b in enumerate(bins)], "i int, v binary")
+    got = {
+        r.i: r.h
+        for r in df.select(
+            "i", murmur3_32_binary_col(F.col("v")).alias("h")
+        ).collect()
+    }
+    for i, b in enumerate(bins):
+        assert got[i] == murmur3_32(b), f"mismatch at {i} len={len(b)}"
