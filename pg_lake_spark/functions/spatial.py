@@ -269,6 +269,12 @@ def _to_wkt(b: bytes) -> str:
 def _from_wkt(s: str) -> bytes:
     s = s.strip()
     up = s.upper()
+    if "EMPTY" in up and "(" not in s.split("EMPTY")[0]:
+        # 'POINT EMPTY' etc. previously crashed with a bare
+        # "substring not found" from index('(') — refuse with a name
+        raise ValueError(
+            f"EMPTY geometries are not supported in this WKB slice: {s[:40]!r}"
+        )
 
     def coords_of(body: str) -> list[tuple[float, float]]:
         return [
