@@ -103,10 +103,17 @@ def parse_where(where: str) -> list[Predicate] | None:
             continue
         m = re.match(r"(?i)^(\w+)\s+IN\s*\((.+)\)$", part)
         if m:
-            toks = [v.strip() for v in m.group(2).split(",")]
-            # a comma INSIDE a quoted literal splits into tokens with
-            # unbalanced quotes — each token must be one clean literal
-            # or the whole clause is unparseable (no pruning)
+            body = m.group(2)
+            # split members on QUOTE-MASKED commas so a comma inside a
+            # quoted literal ('Smith, John') stays one member; each
+            # member must then be one clean literal or the whole clause
+            # is unparseable (no pruning)
+            bshadow = _mask_quotes(body)
+            toks, tstart = [], 0
+            for cm in re.finditer(",", bshadow):
+                toks.append(body[tstart : cm.start()].strip())
+                tstart = cm.end()
+            toks.append(body[tstart:].strip())
             if not all(_CLEAN_LIT.match(v) for v in toks):
                 return None
             preds.append((m.group(1), "in", tuple(_lit(v) for v in toks)))

@@ -156,3 +156,60 @@ def test_pruning_never_drops_a_matching_file():
     # the fuzz must actually exercise both paths
     assert checked >= 100, f"only {checked} parseable WHEREs"
     assert pruned >= 50, f"only {pruned} prune decisions exercised"
+
+
+def test_pruning_sound_with_string_bucket_spec():
+    """Same arbiter, but files partitioned by bucket(4, name) — the r14
+    typed-bucket path (string murmur) feeding equality/IN pruning, NULL
+    names grouping under a NULL partition value."""
+    rows = _rows()
+    spec = [{"transform": "bucket", "param": 4, "column": "name"}]
+    groups: dict[object, list[dict]] = {}
+    for r in rows:
+        key = TRANSFORMS["bucket"][1](r["name"], 4)
+        groups.setdefault(key, []).append(r)
+    files = []
+    for key, grp in groups.items():
+        vals = [r["name"] for r in grp if r["name"] is not None]
+        stats = {
+            "name": {
+                "min": min(vals) if vals else None,
+                "max": max(vals) if vals else None,
+                "null_count": sum(1 for r in grp if r["name"] is None),
+            }
+        }
+        files.append(
+            (
+                DataFile(
+                    path=f"nb{key}", row_count=len(grp), size_bytes=0,
+                    partition={"name_bucket4": key}, stats=stats,
+                ),
+                grp,
+            )
+        )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, name VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(r["id"], r["name"]) for r in rows]
+    )
+    rnd = random.Random(0xB0CCE)
+    names = ["alpha", "b AND c", "it''s", "x OR y", "zzz", "Smith, John"]
+    pruned = 0
+    for _ in range(120):
+        if rnd.random() < 0.5:
+            where = f"name = '{rnd.choice(names)}'"
+        else:
+            vals = ", ".join(f"'{rnd.choice(names)}'" for _ in range(rnd.randrange(1, 4)))
+            where = f"name IN ({vals})"
+        preds = parse_where(where)
+        assert preds is not None
+        for f, grp in files:
+            if file_matches(f, preds, spec):
+                continue
+            pruned += 1
+            ids = tuple(r["id"] for r in grp)
+            n = con.execute(
+                f"SELECT count(*) FROM t WHERE id IN {ids} AND ({where})"
+            ).fetchone()[0]
+            assert n == 0, f"UNSOUND string-bucket prune: {f.path} for {where!r}"
+    assert pruned >= 100, f"only {pruned} prune decisions exercised"
