@@ -2289,3 +2289,59 @@ def test_geojsonl_extension_sniffs_as_geojson(spark, tmp_path):
     )
     df = read_lake(spark, str(seq), fmt="gdal")
     assert df.count() == 2 and "geometry" in df.columns
+
+
+def test_wkb_wkt_roundtrip_fuzz():
+    """Seeded codec fuzz: random geometries of every supported type
+    survive pack → WKT → parse → WKT unchanged (pure Python, no
+    Spark)."""
+    import random
+
+    from pg_lake_spark.functions.spatial import (
+        WKB_LINESTRING,
+        WKB_MULTILINESTRING,
+        WKB_MULTIPOINT,
+        WKB_MULTIPOLYGON,
+        WKB_POINT,
+        WKB_POLYGON,
+        _from_wkt,
+        _pack,
+        _parse,
+        _to_wkt,
+    )
+
+    rnd = random.Random(0x5EED)
+
+    def pt():
+        return (round(rnd.uniform(-180, 180), 6), round(rnd.uniform(-90, 90), 6))
+
+    def ring():
+        pts = [pt() for _ in range(rnd.randrange(3, 7))]
+        return pts + [pts[0]]
+
+    def geom():
+        k = rnd.randrange(6)
+        if k == 0:
+            return WKB_POINT, [pt()]
+        if k == 1:
+            return WKB_LINESTRING, [pt() for _ in range(rnd.randrange(2, 6))]
+        if k == 2:
+            return WKB_POLYGON, [ring() for _ in range(rnd.randrange(1, 3))]
+        if k == 3:
+            return WKB_MULTIPOINT, [(WKB_POINT, [pt()]) for _ in range(rnd.randrange(1, 4))]
+        if k == 4:
+            return WKB_MULTILINESTRING, [
+                (WKB_LINESTRING, [pt() for _ in range(rnd.randrange(2, 5))])
+                for _ in range(rnd.randrange(1, 3))
+            ]
+        return WKB_MULTIPOLYGON, [
+            (WKB_POLYGON, [ring()]) for _ in range(rnd.randrange(1, 3))
+        ]
+
+    for i in range(300):
+        g = geom()
+        wkb = _pack(*g)
+        wkt = _to_wkt(wkb)
+        back = _from_wkt(wkt)
+        assert _to_wkt(back) == wkt, f"roundtrip drift at {i}: {wkt[:80]}"
+        assert _parse(back)[0] == g[0], f"type drift at {i}"
