@@ -2188,3 +2188,46 @@ def test_murmur3_binary_col_random_parity(spark):
     }
     for i, b in enumerate(bins):
         assert got[i] == murmur3_32(b), f"mismatch at {i} len={len(b)}"
+
+
+def test_parallel_writers_stress(spark, tmp_path):
+    """8 threads x 5 appends through independent table handles, each
+    retrying on OCC conflict: every append must land exactly once (the
+    r14 lock-takeover changes must not admit lost or doubled commits)."""
+    import threading
+
+    loc = str(tmp_path / "stress")
+    LakeTable.create(spark, loc, "w bigint, i bigint")
+    errors: list = []
+
+    def writer(w: int):
+        try:
+            t = LakeTable.load(spark, loc)
+            for i in range(5):
+                df = spark.createDataFrame([(w, i)], "w bigint, i bigint")
+                for _ in range(60):
+                    try:
+                        t.refresh().append(df)
+                        break
+                    except RuntimeError as e:
+                        if "concurrent commit" not in str(e):
+                            raise
+                else:
+                    raise RuntimeError(f"writer {w} starved at append {i}")
+        except Exception as e:  # noqa: BLE001 — surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+    t = LakeTable.load(spark, loc)
+    rows = t.to_df().collect()
+    assert len(rows) == 40
+    assert sorted((r.w, r.i) for r in rows) == [
+        (w, i) for w in range(8) for i in range(5)
+    ]
+    appends = [s for s in t.metadata.snapshots if s.operation == "append"]
+    assert len(appends) == 40  # exactly once each — no lost/doubled commits
