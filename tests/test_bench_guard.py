@@ -1,0 +1,128 @@
+"""Unit tests for the bench.py sf1 outlier-guard policy (pure functions,
+no Spark). The r13/r14 lesson: guard bugs cost a full round of perf
+evidence — BENCH_r13's headline was 3x-contaminated because no guard
+existed, and BENCH_r14's sf1 section carried an unflagged 15.3s outlier
+because the guard was seeded from a single fresh run instead of the
+historical minima. These tests pin the corrected policy:
+
+  - priors merge MIN-wise across every source (committed history file,
+    last sidecar's sf1_best and sf1_queries), ignoring junk;
+  - the re-run trigger is >3x the rolling best AND above a RELATIVE
+    floor max(0.5, 2*best) — not the r14 flat 2.0s floor that exempted
+    q6-sized queries;
+  - single-shot readings enter the history only via the min-merge.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import (  # noqa: E402
+    SF1_HISTORY_FILE,
+    load_sf1_history,
+    merge_sf1_priors,
+    save_sf1_history,
+    should_rerun_sf1,
+)
+
+
+class TestMergeSf1Priors:
+    def test_min_wise_across_maps(self):
+        out = merge_sf1_priors({"q1": 0.6, "q2": 3.0}, {"q1": 0.5, "q3": 1.0}, {"q2": 2.5})
+        assert out == {"q1": 0.5, "q2": 2.5, "q3": 1.0}
+
+    def test_none_and_non_dict_inputs_skipped(self):
+        assert merge_sf1_priors(None, "junk", 7, {"q1": 1.0}) == {"q1": 1.0}
+
+    def test_junk_values_ignored_per_query(self):
+        out = merge_sf1_priors({"q1": "oops", "q2": None, "q3": -1, "q4": 0, "q5": 2.0})
+        assert out == {"q5": 2.0}
+
+    def test_near_zero_prior_rejected(self):
+        # A 1ms prior (instant-error run) would force a re-run of that
+        # query every round; the 0.02s sanity floor rejects it.
+        out = merge_sf1_priors({"q1": 0.001}, {"q1": 3.0})
+        assert out == {"q1": 3.0}
+
+    def test_string_numbers_coerced(self):
+        assert merge_sf1_priors({"q1": "1.5"}) == {"q1": 1.5}
+
+    def test_fresh_run_cannot_raise_an_existing_best(self):
+        # The r14 failure: a fresh 8.60s seed replaced the 3.49s
+        # historical best. Min-merge makes that impossible.
+        out = merge_sf1_priors({"dd_embedding_neardup": 3.49}, {"dd_embedding_neardup": 8.60})
+        assert out["dd_embedding_neardup"] == 3.49
+
+
+class TestShouldRerunSf1:
+    def test_r14_outlier_fires_with_historical_seed(self):
+        # 15.29s vs the 3.49s all-time best: 4.4x -> re-run.
+        assert should_rerun_sf1(15.29, 3.49)
+
+    def test_r14_outlier_missed_with_blind_seed(self):
+        # ...but vs the single fresh 8.60s seed it was 1.78x and sailed
+        # under. Documents WHY the history merge matters.
+        assert not should_rerun_sf1(15.29, 8.60)
+
+    def test_q6_sized_query_now_guarded(self):
+        # r14's flat 2.0s absolute floor exempted q6 (1.54s vs 0.243s
+        # best = 6.3x, no re-run). The relative floor catches it.
+        assert should_rerun_sf1(1.54, 0.243)
+
+    def test_sub_half_second_jitter_ignored(self):
+        # 0.4s vs a 0.1s best is 4x but under the 0.5s floor: noise.
+        assert not should_rerun_sf1(0.4, 0.1)
+
+    def test_floor_is_relative_two_x(self):
+        # t must exceed BOTH 3*p and max(0.5, 2*p); with p=0.3 the
+        # binding edge is 3*p=0.9 (> the 0.6 relative floor).
+        assert not should_rerun_sf1(0.85, 0.3)
+        assert should_rerun_sf1(0.95, 0.3)
+
+    def test_within_band_never_reruns(self):
+        assert not should_rerun_sf1(5.0, 3.8)  # 1.3x
+
+    def test_no_prior_no_rerun(self):
+        assert not should_rerun_sf1(100.0, None)
+        assert not should_rerun_sf1(100.0, "junk")
+        assert not should_rerun_sf1(100.0, 0)
+
+
+class TestHistoryFile:
+    def test_roundtrip(self, tmp_path):
+        save_sf1_history(str(tmp_path), {"q1": 1.23456, "q2": 0.5})
+        got = load_sf1_history(str(tmp_path))
+        assert got == {"q1": 1.2346, "q2": 0.5}
+        # note preserved on rewrite
+        obj = json.loads((tmp_path / SF1_HISTORY_FILE).read_text())
+        assert "_note" in obj and "min-merge" in obj["_note"]
+
+    def test_load_missing_or_corrupt(self, tmp_path):
+        assert load_sf1_history(str(tmp_path)) == {}
+        (tmp_path / SF1_HISTORY_FILE).write_text("{not json")
+        assert load_sf1_history(str(tmp_path)) == {}
+        (tmp_path / SF1_HISTORY_FILE).write_text('{"sf1_min": [1,2]}')
+        assert load_sf1_history(str(tmp_path)) == {}
+
+    def test_update_cycle_only_improves(self, tmp_path):
+        here = str(tmp_path)
+        save_sf1_history(here, {"q1": 2.0})
+        # a later, slower run folds in min-wise: q1 keeps its best,
+        # new query q2 enters
+        merged = merge_sf1_priors(load_sf1_history(here), {"q1": 9.0, "q2": 4.0})
+        save_sf1_history(here, merged)
+        assert load_sf1_history(here) == {"q1": 2.0, "q2": 4.0}
+
+    def test_committed_seed_is_loadable_and_sane(self):
+        # The repo-root seed written in r15 from historical artifacts.
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        hist = load_sf1_history(here)
+        assert len(hist) >= 20
+        # the r14 outlier's query must be seeded at its historical best,
+        # not the contaminated 8.6/15.3 readings
+        assert hist["dd_embedding_neardup"] <= 5.7
+        assert all(v >= 0.02 for v in hist.values())
