@@ -92,6 +92,27 @@ class TestShouldRerunSf1:
         assert not should_rerun_sf1(100.0, 0)
 
 
+class TestStealStamp:
+    def test_read_steal_ticks_monotone_nonneg(self):
+        from bench import read_steal_ticks
+
+        a = read_steal_ticks()
+        b = read_steal_ticks()
+        assert isinstance(a, int) and a >= 0
+        assert b >= a
+
+
+class TestWorkerWarm:
+    def test_warm_python_workers_runs_and_restores_conf(self, spark):
+        from pg_lake_spark.session import warm_python_workers
+
+        key = "spark.sql.adaptive.coalescePartitions.enabled"
+        prior = spark.conf.get(key, "true")
+        dt = warm_python_workers(spark, workers=4)
+        assert dt >= 0.0
+        assert spark.conf.get(key, "true") == prior
+
+
 class TestHistoryFile:
     def test_roundtrip(self, tmp_path):
         save_sf1_history(str(tmp_path), {"q1": 1.23456, "q2": 0.5})
