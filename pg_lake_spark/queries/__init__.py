@@ -144,6 +144,9 @@ _CODE_CHANGED_IN: dict[str, int] = {
     "dml_changelog": 14,
     "dml_drop_restore": 14,
     "ddl_schema_evolution": 14,
+    # r15: q22's anti-join orders side gains a distinct() so the
+    # custkey shuffle carries map-side-deduped keys (VERDICT r14 #3).
+    "q22_dormant_customers": 15,
 }
 
 

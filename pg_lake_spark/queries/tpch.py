@@ -994,9 +994,14 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("ab"))
         .join(
+            # distinct() before the anti join: the partial (map-side)
+            # aggregate dedupes ~10 orders/customer before the custkey
+            # shuffle, and the anti join reuses the distinct's hash
+            # partitioning, so payload shrinks with no extra exchange.
             t["orders"]
             .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz"))
-            .select("o_custkey"),
+            .select("o_custkey")
+            .distinct(),
             F.col("c_custkey") == F.col("o_custkey"),
             "left_anti",
         )

@@ -71,6 +71,26 @@ def test_q20_semi_join_before_aggregate(spark):
     assert plan.count("LeftSemi") >= 2, "q20 prefilter semi join missing"
 
 
+def test_q22_anti_join_consumes_deduped_custkeys(spark):
+    """q22's LeftAnti orders side must be a distinct aggregate: the
+    partial HashAggregate dedupes ~10 orders/customer map-side before
+    the custkey exchange, and the anti join reuses the distinct's hash
+    partitioning (no extra shuffle). The avg(c_acctbal) scalar must
+    stay a single broadcast, never recomputed per row."""
+    df = QUERIES["q22_dormant_customers"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, "q22 lost its anti join"
+    # the o_custkey distinct shows up as a keys-only aggregate pair
+    assert plan.count("HashAggregate(keys=[o_custkey") >= 2, (
+        "q22's anti-join side lost its map-side distinct"
+    )
+    # one-row avg rides a single broadcast nested-loop (cross) join
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    s = plan_summary(df)
+    ord_scans = [sc for sc in s.scans if "o_custkey" in sc.read_schema]
+    assert len(ord_scans) == 1, "q22 must scan orders once"
+
+
 def test_delta_scan_broadcasts_partition_map(spark, tmp_path):
     """The Delta partition-value recovery must stay a broadcast join —
     a shuffle join here would shuffle the whole corpus at scale."""
