@@ -80,7 +80,7 @@ def deletion_queue(spark: SparkSession, warehouse_dir: str) -> DataFrame:
     DROP enqueues every retained file and renames the version hint, so
     they are the largest producers of queue entries (the doc's workflow
     is precisely recovering a dropped table's metadata before purge)."""
-    from pg_lake_spark.lakehouse.maintenance import DROPPED_HINT
+    from pg_lake_spark.lakehouse.maintenance import read_dropped_metadata
 
     rows = []
     if os.path.isdir(warehouse_dir):
@@ -89,17 +89,10 @@ def deletion_queue(spark: SparkSession, warehouse_dir: str) -> DataFrame:
             if cat.table_exists(loc):
                 md = cat.read_current_metadata(loc)
             else:
-                dh = os.path.join(cat._meta_dir(loc), DROPPED_HINT)
-                if not os.path.exists(dh):
+                dropped = read_dropped_metadata(loc)
+                if dropped is None:
                     continue
-                with open(dh) as fh:
-                    dropped_version = int(fh.read().strip())
-                with open(
-                    os.path.join(
-                        cat._meta_dir(loc), f"v{dropped_version}.metadata.json"
-                    )
-                ) as fh:
-                    md = cat.TableMetadata.from_json(json.load(fh))
+                _, md = dropped
             for e in md.deletion_queue:
                 rows.append((name, e["path"], int(e.get("enqueued_ms") or 0)))
     return spark.createDataFrame(
@@ -113,21 +106,16 @@ def list_dropped_tables(spark: SparkSession, warehouse_dir: str) -> DataFrame:
     version, when it was dropped, how many files await purge, and the
     restore target version — so an operator can see what
     ``restore_table`` can still bring back before retention expires."""
-    from pg_lake_spark.lakehouse.maintenance import DROPPED_HINT
+    from pg_lake_spark.lakehouse.maintenance import read_dropped_metadata
 
     rows = []
     if os.path.isdir(warehouse_dir):
         for name in sorted(os.listdir(warehouse_dir)):
             loc = os.path.join(warehouse_dir, name)
-            dh = os.path.join(cat._meta_dir(loc), DROPPED_HINT)
-            if not os.path.exists(dh):
+            dropped = read_dropped_metadata(loc)
+            if dropped is None:
                 continue
-            with open(dh) as fh:
-                dropped_version = int(fh.read().strip())
-            with open(
-                os.path.join(cat._meta_dir(loc), f"v{dropped_version}.metadata.json")
-            ) as fh:
-                md = cat.TableMetadata.from_json(json.load(fh))
+            dropped_version, md = dropped
             rows.append(
                 (
                     name,

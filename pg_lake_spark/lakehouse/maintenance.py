@@ -373,6 +373,27 @@ class Autovacuum:
 DROPPED_HINT = "dropped-hint.text"
 
 
+def read_dropped_metadata(location: str) -> tuple[int, cat.TableMetadata] | None:
+    """(dropped_version, metadata-at-drop) for a soft-dropped table, or
+    None when no dropped hint exists.
+
+    The hint-read + versioned-metadata-load protocol lives ONLY here —
+    deletion_queue / list_dropped_tables / restore_table /
+    purge_dropped_table all consume this helper, so a hint-format
+    change has a single home (r15 review: four hand-rolled copies)."""
+    import json as _json
+
+    mdir = cat._meta_dir(location)
+    dh = os.path.join(mdir, DROPPED_HINT)
+    if not os.path.exists(dh):
+        return None
+    with open(dh) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(mdir, f"v{version}.metadata.json")) as f:
+        md = cat.TableMetadata.from_json(_json.load(f))
+    return version, md
+
+
 def drop_table(location: str) -> dict:
     """DROP TABLE with the reference's soft-delete lifecycle
     (pg_lake_table/src/ddl/drop_table.c; docs/iceberg-tables.md:845):
@@ -417,11 +438,11 @@ def restore_table(spark, location: str, metadata_version: int | None = None) -> 
     mdir = cat._meta_dir(location)
     if cat.table_exists(location):
         raise FileExistsError(f"table at {location} is not dropped")
-    dh = os.path.join(mdir, DROPPED_HINT)
-    if not os.path.exists(dh):
+    dropped = read_dropped_metadata(location)
+    if dropped is None:
         raise FileNotFoundError(f"no dropped table at {location}")
-    with open(dh) as f:
-        dropped_version = int(f.read().strip())
+    dropped_version, dropped_md = dropped
+    dh = os.path.join(mdir, DROPPED_HINT)
     target = metadata_version if metadata_version is not None else dropped_version - 1
     if target >= dropped_version or target < 1:
         raise ValueError(
@@ -430,8 +451,6 @@ def restore_table(spark, location: str, metadata_version: int | None = None) -> 
         )
     with open(os.path.join(mdir, f"v{target}.metadata.json")) as f:
         md = cat.TableMetadata.from_json(_json.load(f))
-    with open(os.path.join(mdir, f"v{dropped_version}.metadata.json")) as f:
-        dropped_md = cat.TableMetadata.from_json(_json.load(f))
     md.properties.pop("dropped_ms", None)
     # Reconcile the deletion queue against the restored state: files the
     # restored snapshots reference are live again (drop their queue
@@ -476,14 +495,10 @@ def purge_dropped_table(
     # table. Re-check the hint INSIDE the lock (restore/drop both hold
     # it); a restore that won means this purge is a no-op.
     with cat.CommitLock(location):
-        if not os.path.exists(dh):
+        dropped = read_dropped_metadata(location)
+        if dropped is None:
             return {"purged": 0, "still_retained": 0, "restored": True}
-        with open(dh) as f:
-            dropped_version = int(f.read().strip())
-        with open(os.path.join(mdir, f"v{dropped_version}.metadata.json")) as f:
-            import json as _json
-
-            md = cat.TableMetadata.from_json(_json.load(f))
+        _, md = dropped
         cutoff_ms = int(time.time() * 1000) - retention_s * 1000
         # Retention gates on the DROP time as well as queue-entry ages:
         # a table dropped with an empty (or all-old) queue must still

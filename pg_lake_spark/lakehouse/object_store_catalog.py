@@ -44,7 +44,9 @@ class ObjectStoreCatalog:
         self._tables: dict[tuple[str, str], str] = {}
         self._dirty = True  # always export at least once after start-up
         self._last_push = 0.0
-        os.makedirs(self.catalog_dir, exist_ok=True)
+        # NO makedirs here: a discovery-only consumer (constructed just
+        # to read a foreign engine's catalog) must not mutate the store
+        # — it may be a read-only mount. push() creates the directory.
 
     @property
     def catalog_dir(self) -> str:
@@ -79,10 +81,13 @@ class ObjectStoreCatalog:
                 for (ns, tbl), loc in sorted(self._tables.items())
             ],
         }
-        tmp = self.catalog_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(doc, fh, indent=1)
-        os.replace(tmp, self.catalog_path)
+        # uuid-suffixed tmp + fsync via the shared helper: a fixed
+        # ".tmp" name lets two concurrent pushers interleave writes or
+        # race the rename (r15 review).
+        from pg_lake_spark.lakehouse.catalog import _atomic_write
+
+        os.makedirs(self.catalog_dir, exist_ok=True)
+        _atomic_write(self.catalog_path, json.dumps(doc, indent=1))
         self._dirty = False
         self._last_push = time.monotonic()
         return self.catalog_path

@@ -8,12 +8,19 @@ every executor — where plain AQE would have picked a shuffle join.
 
 :func:`broadcast_if_small` applies the hint ONLY when Catalyst's own
 size estimate for the frame is under the session's
-``spark.sql.autoBroadcastJoinThreshold`` (scaled by ``factor`` to stay
-conservative: the estimate reflects on-disk/columnar bytes, the
-broadcast relation is a row-format in-memory table that can be several
-times larger). Above the gate — or when no estimate is available — the
-frame passes through unhinted and AQE decides at runtime from actual
-shuffle sizes, which is exactly the behaviour we want on a cluster.
+``spark.sql.autoBroadcastJoinThreshold`` scaled by ``factor``.
+``factor`` > 1 deliberately WIDENS the gate relative to Spark's
+auto-detection: a hint site knows the frame is a dimension, so it
+tolerates a build side the planner's cost model would decline
+(Spark's own ``/*+ BROADCAST */`` skips the size check entirely; this
+gate is the bounded version of that trust). The cap on ``factor`` is
+the in-memory expansion — the estimate reflects on-disk/columnar
+bytes while the broadcast relation is a row-format hash table that
+can run several times larger — so the default stays at 2x, not the
+unbounded trust of a raw hint. Above the gate — or when no estimate
+is available — the frame passes through unhinted and AQE decides at
+runtime from actual shuffle sizes, which is exactly the behaviour we
+want on a cluster.
 
 Constant-cardinality frames (``nation`` = 25 rows, ``region`` = 5,
 single-row aggregates) keep plain ``F.broadcast`` at their call sites;
@@ -58,15 +65,17 @@ def broadcast_if_small(
     df: DataFrame,
     *,
     max_bytes: int | None = None,
-    factor: float = 4.0,
+    factor: float = 2.0,
 ) -> DataFrame:
     """``F.broadcast(df)`` iff Catalyst estimates ``df`` under the gate.
 
     ``max_bytes`` defaults to ``factor`` × the session's
     autoBroadcastJoinThreshold (hint sites tolerate a bigger build side
     than auto-detection because the caller KNOWS it's a dimension, but
-    still must not OOM). Unestimable or over-gate frames pass through
-    unhinted — AQE picks the strategy from runtime sizes.
+    the row-format in-memory relation runs several times the columnar
+    estimate, so the widening is bounded — see the module docstring).
+    Unestimable or over-gate frames pass through unhinted — AQE picks
+    the strategy from runtime sizes.
     """
     if max_bytes is None:
         try:

@@ -36,7 +36,10 @@ class ScanInfo:
 class PlanSummary:
     scans: list[ScanInfo] = field(default_factory=list)
     joins: list[str] = field(default_factory=list)
+    #: shuffle boundaries only (BroadcastExchange is NOT a shuffle —
+    #: it is counted separately in ``broadcasts``).
     exchanges: int = 0
+    broadcasts: int = 0
     #: None when the plan has not executed yet — AQE only reveals
     #: whole-stage-codegen spans in the finalized plan.
     codegen_stages: int | None = None
@@ -51,6 +54,18 @@ class PlanSummary:
         return sum(1 for j in self.joins if "SortMerge" in j or "ShuffledHash" in j)
 
 
+def _finalize_plan(df: DataFrame) -> None:
+    """Run the query so AQE finalizes, WITHOUT collecting rows to the
+    driver: executing the DataFrame's own QueryExecution as an RDD
+    count runs every task and returns one long. ``df.collect()`` here
+    would materialize the full result on the driver — an OOM on
+    exactly the large frames this module exists to inspect. (A noop
+    write would also avoid the collect, but it wraps the plan in its
+    own fresh QueryExecution, leaving THIS DataFrame's AQE plan — the
+    one ``explainString`` reads — unfinalized.)"""
+    df._jdf.queryExecution().toRdd().count()
+
+
 def plan_summary(df: DataFrame, *, execute: bool = False) -> PlanSummary:
     """Parse the formatted physical plan into a structured summary.
 
@@ -59,16 +74,18 @@ def plan_summary(df: DataFrame, *, execute: bool = False) -> PlanSummary:
       when the query filters scan columns) and prune its columns
       (``read_schema`` narrower than the table);
     - dimension joins should be broadcast, fact-fact joins shuffle;
-    - ``exchanges`` counts shuffle boundaries — the dominant cost;
+    - ``exchanges`` counts shuffle boundaries — the dominant cost —
+      and ``broadcasts`` counts broadcast distributions separately;
     - ``interpreted_ops`` is the "Not Vectorized Constructs" analogue:
       operators running outside whole-stage codegen.
 
-    With ``execute=True`` the DataFrame is collected first so the AQE
-    plan finalizes and codegen spans become visible (otherwise
-    ``codegen_stages`` stays None).
+    With ``execute=True`` the DataFrame is executed first (noop write,
+    nothing reaches the driver) so the AQE plan finalizes and codegen
+    spans become visible. Plans AQE never wraps (no exchange at all)
+    expose codegen ids without executing; those are reported as-is.
     """
     if execute:
-        df.collect()
+        _finalize_plan(df)
     jvm = df.sparkSession._jvm
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     text = df._jdf.queryExecution().explainString(mode)
@@ -81,14 +98,20 @@ def plan_summary(df: DataFrame, *, execute: bool = False) -> PlanSummary:
         finalized = True
     else:
         header = text.split("\n\n", 1)[0]
-        finalized = False
+        # No AdaptiveSparkPlan wrapper (e.g. a pure scan-project with
+        # no exchange): the single tree IS the final plan and its
+        # codegen ids are already visible.
+        finalized = "AdaptiveSparkPlan" not in header
     live_ids = set(re.findall(r"\((\d+)\)", header))
 
     out = PlanSummary()
     codegen_ids: set[str] = set()
-    # detail blocks: "(3) OpName [codegen id : 1]\n<properties...>"
+    # detail blocks: "(3) OpName [codegen id : 1]\n<properties...>".
+    # The op-name class must admit dots/identifiers — catalog-table
+    # scans format as "Scan parquet spark_catalog.default.t" and a
+    # word-and-space-only class silently drops them (r15 review).
     for m in re.finditer(
-        r"^\((\d+)\) ([\w ]+?)(?: \[codegen id : (\d+)\])?\s*$([\s\S]*?)(?=^\(\d+\)|\Z)",
+        r"^\((\d+)\) ([^\[\n]+?)(?: \[codegen id : (\d+)\])?\s*$([\s\S]*?)(?=^\(\d+\)|\Z)",
         text,
         re.MULTILINE,
     ):
@@ -113,8 +136,10 @@ def plan_summary(df: DataFrame, *, execute: bool = False) -> PlanSummary:
             continue
         if "Join" in op:
             out.joins.append(op.split()[0])
-        if op in ("Exchange", "BroadcastExchange"):
+        if op == "Exchange":
             out.exchanges += 1
+        elif op == "BroadcastExchange":
+            out.broadcasts += 1
         if cg:
             codegen_ids.add(cg)
         elif finalized and op not in _INFRA and not op.startswith("Scan"):
@@ -135,7 +160,7 @@ def explain_report(df: DataFrame, *, execute: bool = False) -> str:
     lines.append(
         f"joins: {len(s.joins)} ({s.broadcast_joins} broadcast, {s.shuffle_joins} shuffle)"
     )
-    lines.append(f"exchanges (shuffles): {s.exchanges}")
+    lines.append(f"shuffles: {s.exchanges}, broadcasts: {s.broadcasts}")
     if s.codegen_stages is None:
         lines.append("whole-stage-codegen stages: <run with execute=True>")
     else:

@@ -147,6 +147,12 @@ _CODE_CHANGED_IN: dict[str, int] = {
     # r15: q22's anti-join orders side gains a distinct() so the
     # custkey shuffle carries map-side-deduped keys (VERDICT r14 #3).
     "q22_dormant_customers": 15,
+    # r15 review batch: restore/purge consume the shared
+    # read_dropped_metadata helper (dml_drop_restore's path);
+    # co_located_join validates bucket specs up front
+    # (j_bucketed_colocated's path).
+    "dml_drop_restore": 15,
+    "j_bucketed_colocated": 15,
 }
 
 

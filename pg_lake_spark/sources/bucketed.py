@@ -38,6 +38,20 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def _bucket_spec(spark: SparkSession, table: str) -> tuple[int, list[str]]:
+    """(num_buckets, bucket_columns) from DESCRIBE EXTENDED, or (0, [])
+    for an unbucketed table."""
+    n, cols = 0, []
+    for row in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
+        key = (row["col_name"] or "").strip()
+        val = (row["data_type"] or "").strip()
+        if key == "Num Buckets":
+            n = int(val)
+        elif key == "Bucket Columns":
+            cols = [c.strip().strip("`") for c in val.strip("[]").split(",") if c.strip()]
+    return n, cols
+
+
 def co_located_join(
     spark: SparkSession,
     left_table: str,
@@ -50,5 +64,28 @@ def co_located_join(
     With matching bucket specs the physical plan is a sort-merge join
     whose both sides read pre-bucketed files — zero Exchange operators
     (verify with ``pg_lake_spark.plans.plan_summary``).
+
+    The specs are VALIDATED up front: mismatched bucket counts,
+    different bucket columns, or joining off the bucket key all
+    silently degrade to a full shuffle join — the exact cost the
+    clustered write was supposed to buy out — so they raise instead
+    (r15 review).
     """
+    ln, lcols = _bucket_spec(spark, left_table)
+    rn, rcols = _bucket_spec(spark, right_table)
+    if ln == 0 or rn == 0:
+        raise ValueError(
+            f"co_located_join requires bucketed tables: "
+            f"{left_table} buckets={ln}, {right_table} buckets={rn}"
+        )
+    if ln != rn:
+        raise ValueError(
+            f"bucket counts differ ({left_table}={ln}, {right_table}={rn}); "
+            "the planner will re-shuffle one side"
+        )
+    if lcols != rcols or [c.lower() for c in on] != [c.lower() for c in lcols]:
+        raise ValueError(
+            f"join keys {on} must equal both bucket specs "
+            f"({left_table}={lcols}, {right_table}={rcols})"
+        )
     return spark.table(left_table).join(spark.table(right_table), on=on, how=how)

@@ -38,7 +38,48 @@ def test_q6_pushes_all_predicates(spark):
 def test_report_renders(spark):
     df = QUERIES["q1_pricing_summary"].fn(spark, SF_DIR)
     rep = explain_report(df)
-    assert "pushed=" in rep and "exchanges" in rep
+    assert "pushed=" in rep and "shuffles" in rep and "broadcasts" in rep
+
+
+def test_plan_summary_sees_catalog_table_scans(spark):
+    """Scan headers of catalog tables carry dotted identifiers
+    ("Scan parquet spark_catalog.default.t") — the r15 review found the
+    old word-class regex silently dropped them, reporting scans=[] for
+    every saveAsTable/spark.table source."""
+    spark.range(50).selectExpr("id AS k", "id * 2 AS v").write.mode(
+        "overwrite"
+    ).saveAsTable("t_plan_catalog")
+    try:
+        s = plan_summary(spark.table("t_plan_catalog").filter("k > 1").select("k"))
+        assert len(s.scans) == 1
+        assert any("k" in f for f in s.scans[0].pushed_filters)
+        assert "v" not in s.scans[0].read_schema
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_plan_catalog")
+
+
+def test_broadcast_exchange_not_counted_as_shuffle(spark):
+    """A broadcast-only join has ZERO shuffle boundaries; the r15
+    review found BroadcastExchange inflating `exchanges`, making the
+    dominant-cost signal wrong by one per broadcast join."""
+    import pyspark.sql.functions as F
+
+    small = spark.range(10).selectExpr("id AS k")
+    big = spark.range(1000).selectExpr("id AS k", "id AS w")
+    s = plan_summary(big.join(F.broadcast(small), "k"), execute=True)
+    assert s.exchanges == 0
+    assert s.broadcasts == 1
+    assert s.broadcast_joins == 1
+    # AQE finalization via execute=True must reveal codegen spans
+    # without collecting rows to the driver
+    assert s.codegen_stages and s.codegen_stages >= 1
+
+
+def test_codegen_visible_without_aqe_wrapper(spark):
+    """Plans AQE never wraps (no exchange) expose codegen ids in the
+    single tree; they must be reported, not left None forever."""
+    s = plan_summary(spark.range(10).selectExpr("id + 1 AS x"), execute=True)
+    assert s.codegen_stages == 1
 
 
 def test_q21_single_lineitem_scan(spark):

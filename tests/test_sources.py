@@ -187,6 +187,37 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
+
+def test_co_located_join_rejects_mismatched_specs(spark, tmp_path):
+    """Mismatched bucket counts / columns / join keys silently degrade
+    to a full shuffle join — co_located_join must refuse instead."""
+    import pytest
+
+    from pg_lake_spark.sources.bucketed import co_located_join, write_bucketed
+
+    df = spark.range(100).selectExpr("id AS k", "id AS v")
+    write_bucketed(df, "b_mm_8", ["k"], 8, path=str(tmp_path / "m8"))
+    write_bucketed(df, "b_mm_16", ["k"], 16, path=str(tmp_path / "m16"))
+    write_bucketed(df, "b_mm_v", ["v"], 8, path=str(tmp_path / "mv"))
+    plain = df.selectExpr("k", "v AS w")
+    plain.write.mode("overwrite").option("path", str(tmp_path / "mp")).saveAsTable(
+        "b_mm_plain"
+    )
+    try:
+        with pytest.raises(ValueError, match="bucket counts differ"):
+            co_located_join(spark, "b_mm_8", "b_mm_16", on=["k"])
+        with pytest.raises(ValueError, match="bucket specs"):
+            co_located_join(spark, "b_mm_8", "b_mm_v", on=["k"])
+        with pytest.raises(ValueError, match="requires bucketed"):
+            co_located_join(spark, "b_mm_8", "b_mm_plain", on=["k"])
+        with pytest.raises(ValueError, match="bucket specs"):
+            co_located_join(spark, "b_mm_8", "b_mm_8", on=["v"])  # off-key join
+        assert co_located_join(spark, "b_mm_8", "b_mm_8", on=["k"]).count() == 100
+    finally:
+        for t in ("b_mm_8", "b_mm_16", "b_mm_v", "b_mm_plain"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_copy_to_force_quote_column_list(spark, tmp_path):
     """PG FORCE_QUOTE (col, ...) semantics (reference copy.c:815 passes
     the list through to the engine's CSV writer): forced columns are
