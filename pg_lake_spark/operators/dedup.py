@@ -851,6 +851,19 @@ def simhash_pairs(
 # KMV distinct-count sketch
 # ---------------------------------------------------------------------------
 
+def hash01_52bit(col: str):
+    """md5-derived uniform hash in [0,1): 13 hex digits = 52 bits,
+    exactly representable in a double, so every engine that divides the
+    same integer by 2^52 gets the bit-identical value. This is THE
+    engine-portability-critical hash behind KMV, the train/val/test
+    split, and weighted sampling — keep the single definition here (its
+    DuckDB twin is ``_DUCK_HASH01`` in queries/datapipe.py)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 13), 16, 10).cast("bigint")
+        / F.lit(float(1 << 52))
+    )
+
+
 def kmv_distinct_estimate(df: DataFrame, col: str, *, k: int = 256) -> DataFrame:
     """K-minimum-values distinct-count sketch → 1-row (est, k).
 
@@ -866,10 +879,7 @@ def kmv_distinct_estimate(df: DataFrame, col: str, *, k: int = 256) -> DataFrame
     The 13-hex-digit (52-bit) hash keeps values exactly representable
     in doubles so both engines divide identically.
     """
-    h = (
-        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 13), 16, 10).cast("bigint")
-        / F.lit(float(1 << 52))
-    ).alias("h")
+    h = hash01_52bit(col).alias("h")
     # NULLs carry no distinct identity (count(DISTINCT col) semantics)
     # and their NULL hash would otherwise occupy a bottom-k slot — and
     # do so divergently across engines (Spark sorts NULLs first

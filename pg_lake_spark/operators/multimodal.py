@@ -79,17 +79,24 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["payload"].map(_decode_stub)
+            # one pass over the payloads builds all four feature
+            # columns — a Series.map per column walks every payload
+            # through Python once per feature (r15 review)
+            n_bytes, first_byte, byte_mean, md5s = [], [], [], []
+            for p in pdf["payload"]:
+                f = _decode_stub(p)
+                n_bytes.append(f["n_bytes"])
+                first_byte.append(f["first_byte"])
+                byte_mean.append(f["byte_mean"])
+                md5s.append(hashlib.md5(p).hexdigest() if p is not None else None)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "mime": pdf["mime"],
-                    "n_bytes": [f["n_bytes"] for f in feats],
-                    "first_byte": [f["first_byte"] for f in feats],
-                    "byte_mean": [f["byte_mean"] for f in feats],
-                    "payload_md5": pdf["payload"].map(
-                        lambda p: hashlib.md5(p).hexdigest() if p is not None else None
-                    ),
+                    "n_bytes": n_bytes,
+                    "first_byte": first_byte,
+                    "byte_mean": byte_mean,
+                    "payload_md5": md5s,
                 }
             )
 
@@ -139,6 +146,15 @@ def decode_image(media: DataFrame) -> DataFrame:
         import numpy as np
 
         Image = _pil()
+        if Image is None:
+            # the call-time gate above checked the DRIVER env; this
+            # closure re-resolves PIL on each EXECUTOR, where a venv
+            # without Pillow must fail with the designed message, not
+            # an AttributeError on None (r15 review)
+            raise NotImplementedError(
+                "image decode requires PIL on the executors; the driver "
+                "has it but this worker environment does not"
+            )
         for pdf in batches:
             rows = []
             for mid, mime, payload in zip(

@@ -132,6 +132,20 @@ def redact_pii(text: Column | str) -> Column:
 
 # --- Gopher-style quality signals ------------------------------------------
 
+#: The published Gopher/MassiveText keep thresholds (Rae et al. 2021,
+#: appendix A). Single home for the literals — gopher_keep and the
+#: txt_gopher_quality query (which applies the length/symbol/alpha
+#: subset its SQL oracle mirrors) both read from here (r15 review).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+
+
 def gopher_signals(text: Column | str) -> dict[str, Column]:
     """The document-quality heuristics of the Gopher/MassiveText rules
     (public: Rae et al. 2021, 'Scaling Language Models', appendix A):
@@ -171,14 +185,14 @@ def gopher_keep(text: Column | str) -> Column:
     ellipses <= 30%, >= 80% alphabetic words."""
     s = gopher_signals(text)
     return (
-        (s["n_words"] >= 50)
-        & (s["n_words"] <= 100_000)
-        & (s["mean_word_len"] >= 3.0)
-        & (s["mean_word_len"] <= 10.0)
-        & (s["symbol_word_ratio"] <= 0.1)
-        & (s["bullet_line_frac"] <= 0.9)
-        & (s["ellipsis_line_frac"] <= 0.3)
-        & (s["alpha_word_frac"] >= 0.8)
+        (s["n_words"] >= GOPHER_MIN_WORDS)
+        & (s["n_words"] <= GOPHER_MAX_WORDS)
+        & (s["mean_word_len"] >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (s["mean_word_len"] <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (s["symbol_word_ratio"] <= GOPHER_MAX_SYMBOL_RATIO)
+        & (s["bullet_line_frac"] <= GOPHER_MAX_BULLET_FRAC)
+        & (s["ellipsis_line_frac"] <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (s["alpha_word_frac"] >= GOPHER_MIN_ALPHA_FRAC)
     )
 
 

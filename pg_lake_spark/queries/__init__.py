@@ -153,6 +153,17 @@ _CODE_CHANGED_IN: dict[str, int] = {
     # (j_bucketed_colocated's path).
     "dml_drop_restore": 15,
     "j_bucketed_colocated": 15,
+    # r15 datapipe/multimodal review batch: hash01 consolidated into
+    # dedup.hash01_52bit (sk_kmv/split/sample paths), dd_semantic_prune
+    # drops the single-partition count window for a broadcast 1-row
+    # aggregate, txt_gopher_quality reads shared threshold constants,
+    # extract_features builds all feature columns in one payload pass.
+    "sk_kmv_distinct": 15,
+    "ds_train_val_split": 15,
+    "ds_weighted_sample": 15,
+    "dd_semantic_prune": 15,
+    "txt_gopher_quality": 15,
+    "mm_binary_features": 15,
 }
 
 

@@ -637,15 +637,28 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# md5-derived uniform hash in [0,1): 13 hex digits = 52 bits, exactly
+# representable in a double → both engines divide identically. The
+# Spark twin is operators/dedup.hash01_52bit — exactly two definitions
+# repo-wide, one per dialect (r15 review: was four copies).
+_DUCK_HASH01 = """
+    (CAST(list_sum(list_transform(range(1, 14),
+        i -> (strpos('0123456789abcdef', substr(md5(CAST({col} AS VARCHAR)), i, 1)) - 1)
+             * power(16, 13 - i))) AS BIGINT) / CAST(power(2, 52) AS DOUBLE))
+"""
+
+
+def _spark_hash01(col):
+    from pg_lake_spark.operators.dedup import hash01_52bit
+
+    return hash01_52bit(col)
+
+
 @query(
     "sk_kmv_distinct",
-    oracle="""
+    oracle=f"""
     WITH bottom AS (
-        SELECT DISTINCT CAST(list_sum(list_transform(range(1, 14),
-                   i -> (strpos('0123456789abcdef',
-                                substr(md5(CAST(l_partkey AS VARCHAR)), i, 1)) - 1)
-                        * power(16, 13 - i))) AS BIGINT)
-               / CAST(power(2, 52) AS DOUBLE) AS h
+        SELECT DISTINCT {_DUCK_HASH01.format(col='l_partkey')} AS h
         FROM lineitem
         ORDER BY h LIMIT 256
     )
@@ -663,22 +676,6 @@ def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Dataset assembly: deterministic splits + sequence packing
 # ---------------------------------------------------------------------------
-
-# md5-derived uniform hash in [0,1): 13 hex digits = 52 bits, exactly
-# representable in a double → both engines divide identically.
-_DUCK_HASH01 = """
-    (CAST(list_sum(list_transform(range(1, 14),
-        i -> (strpos('0123456789abcdef', substr(md5(CAST({col} AS VARCHAR)), i, 1)) - 1)
-             * power(16, 13 - i))) AS BIGINT) / CAST(power(2, 52) AS DOUBLE))
-"""
-
-
-def _spark_hash01(col):
-    return (
-        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 13), 16, 10).cast("bigint")
-        / F.lit(float(1 << 52))
-    )
-
 
 @query(
     "ds_train_val_split",
@@ -1131,9 +1128,16 @@ def txt_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s["mean_word_len"], 6).alias("mean_word_len"),
         F.round(s["alpha_word_frac"], 6).alias("alpha_word_frac"),
         (
-            (s["n_words"] >= 50) & (s["n_words"] <= 100_000)
-            & (s["mean_word_len"] >= 3.0) & (s["mean_word_len"] <= 10.0)
-            & (s["symbol_word_ratio"] <= 0.1) & (s["alpha_word_frac"] >= 0.8)
+            # the length/symbol/alpha subset of gopher_keep (the SQL
+            # oracle mirrors exactly these six terms; the bullet/
+            # ellipsis line rules need multi-line text) — thresholds
+            # shared with the operator, never re-hardcoded here
+            (s["n_words"] >= T.GOPHER_MIN_WORDS)
+            & (s["n_words"] <= T.GOPHER_MAX_WORDS)
+            & (s["mean_word_len"] >= T.GOPHER_MIN_MEAN_WORD_LEN)
+            & (s["mean_word_len"] <= T.GOPHER_MAX_MEAN_WORD_LEN)
+            & (s["symbol_word_ratio"] <= T.GOPHER_MAX_SYMBOL_RATIO)
+            & (s["alpha_word_frac"] >= T.GOPHER_MIN_ALPHA_FRAC)
         ).alias("keep"),
     ).orderBy("doc_id")
 
@@ -1506,13 +1510,10 @@ def dd_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["embeddings"], "vec_id", "embedding",
         dim=64, threshold=0.35, n_planes=4,
     )
-    from pyspark.sql.window import Window as W
-
-    return (
-        out.select("vec_id")
-        .withColumn(
-            "n_survivors",
-            F.count(F.lit(1)).over(W.partitionBy()).cast("bigint"),
-        )
-        .orderBy("vec_id")
-    )
+    survivors = out.select("vec_id")
+    # a partition-less count window would move every survivor row onto
+    # ONE task (Spark even warns "No Partition Defined for Window");
+    # the broadcast 1-row aggregate attaches the same total without
+    # collapsing parallelism (r15 review).
+    n = survivors.agg(F.count(F.lit(1)).cast("bigint").alias("n_survivors"))
+    return survivors.crossJoin(F.broadcast(n)).orderBy("vec_id")

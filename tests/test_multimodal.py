@@ -85,8 +85,11 @@ def test_decode_image_requires_codec_or_decodes(spark):
     Image = mm._pil()
     buf = io.BytesIO()
     Image.new("RGB", (8, 4), color=(255, 0, 0)).save(buf, format="PNG")
+    # MEDIA_SCHEMA field order is (media_id, payload, mime) — the old
+    # (id, mime, payload) tuple could never build under this schema, so
+    # the PIL-present arm of this test was dead on arrival (r15 review)
     media = spark.createDataFrame(
-        [(1, "image/png", bytearray(buf.getvalue()))], mm.MEDIA_SCHEMA
+        [(1, bytearray(buf.getvalue()), "image/png")], mm.MEDIA_SCHEMA
     )
     row = mm.decode_image(media).collect()[0]
     assert (row.width, row.height, row.mode) == (8, 4, "RGB")
