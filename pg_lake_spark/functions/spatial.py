@@ -4717,7 +4717,8 @@ def st_transform_def(g, src_def, dst_def) -> Column:
     ('+proj=lcc +lat_1=49 +lat_2=77 +lat_0=49 +lon_0=-95 +ellps=GRS80
     +towgs84=0,0,0'), covering any EPSG code whose method is an
     embedded kernel (utm/tmerc, lcc, aea, polar stere, sterea,
-    merc/webmerc, longlat) — the PROJ long tail minus datum grids.
+    merc/webmerc, longlat); datum legs take +towgs84 or +nadgrids=
+    (NTv2 .gsb grid files, which win over towgs84 as in PROJ).
     The reference gets this via DuckDB-spatial/PROJ
     (pg_lake_engine shippable_spatial_functions.c st_transform)."""
     s = F.lit(src_def) if isinstance(src_def, str) else _colify(src_def)

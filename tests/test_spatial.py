@@ -1892,6 +1892,49 @@ def _write_synthetic_gsb(path, *, s_lat, n_lat, e_lonw, w_lonw,
     return ncols, nrows
 
 
+def test_ntv2_nadgrids_end_to_end_dataframe(spark, tmp_path):
+    """The full +nadgrids path through the DataFrame surface: a
+    synthetic .gsb fixture drives st_transform_def over a column of
+    geometries, and the applied shifts match the analytic field the
+    grid encodes (r14 verdict #8b: the machinery was unit-tested but
+    never exercised executor-side through the pandas_udf)."""
+    from pg_lake_spark.functions.spatial import (
+        st_geomfromtext,
+        st_transform_def,
+        st_x,
+        st_y,
+    )
+
+    S, N, E, W = 46 * 3600.0, 47 * 3600.0, -8 * 3600.0, -7 * 3600.0
+
+    def field(lat_s, lonw_s):
+        return (
+            1.0 + 0.002 * (lat_s - S) / 3600.0 + 0.001 * (lonw_s - E) / 3600.0,
+            -0.5 + 0.0015 * (lat_s - S) / 3600.0,
+        )
+
+    gsb = str(tmp_path / "e2e.gsb")
+    _write_synthetic_gsb(
+        gsb, s_lat=S, n_lat=N, e_lonw=E, w_lonw=W,
+        lat_inc=360.0, lon_inc=360.0, field=field,
+    )
+    pts = [(7.512, 46.237), (7.05, 46.95), (7.9, 46.1)]
+    df = spark.createDataFrame(
+        [(i, f"POINT({x} {y})") for i, (x, y) in enumerate(pts)], "id int, wkt string"
+    ).select("id", st_geomfromtext("wkt").alias("g"))
+    out = df.select(
+        "id",
+        st_x(st_transform_def("g", f"+proj=longlat +ellps=WGS84 +nadgrids={gsb}",
+                              "epsg:4326")).alias("x"),
+        st_y(st_transform_def("g", f"+proj=longlat +ellps=WGS84 +nadgrids={gsb}",
+                              "epsg:4326")).alias("y"),
+    ).orderBy("id").collect()
+    for row, (lon, lat) in zip(out, pts):
+        want_dlat, want_dlonw = field(lat * 3600.0, -lon * 3600.0)
+        assert abs((row.y - lat) * 3600.0 - want_dlat) < 1e-5
+        assert abs((lon - row.x) * 3600.0 - want_dlonw) < 1e-5
+
+
 def test_ntv2_grid_shift_machinery(tmp_path):
     """NTv2 datum-grid machinery on a synthetic .gsb: (1) bilinear
     interpolation reproduces a bilinear analytic shift field exactly
