@@ -39,8 +39,12 @@ def chunk_documents(
     if not 0 <= overlap < size:
         raise ValueError("need 0 <= overlap < size")
     step = size - overlap
+    # NULL text behaves like empty text (one empty chunk), matching
+    # chunk_documents_tokens — unguarded, substring(NULL) emitted a
+    # chunk=NULL row that downstream non-null consumers trip over
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     n_chunks = F.greatest(
-        F.lit(1), F.ceil((F.length(text_col) - F.lit(overlap)) / F.lit(step))
+        F.lit(1), F.ceil((F.length(txt) - F.lit(overlap)) / F.lit(step))
     ).cast("int")
     return (
         docs.withColumn("n_chunks", n_chunks)
@@ -50,7 +54,7 @@ def chunk_documents(
             F.posexplode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
                 "chunk_id", "_i"
             ),
-            F.col(text_col).alias("__t"),
+            txt.alias("__t"),
         )
         .select(
             id_col,
@@ -104,7 +108,6 @@ def mix_corpora(
     dataset assembly — weights are the mixture proportions). Sources
     absent from ``weights`` contribute nothing; a source with fewer
     rows than its quota contributes everything it has."""
-    quota = F.lit(None).cast("int")
     expr = None
     for s, w in weights.items():
         q = int(round(w * target_rows))
@@ -195,9 +198,21 @@ def temperature_mix(
     Scale: one count aggregate collected to the driver — O(#sources)
     rows, a bounded reduction — then a single window-filter pass.
     """
+    if temperature <= 0:
+        raise ValueError(
+            f"temperature must be > 0, got {temperature} (T=1 proportional, "
+            "T>1 flattens toward uniform; T<=0 would invert the rule)"
+        )
+    # NULL sources are excluded from the mixture entirely: mix_corpora
+    # selects by `source == s`, which a NULL key can never satisfy, so
+    # counting NULLs into the denominator only dilutes every real
+    # source's quota and underfills the mix (r15 review).
     counts = {
         r[0]: r[1]
-        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in df.filter(F.col(source_col).isNotNull())
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     }
     alpha = 1.0 / float(temperature)
     total = sum(n ** alpha for n in counts.values())

@@ -27,8 +27,6 @@ the per-partition count list.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -45,10 +43,18 @@ def assign_shards(
     """Add a ``shard_id`` column under a deterministic global order.
 
     Exactly one of ``shard_rows`` (fixed rows per shard) or
-    ``token_col`` + ``tokens_per_shard`` (greedy token budget: a shard
-    closes once its running token total crosses the budget) must be
-    given. ``order_by`` must be a total order (add a unique id as the
-    last key) for the assignment to be rerun-stable.
+    ``token_col`` + ``tokens_per_shard`` (token budget) must be given.
+    ``order_by`` must be a total order (add a unique id as the last
+    key) for the assignment to be rerun-stable.
+
+    Token-budget semantics are cumulative BANDING, not sequential
+    greedy packing: ``shard_id = (running_total - 1) div budget``, so
+    every shard's token sum is <= budget, computed with zero sequential
+    state (greedy close-on-cross needs a row-by-row scan — a
+    non-starter at scale). Consequence: a single row larger than the
+    budget skips bands, leaving gaps in the shard-id sequence — data
+    loaders must iterate the manifest's actual ids, not assume
+    0..N-1 contiguity.
     """
     if (shard_rows is None) == (tokens_per_shard is None):
         raise ValueError("pass exactly one of shard_rows / tokens_per_shard")
@@ -103,10 +109,17 @@ def assign_shards(
         )
     else:
         ordered = ordered.withColumn(
-            "__cum", F.sum(token_col).over(w) + F.col("__tok_off")
+            # coalesce: pass 1 already tolerates NULL token sums
+            # ("or 0"); without it an all-NULL prefix makes the window
+            # cumsum NULL -> shard_id NULL -> rows silently land in
+            # __HIVE_DEFAULT_PARTITION__ and the manifest's int(None)
+            # crashes AFTER the distributed write (r15 review)
+            "__cum",
+            F.sum(F.coalesce(F.col(token_col), F.lit(0))).over(w)
+            + F.col("__tok_off"),
         ).withColumn(
-            # a shard closes when its running total CROSSES the budget,
-            # so the row that crosses still belongs to the open shard
+            # cumulative banding (see docstring): ceil-div so the row
+            # that lands exactly ON the budget closes that shard
             "shard_id",
             ((F.col("__cum") - 1) / tokens_per_shard).cast("long"),
         )
@@ -165,17 +178,17 @@ def _write_sidecar(spark, path: str, content: str) -> None:
     """Write a small text file next to the shard data on WHATEVER
     filesystem the data went to — a local open() on an s3a:///hdfs://
     output path would crash after the expensive distributed write
-    completed. Remote schemes go through Hadoop's FileSystem via the
-    JVM gateway (driver-side, one small file)."""
+    completed. Remote schemes go through Hadoop's FileSystem (shared
+    plumbing with sources.readers) — driver-side, one small file."""
     import re
 
     if "://" not in path or path.startswith("file:"):
         with open(re.sub(r"^file:(//)?", "", path), "w") as fh:
             fh.write(content)
         return
-    jvm = spark._jvm
-    fs_path = jvm.org.apache.hadoop.fs.Path(path)
-    fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    from pg_lake_spark.sources.readers import _hadoop_fs
+
+    fs, fs_path, _ = _hadoop_fs(spark, path)
     out = fs.create(fs_path, True)
     try:
         out.write(bytearray(content.encode("utf-8")))

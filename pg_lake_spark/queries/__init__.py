@@ -164,6 +164,12 @@ _CODE_CHANGED_IN: dict[str, int] = {
     "dd_semantic_prune": 15,
     "txt_gopher_quality": 15,
     "mm_binary_features": 15,
+    # r15 chunking/mix review: chunk_documents coalesces NULL text like
+    # the token variant; temperature_mix validates T>0 and excludes
+    # NULL sources from the weight denominator.
+    "ds_chunk_documents": 15,
+    "ds_temperature_mix": 15,
+    "ds_mix_corpora": 15,
 }
 
 

@@ -173,6 +173,7 @@ def _force_quote_lines(
     quote: str = '"',
     sep: str = ",",
     null_marker: str = "",
+    escape: str | None = None,
     date_fmt: str | None = None,
     ts_fmt: str | None = None,
 ) -> DataFrame:
@@ -200,6 +201,12 @@ def _force_quote_lines(
         raise ValueError(f"force_quote columns not in result: {missing}")
     needs = "[" + _re.escape(sep + quote) + "\r\n]"
     dtypes = dict(df.dtypes)
+    # PG CopyAttributeOutCSV: inside a quoted field, any char equal to
+    # QUOTE or ESCAPE is preceded by ESCAPE; the default ESCAPE is the
+    # quote char itself, which degenerates to quote-doubling. Ignoring
+    # a declared ESCAPE here wrote doubled quotes a '\\'-configured
+    # reader misparses (r15 review).
+    esc = escape if escape else quote
 
     def field(name: str) -> "F.Column":
         # honor the statement's DATE_FORMAT/TIMESTAMP_FORMAT here: the
@@ -212,9 +219,11 @@ def _force_quote_lines(
             c = F.date_format(F.col(name), ts_fmt)
         else:
             c = F.col(name).cast("string")
-        quoted = F.concat(
-            F.lit(quote), F.replace(c, F.lit(quote), F.lit(quote * 2)), F.lit(quote)
-        )
+        body = c
+        if esc != quote:
+            body = F.replace(body, F.lit(esc), F.lit(esc + esc))
+        body = F.replace(body, F.lit(quote), F.lit(esc + quote))
+        quoted = F.concat(F.lit(quote), body, F.lit(quote))
         if name in cols:
             v = quoted
         else:
@@ -223,7 +232,8 @@ def _force_quote_lines(
 
     def header_field(name: str) -> str:
         if _re.search(needs, name):
-            return quote + name.replace(quote, quote * 2) + quote
+            body = name.replace(esc, esc + esc) if esc != quote else name
+            return quote + body.replace(quote, esc + quote) + quote
         return name
 
     header = sep.join(header_field(n) for n in df.columns)
@@ -279,6 +289,19 @@ def copy_to(
 
     if fmt == "csv":
         options.setdefault("header", True)
+        if not options.get("timestamp_format"):
+            # Spark's CSV default writes ISO 'T' at millisecond
+            # precision — silently truncating microseconds and
+            # diverging from the reference's 'YYYY-MM-DD HH:MM:SS[.ffffff]'
+            # (fraction omitted when zero). No Java pattern renders the
+            # conditional fraction, but Spark's timestamp→string CAST
+            # does exactly PG/DuckDB text form — pre-cast the columns
+            # so both the plain and force_quote paths emit it.
+            from pyspark.sql import functions as F
+
+            for name, dt in df.dtypes:
+                if dt.startswith("timestamp"):
+                    df = df.withColumn(name, F.col(name).cast("string"))
     force_cols = None
     if isinstance(options.get("force_quote"), (list, tuple)):
         if fmt != "csv":
@@ -300,6 +323,7 @@ def copy_to(
             quote=str(options.get("quote", '"')),
             sep=str(options.get("delimiter", ",")),
             null_marker=str(options.get("null", "")),
+            escape=(str(options["escape"]) if options.get("escape") else None),
             date_fmt=spark_opts.get("dateFormat"),
             ts_fmt=spark_opts.get("timestampFormat"),
         )
@@ -373,6 +397,16 @@ def copy_from(
     missing = [c for c in target_cols if c.lower() not in by_fold]
     if missing:
         raise ValueError(f"COPY FROM source lacks table columns: {missing}")
+    # PG raises 'extra data after last expected column'; silently
+    # dropping a source column loses data without a whisper (r15
+    # review) — the asymmetric twin of the missing-columns check above.
+    target_fold = {c.lower() for c in target_cols}
+    extra = [c for c in df.columns if c.lower() not in target_fold]
+    if extra:
+        raise ValueError(
+            f"COPY FROM source has columns not in the table: {extra} "
+            "(project them away in the source query to import anyway)"
+        )
     aligned = df.select(
         *[F.col(by_fold[c.lower()]).alias(c) for c in target_cols]
     )

@@ -40,6 +40,18 @@ _SUMMARY_NAME = "pipeline-name"
 _PROP_PREFIX = "pipeline-files:"
 
 
+def _glob_escape(path: str) -> str:
+    """Backslash-escape Hadoop glob metacharacters in a LITERAL path so
+    DataFrameReader.load() (which re-parses every path as a glob) reads
+    exactly the discovered file."""
+    out = []
+    for ch in path:
+        if ch in "\\*?[]{}":
+            out.append("\\")
+        out.append(ch)
+    return "".join(out)
+
+
 class FileListPipeline:
     def __init__(
         self,
@@ -67,10 +79,16 @@ class FileListPipeline:
     # -- exactly-once bookkeeping (table property + legacy summaries) ------
 
     def _done_in(self, md) -> set[str]:
-        done: set[str] = set(
-            json.loads(md.properties.get(_PROP_PREFIX + self.name, "[]"))
-        )
+        prop = md.properties.get(_PROP_PREFIX + self.name)
+        if prop is not None:
+            # the property supersedes summaries by construction: every
+            # mutate writes done-so-far (INCLUDING the legacy-summary
+            # fold below) ∪ batch, so once it exists the summary walk
+            # is pure overhead — O(snapshots × files) json.loads per
+            # call, twice inside the commit lock (r15 review)
+            return set(json.loads(prop))
         # legacy (pre-property) bookkeeping lived in snapshot summaries
+        done: set[str] = set()
         for snap in md.snapshots:
             summary = snap.summary or {}
             if summary.get(_SUMMARY_NAME) == self.name:
@@ -80,11 +98,29 @@ class FileListPipeline:
     def processed_files(self) -> set[str]:
         return self._done_in(self.table.metadata)
 
-    def discover(self) -> list[str]:
+    def discover(self, spark=None) -> list[str]:
         """New files matching the pattern, oldest-name-first (stable
-        processing order)."""
+        processing order). Scheme'd patterns (s3a://…/*.csv.gz — the
+        reference's headline example) go through Hadoop globStatus;
+        local-only glob.glob silently discovered ZERO files for them
+        forever (r15 review)."""
         done = self.processed_files()
-        return [p for p in sorted(_glob.glob(self.pattern)) if p not in done]
+        if "://" in self.pattern:
+            if spark is None:
+                raise ValueError(
+                    f"pattern {self.pattern!r} needs a SparkSession to "
+                    "glob its filesystem; call discover(spark)"
+                )
+            from pg_lake_spark.sources.readers import list_files
+
+            found = [
+                r["path"]
+                for r in list_files(spark, self.pattern).collect()
+                if not r["is_dir"]
+            ]
+        else:
+            found = _glob.glob(self.pattern)
+        return [p for p in sorted(found) if p not in done]
 
     # -- processing --------------------------------------------------------
 
@@ -99,26 +135,34 @@ class FileListPipeline:
             df = (
                 spark.read.format(fl)
                 .options(**{k: str(v) for k, v in self.reader_options.items()})
-                .load(list(files))
+                # load() re-parses each path as a GLOB: a discovered
+                # file literally named app[2024-01-15].csv would throw
+                # 'Illegal file pattern' on every run and wedge the
+                # pipeline forever (never committed as done, always
+                # re-discovered — r15 review). Escape the metachars.
+                .load([_glob_escape(p) for p in files])
             )
             if "_filename" in df.columns:
                 raise ValueError(
                     "source data already has a _filename column; the "
                     "pipeline reserves that name for file provenance"
                 )
-            fp = F.col("_metadata.file_path")
-            decoded = F.coalesce(
-                F.try_url_decode(F.replace(fp, F.lit("+"), F.lit("%2B"))), fp
-            )
-            return df.withColumn(
-                "_filename", F.regexp_replace(decoded, "^file:(//)?", "")
-            )
+            from pg_lake_spark.lakehouse.iceberg_meta import _norm_path
+
+            return df.withColumn("_filename", _norm_path(F.col("_metadata.file_path")))
         # formats needing driver-side parsing (geo, xlsx, …) read per file
         from pg_lake_spark.sources.readers import read_lake
 
         parts = []
         for p in files:
             part = read_lake(spark, p, fmt=self.fmt, **dict(self.reader_options))
+            if "_filename" in part.columns:
+                # same reserved-name rule as the spark-format branch:
+                # silently overwriting the user's column destroys data
+                raise ValueError(
+                    "source data already has a _filename column; the "
+                    "pipeline reserves that name for file provenance"
+                )
             parts.append(part.withColumn("_filename", F.lit(p)))
         df = parts[0]
         for part in parts[1:]:
@@ -134,7 +178,7 @@ class FileListPipeline:
         self.table.refresh()
         prop = _PROP_PREFIX + self.name
         while True:
-            pending = self.discover()
+            pending = self.discover(spark)
             if not pending:
                 return stats
             batch = pending[: self.max_batch_size]

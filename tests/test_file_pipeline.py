@@ -213,3 +213,48 @@ def test_pipeline_rejects_bad_batch_size(spark, tmp_path):
     t = LakeTable.create(spark, str(tmp_path / "t"), "k int")
     with pytest.raises(ValueError, match="max_batch_size"):
         FileListPipeline("z", "/tmp/*.csv", t, max_batch_size=0)
+
+
+def test_glob_metachars_in_filenames(spark, tmp_path):
+    """A discovered file whose NAME contains glob metacharacters must
+    ingest: DataFrameReader.load() re-parses paths as globs, so an
+    unescaped app[2024-01-15].csv threw 'Illegal file pattern' on every
+    run and wedged the pipeline forever (r15 review)."""
+    logs = tmp_path / "globby"
+    logs.mkdir()
+    _write_log(str(logs), "app[2024-01-15].csv", [(1, "x")])
+    _write_log(str(logs), "plain.csv", [(2, "y")])
+
+    t = LakeTable.create(spark, str(tmp_path / "tg"), "k int, v string")
+    pipe = FileListPipeline(
+        "glob-logs", str(logs / "*.csv"), t, fmt="csv",
+        reader_options={"header": True, "inferSchema": True},
+    )
+    stats = pipe.run_pending(spark)
+    assert stats["files"] == 2
+    assert {r.k for r in t.to_df().collect()} == {1, 2}
+    # second run: nothing new (the bracket file committed as done)
+    assert pipe.run_pending(spark)["files"] == 0
+
+
+def test_fallback_branch_rejects_filename_collision(spark, tmp_path):
+    """The per-file (geo/xlsx) branch must refuse a source _filename
+    column like the spark-format branch does, not silently overwrite.
+    FlatGeobuf keeps attribute columns top-level, so an fgb file with a
+    '_filename' attribute exercises the collision."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pg_lake_spark.functions.spatial import st_geomfromtext
+    from pg_lake_spark.sources.flatgeobuf import write_flatgeobuf_df
+
+    logs = tmp_path / "fgblogs"
+    logs.mkdir()
+    src = spark.createDataFrame([(1, "user-data")], "k int, _filename string").select(
+        "k", "_filename", st_geomfromtext(F.lit("POINT(0 0)")).alias("geometry")
+    )
+    write_flatgeobuf_df(src, str(logs / "a.fgb"), geom_col="geometry")
+    t = LakeTable.create(spark, str(tmp_path / "tf"), "k int")
+    pipe = FileListPipeline("fgb-logs", str(logs / "*.fgb"), t, fmt="fgb")
+    with pytest.raises(ValueError, match="_filename"):
+        pipe.run_pending(spark)

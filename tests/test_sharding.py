@@ -100,3 +100,33 @@ def test_write_training_shards_file_uri(spark, tmp_path):
     manifest = write_training_shards(df, "file:" + out_local, ["doc_id"], shard_rows=10)
     disk = json.load(open(os.path.join(out_local, "_shard_manifest.json")))
     assert disk == {str(k): v for k, v in manifest.items()}
+
+
+def test_token_budget_sharding_null_tokens(spark):
+    """NULL token values must behave as 0 in the window cumsum (pass 1
+    already tolerated them) — unguarded, an all-NULL partition prefix
+    made __cum NULL -> shard_id NULL, silently landing rows in
+    __HIVE_DEFAULT_PARTITION__ and crashing the manifest's int(None)
+    AFTER the distributed write (r15 review)."""
+    df = spark.createDataFrame(
+        [(0, None), (1, 50), (2, None), (3, 60)], "doc_id int, n_tokens int"
+    )
+    a = assign_shards(
+        df, ["doc_id"], token_col="n_tokens", tokens_per_shard=100,
+        num_partitions=2,
+    )
+    rows = {r.doc_id: r.shard_id for r in a.collect()}
+    assert None not in rows.values()
+    # cums 0,50,50,110 -> bands 0,0,0,1
+    assert rows == {0: 0, 1: 0, 2: 0, 3: 1}
+
+
+def test_write_training_shards_null_tokens_manifest(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(0, None), (1, 50), (2, 60)], "doc_id int, n_tokens int"
+    )
+    manifest = write_training_shards(
+        df, str(tmp_path / "shards"), ["doc_id"],
+        token_col="n_tokens", tokens_per_shard=100,
+    )
+    assert sum(v["rows"] for v in manifest.values()) == 3

@@ -839,3 +839,64 @@ def test_dbf_numeric_overflow_is_null(tmp_path):
     fdefs, rows = _parse_dbf(path)
     assert fdefs == [("VAL", "bigint")]
     assert rows == [[123], [None]]
+
+
+def test_copy_to_force_quote_honors_escape(spark, tmp_path):
+    """A declared ESCAPE must apply inside quoted fields (PG
+    CopyAttributeOutCSV escapes QUOTE and ESCAPE chars with ESCAPE);
+    the force_quote path silently doubled quotes instead, which a
+    '\\'-configured reader misparses (r15 review)."""
+    from pg_lake_spark.sources.writers import copy_to
+
+    df = spark.createDataFrame([(1, 'he said "hi"', "back\\slash")], "id int, q string, e string")
+    url = str(tmp_path / "esc_csv")
+    copy_to(df, url, fmt="csv", single_file=True, force_quote=["q"], escape="\\")
+    import glob as g
+
+    [f] = g.glob(url + "/part-*")
+    lines = open(f).read().splitlines()
+    assert lines[0] == "id,q,e"
+    assert lines[1] == '1,"he said \\"hi\\"",back\\\\slash' or lines[1] == '1,"he said \\"hi\\"",back\\slash', lines[1]
+    # and without ESCAPE the default stays PG quote-doubling
+    url2 = str(tmp_path / "esc_csv2")
+    copy_to(df.select("id", "q"), url2, fmt="csv", single_file=True, force_quote=["q"])
+    [f2] = g.glob(url2 + "/part-*")
+    assert open(f2).read().splitlines()[1] == '1,"he said ""hi"""'
+
+
+def test_copy_to_csv_timestamp_microseconds(spark, tmp_path):
+    """Default CSV export must write PG/DuckDB text form — space
+    separator, microseconds kept, fraction omitted when zero — on BOTH
+    the plain and force_quote paths (Spark's default ISO-'T'
+    milliseconds silently truncated microseconds, r15 review)."""
+    import glob as g
+
+    from pg_lake_spark.sources.writers import copy_to
+
+    df = spark.sql(
+        "SELECT 1 AS id, TIMESTAMP_NTZ'2024-01-15 10:20:30.123456' AS ts, "
+        "TIMESTAMP_NTZ'2024-01-15 10:20:30' AS whole"
+    )
+    plain = str(tmp_path / "ts_plain")
+    copy_to(df, plain, fmt="csv", single_file=True)
+    [f] = g.glob(plain + "/part-*")
+    assert open(f).read().splitlines()[1] == "1,2024-01-15 10:20:30.123456,2024-01-15 10:20:30"
+    forced = str(tmp_path / "ts_forced")
+    copy_to(df, forced, fmt="csv", single_file=True, force_quote=["id"])
+    [f2] = g.glob(forced + "/part-*")
+    assert open(f2).read().splitlines()[1] == '"1",2024-01-15 10:20:30.123456,2024-01-15 10:20:30'
+
+
+def test_copy_from_rejects_extra_source_columns(spark, tmp_path):
+    """PG raises 'extra data after last expected column'; silently
+    dropping a source column loses data without a whisper."""
+    import pytest
+
+    from pg_lake_spark.lakehouse.table import LakeTable
+    from pg_lake_spark.sources.writers import copy_from
+
+    src = tmp_path / "extra.csv"
+    src.write_text("id,name,amount\n1,a,9.5\n")
+    t = LakeTable.create(spark, str(tmp_path / "t_extra"), "id int, name string")
+    with pytest.raises(ValueError, match="amount"):
+        copy_from(spark, str(src), t, fmt="csv", header=True)
