@@ -915,15 +915,42 @@ def connected_components(
     function RAISES — a silently half-converged component assignment
     would drop the wrong documents downstream.
     """
-    sym = edges.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    sc = edges.sparkSession.sparkContext
+
+    def _pids() -> set[int]:
+        m = sc._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    def _unpersist(ids: set[int]) -> None:
+        m = sc._jsc.getPersistentRDDs()
+        for k in m.keySet().toArray():
+            if int(k) in ids:
+                m.get(k).unpersist(False)
+
+    # Checkpoint the symmetrized edge list ONCE: it is joined in every
+    # round, and an unmaterialized `edges` lineage (e.g. the LSH verify
+    # join feeding neardup_clusters) would otherwise re-execute per
+    # round — ~20x the verify cost at sf10 (r15 finding). Each round's
+    # label checkpoint is freed once the next round has materialized:
+    # leaving max_iters copies of the full label frame persisted was
+    # the sf10 heap exhaustion (only ids THIS function persisted are
+    # touched — a before/after snapshot isolates them from concurrent
+    # work in the session).
+    before = _pids()
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    sym_ids = _pids() - before
+    before = _pids()
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    prev_ids = _pids() - before
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym["dst"] == labels["id"])
@@ -948,6 +975,7 @@ def connected_components(
         parent = stepped.select(
             F.col("id").alias("_pid"), F.col("_c1").alias("_pc")
         )
+        before = _pids()
         updated = (
             stepped.join(parent, stepped["_c1"] == parent["_pid"], "left")
             .select(
@@ -959,7 +987,12 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+        new_ids = _pids() - before
         changed = updated.filter(F.col("new_component") != F.col("component")).count()
+        # this round is materialized; the previous round's checkpoint
+        # is unreachable from any future computation — free it
+        _unpersist(prev_ids)
+        prev_ids = new_ids
         labels = updated.select("id", F.col("new_component").alias("component"))
         if changed == 0:
             break
@@ -969,6 +1002,8 @@ def connected_components(
             "rounds — raise max_iters (convergence is O(log diameter) with "
             "short-cutting; 20 rounds covers ~1M-hop chains)"
         )
+    # the result references only the final label checkpoint
+    _unpersist(sym_ids)
     return labels
 
 
