@@ -70,12 +70,18 @@ def pg_substring(s: Column | str, start: Column | int, length: Column | int | No
     s = _col(s)
     start_c = F.lit(start) if isinstance(start, int) else start
     eff_start = F.greatest(start_c, F.lit(1))
+    # PG propagates NULL arguments to a NULL result; F.greatest SKIPS
+    # nulls (greatest(NULL, 1) = 1), so guard explicitly (r15 review).
     if length is None:
-        return F.substring(s, eff_start, F.lit(2147483647))
+        res = F.substring(s, eff_start, F.lit(2147483647))
+        return F.when(start_c.isNull(), F.lit(None).cast("string")).otherwise(res)
     length_c = F.lit(length) if isinstance(length, int) else length
     # chars "consumed" left of position 1: max(1 - start, 0)
     eff_len = F.greatest(length_c - F.greatest(F.lit(1) - start_c, F.lit(0)), F.lit(0))
-    return F.substring(s, eff_start, eff_len)
+    res = F.substring(s, eff_start, eff_len)
+    return F.when(
+        start_c.isNull() | length_c.isNull(), F.lit(None).cast("string")
+    ).otherwise(res)
 
 
 # ---------------------------------------------------------------------------
@@ -102,120 +108,264 @@ def pg_date_trunc(field: str, ts: Column | str) -> Column:
     if f in _SPARK_TRUNC_FIELDS:
         return F.date_trunc(f, ts)
     y = F.year(ts)
+    # PG decades start at year XXX0; centuries/millennia at XX01. Build
+    # the result by subtracting whole years from date_trunc('year') so
+    # the output TYPE matches the input (timestamp stays timestamp,
+    # ntz stays ntz) — make_timestamp_ntz forced every long field to
+    # NTZ while the Spark-native fields kept the input type, and the
+    # two branches then wouldn't union/compare (r15 review). pmod keeps
+    # the floor convention for BC years.
     if f == "decade":
-        # PG decades are calendar decades starting at year XXX0.
-        trunc_year = (F.floor(y / 10) * 10).cast("int")
+        years_back = F.pmod(y, 10)
     elif f == "century":
-        trunc_year = ((F.ceil(y / 100) - 1) * 100 + 1).cast("int")
+        years_back = F.pmod(y - 1, 100)
     elif f == "millennium":
-        trunc_year = ((F.ceil(y / 1000) - 1) * 1000 + 1).cast("int")
+        years_back = F.pmod(y - 1, 1000)
     else:
         raise ValueError(f"unsupported date_trunc field: {field}")
-    return F.make_timestamp_ntz(trunc_year, F.lit(1), F.lit(1), F.lit(0), F.lit(0), F.lit(0))
+    zero = F.lit(0)
+    return F.date_trunc("year", ts) - F.make_interval(
+        years_back.cast("int"), zero, zero, zero, zero, zero, F.lit(0)
+    )
 
 
 # ---------------------------------------------------------------------------
 # to_char: PG format-string → Spark date_format pattern compiler
 # ---------------------------------------------------------------------------
 
-# Ordered longest-first so greedy scanning picks the longest specifier,
-# exactly like the reference's FormatSpecifierMappings table
-# (pg_lake_engine/src/pgduck/to_char.c:30-60) which compiles PG to_char
-# patterns to DuckDB strftime. Target here is Java DateTimeFormatter
-# (Spark date_format).
-_TO_CHAR_MAP: list[tuple[str, str]] = [
-    ("HH24", "HH"),
-    ("HH12", "hh"),
-    ("YYYY", "yyyy"),
-    ("YYY", "yyy"),
-    ("YY", "yy"),
-    ("Y", "y"),
-    ("MONTH", "MMMM"),  # PG blank-pads; delta documented
-    ("Month", "MMMM"),
-    ("month", "MMMM"),
-    ("MON", "MMM"),
-    ("Mon", "MMM"),
-    ("mon", "MMM"),
-    ("MM", "MM"),
-    ("DDD", "DDD"),
-    ("DD", "dd"),
-    ("DAY", "EEEE"),
-    ("Day", "EEEE"),
-    ("day", "EEEE"),
-    ("DY", "EEE"),
-    ("Dy", "EEE"),
-    ("dy", "EEE"),
-    ("HH", "hh"),
-    ("MI", "mm"),
-    ("SSSS", "A"),  # seconds past midnight — approximate, rarely used
-    ("SS", "ss"),
-    ("MS", "SSS"),
-    ("US", "SSSSSS"),
-    ("AM", "a"),
-    ("PM", "a"),
-    ("am", "a"),
-    ("pm", "a"),
-    ("TZ", "zz"),
-    ("Q", "Q"),
-    ("WW", "ww"),
-    ("J", "g"),  # julian day — approximate
+# Specifier table, ordered longest-first so greedy scanning picks the
+# longest match, exactly like the reference's FormatSpecifierMappings
+# table (pg_lake_engine/src/pgduck/to_char.c:30-60) which compiles PG
+# to_char patterns to DuckDB strftime. Each entry is
+# (pg_spec, kind, payload):
+#   kind "j"  — Java DateTimeFormatter fragment; payload = (padded,
+#               fill-mode variant or None)
+#   kind "fn" — not expressible as a Java pattern (Spark refuses the
+#               week-based Java fields, and PG's case-variant text
+#               fields need post-casing); payload = a builder key in
+#               _TO_CHAR_FNS. pg_to_char stitches these as computed
+#               Column segments between date_format chunks.
+# Numeric fields accept PG's lowercase spellings (PG treats the case of
+# numeric templates as irrelevant; only TEXT templates carry case).
+_TO_CHAR_SPECS: list[tuple[str, str, object]] = [
+    ("HH24", "j", ("HH", "H")),
+    ("hh24", "j", ("HH", "H")),
+    ("HH12", "j", ("hh", "h")),
+    ("hh12", "j", ("hh", "h")),
+    ("SSSS", "fn", "ssss"),
+    ("ssss", "fn", "ssss"),
+    ("YYYY", "j", ("yyyy", "yyyy")),
+    ("yyyy", "j", ("yyyy", "yyyy")),
+    ("Y,YYY", "fn", "year_comma"),
+    ("y,yyy", "fn", "year_comma"),
+    ("IYYY", "fn", "iso_year"),
+    ("YYY", "j", ("yyy", "yyy")),
+    ("yyy", "j", ("yyy", "yyy")),
+    ("MONTH", "fn", "month_upper"),
+    ("Month", "j", ("MMMM", None)),
+    ("month", "fn", "month_lower"),
+    ("MON", "fn", "mon_upper"),
+    ("Mon", "j", ("MMM", None)),
+    ("mon", "fn", "mon_lower"),
+    ("DAY", "fn", "day_upper"),
+    ("Day", "j", ("EEEE", None)),
+    ("day", "fn", "day_lower"),
+    ("DDD", "j", ("DDD", "D")),
+    ("ddd", "j", ("DDD", "D")),
+    ("DY", "fn", "dy_upper"),
+    ("Dy", "j", ("EEE", None)),
+    ("dy", "fn", "dy_lower"),
+    ("YY", "j", ("yy", "yy")),
+    ("yy", "j", ("yy", "yy")),
+    ("MM", "j", ("MM", "M")),
+    ("mm", "j", ("MM", "M")),
+    ("DD", "j", ("dd", "d")),
+    ("dd", "j", ("dd", "d")),
+    ("HH", "j", ("hh", "h")),
+    ("hh", "j", ("hh", "h")),
+    ("MI", "j", ("mm", "m")),
+    ("mi", "j", ("mm", "m")),
+    ("SS", "j", ("ss", "s")),
+    ("ss", "j", ("ss", "s")),
+    ("MS", "j", ("SSS", None)),
+    ("ms", "j", ("SSS", None)),
+    ("US", "j", ("SSSSSS", None)),
+    ("us", "j", ("SSSSSS", None)),
+    ("AM", "j", ("a", None)),
+    ("PM", "j", ("a", None)),
+    ("am", "fn", "ampm_lower"),
+    ("pm", "fn", "ampm_lower"),
+    ("TZ", "j", ("zz", None)),
+    ("tz", "fn", "tz_lower"),
+    ("IW", "fn", "iso_week"),
+    ("ID", "fn", "iso_dow"),
+    ("WW", "fn", "week_of_year"),
+    ("ww", "fn", "week_of_year"),
+    ("CC", "fn", "century"),
+    ("cc", "fn", "century"),
+    ("Q", "j", ("Q", None)),
+    ("q", "j", ("Q", None)),
+    ("W", "fn", "week_of_month"),
+    ("w", "fn", "week_of_month"),
+    ("J", "fn", "julian_day"),
+    ("j", "fn", "julian_day"),
+    ("Y", "j", ("y", "y")),
+    ("y", "j", ("y", "y")),
+    ("D", "fn", "pg_dow"),
+    ("d", "fn", "pg_dow"),
 ]
 
+# PG week-of-year WW = 1 + (doy-1)/7; W = week of month 1 + (dom-1)/7;
+# D = Sunday-1 day of week; J = days since the Julian epoch (unix epoch
+# = JD 2440588); CC = PG century (2001 → 21). ISO fields use Spark's
+# own ISO weekofyear / weekday and the year-of-the-week's-Thursday rule.
+_TO_CHAR_FNS = {
+    "month_upper": lambda ts: F.upper(F.date_format(ts, "MMMM")),
+    "month_lower": lambda ts: F.lower(F.date_format(ts, "MMMM")),
+    "mon_upper": lambda ts: F.upper(F.date_format(ts, "MMM")),
+    "mon_lower": lambda ts: F.lower(F.date_format(ts, "MMM")),
+    "day_upper": lambda ts: F.upper(F.date_format(ts, "EEEE")),
+    "day_lower": lambda ts: F.lower(F.date_format(ts, "EEEE")),
+    "dy_upper": lambda ts: F.upper(F.date_format(ts, "EEE")),
+    "dy_lower": lambda ts: F.lower(F.date_format(ts, "EEE")),
+    "ampm_lower": lambda ts: F.lower(F.date_format(ts, "a")),
+    "tz_lower": lambda ts: F.lower(F.date_format(ts, "zz")),
+    "ssss": lambda ts: (
+        (
+            F.unix_micros(ts.cast("timestamp"))
+            - F.unix_micros(F.date_trunc("day", ts.cast("timestamp")))
+        )
+        / 1_000_000
+    )
+    .cast("bigint")
+    .cast("string"),
+    "week_of_year": lambda ts: F.lpad(
+        ((F.dayofyear(ts) - 1) / 7 + 1).cast("int").cast("string"), 2, "0"
+    ),
+    "week_of_year_fm": lambda ts: ((F.dayofyear(ts) - 1) / 7 + 1)
+    .cast("int")
+    .cast("string"),
+    "week_of_month": lambda ts: ((F.dayofmonth(ts) - 1) / 7 + 1)
+    .cast("int")
+    .cast("string"),
+    "pg_dow": lambda ts: F.dayofweek(ts).cast("string"),
+    "julian_day": lambda ts: (
+        F.datediff(ts.cast("date"), F.lit("1970-01-01").cast("date")) + 2440588
+    ).cast("string"),
+    "century": lambda ts: (F.ceil(F.year(ts) / 100)).cast("int").cast("string"),
+    "year_comma": lambda ts: F.concat(
+        F.floor(F.year(ts) / 1000).cast("string"),
+        F.lit(","),
+        F.lpad(F.pmod(F.year(ts), 1000).cast("string"), 3, "0"),
+    ),
+    "iso_week": lambda ts: F.lpad(F.weekofyear(ts).cast("string"), 2, "0"),
+    "iso_week_fm": lambda ts: F.weekofyear(ts).cast("string"),
+    "iso_dow": lambda ts: (F.weekday(ts) + 1).cast("string"),
+    "iso_year": lambda ts: F.year(
+        F.date_add(ts.cast("date"), 4 - (F.weekday(ts) + 1))
+    ).cast("string"),
+}
 
-def translate_to_char_pattern(pg_fmt: str) -> str:
-    """Compile a PG to_char pattern into a Java DateTimeFormatter pattern."""
-    out: list[str] = []
-    i = 0
-    n = len(pg_fmt)
+
+def _to_char_segments(pg_fmt: str) -> list[tuple[str, str]]:
+    """Scan a PG to_char pattern into ('j', java-fragment) and
+    ('fn', builder-key) segments; adjacent java fragments merge.
+    Unrecognized characters are literals (PG: 'any text not a template
+    pattern is simply copied verbatim'); the FM prefix selects the
+    fill-mode (unpadded) variant of the following template."""
+    segs: list[tuple[str, str]] = []
+
+    def emit_java(fragment: str) -> None:
+        if segs and segs[-1][0] == "j":
+            segs[-1] = ("j", segs[-1][1] + fragment)
+        else:
+            segs.append(("j", fragment))
+
+    i, n = 0, len(pg_fmt)
+    fm = False
     while i < n:
         ch = pg_fmt[i]
         if ch == '"':  # PG quoted literal: "..." → Java quoted literal '...'
             j = pg_fmt.find('"', i + 1)
             j = n if j < 0 else j
             lit = pg_fmt[i + 1 : j].replace("'", "''")
-            out.append(f"'{lit}'")
+            emit_java(f"'{lit}'")
             i = j + 1
             continue
+        if pg_fmt.startswith(("FM", "fm"), i):
+            fm = True
+            i += 2
+            continue
         matched = False
-        for pg_spec, java_spec in _TO_CHAR_MAP:
+        for pg_spec, kind, payload in _TO_CHAR_SPECS:
             if pg_fmt.startswith(pg_spec, i):
-                out.append(java_spec)
+                if kind == "j":
+                    padded, fill = payload
+                    emit_java(fill if (fm and fill) else padded)
+                else:
+                    key = str(payload)
+                    if fm and key + "_fm" in _TO_CHAR_FNS:
+                        key += "_fm"
+                    segs.append(("fn", key))
+                fm = False
                 i += len(pg_spec)
                 matched = True
                 break
         if not matched:
             if ch.isalpha():
-                out.append(f"'{ch}'")  # bare letters are literals in Java patterns
+                emit_java(f"'{ch}'")  # bare letters are literals in Java patterns
+            elif ch == "'":
+                emit_java("''")  # a bare apostrophe must be doubled for Java
             else:
-                out.append(ch)
+                emit_java(ch)
             i += 1
-    return "".join(out)
+    return segs
+
+
+def translate_to_char_pattern(pg_fmt: str) -> str:
+    """Compile a PG to_char pattern into ONE Java DateTimeFormatter
+    pattern. Raises for specifiers with no Java equivalent (WW, SSSS,
+    Y,YYY, J, the case-variant text fields, …) — callers that can
+    stitch computed segments use :func:`_to_char_segments` instead
+    (pg_to_char does); parsers (to_date/to_timestamp) cannot."""
+    segs = _to_char_segments(pg_fmt)
+    bad = [key for kind, key in segs if kind == "fn"]
+    if bad:
+        raise NotImplementedError(
+            f"to_char specifier(s) {bad} have no Java DateTimeFormatter "
+            "equivalent usable for parsing"
+        )
+    return "".join(fragment for _, fragment in segs)
 
 
 def pg_to_char(ts: Column | str, pg_fmt: str) -> Column:
-    """PG ``to_char(timestamp, fmt)`` via pattern translation.
+    """PG ``to_char(timestamp, fmt)`` via pattern compilation.
 
     Reference: to_char.c is a 1,378-LoC PG→DuckDB-strftime compiler; this
-    is the same idea targeting Java DateTimeFormatter. The translation
-    runs at plan-construction time (driver side) — the executed
-    expression is a plain ``date_format`` (codegen'd, no UDF).
+    is the same idea targeting Java DateTimeFormatter. The compilation
+    runs at plan-construction time (driver side); Java-expressible runs
+    become plain ``date_format`` calls and the rest (WW/SSSS/Y,YYY/J/
+    case-variant text fields/FM) become computed Column segments —
+    everything stays codegen'd, no UDF. Remaining documented delta: PG
+    blank-pads MONTH/Day/… to 9 chars; this renders them unpadded.
     """
-    out = F.date_format(_col(ts), translate_to_char_pattern(pg_fmt))
-    # PG's lowercase am/pm specifiers render lowercase; Java's 'a' is
-    # always uppercase — post-lowercase when the pattern asked for it
-    # (found by differential fuzz, test_fuzz_pg_semantics.py).
-    import re as _re
-
-    if _re.search(r"(?<![A-Za-z\"])(am|pm)(?![A-Za-z])", pg_fmt):
-        out = F.regexp_replace(F.regexp_replace(out, "AM", "am"), "PM", "pm")
-    return out
+    c = _col(ts)
+    segs = _to_char_segments(pg_fmt)
+    if not segs:
+        return F.lit("")
+    cols = [
+        F.date_format(c, payload) if kind == "j" else _TO_CHAR_FNS[payload](c)
+        for kind, payload in segs
+    ]
+    return cols[0] if len(cols) == 1 else F.concat(*cols)
 
 
 def pg_to_date(s: Column | str, pg_fmt: str) -> Column:
     """PG ``to_date(text, fmt)`` — the same pattern compiler as
     :func:`pg_to_char` driving ``to_date`` (reference:
     pg_lake_to_date in the engine's PG-compat function set). Plain
-    codegen'd expression, no UDF."""
+    codegen'd expression, no UDF. Computed-only specifiers (WW, SSSS,
+    …) raise: they cannot drive a parser."""
     return F.to_date(_col(s), translate_to_char_pattern(pg_fmt))
 
 
@@ -283,13 +433,19 @@ def time_to_micros(ts: Column | str) -> Column:
 
 
 def micros_to_time_string(micros: Column | str) -> Column:
-    """Render micros-since-midnight as ``HH:MM:SS.ffffff`` (PG text form)."""
+    """Render micros-since-midnight in the PG text form: ``HH:MM:SS``
+    for whole seconds, else ``HH:MM:SS.ffffff`` with trailing zeros
+    trimmed (PG prints TIME '12:34:56' without a fraction and
+    '12:34:56.120000' as '12:34:56.12' — always emitting six digits
+    mismatched every whole-second value, r15 review)."""
     m = _col(micros).cast("bigint")
     h = (m / 3600000000).cast("bigint")
     mi = ((m % 3600000000) / 60000000).cast("bigint")
     s = ((m % 60000000) / 1000000).cast("bigint")
     us = m % 1000000
-    return F.format_string("%02d:%02d:%02d.%06d", h, mi, s, us)
+    base = F.format_string("%02d:%02d:%02d", h, mi, s)
+    frac = F.regexp_replace(F.format_string("%06d", us), "0+$", "")
+    return F.when(us == 0, base).otherwise(F.concat(base, F.lit("."), frac))
 
 
 # ---------------------------------------------------------------------------
@@ -319,10 +475,17 @@ def pg_date_bin(stride: str, ts: Column | str, origin: str) -> Column:
     units only, exactly like PG's date_bin, which rejects months/years).
     """
     n_str, unit = stride.strip().split()
-    unit = unit.rstrip("s").lower()
+    # lower() BEFORE rstrip('s'): 'SECONDS'.rstrip('s') strips nothing,
+    # rejecting the valid all-caps PG interval spelling (r15 review)
+    unit = unit.lower().rstrip("s")
     if unit not in _UNIT_MICROS:
         raise ValueError(f"date_bin stride unit must be fixed-width, got {unit!r}")
-    stride_us = int(n_str) * _UNIT_MICROS[unit]
+    n = int(n_str)
+    if n <= 0:
+        # PG: "stride must be greater than zero"; unchecked, 0 hit a
+        # mid-query DIVIDE_BY_ZERO and negatives silently mis-binned
+        raise ValueError(f"date_bin stride must be greater than zero, got {n}")
+    stride_us = n * _UNIT_MICROS[unit]
     ts = _col(ts).cast("timestamp")
     origin_us = F.unix_micros(F.lit(origin).cast("timestamp"))
     delta = F.unix_micros(ts) - origin_us
@@ -347,6 +510,8 @@ def _pg_repl_to_java(replacement: str) -> str:
             nxt = replacement[i + 1]
             if nxt.isdigit():
                 out.append("$" + nxt)
+            elif nxt == "&":
+                out.append("$0")  # PG \& = insert the whole match
             elif nxt == "\\":
                 out.append("\\\\")  # literal backslash, Java-escaped
             else:
@@ -391,16 +556,32 @@ def pg_regexp_replace(
     repl = _pg_repl_to_java(replacement)
     if "g" in flags:
         return F.regexp_replace(s, pat, repl)
-    # group 0 = whole match: wrapping the pattern in a new capturing
-    # group would shift group numbers and break patterns containing
-    # their own backreferences (e.g. '(\\w)\\1')
+    # First-match-only surgery. Group 0 = whole match: wrapping the
+    # pattern in a new capturing group would shift group numbers and
+    # break patterns containing their own backreferences ('(\\w)\\1').
     matched = F.regexp_extract(s, pat, 0)
-    # position of the first match (1-based; 0 = no match)
+    # position of the first match (1-based; 0 = no match) — computed on
+    # the FULL string, so lookbehind/lookahead see their real context
     pos = F.call_function("regexp_instr", s, F.lit(pat))
     prefix = F.substring(s, F.lit(1), pos - 1)
     rest = F.substring(s, pos + F.length(matched), F.length(s))
-    # apply backreferences by replacing within the matched text only,
-    # anchored (non-capturing, so internal group numbering is
-    # preserved) so the groups bind exactly as they did in context
-    replaced = F.regexp_replace(matched, f"^(?:{pat})$", repl)
-    return F.when(pos == 0, s).otherwise(F.concat(prefix, replaced, rest))
+    has_backref = bool(re.search(r"(?<!\\)\\(\d|&)", replacement))
+    if not has_backref:
+        # literal replacement: splice the text directly — correct for
+        # every pattern feature including lookbehind (the r15 review:
+        # re-matching the pattern on the EXTRACTED text loses context,
+        # so 'a(?=b)' / '(?<=x)y' silently failed to replace)
+        literal = re.sub(r"\\(.)", r"\1", replacement)
+        return F.when(pos == 0, s).otherwise(F.concat(prefix, F.lit(literal), rest))
+    if "(?<=" in pat or "(?<!" in pat:
+        raise NotImplementedError(
+            "pg_regexp_replace without the 'g' flag cannot combine "
+            "lookbehind with group backreferences (the anchored group "
+            "re-bind would run without the lookbehind context)"
+        )
+    # backreferences: re-run the pattern anchored at the start of the
+    # TAIL (match + everything after), so lookahead still sees its
+    # following context; groups re-bind exactly as they did in place
+    tail = F.substring(s, pos, F.lit(2147483647))
+    replaced_tail = F.regexp_replace(tail, f"^(?:{pat})", repl)
+    return F.when(pos == 0, s).otherwise(F.concat(prefix, replaced_tail))

@@ -21,8 +21,12 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 
 
 def words(text: Column | str) -> Column:
+    """Whitespace tokens with empties filtered: F.trim strips only
+    ASCII spaces, so tab/newline-led text gained a phantom '' token and
+    empty text counted as one word (r15 review) — the filter makes the
+    tokenizer whitespace-kind-agnostic and '' -> []."""
     text = F.col(text) if isinstance(text, str) else text
-    return F.split(F.trim(text), r"\s+")
+    return F.filter(F.split(text, r"\s+"), lambda w: w != "")
 
 
 def token_count_ws(text: Column | str) -> Column:
@@ -46,18 +50,25 @@ def quality_features(text: Column | str) -> dict[str, Column]:
     n_words = F.size(ws)
     n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
     n_spaces = n_chars - F.length(F.regexp_replace(text, r"\s", ""))
+    # greatest(...,1) denominators: under ANSI (the session default) an
+    # empty document was a query-killing DIVIDE_BY_ZERO (r15 review)
+    nz_chars = F.greatest(n_chars, F.lit(1))
+    nz_words = F.greatest(n_words, F.lit(1))
     return {
         "n_chars": n_chars.cast("bigint"),
         "n_words": n_words.cast("bigint"),
-        "avg_word_len": (n_chars - n_spaces).cast("double") / n_words,
-        "punct_ratio": n_punct.cast("double") / n_chars,
-        "space_ratio": n_spaces.cast("double") / n_chars,
+        "avg_word_len": (n_chars - n_spaces).cast("double") / nz_words,
+        "punct_ratio": n_punct.cast("double") / nz_chars,
+        "space_ratio": n_spaces.cast("double") / nz_chars,
     }
 
 
 def lang_scores(text: Column | str) -> dict[str, Column]:
     """Stopword-hit count per language profile."""
-    ws = words(text)
+    # lowercase before matching: profiles are lowercase, and without it
+    # sentence-initial 'The'/'Der'/'Le' — the most common stopword
+    # positions — never hit, biasing lang_id toward 'und' (r15 review)
+    ws = F.transform(words(text), F.lower)
     out = {}
     for lang, stop in LANG_PROFILES.items():
         out[lang] = F.size(F.array_intersect(ws, F.array(*[F.lit(s) for s in stop]))).cast("int")

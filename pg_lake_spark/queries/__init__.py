@@ -170,6 +170,29 @@ _CODE_CHANGED_IN: dict[str, int] = {
     "ds_chunk_documents": 15,
     "ds_temperature_mix": 15,
     "ds_mix_corpora": 15,
+    # r15 pg/textstats/streaming review batch: to_char compiler rework
+    # (computed segments for WW/SSSS/Y,YYY/J/case-variant text/FM),
+    # NULL-propagating pg_substring, type-stable pg_date_trunc, PG text
+    # form for times, date_bin validation, first-match regexp lookaround
+    # + \& fixes; words() filters empties, lang matching lowercases,
+    # quality ratios guard ANSI div-by-zero (oracles moved in lockstep);
+    # run_available_now drops its memory view on the failure path too.
+    "f_to_char": 15,
+    "f_date_bin": 15,
+    "f_datetime": 15,
+    "f_casts": 15,
+    "f_regexp_replace_pg": 15,
+    "f_substring_pg": 15,
+    "txt_stats": 15,
+    "txt_quality_by_lang": 15,
+    "ds_pack_sequences": 15,
+    "st_tumbling_counts": 15,
+    "st_session_windows": 15,
+    "st_stateful_user_totals": 15,
+    "st_sliding_counts": 15,
+    "st_stream_dedup": 15,
+    "st_stream_lsh_neardup": 15,
+    "st_stream_interval_join": 15,
 }
 
 

@@ -337,17 +337,20 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "txt_stats",
+    # the ws tokenizer filters empty tokens and stopword matching
+    # lowercases first — kept in lockstep with textstats.words /
+    # lang_scores (both sides changed together in the r15 review)
     oracle="""
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars,
-           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+           CAST(len(ws) AS BIGINT) AS n_words,
            CAST(length(text) - (length(text) - length(regexp_replace(text, '\\s', '', 'g'))) AS DOUBLE)
-             / len(string_split_regex(trim(text), '\\s+')) AS avg_word_len,
+             / greatest(len(ws), 1) AS avg_word_len,
            CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
-             / length(text) AS punct_ratio,
+             / greatest(length(text), 1) AS punct_ratio,
            CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
-             / length(text) AS space_ratio,
-           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens_ws,
+             / greatest(length(text), 1) AS space_ratio,
+           CAST(len(ws) AS BIGINT) AS n_tokens_ws,
            CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tokens_bpe,
            CASE WHEN greatest(s_en, s_de, s_fr) > 0 AND s_en = greatest(s_en, s_de, s_fr) THEN 'en'
                 WHEN greatest(s_en, s_de, s_fr) > 0 AND s_de = greatest(s_en, s_de, s_fr) THEN 'de'
@@ -357,13 +360,16 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    '\\s+', ' ', 'g'))) AS fingerprint
     FROM (
       SELECT *,
-        len(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'),
-            w -> list_contains(['the','a','and','of','to'], w)))) AS s_en,
-        len(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'),
-            w -> list_contains(['der','die','das','und','ist'], w)))) AS s_de,
-        len(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'),
-            w -> list_contains(['le','la','les','et','est'], w)))) AS s_fr
-      FROM documents
+        len(list_filter(list_distinct(list_transform(ws, w -> lower(w))),
+            w -> list_contains(['the','a','and','of','to'], w))) AS s_en,
+        len(list_filter(list_distinct(list_transform(ws, w -> lower(w))),
+            w -> list_contains(['der','die','das','und','ist'], w))) AS s_de,
+        len(list_filter(list_distinct(list_transform(ws, w -> lower(w))),
+            w -> list_contains(['le','la','les','et','est'], w))) AS s_fr
+      FROM (
+        SELECT *, list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ws
+        FROM documents
+      )
     )
     ORDER BY doc_id
     """,
@@ -380,7 +386,7 @@ def txt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            count(*) AS n_docs,
            avg(n_chars) AS avg_chars,
-           avg(len(string_split_regex(trim(text), '\\s+'))) AS avg_words,
+           avg(len(list_filter(string_split_regex(text, '\\s+'), w -> w != ''))) AS avg_words,
            quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS median_chars
     FROM documents
     GROUP BY lang ORDER BY lang
@@ -721,7 +727,8 @@ def ds_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                           / 2048.0) AS BIGINT) AS pack_id
         FROM (
             SELECT doc_id % 16 AS bucket, doc_id,
-                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                            w -> w != '')) AS BIGINT) AS n_tokens
             FROM documents
         ) tok
     ) packed

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import ast
 import os
+import re
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -72,12 +73,25 @@ def _parse_default(sql_literal: str | None):
         ) from None
 
 
-def _ddl_field_names(ddl: str) -> list[str]:
-    """Top-level column names from a comma-joined DDL string, pure
-    Python (depth-aware over decimal(p,s)/struct<...>/map<...> commas) —
-    StructType.fromDDL is a py4j call, unavailable in the context-free
-    Python worker where the stream planner runs."""
-    names: list[str] = []
+def _ddl_fields(ddl: str) -> list[tuple[str, str]]:
+    """Top-level (name, type) pairs from a comma-joined DDL string,
+    pure Python (depth-aware over decimal(p,s)/struct<...>/map<...>
+    commas) — StructType.fromDDL is a py4j call, unavailable in the
+    context-free Python worker where the stream planner runs. Types
+    are normalized to lowercase with whitespace collapsed so they
+    compare against ``DataType.simpleString()``."""
+    fields: list[tuple[str, str]] = []
+
+    def emit(part: str) -> None:
+        part = part.strip()
+        if not part:
+            return
+        name, _, typ = part.partition(" ")
+        # nullability is not part of the frozen arrow type — a
+        # 'NOT NULL' suffix must not read as a type change
+        typ = re.sub(r"\s+not\s+null\s*$", "", typ.strip(), flags=re.I)
+        fields.append((name.strip("`"), re.sub(r"\s+", "", typ.lower())))
+
     depth, start = 0, 0
     for idx, ch in enumerate(ddl):
         if ch in "(<":
@@ -85,14 +99,14 @@ def _ddl_field_names(ddl: str) -> list[str]:
         elif ch in ")>":
             depth -= 1
         elif ch == "," and depth == 0:
-            part = ddl[start:idx].strip()
-            if part:
-                names.append(part.split()[0].strip("`"))
+            emit(ddl[start:idx])
             start = idx + 1
-    tail = ddl[start:].strip()
-    if tail:
-        names.append(tail.split()[0].strip("`"))
-    return names
+    emit(ddl[start:])
+    return fields
+
+
+def _ddl_field_names(ddl: str) -> list[str]:
+    return [n for n, _ in _ddl_fields(ddl)]
 
 
 class _FilePartition(InputPartition):
@@ -156,6 +170,21 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         if e not in known:
             raise ValueError(f"snapshot {e} not found (expired?)")
         in_range = [sn for sn in md.snapshots if s < sn.snapshot_id <= e]
+        # Snapshot ids are strictly sequential (table.py commit), so a
+        # shorter-than-(e-s) range means EXPIRY removed snapshots inside
+        # the batch window — and with them the evidence of any
+        # non-append operation they carried. The non_append check below
+        # only sees surviving snapshots, so without this completeness
+        # check an expired UPDATE/DELETE slipped through and its
+        # rewritten files re-emitted as appends (silent duplicates +
+        # missed deletes, r15 review). Fail loudly instead.
+        if len(in_range) != e - s:
+            missing = sorted(set(range(s + 1, e + 1)) - {sn.snapshot_id for sn in in_range})
+            raise ValueError(
+                f"lake_feed: snapshots {missing} in batch range ({s}, {e}] "
+                "were expired before the stream read them — their "
+                "operations are unknowable; resync from a full scan"
+            )
         # "alter" commits are pure metadata (schema evolution, no file
         # changes) — the era mapping absorbs them; row rewrites cannot
         # be represented as an append delta and must fail loudly.
@@ -177,8 +206,17 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         # pyarrow field-not-found on an executor; restarting adopts the
         # new schema. A trailing ADD is tolerated: its extra column is
         # simply not projected.
-        current = _ddl_field_names(md.schema_ddl)
-        frozen = [f.name for f in self.schema.fields]
+        # Compare names AND types: a name-only check let
+        # alter_column_type (op 'retype') pass undetected, and
+        # post-retype files then narrow-cast to the frozen arrow type
+        # with an opaque executor-side ArrowInvalid — exactly the
+        # failure this guard exists to turn into a loud driver error
+        # (r15 review).
+        current = _ddl_fields(md.schema_ddl)
+        frozen = [
+            (f.name, re.sub(r"\s+", "", f.dataType.simpleString().lower()))
+            for f in self.schema.fields
+        ]
         if current[: len(frozen)] != frozen:
             raise ValueError(
                 f"lake_feed: table schema changed after stream start "

@@ -140,16 +140,20 @@ def run_available_now(
             .start()
         )
         q.awaitTermination()
+        # Detach the result from the memory sink's temp view: checkpoint
+        # the (small — it's a drained aggregate) result and DROP the
+        # view. Leaving mem_<uuid> registered leaked every drained
+        # query's full result in the driver for the session lifetime,
+        # with a random name no caller could drop. Checkpoint blocks
+        # free with the DataFrame.
+        out = spark.table(name).localCheckpoint(eager=True)
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-    # Detach the result from the memory sink's temp view: checkpoint
-    # the (small — it's a drained aggregate) result and DROP the view.
-    # Leaving mem_<uuid> registered leaked every drained query's full
-    # result in the driver for the session lifetime, with a random name
-    # no caller could drop. Checkpoint blocks free with the DataFrame.
-    out = spark.table(name).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
+        # the drop must also run when the drain RAISES (an errored
+        # batch previously left the partial-result view registered
+        # forever — the exact leak the detach exists to prevent)
+        spark.catalog.dropTempView(name)
     return out
 
 
