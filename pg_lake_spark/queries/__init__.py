@@ -193,6 +193,9 @@ _CODE_CHANGED_IN: dict[str, int] = {
     "st_stream_dedup": 15,
     "st_stream_lsh_neardup": 15,
     "st_stream_interval_join": 15,
+    # r15 readers review: shared first-file resolver on the geojson
+    # layout sniff path.
+    "f_geojson_scan": 15,
 }
 
 

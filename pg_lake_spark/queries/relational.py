@@ -1252,7 +1252,6 @@ def s_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "full-data work is the rollup's one shuffle.",
 )
 def g_rollup_rank_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
 
     t = load_tables(spark, sf_dir)
     base = (

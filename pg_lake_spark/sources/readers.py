@@ -31,34 +31,49 @@ _SNIFF_BYTES = 64 * 1024
 _CANDIDATE_DELIMS = [",", "\t", ";", "|"]
 
 
-def sniff_csv_dialect(path: str, sample_bytes: int = _SNIFF_BYTES) -> dict[str, str | bool]:
-    """Infer delimiter/quote/header from a sample of the first file.
+def _strip_file_scheme(path: str) -> str:
+    """``file:///x`` / ``file:/x`` → ``/x`` for driver-side open():
+    Spark/Hadoop emit file:-URIs that the os module cannot open."""
+    import re as _re
 
-    Mirrors SniffCSV's approach (sample → dialect probe → header
-    detection by type-consistency of the first row). Driver-side, reads
-    only ``sample_bytes`` of one file — O(1) regardless of table size.
-    """
+    return _re.sub(r"^file:(//)?", "", path)
+
+
+def _first_regular_file(path: str, member_ok=None, max_depth: int = 8) -> str:
+    """Resolve a glob/dir path to the first REGULAR file for a
+    driver-side sniff. Shared by the CSV dialect sniffer, the GDAL
+    format sniffer, and the GeoJSON layout sniffer — each hand-rolled
+    this before, and two of the three copies open()'d a subdirectory
+    of a partitioned layout (IsADirectoryError, r15 review). Descends
+    partition directories (date=2024/...), skips dot/underscore names,
+    and applies ``member_ok`` to file names only."""
+    path = _strip_file_scheme(path)
     paths = sorted(_glob.glob(path)) if any(c in path for c in "*?[") else [path]
     if not paths:
         raise FileNotFoundError(path)
     first = paths[0]
-    if os.path.isdir(first):  # directory table: sniff the first data file
-        parts = sorted(
-            p
-            for p in os.listdir(first)
-            if not p.startswith((".", "_")) and (".csv" in p or ".txt" in p or "." not in p)
+    for _ in range(max_depth):
+        if not os.path.isdir(first):
+            return first
+        members = sorted(
+            p for p in os.listdir(first) if not p.startswith((".", "_"))
         )
-        if not parts:
+        files = [
+            p
+            for p in members
+            if os.path.isfile(os.path.join(first, p))
+            and (member_ok is None or member_ok(p))
+        ]
+        if files:
+            return os.path.join(first, files[0])
+        dirs = [p for p in members if os.path.isdir(os.path.join(first, p))]
+        if not dirs:
             raise FileNotFoundError(f"no data files under {first}")
-        first = os.path.join(first, parts[0])
-    opener = open
-    if first.endswith(".gz"):
-        import gzip
+        first = os.path.join(first, dirs[0])
+    raise FileNotFoundError(f"no data file within {max_depth} levels of {path}")
 
-        opener = gzip.open
-    with opener(first, "rb") as f:
-        sample = f.read(sample_bytes).decode("utf-8", errors="replace")
 
+def _sniff_dialect_from_sample(sample: str) -> dict[str, str | bool]:
     try:
         dialect = _csv.Sniffer().sniff(sample, delimiters="".join(_CANDIDATE_DELIMS))
         delim, quote = dialect.delimiter, dialect.quotechar
@@ -72,6 +87,64 @@ def sniff_csv_dialect(path: str, sample_bytes: int = _SNIFF_BYTES) -> dict[str, 
     except _csv.Error:
         header = True
     return {"sep": delim, "quote": quote, "header": header}
+
+
+def sniff_csv_dialect(path: str, sample_bytes: int = _SNIFF_BYTES) -> dict[str, str | bool]:
+    """Infer delimiter/quote/header from a sample of the first file.
+
+    Mirrors SniffCSV's approach (sample → dialect probe → header
+    detection by type-consistency of the first row). Driver-side, reads
+    only ``sample_bytes`` of one file — O(1) regardless of table size.
+    """
+    first = _first_regular_file(
+        path, member_ok=lambda p: ".csv" in p or ".txt" in p or "." not in p
+    )
+    opener = open
+    if first.endswith(".gz"):
+        import gzip
+
+        opener = gzip.open
+    with opener(first, "rb") as f:
+        sample = f.read(sample_bytes).decode("utf-8", errors="replace")
+    return _sniff_dialect_from_sample(sample)
+
+
+def sniff_csv_dialect_remote(
+    spark: SparkSession, path: str, sample_bytes: int = _SNIFF_BYTES
+) -> dict[str, str | bool]:
+    """Dialect sniff for scheme'd paths (s3a://, hdfs://, …) through
+    Hadoop's FileSystem: glob to the first file, read one bounded
+    sample, reuse the local sniffer. Before this, remote CSVs were
+    force-defaulted to header=True, silently consuming the first data
+    row of every headerless file (r15 review)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    statuses = fs.globStatus(hpath)
+    if statuses is None or len(statuses) == 0:
+        raise FileNotFoundError(path)
+    first = statuses[0].getPath()
+    if statuses[0].isDirectory():
+        inner = [
+            st
+            for st in fs.listStatus(first)
+            if not st.isDirectory()
+            and not st.getPath().getName().startswith((".", "_"))
+        ]
+        if not inner:
+            raise FileNotFoundError(f"no data files under {first.toString()}")
+        first = sorted(inner, key=lambda st: st.getPath().getName())[0].getPath()
+    stream = fs.open(first)
+    try:
+        bounded = jvm.org.apache.commons.io.input.BoundedInputStream(
+            stream, sample_bytes
+        )
+        raw = jvm.org.apache.commons.io.IOUtils.toByteArray(bounded)
+    finally:
+        stream.close()
+    sample = bytes(raw).decode("utf-8", errors="replace")
+    return _sniff_dialect_from_sample(sample)
 
 
 def _extract_zip_members(zip_file: str, zip_path: str | None) -> str:
@@ -96,26 +169,50 @@ def _extract_zip_members(zip_file: str, zip_path: str | None) -> str:
     out = os.path.join(tempfile.gettempdir(), f"pg_lake_zip_{key}")
     done = os.path.join(out, ".extracted")
     if not os.path.exists(done):
-        os.makedirs(out, exist_ok=True)
-        with zipfile.ZipFile(zip_file) as zf:
-            members = [
-                m
-                for m in zf.namelist()
-                if not m.endswith("/")
-                and (
-                    zip_path is None
-                    or m == zip_path
-                    or fnmatch.fnmatch(m, zip_path)
-                )
-            ]
-            if not members:
-                raise FileNotFoundError(
-                    f"no member matching {zip_path!r} in {zip_file}"
-                )
-            for m in members:
-                zf.extract(m, out)
-        with open(done, "w") as fh:
-            fh.write("\n".join(members))
+        # Extract into a PRIVATE temp dir and publish it with one
+        # rename: extracting in place + a plain open(done,'w') marker
+        # let a crash mid-write (or a concurrent extractor truncating
+        # member files with 'wb') poison the cache permanently — an
+        # empty marker even made commonpath([]) raise forever (r15
+        # review). The rename either installs a complete dir or loses
+        # the race to another complete dir.
+        import shutil
+
+        tmpdir = tempfile.mkdtemp(
+            dir=tempfile.gettempdir(), prefix=f"pg_lake_zip_{key}."
+        )
+        try:
+            with zipfile.ZipFile(zip_file) as zf:
+                members = [
+                    m
+                    for m in zf.namelist()
+                    if not m.endswith("/")
+                    and (
+                        zip_path is None
+                        or m == zip_path
+                        or fnmatch.fnmatch(m, zip_path)
+                    )
+                ]
+                if not members:
+                    raise FileNotFoundError(
+                        f"no member matching {zip_path!r} in {zip_file}"
+                    )
+                for m in members:
+                    zf.extract(m, tmpdir)
+            with open(os.path.join(tmpdir, ".extracted"), "w") as fh:
+                fh.write("\n".join(members))
+            if os.path.isdir(out) and not os.path.exists(done):
+                shutil.rmtree(out, ignore_errors=True)  # poisoned partial
+            try:
+                os.rename(tmpdir, out)
+            except OSError:
+                # lost the publish race — the winner's dir is complete
+                shutil.rmtree(tmpdir, ignore_errors=True)
+                if not os.path.exists(done):
+                    raise
+        except BaseException:
+            shutil.rmtree(tmpdir, ignore_errors=True)
+            raise
     with open(done) as fh:
         members = fh.read().splitlines()
     if len(members) == 1:
@@ -145,7 +242,11 @@ def hf_to_https(path: str) -> str:
         name, revision = name.split("@", 1)
         if revision == "~parquet":
             revision = "refs%2Fconvert%2Fparquet"
-    return f"https://huggingface.co/{kind}/{org}/{name}/resolve/{revision}/{file}"
+    # model repos resolve at huggingface.co/{org}/{repo}/resolve/... —
+    # only datasets/ and spaces/ carry their kind prefix (a 'models/'
+    # segment 404s every model-file read, r15 review)
+    prefix = "" if kind == "models" else f"{kind}/"
+    return f"https://huggingface.co/{prefix}{org}/{name}/resolve/{revision}/{file}"
 
 
 def fetch_remote(path: str, cache=None) -> str:
@@ -202,12 +303,27 @@ def fetch_remote(path: str, cache=None) -> str:
         fd, tmp = tempfile.mkstemp(
             dir=os.path.dirname(local), prefix=os.path.basename(local) + "."
         )
-        with urllib.request.urlopen(path) as resp, os.fdopen(fd, "wb") as out:  # noqa: S310
-            while True:
-                chunk = resp.read(1 << 20)
-                if not chunk:
-                    break
-                out.write(chunk)
+        try:
+            with urllib.request.urlopen(path) as resp, os.fdopen(fd, "wb") as out:  # noqa: S310
+                while True:
+                    chunk = resp.read(1 << 20)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+        except BaseException:
+            # urlopen raises BEFORE os.fdopen wraps fd — without this a
+            # retried failing URL leaked one fd + temp file per attempt
+            # until EMFILE (r15 review); double-close after a body
+            # failure is a harmless EBADF.
+            try:
+                os.close(fd)
+            except OSError:
+                pass
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
         os.replace(tmp, local)
     return local
 
@@ -245,9 +361,15 @@ def _gunzipped(path: str) -> str:
     key = _hashlib.md5(
         f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}".encode()
     ).hexdigest()
+    # pathkey identifies the SOURCE PATH alone: the prune below must
+    # only evict superseded copies of THIS path — matching on the bare
+    # basename also unlinked the live cache of a different directory's
+    # same-named .gz (cache thrash + FileNotFoundError races, r15
+    # review).
+    pathkey = _hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:8]
     out = os.path.join(
         _tempfile.gettempdir(),
-        f"pg_lake_gz_{key}_{os.path.basename(path)[: -len('.gz')]}",
+        f"pg_lake_gz_{pathkey}_{key}_{os.path.basename(path)[: -len('.gz')]}",
     )
     if not os.path.exists(out):
         # unique temp per writer (concurrent first-readers must not
@@ -259,19 +381,17 @@ def _gunzipped(path: str) -> str:
             _shutil.copyfileobj(src, dst)
         os.replace(tmp, out)
         # the key embeds (mtime, size): every rewrite of the source
-        # mints a new key, so prune superseded copies of the SAME
-        # basename or frequently-rewritten .gz inputs grow the temp
-        # dir without bound. POSIX unlink leaves open fds valid, and
-        # any old-path holder predates the source update anyway.
-        # Match the fixed-width md5 key explicitly and glob-escape the
-        # stem: a bare '*' crosses underscores, so pruning for
-        # 'x.csv.gz' could unlink the LIVE cache of 'prefix_x.csv.gz'
-        # (its name also ends in '_x.csv') out from under a lazy frame.
+        # mints a new key, so prune superseded copies of THIS SOURCE
+        # PATH (same pathkey) or frequently-rewritten .gz inputs grow
+        # the temp dir without bound. POSIX unlink leaves open fds
+        # valid, and any old-path holder predates the source update.
         stem = os.path.basename(path)[: -len(".gz")]
         for stale in _glob.glob(
             os.path.join(
                 _tempfile.gettempdir(),
-                "pg_lake_gz_" + "[0-9a-f]" * 32 + f"_{_glob.escape(stem)}",
+                f"pg_lake_gz_{pathkey}_"
+                + "[0-9a-f]" * 32
+                + f"_{_glob.escape(stem)}",
             )
         ):
             if stale != out:
@@ -304,7 +424,15 @@ def _sniff_gdal_format(path: str) -> str:
     ext = base.rsplit(".", 1)[-1].lower() if "." in base else ""
     if ext in _GDAL_EXTS and ext != "json":
         return _GDAL_EXTS[ext]
-    with open(first, "rb") as fh:
+    # magic probe must see DECOMPRESSED bytes: sniffing the raw gzip
+    # header failed inference for valid fc.json.gz inputs (r15 review)
+    if first.endswith(".gz"):
+        import gzip as _gz
+
+        _open = _gz.open
+    else:
+        _open = open
+    with _open(first, "rb") as fh:
         head = fh.read(64)
     if head[:8] == b"fgb\x03fgb\x01":
         return "fgb"
@@ -318,7 +446,8 @@ def _sniff_gdal_format(path: str) -> str:
         return "xls"  # CFB compound file (legacy BIFF8 Excel)
     text = head.decode("utf-8", errors="replace").lstrip("﻿ \t\r\n").lower()
     if text.startswith("<?xml") or text.startswith("<"):
-        body = open(first, "rb").read(4096).decode("utf-8", errors="replace").lower()
+        with _open(first, "rb") as fh:
+            body = fh.read(4096).decode("utf-8", errors="replace").lower()
         if "<kml" in body:
             return "kml"
         if "opendrive" in body:
@@ -410,10 +539,22 @@ def read_lake(
     if fmt == "parquet":
         df = reader.options(**options).parquet(path)
     elif fmt == "csv":
-        # allowlist: only sniff paths the DRIVER can open() — any
-        # scheme'd url (s3/gs/abfs/wasbs/...) except file:// is remote
+        # local paths (incl. file:-URIs) sniff via open(); scheme'd
+        # urls (s3a/gs/abfs/hdfs/...) sniff one bounded sample through
+        # Hadoop's FileSystem — the old forced header=True silently ate
+        # the first row of remote headerless files (r15 review). A
+        # failed remote sniff keeps that legacy default rather than
+        # failing the read.
         local = "://" not in path or path.startswith("file:")
-        sniffed: dict = sniff_csv_dialect(path) if local else {"header": True}
+        if local:
+            sniffed: dict = sniff_csv_dialect(path)
+        else:
+            try:
+                sniffed = sniff_csv_dialect_remote(spark, path)
+            except FileNotFoundError:
+                raise
+            except Exception:  # noqa: BLE001 — sniffing is best-effort
+                sniffed = {"header": True}
         merged = {**sniffed, **options}
         merged.setdefault("inferSchema", schema is None)
         df = reader.options(**{k: str(v) for k, v in merged.items()}).csv(path)
@@ -428,11 +569,18 @@ def read_lake(
 
         path = _gunzipped(path)
         if os.path.isdir(path):  # zip extraction may yield a directory
-            path = next(
-                os.path.join(path, n)
-                for n in sorted(os.listdir(path))
-                if n.lower().endswith(".shp")
+            shp = next(
+                (
+                    os.path.join(path, n)
+                    for n in sorted(os.listdir(path))
+                    if n.lower().endswith(".shp")
+                ),
+                None,
             )
+            if shp is None:
+                # a bare StopIteration here was opaque (r15 review)
+                raise FileNotFoundError(f"no .shp member under {path}")
+            path = shp
         df = read_shapefile(spark, path)
     elif fmt in ("gpkg", "geopackage"):
         from pg_lake_spark.sources.geopackage import read_geopackage
@@ -615,20 +763,7 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
 
     from pg_lake_spark.functions import spatial as S
 
-    if any(c in path for c in "*?["):
-        matches = sorted(_glob.glob(path))
-        if not matches:
-            raise FileNotFoundError(path)
-        first = matches[0]
-    else:
-        first = path
-    if os.path.isdir(first):
-        inner = sorted(
-            p for p in os.listdir(first) if not p.startswith((".", "_"))
-        )
-        if not inner:
-            raise FileNotFoundError(f"no files under {first}")
-        first = os.path.join(first, inner[0])
+    first = _first_regular_file(path)
     # layout sniff must see TEXT: a .gz member decompresses for the
     # peek (Spark's text reads below handle the codec themselves)
     import gzip as _gzip
@@ -641,10 +776,15 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
         # misroute a valid NDJSON file. Scanning bytes for b"\n" is
         # safe — 0x0A never occurs inside a UTF-8 multibyte sequence.
         # large single features (big polygon rings) can exceed the
-        # sniff window: keep reading until the FIRST LINE is complete,
-        # or the decision below would misroute a valid NDJSON file.
+        # sniff window: keep reading until the FIRST LINE is complete —
+        # but BOUNDED: a minified multi-GB FeatureCollection has no
+        # newline at all, and an unbounded loop buffered the whole file
+        # on the driver (r15 review). Past the cap the first "line" is
+        # necessarily incomplete JSON, so the decision below correctly
+        # routes to the wholetext path.
+        cap = 4 * (1 << 20)
         buf = bytearray(fh.read(_SNIFF_BYTES))
-        while b"\n" not in buf:
+        while b"\n" not in buf and len(buf) < cap:
             more = fh.read(_SNIFF_BYTES)
             if not more:
                 break

@@ -900,3 +900,115 @@ def test_copy_from_rejects_extra_source_columns(spark, tmp_path):
     t = LakeTable.create(spark, str(tmp_path / "t_extra"), "id int, name string")
     with pytest.raises(ValueError, match="amount"):
         copy_from(spark, str(src), t, fmt="csv", header=True)
+
+
+def test_sniff_handles_file_uri_and_partitioned_dirs(spark, tmp_path):
+    """file:-scheme paths and Hive-partitioned directories must sniff:
+    the old resolver open()'d the raw URI (FileNotFoundError) and the
+    first dotless member even when it was a subdirectory
+    (IsADirectoryError) — r15 review, both live-reproduced."""
+    from pg_lake_spark.sources import sniff_csv_dialect
+
+    plain = tmp_path / "t.csv"
+    plain.write_text("id,amount\n1,10\n2,20\n")
+    d = sniff_csv_dialect(f"file://{plain}")
+    assert d["sep"] == "," and d["header"] is True
+    assert sniff_csv_dialect(f"file:{plain}")["sep"] == ","
+    # partitioned layout: table/date=2024/part-0.csv
+    part = tmp_path / "table" / "date=2024"
+    part.mkdir(parents=True)
+    (part / "part-0.csv").write_text("k;v\n1;a\n2;b\n")
+    assert sniff_csv_dialect(str(tmp_path / "table"))["sep"] == ";"
+    # geojson layout sniff shares the resolver
+    gj = tmp_path / "gj" / "batch=1"
+    gj.mkdir(parents=True)
+    import json as _json
+
+    (gj / "f.geojsonl").write_text(
+        _json.dumps({"type": "Feature", "geometry": {"type": "Point",
+                     "coordinates": [1.0, 2.0]}, "properties": {"k": 1}}) + "\n"
+    )
+    out = read_lake(spark, str(tmp_path / "gj"), fmt="geojson")
+    assert out.count() == 1
+
+
+def test_remote_csv_sniffs_headerless(spark, tmp_path):
+    """Scheme'd CSV paths sniff a bounded sample through Hadoop FS —
+    forcing header=True silently ate the first row of every remote
+    headerless file (r15 review). file:// exercises the same FS API."""
+    from pg_lake_spark.sources.readers import sniff_csv_dialect_remote
+
+    p = tmp_path / "nohdr.csv"
+    p.write_text("1,11\n2,22\n3,33\n")
+    d = sniff_csv_dialect_remote(spark, f"file://{p}")
+    assert d["header"] is False and d["sep"] == ","
+    p2 = tmp_path / "hdr.csv"
+    p2.write_text("id,name\n1,a\n2,b\n")
+    assert sniff_csv_dialect_remote(spark, f"file://{p2}")["header"] is True
+
+
+def test_gdal_sniff_gzipped_json(spark, tmp_path):
+    """fc.json.gz must infer geojson: the magic probe read raw gzip
+    bytes and failed inference for valid inputs (r15 review)."""
+    import gzip
+    import json as _json
+
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "geometry": {"type": "Point", "coordinates": [0.0, 1.0]},
+         "properties": {"k": 7}}]}
+    p = tmp_path / "fc.json.gz"
+    with gzip.open(p, "wt") as fh:
+        fh.write(_json.dumps(fc))
+    out = read_lake(spark, str(p), fmt="gdal")
+    assert out.count() == 1
+
+
+def test_hf_models_resolve_url():
+    from pg_lake_spark.sources.readers import hf_to_https
+
+    assert (
+        hf_to_https("hf://models/org/repo/data.csv")
+        == "https://huggingface.co/org/repo/resolve/main/data.csv"
+    )
+    assert (
+        hf_to_https("hf://datasets/org/name/f.parquet")
+        == "https://huggingface.co/datasets/org/name/resolve/main/f.parquet"
+    )
+
+
+def test_geojson_sniff_bounded_on_minified_collection(spark, tmp_path):
+    """A single-line minified FeatureCollection (no trailing newline)
+    must not be buffered whole on the driver; the bounded sniff routes
+    it to the wholetext path and it still parses."""
+    import json as _json
+
+    features = [
+        {"type": "Feature", "geometry": {"type": "Point", "coordinates": [float(i), 0.0]},
+         "properties": {"i": i}}
+        for i in range(500)
+    ]
+    p = tmp_path / "mini.geojson"
+    p.write_text(_json.dumps({"type": "FeatureCollection", "features": features}))
+    assert read_lake(spark, str(p), fmt="geojson").count() == 500
+
+
+def test_gunzipped_cache_distinct_dirs_same_basename(tmp_path):
+    """Two .gz sources with the same basename in different directories
+    must keep independent caches — the old prune evicted the live copy
+    of the other path (r15 review)."""
+    import gzip
+
+    from pg_lake_spark.sources.readers import _gunzipped
+
+    a = tmp_path / "a" / "x.bin.gz"
+    b = tmp_path / "b" / "x.bin.gz"
+    a.parent.mkdir()
+    b.parent.mkdir()
+    with gzip.open(a, "wb") as fh:
+        fh.write(b"AAA")
+    with gzip.open(b, "wb") as fh:
+        fh.write(b"BBB")
+    la = _gunzipped(str(a))
+    lb = _gunzipped(str(b))
+    assert open(la, "rb").read() == b"AAA"  # still alive after b's prune
+    assert open(lb, "rb").read() == b"BBB"
