@@ -63,16 +63,19 @@ def merge_sf1_priors(*maps: dict | None) -> dict[str, float]:
 
 def should_rerun_sf1(t: float, prior) -> bool:
     """One guarded re-run when a single-shot sf1 reading is >3x its
-    rolling best AND above a floor RELATIVE to that best.
+    rolling best and above 0.5s absolute.
 
     The r14 flat 2.0s floor exempted small queries entirely (q6 read
-    1.54s against a 0.243s best — 6.3x — with no re-run); max(0.5, 2p)
-    guards those while still ignoring sub-half-second jitter.
+    1.54s against a 0.243s best — 6.3x — with no re-run); the 3x
+    relative trigger with only a half-second jitter floor guards
+    those. (An earlier spelling AND'd a max(0.5, 2*prior) term — the
+    2*prior clause was mathematically dead under t > 3*prior, so it's
+    gone; r15 self-review.)
     """
     p = _num(prior)
     if p is None:
         return False
-    return t > 3.0 * p and t > max(0.5, 2.0 * p)
+    return t > 3.0 * p and t > 0.5
 
 
 def read_steal_ticks() -> int:

@@ -338,6 +338,44 @@ def translate_to_char_pattern(pg_fmt: str) -> str:
     return "".join(fragment for _, fragment in segs)
 
 
+# Case-variant text fields render differently (upper/lower) but PARSE
+# identically — Spark's formatter is built parseCaseInsensitive, so
+# '15 JAN 2024' and '15 jan 2024' both read through 'MMM' (verified on
+# 4.1). Day-of-week fields are absent: Spark >= 3.0 refuses E/EEEE for
+# parsing outright, so DAY/DY still raise (r15 self-review — 'MON' et
+# al. regressed to plan-time NotImplementedError when to_char became a
+# segment compiler, though they had always parsed fine).
+_PARSE_FALLBACK = {
+    "month_upper": "MMMM",
+    "month_lower": "MMMM",
+    "mon_upper": "MMM",
+    "mon_lower": "MMM",
+    "ampm_lower": "a",
+    "tz_lower": "zz",
+}
+
+
+def _translate_parse_pattern(pg_fmt: str) -> str:
+    """Java pattern for the PARSE direction (to_date/to_timestamp):
+    like :func:`translate_to_char_pattern`, but case-variant text
+    fields fall back to their Java text pattern."""
+    segs = _to_char_segments(pg_fmt)
+    out, bad = [], []
+    for kind, frag in segs:
+        if kind == "j":
+            out.append(frag)
+        elif frag in _PARSE_FALLBACK:
+            out.append(_PARSE_FALLBACK[frag])
+        else:
+            bad.append(frag)
+    if bad:
+        raise NotImplementedError(
+            f"to_char specifier(s) {bad} have no Java DateTimeFormatter "
+            "equivalent usable for parsing"
+        )
+    return "".join(out)
+
+
 def pg_to_char(ts: Column | str, pg_fmt: str) -> Column:
     """PG ``to_char(timestamp, fmt)`` via pattern compilation.
 
@@ -365,13 +403,14 @@ def pg_to_date(s: Column | str, pg_fmt: str) -> Column:
     :func:`pg_to_char` driving ``to_date`` (reference:
     pg_lake_to_date in the engine's PG-compat function set). Plain
     codegen'd expression, no UDF. Computed-only specifiers (WW, SSSS,
-    …) raise: they cannot drive a parser."""
-    return F.to_date(_col(s), translate_to_char_pattern(pg_fmt))
+    …) raise: they cannot drive a parser; case-variant text fields
+    (MON, month, …) parse fine — Spark's parser is case-insensitive."""
+    return F.to_date(_col(s), _translate_parse_pattern(pg_fmt))
 
 
 def pg_to_timestamp(s: Column | str, pg_fmt: str) -> Column:
     """PG ``to_timestamp(text, fmt)`` via the shared pattern compiler."""
-    return F.to_timestamp(_col(s), translate_to_char_pattern(pg_fmt))
+    return F.to_timestamp(_col(s), _translate_parse_pattern(pg_fmt))
 
 
 # ---------------------------------------------------------------------------
@@ -498,6 +537,26 @@ def pg_date_bin(stride: str, ts: Column | str, origin: str) -> Column:
     return F.timestamp_micros(binned).cast("timestamp_ntz")
 
 
+def _has_pg_backref(replacement: str) -> bool:
+    """True when the PG replacement text contains a real group
+    backreference (``\\1``-``\\9``) or whole-match escape (``\\&``).
+
+    A sequential escape-pair scan, not a lookbehind regex: in
+    ``'\\\\\\1'`` (literal backslash, then backref) the lookbehind
+    ``(?<!\\\\)`` saw the second backslash of the ESCAPED pair as an
+    escape prefix and missed the backref (r15 self-review)."""
+    i, n = 0, len(replacement)
+    while i < n - 1:
+        if replacement[i] == "\\":
+            nxt = replacement[i + 1]
+            if nxt.isdigit() or nxt == "&":
+                return True
+            i += 2  # an escape pair (\\, \x, …) consumes both chars
+        else:
+            i += 1
+    return False
+
+
 def _pg_repl_to_java(replacement: str) -> str:
     """PG replacement-string syntax → Java: ``\\1``..``\\9`` become
     ``$1``..``$9``, ``\\\\`` a literal backslash, and a bare ``$`` —
@@ -565,7 +624,7 @@ def pg_regexp_replace(
     pos = F.call_function("regexp_instr", s, F.lit(pat))
     prefix = F.substring(s, F.lit(1), pos - 1)
     rest = F.substring(s, pos + F.length(matched), F.length(s))
-    has_backref = bool(re.search(r"(?<!\\)\\(\d|&)", replacement))
+    has_backref = _has_pg_backref(replacement)
     if not has_backref:
         # literal replacement: splice the text directly — correct for
         # every pattern feature including lookbehind (the r15 review:

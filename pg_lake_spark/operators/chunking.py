@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pg_lake_spark.operators.textstats import words
+
 
 def chunk_documents(
     docs: DataFrame,
@@ -144,10 +146,7 @@ def chunk_documents_tokens(
     # unguarded, NULL propagates through size() but greatest/least SKIP
     # NULLs, so a NULL doc reported n_tokens = full `size` (phantom
     # tokens that inflate token-budgeted shard assignment downstream)
-    toks = F.filter(
-        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda w: w != "",
-    )
+    toks = words(F.coalesce(F.col(text_col), F.lit("")))
     n_chunks = F.greatest(
         F.lit(1), F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(step))
     ).cast("int")

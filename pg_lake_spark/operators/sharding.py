@@ -156,7 +156,13 @@ def write_training_shards(
     )
     agg = [F.count(F.lit(1)).alias("rows")]
     if token_col is not None:
-        agg.append(F.sum(token_col).alias("tokens"))
+        # NULL-token rows count 0 here exactly as they do in the
+        # assignment cumsum; a shard holding only NULL-token rows
+        # otherwise sums to NULL and int(None) crashes the manifest
+        # AFTER the distributed write (r15 self-review).
+        agg.append(
+            F.sum(F.coalesce(F.col(token_col), F.lit(0))).alias("tokens")
+        )
     manifest = {
         int(r.shard_id): {
             "rows": int(r.rows),

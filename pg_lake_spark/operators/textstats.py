@@ -165,7 +165,7 @@ def gopher_signals(text: Column | str) -> dict[str, Column]:
     ellipsis, and fraction of words containing an alphabetic character.
     All plain Column expressions over split()."""
     c = F.col(text) if isinstance(text, str) else text
-    ws = F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
+    ws = words(c)  # THE tokenizer — one definition (r15 self-review)
     n_words = F.size(ws)
     lines = F.filter(F.split(c, r"\n"), lambda l: F.trim(l) != "")
     n_lines = F.greatest(F.size(lines), F.lit(1))

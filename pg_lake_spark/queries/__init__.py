@@ -196,6 +196,10 @@ _CODE_CHANGED_IN: dict[str, int] = {
     # r15 readers review: shared first-file resolver on the geojson
     # layout sniff path.
     "f_geojson_scan": 15,
+    # r15 self-review of the round's own diff: pg_to_date/pg_to_timestamp
+    # route through the parse-direction pattern translator (case-variant
+    # text fields fall back to Java text patterns).
+    "f_to_date": 15,
 }
 
 

@@ -83,7 +83,15 @@ def co_located_join(
             f"bucket counts differ ({left_table}={ln}, {right_table}={rn}); "
             "the planner will re-shuffle one side"
         )
-    if lcols != rcols or [c.lower() for c in on] != [c.lower() for c in lcols]:
+    # Key ORDER is free — Spark reorders join keys against the bucket
+    # spec (verified: bucketBy(8,a,b) joined on [b,a] runs with zero
+    # exchanges on 4.1), so compare case-insensitive SETS. Subset/
+    # superset keys are NOT free under the default
+    # requireAllClusterKeysForCoPartition=true (verified: both shuffle),
+    # so set equality stays required (r15 self-review).
+    if {c.lower() for c in lcols} != {c.lower() for c in rcols} or {
+        c.lower() for c in on
+    } != {c.lower() for c in lcols}:
         raise ValueError(
             f"join keys {on} must equal both bucket specs "
             f"({left_table}={lcols}, {right_table}={rcols})"

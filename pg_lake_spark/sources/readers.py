@@ -124,17 +124,38 @@ def sniff_csv_dialect_remote(
     statuses = fs.globStatus(hpath)
     if statuses is None or len(statuses) == 0:
         raise FileNotFoundError(path)
-    first = statuses[0].getPath()
-    if statuses[0].isDirectory():
-        inner = [
+    # Bounded descent mirroring _first_regular_file: a hive-partitioned
+    # layout (events/date=2024/part-0.csv) has no regular files at the
+    # top level, so a one-level listing would FileNotFoundError a table
+    # Spark reads fine (r15 self-review).
+    status = statuses[0]
+    depth = 0
+    while status.isDirectory() and depth < 8:
+        children = [
             st
-            for st in fs.listStatus(first)
-            if not st.isDirectory()
-            and not st.getPath().getName().startswith((".", "_"))
+            for st in fs.listStatus(status.getPath())
+            if not st.getPath().getName().startswith((".", "_"))
         ]
-        if not inner:
-            raise FileNotFoundError(f"no data files under {first.toString()}")
-        first = sorted(inner, key=lambda st: st.getPath().getName())[0].getPath()
+        files = sorted(
+            (st for st in children if not st.isDirectory()),
+            key=lambda st: st.getPath().getName(),
+        )
+        if files:
+            status = files[0]
+            break
+        dirs = sorted(
+            (st for st in children if st.isDirectory()),
+            key=lambda st: st.getPath().getName(),
+        )
+        if not dirs:
+            raise FileNotFoundError(
+                f"no data files under {status.getPath().toString()}"
+            )
+        status = dirs[0]
+        depth += 1
+    if status.isDirectory():
+        raise FileNotFoundError(f"no data file within 8 levels of {path}")
+    first = status.getPath()
     stream = fs.open(first)
     try:
         bounded = jvm.org.apache.commons.io.input.BoundedInputStream(

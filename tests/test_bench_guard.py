@@ -77,9 +77,9 @@ class TestShouldRerunSf1:
         # 0.4s vs a 0.1s best is 4x but under the 0.5s floor: noise.
         assert not should_rerun_sf1(0.4, 0.1)
 
-    def test_floor_is_relative_two_x(self):
-        # t must exceed BOTH 3*p and max(0.5, 2*p); with p=0.3 the
-        # binding edge is 3*p=0.9 (> the 0.6 relative floor).
+    def test_trigger_edge_is_three_x(self):
+        # t must exceed both 3*p and the 0.5s jitter floor; with p=0.3
+        # the binding edge is 3*p=0.9.
         assert not should_rerun_sf1(0.85, 0.3)
         assert should_rerun_sf1(0.95, 0.3)
 

@@ -94,6 +94,53 @@ def test_to_char_fuzz(spark):
         assert got == want, f"pattern {pat}"
 
 
+def test_to_date_parses_case_variant_text_fields(spark):
+    """PG parses to_date case-insensitively, so 'MON'/'month' are the
+    idiomatic spellings in ported SQL — the segment compiler regressed
+    them to plan-time NotImplementedError even though Spark's parser
+    (built parseCaseInsensitive) reads '15 JAN 2024' through 'MMM'
+    fine (r15 self-review). Day-of-week fields still refuse: Spark >=3
+    cannot parse E/EEEE at all."""
+    import datetime
+
+    import pytest
+
+    from pg_lake_spark.functions.pg import pg_to_date, pg_to_timestamp
+
+    df = spark.createDataFrame(
+        [("15 JAN 2024", "15 january 2024", "03:30 pm")],
+        "a string, b string, c string",
+    )
+    row = df.select(
+        pg_to_date("a", "DD MON YYYY").alias("u"),
+        pg_to_date("b", "DD month YYYY").alias("l"),
+        pg_to_timestamp("c", "HH12:MI am").alias("t"),
+    ).collect()[0]
+    assert row.u == datetime.date(2024, 1, 15)
+    assert row.l == datetime.date(2024, 1, 15)
+    assert (row.t.hour, row.t.minute) == (15, 30)
+    with pytest.raises(NotImplementedError):
+        pg_to_date("a", "DAY DD MON YYYY")  # day-of-week: unparseable
+
+
+def test_regexp_replace_backref_after_escaped_backslash(spark):
+    """'\\\\' then '\\1' is a literal backslash followed by a REAL
+    backreference — the old lookbehind detector treated the pair's
+    second backslash as an escape prefix, took the literal-splice
+    branch, and emitted the two characters '\\1' (r15 self-review).
+    The g and non-g paths must agree."""
+    from pg_lake_spark.functions.pg import pg_regexp_replace
+
+    df = spark.createDataFrame([("xay",)], "s string")
+    repl = "\\\\\\1"  # PG replacement text: \\ then \1
+    row = df.select(
+        pg_regexp_replace("s", "(a)", repl).alias("first"),
+        pg_regexp_replace("s", "(a)", repl, "g").alias("glob"),
+    ).collect()[0]
+    assert row.first == "x\\ay"
+    assert row.glob == "x\\ay"
+
+
 def test_stale_lock_takeover(spark, tmp_path):
     """A crashed writer's lock must not wedge the table (CommitLock
     staleness takeover, catalog.py)."""

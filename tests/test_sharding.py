@@ -130,3 +130,20 @@ def test_write_training_shards_null_tokens_manifest(spark, tmp_path):
         token_col="n_tokens", tokens_per_shard=100,
     )
     assert sum(v["rows"] for v in manifest.values()) == 3
+
+
+def test_manifest_survives_all_null_token_shard(spark, tmp_path):
+    """A shard holding ONLY NULL-token rows sums to NULL — the manifest
+    must count it as 0 tokens, matching the assignment cumsum, instead
+    of crashing int(None) after the distributed write (r15 self-review:
+    the cumsum coalesce fix missed the manifest aggregate)."""
+    df = spark.createDataFrame(
+        [(0, None), (1, 200)], "doc_id int, n_tokens int"
+    )
+    manifest = write_training_shards(
+        df, str(tmp_path / "shards_nullshard"), ["doc_id"],
+        token_col="n_tokens", tokens_per_shard=100,
+    )
+    # doc 0 (NULL->0 tokens) closes shard 0 alone; doc 1 band-skips
+    assert manifest[0] == {"rows": 1, "tokens": 0}
+    assert manifest[1]["rows"] == 1 and manifest[1]["tokens"] == 200

@@ -218,6 +218,36 @@ def test_co_located_join_rejects_mismatched_specs(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_co_located_join_accepts_reordered_keys(spark, tmp_path):
+    """Key ORDER is free: Spark reorders join keys against the bucket
+    spec, so bucketBy(a,b) joined on [b,a] runs with zero exchanges —
+    the r15 ordered-list validation wrongly rejected it (self-review).
+    Subset/superset keys stay rejected: both shuffle under the default
+    requireAllClusterKeysForCoPartition."""
+    import pytest
+
+    from pg_lake_spark.plans import plan_summary
+    from pg_lake_spark.sources.bucketed import co_located_join, write_bucketed
+
+    df = spark.range(200).selectExpr("id % 7 AS a", "id % 5 AS b", "id AS v")
+    write_bucketed(df, "b_ro_l", ["a", "b"], 8, path=str(tmp_path / "rol"))
+    write_bucketed(df, "b_ro_r", ["a", "b"], 8, path=str(tmp_path / "ror"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = co_located_join(spark, "b_ro_l", "b_ro_r", on=["b", "a"])
+        assert j.count() > 0
+        assert plan_summary(j, execute=True).exchanges == 0
+        with pytest.raises(ValueError, match="bucket specs"):
+            co_located_join(spark, "b_ro_l", "b_ro_r", on=["a", "b", "v"])
+        with pytest.raises(ValueError, match="bucket specs"):
+            co_located_join(spark, "b_ro_l", "b_ro_r", on=["a"])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("b_ro_l", "b_ro_r"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_copy_to_force_quote_column_list(spark, tmp_path):
     """PG FORCE_QUOTE (col, ...) semantics (reference copy.c:815 passes
     the list through to the engine's CSV writer): forced columns are
@@ -945,6 +975,27 @@ def test_remote_csv_sniffs_headerless(spark, tmp_path):
     p2 = tmp_path / "hdr.csv"
     p2.write_text("id,name\n1,a\n2,b\n")
     assert sniff_csv_dialect_remote(spark, f"file://{p2}")["header"] is True
+
+
+def test_remote_csv_sniff_descends_hive_partitions(spark, tmp_path):
+    """A hive-partitioned layout has no regular files at the top level
+    — the one-level remote listing FileNotFoundError'd a directory
+    Spark reads fine; the sniffer now descends like the local path
+    (r15 self-review)."""
+    from pg_lake_spark.sources.readers import sniff_csv_dialect_remote
+
+    root = tmp_path / "events"
+    (root / "date=2024" / "hour=3").mkdir(parents=True)
+    (root / "date=2024" / "hour=3" / "part-0.csv").write_text(
+        "1;11\n2;22\n3;33\n"
+    )
+    d = sniff_csv_dialect_remote(spark, f"file://{root}")
+    assert d["header"] is False and d["sep"] == ";"
+    # read_lake end-to-end: the headerless rows all survive
+    from pg_lake_spark.sources.readers import read_lake
+
+    out = read_lake(spark, f"file://{root}", fmt="csv")
+    assert out.count() == 3
 
 
 def test_gdal_sniff_gzipped_json(spark, tmp_path):
