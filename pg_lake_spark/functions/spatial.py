@@ -12,13 +12,15 @@ WKB wire format (the same representation the reference's type uses):
   (aggregate), st_geomfromtext, st_geomfromwkb, st_geomfromgeojson,
   st_makeenvelope, st_buffer (point → regular polygon)
 - accessors: st_x, st_y, st_astext, st_asbinary, st_asgeojson,
-  st_geometrytype, st_npoints/st_numpoints, st_numgeometries,
+  st_geometrytype, st_npoints (any type) / st_numpoints
+  (LINESTRING-only, PostGIS), st_numgeometries,
   st_geometryn, st_startpoint, st_endpoint, st_pointn, st_srid,
   st_dimension, st_isempty, st_isclosed, st_isvalid (structural),
   st_orderingequals
 - measures: st_length, st_perimeter, st_area (shoelace, holes
   subtracted), st_distance (point-point), st_dwithin, st_centroid
-- envelope/bbox: st_envelope/st_extent (struct xmin/ymin/xmax/ymax —
+- envelope/bbox: st_envelope per-row, st_extent/st_extent_agg the
+  PostGIS aggregate (struct xmin/ymin/xmax/ymax —
   the same bbox the reference reads from GeoParquet covering metadata,
   pg_lake_table/src/describe/describe.c:225), st_expand, bbox_area,
   plus pure-expression predicates bbox_contains / bbox_intersects /
@@ -234,6 +236,11 @@ def _flat_coords(gtype: int, coords: list) -> list[tuple[float, float]]:
 
 
 def _fmt_num(v: float) -> str:
+    # non-finite coords are representable-but-invalid (st_isvalid says
+    # so explicitly) — int(inf) raised and killed the whole Arrow batch
+    # on one bad coordinate (r15 review)
+    if not math.isfinite(v):
+        return repr(v)  # 'inf' / '-inf' / 'nan'
     # PostGIS prints integral coordinates without the trailing .0
     if v == int(v) and abs(v) < 1e15:
         return str(int(v))
@@ -526,6 +533,63 @@ def _k_pointn(g: pd.Series, n: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+def _centroid_parts(gtype: int, coords: list) -> tuple[int, float, float, float]:
+    """(dim, weight, wx, wy): weight is count/length/|area| at the
+    geometry's dimension; wx/wy = weight × centroid. Collections use
+    the highest dimension present (PostGIS semantics). Degenerate
+    shapes (zero-length line, zero-area polygon) fall to the vertex
+    mean at dimension 0. The polygon branch is hole-aware — holes
+    subtract mass (r15 review: the old kernel used the exterior ring
+    only, and CRASHED on every MULTI*/GEOMETRYCOLLECTION input)."""
+    if gtype == WKB_POINT:
+        x, y = coords[0]
+        return 0, 1.0, x, y
+    if gtype == WKB_LINESTRING:
+        tw = cx = cy = 0.0
+        for (x0, y0), (x1, y1) in zip(coords, coords[1:]):
+            w = math.hypot(x1 - x0, y1 - y0)
+            tw += w
+            cx += w * (x0 + x1) / 2
+            cy += w * (y0 + y1) / 2
+        if tw == 0:
+            n = float(len(coords))
+            return 0, n, float(sum(p[0] for p in coords)), float(sum(p[1] for p in coords))
+        return 1, tw, cx, cy
+    if gtype == WKB_POLYGON:
+        ax = ay = aa = 0.0
+        for ri, ring in enumerate(coords):
+            a2 = cx = cy = 0.0
+            for (x0, y0), (x1, y1) in zip(ring, ring[1:]):
+                w = x0 * y1 - x1 * y0
+                a2 += w
+                cx += (x0 + x1) * w
+                cy += (y0 + y1) * w
+            sign = 1.0 if ri == 0 else -1.0
+            aa += sign * abs(a2)
+            if a2 != 0:
+                ax += sign * abs(a2) * (cx / (3 * a2))
+                ay += sign * abs(a2) * (cy / (3 * a2))
+        if aa == 0:
+            pts = [p for r in coords for p in r]
+            n = float(len(pts))
+            return 0, n, float(sum(p[0] for p in pts)), float(sum(p[1] for p in pts))
+        return 2, aa, ax, ay
+    # MULTI* / GEOMETRYCOLLECTION: combine children at the top dimension
+    parts = [_centroid_parts(kt, kc) for kt, kc in coords]
+    if not parts:
+        raise ValueError("centroid of an empty collection")
+    top = max(d for d, _, _, _ in parts)
+    tw = sum(w for d, w, _, _ in parts if d == top)
+    wx = sum(x for d, _, x, _ in parts if d == top)
+    wy = sum(y for d, _, _, y in parts if d == top)
+    return top, tw, wx, wy
+
+
+def _centroid_of(gtype: int, coords: list) -> tuple[float, float]:
+    _, w, wx, wy = _centroid_parts(gtype, coords)
+    return wx / w, wy / w
+
+
 @pandas_udf(BinaryType())
 def _k_centroid(g: pd.Series) -> pd.Series:
     out = []
@@ -533,39 +597,30 @@ def _k_centroid(g: pd.Series) -> pd.Series:
         if b is None:
             out.append(None)
             continue
-        gtype, coords = _parse(bytes(b))
-        if gtype == WKB_POINT:
-            out.append(_pack_point(*coords[0]))
-        elif gtype == WKB_LINESTRING:
-            # length-weighted segment midpoints (PostGIS semantics)
-            tw = cx = cy = 0.0
-            for (x0, y0), (x1, y1) in zip(coords, coords[1:]):
-                w = math.hypot(x1 - x0, y1 - y0)
-                tw += w
-                cx += w * (x0 + x1) / 2
-                cy += w * (y0 + y1) / 2
-            if tw == 0:
-                xs = [p[0] for p in coords]
-                ys = [p[1] for p in coords]
-                out.append(_pack_point(sum(xs) / len(xs), sum(ys) / len(ys)))
-            else:
-                out.append(_pack_point(cx / tw, cy / tw))
-        else:
-            # shoelace centroid of the exterior ring
-            ring = coords[0]
-            a = cx = cy = 0.0
-            for (x0, y0), (x1, y1) in zip(ring, ring[1:]):
-                cross = x0 * y1 - x1 * y0
-                a += cross
-                cx += (x0 + x1) * cross
-                cy += (y0 + y1) * cross
-            if a == 0:
-                xs = [p[0] for p in ring]
-                ys = [p[1] for p in ring]
-                out.append(_pack_point(sum(xs) / len(xs), sum(ys) / len(ys)))
-            else:
-                out.append(_pack_point(cx / (3 * a), cy / (3 * a)))
+        out.append(_pack_point(*_centroid_of(*_parse(bytes(b)))))
     return pd.Series(out, dtype=object)
+
+
+def _reverse_coords(gtype: int, coords: list) -> list:
+    """Vertex-order reversal per geometry kind; MULTI*/collection
+    recurses over children (the old else-branch treated collection
+    coords as polygon rings and crashed on every MULTI* input — r15
+    review)."""
+    if gtype == WKB_POINT:
+        return coords
+    if gtype == WKB_LINESTRING:
+        return coords[::-1]
+    if gtype == WKB_POLYGON:
+        return [r[::-1] for r in coords]
+    return [(kt, _reverse_coords(kt, kc)) for kt, kc in coords]
+
+
+def _flip_coords(gtype: int, coords: list) -> list:
+    if gtype == WKB_POINT or gtype == WKB_LINESTRING:
+        return [(y, x) for x, y in coords]
+    if gtype == WKB_POLYGON:
+        return [[(y, x) for x, y in r] for r in coords]
+    return [(kt, _flip_coords(kt, kc)) for kt, kc in coords]
 
 
 @pandas_udf(BinaryType())
@@ -576,12 +631,7 @@ def _k_reverse(g: pd.Series) -> pd.Series:
             out.append(None)
             continue
         gtype, coords = _parse(bytes(b))
-        if gtype == WKB_POINT:
-            out.append(_pack_point(*coords[0]))
-        elif gtype == WKB_LINESTRING:
-            out.append(_pack_linestring(coords[::-1]))
-        else:
-            out.append(_pack_polygon([r[::-1] for r in coords]))
+        out.append(_pack(gtype, _reverse_coords(gtype, coords)))
     return pd.Series(out, dtype=object)
 
 
@@ -593,18 +643,27 @@ def _k_flip(g: pd.Series) -> pd.Series:
             out.append(None)
             continue
         gtype, coords = _parse(bytes(b))
-        if gtype == WKB_POINT:
-            x, y = coords[0]
-            out.append(_pack_point(y, x))
-        elif gtype == WKB_LINESTRING:
-            out.append(_pack_linestring([(y, x) for x, y in coords]))
-        else:
-            out.append(_pack_polygon([[(y, x) for x, y in r] for r in coords]))
+        out.append(_pack(gtype, _flip_coords(gtype, coords)))
     return pd.Series(out, dtype=object)
+
+
+_GEOJSON_BY_WKB = {
+    WKB_POINT: "Point",
+    WKB_LINESTRING: "LineString",
+    WKB_POLYGON: "Polygon",
+    WKB_MULTIPOINT: "MultiPoint",
+    WKB_MULTILINESTRING: "MultiLineString",
+    WKB_MULTIPOLYGON: "MultiPolygon",
+    WKB_GEOMETRYCOLLECTION: "GeometryCollection",
+}
+_WKB_BY_GEOJSON = {v: k for k, v in _GEOJSON_BY_WKB.items()}
 
 
 def _geojson_to_wkb(obj: dict) -> bytes:
     t = obj.get("type")
+    if t == "GeometryCollection":
+        kids = [_parse(_geojson_to_wkb(k)) for k in obj.get("geometries", [])]
+        return _pack(WKB_GEOMETRYCOLLECTION, kids)
     c = obj.get("coordinates")
     if t == "Point":
         return _pack_point(float(c[0]), float(c[1]))
@@ -614,21 +673,49 @@ def _geojson_to_wkb(obj: dict) -> bytes:
         return _pack_polygon(
             [[(float(x), float(y)) for x, y, *_ in ring] for ring in c]
         )
+    if t in ("MultiPoint", "MultiLineString", "MultiPolygon"):
+        kid_t = {"MultiPoint": "Point", "MultiLineString": "LineString",
+                 "MultiPolygon": "Polygon"}[t]
+        kids = [
+            _parse(_geojson_to_wkb({"type": kid_t, "coordinates": kc}))
+            for kc in c
+        ]
+        return _pack(_WKB_BY_GEOJSON[t], kids)
     raise ValueError(f"unsupported GeoJSON geometry type: {t}")
+
+
+def _geojson_coords(gtype: int, coords: list):
+    if gtype == WKB_POINT:
+        return list(coords[0])
+    if gtype == WKB_LINESTRING:
+        return [list(p) for p in coords]
+    if gtype == WKB_POLYGON:
+        return [[list(p) for p in r] for r in coords]
+    # MULTI*: children's coordinate arrays (r15 review — everything
+    # non-point/line fell into the Polygon branch and crashed on any
+    # collection input, and would have mislabeled the type regardless)
+    return [_geojson_coords(kt, kc) for kt, kc in coords]
 
 
 def _wkb_to_geojson(b: bytes) -> str:
     import json as _json
 
     gtype, coords = _parse(b)
-    if gtype == WKB_POINT:
-        return _json.dumps({"type": "Point", "coordinates": list(coords[0])})
-    if gtype == WKB_LINESTRING:
+    if gtype == WKB_GEOMETRYCOLLECTION:
         return _json.dumps(
-            {"type": "LineString", "coordinates": [list(p) for p in coords]}
+            {
+                "type": "GeometryCollection",
+                "geometries": [
+                    _json.loads(_wkb_to_geojson(_pack(kt, kc)))
+                    for kt, kc in coords
+                ],
+            }
         )
     return _json.dumps(
-        {"type": "Polygon", "coordinates": [[list(p) for p in r] for r in coords]}
+        {
+            "type": _GEOJSON_BY_WKB[gtype],
+            "coordinates": _geojson_coords(gtype, coords),
+        }
     )
 
 
@@ -899,9 +986,6 @@ def st_geomfromtext(s) -> Column:
     return _k_fromtext(F.col(s) if isinstance(s, str) else s)
 
 
-st_geometryfromtext = st_geomfromtext
-
-
 def st_geometryfromtext(s) -> Column:
     """PostGIS alias of st_geomfromtext (shippable_spatial_functions.c
     registers both names)."""
@@ -922,18 +1006,12 @@ def st_envelope(g) -> Column:
     return _k_envelope(g)
 
 
-st_extent = st_envelope
-
-
 def st_geometrytype(g) -> Column:
     return _k_info(g)["gtype"]
 
 
 def st_npoints(g) -> Column:
     return _k_info(g)["npoints"]
-
-
-st_numpoints = st_npoints
 
 
 def st_length(g) -> Column:
@@ -1269,7 +1347,15 @@ def _point_in_ring(x: float, y: float, ring: list[tuple[float, float]]) -> bool:
 
 
 def _contains_xy(b: bytes, x: float, y: float) -> bool:
-    gtype, coords = _parse(b)
+    return _contains_xy_t(*_parse(b), x, y)
+
+
+def _contains_xy_t(gtype: int, coords: list, x: float, y: float) -> bool:
+    """Parsed-level core — multi recursion passes (type, coords)
+    directly instead of re-packing each child to WKB bytes for the
+    callee to immediately re-parse (r15 review: the hot exact-verify
+    kernels paid an O(bytes) serialize+deserialize per child per
+    comparison)."""
     if gtype == WKB_POLYGON:
         if not coords or not _point_in_ring(x, y, coords[0]):
             return False
@@ -1292,7 +1378,7 @@ def _contains_xy(b: bytes, x: float, y: float) -> bool:
                     return False
         return True
     if gtype == WKB_MULTIPOLYGON:
-        return any(_contains_xy(_pack(kt, kc), x, y) for kt, kc in coords)
+        return any(_contains_xy_t(kt, kc, x, y) for kt, kc in coords)
     raise ValueError("st_contains_point expects a (MULTI)POLYGON geometry")
 
 
@@ -1359,22 +1445,24 @@ def _segments_of(gtype: int, coords: list):
 
 
 def _geoms_intersect(a: bytes, b: bytes) -> bool:
-    ta, ca = _parse(a)
-    tb, cb = _parse(b)
-    # normalize: make multis recurse so the core logic sees simple types
+    return _geoms_intersect_t(*_parse(a), *_parse(b))
+
+
+def _geoms_intersect_t(ta: int, ca: list, tb: int, cb: list) -> bool:
+    # normalize: make multis recurse so the core logic sees simple
+    # types — on parsed tuples, no WKB roundtrip (r15 review)
     if ta in _MULTI_TYPES:
-        return any(_geoms_intersect(_pack(kt, kc), b) for kt, kc in ca)
+        return any(_geoms_intersect_t(kt, kc, tb, cb) for kt, kc in ca)
     if tb in _MULTI_TYPES:
-        return any(_geoms_intersect(a, _pack(kt, kc)) for kt, kc in cb)
+        return any(_geoms_intersect_t(ta, ca, kt, kc) for kt, kc in cb)
 
     if ta == WKB_POINT and tb == WKB_POINT:
         return ca[0] == cb[0]
     if ta == WKB_POINT or tb == WKB_POINT:
         (px, py) = ca[0] if ta == WKB_POINT else cb[0]
         other_t, other_c = (tb, cb) if ta == WKB_POINT else (ta, ca)
-        other = _pack(other_t, other_c)
         if other_t == WKB_POLYGON:
-            return _contains_xy(other, px, py)
+            return _contains_xy_t(other_t, other_c, px, py)
         return any(
             _on_segment(*s, *e, px, py) for s, e in _segments_of(other_t, other_c)
         )
@@ -1386,11 +1474,11 @@ def _geoms_intersect(a: bytes, b: bytes) -> bool:
     # ...or full containment of one inside the other (no edge touches)
     if ta == WKB_POLYGON:
         pts = _flat_coords(tb, cb)
-        if pts and _contains_xy(a, *pts[0]):
+        if pts and _contains_xy_t(ta, ca, *pts[0]):
             return True
     if tb == WKB_POLYGON:
         pts = _flat_coords(ta, ca)
-        if pts and _contains_xy(b, *pts[0]):
+        if pts and _contains_xy_t(tb, cb, *pts[0]):
             return True
     return False
 
@@ -1447,24 +1535,26 @@ def _geoms_distance(a: bytes, b: bytes) -> float:
     """Min Euclidean distance between any two supported geometries
     (0 when they intersect — PostGIS ST_Distance semantics, including
     a point INSIDE a polygon)."""
-    ta, ca = _parse(a)
-    tb, cb = _parse(b)
+    return _geoms_distance_t(*_parse(a), *_parse(b))
+
+
+def _geoms_distance_t(ta: int, ca: list, tb: int, cb: list) -> float:
     if ta in _MULTI_TYPES:
-        return min(_geoms_distance(_pack(kt, kc), b) for kt, kc in ca)
+        return min(_geoms_distance_t(kt, kc, tb, cb) for kt, kc in ca)
     if tb in _MULTI_TYPES:
-        return min(_geoms_distance(a, _pack(kt, kc)) for kt, kc in cb)
+        return min(_geoms_distance_t(ta, ca, kt, kc) for kt, kc in cb)
     if ta == WKB_POINT and tb == WKB_POINT:
         (x1, y1), (x2, y2) = ca[0], cb[0]
         return math.hypot(x1 - x2, y1 - y2)
     if ta == WKB_POINT or tb == WKB_POINT:
         (px, py) = ca[0] if ta == WKB_POINT else cb[0]
         ot, oc = (tb, cb) if ta == WKB_POINT else (ta, ca)
-        if ot == WKB_POLYGON and _contains_xy(_pack(ot, oc), px, py):
+        if ot == WKB_POLYGON and _contains_xy_t(ot, oc, px, py):
             return 0.0
         return min(
             _pt_seg_dist(px, py, *s, *e) for s, e in _segments_of(ot, oc)
         )
-    if _geoms_intersect(a, b):
+    if _geoms_intersect_t(ta, ca, tb, cb):
         return 0.0
     return min(
         _seg_seg_dist(s1, e1, s2, e2)
@@ -1657,9 +1747,13 @@ def _clip_line_box(coords, x0, y0, x1, y1):
 
 def _clip_geom_box(b: bytes, x0, y0, x1, y1) -> bytes | None:
     gtype, coords = _parse(b)
+    return _clip_geom_box_t(gtype, coords, x0, y0, x1, y1)
+
+
+def _clip_geom_box_t(gtype: int, coords: list, x0, y0, x1, y1) -> bytes | None:
     if gtype == WKB_POINT:
         (px, py) = coords[0]
-        return b if (x0 <= px <= x1 and y0 <= py <= y1) else None
+        return _pack_point(px, py) if (x0 <= px <= x1 and y0 <= py <= y1) else None
     if gtype == WKB_LINESTRING:
         pieces = _clip_line_box(coords, x0, y0, x1, y1)
         if not pieces:
@@ -1673,7 +1767,7 @@ def _clip_geom_box(b: bytes, x0, y0, x1, y1) -> bytes | None:
     if gtype in _MULTI_TYPES:
         kids = []
         for kt, kc in coords:
-            cb = _clip_geom_box(_pack(kt, kc), x0, y0, x1, y1)
+            cb = _clip_geom_box_t(kt, kc, x0, y0, x1, y1)
             if cb is not None:
                 kids.append(_parse(cb))
         return _pack(gtype, kids) if kids else None
@@ -1716,18 +1810,21 @@ def st_extent_agg(g) -> Column:
 
 def _closest_point_on(b: bytes, px: float, py: float) -> tuple[float, float]:
     """Nearest point ON geometry ``b`` to (px, py)."""
-    gtype, coords = _parse(b)
+    return _closest_point_on_t(*_parse(b), px, py)
+
+
+def _closest_point_on_t(gtype: int, coords: list, px: float, py: float) -> tuple[float, float]:
     if gtype == WKB_POINT:
         return coords[0]
     if gtype in _MULTI_TYPES:
         best, bd = None, float("inf")
         for kt, kc in coords:
-            c = _closest_point_on(_pack(kt, kc), px, py)
+            c = _closest_point_on_t(kt, kc, px, py)
             d = math.hypot(c[0] - px, c[1] - py)
             if d < bd:
                 best, bd = c, d
         return best
-    if gtype == WKB_POLYGON and _contains_xy(b, px, py):
+    if gtype == WKB_POLYGON and _contains_xy_t(gtype, coords, px, py):
         return (px, py)
     best, bd = None, float("inf")
     for (ax, ay), (bx, by) in _segments_of(gtype, coords):
@@ -1842,10 +1939,26 @@ def _k_boundary(g: pd.Series) -> pd.Series:
                 )
         else:
             rings = []
+            ends: dict[tuple, int] = {}
             for kt, kc in coords:
                 if kt == WKB_POLYGON:
                     rings += [(WKB_LINESTRING, r) for r in kc]
-            out.append(_pack(WKB_MULTILINESTRING, rings) if rings else None)
+                elif kt == WKB_LINESTRING and kc and kc[0] != kc[-1]:
+                    # mod-2 rule: an endpoint shared by an even number
+                    # of open lines cancels out of the boundary (the
+                    # old branch collected polygon rings ONLY, so a
+                    # MULTILINESTRING's boundary read empty; r15 review)
+                    for p in (kc[0], kc[-1]):
+                        ends[p] = ends.get(p, 0) + 1
+            if rings:
+                out.append(_pack(WKB_MULTILINESTRING, rings))
+                continue
+            pts = [p for p, n in ends.items() if n % 2 == 1]
+            out.append(
+                _pack(WKB_MULTIPOINT, [(WKB_POINT, [p]) for p in pts])
+                if pts
+                else None
+            )
     return pd.Series(out, dtype=object)
 
 
@@ -2198,6 +2311,44 @@ def _k_issimple(g: pd.Series) -> pd.Series:
                     return False
         return True
 
+    def mls_simple(comps) -> bool:
+        """OGC: a MULTILINESTRING is simple iff every element is simple
+        AND elements meet only at points on the BOUNDARY of both (open
+        endpoints; a closed element has no boundary). The old check ran
+        line_simple per element only, so crossing components passed
+        (r15 review)."""
+        if not all(line_simple(c) for c in comps):
+            return False
+
+        def bnd(c):
+            return set() if (len(c) >= 3 and c[0] == c[-1]) else {c[0], c[-1]}
+
+        for i in range(len(comps)):
+            for j in range(i + 1, len(comps)):
+                allowed = bnd(comps[i]) & bnd(comps[j])
+                for sa in zip(comps[i], comps[i][1:]):
+                    for sb in zip(comps[j], comps[j][1:]):
+                        if not _segments_intersect(*sa, *sb):
+                            continue
+                        d1 = _orient(*sb[0], *sb[1], *sa[0])
+                        d2 = _orient(*sb[0], *sb[1], *sa[1])
+                        d3 = _orient(*sa[0], *sa[1], *sb[0])
+                        d4 = _orient(*sa[0], *sa[1], *sb[1])
+                        if (
+                            (d1 > 0) != (d2 > 0)
+                            and (d3 > 0) != (d4 > 0)
+                            and 0.0 not in (d1, d2, d3, d4)
+                        ):
+                            return False  # proper interior crossing
+                        # touching: every endpoint-on-segment contact
+                        # must be a shared boundary point of BOTH lines
+                        touches = [
+                            p for p in sa if _on_segment(*sb[0], *sb[1], *p)
+                        ] + [p for p in sb if _on_segment(*sa[0], *sa[1], *p)]
+                        if any(p not in allowed for p in touches):
+                            return False
+        return True
+
     def simple(gtype, coords) -> bool:
         if gtype == WKB_POINT:
             return True
@@ -2207,7 +2358,7 @@ def _k_issimple(g: pd.Series) -> pd.Series:
         if gtype == WKB_LINESTRING:
             return line_simple(coords)
         if gtype == WKB_MULTILINESTRING:
-            return all(line_simple(kc) for _, kc in coords)
+            return mls_simple([kc for _, kc in coords])
         # polygons: valid structure implies simple for this slice
         return True
 
@@ -2308,31 +2459,11 @@ def _point_on_surface(gtype: int, coords: list) -> tuple[float, float]:
 
 
 def _k_centroid_py(b: bytes) -> bytes:
-    """Driver-side reuse of the centroid kernel's math (weighted by
-    dimension, matching _k_centroid)."""
-    gtype, coords = _parse(b)
-    pts = _flat_coords(gtype, coords)
-    if gtype == WKB_POLYGON:
-        # area-weighted centroid of the shell minus holes
-        ax = ay = aa = 0.0
-        for ri, ring in enumerate(coords):
-            a2 = cx = cy = 0.0
-            for (x0, y0), (x1, y1) in zip(ring, ring[1:]):
-                w = x0 * y1 - x1 * y0
-                a2 += w
-                cx += (x0 + x1) * w
-                cy += (y0 + y1) * w
-            sign = 1.0 if ri == 0 else -1.0
-            aa += sign * abs(a2)
-            if a2 != 0:
-                cx, cy = cx / (3 * a2), cy / (3 * a2)
-                ax += sign * abs(a2) * cx
-                ay += sign * abs(a2) * cy
-        if aa != 0:
-            return _pack_point(ax / aa, ay / aa)
-    x = sum(p[0] for p in pts) / len(pts)
-    y = sum(p[1] for p in pts) / len(pts)
-    return _pack_point(x, y)
+    """Driver-side reuse of the centroid kernel's math — literally the
+    same helper _k_centroid runs executor-side (the hole-aware math
+    used to live only here while the kernel was exterior-ring-only;
+    r15 review unified them)."""
+    return _pack_point(*_centroid_of(*_parse(b)))
 
 
 @pandas_udf(BinaryType())
@@ -4282,8 +4413,7 @@ _AEA_PARAMS = {
 # reduces to variant A through the effective scale factor
 # k0 = mF * sqrt((1+e)^(1+e) (1-e)^(1-e)) / (2 tF). The reference gets
 # these via DuckDB-spatial/PROJ (shippable_spatial_functions.c).
-_WGS84_A = 6378137.0
-_WGS84_F = 1 / 298.257223563
+# (_WGS84_A/_WGS84_F are the module-level constants defined above.)
 
 #: srid -> (a, f, north, k0 | None, lat_ts | None, lon0, FE, FN)
 _PS_PARAMS = {

@@ -200,6 +200,16 @@ _CODE_CHANGED_IN: dict[str, int] = {
     # route through the parse-direction pattern translator (case-variant
     # text fields fall back to Java text patterns).
     "f_to_date": 15,
+    # r15 spatial.py review: MULTI*-capable centroid (hole-aware) /
+    # reverse/flip/geojson/boundary/issimple kernels; the exact-verify
+    # relation kernels recurse on parsed tuples instead of re-packing
+    # WKB per child; _fmt_num survives non-finite coords.
+    "f_spatial_point": 15,
+    "f_spatial_measures": 15,
+    "f_spatial_relations": 15,
+    "f_spatial_overlay": 15,
+    "j_polygon_point_exact": 15,
+    "j_polygon_overlap_join": 15,
 }
 
 

@@ -2388,3 +2388,104 @@ def test_wkb_wkt_roundtrip_fuzz():
         back = _from_wkt(wkt)
         assert _to_wkt(back) == wkt, f"roundtrip drift at {i}: {wkt[:80]}"
         assert _parse(back)[0] == g[0], f"type drift at {i}"
+
+
+def test_multi_geometry_accessors_no_longer_crash(spark):
+    """r15 review: centroid/reverse/flip/asgeojson all had else-branches
+    written for POLYGON that received collection-shaped coords
+    [(child_type, child_coords), ...] and crashed on EVERY MULTI*/
+    GEOMETRYCOLLECTION input (all four are SQL-registered)."""
+    df = spark.createDataFrame(
+        [
+            ("MULTIPOINT(0 0,4 0)",),
+            ("MULTILINESTRING((0 0,0 2),(10 0,10 2))",),
+            ("MULTIPOLYGON(((0 0,2 0,2 2,0 2,0 0)),((10 0,12 0,12 2,10 2,10 0)))",),
+            ("GEOMETRYCOLLECTION(POINT(1 1),LINESTRING(0 0,2 0))",),
+        ],
+        "w string",
+    )
+    g = S.st_geomfromtext("w")
+    rows = df.select(
+        S.st_astext(S.st_centroid(g)).alias("c"),
+        S.st_astext(S.st_reverse(g)).alias("r"),
+        S.st_astext(S.st_flipcoordinates(g)).alias("f"),
+        S.st_asgeojson(g).alias("j"),
+    ).collect()
+    # centroids: mean of points / length-weighted / area-weighted /
+    # highest-dimension (the line) only
+    assert rows[0].c == "POINT(2 0)"
+    assert rows[1].c == "POINT(5 1)"
+    assert rows[2].c == "POINT(6 1)"
+    assert rows[3].c == "POINT(1 0)"
+    assert rows[1].r == "MULTILINESTRING((0 2,0 0),(10 2,10 0))"
+    assert rows[0].f == "MULTIPOINT(0 0,0 4)"
+    import json
+
+    j = json.loads(rows[2].j)
+    assert j["type"] == "MultiPolygon" and len(j["coordinates"]) == 2
+    jc = json.loads(rows[3].j)
+    assert jc["type"] == "GeometryCollection" and len(jc["geometries"]) == 2
+
+
+def test_centroid_subtracts_holes(spark):
+    """Hole-aware centroid (PostGIS): an off-center hole shifts the
+    centroid away from the hole — the old kernel used the exterior
+    ring only and disagreed with st_pointonsurface's helper."""
+    df = spark.createDataFrame(
+        [("POLYGON((0 0,10 0,10 10,0 10,0 0),(1 1,5 1,5 5,1 5,1 1))",)],
+        "w string",
+    )
+    r = df.select(
+        S.st_astext(S.st_centroid(S.st_geomfromtext("w"))).alias("c")
+    ).collect()[0]
+    # shell 100 @ (5,5) minus hole 16 @ (3,3): (500-48)/84 ≈ 5.380952
+    import re
+
+    x, y = map(float, re.findall(r"[-\d.]+", r.c))
+    assert abs(x - 452.0 / 84.0) < 1e-9 and abs(y - 452.0 / 84.0) < 1e-9
+
+
+def test_boundary_of_multilinestring_mod2(spark):
+    """PostGIS mod-2 rule: endpoints shared by an even number of open
+    lines cancel; the old branch collected polygon rings only and
+    returned NULL for every MULTILINESTRING."""
+    df = spark.createDataFrame(
+        [
+            ("MULTILINESTRING((0 0,1 1),(2 2,3 3))",),  # 4 endpoints
+            ("MULTILINESTRING((0 0,1 1),(1 1,2 0))",),  # shared (1,1) cancels
+        ],
+        "w string",
+    )
+    rows = df.select(
+        S.st_astext(S.st_boundary(S.st_geomfromtext("w"))).alias("b")
+    ).collect()
+    assert rows[0].b == "MULTIPOINT(0 0,1 1,2 2,3 3)"
+    assert rows[1].b == "MULTIPOINT(0 0,2 0)"
+
+
+def test_issimple_multilinestring_cross_component(spark):
+    """OGC: components may meet only at mutual boundary points — the
+    old check ran per-component only, so crossing components passed."""
+    df = spark.createDataFrame(
+        [
+            ("MULTILINESTRING((0 0,2 2),(0 2,2 0))",),  # cross at (1,1): not simple
+            ("MULTILINESTRING((0 0,1 1),(1 1,2 0))",),  # meet at endpoints: simple
+            ("MULTILINESTRING((0 0,2 0),(1 0,3 0))",),  # collinear overlap: not simple
+        ],
+        "w string",
+    )
+    rows = df.select(S.st_issimple(S.st_geomfromtext("w")).alias("s")).collect()
+    assert [r.s for r in rows] == [False, True, False]
+
+
+def test_astext_survives_nonfinite_coords(spark):
+    """st_isvalid treats non-finite coords as representable-but-invalid,
+    so accessors must not crash on them: int(inf) killed the whole
+    Arrow batch (r15 review)."""
+    from pg_lake_spark.functions.spatial import _pack_point
+
+    df = spark.createDataFrame(
+        [(bytearray(_pack_point(float("inf"), float("nan"))),)], "g binary"
+    )
+    r = df.select(S.st_astext("g").alias("t")).collect()[0]
+    assert r.t == "POINT(inf nan)"
