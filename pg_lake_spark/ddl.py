@@ -125,13 +125,22 @@ def split_sql_statements(sql: str) -> list[str]:
 
 def _parse_options(blob: str) -> dict[str, str]:
     """FDW ``key 'value'`` and WITH ``key = 'value'`` pairs (also bare
-    ``key = value`` for numbers/booleans)."""
+    ``key = value`` for numbers/booleans, and PG's valueless boolean
+    shorthand ``(..., HEADER)`` = true — the mandatory-value regex used
+    to backtrack 'HEADER' into key 'heade' value 'R'; r15 review)."""
     out: dict[str, str] = {}
     for m in re.finditer(
-        r"(\w+)\s*(?:=\s*)?(?:'((?:[^']|'')*)'|([^,()\s]+))", blob
+        r"(\w+)\s*(?:=\s*)?(?:'((?:[^']|'')*)'|([^,()\s]+)|(?=\s*[,)]|\s*$))",
+        blob,
     ):
         key, quoted, bare = m.groups()
-        out[key.lower()] = (quoted.replace("''", "'") if quoted is not None else bare)
+        if quoted is not None:
+            val = quoted.replace("''", "'")
+        elif bare is not None:
+            val = bare
+        else:
+            val = "true"  # PG: a bare option name means boolean true
+        out[key.lower()] = val
     return out
 
 
@@ -230,8 +239,12 @@ _ALTER_TABLE_OPTS = re.compile(
 # each routes to the LakeTable evolution API (metadata-only commits).
 _ALTER_PREFIX = r"^\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s+"
 _ALTER_ADD_COL = re.compile(
+    # the type group must not absorb trailing constraints: 'int NOT
+    # NULL' previously reached add_column as the literal type string
+    # (r15 review) — NULL/NOT NULL are recognized and stripped here
     _ALTER_PREFIX + r"ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<col>[\w\"]+)\s+(?P<type>[\w() ,]+?)"
+    r"(?:\s+(?:NOT\s+)?NULL\b)?"
     r"(?:\s+DEFAULT\s+(?P<def>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -290,7 +303,11 @@ def _fmt_from_options(opts: dict, path: str, default: str = "parquet") -> str:
     for ext in (".gz", ".zst", ".bz2", ".zip"):
         if base.endswith(ext):
             base = base[: -len(ext)]
-    ext = base.rsplit(".", 1)[-1].lower() if "." in base else ""
+    # extension of the LAST path segment only — a dot anywhere in the
+    # bucket/host/directory ('s3://my.bucket/data') otherwise minted a
+    # garbage format like 'bucket/data' (r15 review)
+    seg = base.rstrip("/").rsplit("/", 1)[-1]
+    ext = seg.rsplit(".", 1)[-1].lower() if "." in seg else ""
     return {"ndjson": "json"}.get(ext, ext) or default
 
 
@@ -582,6 +599,32 @@ def _normalize_pg_types(cols: str, *, numeric_as_double: bool = True) -> str:
     return out
 
 
+def _normalize_pg_schema(cols: str, *, numeric_as_double: bool = True) -> str:
+    """Column-LIST variant of :func:`_normalize_pg_types`: the type
+    substitutions apply only to the text after each column name, so a
+    column NAMED like a type (``"text" text`` / ``text text``) keeps
+    its name — the blob-wide re.subs silently renamed it (r15 review).
+    Double-quoted PG identifiers are unwrapped (backtick-quoted for
+    Spark when they aren't plain words)."""
+    parts = []
+    for part in _split_top(cols):
+        m = re.match(r'\s*("(?:[^"]|"")*"|\w+)\s+(.+)', part, re.DOTALL)
+        if not m:
+            parts.append(
+                _normalize_pg_types(part, numeric_as_double=numeric_as_double)
+            )
+            continue
+        name, rest = m.groups()
+        if name.startswith('"'):
+            ident = name[1:-1].replace('""', '"')
+            name = ident if re.fullmatch(r"\w+", ident) else f"`{ident}`"
+        parts.append(
+            f"{name} "
+            + _normalize_pg_types(rest, numeric_as_double=numeric_as_double)
+        )
+    return ", ".join(parts)
+
+
 def execute_lake_sql(sess, sql: str) -> DataFrame | None:
     """Execute SQL through the lake DDL surface; returns a DataFrame
     for passthrough queries / foreign-table creates, None for pure DDL
@@ -650,7 +693,7 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
         if "filename" in kwargs:
             kwargs["filename"] = kwargs["filename"].lower() == "true"
         if cols:
-            kwargs["schema"] = _normalize_pg_types(
+            kwargs["schema"] = _normalize_pg_schema(
                 cols,
                 numeric_as_double=_guc_on(
                     sess, "pg_lake_iceberg.unsupported_numeric_as_double"
@@ -686,7 +729,7 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
             t = sess.create_lake_table(
                 name,
                 location,
-                schema_ddl=_normalize_pg_types(
+                schema_ddl=_normalize_pg_schema(
                     cols,
                     numeric_as_double=_guc_on(
                         sess, "pg_lake_iceberg.unsupported_numeric_as_double"
@@ -1087,17 +1130,17 @@ def _execute_one(sess, sql: str) -> DataFrame | None:
                 v = pg_bool(v)
             kwargs[k] = v
         if direction == "TO":
-            df = (
-                sess.spark.sql(src[1:-1])
-                if src.startswith("(")
-                else sess.spark.table(src.strip('"'))
-            )
-            copy_to(df, url, fmt=fmt, **kwargs)
+            copy_to(_src_df(sess, src), url, fmt=fmt, **kwargs)
             return None
         kwargs.pop("partition_by", None)  # import derives partitioning
         kwargs.pop("compression", None)  # reader auto-detects codecs
-        table = sess.lake_table_handle(src.strip('"'))
+        tname = src.strip('"')
+        table = sess.lake_table_handle(tname)
         copy_from(sess.spark, url, table, fmt=fmt, **kwargs)
+        # temp views are snapshot-pinned: every other mutating handler
+        # re-registers after the write; COPY FROM didn't, so a
+        # following SELECT read the pre-import snapshot (r15 review)
+        table.refresh().to_df().createOrReplaceTempView(tname)
         return None
 
     return sess.spark.sql(_expand_lake_file_list(sess, sql))
@@ -1150,15 +1193,35 @@ _MERGE = re.compile(
 
 
 def _split_top(blob: str) -> list[str]:
+    """Split on top-level commas, paren- AND quote-aware: a comma or
+    paren inside a string literal previously mis-split assignments
+    (``SET msg = 'hello, world'``) or desynced the depth counter
+    (``SET note = ':)'``) — r15 review."""
     parts, depth, start = [], 0, 0
-    for i, ch in enumerate(blob):
-        if ch in "(":
+    i, n = 0, len(blob)
+    while i < n:
+        ch = blob[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if blob[i] == "'":
+                    if i + 1 < n and blob[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == '"':
+            i += 1
+            while i < n and blob[i] != '"':
+                i += 1
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
         elif ch == "," and depth == 0:
             parts.append(blob[start:i])
             start = i + 1
+        i += 1
     parts.append(blob[start:])
     return [p.strip() for p in parts if p.strip()]
 
@@ -1361,6 +1424,16 @@ def _extract_returning(sql: str) -> tuple[str, str | None]:
     return sql[:found].rstrip(), ret or None
 
 
+def _canon_aliases(expr: str, talias: str, salias: str) -> str:
+    """Rewrite the statement's aliases onto canonical ``t.``/``s.`` via
+    placeholders in one logical pass — sequential re.subs self-clobbered
+    when a user alias was literally 't' or 's' (the first sub's output
+    matched the second sub's pattern; r15 review)."""
+    expr = re.sub(rf"(?i)\b{re.escape(talias)}\.", "\x00T\x00", expr)
+    expr = re.sub(rf"(?i)\b{re.escape(salias)}\.", "\x00S\x00", expr)
+    return expr.replace("\x00T\x00", "t.").replace("\x00S\x00", "s.")
+
+
 def _split_where_join(cond: str, talias: str, salias: str) -> tuple[list[str], str | None]:
     """Split an UPDATE-FROM/DELETE-USING WHERE into equi-join key
     columns (``t.k = s.k`` style, same column name both sides) and a
@@ -1370,8 +1443,7 @@ def _split_where_join(cond: str, talias: str, salias: str) -> tuple[list[str], s
     extras: list[str] = []
 
     def canon(expr: str) -> str:
-        expr = re.sub(rf"(?i)\b{re.escape(talias)}\.", "t.", expr)
-        return re.sub(rf"(?i)\b{re.escape(salias)}\.", "s.", expr)
+        return _canon_aliases(expr, talias, salias)
 
     for conj in re.split(r"(?i)\s+AND\s+", cond):
         lhs, eq, rhs = conj.partition("=")
@@ -1395,8 +1467,12 @@ def _split_where_join(cond: str, talias: str, salias: str) -> tuple[list[str], s
 
 
 def _src_df(sess, src: str):
+    """Subquery-or-table source → DataFrame. The inner query goes
+    through _expand_lake_file_list like every other query path (a
+    lake_file.list() call inside COPY (SELECT ...) TO previously
+    reached spark.sql unexpanded; r15 review)."""
     return (
-        sess.spark.sql(src[1:-1])
+        sess.spark.sql(_expand_lake_file_list(sess, src[1:-1]))
         if src.startswith("(")
         else sess.spark.table(src.strip('"'))
     )
@@ -1427,6 +1503,15 @@ def _ret_df(sess, rows, cols, t=None):
             if len(fields) == len(cols):
                 return sess.spark.createDataFrame([], StructType(fields))
         return sess.spark.createDataFrame([], ", ".join(f"{c} string" for c in cols))
+    # non-empty: pass the table-derived schema too — an all-NULL
+    # returned column otherwise crashes type inference (r15 review)
+    if t is not None:
+        from pyspark.sql.types import StructType
+
+        by_name = {f.name: f for f in t.to_df().schema.fields}
+        fields = [by_name[c] for c in cols if c in by_name]
+        if len(fields) == len(cols):
+            return sess.spark.createDataFrame(rows, StructType(fields))
     return sess.spark.createDataFrame(rows)
 
 
@@ -1446,9 +1531,9 @@ def execute_lake_dml(sess, sql: str):
         keys, extra = _split_where_join(m.group("cond"), talias, salias)
         assigns = {}
         for col, expr in _parse_assignments(m.group("assigns")).items():
-            expr = re.sub(rf"(?i)\b{re.escape(salias)}\.", "s.", expr)
-            expr = re.sub(rf"(?i)\b{re.escape(talias)}\.", "t.", expr)
-            assigns[col.split(".")[-1].strip('"')] = expr.strip()
+            assigns[col.split(".")[-1].strip('"')] = _canon_aliases(
+                expr, talias, salias
+            ).strip()
         ret = _ret_cols(ret_clause, talias, name) if ret_clause else None
         res = t.update_from(
             _src_df(sess, m.group("src")), keys, assigns,
@@ -1524,11 +1609,7 @@ def execute_lake_dml(sess, sql: str):
     if m and (t := _handle_or_none(sess, m.group("name"))) is not None:
         name = m.group("name").strip('"')
         src = m.group("src")
-        src_df = (
-            sess.spark.sql(src[1:-1])
-            if src.startswith("(")
-            else sess.spark.table(src.strip('"'))
-        )
+        src_df = _src_df(sess, src)
         salias = m.group("salias") or src.strip('"')
         talias = m.group("talias") or name
         # ON: conjunction of alias-qualified equalities over shared keys
@@ -1542,12 +1623,14 @@ def execute_lake_dml(sess, sql: str):
                     f"MERGE ON supports same-name key equality, got {conj.strip()}"
                 )
             keys.append(lcol)
+        # both aliases rewrite onto t/s — table.merge evaluates SET
+        # expressions over canonical t/s frames, so a target-qualified
+        # ref like 'o.total' previously failed to resolve (r15 review)
         assigns = {
-            col: re.sub(rf"(?i)\b{re.escape(salias)}\.", "s.", expr).strip()
+            col.split(".")[-1].strip('"'): _canon_aliases(
+                expr, talias, salias
+            ).strip()
             for col, expr in _parse_assignments(m.group("assigns")).items()
-        }
-        assigns = {
-            col.split(".")[-1]: expr for col, expr in assigns.items()
         }
         t.merge(src_df, keys, when_matched_update=assigns)
         t.to_df().createOrReplaceTempView(name)

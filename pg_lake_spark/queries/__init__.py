@@ -210,6 +210,20 @@ _CODE_CHANGED_IN: dict[str, int] = {
     "f_spatial_overlay": 15,
     "j_polygon_point_exact": 15,
     "j_polygon_overlap_join": 15,
+    # r15 ddl.py review: quote-aware _split_top (UPDATE/MERGE SET),
+    # canonical alias rewrite via placeholders, COPY FROM view refresh,
+    # option lexer valueless-boolean shorthand, last-segment format
+    # sniff, schema-list type normalization.
+    "dml_update_set": 15,
+    "dml_merge_upsert": 15,
+    "dml_cow_delete": 15,
+    "dml_mor_lifecycle": 15,
+    "ddl_schema_evolution": 15,
+    "ddl_guc_numeric_schema": 15,
+    "ddl_expire_on_write": 15,
+    "ddl_alter_statements": 15,
+    "dml_changelog": 15,
+    "dml_incremental_scan": 15,
 }
 
 

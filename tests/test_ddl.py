@@ -1213,3 +1213,130 @@ def test_copy_sql_forwards_all_options(sess, spark, tmp_path):
 
     with _pytest.raises(ValueError, match="invalid option"):
         sess.execute(f"COPY copyopts TO '{tmp_path/'x'}' (FORMAT csv, BOGUS on)")
+
+
+def test_fmt_inferred_from_last_segment_only(tmp_path):
+    """A dot in a directory/bucket name must not poison the extension
+    sniff ('s3://my.bucket/data' read fmt='bucket/data'; r15 review)."""
+    from pg_lake_spark.ddl import _fmt_from_options
+
+    assert _fmt_from_options({}, "s3://my.bucket/data") == "parquet"
+    assert _fmt_from_options({}, "s3://my.bucket/data/f.csv") == "csv"
+    assert _fmt_from_options({}, "/a.b/dir/part.json.gz") == "json"
+    assert _fmt_from_options({}, "https://example.com/download") == "parquet"
+    assert _fmt_from_options({"format": "CSV"}, "x.parquet") == "csv"
+
+
+def test_parse_options_valueless_boolean_shorthand():
+    """PG's (FORMAT csv, HEADER) means HEADER true — the old regex
+    backtracked 'HEADER' into key 'heade' value 'R' (r15 review)."""
+    from pg_lake_spark.ddl import _parse_options
+
+    assert _parse_options("FORMAT csv, HEADER") == {
+        "format": "csv",
+        "header": "true",
+    }
+    assert _parse_options("HEADER, FREEZE") == {
+        "header": "true",
+        "freeze": "true",
+    }
+    # existing spellings unchanged
+    assert _parse_options("path 's3://b/x', format 'csv'") == {
+        "path": "s3://b/x",
+        "format": "csv",
+    }
+
+
+def test_update_set_string_literal_with_comma(sess, spark, tmp_path):
+    """_split_top is quote-aware: a comma (or paren) inside a SET
+    string literal mis-split the assignments (r15 review)."""
+    sess.execute(
+        f"CREATE TABLE tu (id int, msg string, n int) USING iceberg "
+        f"WITH (location '{tmp_path / 'tu'}')"
+    )
+    sess.execute("INSERT INTO tu VALUES (1, 'x', 0), (2, 'y', 0)")
+    sess.execute("UPDATE tu SET msg = 'hello, world', n = 7 WHERE id = 1")
+    rows = {r.id: (r.msg, r.n) for r in sess.execute("SELECT * FROM tu").collect()}
+    assert rows[1] == ("hello, world", 7)
+    assert rows[2] == ("y", 0)
+    sess.execute("UPDATE tu SET msg = ':)', n = 9 WHERE id = 2")
+    rows = {r.id: (r.msg, r.n) for r in sess.execute("SELECT * FROM tu").collect()}
+    assert rows[2] == (":)", 9)
+
+
+def test_copy_from_refreshes_temp_view(sess, spark, tmp_path):
+    """COPY t FROM must re-register the snapshot-pinned temp view like
+    every other mutating handler (r15 review: a following SELECT read
+    the pre-import snapshot)."""
+    src = _write_csv(tmp_path, "imp.csv")
+    sess.execute(
+        f"CREATE TABLE tc (k int, v string, w double) USING iceberg "
+        f"WITH (location '{tmp_path / 'tc'}')"
+    )
+    assert sess.execute("SELECT count(*) AS n FROM tc").collect()[0].n == 0
+    sess.execute(f"COPY tc FROM '{src}' WITH (format 'csv', header 'true')")
+    assert sess.execute("SELECT count(*) AS n FROM tc").collect()[0].n == 3
+
+
+def test_merge_rewrites_target_alias(sess, spark, tmp_path):
+    """MERGE SET expressions referencing the TARGET alias must resolve
+    (table.merge evaluates over canonical t/s; 'o.total + u.amount'
+    previously failed AnalysisException; r15 review)."""
+    sess.execute(
+        f"CREATE TABLE mo (id int, total int) USING iceberg "
+        f"WITH (location '{tmp_path / 'mo'}')"
+    )
+    sess.execute("INSERT INTO mo VALUES (1, 10), (2, 20)")
+    src = spark.createDataFrame([(1, 5, 0)], "id int, amount int, total int")
+    src.createOrReplaceTempView("mu")
+    sess.execute(
+        "MERGE INTO mo o USING mu u ON o.id = u.id "
+        "WHEN MATCHED THEN UPDATE SET total = o.total + u.amount "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    rows = {r.id: r.total for r in sess.execute("SELECT * FROM mo").collect()}
+    assert rows == {1: 15, 2: 20}
+
+
+def test_update_from_alias_literally_t(sess, spark, tmp_path):
+    """Sequential alias substitution self-clobbered when the source
+    alias was literally 't' (r15 review: both sides became 's.')."""
+    sess.execute(
+        f"CREATE TABLE uo (id int, total int) USING iceberg "
+        f"WITH (location '{tmp_path / 'uo'}')"
+    )
+    sess.execute("INSERT INTO uo VALUES (1, 10), (2, 20)")
+    spark.createDataFrame([(1, 100)], "id int, amount int").createOrReplaceTempView(
+        "txn"
+    )
+    sess.execute(
+        "UPDATE uo SET total = t.amount FROM txn t WHERE uo.id = t.id"
+    )
+    rows = {r.id: r.total for r in sess.execute("SELECT * FROM uo").collect()}
+    assert rows == {1: 100, 2: 20}
+
+
+def test_create_column_named_like_type(sess, spark, tmp_path):
+    """A column NAMED like a type must keep its name — the blob-wide
+    type substitution renamed (text text) to (string string)
+    (r15 review)."""
+    sess.execute(
+        f"CREATE TABLE tt (text text, n integer) USING iceberg "
+        f"WITH (location '{tmp_path / 'tt'}')"
+    )
+    sess.execute("INSERT INTO tt VALUES ('abc', 1)")
+    row = sess.execute("SELECT text, n FROM tt").collect()[0]
+    assert row.text == "abc" and row.n == 1
+
+
+def test_alter_add_column_not_null_constraint_stripped(sess, spark, tmp_path):
+    """ADD COLUMN c int NOT NULL: the constraint must not reach
+    add_column inside the type string (r15 review)."""
+    sess.execute(
+        f"CREATE TABLE ta (id int) USING iceberg "
+        f"WITH (location '{tmp_path / 'ta'}')"
+    )
+    sess.execute("INSERT INTO ta VALUES (1)")
+    sess.execute("ALTER TABLE ta ADD COLUMN c int NOT NULL DEFAULT 5")
+    row = sess.execute("SELECT id, c FROM ta").collect()[0]
+    assert (row.id, row.c) == (1, 5)

@@ -105,7 +105,13 @@ def test_delete_with_keyword_literal_routes_to_plain_delete(lit):
 # how the r12 DELETE-no-op bug happened.
 # ---------------------------------------------------------------------------
 
-_COL = st.from_regex(r"[a-z][a-z0-9_]{0,6}", fullmatch=True)
+# exclude SQL keywords: a column literally named 'or'/'and'/... is not
+# valid as a bare identifier, and parse_where soundly declines the
+# whole WHERE when it sees the keyword (hypothesis found 'or' in r15)
+_SQL_KEYWORDS = {"or", "and", "not", "in", "is", "null", "between", "like"}
+_COL = st.from_regex(r"[a-z][a-z0-9_]{0,6}", fullmatch=True).filter(
+    lambda c: c not in _SQL_KEYWORDS
+)
 _NUM = st.integers(min_value=-10**6, max_value=10**6)
 _OP = st.sampled_from(["=", "!=", "<", "<=", ">", ">="])
 
