@@ -227,11 +227,11 @@ class LakeTable:
             precondition=lambda md: batch_id > high_water(md),
         )
         if snap is None:  # lost the race to a concurrent replay — clean up
-            for f in new_files:
-                try:
-                    os.unlink(f.path)
-                except FileNotFoundError:
-                    pass
+            # the designated abort path: removes the whole staging
+            # prefix (partition subdirs, _SUCCESS) and the in-progress
+            # entries — the manual per-parquet unlink loop leaked both
+            # (r15 review)
+            self._discard_staging()
         return snap
 
     def add_files(self, paths: list[str], partition_values: dict | None = None) -> Snapshot:
@@ -262,6 +262,52 @@ class LakeTable:
                     f"partition_values keys {sorted(got)} must be exactly "
                     f"the spec field names {sorted(want)}"
                 )
+        # coarse type classes: enough to refuse the silently-bricking
+        # mismatches (string file column vs int table column) at
+        # registration — the schema-pinned scan otherwise fails deep in
+        # the parquet reader, far from the add_files call (r15 review).
+        # Same-class width changes (int32 file, bigint table) pass.
+        _coarse_by_ddl = {
+            "tinyint": "int", "smallint": "int", "int": "int",
+            "integer": "int", "bigint": "int", "long": "int",
+            "float": "float", "real": "float", "double": "float",
+            "boolean": "bool", "string": "string", "varchar": "string",
+            "binary": "binary", "date": "date",
+            "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+        }
+        table_types = {}
+        for n, t in ddl_fields(self.metadata.schema_ddl):
+            base = t.strip().lower()
+            if base.startswith("decimal"):
+                table_types[n] = "decimal"
+            else:
+                table_types[n] = _coarse_by_ddl.get(base)
+
+        def _coarse_arrow(dt) -> str | None:
+            import pyarrow as pa
+
+            if pa.types.is_integer(dt):
+                return "int"
+            if pa.types.is_floating(dt):
+                return "float"
+            if pa.types.is_decimal(dt):
+                return "decimal"
+            if pa.types.is_boolean(dt):
+                return "bool"
+            if pa.types.is_string(dt) or pa.types.is_large_string(dt):
+                return "string"
+            if (
+                pa.types.is_binary(dt)
+                or pa.types.is_large_binary(dt)
+                or pa.types.is_fixed_size_binary(dt)
+            ):
+                return "binary"
+            if pa.types.is_timestamp(dt):
+                return "timestamp"
+            if pa.types.is_date(dt):
+                return "date"
+            return None
+
         new_files: list[DataFile] = []
         for path in paths:
             meta = pq.ParquetFile(path).metadata
@@ -271,6 +317,16 @@ class LakeTable:
                 raise ValueError(
                     f"{path}: columns {sorted(extra)} not in table schema"
                 )
+            arrow_schema = meta.schema.to_arrow_schema()
+            for fld in arrow_schema:
+                want = table_types.get(fld.name)
+                got = _coarse_arrow(fld.type)
+                if want is not None and got is not None and want != got:
+                    raise ValueError(
+                        f"{path}: column {fld.name!r} is {fld.type} in the "
+                        f"file but the table declares a {want} type — the "
+                        "schema-pinned scan cannot read it"
+                    )
             partition = dict(partition_values or {})
             if spec:
                 partition = {_pfield_name(pf): partition.get(_pfield_name(pf)) for pf in spec}
@@ -348,13 +404,28 @@ class LakeTable:
     def _candidates_unchanged(self, paths: set[str]):
         """Commit precondition for read-modify-write DML: every
         candidate file the statement read must still be live in the
-        freshest snapshot. A concurrent writer replacing one mid-
-        statement (CoW delete/update, compaction) would otherwise have
-        its committed change silently overwritten by this rewrite —
-        resurrected deletes, duplicated rows."""
+        freshest snapshot, AND no new MoR delete predicate landed since
+        the statement started. A concurrent writer replacing a file
+        mid-statement (CoW delete/update, compaction) would otherwise
+        have its committed change silently overwritten by this rewrite
+        — resurrected deletes, duplicated rows. A concurrent
+        metadata-only MoR delete changes no file paths, but this
+        rewrite's output files would carry a NEWER sequence than the
+        predicate, silently lifting the rewritten rows out of its
+        scope (r15 review)."""
+        pred_ids_before = {
+            (e["predicate"], e["added_snapshot_id"])
+            for e in self.metadata.delete_predicates
+        }
 
         def check(md) -> bool:
             cur = md.current_snapshot()
+            new_preds = any(
+                (e["predicate"], e["added_snapshot_id"]) not in pred_ids_before
+                for e in md.delete_predicates
+            )
+            if new_preds:
+                return False
             if cur is None:
                 return not paths
             live = {f.path for f in cat.read_snapshot_files(self.location, md, cur)}
@@ -720,6 +791,13 @@ class LakeTable:
             if to_snapshot_id is not None
             else (md.current_snapshot().snapshot_id if md.current_snapshot() else 0)
         )
+        if to_id == 0:
+            # no snapshots yet: empty changelog, same grace as
+            # incremental_scan (scan(snapshot_id=0) raised KeyError for
+            # a consumer polling before first ingest; r15 review)
+            return self.spark.createDataFrame([], md.schema_ddl).withColumn(
+                "_change_type", F.lit("insert")
+            ).filter(F.lit(False))
         # from=0 is the pre-table state ("every current row is an
         # insert") — the same replay-everything lower bound
         # incremental_scan documents; never a real snapshot id.
@@ -1025,7 +1103,22 @@ class LakeTable:
         return self._read_files(candidates).filter(where).count() / total
 
     def _delete_mor(self, where: str) -> dict:
-        """Merge-on-read delete: metadata-only predicate commit."""
+        """Merge-on-read delete: metadata-only predicate commit.
+
+        The predicate is ANALYZED against the table schema before it is
+        committed — CoW validates implicitly by executing the filter,
+        but a committed-unchecked MoR predicate with a typo'd column
+        crashed every later scan AND materialize_deletes, leaving no
+        API path to clear it (r15 review)."""
+        probe = self.spark.createDataFrame([], self.metadata.schema_ddl)
+        try:
+            # .schema forces analysis; no job runs on an empty frame
+            probe.filter(F.expr(where)).schema
+        except Exception as exc:
+            raise ValueError(
+                f"MoR delete predicate {where!r} does not analyze against "
+                f"the table schema: {exc}"
+            ) from None
         with cat.CommitLock(self.location):
             md = cat.read_current_metadata(self.location)
             current = md.current_snapshot()
@@ -1133,8 +1226,19 @@ class LakeTable:
             added=rewritten,
             removed_paths=removed,
             summary={"deleted_rows": deleted_rows, "materialized": len(active)},
+            # same read-modify-write discipline as delete/update/merge:
+            # a concurrent CoW commit replacing a candidate mid-pass
+            # would otherwise be silently overwritten by this rewrite
+            # (r15 review — this was the one rewrite path without it)
+            precondition=self._candidates_unchanged(removed),
             mutate=mark,
         )
+        if snap is None:
+            self._discard_staging()
+            raise ConcurrentWriteConflict(
+                "materialize_deletes lost a concurrent-commit race; "
+                "retry the statement"
+            )
         return {
             "materialized": len(active),
             "deleted_rows": deleted_rows,
@@ -1163,9 +1267,36 @@ class LakeTable:
         candidates = [f for f in files if self._file_matches(f, preds)] if preds else files
         if not candidates:
             return {"updated_rows": 0, "rewritten_files": 0}
-        src = self._read_files(candidates)
         cond = F.expr(where) if where else F.lit(True)
-        updated_rows = src.filter(cond).count()
+        if where:
+            # Stats overlap is only a MAY-match: one per-file aggregation
+            # keeps no-hit files untouched and makes a 0-match UPDATE a
+            # true no-op — previously every stats-overlapping candidate
+            # was rewritten and an 'overwrite' snapshot committed even
+            # when nothing matched (r15 review; same discipline DELETE
+            # already applies). NULL-safe: only TRUE rows update.
+            matched = F.coalesce(cond, F.lit(False))
+            per_file = (
+                self._read_files_with_meta(candidates)
+                .groupBy("_meta_file_path")
+                .agg(F.sum(F.when(matched, 1).otherwise(0)).alias("hits"))
+                .collect()
+            )
+            hit_paths = {
+                urllib.parse.unquote(urllib.parse.urlparse(r._meta_file_path).path)
+                for r in per_file
+                if r.hits > 0
+            }
+            updated_rows = int(sum(r.hits for r in per_file))
+            if updated_rows == 0:
+                out0 = {"updated_rows": 0, "rewritten_files": 0}
+                if returning:
+                    out0["returning"] = []
+                return out0
+            candidates = [f for f in candidates if f.path in hit_paths]
+        src = self._read_files(candidates)
+        if not where:
+            updated_rows = src.count()
         # pin the match flag on the PRE-image: an assignment may change
         # a predicate column, and RETURNING must still see those rows
         flagged = src.withColumn("__upd", cond)
@@ -1297,6 +1428,12 @@ class LakeTable:
                 preds.append((k, "<=", hi))
         if when_not_matched_by_source_delete:
             candidates = list(files)  # every file may hold unmatched rows
+        elif not preds and on:
+            # No bounds means the source is empty or its join keys are
+            # all NULL — neither can equal-join a target row, so no file
+            # can hold a match. Empty preds otherwise match EVERY file
+            # and a no-op merge rewrote the whole table (r15 review).
+            candidates = []
         else:
             candidates = [f for f in files if self._file_matches(f, preds)]
         cand_paths = {f.path for f in candidates}
@@ -1346,9 +1483,20 @@ class LakeTable:
             if when_matched_delete:  # pre-image
                 ret = matched.select(*[F.col(f"t.{c}").alias(c) for c in returning])
             else:  # post-image
+                # as STORED: cast assigned expressions to the declared
+                # column type, matching the _align_for_write casts the
+                # written rows get (update() does the same; merge
+                # previously returned the raw expression type —
+                # 't.qty / 2' came back 2.5 while the file stored 2;
+                # r15 review)
+                tmap = dict(ddl_fields(self.metadata.schema_ddl))
                 ret = matched.select(
                     *[
-                        F.expr(assigns[c]).alias(c)
+                        (
+                            F.expr(assigns[c]).cast(tmap[c]).alias(c)
+                            if c in tmap
+                            else F.expr(assigns[c]).alias(c)
+                        )
                         if c in assigns
                         else F.col(f"t.{c}").alias(c)
                         for c in returning
@@ -1755,8 +1903,16 @@ def _partition_field_types(schema_ddl: str, spec: list[dict]) -> dict[str, str]:
 
 def _footer_stats(meta) -> dict[str, dict]:
     """Aggregate parquet row-group statistics into per-column
-    min/max/null_count (data_file_stats.c:612 FetchRowGroupStats)."""
+    min/max/null_count (data_file_stats.c:612 FetchRowGroupStats).
+
+    SOUNDNESS: a column whose stats are missing or unextractable in ANY
+    row group is stored with UNBOUNDED min/max — aggregating only the
+    groups that expose min/max narrows the range, and pruning on the
+    too-narrow bounds silently drops files holding matching rows
+    (r15 review; externally-written files via add_files can truncate
+    or omit per-group statistics)."""
     agg: dict[str, dict] = {}
+    poisoned: set[str] = set()
     for rg in range(meta.num_row_groups):
         g = meta.row_group(rg)
         for ci in range(g.num_columns):
@@ -1764,10 +1920,12 @@ def _footer_stats(meta) -> dict[str, dict]:
             name = col.path_in_schema
             if "." in name:  # nested — skip (leaf pruning only on top level)
                 continue
+            entry = agg.setdefault(name, {"min": None, "max": None, "null_count": 0})
             st = col.statistics
             if st is None:
+                poisoned.add(name)
+                entry["null_count"] = None  # nulls unknown too
                 continue
-            entry = agg.setdefault(name, {"min": None, "max": None, "null_count": 0})
             if st.has_min_max:
                 try:
                     raw_mn, raw_mx = st.min, st.max
@@ -1783,17 +1941,23 @@ def _footer_stats(meta) -> dict[str, dict]:
                         mx = _math.nextafter(mx, _math.inf)
                 except NotImplementedError:
                     # pyarrow can't extract stats for some physical types
-                    # (e.g. fixed-len-byte-array decimals) — no stats, no
-                    # pruning for this column; correctness is unaffected.
+                    # (e.g. fixed-len-byte-array decimals)
                     mn = mx = None
-                if mn is not None and (entry["min"] is None or mn < entry["min"]):
-                    entry["min"] = mn
-                if mx is not None and (entry["max"] is None or mx > entry["max"]):
-                    entry["max"] = mx
+                if mn is None or mx is None:
+                    poisoned.add(name)
+                else:
+                    if entry["min"] is None or mn < entry["min"]:
+                        entry["min"] = mn
+                    if entry["max"] is None or mx > entry["max"]:
+                        entry["max"] = mx
+            else:
+                poisoned.add(name)
             if st.null_count is not None and entry["null_count"] is not None:
                 entry["null_count"] += st.null_count
             else:
                 entry["null_count"] = None
+    for name in poisoned:
+        agg[name]["min"] = agg[name]["max"] = None
     return agg
 
 

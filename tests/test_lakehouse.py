@@ -2231,3 +2231,164 @@ def test_parallel_writers_stress(spark, tmp_path):
     ]
     appends = [s for s in t.metadata.snapshots if s.operation == "append"]
     assert len(appends) == 40  # exactly once each — no lost/doubled commits
+
+
+# ---------------------------------------------------------------------------
+# r15 table.py review regressions
+# ---------------------------------------------------------------------------
+
+def _mk_kv(spark, tmp_path, name, rows=((1, 10), (2, 20), (3, 30))):
+    df = spark.createDataFrame(list(rows), "k int, v int")
+    return LakeTable.create_from_dataframe(spark, str(tmp_path / name), df)
+
+
+def _live_paths(t):
+    from pg_lake_spark.lakehouse import catalog as _cat
+
+    return {
+        f.path
+        for f in _cat.read_snapshot_files(
+            t.location, t.metadata, t.metadata.current_snapshot()
+        )
+    }
+
+
+def test_mor_delete_rejects_unanalyzable_predicate(spark, tmp_path):
+    """A typo'd MoR predicate used to COMMIT and then crash every scan
+    and materialize pass with no API path to clear it (r15 review)."""
+    t = _mk_kv(spark, tmp_path, "mor_typo")
+    with pytest.raises(ValueError, match="does not analyze"):
+        t.delete("vv > 10", mode="mor")
+    # table still scans; a valid predicate still works
+    assert t.scan().count() == 3
+    t.delete("v > 25", mode="mor")
+    assert t.scan().count() == 2
+
+
+def test_merge_empty_source_is_noop(spark, tmp_path):
+    """Empty source (or all-NULL keys) produced an EMPTY pruning list
+    that matched every file — a no-op merge rewrote the whole table
+    (r15 review)."""
+    t = _mk_kv(spark, tmp_path, "merge_empty")
+    before = _live_paths(t)
+    res = t.merge(
+        spark.createDataFrame([], "k int, v int"),
+        ["k"],
+        when_matched_update={"v": "s.v"},
+    )
+    assert res["rewritten_files"] == 0
+    assert _live_paths(t) == before
+    assert sorted((r.k, r.v) for r in t.scan().collect()) == [
+        (1, 10), (2, 20), (3, 30)
+    ]
+
+
+def test_update_zero_matches_is_noop(spark, tmp_path):
+    """A WHERE inside every file's stats range but matching no row used
+    to rewrite every candidate and commit an 'overwrite' snapshot
+    (r15 review; DELETE already had per-file hit counting)."""
+    t = _mk_kv(spark, tmp_path, "upd_noop")
+    snaps_before = len(t.metadata.snapshots)
+    files_before = _live_paths(t)
+    res = t.update({"v": "v + 1"}, where="k = 99")
+    assert res == {"updated_rows": 0, "rewritten_files": 0}
+    assert len(t.metadata.snapshots) == snaps_before
+    assert _live_paths(t) == files_before
+
+
+def test_update_rewrites_only_hit_files(spark, tmp_path):
+    """Per-file hit counting: files without a matching row survive
+    untouched."""
+    df1 = spark.createDataFrame([(1, 10)], "k int, v int").coalesce(1)
+    df2 = spark.createDataFrame([(2, 20)], "k int, v int").coalesce(1)
+    t = LakeTable.create_from_dataframe(spark, str(tmp_path / "upd_hits"), df1)
+    t.append(df2)
+    before = _live_paths(t)
+    assert len(before) == 2
+    res = t.update({"v": "v + 1"}, where="k = 2")
+    assert res["updated_rows"] == 1
+    after = _live_paths(t)
+    # the k=1 file is untouched; only the k=2 file was rewritten
+    assert len(before & after) == 1
+    assert sorted((r.k, r.v) for r in t.scan().collect()) == [(1, 10), (2, 21)]
+
+
+def test_changelog_on_empty_table(spark, tmp_path):
+    """changelog(0) before the first ingest returned KeyError instead
+    of an empty changelog (r15 review)."""
+    t = LakeTable.create(spark, str(tmp_path / "cl_empty"), "k int, v int")
+    cl = t.changelog(0)
+    assert cl.count() == 0
+    assert "_change_type" in cl.columns
+
+
+def test_footer_stats_poisoned_without_statistics(spark, tmp_path):
+    """A row group lacking min/max must leave the column UNBOUNDED —
+    narrowed bounds made pruning drop files holding matching rows
+    (r15 review)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg_lake_spark.lakehouse.table import _footer_stats
+
+    p = str(tmp_path / "nostats.parquet")
+    pq.write_table(
+        pa.table({"k": [1, 50, 100], "v": [1, 2, 3]}),
+        p,
+        write_statistics=False,
+    )
+    stats = _footer_stats(pq.ParquetFile(p).metadata)
+    assert stats["k"]["min"] is None and stats["k"]["max"] is None
+    # end-to-end: the registered file is NOT pruned away
+    t = LakeTable.create(spark, str(tmp_path / "nostats_t"), "k bigint, v bigint")
+    t.add_files([p])
+    assert t.scan().filter("k = 50").count() == 1
+    res = t.delete("k = 50")
+    assert res["deleted_rows"] == 1
+
+
+def test_add_files_rejects_mistyped_column(spark, tmp_path):
+    """A string file column registered into an int table bricked the
+    scan far from the add_files call (r15 review)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "mistyped.parquet")
+    pq.write_table(pa.table({"k": [1], "v": ["oops"]}), p)
+    t = LakeTable.create(spark, str(tmp_path / "mistyped_t"), "k bigint, v int")
+    with pytest.raises(ValueError, match="declares a int type"):
+        t.add_files([p])
+
+
+def test_merge_returning_casts_to_declared_type(spark, tmp_path):
+    """merge RETURNING shows the post-image as STORED (update() already
+    cast; merge returned the raw expression type — 2.5 for an int
+    column that stores 2; r15 review)."""
+    t = _mk_kv(spark, tmp_path, "merge_ret")
+    res = t.merge(
+        spark.createDataFrame([(2, 0)], "k int, v int"),
+        ["k"],
+        when_matched_update={"v": "t.v / 8"},
+        returning=["k", "v"],
+    )
+    (row,) = res["returning"]
+    assert row.v == 2  # int(20 / 8) as stored, not 2.5
+    stored = {r.k: r.v for r in t.scan().collect()}
+    assert stored[2] == 2
+
+
+def test_candidates_unchanged_detects_new_mor_predicate(spark, tmp_path):
+    """The read-modify-write precondition must abort when a concurrent
+    metadata-only MoR delete landed mid-statement — the rewrite's new
+    file sequence would lift its rows out of the predicate's scope
+    (r15 review)."""
+    from pg_lake_spark.lakehouse import catalog as cat
+
+    t = _mk_kv(spark, tmp_path, "precond")
+    paths = _live_paths(t)
+    check = t._candidates_unchanged(paths)
+    md = cat.read_current_metadata(t.location)
+    assert check(md) is True
+    t.delete("v > 25", mode="mor")  # concurrent metadata-only delete
+    md2 = cat.read_current_metadata(t.location)
+    assert check(md2) is False
