@@ -136,6 +136,25 @@ def bloom_semi_join(
 # Count-min frequency sketch (heavy-hitter estimation)
 # ---------------------------------------------------------------------------
 
+def _cm_cells(key: Column, width: int, depth: int) -> Column:
+    """The count-min (row, col) cell coordinates for a key — ONE
+    definition shared by build and probe: the sketch is only correct
+    when both compute byte-identical xxhash64/pmod coordinates, and the
+    two hand-synced copies were the exact build/probe drift hazard
+    _positions() exists to prevent for the Bloom filter (r15 review)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("row"),
+                    F.pmod(F.xxhash64(key, F.lit(d)), F.lit(width)).alias("col"),
+                )
+                for d in range(depth)
+            ]
+        )
+    )
+
+
 def build_count_min(
     df: DataFrame, key: str | Column, *, width: int = 2048, depth: int = 5
 ) -> DataFrame:
@@ -146,19 +165,7 @@ def build_count_min(
     guarantee: estimate >= true count, overestimate <= 2N/width with
     probability 1 - 2^-depth."""
     key = F.col(key) if isinstance(key, str) else key
-    cells = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("row"),
-                        F.pmod(F.xxhash64(key, F.lit(d)), F.lit(width)).alias("col"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("c")
-    )
+    cells = df.select(_cm_cells(key, width, depth).alias("c"))
     return (
         cells.select("c.row", "c.col")
         .groupBy("row", "col")
@@ -175,18 +182,7 @@ def count_min_estimate(
     as 0)."""
     key_col = F.col(key) if isinstance(key, str) else key
     lookups = probe.select(
-        key_col.alias("__key"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("row"),
-                        F.pmod(F.xxhash64(key_col, F.lit(d)), F.lit(width)).alias("col"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("c"),
+        key_col.alias("__key"), _cm_cells(key_col, width, depth).alias("c")
     ).select("__key", "c.row", "c.col")
     est = (
         lookups.join(F.broadcast(sketch), ["row", "col"], "left")

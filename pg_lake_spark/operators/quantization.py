@@ -34,7 +34,7 @@ mandate (embedding near-dup / similarity at corpus scale).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -122,15 +122,11 @@ def _query_luts(qrows, books, dsub):
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     """Global per-query top-k: (score desc, vec_id) rank, ordered
-    (query_id, rank)."""
-    from pyspark.sql.window import Window
+    (query_id, rank) — delegates to THE shared tie-break contract
+    (similarity.rank_topk; r15 review folded four copies into one)."""
+    from pg_lake_spark.operators.similarity import rank_topk
 
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return rank_topk(scored, k, id_col="vec_id", score_col="score")
 
 
 def _exact_rerank(
@@ -163,11 +159,18 @@ def pq_encode(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry: Column | None = None,
+    carry_name: str = "cid",
 ) -> DataFrame:
-    """(id, codes array<int>) — each vector's m nearest-codeword ids.
+    """(id, codes array<int>[, carry]) — each vector's m
+    nearest-codeword ids.
 
     One Arrow-batched pass; the codebooks ride to executors as a task
-    closure (m·k·dsub floats — a few KB)."""
+    closure (m·k·dsub floats — a few KB). ``carry`` optionally threads
+    an int Column (e.g. the IVF list id) computed from the corpus row
+    through the pass — ivfpq previously re-derived it with a SECOND
+    full corpus scan plus a corpus-wide shuffle join on vec_id
+    (r15 review)."""
     import numpy as np
     import pandas as pd
 
@@ -175,7 +178,10 @@ def pq_encode(
     books = [np.array(b, dtype="float32") for b in codebooks]
     dsub = books[0].shape[1]
 
-    src = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    cols = [F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")]
+    if carry is not None:
+        cols.append(carry.cast("int").alias("__carry"))
+    src = corpus.select(*cols)
 
     def encode(batches):
         for pdf in batches:
@@ -195,9 +201,15 @@ def pq_encode(
                     + (cb * cb).sum(axis=1)
                 )
                 codes[:, s] = d2.argmin(axis=1)
-            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes)})
+            out = {"vec_id": pdf["vec_id"], "codes": list(codes)}
+            if "__carry" in pdf.columns:
+                out[carry_name] = pdf["__carry"]
+            yield pd.DataFrame(out)
 
-    return src.mapInPandas(encode, "vec_id bigint, codes array<int>")
+    schema = "vec_id bigint, codes array<int>"
+    if carry is not None:
+        schema += f", {carry_name} int"
+    return src.mapInPandas(encode, schema)
 
 
 def pq_topk(
@@ -253,7 +265,12 @@ def pq_topk(
                     sc_k, ids_k = sc[keep], ids[keep]
                 else:
                     sc_k, ids_k = sc, ids
-                top = np.argsort(-sc_k)[:fetch]
+                # lexsort (score desc, vec_id asc): score-only quicksort
+                # cut TIED scores at the fetch boundary arbitrarily, so
+                # the batch could drop the vec_id the global (score,
+                # vec_id) ranking prefers — PQ maps near-dups to
+                # identical codes, making exact ties common (r15 review)
+                top = np.lexsort((ids_k, -sc_k))[:fetch]
                 out_q.extend([qid] * len(top))
                 out_v.extend(ids_k[top])
                 out_s.extend(sc_k[top])
@@ -316,13 +333,14 @@ def ivfpq_topk(
         )
     n_probe = min(n_probe, len(centroids))
 
-    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
-    lists = corpus.select(
-        F.col(id_col).alias("__lid"),
-        _nearest_centroid(F.col(vec_col).cast("array<double>"), centroids).alias("cid"),
-    )
-    coded = codes.join(lists, codes["vec_id"] == lists["__lid"]).select(
-        "vec_id", "codes", "cid"
+    # the IVF list id rides through the encode pass as a carry column —
+    # one corpus scan, no corpus-wide vec_id re-join (r15 review)
+    coded = pq_encode(
+        corpus,
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+        carry=_nearest_centroid(F.col(vec_col).cast("array<double>"), centroids),
     )
 
     probes = _probe_ids(F.col("qvec"), centroids, n_probe)
@@ -353,6 +371,8 @@ def ivfpq_topk(
     qrows = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("vec")
     ).collect()
+    if not qrows:
+        raise ValueError("no queries")  # same contract as pq_topk
     luts = _query_luts(qrows, books, dsub)
     fetch = k * (overfetch if rerank_with is not None else 1)
 
@@ -372,7 +392,9 @@ def ivfpq_topk(
                 if exclude_self:
                     keep = ids != int(qid)  # before the top-fetch
                     sc, ids = sc[keep], ids[keep]
-                top = np.argsort(-sc)[:fetch]
+                # lexsort: ties at the fetch boundary keep the lowest
+                # vec_id, matching the global ranking (r15 review)
+                top = np.lexsort((ids, -sc))[:fetch]
                 out.append(
                     pd.DataFrame(
                         {"query_id": int(qid), "vec_id": ids[top], "score": sc[top]}

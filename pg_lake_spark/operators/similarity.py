@@ -33,6 +33,28 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def rank_topk(
+    scored: DataFrame,
+    k: int,
+    *,
+    id_col: str,
+    score_col: str = "cos_sim",
+    query_col: str = "query_id",
+) -> DataFrame:
+    """Per-query top-k on (score desc, id asc) — THE tie-break contract
+    every ANN entry point shares. One definition: four verbatim copies
+    across similarity/quantization were one tie-break fix away from
+    drifting (r15 review)."""
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_col, "rank")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -55,21 +77,20 @@ def brute_force_topk(
         .filter(F.col(id_col) != F.col("query_id"))
         .select("query_id", id_col, cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return rank_topk(scored, k, id_col=id_col)
 
 
 def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 0) -> Column:
     """Deterministic random-hyperplane LSH bucket id (0 .. 2^n_planes-1).
 
-    Plane p's component j is cos(seed + p*dim + j) — a fixed
-    pseudo-random sequence identically computable in any engine (no RNG
-    state); distinct seeds give independent hash tables. The bucket is
-    the integer formed by the sign bits of vec·plane.
+    Plane p's component j is sin(freq·(j+1) + 78.233) with
+    freq = (seed + p + 1)·12.9898 — a fixed pseudo-random sequence
+    identically computable in any engine (no RNG state; the SQL oracles
+    in queries/datapipe.py replay exactly this formula — the docstring
+    previously described an ABANDONED cos(seed + p·dim + j) variant,
+    which would give 0% bucket overlap to anyone re-implementing from
+    it; r15 review). Distinct seeds give independent hash tables. The
+    bucket is the integer formed by the sign bits of vec·plane.
     """
     def plane_fn(freq: float):
         # single-arg lambda (two-arg would become (element, index));
@@ -148,17 +169,15 @@ def lsh_topk(
         c.join(q, ["tbl", "bkt"])
         .filter(F.col(id_col) != F.col("query_id"))
         .select("query_id", id_col, "qvec", "cvec")
-        .distinct()  # dedupe candidates found by multiple tables
     )
+    # score BEFORE deduping: duplicate candidates (found by several
+    # tables) score identically, so distinct on the scalar rows moves
+    # ~24 B/row through the exchange instead of both embedding arrays
+    # (~2xdim doubles per candidate; r15 review)
     scored = cand.select(
         "query_id", id_col, cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    ).distinct()
+    return rank_topk(scored, k, id_col=id_col)
 
 
 def cosine_neardup_pairs(
@@ -228,15 +247,26 @@ def cosine_neardup_pairs(
         a = pdf[pdf["side"] == 0]
         b = pdf[pdf["side"] == 1]
         if a.empty or b.empty:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            # dtype-preserving empty frame: the id columns carry the
+            # caller's id type (string/uuid ids are legal — hard-coding
+            # int64 crashed inside the Arrow worker; r15 review, same
+            # fix semantic_dedup got earlier)
+            e = pdf["vid"].iloc[:0]
+            return pd.DataFrame(
+                {"id_a": e, "id_b": e, "cos_sim": pd.Series([], dtype="float64")}
             )
-        a_ids = a["vid"].to_numpy(dtype=np.int64)
-        b_ids = b["vid"].to_numpy(dtype=np.int64)
+        a_ids = a["vid"].to_numpy()
+        b_ids = b["vid"].to_numpy()
         a_mat = np.array(list(a["vec"]), dtype=np.float64)
         b_mat = np.array(list(b["vec"]), dtype=np.float64)
-        a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
-        b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
+        # zero-norm guard (an all-zero embedding otherwise yields a NaN
+        # row + numpy warnings; every other kernel here guards it)
+        an = np.linalg.norm(a_mat, axis=1, keepdims=True)
+        bn = np.linalg.norm(b_mat, axis=1, keepdims=True)
+        an[an == 0] = 1.0
+        bn[bn == 0] = 1.0
+        a_mat /= an
+        b_mat /= bn
         diag = pdf["ba"].iat[0] == pdf["bb"].iat[0]
         # Chunk the gemm over a_mat rows: a full sims matrix is
         # (N/B)^2 doubles — 5 GB/task at 25k-row blocks (the r9 sf10
@@ -269,10 +299,11 @@ def cosine_neardup_pairs(
             )
         return pd.concat(outs, ignore_index=True)
 
+    id_dt = df.schema[id_col].dataType.simpleString()
     return (
         left.unionByName(right)
         .groupBy("ba", "bb")
-        .applyInPandas(gemm, "id_a bigint, id_b bigint, cos_sim double")
+        .applyInPandas(gemm, f"id_a {id_dt}, id_b {id_dt}, cos_sim double")
     )
 
 
@@ -298,9 +329,7 @@ def _probe_ids(qvec: Column, centroids: list[list[float]], n_probe: int) -> Colu
     in list i while queries probed the empty twin list j > i."""
     zipped = F.arrays_zip(
         F.array(*[-dot(qvec, F.lit(c)) for c in centroids]).alias("s"),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(len(centroids) - 1)), lambda i: i
-        ).alias("i"),
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)).alias("i"),
     )
     return F.transform(F.slice(F.array_sort(zipped), 1, n_probe), lambda x: x["i"])
 
@@ -426,12 +455,7 @@ def ivf_topk(
     scored = cand.select(
         "query_id", id_col, cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return rank_topk(scored, k, id_col=id_col)
 
 
 def semantic_dedup(

@@ -224,6 +224,13 @@ _CODE_CHANGED_IN: dict[str, int] = {
     "ddl_alter_statements": 15,
     "dml_changelog": 15,
     "dml_incremental_scan": 15,
+    # r15 similarity/quantization/membership review: shared rank_topk
+    # tie-break, lexsort partial top-fetch, dtype-preserving neardup
+    # ids + zero-norm guard, lsh score-then-distinct, pq_encode carry.
+    "sim_cosine_topk": 15,
+    "sim_lsh_topk": 15,
+    "sim_ivf_topk": 15,
+    "dd_embedding_neardup": 15,
 }
 
 

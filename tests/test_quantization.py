@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from pg_lake_spark.operators.quantization import (
+    ivfpq_topk,
     pq_encode,
     pq_topk,
     train_pq_codebooks,
@@ -98,3 +99,35 @@ def test_ivfpq_composed_recall_and_pruning(spark, emb):
     assert all(len(v) == 10 for v in per_q.values())
     hits = sum(1 for r in rows if r.vec_id in truth.get(r.query_id, set()))
     assert hits / (10 * len(truth)) >= 0.5
+
+
+def test_partial_topfetch_keeps_lowest_id_on_ties(spark, emb):
+    """PQ maps near-dups to identical codes, so exactly-tied ADC scores
+    are common; the score-only argsort cut ties at the fetch boundary
+    arbitrarily, dropping the vec_id the global (score desc, vec_id)
+    ranking prefers (r15 review: np.lexsort now pins it)."""
+    # duplicate vectors -> identical codes -> exactly tied scores
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(20)]
+    rows += [(100 + i, [0.0, 1.0, 0.0, 0.0]) for i in range(5)]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = corpus.filter("vec_id = 0")
+    books = train_pq_codebooks(corpus, m=2, k=4, train_rows=64)
+    codes = pq_encode(corpus, books)
+    got = pq_topk(codes, queries, books, k=5, exclude_self=True).collect()
+    # all of vec_ids 1..19 tie at the top score; top-5 must be 1..5
+    assert [r.vec_id for r in got] == [1, 2, 3, 4, 5]
+
+
+def test_ivfpq_empty_queries_raises(spark, emb):
+    """ivfpq_topk silently returned an empty frame for zero queries
+    while pq_topk raised — inconsistent contract (r15 review)."""
+    import pytest as _pytest
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(8)],
+        "vec_id bigint, embedding array<double>",
+    )
+    empty_q = corpus.filter("vec_id < 0")
+    books = train_pq_codebooks(corpus, m=2, k=4, train_rows=8)
+    with _pytest.raises(ValueError, match="no queries"):
+        ivfpq_topk(corpus, empty_q, codebooks=books, n_centroids=2, n_probe=1)

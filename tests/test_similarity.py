@@ -150,3 +150,36 @@ def test_streaming_band_keys_drop_null_text(spark):
     )
     out = streaming_band_keys(df, "doc_id", "text", shingle_n=3)
     assert {r._id for r in out.collect()} == {2, 3}
+
+
+def test_neardup_pairs_string_ids_and_zero_norm(spark):
+    """cosine_neardup_pairs hard-coded int64 ids (string/uuid ids
+    crashed in the Arrow worker — same defect semantic_dedup was fixed
+    for) and divided by zero norms (NaN rows) — r15 review."""
+    from pg_lake_spark.operators.similarity import cosine_neardup_pairs
+
+    df = spark.createDataFrame(
+        [
+            ("doc-a", [1.0, 0.0]),
+            ("doc-b", [1.0, 0.0]),
+            ("doc-z", [0.0, 0.0]),  # zero vector must not NaN the batch
+        ],
+        "doc_id string, emb array<double>",
+    )
+    pairs = cosine_neardup_pairs(
+        df, "doc_id", "emb", threshold=0.99, n_blocks=2
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [("doc-a", "doc-b")]
+
+
+def test_rank_topk_shared_tiebreak(spark):
+    """One ranking definition across similarity/quantization: ties
+    break toward the LOWEST id."""
+    from pg_lake_spark.operators.similarity import rank_topk
+
+    scored = spark.createDataFrame(
+        [(1, 7, 0.5), (1, 3, 0.5), (1, 9, 0.4)],
+        "query_id int, vec_id int, cos_sim double",
+    )
+    rows = rank_topk(scored, 2, id_col="vec_id").collect()
+    assert [(r.vec_id, r.rank) for r in rows] == [(3, 1), (7, 2)]
