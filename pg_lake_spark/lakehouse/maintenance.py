@@ -31,6 +31,7 @@ def _rewrite_commit(
     added: list[DataFile],
     input_files: list[DataFile],
     summary: dict,
+    properties_update: dict | None = None,
 ) -> bool:
     """Commit a rewrite that replaces ``input_files`` with ``added``,
     with the two rails that make rewrites safe against concurrent user
@@ -57,20 +58,38 @@ def _rewrite_commit(
         if nf.added_snapshot_id is None:
             nf.added_snapshot_id = oldest
 
+    schema_log_before = len(table.metadata.schema_log)
+
     def _inputs_still_live(md) -> bool:
+        # Schema-log stability too: a concurrent RENAME/era event during
+        # the rewrite window would leave outputs written under the OLD
+        # physical layout but stamped with a post-event
+        # schema_snapshot_id — era resolution then reads the renamed
+        # column as NULL in every rewritten row (r15 review).
+        if len(md.schema_log) != schema_log_before:
+            return False
         cur = md.current_snapshot()
         if cur is None:
             return False
         live = {f.path for f in cat.read_snapshot_files(table.location, md, cur)}
         return removed <= live
 
-    snap = table._commit(
-        operation=operation,
-        added=added,
-        removed_paths=removed,
-        summary=summary,
-        precondition=_inputs_still_live,
-    )
+    try:
+        snap = table._commit(
+            operation=operation,
+            added=added,
+            removed_paths=removed,
+            summary=summary,
+            precondition=_inputs_still_live,
+            properties_update=properties_update,
+        )
+    except BaseException:
+        # an exception between staging and commit (e.g. lock timeout)
+        # otherwise leaks the staged outputs forever: the next
+        # successful commit's _clear_in_progress drops their entries
+        # without removing the data (r15 review)
+        table._discard_staging()
+        raise
     if snap is None:
         # aborted commit: LakeTable owns the staged-prefix cleanup
         # (whole prefixes incl. _SUCCESS markers, then the in-progress
@@ -124,7 +143,7 @@ def compact_data_files(
         n_out = max(1, total // threshold)
         df = table._read_files(group)  # era-aware: renames/backfills resolve
         oldest = min((f.added_snapshot_id or 0) for f in group)
-        for nf in table._write_data_files(df.coalesce(int(n_out))):
+        for nf in table._write_data_files(df.coalesce(int(n_out)), cluster=False):
             nf.added_snapshot_id = oldest  # per-group sequence pinning
             added.append(nf)
         inputs.extend(group)
@@ -223,6 +242,12 @@ def purge_deletion_queue(
     with cat.CommitLock(table.location):
         md = cat.read_current_metadata(table.location)
         cutoff_ms = int(time.time() * 1000) - retention_s * 1000
+        # the common cadence case is an empty/all-young queue — skip the
+        # O(snapshots × files) reachability walk (and release the lock)
+        # when no entry has even passed the age cutoff (r15 review;
+        # expire_in_metadata early-returns the same way)
+        if not any(e["enqueued_ms"] <= cutoff_ms for e in md.deletion_queue):
+            return {"purged": 0, "still_queued": len(md.deletion_queue)}
         referenced: set[str] = set()
         mdir = cat._meta_dir(table.location)
         for s in md.snapshots:
@@ -553,21 +578,19 @@ def rewrite_sorted(
     clustered = df.repartitionByRange(n_out, *[F.col(c) for c in columns]).sortWithinPartitions(
         *columns
     )
-    added = table._write_data_files(clustered)
+    added = table._write_data_files(clustered, cluster=False)
+    # the property rides the SAME commit — a separate lock round-trip
+    # could crash between the two, leaving rewritten data with the
+    # sort-order property unset (r15 review)
     if not _rewrite_commit(
         table,
         operation="replace",
         added=added,
         input_files=files,
         summary={"rewrite_sorted": ",".join(columns)},
+        properties_update={"sort-order": ",".join(columns)},
     ):
         return {"rewritten_files": 0, "added_files": 0, "aborted": True}
-
-    with cat.CommitLock(table.location):
-        md = cat.read_current_metadata(table.location)
-        md.properties["sort-order"] = ",".join(columns)
-        cat.commit_metadata(table.location, md)
-        table.metadata = md
     return {"rewritten_files": len(files), "added_files": len(added)}
 
 
@@ -591,14 +614,39 @@ def zorder_value(df, columns: list[str], bits: int = 8):
     # top bucket's sort). Cap per-column bits so every position fits in
     # the non-negative range — fewer bits is coarser clustering, never
     # wrong.
-    bits = max(1, min(bits, 63 // k))
+    # absolute ceiling 12 on top of the shift cap: the quantile prob
+    # list is 2^bits entries on the DRIVER — bits=40 with k=1 passed the
+    # shift cap and tried to build a trillion-element list (r15 review);
+    # 4096 buckets per dimension is already far past useful clustering
+    bits = max(1, min(bits, 63 // k, 12))
     n_codes = 1 << bits
     probs = [i / n_codes for i in range(1, n_codes)]
+    # Column → orderable double. A blind cast('double') turned string/
+    # date columns into all-NULLs, giving an EMPTY quantile list and
+    # code 0 for every row — z-ordering silently provided no clustering
+    # on those columns (r15 review). Dates/timestamps map to their
+    # epoch; strings/binary refuse loudly (hash codes would scatter the
+    # value ranges min/max pruning needs).
+    dtypes = dict(df.dtypes)
+
+    def _orderable(c: str):
+        dt = dtypes.get(c, "")
+        base = dt.split("(")[0]
+        if base in ("string", "binary", "varchar", "char"):
+            raise ValueError(
+                f"zorder column {c!r} has type {dt}: only numeric/"
+                "date/timestamp/boolean columns give the value-range "
+                "locality z-ordering exists for"
+            )
+        if base in ("date", "timestamp", "timestamp_ntz"):
+            return F.col(c).cast("timestamp").cast("double")
+        return F.col(c).cast("double")
+
     # one multi-column approxQuantile pass: the list form computes every
     # column's boundaries in a single scan of the table instead of k
     # sequential full re-reads
     casts = df.select(
-        *[F.col(c).cast("double").alias(f"__v{i}") for i, c in enumerate(columns)]
+        *[_orderable(c).alias(f"__v{i}") for i, c in enumerate(columns)]
     )
     all_cuts = casts.approxQuantile([f"__v{i}" for i in range(k)], probs, 0.001)
     codes = []
@@ -607,12 +655,12 @@ def zorder_value(df, columns: list[str], bits: int = 8):
         # skewed data collapse into fewer, still-correct buckets)
         uniq = sorted(set(cuts))
         arr = F.array(*[F.lit(float(b)) for b in uniq])
+        val = _orderable(c)  # same mapping as the quantile pass
         codes.append(
             F.aggregate(
                 arr,
                 F.lit(0),
-                lambda acc, b: acc
-                + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
+                lambda acc, b: acc + F.when(val >= b, 1).otherwise(0),
             )
         )
     z = F.lit(0).cast("long")
@@ -659,20 +707,16 @@ def rewrite_zorder(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
-    added = table._write_data_files(clustered)
+    added = table._write_data_files(clustered, cluster=False)
     if not _rewrite_commit(
         table,
         operation="replace",
         added=added,
         input_files=files,
         summary={"rewrite_zorder": ",".join(columns)},
+        properties_update={"zorder-by": ",".join(columns)},
     ):
         return {"rewritten_files": 0, "added_files": 0, "aborted": True}
-    with cat.CommitLock(table.location):
-        md = cat.read_current_metadata(table.location)
-        md.properties["zorder-by"] = ",".join(columns)
-        cat.commit_metadata(table.location, md)
-        table.metadata = md
     return {"rewritten_files": len(files), "added_files": len(added)}
 
 
@@ -695,14 +739,35 @@ def find_unreferenced_files(table: LakeTable) -> list[str]:
     enqueue) — ``lake.find_unreferenced_files`` parity."""
     import glob as _glob
 
+    import json as _json
+
     referenced = {os.path.abspath(p) for p in find_all_referenced_files(table)}
+    # a LIVE in-flight write's staging prefix is not unreferenced — it
+    # is registered in the in_progress queue and simply not committed
+    # yet; reporting it as a deletion candidate invites an operator to
+    # delete a write in progress (r15 review)
+    in_progress: list[str] = []
+    d = os.path.join(table.location, "_lake_metadata", "in_progress")
+    if os.path.isdir(d):
+        for entry in _glob.glob(os.path.join(d, "*.json")):
+            try:
+                with open(entry) as fh:
+                    pfx = _json.load(fh).get("prefix")
+                if pfx:
+                    in_progress.append(os.path.abspath(pfx))
+            except (OSError, ValueError):
+                continue
     on_disk = [
         os.path.abspath(p)
         for p in _glob.glob(
             os.path.join(table.location, "data", "**", "*.parquet"), recursive=True
         )
     ]
-    return sorted(p for p in on_disk if p not in referenced)
+    return sorted(
+        p
+        for p in on_disk
+        if p not in referenced and not any(p.startswith(pf) for pf in in_progress)
+    )
 
 
 def table_size(table: LakeTable) -> dict:
@@ -775,19 +840,29 @@ def flush_in_progress_queue(table: LakeTable, older_than_s: float = 3600.0) -> d
             # write, not a crash) — liveness beats wall-clock age.
             kept += 1
             continue
-        prefix = rec["prefix"]
-        live = any(f.startswith(os.path.abspath(prefix)) for f in referenced)
-        if live:
-            # committed by a writer that died before clearing its entry
-            os.remove(entry)
+        prefix = rec.get("prefix")
+        if not prefix:
+            # malformed entry: skip it, never abort the whole flush —
+            # one bad record previously KeyError'd and blocked
+            # reclamation of every entry after it (r15 review)
             continue
-        if os.path.isdir(prefix):
-            freed += sum(
-                os.path.getsize(os.path.join(r, f))
-                for r, _dirs, files in os.walk(prefix)
-                for f in files
-            )
-            _shutil.rmtree(prefix, ignore_errors=True)
-        os.remove(entry)
-        flushed += 1
+        try:
+            live = any(f.startswith(os.path.abspath(prefix)) for f in referenced)
+            if live:
+                # committed by a writer that died before clearing its entry
+                os.remove(entry)
+                continue
+            if os.path.isdir(prefix):
+                freed += sum(
+                    os.path.getsize(os.path.join(r, f))
+                    for r, _dirs, files in os.walk(prefix)
+                    for f in files
+                )
+                _shutil.rmtree(prefix, ignore_errors=True)
+            os.remove(entry)
+            flushed += 1
+        except FileNotFoundError:
+            # a second concurrent vacuum (multi-host deployment) won the
+            # race on this entry — its work is done either way
+            continue
     return {"flushed": flushed, "kept": kept, "bytes": freed}

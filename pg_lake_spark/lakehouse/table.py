@@ -433,7 +433,7 @@ class LakeTable:
 
         return check
 
-    def _write_data_files(self, df: DataFrame) -> list[DataFile]:
+    def _write_data_files(self, df: DataFrame, *, cluster: bool = True) -> list[DataFile]:
         staging = os.path.join(self.location, "data", uuid.uuid4().hex)
         self._register_in_progress(staging)
         spec = self.metadata.partition_spec
@@ -448,12 +448,18 @@ class LakeTable:
                     dname, col_builder(F.col(pf["column"]), pf.get("param"), dtype)
                 )
                 derived.append(dname)
-            # Fan-out discipline: cluster rows of the same partition into
-            # the same task before the partitioned write so each task
-            # holds O(1) open files, the Spark analogue of the
-            # max_open_files_for_partitioned_write staging design
-            # (multi_data_file_dest.c).
-            out = out.repartition(*[F.col(d) for d in derived])
+            if cluster:
+                # Fan-out discipline: cluster rows of the same partition
+                # into the same task before the partitioned write so each
+                # task holds O(1) open files, the Spark analogue of the
+                # max_open_files_for_partitioned_write staging design
+                # (multi_data_file_dest.c). Maintenance rewrites pass
+                # cluster=False: they have ALREADY laid the data out
+                # (coalesce sizing, range+sort clustering) and this hash
+                # repartition silently destroyed it — one giant file per
+                # compacted partition group, zero z/sort locality
+                # (r15 review).
+                out = out.repartition(*[F.col(d) for d in derived])
             out.write.partitionBy(*derived).parquet(staging)
         else:
             df.write.parquet(staging)

@@ -1590,7 +1590,7 @@ def test_mor_delete_during_compaction_window_still_applies(spark, tmp_path, monk
     orig = t._write_data_files
     fired = []
 
-    def hijack(df):
+    def hijack(df, **kwargs):
         out = orig(df)
         if not fired:
             fired.append(1)
@@ -1617,7 +1617,7 @@ def test_compaction_aborts_on_concurrent_cow_delete(spark, tmp_path, monkeypatch
     orig = t._write_data_files
     fired = []
 
-    def hijack(df):
+    def hijack(df, **kwargs):
         out = orig(df)
         if not fired:
             fired.append(1)
@@ -1812,7 +1812,7 @@ def test_update_conflicts_with_concurrent_cow_delete(spark, tmp_path, monkeypatc
     orig = t._write_data_files
     fired = []
 
-    def hijack(df):
+    def hijack(df, **kwargs):
         out = orig(df)
         if not fired:
             fired.append(1)
@@ -2392,3 +2392,116 @@ def test_candidates_unchanged_detects_new_mor_predicate(spark, tmp_path):
     t.delete("v > 25", mode="mor")  # concurrent metadata-only delete
     md2 = cat.read_current_metadata(t.location)
     assert check(md2) is False
+
+
+def test_sorted_rewrite_preserves_clustering_on_partitioned_table(spark, tmp_path):
+    """_write_data_files' fan-out hash repartition silently destroyed
+    the range+sort layout maintenance rewrites had just built — every
+    output file spanned the whole domain and pruning pruned nothing
+    (r15 review; maintenance now passes cluster=False)."""
+    import pyarrow.parquet as pq
+
+    df = spark.range(4000).selectExpr(
+        "CAST(id % 2 AS int) AS p", "CAST(id AS bigint) AS ts", "id AS v"
+    )
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "sorted_part"),
+        "p int, ts bigint, v bigint",
+        partition_by=["p"],
+    )
+    t.append(df)
+    res = maintenance.rewrite_sorted(t, ["ts"], target_file_size_mb=1)
+    assert res["added_files"] >= 1
+    # within each partition, file ts-ranges must not all span the domain
+    files = _live_paths(t)
+    spans = []
+    for p in files:
+        md = pq.ParquetFile(p).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        st = md.row_group(0).column(idx["ts"]).statistics
+        lo = min(
+            md.row_group(rg).column(idx["ts"]).statistics.min
+            for rg in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(rg).column(idx["ts"]).statistics.max
+            for rg in range(md.num_row_groups)
+        )
+        spans.append(hi - lo)
+    # the sort-order property rides the SAME commit now
+    assert t.metadata.properties.get("sort-order") == "ts"
+    if len(files) > 1:
+        assert min(spans) < 3999  # at least one file is range-narrow
+
+
+def test_zorder_value_refuses_strings_and_handles_dates(spark):
+    """cast('double') turned string/date columns into all-NULLs, an
+    empty quantile list, and code 0 for every row — z-ordering silently
+    provided no clustering (r15 review)."""
+    import datetime
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(f"u{i}", datetime.date(2024, 1, 1 + i % 28), i) for i in range(100)],
+        "uid string, d date, n bigint",
+    )
+    with _pytest.raises(ValueError, match="zorder column"):
+        maintenance.zorder_value(df, ["uid", "n"])
+    z = df.select(maintenance.zorder_value(df, ["d", "n"], bits=4).alias("z"))
+    zs = [r.z for r in z.collect()]
+    assert len(set(zs)) > 1  # dates actually contribute codes
+    # absurd bits request is clamped, not a driver OOM
+    df.select(maintenance.zorder_value(df, ["n"], bits=40).alias("z")).collect()
+
+
+def test_rewrite_commit_aborts_on_concurrent_schema_event(spark, tmp_path):
+    """A concurrent RENAME during the rewrite window must abort the
+    commit: the outputs were written under the OLD physical layout and
+    a post-event schema stamp would read the column as NULL
+    (r15 review)."""
+    t = _mk_kv(spark, tmp_path, "schema_race")
+    snap = t.metadata.current_snapshot()
+    from pg_lake_spark.lakehouse import catalog as cat
+
+    files = cat.read_snapshot_files(t.location, t.metadata, snap)
+    staged = t._write_data_files(t._read_files(files), cluster=False)
+    # concurrent rename lands before the rewrite commits
+    t2 = LakeTable.load(spark, t.location)
+    t2.rename_column("v", "w")
+    ok = maintenance._rewrite_commit(
+        t, operation="compact", added=staged, input_files=files, summary={}
+    )
+    assert ok is False
+    assert sorted((r.k, r.w) for r in t2.refresh().scan().collect()) == [
+        (1, 10), (2, 20), (3, 30)
+    ]
+
+
+def test_flush_skips_malformed_entry_and_unreferenced_excludes_inflight(
+    spark, tmp_path
+):
+    """One malformed in-progress entry aborted the whole flush; a live
+    in-flight staging prefix was reported as an unreferenced deletion
+    candidate (r15 review)."""
+    import json as _json
+
+    t = _mk_kv(spark, tmp_path, "flush_rob")
+    d = os.path.join(t.location, "_lake_metadata", "in_progress")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "00-bad.json"), "w") as fh:
+        fh.write("{}")  # no 'prefix' key — must be skipped, not crash
+    stage = os.path.join(t.location, "data", "deadbeef")
+    os.makedirs(stage, exist_ok=True)
+    with open(os.path.join(stage, "part-0.parquet"), "wb") as fh:
+        fh.write(b"x")
+    with open(os.path.join(d, "01-live.json"), "w") as fh:
+        _json.dump(
+            {"prefix": stage, "ts_ms": time.time() * 1000, "pid": os.getpid()},
+            fh,
+        )
+    res = maintenance.flush_in_progress_queue(t, older_than_s=3600)
+    assert res["flushed"] == 0  # live/young entries kept, bad one skipped
+    unref = maintenance.find_unreferenced_files(t)
+    assert not any("deadbeef" in p for p in unref)
