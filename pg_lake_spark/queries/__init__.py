@@ -231,6 +231,23 @@ _CODE_CHANGED_IN: dict[str, int] = {
     "sim_lsh_topk": 15,
     "sim_ivf_topk": 15,
     "dd_embedding_neardup": 15,
+    # r15 TPC-DS/ClickBench coverage review: vacuous gates made live
+    # (dsq01 1.2->1.05 multiplier, dsq45 live nation names, dsq41 arm2
+    # price band inside the corpus range, dsq80 error-events returns
+    # leg, cb funnel NOT LIKE token that exists), URL synthesis and
+    # avg4/net-cents expressions deduped, dsq65 lazy checkpoint.
+    "dsq01_returns_above_avg": 15,
+    "dsq45_disjunctive_semijoin": 15,
+    "dsq41_attr_disjunction": 15,
+    "dsq80_tri_channel_net_rollup": 15,
+    "cb_multi_like_funnel": 15,
+    "dsq65_min_share_brands": 15,
+    "dsq58_channel_tolerance": 15,
+    "cb_url_domain_topn": 15,
+    "cb_url_strip_params_topn": 15,
+    "dsq27_filtered_dim_avg_rollup": 15,
+    "dsq30_return_ratio_vs_state": 15,
+    "dsq07_demographic_avgs": 15,
 }
 
 

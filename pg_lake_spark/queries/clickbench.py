@@ -183,11 +183,11 @@ def cb_funnel_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "cb_url_domain_topn",
-    oracle="""
-    WITH urls AS (
-      SELECT doc_id, lang,
+# Synthetic deterministic URL from (source, doc_id) — ONE definition
+# for the Spark side and one SQL CTE fragment for the oracles; the
+# 20-line CASE was duplicated verbatim across cb_url_domain_topn and
+# cb_url_strip_params_topn in four places (r15 review).
+_SYNTH_URL_SQL = """
              CASE CAST(doc_id % 3 AS INT)
                WHEN 0 THEN 'https://www.' || source || '.example.com/docs/'
                            || CAST(doc_id % 50 AS VARCHAR)
@@ -195,7 +195,35 @@ def cb_funnel_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                            || CAST(doc_id % 50 AS VARCHAR) || '?ref=home'
                ELSE 'https://cdn.' || source || '.example.net/a/'
                     || CAST(doc_id % 50 AS VARCHAR) || '#frag'
-             END AS url
+             END"""
+
+
+def _synth_url():
+    k = (F.col("doc_id") % 50).cast("string")
+    return (
+        F.when(
+            (F.col("doc_id") % 3).cast("int") == 0,
+            F.concat(F.lit("https://www."), F.col("source"),
+                     F.lit(".example.com/docs/"), k),
+        )
+        .when(
+            (F.col("doc_id") % 3).cast("int") == 1,
+            F.concat(F.lit("http://"), F.col("source"),
+                     F.lit(".example.org/p/"), k, F.lit("?ref=home")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://cdn."), F.col("source"),
+                     F.lit(".example.net/a/"), k, F.lit("#frag")),
+        )
+    )
+
+
+@query(
+    "cb_url_domain_topn",
+    oracle=f"""
+    WITH urls AS (
+      SELECT doc_id, lang,
+{_SYNTH_URL_SQL} AS url
       FROM documents
     )
     SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
@@ -215,23 +243,7 @@ def cb_funnel_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cb_url_domain_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    k = (F.col("doc_id") % 50).cast("string")
-    url = (
-        F.when(
-            (F.col("doc_id") % 3).cast("int") == 0,
-            F.concat(F.lit("https://www."), F.col("source"),
-                     F.lit(".example.com/docs/"), k),
-        )
-        .when(
-            (F.col("doc_id") % 3).cast("int") == 1,
-            F.concat(F.lit("http://"), F.col("source"),
-                     F.lit(".example.org/p/"), k, F.lit("?ref=home")),
-        )
-        .otherwise(
-            F.concat(F.lit("https://cdn."), F.col("source"),
-                     F.lit(".example.net/a/"), k, F.lit("#frag")),
-        )
-    )
+    url = _synth_url()
     domain = F.regexp_extract(url, r"^https?://([^/]+)", 1)
     return (
         t["documents"]
@@ -254,7 +266,7 @@ def cb_url_domain_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN text LIKE '%join%' AND text LIKE '%merge%'
                     THEN 1 ELSE 0 END) AS BIGINT) AS join_merge,
            CAST(sum(CASE WHEN text LIKE '%join%' AND text LIKE '%merge%'
-                         AND text NOT LIKE '%error%'
+                         AND text NOT LIKE '%scan%'
                     THEN 1 ELSE 0 END) AS BIGINT) AS join_merge_clean
     FROM documents
     GROUP BY lang
@@ -270,7 +282,7 @@ def cb_multi_like_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     has_join = F.col("text").like("%join%")
     has_merge = F.col("text").like("%merge%")
-    has_error = F.col("text").like("%error%")
+    has_scan = F.col("text").like("%scan%")
     one = F.lit(1)
     zero = F.lit(0)
     return (
@@ -281,7 +293,7 @@ def cb_multi_like_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(has_join, one).otherwise(zero)).alias("has_join"),
             F.sum(F.when(has_join & has_merge, one).otherwise(zero)).alias("join_merge"),
             F.sum(
-                F.when(has_join & has_merge & ~has_error, one).otherwise(zero)
+                F.when(has_join & has_merge & ~has_scan, one).otherwise(zero)
             ).alias("join_merge_clean"),
         )
         .orderBy("lang")
@@ -541,17 +553,10 @@ def cb_props_coverage_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cb_url_strip_params_topn",
-    oracle="""
+    oracle=f"""
     WITH urls AS (
       SELECT doc_id,
-             CASE CAST(doc_id % 3 AS INT)
-               WHEN 0 THEN 'https://www.' || source || '.example.com/docs/'
-                           || CAST(doc_id % 50 AS VARCHAR)
-               WHEN 1 THEN 'http://' || source || '.example.org/p/'
-                           || CAST(doc_id % 50 AS VARCHAR) || '?ref=home'
-               ELSE 'https://cdn.' || source || '.example.net/a/'
-                    || CAST(doc_id % 50 AS VARCHAR) || '#frag'
-             END AS url
+{_SYNTH_URL_SQL} AS url
       FROM documents
     )
     SELECT regexp_replace(url, '[?#].*$', '') AS clean_url,
@@ -573,23 +578,7 @@ def cb_props_coverage_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cb_url_strip_params_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    k = (F.col("doc_id") % 50).cast("string")
-    url = (
-        F.when(
-            (F.col("doc_id") % 3).cast("int") == 0,
-            F.concat(F.lit("https://www."), F.col("source"),
-                     F.lit(".example.com/docs/"), k),
-        )
-        .when(
-            (F.col("doc_id") % 3).cast("int") == 1,
-            F.concat(F.lit("http://"), F.col("source"),
-                     F.lit(".example.org/p/"), k, F.lit("?ref=home")),
-        )
-        .otherwise(
-            F.concat(F.lit("https://cdn."), F.col("source"),
-                     F.lit(".example.net/a/"), k, F.lit("#frag")),
-        )
-    )
+    url = _synth_url()
     clean = F.regexp_replace(url, r"[?#].*$", "")
     depth = (
         F.length(clean) - F.length(F.regexp_replace(clean, r"/", "")) - 2

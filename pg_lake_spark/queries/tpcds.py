@@ -348,11 +348,11 @@ def dsq88_case_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM supp_returns sr
     JOIN supplier ON sr.l_suppkey = s_suppkey
     WHERE sr.ret_total > (
-      SELECT avg(ret_total) * 1.2 FROM supp_returns sr2
+      SELECT avg(ret_total) * 1.05 FROM supp_returns sr2
       WHERE sr2.s_nationkey = sr.s_nationkey)
     ORDER BY s_name
     """,
-    doc="TPC-DS Q1 shape: entities whose aggregate exceeds 1.2x the "
+    doc="TPC-DS Q1 shape: entities whose aggregate exceeds 1.05x the "
     "average of their group, via a correlated scalar subquery over a "
     "shared aggregated CTE. Planned as agg once + per-nation avg join — "
     "the correlation de-correlates to a broadcast join of 25 rows.",
@@ -367,7 +367,7 @@ def dsq01_returns_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("ret_total"))
     )
     nat_avg = sr.groupBy(F.col("s_nationkey").alias("nk")).agg(
-        (F.avg("ret_total") * 1.2).alias("bar")
+        (F.avg("ret_total") * 1.05).alias("bar")
     )
     return (
         sr.join(F.broadcast(nat_avg), F.col("s_nationkey") == F.col("nk"))
@@ -1063,11 +1063,11 @@ def dsq58_channel_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("l_linestatus") == "O", rev).otherwise(0.0)).alias("o"),
         )
     )
-    # round BEFORE the ratio predicate: the tolerance band must test
-    # the same (stable, 2dp) values in both engines, or ulp-level sum
-    # differences flip borderline rows
-    # whole currency units: cent-level rounding sits on engine ulp
-    # boundaries (786514.935 summed in different orders rounds .93/.94)
+    # round BEFORE the ratio predicate, to WHOLE currency units: the
+    # tolerance band must test the same stable values in both engines —
+    # cent-level (2dp) rounding sits on engine ulp boundaries
+    # (786514.935 summed in different orders rounds .93/.94) and
+    # flipped borderline rows
     rounded = per.select(
         "l_partkey", F.round("f", 0).alias("f_rev"), F.round("o", 0).alias("o_rev")
     )
@@ -2068,7 +2068,11 @@ def dsq65_min_share_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(_bcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(F.sum(cents).cast("bigint").alias("cents"))
-        .localCheckpoint(eager=True)  # referenced twice: rows + global max
+        # referenced twice (rows + global max); non-eager keeps the
+        # BUILD lazy — eager ran the whole aggregation as a side effect
+        # of merely constructing the frame (gen_plans.py dumped an
+        # opaque checkpoint scan instead of the plan; r15 review)
+        .localCheckpoint(eager=False)
     )
     mx = brand_rev.agg(F.max("cents").alias("max_cents"))
     return (
@@ -2132,7 +2136,7 @@ def dsq29_buy_return_rebuy(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_name, CAST(count(*) AS BIGINT) AS n_custs,
            round(sum(c_acctbal), 2) AS total_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
-    WHERE n_name IN ('FRANCE', 'GERMANY')
+    WHERE n_name IN ('NATION_3', 'NATION_7')
        OR c_custkey IN (SELECT o_custkey FROM orders
                         WHERE o_totalprice > 400000)
     GROUP BY n_name
@@ -2157,7 +2161,7 @@ def dsq45_disjunctive_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["customer"]
         .join(_bcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(big, F.col("c_custkey") == F.col("big_ck"), "left")
-        .filter(F.col("n_name").isin("FRANCE", "GERMANY") | F.col("big_ck").isNotNull())
+        .filter(F.col("n_name").isin("NATION_3", "NATION_7") | F.col("big_ck").isNotNull())
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_custs"),
@@ -2817,7 +2821,7 @@ def dsq75_yearly_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND p_retailprice BETWEEN 900 AND 1400 AND p_size BETWEEN 5 AND 25)
         OR
         (p_type IN ('SMALL', 'MEDIUM') AND p_brand LIKE 'Brand#2%'
-         AND p_retailprice BETWEEN 1200 AND 1800 AND p_size BETWEEN 10 AND 35)
+         AND p_retailprice BETWEEN 950 AND 990 AND p_size BETWEEN 10 AND 35)
         OR
         (p_type IN ('STANDARD', 'LARGE') AND p_brand LIKE 'Brand#3%'
          AND p_retailprice BETWEEN 700 AND 1600 AND p_size BETWEEN 1 AND 20)
@@ -2843,7 +2847,7 @@ def dsq41_attr_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
     arm2 = (
         F.col("p_type").isin("SMALL", "MEDIUM")
         & F.col("p_brand").like("Brand#2%")
-        & F.col("p_retailprice").between(1200, 1800)
+        & F.col("p_retailprice").between(950, 990)
         & F.col("p_size").between(10, 35)
     )
     arm3 = (

@@ -159,11 +159,12 @@ def dsq36_margin_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY c_mktsegment
       UNION ALL
       SELECT 'event' AS channel, event_type AS id,
-             coalesce(sum(CASE WHEN value >= 0 THEN value END), 0)
+             coalesce(sum(CASE WHEN event_type <> 'error' THEN value END), 0)
                AS sales,
-             coalesce(sum(CASE WHEN value < 0 THEN -value END), 0)
+             coalesce(sum(CASE WHEN event_type = 'error' THEN value END), 0)
                AS returns,
-             coalesce(sum(value), 0) AS profit
+             coalesce(sum(CASE WHEN event_type = 'error' THEN -value
+                               ELSE value END), 0) AS profit
       FROM events GROUP BY event_type
     )
     SELECT channel, id,
@@ -238,9 +239,24 @@ def dsq80_tri_channel_net_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["events"]
         .groupBy(F.col("event_type").alias("id"))
         .agg(
-            F.coalesce(F.sum(F.when(F.col("value") >= 0, F.col("value"))), z).alias("sales"),
-            F.coalesce(F.sum(F.when(F.col("value") < 0, -F.col("value"))), z).alias("returns"),
-            F.coalesce(F.sum("value"), z).alias("profit"),
+            # 'error' events are the return flow — corpus values are
+            # strictly positive, so the old value<0 returns leg was
+            # ALWAYS zero and the netting arithmetic this channel
+            # exists to stress went uncovered (r15 review)
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") != "error", F.col("value"))), z
+            ).alias("sales"),
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "error", F.col("value"))), z
+            ).alias("returns"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "error", -F.col("value")
+                    ).otherwise(F.col("value"))
+                ),
+                z,
+            ).alias("profit"),
         )
         .select(F.lit("event").alias("channel"), "id", "sales", "returns", "profit")
     )
@@ -362,9 +378,6 @@ def dsq94_ship_chain_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dsq30_return_ratio_vs_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-    ).cast("bigint")
     ctr = (
         t["lineitem"]
         .filter(F.col("l_returnflag") == "R")
@@ -378,7 +391,7 @@ def dsq30_return_ratio_vs_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(cents).cast("bigint").alias("ret_cents"))
+        .agg(_net_cents().alias("ret_cents"))
     )
     w = Window.partitionBy("n_name")
     return (
@@ -512,34 +525,7 @@ def dsq27_filtered_dim_avg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         .rollup("p_brand", "n_name")
         .agg(
             F.grouping("n_name").cast("int").alias("g_state"),
-            (
-                F.round(
-                    F.sum(F.round(F.col("l_quantity") * 100).cast("bigint"))
-                    .cast("bigint") * 100.0 / F.count(F.lit(1))
-                ) / 10000.0
-            ).alias("agg1"),
-            (
-                F.round(
-                    F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
-                    .cast("bigint") * 100.0 / F.count(F.lit(1))
-                ) / 10000.0
-            ).alias("agg2"),
-            (
-                F.round(
-                    F.sum(F.round(F.col("l_discount") * 10000).cast("bigint"))
-                    .cast("bigint") * 100.0 / F.count(F.lit(1))
-                ) / 1000000.0
-            ).alias("agg3"),
-            (
-                F.round(
-                    F.sum(
-                        F.round(
-                            F.col("l_extendedprice")
-                            * (1 - F.col("l_discount")) * 100
-                        ).cast("bigint")
-                    ).cast("bigint") * 100.0 / F.count(F.lit(1))
-                ) / 10000.0
-            ).alias("agg4"),
+            *_avg4_cols(("agg1", "agg2", "agg3", "agg4")),
         )
         .select("p_brand", "n_name", "g_state", "agg1", "agg2", "agg3", "agg4")
         .orderBy(F.col("p_brand").asc_nulls_first(), F.col("n_name").asc_nulls_first())
@@ -722,7 +708,12 @@ _AVG4_SQL = """
 """
 
 
-def _avg4_cols() -> list:
+def _avg4_cols(
+    aliases: tuple = ("avg_qty", "avg_price", "avg_disc", "avg_net"),
+) -> list:
+    """The four exact-scaled lineitem averages — ONE definition; dsq27
+    hand-rolled the same expressions under agg1..agg4 aliases, so a fix
+    to the money-scaling discipline would have missed it (r15 review)."""
     n = F.count(F.lit(1))
 
     def scaled(col: F.Column, scale: int, out: float) -> F.Column:
@@ -732,12 +723,12 @@ def _avg4_cols() -> list:
         ) / out
 
     return [
-        scaled(F.col("l_quantity"), 100, 10000.0).alias("avg_qty"),
-        scaled(F.col("l_extendedprice"), 100, 10000.0).alias("avg_price"),
-        scaled(F.col("l_discount"), 10000, 1000000.0).alias("avg_disc"),
+        scaled(F.col("l_quantity"), 100, 10000.0).alias(aliases[0]),
+        scaled(F.col("l_extendedprice"), 100, 10000.0).alias(aliases[1]),
+        scaled(F.col("l_discount"), 10000, 1000000.0).alias(aliases[2]),
         scaled(
             F.col("l_extendedprice") * (1 - F.col("l_discount")), 100, 10000.0
-        ).alias("avg_net"),
+        ).alias(aliases[3]),
     ]
 
 
