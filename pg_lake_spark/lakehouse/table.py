@@ -678,6 +678,19 @@ class LakeTable:
         """:meth:`_read_files` plus ``_meta_file_path``/``_meta_pos``."""
         return self._read_files(files, with_meta=True)
 
+    @staticmethod
+    def _meta_path_key(uri: str) -> str:
+        """Local-filesystem key for a ``_meta_file_path`` URI: the
+        percent-decoded path component. Spark reports absolute,
+        percent-encoded ``file:`` URIs while manifests may hold
+        relative paths — so every hit-filter comparison must pair this
+        with ``os.path.abspath(DataFile.path)``. Shared by DELETE and
+        UPDATE so the two DML hit filters cannot drift (the r15 UPDATE
+        rewrite compared raw ``f.path`` and, under a relative table
+        location, filtered every candidate out while still reporting
+        ``updated_rows > 0``)."""
+        return urllib.parse.unquote(urllib.parse.urlparse(uri).path)
+
     def _file_matches(self, f: DataFile, preds) -> bool:
         """Era- and spec-aware pruning check: predicates (in logical
         names) are translated to the file's physical names; the file's
@@ -1053,8 +1066,7 @@ class LakeTable:
             # a location with a space never matches and rows survive a
             # DELETE that should have removed them
             hit_uris = {
-                urllib.parse.unquote(urllib.parse.urlparse(r._meta_file_path).path):
-                    (r.n, r.hits)
+                self._meta_path_key(r._meta_file_path): (r.n, r.hits)
                 for r in per_file
                 if r.hits > 0
             }
@@ -1289,7 +1301,7 @@ class LakeTable:
                 .collect()
             )
             hit_paths = {
-                urllib.parse.unquote(urllib.parse.urlparse(r._meta_file_path).path)
+                self._meta_path_key(r._meta_file_path)
                 for r in per_file
                 if r.hits > 0
             }
@@ -1299,7 +1311,11 @@ class LakeTable:
                 if returning:
                     out0["returning"] = []
                 return out0
-            candidates = [f for f in candidates if f.path in hit_paths]
+            # abspath, matching DELETE: manifests may hold relative
+            # paths; raw f.path missed every decoded-absolute hit key
+            candidates = [
+                f for f in candidates if os.path.abspath(f.path) in hit_paths
+            ]
         src = self._read_files(candidates)
         if not where:
             updated_rows = src.count()

@@ -2313,6 +2313,39 @@ def test_update_rewrites_only_hit_files(spark, tmp_path):
     assert sorted((r.k, r.v) for r in t.scan().collect()) == [(1, 10), (2, 21)]
 
 
+def test_update_hits_under_non_normalized_location(spark, tmp_path):
+    """UPDATE's per-file hit filter must abspath the manifest path
+    before matching the decoded-absolute ``_meta_file_path`` keys —
+    raw ``f.path`` under a non-normalized table location (``x/../t``)
+    filtered every candidate out, so the statement rewrote nothing
+    while still reporting ``updated_rows > 0`` (r16 ADVICE; DELETE
+    already used ``os.path.abspath``)."""
+    (tmp_path / "x").mkdir()
+    loc = str(tmp_path / "x" / ".." / "nn_upd")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int").coalesce(1)
+    t = LakeTable.create_from_dataframe(spark, loc, df)
+    # precondition for the repro: the manifest keeps the raw ../ form
+    # (if a future write path normalizes at record time, this test
+    # stops exercising the mismatch and should move the raw form
+    # elsewhere)
+    assert any("/../" in p for p in _live_paths(t))
+    res = t.update({"v": "v + 1"}, where="k = 2")
+    assert res["updated_rows"] == 1
+    assert res["rewritten_files"] >= 1  # the hit file actually rewrote
+    assert sorted((r.k, r.v) for r in t.scan().collect()) == [(1, 10), (2, 21)]
+
+
+def test_delete_hits_under_non_normalized_location(spark, tmp_path):
+    """Same discipline on the DELETE side (shared _meta_path_key)."""
+    (tmp_path / "x").mkdir()
+    loc = str(tmp_path / "x" / ".." / "nn_del")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int").coalesce(1)
+    t = LakeTable.create_from_dataframe(spark, loc, df)
+    res = t.delete("k = 2", mode="cow")
+    assert res["deleted_rows"] == 1
+    assert [(r.k, r.v) for r in t.scan().collect()] == [(1, 10)]
+
+
 def test_changelog_on_empty_table(spark, tmp_path):
     """changelog(0) before the first ingest returned KeyError instead
     of an empty changelog (r15 review)."""
