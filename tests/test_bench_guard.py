@@ -101,6 +101,58 @@ class TestStealStamp:
         assert isinstance(a, int) and a >= 0
         assert b >= a
 
+    def test_read_cpu_ticks_busy_and_steal(self):
+        from bench import read_cpu_ticks
+
+        busy_a, steal_a = read_cpu_ticks()
+        busy_b, steal_b = read_cpu_ticks()
+        assert busy_a >= 0 and steal_a >= 0
+        assert busy_b >= busy_a and steal_b >= steal_a
+
+
+class TestStealGuard:
+    """sf0.1 steal trigger (r15 verdict #2): the guard must act on the
+    steal stamp DURING the run, not leave it to post-hoc adjudication.
+    Ratio is steal/(busy+steal) — scheduled-cpu-relative, since Spark
+    rarely saturates all 32 cores and a wall-capacity ratio would
+    understate contention several-fold."""
+
+    def test_r15_calibration_level_contention_fires(self):
+        from bench import steal_guard_reason
+
+        # the r15 calibration burn: ~21% of scheduled cpu stolen
+        reason = steal_guard_reason(21.0, 79.0)
+        assert reason is not None and "21%" in reason
+
+    def test_quiet_run_passes(self):
+        from bench import steal_guard_reason
+
+        assert steal_guard_reason(1.5, 300.0) is None  # 0.5%
+
+    def test_edge_is_ten_percent_of_scheduled_cpu(self):
+        from bench import steal_guard_reason
+
+        assert steal_guard_reason(9.9, 90.1) is None  # 9.9%
+        assert steal_guard_reason(10.2, 89.8) is not None  # 10.2%
+
+    def test_absolute_floor_ignores_tiny_deltas(self):
+        from bench import steal_guard_reason
+
+        # 50% ratio but under the 2 cpu-sec floor: division noise
+        assert steal_guard_reason(1.0, 1.0) is None
+
+    def test_zero_denominator_safe(self):
+        from bench import steal_guard_reason
+
+        assert steal_guard_reason(0.0, 0.0) is None
+
+    def test_custom_limit_env_path(self):
+        from bench import steal_guard_reason
+
+        # bench passes PG_LAKE_BENCH_STEAL_LIMIT through as limit=
+        assert steal_guard_reason(5.0, 95.0, limit=0.04) is not None
+        assert steal_guard_reason(5.0, 95.0, limit=0.06) is None
+
 
 class TestWorkerWarm:
     def test_warm_python_workers_runs_and_restores_conf(self, spark):
