@@ -70,12 +70,14 @@ class OAuthClientCredentials:
         client_secret: str,
         scope: str = "catalog",
         refresh_margin_s: float = 30.0,
+        timeout_s: float = 30.0,
     ) -> None:
         self.token_url = token_url
         self.client_id = client_id
         self.client_secret = client_secret
         self.scope = scope
         self.refresh_margin_s = refresh_margin_s
+        self.timeout_s = timeout_s
         self._token: str | None = None
         self._expiry: float = 0.0
 
@@ -99,7 +101,9 @@ class OAuthClientCredentials:
         req = urllib.request.Request(self.token_url, data=body, method="POST")
         req.add_header("Authorization", f"Basic {basic}")
         req.add_header("Content-Type", "application/x-www-form-urlencoded")
-        with urllib.request.urlopen(req) as resp:
+        # timeout, like every catalog request: a hung token endpoint
+        # must not block the session forever (r16 review)
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
             doc = json.loads(resp.read().decode("utf-8"))
         if "access_token" not in doc:
             raise ValueError('key "access_token" missing in oauth response')
@@ -331,6 +335,13 @@ class RestCatalog:
           instead of a silent overwrite.
         """
         schemas = metadata.get("schemas") or [metadata.get("schema")]
+        if not any(schemas):
+            # a v1 doc without schema/schemas would otherwise POST a
+            # null schema and fail server-side with an opaque 400
+            raise ValueError(
+                "metadata document carries neither 'schemas' nor 'schema' "
+                "— not a valid Iceberg metadata export"
+            )
         current_schema = next(
             (
                 s

@@ -892,6 +892,24 @@ def kmv_distinct_estimate(df: DataFrame, col: str, *, k: int = 256) -> DataFrame
     )
 
 
+def _ckpt_ids(df: DataFrame) -> set[int]:
+    """Persisted RDD id backing an eagerly localCheckpointed DataFrame,
+    read off its OWN LogicalRDD plan node — never a before/after diff
+    of the session-global persistent-RDD map, which attributed anything
+    a CONCURRENT thread persisted during the window to this function
+    and later evicted that thread's cached data (r16 ADVICE). If the
+    plan shape ever stops being a bare LogicalRDD, returns empty: the
+    checkpoint then lives until session end (a bounded leak) instead of
+    risking someone else's eviction."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        if node.getClass().getName().endswith(".LogicalRDD"):
+            return {int(node.rdd().id())}
+    except Exception:
+        pass
+    return set()
+
+
 def connected_components(
     edges: DataFrame,
     id_a: str = "id_a",
@@ -917,10 +935,6 @@ def connected_components(
     """
     sc = edges.sparkSession.sparkContext
 
-    def _pids() -> set[int]:
-        m = sc._jsc.getPersistentRDDs()
-        return {int(k) for k in m.keySet().toArray()}
-
     def _unpersist(ids: set[int]) -> None:
         m = sc._jsc.getPersistentRDDs()
         for k in m.keySet().toArray():
@@ -933,24 +947,20 @@ def connected_components(
     # round — ~20x the verify cost at sf10 (r15 finding). Each round's
     # label checkpoint is freed once the next round has materialized:
     # leaving max_iters copies of the full label frame persisted was
-    # the sf10 heap exhaustion (only ids THIS function persisted are
-    # touched — a before/after snapshot isolates them from concurrent
-    # work in the session).
-    before = _pids()
+    # the sf10 heap exhaustion.
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .localCheckpoint(eager=True)
     )
-    sym_ids = _pids() - before
-    before = _pids()
+    sym_ids = _ckpt_ids(sym)
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    prev_ids = _pids() - before
+    prev_ids = _ckpt_ids(labels)
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym["dst"] == labels["id"])
@@ -975,7 +985,6 @@ def connected_components(
         parent = stepped.select(
             F.col("id").alias("_pid"), F.col("_c1").alias("_pc")
         )
-        before = _pids()
         updated = (
             stepped.join(parent, stepped["_c1"] == parent["_pid"], "left")
             .select(
@@ -987,7 +996,7 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        new_ids = _pids() - before
+        new_ids = _ckpt_ids(updated)
         changed = updated.filter(F.col("new_component") != F.col("component")).count()
         # this round is materialized; the previous round's checkpoint
         # is unreachable from any future computation — free it

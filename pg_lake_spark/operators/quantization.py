@@ -144,8 +144,15 @@ def _exact_rerank(
         [(int(r.qid), [float(x) for x in r.vec]) for r in qrows],
         "query_id bigint, qvec array<double>",
     )
+    # broadcast the candidate list (|queries|·overfetch·k rows): the
+    # raw-vector frame is the full corpus, and without the hint the
+    # stats-free window output above drives Catalyst to a sort-merge
+    # join that shuffles EVERY corpus vector by vec_id — the exact
+    # full-corpus movement the PQ candidate pruning exists to avoid
+    # (r16 review; AQE can rescue this at runtime, but the refine step
+    # should not depend on it)
     return (
-        cand.join(vecs, "vec_id")
+        vecs.join(F.broadcast(cand), "vec_id")
         .join(F.broadcast(qvecs), "query_id")
         .select(
             "query_id", "vec_id", cosine(F.col("qvec"), F.col("cvec")).alias("score")

@@ -228,10 +228,17 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         for f in cat.read_snapshot_files(self.location, md, to_snap):
             if not (s < (f.added_snapshot_id or 0) <= e):
                 continue
+            # era keys on schema_snapshot_id first, mirroring
+            # LakeTable._era_key exactly: rewrites pin added_snapshot_id
+            # to an older sequence for MoR-delete scoping while their
+            # bytes carry the rewrite-time schema. (Unreachable today —
+            # rewrite snapshots fail the non_append gate above — but the
+            # two derivations must not drift; r16 review.)
+            fsid = f.schema_snapshot_id or f.added_snapshot_id or 0
             era_key = tuple(
                 i
                 for i, ev in enumerate(md.schema_log)
-                if (f.added_snapshot_id or 0) < ev["snapshot_id"]
+                if fsid < ev["snapshot_id"]
             )
             phys, backfills = self._era_info(md.schema_log, era_key)
             parts.append(

@@ -287,6 +287,75 @@ def test_connected_components_raises_on_nonconvergence(spark):
         connected_components(edges, max_iters=1)
 
 
+def test_connected_components_spares_concurrent_caches(spark):
+    """Checkpoint cleanup must touch only the RDDs THIS call persisted
+    — the old before/after diff of the session-global persistent-RDD
+    map attributed anything another thread persisted during the window
+    to this function and evicted it (r16 ADVICE). Simulate the
+    concurrent thread by persisting an unrelated frame mid-setup."""
+    from pyspark import StorageLevel
+
+    from pg_lake_spark.operators.dedup import connected_components
+
+    from pg_lake_spark.operators.dedup import _ckpt_ids
+
+    def _live() -> set[int]:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    # the identification mechanism: a checkpoint's id set is read off
+    # its OWN plan, so a frame persisted "concurrently" (here: right
+    # after) can never be attributed to it
+    cp = spark.range(50).localCheckpoint(eager=True)
+    other = spark.range(100).persist(StorageLevel.MEMORY_ONLY)
+    other.count()
+    try:
+        cp_ids = _ckpt_ids(cp)
+        assert len(cp_ids) == 1, "must identify exactly the checkpoint RDD"
+        live = _live()
+        assert cp_ids <= live
+        # the other frame's cache RDD is live but NOT attributed to cp
+        assert len(live - cp_ids) >= 1
+        # a non-checkpoint plan yields the safe empty set (leak, never
+        # someone else's eviction)
+        assert _ckpt_ids(spark.range(5)) == set()
+        # end-to-end: caches THIS test owns survive a full CC run.
+        # (Check only owned RDDs — unreferenced checkpoints from earlier
+        # tests are unpersisted asynchronously by the ContextCleaner, so
+        # a whole-map before/after compare is itself the flaky pattern
+        # the fix removed.)
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(20)], "id_a bigint, id_b bigint"
+        )
+        out = connected_components(edges).collect()
+        assert len(out) == 21
+        assert cp_ids <= _live(), "owned checkpoint evicted by CC cleanup"
+        assert other.count() == 100  # still usable from cache
+        assert other.storageLevel.useMemory
+    finally:
+        other.unpersist()
+        cp.unpersist()
+
+
+def test_connected_components_frees_its_own_checkpoints(spark):
+    """After convergence only the final label checkpoint (plus nothing
+    from the per-round history or the edge list) may stay persisted —
+    max_iters live copies of the label frame was the sf10 heap
+    exhaustion (r15)."""
+    from pg_lake_spark.operators.dedup import connected_components
+
+    sc = spark.sparkContext
+    before = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a bigint, id_b bigint"
+    )
+    connected_components(edges).collect()
+    after = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    assert len(after - before) <= 1, (
+        f"leaked checkpoints: {sorted(after - before)}"
+    )
+
+
 def test_kmv_ignores_nulls(spark):
     """A NULL input hashes to NULL, which Spark sorts FIRST ascending
     (DuckDB: last) — it must not occupy a bottom-k slot."""

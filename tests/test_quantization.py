@@ -131,3 +131,21 @@ def test_ivfpq_empty_queries_raises(spark, emb):
     books = train_pq_codebooks(corpus, m=2, k=4, train_rows=8)
     with _pytest.raises(ValueError, match="no queries"):
         ivfpq_topk(corpus, empty_q, codebooks=books, n_centroids=2, n_probe=1)
+
+
+def test_rerank_broadcasts_candidates_not_corpus(spark, emb):
+    """The refine step must broadcast the tiny candidate list against
+    the full-corpus vector frame — without the hint Catalyst's
+    stats-free estimate of the window output drives a sort-merge join
+    that shuffles every corpus vector by vec_id (r16 review). Pin the
+    plan: no SortMergeJoin on the corpus join."""
+    books = train_pq_codebooks(emb, m=8, k=16, iters=2)
+    codes = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = pq_topk(codes, queries, books, k=5, rerank_with=emb, overfetch=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    # and the result is still a valid ranking
+    rows = out.collect()
+    assert rows and all(r.rank <= 5 for r in rows)

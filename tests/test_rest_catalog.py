@@ -533,3 +533,38 @@ def test_oauth_client_credentials_flow():
             RestCatalog(base, token=bad, prefix="").list_namespaces()
     finally:
         srv.shutdown()
+
+
+def test_publish_rejects_schemaless_metadata():
+    """A document with neither 'schemas' nor 'schema' must fail loudly
+    client-side, not POST a null schema for an opaque server 400
+    (r16 review)."""
+    cat = RestCatalog("http://127.0.0.1:9", prefix="")
+    with pytest.raises(ValueError, match="neither 'schemas' nor 'schema'"):
+        cat.publish("prod", "t", {"snapshots": []})
+
+
+def test_oauth_token_fetch_has_timeout():
+    """The token POST must carry a timeout like every catalog request —
+    a hung token endpoint must not block the session forever
+    (r16 review)."""
+    from pg_lake_spark.lakehouse.rest_catalog import OAuthClientCredentials
+
+    auth = OAuthClientCredentials("http://u", "id", "sec", timeout_s=7.5)
+    assert auth.timeout_s == 7.5
+    captured = {}
+    import urllib.request as _ur
+
+    real = _ur.urlopen
+
+    def spy(req, timeout=None):
+        captured["timeout"] = timeout
+        raise OSError("stop here")
+
+    _ur.urlopen = spy
+    try:
+        with pytest.raises(OSError):
+            auth()
+    finally:
+        _ur.urlopen = real
+    assert captured["timeout"] == 7.5
