@@ -313,9 +313,34 @@ def cosine_neardup_pairs(
 
 def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     """Index of the max-cosine centroid (centroids pre-normalized, so
-    argmax over plain dot products; first index wins ties)."""
-    scores = F.array(*[dot(vec, F.lit(c)) for c in centroids])
-    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    argmax over plain dot products; FIRST index wins ties — np.argmax's
+    first-max rule, matching the old array_position behavior).
+
+    Vectorized Arrow-batched pandas UDF: the expression form built k
+    ``aggregate(zip_with(...))`` dot products per row, and higher-order
+    array lambdas run on Catalyst's INTERPRETED path (no whole-stage
+    codegen) — at the r16 sf10 audit that interpreted k·dim·n
+    multiply-add tree, not the shuffle, was the entire IVF bottleneck
+    (~150 s of the 156 s training wall at 200k×64). One numpy GEMM per
+    batch replaces it; the centroid matrix rides the task closure
+    (k·dim floats)."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — resolves the UDF's stringified hints
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype="float64")
+
+    def assign(v):
+        if not len(v):
+            return pd.Series([], dtype="int32")
+        mat = np.array(list(v), dtype="float64")
+        return pd.Series(np.argmax(mat @ C.T, axis=1)).astype("int32")
+
+    # explicit non-stringified annotations: `from __future__ import
+    # annotations` turns inline hints into strings the UDF type-infer
+    # cannot resolve against this module's globals
+    assign.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(assign, "int")(vec)
 
 
 def _probe_ids(qvec: Column, centroids: list[list[float]], n_probe: int) -> Column:
@@ -345,65 +370,51 @@ def train_ivf_centroids(
     """Spherical k-means centroids, fully deterministic.
 
     Init is Forgy with a deterministic choice (the ``n_centroids``
-    lowest-id vectors). The whole Lloyd loop runs in DataFrames — the
-    centroid set is a (cid, cvec) DataFrame carried across iterations,
-    assignment broadcasts it as ONE collected-list row (map-side argmax
-    via ``transform`` + ``array_max``, zero shuffle), and the update is
-    one shuffle of (cid, pos, val) triples re-assembled and renormalized
-    with array expressions. The driver touches centroid VALUES exactly
-    once: the final collect that returns them (so ``n_centroids·dim``
-    can grow without a per-iteration driver round-trip). Empty clusters
-    keep their previous centroid. No RNG anywhere, so the index is
-    reproducible across runs and engines.
+    lowest-id vectors). Each Lloyd iteration is ONE distributed job:
+    assignment via the vectorized :func:`_nearest_centroid` GEMM
+    (centroids ride the task closure), per-cluster means via
+    ``Summarizer.mean`` — a vector aggregate with a MAP-SIDE partial,
+    so the shuffle carries one summary per (partition, cid), O(k·dim)
+    per partition regardless of corpus size — and a k-row collect.
+    The per-iteration driver handoff is the k×dim centroid matrix
+    (bounded, corpus-independent — the same contract FAISS's coarse
+    trainer uses). The r16 sf10 audit retired the previous all-
+    expression design: its per-row ``aggregate(zip_with(...))`` dots
+    ran on Catalyst's interpreted path (higher-order lambdas never
+    enter whole-stage codegen) and cost ~150 s/200k vectors against
+    ~4 s for this shape. Empty clusters keep their previous centroid.
+    No RNG anywhere, so the index is reproducible across runs.
     """
+    import numpy as np
+
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
     src = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
     )
-
-    def norm_expr(col: Column) -> Column:
-        n = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
-        n = F.when(n == 0.0, F.lit(1.0)).otherwise(n)
-        return F.transform(col, lambda x: x / n)
-
-    w = Window.orderBy("vid")
-    cents = (
-        src.orderBy("vid")
-        .limit(n_centroids)
-        .select((F.row_number().over(w) - 1).alias("cid"), norm_expr(F.col("vec")).alias("cvec"))
-        .localCheckpoint(eager=True)
-    )
+    seed = src.orderBy("vid").limit(n_centroids).collect()
+    if not seed:
+        raise ValueError("empty corpus")
+    cents = np.array([r.vec for r in seed], dtype="float64")
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cents = cents / norms
     for _ in range(iters):
-        # One-row broadcast of the whole centroid set → map-side argmax.
-        # array_max on struct(sc, -cid) = highest score, lowest cid on
-        # ties (the Forgy ordering's first-index-wins rule).
-        cents_row = cents.select(
-            F.collect_list(F.struct(F.col("cid"), F.col("cvec"))).alias("cs")
-        )
-        scored = F.expr(
-            "array_max(transform(cs, c -> struct("
-            "aggregate(zip_with(vec, c.cvec, (a, b) -> a * b), 0D, (s, x) -> s + x) AS sc,"
-            " -c.cid AS ncid)))"
-        )
-        assigned = src.crossJoin(F.broadcast(cents_row)).select(
-            (-scored["ncid"]).cast("int").alias("cid"), "vec"
-        )
-        means = (
-            assigned.select("cid", F.posexplode("vec").alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("val").alias("m"))
+        cent_list = [[float(x) for x in c] for c in cents]
+        agg = (
+            src.withColumn("cid", _nearest_centroid(F.col("vec"), cent_list))
+            .select("cid", array_to_vector("vec").alias("v"))
             .groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cid", norm_expr(F.transform("pm", lambda x: x["m"])).alias("nvec"))
+            .agg(Summarizer.mean(F.col("v")).alias("mv"))
+            .select("cid", vector_to_array("mv").alias("m"))
+            .collect()
         )
-        cents = (
-            cents.join(means, "cid", "left")
-            .select("cid", F.coalesce("nvec", "cvec").alias("cvec"))
-            .localCheckpoint(eager=True)  # truncate lineage per iteration
-        )
-    return [
-        [float(x) for x in r["cvec"]]
-        for r in cents.orderBy("cid").collect()  # the ONE driver round-trip
-    ]
+        for r in agg:  # clusters absent here had no members: keep prior
+            m = np.array(r.m, dtype="float64")
+            n = np.linalg.norm(m)
+            cents[r.cid] = m / (n if n else 1.0)
+    return [[float(x) for x in c] for c in cents]
 
 
 def ivf_topk(

@@ -63,10 +63,14 @@ class AppendFeed:
         return self._bookmark
 
     def _persist(self, snapshot_id: int) -> None:
-        tmp = self.checkpoint_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"snapshot_id": snapshot_id}, fh)
-        os.replace(tmp, self.checkpoint_path)
+        # shared uuid-tmp + fsync helper: a fixed ".tmp" name let two
+        # feeds on one checkpoint path interleave writes, and an
+        # unfsynced rename could regress the bookmark after a crash
+        # (benign for at-least-once, but needless re-reads; r16 review —
+        # same fix ObjectStoreCatalog.push got in r15)
+        from pg_lake_spark.lakehouse.catalog import _atomic_write
+
+        _atomic_write(self.checkpoint_path, json.dumps({"snapshot_id": snapshot_id}))
 
     def poll(self) -> DataFrame | None:
         """Rows appended since the bookmark (None when caught up). The
