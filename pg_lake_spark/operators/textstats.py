@@ -21,12 +21,24 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 
 
 def words(text: Column | str) -> Column:
-    """Whitespace tokens with empties filtered: F.trim strips only
+    """Whitespace tokens with empties excluded: F.trim strips only
     ASCII spaces, so tab/newline-led text gained a phantom '' token and
-    empty text counted as one word (r15 review) — the filter makes the
-    tokenizer whitespace-kind-agnostic and '' -> []."""
+    empty text counted as one word (r15 review) — regex-trim both ends
+    first, so the split can never produce empties, and all-whitespace
+    text maps to [].
+
+    Spelled WITHOUT ``F.filter``: higher-order lambdas are
+    CodegenFallback (interpreted per row, excluded from common-
+    subexpression elimination), and this tokenizer is mentioned ~6
+    times across text_stats' one projection — the r15 lambda form
+    multiplied interpreted traversals and cost txt_stats a 4x
+    regression against its all-time best (r16 quiet re-measure).
+    regexp_replace/split/when all stay inside whole-stage codegen."""
     text = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    trimmed = F.regexp_replace(text, r"^\s+|\s+$", "")
+    return F.when(
+        F.length(trimmed) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, r"\s+"))
 
 
 def token_count_ws(text: Column | str) -> Column:

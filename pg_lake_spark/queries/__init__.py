@@ -260,6 +260,18 @@ _CODE_CHANGES: list[tuple[str, int]] = [
     # by their own LogicalRDD ids (no session-global diff) — on the
     # clustering path.
     ("dd_neardup_clusters", 16),
+    # r16 scale audit: IVF training's centroid update moved from the
+    # posexplode triple shuffle to Summarizer.mean partial aggregation,
+    # and _nearest_centroid is a vectorized pandas UDF — on
+    # sim_ivf_topk's training path.
+    ("sim_ivf_topk", 16),
+    # r16 perf fix: words() re-spelled without the F.filter lambda
+    # (CodegenFallback, interpreted per row — the r15 txt_stats
+    # regression) — on every words()-consuming row's path.
+    ("txt_stats", 16),
+    ("txt_quality_by_lang", 16),
+    ("txt_gopher_quality", 16),
+    ("ds_pack_sequences", 16),
 ]
 
 #: Effective manifest: explicit max-merge of the append-only pair list.
