@@ -39,6 +39,12 @@ from pg_lake_spark.queries import clickbench  # noqa: E402,F401
 #   2. everything else, stalest-green-first
 # Ties break on registration order, so the ordering is deterministic
 # and does not depend on filesystem or dict iteration quirks.
+# STARVATION FLOOR (r16): when groups 0+1 alone would fill the window
+# past (window - floor) slots, the floor stalest group-2 rows take the
+# window's tail anyway — r15 proved an oversized flag batch could
+# otherwise age the stalest rows indefinitely (the same 4 rows slipped
+# two consecutive rounds). Excess priority rows queue right after the
+# window and land next round.
 
 #: (name, round) — round in which the row's implementation last changed
 #: BEHAVIOR after an official green. APPEND when you touch a certified
