@@ -468,10 +468,17 @@ def main() -> None:
             )
         if guard_reason is not None:
             time.sleep(float(os.environ.get("PG_LAKE_BENCH_COOLDOWN", "30")))
+            rb0, rs0 = read_cpu_ticks()
             retry_timings, retry_total = run_suite(headline)
+            rb1, rs1 = read_cpu_ticks()
             reran = True
             if retry_total < total:
                 timings, total = retry_timings, retry_total
+                # the stamp must describe the KEPT loop — leaving loop
+                # 1's steal on a quiet re-run's numbers would make a
+                # clean artifact read as contaminated (r16 self-review)
+                headline_steal_sec = (rs1 - rs0) / 100.0
+                headline_busy_sec = (rb1 - rb0) / 100.0
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Two-line emission (r8 fix for BENCH_r07 parsed:null): the driver

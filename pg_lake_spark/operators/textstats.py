@@ -179,25 +179,46 @@ def gopher_signals(text: Column | str) -> dict[str, Column]:
     c = F.col(text) if isinstance(text, str) else text
     ws = words(c)  # THE tokenizer — one definition (r15 self-review)
     n_words = F.size(ws)
-    lines = F.filter(F.split(c, r"\n"), lambda l: F.trim(l) != "")
-    n_lines = F.greatest(F.size(lines), F.lit(1))
+    # Every per-line / per-word count below is a regexp_count over the
+    # RAW text instead of size(filter(split, lambda)) — higher-order
+    # lambdas are CodegenFallback (interpreted per row; the txt_stats
+    # lesson, r16). Each regex is value-exact vs the old filter form:
+    #  - non-blank line = split("\n") element whose F.trim (ASCII
+    #    spaces only) is non-empty = line whose first non-space char
+    #    exists and is not "\n";
+    #  - bullet line = first non-space char is a bullet (trim only
+    #    strips spaces, so a tab before the bullet fails BOTH forms);
+    #  - ellipsis line = "..." then only spaces to line end — spelled
+    #    with a (?=\n|\z) lookahead, not $, so Java's \r\n-aware $
+    #    cannot diverge from split("\n") semantics;
+    # The anchored patterns run under (?dm) — UNIX_LINES + MULTILINE —
+    # because plain (?m) also treats \r, NEL and LS/PS as line breaks
+    # and over-counted vs split("\n") (caught by the r16 800-case
+    # differential fuzz, pinned in tests);
+    #  - alpha word = maximal \S run containing a letter (greedy \S*
+    #    makes matches token-aligned and non-overlapping).
+    n_nonblank = F.regexp_count(c, F.lit(r"(?dm)^ *[^ \n][^\n]*"))
+    n_lines = F.greatest(n_nonblank, F.lit(1))
     nz = F.greatest(n_words, F.lit(1)).cast("double")
     return {
         "n_words": n_words,
-        "mean_word_len": F.aggregate(
-            ws, F.lit(0.0), lambda a, w: a + F.length(w)
+        # sum(len(word)) == len(text minus all whitespace): words are
+        # exactly the maximal non-\s runs, and the old double fold
+        # summed integers exactly — bit-identical result
+        "mean_word_len": F.length(F.regexp_replace(c, r"\s", "")).cast(
+            "double"
         ) / nz,
         "symbol_word_ratio": (
             F.regexp_count(c, F.lit(r"#")) + F.regexp_count(c, F.lit(r"\.\.\."))
         ).cast("double") / nz,
-        "bullet_line_frac": F.size(
-            F.filter(lines, lambda l: F.trim(l).rlike(r"^([-*•‣▪])"))
+        "bullet_line_frac": F.regexp_count(
+            c, F.lit(r"(?dm)^ *[-*•‣▪]")
         ).cast("double") / n_lines.cast("double"),
-        "ellipsis_line_frac": F.size(
-            F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$"))
+        "ellipsis_line_frac": F.regexp_count(
+            c, F.lit(r"\.\.\. *(?=\n|\z)")
         ).cast("double") / n_lines.cast("double"),
         "alpha_word_frac": F.size(
-            F.filter(ws, lambda w: w.rlike(r"[A-Za-z]"))
+            F.regexp_extract_all(c, F.lit(r"\S*[A-Za-z]\S*"), F.lit(0))
         ).cast("double") / nz,
     }
 

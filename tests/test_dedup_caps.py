@@ -356,6 +356,67 @@ def test_connected_components_frees_its_own_checkpoints(spark):
     )
 
 
+def test_gopher_signals_match_lambda_reference(spark):
+    """gopher_signals' regexp_count spellings must be value-exact vs
+    the definitional filter/aggregate-lambda forms (the r16 rewrite
+    dropped the lambdas — CodegenFallback, interpreted per row). The
+    800-case fuzz that motivated (?dm) caught plain (?m) counting
+    \\r / NEL / LS as line breaks where split("\\n") does not; these
+    cases pin the boundary inputs."""
+    from pyspark.sql import functions as F
+
+    from pg_lake_spark.operators.textstats import gopher_signals, words
+
+    def reference(text):
+        c = F.col(text)
+        ws = words(c)
+        n_words = F.size(ws)
+        lines = F.filter(F.split(c, r"\n"), lambda l: F.trim(l) != "")
+        n_lines = F.greatest(F.size(lines), F.lit(1))
+        nz = F.greatest(n_words, F.lit(1)).cast("double")
+        return {
+            "n_words": n_words,
+            "mean_word_len": F.aggregate(
+                ws, F.lit(0.0), lambda a, w: a + F.length(w)
+            ) / nz,
+            "symbol_word_ratio": (
+                F.regexp_count(c, F.lit(r"#"))
+                + F.regexp_count(c, F.lit(r"\.\.\."))
+            ).cast("double") / nz,
+            "bullet_line_frac": F.size(
+                F.filter(lines, lambda l: F.trim(l).rlike(r"^([-*•‣▪])"))
+            ).cast("double") / n_lines.cast("double"),
+            "ellipsis_line_frac": F.size(
+                F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$"))
+            ).cast("double") / n_lines.cast("double"),
+            "alpha_word_frac": F.size(
+                F.filter(ws, lambda w: w.rlike(r"[A-Za-z]"))
+            ).cast("double") / nz,
+        }
+
+    cases = [
+        "", " ", "\n", "a\n", "a\nb", "  \n\t\n", "\r", "x\r\ny\r\n",
+        "- bullet\n* two\n  • three\nplain", "\t- tabbed bullet",
+        "ends...\nmid ... dots\n...\n....", "x... \ntrail spaces...  ",
+        "Z-\nZ\r-\r\r•b",  # \r-as-line-break trap: (?m) overcounts
+        "a-* nel", "b - ls",  # NEL / LINE SEPARATOR traps
+        "word1 word2\tword3\nword4", "123 abc a1b ---",
+        "one\n\n\ntwo", "#tag ### x...y...", "......", "... ...",
+        "a\n \n\r\n\t\n", "solo", "-", "-x", " -x", "* ",
+    ]
+    df = spark.createDataFrame(list(enumerate(cases)), "id int, text string")
+    ref, new = reference("text"), gopher_signals("text")
+    sel = [F.col("id")]
+    for k in ref:
+        sel += [ref[k].alias(f"o_{k}"), new[k].alias(f"n_{k}")]
+    for r in df.select(*sel).collect():
+        for k in ref:
+            assert r[f"o_{k}"] == r[f"n_{k}"], (
+                f"{k} diverged on {cases[r.id]!r}: "
+                f"{r[f'o_{k}']} vs {r[f'n_{k}']}"
+            )
+
+
 def test_kmv_ignores_nulls(spark):
     """A NULL input hashes to NULL, which Spark sorts FIRST ascending
     (DuckDB: last) — it must not occupy a bottom-k slot."""
