@@ -27,9 +27,23 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     # ns-vs-us timestamp resolution is driver-safe (f_datetime was green
     # in r2 with Spark ns vs DuckDB us) — normalize before comparing.
+    # So is DATE representation: Spark's toPandas yields object columns
+    # of datetime.date while DuckDB's .df() yields datetime64[us], and
+    # the driver certified f_to_date green across that gap (r15) — fold
+    # date-object columns into datetime64[us] too, or this harness
+    # reports a FAIL the driver's bar does not (r16 finding).
+    import datetime as _dt
+
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            nn = df[c].dropna()
+            if len(nn) and all(
+                isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
+                for v in nn
+            ):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
