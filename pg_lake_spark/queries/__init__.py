@@ -278,6 +278,16 @@ _CODE_CHANGES: list[tuple[str, int]] = [
     ("txt_quality_by_lang", 16),
     ("txt_gopher_quality", 16),
     ("ds_pack_sequences", 16),
+    # r16 oracle audit: three vacuous/degenerate gates made live —
+    # s_except's nationkey difference was empty at every SF (both
+    # sides cover all 25 nations), j_semi_anti's anti legs were
+    # constant 0 / full-table (every partkey and custkey is covered),
+    # cb_phrase_lexical_order projected a constant '0' vector. Each
+    # re-spelled with selective predicates / the tie-break column so
+    # the differential check discriminates; oracles moved in lockstep.
+    ("s_except", 16),
+    ("j_semi_anti", 16),
+    ("cb_phrase_lexical_order", 16),
 ]
 
 #: Effective manifest: explicit max-merge of the append-only pair list.

@@ -1190,7 +1190,7 @@ def cb_domain_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cb_phrase_lexical_order",
     oracle="""
-    SELECT regexp_extract(props, '"k": (\\d+)', 1) AS phrase
+    SELECT regexp_extract(props, '"k": (\\d+)', 1) AS phrase, event_id
     FROM events
     WHERE regexp_extract(props, '"k": (\\d+)', 1) <> ''
     ORDER BY phrase, event_id
@@ -1199,9 +1199,12 @@ def cb_domain_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ClickBench shape (hits Q26: SELECT SearchPhrase WHERE "
     "non-empty ORDER BY SearchPhrase LIMIT 10): raw-row top-N by the "
     "STRING key itself (Q25 orders by time — cb_raw_rows_by_time; "
-    "Q27 by both — cb_phrase_time_then_phrase). event_id tie-break "
-    "keeps the selection deterministic where hits relies on unique "
-    "phrases.",
+    "Q27 by both — cb_phrase_time_then_phrase). The event_id tie-break "
+    "is kept IN the output: the r16 oracle audit found the phrase-only "
+    "projection degenerate (this corpus's ten lexically-smallest "
+    "phrases are all '0', a constant vector any always-'0' bug would "
+    "match); with the tie-break column the ten rows are distinct and "
+    "the selection is value-checked.",
 )
 def cb_phrase_lexical_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -1213,7 +1216,6 @@ def cb_phrase_lexical_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("phrase", "event_id")
         .orderBy("phrase", "event_id")
         .limit(10)
-        .select("phrase")
     )
 
 

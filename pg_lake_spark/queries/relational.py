@@ -366,20 +366,33 @@ def s_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s_except",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
     EXCEPT
-    SELECT s_nationkey FROM supplier
-    ORDER BY nationkey
+    SELECT o_custkey FROM orders WHERE o_totalprice > 350000
+    ORDER BY custkey
     """,
-    doc="EXCEPT (distinct semantics).",
+    doc="EXCEPT (distinct semantics): high-balance customers with no "
+    "large order. The r16 oracle audit found the old nationkey form "
+    "VACUOUS — this corpus covers every nation on both sides at every "
+    "SF, so the difference was always empty and an always-empty bug "
+    "would have passed. The custkey form is non-degenerate at sf0.001/"
+    "0.01/0.1 (2/25/351 rows).",
 )
 def s_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    a = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
-    b = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    a = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    b = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 350000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
     # subtract() = EXCEPT DISTINCT; exceptAll().distinct() would keep
     # values whose multiplicity in a exceeds that in b — wrong semantics.
-    return a.subtract(b).orderBy("nationkey")
+    return a.subtract(b).orderBy("custkey")
 
 
 # ---------------------------------------------------------------------------
@@ -434,27 +447,38 @@ def j_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j_semi_anti",
     oracle="""
     SELECT
-      (SELECT count(*) FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem))      AS parts_with_sales,
-      (SELECT count(*) FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem))  AS parts_without_sales,
+      (SELECT count(*) FROM part WHERE p_partkey IN
+          (SELECT l_partkey FROM lineitem WHERE l_quantity > 45))      AS parts_with_bulk_sales,
+      (SELECT count(*) FROM part WHERE p_partkey NOT IN
+          (SELECT l_partkey FROM lineitem WHERE l_quantity > 45))      AS parts_without_bulk_sales,
       (SELECT count(*) FROM customer WHERE NOT EXISTS
-          (SELECT 1 FROM orders WHERE o_custkey = c_custkey))                              AS customers_without_orders
+          (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             AND o_totalprice > 350000))                               AS customers_without_big_orders
     """,
-    doc="SEMI/ANTI join counts from IN / NOT IN / NOT EXISTS (test_queries.py:1599).",
+    doc="SEMI/ANTI join counts from IN / NOT IN / NOT EXISTS "
+    "(test_queries.py:1599). The right sides carry selective predicates "
+    "(l_quantity > 45, o_totalprice > 350000): the r16 oracle audit found "
+    "the unfiltered form degenerate — this corpus covers every partkey "
+    "and custkey, so the anti legs were constant 0 and the semi leg the "
+    "full table count. All three legs are now strictly between 0 and "
+    "the table size at sf0.001/0.01/0.1.",
 )
 def j_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One lazy plan, one job: three single-row aggregates cross-joined
     # (no driver-side .count() round-trips; the semi and anti scans of
     # part⋈lineitem share their shuffle via ReusedExchange).
     t = load_tables(spark, sf_dir)
-    part, li, cust, ords = t["part"], t["lineitem"], t["customer"], t["orders"]
+    part, cust = t["part"], t["customer"]
+    li = t["lineitem"].filter(F.col("l_quantity") > 45)
+    ords = t["orders"].filter(F.col("o_totalprice") > 350000)
     with_sales = part.join(li, part.p_partkey == li.l_partkey, "left_semi").agg(
-        F.count("*").alias("parts_with_sales")
+        F.count("*").alias("parts_with_bulk_sales")
     )
     without_sales = part.join(li, part.p_partkey == li.l_partkey, "left_anti").agg(
-        F.count("*").alias("parts_without_sales")
+        F.count("*").alias("parts_without_bulk_sales")
     )
     cust_no_orders = cust.join(ords, cust.c_custkey == ords.o_custkey, "left_anti").agg(
-        F.count("*").alias("customers_without_orders")
+        F.count("*").alias("customers_without_big_orders")
     )
     return with_sales.crossJoin(without_sales).crossJoin(cust_no_orders)
 
