@@ -183,6 +183,15 @@ class FileCacheManager:
             return True
         if not self.validate(url, size=size, etag=etag):
             return False
+        # Re-read before stamping: a manage() refetch between our load
+        # above and this write may have recorded NEW size/etag — writing
+        # the stale copy back would make the next probe falsely
+        # invalidate a fresh entry (spurious refetch every window).
+        try:
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+        except (OSError, ValueError):
+            pass  # keep the loaded copy; entry may be mid-rewrite
         meta["checked_at"] = time.time()
         try:
             mtmp = meta_path + ".tmp"

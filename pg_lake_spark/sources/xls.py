@@ -47,7 +47,11 @@ def _cfb_open(raw: bytes) -> dict:
     first_difat = struct.unpack("<I", raw[68:72])[0]
 
     def sector(n: int) -> bytes:
-        off = 512 + n * ssz
+        # MS-CFB §2.2: sector 0 begins one full sector after offset 0 —
+        # (n+1)*ssz, not 512+n*ssz. Identical for the usual v3 512-byte
+        # sectors, but a v4 file (4096-byte sectors, legal CFB) read
+        # garbage offsets under the old arithmetic.
+        off = (n + 1) * ssz
         return raw[off:off + ssz]
 
     difat = list(struct.unpack("<109I", raw[76:512]))

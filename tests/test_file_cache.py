@@ -312,3 +312,49 @@ def test_probe_failure_keeps_entry(tmp_path):
     c.manage()
     time.sleep(0.05)
     assert c.resolve("remote://a") != "remote://a"  # availability wins
+
+
+def test_revalidation_stamp_keeps_concurrent_refetch_meta(tmp_path):
+    """The checked_at stamp re-reads meta before writing: if a manage()
+    refetch recorded NEW size/etag between the hit's meta load and the
+    stamp, writing the stale copy back would make the next probe falsely
+    invalidate a fresh entry (r16 cache review)."""
+    f = CountingFetcher({"remote://a": b"x" * 100})
+    n_probes = {"n": 0}
+
+    def prober(url):
+        # Probe 1 is manage()'s too-large pre-check during the fill.
+        # Probe 2 is the revalidation probe — simulate a manage()
+        # refetch landing DURING that probe window: the remote (and
+        # the cache, via manage) moved to the new blob.
+        n_probes["n"] += 1
+        if n_probes["n"] == 2:
+            f.blobs[url] = b"y" * 250
+            c.invalidate(url)
+            c.record_candidate(url)
+            c.manage()
+        return len(f.blobs[url]), None
+
+    c = FileCacheManager(
+        str(tmp_path / "c"), max_bytes=1000, fetcher=f,
+        revalidate_after_s=0.01, prober=prober,
+    )
+    c.record_candidate("remote://a")
+    c.manage()
+    time.sleep(0.05)
+    # This hit's revalidation probes; the probe itself refetches the
+    # entry (new size 250) and the probe result matches it — the stamp
+    # must not regress meta["size"] back to 100.
+    local = c.resolve("remote://a")
+    assert local != "remote://a"
+    _, meta_path = c._paths("remote://a")
+    import json as _json
+
+    assert _json.load(open(meta_path))["size"] == 250
+    # Next due revalidation sees matching metadata: entry is served,
+    # not refetched.
+    time.sleep(0.05)
+    n_fetches = len(f.calls)
+    assert c.resolve("remote://a") != "remote://a"
+    c.manage()
+    assert len(f.calls) == n_fetches

@@ -80,16 +80,17 @@ def _eof():
     return _rec(0x000A, b"")
 
 
-def _cfb(workbook: bytes, stream_name: str = "Workbook") -> bytes:
+def _cfb(workbook: bytes, stream_name: str = "Workbook", sec_shift: int = 9) -> bytes:
     """Wrap a workbook stream into a minimal valid CFB: sector 0 = FAT,
     sector 1 = directory, sectors 2.. = the stream (padded past the
     4096-byte mini-stream cutoff so it lives in the regular FAT)."""
+    ssz = 1 << sec_shift
     wb = workbook + b"\x00" * max(0, 4096 - len(workbook))
-    wb += b"\x00" * (-len(wb) % 512)
-    n_wb = len(wb) // 512
+    wb += b"\x00" * (-len(wb) % ssz)
+    n_wb = len(wb) // ssz
     fat = [FATSECT, EOC] + [2 + i + 1 for i in range(n_wb - 1)] + [EOC]
-    fat += [FREE] * (128 - len(fat))
-    fat_raw = struct.pack("<128I", *fat)
+    fat += [FREE] * (ssz // 4 - len(fat))
+    fat_raw = struct.pack(f"<{ssz // 4}I", *fat)
 
     def direntry(name, otype, start, size):
         nm = name.encode("utf-16-le")
@@ -108,12 +109,12 @@ def _cfb(workbook: bytes, stream_name: str = "Workbook") -> bytes:
     # padding past the final EOF parses as opcode 0 = stop
     directory = direntry("Root Entry", 5, EOC, 0)
     directory += direntry(stream_name, 2, 2, len(wb))
-    directory += b"\x00" * (512 - len(directory))
+    directory += b"\x00" * (ssz - len(directory))
 
     hdr = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 16
     hdr += struct.pack("<HH", 0x003E, 0xFFFE)  # minor/major version
     hdr += struct.pack("<H", 0xFFFE)           # little-endian marker
-    hdr += struct.pack("<HH", 9, 6)            # sector/mini shifts
+    hdr += struct.pack("<HH", sec_shift, 6)    # sector/mini shifts
     hdr += b"\x00" * 6
     hdr += struct.pack("<I", 0)                # n dir sectors (v3: 0)
     hdr += struct.pack("<I", 1)                # n FAT sectors
@@ -127,6 +128,9 @@ def _cfb(workbook: bytes, stream_name: str = "Workbook") -> bytes:
     hdr += struct.pack("<I", 0)                # DIFAT[0] -> FAT sector 0
     hdr += struct.pack("<108I", *([FREE] * 108))
     assert len(hdr) == 512
+    # MS-CFB: sector 0 begins at (0+1)*ssz — for 4096-byte sectors the
+    # header is padded out to one full sector.
+    hdr += b"\x00" * (ssz - 512)
     return hdr + fat_raw + directory + wb
 
 
@@ -218,3 +222,28 @@ def test_read_lake_xls_dispatch(spark, tmp_path):
     assert df.columns == ["name", "qty", "price", "ok"]
     df2 = read_lake(spark, path, fmt="gdal", layer="Other")
     assert df2.columns == ["k"]
+
+
+def test_read_xls_v4_4096_byte_sectors(spark, tmp_path):
+    """A v4 CFB container (sector shift 12 → 4096-byte sectors) parses
+    identically to the usual v3 layout: MS-CFB puts sector 0 at
+    (0+1)*sector_size, so the old 512+n*ssz arithmetic read garbage
+    (r16 leaf-parser review)."""
+    from pg_lake_spark.sources.xls import read_xls
+
+    strings = ["name", "qty"]
+    sheet = (
+        _bof(0x0010)
+        + _labelsst(0, 0, 0) + _labelsst(0, 1, 1)
+        + _labelsst(1, 0, 0) + _rk_int(1, 1, 42)
+        + _eof()
+    )
+    head_len = len(_bof(0x0005)) + len(_boundsheet(0, "Data")) + len(_sst(strings)) + len(_eof())
+    wbk = _bof(0x0005) + _boundsheet(head_len, "Data") + _sst(strings) + _eof() + sheet
+    p3 = tmp_path / "v3.xls"
+    p4 = tmp_path / "v4.xls"
+    p3.write_bytes(_cfb(wbk))
+    p4.write_bytes(_cfb(wbk, sec_shift=12))
+    rows3 = [tuple(r) for r in read_xls(spark, str(p3)).collect()]
+    rows4 = [tuple(r) for r in read_xls(spark, str(p4)).collect()]
+    assert rows3 == rows4 == [("name", 42)]
