@@ -20,7 +20,12 @@ import pandas as pd
 from pg_lake_spark.queries import QUERIES
 from pg_lake_spark.session import TABLES, get_spark
 
-SF_DIR = "/root/testdata/sf0.01"
+# Override with STRICT_CHECK_SF_DIR to probe other scale factors (the
+# driver only ever checks sf0.01; an sf0.1 sweep is robustness evidence
+# the driver can't produce).
+import os as _os
+
+SF_DIR = _os.environ.get("STRICT_CHECK_SF_DIR", "/root/testdata/sf0.01")
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
