@@ -25,6 +25,7 @@ from bench import (  # noqa: E402
     SF1_HISTORY_FILE,
     load_sf1_history,
     merge_sf1_priors,
+    preflight_quiet_wait,
     save_sf1_history,
     should_rerun_sf1,
 )
@@ -199,3 +200,40 @@ class TestHistoryFile:
         # not the contaminated 8.6/15.3 readings
         assert hist["dd_embedding_neardup"] <= 5.7
         assert all(v >= 0.02 for v in hist.values())
+
+
+class TestPreflightQuietWait:
+    """The bounded pre-flight wait (r16): don't START the headline loop
+    inside a steal storm the single guarded re-run can't escape."""
+
+    def _run(self, fracs, budget=90.0):
+        probes = iter(fracs)
+        slept: list[float] = []
+        waited, frac = preflight_quiet_wait(
+            lambda _s: next(probes),
+            slept.append,
+            budget_s=budget,
+        )
+        return waited, frac, slept
+
+    def test_quiet_box_proceeds_immediately(self):
+        waited, frac, slept = self._run([0.02])
+        assert slept == [] and frac == 0.02 and waited == 1.0
+
+    def test_storm_then_quiet_waits_once(self):
+        waited, frac, slept = self._run([0.40, 0.05])
+        assert slept == [10.0] and frac == 0.05
+        assert waited == 12.0  # two probes + one sleep
+
+    def test_sustained_storm_stops_at_budget(self):
+        # every probe hot: the wait must exhaust the budget, not spin
+        waited, frac, slept = self._run([0.5] * 50, budget=35.0)
+        assert frac == 0.5
+        # 1s probe + n*(10s sleep + 1s probe) <= 35 -> n == 3
+        assert slept == [10.0] * 3
+        assert waited == 34.0
+
+    def test_boundary_frac_is_not_a_storm(self):
+        # exactly the limit does not trigger waiting (strict >)
+        waited, frac, slept = self._run([0.10])
+        assert slept == [] and waited == 1.0
