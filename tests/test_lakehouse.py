@@ -2538,3 +2538,86 @@ def test_flush_skips_malformed_entry_and_unreferenced_excludes_inflight(
     assert res["flushed"] == 0  # live/young entries kept, bad one skipped
     unref = maintenance.find_unreferenced_files(t)
     assert not any("deadbeef" in p for p in unref)
+
+
+def test_mixed_ops_concurrency_stress(spark, tmp_path):
+    """4 writer threads (appends + UPDATEs of their OWN rows) race a
+    compactor; every participant retries on OCC conflict. Invariants:
+    every appended row lands exactly once, every tombstone UPDATE is
+    durable — compaction racing a CoW update/delete must either abort
+    or preserve it (the r15 materialize/rewrite precondition class,
+    here exercised by real interleaving instead of monkeypatched
+    races), and no row is resurrected or doubled."""
+    import threading
+    import time as _time
+
+    from pg_lake_spark.lakehouse.maintenance import compact_data_files
+
+    loc = str(tmp_path / "mixed_stress")
+    LakeTable.create(spark, loc, "w bigint, i bigint, dead boolean")
+    errors: list = []
+    stop_compactor = threading.Event()
+
+    def retrying(fn, what):
+        for _ in range(80):
+            try:
+                return fn()
+            except RuntimeError as e:
+                msg = str(e)
+                if "concurrent" not in msg and "lost a race" not in msg:
+                    raise
+                _time.sleep(0.02)
+        raise RuntimeError(f"starved: {what}")
+
+    def writer(w: int):
+        try:
+            t = LakeTable.load(spark, loc)
+            for b in range(3):
+                df = spark.createDataFrame(
+                    [(w, b * 5 + j, False) for j in range(5)],
+                    "w bigint, i bigint, dead boolean",
+                )
+                retrying(lambda: t.refresh().append(df), f"append w={w} b={b}")
+                retrying(
+                    lambda: t.refresh().update(
+                        {"dead": "true"}, where=f"w = {w} AND i = {b * 5}"
+                    ),
+                    f"update w={w} b={b}",
+                )
+        except Exception as e:  # noqa: BLE001 — surfaced below
+            errors.append(e)
+
+    def compactor():
+        t = LakeTable.load(spark, loc)
+        while not stop_compactor.is_set():
+            try:
+                t.refresh()
+                compact_data_files(t, min_input_files=2)
+            except RuntimeError:
+                pass  # losing an OCC race is fine; corrupting state is not
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+                return
+            _time.sleep(0.05)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    comp = threading.Thread(target=compactor)
+    comp.start()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=600)
+    stop_compactor.set()
+    comp.join(timeout=120)
+    assert not errors, errors
+
+    t = LakeTable.load(spark, loc)
+    rows = t.to_df().collect()
+    assert len(rows) == 60, f"expected 60 rows, got {len(rows)}"
+    assert sorted((r.w, r.i) for r in rows) == [
+        (w, i) for w in range(4) for i in range(15)
+    ], "rows lost, doubled, or resurrected"
+    dead = {(r.w, r.i) for r in rows if r.dead}
+    assert dead == {(w, b * 5) for w in range(4) for b in range(3)}, (
+        "a tombstone UPDATE was lost (compaction overwrote it) or leaked"
+    )
