@@ -2621,3 +2621,87 @@ def test_mixed_ops_concurrency_stress(spark, tmp_path):
     assert dead == {(w, b * 5) for w in range(4) for b in range(3)}, (
         "a tombstone UPDATE was lost (compaction overwrote it) or leaked"
     )
+
+
+def test_mor_delete_vs_compaction_stress(spark, tmp_path):
+    """MoR variant of the mixed stress: writers append then MoR-delete
+    their own rows while a compactor continuously materializes pending
+    delete predicates and rewrites files (compact_data_files calls
+    materialize_deletes — the exact path whose missing commit
+    precondition r15 fixed). Deleted rows must stay deleted across
+    materialization/rewrite; survivors land exactly once."""
+    import threading
+    import time as _time
+
+    from pg_lake_spark.lakehouse.maintenance import compact_data_files
+
+    loc = str(tmp_path / "mor_stress")
+    LakeTable.create(spark, loc, "w bigint, i bigint")
+    errors: list = []
+    stop_compactor = threading.Event()
+
+    def retrying(fn, what):
+        for _ in range(80):
+            try:
+                return fn()
+            except RuntimeError as e:
+                msg = str(e)
+                if "concurrent" not in msg and "lost a race" not in msg:
+                    raise
+                _time.sleep(0.02)
+        raise RuntimeError(f"starved: {what}")
+
+    def writer(w: int):
+        try:
+            t = LakeTable.load(spark, loc)
+            for b in range(3):
+                df = spark.createDataFrame(
+                    [(w, b * 5 + j) for j in range(5)], "w bigint, i bigint"
+                )
+                retrying(lambda: t.refresh().append(df), f"append w={w} b={b}")
+                # MoR-delete the batch's first two rows: the predicate
+                # stays logical until a racing materialize pass lands it
+                retrying(
+                    lambda: t.refresh().delete(
+                        f"w = {w} AND i IN ({b * 5}, {b * 5 + 1})", mode="mor"
+                    ),
+                    f"mor-delete w={w} b={b}",
+                )
+        except Exception as e:  # noqa: BLE001 — surfaced below
+            errors.append(e)
+
+    def compactor():
+        t = LakeTable.load(spark, loc)
+        while not stop_compactor.is_set():
+            try:
+                t.refresh()
+                compact_data_files(t, min_input_files=2)
+            except RuntimeError:
+                pass
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+                return
+            _time.sleep(0.05)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    comp = threading.Thread(target=compactor)
+    comp.start()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=600)
+    stop_compactor.set()
+    comp.join(timeout=120)
+    assert not errors, errors
+
+    t = LakeTable.load(spark, loc)
+    # one final materialization so the check reads pure data files too
+    t.materialize_deletes()
+    rows = t.to_df().collect()
+    expect = [
+        (w, i) for w in range(4) for i in range(15) if i % 5 not in (0, 1)
+    ]
+    assert sorted((r.w, r.i) for r in rows) == expect, (
+        "a MoR delete was resurrected by a racing materialize/compact, "
+        "or a surviving row was lost/doubled"
+    )
