@@ -27,7 +27,7 @@ def _cap_buckets(
     cap: int | None,
     id_col: str = "_id",
     n_rows: int | None = None,
-) -> DataFrame:
+) -> tuple[DataFrame, bool]:
     """Sub-sample any (band, bucket) group wider than ``cap`` down to
     its ``cap`` smallest ids (deterministic).
 
@@ -59,13 +59,15 @@ def _cap_buckets(
     adds a sort within each bucket, not an extra shuffle.
     """
     if cap is None:
-        return banded
+        return banded, False
     # A bucket can never be wider than the corpus: when the caller
     # already knows a row-count bound for free and it is within the
     # cap, skip even the probe. (Callers should NOT run a count job
-    # just to pass this — the probe below is itself one job.)
+    # just to pass this — the probe below is itself one job; parquet
+    # footer row counts, which the query layer has for free, are the
+    # intended source.)
     if n_rows is not None and n_rows <= cap:
-        return banded
+        return banded, False
     row = (
         banded.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("__w"))
@@ -73,13 +75,13 @@ def _cap_buckets(
         .first()
     )
     if row is None or row["m"] is None or row["m"] <= cap:
-        return banded
+        return banded, False
     w = Window.partitionBy("band", "bucket").orderBy(id_col)
     return (
         banded.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
-    )
+    ), True
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
@@ -432,12 +434,15 @@ def lsh_candidate_pairs(
     threshold: float = 0.5,
     max_bucket_size: int | None = 5000,
     est_gate: float | str | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
 
     ``max_bucket_size`` caps any band bucket at that many (smallest-id)
     members before the self-join — see :func:`_cap_buckets`; None
-    disables.
+    disables. ``n_rows`` (optional) is a caller-known exact corpus row
+    count (e.g. from parquet footer metadata) that lets the cap skip
+    its width-probe job when ``n_rows <= max_bucket_size``.
 
     ``est_gate`` (r8): minimum MinHash-ESTIMATED Jaccard — the fraction
     of agreeing signature components, the textbook unbiased estimator —
@@ -469,10 +474,11 @@ def lsh_candidate_pairs(
     (measured 111k → 14k candidates on the 5k-doc corpus, same final
     pairs — real near-dups sit at jaccard ≥ 0.8).
 
-    Pipeline: shingle → sign (map-only) → explode bands → groupBy band
-    bucket (shuffle #1, on a short hash key) → self-join inside buckets →
-    distinct candidate pairs → exact-Jaccard verify (shuffle #2, ids
-    only) → filter ≥ threshold.
+    Pipeline: shingle → sign (map-only) → explode bands → self-join
+    inside (band, bucket) groups (shuffle #1, 8-byte bucket key) with
+    first-match dedup + estimate gate as in-join predicates → exact-
+    Jaccard verify on candidate docs only (shuffle #2, ids only) →
+    filter ≥ threshold.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
@@ -496,28 +502,39 @@ def lsh_candidate_pairs(
         df, id_col, text_col, shingle_n=shingle_n, num_hashes=num_hashes
     ).localCheckpoint(eager=True)
 
-    band_structs = ", ".join(
-        "struct({b} as band, md5(concat_ws('|', {cols})) as bucket)".format(
-            b=b,
-            cols=", ".join(
-                f"_h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-            ),
+    # Bucket key = xxhash64 over the band's signature components — an
+    # 8-byte bigint shuffle key instead of the previous 32-char md5 hex
+    # string (¼ the key bytes through the banding exchange, and a far
+    # cheaper hash; r16, guide §2.3). Semantics: equal components
+    # always hash equal, so every pair the banding contract promises is
+    # still found; a 64-bit collision can only ADD a candidate, which
+    # the exact-Jaccard verify then scores truthfully — output pairs
+    # all satisfy jaccard ≥ threshold either way.
+    #
+    # The full signature rides along through the banding (12 bigints —
+    # still tiny next to the text the signing stage dropped) so that
+    # BOTH the estimate gate and pair-dedup run INSIDE the self-join as
+    # plain codegen'd predicates (r16 restructure): previously the pair
+    # set went through a distinct() exchange and then re-joined the
+    # signature frame twice to compute the gate — three shuffles and a
+    # barrier that this plan no longer contains. Same design as
+    # simhash_pairs, which always carried its fingerprint words inline.
+    def _bucket_expr(b: int, prefix: str = "") -> str:
+        cols = ", ".join(
+            f"{prefix}_h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
         )
-        for b in range(bands)
+        return f"xxhash64({cols})"
+
+    band_structs = ", ".join(
+        f"struct({b} as band, {_bucket_expr(b)} as bucket)" for b in range(bands)
     )
     banded = sigs.select(
-        "_id", F.expr(f"explode(array({band_structs}))").alias("bb")
-    ).select("_id", "bb.band", "bb.bucket")
+        "_id",
+        *[f"_h{i}" for i in range(num_hashes)],
+        F.expr(f"explode(array({band_structs}))").alias("bb"),
+    ).select("_id", *[f"_h{i}" for i in range(num_hashes)], "bb.band", "bb.bucket")
 
-    # Candidate pairs are tiny relative to the corpus (2 ids/row); the
-    # verify stage references this frame THREE times (cand itself plus
-    # both legs of cand_ids), so relying on ReusedExchange to dedupe the
-    # banding stage is fragile across Spark versions — the exact failure
-    # mode behind r2's simhash 2.7× regression. An eager localCheckpoint
-    # materializes the bounded pair set once; blocks free when the
-    # result is dereferenced (no session-lifetime cache leak, unlike
-    # persist()). Same design as simhash_pairs' signature checkpoint.
-    banded = _cap_buckets(banded, max_bucket_size)
+    banded, capped = _cap_buckets(banded, max_bucket_size, n_rows=n_rows)
     left = banded.alias("l")
     right = banded.alias("r")
     # In-bucket self-join for pairs. (An in-array combination expansion
@@ -525,46 +542,56 @@ def lsh_candidate_pairs(
     # narrow-bucket configs but SLOWER at this query's real parameters:
     # wide buckets concentrate the O(w^2) expansion into one task,
     # while the join spreads pairs across partitions.)
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .distinct()
+    cond = (
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col("l._id") < F.col("r._id"))
     )
+    if not capped:
+        # First-match dedup (replaces distinct()): emit a pair only from
+        # its FIRST bucket-agreeing band — for every earlier band the
+        # recomputed bucket keys must differ. Exactly-once emission
+        # without shuffling the pair set, sound because bucket keys are
+        # pure functions of the carried signature components; with a
+        # capped bucket a pair can agree on an earlier band yet not
+        # co-occur in it, so the capped path keeps the distinct().
+        for b in range(1, bands):
+            earlier = " OR ".join(
+                f"({_bucket_expr(bp, 'l.')} = {_bucket_expr(bp, 'r.')})" for bp in range(b)
+            )
+            cond = cond & ~((F.col("l.band") == b) & F.expr(earlier))
 
-    # Estimate gate (see docstring): join the (tiny) pair set back to
-    # the checkpointed signatures and keep only pairs whose component
-    # agreement clears the gate. Cuts the dominant cost — exact
-    # shingle-verify — by the false-candidate fraction (measured 68 %
-    # at sf0.1: 18.6k candidates → 6k verified, same 256 output pairs).
+    # Estimate gate (see docstring), applied inside the join output as
+    # a predicate over the carried components.
     if est_gate == "auto":
         s50 = (1.0 - 0.5 ** (1.0 / bands)) ** (1.0 / rows_per_band)
         est_gate = max(threshold, s50) - 2.0 / num_hashes
+    cand = left.join(right, cond).select(
+        F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
+        *(
+            [
+                F.expr(
+                    " + ".join(f"cast(l._h{i} = r._h{i} as int)" for i in range(num_hashes))
+                ).alias("__agree")
+            ]
+            if est_gate is not None and est_gate > 0
+            else []
+        ),
+    )
     if est_gate is not None and est_gate > 0:
-        sa = sigs.select(
-            F.col("_id").alias("id_a"),
-            *[F.col(f"_h{i}").alias(f"__a{i}") for i in range(num_hashes)],
+        cand = cand.filter(F.col("__agree") >= F.lit(est_gate * num_hashes)).select(
+            "id_a", "id_b"
         )
-        sb = sigs.select(
-            F.col("_id").alias("id_b"),
-            *[F.col(f"_h{i}").alias(f"__b{i}") for i in range(num_hashes)],
-        )
-        agree = F.expr(
-            " + ".join(f"cast(__a{i} = __b{i} as int)" for i in range(num_hashes))
-        )
-        cand = (
-            cand.join(sa, "id_a")
-            .join(sb, "id_b")
-            .filter(agree >= F.lit(est_gate * num_hashes))
-            .select("id_a", "id_b")
-        )
+    if capped:
+        cand = cand.distinct()
     # The (gated) pair set is referenced THREE times below (verify join
-    # plus both legs of cand_ids) — materialize it once; see the r2
-    # ReusedExchange note above.
+    # plus both legs of cand_ids); candidate pairs are tiny relative to
+    # the corpus (2 ids/row), and relying on ReusedExchange to dedupe
+    # the banding stage is fragile across Spark versions — the exact
+    # failure mode behind r2's simhash 2.7× regression. An eager
+    # localCheckpoint materializes the bounded pair set once; blocks
+    # free when the result is dereferenced (no session-lifetime cache
+    # leak, unlike persist()).
     cand = cand.localCheckpoint(eager=True)
     cand_ids = (
         cand.select(F.col("id_a").alias("_id"))
@@ -771,6 +798,7 @@ def simhash_pairs(
     bands: int = 4,
     max_dist: int = 3,
     max_bucket_size: int | None = 5000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ ``max_dist`` over a
     64-bit fingerprint.
@@ -824,27 +852,45 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("_id", "sim_a", "sim_b", "bb.band", "bb.bucket")
-    banded = _cap_buckets(banded, max_bucket_size)
+    banded, capped = _cap_buckets(banded, max_bucket_size, n_rows=n_rows)
     left = banded.alias("l")
     right = banded.alias("r")
     ham = hamming(F.col("l.sim_a"), F.col("r.sim_a")) + hamming(
         F.col("l.sim_b"), F.col("r.sim_b")
     )
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
+    cond = (
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col("l._id") < F.col("r._id"))
+    )
+    if not capped:
+        # First-match dedup (r16, replaces the distinct() exchange): a
+        # pair agreeing on several bands is emitted only from its FIRST
+        # agreeing band — earlier bands' bucket values, recomputed from
+        # the carried fingerprint words, must differ. Codegen'd
+        # predicate instead of a shuffle of the pair set; sound only
+        # uncapped (a capped bucket can drop one member of a pair from
+        # the earlier band it agrees on — the capped path keeps
+        # distinct()).
+        def _b(side: str, b: int) -> Column:
+            word = F.col(f"{side}.sim_a") if b < per_word else F.col(f"{side}.sim_b")
+            return F.shiftright(word, (b % per_word) * band_bits).bitwiseAND(F.lit(mask))
+
+        for b in range(1, bands):
+            earlier = _b("l", 0) == _b("r", 0)
+            for bp in range(1, b):
+                earlier = earlier | (_b("l", bp) == _b("r", bp))
+            cond = cond & ~((F.col("l.band") == b) & earlier)
+    out = (
+        left.join(right, cond)
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
             ham.alias("hamming_dist"),
         )
         .filter(F.col("hamming_dist") <= max_dist)
-        .distinct()
     )
+    return out.distinct() if capped else out
 
 
 # ---------------------------------------------------------------------------
@@ -1027,6 +1073,7 @@ def neardup_clusters(
     threshold: float = 0.5,
     max_bucket_size: int | None = 5000,
     est_gate: float | str | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Cluster ids for near-duplicate documents: every doc gets a
     cluster_id = the minimum doc id of its near-dup component (its own
@@ -1047,6 +1094,7 @@ def neardup_clusters(
         threshold=threshold,
         max_bucket_size=max_bucket_size,
         est_gate=est_gate,
+        n_rows=n_rows,
     )
     cc = connected_components(pairs)
     ids = df.select(F.col(id_col))

@@ -68,14 +68,29 @@ def brute_force_topk(
     Output: (query_id, vec_id, cos_sim, rank) — self-matches excluded.
     ``queries`` is broadcast (assumed small); the corpus is scanned once.
     """
+    # Norms are hoisted OUT of the pair loop (r16, guide §2.3/§4): the
+    # naive cosine(q, c) recomputes sqrt(Σq²) and sqrt(Σc²) per PAIR
+    # inside an interpreted higher-order expression — |Q|× per corpus
+    # row and |C|× per query row. Computing each norm once per row
+    # before the join leaves only the dot product per pair (≈3× less
+    # interpreted array work). Float-identical: dot/(qn·cn) evaluates
+    # the exact same operations in the same order, just cached.
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qvec")
-    )
-    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("cvec"))
+    ).withColumn("_qn", l2_norm(F.col("qvec")))
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("cvec")
+    ).withColumn("_cn", l2_norm(F.col("cvec")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
-        .select("query_id", id_col, cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"))
+        .select(
+            "query_id",
+            id_col,
+            (dot(F.col("qvec"), F.col("cvec")) / (F.col("_qn") * F.col("_cn"))).alias(
+                "cos_sim"
+            ),
+        )
     )
     return rank_topk(scored, k, id_col=id_col)
 
@@ -153,29 +168,36 @@ def lsh_topk(
             )
         )
 
+    # norms hoisted out of the per-candidate score, computed once per
+    # source row BEFORE the table explode / bucket join (r16; same
+    # float-identical rewrite as brute_force_topk — see its comment)
     c = (
         corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("cvec"))
+        .withColumn("_cn", l2_norm(F.col("cvec")))
         .withColumn("tb", tables(F.col("cvec")))
-        .select(id_col, "cvec", "tb.tbl", "tb.bkt")
+        .select(id_col, "cvec", "_cn", "tb.tbl", "tb.bkt")
     )
     q = (
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qvec")
         )
+        .withColumn("_qn", l2_norm(F.col("qvec")))
         .withColumn("tb", tables(F.col("qvec")))
-        .select("query_id", "qvec", "tb.tbl", "tb.bkt")
+        .select("query_id", "qvec", "_qn", "tb.tbl", "tb.bkt")
     )
     cand = (
         c.join(q, ["tbl", "bkt"])
         .filter(F.col(id_col) != F.col("query_id"))
-        .select("query_id", id_col, "qvec", "cvec")
+        .select("query_id", id_col, "qvec", "cvec", "_qn", "_cn")
     )
     # score BEFORE deduping: duplicate candidates (found by several
     # tables) score identically, so distinct on the scalar rows moves
     # ~24 B/row through the exchange instead of both embedding arrays
     # (~2xdim doubles per candidate; r15 review)
     scored = cand.select(
-        "query_id", id_col, cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim")
+        "query_id",
+        id_col,
+        (dot(F.col("qvec"), F.col("cvec")) / (F.col("_qn") * F.col("_cn"))).alias("cos_sim"),
     ).distinct()
     return rank_topk(scored, k, id_col=id_col)
 
@@ -188,6 +210,7 @@ def cosine_neardup_pairs(
     threshold: float = 0.9,
     n_blocks: int | None = None,
     task_mem_bytes: int = 256 << 20,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos_sim ≥ t).
 
@@ -218,14 +241,31 @@ def cosine_neardup_pairs(
         # pairs ≥ the cluster's parallelism so the stage isn't capped at
         # a handful of tasks (the r2 finding: fixed B=4 ⇒ max 10 tasks).
         # Replication cost is O(N·B) rows through one shuffle.
-        stats = df.select(
-            F.count(F.lit(1)).alias("n"), F.first(F.size(F.col(vec_col))).alias("dim")
-        ).first()
-        n, dim = stats["n"] or 0, stats["dim"] or 0
+        if n_rows is None:
+            stats = df.select(
+                F.count(F.lit(1)).alias("n"), F.first(F.size(F.col(vec_col))).alias("dim")
+            ).first()
+            n, dim = stats["n"] or 0, stats["dim"] or 0
+        else:
+            # caller-supplied exact count (parquet footer metadata) —
+            # only the vector width still needs a (one-row) look
+            n = n_rows
+            row = df.select(F.size(F.col(vec_col)).alias("dim")).limit(1).first()
+            dim = (row["dim"] if row is not None else 0) or 0
         par = spark.sparkContext.defaultParallelism
         b_mem = math.ceil(2 * n * dim * 8 / task_mem_bytes)
         b_par = math.ceil((math.sqrt(8 * par + 1) - 1) / 2)  # B(B+1)/2 >= par
-        n_blocks = max(b_mem, b_par, 2)
+        # Work floor (r16, guide §2.2/§6 task-sizing): B_par alone fans
+        # a small corpus into B_par(B_par+1)/2 near-empty Python groups
+        # — replication and per-task Arrow overhead with nothing to
+        # amortize them. Cap the parallelism-driven block count so each
+        # block pair keeps ≥ ~32 MFLOP of gemm (n²·dim multiply-adds
+        # total); at scale b_work ≫ b_par so the cluster-driven sizing
+        # is untouched. Blocking never changes results — each pair's
+        # cosine is computed from its two full vectors regardless.
+        pairs_cap = max(1, (n * n * dim) // (32 << 20))
+        b_work = math.ceil((math.sqrt(8 * pairs_cap + 1) - 1) / 2)
+        n_blocks = max(b_mem, min(b_par, b_work), 2)
     src = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
     ).withColumn("blk", F.pmod(F.hash(F.col("vid")), F.lit(n_blocks)))
@@ -449,9 +489,13 @@ def ivf_topk(
         )
     n_probe = min(n_probe, len(centroids))
 
-    c = corpus.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("cvec")
-    ).withColumn("cid", _nearest_centroid(F.col("cvec"), centroids))
+    # norms hoisted out of the per-candidate score (r16; float-identical
+    # rewrite — see brute_force_topk)
+    c = (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("cvec"))
+        .withColumn("_cn", l2_norm(F.col("cvec")))
+        .withColumn("cid", _nearest_centroid(F.col("cvec"), centroids))
+    )
 
     probes = _probe_ids(F.col("qvec"), centroids, n_probe)
     q = (
@@ -459,12 +503,15 @@ def ivf_topk(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("qvec"),
         )
+        .withColumn("_qn", l2_norm(F.col("qvec")))
         .withColumn("cid", F.explode(probes))
-        .select("query_id", "qvec", F.col("cid").cast("int").alias("cid"))
+        .select("query_id", "qvec", "_qn", F.col("cid").cast("int").alias("cid"))
     )
     cand = c.join(q, "cid").filter(F.col(id_col) != F.col("query_id"))
     scored = cand.select(
-        "query_id", id_col, cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim")
+        "query_id",
+        id_col,
+        (dot(F.col("qvec"), F.col("cvec")) / (F.col("_qn") * F.col("_cn"))).alias("cos_sim"),
     )
     return rank_topk(scored, k, id_col=id_col)
 

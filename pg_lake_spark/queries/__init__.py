@@ -288,6 +288,22 @@ _CODE_CHANGES: list[tuple[str, int]] = [
     ("s_except", 16),
     ("j_semi_anti", 16),
     ("cb_phrase_lexical_order", 16),
+    # r16 optimization round: LSH banding restructure (signatures
+    # carried inline, first-match dedup + estimate gate as in-join
+    # predicates, xxhash64 bucket keys, footer-row-count cap-probe
+    # skip), simhash first-match dedup, cosine norm hoist
+    # (brute-force/LSH/IVF top-k), embedding near-dup work-aware block
+    # sizing — all strict-checked at sf0.001/0.01/0.1 this session.
+    ("dd_lsh_candidates", 16),
+    ("dd_neardup_clusters", 16),
+    ("dd_simhash_pairs", 16),
+    ("dd_embedding_neardup", 16),
+    ("sim_cosine_topk", 16),
+    ("sim_lsh_topk", 16),
+    ("sim_ivf_topk", 16),
+    # r16 optimization round: dsq74 single-pass conditional aggregation
+    # (was 4 filtered self-join legs; 16 Exchanges -> 6, 4 SMJ -> 0).
+    ("dsq74_two_metric_growth", 16),
 ]
 
 #: Effective manifest: explicit max-merge of the append-only pair list.

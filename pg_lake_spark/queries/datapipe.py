@@ -26,6 +26,23 @@ def _duck_shingles(n: int) -> str:
     return _DUCK_SHINGLES.format(nm1=n - 1)
 
 
+def _footer_rows(sf_dir: str, table: str) -> int | None:
+    """Exact row count from the parquet footer — a driver-side metadata
+    read (no Spark job), the same statistic a CBO would consult. Feeds
+    the operators' size-aware decisions (cap-probe skip, block sizing);
+    ``None`` on any failure keeps the operator's self-probing path."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.ParquetFile(
+            os.path.join(sf_dir, f"{table}.parquet")
+        ).metadata.num_rows
+    except Exception:
+        return None
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -133,7 +150,7 @@ def dd_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would fail this row).
     return dedup.lsh_candidate_pairs(
         t["documents"], "doc_id", "text", shingle_n=2, num_hashes=12, bands=4,
-        threshold=0.3, est_gate="auto",
+        threshold=0.3, est_gate="auto", n_rows=_footer_rows(sf_dir, "documents"),
     ).orderBy("id_a", "id_b")
 
 
@@ -182,6 +199,7 @@ def dd_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_clusters(
         t["documents"], "doc_id", "text",
         shingle_n=2, num_hashes=12, bands=4, threshold=0.3, est_gate="auto",
+        n_rows=_footer_rows(sf_dir, "documents"),
     ).orderBy("doc_id")
 
 
@@ -609,7 +627,8 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return (
         dedup.simhash_pairs(
-            t["documents"], "doc_id", "text", shingle_n=2, bands=4, max_dist=3
+            t["documents"], "doc_id", "text", shingle_n=2, bands=4, max_dist=3,
+            n_rows=_footer_rows(sf_dir, "documents"),
         )
         .withColumn("hamming_dist", F.col("hamming_dist").cast("long"))
         .orderBy("id_a", "id_b")
@@ -634,7 +653,8 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return (
         similarity.cosine_neardup_pairs(
-            t["embeddings"], "vec_id", "embedding", threshold=0.40
+            t["embeddings"], "vec_id", "embedding", threshold=0.40,
+            n_rows=_footer_rows(sf_dir, "embeddings"),
         )
         # rounded: dot products associate differently per engine; see
         # w_exclude_current_row for the comparator-ordering rationale

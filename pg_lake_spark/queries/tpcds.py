@@ -1142,33 +1142,46 @@ def dsq90_am_pm_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dsq74_two_metric_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    o_year = (
+    # r16 optimization-round rewrite (guide §2.4): the four per-year
+    # legs used to be four filtered copies of the aggregation subtrees
+    # — Catalyst planned 2 orders scans + 2 lineitem⋈orders joins and
+    # three ck self-joins. One conditional aggregation per source frame
+    # (sum(when(yr = …))) computes both years in a single pass: half
+    # the scans, one ck join instead of three. Per-leg sums are over
+    # exactly the same rows (a year's sum is the sum over that year's
+    # rows either way); a customer missing a year gets a NULL
+    # conditional sum, which the o1 > 0 / l1 > 0 / three-valued '>'
+    # filters drop exactly as the inner leg-joins did.
+    o_pair = (
         t["orders"]
-        .groupBy(F.col("o_custkey").alias("ck"), F.year("o_orderdate").cast("int").alias("yr"))
-        .agg(F.sum("o_totalprice").alias("m"))
-    )
-    l_year = (
-        t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy(F.col("o_custkey").alias("ck"), F.year("l_shipdate").cast("int").alias("yr"))
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("m"))
-    )
-
-    def leg(df, yr, ck, m):
-        return df.filter(F.col("yr") == yr).select(
-            F.col("ck").alias(ck), F.col("m").alias(m)
+        .filter(F.year("o_orderdate").isin(1997, 1998))
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.sum(F.when(F.year("o_orderdate") == 1997, F.col("o_totalprice"))).alias("o1"),
+            F.sum(F.when(F.year("o_orderdate") == 1998, F.col("o_totalprice"))).alias("o2"),
         )
-
+    )
+    l_pair = (
+        t["lineitem"]
+        .filter(F.year("l_shipdate").isin(1997, 1998))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_custkey").alias("lck"))
+        .agg(
+            F.sum(
+                F.when(F.year("l_shipdate") == 1997, F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("l1"),
+            F.sum(
+                F.when(F.year("l_shipdate") == 1998, F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("l2"),
+        )
+    )
     return (
-        leg(o_year, 1997, "ck1", "o1")
-        .join(leg(o_year, 1998, "ck2", "o2"), F.col("ck1") == F.col("ck2"))
-        .join(leg(l_year, 1997, "ck3", "l1"), F.col("ck1") == F.col("ck3"))
-        .join(leg(l_year, 1998, "ck4", "l2"), F.col("ck1") == F.col("ck4"))
+        o_pair.join(l_pair, F.col("ck") == F.col("lck"))
         .filter(
             (F.col("o1") > 0) & (F.col("l1") > 0)
             & (F.col("o2") / F.col("o1") > F.col("l2") / F.col("l1"))
         )
-        .join(_bcast(t["customer"]), F.col("c_custkey") == F.col("ck1"))
+        .join(_bcast(t["customer"]), F.col("c_custkey") == F.col("ck"))
         .select(
             "c_name",
             F.round(F.col("o2") / F.col("o1"), 6).alias("order_growth"),
