@@ -1495,7 +1495,6 @@ class LakeTable:
             .filter(F.col("__mrn") == 1)
             .drop("__mrn")
         )
-        matched_rows = matched.count()
 
         returning_rows = None
         if returning:
@@ -1526,53 +1525,80 @@ class LakeTable:
                 )
             returning_rows = ret.collect()
 
-        source_deleted_rows = 0
-        if when_not_matched_by_source_delete:
-            before = survivors.count()
-            if isinstance(when_not_matched_by_source_delete, str):
-                survivors = survivors.filter(
-                    ~F.coalesce(
-                        F.expr(when_not_matched_by_source_delete), F.lit(False)
-                    )
-                )
-                source_deleted_rows = before - survivors.count()
-            else:
-                survivors = survivors.limit(0)
-                source_deleted_rows = before
-
-        pieces = [survivors]
-        updated_rows = deleted_rows = 0
-        if when_matched_delete:
-            deleted_rows = matched_rows
+        # --- one materialization for every output class (r16 opt) -----
+        # survivors / matched / inserts used to be separate ACTIONS
+        # (matched.count(), inserts.count(), survivor before/after
+        # counts for the source-delete arm) and the final write then
+        # RE-executed the same joins — the target⋈source join ran up to
+        # three times per MERGE. Tag each output class, checkpoint the
+        # union once (every join runs exactly once), read all summary
+        # counts from one tiny aggregation over the materialized rows,
+        # and write from the same frame. Matched-delete and
+        # source-delete rows ride along tagged ('d'/'sd') purely for
+        # their counts and are filtered out before the write.
+        sd = when_not_matched_by_source_delete
+        if sd is True:
+            surv_tag = F.lit("sd")
+        elif isinstance(sd, str):
+            surv_tag = F.when(
+                F.coalesce(F.expr(sd), F.lit(False)), F.lit("sd")
+            ).otherwise(F.lit("k"))
         else:
-            updated_rows = matched_rows
+            surv_tag = F.lit("k")
+        pieces = [
+            survivors.select(
+                *[F.col(c) for c in target_cols], surv_tag.alias("__cls")
+            )
+        ]
+        if when_matched_delete:
+            pieces.append(
+                matched.select(
+                    *[F.col(f"t.{c}").alias(c) for c in target_cols],
+                    F.lit("d").alias("__cls"),
+                )
+            )
+        else:
             assignments = when_matched_update or {}
             pieces.append(
                 matched.select(
                     *[
                         F.expr(assignments[c]).alias(c)
                         if c in assignments
-                        else F.col(f"t.{c}")
+                        else F.col(f"t.{c}").alias(c)
                         for c in target_cols
-                    ]
+                    ],
+                    F.lit("u").alias("__cls"),
                 )
             )
-
-        inserted_rows = 0
         if when_not_matched_insert:
-            inserts = s.join(t, full_cond, "left_anti").select(
-                *[F.col(f"s.{c}") for c in target_cols]
+            pieces.append(
+                s.join(t, full_cond, "left_anti").select(
+                    *[F.col(f"s.{c}").alias(c) for c in target_cols],
+                    F.lit("i").alias("__cls"),
+                )
             )
-            inserted_rows = inserts.count()
-            pieces.append(inserts)
-
         new_data = pieces[0]
         for p in pieces[1:]:
             new_data = new_data.unionByName(p)
+        new_data = new_data.localCheckpoint(eager=True)
+        cls_counts = {
+            r["__cls"]: r["n"]
+            for r in new_data.groupBy("__cls")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        updated_rows = 0 if when_matched_delete else cls_counts.get("u", 0)
+        deleted_rows = cls_counts.get("d", 0) if when_matched_delete else 0
+        source_deleted_rows = cls_counts.get("sd", 0)
+        inserted_rows = cls_counts.get("i", 0)
         # assignment casts (see update()): inserted source columns and
         # update expressions must land in the table's declared types
         added = (
-            self._write_data_files(self._align_for_write(new_data))
+            self._write_data_files(
+                self._align_for_write(
+                    new_data.filter(~F.col("__cls").isin("sd", "d")).drop("__cls")
+                )
+            )
             if candidates or inserted_rows
             else []
         )

@@ -304,6 +304,14 @@ _CODE_CHANGES: list[tuple[str, int]] = [
     # r16 optimization round: dsq74 single-pass conditional aggregation
     # (was 4 filtered self-join legs; 16 Exchanges -> 6, 4 SMJ -> 0).
     ("dsq74_two_metric_growth", 16),
+    # r16 optimization round: merge() single tagged materialization —
+    # the target⋈source joins run once instead of three times (counts
+    # + write re-execution); on the MERGE path.
+    ("dml_merge_upsert", 16),
+    # r16 optimization round: bounded-key-space state width 8 -> 4
+    # (per-partition state-store fixed cost re-measured at sf0.1).
+    ("st_tumbling_counts", 16),
+    ("st_sliding_counts", 16),
 ]
 
 #: Effective manifest: explicit max-merge of the append-only pair list.

@@ -42,9 +42,13 @@ from pg_lake_spark.streaming import (
 def st_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = tumbling_window_agg(read_events_stream(spark, sf_dir), window="1 hour")
     # key space = windows x types (time-span-bound, corpus-independent):
-    # 8 state partitions cut per-partition state-store fixed cost 4x
-    # (see run_available_now docstring) without touching scan width
-    return run_available_now(sdf, spark, state_partitions=8).orderBy(
+    # narrow state partitions cut per-partition state-store fixed cost
+    # (see run_available_now docstring) without touching scan width.
+    # r16 re-measure at sf0.1 (3,600 keys): 8 -> 1.70s, 4 -> 1.23s,
+    # 2 -> 1.00s min; 4 keeps the state stage distributed while paying
+    # half of 8's fixed cost — the width should track the bounded KEY
+    # space, not the core count.
+    return run_available_now(sdf, spark, state_partitions=4).orderBy(
         "window_start", "event_type"
     )
 
@@ -117,7 +121,7 @@ def st_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_stream(spark, sf_dir), window="2 hours", slide="1 hour"
     )
     # same bounded-key-space argument as st_tumbling_counts
-    return run_available_now(sdf, spark, state_partitions=8).orderBy(
+    return run_available_now(sdf, spark, state_partitions=4).orderBy(
         "window_start", "event_type"
     )
 
