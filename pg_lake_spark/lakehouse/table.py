@@ -1211,8 +1211,16 @@ class LakeTable:
                 continue  # appended after every pending delete — untouched
             combined = " OR ".join(f"({active[i]['predicate']})" for i in dk)
             src = self._read_era([f.path for f in gfiles], era_key)
-            before = src.count()
-            remaining = src.filter(~F.coalesce(F.expr(combined), F.lit(False)))
+            # r16 opt: 'before' comes from the manifest's immutable
+            # per-file row counts (no job — same source full-file
+            # deletes already trust), and the filtered survivors
+            # materialize ONCE (eager checkpoint) feeding both the
+            # count and the write; previously the group was scanned
+            # three times (before-count, after-count, write).
+            before = sum(f.row_count for f in gfiles)
+            remaining = src.filter(
+                ~F.coalesce(F.expr(combined), F.lit(False))
+            ).localCheckpoint(eager=True)
             after = remaining.count()
             deleted_rows += before - after
             if after > 0:

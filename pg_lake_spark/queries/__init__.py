@@ -312,6 +312,12 @@ _CODE_CHANGES: list[tuple[str, int]] = [
     # (per-partition state-store fixed cost re-measured at sf0.1).
     ("st_tumbling_counts", 16),
     ("st_sliding_counts", 16),
+    # r16 optimization round: materialize_deletes single-scan groups
+    # (manifest row counts + checkpointed survivors) — on every DML
+    # row that calls materialize_deletes up front.
+    ("dml_mor_lifecycle", 16),
+    ("dml_cow_delete", 16),
+    ("dml_update_set", 16),
 ]
 
 #: Effective manifest: explicit max-merge of the append-only pair list.
