@@ -1382,14 +1382,118 @@ def _contains_xy_t(gtype: int, coords: list, x: float, y: float) -> bool:
     raise ValueError("st_contains_point expects a (MULTI)POLYGON geometry")
 
 
+def _ring_arrays(ring: list) -> tuple:
+    """Ring segments as column vectors (x0, y0, x1, y1), shape (n-1, 1)."""
+    p = np.asarray(ring, dtype="f8")
+    return (
+        p[:-1, 0:1],
+        p[:-1, 1:2],
+        p[1:, 0:1],
+        p[1:, 1:2],
+    )
+
+
+def _ring_cover_vec(ring: list, X: np.ndarray, Y: np.ndarray) -> np.ndarray:
+    """Vectorized _point_in_ring over a point array — operation-for-
+    operation the same float arithmetic as the scalar loop (boundary
+    bbox + cross==0, the (y0>y)!=(y1>y) crossing rule with the exact
+    same xin expression), so results are bit-identical. The scalar
+    version's early `return True` branches commute with the parity
+    count: any of them forces the final answer True regardless of the
+    remaining toggles, so OR-ing them at the end is equivalent."""
+    if len(ring) < 2:
+        return np.zeros(len(X), dtype=bool)
+    x0, y0, x1, y1 = _ring_arrays(ring)
+    Xr, Yr = X[None, :], Y[None, :]
+    # chunk points so the (segments × points) work matrices stay small
+    n_seg = x0.shape[0]
+    step = max(1, int(4_000_000 // max(n_seg, 1)))
+    out = np.empty(len(X), dtype=bool)
+    for lo in range(0, len(X), step):
+        Xc, Yc = Xr[:, lo : lo + step], Yr[:, lo : lo + step]
+        bbox = (
+            (np.minimum(x0, x1) <= Xc)
+            & (Xc <= np.maximum(x0, x1))
+            & (np.minimum(y0, y1) <= Yc)
+            & (Yc <= np.maximum(y0, y1))
+        )
+        cross = (x1 - x0) * (Yc - y0) - (Xc - x0) * (y1 - y0)
+        on_boundary = (bbox & (cross == 0)).any(axis=0)
+        straddle = (y0 > Yc) != (y1 > Yc)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xin = x0 + (Yc - y0) * (x1 - x0) / (y1 - y0)
+        toggles = (straddle & (Xc < xin)).sum(axis=0)
+        on_xin = (straddle & (Xc == xin)).any(axis=0)
+        out[lo : lo + step] = on_boundary | on_xin | (toggles % 2 == 1)
+    return out
+
+
+def _ring_edge_vec(ring: list, X: np.ndarray, Y: np.ndarray) -> np.ndarray:
+    """Vectorized 'point lies on a ring segment' (the hole-boundary
+    check of _contains_xy_t), same bbox + cross==0 arithmetic."""
+    if len(ring) < 2:
+        return np.zeros(len(X), dtype=bool)
+    x0, y0, x1, y1 = _ring_arrays(ring)
+    n_seg = x0.shape[0]
+    step = max(1, int(4_000_000 // max(n_seg, 1)))
+    out = np.empty(len(X), dtype=bool)
+    for lo in range(0, len(X), step):
+        Xc, Yc = X[None, lo : lo + step], Y[None, lo : lo + step]
+        bbox = (
+            (np.minimum(x0, x1) <= Xc)
+            & (Xc <= np.maximum(x0, x1))
+            & (np.minimum(y0, y1) <= Yc)
+            & (Yc <= np.maximum(y0, y1))
+        )
+        cross = (x1 - x0) * (Yc - y0) - (Xc - x0) * (y1 - y0)
+        out[lo : lo + step] = (bbox & (cross == 0)).any(axis=0)
+    return out
+
+
+def _contains_xy_vec(gtype: int, coords: list, X: np.ndarray, Y: np.ndarray) -> np.ndarray:
+    """Vectorized _contains_xy_t: one geometry against a point array."""
+    if gtype == WKB_POLYGON:
+        if not coords:
+            return np.zeros(len(X), dtype=bool)
+        res = _ring_cover_vec(coords[0], X, Y)
+        for hole in coords[1:]:
+            in_hole = _ring_cover_vec(hole, X, Y)
+            on_edge = _ring_edge_vec(hole, X, Y)
+            res &= ~in_hole | on_edge
+        return res
+    if gtype == WKB_MULTIPOLYGON:
+        res = np.zeros(len(X), dtype=bool)
+        for kt, kc in coords:
+            res |= _contains_xy_vec(kt, kc, X, Y)
+        return res
+    raise ValueError("st_contains_point expects a (MULTI)POLYGON geometry")
+
+
 @pandas_udf(BooleanType())
 def _k_contains_xy(g: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
-    out = []
-    for b, px, py in zip(g, x, y):
-        if b is None or px is None or py is None:
-            out.append(None)
-        else:
-            out.append(_contains_xy(bytes(b), float(px), float(py)))
+    # r16 (guide §4.2): the exact-verify kernel of the grid-bucketed
+    # polygon⋈point join sees each polygon once PER CANDIDATE ROW — a
+    # per-row Python loop re-parsed the same WKB and re-walked its
+    # rings point by point. Group the batch by geometry bytes, parse
+    # each distinct geometry once, and run the even-odd test as NumPy
+    # array arithmetic over all of its points (bit-identical float ops;
+    # pinned by tests/test_spatial_relations.py::test_contains_xy_
+    # vectorized_matches_scalar and the unchanged join oracles).
+    out = [None] * len(g)
+    if not len(g):
+        return pd.Series(out, dtype=object)
+    groups: dict[bytes, list[int]] = {}
+    for i, (b, px, py) in enumerate(zip(g, x, y)):
+        if b is not None and px is not None and py is not None:
+            groups.setdefault(bytes(b), []).append(i)
+    xv = pd.to_numeric(x, errors="coerce").to_numpy(dtype="f8", na_value=np.nan)
+    yv = pd.to_numeric(y, errors="coerce").to_numpy(dtype="f8", na_value=np.nan)
+    for b, idxs in groups.items():
+        gtype, coords = _parse(b)
+        ix = np.asarray(idxs, dtype=np.int64)
+        res = _contains_xy_vec(gtype, coords, xv[ix], yv[ix])
+        for j, i in enumerate(idxs):
+            out[i] = bool(res[j])
     return pd.Series(out, dtype=object)
 
 

@@ -318,6 +318,10 @@ _CODE_CHANGES: list[tuple[str, int]] = [
     ("dml_mor_lifecycle", 16),
     ("dml_cow_delete", 16),
     ("dml_update_set", 16),
+    # r16 optimization round: _k_contains_xy vectorized (NumPy even-odd
+    # over distinct geometries; 50x kernel microbench, bit-identical)
+    # — on the polygon⋈point exact-verify path.
+    ("j_polygon_point_exact", 16),
 ]
 
 #: Effective manifest: explicit max-merge of the append-only pair list.

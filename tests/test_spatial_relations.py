@@ -700,3 +700,76 @@ def test_sliver_filter_is_width_based_not_area_based():
     assert not _snapped_ring_is_sliver(rect(1.0, 1.0), grid)
     # degenerate zero-perimeter ring: dropped
     assert _snapped_ring_is_sliver([(0.0, 0.0)] * 4, grid)
+
+
+def test_contains_xy_vectorized_matches_scalar():
+    """The r16 vectorized even-odd kernel must agree with the scalar
+    reference on every class of input: interior/exterior, vertex and
+    edge boundary points, ray-through-vertex parities, holes (interior,
+    hole-interior, hole-edge), MULTIPOLYGONs, and random fuzz."""
+    import random
+
+    import numpy as np
+
+    from pg_lake_spark.functions.spatial import (
+        _contains_xy,
+        _contains_xy_vec,
+        _pack_polygon,
+        _parse,
+    )
+
+    def check(wkb, pts):
+        gtype, coords = _parse(wkb)
+        X = np.array([p[0] for p in pts], dtype="f8")
+        Y = np.array([p[1] for p in pts], dtype="f8")
+        vec = _contains_xy_vec(gtype, coords, X, Y)
+        for i, (px, py) in enumerate(pts):
+            assert bool(vec[i]) == _contains_xy(wkb, px, py), (
+                wkb.hex(), px, py, bool(vec[i]))
+
+    sq = _pack_polygon([[(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]])
+    pts = [
+        (2, 2), (5, 5), (-1, 2),          # interior / exterior
+        (0, 0), (4, 4), (2, 0), (0, 2),   # vertices and edges
+        (4, 2), (2, 4),                   # far edges
+        (0, 4), (4, 0),                   # corners
+        (2, 3.9999999), (2, 4.0000001),
+    ]
+    check(sq, pts)
+
+    holed = _pack_polygon(
+        [
+            [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)],
+            [(3, 3), (7, 3), (7, 7), (3, 7), (3, 3)],
+        ]
+    )
+    pts = [
+        (1, 1), (5, 5),                   # shell interior / hole interior
+        (3, 5), (5, 3), (7, 5),           # hole edges (covered)
+        (3, 3), (7, 7),                   # hole vertices
+        (2.9999, 5), (3.0001, 5),         # either side of the hole edge
+        (0, 0), (10, 5), (5, 10),
+    ]
+    check(holed, pts)
+
+    tri_a = [[(0.0, 0.0), (2.0, 0.0), (0.0, 2.0), (0.0, 0.0)]]
+    tri_b = [[(5.0, 5.0), (8.0, 5.0), (5.0, 9.0), (5.0, 5.0)]]
+    multi = (
+        struct.pack("<BII", 1, 6, 2)
+        + _pack_polygon(tri_a)
+        + _pack_polygon(tri_b)
+    )
+    pts = [(0.5, 0.5), (6, 6), (3, 3), (1.0, 1.0), (5, 5), (2.0, 0.0)]
+    check(multi, pts)
+
+    rng = random.Random(42)
+    for _ in range(20):
+        n = rng.randint(3, 8)
+        ring = [(rng.uniform(-5, 5), rng.uniform(-5, 5)) for _ in range(n)]
+        ring.append(ring[0])
+        wkb = _pack_polygon([ring])
+        pts = [(rng.uniform(-6, 6), rng.uniform(-6, 6)) for _ in range(50)]
+        # include exact vertices and midpoints of segments
+        pts += ring[:-1]
+        pts += [((ring[i][0] + ring[i + 1][0]) / 2, (ring[i][1] + ring[i + 1][1]) / 2) for i in range(n)]
+        check(wkb, pts)
