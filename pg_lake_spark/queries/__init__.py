@@ -322,6 +322,12 @@ _CODE_CHANGES: list[tuple[str, int]] = [
     # over distinct geometries; 50x kernel microbench, bit-identical)
     # — on the polygon⋈point exact-verify path.
     ("j_polygon_point_exact", 16),
+    # r16 optimization round: dsq93 per-order pre-aggregation before
+    # the fact⋈fact join; bloom_semi_join footer-count sizing hint;
+    # st_stream_dedup input-size-derived state width.
+    ("dsq93_net_after_returns", 16),
+    ("dd_bloom_semi_join", 16),
+    ("st_stream_dedup", 16),
 ]
 
 #: Effective manifest: explicit max-merge of the append-only pair list.

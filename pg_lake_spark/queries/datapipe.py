@@ -1232,8 +1232,14 @@ def dd_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = F.md5(F.substring("text", 1, 40))
     corpus = docs.filter(F.col("doc_id") % 3 == 0).select(fp.alias("h"))
     probe = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", fp.alias("h"))
+    # n_estimate: the parquet footer row count is a free UPPER bound on
+    # the corpus key count (skips bloom_semi_join's sizing count job);
+    # an overestimate only makes the filter larger/stricter — the exact
+    # final semi-join keeps the output identical either way.
     return (
-        bloom_semi_join(probe, corpus, "h", fpp=0.01)
+        bloom_semi_join(
+            probe, corpus, "h", fpp=0.01, n_estimate=_footer_rows(sf_dir, "documents")
+        )
         .select("doc_id")
         .orderBy("doc_id")
     )

@@ -140,14 +140,29 @@ def st_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source.",
 )
 def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     sdf = (
         read_events_stream(spark, sf_dir)
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
     )
-    return run_available_now(sdf, spark, output_mode="append").orderBy(
-        "user_id", "event_type"
-    )
+    # Scale-adaptive state width (r16, guide §2: derive partitioning
+    # from input size, not a constant): dedup state grows with the
+    # data, so the width follows the SOURCE size — ~one state partition
+    # per 32 MB of input, floored at 4, capped at the session's
+    # parallelism. At sf0.1 (≈2 MB) that is 4 partitions instead of 32
+    # near-empty state stores each paying provider/snapshot fixed cost
+    # per micro-batch (measured 2.3s → ~1.3s); a TB-scale source gets
+    # the full width.
+    try:
+        src_bytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+        width = max(4, min(spark.sparkContext.defaultParallelism, -(-src_bytes // (32 << 20))))
+    except OSError:
+        width = None
+    return run_available_now(
+        sdf, spark, output_mode="append", state_partitions=width
+    ).orderBy("user_id", "event_type")
 
 
 @query(
