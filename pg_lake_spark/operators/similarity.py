@@ -95,6 +95,45 @@ def brute_force_topk(
     return rank_topk(scored, k, id_col=id_col)
 
 
+#: (dim, n_planes, seed) -> list of plane component lists, evaluated
+#: ONCE by the JVM (see _plane_values). Bounded: a session uses a
+#: handful of (dim, seed) combinations.
+_PLANE_CACHE: dict[tuple, list] = {}
+
+
+def _plane_values(dim: int, n_planes: int, seed: int, spark=None) -> list | None:
+    """Hyperplane components as Python doubles, computed ONCE by the
+    SAME JVM expression the per-row path would evaluate (r16, guide
+    §2.3/§1.2): the plane arrays are constants — sin over a literal
+    sequence — but Catalyst does not constant-fold higher-order
+    lambdas, so every row re-evaluated dim·n_planes sin() calls
+    (sim_lsh_topk: 16 tables × 5 planes × 64 dims = 5,120 interpreted
+    sin per corpus row — measured 16.8s at sf0.1). Evaluating the
+    identical expression once via spark.sql and embedding the results
+    as array literals is bit-identical by construction: same JVM sin,
+    same operation order, exact binary round-trip through collect.
+    Returns None when no active session exists (caller falls back to
+    the inline expression)."""
+    key = (dim, n_planes, seed)
+    vals = _PLANE_CACHE.get(key)
+    if vals is None:
+        from pyspark.sql import SparkSession
+
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            return None
+        exprs = ", ".join(
+            "transform(sequence(0, {last}), j -> sin({freq!r}D * (j + 1.0D) + 78.233D))".format(
+                last=dim - 1, freq=(seed + p + 1) * 12.9898
+            )
+            for p in range(n_planes)
+        )
+        row = spark.sql(f"SELECT {exprs}").first()
+        vals = [list(row[p]) for p in range(n_planes)]
+        _PLANE_CACHE[key] = vals
+    return vals
+
+
 def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 0) -> Column:
     """Deterministic random-hyperplane LSH bucket id (0 .. 2^n_planes-1).
 
@@ -116,11 +155,20 @@ def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 0) -
         # were not independent.
         return lambda j: F.sin(freq * (j + F.lit(1.0)) + F.lit(78.233))
 
+    # The planes are constants, but Catalyst does not fold higher-order
+    # lambdas — the inline form re-evaluates dim sin() calls per plane
+    # PER ROW. Pre-evaluate each plane once through the same JVM
+    # expression (bit-identical; see _plane_values) and embed it as an
+    # array literal; the per-row work is then just the dot product.
+    vals = _plane_values(dim, n_planes, seed)
     bits = []
     for p in range(n_planes):
-        plane = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)), plane_fn((seed + p + 1) * 12.9898)
-        )
+        if vals is not None:
+            plane = F.array(*[F.lit(v) for v in vals[p]])
+        else:
+            plane = F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)), plane_fn((seed + p + 1) * 12.9898)
+            )
         bits.append(
             F.when(dot(vec, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         )
@@ -128,6 +176,61 @@ def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 0) -
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def _table_buckets_udf(planes_tables: list):
+    """One Arrow kernel computing EVERY table's hyperplane bucket id
+    per vector (r16, guide §4.2): the Column form evaluated
+    n_tables·n_planes interpreted dot products — dim element-lambda
+    ops each — per ROW (sim_lsh_topk: 5,120 interpreted ops/row even
+    with literal planes). Here the batch stacks into one matrix and
+    each plane's dot accumulates dimension-by-dimension in the SAME
+    left-to-right order as the JVM's ``aggregate`` fold (one IEEE mult
+    + one IEEE add per step), so every dot — and therefore every sign
+    bit and bucket id — is bit-identical to the Column form. NULL / a
+    length-mismatched vector yields bucket 0 in every table, exactly
+    like the Column form's ``when(NULL >= 0).otherwise(0)``; a NaN
+    component zeroes the row's sign bits on both paths (NaN >= 0 is
+    false in both engines).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mats = [np.asarray(t, dtype=np.float64) for t in planes_tables]
+    dim = mats[0].shape[1]
+    n_tables = len(mats)
+
+    # no type annotations: the module's postponed-annotation mode turns
+    # them into strings pandas_udf cannot resolve from a closure scope;
+    # the explicit returnType + default SCALAR eval type suffice
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def k_buckets(vs):
+        n = len(vs)
+        zeros = [0] * n_tables
+        out = [zeros] * n
+        rows, idxs = [], []
+        for i, v in enumerate(vs):
+            if v is not None and len(v) == dim:
+                rows.append(np.asarray(v, dtype=np.float64))
+                idxs.append(i)
+        if rows:
+            V = np.stack(rows)  # (m, dim)
+            m = V.shape[0]
+            res = np.zeros((m, n_tables), dtype=np.int64)
+            for t, P in enumerate(mats):  # P: (n_planes, dim)
+                acc = np.zeros((P.shape[0], m))
+                for j in range(dim):  # sequential fold == JVM aggregate order
+                    acc += P[:, j][:, None] * V[:, j][None, :]
+                bits = acc >= 0  # NaN -> False, like the JVM comparison
+                res[:, t] = (
+                    bits * (1 << np.arange(P.shape[0], dtype=np.int64))[:, None]
+                ).sum(axis=0)
+            for r, i in enumerate(idxs):
+                out[i] = [int(x) for x in res[r]]
+        return pd.Series(out, dtype=object)
+
+    return k_buckets
 
 
 def lsh_topk(
@@ -155,35 +258,54 @@ def lsh_topk(
     smaller candidate fraction.
     """
 
-    def tables(vec):
-        return F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        hyperplane_bucket(vec, dim, n_planes, seed=t * n_planes).alias("bkt"),
-                    )
-                    for t in range(n_tables)
-                ]
+    # All table buckets come from ONE Arrow kernel call per row (see
+    # _table_buckets_udf — bit-identical to the Column form), then
+    # posexplode assigns (tbl = position, bkt = element), exactly the
+    # (t, bucket_t) pairs the old per-table struct explode produced.
+    planes = [
+        _plane_values(dim, n_planes, seed=t * n_planes, spark=corpus.sparkSession)
+        for t in range(n_tables)
+    ]
+    if all(p is not None for p in planes):
+        bucketer = _table_buckets_udf(planes)
+
+        def tabled(df, vcol: str, keep: list[str]):
+            return df.select(
+                *keep, F.posexplode(bucketer(F.col(vcol))).alias("tbl", "bkt")
             )
-        )
+    else:  # no active session for plane pre-evaluation — Column path
+
+        def tabled(df, vcol: str, keep: list[str]):
+            tb = F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            hyperplane_bucket(
+                                F.col(vcol), dim, n_planes, seed=t * n_planes
+                            ).alias("bkt"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            )
+            return df.withColumn("tb", tb).select(*keep, "tb.tbl", "tb.bkt")
 
     # norms hoisted out of the per-candidate score, computed once per
     # source row BEFORE the table explode / bucket join (r16; same
     # float-identical rewrite as brute_force_topk — see its comment)
-    c = (
+    c = tabled(
         corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("cvec"))
-        .withColumn("_cn", l2_norm(F.col("cvec")))
-        .withColumn("tb", tables(F.col("cvec")))
-        .select(id_col, "cvec", "_cn", "tb.tbl", "tb.bkt")
+        .withColumn("_cn", l2_norm(F.col("cvec"))),
+        "cvec",
+        [id_col, "cvec", "_cn"],
     )
-    q = (
+    q = tabled(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qvec")
-        )
-        .withColumn("_qn", l2_norm(F.col("qvec")))
-        .withColumn("tb", tables(F.col("qvec")))
-        .select("query_id", "qvec", "_qn", "tb.tbl", "tb.bkt")
+        ).withColumn("_qn", l2_norm(F.col("qvec"))),
+        "qvec",
+        ["query_id", "qvec", "_qn"],
     )
     cand = (
         c.join(q, ["tbl", "bkt"])

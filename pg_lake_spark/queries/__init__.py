@@ -328,6 +328,10 @@ _CODE_CHANGES: list[tuple[str, int]] = [
     ("dsq93_net_after_returns", 16),
     ("dd_bloom_semi_join", 16),
     ("st_stream_dedup", 16),
+    # r16 optimization round: hyperplane planes pre-evaluated to
+    # literals + one Arrow kernel for all table buckets (bit-identical;
+    # sim_lsh_topk 16.8s -> 1.3s) — on every hyperplane_bucket path.
+    ("dd_semantic_prune", 16),
 ]
 
 #: Effective manifest: explicit max-merge of the append-only pair list.
