@@ -1587,14 +1587,186 @@ def _geoms_intersect_t(ta: int, ca: list, tb: int, cb: list) -> bool:
     return False
 
 
+def _seg_geom_info(b: bytes):
+    """Parsed + flattened form of one geometry for the vectorized
+    pair-intersects kernel: ``(gtype, coords, scalar_only, segs,
+    poly_parts, first_pts)``.
+
+    ``segs`` is an (n, 4) float64 array of ``[x0, y0, x1, y1]`` rows —
+    every segment of every linestring/ring across all (nested) parts;
+    ``poly_parts`` the ring-lists of each POLYGON part; ``first_pts``
+    the first flat coordinate of each simple part (the containment-
+    fallback probes of the scalar recursion). ``scalar_only`` marks
+    geometries the vector kernel does not cover (point-bearing or
+    segment-free) — pairs touching one take the scalar path
+    unchanged."""
+    gtype, coords = _parse(b)
+    segs: list = []
+    poly_parts: list = []
+    first_pts: list = []
+    has_point = False
+
+    def walk(t, c):
+        nonlocal has_point
+        if t in _MULTI_TYPES:
+            for kt, kc in c:
+                walk(kt, kc)
+            return
+        fp = _flat_coords(t, c)
+        if fp:
+            first_pts.append(fp[0])
+        if t == WKB_POINT:
+            has_point = True
+        elif t == WKB_LINESTRING:
+            if len(c) >= 2:
+                p = np.asarray(c, dtype="f8")
+                segs.append(np.hstack([p[:-1], p[1:]]))
+        elif t == WKB_POLYGON:
+            poly_parts.append(c)
+            for ring in c:
+                if len(ring) >= 2:
+                    p = np.asarray(ring, dtype="f8")
+                    segs.append(np.hstack([p[:-1], p[1:]]))
+
+    walk(gtype, coords)
+    seg = np.concatenate(segs, axis=0) if segs else np.zeros((0, 4), dtype="f8")
+    scalar_only = has_point or seg.shape[0] == 0
+    return gtype, coords, scalar_only, seg, poly_parts, first_pts
+
+
+def _seg_hits_vec(a_seg: np.ndarray, b_all: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """One left geometry's segments (``a_seg``, (nA,4)) against the
+    concatenated right-side segments of a row group (``b_all``, (M,4),
+    split at ``starts``): a bool per row — does ANY (A-segment,
+    B-segment) pair intersect. Element-for-element the same float
+    arithmetic as the scalar ``_segments_intersect`` (d1..d4 are the
+    four ``_orient`` values; the collinear-touch terms reuse them
+    exactly like ``_on_segment`` recomputes them), and the scalar
+    early ``return True`` commutes with ``any()``, so the row verdicts
+    are identical."""
+    ax0, ay0, ax1, ay1 = (a_seg[:, k : k + 1] for k in range(4))
+    n_a = a_seg.shape[0]
+    col_hit = np.empty(b_all.shape[0], dtype=bool)
+    step = max(1, int(4_000_000 // max(n_a, 1)))
+    for lo in range(0, b_all.shape[0], step):
+        bx0, by0, bx1, by1 = (b_all[None, lo : lo + step, k] for k in range(4))
+        d1 = (bx1 - bx0) * (ay0 - by0) - (by1 - by0) * (ax0 - bx0)
+        d2 = (bx1 - bx0) * (ay1 - by0) - (by1 - by0) * (ax1 - bx0)
+        d3 = (ax1 - ax0) * (by0 - ay0) - (ay1 - ay0) * (bx0 - ax0)
+        d4 = (ax1 - ax0) * (by1 - ay0) - (ay1 - ay0) * (bx1 - ax0)
+        hit = (
+            ((d1 > 0) != (d2 > 0))
+            & ((d3 > 0) != (d4 > 0))
+            & (d1 != 0)
+            & (d2 != 0)
+            & (d3 != 0)
+            & (d4 != 0)
+        )
+        hit |= (
+            (np.minimum(bx0, bx1) <= ax0)
+            & (ax0 <= np.maximum(bx0, bx1))
+            & (np.minimum(by0, by1) <= ay0)
+            & (ay0 <= np.maximum(by0, by1))
+            & (d1 == 0)
+        )
+        hit |= (
+            (np.minimum(bx0, bx1) <= ax1)
+            & (ax1 <= np.maximum(bx0, bx1))
+            & (np.minimum(by0, by1) <= ay1)
+            & (ay1 <= np.maximum(by0, by1))
+            & (d2 == 0)
+        )
+        hit |= (
+            (np.minimum(ax0, ax1) <= bx0)
+            & (bx0 <= np.maximum(ax0, ax1))
+            & (np.minimum(ay0, ay1) <= by0)
+            & (by0 <= np.maximum(ay0, ay1))
+            & (d3 == 0)
+        )
+        hit |= (
+            (np.minimum(ax0, ax1) <= bx1)
+            & (bx1 <= np.maximum(ax0, ax1))
+            & (np.minimum(ay0, ay1) <= by1)
+            & (by1 <= np.maximum(ay0, ay1))
+            & (d4 == 0)
+        )
+        col_hit[lo : lo + step] = hit.any(axis=0)
+    return np.logical_or.reduceat(col_hit, starts)
+
+
+def _containment_fallback(info_a, info_b) -> bool:
+    """The no-edge-crossing containment probes of the scalar recursion,
+    flattened: any POLYGON part of one side covers the other side's
+    per-part first point. OR over side-effect-free booleans — same
+    verdict as the scalar per-(partA, partB) interleaving."""
+    for pc in info_a[4]:
+        for fx, fy in info_b[5]:
+            if _contains_xy_t(WKB_POLYGON, pc, fx, fy):
+                return True
+    for pc in info_b[4]:
+        for fx, fy in info_a[5]:
+            if _contains_xy_t(WKB_POLYGON, pc, fx, fy):
+                return True
+    return False
+
+
 @pandas_udf(BooleanType())
 def _k_intersects(a: pd.Series, b: pd.Series) -> pd.Series:
-    out = []
-    for ba, bb in zip(a, b):
+    # r16 (guide §4.2): the exact-verify stage of the grid-bucketed
+    # polygon⋈polygon join sees each LEFT geometry across many
+    # candidate rows — a per-row Python loop re-parsed both WKBs and
+    # ran the O(nA×nB) segment tests pair by pair. Parse each distinct
+    # geometry once, group the batch by left geometry, and run all of
+    # a group's segment cross-tests as one NumPy broadcast (identical
+    # float ops; pinned by tests/test_spatial_relations.py::
+    # test_intersects_vectorized_matches_scalar and the unchanged join
+    # oracle). Point-bearing or segment-free geometries keep the
+    # scalar path.
+    out = [None] * len(a)
+    if not len(a):
+        return pd.Series(out, dtype=object)
+    info: dict[bytes, tuple] = {}
+    groups: dict[bytes, list[int]] = {}
+    bvals: list = list(b)
+    for i, ba in enumerate(a):
+        bb = bvals[i]
         if ba is None or bb is None:
-            out.append(None)
-        else:
-            out.append(_geoms_intersect(bytes(ba), bytes(bb)))
+            continue
+        ka, kb = bytes(ba), bytes(bb)
+        if ka not in info:
+            info[ka] = _seg_geom_info(ka)
+        if kb not in info:
+            info[kb] = _seg_geom_info(kb)
+        groups.setdefault(ka, []).append(i)
+    for ka, idxs in groups.items():
+        ia = info[ka]
+        if ia[2]:  # left side needs the scalar path for every pair
+            for i in idxs:
+                ib = info[bytes(bvals[i])]
+                out[i] = _geoms_intersect_t(ia[0], ia[1], ib[0], ib[1])
+            continue
+        vec_idx: list[int] = []
+        vec_infos: list[tuple] = []
+        for i in idxs:
+            ib = info[bytes(bvals[i])]
+            if ib[2]:
+                out[i] = _geoms_intersect_t(ia[0], ia[1], ib[0], ib[1])
+            else:
+                vec_idx.append(i)
+                vec_infos.append(ib)
+        if not vec_idx:
+            continue
+        counts = np.array([ib[3].shape[0] for ib in vec_infos], dtype=np.int64)
+        starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        b_all = (
+            np.concatenate([ib[3] for ib in vec_infos], axis=0)
+            if len(vec_infos) > 1
+            else vec_infos[0][3]
+        )
+        hits = _seg_hits_vec(ia[3], b_all, starts)
+        for j, i in enumerate(vec_idx):
+            out[i] = bool(hits[j]) or _containment_fallback(ia, vec_infos[j])
     return pd.Series(out, dtype=object)
 
 

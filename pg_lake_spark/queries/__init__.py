@@ -332,6 +332,11 @@ _CODE_CHANGES: list[tuple[str, int]] = [
     # literals + one Arrow kernel for all table buckets (bit-identical;
     # sim_lsh_topk 16.8s -> 1.3s) — on every hyperplane_bucket path.
     ("dd_semantic_prune", 16),
+    # r16 optimization round: _k_intersects vectorized (per-distinct
+    # parse + one NumPy segment-pair broadcast per left-geometry
+    # group, same orientation arithmetic elementwise) — on the
+    # polygon⋈polygon exact-verify path.
+    ("j_polygon_overlap_join", 16),
 ]
 
 #: Effective manifest: explicit max-merge of the append-only pair list.

@@ -773,3 +773,92 @@ def test_contains_xy_vectorized_matches_scalar():
         pts += ring[:-1]
         pts += [((ring[i][0] + ring[i + 1][0]) / 2, (ring[i][1] + ring[i + 1][1]) / 2) for i in range(n)]
         check(wkb, pts)
+
+
+def test_intersects_vectorized_matches_scalar():
+    """The r16 vectorized segment-pair kernel behind st_intersects must
+    agree with the scalar reference on every covered pair class:
+    proper crossings, collinear touches, vertex touches, disjoint,
+    full containment (no edge contact), holed polygons, multis and
+    collections, degenerate lines, plus random fuzz; point-bearing
+    pairs route scalar by construction."""
+    import random
+
+    import numpy as np
+
+    from pg_lake_spark.functions.spatial import (
+        _containment_fallback,
+        _from_wkt,
+        _geoms_intersect,
+        _geoms_intersect_t,
+        _seg_geom_info,
+        _seg_hits_vec,
+    )
+
+    def vec_verdict(wa: bytes, wb: bytes) -> bool:
+        ia, ib = _seg_geom_info(wa), _seg_geom_info(wb)
+        if ia[2] or ib[2]:
+            return _geoms_intersect_t(ia[0], ia[1], ib[0], ib[1])
+        hit = _seg_hits_vec(ia[3], ib[3], np.zeros(1, dtype=np.int64))
+        return bool(hit[0]) or _containment_fallback(ia, ib)
+
+    shapes = [
+        "POLYGON((0 0,10 0,10 10,0 10,0 0))",
+        "POLYGON((2 2,4 2,4 4,2 4,2 2))",                      # inside
+        "POLYGON((10 0,20 0,20 10,10 10,10 0))",               # edge-adjacent
+        "POLYGON((10 10,12 10,12 12,10 12,10 10))",            # corner touch
+        "POLYGON((5 5,15 5,15 15,5 15,5 5))",                  # overlap
+        "POLYGON((20 20,30 20,30 30,20 30,20 20))",            # disjoint
+        "POLYGON((0 0,10 0,10 10,0 10,0 0),(4 4,6 4,6 6,4 6,4 4))",  # holed
+        "POLYGON((4.5 4.5,5.5 4.5,5.5 5.5,4.5 5.5,4.5 4.5))",  # in the hole
+        "MULTIPOLYGON(((0 0,2 0,0 2,0 0)),((20 20,22 20,20 22,20 20)))",
+        "LINESTRING(-5 5,25 5)",                               # crossing line
+        "LINESTRING(0 -5,0 -1)",                               # disjoint line
+        "LINESTRING(0 0,10 0)",                                # collinear edge
+        "LINESTRING(3 3,3 3.5)",                               # inside, no edge contact
+        "GEOMETRYCOLLECTION(POLYGON((1 1,2 1,2 2,1 2,1 1)),LINESTRING(8 8,9 9))",
+        "POINT(5 5)",                                          # scalar route
+        "MULTIPOINT((5 5),(20 20))",                           # scalar route
+    ]
+    wkbs = [_from_wkt(s) for s in shapes]
+    for wa in wkbs:
+        for wb in wkbs:
+            assert vec_verdict(wa, wb) == _geoms_intersect(wa, wb), (wa.hex(), wb.hex())
+
+    rng = random.Random(7)
+
+    def rand_poly():
+        cx, cy = rng.uniform(-10, 10), rng.uniform(-10, 10)
+        w, h = rng.uniform(0.5, 8), rng.uniform(0.5, 8)
+        return (
+            f"POLYGON(({cx} {cy},{cx + w} {cy},{cx + w} {cy + h},"
+            f"{cx} {cy + h},{cx} {cy}))"
+        )
+
+    def rand_line():
+        pts = ",".join(
+            f"{rng.uniform(-12, 12)} {rng.uniform(-12, 12)}"
+            for _ in range(rng.randint(2, 5))
+        )
+        return f"LINESTRING({pts})"
+
+    for _ in range(200):
+        wa = _from_wkt(rand_poly() if rng.random() < 0.6 else rand_line())
+        wb = _from_wkt(rand_poly() if rng.random() < 0.6 else rand_line())
+        assert vec_verdict(wa, wb) == _geoms_intersect(wa, wb), (wa.hex(), wb.hex())
+
+    # batched group path: one left geometry against many rights must
+    # reduce per-row exactly (exercises the reduceat offsets)
+    import numpy as np  # noqa: F811
+
+    ia = _seg_geom_info(wkbs[0])
+    rights = [w for w in wkbs if not _seg_geom_info(w)[2]]
+    infos = [_seg_geom_info(w) for w in rights]
+    counts = np.array([ib[3].shape[0] for ib in infos], dtype=np.int64)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    b_all = np.concatenate([ib[3] for ib in infos], axis=0)
+    hits = _seg_hits_vec(ia[3], b_all, starts)
+    for j, w in enumerate(rights):
+        got = bool(hits[j]) or _containment_fallback(ia, infos[j])
+        assert got == _geoms_intersect(wkbs[0], w), w.hex()
