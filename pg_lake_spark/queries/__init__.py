@@ -337,6 +337,15 @@ _CODE_CHANGES: list[tuple[str, int]] = [
     # group, same orientation arithmetic elementwise) — on the
     # polygon⋈polygon exact-verify path.
     ("j_polygon_overlap_join", 16),
+    # r16 optimization round: input-size-derived state width for the
+    # data-scaled streaming states (session windows, per-user totals,
+    # interval-join buffers, LSH bucket lists) via the shared
+    # _scaled_state_width helper; st_stream_dedup folded onto it.
+    ("st_session_windows", 16),
+    ("st_stateful_user_totals", 16),
+    ("st_stream_interval_join", 16),
+    ("st_stream_lsh_neardup", 16),
+    ("st_stream_dedup", 16),
 ]
 
 #: Effective manifest: explicit max-merge of the append-only pair list.

@@ -53,6 +53,27 @@ def st_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scaled_state_width(spark: SparkSession, sf_dir: str, fname: str) -> int | None:
+    """Scale-adaptive streaming state width (r16, guide §2: derive
+    partitioning from input size, not a constant): for state that grows
+    with the DATA (per-user totals, session windows, join buffers,
+    dedup keys), the width follows the source size — ~one state
+    partition per 32 MB of input, floored at 4, capped at the session's
+    parallelism. At sf0.1 (events ≈ 2 MB) that is 4 partitions instead
+    of 32 near-empty state stores each paying provider/snapshot fixed
+    cost per micro-batch; a TB-scale source gets the full width.
+    Bounded-KEY-space aggregations (tumbling/sliding) instead pin a
+    small constant — see st_tumbling_counts."""
+    import os
+
+    try:
+        src_bytes = os.path.getsize(os.path.join(sf_dir, fname))
+    except OSError:
+        return None
+    par = spark.sparkContext.defaultParallelism
+    return max(4, min(par, -(-src_bytes // (32 << 20))))
+
+
 @query(
     "st_session_windows",
     oracle="""
@@ -79,7 +100,12 @@ def st_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = session_window_agg(read_events_stream(spark, sf_dir), gap="30 minutes")
-    return run_available_now(sdf, spark).orderBy("user_id", "session_start")
+    # per-(user, session) state scales with the data → input-size-
+    # derived width (sf0.1 A/B: ~2.0s at 32 partitions → ~1.5s at 4-8)
+    width = _scaled_state_width(spark, sf_dir, "events.parquet")
+    return run_available_now(sdf, spark, state_partitions=width).orderBy(
+        "user_id", "session_start"
+    )
 
 
 @query(
@@ -95,7 +121,11 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def st_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = running_user_totals(read_events_stream(spark, sf_dir))
-    return run_available_now(sdf, spark, output_mode="update").orderBy("user_id")
+    # per-user state scales with the data → input-size-derived width
+    width = _scaled_state_width(spark, sf_dir, "events.parquet")
+    return run_available_now(
+        sdf, spark, output_mode="update", state_partitions=width
+    ).orderBy("user_id")
 
 
 @query(
@@ -140,26 +170,14 @@ def st_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source.",
 )
 def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     sdf = (
         read_events_stream(spark, sf_dir)
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
     )
-    # Scale-adaptive state width (r16, guide §2: derive partitioning
-    # from input size, not a constant): dedup state grows with the
-    # data, so the width follows the SOURCE size — ~one state partition
-    # per 32 MB of input, floored at 4, capped at the session's
-    # parallelism. At sf0.1 (≈2 MB) that is 4 partitions instead of 32
-    # near-empty state stores each paying provider/snapshot fixed cost
-    # per micro-batch (measured 2.3s → ~1.3s); a TB-scale source gets
-    # the full width.
-    try:
-        src_bytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
-        width = max(4, min(spark.sparkContext.defaultParallelism, -(-src_bytes // (32 << 20))))
-    except OSError:
-        width = None
+    # dedup state grows with the data → input-size-derived width
+    # (measured 2.3s → ~1.3s at sf0.1; see _scaled_state_width)
+    width = _scaled_state_width(spark, sf_dir, "events.parquet")
     return run_available_now(
         sdf, spark, output_mode="append", state_partitions=width
     ).orderBy("user_id", "event_type")
@@ -206,7 +224,12 @@ def st_stream_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs_stream = stream_lsh_candidates(
         stream, "doc_id", "text", shingle_n=2, num_hashes=12, bands=4
     )
-    cand = run_available_now(pairs_stream, spark, output_mode="append").distinct()
+    # per-(band, bucket) id-list state scales with the corpus →
+    # input-size-derived width
+    width = _scaled_state_width(spark, sf_dir, "documents.parquet")
+    cand = run_available_now(
+        pairs_stream, spark, output_mode="append", state_partitions=width
+    ).distinct()
     # exact-Jaccard verify (batch side, candidates only) — identical to
     # the batch pipeline's verify stage
     docs = load_tables(spark, sf_dir)["documents"]
@@ -260,6 +283,9 @@ def st_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = read_events_stream(spark, sf_dir).filter(F.col("user_id") % 7 == 0)
     sdf = stream_interval_join(src, lookback="1 hour")
-    return run_available_now(sdf, spark, output_mode="append").orderBy(
-        "user_id", "purchase_ts", "click_ts", "click_id", "purchase_id"
-    )
+    # join buffers scale with the lookback horizon of the DATA →
+    # input-size-derived width
+    width = _scaled_state_width(spark, sf_dir, "events.parquet")
+    return run_available_now(
+        sdf, spark, output_mode="append", state_partitions=width
+    ).orderBy("user_id", "purchase_ts", "click_ts", "click_id", "purchase_id")
