@@ -346,6 +346,17 @@ _CODE_CHANGES: list[tuple[str, int]] = [
     ("st_stream_interval_join", 16),
     ("st_stream_lsh_neardup", 16),
     ("st_stream_dedup", 16),
+    # r16 optimization round: sort-before-projection — moving the
+    # final orderBy below the heavy projection stops the range
+    # partitioner's boundary-sampling job from executing the
+    # projection (pandas-UDF transform legs / the full text-stats
+    # tree) a second time per action. Same rows, same global order.
+    ("f_geodesic_spheroid", 16),
+    ("f_polar_stereographic", 16),
+    ("f_krovak_transform", 16),
+    ("f_laea_transform", 16),
+    ("f_merc_3395", 16),
+    ("txt_stats", 16),
 ]
 
 #: Effective manifest: explicit max-merge of the append-only pair list.
