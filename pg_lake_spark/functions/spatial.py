@@ -1710,6 +1710,46 @@ def _containment_fallback(info_a, info_b) -> bool:
     return False
 
 
+def _poly_covers_rows(polys_by_key, probe_rows):
+    """Vectorized half of the containment fallback: for fallback rows
+    grouped by the POLYGON-bearing side, test all the other side's
+    first points in one even-odd pass per (key, polygon part).
+
+    ``probe_rows`` is ``[(row_idx, key, first_pts), ...]``; returns the
+    set of row indices covered. Uses ``_contains_xy_vec`` — proven
+    op-for-op identical to the scalar ``_contains_xy_t`` by
+    test_contains_xy_vectorized_matches_scalar — and OR over boolean
+    probes commutes with the scalar loop order, so verdicts match
+    ``_containment_fallback`` exactly."""
+    hit: set[int] = set()
+    by_key: dict[bytes, list] = {}
+    for row in probe_rows:
+        by_key.setdefault(row[1], []).append(row)
+    for key, rows in by_key.items():
+        parts = polys_by_key[key]
+        if not parts:
+            continue
+        idx_of_pt: list[int] = []
+        xs: list[float] = []
+        ys: list[float] = []
+        for i, _k, pts in rows:
+            for fx, fy in pts:
+                idx_of_pt.append(i)
+                xs.append(fx)
+                ys.append(fy)
+        if not xs:
+            continue
+        X = np.asarray(xs, dtype="f8")
+        Y = np.asarray(ys, dtype="f8")
+        covered = np.zeros(len(X), dtype=bool)
+        for pc in parts:
+            covered |= _contains_xy_vec(WKB_POLYGON, pc, X, Y)
+        for j, i in enumerate(idx_of_pt):
+            if covered[j]:
+                hit.add(i)
+    return hit
+
+
 @pandas_udf(BooleanType())
 def _k_intersects(a: pd.Series, b: pd.Series) -> pd.Series:
     # r16 (guide §4.2): the exact-verify stage of the grid-bucketed
@@ -1738,6 +1778,7 @@ def _k_intersects(a: pd.Series, b: pd.Series) -> pd.Series:
         if kb not in info:
             info[kb] = _seg_geom_info(kb)
         groups.setdefault(ka, []).append(i)
+    fb: list[tuple[int, bytes, bytes]] = []
     for ka, idxs in groups.items():
         ia = info[ka]
         if ia[2]:  # left side needs the scalar path for every pair
@@ -1766,7 +1807,28 @@ def _k_intersects(a: pd.Series, b: pd.Series) -> pd.Series:
         )
         hits = _seg_hits_vec(ia[3], b_all, starts)
         for j, i in enumerate(vec_idx):
-            out[i] = bool(hits[j]) or _containment_fallback(ia, vec_infos[j])
+            if hits[j]:
+                out[i] = True
+            else:
+                fb.append((i, ka, bytes(bvals[i])))
+    # r16: the containment fallback for no-edge-crossing rows, batch-
+    # wide and vectorized — the probes depend only on each pair's
+    # parsed parts, so resolve every such row with one even-odd pass
+    # per (distinct geometry, polygon part) instead of a per-row ring
+    # walk (was the dominant cost of mostly-disjoint candidate
+    # batches). Same verdicts as _containment_fallback: OR over the
+    # identical boolean probes.
+    if fb:
+        cov = _poly_covers_rows(
+            {ka: info[ka][4] for _i, ka, _kb in fb},
+            [(i, ka, info[kb][5]) for i, ka, kb in fb],
+        )
+        cov |= _poly_covers_rows(
+            {kb: info[kb][4] for _i, _ka, kb in fb},
+            [(i, kb, info[ka][5]) for i, ka, kb in fb],
+        )
+        for i, _ka, _kb in fb:
+            out[i] = i in cov
     return pd.Series(out, dtype=object)
 
 

@@ -113,11 +113,27 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 
 def _windows_expr(text_col_name: str, n: int) -> str:
     """SQL expr string: ALL overlapping word n-gram windows of a text
-    column (array<string>, order-preserving, duplicates kept). The
-    zip_with-over-pre-shifted-slices build from word_shingles — the
-    slices evaluate once per ROW where a transform(sequence, i ->
-    slice(...)) lambda re-evaluates per ELEMENT (quadratic in doc
-    length)."""
+    column (array<string>, order-preserving, duplicates kept).
+
+    The split array is bound ONCE as a lambda variable —
+    ``transform(array(split(..)), ws -> ..)`` — because higher-order
+    expressions are interpreted with no common-subexpression
+    elimination: spelled inline, the split (a regex scan of the whole
+    document) re-evaluated once per slice reference, ~n+2 times per
+    row (r16 opt; measured 2.5s -> 0.7s at n=8 over the sf0.1 corpus,
+    output exceptAll-identical at n=2/3/8).
+
+    Two window builds over the bound array, chosen by n:
+    - n <= 3: zip_with over pre-shifted slices — one pass per extra
+      gram word; wins while the pass count is small.
+    - n >= 4: transform(sequence, i -> array_join(slice(ws, i, n))) —
+      one slice+join per window beats n-1 full concat passes (the old
+      quadratic-in-doc-length caveat applied to re-evaluating split
+      per element, which the hoisted ws cannot do).
+    Both yield the same rows: for docs with fewer than n words the
+    single window is all words space-joined (zip_with's NULL padding
+    keeps the partial concat; array_join of the short slice joins the
+    same words)."""
     if "`" in text_col_name:
         raise ValueError(
             f"column name may not contain backticks: {text_col_name!r}"
@@ -126,16 +142,22 @@ def _windows_expr(text_col_name: str, n: int) -> str:
     # non-bare identifier (spaces, hyphens, keywords) would misparse —
     # and an unquoted name is string-injectable.
     w = f"split(`{text_col_name}`, '\\\\s+')"
-    length = f"greatest(size({w}) - {n - 1}, 1)"
-    acc = f"slice({w}, 1, {length})"
-    for k in range(2, n + 1):
-        # zip_with pads the shorter array with NULL: docs with fewer
-        # than n words keep their whole-text window
+    if n <= 3:
+        length = f"greatest(size(ws) - {n - 1}, 1)"
+        acc = f"slice(ws, 1, {length})"
+        for k in range(2, n + 1):
+            # zip_with pads the shorter array with NULL: docs with
+            # fewer than n words keep their whole-text window
+            acc = (
+                f"zip_with({acc}, slice(ws, {k}, {length}), "
+                f"(a, b) -> if(b is null, a, concat(a, ' ', b)))"
+            )
+    else:
         acc = (
-            f"zip_with({acc}, slice({w}, {k}, {length}), "
-            f"(a, b) -> if(b is null, a, concat(a, ' ', b)))"
+            f"transform(sequence(1, greatest(size(ws) - {n - 1}, 1)), "
+            f"i -> array_join(slice(ws, i, {n}), ' '))"
         )
-    return acc
+    return f"element_at(transform(array({w}), ws -> {acc}), 1)"
 
 
 def repeated_spans(
@@ -626,6 +648,12 @@ def lsh_candidate_pairs(
     # |A|·|B|/2^64 (~1e-16 per pair) — far below any engine's
     # reproducibility noise. array_distinct already ran on the strings,
     # so hash-set semantics match string-set semantics.
+    # Width stays at defaultParallelism DELIBERATELY (r16 opt round
+    # ruled out a candidate-count-derived width after measurement:
+    # ~1k-docs-per-task sizing collapsed the interpreted shingling —
+    # the dominant per-row cost — onto a few tasks and ~doubled
+    # dd_neardup_clusters; the exchange it would save is tiny, the
+    # parallelism it costs is not).
     par = df.sparkSession.sparkContext.defaultParallelism
     shingled = (
         needed.repartition(par, id_col)

@@ -357,6 +357,29 @@ _CODE_CHANGES: list[tuple[str, int]] = [
     ("f_laea_transform", 16),
     ("f_merc_3395", 16),
     ("txt_stats", 16),
+    # r16 optimization round: word_shingles/_windows_expr binds the
+    # split array ONCE as a transform lambda variable (interpreted
+    # higher-order exprs have no CSE; the regex split re-ran ~n+2×
+    # per row) with an n>=4 slice/join build — on every
+    # word_shingles-consuming row's path; streaming LSH signature
+    # re-spelled as one xxhash64 pass + aggregate() fold of the k
+    # affine permutations, and the stateful operator re-keyed on
+    # coarse hash groups holding per-bucket dicts (semantics
+    # unchanged, per-group fixed cost amortized) — on
+    # st_stream_lsh_neardup's path.
+    ("dd_minhash_signatures", 16),
+    ("dd_ngram_jaccard_pairs", 16),
+    ("dd_simhash", 16),
+    ("dd_simhash_pairs", 16),
+    ("dd_lsh_candidates", 16),
+    ("dd_neardup_clusters", 16),
+    ("dd_decontaminate", 16),
+    ("st_stream_lsh_neardup", 16),
+    # r16 optimization round: _k_intersects' containment fallback for
+    # no-edge-crossing rows vectorized batch-wide (one even-odd pass
+    # per distinct geometry part via _contains_xy_vec; verdicts
+    # unchanged) — on the polygon⋈polygon exact-verify path.
+    ("j_polygon_overlap_join", 16),
 ]
 
 #: Effective manifest: explicit max-merge of the append-only pair list.

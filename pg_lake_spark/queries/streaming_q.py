@@ -221,8 +221,18 @@ def st_stream_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(schema).parquet(
         os.path.join(sf_dir, "documents.[p]arquet")
     )
+    # Coarse state-group count follows the CORPUS (free footer row
+    # count, the dd_bloom_semi_join pattern): ~2048 (band,bucket) rows
+    # per state group keeps a state row bounded at any scale while the
+    # per-group fixed cost amortizes across its buckets (guide §2.2,
+    # §4.2; see stream_lsh_candidates). Only grouping granularity —
+    # never the pair set — depends on it.
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(path).metadata.num_rows
     pairs_stream = stream_lsh_candidates(
-        stream, "doc_id", "text", shingle_n=2, num_hashes=12, bands=4
+        stream, "doc_id", "text", shingle_n=2, num_hashes=12, bands=4,
+        state_groups=max(32, (4 * n_docs) // 2048),
     )
     # per-(band, bucket) id-list state scales with the corpus →
     # input-size-derived width

@@ -862,3 +862,42 @@ def test_intersects_vectorized_matches_scalar():
     for j, w in enumerate(rights):
         got = bool(hits[j]) or _containment_fallback(ia, infos[j])
         assert got == _geoms_intersect(wkbs[0], w), w.hex()
+
+
+def test_k_intersects_batch_fallback_matches_scalar():
+    """r16 differential pin for the batch-wide vectorized containment
+    fallback: drive the whole _k_intersects kernel on a mixed batch
+    (many groups, repeated geometries, crossing / disjoint / contained
+    / holed / multi / scalar-routed pairs) and compare every verdict
+    to the scalar reference."""
+    import random
+
+    import pandas as pd
+
+    from pg_lake_spark.functions import spatial as S
+    from pg_lake_spark.functions.spatial import _from_wkt, _geoms_intersect
+
+    shapes = [
+        "POLYGON((0 0,10 0,10 10,0 10,0 0))",
+        "POLYGON((2 2,4 2,4 4,2 4,2 2))",                      # contained
+        "POLYGON((20 20,30 20,30 30,20 30,20 20))",            # disjoint
+        "POLYGON((5 5,15 5,15 15,5 15,5 5))",                  # crossing
+        "POLYGON((0 0,10 0,10 10,0 10,0 0),(4 4,6 4,6 6,4 6,4 4))",
+        "POLYGON((4.5 4.5,5.5 4.5,5.5 5.5,4.5 5.5,4.5 4.5))",  # in the hole
+        "MULTIPOLYGON(((0 0,2 0,0 2,0 0)),((40 40,42 40,40 42,40 40)))",
+        "LINESTRING(3 3,3 3.5)",                               # inside, no edge contact
+        "LINESTRING(-5 -5,-1 -1)",                             # disjoint line
+        "POINT(5 5)",                                          # scalar route
+    ]
+    wkbs = [_from_wkt(s) for s in shapes]
+    rng = random.Random(11)
+    pairs = [(rng.choice(wkbs), rng.choice(wkbs)) for _ in range(500)]
+    pairs += [(a, b) for a in wkbs for b in wkbs]
+    pairs.append((None, wkbs[0]))
+    pairs.append((wkbs[0], None))
+    a = pd.Series([p[0] for p in pairs], dtype=object)
+    b = pd.Series([p[1] for p in pairs], dtype=object)
+    got = S._k_intersects.func(a, b)
+    for i, (wa, wb) in enumerate(pairs):
+        want = None if wa is None or wb is None else _geoms_intersect(wa, wb)
+        assert got[i] == want, (i, wa.hex() if wa else None, wb.hex() if wb else None)

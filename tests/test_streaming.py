@@ -343,6 +343,72 @@ def test_stream_lsh_candidates_equal_batch(spark, tmp_path):
     assert a == b and a  # identical and non-empty
 
 
+def test_streaming_band_keys_fold_equals_per_hash_spelling(spark):
+    """r16 differential pin: the single-fold signature (one xxhash64
+    pass + aggregate/zip_with running minimum) computes exactly the
+    rows of the original per-hash spelling — num_hashes separate
+    array_min(transform(shingles, h_i)) trees — which is respelled
+    inline here as the ground truth."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pg_lake_spark.operators.dedup import word_shingles
+    from pg_lake_spark.streaming.neardup import _FOLD, _P, streaming_band_keys
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    num_hashes, bands, shingle_n = 12, 4, 2
+    rows_per_band = num_hashes // bands
+
+    shingles = word_shingles("text", shingle_n)
+    base = docs.where(F.size(shingles) > 0)
+
+    def hasher(i):
+        return lambda s: (
+            F.lit(2 * i + 1) * F.pmod(F.xxhash64(s), F.lit(_FOLD)).cast("bigint")
+            + F.lit(7919 * i + 1)
+        ) % F.lit(_P)
+
+    sigs = [
+        F.array_min(F.transform(shingles, hasher(i))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    signed = base.select(F.col("doc_id").alias("_id"), *sigs)
+    old = signed.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    f"_h{i}"
+                                    for i in range(
+                                        b * rows_per_band, (b + 1) * rows_per_band
+                                    )
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+
+    new = streaming_band_keys(
+        docs, "doc_id", "text",
+        shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+    )
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+    assert new.count() > 0
+
+
 def test_stream_lsh_bucket_cap_bounds_pairs(spark, tmp_path):
     """A stream of identical docs (one mega-bucket per band) emits a
     BOUNDED pair set under the cap — per-bucket state stops growing at
