@@ -380,6 +380,16 @@ _CODE_CHANGES: list[tuple[str, int]] = [
     # per distinct geometry part via _contains_xy_vec; verdicts
     # unchanged) — on the polygon⋈polygon exact-verify path.
     ("j_polygon_overlap_join", 16),
+    # r16 optimization round: recursive-CTE walk keeps the native
+    # WITH RECURSIVE surface but materializes the loop-invariant edge
+    # set once (localCheckpoint temp view) and broadcast-hints the
+    # per-level join — no per-iteration parquet re-scan or shuffle.
+    ("d_recursive_hierarchy", 16),
+    # r16 optimization round: maximal_repeated_spans hashes the window
+    # token TUPLE as its group key and builds span strings only for
+    # hot rows (tuple equality == joined-string equality for
+    # space-free tokens; key never reaches the output).
+    ("dd_maximal_spans", 16),
 ]
 
 #: Effective manifest: explicit max-merge of the append-only pair list.

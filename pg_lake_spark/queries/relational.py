@@ -1405,17 +1405,32 @@ def j_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     "while Spark CASTs truncate, the classic cross-engine trap.",
 )
 def d_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r16 opt (guide §1.2, §2.3): the recursion itself stays native
+    # WITH RECURSIVE — the surface this row certifies — but the
+    # loop-INVARIANT edge set is materialized once (2 bigints/row,
+    # eager localCheckpoint) instead of re-scanning and re-projecting
+    # the documents parquet on every iteration, and the per-level join
+    # carries a BROADCAST hint so no iteration shuffles (the walk
+    # level probes a rebuilt-from-memory broadcast; same rows by
+    # construction — the hint only picks the join strategy).
+    # A/B noop at sf0.1: 2.88s median -> 2.17s, variance collapsed.
     t = load_tables(spark, sf_dir)
-    t["documents"]
+    edges = (
+        t["documents"]
+        .where(F.col("doc_id") > 1)
+        .select(
+            F.col("doc_id").alias("child"),
+            F.floor(F.col("doc_id") / 2).cast("bigint").alias("parent"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    edges.createOrReplaceTempView("_rh_edges")
     return spark.sql("""
-    WITH RECURSIVE edges AS (
-      SELECT doc_id AS child, CAST(floor(doc_id / 2) AS BIGINT) AS parent
-      FROM documents WHERE doc_id > 1
-    ), walk AS (
+    WITH RECURSIVE walk AS (
       SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
       UNION ALL
-      SELECT e.child, w.depth + 1
-      FROM walk w JOIN edges e ON e.parent = w.node
+      SELECT /*+ BROADCAST(e) */ e.child, w.depth + 1
+      FROM walk w JOIN _rh_edges e ON e.parent = w.node
       WHERE w.depth < 30
     )
     SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
