@@ -128,6 +128,30 @@ def steal_guard_reason(
     return None
 
 
+def contaminated_suites(
+    stamps: dict[str, tuple[float, float]],
+    limit: float = 0.10,
+    floor_sec: float = 2.0,
+) -> list[str]:
+    """Sub-suite arm of the steal guard (r16 optimization round).
+
+    The headline loop gained the steal trigger in r16, but the four
+    sub-suite metrics (dml/spatial/pipeline/tpcds) still rode a single
+    unguarded loop: a fresh artifact showed them elevated ~18-27%
+    under a stamped 270 cpu-sec storm while the guarded headline window
+    stayed quiet (1.2 cpu-sec). Same policy, suite-granular: given
+    ``{label: (steal_sec, busy_sec)}`` stamps for each suite's own
+    window, return the labels whose steal exceeded ``limit`` of
+    scheduled cpu and ``floor_sec`` absolute. The caller cools down
+    ONCE and re-runs exactly those suites once, keeping the better
+    loop per suite — bounded extra cost, storm-only."""
+    return [
+        label
+        for label, (steal_sec, busy_sec) in stamps.items()
+        if steal_guard_reason(steal_sec, busy_sec, limit=limit, floor_sec=floor_sec)
+    ]
+
+
 def burn_steal_probe(duration_s: float = 1.0) -> float:
     """Steal fraction measured while BURNING cpu for ``duration_s``.
 
@@ -427,10 +451,31 @@ def main() -> None:
     busy_t1, steal_t1 = read_cpu_ticks()
     headline_steal_sec = (steal_t1 - steal_t0) / 100.0
     headline_busy_sec = (busy_t1 - busy_t0) / 100.0
-    dml_timings, dml_total = run_suite(dml_suite)
-    spatial_timings, spatial_total = run_suite(spatial_suite)
-    pipeline_timings, pipeline_total = run_suite(pipeline_suite)
-    tpcds_timings, tpcds_total = run_suite(tpcds_suite)
+    # Sub-suites run with per-suite steal stamps so the guard at the
+    # end of the run (contaminated_suites) can re-run exactly the
+    # storm-hit ones. Same queries, same action, same repeats — only a
+    # guarded second attempt keeping the better loop, the policy the
+    # headline already has.
+    sub_suites = [
+        ("dml", dml_suite),
+        ("spatial", spatial_suite),
+        ("pipeline", pipeline_suite),
+        ("tpcds", tpcds_suite),
+    ]
+    sub_timings: dict[str, dict] = {}
+    sub_totals: dict[str, float] = {}
+    sub_stamps: dict[str, tuple[float, float]] = {}
+
+    def run_sub_suite(label: str, names: list[str]) -> None:
+        sb0, ss0 = read_cpu_ticks()
+        t, tot = run_suite(names)
+        sb1, ss1 = read_cpu_ticks()
+        if label not in sub_totals or tot < sub_totals[label]:
+            sub_timings[label], sub_totals[label] = t, tot
+            sub_stamps[label] = ((ss1 - ss0) / 100.0, (sb1 - sb0) / 100.0)
+
+    for label, names in sub_suites:
+        run_sub_suite(label, names)
 
     # --- sf1 section (10x scale proof in the driver artifact) ---------
     # tools/scale_gen.py materializes a 10x corpus from sf0.1 (consistent
@@ -543,6 +588,27 @@ def main() -> None:
                 headline_steal_sec = (rs1 - rs0) / 100.0
                 headline_busy_sec = (rb1 - rb0) / 100.0
 
+    # Sub-suite arm of the steal guard: placed after the sf1 section so
+    # the re-runs can never eat the sf1 time budget, and as late as
+    # possible (most likely after the storm has passed). One shared
+    # cooldown, one re-run per contaminated suite, keep the better loop.
+    suites_reran: list[str] = []
+    if os.path.realpath(sf_dir) == "/root/testdata/sf0.1":
+        hot = contaminated_suites(
+            sub_stamps,
+            limit=float(os.environ.get("PG_LAKE_BENCH_STEAL_LIMIT", "0.10")),
+        )
+        if hot:
+            time.sleep(float(os.environ.get("PG_LAKE_BENCH_SUITE_COOLDOWN", "15")))
+            for label in hot:
+                run_sub_suite(label, dict(sub_suites)[label])
+                suites_reran.append(label)
+
+    dml_timings, dml_total = sub_timings["dml"], sub_totals["dml"]
+    spatial_timings, spatial_total = sub_timings["spatial"], sub_totals["spatial"]
+    pipeline_timings, pipeline_total = sub_timings["pipeline"], sub_totals["pipeline"]
+    tpcds_timings, tpcds_total = sub_timings["tpcds"], sub_totals["tpcds"]
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Two-line emission (r8 fix for BENCH_r07 parsed:null): the driver
     # tail-captures stdout, so the per-query detail maps — which grew past
@@ -556,6 +622,9 @@ def main() -> None:
         "spatial_queries": spatial_timings,
         "pipeline_queries": pipeline_timings,
         "tpcds_queries": tpcds_timings,
+        "suite_steal_sec": {
+            label: round(steal, 1) for label, (steal, _busy) in sub_stamps.items()
+        },
         "best": best_of,
         **{k: v for k, v in sf1_result.items() if k in ("sf1_queries", "sf1_best")},
     }
@@ -602,6 +671,7 @@ def main() -> None:
             else {}
         ),
         "reran": reran,
+        **({"suites_reran": ",".join(suites_reran)} if suites_reran else {}),
         **({"guard": guard_reason[:80]} if guard_reason else {}),
         **{k: v for k, v in sf1_result.items() if k not in ("sf1_queries", "sf1_best")},
     }

@@ -155,6 +155,34 @@ class TestStealGuard:
         assert steal_guard_reason(5.0, 95.0, limit=0.06) is None
 
 
+class TestSubSuiteGuard:
+    """contaminated_suites: the sub-suite arm of the steal guard."""
+
+    def test_picks_only_storm_hit_suites(self):
+        from bench import contaminated_suites
+
+        stamps = {
+            "dml": (30.0, 70.0),  # 30% — storm
+            "spatial": (0.5, 99.5),  # quiet
+            "pipeline": (12.0, 88.0),  # 12% — storm
+            "tpcds": (1.0, 1.0),  # 50% ratio but under the 2s floor
+        }
+        assert contaminated_suites(stamps) == ["dml", "pipeline"]
+
+    def test_quiet_run_reruns_nothing(self):
+        from bench import contaminated_suites
+
+        stamps = {label: (0.3, 60.0) for label in ("dml", "spatial", "pipeline", "tpcds")}
+        assert contaminated_suites(stamps) == []
+
+    def test_limit_passes_through(self):
+        from bench import contaminated_suites
+
+        stamps = {"dml": (5.0, 95.0)}
+        assert contaminated_suites(stamps, limit=0.04) == ["dml"]
+        assert contaminated_suites(stamps, limit=0.06) == []
+
+
 class TestWorkerWarm:
     def test_warm_python_workers_runs_and_restores_conf(self, spark):
         from pg_lake_spark.session import warm_python_workers
