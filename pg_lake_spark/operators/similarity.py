@@ -555,27 +555,45 @@ def train_ivf_centroids(
     src = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
     )
-    seed = src.orderBy("vid").limit(n_centroids).collect()
-    if not seed:
-        raise ValueError("empty corpus")
-    cents = np.array([r.vec for r in seed], dtype="float64")
-    norms = np.linalg.norm(cents, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    cents = cents / norms
-    for _ in range(iters):
-        cent_list = [[float(x) for x in c] for c in cents]
-        agg = (
-            src.withColumn("cid", _nearest_centroid(F.col("vec"), cent_list))
-            .select("cid", array_to_vector("vec").alias("v"))
-            .groupBy("cid")
-            .agg(Summarizer.mean(F.col("v")).alias("mv"))
-            .select("cid", vector_to_array("mv").alias("m"))
-            .collect()
-        )
-        for r in agg:  # clusters absent here had no members: keep prior
-            m = np.array(r.m, dtype="float64")
-            n = np.linalg.norm(m)
-            cents[r.cid] = m / (n if n else 1.0)
+    # Loop-INVARIANT input materialized once (r16 optimization round,
+    # the iterative-algorithm pattern of connected_components /
+    # d_recursive_hierarchy): the seed scan and every Lloyd iteration
+    # re-executed src's full lineage — corpus scan + array cast —
+    # iters+1 times. The checkpoint caches the same rows, so centroids
+    # are identical by construction; it is freed when training returns
+    # (its own RDD id only — never a session-global diff).
+    from pg_lake_spark.operators.dedup import _ckpt_ids
+
+    src = src.localCheckpoint(eager=True)
+    ckpt_ids = _ckpt_ids(src)
+    try:
+        seed = src.orderBy("vid").limit(n_centroids).collect()
+        if not seed:
+            raise ValueError("empty corpus")
+        cents = np.array([r.vec for r in seed], dtype="float64")
+        norms = np.linalg.norm(cents, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cents = cents / norms
+        for _ in range(iters):
+            cent_list = [[float(x) for x in c] for c in cents]
+            agg = (
+                src.withColumn("cid", _nearest_centroid(F.col("vec"), cent_list))
+                .select("cid", array_to_vector("vec").alias("v"))
+                .groupBy("cid")
+                .agg(Summarizer.mean(F.col("v")).alias("mv"))
+                .select("cid", vector_to_array("mv").alias("m"))
+                .collect()
+            )
+            for r in agg:  # clusters absent here had no members: keep prior
+                m = np.array(r.m, dtype="float64")
+                n = np.linalg.norm(m)
+                cents[r.cid] = m / (n if n else 1.0)
+    finally:
+        sc = corpus.sparkSession.sparkContext
+        m = sc._jsc.getPersistentRDDs()
+        for k in m.keySet().toArray():
+            if int(k) in ckpt_ids:
+                m.get(k).unpersist(False)
     return [[float(x) for x in c] for c in cents]
 
 

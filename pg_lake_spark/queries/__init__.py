@@ -390,6 +390,13 @@ _CODE_CHANGES: list[tuple[str, int]] = [
     # hot rows (tuple equality == joined-string equality for
     # space-free tokens; key never reaches the output).
     ("dd_maximal_spans", 16),
+    # r16 optimization round: train_ivf_centroids materializes its
+    # loop-invariant input once (eager localCheckpoint, freed on
+    # return) — the seed scan and every Lloyd iteration re-executed
+    # the corpus scan + array cast. Centroids bit-identical (the
+    # checkpoint caches the same rows); sim_ivf_topk 3.73 -> 2.74s
+    # median at sf0.1, variance collapsed.
+    ("sim_ivf_topk", 16),
 ]
 
 #: Effective manifest: explicit max-merge of the append-only pair list.
