@@ -397,6 +397,12 @@ _CODE_CHANGES: list[tuple[str, int]] = [
     # checkpoint caches the same rows); sim_ivf_topk 3.73 -> 2.74s
     # median at sf0.1, variance collapsed.
     ("sim_ivf_topk", 16),
+    # r16 optimization round: pre-dedup (flag, partkey) before the HLL
+    # aggregate instead of mixing COUNT(DISTINCT) into it — the mixed
+    # plan carried one partial HLL sketch PER DISTINCT PAIR through the
+    # first shuffle. Sketch of a multiset == sketch of its distinct set
+    # (idempotent register updates), so the output is frame-identical.
+    ("sk_hll_bounded_error", 16),
 ]
 
 #: Effective manifest: explicit max-merge of the append-only pair list.

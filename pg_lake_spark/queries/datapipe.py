@@ -1001,8 +1001,18 @@ def ds_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sk_hll_bounded_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    agg = t["lineitem"].groupBy("l_returnflag").agg(
-        F.count_distinct("l_partkey").alias("exact_distinct"),
+    # Pre-dedup instead of mixing COUNT(DISTINCT) with the HLL agg
+    # (r16 optimization round): the mixed form planned an Expand that
+    # pushed 2x the fact rows through the first aggregate and two
+    # exchanges. Deduping (flag, partkey) map-side first shuffles only
+    # the distinct pairs; COUNT(*) over them IS the exact distinct, and
+    # the HLL estimate is identical by construction — register updates
+    # are idempotent, so the sketch of a multiset equals the sketch of
+    # its distinct set. 2.23s -> 1.24s median at sf0.1 (rows and schema
+    # frame-equal, approx value included).
+    d = t["lineitem"].select("l_returnflag", "l_partkey").distinct()
+    agg = d.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("exact_distinct"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
     )
     return agg.select(
