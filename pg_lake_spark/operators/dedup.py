@@ -318,7 +318,14 @@ def maximal_repeated_spans(
         key = F.xxhash64("_t", *tail_parts)
     else:
         key = F.concat_ws(" ", "_t", *tail_parts)
-    wins = wins.withColumn("_k", key)
+    # Materialize the window frame ONCE (r16 opt): it feeds BOTH the
+    # hot-key aggregate and the semi join's probe side, and without
+    # this the posexplode + (doc,pos) shuffle + sort + window-lead
+    # subtree executes twice — the plan showed two full copies of
+    # nodes Generate/Exchange/Sort/Window. The checkpoint preserves
+    # the _id partitioning/ordering, so the island-detection window
+    # downstream still runs without a new exchange.
+    wins = wins.withColumn("_k", key).localCheckpoint(eager=True)
     hot_keys = (
         wins.groupBy("_k")
         .agg(F.countDistinct("_id").alias("_nd"))
