@@ -442,8 +442,17 @@ def minhash_signature_agg(
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard similarity of two array columns (distinct semantics)."""
-    return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
+    """Exact Jaccard similarity of two array columns.
+
+    PRECONDITION: each input array is internally distinct (every call
+    site passes ``array_distinct`` output — word_shingles ends with it,
+    and the hashed verify paths hash those distinct elements). Then
+    |a ∪ b| = |a| + |b| − |a ∩ b| exactly, and skipping the
+    ``array_union`` allocation halves the per-pair array work (r16 opt
+    — the verify stage runs this once per candidate pair): integer
+    sizes and one double division, bit-identical to the union form."""
+    i = F.size(F.array_intersect(a, b))
+    return i.cast("double") / (F.size(a) + F.size(b) - i)
 
 
 def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -248,9 +248,19 @@ def st_stream_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
+    # Same verify discipline as the batch pipeline (lsh_candidate_pairs,
+    # whose oracle this row shares): spread the interpreted shingling
+    # across all cores (the semi-join output otherwise inherits a few
+    # AQE-coalesced partitions), and intersect 64-bit shingle HASHES
+    # instead of strings — array_distinct already ran on the strings,
+    # so hash-set semantics match string-set semantics (collision
+    # ~1e-16 per pair, the bound the certified batch row documents).
+    par = spark.sparkContext.defaultParallelism
     shingled = (
         docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .repartition(par, "doc_id")
         .select(F.col("doc_id"), word_shingles("text", 2).alias("_sh"))
+        .select("doc_id", F.expr("transform(_sh, s -> xxhash64(s))").alias("_sh"))
         .localCheckpoint(eager=True)
     )
     a = shingled.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("sh_a"))
