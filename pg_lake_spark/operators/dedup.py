@@ -1048,9 +1048,18 @@ def connected_components(
     # label checkpoint is freed once the next round has materialized:
     # leaving max_iters copies of the full label frame persisted was
     # the sf10 heap exhaustion.
+    # Pre-partition by the JOIN key before the checkpoint (r16 opt,
+    # guide §2.4 — remove shuffles outright where the data is already
+    # partitioned as needed): every round's neighbor-min join probes
+    # sym on dst, and the checkpoint preserves HashPartitioning(dst),
+    # so the edge frame — the big one, E >> V — shuffles once at
+    # materialization instead of once per round. (AQE may broadcast
+    # the label side at small scale either way; the saving is the
+    # sort-merge case at scale.)
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .repartition(F.col("dst"))
         .localCheckpoint(eager=True)
     )
     sym_ids = _ckpt_ids(sym)
