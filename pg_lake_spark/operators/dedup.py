@@ -1094,6 +1094,11 @@ def connected_components(
         parent = stepped.select(
             F.col("id").alias("_pid"), F.col("_c1").alias("_pc")
         )
+        # Repartition by id before the checkpoint (same rationale as
+        # sym's dst pre-partition): next round joins the label frame
+        # on id twice (neighbor-min probe + stepped), and without a
+        # pinned partitioning each of those pays an exchange — one
+        # exchange here replaces two there.
         updated = (
             stepped.join(parent, stepped["_c1"] == parent["_pid"], "left")
             .select(
@@ -1103,6 +1108,7 @@ def connected_components(
                 ).alias("new_component"),
                 "component",
             )
+            .repartition(F.col("id"))
             .localCheckpoint(eager=True)
         )
         new_ids = _ckpt_ids(updated)
