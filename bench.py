@@ -200,6 +200,25 @@ def preflight_quiet_wait(
     return waited, frac
 
 
+def next_round_number(here: str) -> int | None:
+    """1 + the highest round number among the driver's BENCH_r{N}.json
+    artifacts — the round THIS run belongs to. Used to archive the
+    per-run detail sidecar as BENCH_DETAIL_r{N}.json (r16 verdict #1:
+    the adjudication data for a contaminated suite window lived only in
+    BENCH_DETAIL.json, which the next run overwrote). None when no
+    prior artifact exists (fresh checkout — nothing to number against).
+    """
+    import glob as _glob
+    import re as _re
+
+    rounds = []
+    for p in _glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = _re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds) + 1 if rounds else None
+
+
 def load_sf1_history(here: str) -> dict[str, float]:
     try:
         with open(os.path.join(here, SF1_HISTORY_FILE)) as f:
@@ -628,7 +647,8 @@ def main() -> None:
         "best": best_of,
         **{k: v for k, v in sf1_result.items() if k in ("sf1_queries", "sf1_best")},
     }
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    sidecar = os.path.join(here, "BENCH_DETAIL.json")
     if "sf1_best" not in detail:
         # sf1 skipped this round (budget/generation/non-sf0.1 dir):
         # carry the rolling best forward so the outlier guard's history
@@ -648,6 +668,24 @@ def main() -> None:
             json.dump(detail, f, indent=1)
     except OSError:
         pass
+    # Per-round archive (r17, VERDICT r16 #1): the rolling sidecar is
+    # overwritten by every run (the r16 8-core scaling run clobbered the
+    # 32-core adjudication data); a numbered, core-count-suffixed copy
+    # survives for the judge — the driver benches each round at two core
+    # counts, so the suffix keeps them from clobbering each other. Only
+    # official-shape runs (the driver's sf dir) are archived so probe
+    # runs don't litter numbered artifacts.
+    if os.path.realpath(sf_dir) == "/root/testdata/sf0.1":
+        rnd = next_round_number(here)
+        if rnd is not None:
+            try:
+                with open(
+                    os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}_c{int(cpus)}.json"),
+                    "w",
+                ) as f:
+                    json.dump({**detail, "cpus": int(cpus)}, f, indent=1)
+            except (OSError, ValueError):
+                pass
     headline_obj = {
         "metric": "headline_suite_seconds",
         "value": round(total, 4),
@@ -662,14 +700,15 @@ def main() -> None:
         "load": load_before,
         "steal_sec": round((read_steal_ticks() - steal_t0) / 100.0, 1),
         "headline_steal_sec": round(headline_steal_sec, 1),
-        **(
-            {
-                "preflight_wait_sec": round(preflight_wait, 1),
-                "preflight_steal_frac": round(preflight_frac, 2),
-            }
-            if preflight_wait > 2.5 or preflight_frac > 0.10
-            else {}
-        ),
+        # Self-adjudicating artifact (r17, VERDICT r16 #1): per-suite
+        # steal stamps and the preflight outcome ride in the FINAL line
+        # so a contaminated suite window never again needs the (rolling,
+        # overwritable) sidecar to explain.
+        "suite_steal_sec": {
+            label: round(steal, 1) for label, (steal, _busy) in sub_stamps.items()
+        },
+        "preflight_wait_sec": round(preflight_wait, 1),
+        "preflight_steal_frac": round(preflight_frac, 2),
         "reran": reran,
         **({"suites_reran": ",".join(suites_reran)} if suites_reran else {}),
         **({"guard": guard_reason[:80]} if guard_reason else {}),

@@ -396,8 +396,12 @@ def _k_point(x: pd.Series, y: pd.Series) -> pd.Series:
     n = len(x)
     if n == 0:
         return pd.Series([], dtype=object)
-    xv = pd.to_numeric(x, errors="coerce").to_numpy(dtype="f8", na_value=np.nan)
-    yv = pd.to_numeric(y, errors="coerce").to_numpy(dtype="f8", na_value=np.nan)
+    # errors="raise" (r16 ADVICE): the coordinate inputs are declared
+    # numeric — a non-numeric value must fail loudly, not silently
+    # become NaN (and thus NULL/False output). NULL/None still maps to
+    # NaN, which the null-mask below handles.
+    xv = pd.to_numeric(x, errors="raise").to_numpy(dtype="f8", na_value=np.nan)
+    yv = pd.to_numeric(y, errors="raise").to_numpy(dtype="f8", na_value=np.nan)
     buf = np.empty((n, 21), dtype=np.uint8)
     buf[:, 0] = 1
     buf[:, 1:5] = np.array([WKB_POINT, 0, 0, 0], dtype=np.uint8)
@@ -1486,8 +1490,12 @@ def _k_contains_xy(g: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
     for i, (b, px, py) in enumerate(zip(g, x, y)):
         if b is not None and px is not None and py is not None:
             groups.setdefault(bytes(b), []).append(i)
-    xv = pd.to_numeric(x, errors="coerce").to_numpy(dtype="f8", na_value=np.nan)
-    yv = pd.to_numeric(y, errors="coerce").to_numpy(dtype="f8", na_value=np.nan)
+    # errors="raise" (r16 ADVICE): the coordinate inputs are declared
+    # numeric — a non-numeric value must fail loudly, not silently
+    # become NaN (and thus NULL/False output). NULL/None still maps to
+    # NaN, which the null-mask below handles.
+    xv = pd.to_numeric(x, errors="raise").to_numpy(dtype="f8", na_value=np.nan)
+    yv = pd.to_numeric(y, errors="raise").to_numpy(dtype="f8", na_value=np.nan)
     for b, idxs in groups.items():
         gtype, coords = _parse(b)
         ix = np.asarray(idxs, dtype=np.int64)

@@ -442,14 +442,22 @@ def minhash_signature_agg(
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard similarity of two array columns.
+    """Exact Jaccard similarity of two array columns (set semantics:
+    duplicates within an input carry no extra weight — the public
+    contract, restored per r16 ADVICE after the size-identity rewrite
+    silently required distinct inputs). Internal hot paths that already
+    hold distinct arrays call :func:`_jaccard_distinct` directly."""
+    return _jaccard_distinct(F.array_distinct(a), F.array_distinct(b))
+
+
+def _jaccard_distinct(a: Column, b: Column) -> Column:
+    """Jaccard via the size identity |a ∪ b| = |a| + |b| − |a ∩ b|.
 
     PRECONDITION: each input array is internally distinct (every call
     site passes ``array_distinct`` output — word_shingles ends with it,
-    and the hashed verify paths hash those distinct elements). Then
-    |a ∪ b| = |a| + |b| − |a ∩ b| exactly, and skipping the
-    ``array_union`` allocation halves the per-pair array work (r16 opt
-    — the verify stage runs this once per candidate pair): integer
+    and the hashed verify paths hash those distinct elements). Skipping
+    the ``array_union`` allocation halves the per-pair array work (r16
+    opt — the verify stage runs this once per candidate pair): integer
     sizes and one double division, bit-identical to the union form."""
     i = F.size(F.array_intersect(a, b))
     return i.cast("double") / (F.size(a) + F.size(b) - i)
@@ -692,7 +700,7 @@ def lsh_candidate_pairs(
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .select("id_a", "id_b", _jaccard_distinct(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -716,7 +724,7 @@ def ngram_jaccard_pairs(
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .select("id_a", "id_b", _jaccard_distinct(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -993,7 +1001,8 @@ def kmv_distinct_estimate(df: DataFrame, col: str, *, k: int = 256) -> DataFrame
 
 
 def _ckpt_ids(df: DataFrame) -> set[int]:
-    """Persisted RDD id backing an eagerly localCheckpointed DataFrame,
+    """Persisted RDD id backing a localCheckpointed DataFrame (eager or
+    lazy — both wrap the RDD in a LogicalRDD immediately),
     read off its OWN LogicalRDD plan node — never a before/after diff
     of the session-global persistent-RDD map, which attributed anything
     a CONCURRENT thread persisted during the window to this function
@@ -1063,14 +1072,19 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     sym_ids = _ckpt_ids(sym)
+    # Node set from DST, not src (r17): the edge list is symmetrized so
+    # both carry the same ids, but sym is hash-partitioned on dst — the
+    # distinct reuses that exchange, and its output is partitioned by
+    # dst≡id, exactly the convention every round's label checkpoint
+    # pins. One setup exchange removed.
     labels = (
-        sym.select(F.col("src").alias("id"))
+        sym.select(F.col("dst").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
     prev_ids = _ckpt_ids(labels)
-    for _ in range(max_iters):
+    for rnd in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym["dst"] == labels["id"])
             .groupBy("src")
@@ -1086,33 +1100,57 @@ def connected_components(
             "component",
         )
         # Short-cut (pointer doubling): every label is itself a node id,
-        # so follow the label's OWN label one hop. Monotone (labels only
+        # so follow the label's label one hop. Monotone (labels only
         # decrease, bounded by the component minimum) and idempotent at
         # the fixed point, but turns O(diameter) convergence into
-        # O(log diameter). One extra self-join on the (small) label
-        # frame per round.
-        parent = stepped.select(
-            F.col("id").alias("_pid"), F.col("_c1").alias("_pc")
-        )
-        # Repartition by id before the checkpoint (same rationale as
-        # sym's dst pre-partition): next round joins the label frame
-        # on id twice (neighbor-min probe + stepped), and without a
-        # pinned partitioning each of those pays an exchange — one
-        # exchange here replaces two there.
-        updated = (
-            stepped.join(parent, stepped["_c1"] == parent["_pid"], "left")
-            .select(
+        # O(log diameter). The parent map is the ROUND-START label
+        # frame (r17 restructure, guide §1.2): the r16 shape derived it
+        # from `stepped` itself, so the parent join's two sides carried
+        # the whole join1+groupBy+join2 subtree under DIFFERENT exchange
+        # keys — ReusedExchange never fired and the round's join work
+        # ran ~twice. The start-of-round map reads the materialized
+        # checkpoint blocks instead; following a one-round-staler
+        # pointer only shortens jumps slightly (still O(log diameter)),
+        # and the fixed point is unchanged: changed == 0 below forces
+        # new == component, which (new <= _c1 <= component) pins BOTH
+        # the hook and the compression stationary — the plain
+        # min-propagation fixed point, the component minimum.
+        if rnd == 0:
+            # First round: labels are the identity map, so the shortcut
+            # (follow the label's label) is provably a no-op —
+            # labels_old(_c1) == _c1 for every value. Skip the parent
+            # join and its two exchanges entirely (r17).
+            shortcut = stepped.select("id", F.col("_c1").alias("new_component"), "component")
+        else:
+            parent = labels.select(
+                F.col("id").alias("_pid"), F.col("component").alias("_pc")
+            )
+            shortcut = stepped.join(
+                parent, stepped["_c1"] == parent["_pid"], "left"
+            ).select(
                 "id",
                 F.least(
                     F.col("_c1"), F.coalesce(F.col("_pc"), F.col("_c1"))
                 ).alias("new_component"),
                 "component",
             )
+        # Repartition by id before the checkpoint (same rationale as
+        # sym's dst pre-partition): next round joins the label frame
+        # on id twice (neighbor-min probe + stepped), and without a
+        # pinned partitioning each of those pays an exchange — one
+        # exchange here replaces two there.
+        # The checkpoint is LAZY (r17, guide §1.2): the convergence
+        # count below is the round's first action, so ONE job both
+        # materializes the checkpoint blocks and serves the count —
+        # the r16 shape paid an eager-checkpoint job plus a count job
+        # per round.
+        updated = (
+            shortcut
             .repartition(F.col("id"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        new_ids = _ckpt_ids(updated)
         changed = updated.filter(F.col("new_component") != F.col("component")).count()
+        new_ids = _ckpt_ids(updated)
         # this round is materialized; the previous round's checkpoint
         # is unreachable from any future computation — free it
         _unpersist(prev_ids)
@@ -1124,7 +1162,9 @@ def connected_components(
         raise RuntimeError(
             f"connected_components: labels still moving after {max_iters} "
             "rounds — raise max_iters (convergence is O(log diameter) with "
-            "short-cutting; 20 rounds covers ~1M-hop chains)"
+            "short-cutting; 20 rounds covers ~0.5M-hop chains — measured "
+            "12 rounds for a 2000-hop chain with the round-start parent "
+            "map, one more than the r16 fresh-parent shape)"
         )
     # the result references only the final label checkpoint
     _unpersist(sym_ids)

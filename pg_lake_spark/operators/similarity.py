@@ -190,8 +190,11 @@ def _table_buckets_udf(planes_tables: list):
     bit and bucket id — is bit-identical to the Column form. NULL / a
     length-mismatched vector yields bucket 0 in every table, exactly
     like the Column form's ``when(NULL >= 0).otherwise(0)``; a NaN
-    component zeroes the row's sign bits on both paths (NaN >= 0 is
-    false in both engines).
+    dot SETS the bit on both paths — Spark's comparison semantics order
+    NaN above every value, so the JVM's ``dot >= 0`` is true, and the
+    kernel mirrors that with ``~(acc < 0)`` (NaN < 0 is false in NumPy)
+    rather than ``acc >= 0`` (which is false for NaN — the r16 ADVICE
+    divergence).
     """
     import numpy as np
     import pandas as pd
@@ -222,7 +225,7 @@ def _table_buckets_udf(planes_tables: list):
                 acc = np.zeros((P.shape[0], m))
                 for j in range(dim):  # sequential fold == JVM aggregate order
                     acc += P[:, j][:, None] * V[:, j][None, :]
-                bits = acc >= 0  # NaN -> False, like the JVM comparison
+                bits = ~(acc < 0)  # NaN sets the bit, like Spark's >= 0
                 res[:, t] = (
                     bits * (1 << np.arange(P.shape[0], dtype=np.int64))[:, None]
                 ).sum(axis=0)

@@ -403,6 +403,12 @@ _CODE_CHANGES: list[tuple[str, int]] = [
     # first shuffle. Sketch of a multiset == sketch of its distinct set
     # (idempotent register updates), so the output is frame-identical.
     ("sk_hll_bounded_error", 16),
+    # r17 optimization round 2: tumbling/sliding state width derived
+    # from the key space (footer ts span / slide x type bound) instead
+    # of the pinned 4 — identical value locally (floor), scale-adaptive
+    # at 100 TB (VERDICT r16 #3).
+    ("st_tumbling_counts", 17),
+    ("st_sliding_counts", 17),
 ]
 
 #: Effective manifest: explicit max-merge of the append-only pair list.

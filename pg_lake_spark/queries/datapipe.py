@@ -27,18 +27,32 @@ def _duck_shingles(n: int) -> str:
 
 
 def _footer_rows(sf_dir: str, table: str) -> int | None:
-    """Exact row count from the parquet footer — a driver-side metadata
+    """Exact row count from parquet footers — a driver-side metadata
     read (no Spark job), the same statistic a CBO would consult. Feeds
     the operators' size-aware decisions (cap-probe skip, block sizing);
-    ``None`` on any failure keeps the operator's self-probing path."""
+    ``None`` on any failure keeps the operator's self-probing path.
+
+    ``<table>.parquet`` may be a single file (the testdata layout) or a
+    DIRECTORY of part files (any real lakehouse table): the directory
+    case sums ``num_rows`` across its ``*.parquet`` footers (r17, guide
+    §6 — previously it returned None there, silently re-enabling the
+    probe job exactly where table sizes make it expensive)."""
     import os
 
     import pyarrow.parquet as pq
 
+    path = os.path.join(sf_dir, f"{table}.parquet")
     try:
-        return pq.ParquetFile(
-            os.path.join(sf_dir, f"{table}.parquet")
-        ).metadata.num_rows
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for fname in files:
+                    if fname.endswith(".parquet"):
+                        total += pq.ParquetFile(
+                            os.path.join(root, fname)
+                        ).metadata.num_rows
+            return total
+        return pq.ParquetFile(path).metadata.num_rows
     except Exception:
         return None
 

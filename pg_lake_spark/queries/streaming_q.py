@@ -41,16 +41,74 @@ from pg_lake_spark.streaming import (
 )
 def st_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = tumbling_window_agg(read_events_stream(spark, sf_dir), window="1 hour")
-    # key space = windows x types (time-span-bound, corpus-independent):
-    # narrow state partitions cut per-partition state-store fixed cost
-    # (see run_available_now docstring) without touching scan width.
-    # r16 re-measure at sf0.1 (3,600 keys): 8 -> 1.70s, 4 -> 1.23s,
-    # 2 -> 1.00s min; 4 keeps the state stage distributed while paying
-    # half of 8's fixed cost — the width should track the bounded KEY
-    # space, not the core count.
-    return run_available_now(sdf, spark, state_partitions=4).orderBy(
+    # key space = windows x types: narrow state partitions cut
+    # per-partition state-store fixed cost (see run_available_now
+    # docstring) without touching scan width. r16 re-measure at sf0.1
+    # (3,600 keys): 8 -> 1.70s, 4 -> 1.23s, 2 -> 1.00s min; the derived
+    # width lands on the floor (4) here — distributed, half of 8's
+    # fixed cost — and grows with the corpus's TIME SPAN at scale
+    # (r17: the pinned constant became _keyspace_state_width).
+    width = _keyspace_state_width(spark, sf_dir, "events.parquet", slide_seconds=3600)
+    return run_available_now(sdf, spark, state_partitions=width).orderBy(
         "window_start", "event_type"
     )
+
+
+#: Domain bound on distinct event types. Parquet footers carry min/max
+#: but no distinct counts, so the TYPE dimension of the state key space
+#: uses this schema-level bound (the corpus has 5; 8 leaves headroom).
+#: The dimension that actually grows with a 100 TB corpus — the number
+#: of windows — is derived from footer timestamps, never pinned.
+_EVENT_TYPE_BOUND = 8
+
+
+def _keyspace_state_width(
+    spark: SparkSession,
+    sf_dir: str,
+    fname: str,
+    *,
+    slide_seconds: float,
+    ts_col: str = "ts",
+    keys_per_partition: int = 2048,
+) -> int | None:
+    """State width for bounded-KEY-space window aggregations (tumbling/
+    sliding), derived from the key space instead of a pinned constant
+    (r17, VERDICT r16 #3; guide §2.2 — make partitioning scale-adaptive).
+
+    Keys = panes x event types; panes = corpus time span / slide, read
+    from the parquet footer's timestamp min/max (driver-side metadata,
+    no job — the _footer_rows pattern). ~``keys_per_partition`` keys per
+    state partition, floored at 4 (keeps the state stage distributed;
+    the sf0.1 sweep value), capped at the session parallelism. None on
+    any metadata failure → the engine default (caller's fallback path).
+    """
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(os.path.join(sf_dir, fname)).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == ts_col
+        )
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        span_s = (hi - lo).total_seconds()
+    except Exception:
+        return None
+    if span_s < 0:
+        return None
+    panes = math.ceil(span_s / slide_seconds) + 1
+    n_keys = panes * _EVENT_TYPE_BOUND
+    par = spark.sparkContext.defaultParallelism
+    return max(4, min(par, math.ceil(n_keys / keys_per_partition)))
 
 
 def _scaled_state_width(spark: SparkSession, sf_dir: str, fname: str) -> int | None:
@@ -150,8 +208,12 @@ def st_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = sliding_window_agg(
         read_events_stream(spark, sf_dir), window="2 hours", slide="1 hour"
     )
-    # same bounded-key-space argument as st_tumbling_counts
-    return run_available_now(sdf, spark, state_partitions=4).orderBy(
+    # same key-space-derived width as st_tumbling_counts: the pane count
+    # is span/slide regardless of window width (each event lands in
+    # window/slide panes, but the DISTINCT pane key count follows the
+    # slide), so the slide is the denominator.
+    width = _keyspace_state_width(spark, sf_dir, "events.parquet", slide_seconds=3600)
+    return run_available_now(sdf, spark, state_partitions=width).orderBy(
         "window_start", "event_type"
     )
 
@@ -213,7 +275,7 @@ def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def st_stream_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    from pg_lake_spark.operators.dedup import jaccard, word_shingles
+    from pg_lake_spark.operators.dedup import _jaccard_distinct, word_shingles
     from pg_lake_spark.streaming.neardup import stream_lsh_candidates
 
     path = os.path.join(sf_dir, "documents.parquet")
@@ -226,10 +288,11 @@ def st_stream_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per state group keeps a state row bounded at any scale while the
     # per-group fixed cost amortizes across its buckets (guide §2.2,
     # §4.2; see stream_lsh_candidates). Only grouping granularity —
-    # never the pair set — depends on it.
-    import pyarrow.parquet as pq
+    # never the pair set — depends on it. _footer_rows handles both the
+    # single-file and directory table layouts (r17).
+    from pg_lake_spark.queries.datapipe import _footer_rows
 
-    n_docs = pq.ParquetFile(path).metadata.num_rows
+    n_docs = _footer_rows(sf_dir, "documents") or 0
     pairs_stream = stream_lsh_candidates(
         stream, "doc_id", "text", shingle_n=2, num_hashes=12, bands=4,
         state_groups=max(32, (4 * n_docs) // 2048),
@@ -268,7 +331,7 @@ def st_stream_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .select("id_a", "id_b", _jaccard_distinct(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.3)
         .orderBy("id_a", "id_b")
     )

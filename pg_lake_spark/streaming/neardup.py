@@ -193,10 +193,18 @@ def stream_lsh_candidates(
     bucket — per-group fixed cost amortizes across the ~hundreds of
     buckets a group holds, while each bucket's emit/cap semantics are
     preserved inside the group (measured drain 15.8s -> 2.8s at
-    sf0.1; pair set exceptAll-equal). Callers that know the corpus
-    size should scale it ~(bands·n_docs)/2048 so a state row stays a
-    few thousand entries no matter the corpus — the value only
-    trades group count against state-row size, never results."""
+    sf0.1; pair set exceptAll-equal).
+
+    HARD REQUIREMENT at scale (r16 ADVICE): a state row holds ALL of
+    its group's buckets, so with the library default of 256 the
+    per-row state grows ~(bands·n_docs)/256 id-list entries —
+    unbounded in the corpus. Callers MUST scale it ~(bands·n_docs)/
+    2048 (parquet footer row counts make this free — see
+    st_stream_lsh_neardup) so a state row stays a few thousand
+    entries no matter the corpus; the key space is fixed at stream
+    start, so the operator cannot derive it from the first
+    micro-batch itself. The value only trades group count against
+    state-row size, never results."""
     banded = streaming_band_keys(
         stream_df, id_col, text_col,
         shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,

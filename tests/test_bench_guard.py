@@ -183,6 +183,39 @@ class TestSubSuiteGuard:
         assert contaminated_suites(stamps, limit=0.06) == []
 
 
+class TestRoundArchive:
+    """next_round_number: numbers the per-round BENCH_DETAIL archive
+    (r17, VERDICT r16 #1 — adjudication data must survive the rolling
+    sidecar's overwrite)."""
+
+    def test_next_after_highest_artifact(self, tmp_path):
+        from bench import next_round_number
+
+        for n in (1, 7, 16):
+            (tmp_path / f"BENCH_r{n:02d}.json").write_text("{}")
+        assert next_round_number(str(tmp_path)) == 17
+
+    def test_unpadded_round_numbers_accepted(self, tmp_path):
+        from bench import next_round_number
+
+        (tmp_path / "BENCH_r9.json").write_text("{}")
+        assert next_round_number(str(tmp_path)) == 10
+
+    def test_no_artifacts_returns_none(self, tmp_path):
+        from bench import next_round_number
+
+        assert next_round_number(str(tmp_path)) is None
+
+    def test_core_count_suffixed_artifacts_ignored(self, tmp_path):
+        # the driver's 8-core scaling artifact (BENCH_r16_c8.json) is
+        # not a round marker
+        from bench import next_round_number
+
+        (tmp_path / "BENCH_r16.json").write_text("{}")
+        (tmp_path / "BENCH_r16_c8.json").write_text("{}")
+        assert next_round_number(str(tmp_path)) == 17
+
+
 class TestWorkerWarm:
     def test_warm_python_workers_runs_and_restores_conf(self, spark):
         from pg_lake_spark.session import warm_python_workers

@@ -183,3 +183,60 @@ def test_rank_topk_shared_tiebreak(spark):
     )
     rows = rank_topk(scored, 2, id_col="vec_id").collect()
     assert [(r.vec_id, r.rank) for r in rows] == [(3, 1), (7, 2)]
+
+
+def test_bucket_kernel_nan_matches_jvm_semantics(spark):
+    """r16 ADVICE: Spark orders NaN above every double, so the JVM
+    path's ``dot >= 0`` is TRUE for a NaN dot; the Arrow kernel must
+    set the same sign bits (``~(acc < 0)``), not clear them
+    (``acc >= 0`` is false for NaN in NumPy). Differential: a
+    NaN-component vector gets identical buckets from the kernel and
+    from the hyperplane_bucket Column expression."""
+    from pyspark.sql import functions as F
+
+    from pg_lake_spark.operators.similarity import (
+        _plane_values,
+        _table_buckets_udf,
+        hyperplane_bucket,
+    )
+
+    dim, n_planes, n_tables = 8, 5, 3
+    rows = [
+        (1, [float("nan")] * dim),          # all-NaN: every dot NaN
+        (2, [1.0] * (dim - 1) + [float("nan")]),  # one NaN component
+        (3, [0.5, -1.5, 2.0, -0.25, 1.0, 3.0, -2.0, 0.125]),  # clean
+        (4, None),                           # NULL vector
+        (5, [1.0, 2.0]),                     # wrong length
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, v array<double>")
+
+    planes = [
+        _plane_values(dim, n_planes, seed=t * n_planes, spark=spark)
+        for t in range(n_tables)
+    ]
+    assert all(p is not None for p in planes)
+    kernel = _table_buckets_udf(planes)
+    got_kernel = {
+        r["vec_id"]: r["b"]
+        for r in df.select("vec_id", kernel(F.col("v")).alias("b")).collect()
+    }
+    # Column path: when(NULL >= 0) -> 0; wrong-length vectors dot with
+    # index-aligned zip_with semantics — mirror lsh_topk's contract by
+    # checking only that both paths agree per table.
+    jvm_cols = [
+        F.coalesce(
+            hyperplane_bucket(F.col("v"), dim, n_planes, seed=t * n_planes),
+            F.lit(0),
+        ).alias(f"b{t}")
+        for t in range(n_tables)
+    ]
+    got_jvm = {
+        r["vec_id"]: [r[f"b{t}"] for t in range(n_tables)]
+        for r in df.select("vec_id", *jvm_cols).collect()
+    }
+    for vid in (1, 2, 3):
+        assert got_kernel[vid] == got_jvm[vid], (
+            f"vec {vid}: kernel {got_kernel[vid]} != jvm {got_jvm[vid]}"
+        )
+    # NULL stays bucket-0 on the kernel path (the documented contract)
+    assert got_kernel[4] == [0] * n_tables

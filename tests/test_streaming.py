@@ -476,3 +476,54 @@ def test_lake_feed_mid_stream_rename_fails_loudly(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="schema changed after stream start"):
         reader.partitions(start, reader.latestOffset())
+
+
+def test_keyspace_state_width_derivation(spark, tmp_path):
+    """_keyspace_state_width (r17): width follows the corpus time span
+    read from parquet footer stats — floor 4 locally, growing with the
+    span, capped at parallelism, None on metadata failure."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg_lake_spark.queries.streaming_q import (
+        _EVENT_TYPE_BOUND,
+        _keyspace_state_width,
+    )
+
+    def write_span(days: float, name: str) -> str:
+        t0 = datetime.datetime(2024, 1, 1)
+        ts = [t0, t0 + datetime.timedelta(days=days)]
+        pq.write_table(pa.table({"ts": ts}), str(tmp_path / name))
+        return name
+
+    # 30-day span (the testdata shape): 721 panes x bound / 2048 -> under
+    # the floor -> 4, the r16 sweep value (local behavior unchanged)
+    name = write_span(30, "ev30.parquet")
+    assert _keyspace_state_width(
+        spark, str(tmp_path), name, slide_seconds=3600
+    ) == 4
+
+    # 10-year span: panes grow ~120x; width must leave the floor but
+    # respect the parallelism cap
+    name = write_span(3650, "ev10y.parquet")
+    w = _keyspace_state_width(spark, str(tmp_path), name, slide_seconds=3600)
+    par = spark.sparkContext.defaultParallelism
+    import math
+
+    uncapped = math.ceil((3650 * 24 + 1) * _EVENT_TYPE_BOUND / 2048)
+    assert uncapped > 4  # the span term really leaves the floor...
+    assert w == max(4, min(par, uncapped))  # ...and the cap clamps it
+    # (the shared test session is local[4], so the cap binds here)
+
+    # metadata failure -> None (engine default)
+    assert (
+        _keyspace_state_width(spark, str(tmp_path), "absent.parquet", slide_seconds=3600)
+        is None
+    )
+
+    # the real corpus derives the sweep-measured local width
+    assert _keyspace_state_width(
+        spark, SF_DIR, "events.parquet", slide_seconds=3600
+    ) == 4
