@@ -441,6 +441,18 @@ def minhash_signature_agg(
     return ex.groupBy("_id").agg(*aggs)
 
 
+def _auto_est_gate(threshold: float, num_hashes: int, bands: int) -> float:
+    """The ``est_gate="auto"`` derivation (see lsh_candidate_pairs):
+    the banding S-curve's 50%-recall similarity, floored by the exact
+    threshold, minus two signature components of estimator slack.
+    Shared by the batch and streaming pipelines (r17) so the two gates
+    cannot drift — the streaming row's oracle transfers from the batch
+    row precisely because both drop the SAME pairs."""
+    rows_per_band = num_hashes // bands
+    s50 = (1.0 - 0.5 ** (1.0 / bands)) ** (1.0 / rows_per_band)
+    return max(threshold, s50) - 2.0 / num_hashes
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two array columns (set semantics:
     duplicates within an input carry no extra weight — the public
@@ -620,8 +632,7 @@ def lsh_candidate_pairs(
     # Estimate gate (see docstring), applied inside the join output as
     # a predicate over the carried components.
     if est_gate == "auto":
-        s50 = (1.0 - 0.5 ** (1.0 / bands)) ** (1.0 / rows_per_band)
-        est_gate = max(threshold, s50) - 2.0 / num_hashes
+        est_gate = _auto_est_gate(threshold, num_hashes, bands)
     cand = left.join(right, cond).select(
         F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
         *(

@@ -409,6 +409,12 @@ _CODE_CHANGES: list[tuple[str, int]] = [
     # at 100 TB (VERDICT r16 #3).
     ("st_tumbling_counts", 17),
     ("st_sliding_counts", 17),
+    # r17: batch est-gate ported into the streaming LSH stateful
+    # operator (pairs below 5/12 signature agreement never emitted;
+    # candidate set equals the gated batch set bit-for-bit — parity
+    # test + strict_check sf0.001/0.01, old-vs-new exceptAll 0/0 at
+    # sf0.1). VERDICT r16 #1.
+    ("st_stream_lsh_neardup", 17),
 ]
 
 #: Effective manifest: explicit max-merge of the append-only pair list.

@@ -49,9 +49,13 @@ def streaming_band_keys(
     shingle_n: int = 3,
     num_hashes: int = 12,
     bands: int = 4,
+    with_signature: bool = False,
 ) -> DataFrame:
     """(_id, band, bucket) rows — expression-only (stream-safe) with
-    batch-identical signature values."""
+    batch-identical signature values. ``with_signature`` adds the full
+    ``_sig`` array (num_hashes bigints) to every banded row — the
+    estimate gate's input (r17); off by default so non-gated callers
+    ship no extra bytes."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must divide evenly into bands "
@@ -99,8 +103,10 @@ def streaming_band_keys(
         hashed, init, lambda acc, h: F.zip_with(acc, affines(h), lambda a, b: F.least(a, b))
     )
     signed = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    carry = ["_sig"] if with_signature else []
     return signed.select(
         "_id",
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -122,7 +128,7 @@ def streaming_band_keys(
                 ]
             )
         ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bucket")
+    ).select("_id", *carry, "bb.band", "bb.bucket")
 
 
 def _make_emit_pairs(max_bucket_size: int | None):
@@ -172,6 +178,92 @@ def _make_emit_pairs(max_bucket_size: int | None):
     return _emit_pairs
 
 
+def _make_emit_pairs_gated(
+    max_bucket_size: int | None, gate_thr: float
+):
+    """Gated pair emitter (r17, VERDICT r16 #1 — port the batch
+    est_gate to the streaming candidate set, guide §2.4/§4.2): state
+    additionally keeps each member's full MinHash signature, and a
+    candidate pair is emitted only when the two signatures agree on at
+    least ``gate_thr`` components — the SAME predicate the batch
+    self-join applies inline (``__agree >= est_gate*num_hashes``).
+    Gated-out pairs never leave the operator, so the downstream
+    distinct(), the verify joins AND the candidate-doc shingling (the
+    expensive interpreted step) all shrink by the gate's cut (~68% of
+    candidates on this corpus — the batch measurement).
+
+    Bucket-membership semantics are UNchanged from the ungated emitter
+    (the batch gate likewise filters join output, not bucket
+    contents): cap and duplicate checks run before the gate, and a
+    gated-out arrival still joins its bucket's member list. The
+    agreement test itself is vectorized — pair signatures accumulate
+    into two parallel lists and ONE numpy comparison per micro-batch
+    filters them (guide §4.2: batch the work, don't loop per row)."""
+    import numpy as np
+
+    def _emit_pairs(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            bks, idls, sgls = state.get
+            seen: dict[str, list[int]] = {}
+            sigs: dict[str, list] = {}
+            for b, l, sg in zip(bks, idls, sgls):
+                seen[b] = list(l)
+                sigs[b] = list(sg)
+        else:
+            seen = {}
+            sigs = {}
+        out_a: list[int] = []
+        out_b: list[int] = []
+        sig_l: list = []
+        sig_r: list = []
+        for pdf in pdfs:
+            for _id, bkey, sig in zip(pdf["_id"], pdf["_bk"], pdf["_sig"]):
+                s = seen.get(bkey)
+                if s is None:
+                    s = seen[bkey] = []
+                    sg = sigs[bkey] = []
+                else:
+                    sg = sigs[bkey]
+                if max_bucket_size is not None and len(s) >= max_bucket_size:
+                    continue
+                _id = int(_id)
+                if _id in s:
+                    continue
+                sig = np.asarray(sig, dtype=np.int64)
+                for other, other_sig in zip(s, sg):
+                    out_a.append(min(_id, other))
+                    out_b.append(max(_id, other))
+                    sig_l.append(sig)
+                    sig_r.append(other_sig)
+                s.append(_id)
+                sg.append(sig)
+        # state values must be pure-Python (the state round-trip
+        # pickles them JVM-side; numpy scalars/arrays break the
+        # unpickler) — ndarray.tolist() yields builtin ints
+        state.update(
+            (
+                list(seen.keys()),
+                [[int(i) for i in l] for l in seen.values()],
+                [[np.asarray(v).tolist() for v in sigs[b]] for b in seen],
+            )
+        )
+        if out_a:
+            keep = (
+                np.vstack(sig_l) == np.vstack(sig_r)
+            ).sum(axis=1) >= gate_thr
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.asarray(out_a, dtype=np.int64)[keep],
+                        "id_b": np.asarray(out_b, dtype=np.int64)[keep],
+                    }
+                )
+
+    return _emit_pairs
+
+
 def stream_lsh_candidates(
     stream_df: DataFrame,
     id_col: str,
@@ -182,6 +274,7 @@ def stream_lsh_candidates(
     bands: int = 4,
     max_bucket_size: int | None = 5000,
     state_groups: int = 256,
+    est_gate: float | str | None = None,
 ) -> DataFrame:
     """Streaming candidate-pair DataFrame (id_a < id_b; a pair may
     surface from several bands — distinct() downstream, exactly like
@@ -204,23 +297,57 @@ def stream_lsh_candidates(
     entries no matter the corpus; the key space is fixed at stream
     start, so the operator cannot derive it from the first
     micro-batch itself. The value only trades group count against
-    state-row size, never results."""
+    state-row size, never results.
+
+    ``est_gate`` (r17, the batch gate ported per VERDICT r16 #1):
+    minimum MinHash-ESTIMATED Jaccard — the fraction of agreeing
+    signature components — a pair must clear to be emitted. Same
+    contract and same ``"auto"`` derivation as the batch
+    ``lsh_candidate_pairs`` (shared ``_auto_est_gate``), so the gated
+    streaming candidate set equals the gated batch candidate set
+    exactly (signatures are bit-identical). Opt-in (default None =
+    emit every candidate, the prior behavior); when set, each banded
+    row carries the full signature into state (+num_hashes bigints
+    per member) and the gate runs vectorized inside the operator —
+    see _make_emit_pairs_gated."""
+    if est_gate == "auto":
+        from pg_lake_spark.operators.dedup import _auto_est_gate
+
+        # "auto" needs the caller's exact-verify threshold to floor
+        # against; this operator has none (it emits candidates), so the
+        # banding S-curve midpoint itself is the floor — numerically
+        # identical to the batch auto gate whenever threshold <= s50,
+        # which holds for every sensible banding (a threshold above the
+        # midpoint means the banding is too loose for the query).
+        est_gate = _auto_est_gate(0.0, num_hashes, bands)
     banded = streaming_band_keys(
         stream_df, id_col, text_col,
         shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+        with_signature=est_gate is not None,
     )
     # one string key per bucket: band is already baked into which md5
     # the bucket came from, but two bands CAN collide on the same md5
     # only via identical sub-signatures — keep the band prefix so the
     # coarse dict key equals the old (band, bucket) group key exactly
+    sig_carry = ["_sig"] if est_gate is not None else []
     keyed = banded.select(
         "_id",
+        *sig_carry,
         F.concat_ws("#", F.col("band").cast("string"), F.col("bucket")).alias("_bk"),
     ).withColumn("_grp", F.pmod(F.xxhash64(F.col("_bk")), F.lit(state_groups)))
+    if est_gate is not None:
+        emit = _make_emit_pairs_gated(max_bucket_size, est_gate * num_hashes)
+        state_schema = (
+            "buckets array<string>, ids array<array<long>>, "
+            "sigs array<array<array<long>>>"
+        )
+    else:
+        emit = _make_emit_pairs(max_bucket_size)
+        state_schema = "buckets array<string>, ids array<array<long>>"
     return keyed.groupBy("_grp").applyInPandasWithState(
-        _make_emit_pairs(max_bucket_size),
+        emit,
         outputStructType="id_a long, id_b long",
-        stateStructType="buckets array<string>, ids array<array<long>>",
+        stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

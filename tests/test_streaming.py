@@ -343,6 +343,77 @@ def test_stream_lsh_candidates_equal_batch(spark, tmp_path):
     assert a == b and a  # identical and non-empty
 
 
+def test_stream_lsh_gated_candidates_equal_batch_gate(spark, tmp_path):
+    """r17 est-gate port parity: the streaming operator with est_gate
+    emits EXACTLY the pairs the batch predicate (signature agreement >=
+    est_gate*num_hashes) keeps from the ungated candidate set — and the
+    gate actually cuts candidates on this corpus (else the port is
+    dead code)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pg_lake_spark.operators.dedup import _auto_est_gate
+    from pg_lake_spark.streaming.neardup import (
+        stream_lsh_candidates,
+        streaming_band_keys,
+    )
+    from pg_lake_spark.streaming.windows import run_available_now
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    num_hashes = 12
+    gate = _auto_est_gate(0.3, num_hashes, 4)
+    # batch ground truth: ungated in-bucket self-join + the batch
+    # agreement predicate over the SAME signatures
+    banded = streaming_band_keys(
+        docs, "doc_id", "text", shingle_n=2, with_signature=True
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    agree = sum(
+        F.when(
+            F.element_at("l._sig", i + 1) == F.element_at("r._sig", i + 1), 1
+        ).otherwise(0)
+        for i in range(num_hashes)
+    )
+    batch_all = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            agree.alias("__agree"),
+        )
+    )
+    batch_gated = (
+        batch_all.filter(F.col("__agree") >= F.lit(gate * num_hashes))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    batch_ungated = batch_all.select("id_a", "id_b").distinct()
+
+    schema = docs.schema
+    stream = spark.readStream.schema(schema).parquet(
+        os.path.join(SF_DIR, "documents.[p]arquet")
+    )
+    stream_gated = run_available_now(
+        stream_lsh_candidates(
+            stream, "doc_id", "text", shingle_n=2, est_gate=gate
+        ),
+        spark,
+        output_mode="append",
+    ).distinct()
+    want = set(map(tuple, batch_gated.collect()))
+    got = set(map(tuple, stream_gated.collect()))
+    n_ungated = batch_ungated.count()
+    assert got == want and got
+    assert len(want) < n_ungated  # the gate actually gates here
+
+
 def test_streaming_band_keys_fold_equals_per_hash_spelling(spark):
     """r16 differential pin: the single-fold signature (one xxhash64
     pass + aggregate/zip_with running minimum) computes exactly the
