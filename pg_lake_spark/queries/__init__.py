@@ -415,6 +415,10 @@ _CODE_CHANGES: list[tuple[str, int]] = [
     # test + strict_check sf0.001/0.01, old-vs-new exceptAll 0/0 at
     # sf0.1). VERDICT r16 #1.
     ("st_stream_lsh_neardup", 17),
+    # r17: span group/semi-join keys switched to the 8-byte hash path
+    # (hash_only=True) — output rebuilt from tokens, row-identical at
+    # sf0.1/sf1 (exceptAll both ways), strict-checked.
+    ("dd_maximal_spans", 17),
 ]
 
 #: Effective manifest: explicit max-merge of the append-only pair list.

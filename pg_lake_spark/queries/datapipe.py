@@ -1401,15 +1401,26 @@ def dd_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-document spans via gaps-and-islands over (doc, pos). The "
     "oracle independently rebuilds each maximal span by SLICING the "
     "original token array, cross-checking the operator's heads+tail "
-    "window reconstruction. hash_only=False so the oracle groups "
-    "identical span strings; the scale path (hash_only=True, "
-    "default) is lossless here and pinned equivalent by pytest.",
+    "window reconstruction. hash_only=True (r17): the span group + "
+    "semi-join keys are 8-byte token-tuple hashes instead of joined "
+    "span strings — LOSSLESS here because the output span text is "
+    "rebuilt from the carried tokens, never the key (a 2^-64 "
+    "collision could only falsely mark a window hot, the same bound "
+    "the certified LSH rows document); output proven row-identical "
+    "to the string-keyed form at every SF.",
 )
 def dd_maximal_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
+    # hash_only=True (r17, guide §2.3 — shuffle keys, not payloads):
+    # sf0.1 noop A/B 2.53 -> 2.44s min, sf1 10.45 -> 9.80s min, rows
+    # exceptAll-identical both ways at sf0.1/sf1. An in-array
+    # map-only window-hash restructure (no corpus (doc,pos) exchange)
+    # was measured and ruled out: the interpreted
+    # transform(sequence, xxhash64(slice)) generation costs ~6s at
+    # sf1 — more than the exchange it saves on this plan.
     return dedup.maximal_repeated_spans(
         t["documents"], "doc_id", "text",
-        window=8, min_docs=2, hash_only=False,
+        window=8, min_docs=2, hash_only=True,
     )
 
 
