@@ -66,6 +66,7 @@ def broadcast_if_small(
     *,
     max_bytes: int | None = None,
     factor: float = 2.0,
+    gauge: DataFrame | None = None,
 ) -> DataFrame:
     """``F.broadcast(df)`` iff Catalyst estimates ``df`` under the gate.
 
@@ -76,6 +77,19 @@ def broadcast_if_small(
     estimate, so the widening is bounded — see the module docstring).
     Unestimable or over-gate frames pass through unhinted — AQE picks
     the strategy from runtime sizes.
+
+    ``gauge`` (r17): the frame whose Catalyst estimate the gate reads
+    INSTEAD of ``df``'s own. Catalyst's size estimate for a
+    join-derived frame multiplies through the join (q2's
+    supplier⋈nation⋈region read 34 GB against a 22 KB supplier table),
+    so the gate silently declined exactly the dimension hints it
+    exists for — and the planner, left to its own inverted estimates,
+    then broadcast the FACT side (guide §3.1: estimates are often
+    badly wrong after filters/joins; hint when you know better). Pass
+    the pre-join base table when the derived frame can only drop its
+    rows and add bounded width; the scale-safety contract is
+    unchanged because the gauge's estimate grows with the data
+    exactly like the derived frame's true size.
     """
     if max_bytes is None:
         try:
@@ -88,7 +102,7 @@ def broadcast_if_small(
         if thr <= 0:  # auto-broadcast disabled → respect that for hints too
             return df
         max_bytes = int(thr * factor)
-    size = estimated_size_bytes(df)
+    size = estimated_size_bytes(gauge if gauge is not None else df)
     if size is not None and size <= max_bytes:
         return F.broadcast(df)
     return df

@@ -419,6 +419,15 @@ _CODE_CHANGES: list[tuple[str, int]] = [
     # (hash_only=True) — output rebuilt from tokens, row-identical at
     # sf0.1/sf1 (exceptAll both ways), strict-checked.
     ("dd_maximal_spans", 17),
+    # r17: supplier-gauged broadcast hint (the s⋈n⋈r estimate exploded
+    # past the gate, so the planner broadcast the fact aggregate) +
+    # one shared l_partkey exchange for agg AND window min. Output
+    # toPandas-equal; strict-checked at 3 SFs.
+    ("q2_min_cost_supplier", 17),
+    # r17: one explode instead of three (tf aggregated first and
+    # checkpointed; corpus counts rolled up from tf; T from a map-only
+    # word-count sum). toPandas-equal at sf0.1/sf1; strict-checked.
+    ("txt_unigram_surprisal", 17),
 ]
 
 #: Effective manifest: explicit max-merge of the append-only pair list.

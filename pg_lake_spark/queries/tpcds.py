@@ -3223,6 +3223,11 @@ def dsq06_pricey_vs_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"].select("l_orderkey", "l_partkey")
         .join(
+            # r17 examined: pricey's own estimate explodes through the
+            # brand_avg join so the size gate declines the hint — but
+            # AQE already converts this semi-join to broadcast at
+            # runtime (interleaved A/B with gauge=part read flat), so
+            # the q2-style gauge fix is NOT applied here; left as-is.
             _bcast(pricey),
             F.col("l_partkey") == F.col("p_partkey"),
             "left_semi",

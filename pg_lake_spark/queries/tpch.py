@@ -381,8 +381,19 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = load_tables(spark, sf_dir)
+    # Repartition by l_partkey BEFORE the (partkey, suppkey) aggregation
+    # (r17, guide §2.4 — share one exchange): HashPartitioning(l_partkey)
+    # satisfies the groupBy's (l_partkey, l_suppkey) clustering AND the
+    # window-min's l_partkey clustering below, so the plan carries ONE
+    # exchange of the lineitem projection instead of an agg exchange on
+    # (pk, sk) plus a second window exchange on pk. Partial aggregation
+    # is given up, but (pk, sk) pairs repeat only ~a few times in
+    # lineitem at any SF, so the raw projection is ~the same bytes the
+    # partial-agg output was. A/B sf0.1 noop: 1.44 → 0.73s median.
     ps = (
         t["lineitem"]
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .repartition(F.col("l_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_extendedprice").alias("supplycost"))
     )
@@ -397,8 +408,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Correlated "min supplycost for this part among EUROPE suppliers" is a
     # window min over the partkey — one shuffle on l_partkey, no re-scan.
+    # gauge=supplier (r17): Catalyst's estimate for the s⋈n⋈r join
+    # explodes to ~34 GB against a 22 KB supplier table, so the plain
+    # size gate declined the hint and the planner broadcast the FACT
+    # aggregate instead (BuildLeft on ps in the r16 plan). The join can
+    # only drop supplier rows (+~25 B of n_name), so supplier's own
+    # estimate is the sound gauge; at scale it grows past the gate and
+    # AQE decides, same as before.
     cand = (
-        ps.join(_bcast(eur_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        ps.join(
+            _bcast(eur_supp, gauge=t["supplier"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
         .withColumn("min_cost", F.min("supplycost").over(Window.partitionBy("l_partkey")))
         .filter(F.col("supplycost") == F.col("min_cost"))
     )

@@ -76,3 +76,36 @@ def test_tpch_dims_all_pass_gate_at_bench_scale(spark):
     t = load_tables(spark, "/root/testdata/sf0.01")
     for dim in ("nation", "region", "customer", "supplier", "part"):
         assert _is_hinted(broadcast_if_small(t[dim])), dim
+
+
+def test_gauge_rescues_join_exploded_estimate(spark):
+    """r17: Catalyst's estimate for a join-derived dimension multiplies
+    through the join (supplier⋈nation⋈region reads GBs against a KB
+    supplier table), so the plain gate declines the hint the site
+    exists for. gauge= reads the pre-join base table's estimate
+    instead; the same frame gauged by an over-threshold gauge still
+    passes through unhinted (scale safety unchanged)."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, SF)
+    eur_supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    # (identity check, not _is_hinted: eur_supp already contains the
+    # inner nation/region hints, so the string probe is trivially True;
+    # broadcast_if_small returns the SAME object when it declines)
+    # the exploded self-estimate declines the hint...
+    assert estimated_size_bytes(eur_supp) > 10 * 1024 * 1024
+    assert broadcast_if_small(eur_supp) is eur_supp
+    # ...the gauge rescues it...
+    assert broadcast_if_small(eur_supp, gauge=t["supplier"]) is not eur_supp
+    # ...and an over-gate gauge still declines (the 100 TB behavior).
+    assert (
+        broadcast_if_small(eur_supp, gauge=t["lineitem"], max_bytes=1024)
+        is eur_supp
+    )
