@@ -428,6 +428,10 @@ _CODE_CHANGES: list[tuple[str, int]] = [
     # checkpointed; corpus counts rolled up from tf; T from a map-only
     # word-count sum). toPandas-equal at sf0.1/sf1; strict-checked.
     ("txt_unigram_surprisal", 17),
+    # r17: two filtered aggregate legs + SortMergeJoin FullOuter folded
+    # into one conditional aggregation over a single fact join (the
+    # dsq74 fold). toPandas-equal; strict-checked at 3 SFs.
+    ("dsq78_channel_fullouter_ratio", 17),
 ]
 
 #: Effective manifest: explicit max-merge of the append-only pair list.

@@ -414,6 +414,60 @@ def test_stream_lsh_gated_candidates_equal_batch_gate(spark, tmp_path):
     assert len(want) < n_ungated  # the gate actually gates here
 
 
+def test_stream_lsh_gated_state_restore_across_microbatches(spark, tmp_path):
+    """The gated emitter's state-RESTORE path (signatures round-tripped
+    through the state store) — never exercised by single-micro-batch
+    drains: two source files + maxFilesPerTrigger=1 force two
+    micro-batches, and cross-batch near-dup pairs must still surface
+    gated exactly like the single-batch run."""
+    import os
+
+    import pandas as pd
+
+    from pg_lake_spark.operators.dedup import _auto_est_gate
+    from pg_lake_spark.streaming.neardup import stream_lsh_candidates
+    from tests.conftest import SF_DIR
+
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    half = len(docs) // 2
+    docs.iloc[:half].to_parquet(src / "part0.parquet")
+    docs.iloc[half:].to_parquet(src / "part1.parquet")
+    gate = _auto_est_gate(0.3, 12, 4)
+
+    def run(one_file_per_batch: bool):
+        reader = spark.readStream.schema("doc_id bigint, text string")
+        if one_file_per_batch:
+            reader = reader.option("maxFilesPerTrigger", 1)
+        stream = reader.parquet(str(src))
+        pairs = stream_lsh_candidates(
+            stream, "doc_id", "text", shingle_n=2, est_gate=gate
+        )
+        out = tmp_path / ("out1" if one_file_per_batch else "outN")
+        chk = tmp_path / ("chk1" if one_file_per_batch else "chkN")
+        q = (
+            pairs.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(chk))
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(180)
+        return set(
+            map(tuple, spark.read.parquet(str(out)).distinct().collect())
+        )
+
+    multi = run(True)
+    single = run(False)
+    assert multi == single and multi
+
+
 def test_streaming_band_keys_fold_equals_per_hash_spelling(spark):
     """r16 differential pin: the single-fold signature (one xxhash64
     pass + aggregate/zip_with running minimum) computes exactly the
